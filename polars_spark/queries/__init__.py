@@ -1,0 +1,50 @@
+"""Query registry: every operator claimed in SURVEY.md §2 gets one entry.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` registered under a
+stable name, plus (where SQL-expressible) a DuckDB oracle SQL string over the
+same parquet tables.  The driver hash-compares both sides at sf=0.01; column
+names must match exactly (alias everything on both sides).
+
+Float discipline: aggregates over doubles are rounded to a fixed number of
+decimals on BOTH sides so that summation-order differences between engines
+(Spark partial aggregation vs DuckDB) cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Import side-effect: populate the registry.  Keep this list at the bottom.
+from polars_spark.queries import (  # noqa: E402,F401
+    tpch,
+    relational,
+    joins,
+    window,
+    temporal,
+    scalar_funcs,
+    text,
+    dedup,
+    similarity,
+)

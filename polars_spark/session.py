@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM).  The same settings are what we would ship as defaults on a
+real cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow for every Python<->JVM data exchange, UTC session time
+zone so timestamp semantics match the reference engine (polars stores
+naive/UTC datetimes; see SURVEY.md §1.2).
+
+Scale notes (100 TB target):
+- ``spark.sql.shuffle.partitions`` is only the *initial* value; AQE
+  coalesces / splits at runtime, so a cluster run would raise it
+  (rule of thumb: 2-3x total cores) without code changes.
+- ``spark.sql.files.maxPartitionBytes`` left at default 128 MB: scan
+  parallelism scales with input size automatically.
+- We never disable broadcast joins; small dimension tables (region,
+  nation, supplier at TPC-H scale) stay broadcastable even at sf=100k.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "polars_spark", **extra_conf: str) -> SparkSession:
+    """Return (creating if needed) the process-wide SparkSession."""
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

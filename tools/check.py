@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB (same parquet tables registered as views), then compares:
+row count, column-name set, and order-insensitive values (rows sorted by
+all columns, columns sorted by name).  Floats compare exactly AND with
+rtol=1e-9 so we can see whether a mismatch is real or float noise.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # lists/arrays -> tuples so they sort & compare
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns spark={sc} oracle={oc}")
+    if problems:
+        return problems
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv2 = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            ov2 = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)
+            exact = np.array_equal(sv2, ov2, equal_nan=True)
+            close = np.allclose(sv2, ov2, rtol=1e-9, atol=1e-12, equal_nan=True)
+            if not exact:
+                tag = "FLOAT-NOISE" if close else "VALUE"
+                bad = np.nonzero(~(np.isclose(sv2, ov2, rtol=0, atol=0) | (np.isnan(sv2) & np.isnan(ov2))))[0][:3]
+                problems.append(f"{tag} col={c} first_diffs={[(sv2[i], ov2[i]) for i in bad]}")
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            if not eq.all():
+                i = int(np.nonzero(~eq.to_numpy())[0][0])
+                problems.append(f"VALUE col={c} row{i}: spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from polars_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    n_ok = n_bad = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL  {name}: oracle raised {exc}")
+            n_bad += 1
+            continue
+        problems = compare(name, sdf, opdf)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_bad += 1
+        else:
+            print(f"ok    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_weak} weak (rows-only), {n_bad} FAIL")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
