@@ -1,0 +1,71 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() over the result, which
+forces full evaluation but keeps driver-side transfer out of the
+measurement).  A warmup pass on the smallest SF primes the JVM/codegen
+so we measure steady-state query time, like the reference's repeated
+pytest-benchmark runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from polars_spark.queries import QUERIES
+    from polars_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warmup: smallest SF, primes codegen + parquet footer caches
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for n in names:
+            try:
+                QUERIES[n](spark, warm_dir).count()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        QUERIES[n](spark, sf_dir).count()
+        timings[n] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
