@@ -1,0 +1,946 @@
+"""Expression layer: a polars-style ``Expr`` that lowers to a PySpark Column.
+
+Reference surface: ``Expr`` variants in polars-plan/src/dsl/expr/mod.rs:66
+(Column/Literal/BinaryExpr/Cast/Agg/Ternary/Function/Over/...).  Instead of
+building an AST and translating it, each ``Expr`` here *is* its lowering: a
+pure function ``ctx -> pyspark.sql.Column`` composed functionally.  All hot
+paths stay JVM-side (pyspark.sql.functions only); nothing here creates a
+Python UDF.
+
+Order-sensitive expressions (shift/cum_*/diff/rank/...) consume the frame's
+hidden order column via ``ctx.order_cols`` — see plans/frame.py for how the
+order contract is threaded (SURVEY.md §1.1 "row order" gap).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterable
+from typing import Any, Callable
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+__all__ = ["Expr", "ExprContext", "col", "lit", "when", "all_", "nth"]
+
+
+class ExprContext:
+    """What an expression needs to resolve: the frame's schema + order."""
+
+    __slots__ = ("df", "order_cols", "grouped")
+
+    def __init__(self, df, order_cols: list[str] | None = None, grouped: bool = False):
+        self.df = df
+        self.order_cols = order_cols or []
+        self.grouped = grouped
+
+    def order_window(self, reverse: bool = False) -> Window:
+        if not self.order_cols:
+            raise ValueError(
+                "order-sensitive expression used on a frame with no defined row order; "
+                "scan with row order enabled or sort() first"
+            )
+        cols = [F.col(c).desc() if reverse else F.col(c).asc() for c in self.order_cols]
+        return Window.orderBy(*cols)
+
+
+def _to_expr(v: Any) -> "Expr":
+    return v if isinstance(v, Expr) else lit(v)
+
+
+def _col_of(v: Any, ctx: ExprContext) -> Column:
+    return _to_expr(v)._resolve(ctx)
+
+
+class Expr:
+    def __init__(
+        self,
+        fn: Callable[[ExprContext], Column],
+        name: str = "literal",
+        is_agg: bool = False,
+    ):
+        self._fn = fn
+        self._name = name
+        self._is_agg = is_agg
+
+    # -- plumbing ---------------------------------------------------------
+    def _resolve(self, ctx: ExprContext) -> Column:
+        return self._fn(ctx)
+
+    def _named(self, ctx: ExprContext) -> Column:
+        return self._fn(ctx).alias(self._name)
+
+    def _map(self, f: Callable[[Column], Column], name: str | None = None, is_agg: bool | None = None) -> "Expr":
+        """New Expr applying ``f`` to this expr's resolved column."""
+        return Expr(
+            lambda ctx: f(self._resolve(ctx)),
+            name if name is not None else self._name,
+            self._is_agg if is_agg is None else is_agg,
+        )
+
+    def _zip(self, other: Any, f: Callable[[Column, Column], Column], name: str | None = None) -> "Expr":
+        o = _to_expr(other)
+        return Expr(
+            lambda ctx: f(self._resolve(ctx), o._resolve(ctx)),
+            name if name is not None else self._name,
+            self._is_agg or o._is_agg,
+        )
+
+    def __repr__(self) -> str:
+        return f"<Expr {self._name!r}{' agg' if self._is_agg else ''}>"
+
+    # -- naming -----------------------------------------------------------
+    def alias(self, name: str) -> "Expr":
+        return Expr(self._fn, name, self._is_agg)
+
+    @property
+    def name(self):
+        from polars_spark.plans.namespaces import ExprNameNamespace
+
+        return ExprNameNamespace(self)
+
+    # -- namespaces ---------------------------------------------------------
+    @property
+    def str(self):
+        from polars_spark.plans.namespaces import StringNamespace
+
+        return StringNamespace(self)
+
+    @property
+    def dt(self):
+        from polars_spark.plans.namespaces import DateTimeNamespace
+
+        return DateTimeNamespace(self)
+
+    @property
+    def list(self):
+        from polars_spark.plans.namespaces import ListNamespace
+
+        return ListNamespace(self)
+
+    arr = list  # fixed-size arrays share ArrayType lowering (SURVEY §1.2)
+
+    @property
+    def struct(self):
+        from polars_spark.plans.namespaces import StructNamespace
+
+        return StructNamespace(self)
+
+    @property
+    def bin(self):
+        from polars_spark.plans.namespaces import BinaryNamespace
+
+        return BinaryNamespace(self)
+
+    @property
+    def cat(self):
+        from polars_spark.plans.namespaces import CatNamespace
+
+        return CatNamespace(self)
+
+    # -- arithmetic ---------------------------------------------------------
+    def __add__(self, o):
+        return self._zip(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return _to_expr(o)._zip(self, lambda a, b: a + b, self._name)
+
+    def __sub__(self, o):
+        return self._zip(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return _to_expr(o)._zip(self, lambda a, b: a - b, self._name)
+
+    def __mul__(self, o):
+        return self._zip(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return _to_expr(o)._zip(self, lambda a, b: a * b, self._name)
+
+    def __truediv__(self, o):
+        return self._zip(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return _to_expr(o)._zip(self, lambda a, b: a / b, self._name)
+
+    def __floordiv__(self, o):
+        # polars FloorDivide (Operator::FloorDivide, dsl/expr/mod.rs:683)
+        return self._zip(o, lambda a, b: F.floor(a / b))
+
+    def __mod__(self, o):
+        return self._zip(o, lambda a, b: a % b)
+
+    def __pow__(self, o):
+        return self._zip(o, lambda a, b: F.pow(a, b))
+
+    def __neg__(self):
+        return self._map(lambda c: -c)
+
+    # -- comparison ----------------------------------------------------------
+    def __eq__(self, o):  # type: ignore[override]
+        return self._zip(o, lambda a, b: a == b)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._zip(o, lambda a, b: a != b)
+
+    def __lt__(self, o):
+        return self._zip(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._zip(o, lambda a, b: a <= b)
+
+    def __gt__(self, o):
+        return self._zip(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._zip(o, lambda a, b: a >= b)
+
+    def eq_missing(self, o):
+        # polars Operator::EqValidity -> Spark null-safe equality
+        return self._zip(o, lambda a, b: a.eqNullSafe(b))
+
+    def ne_missing(self, o):
+        return self._zip(o, lambda a, b: ~a.eqNullSafe(b))
+
+    # -- boolean --------------------------------------------------------------
+    def __and__(self, o):
+        return self._zip(o, lambda a, b: a & b)
+
+    def __rand__(self, o):
+        return _to_expr(o)._zip(self, lambda a, b: a & b, self._name)
+
+    def __or__(self, o):
+        return self._zip(o, lambda a, b: a | b)
+
+    def __ror__(self, o):
+        return _to_expr(o)._zip(self, lambda a, b: a | b, self._name)
+
+    def __xor__(self, o):
+        return self._zip(o, lambda a, b: a.bitwiseXOR(b))
+
+    def __invert__(self):
+        return self._map(lambda c: ~c)
+
+    def not_(self):
+        return self.__invert__()
+
+    # -- null / nan -------------------------------------------------------
+    def is_null(self):
+        return self._map(lambda c: c.isNull())
+
+    def is_not_null(self):
+        return self._map(lambda c: c.isNotNull())
+
+    def is_nan(self):
+        return self._map(F.isnan)
+
+    def is_not_nan(self):
+        return self._map(lambda c: ~F.isnan(c))
+
+    def is_finite(self):
+        return self._map(lambda c: ~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+
+    def is_infinite(self):
+        return self._map(lambda c: F.abs(c) == F.lit(float("inf")))
+
+    def fill_null(self, value=None, strategy: str | None = None, limit=None):
+        if strategy is None:
+            v = _to_expr(value)
+            return self._zip(v, lambda a, b: F.coalesce(a, b))
+        if strategy in ("forward", "backward"):
+            def fn(ctx: ExprContext) -> Column:
+                w = ctx.order_window()
+                if strategy == "forward":
+                    w2 = w.rowsBetween(Window.unboundedPreceding, 0)
+                    return F.last(self._resolve(ctx), ignorenulls=True).over(w2)
+                w2 = w.rowsBetween(0, Window.unboundedFollowing)
+                return F.first(self._resolve(ctx), ignorenulls=True).over(w2)
+
+            return Expr(fn, self._name)
+        if strategy in ("min", "max", "mean"):
+            agg = {"min": F.min, "max": F.max, "mean": F.mean}[strategy]
+            return self._map(lambda c: F.coalesce(c, agg(c).over(Window.partitionBy())))
+        if strategy == "zero":
+            return self._map(lambda c: F.coalesce(c, F.lit(0)))
+        if strategy == "one":
+            return self._map(lambda c: F.coalesce(c, F.lit(1)))
+        raise ValueError(f"unknown fill_null strategy {strategy!r}")
+
+    def forward_fill(self, limit=None):
+        return self.fill_null(strategy="forward")
+
+    def backward_fill(self, limit=None):
+        return self.fill_null(strategy="backward")
+
+    def fill_nan(self, value):
+        v = _to_expr(value)
+        return self._zip(v, lambda a, b: F.when(F.isnan(a), b).otherwise(a))
+
+    def drop_nulls(self):  # expression-level: handled at frame level mostly
+        return self
+
+    def null_count(self):
+        return self._map(lambda c: F.count(F.when(c.isNull(), 1)), is_agg=True)
+
+    # -- casts / conversions ----------------------------------------------
+    def cast(self, dtype, strict: bool = True):
+        # strict=True matches polars strict casts when ANSI mode is on;
+        # strict=False -> try_cast (null on failure), polars' non-strict cast.
+        spark_type = _dtype_to_spark(dtype)
+        if strict:
+            return self._map(lambda c: c.cast(spark_type))
+        return self._map(lambda c: c.try_cast(spark_type))
+
+    # -- math ----------------------------------------------------------------
+    def abs(self):
+        return self._map(F.abs)
+
+    def round(self, decimals: int = 0):
+        return self._map(lambda c: F.round(c, decimals))
+
+    def floor(self):
+        return self._map(F.floor)
+
+    def ceil(self):
+        return self._map(F.ceil)
+
+    def sqrt(self):
+        return self._map(F.sqrt)
+
+    def cbrt(self):
+        return self._map(F.cbrt)
+
+    def exp(self):
+        return self._map(F.exp)
+
+    def log(self, base: float | None = None):
+        if base is None:
+            return self._map(F.log)
+        return self._map(lambda c: F.log(float(base), c))
+
+    def log1p(self):
+        return self._map(F.log1p)
+
+    def log10(self):
+        return self._map(F.log10)
+
+    def pow(self, o):
+        return self.__pow__(o)
+
+    def sin(self):
+        return self._map(F.sin)
+
+    def cos(self):
+        return self._map(F.cos)
+
+    def tan(self):
+        return self._map(F.tan)
+
+    def arcsin(self):
+        return self._map(F.asin)
+
+    def arccos(self):
+        return self._map(F.acos)
+
+    def arctan(self):
+        return self._map(F.atan)
+
+    def sinh(self):
+        return self._map(F.sinh)
+
+    def cosh(self):
+        return self._map(F.cosh)
+
+    def tanh(self):
+        return self._map(F.tanh)
+
+    def degrees(self):
+        return self._map(F.degrees)
+
+    def radians(self):
+        return self._map(F.radians)
+
+    def sign(self):
+        return self._map(F.signum)
+
+    def clip(self, lower=None, upper=None):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if lower is not None:
+                c = F.greatest(c, _col_of(lower, ctx))
+            if upper is not None:
+                c = F.least(c, _col_of(upper, ctx))
+            return c
+
+        return Expr(fn, self._name, self._is_agg)
+
+    def hash(self, seed: int = 0):
+        return self._map(lambda c: F.xxhash64(c, F.lit(seed)))
+
+    # -- membership ---------------------------------------------------------
+    def is_in(self, values):
+        if isinstance(values, Expr):
+            return self._zip(values, lambda a, arr: F.array_contains(arr, a))
+        vals = list(values)
+        return self._map(lambda c: c.isin(vals))
+
+    def is_between(self, lower, upper, closed: str = "both"):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            lo, hi = _col_of(lower, ctx), _col_of(upper, ctx)
+            left = c >= lo if closed in ("both", "left") else c > lo
+            right = c <= hi if closed in ("both", "right") else c < hi
+            return left & right
+
+        return Expr(fn, self._name)
+
+    def is_duplicated(self):
+        return self._map(lambda c: F.count("*").over(Window.partitionBy(c)) > 1)
+
+    def is_unique(self):
+        return self._map(lambda c: F.count("*").over(Window.partitionBy(c)) == 1)
+
+    def is_first_distinct(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = Window.partitionBy(c).orderBy(*[F.col(o) for o in ctx.order_cols])
+            return F.row_number().over(w) == 1
+
+        return Expr(fn, self._name)
+
+    def is_last_distinct(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = Window.partitionBy(c).orderBy(*[F.col(o).desc() for o in ctx.order_cols])
+            return F.row_number().over(w) == 1
+
+        return Expr(fn, self._name)
+
+    # -- aggregations ---------------------------------------------------------
+    def _agg(self, f: Callable[[Column], Column]) -> "Expr":
+        return self._map(f, is_agg=True)
+
+    def sum(self):
+        return self._agg(F.sum)
+
+    def mean(self):
+        return self._agg(F.mean)
+
+    def min(self):
+        return self._agg(F.min)
+
+    def max(self):
+        return self._agg(F.max)
+
+    def median(self):
+        return self._agg(F.median)
+
+    def count(self):
+        return self._agg(F.count)
+
+    def len(self):
+        return self._agg(lambda c: F.count(F.lit(1)))
+
+    def n_unique(self):
+        return self._agg(lambda c: F.countDistinct(c))
+
+    def approx_n_unique(self):
+        # polars HyperLogLog++ (polars-compute/src/hyperloglogplus.rs) ==
+        # Spark approx_count_distinct (also HLL++)
+        return self._agg(F.approx_count_distinct)
+
+    def first(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if ctx.order_cols:
+                return F.min_by(c, F.struct(*[F.col(o) for o in ctx.order_cols]))
+            return F.first(c)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def last(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if ctx.order_cols:
+                return F.max_by(c, F.struct(*[F.col(o) for o in ctx.order_cols]))
+            return F.last(c)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def std(self, ddof: int = 1):
+        if ddof == 1:
+            return self._agg(F.stddev_samp)
+        if ddof == 0:
+            return self._agg(F.stddev_pop)
+        return self._agg(
+            lambda c: F.sqrt(F.var_pop(c) * F.count(c) / (F.count(c) - F.lit(ddof)))
+        )
+
+    def var(self, ddof: int = 1):
+        if ddof == 1:
+            return self._agg(F.var_samp)
+        if ddof == 0:
+            return self._agg(F.var_pop)
+        return self._agg(lambda c: F.var_pop(c) * F.count(c) / (F.count(c) - F.lit(ddof)))
+
+    def quantile(self, q: float, interpolation: str = "nearest"):
+        # exact percentile; interpolation="linear" matches SQL percentile_cont
+        if interpolation == "linear":
+            return self._agg(lambda c: F.percentile(c, F.lit(q)))
+        # nearest/lower/higher/midpoint: implement via sorted-array indexing
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            arr = F.array_sort(F.collect_list(c))
+            n = F.size(arr)
+            pos = (n - 1) * F.lit(q)
+            lo = F.floor(pos).cast("int")
+            hi = F.ceil(pos).cast("int")
+            if interpolation == "lower":
+                return F.get(arr, lo)
+            if interpolation == "higher":
+                return F.get(arr, hi)
+            if interpolation == "midpoint":
+                return (F.get(arr, lo) + F.get(arr, hi)) / 2
+            # nearest (polars default)
+            idx = F.round(pos).cast("int")
+            return F.get(arr, idx)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def implode(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if ctx.order_cols:
+                pairs = F.collect_list(F.struct(*[F.col(o) for o in ctx.order_cols], c.alias("__v")))
+                return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))
+            return F.collect_list(c)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def mode(self):
+        return self._agg(F.mode)
+
+    def product(self):
+        # no F.product aggregate; exp(sum(log)) breaks on <=0 -> use sign tracking
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            zero = F.max(F.when(c == 0, F.lit(1)).otherwise(F.lit(0)))
+            neg = F.sum(F.when(c < 0, 1).otherwise(0))
+            mag = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))))
+            signed = F.when(neg % 2 == 1, -mag).otherwise(mag)
+            return F.when(zero == 1, F.lit(0.0)).otherwise(signed)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def any(self):
+        return self._agg(lambda c: F.max(F.coalesce(c, F.lit(False))))
+
+    def all(self):
+        return self._agg(lambda c: F.min(F.coalesce(c, F.lit(True))))
+
+    def skew(self, bias: bool = True):
+        # Spark skewness() is the biased (population) estimator == polars bias=True
+        if bias:
+            return self._agg(F.skewness)
+        return self._agg(
+            lambda c: F.skewness(c)
+            * F.sqrt(F.count(c) * (F.count(c) - 1))
+            / (F.count(c) - 2)
+        )
+
+    def kurtosis(self, fisher: bool = True, bias: bool = True):
+        # Spark kurtosis() is population excess kurtosis (Fisher, biased)
+        e = self._agg(F.kurtosis)
+        if fisher and bias:
+            return e
+        if not fisher and bias:
+            return e._map(lambda c: c + 3, is_agg=True)
+        raise NotImplementedError("unbiased kurtosis")
+
+    # -- order-sensitive ----------------------------------------------------
+    def shift(self, n: int = 1, fill_value=None):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window()
+            shifted = F.lag(c, n).over(w) if n >= 0 else F.lead(c, -n).over(w)
+            if fill_value is not None:
+                shifted = F.coalesce(shifted, _col_of(fill_value, ctx))
+            return shifted
+
+        return Expr(fn, self._name)
+
+    def diff(self, n: int = 1):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            return c - F.lag(c, n).over(ctx.order_window())
+
+        return Expr(fn, self._name)
+
+    def pct_change(self, n: int = 1):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            prev = F.lag(c, n).over(ctx.order_window())
+            return (c - prev) / prev
+
+        return Expr(fn, self._name)
+
+    def _cum(self, agg, reverse: bool = False):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window(reverse).rowsBetween(Window.unboundedPreceding, 0)
+            return agg(c).over(w)
+
+        return Expr(fn, self._name)
+
+    def cum_sum(self, reverse: bool = False):
+        return self._cum(F.sum, reverse)
+
+    def cum_min(self, reverse: bool = False):
+        return self._cum(F.min, reverse)
+
+    def cum_max(self, reverse: bool = False):
+        return self._cum(F.max, reverse)
+
+    def cum_count(self, reverse: bool = False):
+        return self._cum(F.count, reverse)
+
+    def cum_prod(self, reverse: bool = False):
+        def agg(c):
+            return F.exp(F.sum(F.log(c)))  # positive-domain fast path
+
+        return self._cum(agg, reverse)
+
+    def rank(self, method: str = "average", descending: bool = False):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = Window.orderBy(c.desc() if descending else c.asc())
+            if method == "ordinal":
+                w2 = w if not ctx.order_cols else Window.orderBy(
+                    *([c.desc() if descending else c.asc()] + [F.col(o) for o in ctx.order_cols])
+                )
+                return F.row_number().over(w2)
+            if method == "dense":
+                return F.dense_rank().over(w)
+            if method == "min":
+                return F.rank().over(w)
+            if method == "max":
+                return F.rank().over(w) + F.count("*").over(Window.partitionBy(c)) - 1
+            # average (polars default)
+            return (
+                F.rank().over(w).cast("double")
+                + (F.count("*").over(Window.partitionBy(c)) - 1) / 2.0
+            )
+
+        return Expr(fn, self._name)
+
+    def rolling_sum(self, window_size: int, min_samples: int | None = None):
+        return self._rolling(F.sum, window_size, min_samples)
+
+    def rolling_mean(self, window_size: int, min_samples: int | None = None):
+        return self._rolling(F.mean, window_size, min_samples)
+
+    def rolling_min(self, window_size: int, min_samples: int | None = None):
+        return self._rolling(F.min, window_size, min_samples)
+
+    def rolling_max(self, window_size: int, min_samples: int | None = None):
+        return self._rolling(F.max, window_size, min_samples)
+
+    def rolling_std(self, window_size: int, min_samples: int | None = None, ddof: int = 1):
+        f = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._rolling(f, window_size, min_samples)
+
+    def rolling_var(self, window_size: int, min_samples: int | None = None, ddof: int = 1):
+        f = F.var_samp if ddof == 1 else F.var_pop
+        return self._rolling(f, window_size, min_samples)
+
+    def _rolling(self, agg, window_size: int, min_samples: int | None):
+        if min_samples is None:
+            min_samples = window_size
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+            val = agg(c).over(w)
+            if min_samples > 1:
+                cnt = F.count(c).over(w)
+                val = F.when(cnt >= min_samples, val)
+            return val
+
+        return Expr(fn, self._name)
+
+    def over(self, *partition_by, order_by=None, descending: bool = False):
+        """polars ``Expr.over`` (dsl/expr/mod.rs:124, mapping=GroupsToRows)."""
+        parts = _flatten_exprs(partition_by)
+
+        def fn(ctx: ExprContext) -> Column:
+            pcols = [p._resolve(ctx) for p in parts]
+            w = Window.partitionBy(*pcols)
+            inner_order = ctx.order_cols
+            if order_by is not None:
+                obs = _flatten_exprs([order_by])
+                ocols = [o._resolve(ctx) for o in obs]
+                if descending:
+                    ocols = [c.desc() for c in ocols]
+                inner_order = None
+                w = w.orderBy(*ocols)
+                sub = ExprContext(ctx.df, ctx.order_cols, grouped=False)
+                # aggregates over an ordered window need full-frame bounds
+                w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            elif self._is_agg:
+                sub = ExprContext(ctx.df, ctx.order_cols)
+            else:
+                sub = ctx
+
+            if self._is_agg:
+                # Spark turns an aggregate Column into a window function via
+                # .over(w).  Requires the aggregation to be the outermost
+                # function in the expr (matches polars' common usage; for
+                # `agg + scalar` write `expr.agg().over(k) + scalar`).
+                return self._resolve(sub).over(w)
+            # non-agg exprs (shift/cum/rank/...) need the partition in their
+            # order window: give them a context whose order_window is
+            # partitioned.
+            part_ctx = _PartitionedContext(ctx, pcols, order_by=order_by, descending=descending)
+            return self._resolve(part_ctx)
+
+        return Expr(fn, self._name)
+
+    # -- misc ---------------------------------------------------------------
+    def unique(self, maintain_order: bool = False):
+        def fn(ctx: ExprContext) -> Column:
+            return F.array_distinct(F.collect_list(self._resolve(ctx)))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def unique_counts(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            return F.count("*").over(Window.partitionBy(c))
+
+        return Expr(fn, self._name)
+
+    def value_counts(self, sort: bool = False):
+        raise NotImplementedError("use LazyFrame.group_by(...).len() for value_counts")
+
+    def replace(self, mapping: dict, default=None):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            out = None
+            for k, v in mapping.items():
+                cond = c.isNull() if k is None else (c == F.lit(k))
+                out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+            if default is None:
+                return out.otherwise(c)
+            return out.otherwise(_col_of(default, ctx))
+
+        return Expr(fn, self._name)
+
+    replace_strict = replace
+
+    def repeat_by(self, n):
+        return self._zip(n, lambda c, k: F.array_repeat(c, k.cast("int")))
+
+    def gather_every(self, n: int, offset: int = 0):
+        raise NotImplementedError("frame-level: LazyFrame.gather_every")
+
+
+    def entropy(self, base: float = 2.718281828459045, normalize: bool = True):
+        # -Σ p·ln p with p = x/S  ==  ln S − Σ x·ln x / S  (single agg pass)
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            s = F.sum(c)
+            ent = F.log(s) - F.sum(c * F.log(c)) / s
+            if not normalize:
+                ent = -F.sum(F.log(c) * c)  # non-normalized: -Σ x·ln x
+            return ent / F.log(F.lit(base))
+
+        return Expr(fn, self._name, is_agg=True)
+
+
+class _PartitionedContext(ExprContext):
+    """ExprContext whose order_window() is partitioned (for Expr.over)."""
+
+    def __init__(self, base: ExprContext, pcols, order_by=None, descending=False):
+        super().__init__(base.df, base.order_cols, base.grouped)
+        self._pcols = pcols
+        self._order_by = order_by
+        self._desc = descending
+        self._base = base
+
+    def order_window(self, reverse: bool = False) -> Window:
+        if self._order_by is not None:
+            obs = _flatten_exprs([self._order_by])
+            ocols = [o._resolve(self._base) for o in obs]
+            if self._desc != reverse:
+                ocols = [c.desc() for c in ocols]
+            return Window.partitionBy(*self._pcols).orderBy(*ocols)
+        if not self.order_cols:
+            raise ValueError("over(...) on order-sensitive expr needs row order or order_by=")
+        cols = [F.col(c).desc() if reverse else F.col(c).asc() for c in self.order_cols]
+        return Window.partitionBy(*self._pcols).orderBy(*cols)
+
+
+def _flatten_exprs(items) -> list[Expr]:
+    out: list[Expr] = []
+    for it in items:
+        if isinstance(it, (list, tuple)):
+            out.extend(_flatten_exprs(it))
+        elif isinstance(it, Expr):
+            out.append(it)
+        elif isinstance(it, str):
+            out.append(col(it))
+        else:
+            out.append(lit(it))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# constructors
+
+
+def col(*names: str) -> Expr:
+    if len(names) == 1 and isinstance(names[0], str):
+        name = names[0]
+        if name == "*":
+            return all_()
+        return Expr(lambda ctx: F.col(name), name)
+    # multi-column: expanded at frame level
+    cols = []
+    for n in names:
+        if isinstance(n, (list, tuple)):
+            cols.extend(n)
+        else:
+            cols.append(n)
+    e = Expr(lambda ctx: F.col(cols[0]), cols[0])
+    e._multi = list(cols)  # type: ignore[attr-defined]
+    return e
+
+
+def all_() -> Expr:
+    e = Expr(lambda ctx: F.col("*"), "*")
+    e._wildcard = True  # type: ignore[attr-defined]
+    return e
+
+
+def nth(i: int) -> Expr:
+    def fn(ctx: ExprContext) -> Column:
+        return F.col(ctx.df.columns[i])
+
+    return Expr(fn, f"nth_{i}")
+
+
+def _py_to_lit(v) -> Column:
+    return F.lit(v)
+
+
+def lit(v, dtype=None) -> Expr:
+    def fn(ctx: ExprContext) -> Column:
+        c = F.lit(v)
+        if dtype is not None:
+            c = c.cast(_dtype_to_spark(dtype))
+        return c
+
+    return Expr(fn, "literal")
+
+
+class _WhenThen:
+    def __init__(self, branches: list[tuple[Expr, Expr]]):
+        self._branches = branches
+
+    def when(self, condition) -> "_When":
+        return _When(self._branches, _to_expr(condition))
+
+    def otherwise(self, value) -> Expr:
+        v = _to_expr(value)
+
+        def fn(ctx: ExprContext) -> Column:
+            out = None
+            for cond, val in self._branches:
+                c, x = cond._resolve(ctx), val._resolve(ctx)
+                out = F.when(c, x) if out is None else out.when(c, x)
+            return out.otherwise(v._resolve(ctx))
+
+        return Expr(fn, self._branches[0][1]._name if self._branches else "literal")
+
+    def _as_expr(self) -> Expr:
+        def fn(ctx: ExprContext) -> Column:
+            out = None
+            for cond, val in self._branches:
+                c, x = cond._resolve(ctx), val._resolve(ctx)
+                out = F.when(c, x) if out is None else out.when(c, x)
+            return out
+
+        return Expr(fn, self._branches[0][1]._name if self._branches else "literal")
+
+    # allow using a when/then chain directly as an expression (polars allows it)
+    def alias(self, name: str) -> Expr:
+        return self._as_expr().alias(name)
+
+    def _resolve(self, ctx: ExprContext) -> Column:
+        return self._as_expr()._resolve(ctx)
+
+    @property
+    def _name(self):
+        return self._as_expr()._name
+
+    @property
+    def _is_agg(self):
+        return False
+
+
+class _When:
+    def __init__(self, prior: list[tuple[Expr, Expr]], condition: Expr):
+        self._prior = prior
+        self._condition = condition
+
+    def then(self, value) -> _WhenThen:
+        return _WhenThen(self._prior + [(self._condition, _to_expr(value))])
+
+
+def when(condition) -> _When:
+    return _When([], _to_expr(condition))
+
+
+# ---------------------------------------------------------------------------
+# dtype mapping (SURVEY.md §1.2)
+
+_DTYPE_MAP = {
+    "Int8": "tinyint",
+    "Int16": "smallint",
+    "Int32": "int",
+    "Int64": "bigint",
+    "Int128": "decimal(38,0)",
+    "UInt8": "smallint",
+    "UInt16": "int",
+    "UInt32": "bigint",
+    "UInt64": "decimal(20,0)",
+    "Float32": "float",
+    "Float64": "double",
+    "Boolean": "boolean",
+    "String": "string",
+    "Utf8": "string",
+    "Binary": "binary",
+    "Date": "date",
+    "Datetime": "timestamp",
+    "Time": "bigint",
+    "Duration": "interval day to second",
+    "Categorical": "string",
+    "Enum": "string",
+    "Null": "void",
+}
+
+
+def _dtype_to_spark(dtype) -> str:
+    if dtype is None:
+        raise ValueError("dtype required")
+    if isinstance(dtype, str):
+        key = dtype
+    elif hasattr(dtype, "__name__"):
+        key = dtype.__name__
+    else:
+        key = str(dtype)
+    if key in _DTYPE_MAP:
+        return _DTYPE_MAP[key]
+    if key in ("int", "float", "str", "bool"):
+        return {"int": "bigint", "float": "double", "str": "string", "bool": "boolean"}[key]
+    return key  # assume already a Spark SQL type string
