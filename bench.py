@@ -4,11 +4,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count() over the result, which
-forces full evaluation but keeps driver-side transfer out of the
-measurement).  A warmup pass on the smallest SF primes the JVM/codegen
-so we measure steady-state query time, like the reference's repeated
-pytest-benchmark runs.
+Each query is forced with a noop-format write: unlike ``count()``,
+this materializes every output column and keeps the final ORDER BY in
+the physical plan (Catalyst's column pruning + EliminateSorts would
+otherwise drop work under a bare count).  A warmup pass on the smallest
+SF primes the JVM/codegen so we measure steady-state query time, like
+the reference's repeated pytest-benchmark runs.
 """
 
 from __future__ import annotations
@@ -38,20 +39,23 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     names = [n for n in HEADLINE if n in QUERIES]
     # warmup: smallest SF, primes codegen + parquet footer caches
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for n in names:
             try:
-                QUERIES[n](spark, warm_dir).count()
+                force(QUERIES[n](spark, warm_dir))
             except Exception:
                 pass
 
     timings: dict[str, float] = {}
     for n in names:
         t0 = time.perf_counter()
-        QUERIES[n](spark, sf_dir).count()
+        force(QUERIES[n](spark, sf_dir))
         timings[n] = round(time.perf_counter() - t0, 4)
 
     print(

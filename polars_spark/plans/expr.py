@@ -34,14 +34,17 @@ class ExprContext:
         self.order_cols = order_cols or []
         self.grouped = grouped
 
-    def order_window(self, reverse: bool = False) -> Window:
+    def order_by_cols(self, reverse: bool = False) -> list[Column]:
+        """Resolved ordering columns; raises if the frame has no row order."""
         if not self.order_cols:
             raise ValueError(
                 "order-sensitive expression used on a frame with no defined row order; "
-                "scan with row order enabled or sort() first"
+                "scan with row order enabled, with_row_index(), or sort() first"
             )
-        cols = [F.col(c).desc() if reverse else F.col(c).asc() for c in self.order_cols]
-        return Window.orderBy(*cols)
+        return [F.col(c).desc() if reverse else F.col(c).asc() for c in self.order_cols]
+
+    def order_window(self, reverse: bool = False) -> Window:
+        return Window.orderBy(*self.order_by_cols(reverse))
 
 
 def _to_expr(v: Any) -> "Expr":
@@ -182,6 +185,10 @@ class Expr:
 
     def __ne__(self, o):  # type: ignore[override]
         return self._zip(o, lambda a, b: a != b)
+
+    # __eq__ returning an Expr would otherwise set __hash__ to None, making
+    # Expr unusable as a dict key / set member (same trap polars handles).
+    __hash__ = object.__hash__
 
     def __lt__(self, o):
         return self._zip(o, lambda a, b: a < b)
@@ -403,7 +410,7 @@ class Expr:
     def is_first_distinct(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            w = Window.partitionBy(c).orderBy(*[F.col(o) for o in ctx.order_cols])
+            w = Window.partitionBy(c).orderBy(*ctx.order_by_cols())
             return F.row_number().over(w) == 1
 
         return Expr(fn, self._name)
@@ -411,7 +418,7 @@ class Expr:
     def is_last_distinct(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            w = Window.partitionBy(c).orderBy(*[F.col(o).desc() for o in ctx.order_cols])
+            w = Window.partitionBy(c).orderBy(*ctx.order_by_cols(reverse=True))
             return F.row_number().over(w) == 1
 
         return Expr(fn, self._name)
@@ -605,8 +612,15 @@ class Expr:
         return self._cum(F.count, reverse)
 
     def cum_prod(self, reverse: bool = False):
+        # Same sign/zero tracking as product(): exp(sum(log|x|)) for the
+        # magnitude, cumulative negative-count for the sign, cumulative
+        # zero-seen flag to pin the result at 0 after any zero.
         def agg(c):
-            return F.exp(F.sum(F.log(c)))  # positive-domain fast path
+            zero_seen = F.max(F.when(c == 0, F.lit(1)).otherwise(F.lit(0)))
+            neg = F.sum(F.when(c < 0, 1).otherwise(0))
+            mag = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))))
+            signed = F.when(neg % 2 == 1, -mag).otherwise(mag)
+            return F.when(zero_seen == 1, F.lit(0.0)).otherwise(signed)
 
         return self._cum(agg, reverse)
 
@@ -615,8 +629,9 @@ class Expr:
             c = self._resolve(ctx)
             w = Window.orderBy(c.desc() if descending else c.asc())
             if method == "ordinal":
-                w2 = w if not ctx.order_cols else Window.orderBy(
-                    *([c.desc() if descending else c.asc()] + [F.col(o) for o in ctx.order_cols])
+                # polars rank('ordinal') breaks ties by row order -> require it
+                w2 = Window.orderBy(
+                    *([c.desc() if descending else c.asc()] + ctx.order_by_cols())
                 )
                 return F.row_number().over(w2)
             if method == "dense":

@@ -73,10 +73,12 @@ def q3_shipping_priority(spark, sf_dir):
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    # customer is the small side at every SF -> broadcast; lineitem never moves twice.
+    # customer grows linearly with SF (sf100 -> 15M rows): no broadcast hint.
+    # AQE converts the join to broadcast at runtime when the filtered side is
+    # actually small, and falls back to shuffled hash at scale.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -111,15 +113,18 @@ def q5_local_supplier_volume(spark, sf_dir):
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # dim chain nation⨝region broadcast onto supplier, then the fact joins.
+    # Only the truly fixed-size dims carry a broadcast hint (nation: 25 rows,
+    # region: 5 rows).  supplier/customer grow with SF, so their joins are left
+    # to AQE: broadcast when small at runtime, shuffled hash (with skew
+    # splitting) at scale.
     dims = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(dims),
+            dims,
             (F.col("l_suppkey") == dims.s_suppkey) & (F.col("c_nationkey") == dims.s_nationkey),
         )
         .groupBy("n_name")
@@ -180,7 +185,7 @@ def q10_returned_items(spark, sf_dir):
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
