@@ -25,14 +25,23 @@ __all__ = ["Expr", "ExprContext", "col", "lit", "when", "all_", "nth"]
 
 
 class ExprContext:
-    """What an expression needs to resolve: the frame's schema + order."""
+    """What an expression needs to resolve: the frame's schema + order.
 
-    __slots__ = ("df", "order_cols", "grouped")
+    ``order_cols`` entries are either plain names or ``(name, descending)``
+    pairs.  ``_window`` (set by rolling/over contexts) turns aggregate
+    expressions into window aggregates.
+    """
 
-    def __init__(self, df, order_cols: list[str] | None = None, grouped: bool = False):
+    __slots__ = ("df", "order_cols", "grouped", "_window")
+
+    def __init__(self, df, order_cols: list | None = None, grouped: bool = False):
         self.df = df
         self.order_cols = order_cols or []
         self.grouped = grouped
+        self._window = None
+
+    def order_specs(self) -> list[tuple[str, bool]]:
+        return [(o, False) if isinstance(o, str) else (o[0], bool(o[1])) for o in self.order_cols]
 
     def order_by_cols(self, reverse: bool = False) -> list[Column]:
         """Resolved ordering columns; raises if the frame has no row order."""
@@ -41,7 +50,13 @@ class ExprContext:
                 "order-sensitive expression used on a frame with no defined row order; "
                 "scan with row order enabled, with_row_index(), or sort() first"
             )
-        return [F.col(c).desc() if reverse else F.col(c).asc() for c in self.order_cols]
+        return [
+            F.col(n).desc() if (d != reverse) else F.col(n).asc()
+            for n, d in self.order_specs()
+        ]
+
+    def order_plain_cols(self) -> list[Column]:
+        return [F.col(n) for n, _ in self.order_specs()]
 
     def order_window(self, reverse: bool = False) -> Window:
         return Window.orderBy(*self.order_by_cols(reverse))
@@ -239,10 +254,11 @@ class Expr:
         return self._map(lambda c: c.isNotNull())
 
     def is_nan(self):
-        return self._map(F.isnan)
+        # polars: null in -> null out (Spark isnan(null) is false)
+        return self._map(lambda c: F.when(c.isNotNull(), F.isnan(c)))
 
     def is_not_nan(self):
-        return self._map(lambda c: ~F.isnan(c))
+        return self._map(lambda c: F.when(c.isNotNull(), ~F.isnan(c)))
 
     def is_finite(self):
         return self._map(lambda c: ~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
@@ -425,7 +441,13 @@ class Expr:
 
     # -- aggregations ---------------------------------------------------------
     def _agg(self, f: Callable[[Column], Column]) -> "Expr":
-        return self._map(f, is_agg=True)
+        def fn(ctx: ExprContext) -> Column:
+            c = f(self._resolve(ctx))
+            # under a rolling/over context, aggregates become window aggs
+            w = getattr(ctx, "_window", None)
+            return c.over(w) if w is not None else c
+
+        return Expr(fn, self._name, is_agg=True)
 
     def sum(self):
         return self._agg(F.sum)
@@ -460,7 +482,9 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             if ctx.order_cols:
-                return F.min_by(c, F.struct(*[F.col(o) for o in ctx.order_cols]))
+                # frame order defined: first by row order (asc keys assumed,
+                # the common case — order comes from a row index)
+                return F.min_by(c, F.struct(*ctx.order_plain_cols()))
             return F.first(c)
 
         return Expr(fn, self._name, is_agg=True)
@@ -469,7 +493,7 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             if ctx.order_cols:
-                return F.max_by(c, F.struct(*[F.col(o) for o in ctx.order_cols]))
+                return F.max_by(c, F.struct(*ctx.order_plain_cols()))
             return F.last(c)
 
         return Expr(fn, self._name, is_agg=True)
@@ -518,7 +542,7 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             if ctx.order_cols:
-                pairs = F.collect_list(F.struct(*[F.col(o) for o in ctx.order_cols], c.alias("__v")))
+                pairs = F.collect_list(F.struct(*ctx.order_plain_cols(), c.alias("__v")))
                 return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))
             return F.collect_list(c)
 
@@ -614,15 +638,19 @@ class Expr:
     def cum_prod(self, reverse: bool = False):
         # Same sign/zero tracking as product(): exp(sum(log|x|)) for the
         # magnitude, cumulative negative-count for the sign, cumulative
-        # zero-seen flag to pin the result at 0 after any zero.
-        def agg(c):
-            zero_seen = F.max(F.when(c == 0, F.lit(1)).otherwise(F.lit(0)))
-            neg = F.sum(F.when(c < 0, 1).otherwise(0))
-            mag = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))))
+        # zero-seen flag to pin the result at 0 after any zero.  Each
+        # aggregate gets its own .over() (a conditional of aggregates is not
+        # itself a window function).
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window(reverse).rowsBetween(Window.unboundedPreceding, 0)
+            zero_seen = F.max(F.when(c == 0, F.lit(1)).otherwise(F.lit(0))).over(w)
+            neg = F.sum(F.when(c < 0, 1).otherwise(0)).over(w)
+            mag = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))).over(w))
             signed = F.when(neg % 2 == 1, -mag).otherwise(mag)
             return F.when(zero_seen == 1, F.lit(0.0)).otherwise(signed)
 
-        return self._cum(agg, reverse)
+        return Expr(fn, self._name)
 
     def rank(self, method: str = "average", descending: bool = False):
         def fn(ctx: ExprContext) -> Column:
@@ -791,8 +819,7 @@ class _PartitionedContext(ExprContext):
             return Window.partitionBy(*self._pcols).orderBy(*ocols)
         if not self.order_cols:
             raise ValueError("over(...) on order-sensitive expr needs row order or order_by=")
-        cols = [F.col(c).desc() if reverse else F.col(c).asc() for c in self.order_cols]
-        return Window.partitionBy(*self._pcols).orderBy(*cols)
+        return Window.partitionBy(*self._pcols).orderBy(*self.order_by_cols(reverse))
 
 
 def _flatten_exprs(items) -> list[Expr]:

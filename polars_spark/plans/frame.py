@@ -1,0 +1,1045 @@
+"""Frame layer: polars-style ``LazyFrame`` backed by a PySpark DataFrame.
+
+Mirrors the polars ``DslPlan`` surface (reference:
+polars-plan/src/dsl/plan.rs:30 — Scan/Filter/Select/HStack/GroupBy/Join/
+Distinct/Sort/Slice/Union/HConcat/MapFunction/Pivot) and the python API
+(py-polars/src/polars/lazyframe/frame.py).  Every method is a thin,
+declarative mapping onto DataFrame transformations so Catalyst keeps
+predicate pushdown / column pruning / join planning.
+
+Order contract (SURVEY.md §1.1 "row order" gap): a LazyFrame carries
+``_order`` — a list of ``(column_name, descending)`` pairs that define the
+current row order, populated by ``sort()`` / ``with_row_index()`` /
+``scan_parquet(row_index_name=...)``.  Order-sensitive expressions
+(shift/cum_*/rank/rolling) read it through ``ExprContext``.  Frames with no
+order raise a descriptive error from those expressions instead of silently
+returning nondeterministic results.
+
+Scale notes (100 TB design point):
+- ``with_row_index`` never does a global sort or single-partition window:
+  it numbers rows per input partition (partition-local window) and adds
+  per-partition offsets computed from a tiny count aggregate (one row per
+  partition) joined back by broadcast.  Two narrow passes, no full shuffle.
+- joins never carry a forced broadcast of a scale-growing side; AQE picks
+  broadcast vs shuffled-hash at runtime.
+- as-of join is a union + single window shuffle partitioned by the ``by``
+  keys (polars-ops/src/frame/join/asof/ semantics), not a range cross-join.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterable, Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame as SparkDF, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_spark.plans.expr import (
+    Expr,
+    ExprContext,
+    _dtype_to_spark,
+    _to_expr,
+    col as _col,
+)
+
+__all__ = ["LazyFrame", "LazyGroupBy", "wrap", "concat"]
+
+ROW_IDX = "__row_idx__"
+
+
+def wrap(df: SparkDF, order: list[tuple[str, bool]] | None = None) -> "LazyFrame":
+    return LazyFrame(df, order)
+
+
+def _ospec(o) -> tuple[str, bool, bool]:
+    """Normalize an order entry to (name, descending, nulls_last)."""
+    if isinstance(o, str):
+        return (o, False, False)
+    if len(o) == 2:
+        return (o[0], bool(o[1]), False)
+    return (o[0], bool(o[1]), bool(o[2]))
+
+
+def _order_cols(order: list, reverse: bool = False) -> list[Column]:
+    out = []
+    for n, d, nl in map(_ospec, order):
+        if reverse:
+            d, nl = not d, not nl
+        c = F.col(n)
+        if d:
+            out.append(c.desc_nulls_last() if nl else c.desc_nulls_first())
+        else:
+            out.append(c.asc_nulls_last() if nl else c.asc_nulls_first())
+    return out
+
+
+class LazyFrame:
+    """Lazy, Spark-backed polars frame.  All methods return new frames."""
+
+    def __init__(self, df: SparkDF, order: list | None = None):
+        self._df = df
+        self._order: list[tuple[str, bool, bool]] = [_ospec(o) for o in (order or [])]
+
+    # -- introspection ------------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if c != ROW_IDX]
+
+    @property
+    def dtypes(self) -> list[str]:
+        return [t for c, t in self._df.dtypes if c != ROW_IDX]
+
+    @property
+    def schema(self) -> dict[str, str]:
+        return {c: t for c, t in self._df.dtypes if c != ROW_IDX}
+
+    @property
+    def width(self) -> int:
+        return len(self.columns)
+
+    def __repr__(self) -> str:
+        return f"<LazyFrame {self.columns} order={self._order}>"
+
+    def _ctx(self) -> ExprContext:
+        return ExprContext(self._df, list(self._order))
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    # -- materialization ----------------------------------------------------
+    def to_spark(self) -> SparkDF:
+        """The underlying Spark DataFrame, hidden columns dropped."""
+        if ROW_IDX in self._df.columns:
+            return self._df.drop(ROW_IDX)
+        return self._df
+
+    def collect(self):
+        """Materialize (in frame order when one is defined) -> pandas."""
+        df = self._df
+        if self._order:
+            df = df.orderBy(*_order_cols(self._order))
+        if ROW_IDX in df.columns:
+            df = df.drop(ROW_IDX)
+        return df.toPandas()
+
+    def lazy(self) -> "LazyFrame":
+        return self
+
+    def cache(self) -> "LazyFrame":
+        return LazyFrame(self._df.cache(), self._order)
+
+    # -- expression resolution ----------------------------------------------
+    def _resolve_exprs(self, exprs, named: Mapping[str, Any] | None = None) -> list[Column]:
+        ctx = self._ctx()
+        out: list[Column] = []
+        for e in _flatten(exprs):
+            if isinstance(e, str):
+                if e == "*":
+                    out.extend(F.col(c) for c in self.columns)
+                else:
+                    out.append(F.col(e))
+            elif isinstance(e, Expr) and getattr(e, "_wildcard", False):
+                out.extend(F.col(c) for c in self.columns)
+            elif isinstance(e, Expr) and getattr(e, "_multi", None):
+                out.extend(F.col(c).alias(c) for c in e._multi)
+            elif isinstance(e, Expr) or hasattr(e, "_resolve"):
+                out.append(e._resolve(ctx).alias(e._name))
+            elif isinstance(e, Column):
+                out.append(e)
+            else:
+                out.append(F.lit(e))
+        for name, e in (named or {}).items():
+            out.append(_to_expr(e)._resolve(ctx).alias(name))
+        return out
+
+    # -- projection / mutation ----------------------------------------------
+    def select(self, *exprs, **named) -> "LazyFrame":
+        cols = self._resolve_exprs(exprs, named)
+        # keep the hidden order column alive if an order is defined
+        keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
+        df = self._df.select(*cols, *keep)
+        # order survives only through columns that are still present
+        order = [o for o in self._order if o[0] in set(df.columns)]
+        return LazyFrame(df, order)
+
+    def with_columns(self, *exprs, **named) -> "LazyFrame":
+        ctx = self._ctx()
+        mapping: dict[str, Column] = {}
+        for e in _flatten(exprs):
+            if isinstance(e, str):
+                mapping[e] = F.col(e)
+            else:
+                ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+                mapping[ee._name] = ee._resolve(ctx)
+        for name, e in named.items():
+            mapping[name] = _to_expr(e)._resolve(ctx)
+        return LazyFrame(self._df.withColumns(mapping), self._order)
+
+    def with_columns_seq(self, *exprs, **named) -> "LazyFrame":
+        return self.with_columns(*exprs, **named)
+
+    def drop(self, *columns, strict: bool = True) -> "LazyFrame":
+        names = list(_flatten(columns))
+        return LazyFrame(self._df.drop(*names), [o for o in self._order if o[0] not in names])
+
+    def rename(self, mapping: Mapping[str, str] | None = None, **kw) -> "LazyFrame":
+        m = dict(mapping or {}, **kw)
+        df = self._df.withColumnsRenamed(m)
+        order = [(m.get(n, n), d, nl) for n, d, nl in self._order]
+        return LazyFrame(df, order)
+
+    def cast(self, dtypes: Mapping[str, Any], strict: bool = True) -> "LazyFrame":
+        mapping = {
+            c: (F.col(c).cast(_dtype_to_spark(t)) if strict else F.col(c).try_cast(_dtype_to_spark(t)))
+            for c, t in dtypes.items()
+        }
+        return LazyFrame(self._df.withColumns(mapping), self._order)
+
+    def fill_null(self, value=None, strategy: str | None = None) -> "LazyFrame":
+        exprs = [_col(c).fill_null(value, strategy).alias(c) for c in self.columns]
+        return self.with_columns(*exprs)
+
+    def fill_nan(self, value) -> "LazyFrame":
+        exprs = [
+            _col(c).fill_nan(value).alias(c)
+            for c, t in self.schema.items()
+            if t in ("float", "double")
+        ]
+        return self.with_columns(*exprs) if exprs else self
+
+    def drop_nulls(self, subset: Sequence[str] | str | None = None) -> "LazyFrame":
+        subset = [subset] if isinstance(subset, str) else (list(subset) if subset else None)
+        return LazyFrame(self._df.dropna(subset=subset), self._order)
+
+    def drop_nans(self, subset: Sequence[str] | str | None = None) -> "LazyFrame":
+        cols = [subset] if isinstance(subset, str) else (
+            list(subset) if subset else [c for c, t in self.schema.items() if t in ("float", "double")]
+        )
+        cond = None
+        for c in cols:
+            p = ~F.isnan(F.col(c)) | F.col(c).isNull()
+            cond = p if cond is None else (cond & p)
+        return LazyFrame(self._df.filter(cond), self._order) if cond is not None else self
+
+    # -- filter --------------------------------------------------------------
+    def filter(self, *predicates, **constraints) -> "LazyFrame":
+        ctx = self._ctx()
+        cond: Column | None = None
+        for p in _flatten(predicates):
+            c = p._resolve(ctx) if hasattr(p, "_resolve") else (p if isinstance(p, Column) else F.lit(p))
+            cond = c if cond is None else (cond & c)
+        for name, v in constraints.items():
+            c = F.col(name) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        return LazyFrame(self._df.filter(cond), self._order)
+
+    def remove(self, *predicates, **constraints) -> "LazyFrame":
+        ctx = self._ctx()
+        cond: Column | None = None
+        for p in _flatten(predicates):
+            c = p._resolve(ctx) if hasattr(p, "_resolve") else p
+            cond = c if cond is None else (cond & c)
+        for name, v in constraints.items():
+            c = F.col(name) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        return LazyFrame(self._df.filter(~F.coalesce(cond, F.lit(False))), self._order)
+
+    # -- sort / slice ---------------------------------------------------------
+    def sort(
+        self,
+        by,
+        *more_by,
+        descending: bool | Sequence[bool] = False,
+        nulls_last: bool | Sequence[bool] = False,
+        maintain_order: bool = False,
+        multithreaded: bool = True,
+    ) -> "LazyFrame":
+        keys = list(_flatten([by, *more_by]))
+        n = len(keys)
+        desc = [descending] * n if isinstance(descending, bool) else list(descending)
+        nlast = [nulls_last] * n if isinstance(nulls_last, bool) else list(nulls_last)
+        ctx = self._ctx()
+        cols: list[Column] = []
+        order: list[tuple[str, bool, bool]] = []
+        for k, d, nl in zip(keys, desc, nlast):
+            c = F.col(k) if isinstance(k, str) else k._resolve(ctx)
+            # polars: null sorts as the SMALLEST value (first asc, last desc);
+            # nulls_last=True forces nulls to the end either way
+            last = nl or d
+            if d:
+                cols.append(c.desc_nulls_last() if last else c.desc_nulls_first())
+            else:
+                cols.append(c.asc_nulls_last() if last else c.asc_nulls_first())
+            if isinstance(k, str):
+                order.append((k, d, last))
+        if maintain_order and self._order:
+            # stable sort: prior row order breaks ties
+            cols.extend(_order_cols(self._order))
+            order.extend(self._order)
+        return LazyFrame(self._df.orderBy(*cols), order)
+
+    def limit(self, n: int = 5) -> "LazyFrame":
+        df = self._df
+        if self._order:
+            df = df.orderBy(*_order_cols(self._order))
+        return LazyFrame(df.limit(n), self._order)
+
+    head = limit
+
+    def tail(self, n: int = 5) -> "LazyFrame":
+        if not self._order:
+            raise ValueError("tail() needs a defined row order; sort() or with_row_index() first")
+        df = self._df.orderBy(*_order_cols(self._order, reverse=True)).limit(n)
+        return LazyFrame(df.orderBy(*_order_cols(self._order)), self._order)
+
+    def slice(self, offset: int, length: int | None = None) -> "LazyFrame":
+        if offset == 0 and length is not None:
+            return self.limit(length)
+        lf = self if self._order else self.with_row_index(ROW_IDX)
+        pos = F.row_number().over(Window.orderBy(*_order_cols(lf._order))) - 1
+        df = lf._df.withColumn("__pos__", pos)
+        if offset >= 0:
+            cond = F.col("__pos__") >= offset
+            if length is not None:
+                cond = cond & (F.col("__pos__") < offset + length)
+        else:
+            df = df.withColumn("__total__", F.count(F.lit(1)).over(Window.partitionBy()))
+            start = F.col("__total__") + offset
+            cond = F.col("__pos__") >= start
+            if length is not None:
+                cond = cond & (F.col("__pos__") < start + length)
+        return LazyFrame(df.filter(cond).drop("__pos__", "__total__"), lf._order)
+
+    def gather_every(self, n: int, offset: int = 0) -> "LazyFrame":
+        lf = self if self._order else self.with_row_index(ROW_IDX)
+        pos = F.row_number().over(Window.orderBy(*_order_cols(lf._order))) - 1
+        df = lf._df.withColumn("__pos__", pos).filter(
+            (F.col("__pos__") >= offset) & ((F.col("__pos__") - offset) % n == 0)
+        )
+        return LazyFrame(df.drop("__pos__"), lf._order)
+
+    def reverse(self) -> "LazyFrame":
+        if not self._order:
+            raise ValueError("reverse() needs a defined row order")
+        return LazyFrame(self._df, [(n, not d, not nl) for n, d, nl in self._order])
+
+    def first(self) -> "LazyFrame":
+        return self.limit(1)
+
+    def last(self) -> "LazyFrame":
+        return self.tail(1)
+
+    # -- row index -------------------------------------------------------------
+    def with_row_index(self, name: str = "index", offset: int = 0) -> "LazyFrame":
+        """Monotonic row index in current frame order — scale-safe.
+
+        When the frame already has an order, numbering is a window over that
+        order (single pass).  When it does not (scan order), rows are numbered
+        per input partition and shifted by per-partition offsets: the offsets
+        come from a count-per-partition aggregate (one row per partition,
+        broadcast back), so no global sort or single-partition window ever
+        happens — the pattern survives a 1000-executor scan.
+        """
+        if self._order:
+            # range-partition by the order keys so numbering stays per-partition
+            # (partition i holds a contiguous, ordered slice of the frame)
+            base = self._df.repartitionByRange(*_order_cols(self._order))
+            within = Window.partitionBy("__pid__").orderBy(*_order_cols(self._order))
+        else:
+            base = self._df
+            within = Window.partitionBy("__pid__").orderBy(F.monotonically_increasing_id())
+        df = base.withColumn("__pid__", F.spark_partition_id()).withColumn(
+            "__pos__", F.row_number().over(within)
+        )
+        counts = (
+            df.groupBy("__pid__")
+            .agg(F.count(F.lit(1)).alias("__cnt__"))
+            .withColumn(
+                "__off__",
+                F.coalesce(
+                    F.sum("__cnt__").over(
+                        Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("__cnt__")
+        )
+        out = (
+            df.join(F.broadcast(counts), "__pid__")
+            .withColumn(name, (F.col("__off__") + F.col("__pos__") - 1 + F.lit(offset)).cast("bigint"))
+            .drop("__pid__", "__pos__", "__off__")
+        )
+        return LazyFrame(out, [(name, False)])
+
+    # -- group by ---------------------------------------------------------------
+    def group_by(self, *keys, maintain_order: bool = False, **named_keys) -> "LazyGroupBy":
+        return LazyGroupBy(self, list(_flatten(keys)), dict(named_keys), maintain_order)
+
+    def group_by_dynamic(
+        self,
+        index_column: str,
+        *,
+        every: str,
+        period: str | None = None,
+        offset: str | None = None,
+        closed: str = "left",
+        label: str = "left",
+        group_by=None,
+        start_by: str = "window",
+    ) -> "DynamicGroupBy":
+        return DynamicGroupBy(self, index_column, every, period, offset, closed, label, group_by)
+
+    def rolling(self, index_column: str, *, period: str, group_by=None, closed: str = "right") -> "RollingGroupBy":
+        return RollingGroupBy(self, index_column, period, group_by, closed)
+
+    # -- joins ---------------------------------------------------------------
+    def join(
+        self,
+        other: "LazyFrame",
+        on=None,
+        how: str = "inner",
+        *,
+        left_on=None,
+        right_on=None,
+        suffix: str = "_right",
+        coalesce: bool | None = None,
+        nulls_equal: bool = False,
+        validate: str = "m:m",
+        maintain_order: str | None = None,
+    ) -> "LazyFrame":
+        """polars join semantics (polars-ops/src/frame/join/args.rs:62,90).
+
+        Key coalescing defaults: on for inner/left/right, off for full.
+        Colliding non-key right columns get ``suffix``.  No broadcast hint is
+        forced — Catalyst/AQE pick broadcast vs shuffled-hash at runtime.
+        """
+        how = {"outer": "full", "leftouter": "left"}.get(how, how)
+        if how == "cross":
+            r = _suffix_collisions(other.to_spark(), self.columns, suffix)
+            return LazyFrame(self.to_spark().crossJoin(r))
+        lon = [on] if isinstance(on, str) else list(on) if on is not None else None
+        if lon is not None:
+            ron = lon
+        else:
+            lon = [left_on] if isinstance(left_on, str) else list(left_on)
+            ron = [right_on] if isinstance(right_on, str) else list(right_on)
+        if coalesce is None:
+            coalesce = how != "full"
+
+        ldf = self.to_spark().alias("__l")
+        rdf = other.to_spark().alias("__r")
+        cond = None
+        for lk, rk in zip(lon, ron):
+            c = (
+                F.col(f"__l.{lk}").eqNullSafe(F.col(f"__r.{rk}"))
+                if nulls_equal
+                else F.col(f"__l.{lk}") == F.col(f"__r.{rk}")
+            )
+            cond = c if cond is None else (cond & c)
+
+        if how in ("semi", "anti"):
+            joined = ldf.join(rdf, cond, f"left_{how}")
+            return LazyFrame(joined.select(*[F.col(f"__l.{c}").alias(c) for c in self.columns]))
+
+        joined = ldf.join(rdf, cond, how)
+        lcols = self.columns
+        rcols = other.columns
+        out: list[Column] = []
+        if how == "right":
+            out.extend(F.col(f"__l.{c}").alias(c) for c in lcols if not (coalesce and c in lon))
+            taken = {c for c in lcols if not (coalesce and c in lon)}
+            for c in rcols:
+                name = c + suffix if c in taken else c
+                out.append(F.col(f"__r.{c}").alias(name))
+            return LazyFrame(joined.select(*out))
+        # inner / left / full
+        for c in lcols:
+            if how == "full" and coalesce and c in lon:
+                rk = ron[lon.index(c)]
+                out.append(F.coalesce(F.col(f"__l.{c}"), F.col(f"__r.{rk}")).alias(c))
+            else:
+                out.append(F.col(f"__l.{c}").alias(c))
+        dropped_r = set(ron) if coalesce else set()
+        for c in rcols:
+            if c in dropped_r:
+                continue
+            name = c + suffix if c in lcols else c
+            out.append(F.col(f"__r.{c}").alias(name))
+        return LazyFrame(joined.select(*out))
+
+    def join_where(self, other: "LazyFrame", *predicates, suffix: str = "_right") -> "LazyFrame":
+        """Theta join on arbitrary inequality predicates (polars join_where,
+        polars-ops/src/frame/join/iejoin/mod.rs:381).
+
+        Spark executes 1-2 inequality predicates as a broadcast-nested-loop
+        join; at 100 TB add an equi-bucket (e.g. coarse range bucket of one
+        predicate column) to the condition to turn it into a shuffled join.
+        """
+        r = _suffix_collisions(other.to_spark(), self.columns, suffix)
+        l = self.to_spark()
+        ctx = ExprContext(None, [])
+        cond = None
+        for p in predicates:
+            c = p._resolve(ctx)
+            cond = c if cond is None else (cond & c)
+        return LazyFrame(l.join(r, cond, "inner"))
+
+    def join_asof(
+        self,
+        other: "LazyFrame",
+        *,
+        on: str | None = None,
+        left_on: str | None = None,
+        right_on: str | None = None,
+        by=None,
+        by_left=None,
+        by_right=None,
+        strategy: str = "backward",
+        tolerance=None,
+        suffix: str = "_right",
+        coalesce: bool = True,
+    ) -> "LazyFrame":
+        """As-of join (polars-ops/src/frame/join/asof/, AsofStrategy mod.rs:262).
+
+        Plan: tag both sides, union them, and run ONE window pass partitioned
+        by the ``by`` keys ordered by the asof key — `last(value, ignorenulls)`
+        carries the most recent right-side values onto each left row
+        (backward; `first` over the following frame for forward; both for
+        nearest).  Cost = one shuffle on (by, on); never a range cross-join.
+        With no ``by`` key the window is global — acceptable only for small
+        frames; pass ``by`` at scale.
+        """
+        lon = on or left_on
+        ron = on or right_on
+        bl = [by] if isinstance(by, str) else list(by) if by else (
+            [by_left] if isinstance(by_left, str) else list(by_left) if by_left else []
+        )
+        br = [by] if isinstance(by, str) else list(by) if by else (
+            [by_right] if isinstance(by_right, str) else list(by_right) if by_right else []
+        )
+
+        ldf = self.to_spark()
+        rdf = other.to_spark()
+        # right columns that will land on the left rows
+        rval = [c for c in rdf.columns if c != ron and c not in br]
+        rmap = {c: (c + suffix if c in ldf.columns else c) for c in rval}
+
+        # the whole matched right row travels as ONE struct so that null
+        # fields inside a matched row are preserved (last(ignorenulls) on a
+        # per-column basis would skip to an older row for that column).
+        lt = ldf.withColumn("__side", F.lit(1))
+        rt = rdf.select(
+            *[F.col(b).alias(bl[i]) for i, b in enumerate(br)],
+            F.col(ron).alias(lon),
+            F.struct(
+                F.col(ron).alias("__on"),
+                *[F.col(c).alias(rmap[c]) for c in rval],
+            ).alias("__rs"),
+        ).withColumn("__side", F.lit(0))
+        allrows = lt.unionByName(rt, allowMissingColumns=True)
+
+        # backward: right row at the same key matches -> right (side 0) first
+        wb = Window.partitionBy(*bl).orderBy(F.col(lon).asc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        # forward: left row first at ties so an equal right key is still ahead
+        wf = Window.partitionBy(*bl).orderBy(F.col(lon).asc(), F.col("__side").desc()).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+
+        is_ts = dict(ldf.dtypes)[lon].startswith("timestamp")
+
+        def dist(a: Column, b: Column) -> Column:
+            return F.abs(a.cast("double") - b.cast("double")) if is_ts else F.abs(a - b)
+
+        if strategy == "backward":
+            m = F.last(F.col("__rs"), ignorenulls=True).over(wb)
+        elif strategy == "forward":
+            m = F.first(F.col("__rs"), ignorenulls=True).over(wf)
+        elif strategy == "nearest":
+            mb = F.last(F.col("__rs"), ignorenulls=True).over(wb)
+            mf = F.first(F.col("__rs"), ignorenulls=True).over(wf)
+            use_b = (
+                F.when(mf.isNull(), F.lit(True))
+                .when(mb.isNull(), F.lit(False))
+                .otherwise(dist(F.col(lon), mb["__on"]) <= dist(mf["__on"], F.col(lon)))
+            )
+            m = F.when(use_b, mb).otherwise(mf)
+        else:
+            raise ValueError(f"unknown asof strategy {strategy!r}")
+
+        out = allrows.withColumn("__m", m).filter(F.col("__side") == 1)
+        if tolerance is not None:
+            tol = _duration_to_value(tolerance, is_ts)
+            ok = dist(F.col(lon), F.col("__m")["__on"]) <= F.lit(tol)
+            out = out.withColumn("__m", F.when(ok, F.col("__m")))
+        out = out.select(
+            *[F.col(c) for c in ldf.columns],
+            *[F.col("__m")[rmap[c]].alias(rmap[c]) for c in rval],
+        )
+        return LazyFrame(out, self._order)
+
+    # -- distinct ---------------------------------------------------------------
+    def unique(
+        self,
+        subset: Sequence[str] | str | None = None,
+        *,
+        keep: str = "any",
+        maintain_order: bool = False,
+    ) -> "LazyFrame":
+        """polars Distinct with UniqueKeepStrategy (polars-core/src/frame/mod.rs:60)."""
+        cols = [subset] if isinstance(subset, str) else (list(subset) if subset else self.columns)
+        if keep == "any":
+            return LazyFrame(self._df.dropDuplicates(cols), self._order if maintain_order else [])
+        if keep in ("first", "last"):
+            w = Window.partitionBy(*cols).orderBy(
+                *_order_cols(self._order, reverse=(keep == "last"))
+            )  # raises inside Spark if no order cols -> guard:
+            if not self._order:
+                raise ValueError(f"unique(keep={keep!r}) needs a defined row order")
+            rn = F.row_number().over(w)
+            df = self._df.withColumn("__rn__", rn).filter(F.col("__rn__") == 1).drop("__rn__")
+            return LazyFrame(df, self._order)
+        if keep == "none":
+            w = Window.partitionBy(*cols)
+            df = self._df.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(
+                F.col("__cnt__") == 1
+            ).drop("__cnt__")
+            return LazyFrame(df, self._order)
+        raise ValueError(f"unknown keep strategy {keep!r}")
+
+    # -- reshape -----------------------------------------------------------------
+    def explode(self, *columns) -> "LazyFrame":
+        """Explode list columns; empty/null lists yield a null row
+        (FunctionIR::Explode, polars-plan/src/plans/functions/mod.rs:55)."""
+        cols = list(_flatten(columns))
+        df = self._df
+        if len(cols) == 1:
+            c = cols[0]
+            df = df.select(
+                *[F.col(x) for x in df.columns if x != c],
+                F.explode_outer(F.col(c)).alias(c),
+            )
+        else:
+            # multi-column explode zips element-wise (polars requires equal lengths)
+            zipped = F.arrays_zip(*[F.col(c).alias(c) for c in cols])
+            df = df.select(
+                *[F.col(x) for x in df.columns if x not in cols],
+                F.explode_outer(zipped).alias("__z__"),
+            ).select(
+                *[F.col(x) for x in df.columns if x not in cols],
+                *[F.col(f"__z__.{c}").alias(c) for c in cols],
+            )
+        return LazyFrame(df, [])
+
+    def unnest(self, *columns) -> "LazyFrame":
+        cols = list(_flatten(columns))
+        out = []
+        for c in self._df.columns:
+            if c in cols:
+                out.append(F.col(f"{c}.*"))
+            else:
+                out.append(F.col(c))
+        return LazyFrame(self._df.select(*out), self._order)
+
+    def unpivot(
+        self,
+        on: Sequence[str] | str | None = None,
+        *,
+        index: Sequence[str] | str | None = None,
+        variable_name: str = "variable",
+        value_name: str = "value",
+    ) -> "LazyFrame":
+        idx = [index] if isinstance(index, str) else list(index or [])
+        vals = [on] if isinstance(on, str) else list(on or [c for c in self.columns if c not in idx])
+        df = self.to_spark().unpivot(idx, vals, variable_name, value_name)
+        return LazyFrame(df, [])
+
+    melt = unpivot
+
+    def pivot(
+        self,
+        on: str,
+        *,
+        index: Sequence[str] | str,
+        values: Sequence[str] | str,
+        aggregate_function: str = "first",
+        sort_columns: bool = False,
+    ) -> "LazyFrame":
+        """Wide pivot (DslPlan::Pivot, dsl/plan.rs:117) — Spark-native
+        groupBy().pivot(); distinct `on` values are collected by Spark."""
+        idx = [index] if isinstance(index, str) else list(index)
+        vals = [values] if isinstance(values, str) else list(values)
+        aggf = {
+            "first": F.first,
+            "last": F.last,
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "mean": F.mean,
+            "median": F.median,
+            "count": F.count,
+            "len": F.count,
+        }[aggregate_function]
+        gp = self.to_spark().groupBy(*idx).pivot(on)
+        if len(vals) == 1:
+            df = gp.agg(aggf(vals[0]))
+        else:
+            df = gp.agg(*[aggf(v).alias(v) for v in vals])
+        return LazyFrame(df, [])
+
+    # -- vertical / horizontal combine -------------------------------------------
+    def vstack(self, other: "LazyFrame") -> "LazyFrame":
+        return concat([self, other], how="vertical")
+
+    def hstack(self, other: "LazyFrame") -> "LazyFrame":
+        return concat([self, other], how="horizontal")
+
+    def merge_sorted(self, other: "LazyFrame", key: str) -> "LazyFrame":
+        df = self.to_spark().unionByName(other.to_spark())
+        return LazyFrame(df, [(key, False)]).sort(key)
+
+    # -- UDF surface (§2.11) -------------------------------------------------------
+    def map_batches(self, function, *, schema=None, streamable: bool = True) -> "LazyFrame":
+        """polars LazyFrame.map_batches (FunctionIR::Opaque) -> mapInPandas.
+
+        ``function`` takes a pandas.DataFrame batch and returns one; executed
+        Arrow-batched per partition, never row-at-a-time.
+        """
+        out_schema = schema or self._df.schema
+
+        def gen(it):
+            for pdf in it:
+                yield function(pdf)
+
+        return LazyFrame(self._df.mapInPandas(gen, out_schema), [])
+
+    # -- sinks (SinkType, polars-plan/src/dsl/options/sink.rs:230) -----------------
+    def sink_parquet(
+        self,
+        path: str,
+        *,
+        compression: str = "zstd",
+        partition_by: Sequence[str] | str | None = None,
+        mkdir: bool = True,
+        maintain_order: bool = False,
+    ) -> None:
+        """Distributed parquet sink; ``partition_by`` maps to hive-style
+        ``write.partitionBy`` (polars PartitionStrategy::Keyed)."""
+        w = self.to_spark().write.mode("overwrite").option("compression", compression)
+        if partition_by:
+            pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*pb)
+        w.parquet(path)
+
+    def sink_csv(self, path: str, *, include_header: bool = True, separator: str = ",") -> None:
+        (
+            self.to_spark()
+            .write.mode("overwrite")
+            .option("header", include_header)
+            .option("sep", separator)
+            .csv(path)
+        )
+
+    def sink_ndjson(self, path: str) -> None:
+        self.to_spark().write.mode("overwrite").json(path)
+
+    # -- misc ----------------------------------------------------------------------
+    def sql(self, query: str, *, table_name: str = "self") -> "LazyFrame":
+        self.to_spark().createOrReplaceTempView(table_name)
+        spark = SparkSession.getActiveSession()
+        return LazyFrame(spark.sql(query), [])
+
+
+# -------------------------------------------------------------------------------
+# group-by
+
+
+class LazyGroupBy:
+    def __init__(self, lf: LazyFrame, keys, named_keys: dict, maintain_order: bool):
+        self._lf = lf
+        self._keys = keys
+        self._named = named_keys
+        self._maintain = maintain_order
+
+    def _key_cols(self) -> list[Column]:
+        ctx = self._lf._ctx()
+        out = []
+        for k in self._keys:
+            if isinstance(k, str):
+                out.append(F.col(k))
+            else:
+                out.append(k._resolve(ctx).alias(k._name))
+        for name, e in self._named.items():
+            out.append(_to_expr(e)._resolve(ctx).alias(name))
+        return out
+
+    def agg(self, *exprs, **named) -> LazyFrame:
+        ctx = self._lf._ctx()
+        aggs: list[Column] = []
+        for e in _flatten(exprs):
+            ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            aggs.append(ee._resolve(ctx).alias(ee._name))
+        for name, e in named.items():
+            aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+        df = self._lf._df.groupBy(*self._key_cols()).agg(*aggs)
+        return LazyFrame(df, [])
+
+    def len(self, name: str = "len") -> LazyFrame:
+        df = self._lf._df.groupBy(*self._key_cols()).agg(F.count(F.lit(1)).alias(name))
+        return LazyFrame(df, [])
+
+    def count(self) -> LazyFrame:
+        return self.len(name="count")
+
+    def _all_agg(self, f) -> LazyFrame:
+        keys = {c._jc.toString() for c in self._key_cols()} if False else None
+        names = [k for k in self._keys if isinstance(k, str)] + list(self._named)
+        rest = [c for c in self._lf.columns if c not in names]
+        df = self._lf._df.groupBy(*self._key_cols()).agg(*[f(c).alias(c) for c in rest])
+        return LazyFrame(df, [])
+
+    def sum(self) -> LazyFrame:
+        return self._all_agg(F.sum)
+
+    def min(self) -> LazyFrame:
+        return self._all_agg(F.min)
+
+    def max(self) -> LazyFrame:
+        return self._all_agg(F.max)
+
+    def mean(self) -> LazyFrame:
+        return self._all_agg(F.mean)
+
+    def median(self) -> LazyFrame:
+        return self._all_agg(F.median)
+
+    def n_unique(self) -> LazyFrame:
+        return self._all_agg(F.countDistinct)
+
+    def first(self) -> LazyFrame:
+        return self._all_agg(F.first)
+
+    def last(self) -> LazyFrame:
+        return self._all_agg(F.last)
+
+    def map_groups(self, function, schema) -> LazyFrame:
+        """polars GroupBy.map_groups (DslPlan::GroupBy.apply) -> applyInPandas."""
+        names = [k for k in self._keys if isinstance(k, str)]
+        df = self._lf._df.groupBy(*names).applyInPandas(function, schema)
+        return LazyFrame(df, [])
+
+
+class DynamicGroupBy:
+    """group_by_dynamic (polars-time/src/group_by/dynamic.rs:22) via F.window.
+
+    Both polars and Spark align window starts to the epoch, so
+    ``every``/``period``/``offset`` map directly onto
+    ``F.window(ts, windowDuration=period, slideDuration=every, startTime=offset)``.
+    ``closed='left'`` (polars default) is exactly Spark's [start, end).
+    """
+
+    def __init__(self, lf, index_column, every, period, offset, closed, label, group_by):
+        if closed != "left":
+            raise NotImplementedError("group_by_dynamic: only closed='left' (polars default)")
+        self._lf = lf
+        self._index = index_column
+        self._every = _duration_str(every)
+        self._period = _duration_str(period) if period else self._every
+        self._offset = _duration_str(offset) if offset else None
+        self._label = label
+        gb = group_by or []
+        self._by = [gb] if isinstance(gb, str) else list(gb)
+
+    def agg(self, *exprs, **named) -> LazyFrame:
+        ctx = self._lf._ctx()
+        aggs: list[Column] = []
+        agg_names: list[str] = []
+        for e in _flatten(exprs):
+            ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            aggs.append(ee._resolve(ctx).alias(ee._name))
+            agg_names.append(ee._name)
+        for name, e in named.items():
+            aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+            agg_names.append(name)
+        win = (
+            F.window(F.col(self._index), self._period, self._every, self._offset)
+            if self._offset
+            else F.window(F.col(self._index), self._period, self._every)
+        )
+        df = self._lf._df.groupBy(*self._by, win.alias("__w__")).agg(*aggs)
+        bound = "start" if self._label == "left" else "end"
+        df = df.select(
+            *self._by, F.col(f"__w__.{bound}").alias(self._index), *agg_names
+        )
+        return LazyFrame(df, [])
+
+
+class RollingGroupBy:
+    """LazyFrame.rolling context (RollingGroupOptions, polars-time dynamic.rs:57).
+
+    Window = (t - period, t] per row — rangeBetween over microseconds with the
+    lower bound shifted one µs inward to make it exclusive, matching polars
+    closed='right' default.  Partitioned by ``group_by`` keys: no global
+    single-partition window when keys are given.
+    """
+
+    def __init__(self, lf, index_column, period, group_by, closed):
+        if closed != "right":
+            raise NotImplementedError("rolling: only closed='right' (polars default)")
+        self._lf = lf
+        self._index = index_column
+        self._period_us = _duration_us(period)
+        gb = group_by or []
+        self._by = [gb] if isinstance(gb, str) else list(gb)
+
+    def agg(self, *exprs, **named) -> LazyFrame:
+        lf = self._lf
+        is_ts = dict(lf._df.dtypes)[self._index].startswith("timestamp")
+        okey = F.unix_micros(F.col(self._index)) if is_ts else F.col(self._index).cast("bigint")
+        w = (
+            Window.partitionBy(*[F.col(b) for b in self._by])
+            .orderBy(okey)
+            .rangeBetween(-(self._period_us - 1), 0)
+        )
+        ctx = _WindowedContext(lf._df, w)
+        outs: dict[str, Column] = {}
+        for e in _flatten(exprs):
+            ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            outs[ee._name] = ee._resolve(ctx)
+        for name, e in named.items():
+            outs[name] = _to_expr(e)._resolve(ctx)
+        df = lf._df.select(*self._by, F.col(self._index), *[c.alias(n) for n, c in outs.items()])
+        return LazyFrame(df, [])
+
+
+class _WindowedContext(ExprContext):
+    """Context that turns aggregate exprs into window aggregates
+    (ExprContext._window is consumed by Expr._agg)."""
+
+    def __init__(self, df, window):
+        super().__init__(df, [])
+        self._window = window
+
+
+# -------------------------------------------------------------------------------
+# concat
+
+
+def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool = False) -> LazyFrame:
+    """polars concat (dsl/plan.rs:152 Union / :157 HConcat)."""
+    frames = list(items)
+    if how in ("vertical", "vertical_relaxed"):
+        df = frames[0].to_spark()
+        for f in frames[1:]:
+            df = df.unionByName(f.to_spark())
+        return LazyFrame(df, [])
+    if how in ("diagonal", "diagonal_relaxed"):
+        df = frames[0].to_spark()
+        for f in frames[1:]:
+            df = df.unionByName(f.to_spark(), allowMissingColumns=True)
+        return LazyFrame(df, [])
+    if how == "horizontal":
+        out = None
+        for i, f in enumerate(frames):
+            d = f.with_row_index("__hidx__")._df
+            out = d if out is None else out.join(d, "__hidx__", "full")
+        return LazyFrame(out.drop("__hidx__"), [])
+    raise ValueError(f"unknown concat how={how!r}")
+
+
+# -------------------------------------------------------------------------------
+# helpers
+
+
+def _flatten(items) -> list:
+    out = []
+    for it in items:
+        if isinstance(it, (list, tuple, set)):
+            out.extend(_flatten(it))
+        elif it is not None:
+            out.append(it)
+    return out
+
+
+def _suffix_collisions(rdf: SparkDF, lcols: Sequence[str], suffix: str) -> SparkDF:
+    mapping = {c: c + suffix for c in rdf.columns if c in set(lcols)}
+    return rdf.withColumnsRenamed(mapping) if mapping else rdf
+
+
+_DUR_UNITS_US = {
+    "ns": 0.001,
+    "us": 1,
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+    "d": 86_400_000_000,
+    "w": 7 * 86_400_000_000,
+}
+
+
+def _parse_duration(s: str) -> list[tuple[int, str]]:
+    """polars duration string: e.g. '3d12h4m25s' -> [(3,'d'),(12,'h'),...]."""
+    out = []
+    num = ""
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch.isdigit() or ch == "-":
+            num += ch
+            i += 1
+        else:
+            unit = ch
+            if i + 1 < len(s) and s[i : i + 2] in ("ns", "us", "ms", "mo"):
+                unit = s[i : i + 2]
+                i += 2
+            else:
+                i += 1
+            out.append((int(num), unit))
+            num = ""
+    return out
+
+
+def _duration_us(s) -> int:
+    if isinstance(s, (int, float)):
+        return int(s)
+    if isinstance(s, _dt.timedelta):
+        return int(s.total_seconds() * 1e6)
+    total = 0
+    for n, unit in _parse_duration(s):
+        if unit == "mo":
+            raise ValueError("calendar month not supported in fixed windows")
+        total += int(n * _DUR_UNITS_US[unit])
+    return total
+
+
+def _duration_str(s) -> str:
+    """polars duration -> Spark interval string ('15m' -> '15 minutes')."""
+    names = {
+        "ns": "nanoseconds",
+        "us": "microseconds",
+        "ms": "milliseconds",
+        "s": "seconds",
+        "m": "minutes",
+        "h": "hours",
+        "d": "days",
+        "w": "weeks",
+        "mo": "months",
+    }
+    if isinstance(s, _dt.timedelta):
+        return f"{int(s.total_seconds())} seconds"
+    parts = [f"{n} {names[u]}" for n, u in _parse_duration(s)]
+    return " ".join(parts)
+
+
+def _duration_to_value(tol, is_ts: bool):
+    """Tolerance -> comparable scalar (seconds for timestamps)."""
+    if isinstance(tol, str):
+        us = _duration_us(tol)
+        return us / 1e6 if is_ts else us
+    if isinstance(tol, _dt.timedelta):
+        return tol.total_seconds() if is_ts else int(tol.total_seconds() * 1e6)
+    return tol

@@ -1,0 +1,938 @@
+"""Expression namespaces: ``.str`` / ``.dt`` / ``.list`` / ``.struct`` /
+``.bin`` / ``.cat`` / ``.name`` — the polars scalar-function surface.
+
+Reference registries (counts from the enums themselves):
+- string:   polars-plan/src/dsl/function_expr/strings.rs:9   (48 fns)
+- temporal: polars-plan/src/dsl/function_expr/datetime.rs:6  (45 fns)
+- list:     polars-plan/src/dsl/function_expr/list.rs:6      (26 fns)
+- struct:   polars-plan/src/dsl/function_expr/struct_.rs:6   (8 fns)
+- binary:   polars-plan/src/dsl/function_expr/binary.rs:9    (13 fns)
+
+Every lowering is a built-in ``pyspark.sql.functions`` composition (JVM
+whole-stage codegen); nothing in this module creates a Python UDF.
+polars semantic quirks are reproduced explicitly where Spark differs:
+``extract`` returns null (not '') on no-match, ``weekday`` is ISO
+Mon=1..Sun=7, ``strptime`` converts chrono %-codes to Java patterns, list
+aggregates ignore nulls, etc.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from polars_spark.plans.expr import Expr, ExprContext, _dtype_to_spark, _to_expr
+
+__all__ = [
+    "StringNamespace",
+    "DateTimeNamespace",
+    "ListNamespace",
+    "StructNamespace",
+    "BinaryNamespace",
+    "CatNamespace",
+    "ExprNameNamespace",
+    "element",
+]
+
+
+def element() -> Expr:
+    """The current list element inside ``.list.eval(...)`` (polars pl.element)."""
+
+    def fn(ctx: ExprContext) -> Column:
+        el = getattr(ctx, "element_col", None)
+        if el is None:
+            raise ValueError("pl.element() is only valid inside .list.eval(...)")
+        return el
+
+    return Expr(fn, "element")
+
+
+class _ElementContext(ExprContext):
+    def __init__(self, base: ExprContext, element_col: Column):
+        super().__init__(base.df, base.order_cols, base.grouped)
+        self.element_col = element_col
+
+
+def _rx_escape(s: str) -> str:
+    return _re.escape(s)
+
+
+# ---------------------------------------------------------------------------
+# chrono (polars/rust strftime) -> Java DateTimeFormatter pattern
+
+
+_CHRONO_TO_JAVA = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%d": "dd",
+    "%e": "d",
+    "%j": "DDD",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%.f": ".SSSSSS",
+    "%3f": "SSS",
+    "%6f": "SSSSSS",
+    "%9f": "SSSSSSSSS",
+    "%p": "a",
+    "%A": "EEEE",
+    "%a": "EEE",
+    "%z": "xx",
+    "%:z": "xxx",
+    "%Z": "zz",
+    "%%": "%",
+    "%T": "HH:mm:ss",
+    "%D": "MM/dd/yy",
+    "%F": "yyyy-MM-dd",
+    "%R": "HH:mm",
+}
+
+
+def chrono_to_java(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            for k in ("%.f", "%3f", "%6f", "%9f", "%:z"):
+                if fmt.startswith(k, i):
+                    out.append(_CHRONO_TO_JAVA[k])
+                    i += len(k)
+                    break
+            else:
+                key = fmt[i : i + 2]
+                if key in _CHRONO_TO_JAVA:
+                    out.append(_CHRONO_TO_JAVA[key])
+                    i += 2
+                else:
+                    raise ValueError(f"unsupported chrono code {key!r} in {fmt!r}")
+        elif ch.isalpha():
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+class _NS:
+    """Base: holds the parent expr, offers _map/_zip that keep agg-ness."""
+
+    def __init__(self, expr: Expr):
+        self._e = expr
+
+    def _map(self, f, name: str | None = None) -> Expr:
+        e = self._e
+        return Expr(lambda ctx: f(e._resolve(ctx)), name or e._name, e._is_agg)
+
+
+# ---------------------------------------------------------------------------
+# .str
+
+
+class StringNamespace(_NS):
+    # -- length ------------------------------------------------------------
+    def len_chars(self) -> Expr:
+        return self._map(F.char_length)
+
+    def len_bytes(self) -> Expr:
+        return self._map(F.octet_length)
+
+    # -- case ----------------------------------------------------------------
+    def to_lowercase(self) -> Expr:
+        return self._map(F.lower)
+
+    def to_uppercase(self) -> Expr:
+        return self._map(F.upper)
+
+    def to_titlecase(self) -> Expr:
+        return self._map(F.initcap)
+
+    # -- predicates ------------------------------------------------------------
+    def contains(self, pattern, *, literal: bool = False, strict: bool = True) -> Expr:
+        if isinstance(pattern, Expr) or not literal and not isinstance(pattern, str):
+            p = _to_expr(pattern)
+            if literal:
+                return Expr(
+                    lambda ctx: F.contains(self._e._resolve(ctx), p._resolve(ctx)),
+                    self._e._name,
+                )
+            return Expr(
+                lambda ctx: F.regexp_like(self._e._resolve(ctx), p._resolve(ctx)),
+                self._e._name,
+            )
+        if literal:
+            return self._map(lambda c: F.contains(c, F.lit(pattern)))
+        return self._map(lambda c: F.regexp_like(c, F.lit(pattern)))
+
+    def contains_any(self, patterns, *, ascii_case_insensitive: bool = False) -> Expr:
+        def fn(ctx):
+            c = self._e._resolve(ctx)
+            if ascii_case_insensitive:
+                c = F.lower(c)
+            out = F.lit(False)
+            for p in patterns:
+                q = p.lower() if ascii_case_insensitive else p
+                out = out | F.contains(c, F.lit(q))
+            return out
+
+        return Expr(fn, self._e._name)
+
+    def starts_with(self, prefix) -> Expr:
+        p = _to_expr(prefix)
+        return Expr(
+            lambda ctx: F.startswith(self._e._resolve(ctx), p._resolve(ctx)), self._e._name
+        )
+
+    def ends_with(self, suffix) -> Expr:
+        p = _to_expr(suffix)
+        return Expr(
+            lambda ctx: F.endswith(self._e._resolve(ctx), p._resolve(ctx)), self._e._name
+        )
+
+    def find(self, pattern, *, literal: bool = False) -> Expr:
+        if literal:
+            return self._map(
+                lambda c: F.when(
+                    F.locate(pattern, c) > 0, F.locate(pattern, c) - 1
+                )
+            )
+        return self._map(
+            lambda c: F.when(
+                F.regexp_instr(c, F.lit(pattern)) > 0, F.regexp_instr(c, F.lit(pattern)) - 1
+            )
+        )
+
+    def count_matches(self, pattern, *, literal: bool = False) -> Expr:
+        pat = _rx_escape(pattern) if literal else pattern
+        return self._map(lambda c: F.regexp_count(c, F.lit(pat)))
+
+    # -- extract ------------------------------------------------------------
+    def extract(self, pattern: str, group_index: int = 1) -> Expr:
+        # polars: null on no-match (Spark regexp_extract gives '')
+        return self._map(
+            lambda c: F.when(
+                F.regexp_like(c, F.lit(pattern)),
+                F.regexp_extract(c, pattern, group_index),
+            )
+        )
+
+    def extract_all(self, pattern: str) -> Expr:
+        return self._map(lambda c: F.regexp_extract_all(c, F.lit(pattern), 0))
+
+    # -- replace ------------------------------------------------------------
+    def replace(self, pattern: str, value: str, *, literal: bool = False, n: int = 1) -> Expr:
+        """Replace the FIRST match (polars semantics; replace_all for every)."""
+        if n != 1:
+            raise NotImplementedError("str.replace: only n=1 (use replace_all)")
+        if literal:
+            def fn(c):
+                pos = F.locate(pattern, c)
+                return F.when(
+                    pos > 0,
+                    F.concat(
+                        F.substring(c, F.lit(1), pos - 1),
+                        F.lit(value),
+                        F.substring(c, pos + len(pattern), F.length(c)),
+                    ),
+                ).otherwise(c)
+
+            return self._map(fn)
+        # first-match-only regex: capture the tail and re-emit it
+        safe_val = value.replace("$", "\\$")
+        return self._map(
+            lambda c: F.regexp_replace(c, f"(?s)(?:{pattern})((?s:.*))$", safe_val + "$1")
+        )
+
+    def replace_all(self, pattern: str, value: str, *, literal: bool = False) -> Expr:
+        if literal:
+            return self._map(lambda c: F.replace(c, F.lit(pattern), F.lit(value)))
+        return self._map(lambda c: F.regexp_replace(c, pattern, value))
+
+    def replace_many(self, patterns, replacements) -> Expr:
+        if isinstance(replacements, str):
+            replacements = [replacements] * len(patterns)
+
+        def fn(c):
+            out = c
+            for p, r in zip(patterns, replacements):
+                out = F.replace(out, F.lit(p), F.lit(r))
+            return out
+
+        return self._map(fn)
+
+    # -- strip / pad ------------------------------------------------------------
+    def strip_chars(self, characters: str | None = None) -> Expr:
+        if characters is None:
+            return self._map(F.trim)
+        return self._map(lambda c: F.btrim(c, F.lit(characters)))
+
+    def strip_chars_start(self, characters: str | None = None) -> Expr:
+        if characters is None:
+            return self._map(F.ltrim)
+        cls = _rx_escape(characters).replace("]", "\\]")
+        return self._map(lambda c: F.regexp_replace(c, f"^[{cls}]+", ""))
+
+    def strip_chars_end(self, characters: str | None = None) -> Expr:
+        if characters is None:
+            return self._map(F.rtrim)
+        cls = _rx_escape(characters).replace("]", "\\]")
+        return self._map(lambda c: F.regexp_replace(c, f"[{cls}]+$", ""))
+
+    def strip_prefix(self, prefix: str) -> Expr:
+        n = len(prefix)
+        return self._map(
+            lambda c: F.when(
+                F.startswith(c, F.lit(prefix)), F.substring(c, n + 1, F.length(c))
+            ).otherwise(c)
+        )
+
+    def strip_suffix(self, suffix: str) -> Expr:
+        n = len(suffix)
+        return self._map(
+            lambda c: F.when(
+                F.endswith(c, F.lit(suffix)), F.substring(c, F.lit(1), F.length(c) - n)
+            ).otherwise(c)
+        )
+
+    def pad_start(self, length: int, fill_char: str = " ") -> Expr:
+        return self._map(lambda c: F.lpad(c, length, fill_char))
+
+    def pad_end(self, length: int, fill_char: str = " ") -> Expr:
+        return self._map(lambda c: F.rpad(c, length, fill_char))
+
+    def zfill(self, length: int) -> Expr:
+        def fn(c):
+            neg = F.startswith(c, F.lit("-"))
+            body = F.when(neg, F.substring(c, 2, F.length(c))).otherwise(c)
+            padded = F.lpad(body, length - 1, "0")
+            return F.when(F.length(c) >= length, c).otherwise(
+                F.when(neg, F.concat(F.lit("-"), padded)).otherwise(F.lpad(c, length, "0"))
+            )
+
+        return self._map(fn)
+
+    # -- slice ------------------------------------------------------------
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        n = length if length is not None else (1 << 30)
+        pos = offset + 1 if offset >= 0 else offset
+        return self._map(lambda c: c.substr(F.lit(pos), F.lit(n)))
+
+    def head(self, n: int) -> Expr:
+        return self.slice(0, n)
+
+    def tail(self, n: int) -> Expr:
+        return self._map(lambda c: F.when(F.length(c) <= n, c).otherwise(c.substr(-n, n)))
+
+    def reverse(self) -> Expr:
+        return self._map(F.reverse)
+
+    # -- split ------------------------------------------------------------
+    def split(self, by: str, *, inclusive: bool = False) -> Expr:
+        if inclusive:
+            raise NotImplementedError("str.split inclusive")
+        return self._map(lambda c: F.split(c, _rx_escape(by), -1))
+
+    def split_exact(self, by: str, n: int) -> Expr:
+        def fn(c):
+            arr = F.split(c, _rx_escape(by), -1)
+            return F.struct(
+                *[F.get(arr, i).alias(f"field_{i}") for i in range(n + 1)]
+            )
+
+        return self._map(fn)
+
+    def splitn(self, by: str, n: int) -> Expr:
+        def fn(c):
+            arr = F.split(c, _rx_escape(by), n)
+            return F.struct(
+                *[F.get(arr, i).alias(f"field_{i}") for i in range(n)]
+            )
+
+        return self._map(fn)
+
+    # -- conversions ------------------------------------------------------------
+    def to_integer(self, *, base: int = 10, strict: bool = True) -> Expr:
+        if base == 10:
+            return self._map(
+                lambda c: c.cast("bigint") if strict else c.try_cast("bigint")
+            )
+        return self._map(lambda c: F.conv(c, base, 10).cast("bigint"))
+
+    def strptime(self, dtype: str = "Datetime", format: str | None = None, *, strict: bool = True) -> Expr:
+        java = chrono_to_java(format) if format else None
+        key = dtype if isinstance(dtype, str) else getattr(dtype, "__name__", str(dtype))
+        if key in ("Date",):
+            return self._map(lambda c: F.to_date(c, java) if java else F.to_date(c))
+        if key in ("Datetime", "Timestamp"):
+            return self._map(lambda c: F.to_timestamp(c, java) if java else F.to_timestamp(c))
+        if key == "Time":
+            # Time -> nanoseconds since midnight (SURVEY §1.2 Time mapping)
+            def fn(c):
+                ts = F.to_timestamp(F.concat(F.lit("1970-01-01 "), c), f"yyyy-MM-dd {java or 'HH:mm:ss'}")
+                return (F.unix_micros(ts) * 1000).cast("bigint")
+
+            return self._map(fn)
+        raise ValueError(f"strptime to {dtype!r}")
+
+    def to_date(self, format: str | None = None, *, strict: bool = True) -> Expr:
+        return self.strptime("Date", format, strict=strict)
+
+    def to_datetime(self, format: str | None = None, *, strict: bool = True, time_unit=None, time_zone=None) -> Expr:
+        return self.strptime("Datetime", format, strict=strict)
+
+    def to_time(self, format: str | None = None, *, strict: bool = True) -> Expr:
+        return self.strptime("Time", format, strict=strict)
+
+    def to_decimal(self, scale: int = 10) -> Expr:
+        return self._map(lambda c: c.cast(f"decimal(38,{scale})"))
+
+    # -- json ------------------------------------------------------------
+    def json_decode(self, dtype: str) -> Expr:
+        """dtype: Spark DDL schema string, e.g. 'a INT, b STRING' or 'array<int>'."""
+        return self._map(lambda c: F.from_json(c, dtype))
+
+    def json_path_match(self, json_path: str) -> Expr:
+        return self._map(lambda c: F.get_json_object(c, json_path))
+
+    # -- encode / decode ------------------------------------------------------------
+    def encode(self, encoding: str) -> Expr:
+        if encoding == "hex":
+            return self._map(lambda c: F.lower(F.hex(c.cast("binary"))))
+        if encoding == "base64":
+            return self._map(lambda c: F.base64(c.cast("binary")))
+        raise ValueError(encoding)
+
+    def decode(self, encoding: str, *, strict: bool = True) -> Expr:
+        if encoding == "hex":
+            return self._map(F.unhex)
+        if encoding == "base64":
+            return self._map(F.unbase64)
+        raise ValueError(encoding)
+
+    # -- misc ------------------------------------------------------------
+    def normalize(self, form: str = "NFC") -> Expr:
+        raise NotImplementedError(
+            "str.normalize needs a unicode library on executors; "
+            "plumbing exists (mapInPandas), no lib in this image"
+        )
+
+    def escape_regex(self) -> Expr:
+        return self._map(
+            lambda c: F.regexp_replace(c, r"([.^$*+?()\[\]{}|\\])", r"\\$1")
+        )
+
+
+# ---------------------------------------------------------------------------
+# .dt
+
+
+class DateTimeNamespace(_NS):
+    def year(self) -> Expr:
+        return self._map(F.year)
+
+    def iso_year(self) -> Expr:
+        # ISO year = calendar year of that week's Thursday
+        def fn(c):
+            wd = (F.dayofweek(c) + 5) % 7 + 1  # ISO weekday
+            thursday = F.date_add(F.to_date(c), (4 - wd).cast("int"))
+            return F.year(thursday)
+
+        return self._map(fn)
+
+    def quarter(self) -> Expr:
+        return self._map(F.quarter)
+
+    def month(self) -> Expr:
+        return self._map(F.month)
+
+    def week(self) -> Expr:
+        return self._map(F.weekofyear)
+
+    def weekday(self) -> Expr:
+        # polars: ISO Mon=1..Sun=7 (polars-time/src/chunkedarray/datetime.rs:122)
+        return self._map(lambda c: (F.dayofweek(c) + 5) % 7 + 1)
+
+    def day(self) -> Expr:
+        return self._map(F.dayofmonth)
+
+    def ordinal_day(self) -> Expr:
+        return self._map(F.dayofyear)
+
+    def hour(self) -> Expr:
+        return self._map(F.hour)
+
+    def minute(self) -> Expr:
+        return self._map(F.minute)
+
+    def second(self) -> Expr:
+        return self._map(lambda c: F.second(c))
+
+    def millisecond(self) -> Expr:
+        return self._map(lambda c: (F.unix_micros(c) % 1_000_000 / 1000).cast("int"))
+
+    def microsecond(self) -> Expr:
+        return self._map(lambda c: (F.unix_micros(c) % 1_000_000).cast("int"))
+
+    def nanosecond(self) -> Expr:
+        return self._map(lambda c: (F.unix_micros(c) % 1_000_000 * 1000).cast("bigint"))
+
+    def date(self) -> Expr:
+        return self._map(F.to_date)
+
+    def time(self) -> Expr:
+        # ns since midnight (Time dtype mapping, SURVEY §1.2)
+        return self._map(
+            lambda c: ((F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))) * 1000).cast("bigint")
+        )
+
+    def is_leap_year(self) -> Expr:
+        def fn(c):
+            y = F.year(c)
+            return (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+
+        return self._map(fn)
+
+    # -- truncate / round / offset ------------------------------------------------
+    _TRUNC_UNITS = {"1s": "second", "1m": "minute", "1h": "hour", "1d": "day", "1mo": "month", "1q": "quarter", "1y": "year", "1w": "week"}
+
+    def truncate(self, every: str) -> Expr:
+        """polars dt.truncate: arbitrary fixed durations via epoch math;
+        calendar units via date_trunc."""
+        if every in self._TRUNC_UNITS:
+            unit = self._TRUNC_UNITS[every]
+            return self._map(lambda c: F.date_trunc(unit, c))
+        from polars_spark.plans.frame import _duration_us
+
+        us = _duration_us(every)
+        return self._map(
+            lambda c: F.timestamp_micros((F.floor(F.unix_micros(c) / us) * us).cast("bigint"))
+        )
+
+    def round(self, every: str) -> Expr:
+        from polars_spark.plans.frame import _duration_us
+
+        us = _duration_us(every)
+        return self._map(
+            lambda c: F.timestamp_micros(
+                (F.floor((F.unix_micros(c) + us / 2) / us) * us).cast("bigint")
+            )
+        )
+
+    def offset_by(self, by: str) -> Expr:
+        """Calendar-aware offset (polars dt.offset_by): months/years via
+        add_months (saturating, like polars '1mo_saturating'), fixed parts
+        via epoch micros."""
+        from polars_spark.plans.frame import _parse_duration, _DUR_UNITS_US
+
+        months = 0
+        fixed_us = 0
+        for n, unit in _parse_duration(by):
+            if unit == "mo":
+                months += n
+            elif unit == "y":
+                months += 12 * n
+            elif unit == "q":
+                months += 3 * n
+            else:
+                fixed_us += int(n * _DUR_UNITS_US[unit])
+
+        def fn(c):
+            out = c
+            if months:
+                tod = F.unix_micros(out) - F.unix_micros(F.date_trunc("DAY", out))
+                d = F.add_months(F.to_date(out), months)
+                out = F.timestamp_micros(F.unix_micros(F.to_timestamp(d)) + tod)
+            if fixed_us:
+                out = F.timestamp_micros(F.unix_micros(out) + fixed_us)
+            return out
+
+        return self._map(fn)
+
+    def month_start(self) -> Expr:
+        def fn(c):
+            tod = F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))
+            return F.timestamp_micros(F.unix_micros(F.date_trunc("MONTH", c)) + tod)
+
+        return self._map(fn)
+
+    def month_end(self) -> Expr:
+        def fn(c):
+            tod = F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))
+            d = F.last_day(F.to_date(c))
+            return F.timestamp_micros(F.unix_micros(F.to_timestamp(d)) + tod)
+
+        return self._map(fn)
+
+    # -- epoch / formatting ------------------------------------------------------------
+    def epoch(self, time_unit: str = "us") -> Expr:
+        if time_unit == "us":
+            return self._map(F.unix_micros)
+        if time_unit == "ms":
+            return self._map(F.unix_millis)
+        if time_unit == "s":
+            return self._map(lambda c: F.unix_micros(c) / 1_000_000)
+        if time_unit == "ns":
+            return self._map(lambda c: F.unix_micros(c) * 1000)
+        if time_unit == "d":
+            return self._map(lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01")))
+        raise ValueError(time_unit)
+
+    def timestamp(self, time_unit: str = "us") -> Expr:
+        return self.epoch(time_unit)
+
+    def strftime(self, format: str) -> Expr:
+        return self._map(lambda c: F.date_format(c, chrono_to_java(format)))
+
+    to_string = strftime
+
+    # -- time zones ------------------------------------------------------------
+    def convert_time_zone(self, time_zone: str) -> Expr:
+        return self._map(lambda c: F.from_utc_timestamp(c, time_zone))
+
+    def replace_time_zone(self, time_zone: str | None) -> Expr:
+        if time_zone is None:
+            return self._map(lambda c: c)
+        return self._map(lambda c: F.to_utc_timestamp(c, time_zone))
+
+    # -- duration totals (interval -> scalar via epoch-anchored add) -------------
+    def _total(self, div_us: float) -> Expr:
+        return self._map(
+            lambda c: (F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + c) / div_us).cast("bigint")
+        )
+
+    def total_days(self) -> Expr:
+        return self._total(86_400_000_000)
+
+    def total_hours(self) -> Expr:
+        return self._total(3_600_000_000)
+
+    def total_minutes(self) -> Expr:
+        return self._total(60_000_000)
+
+    def total_seconds(self) -> Expr:
+        return self._total(1_000_000)
+
+    def total_milliseconds(self) -> Expr:
+        return self._total(1_000)
+
+    def total_microseconds(self) -> Expr:
+        return self._total(1)
+
+
+# ---------------------------------------------------------------------------
+# .list
+
+
+class ListNamespace(_NS):
+    def len(self) -> Expr:
+        return self._map(lambda c: F.when(c.isNotNull(), F.size(c)))
+
+    def get(self, index: int, *, null_on_oob: bool = True) -> Expr:
+        if index >= 0:
+            return self._map(lambda c: F.get(c, index))
+        return self._map(lambda c: F.try_element_at(c, F.lit(index)))
+
+    def first(self) -> Expr:
+        return self.get(0)
+
+    def last(self) -> Expr:
+        return self.get(-1)
+
+    def contains(self, item) -> Expr:
+        it = _to_expr(item)
+        return Expr(
+            lambda ctx: F.array_contains(self._e._resolve(ctx), it._resolve(ctx)),
+            self._e._name,
+        )
+
+    def _nn(self, c: Column) -> Column:
+        return F.filter(c, lambda x: x.isNotNull())
+
+    def sum(self) -> Expr:
+        return self._map(
+            lambda c: F.aggregate(self._nn(c), F.lit(0.0), lambda acc, x: acc + x)
+        )
+
+    def min(self) -> Expr:
+        return self._map(F.array_min)
+
+    def max(self) -> Expr:
+        return self._map(F.array_max)
+
+    def mean(self) -> Expr:
+        def fn(c):
+            nn = self._nn(c)
+            return F.when(
+                F.size(nn) > 0,
+                F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x) / F.size(nn),
+            )
+
+        return self._map(fn)
+
+    def median(self) -> Expr:
+        def fn(c):
+            arr = F.array_sort(self._nn(c))
+            n = F.size(arr)
+            lo = F.get(arr, (F.floor((n - 1) / 2)).cast("int")).cast("double")
+            hi = F.get(arr, (F.ceil((n - 1) / 2)).cast("int")).cast("double")
+            return F.when(n > 0, (lo + hi) / 2)
+
+        return self._map(fn)
+
+    def sort(self, *, descending: bool = False, nulls_last: bool = False) -> Expr:
+        if not descending:
+            return self._map(F.array_sort)
+        return self._map(lambda c: F.reverse(F.array_sort(c)))
+
+    def reverse(self) -> Expr:
+        return self._map(F.reverse)
+
+    def unique(self, *, maintain_order: bool = False) -> Expr:
+        return self._map(F.array_distinct)
+
+    def n_unique(self) -> Expr:
+        return self._map(lambda c: F.size(F.array_distinct(c)))
+
+    def head(self, n: int = 5) -> Expr:
+        return self._map(lambda c: F.slice(c, 1, n))
+
+    def tail(self, n: int = 5) -> Expr:
+        return self._map(
+            lambda c: F.when(F.size(c) <= n, c).otherwise(F.slice(c, -n, n))
+        )
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        def fn(c):
+            n = length if length is not None else F.size(c)
+            start = offset + 1 if offset >= 0 else offset
+            return F.slice(c, F.lit(start), n if length is not None else F.size(c))
+
+        return self._map(fn)
+
+    def join(self, separator: str, *, ignore_nulls: bool = True) -> Expr:
+        return self._map(lambda c: F.array_join(c, separator))
+
+    def arg_min(self) -> Expr:
+        return self._map(lambda c: F.array_position(c, F.array_min(c)).cast("bigint") - 1)
+
+    def arg_max(self) -> Expr:
+        return self._map(lambda c: F.array_position(c, F.array_max(c)).cast("bigint") - 1)
+
+    def eval(self, expr: Expr) -> Expr:
+        """polars list.eval(pl.element()...) -> higher-order transform."""
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            def body(x: Column) -> Column:
+                return expr._resolve(_ElementContext(ctx, x))
+
+            return F.transform(e._resolve(ctx), body)
+
+        return Expr(fn, e._name)
+
+    def filter(self, predicate: Expr) -> Expr:
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            def body(x: Column) -> Column:
+                return predicate._resolve(_ElementContext(ctx, x))
+
+            return F.filter(e._resolve(ctx), body)
+
+        return Expr(fn, e._name)
+
+    def any(self) -> Expr:
+        return self._map(lambda c: F.exists(c, lambda x: F.coalesce(x, F.lit(False))))
+
+    def all(self) -> Expr:
+        return self._map(lambda c: F.forall(c, lambda x: F.coalesce(x, F.lit(True))))
+
+    def count_matches(self, element) -> Expr:
+        it = _to_expr(element)
+
+        def fn(ctx: ExprContext) -> Column:
+            v = it._resolve(ctx)
+            return F.size(F.filter(self._e._resolve(ctx), lambda x: x == v))
+
+        return Expr(fn, self._e._name)
+
+    def concat(self, other) -> Expr:
+        o = _to_expr(other)
+        return Expr(
+            lambda ctx: F.concat(self._e._resolve(ctx), o._resolve(ctx)), self._e._name
+        )
+
+    # -- set ops (ListFunction::SetOperation, function_expr/list.rs:6) --------
+    def set_union(self, other) -> Expr:
+        o = _to_expr(other)
+        return Expr(
+            lambda ctx: F.array_union(self._e._resolve(ctx), o._resolve(ctx)), self._e._name
+        )
+
+    def set_intersection(self, other) -> Expr:
+        o = _to_expr(other)
+        return Expr(
+            lambda ctx: F.array_intersect(self._e._resolve(ctx), o._resolve(ctx)),
+            self._e._name,
+        )
+
+    def set_difference(self, other) -> Expr:
+        o = _to_expr(other)
+        return Expr(
+            lambda ctx: F.array_except(self._e._resolve(ctx), o._resolve(ctx)), self._e._name
+        )
+
+    def set_symmetric_difference(self, other) -> Expr:
+        o = _to_expr(other)
+
+        def fn(ctx):
+            a, b = self._e._resolve(ctx), o._resolve(ctx)
+            return F.array_union(F.array_except(a, b), F.array_except(b, a))
+
+        return Expr(fn, self._e._name)
+
+
+# ---------------------------------------------------------------------------
+# .struct
+
+
+class StructNamespace(_NS):
+    def field(self, name: str) -> Expr:
+        return self._map(lambda c: c.getField(name), name=name)
+
+    def __getitem__(self, name: str) -> Expr:
+        return self.field(name)
+
+    def json_encode(self) -> Expr:
+        return self._map(F.to_json)
+
+    def with_fields(self, **named) -> Expr:
+        def fn(ctx: ExprContext) -> Column:
+            c = self._e._resolve(ctx)
+            for n, e in named.items():
+                c = c.withField(n, _to_expr(e)._resolve(ctx))
+            return c
+
+        return Expr(fn, self._e._name)
+
+    def rename_fields(self, names: list[str]) -> Expr:
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            old = ctx.df.select(c.alias("__s")).schema["__s"].dataType.names
+            return F.struct(*[c.getField(o).alias(n) for o, n in zip(old, names)])
+
+        return Expr(fn, e._name)
+
+    def prefix_fields(self, prefix: str) -> Expr:
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            old = ctx.df.select(c.alias("__s")).schema["__s"].dataType.names
+            return F.struct(*[c.getField(o).alias(prefix + o) for o in old])
+
+        return Expr(fn, e._name)
+
+    def suffix_fields(self, suffix: str) -> Expr:
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            old = ctx.df.select(c.alias("__s")).schema["__s"].dataType.names
+            return F.struct(*[c.getField(o).alias(o + suffix) for o in old])
+
+        return Expr(fn, e._name)
+
+
+# ---------------------------------------------------------------------------
+# .bin
+
+
+class BinaryNamespace(_NS):
+    def contains(self, literal) -> Expr:
+        lit = _to_expr(literal)
+        return Expr(
+            lambda ctx: F.contains(self._e._resolve(ctx), lit._resolve(ctx)), self._e._name
+        )
+
+    def starts_with(self, prefix) -> Expr:
+        p = _to_expr(prefix)
+        return Expr(
+            lambda ctx: F.startswith(self._e._resolve(ctx), p._resolve(ctx)), self._e._name
+        )
+
+    def ends_with(self, suffix) -> Expr:
+        p = _to_expr(suffix)
+        return Expr(
+            lambda ctx: F.endswith(self._e._resolve(ctx), p._resolve(ctx)), self._e._name
+        )
+
+    def size(self) -> Expr:
+        return self._map(F.octet_length)
+
+    def encode(self, encoding: str) -> Expr:
+        if encoding == "hex":
+            return self._map(lambda c: F.lower(F.hex(c)))
+        if encoding == "base64":
+            return self._map(F.base64)
+        raise ValueError(encoding)
+
+    def decode(self, encoding: str, *, strict: bool = True) -> Expr:
+        if encoding == "hex":
+            return self._map(F.unhex)
+        if encoding == "base64":
+            return self._map(F.unbase64)
+        raise ValueError(encoding)
+
+
+# ---------------------------------------------------------------------------
+# .cat (Categorical == StringType in this engine, SURVEY §1.2)
+
+
+class CatNamespace(_NS):
+    def to_string(self) -> Expr:
+        return self._map(lambda c: c.cast("string"))
+
+    def set_ordering(self, ordering: str) -> Expr:
+        return self._e  # physical/lexical ordering is a no-op on strings
+
+    def get_categories(self) -> Expr:
+        raise NotImplementedError("cat.get_categories: use frame.select(col).unique()")
+
+
+# ---------------------------------------------------------------------------
+# .name
+
+
+class ExprNameNamespace:
+    def __init__(self, expr: Expr):
+        self._e = expr
+
+    def keep(self) -> Expr:
+        return self._e
+
+    def prefix(self, prefix: str) -> Expr:
+        return self._e.alias(prefix + self._e._name)
+
+    def suffix(self, suffix: str) -> Expr:
+        return self._e.alias(self._e._name + suffix)
+
+    def to_lowercase(self) -> Expr:
+        return self._e.alias(self._e._name.lower())
+
+    def to_uppercase(self) -> Expr:
+        return self._e.alias(self._e._name.upper())
+
+    def map(self, function) -> Expr:
+        return self._e.alias(function(self._e._name))

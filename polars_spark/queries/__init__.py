@@ -33,7 +33,16 @@ def query(name: str, oracle: str | None = None):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from polars_spark.sources import scan_parquet
+
+    return scan_parquet(f"{sf_dir}/{name}.parquet", spark=spark).to_spark()
+
+
+def ltable(spark: SparkSession, sf_dir: str, name: str):
+    """Same as ``table`` but returns the LazyFrame (polars-style API)."""
+    from polars_spark.sources import scan_parquet
+
+    return scan_parquet(f"{sf_dir}/{name}.parquet", spark=spark)
 
 
 # Import side-effect: populate the registry.  Keep this list at the bottom.

@@ -50,6 +50,9 @@ def get_spark(app_name: str = "polars_spark", **extra_conf: str) -> SparkSession
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # read TIMESTAMP(NANOS) parquet columns as long; scan_parquet converts
+        # them back to timestamps (µs, truncating like DuckDB/polars cast)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)

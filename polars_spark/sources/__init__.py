@@ -1,0 +1,172 @@
+"""Scan / read entry points (polars io surface, SURVEY.md §2.8).
+
+Reference: py-polars/src/polars/io/ (scan_parquet io/parquet/functions.py:467,
+scan_csv io/csv/functions.py:1107, scan_ndjson, read_json).  Every scan maps
+to ``spark.read`` so projection/predicate pushdown, partition pruning and
+schema merging come from the DataSource V2 machinery for free.
+
+Scale notes: multi-file globs, hive-partitioned layouts and
+``include_file_paths`` (-> input_file_name) are native; scans never
+materialize on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from polars_spark.plans.frame import LazyFrame
+
+__all__ = [
+    "scan_parquet",
+    "read_parquet",
+    "scan_csv",
+    "read_csv",
+    "scan_ndjson",
+    "read_ndjson",
+    "scan_ipc",
+    "from_pandas",
+]
+
+
+def _spark() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    if s is None:
+        from polars_spark.session import get_spark
+
+        s = get_spark()
+    return s
+
+
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
+    (spark.sql.legacy.parquet.nanosAsLong); we restore timestamps at µs
+    precision (truncating, same as DuckDB/polars ns->µs cast)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+
+        schema = pq.read_schema(path)
+        return [
+            f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def scan_parquet(
+    source: str | Sequence[str],
+    *,
+    row_index_name: str | None = None,
+    row_index_offset: int = 0,
+    hive_partitioning: bool | None = None,
+    include_file_paths: str | None = None,
+    glob: bool = True,
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    spark = spark or _spark()
+    paths = [source] if isinstance(source, str) else list(source)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(*paths)
+    for c in _nanos_ts_cols(paths[0]):
+        # integer div keeps full int64 precision (float division would not)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if include_file_paths:
+        df = df.withColumn(include_file_paths, F.input_file_name())
+    lf = LazyFrame(df)
+    if row_index_name:
+        lf = lf.with_row_index(row_index_name, row_index_offset)
+    return lf
+
+
+def read_parquet(source, **kw) -> LazyFrame:
+    return scan_parquet(source, **kw)
+
+
+def scan_csv(
+    source: str | Sequence[str],
+    *,
+    has_header: bool = True,
+    separator: str = ",",
+    quote_char: str | None = '"',
+    null_values: str | Sequence[str] | None = None,
+    try_parse_dates: bool = False,
+    infer_schema: bool = True,
+    schema: str | None = None,
+    comment_prefix: str | None = None,
+    skip_rows: int = 0,
+    encoding: str = "utf8",
+    row_index_name: str | None = None,
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    """CSV scan with schema inference (polars-io/src/csv/read/schema_inference.rs:17
+    -> Spark's native inferSchema pass)."""
+    spark = spark or _spark()
+    r = (
+        spark.read.option("header", has_header)
+        .option("sep", separator)
+        .option("encoding", {"utf8": "UTF-8", "utf8-lossy": "UTF-8"}.get(encoding, encoding))
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    elif infer_schema:
+        r = r.option("inferSchema", True)
+    if quote_char:
+        r = r.option("quote", quote_char)
+    if null_values is not None:
+        nv = [null_values] if isinstance(null_values, str) else list(null_values)
+        r = r.option("nullValue", nv[0])
+    if try_parse_dates:
+        r = r.option("inferSchema", True).option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    if comment_prefix:
+        r = r.option("comment", comment_prefix)
+    if skip_rows:
+        r = r.option("skipRows", skip_rows)
+    paths = [source] if isinstance(source, str) else list(source)
+    lf = LazyFrame(r.csv(paths))
+    if row_index_name:
+        lf = lf.with_row_index(row_index_name)
+    return lf
+
+
+def read_csv(source, **kw) -> LazyFrame:
+    return scan_csv(source, **kw)
+
+
+def scan_ndjson(
+    source: str | Sequence[str],
+    *,
+    schema: str | None = None,
+    infer_schema_length: int | None = None,
+    row_index_name: str | None = None,
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    spark = spark or _spark()
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    paths = [source] if isinstance(source, str) else list(source)
+    lf = LazyFrame(r.json(paths))
+    if row_index_name:
+        lf = lf.with_row_index(row_index_name)
+    return lf
+
+
+def read_ndjson(source, **kw) -> LazyFrame:
+    return scan_ndjson(source, **kw)
+
+
+def scan_ipc(source, **kw) -> LazyFrame:
+    """Arrow IPC: no native Spark datasource — bridge through pyarrow on the
+    driver (acceptable for small sidecar files; large data should be parquet)."""
+    import pyarrow.feather as feather
+
+    pdf = feather.read_feather(source)
+    return from_pandas(pdf)
+
+
+def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
+    spark = spark or _spark()
+    return LazyFrame(spark.createDataFrame(pdf))

@@ -1,0 +1,64 @@
+"""SQLContext: the polars SQL front-end re-expressed as Spark SQL.
+
+Reference: polars-sql/src/context.rs:245 (execute), python
+py-polars/src/polars/sql/context.py:91.  polars parses SQL into the same
+logical plan its DataFrame API builds — exactly what ``spark.sql`` does over
+Catalyst, so the entire §2.9 surface (SELECT/joins/CTEs/UNION/INTERSECT/
+EXCEPT/subqueries/window fns) is inherited; this class only provides the
+frame-registration API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from polars_spark.plans.frame import LazyFrame
+
+__all__ = ["SQLContext", "sql"]
+
+
+class SQLContext:
+    def __init__(self, frames: dict[str, LazyFrame] | None = None, *, eager: bool = False, **named):
+        self._spark = SparkSession.getActiveSession()
+        if self._spark is None:
+            from polars_spark.session import get_spark
+
+            self._spark = get_spark()
+        self._tables: list[str] = []
+        for name, lf in {**(frames or {}), **named}.items():
+            self.register(name, lf)
+
+    def register(self, name: str, frame: LazyFrame) -> "SQLContext":
+        df = frame.to_spark() if isinstance(frame, LazyFrame) else frame
+        df.createOrReplaceTempView(name)
+        if name not in self._tables:
+            self._tables.append(name)
+        return self
+
+    def register_many(self, frames: dict[str, LazyFrame] | None = None, **named) -> "SQLContext":
+        for name, lf in {**(frames or {}), **named}.items():
+            self.register(name, lf)
+        return self
+
+    def unregister(self, names: str | list[str]) -> "SQLContext":
+        for n in [names] if isinstance(names, str) else names:
+            self._spark.catalog.dropTempView(n)
+            if n in self._tables:
+                self._tables.remove(n)
+        return self
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def execute(self, query: str, *, eager: bool = False) -> LazyFrame:
+        return LazyFrame(self._spark.sql(query))
+
+
+def sql(query: str, *, eager: bool = False) -> LazyFrame:
+    """pl.sql(...) — run SQL against already-registered temp views."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from polars_spark.session import get_spark
+
+        spark = get_spark()
+    return LazyFrame(spark.sql(query))

@@ -1,0 +1,47 @@
+"""Shared fixtures: one session-scoped SparkSession (local, small parallelism
+for fast tests), pandas-frame helpers."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from polars_spark.session import get_spark
+
+    s = get_spark("tests", **{"spark.sql.shuffle.partitions": "4"})
+    yield s
+
+
+@pytest.fixture(scope="session")
+def pl(spark):
+    import polars_spark as pl
+
+    return pl
+
+
+@pytest.fixture()
+def lf(pl, spark):
+    """Build a LazyFrame from kwargs of lists: lf(a=[1,2], b=['x','y'])."""
+
+    def make(**cols):
+        return pl.from_pandas(pd.DataFrame(cols))
+
+    return make
+
+
+def rows(frame, *, sort_by=None) -> list[tuple]:
+    """Materialize a LazyFrame to a list of tuples (NaN -> None)."""
+    pdf = frame.collect()
+    if sort_by:
+        pdf = pdf.sort_values(sort_by, ignore_index=True)
+    out = []
+    for t in pdf.itertuples(index=False, name=None):
+        out.append(tuple(None if isinstance(v, float) and pd.isna(v) else v for v in t))
+    return out

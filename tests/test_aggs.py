@@ -1,0 +1,129 @@
+"""Aggregation semantics (AggExpr, polars-plan/src/dsl/expr/mod.rs:22)."""
+
+import math
+
+import pytest
+
+from tests.conftest import rows
+
+
+def test_basic_aggs(pl, lf):
+    f = lf(g=["a", "a", "b", "b", "b"], x=[1.0, 3.0, 2.0, 4.0, 6.0])
+    out = f.group_by("g").agg(
+        pl.col("x").sum().alias("s"),
+        pl.col("x").mean().alias("m"),
+        pl.col("x").min().alias("lo"),
+        pl.col("x").max().alias("hi"),
+        pl.col("x").median().alias("med"),
+        pl.col("x").count().alias("n"),
+        pl.len().alias("len"),
+        pl.col("x").n_unique().alias("nu"),
+    )
+    r = rows(out, sort_by="g")
+    assert r[0] == ("a", 4.0, 2.0, 1.0, 3.0, 2.0, 2, 2, 2)
+    assert r[1] == ("b", 12.0, 4.0, 2.0, 6.0, 4.0, 3, 3, 3)
+
+
+def test_std_var_ddof(pl, lf):
+    f = lf(x=[1.0, 2.0, 3.0, 4.0])
+    r = rows(
+        f.select(
+            pl.col("x").std().alias("s1"),
+            pl.col("x").std(ddof=0).alias("s0"),
+            pl.col("x").var().alias("v1"),
+            pl.col("x").var(ddof=0).alias("v0"),
+        )
+    )[0]
+    assert r[0] == pytest.approx(1.2909944487)
+    assert r[1] == pytest.approx(1.1180339887)
+    assert r[2] == pytest.approx(5.0 / 3.0)
+    assert r[3] == pytest.approx(1.25)
+
+
+def test_quantile_interpolations(pl, lf):
+    f = lf(x=[1.0, 2.0, 3.0, 4.0])
+    r = rows(
+        f.select(
+            pl.col("x").quantile(0.5, "linear").alias("lin"),
+            pl.col("x").quantile(0.5, "lower").alias("lo"),
+            pl.col("x").quantile(0.5, "higher").alias("hi"),
+            pl.col("x").quantile(0.5, "midpoint").alias("mid"),
+            pl.col("x").quantile(0.5, "nearest").alias("near"),
+        )
+    )[0]
+    assert r == (2.5, 2.0, 3.0, 2.5, 3.0)
+
+
+def test_product_with_zero_and_negatives(pl, lf):
+    f = lf(g=["a", "a", "b", "b", "c"], x=[2.0, -3.0, 5.0, 0.0, 4.0])
+    out = f.group_by("g").agg(pl.col("x").product().alias("p"))
+    assert rows(out, sort_by="g") == [("a", -6.0), ("b", 0.0), ("c", 4.0)]
+
+
+def test_any_all_mode(pl, lf):
+    f = lf(g=["a", "a", "b"], b=[True, False, True], m=[1, 1, 2])
+    out = f.group_by("g").agg(
+        pl.col("b").any().alias("any"),
+        pl.col("b").all().alias("all"),
+    )
+    assert rows(out, sort_by="g") == [("a", True, False), ("b", True, True)]
+    r = rows(f.select(pl.col("m").mode().alias("mode")))
+    assert r[0][0] == 1
+
+
+def test_first_last_with_order(pl, lf):
+    f = lf(g=["a", "a", "b", "b"], x=[10, 20, 30, 40]).with_row_index("i")
+    out = f.group_by("g").agg(
+        pl.col("x").first().alias("f"),
+        pl.col("x").last().alias("l"),
+    )
+    assert rows(out, sort_by="g") == [("a", 10, 20), ("b", 30, 40)]
+
+
+def test_implode_ordered(pl, lf):
+    f = lf(g=["a", "a", "a"], x=[3, 1, 2]).with_row_index("i")
+    pdf = f.group_by("g").agg(pl.col("x").implode().alias("xs")).collect()
+    assert list(pdf["xs"][0]) == [3, 1, 2]
+
+
+def test_entropy(pl, lf):
+    f = lf(x=[0.25, 0.25, 0.25, 0.25])
+    r = rows(f.select(pl.col("x").entropy(base=2).alias("e")))[0]
+    assert r[0] == pytest.approx(2.0)
+
+
+def test_skew_kurtosis(pl, lf):
+    f = lf(x=[1.0, 2.0, 3.0, 4.0, 10.0])
+    r = rows(
+        f.select(
+            pl.col("x").skew().alias("sk"),
+            pl.col("x").kurtosis().alias("ku"),
+        )
+    )[0]
+    # biased moments: m2=10, m3=36, m4=278.8
+    # skew = m3/m2^1.5 = 1.138419957..., excess kurtosis = m4/m2^2 - 3 = -0.212
+    assert r[0] == pytest.approx(36.0 / 10.0**1.5, rel=1e-9)
+    assert r[1] == pytest.approx(278.8 / 100.0 - 3.0, rel=1e-9)
+
+
+def test_approx_n_unique(pl, lf):
+    f = lf(x=list(range(100)))
+    r = rows(f.select(pl.col("x").approx_n_unique().alias("a")))[0]
+    assert 90 <= r[0] <= 110
+
+
+def test_corr_cov(pl, lf):
+    f = lf(a=[1.0, 2.0, 3.0], b=[2.0, 4.0, 6.0])
+    r = rows(f.select(pl.corr("a", "b").alias("c"), pl.cov("a", "b").alias("v")))[0]
+    assert r[0] == pytest.approx(1.0)
+    assert r[1] == pytest.approx(2.0)
+
+
+def test_agg_arbitrary_expr(pl, lf):
+    # polars: arbitrary exprs inside .agg() e.g. filtered/scaled aggregation
+    f = lf(g=["a", "a", "b"], x=[1.0, 2.0, 3.0], keep=[True, False, True])
+    out = f.group_by("g").agg(
+        (pl.col("x") * 2).sum().alias("x2"),
+        pl.when(pl.col("keep")).then(pl.col("x")).otherwise(pl.lit(None)).sum().alias("kept"),
+    )
+    assert rows(out, sort_by="g") == [("a", 6.0, 1.0), ("b", 6.0, 3.0)]

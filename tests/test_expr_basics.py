@@ -1,0 +1,152 @@
+"""Expr arithmetic / comparison / conditional semantics.
+
+Mirrors cases from py-polars/tests/unit/operations (arithmetic, when-then,
+null handling)."""
+
+import math
+
+import pandas as pd
+
+from tests.conftest import rows
+
+
+def test_arithmetic(pl, lf):
+    f = lf(a=[1.0, 2.0, 3.0], b=[10.0, 20.0, 30.0])
+    out = f.select(
+        (pl.col("a") + pl.col("b")).alias("add"),
+        (pl.col("b") - pl.col("a")).alias("sub"),
+        (pl.col("a") * 2).alias("mul"),
+        (pl.col("b") / pl.col("a")).alias("div"),
+        (pl.col("b") // pl.col("a")).alias("fdiv"),
+        (pl.col("b") % 7).alias("mod"),
+        (pl.col("a") ** 2).alias("pow"),
+        (-pl.col("a")).alias("neg"),
+        (1 + pl.col("a")).alias("radd"),
+    )
+    r = rows(out)
+    assert r[0] == (11.0, 9.0, 2.0, 10.0, 10.0, 3.0, 1.0, -1.0, 2.0)
+    assert r[2] == (33.0, 27.0, 6.0, 10.0, 10.0, 2.0, 9.0, -3.0, 4.0)
+
+
+def test_comparisons_and_bool(pl, lf):
+    f = lf(a=[1, 2, 3], b=[3, 2, 1])
+    out = f.select(
+        (pl.col("a") == pl.col("b")).alias("eq"),
+        (pl.col("a") != pl.col("b")).alias("ne"),
+        (pl.col("a") < 2).alias("lt"),
+        ((pl.col("a") >= 2) & (pl.col("b") <= 2)).alias("and_"),
+        ((pl.col("a") == 1) | (pl.col("b") == 1)).alias("or_"),
+        (~(pl.col("a") == 1)).alias("inv"),
+    )
+    assert rows(out) == [
+        (False, True, True, False, True, False),
+        (True, False, False, True, False, True),
+        (False, True, False, True, True, True),
+    ]
+
+
+def test_null_safe_eq(pl, lf):
+    f = lf(a=[1.0, None, None], b=[1.0, 2.0, None])
+    out = f.select(
+        pl.col("a").eq_missing(pl.col("b")).alias("eqm"),
+        pl.col("a").ne_missing(pl.col("b")).alias("nem"),
+    )
+    assert rows(out) == [(True, False), (False, True), (True, False)]
+
+
+def test_when_then_otherwise(pl, lf):
+    f = lf(x=[1, 2, 3, 4])
+    out = f.select(
+        pl.when(pl.col("x") <= 1)
+        .then(pl.lit("low"))
+        .when(pl.col("x") <= 3)
+        .then(pl.lit("mid"))
+        .otherwise(pl.lit("high"))
+        .alias("band")
+    )
+    assert [r[0] for r in rows(out)] == ["low", "mid", "mid", "high"]
+
+
+def test_fill_null_and_nan(pl, lf):
+    # pandas cannot carry null and NaN distinctly in a float column; build the
+    # NaN Spark-side so null (row 1) and NaN (row 2) are genuinely different
+    f = lf(x=[1.0, None, 3.0, 4.0]).with_columns(
+        pl.when(pl.col("x") == 3.0).then(pl.lit(float("nan"))).otherwise(pl.col("x")).alias("x")
+    )
+    f = f.with_row_index("i")
+    out = f.select(
+        pl.col("i"),
+        pl.col("x").fill_null(0).alias("fz"),
+        pl.col("x").is_null().alias("isn"),
+        pl.col("x").is_nan().alias("nan"),
+        pl.col("x").is_finite().alias("fin"),
+        pl.col("x").fill_nan(-1.0).alias("fn"),
+    ).sort("i")
+    r = rows(out)  # rows() folds NaN to None; booleans carry the distinction
+    assert [x[2] for x in r] == [False, True, False, False]  # is_null: only row 1
+    assert [x[3] for x in r] == [False, None, True, False]  # is_nan: null in -> null out
+    assert [x[4] for x in r] == [True, None, False, True]  # is_finite
+    assert r[1][1] == 0.0  # fill_null hit the null row
+    assert r[2][5] == -1.0 and r[0][5] == 1.0  # fill_nan hit only the NaN row
+
+
+def test_clip_is_between_is_in(pl, lf):
+    f = lf(x=[1, 5, 10])
+    out = f.select(
+        pl.col("x").clip(2, 8).alias("clip"),
+        pl.col("x").is_between(2, 10).alias("btw"),
+        pl.col("x").is_between(1, 10, closed="neither").alias("btw_n"),
+        pl.col("x").is_in([1, 10]).alias("isin"),
+    )
+    assert rows(out) == [
+        (2, False, False, True),
+        (5, True, True, False),
+        (8, True, False, True),
+    ]
+
+
+def test_cast_and_dtypes(pl, lf):
+    f = lf(x=[1.9, 2.2])
+    out = f.select(
+        pl.col("x").cast("Int64").alias("i"),
+        pl.col("x").cast("String").alias("s"),
+        pl.col("x").round(0).alias("r"),
+        pl.col("x").floor().alias("fl"),
+        pl.col("x").ceil().alias("ce"),
+        pl.col("x").abs().alias("ab"),
+    )
+    r = rows(out)
+    assert r[0] == (1, "1.9", 2.0, 1.0, 2.0, 1.9)
+
+
+def test_horizontal(pl, lf):
+    f = lf(a=[1, None], b=[2, 5], c=[3, None])
+    out = f.select(
+        pl.sum_horizontal("a", "b", "c").alias("s"),
+        pl.max_horizontal("a", "b", "c").alias("mx"),
+        pl.min_horizontal("a", "b", "c").alias("mn"),
+    )
+    r = rows(out)
+    assert r[0] == (6, 3, 1)
+    assert r[1][0] == 5
+
+
+def test_concat_str_list_struct(pl, lf):
+    f = lf(a=["x", "y"], b=[1, 2])
+    out = f.select(
+        pl.concat_str([pl.col("a"), pl.col("b")], separator="-").alias("cs"),
+        pl.concat_list(pl.col("b"), pl.col("b") * 10).alias("cl"),
+        pl.struct(pl.col("a"), pl.col("b")).alias("st"),
+    )
+    pdf = out.collect()
+    assert pdf["cs"].tolist() == ["x-1", "y-2"]
+    assert [list(v) for v in pdf["cl"]] == [[1, 10], [2, 20]]
+    assert pdf["st"][0] == {"a": "x", "b": 1}
+
+
+def test_replace_and_hash(pl, lf):
+    f = lf(x=["a", "b", "c"])
+    out = f.select(pl.col("x").replace({"a": "A", "b": "B"}).alias("rep"))
+    assert [r[0] for r in rows(out)] == ["A", "B", "c"]
+    h = f.select(pl.col("x").hash().alias("h")).collect()
+    assert h["h"].nunique() == 3

@@ -1,0 +1,165 @@
+"""Frame-level operators: select/with_columns/filter/sort/slice/unique/
+reshape/concat/row-index (DslPlan surface, SURVEY §2.1)."""
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+def test_select_with_columns(pl, lf):
+    f = lf(a=[1, 2], b=[10.0, 20.0])
+    out = f.with_columns((pl.col("a") * 100).alias("c")).select("a", "c", d=pl.col("b") + 1)
+    assert out.columns == ["a", "c", "d"]
+    assert rows(out, sort_by="a") == [(1, 100, 11.0), (2, 200, 21.0)]
+
+
+def test_filter_kwargs(pl, lf):
+    f = lf(a=[1, 2, 3], g=["x", "y", "x"])
+    assert rows(f.filter(pl.col("a") > 1, g="x")) == [(3, "x")]
+    assert len(rows(f.remove(g="x"))) == 1
+
+
+def test_sort_nulls_descending(pl, lf):
+    f = lf(x=[3.0, None, 1.0, 2.0])
+    assert [r[0] for r in rows(f.sort("x"))] == [None, 1.0, 2.0, 3.0]
+    assert [r[0] for r in rows(f.sort("x", nulls_last=True))] == [1.0, 2.0, 3.0, None]
+    assert [r[0] for r in rows(f.sort("x", descending=True))] == [3.0, 2.0, 1.0, None]
+    assert [r[0] for r in rows(f.sort("x", descending=True, nulls_last=False))] == [3.0, 2.0, 1.0, None]
+
+
+def test_limit_tail_slice(pl, lf):
+    f = lf(x=[1, 2, 3, 4, 5]).sort("x")
+    assert [r[0] for r in rows(f.limit(2))] == [1, 2]
+    assert [r[0] for r in rows(f.head(3))] == [1, 2, 3]
+    assert [r[0] for r in rows(f.tail(2))] == [4, 5]
+    assert [r[0] for r in rows(f.slice(1, 2))] == [2, 3]
+    assert [r[0] for r in rows(f.slice(-2))] == [4, 5]
+    assert [r[0] for r in rows(f.slice(-3, 2))] == [3, 4]
+    assert [r[0] for r in rows(f.gather_every(2))] == [1, 3, 5]
+    assert [r[0] for r in rows(f.gather_every(2, offset=1))] == [2, 4]
+    assert [r[0] for r in rows(f.first())] == [1]
+    assert [r[0] for r in rows(f.last())] == [5]
+
+
+def test_reverse(pl, lf):
+    f = lf(x=[1, 2, 3]).sort("x").reverse()
+    assert [r[0] for r in rows(f.limit(1))] == [3]
+
+
+def test_with_row_index_scan_order(pl, lf):
+    f = lf(x=[10, 20, 30, 40]).with_row_index("idx")
+    r = rows(f)
+    assert [t[1] for t in r] == [0, 1, 2, 3]
+    assert [t[0] for t in r] == [10, 20, 30, 40]
+    f2 = lf(x=[3, 1, 2]).sort("x").with_row_index("idx", offset=5)
+    assert rows(f2) == [(1, 5), (2, 6), (3, 7)]
+
+
+def test_unique_keeps(pl, lf):
+    f = lf(g=["a", "a", "b", "c", "c"], v=[1, 2, 3, 4, 5]).with_row_index("i")
+    first = f.unique(subset="g", keep="first")
+    assert [t[1] for t in rows(first, sort_by="g")] == [1, 3, 4]
+    last = f.unique(subset="g", keep="last")
+    assert [t[1] for t in rows(last, sort_by="g")] == [2, 3, 5]
+    none = f.unique(subset="g", keep="none")
+    assert [t[0] for t in rows(none, sort_by="g")] == ["b"]
+    anyk = lf(g=["a", "a"], v=[1, 1]).unique()
+    assert len(rows(anyk)) == 1
+
+
+def test_explode(pl, lf):
+    f = lf(g=["x", "y", "z"], a=[[1, 2], [], None])
+    r = rows(f.explode("a"), sort_by="g")
+    assert r == [("x", 1), ("x", 2), ("y", None), ("z", None)]
+
+
+def test_explode_multi(pl, lf):
+    f = lf(a=[[1, 2]], b=[["p", "q"]])
+    assert rows(f.explode("a", "b")) == [(1, "p"), (2, "q")]
+
+
+def test_unnest(pl, lf):
+    f = lf(a=[1], b=["x"])
+    out = f.select(pl.struct(pl.col("a"), pl.col("b")).alias("s"), pl.col("a").alias("k")).unnest("s")
+    assert sorted(out.columns) == ["a", "b", "k"]
+
+
+def test_unpivot_pivot(pl, lf):
+    f = lf(id=["r1", "r2"], a=[1, 2], b=[10, 20])
+    up = f.unpivot(on=["a", "b"], index="id")
+    assert len(rows(up)) == 4
+    assert sorted(up.columns) == ["id", "value", "variable"]
+    back = up.pivot("variable", index="id", values="value", aggregate_function="first")
+    r = rows(back, sort_by="id")
+    assert r == [("r1", 1, 10), ("r2", 2, 20)]
+
+
+def test_concat(pl, lf):
+    a = lf(x=[1], y=["p"])
+    b = lf(x=[2], y=["q"])
+    assert len(rows(pl.concat([a, b]))) == 2
+    c = lf(x=[3], z=[True])
+    diag = pl.concat([a, c], how="diagonal")
+    assert sorted(diag.columns) == ["x", "y", "z"]
+    assert len(rows(diag)) == 2
+    h = pl.concat([lf(x=[1, 2]), lf(y=["a", "b"])], how="horizontal")
+    assert rows(h, sort_by="x") == [(1, "a"), (2, "b")]
+
+
+def test_rename_drop_cast(pl, lf):
+    f = lf(a=[1.5], b=["x"], c=[True])
+    out = f.rename({"a": "alpha"}).drop("c").cast({"alpha": "Int64"})
+    assert out.columns == ["alpha", "b"]
+    assert rows(out) == [(1, "x")]
+
+
+def test_fill_null_frame_drop_nulls(pl, lf):
+    f = lf(a=[1.0, None], b=[None, 2.0])
+    assert rows(f.fill_null(0), sort_by="a") == [(0.0, 2.0), (1.0, 0.0)]
+    assert len(rows(f.drop_nulls())) == 0
+    assert len(rows(f.drop_nulls(subset="a"))) == 1
+
+
+def test_merge_sorted(pl, lf):
+    a = lf(k=[1, 3], v=["a", "c"])
+    b = lf(k=[2, 4], v=["b", "d"])
+    out = a.merge_sorted(b, "k")
+    assert [r[0] for r in rows(out)] == [1, 2, 3, 4]
+
+
+def test_map_batches(pl, lf):
+    f = lf(x=[1.0, 2.0, 3.0])
+
+    def double(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["x"] = pdf["x"] * 2
+        return pdf
+
+    out = f.map_batches(double)
+    assert sorted(r[0] for r in rows(out)) == [2.0, 4.0, 6.0]
+
+
+def test_group_by_map_groups(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1.0, 3.0, 10.0])
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["x"] = pdf["x"] - pdf["x"].mean()
+        return pdf
+
+    out = f.group_by("g").map_groups(demean, "g string, x double")
+    assert sorted(r[1] for r in rows(out)) == [-1.0, 0.0, 1.0]
+
+
+def test_sql_context(pl, lf):
+    f = lf(x=[1, 2, 3])
+    ctx = pl.SQLContext(frames={"t": f})
+    out = ctx.execute("WITH big AS (SELECT x FROM t WHERE x > 1) SELECT count(*) AS n, sum(x) AS s FROM big")
+    assert rows(out) == [(2, 5)]
+    assert "t" in ctx.tables()
+
+
+def test_group_by_convenience(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1.0, 3.0, 10.0], y=[2.0, 2.0, 2.0])
+    assert rows(f.group_by("g").sum(), sort_by="g") == [("a", 4.0, 4.0), ("b", 10.0, 2.0)]
+    assert rows(f.group_by("g").len(), sort_by="g") == [("a", 2), ("b", 1)]
+    assert rows(f.group_by("g").mean(), sort_by="g") == [("a", 2.0, 2.0), ("b", 10.0, 2.0)]

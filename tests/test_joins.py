@@ -1,0 +1,116 @@
+"""Join semantics: equi (all hows, coalesce/suffix), semi/anti, cross,
+join_where, as-of (edge cases from py-polars/tests/unit/operations/test_join_asof.py:
+before-first, after-last, exact-tie, tolerance, forward, nearest, by-groups)."""
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+def _sides(lf):
+    left = lf(k=[1, 2, 3], lv=["a", "b", "c"])
+    right = lf(k=[2, 3, 4], rv=["x", "y", "z"])
+    return left, right
+
+
+def test_inner_left_right_full(pl, lf):
+    left, right = _sides(lf)
+    assert rows(left.join(right, on="k"), sort_by="k") == [(2, "b", "x"), (3, "c", "y")]
+    l = rows(left.join(right, on="k", how="left"), sort_by="k")
+    assert l == [(1, "a", None), (2, "b", "x"), (3, "c", "y")]
+    rj = left.join(right, on="k", how="right")
+    assert rj.columns == ["lv", "k", "rv"]  # key lands at the right frame's position
+    r = rows(rj, sort_by="k")
+    assert r == [("b", 2, "x"), ("c", 3, "y"), (None, 4, "z")]
+    fl = left.join(right, on="k", how="full")
+    assert sorted(fl.columns) == ["k", "k_right", "lv", "rv"]
+    assert len(rows(fl)) == 4
+    flc = left.join(right, on="k", how="full", coalesce=True)
+    assert sorted(flc.columns) == ["k", "lv", "rv"]
+    assert sorted(t[0] for t in rows(flc)) == [1, 2, 3, 4]
+
+
+def test_semi_anti_cross(pl, lf):
+    left, right = _sides(lf)
+    assert [t[0] for t in rows(left.join(right, on="k", how="semi"), sort_by="k")] == [2, 3]
+    assert [t[0] for t in rows(left.join(right, on="k", how="anti"), sort_by="k")] == [1]
+    cx = left.join(right, how="cross")
+    assert len(rows(cx)) == 9
+    assert sorted(cx.columns) == ["k", "k_right", "lv", "rv"]
+
+
+def test_join_suffix_and_different_keys(pl, lf):
+    left = lf(k=[1, 2], v=["a", "b"])
+    right = lf(rk=[1, 2], v=["x", "y"])
+    out = left.join(right, left_on="k", right_on="rk")
+    assert sorted(out.columns) == ["k", "v", "v_right"]
+    out2 = left.join(right, left_on="k", right_on="rk", suffix="_r2")
+    assert "v_r2" in out2.columns
+
+
+def test_join_nulls_equal(pl, lf):
+    left = lf(k=[1.0, None], v=["a", "b"])
+    right = lf(k=[1.0, None], w=["x", "y"])
+    plain = left.join(right, on="k")
+    assert len(rows(plain)) == 1
+    withnulls = left.join(right, on="k", nulls_equal=True)
+    assert len(rows(withnulls)) == 2
+
+
+def test_join_where(pl, lf):
+    east = lf(id=[1, 2], dur=[10, 20])
+    west = lf(t_id=[10, 20], time=[15, 25])
+    out = east.join_where(west, pl.col("dur") < pl.col("time"))
+    assert len(rows(out)) == 3  # (10,15),(10,25),(20,25)
+
+
+def test_asof_backward_edges(pl, lf):
+    left = lf(t=[1, 4, 7], g=["a", "a", "a"])
+    right = lf(t=[2, 4, 6], v=[10.0, 20.0, 30.0], g=["a", "a", "a"])
+    out = left.join_asof(right, on="t", by="g", strategy="backward")
+    r = rows(out, sort_by="t")
+    # before-first -> null; exact tie (4) matches; 7 -> last (6 -> 30)
+    assert r == [(1, "a", None), (4, "a", 20.0), (7, "a", 30.0)]
+
+
+def test_asof_forward_nearest(pl, lf):
+    left = lf(t=[1, 5, 10], g=["a"] * 3)
+    right = lf(t=[2, 4, 9], v=[10.0, 20.0, 30.0], g=["a"] * 3)
+    fwd = rows(left.join_asof(right, on="t", by="g", strategy="forward"), sort_by="t")
+    assert fwd == [(1, "a", 10.0), (5, "a", 30.0), (10, "a", None)]  # after-last -> null
+    near = rows(left.join_asof(right, on="t", by="g", strategy="nearest"), sort_by="t")
+    assert near == [(1, "a", 10.0), (5, "a", 20.0), (10, "a", 30.0)]
+
+
+def test_asof_tolerance(pl, lf):
+    left = lf(t=[10, 20], g=["a", "a"])
+    right = lf(t=[1, 19], v=[1.0, 2.0], g=["a", "a"])
+    out = rows(left.join_asof(right, on="t", by="g", tolerance=5), sort_by="t")
+    assert out == [(10, "a", None), (20, "a", 2.0)]
+
+
+def test_asof_by_groups(pl, lf):
+    left = lf(t=[5, 5], g=["a", "b"])
+    right = lf(t=[3, 4], v=[1.0, 2.0], g=["a", "b"])
+    out = rows(left.join_asof(right, on="t", by="g"), sort_by="g")
+    assert out == [(5, "a", 1.0), (5, "b", 2.0)]
+
+
+def test_asof_timestamps_tolerance_str(pl, lf):
+    left = lf(ts=[pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-01 12:00")], g=["a", "a"])
+    right = lf(
+        ts=[pd.Timestamp("2024-01-01 09:59"), pd.Timestamp("2024-01-01 10:30")],
+        v=[1.0, 2.0],
+        g=["a", "a"],
+    )
+    out = rows(left.join_asof(right, on="ts", by="g", tolerance="5m"), sort_by="ts")
+    assert out[0][2] == 1.0  # within 5 minutes
+    assert out[1][2] is None  # 12:00 vs 10:30 > 5m
+
+
+def test_asof_suffix_collision(pl, lf):
+    left = lf(t=[5], v=[0.0], g=["a"])
+    right = lf(t=[3], v=[1.0], g=["a"])
+    out = left.join_asof(right, on="t", by="g")
+    assert "v_right" in out.columns

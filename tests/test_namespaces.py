@@ -1,0 +1,378 @@
+"""Namespace methods: .str / .dt / .list / .struct / .bin / .name.
+
+Mirrors cases from py-polars/tests/unit/operations/namespaces/."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+# ---------------------------------------------------------------- .str
+
+
+def test_str_case_len(pl, lf):
+    f = lf(s=["Hello World", "abc"])
+    r = rows(
+        f.select(
+            pl.col("s").str.to_lowercase().alias("lo"),
+            pl.col("s").str.to_uppercase().alias("up"),
+            pl.col("s").str.to_titlecase().alias("ti"),
+            pl.col("s").str.len_chars().alias("nc"),
+            pl.col("s").str.len_bytes().alias("nb"),
+            pl.col("s").str.reverse().alias("rev"),
+        )
+    )
+    assert r[0] == ("hello world", "HELLO WORLD", "Hello World", 11, 11, "dlroW olleH")
+    assert r[1] == ("abc", "ABC", "Abc", 3, 3, "cba")
+
+
+def test_str_contains_find_count(pl, lf):
+    f = lf(s=["foo bar foo", "baz"])
+    r = rows(
+        f.select(
+            pl.col("s").str.contains("foo").alias("c"),
+            pl.col("s").str.contains("F.o", literal=True).alias("cl"),
+            pl.col("s").str.starts_with("foo").alias("sw"),
+            pl.col("s").str.ends_with("foo").alias("ew"),
+            pl.col("s").str.find("bar").alias("fd"),
+            pl.col("s").str.count_matches("foo").alias("cm"),
+            pl.col("s").str.count_matches("o", literal=True).alias("cml"),
+        )
+    )
+    assert r[0] == (True, False, True, True, 4, 2, 4)
+    assert r[1] == (False, False, False, False, None, 0, 0)
+
+
+def test_str_extract(pl, lf):
+    f = lf(s=["a=1 b=2", "nope"])
+    r = rows(
+        f.select(
+            pl.col("s").str.extract(r"a=(\d+)", 1).alias("ex"),
+            pl.col("s").str.extract_all(r"\d+").alias("all"),
+        )
+    )
+    assert r[0][0] == "1" and list(r[0][1]) == ["1", "2"]
+    assert r[1][0] is None and list(r[1][1]) == []
+
+
+def test_str_replace(pl, lf):
+    f = lf(s=["aaa", "bcb"])
+    r = rows(
+        f.select(
+            pl.col("s").str.replace("a", "X").alias("first"),
+            pl.col("s").str.replace_all("a", "X").alias("all"),
+            pl.col("s").str.replace_all("b", "Y", literal=True).alias("lit"),
+            pl.col("s").str.replace_many(["a", "b"], ["1", "2"]).alias("many"),
+        )
+    )
+    assert r[0] == ("Xaa", "XXX", "aaa", "111")
+    assert r[1] == ("bcb", "bcb", "YcY", "2c2")
+
+
+def test_str_strip_pad(pl, lf):
+    f = lf(s=["  hi  ", "xxhixx"])
+    r = rows(
+        f.select(
+            pl.col("s").str.strip_chars().alias("t"),
+            pl.col("s").str.strip_chars("x").alias("tx"),
+            pl.col("s").str.strip_prefix("xx").alias("pre"),
+            pl.col("s").str.strip_suffix("xx").alias("suf"),
+        )
+    )
+    assert r[0][0] == "hi"
+    assert r[1][1] == "hi"
+    assert r[1][2] == "hixx" and r[1][3] == "xxhi"
+    r2 = rows(
+        lf(s=["5", "-5"]).select(
+            pl.col("s").str.zfill(3).alias("z"),
+            pl.col("s").str.pad_start(4, "_").alias("ps"),
+            pl.col("s").str.pad_end(4, "_").alias("pe"),
+        )
+    )
+    assert r2[0] == ("005", "___5", "5___")
+    assert r2[1][0] == "-05"
+
+
+def test_str_slice_split(pl, lf):
+    f = lf(s=["hello world"])
+    r = rows(
+        f.select(
+            pl.col("s").str.slice(6).alias("sl"),
+            pl.col("s").str.slice(0, 5).alias("sl2"),
+            pl.col("s").str.slice(-5, 5).alias("sl3"),
+            pl.col("s").str.head(5).alias("hd"),
+            pl.col("s").str.tail(5).alias("tl"),
+            pl.col("s").str.split(" ").alias("sp"),
+        )
+    )[0]
+    assert r[0] == "world" and r[1] == "hello" and r[2] == "world"
+    assert r[3] == "hello" and r[4] == "world" and list(r[5]) == ["hello", "world"]
+
+
+def test_str_split_exact_splitn(pl, lf):
+    f = lf(s=["a-b-c"])
+    pdf = f.select(
+        pl.col("s").str.split_exact("-", 1).alias("se"),
+        pl.col("s").str.splitn("-", 2).alias("sn"),
+    ).collect()
+    assert pdf["se"][0] == {"field_0": "a", "field_1": "b"}
+    assert pdf["sn"][0] == {"field_0": "a", "field_1": "b-c"}
+
+
+def test_str_conversions(pl, lf):
+    f = lf(s=["42", "ff"])
+    r = rows(
+        f.select(
+            pl.col("s").str.to_integer(strict=False).alias("i10"),
+            pl.col("s").str.to_integer(base=16).alias("i16"),
+        )
+    )
+    assert r[0] == (42, 66)
+    assert r[1][0] is None and r[1][1] == 255
+
+
+def test_str_datetime_parse(pl, lf):
+    f = lf(s=["2024-03-05 10:30:00"])
+    r = rows(
+        f.select(
+            pl.col("s").str.to_datetime("%Y-%m-%d %H:%M:%S").alias("ts"),
+            pl.col("s").str.to_date("%Y-%m-%d %H:%M:%S").alias("d"),
+        )
+    )[0]
+    assert r[0] == pd.Timestamp("2024-03-05 10:30:00")
+    assert str(r[1]) == "2024-03-05"
+
+
+def test_str_json(pl, lf):
+    f = lf(s=['{"a": 1, "b": "x"}'])
+    r = rows(
+        f.select(
+            pl.col("s").str.json_path_match("$.b").alias("jp"),
+            pl.col("s").str.json_decode("a INT, b STRING").struct.field("a").alias("ja"),
+        )
+    )[0]
+    assert r == ("x", 1)
+
+
+def test_str_encode_decode(pl, lf):
+    f = lf(s=["hi"])
+    r = rows(
+        f.select(
+            pl.col("s").str.encode("hex").alias("hx"),
+            pl.col("s").str.encode("base64").alias("b64"),
+        )
+    )[0]
+    assert r[0] == "6869"
+    assert r[1] == "aGk="
+
+
+# ---------------------------------------------------------------- .dt
+
+
+def test_dt_parts(pl, lf):
+    f = lf(t=[pd.Timestamp("2024-03-05 10:30:45.123456")])
+    r = rows(
+        f.select(
+            pl.col("t").dt.year().alias("y"),
+            pl.col("t").dt.quarter().alias("q"),
+            pl.col("t").dt.month().alias("mo"),
+            pl.col("t").dt.week().alias("w"),
+            pl.col("t").dt.weekday().alias("wd"),  # 2024-03-05 is Tuesday -> 2
+            pl.col("t").dt.day().alias("d"),
+            pl.col("t").dt.ordinal_day().alias("od"),
+            pl.col("t").dt.hour().alias("h"),
+            pl.col("t").dt.minute().alias("mi"),
+            pl.col("t").dt.second().alias("s"),
+            pl.col("t").dt.millisecond().alias("ms"),
+            pl.col("t").dt.microsecond().alias("us"),
+        )
+    )[0]
+    assert r == (2024, 1, 3, 10, 2, 5, 65, 10, 30, 45, 123, 123456)
+
+
+def test_dt_iso_year_weekday_sunday(pl, lf):
+    f = lf(t=[pd.Timestamp("2021-01-01"), pd.Timestamp("2024-03-10")])  # Fri, Sun
+    r = rows(f.select(pl.col("t").dt.iso_year().alias("iy"), pl.col("t").dt.weekday().alias("wd")))
+    assert r[0] == (2020, 5)  # 2021-01-01 is ISO year 2020, Friday=5
+    assert r[1][1] == 7  # Sunday=7
+
+
+def test_dt_truncate_round(pl, lf):
+    f = lf(t=[pd.Timestamp("2024-03-05 10:37:45")])
+    r = rows(
+        f.select(
+            pl.col("t").dt.truncate("15m").alias("t15"),
+            pl.col("t").dt.truncate("1h").alias("t1h"),
+            pl.col("t").dt.truncate("1mo").alias("t1mo"),
+            pl.col("t").dt.round("1h").alias("r1h"),
+        )
+    )[0]
+    assert r[0] == pd.Timestamp("2024-03-05 10:30:00")
+    assert r[1] == pd.Timestamp("2024-03-05 10:00:00")
+    assert r[2] == pd.Timestamp("2024-03-01 00:00:00")
+    assert r[3] == pd.Timestamp("2024-03-05 11:00:00")
+
+
+def test_dt_offset_month_edges(pl, lf):
+    f = lf(t=[pd.Timestamp("2024-01-31 12:00:00")])
+    r = rows(
+        f.select(
+            pl.col("t").dt.offset_by("1mo").alias("mo"),
+            pl.col("t").dt.offset_by("2d12h").alias("fixed"),
+            pl.col("t").dt.month_start().alias("ms"),
+            pl.col("t").dt.month_end().alias("me"),
+        )
+    )[0]
+    assert r[0] == pd.Timestamp("2024-02-29 12:00:00")  # saturating add_months
+    assert r[1] == pd.Timestamp("2024-02-03 00:00:00")
+    assert r[2] == pd.Timestamp("2024-01-01 12:00:00")
+    assert r[3] == pd.Timestamp("2024-01-31 12:00:00")
+
+
+def test_dt_epoch_strftime(pl, lf):
+    f = lf(t=[pd.Timestamp("1970-01-02 00:00:00")])
+    r = rows(
+        f.select(
+            pl.col("t").dt.epoch("s").alias("es"),
+            pl.col("t").dt.epoch("ms").alias("ems"),
+            pl.col("t").dt.epoch("us").alias("eus"),
+            pl.col("t").dt.epoch("d").alias("ed"),
+            pl.col("t").dt.strftime("%Y/%m/%d %H:%M").alias("fmt"),
+        )
+    )[0]
+    assert r == (86400, 86400000, 86400000000, 1, "1970/01/02 00:00")
+
+
+def test_dt_is_leap_year_date(pl, lf):
+    f = lf(t=[pd.Timestamp("2024-05-05 10:00:00"), pd.Timestamp("2023-05-05 10:00:00")])
+    r = rows(f.select(pl.col("t").dt.is_leap_year().alias("ly"), pl.col("t").dt.date().alias("d")))
+    assert r[0][0] is True and r[1][0] is False
+    assert str(r[0][1]) == "2024-05-05"
+
+
+# ---------------------------------------------------------------- .list
+
+
+def test_list_basics(pl, lf):
+    f = lf(a=[[3, 1, 2], [5], []])
+    r = rows(
+        f.select(
+            pl.col("a").list.len().alias("n"),
+            pl.col("a").list.get(0).alias("g0"),
+            pl.col("a").list.first().alias("fst"),
+            pl.col("a").list.last().alias("lst"),
+            pl.col("a").list.contains(2).alias("has2"),
+            pl.col("a").list.min().alias("mn"),
+            pl.col("a").list.max().alias("mx"),
+            pl.col("a").list.sum().alias("sm"),
+            pl.col("a").list.mean().alias("me"),
+        )
+    )
+    assert r[0] == (3, 3, 3, 2, True, 1, 3, 6.0, 2.0)
+    assert r[1] == (1, 5, 5, 5, False, 5, 5, 5.0, 5.0)
+    assert r[2] == (0, None, None, None, False, None, None, 0.0, None)
+
+
+def test_list_sort_unique_slice(pl, lf):
+    f = lf(a=[[3, 1, 2, 1]])
+    pdf = f.select(
+        pl.col("a").list.sort().alias("s"),
+        pl.col("a").list.sort(descending=True).alias("sd"),
+        pl.col("a").list.unique().alias("u"),
+        pl.col("a").list.reverse().alias("rv"),
+        pl.col("a").list.head(2).alias("hd"),
+        pl.col("a").list.tail(2).alias("tl"),
+        pl.col("a").list.n_unique().alias("nu"),
+        pl.col("a").list.arg_max().alias("am"),
+    ).collect()
+    assert list(pdf["s"][0]) == [1, 1, 2, 3]
+    assert list(pdf["sd"][0]) == [3, 2, 1, 1]
+    assert sorted(pdf["u"][0]) == [1, 2, 3]
+    assert list(pdf["rv"][0]) == [1, 2, 1, 3]
+    assert list(pdf["hd"][0]) == [3, 1]
+    assert list(pdf["tl"][0]) == [2, 1]
+    assert pdf["nu"][0] == 3
+    assert pdf["am"][0] == 0
+
+
+def test_list_eval_filter(pl, lf):
+    f = lf(a=[[1, 2, 3, 4]])
+    pdf = f.select(
+        pl.col("a").list.eval(pl.element() * 10).alias("e"),
+        pl.col("a").list.filter(pl.element() % 2 == 0).alias("f"),
+        pl.col("a").list.count_matches(2).alias("cm"),
+    ).collect()
+    assert list(pdf["e"][0]) == [10, 20, 30, 40]
+    assert list(pdf["f"][0]) == [2, 4]
+    assert pdf["cm"][0] == 1
+
+
+def test_list_set_ops(pl, lf):
+    f = lf(a=[[1, 2, 3]], b=[[2, 3, 4]])
+    pdf = f.select(
+        pl.col("a").list.set_union(pl.col("b")).alias("u"),
+        pl.col("a").list.set_intersection(pl.col("b")).alias("i"),
+        pl.col("a").list.set_difference(pl.col("b")).alias("d"),
+        pl.col("a").list.set_symmetric_difference(pl.col("b")).alias("sd"),
+    ).collect()
+    assert sorted(pdf["u"][0]) == [1, 2, 3, 4]
+    assert sorted(pdf["i"][0]) == [2, 3]
+    assert sorted(pdf["d"][0]) == [1]
+    assert sorted(pdf["sd"][0]) == [1, 4]
+
+
+def test_list_join_median(pl, lf):
+    f = lf(a=[["x", "y"]], b=[[1.0, 2.0, 3.0, 4.0]])
+    pdf = f.select(
+        pl.col("a").list.join("-").alias("j"),
+        pl.col("b").list.median().alias("m"),
+    ).collect()
+    assert pdf["j"][0] == "x-y"
+    assert pdf["m"][0] == 2.5
+
+
+# ---------------------------------------------------------------- .struct / .bin / .name
+
+
+def test_struct_ops(pl, lf):
+    f = lf(a=[1], b=["x"])
+    st = pl.struct(pl.col("a"), pl.col("b")).alias("s")
+    pdf = (
+        f.select(st)
+        .select(
+            pl.col("s").struct.field("a").alias("fa"),
+            pl.col("s").struct.json_encode().alias("js"),
+            pl.col("s").struct.rename_fields(["p", "q"]).alias("rn"),
+            pl.col("s").struct.prefix_fields("x_").alias("px"),
+        )
+        .collect()
+    )
+    assert pdf["fa"][0] == 1
+    assert pdf["js"][0] == '{"a":1,"b":"x"}'
+    assert pdf["rn"][0] == {"p": 1, "q": "x"}
+    assert pdf["px"][0] == {"x_a": 1, "x_b": "x"}
+
+
+def test_bin_ops(pl, lf):
+    f = lf(s=["hi"])
+    r = rows(
+        f.select(
+            pl.col("s").cast("Binary").bin.size().alias("n"),
+            pl.col("s").cast("Binary").bin.encode("hex").alias("hx"),
+            pl.col("s").cast("Binary").bin.starts_with(pl.lit("h").cast("Binary")).alias("sw"),
+        )
+    )[0]
+    assert r[0] == 2 and r[1] == "6869" and r[2] is True
+
+
+def test_name_ns(pl, lf):
+    f = lf(abc=[1])
+    out = f.select(
+        pl.col("abc").name.prefix("p_"),
+        pl.col("abc").name.suffix("_s"),
+        pl.col("abc").name.to_uppercase(),
+    )
+    assert out.columns == ["p_abc", "abc_s", "ABC"]

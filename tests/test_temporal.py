@@ -1,0 +1,78 @@
+"""Temporal grouping: group_by_dynamic (tumbling + sliding), rolling context,
+upsample-ish spine behavior (SURVEY §2.10)."""
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+def _events(lf):
+    ts = [
+        "2024-01-01 00:05",
+        "2024-01-01 00:20",
+        "2024-01-01 00:35",
+        "2024-01-01 00:50",
+        "2024-01-01 01:05",
+    ]
+    return lf(ts=[pd.Timestamp(t) for t in ts], v=[1.0, 2.0, 3.0, 4.0, 5.0], g=["a", "a", "a", "b", "b"])
+
+
+def test_dynamic_tumbling(pl, lf):
+    f = _events(lf)
+    out = f.group_by_dynamic("ts", every="30m").agg(
+        pl.col("v").sum().alias("s"), pl.len().alias("n")
+    ).sort("ts")
+    r = rows(out)
+    assert r == [
+        (pd.Timestamp("2024-01-01 00:00"), 3.0, 2),
+        (pd.Timestamp("2024-01-01 00:30"), 7.0, 2),
+        (pd.Timestamp("2024-01-01 01:00"), 5.0, 1),
+    ]
+
+
+def test_dynamic_sliding(pl, lf):
+    f = _events(lf)
+    out = f.group_by_dynamic("ts", every="30m", period="1h").agg(pl.len().alias("n")).sort("ts")
+    r = rows(out)
+    # window [23:30,00:30): 2 rows; [00:00,01:00): 4; [00:30,01:30): 3; [01:00,02:00): 1
+    assert r == [
+        (pd.Timestamp("2023-12-31 23:30"), 2),
+        (pd.Timestamp("2024-01-01 00:00"), 4),
+        (pd.Timestamp("2024-01-01 00:30"), 3),
+        (pd.Timestamp("2024-01-01 01:00"), 1),
+    ]
+
+
+def test_dynamic_by_group(pl, lf):
+    f = _events(lf)
+    out = f.group_by_dynamic("ts", every="1h", group_by="g").agg(pl.col("v").sum().alias("s"))
+    r = rows(out, sort_by=["g", "ts"])
+    assert r == [
+        ("a", pd.Timestamp("2024-01-01 00:00"), 6.0),
+        ("b", pd.Timestamp("2024-01-01 00:00"), 4.0),
+        ("b", pd.Timestamp("2024-01-01 01:00"), 5.0),
+    ]
+
+
+def test_rolling_context(pl, lf):
+    f = _events(lf)
+    out = f.rolling("ts", period="30m", group_by="g").agg(
+        pl.col("v").sum().alias("s"), pl.col("v").count().alias("n")
+    )
+    r = rows(out, sort_by=["g", "ts"])
+    # (t-30m, t] per row within group
+    assert [t[3] for t in r] == [1, 2, 2, 1, 2]
+    assert [t[2] for t in r] == [1.0, 3.0, 5.0, 4.0, 9.0]
+
+
+def test_rolling_excludes_left_boundary(pl, lf):
+    f = lf(
+        ts=[pd.Timestamp("2024-01-01 00:00"), pd.Timestamp("2024-01-01 00:30")],
+        v=[1.0, 2.0],
+        g=["a", "a"],
+    )
+    out = f.rolling("ts", period="30m", group_by="g").agg(pl.col("v").sum().alias("s"))
+    r = rows(out, sort_by="ts")
+    # second window is (00:00, 00:30] -> excludes the 00:00 row (closed='right')
+    assert [t[2] for t in r] == [1.0, 2.0]
