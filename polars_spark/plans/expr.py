@@ -61,6 +61,12 @@ class ExprContext:
     def order_window(self, reverse: bool = False) -> Window:
         return Window.orderBy(*self.order_by_cols(reverse))
 
+    def partition_cols(self) -> list[Column]:
+        """Partition columns contributed by an enclosing .over(...) — empty at
+        top level.  Value-partitioned ops (rank, is_duplicated, ...) must
+        include these so `expr.rank().over(k)` ranks within each group."""
+        return []
+
 
 def _to_expr(v: Any) -> "Expr":
     return v if isinstance(v, Expr) else lit(v)
@@ -418,15 +424,23 @@ class Expr:
         return Expr(fn, self._name)
 
     def is_duplicated(self):
-        return self._map(lambda c: F.count("*").over(Window.partitionBy(c)) > 1)
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            return F.count(F.lit(1)).over(Window.partitionBy(*ctx.partition_cols(), c)) > 1
+
+        return Expr(fn, self._name)
 
     def is_unique(self):
-        return self._map(lambda c: F.count("*").over(Window.partitionBy(c)) == 1)
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            return F.count(F.lit(1)).over(Window.partitionBy(*ctx.partition_cols(), c)) == 1
+
+        return Expr(fn, self._name)
 
     def is_first_distinct(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            w = Window.partitionBy(c).orderBy(*ctx.order_by_cols())
+            w = Window.partitionBy(*ctx.partition_cols(), c).orderBy(*ctx.order_by_cols())
             return F.row_number().over(w) == 1
 
         return Expr(fn, self._name)
@@ -434,7 +448,7 @@ class Expr:
     def is_last_distinct(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            w = Window.partitionBy(c).orderBy(*ctx.order_by_cols(reverse=True))
+            w = Window.partitionBy(*ctx.partition_cols(), c).orderBy(*ctx.order_by_cols(reverse=True))
             return F.row_number().over(w) == 1
 
         return Expr(fn, self._name)
@@ -655,10 +669,12 @@ class Expr:
     def rank(self, method: str = "average", descending: bool = False):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            w = Window.orderBy(c.desc() if descending else c.asc())
+            parts = ctx.partition_cols()
+            w = Window.partitionBy(*parts).orderBy(c.desc() if descending else c.asc())
+            wv = Window.partitionBy(*parts, c)  # rows sharing this value
             if method == "ordinal":
                 # polars rank('ordinal') breaks ties by row order -> require it
-                w2 = Window.orderBy(
+                w2 = Window.partitionBy(*parts).orderBy(
                     *([c.desc() if descending else c.asc()] + ctx.order_by_cols())
                 )
                 return F.row_number().over(w2)
@@ -667,11 +683,11 @@ class Expr:
             if method == "min":
                 return F.rank().over(w)
             if method == "max":
-                return F.rank().over(w) + F.count("*").over(Window.partitionBy(c)) - 1
+                return F.rank().over(w) + F.count(F.lit(1)).over(wv) - 1
             # average (polars default)
             return (
                 F.rank().over(w).cast("double")
-                + (F.count("*").over(Window.partitionBy(c)) - 1) / 2.0
+                + (F.count(F.lit(1)).over(wv) - 1) / 2.0
             )
 
         return Expr(fn, self._name)
@@ -758,7 +774,7 @@ class Expr:
     def unique_counts(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            return F.count("*").over(Window.partitionBy(c))
+            return F.count(F.lit(1)).over(Window.partitionBy(*ctx.partition_cols(), c))
 
         return Expr(fn, self._name)
 
@@ -820,6 +836,9 @@ class _PartitionedContext(ExprContext):
         if not self.order_cols:
             raise ValueError("over(...) on order-sensitive expr needs row order or order_by=")
         return Window.partitionBy(*self._pcols).orderBy(*self.order_by_cols(reverse))
+
+    def partition_cols(self) -> list[Column]:
+        return list(self._pcols)
 
 
 def _flatten_exprs(items) -> list[Expr]:

@@ -319,6 +319,33 @@ class LazyFrame:
         )
         return LazyFrame(df.drop("__pos__"), lf._order)
 
+    def set_sorted(self, *columns, descending: bool = False) -> "LazyFrame":
+        """Declare (without shuffling) that the frame is ordered by ``columns``
+        — polars set_sorted.  Order-sensitive expressions then use these as
+        the ordering key inside their (partitioned) windows."""
+        cols = list(_flatten(columns))
+        return LazyFrame(self._df, [(c, descending, False) for c in cols])
+
+    def upsample(self, time_column: str, *, every: str, group_by=None) -> "LazyFrame":
+        """Insert missing time steps (polars-time/src/upsample.rs:117):
+        per-group spine = sequence(min, max, every), left-joined back.
+        Distributed: the spine is built from a per-group min/max aggregate,
+        exploded in parallel — no driver materialization."""
+        gb = [group_by] if isinstance(group_by, str) else list(group_by or [])
+        interval = _duration_str(every)
+        spine = (
+            self._df.groupBy(*gb)
+            .agg(F.min(time_column).alias("__lo"), F.max(time_column).alias("__hi"))
+            .select(
+                *gb,
+                F.explode(
+                    F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {interval}"))
+                ).alias(time_column),
+            )
+        )
+        joined = spine.join(self._df, on=[*gb, time_column], how="left")
+        return LazyFrame(joined, [(c, False, False) for c in (*gb, time_column)])
+
     def reverse(self) -> "LazyFrame":
         if not self._order:
             raise ValueError("reverse() needs a defined row order")

@@ -32,6 +32,21 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def fround(col, n: int = 4):
+    """Tie-stable rounding for cross-engine float compares.
+
+    ``round()`` disagrees between engines on exact .5 ties (Spark HALF_UPs
+    the shortest decimal repr, DuckDB rounds the binary value).  floor(x*10^n
+    + 0.5)/10^n is pure IEEE arithmetic — identical inputs give identical
+    outputs on both engines.  Oracle-side equivalent:
+    ``floor(x * 10^n + 0.5) / 10^n``.
+    """
+    from pyspark.sql import functions as F
+
+    p = float(10**n)
+    return F.floor(col * p + 0.5) / p
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from polars_spark.sources import scan_parquet
 

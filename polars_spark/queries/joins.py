@@ -1,1 +1,208 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Join-family registry queries (SURVEY §2.2), exercised through the
+polars_spark frame API so the correctness gate covers the join layer itself.
+
+Reference semantics: JoinType enum polars-ops/src/frame/join/args.rs:62
+(Inner/Left/Right/Full/AsOf/Semi/Anti/IEJoin/Cross), coalesce args.rs:90,
+as-of strategies asof/mod.rs:262.
+
+Scale notes: no query forces a broadcast of a scale-growing table; as-of is
+one window shuffle partitioned by user_id (polars' hardest operator per
+SURVEY §7, here a single pass); the theta join keeps an equality conjunct so
+Spark plans a shuffled hash join, not a cartesian product.
+"""
+
+from __future__ import annotations
+
+from polars_spark.queries import ltable, query
+
+import polars_spark as pl
+
+
+def _cust_rich(spark, sf_dir):
+    return ltable(spark, sf_dir, "customer").filter(pl.col("c_acctbal") > 5000)
+
+
+@query(
+    "join_left_equi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o_custkey = c_custkey
+    """,
+)
+def join_left_equi(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    out = orders.join(
+        _cust_rich(spark, sf_dir), left_on="o_custkey", right_on="c_custkey", how="left"
+    )
+    return out.select("o_orderkey", "o_custkey", "c_name").to_spark()
+
+
+@query(
+    "join_right_equi",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name
+    FROM orders RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o_custkey = c_custkey
+    """,
+)
+def join_right_equi(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    out = orders.join(
+        _cust_rich(spark, sf_dir), left_on="o_custkey", right_on="c_custkey", how="right"
+    )
+    return out.select("o_orderkey", "c_custkey", "c_name").to_spark()
+
+
+@query(
+    "join_full_coalesce",
+    oracle="""
+    SELECT coalesce(o.k, c.c_custkey) AS k, o.n_orders, c.c_name
+    FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders
+          WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+    FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o.k = c.c_custkey
+    """,
+)
+def join_full_coalesce(spark, sf_dir):
+    big_orders = (
+        ltable(spark, sf_dir, "orders")
+        .filter(pl.col("o_totalprice") > 400000)
+        .group_by(pl.col("o_custkey").alias("k"))
+        .agg(pl.len().alias("n_orders"))
+    )
+    cust = _cust_rich(spark, sf_dir)
+    out = big_orders.join(cust, left_on="k", right_on="c_custkey", how="full", coalesce=True)
+    return out.select("k", "n_orders", "c_name").to_spark()
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark, sf_dir):
+    cust = ltable(spark, sf_dir, "customer")
+    f_orders = ltable(spark, sf_dir, "orders").filter(pl.col("o_orderstatus") == "F")
+    out = cust.join(f_orders, left_on="c_custkey", right_on="o_custkey", how="semi")
+    return out.select("c_custkey", "c_name").to_spark()
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_anti(spark, sf_dir):
+    cust = ltable(spark, sf_dir, "customer")
+    f_orders = ltable(spark, sf_dir, "orders").filter(pl.col("o_orderstatus") == "F")
+    out = cust.join(f_orders, left_on="c_custkey", right_on="o_custkey", how="anti")
+    return out.select("c_custkey", "c_name").to_spark()
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    region = ltable(spark, sf_dir, "region")
+    nation = ltable(spark, sf_dir, "nation")
+    return region.join(nation, how="cross").select("r_name", "n_name").to_spark()
+
+
+@query(
+    "join_where_theta",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer, round(sum(c_acctbal), 2) AS bal_sum
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def join_where_theta(spark, sf_dir):
+    """polars join_where (IEJoin, polars-ops/src/frame/join/iejoin/mod.rs:381).
+    The equality conjunct keeps Spark on a shuffled hash join; the inequality
+    is applied as a post-join filter — never a full cartesian product."""
+    supp = ltable(spark, sf_dir, "supplier")
+    cust = ltable(spark, sf_dir, "customer")
+    out = supp.join_where(
+        cust,
+        pl.col("s_nationkey") == pl.col("c_nationkey"),
+        pl.col("c_acctbal") > pl.col("s_acctbal"),
+    )
+    return (
+        out.group_by("s_suppkey")
+        .agg(pl.len().alias("n_richer"), pl.col("c_acctbal").sum().round(2).alias("bal_sum"))
+        .to_spark()
+    )
+
+
+def _click_purchase(spark, sf_dir):
+    ev = ltable(spark, sf_dir, "events")
+    clicks = ev.filter(pl.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.filter(pl.col("event_type") == "purchase").select(
+        "user_id", "ts", pl.col("value").alias("purchase_value")
+    )
+    return clicks, buys
+
+
+@query(
+    "join_asof_backward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, round(r.purchase_value, 2) AS purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof_backward(spark, sf_dir):
+    clicks, buys = _click_purchase(spark, sf_dir)
+    out = clicks.join_asof(buys, on="ts", by="user_id", strategy="backward")
+    return out.select(
+        "event_id", "user_id", "ts", pl.col("purchase_value").round(2).alias("purchase_value")
+    ).to_spark()
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, round(r.purchase_value, 2) AS purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    clicks, buys = _click_purchase(spark, sf_dir)
+    out = clicks.join_asof(buys, on="ts", by="user_id", strategy="forward")
+    return out.select(
+        "event_id", "user_id", "ts", pl.col("purchase_value").round(2).alias("purchase_value")
+    ).to_spark()
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL '1 hour'
+                THEN round(r.purchase_value, 2) END AS purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    clicks, buys = _click_purchase(spark, sf_dir)
+    out = clicks.join_asof(buys, on="ts", by="user_id", strategy="backward", tolerance="1h")
+    return out.select(
+        "event_id", "user_id", "ts", pl.col("purchase_value").round(2).alias("purchase_value")
+    ).to_spark()

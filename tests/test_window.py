@@ -65,6 +65,19 @@ def test_rank_methods(pl, lf):
     assert [t[4] for t in r] == [1.0, 2.5, 2.5, 4.0]
 
 
+def test_rank_over_partition(pl, lf):
+    f = lf(g=["a", "a", "a", "b"], x=[10.0, 20.0, 20.0, 5.0]).with_row_index("i")
+    out = f.with_columns(
+        pl.col("x").rank("min").over("g").alias("r"),
+        pl.col("x").rank("ordinal").over("g").alias("o"),
+        pl.col("x").is_duplicated().over("g").alias("d"),
+    ).sort("i")
+    r = rows(out)
+    assert [t[3] for t in r] == [1, 2, 2, 1]  # rank restarts per group
+    assert [t[4] for t in r] == [1, 2, 3, 1]
+    assert [t[5] for t in r] == [False, True, True, False]
+
+
 def test_rolling(pl, lf):
     f = lf(x=[1.0, 2.0, 3.0, 4.0, 5.0]).with_row_index("i")
     out = f.with_columns(
