@@ -579,7 +579,11 @@ class LazyFrame:
         is_ts = dict(ldf.dtypes)[lon].startswith("timestamp")
 
         def dist(a: Column, b: Column) -> Column:
-            return F.abs(a.cast("double") - b.cast("double")) if is_ts else F.abs(a - b)
+            return (
+                F.abs(a.cast("timestamp").cast("double") - b.cast("timestamp").cast("double"))
+                if is_ts
+                else F.abs(a - b)
+            )
 
         if strategy == "backward":
             m = F.last(F.col("__rs"), ignorenulls=True).over(wb)
@@ -925,7 +929,7 @@ class RollingGroupBy:
     def agg(self, *exprs, **named) -> LazyFrame:
         lf = self._lf
         is_ts = dict(lf._df.dtypes)[self._index].startswith("timestamp")
-        okey = F.unix_micros(F.col(self._index)) if is_ts else F.col(self._index).cast("bigint")
+        okey = F.unix_micros(F.col(self._index).cast("timestamp")) if is_ts else F.col(self._index).cast("bigint")
         w = (
             Window.partitionBy(*[F.col(b) for b in self._by])
             .orderBy(okey)

@@ -123,6 +123,13 @@ def chrono_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+
+def _us(c: Column) -> Column:
+    """unix_micros that tolerates TIMESTAMP_NTZ (session tz is UTC, so the
+    cast is an identity reinterpretation)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 class _NS:
     """Base: holds the parent expr, offers _map/_zip that keep agg-ness."""
 
@@ -378,7 +385,7 @@ class StringNamespace(_NS):
             # Time -> nanoseconds since midnight (SURVEY §1.2 Time mapping)
             def fn(c):
                 ts = F.to_timestamp(F.concat(F.lit("1970-01-01 "), c), f"yyyy-MM-dd {java or 'HH:mm:ss'}")
-                return (F.unix_micros(ts) * 1000).cast("bigint")
+                return (_us(ts) * 1000).cast("bigint")
 
             return self._map(fn)
         raise ValueError(f"strptime to {dtype!r}")
@@ -477,13 +484,13 @@ class DateTimeNamespace(_NS):
         return self._map(lambda c: F.second(c))
 
     def millisecond(self) -> Expr:
-        return self._map(lambda c: (F.unix_micros(c) % 1_000_000 / 1000).cast("int"))
+        return self._map(lambda c: (_us(c) % 1_000_000 / 1000).cast("int"))
 
     def microsecond(self) -> Expr:
-        return self._map(lambda c: (F.unix_micros(c) % 1_000_000).cast("int"))
+        return self._map(lambda c: (_us(c) % 1_000_000).cast("int"))
 
     def nanosecond(self) -> Expr:
-        return self._map(lambda c: (F.unix_micros(c) % 1_000_000 * 1000).cast("bigint"))
+        return self._map(lambda c: (_us(c) % 1_000_000 * 1000).cast("bigint"))
 
     def date(self) -> Expr:
         return self._map(F.to_date)
@@ -491,7 +498,7 @@ class DateTimeNamespace(_NS):
     def time(self) -> Expr:
         # ns since midnight (Time dtype mapping, SURVEY §1.2)
         return self._map(
-            lambda c: ((F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))) * 1000).cast("bigint")
+            lambda c: ((_us(c) - _us(F.date_trunc("DAY", c))) * 1000).cast("bigint")
         )
 
     def is_leap_year(self) -> Expr:
@@ -514,7 +521,7 @@ class DateTimeNamespace(_NS):
 
         us = _duration_us(every)
         return self._map(
-            lambda c: F.timestamp_micros((F.floor(F.unix_micros(c) / us) * us).cast("bigint"))
+            lambda c: F.timestamp_micros((F.floor(_us(c) / us) * us).cast("bigint"))
         )
 
     def round(self, every: str) -> Expr:
@@ -523,7 +530,7 @@ class DateTimeNamespace(_NS):
         us = _duration_us(every)
         return self._map(
             lambda c: F.timestamp_micros(
-                (F.floor((F.unix_micros(c) + us / 2) / us) * us).cast("bigint")
+                (F.floor((_us(c) + us / 2) / us) * us).cast("bigint")
             )
         )
 
@@ -548,40 +555,40 @@ class DateTimeNamespace(_NS):
         def fn(c):
             out = c
             if months:
-                tod = F.unix_micros(out) - F.unix_micros(F.date_trunc("DAY", out))
+                tod = _us(out) - _us(F.date_trunc("DAY", out))
                 d = F.add_months(F.to_date(out), months)
-                out = F.timestamp_micros(F.unix_micros(F.to_timestamp(d)) + tod)
+                out = F.timestamp_micros(_us(F.to_timestamp(d)) + tod)
             if fixed_us:
-                out = F.timestamp_micros(F.unix_micros(out) + fixed_us)
+                out = F.timestamp_micros(_us(out) + fixed_us)
             return out
 
         return self._map(fn)
 
     def month_start(self) -> Expr:
         def fn(c):
-            tod = F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))
-            return F.timestamp_micros(F.unix_micros(F.date_trunc("MONTH", c)) + tod)
+            tod = _us(c) - _us(F.date_trunc("DAY", c))
+            return F.timestamp_micros(_us(F.date_trunc("MONTH", c)) + tod)
 
         return self._map(fn)
 
     def month_end(self) -> Expr:
         def fn(c):
-            tod = F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))
+            tod = _us(c) - _us(F.date_trunc("DAY", c))
             d = F.last_day(F.to_date(c))
-            return F.timestamp_micros(F.unix_micros(F.to_timestamp(d)) + tod)
+            return F.timestamp_micros(_us(F.to_timestamp(d)) + tod)
 
         return self._map(fn)
 
     # -- epoch / formatting ------------------------------------------------------------
     def epoch(self, time_unit: str = "us") -> Expr:
         if time_unit == "us":
-            return self._map(F.unix_micros)
+            return self._map(_us)
         if time_unit == "ms":
             return self._map(F.unix_millis)
         if time_unit == "s":
-            return self._map(lambda c: F.unix_micros(c) / 1_000_000)
+            return self._map(lambda c: _us(c) / 1_000_000)
         if time_unit == "ns":
-            return self._map(lambda c: F.unix_micros(c) * 1000)
+            return self._map(lambda c: _us(c) * 1000)
         if time_unit == "d":
             return self._map(lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01")))
         raise ValueError(time_unit)
@@ -606,7 +613,7 @@ class DateTimeNamespace(_NS):
     # -- duration totals (interval -> scalar via epoch-anchored add) -------------
     def _total(self, div_us: float) -> Expr:
         return self._map(
-            lambda c: (F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + c) / div_us).cast("bigint")
+            lambda c: (_us(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + c) / div_us).cast("bigint")
         )
 
     def total_days(self) -> Expr:

@@ -1,1 +1,231 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Scalar-function registry queries: the .str / .dt / .list namespaces and
+the statistical aggregation family, through the polars_spark Expr API.
+
+Reference registries: strings polars-plan/src/dsl/function_expr/strings.rs:9,
+temporal datetime.rs:6, list list.rs:6, aggregations dsl/expr/mod.rs:22.
+Every lowering stays in pyspark.sql.functions (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from polars_spark.queries import ltable, query
+
+import polars_spark as pl
+
+
+@query(
+    "sf_str_ops",
+    oracle=r"""
+    SELECT doc_id,
+           substr(lower(text), 1, 30)                       AS head30,
+           length(text)                                     AS n_chars,
+           contains(text, 'data')                           AS has_data,
+           len(regexp_extract_all(text, 'data'))            AS n_data,
+           starts_with(text, 'key')                         AS starts_key,
+           replace(text, ' ', '_')                          AS underscored,
+           regexp_extract(text, '^(\w+)', 1)                AS first_word,
+           len(regexp_split_to_array(text, ' '))            AS n_words,
+           upper(substr(text, -10))                         AS tail10,
+           reverse(substr(text, 1, 5))                      AS rev5
+    FROM documents
+    """,
+)
+def sf_str_ops(spark, sf_dir):
+    docs = ltable(spark, sf_dir, "documents")
+    t = pl.col("text")
+    return docs.select(
+        "doc_id",
+        t.str.to_lowercase().str.slice(0, 30).alias("head30"),
+        t.str.len_chars().alias("n_chars"),
+        t.str.contains("data", literal=True).alias("has_data"),
+        t.str.count_matches("data", literal=True).alias("n_data"),
+        t.str.starts_with("key").alias("starts_key"),
+        t.str.replace_all(" ", "_", literal=True).alias("underscored"),
+        t.str.extract(r"^(\w+)", 1).alias("first_word"),
+        t.str.split(" ").list.len().alias("n_words"),
+        t.str.slice(-10).str.to_uppercase().alias("tail10"),
+        t.str.slice(0, 5).str.reverse().alias("rev5"),
+    ).to_spark()
+
+
+@query(
+    "sf_dt_ops",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                            AS y,
+           quarter(o_orderdate)                         AS q,
+           month(o_orderdate)                           AS mo,
+           day(o_orderdate)                             AS d,
+           isodow(o_orderdate)                          AS wd,
+           dayofyear(o_orderdate)                       AS doy,
+           weekofyear(o_orderdate)                      AS wk,
+           date_trunc('month', o_orderdate)             AS mstart,
+           epoch_us(o_orderdate)                        AS ep_us,
+           strftime(o_orderdate, '%Y-%m-%d')            AS fmt
+    FROM orders
+    """,
+)
+def sf_dt_ops(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    d = pl.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.dt.year().alias("y"),
+        d.dt.quarter().alias("q"),
+        d.dt.month().alias("mo"),
+        d.dt.day().alias("d"),
+        d.dt.weekday().alias("wd"),
+        d.dt.ordinal_day().alias("doy"),
+        d.dt.week().alias("wk"),
+        d.dt.truncate("1mo").alias("mstart"),
+        d.dt.epoch("us").alias("ep_us"),
+        d.dt.strftime("%Y-%m-%d").alias("fmt"),
+    ).to_spark()
+
+
+@query(
+    "sf_list_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                        AS dim,
+           round(embedding[1], 5)                                AS first_el,
+           round(list_aggregate(embedding, 'max'), 5)            AS el_max,
+           round(list_aggregate(embedding, 'min'), 5)            AS el_min,
+           round(list_aggregate(embedding, 'sum'), 4)            AS el_sum,
+           round(list_sort(embedding)[1], 5)                     AS sorted_first,
+           len(list_filter(embedding, x -> x > 0))               AS n_pos
+    FROM embeddings
+    """,
+)
+def sf_list_ops(spark, sf_dir):
+    emb = ltable(spark, sf_dir, "embeddings")
+    e = pl.col("embedding")
+    return emb.select(
+        "vec_id",
+        e.list.len().alias("dim"),
+        e.list.get(0).round(5).alias("first_el"),
+        e.list.max().round(5).alias("el_max"),
+        e.list.min().round(5).alias("el_min"),
+        e.list.sum().round(4).alias("el_sum"),
+        e.list.sort().list.get(0).round(5).alias("sorted_first"),
+        e.list.filter(pl.element() > 0).list.len().alias("n_pos"),
+    ).to_spark()
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4)                       AS med_qty,
+           round(stddev_samp(l_extendedprice), 2)             AS std_price,
+           round(var_samp(l_extendedprice), 0)                AS var_price,
+           round(quantile_cont(l_quantity, 0.25), 4)          AS q25_qty,
+           round(quantile_cont(l_quantity, 0.9), 4)           AS q90_qty,
+           count(DISTINCT l_partkey)                          AS nu_parts,
+           min(l_shipdate)                                    AS first_ship,
+           max(l_shipdate)                                    AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            pl.col("l_quantity").median().round(4).alias("med_qty"),
+            pl.col("l_extendedprice").std().round(2).alias("std_price"),
+            pl.col("l_extendedprice").var().round(0).alias("var_price"),
+            pl.col("l_quantity").quantile(0.25, "linear").round(4).alias("q25_qty"),
+            pl.col("l_quantity").quantile(0.9, "linear").round(4).alias("q90_qty"),
+            pl.col("l_partkey").n_unique().alias("nu_parts"),
+            pl.col("l_shipdate").min().alias("first_ship"),
+            pl.col("l_shipdate").max().alias("last_ship"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    SELECT l_linestatus,
+           round((avg(l_quantity*l_quantity*l_quantity)
+                  - 3*avg(l_quantity)*avg(l_quantity*l_quantity)
+                  + 2*avg(l_quantity)*avg(l_quantity)*avg(l_quantity))
+                 / pow(var_pop(l_quantity), 1.5), 6)            AS skew_qty,
+           round((avg(l_quantity*l_quantity*l_quantity*l_quantity)
+                  - 4*avg(l_quantity)*avg(l_quantity*l_quantity*l_quantity)
+                  + 6*avg(l_quantity)*avg(l_quantity)*avg(l_quantity*l_quantity)
+                  - 3*pow(avg(l_quantity), 4))
+                 / pow(var_pop(l_quantity), 2) - 3, 6)          AS kurt_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """skew/kurtosis (biased population estimators, matching polars bias=True
+    and Spark's skewness/kurtosis). Oracle computes the same central moments
+    from raw power sums."""
+    li = ltable(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_linestatus")
+        .agg(
+            pl.col("l_quantity").skew().round(6).alias("skew_qty"),
+            pl.col("l_quantity").kurtosis().round(6).alias("kurt_qty"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "agg_product_entropy",
+    oracle="""
+    SELECT l_orderkey,
+           round(product(1 + l_discount), 6)                                 AS disc_prod,
+           round(ln(sum(l_quantity)) - sum(l_quantity * ln(l_quantity))
+                 / sum(l_quantity), 6)                                       AS qty_entropy,
+           round(sum(l_quantity), 2)                                        AS qty_sum
+    FROM lineitem
+    WHERE l_orderkey < 1000 AND l_quantity > 0
+    GROUP BY l_orderkey
+    """,
+)
+def agg_product_entropy(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem").filter(
+        (pl.col("l_orderkey") < 1000) & (pl.col("l_quantity") > 0)
+    )
+    return (
+        li.group_by("l_orderkey")
+        .agg(
+            (1 + pl.col("l_discount")).product().round(6).alias("disc_prod"),
+            pl.col("l_quantity").entropy(normalize=True).round(6).alias("qty_entropy"),
+            pl.col("l_quantity").sum().round(2).alias("qty_sum"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "agg_any_all_mode",
+    oracle="""
+    SELECT o_orderpriority,
+           max(o_totalprice > 500000)               AS any_big,
+           min(o_totalprice > 1000)                 AS all_over_1k,
+           mode(o_orderstatus)                      AS status_mode,
+           first(o_orderkey ORDER BY o_orderkey)    AS first_key,
+           last(o_orderkey ORDER BY o_orderkey)     AS last_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_any_all_mode(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders").sort("o_orderkey")
+    return (
+        orders.group_by("o_orderpriority")
+        .agg(
+            (pl.col("o_totalprice") > 500000).any().alias("any_big"),
+            (pl.col("o_totalprice") > 1000).all().alias("all_over_1k"),
+            pl.col("o_orderstatus").mode().alias("status_mode"),
+            pl.col("o_orderkey").first().alias("first_key"),
+            pl.col("o_orderkey").last().alias("last_key"),
+        )
+        .to_spark()
+    )

@@ -1,1 +1,134 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Temporal-window registry queries (SURVEY §2.10): group_by_dynamic
+(tumbling + sliding), rolling-by-time, upsample — over the events table.
+
+Reference: DynamicGroupOptions polars-time/src/group_by/dynamic.rs:22,
+RollingGroupOptions :57, upsample polars-time/src/upsample.rs:117.
+
+Spark mapping: F.window(ts, period, every) for dynamic grouping (epoch-
+aligned in both engines, closed='left' == Spark's [start,end)); a
+rangeBetween window over microseconds for rolling ((t-period, t], polars
+closed='right'); a per-group exploded sequence for the upsample spine.
+All shuffles are keyed by (group, window) — no global windows.
+"""
+
+from __future__ import annotations
+
+from polars_spark.queries import ltable, query
+
+import polars_spark as pl
+
+
+@query(
+    "tmp_tumbling_1h",
+    oracle="""
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ts,
+           round(sum(value), 4) AS total, count(*) AS n
+    FROM events GROUP BY event_type, 2
+    """,
+)
+def tmp_tumbling_1h(spark, sf_dir):
+    ev = ltable(spark, sf_dir, "events")
+    return (
+        ev.group_by_dynamic("ts", every="1h", group_by="event_type")
+        .agg(pl.col("value").sum().round(4).alias("total"), pl.len().alias("n"))
+        .to_spark()
+    )
+
+
+@query(
+    "tmp_tumbling_15m",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts,
+           round(sum(value), 4) AS total,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def tmp_tumbling_15m(spark, sf_dir):
+    ev = ltable(spark, sf_dir, "events")
+    return (
+        ev.group_by_dynamic("ts", every="15m")
+        .agg(
+            pl.col("value").sum().round(4).alias("total"),
+            pl.col("value").min().round(2).alias("lo"),
+            pl.col("value").max().round(2).alias("hi"),
+            pl.len().alias("n"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "tmp_sliding_30m_1h",
+    oracle="""
+    SELECT s AS ts, round(sum(value), 4) AS total, count(*) AS n
+    FROM events,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS t(s)
+    GROUP BY s
+    """,
+)
+def tmp_sliding_30m_1h(spark, sf_dir):
+    """Sliding windows (period > every): each row lands in ceil(period/every)
+    = 2 windows; the oracle enumerates both starts per row explicitly."""
+    ev = ltable(spark, sf_dir, "events")
+    return (
+        ev.group_by_dynamic("ts", every="30m", period="1h")
+        .agg(pl.col("value").sum().round(4).alias("total"), pl.len().alias("n"))
+        .to_spark()
+    )
+
+
+@query(
+    "tmp_rolling_30m",
+    oracle="""
+    SELECT event_id,
+           count(value) OVER w AS n_30m,
+           round(sum(value) OVER w, 4) AS sum_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1799999999 microseconds' PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def tmp_rolling_30m(spark, sf_dir):
+    """Rolling-by-time (t-30m, t] per row, partitioned by user_id.  The
+    oracle's frame is 1µs narrower than 30m to reproduce polars' exclusive
+    left boundary."""
+    ev = ltable(spark, sf_dir, "events")
+    out = ev.rolling("ts", period="30m", group_by="user_id").agg(
+        pl.col("value").count().alias("n_30m"),
+        pl.col("value").sum().round(4).alias("sum_30m"),
+    )
+    # rolling returns (user_id, ts, aggs); join event_id back via ts+user
+    evf = ev.select("event_id", "user_id", "ts")
+    return (
+        evf.join(out, on=["user_id", "ts"], how="inner")
+        .select("event_id", "n_30m", "sum_30m")
+        .to_spark()
+    )
+
+
+@query(
+    "tmp_upsample_1h",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS ts
+      FROM bounds
+    )
+    SELECT s.user_id, count(*) AS n_slots, count(e.event_id) AS n_hits
+    FROM spine s LEFT JOIN events e ON s.user_id = e.user_id AND s.ts = e.ts
+    GROUP BY s.user_id
+    """,
+)
+def tmp_upsample_1h(spark, sf_dir):
+    ev = ltable(spark, sf_dir, "events")
+    up = ev.upsample("ts", every="1h", group_by="user_id")
+    return (
+        up.group_by("user_id")
+        .agg(pl.len().alias("n_slots"), pl.col("event_id").count().alias("n_hits"))
+        .to_spark()
+    )
