@@ -1,1 +1,83 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Deduplication registry queries over the documents table
+(polars_spark.llm): exact, n-gram-jaccard (exact, inverted-index), MinHash-
+LSH (approximate, banded), SimHash (approximate, chunk-bucketed).
+
+The exact variants have DuckDB oracles; the LSH variants are rows-only here
+(their hash functions don't exist in DuckDB) and carry recall tests in
+tests/test_llm_ops.py against the exact pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_spark.llm import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from polars_spark.queries import query, table
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT s1.doc_id d1, s2.doc_id d2, count(*) shared
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(shared::DOUBLE / (a.n + b.n - shared), 6) AS jaccard
+    FROM pairs JOIN sizes a ON a.doc_id = d1 JOIN sizes b ON b.doc_id = d2
+    WHERE shared::DOUBLE / (a.n + b.n - shared) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.8 pairs via inverted-index join (never
+    all-pairs; see llm.ngram_jaccard_pairs scale notes)."""
+    docs = table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh")  # approximate: rows-only gate + pytest recall test
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (k=32) + banded LSH (8x4) candidates, exact-jaccard-verified
+    at 0.8.  On this corpus recall vs the exact pair set is 100% (asserted
+    in tests/test_llm_ops.py); kept rows-only because DuckDB lacks xxhash64."""
+    docs = table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.8)
+    return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_simhash")  # approximate: rows-only gate + pytest sanity test
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash near-pairs (hamming <= 3) with 16-bit-chunk pigeonhole
+    bucketing (llm.simhash_near_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,1 +1,91 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Similarity-search registry queries over the embeddings table
+(polars_spark.llm): brute-force cosine top-k (exact, oracle-checked) and
+random-hyperplane LSH ANN (approximate, recall-tested in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_spark.llm import cosine_topk_bruteforce, cosine_topk_lsh
+from polars_spark.queries import ltable, query, table
+
+
+def _queries_subset(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < 20)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    SELECT qid, nid, sim, rk FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rk
+      FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+      CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id
+    ) WHERE rk <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Exact top-5 cosine neighbors for 20 probe vectors — the ANN
+    correctness baseline.  Ties broken on (rounded sim desc, id asc) in both
+    engines so ranks are deterministic."""
+    emb, probes = _queries_subset(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, probes, k=5)
+
+
+@query("sim_ann_lsh")  # approximate: rows-only gate + pytest recall test
+def sim_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH (6 planes, hamming-1 multiprobe) + exact rerank
+    within buckets.  Candidate scoring drops from Q*N to ~Q*N*7/64; recall
+    vs brute force asserted in tests/test_llm_ops.py."""
+    emb, probes = _queries_subset(spark, sf_dir)
+    return cosine_topk_lsh(emb, probes, k=5, n_planes=6, dim=64)
+
+
+@query(
+    "sim_label_centroid",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    flat AS (
+      SELECT label, d, avg(embedding[d]::DOUBLE) AS m
+      FROM embeddings, dims GROUP BY label, d
+    )
+    SELECT label, round(sum(m * m), 6) AS centroid_norm2, count(*) AS dim
+    FROM flat GROUP BY label
+    """,
+)
+def sim_label_centroid(spark, sf_dir):
+    """Per-label centroid of the embedding column computed with
+    posexplode + re-aggregation — the distributed pattern for vector
+    averaging (no driver collect)."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("d", "v"))
+    cent = flat.groupBy("label", "d").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return cent.groupBy("label").agg(
+        F.round(F.sum(F.col("m") * F.col("m")), 6).alias("centroid_norm2"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+
+
+@query("mm_extract_features")  # plumbing check: fake decoder is deterministic
+def mm_extract_features(spark, sf_dir):
+    """Multimodal plumbing: text bytes as a stand-in binary payload ->
+    Arrow-batched mapInPandas featurizer (byte histogram, FAKE decode step —
+    see polars_spark.multimodal) -> per-source feature means."""
+    from polars_spark.multimodal import attach_fake_image_bytes, extract_features
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_fake_image_bytes(docs, "text")
+    feats = extract_features(media, "image")
+    return (
+        feats.select("source", F.posexplode("features").alias("d", "v"))
+        .groupBy("source", "d")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    )

@@ -1,1 +1,116 @@
-"""Populated incrementally; see polars_spark/queries/__init__.py."""
+"""Text-analysis registry queries over the documents table: token counting,
+quality scoring, language ID, fingerprinting (polars_spark.llm.text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_spark.llm import fingerprint, normalize_text
+from polars_spark.llm.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from polars_spark.queries import query, table
+
+
+@query(
+    "txt_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+'))                       AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))    AS n_bpe_ish,
+           length(text)                                                        AS n_chars,
+           round(length(text)::DOUBLE
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def txt_token_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_ish"),
+        F.length(t).alias("n_chars"),
+        F.round(F.length(t) / F.greatest(token_count(t), F.lit(1)), 6).alias("chars_per_token"),
+    )
+
+
+@query(
+    "txt_quality",
+    oracle=r"""
+    SELECT doc_id, round(
+        0.3 * (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.5 END)
+      + 0.2 * (CASE WHEN length(text)::DOUBLE / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+                    BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+      + 0.2 * (1 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1) * 10, 1.0)), 6) AS quality
+    FROM documents
+    """,
+)
+def txt_quality(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    """Mirror llm.text.lang_id in DuckDB SQL (same stopword lists, same
+    tie-break order)."""
+    score = {
+        lang: (
+            f"len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')), "
+            f"{words!r}))::DOUBLE / greatest(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))), 1)"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = best AND best >= 0.01 THEN '{lang}'" for lang in STOPWORDS
+    )
+    return f"""
+    SELECT doc_id, CASE {whens} ELSE 'unknown' END AS lang_guess
+    FROM (SELECT doc_id, text, {best} AS best FROM documents)
+    """
+
+
+@query("txt_lang_id", oracle=_lang_oracle())
+def txt_lang_id(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "txt_fingerprint",
+    oracle=r"""
+    SELECT source,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def txt_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_distinct"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "txt_normalize",
+    oracle=r"""
+    SELECT doc_id, substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS norm_head
+    FROM documents
+    """,
+)
+def txt_normalize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring(normalize_text(F.col("text")), 1, 40).alias("norm_head")
+    )

@@ -1,0 +1,117 @@
+"""LLM-pipeline operator tests: recall of the approximate (LSH) variants
+against their exact counterparts, multimodal plumbing determinism.
+
+Runs on the sf0.001 fixtures (50 docs / 50 vectors) for speed; the sf0.01
+behavior is covered by the registry gate.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from polars_spark.sources import scan_parquet
+
+    return scan_parquet(f"{SF_DIR}/documents.parquet", spark=spark).to_spark()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from polars_spark.sources import scan_parquet
+
+    return scan_parquet(f"{SF_DIR}/embeddings.parquet", spark=spark).to_spark()
+
+
+def test_minhash_lsh_recall(spark, docs):
+    from polars_spark.llm import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    approx = {
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8, threshold=0.8).collect()
+    }
+    # verification step makes approx a subset of exact; recall must be high
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} below 0.9 (exact={len(exact)})"
+
+
+def test_simhash_flags_near_dups(spark, docs):
+    from polars_spark.llm import ngram_jaccard_pairs, simhash_near_pairs
+
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    sim = {(r["d1"], r["d2"]) for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    if exact:
+        # 0.9-jaccard pairs can differ in >3 of 64 simhash bits, so hamming<=3
+        # is a high-precision / partial-recall filter by design; require most
+        recall = len(sim & exact) / len(exact)
+        assert recall >= 0.7, f"simhash recall {recall} (exact={len(exact)}, sim={len(sim)})"
+
+
+def test_simhash_deterministic(spark, docs):
+    from polars_spark.llm import simhash
+
+    a = {r["doc"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    b = {r["doc"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert a == b and len(a) == docs.count()
+
+
+def test_ann_lsh_recall(spark, emb):
+    from polars_spark.llm import cosine_topk_bruteforce, cosine_topk_lsh
+
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"]) for r in cosine_topk_bruteforce(emb, probes, k=3).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk_lsh(emb, probes, k=3, n_planes=4, dim=64).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    from polars_spark.llm import exact_dedup
+
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    assert sum(r["n_copies"] for r in out) == docs.count()
+    assert all(r["keep_id"] is not None for r in out)
+
+
+def test_multimodal_fake_features(spark, docs):
+    from polars_spark.multimodal import attach_fake_image_bytes, decode_image, extract_features
+
+    media = attach_fake_image_bytes(docs, "text")
+    assert dict(media.dtypes)["image"] == "binary"
+    feats = extract_features(media, "image").collect()
+    assert len(feats) == docs.count()
+    v = feats[0]["features"]
+    assert len(v) == 16
+    assert abs(sum(v) - 1.0) < 1e-5  # normalized histogram
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+def test_quality_and_lang_bounds(spark, docs):
+    from polars_spark.llm.text import lang_id, quality_score
+
+    r = docs.select(
+        quality_score(F.col("text")).alias("q"), lang_id(F.col("text")).alias("l")
+    ).collect()
+    assert all(0.0 <= row["q"] <= 1.0 for row in r)
+    assert all(row["l"] in ("en", "es", "fr", "de", "unknown") for row in r)
