@@ -71,4 +71,5 @@ from polars_spark.queries import (  # noqa: E402,F401
     text,
     dedup,
     similarity,
+    io_sql,
 )

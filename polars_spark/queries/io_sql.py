@@ -1,0 +1,173 @@
+"""IO round-trip + SQL registry queries (SURVEY §2.8/§2.9).
+
+Round-trip pattern: sink the table in the target format to a scratch dir,
+re-scan it through the polars_spark scan API, aggregate — the oracle runs
+the same aggregate on the ORIGINAL parquet, so any loss in the sink/scan
+path (types, nulls, partition columns) breaks the hash match.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from polars_spark.queries import ltable, query
+
+import polars_spark as pl
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "polars_spark_io")
+
+
+def _dir(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@query(
+    "io_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def io_csv_roundtrip(spark, sf_dir):
+    cust = ltable(spark, sf_dir, "customer")
+    path = _dir("cust_csv")
+    cust.sink_csv(path)
+    back = pl.scan_csv(
+        path, schema="c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
+    )
+    return (
+        back.group_by("c_mktsegment")
+        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2).alias("bal"))
+        .to_spark()
+    )
+
+
+@query(
+    "io_ndjson_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def io_ndjson_roundtrip(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _dir("orders_json")
+    orders.sink_ndjson(path)
+    back = pl.scan_ndjson(path, schema="o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+    return (
+        back.group_by("o_orderstatus")
+        .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2).alias("total"))
+        .to_spark()
+    )
+
+
+@query(
+    "io_parquet_partitioned",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def io_parquet_partitioned(spark, sf_dir):
+    """Hive-partitioned sink (PartitionStrategy::Keyed, dsl/options/sink.rs:281)
+    then partition-pruned re-scan: the partition column round-trips through
+    the directory layout."""
+    orders = ltable(spark, sf_dir, "orders")
+    path = _dir("orders_part")
+    orders.sink_parquet(path, partition_by="o_orderstatus")
+    back = pl.scan_parquet(path)
+    return (
+        back.group_by(pl.col("o_orderstatus").cast("String").alias("o_orderstatus"), "o_orderpriority")
+        .agg(pl.len().alias("n"))
+        .to_spark()
+    )
+
+
+@query(
+    "sql_cte_window",
+    oracle="""
+    WITH totals AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(spend), 2) AS seg_spend
+    FROM totals JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_cte_window(spark, sf_dir):
+    """SQLContext: CTE + join + aggregate executed by spark.sql over
+    registered frames (polars-sql context.rs:245 -> Catalyst for free)."""
+    ctx = pl.SQLContext(
+        frames={
+            "orders": ltable(spark, sf_dir, "orders"),
+            "customer": ltable(spark, sf_dir, "customer"),
+        }
+    )
+    return ctx.execute(
+        """
+        WITH totals AS (
+          SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, count(*) AS n, round(sum(spend), 2) AS seg_spend
+        FROM totals JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    ).to_spark()
+
+
+@query(
+    "sql_set_ops",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 3000
+    """,
+)
+def sql_set_ops(spark, sf_dir):
+    ctx = pl.SQLContext(
+        frames={
+            "customer": ltable(spark, sf_dir, "customer"),
+            "supplier": ltable(spark, sf_dir, "supplier"),
+        }
+    )
+    return ctx.execute(
+        """
+        SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+        INTERSECT
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 3000
+        """
+    ).to_spark()
+
+
+@query(
+    "sql_window_rank",
+    oracle="""
+    SELECT n_name, c_custkey, bal_rank FROM (
+      SELECT n_name, c_custkey,
+             rank() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE bal_rank <= 3
+    """,
+)
+def sql_window_rank(spark, sf_dir):
+    ctx = pl.SQLContext(
+        frames={
+            "customer": ltable(spark, sf_dir, "customer"),
+            "nation": ltable(spark, sf_dir, "nation"),
+        }
+    )
+    return ctx.execute(
+        """
+        SELECT n_name, c_custkey, bal_rank FROM (
+          SELECT n_name, c_custkey,
+                 rank() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE bal_rank <= 3
+        """
+    ).to_spark()
