@@ -41,6 +41,19 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Ensure CPU-heavy per-row stages use the whole cluster.
+
+    A small corpus arriving as one parquet file is one input split — every
+    downstream hash/shingle computation would run on a single core.  At real
+    scale the scan has thousands of splits and this is a no-op (we never
+    REDUCE the partition count)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # text primitives
 
@@ -99,6 +112,7 @@ def ngram_jaccard_pairs(
     this caps the worst bucket; candidates lost this way are only those
     sharing *no* rare shingle, which near-duplicates always do.
     """
+    df = _spread(df)
     sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -168,26 +182,39 @@ def minhash_lsh_pairs(
     at j=0.8.
     """
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = base.select("doc", "sh", minhash_signature(F.col("sh"), k=k).alias("sig"))
-    banded = sig.select(
-        "doc", "sh", F.explode(lsh_band_keys(F.col("sig"), bands=bands, rows=rows)).alias("band")
+    # shingle sets are cached: they feed the signature pass AND both sides of
+    # the verification join — without the cache the corpus is re-shingled
+    # three times
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
     )
-    a = banded.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"), "band")
-    b = banded.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"), "band")
+    banded = base.select(
+        "doc",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows)
+        ).alias("band"),
+    )
+    # the band shuffle carries ONLY (doc, band) — shingle arrays stay out of
+    # the 8x-exploded join and are re-attached just for the few candidates
+    a = banded.select(F.col("doc").alias("d1"), "band")
+    b = banded.select(F.col("doc").alias("d2"), "band")
     cand = (
         a.join(b, "band")
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "sh1", "sh2")
+        .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
     if not verify:
-        return cand.select("d1", "d2")
+        return cand
+    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    pairs = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
-    out = cand.withColumn("jaccard", inter / union).filter(F.col("jaccard") >= threshold)
+    out = pairs.withColumn("jaccard", inter / union).filter(F.col("jaccard") >= threshold)
     return out.select("d1", "d2", "jaccard")
 
 
@@ -203,7 +230,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    tok = df.select(F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("toks"))
+    tok = _spread(df).select(F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("toks"))
     hashed = tok.select("doc", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"))
 
     def batches(it):
@@ -271,7 +298,7 @@ def cosine_topk_bruteforce(
     from pyspark.sql import Window
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    c = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    c = _spread(emb).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("nid"))
@@ -329,7 +356,7 @@ def cosine_topk_lsh(
     planes = _rhp_planes(dim, n_planes)
     from pyspark.sql import Window
 
-    c = emb.select(
+    c = _spread(emb).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), rhp_bucket(F.col(vec_col), planes).alias("bkt")
     )
     q0 = queries.select(
