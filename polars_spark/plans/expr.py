@@ -692,6 +692,118 @@ class Expr:
 
         return Expr(fn, self._name)
 
+    def peak_max(self):
+        """True where strictly greater than both neighbors (missing neighbor
+        counts as smaller) — polars-ops/src/chunked_array/peaks.rs."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window()
+            prev, nxt = F.lag(c).over(w), F.lead(c).over(w)
+            return (prev.isNull() | (c > prev)) & (nxt.isNull() | (c > nxt))
+
+        return Expr(fn, self._name)
+
+    def peak_min(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window()
+            prev, nxt = F.lag(c).over(w), F.lead(c).over(w)
+            return (prev.isNull() | (c < prev)) & (nxt.isNull() | (c < nxt))
+
+        return Expr(fn, self._name)
+
+    def rle_id(self):
+        """Run id (0-based) incrementing at every value change
+        (polars-ops/src/series/ops/rle.rs); null-safe comparison so null runs
+        count like any other value."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window()
+            prev = F.lag(c).over(w)
+            first = F.row_number().over(w) == 1
+            change = F.when(first, F.lit(1)).otherwise((~c.eqNullSafe(prev)).cast("int"))
+            return (
+                F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+            ).cast("bigint")
+
+        return Expr(fn, self._name)
+
+    def interpolate(self, method: str = "linear"):
+        """Linear interpolation of interior nulls by row position
+        (polars-ops/src/series/ops/interpolation/).  Leading/trailing nulls
+        stay null (no neighbor on one side)."""
+        if method not in ("linear", "nearest"):
+            raise NotImplementedError(f"interpolate method {method!r}")
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window()
+            pos = F.row_number().over(w).cast("double")
+            wb = w.rowsBetween(Window.unboundedPreceding, 0)
+            wf = w.rowsBetween(0, Window.unboundedFollowing)
+            pv = F.last(F.when(c.isNotNull(), c), ignorenulls=True).over(wb)
+            pp = F.last(F.when(c.isNotNull(), pos), ignorenulls=True).over(wb)
+            nv = F.first(F.when(c.isNotNull(), c), ignorenulls=True).over(wf)
+            np_ = F.first(F.when(c.isNotNull(), pos), ignorenulls=True).over(wf)
+            if method == "nearest":
+                interp = F.when((pos - pp) <= (np_ - pos), pv).otherwise(nv)
+            else:
+                interp = pv + (nv - pv) * (pos - pp) / (np_ - pp)
+            return F.when(c.isNotNull(), c).otherwise(interp)
+
+        return Expr(fn, self._name)
+
+    def ewm_mean(
+        self,
+        *,
+        alpha: float | None = None,
+        span: float | None = None,
+        com: float | None = None,
+        half_life: float | None = None,
+        adjust: bool = True,
+        ignore_nulls: bool = True,
+        min_samples: int = 1,
+    ):
+        """Exponentially-weighted mean, polars/pandas adjust=True semantics
+        (polars-compute/src/ewm/).  Lowering: collect the observed prefix per
+        row (window) and fold it with a (num, den) accumulator — exact, but
+        O(n²) per partition, so use it under .over(keys) with bounded series
+        length; for very long series prefer a grouped applyInPandas.
+        """
+        if alpha is None:
+            if span is not None:
+                alpha = 2.0 / (span + 1.0)
+            elif com is not None:
+                alpha = 1.0 / (1.0 + com)
+            elif half_life is not None:
+                alpha = 1.0 - 2.0 ** (-1.0 / half_life)
+            else:
+                raise ValueError("ewm_mean needs alpha/span/com/half_life")
+        if not adjust:
+            raise NotImplementedError("ewm_mean adjust=False")
+        decay = 1.0 - alpha
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
+            arr = F.collect_list(c).over(w)  # collect_list drops nulls == ignore_nulls
+            acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+            folded = F.aggregate(
+                arr,
+                acc0,
+                lambda acc, x: F.struct(
+                    (acc["num"] * decay + x).alias("num"),
+                    (acc["den"] * decay + 1.0).alias("den"),
+                ),
+                lambda acc: acc["num"] / acc["den"],
+            )
+            out = F.when(F.size(arr) >= min_samples, folded)
+            return F.when(self._resolve(ctx).isNotNull(), out)
+
+        return Expr(fn, self._name)
+
     def rolling_sum(self, window_size: int, min_samples: int | None = None):
         return self._rolling(F.sum, window_size, min_samples)
 
@@ -802,6 +914,50 @@ class Expr:
     def gather_every(self, n: int, offset: int = 0):
         raise NotImplementedError("frame-level: LazyFrame.gather_every")
 
+
+    def cut(self, breaks: list[float], *, labels: list[str] | None = None, left_closed: bool = False):
+        """Bin values into discrete categories (FunctionExpr::Cut) — a
+        when-chain over the break points, fully codegen'd."""
+        if labels is None:
+            edges = ["-inf", *[str(b) for b in breaks], "inf"]
+            if left_closed:
+                labels = [f"[{lo}, {hi})" for lo, hi in zip(edges, edges[1:])]
+            else:
+                labels = [f"({lo}, {hi}]" for lo, hi in zip(edges, edges[1:])]
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            expr = None
+            for b, lab in zip(breaks, labels):
+                cond = (c < b) if left_closed else (c <= b)
+                expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+            out = expr.otherwise(F.lit(labels[len(breaks)])) if expr is not None else F.lit(labels[0])
+            return F.when(c.isNotNull(), out)
+
+        return Expr(fn, self._name)
+
+    def qcut(self, quantiles, *, labels: list[str] | None = None, allow_duplicates: bool = False):
+        """Quantile binning (FunctionExpr::QCut).  Break points come from
+        exact percentiles computed as a global window aggregate — one scalar
+        per quantile moves to every row, but the DATA never collapses to one
+        partition (only the tiny aggregate does).  At 100 TB swap in
+        approx_percentile for the breakpoint pass."""
+        qs = list(quantiles)
+        if labels is None:
+            labels = [f"q{i}" for i in range(len(qs) + 1)]
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = Window.partitionBy()
+            expr = None
+            for q, lab in zip(qs, labels):
+                b = F.percentile(c, F.lit(q)).over(w)
+                cond = c <= b
+                expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+            out = expr.otherwise(F.lit(labels[len(qs)]))
+            return F.when(c.isNotNull(), out)
+
+        return Expr(fn, self._name)
 
     def entropy(self, base: float = 2.718281828459045, normalize: bool = True):
         # -Σ p·ln p with p = x/S  ==  ln S − Σ x·ln x / S  (single agg pass)

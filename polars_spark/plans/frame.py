@@ -196,6 +196,31 @@ class LazyFrame:
         }
         return LazyFrame(self._df.withColumns(mapping), self._order)
 
+    def match_to_schema(
+        self,
+        schema: Mapping[str, Any],
+        *,
+        missing_columns: str = "insert",
+        extra_columns: str = "ignore",
+    ) -> "LazyFrame":
+        """Conform to a target schema (DslPlan::MatchToSchema, dsl/plan.rs:101):
+        cast matching columns, insert missing as typed nulls, drop or reject
+        extras."""
+        have = set(self.columns)
+        out: list[Column] = []
+        for name, dtype in schema.items():
+            t = _dtype_to_spark(dtype)
+            if name in have:
+                out.append(F.col(name).cast(t).alias(name))
+            elif missing_columns == "insert":
+                out.append(F.lit(None).cast(t).alias(name))
+            else:
+                raise ValueError(f"missing column {name!r}")
+        extras = have - set(schema)
+        if extras and extra_columns == "raise":
+            raise ValueError(f"extra columns {sorted(extras)}")
+        return LazyFrame(self._df.select(*out), [])
+
     def fill_null(self, value=None, strategy: str | None = None) -> "LazyFrame":
         exprs = [_col(c).fill_null(value, strategy).alias(c) for c in self.columns]
         return self.with_columns(*exprs)
@@ -815,6 +840,12 @@ class LazyGroupBy:
             aggs.append(ee._resolve(ctx).alias(ee._name))
         for name, e in named.items():
             aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+        if self._maintain and self._lf._order:
+            # polars maintain_order: groups come out in first-seen row order
+            seen = F.min(F.struct(*[F.col(o[0]) for o in self._lf._order])).alias("__seen__")
+            df = self._lf._df.groupBy(*self._key_cols()).agg(*aggs, seen)
+            df = df.orderBy("__seen__").drop("__seen__")
+            return LazyFrame(df, [])
         df = self._lf._df.groupBy(*self._key_cols()).agg(*aggs)
         return LazyFrame(df, [])
 

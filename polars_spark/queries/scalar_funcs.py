@@ -229,3 +229,24 @@ def agg_any_all_mode(spark, sf_dir):
         )
         .to_spark()
     )
+
+
+@query(
+    "agg_cut_bands",
+    oracle="""
+    SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+                WHEN l_quantity <= 30 THEN 'medium'
+                ELSE 'large' END AS band,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS price_sum
+    FROM lineitem WHERE l_quantity IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def agg_cut_bands(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    band = pl.col("l_quantity").cut([10.0, 30.0], labels=["small", "medium", "large"]).alias("band")
+    return (
+        li.group_by(band)
+        .agg(pl.len().alias("n"), pl.col("l_extendedprice").sum().round(2).alias("price_sum"))
+        .to_spark()
+    )

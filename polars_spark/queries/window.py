@@ -177,3 +177,76 @@ def win_row_index(spark, sf_dir):
     validates the scale-safe global numbering exactly against row_number()."""
     ev = ltable(spark, sf_dir, "events").sort("ts", "event_id")
     return ev.with_row_index("idx").select("event_id", "idx").to_spark()
+
+
+@query(
+    "win_peaks_rle",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts, value, event_type,
+             lag(value)  OVER ({_W}) AS pv,
+             lead(value) OVER ({_W}) AS nv,
+             lag(event_type) OVER ({_W}) AS pt
+      FROM events
+    )
+    SELECT event_id,
+           (pv IS NULL OR value > pv) AND (nv IS NULL OR value > nv)          AS is_peak,
+           sum(CASE WHEN pt IS NULL OR event_type IS DISTINCT FROM pt
+                    THEN 1 ELSE 0 END)
+             OVER ({_W} ROWS UNBOUNDED PRECEDING) - 1                         AS type_run
+    FROM lagged
+    """,
+)
+def win_peaks_rle(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").peak_max().over("user_id").alias("is_peak"),
+        pl.col("event_type").rle_id().over("user_id").alias("type_run"),
+    ).to_spark()
+
+
+@query(
+    "win_interpolate",
+    oracle=f"""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value >= 50 THEN value END AS v,
+             row_number() OVER ({_W})::DOUBLE AS pos
+      FROM events
+    ),
+    ctx AS (
+      SELECT event_id, v, pos,
+             last_value(v IGNORE NULLS) OVER ({_W} ROWS UNBOUNDED PRECEDING)  AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER ({_W} ROWS UNBOUNDED PRECEDING)                           AS pp,
+             first_value(v IGNORE NULLS)
+               OVER ({_W} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)   AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER ({_W} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)   AS np
+      FROM sparse
+    )
+    SELECT event_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (pos - pp) / (np - pp) END, 6)    AS vi
+    FROM ctx
+    """,
+)
+def win_interpolate(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    sparse = pl.when(pl.col("value") >= 50).then(pl.col("value")).otherwise(pl.lit(None))
+    return ev.select(
+        "event_id",
+        sparse.interpolate().over("user_id").round(6).alias("vi"),
+    ).to_spark()
+
+
+@query("win_ewm_mean")  # no DuckDB ewm — pytest checks exact pandas parity
+def win_ewm_mean(spark, sf_dir):
+    """ewm_mean(span=10) per user in time order; exactness asserted against
+    pandas.Series.ewm in tests/test_order_ops.py."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").ewm_mean(span=10).over("user_id").round(6).alias("ewm"),
+    ).to_spark()

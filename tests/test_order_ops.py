@@ -1,0 +1,83 @@
+"""Peaks, rle_id, interpolate, ewm_mean, cut/qcut, match_to_schema,
+maintain_order group-by."""
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+def test_peaks(pl, lf):
+    f = lf(x=[1.0, 3.0, 2.0, 5.0, 4.0]).with_row_index("i")
+    out = f.with_columns(
+        pl.col("x").peak_max().alias("pmax"),
+        pl.col("x").peak_min().alias("pmin"),
+    ).sort("i")
+    r = rows(out)
+    assert [t[2] for t in r] == [False, True, False, True, False]
+    assert [t[3] for t in r] == [True, False, True, False, True]
+
+
+def test_rle_id(pl, lf):
+    f = lf(x=["a", "a", "b", "b", "b", "a", None, None]).with_row_index("i")
+    out = f.with_columns(pl.col("x").rle_id().alias("rid")).sort("i")
+    assert [t[2] for t in rows(out)] == [0, 0, 1, 1, 1, 2, 3, 3]
+
+
+def test_interpolate(pl, lf):
+    f = lf(x=[None, 1.0, None, None, 4.0, None]).with_row_index("i")
+    out = f.with_columns(pl.col("x").interpolate().alias("li")).sort("i")
+    r = [t[2] for t in rows(out)]
+    assert r == [None, 1.0, 2.0, 3.0, 4.0, None]
+
+
+def test_ewm_mean_matches_pandas(pl, lf):
+    data = [1.0, 2.0, 3.0, 4.0, 5.0, 1.0]
+    f = lf(x=data).with_row_index("i")
+    out = f.with_columns(pl.col("x").ewm_mean(alpha=0.3).alias("e")).sort("i")
+    got = [t[2] for t in rows(out)]
+    want = pd.Series(data).ewm(alpha=0.3, adjust=True).mean().tolist()
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_ewm_mean_span_over_group(pl, lf):
+    f = lf(g=["a", "a", "a", "b", "b"], x=[1.0, 2.0, 3.0, 10.0, 20.0]).with_row_index("i")
+    out = f.with_columns(pl.col("x").ewm_mean(span=3).over("g").alias("e")).sort("i")
+    got = [t[3] for t in rows(out)]
+    wa = pd.Series([1.0, 2.0, 3.0]).ewm(span=3, adjust=True).mean().tolist()
+    wb = pd.Series([10.0, 20.0]).ewm(span=3, adjust=True).mean().tolist()
+    assert got == pytest.approx(wa + wb, rel=1e-12)
+
+
+def test_cut(pl, lf):
+    f = lf(x=[0.5, 1.0, 2.5, 10.0, None])
+    out = f.select(pl.col("x").cut([1.0, 3.0], labels=["lo", "mid", "hi"]).alias("b"))
+    assert [t[0] for t in rows(out)] == ["lo", "lo", "mid", "hi", None]
+    out2 = f.select(pl.col("x").cut([1.0], left_closed=True).alias("b"))
+    assert [t[0] for t in rows(out2)] == ["[-inf, 1.0)", "[1.0, inf)", "[1.0, inf)", "[1.0, inf)", None]
+
+
+def test_qcut(pl, lf):
+    f = lf(x=[float(i) for i in range(1, 11)])
+    out = f.select(pl.col("x").qcut([0.5], labels=["low", "high"]).alias("b"))
+    vals = [t[0] for t in rows(out)]
+    assert vals.count("low") == 5 and vals.count("high") == 5
+
+
+def test_match_to_schema(pl, lf):
+    f = lf(a=[1.5], b=["x"], junk=[True])
+    out = f.match_to_schema({"a": "Int64", "b": "String", "c": "Float64"})
+    assert out.columns == ["a", "b", "c"]
+    assert rows(out) == [(1, "x", None)]
+    with pytest.raises(ValueError, match="missing"):
+        f.match_to_schema({"zzz": "Int64"}, missing_columns="raise")
+    with pytest.raises(ValueError, match="extra"):
+        f.match_to_schema({"a": "Int64"}, extra_columns="raise")
+
+
+def test_group_by_maintain_order(pl, lf):
+    f = lf(g=["b", "a", "c", "a"], x=[1, 2, 3, 4]).with_row_index("i")
+    out = f.group_by("g", maintain_order=True).agg(pl.col("x").sum().alias("s"))
+    pdf = out.collect()
+    assert pdf["g"].tolist() == ["b", "a", "c"]
+    assert pdf["s"].tolist() == [1, 6, 3]
