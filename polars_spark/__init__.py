@@ -58,6 +58,8 @@ from polars_spark.functions import (
     corr,
     cov,
     int_ranges,
+    date_ranges,
+    business_day_count,
     repeat,
 )
 
@@ -108,6 +110,8 @@ __all__ = [
     "corr",
     "cov",
     "int_ranges",
+    "date_ranges",
+    "business_day_count",
     "repeat",
 ]
 __version__ = "0.2.0"

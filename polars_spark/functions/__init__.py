@@ -45,6 +45,8 @@ __all__ = [
     "corr",
     "cov",
     "int_ranges",
+    "date_ranges",
+    "business_day_count",
     "repeat",
 ]
 
@@ -277,6 +279,36 @@ def int_ranges(start, end, step: int = 1) -> Expr:
         )
 
     return Expr(fn, "int_range")
+
+
+def date_ranges(start, end, interval: str = "1d") -> Expr:
+    """Per-row date/datetime range arrays (FunctionExpr ranges,
+    function_expr/range.rs:57) — F.sequence with an interval literal;
+    inclusive of both ends like polars ``date_range``."""
+    s, e = _to_expr(start), _to_expr(end)
+    from polars_spark.plans.frame import _duration_str
+
+    iv = _duration_str(interval)
+
+    def fn(ctx: ExprContext) -> Column:
+        return F.sequence(s._resolve(ctx), e._resolve(ctx), F.expr(f"INTERVAL {iv}"))
+
+    return Expr(fn, "date_range")
+
+
+def business_day_count(start, end) -> Expr:
+    """Business days in [start, end) (function_expr/business.rs:10) — counts
+    ISO weekdays Mon-Fri via a generated day array (no UDF)."""
+    s, e = _to_expr(start), _to_expr(end)
+
+    def fn(ctx: ExprContext) -> Column:
+        sd = F.to_date(s._resolve(ctx))
+        ed = F.to_date(e._resolve(ctx))
+        days = F.sequence(sd, F.date_sub(ed, 1))
+        wd = lambda d: (F.dayofweek(d) + 5) % 7 + 1  # ISO Mon=1..Sun=7
+        return F.when(ed > sd, F.size(F.filter(days, lambda d: wd(d) <= 5))).otherwise(F.lit(0))
+
+    return Expr(fn, "business_day_count")
 
 
 def repeat(value, n) -> Expr:

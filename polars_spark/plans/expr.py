@@ -512,6 +512,86 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
+    def first_non_null(self):
+        """AggExpr::FirstNonNull — first non-null in row order."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if ctx.order_cols:
+                return F.min_by(c, F.when(c.isNotNull(), F.struct(*ctx.order_plain_cols())))
+            return F.first(c, ignorenulls=True)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def last_non_null(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if ctx.order_cols:
+                return F.max_by(c, F.when(c.isNotNull(), F.struct(*ctx.order_plain_cols())))
+            return F.last(c, ignorenulls=True)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def nan_min(self):
+        """min with propagate_nans=True (AggExpr::Min{propagate_nans}):
+        any NaN in the group -> NaN."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            has_nan = F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1
+            return F.when(has_nan, F.lit(float("nan"))).otherwise(F.min(c))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def nan_max(self):
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            has_nan = F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1
+            return F.when(has_nan, F.lit(float("nan"))).otherwise(F.max(c))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def arg_min(self):
+        """Row position (frame row-index) of the minimum; first occurrence
+        wins (FunctionExpr::ArgMin).  Requires a row-index order column."""
+
+        def fn(ctx: ExprContext) -> Column:
+            specs = ctx.order_specs()
+            if not specs:
+                raise ValueError("arg_min needs a row index (with_row_index())")
+            pos = F.col(specs[0][0])
+            c = self._resolve(ctx)
+            return F.min_by(pos, F.when(c.isNotNull(), F.struct(c, pos)))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def arg_max(self):
+        def fn(ctx: ExprContext) -> Column:
+            specs = ctx.order_specs()
+            if not specs:
+                raise ValueError("arg_max needs a row index (with_row_index())")
+            pos = F.col(specs[0][0])
+            c = self._resolve(ctx)
+            return F.min_by(pos, F.when(c.isNotNull(), F.struct((-c).alias("v"), pos)))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    # -- bitwise (function_expr/bitwise.rs:9; width = 64-bit integers) --------
+    def bitwise_count_ones(self):
+        return self._map(lambda c: F.bit_count(c.cast("bigint")))
+
+    def bitwise_count_zeros(self):
+        return self._map(lambda c: F.lit(64) - F.bit_count(c.cast("bigint")))
+
+    def bitwise_and(self):
+        return self._agg(lambda c: F.bit_and(c))
+
+    def bitwise_or(self):
+        return self._agg(lambda c: F.bit_or(c))
+
+    def bitwise_xor(self):
+        return self._agg(lambda c: F.bit_xor(c))
+
     def std(self, ddof: int = 1):
         if ddof == 1:
             return self._agg(F.stddev_samp)
@@ -824,6 +904,21 @@ class Expr:
         f = F.var_samp if ddof == 1 else F.var_pop
         return self._rolling(f, window_size, min_samples)
 
+    def rolling_median(self, window_size: int, min_samples: int | None = None):
+        return self._rolling(lambda c: F.percentile(c, F.lit(0.5)), window_size, min_samples)
+
+    def rolling_quantile(
+        self,
+        quantile: float,
+        interpolation: str = "linear",
+        *,
+        window_size: int,
+        min_samples: int | None = None,
+    ):
+        if interpolation != "linear":
+            raise NotImplementedError("rolling_quantile: linear interpolation only")
+        return self._rolling(lambda c: F.percentile(c, F.lit(quantile)), window_size, min_samples)
+
     def _rolling(self, agg, window_size: int, min_samples: int | None):
         if min_samples is None:
             min_samples = window_size
@@ -907,6 +1002,24 @@ class Expr:
         return Expr(fn, self._name)
 
     replace_strict = replace
+
+    # -- UDF surface (§2.11) -------------------------------------------------
+    def map_batches(self, function, return_dtype="double"):
+        """polars Expr.map_batches (AnonymousFunction): vectorized over Arrow
+        batches via pandas_udf — function takes and returns a pandas Series."""
+        from pyspark.sql.functions import pandas_udf
+
+        udf = pandas_udf(function, _dtype_to_spark(return_dtype))
+        return self._map(lambda c: udf(c))
+
+    def map_elements(self, function, return_dtype="double"):
+        """polars Expr.map_elements: scalar function applied per element —
+        still shipped Arrow-batched (pandas_udf + Series.map), never
+        row-at-a-time pickling."""
+        from pyspark.sql.functions import pandas_udf
+
+        udf = pandas_udf(lambda s: s.map(function), _dtype_to_spark(return_dtype))
+        return self._map(lambda c: udf(c))
 
     def repeat_by(self, n):
         return self._zip(n, lambda c, k: F.array_repeat(c, k.cast("int")))

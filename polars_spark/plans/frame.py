@@ -429,6 +429,53 @@ class LazyFrame:
     def group_by(self, *keys, maintain_order: bool = False, **named_keys) -> "LazyGroupBy":
         return LazyGroupBy(self, list(_flatten(keys)), dict(named_keys), maintain_order)
 
+    def cube(self, *keys) -> "LazyGroupBy":
+        """Spark-native bonus beyond polars (polars-sql rejects grouping sets,
+        context.rs:1472): CUBE grouping."""
+        gb = LazyGroupBy(self, list(_flatten(keys)), {}, False)
+        gb._mode = "cube"
+        return gb
+
+    def rollup(self, *keys) -> "LazyGroupBy":
+        gb = LazyGroupBy(self, list(_flatten(keys)), {}, False)
+        gb._mode = "rollup"
+        return gb
+
+    def sample(self, fraction: float | None = None, *, n: int | None = None, seed: int | None = None, with_replacement: bool = False) -> "LazyFrame":
+        if fraction is None and n is not None:
+            # approximate n via limit on a shuffled frame
+            return LazyFrame(self._df.orderBy(F.rand(seed if seed is not None else 42)).limit(n), [])
+        return LazyFrame(self._df.sample(with_replacement, fraction, seed), [])
+
+    def shuffle(self, seed: int | None = None) -> "LazyFrame":
+        return LazyFrame(self._df.orderBy(F.rand(seed if seed is not None else 42)), [])
+
+    def count(self) -> int:
+        """FastCount (FunctionIR::FastCount): parquet metadata-only count when
+        the plan is a bare scan — Catalyst does that rewrite itself."""
+        return self._df.count()
+
+    def collect_batches(self, batch_size: int = 10_000):
+        """Incremental result pull (polars collect_batches,
+        polars-lazy/src/frame/mod.rs:759): yields pandas DataFrames without
+        materializing the whole result on the driver."""
+        import pandas as pd
+
+        df = self._df
+        if self._order:
+            df = df.orderBy(*_order_cols(self._order))
+        if ROW_IDX in df.columns:
+            df = df.drop(ROW_IDX)
+        cols = df.columns
+        buf: list = []
+        for row in df.toLocalIterator():
+            buf.append(row)
+            if len(buf) >= batch_size:
+                yield pd.DataFrame(buf, columns=cols)
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
     def group_by_dynamic(
         self,
         index_column: str,
@@ -819,6 +866,15 @@ class LazyGroupBy:
         self._keys = keys
         self._named = named_keys
         self._maintain = maintain_order
+        self._mode = "groupby"  # groupby | cube | rollup
+
+    def _grouped(self):
+        cols = self._key_cols()
+        if self._mode == "cube":
+            return self._lf._df.cube(*cols)
+        if self._mode == "rollup":
+            return self._lf._df.rollup(*cols)
+        return self._lf._df.groupBy(*cols)
 
     def _key_cols(self) -> list[Column]:
         ctx = self._lf._ctx()
@@ -843,10 +899,10 @@ class LazyGroupBy:
         if self._maintain and self._lf._order:
             # polars maintain_order: groups come out in first-seen row order
             seen = F.min(F.struct(*[F.col(o[0]) for o in self._lf._order])).alias("__seen__")
-            df = self._lf._df.groupBy(*self._key_cols()).agg(*aggs, seen)
+            df = self._grouped().agg(*aggs, seen)
             df = df.orderBy("__seen__").drop("__seen__")
             return LazyFrame(df, [])
-        df = self._lf._df.groupBy(*self._key_cols()).agg(*aggs)
+        df = self._grouped().agg(*aggs)
         return LazyFrame(df, [])
 
     def len(self, name: str = "len") -> LazyFrame:

@@ -250,3 +250,102 @@ def agg_cut_bands(spark, sf_dir):
         .agg(pl.len().alias("n"), pl.col("l_extendedprice").sum().round(2).alias("price_sum"))
         .to_spark()
     )
+
+
+@query(
+    "agg_non_null_first",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(hi_price, o_orderkey) FILTER (WHERE hi_price IS NOT NULL) AS fnn,
+           arg_max(hi_price, o_orderkey) FILTER (WHERE hi_price IS NOT NULL) AS lnn
+    FROM (SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_totalprice > 300000 THEN round(o_totalprice, 2) END AS hi_price
+          FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_non_null_first(spark, sf_dir):
+    """first_non_null/last_non_null over a sparse column in key order."""
+    orders = ltable(spark, sf_dir, "orders").sort("o_orderkey")
+    sparse = (
+        pl.when(pl.col("o_totalprice") > 300000)
+        .then(pl.col("o_totalprice").round(2))
+        .otherwise(pl.lit(None))
+        .alias("hi_price")
+    )
+    return (
+        orders.with_columns(sparse)
+        .group_by("o_orderpriority")
+        .agg(
+            pl.col("hi_price").first_non_null().alias("fnn"),
+            pl.col("hi_price").last_non_null().alias("lnn"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE grouping sets — Spark-native bonus beyond polars (polars-sql
+    rejects grouping sets, polars-sql/src/context.rs:1472)."""
+    orders = ltable(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2).alias("total"))
+        .to_spark()
+    )
+
+
+@query(
+    "sf_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           bit_count(o_orderkey)              AS ones,
+           o_orderkey & 255                   AS low_byte,
+           xor(o_orderkey, 12345)             AS xored
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def sf_bitwise(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders").filter(pl.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        pl.col("o_orderkey").bitwise_count_ones().alias("ones"),
+        pl.Expr(lambda ctx: pl.col("o_orderkey")._resolve(ctx).bitwiseAND(255), "low_byte").alias("low_byte"),
+        (pl.col("o_orderkey") ^ 12345).alias("xored"),
+    ).to_spark()
+
+
+@query(
+    "sf_ranges_business",
+    oracle="""
+    SELECT o_orderkey,
+           len(generate_series(o_orderdate::DATE, (o_orderdate + INTERVAL '14 days')::DATE,
+                               INTERVAL '1 day')) AS span_days,
+           len(list_filter(generate_series(o_orderdate::DATE,
+                                           (o_orderdate + INTERVAL '13 days')::DATE,
+                                           INTERVAL '1 day'),
+                           d -> isodow(d) <= 5)) AS biz_days
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def sf_ranges_business(spark, sf_dir):
+    """date_ranges (per-row sequence) + business_day_count over [t, t+14d)."""
+    from pyspark.sql import functions as F
+
+    orders = ltable(spark, sf_dir, "orders").filter(pl.col("o_orderkey") < 3000)
+    start = pl.col("o_orderdate")
+    end = pl.Expr(lambda ctx: F.date_add(F.to_date(F.col("o_orderdate")), 14), "end")
+    return orders.select(
+        "o_orderkey",
+        pl.date_ranges(pl.Expr(lambda ctx: F.to_date(F.col("o_orderdate")), "s"), end)
+        .list.len()
+        .alias("span_days"),
+        pl.business_day_count(start, end).alias("biz_days"),
+    ).to_spark()

@@ -250,3 +250,23 @@ def win_ewm_mean(spark, sf_dir):
         "event_id",
         pl.col("value").ewm_mean(span=10).over("user_id").round(6).alias("ewm"),
     ).to_spark()
+
+
+@query(
+    "win_rolling_quantile",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN count(value) OVER ({_W} ROWS 4 PRECEDING) >= 5
+                THEN round(quantile_cont(value, 0.5) OVER ({_W} ROWS 4 PRECEDING), 6) END AS rmed5,
+           CASE WHEN count(value) OVER ({_W} ROWS 4 PRECEDING) >= 5
+                THEN round(quantile_cont(value, 0.25) OVER ({_W} ROWS 4 PRECEDING), 6) END AS rq25
+    FROM events
+    """,
+)
+def win_rolling_quantile(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").rolling_median(5).over("user_id").round(6).alias("rmed5"),
+        pl.col("value").rolling_quantile(0.25, window_size=5).over("user_id").round(6).alias("rq25"),
+    ).to_spark()

@@ -170,3 +170,41 @@ def scan_ipc(source, **kw) -> LazyFrame:
 def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
     spark = spark or _spark()
     return LazyFrame(spark.createDataFrame(pdf))
+
+
+def read_avro(source, spark: SparkSession | None = None) -> LazyFrame:
+    """Avro via Spark's external avro module; raises with the fix when the
+    connector jar is absent (as in this container)."""
+    spark = spark or _spark()
+    try:
+        return LazyFrame(spark.read.format("avro").load(source))
+    except Exception as exc:  # AnalysisException: Failed to find data source
+        raise NotImplementedError(
+            "spark-avro module not on the classpath; add "
+            "org.apache.spark:spark-avro to spark.jars.packages"
+        ) from exc
+
+
+def scan_delta(source, **kw) -> LazyFrame:
+    raise NotImplementedError(
+        "Delta Lake connector (io.delta:delta-spark) not in this image; "
+        "scan maps to spark.read.format('delta').load(path)"
+    )
+
+
+def scan_iceberg(source, **kw) -> LazyFrame:
+    raise NotImplementedError(
+        "Iceberg runtime (org.apache.iceberg:iceberg-spark-runtime) not in "
+        "this image; scan maps to spark.read.format('iceberg').load(table)"
+    )
+
+
+def read_database(query: str, connection_uri: str, **kw) -> LazyFrame:
+    raise NotImplementedError(
+        "JDBC driver jars not in this image; maps to spark.read.format('jdbc')"
+        ".option('url', uri).option('query', query)"
+    )
+
+
+def read_excel(source, **kw) -> LazyFrame:
+    raise NotImplementedError("no excel reader (openpyxl/com.crealytics) in this image")

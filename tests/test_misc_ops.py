@@ -1,0 +1,129 @@
+"""first/last_non_null, nan-propagating min/max, arg_min/arg_max, bitwise,
+rolling quantile/median, cube/rollup, sample, collect_batches, UDF exprs,
+date ranges, business days."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+def test_first_last_non_null(pl, lf):
+    f = lf(g=["a", "a", "a", "b"], x=[None, 1.0, 2.0, None]).with_row_index("i")
+    out = f.group_by("g").agg(
+        pl.col("x").first_non_null().alias("fnn"),
+        pl.col("x").last_non_null().alias("lnn"),
+    )
+    assert rows(out, sort_by="g") == [("a", 1.0, 2.0), ("b", None, None)]
+
+
+def test_nan_min_max(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1.0, 2.0, 3.0]).with_columns(
+        pl.when(pl.col("x") == 2.0).then(pl.lit(float("nan"))).otherwise(pl.col("x")).alias("x")
+    )
+    out = f.group_by("g").agg(
+        pl.col("x").nan_max().alias("nmax"),
+        pl.col("x").max().alias("mx"),
+    )
+    pdf = out.collect().sort_values("g", ignore_index=True)
+    import math
+
+    assert math.isnan(pdf["nmax"][0])  # group a contains a NaN -> propagate
+    assert pdf["nmax"][1] == 3.0
+
+
+def test_arg_min_max(pl, lf):
+    f = lf(x=[5.0, 1.0, 9.0, 1.0]).with_row_index("i")
+    out = f.select(pl.col("x").arg_min().alias("amin"), pl.col("x").arg_max().alias("amax"))
+    assert rows(out) == [(1, 2)]  # first minimum wins
+
+
+def test_bitwise(pl, lf):
+    f = lf(x=[0b1011, 0b0110, 0b0001])
+    per_row = f.select(
+        pl.col("x").bitwise_count_ones().alias("ones"),
+        (pl.col("x") ^ 0b1111).alias("xor_lit"),
+    ).collect()
+    assert sorted(per_row["ones"].tolist()) == [1, 2, 3]
+    aggs = f.select(
+        pl.col("x").bitwise_and().alias("band"),
+        pl.col("x").bitwise_or().alias("bor"),
+        pl.col("x").bitwise_xor().alias("bxor"),
+    ).collect()
+    assert aggs["band"][0] == 0b0000 and aggs["bor"][0] == 0b1111 and aggs["bxor"][0] == 0b1100
+
+
+def test_rolling_median_quantile(pl, lf):
+    f = lf(x=[1.0, 9.0, 2.0, 8.0, 3.0]).with_row_index("i")
+    out = f.with_columns(
+        pl.col("x").rolling_median(3).alias("rm"),
+        pl.col("x").rolling_quantile(0.5, window_size=3, min_samples=1).alias("rq"),
+    ).sort("i")
+    r = rows(out)
+    assert [t[2] for t in r] == [None, None, 2.0, 8.0, 3.0]
+    assert [t[3] for t in r] == [1.0, 5.0, 2.0, 8.0, 3.0]
+
+
+def test_cube_rollup(pl, lf):
+    f = lf(a=["x", "x", "y"], b=["p", "q", "p"], v=[1, 2, 4])
+    cube = f.cube("a", "b").agg(pl.col("v").sum().alias("s")).collect()
+    # 3 present combos + 2 a-margins + 2 b-margins + grand total = 8
+    assert len(cube) == 8
+    grand = cube[cube["a"].isna() & cube["b"].isna()]["s"].iloc[0]
+    assert grand == 7
+    roll = f.rollup("a", "b").agg(pl.col("v").sum().alias("s")).collect()
+    assert len(roll) == 6
+
+
+def test_sample_shuffle(pl, lf):
+    f = lf(x=list(range(100)))
+    s = f.sample(0.2, seed=1).collect()
+    assert 5 <= len(s) <= 40
+    n = f.sample(n=10, seed=1).collect()
+    assert len(n) == 10
+    sh = f.shuffle(seed=2).collect()
+    assert sorted(sh["x"].tolist()) == list(range(100))
+
+
+def test_collect_batches(pl, lf):
+    f = lf(x=list(range(25))).sort("x")
+    chunks = list(f.collect_batches(batch_size=10))
+    assert [len(c) for c in chunks] == [10, 10, 5]
+    assert chunks[0]["x"].tolist() == list(range(10))
+
+
+def test_fast_count(pl, lf):
+    assert lf(x=[1, 2, 3]).count() == 3
+
+
+def test_expr_map_batches_elements(pl, lf):
+    f = lf(x=[1.0, 2.0, 3.0])
+    out = f.select(
+        pl.col("x").map_batches(lambda s: s * 10).alias("mb"),
+        pl.col("x").map_elements(lambda v: v + 0.5).alias("me"),
+    )
+    r = rows(out, sort_by="mb")
+    assert [t[0] for t in r] == [10.0, 20.0, 30.0]
+    assert [t[1] for t in r] == [1.5, 2.5, 3.5]
+
+
+def test_date_ranges_business_days(pl, lf):
+    f = lf(s=[dt.date(2024, 1, 1)], e=[dt.date(2024, 1, 8)])
+    out = f.select(
+        pl.date_ranges(pl.col("s"), pl.col("e")).alias("dr"),
+        pl.business_day_count(pl.col("s"), pl.col("e")).alias("bd"),
+    )
+    pdf = out.collect()
+    assert len(pdf["dr"][0]) == 8
+    # 2024-01-01 Mon .. 2024-01-07 Sun -> 5 business days
+    assert pdf["bd"][0] == 5
+
+
+def test_source_stubs(pl):
+    with pytest.raises(NotImplementedError):
+        pl.scan_ipc  # attribute exists
+        from polars_spark.sources import scan_delta
+
+        scan_delta("s3://nope")
