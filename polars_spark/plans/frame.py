@@ -793,6 +793,35 @@ class LazyFrame:
             df = gp.agg(*[aggf(v).alias(v) for v in vals])
         return LazyFrame(df, [])
 
+    def to_dummies(self, columns: Sequence[str] | str, *, separator: str = "_") -> "LazyFrame":
+        """Indicator columns per distinct value (polars-ops to_dummies.rs).
+        Distinct values are collected eagerly (like polars pivot); the
+        indicators themselves are codegen'd when-exprs."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        df = self._df
+        for c in cols:
+            values = [r[0] for r in df.select(c).distinct().collect()]
+            for v in sorted(str(x) for x in values if x is not None):
+                df = df.withColumn(
+                    f"{c}{separator}{v}", (F.col(c).cast("string") == v).cast("tinyint")
+                )
+            df = df.drop(c)
+        return LazyFrame(df, self._order)
+
+    def transpose(self, *, include_header: bool = True, header_name: str = "column") -> "LazyFrame":
+        """Eager transpose (polars-core transpose.rs) — inherently driver-side
+        (the result has one column per input ROW); guarded for small frames."""
+        pdf = self.collect()
+        n = len(pdf)
+        if n > 10_000:
+            raise ValueError("transpose of >10k rows would be driver-bound")
+        t = pdf.T
+        t.columns = [f"column_{i}" for i in range(n)]
+        if include_header:
+            t.insert(0, header_name, t.index)
+        spark = SparkSession.getActiveSession()
+        return LazyFrame(spark.createDataFrame(t.reset_index(drop=True)))
+
     # -- vertical / horizontal combine -------------------------------------------
     def vstack(self, other: "LazyFrame") -> "LazyFrame":
         return concat([self, other], how="vertical")

@@ -349,3 +349,43 @@ def sf_ranges_business(spark, sf_dir):
         .alias("span_days"),
         pl.business_day_count(start, end).alias("biz_days"),
     ).to_spark()
+
+
+@query(
+    "agg_implode_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           count(DISTINCT o_custkey) AS nu_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_implode_counts(spark, sf_dir):
+    """implode (group -> list, AggExpr::Implode) + n_unique; the list is
+    sorted on both sides so the array hash is order-independent."""
+    orders = ltable(spark, sf_dir, "orders")
+    return (
+        orders.group_by("o_orderpriority")
+        .agg(
+            pl.col("o_orderstatus").unique().list.sort().alias("statuses"),
+            pl.col("o_custkey").n_unique().alias("nu_cust"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "sf_value_counts",
+    oracle="""
+    SELECT c_mktsegment AS value, count(*) AS count
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sf_value_counts(spark, sf_dir):
+    """value_counts via the frame API (polars value_counts lowering)."""
+    cust = ltable(spark, sf_dir, "customer")
+    return (
+        cust.group_by(pl.col("c_mktsegment").alias("value"))
+        .agg(pl.len().alias("count"))
+        .to_spark()
+    )

@@ -1,0 +1,98 @@
+"""Structured Streaming surface.
+
+The reference's "streaming engine" is an out-of-core *batch* executor
+(polars-stream/ — morsel-driven, no watermarks or late-data policy; SURVEY
+§2.10), so every polars streaming workload is covered by the batch API here.
+This module adds what Spark gives beyond the reference: true incremental
+event-stream processing with watermarks and windowed state — the natural way
+to run the same `events`-style aggregations continuously at 100 TB/day.
+
+Patterns:
+- ``scan_stream_parquet(dir)`` — file-arrival streaming over a growing
+  directory (the common data-lake tail-read).
+- ``dynamic_stream_agg`` — the streaming twin of
+  ``LazyFrame.group_by_dynamic``: tumbling/sliding window + watermark for
+  late data; state is bounded by the watermark horizon.
+- ``sink_stream_parquet/memory`` — checkpointed sinks; ``availableNow``
+  trigger gives exactly-once batch-catchup semantics in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_spark.plans.frame import LazyFrame, _duration_str
+
+__all__ = [
+    "scan_stream_parquet",
+    "scan_stream_rate",
+    "dynamic_stream_agg",
+    "sink_stream_memory",
+    "sink_stream_parquet",
+]
+
+
+def scan_stream_parquet(path: str, *, schema: str, spark: SparkSession | None = None) -> DataFrame:
+    """Incremental scan of a directory that accumulates parquet files.
+    Schema must be explicit (streaming sources cannot infer)."""
+    spark = spark or SparkSession.getActiveSession()
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def scan_stream_rate(rows_per_second: int = 100, *, spark: SparkSession | None = None) -> DataFrame:
+    spark = spark or SparkSession.getActiveSession()
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    )
+
+
+def dynamic_stream_agg(
+    stream: DataFrame,
+    *,
+    index_column: str,
+    every: str,
+    period: str | None = None,
+    group_by: Sequence[str] | str | None = None,
+    watermark: str = "1h",
+    aggs: Sequence | None = None,
+) -> DataFrame:
+    """Streaming group_by_dynamic: window + watermark.
+
+    Late rows beyond ``watermark`` are dropped and their windows finalized —
+    the state store stays bounded no matter how long the stream runs (the
+    polars batch engine has no equivalent; SURVEY §2.10)."""
+    gb = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    win = F.window(
+        F.col(index_column), _duration_str(period or every), _duration_str(every)
+    )
+    agg_cols = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
+    out = (
+        stream.withWatermark(index_column, _duration_str(watermark))
+        .groupBy(*gb, win.alias("__w__"))
+        .agg(*agg_cols)
+    )
+    return out.withColumn(index_column, F.col("__w__.start")).drop("__w__")
+
+
+def sink_stream_memory(stream: DataFrame, name: str, *, available_now: bool = True):
+    """Memory sink (tests/debug): returns the started query; with
+    ``available_now`` it processes the current backlog then stops cleanly."""
+    w = stream.writeStream.format("memory").queryName(name).outputMode("complete")
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def sink_stream_parquet(stream: DataFrame, path: str, checkpoint: str, *, available_now: bool = True):
+    w = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

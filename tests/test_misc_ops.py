@@ -127,3 +127,18 @@ def test_source_stubs(pl):
         from polars_spark.sources import scan_delta
 
         scan_delta("s3://nope")
+
+
+def test_to_dummies(pl, lf):
+    f = lf(g=["a", "b", "a"], x=[1, 2, 3])
+    out = f.to_dummies("g").collect()
+    assert sorted(out.columns) == ["g_a", "g_b", "x"]
+    assert out.sort_values("x")["g_a"].tolist() == [1, 0, 1]
+
+
+def test_transpose(pl, lf):
+    f = lf(a=[1, 2], b=[3, 4])
+    out = f.transpose().collect()
+    assert out["column"].tolist() == ["a", "b"]
+    assert out["column_0"].tolist() == [1, 3]
+    assert out["column_1"].tolist() == [2, 4]

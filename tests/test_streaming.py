@@ -1,0 +1,57 @@
+"""Structured Streaming: file-source windowed aggregation with watermark,
+availableNow trigger, memory sink — deterministic end-to-end."""
+
+import pandas as pd
+import pytest
+
+
+def test_stream_windowed_counts(spark, pl, tmp_path):
+    from polars_spark.streaming import dynamic_stream_agg, scan_stream_parquet, sink_stream_memory
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 00:35", "2024-01-01 01:05"]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    pl.from_pandas(pdf).sink_parquet(src)
+
+    stream = scan_stream_parquet(src, schema="ts timestamp, v double", spark=spark)
+    agg = dynamic_stream_agg(
+        stream,
+        index_column="ts",
+        every="30m",
+        watermark="2h",
+        aggs=[F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")],
+    )
+    q = sink_stream_memory(agg, "win_counts")
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM win_counts ORDER BY ts").toPandas()
+    assert out["ts"].tolist() == [
+        pd.Timestamp("2024-01-01 00:00"),
+        pd.Timestamp("2024-01-01 00:30"),
+        pd.Timestamp("2024-01-01 01:00"),
+    ]
+    assert out["total"].tolist() == [3.0, 3.0, 4.0]
+    assert out["n"].tolist() == [2, 1, 1]
+
+
+def test_stream_parquet_sink_roundtrip(spark, pl, tmp_path):
+    from polars_spark.streaming import scan_stream_parquet, sink_stream_parquet
+
+    src = str(tmp_path / "s2_src")
+    out = str(tmp_path / "s2_out")
+    ckpt = str(tmp_path / "s2_ckpt")
+    pl.from_pandas(pd.DataFrame({"x": [1, 2, 3]})).sink_parquet(src)
+
+    stream = scan_stream_parquet(src, schema="x bigint", spark=spark)
+    q = sink_stream_parquet(stream.where("x > 1"), out, ckpt)
+    q.awaitTermination(120)
+
+    back = pl.scan_parquet(out).collect()
+    assert sorted(back["x"].tolist()) == [2, 3]
