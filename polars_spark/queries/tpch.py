@@ -1,17 +1,28 @@
-"""TPC-H-style headline queries over the driver's star schema.
+"""TPC-H-style headline queries, written against the polars_spark frame API
+(the same way a polars user would write them: scan → filter → join →
+group_by → agg → sort).
 
-These exercise the core relational pipeline from SURVEY.md §2.1/§2.3:
-scan → filter → project → group_by/agg → sort → limit, plus multi-way
-joins with broadcastable dimensions.  Reference semantics: polars
-``scan_parquet(...).filter(...).group_by(...).agg(...)`` (DslPlan
-Scan/Filter/Select/GroupBy/Sort — polars-plan/src/dsl/plan.rs:30).
+These exercise the core relational pipeline from SURVEY.md §2.1/§2.3 through
+the LazyFrame/Expr layer; the lowering is pure DataFrame lineage, so Catalyst
+applies predicate pushdown, column pruning and join planning unchanged.
+
+Scale notes: only fixed-size dims (nation: 25 rows, region: 5 rows) carry a
+broadcast hint; customer/supplier grow linearly with SF and are left to AQE
+(broadcast when the filtered side is small at runtime, shuffled hash with
+skew splitting otherwise).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from polars_spark.queries import query, table
+from polars_spark.queries import ltable, query
+
+import polars_spark as pl
+
+
+def _ts(s: str):
+    return pl.lit(s).cast("Datetime")
 
 
 @query(
@@ -33,22 +44,23 @@ from polars_spark.queries import query, table
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li = ltable(spark, sf_dir, "lineitem")
+    disc_price = pl.col("l_extendedprice") * (1 - pl.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.filter(pl.col("l_shipdate") <= _ts("1998-09-02 00:00:00"))
+        .group_by("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            pl.col("l_quantity").sum().round(2).alias("sum_qty"),
+            pl.col("l_extendedprice").sum().round(2).alias("sum_base_price"),
+            disc_price.sum().round(2).alias("sum_disc_price"),
+            (disc_price * (1 + pl.col("l_tax"))).sum().round(2).alias("sum_charge"),
+            pl.col("l_quantity").mean().round(4).alias("avg_qty"),
+            pl.col("l_extendedprice").mean().round(4).alias("avg_price"),
+            pl.col("l_discount").mean().round(4).alias("avg_disc"),
+            pl.len().alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .sort("l_returnflag", "l_linestatus")
+        .to_spark()
     )
 
 
@@ -69,21 +81,24 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    cutoff = F.lit("1997-03-15 00:00:00").cast("timestamp")
-    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    # customer grows linearly with SF (sf100 -> 15M rows): no broadcast hint.
-    # AQE converts the join to broadcast at runtime when the filtered side is
-    # actually small, and falls back to shuffled hash at scale.
+    cutoff = _ts("1997-03-15 00:00:00")
+    cust = ltable(spark, sf_dir, "customer").filter(pl.col("c_mktsegment") == "BUILDING")
+    orders = ltable(spark, sf_dir, "orders").filter(pl.col("o_orderdate") < cutoff)
+    li = ltable(spark, sf_dir, "lineitem").filter(pl.col("l_shipdate") > cutoff)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        li.join(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .join(cust, left_on="o_custkey", right_on="c_custkey")
+        .group_by("l_orderkey", "o_orderdate")
+        .agg(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount")))
+            .sum()
+            .round(2)
+            .alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .sort(["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False])
         .limit(10)
+        .to_spark()
     )
 
 
@@ -104,32 +119,42 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    cust = ltable(spark, sf_dir, "customer")
+    orders = ltable(spark, sf_dir, "orders").filter(
+        (pl.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (pl.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
     )
-    li = table(spark, sf_dir, "lineitem")
-    supp = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
-    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # Only the truly fixed-size dims carry a broadcast hint (nation: 25 rows,
-    # region: 5 rows).  supplier/customer grow with SF, so their joins are left
-    # to AQE: broadcast when small at runtime, shuffled hash (with skew
-    # splitting) at scale.
-    dims = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    li = ltable(spark, sf_dir, "lineitem")
+    supp = ltable(spark, sf_dir, "supplier")
+    nation = ltable(spark, sf_dir, "nation")
+    region = ltable(spark, sf_dir, "region").filter(pl.col("r_name") == "ASIA")
+    # fixed-size dims broadcast; supplier/customer joins left to AQE
+    from polars_spark.plans.frame import LazyFrame
+
+    dims = LazyFrame(
+        supp.to_spark()
+        .join(F.broadcast(nation.to_spark()), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.to_spark()), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    joined = (
+        li.join(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .join(cust, left_on="o_custkey", right_on="c_custkey")
+        .join_where(
+            dims,
+            pl.col("l_suppkey") == pl.col("s_suppkey"),
+            pl.col("c_nationkey") == pl.col("s_nationkey"),
+        )
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            dims,
-            (F.col("l_suppkey") == dims.s_suppkey) & (F.col("c_nationkey") == dims.s_nationkey),
+        joined.group_by("n_name")
+        .agg(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount")))
+            .sum()
+            .round(2)
+            .alias("revenue")
         )
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .sort(["revenue", "n_name"], descending=[True, False])
+        .to_spark()
     )
 
 
@@ -145,16 +170,16 @@ def q5_local_supplier_volume(spark, sf_dir):
     """,
 )
 def q6_forecast_revenue(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
+    li = ltable(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
+            (pl.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (pl.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+            & pl.col("l_discount").is_between(0.05, 0.07)
+            & (pl.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .select((pl.col("l_extendedprice") * pl.col("l_discount")).sum().round(2).alias("revenue"))
+        .to_spark()
     )
 
 
@@ -176,26 +201,33 @@ def q6_forecast_revenue(spark, sf_dir):
     """,
 )
 def q10_returned_items(spark, sf_dir):
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1998-10-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    cust = ltable(spark, sf_dir, "customer")
+    orders = ltable(spark, sf_dir, "orders").filter(
+        (pl.col("o_orderdate") >= _ts("1998-10-01 00:00:00"))
+        & (pl.col("o_orderdate") < _ts("1999-01-01 00:00:00"))
     )
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    nation = table(spark, sf_dir, "nation")
+    li = ltable(spark, sf_dir, "lineitem").filter(pl.col("l_returnflag") == "R")
+    nation = ltable(spark, sf_dir, "nation")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        li.join(orders, left_on="l_orderkey", right_on="o_orderkey")
+        # polars coalesces the join key into the left name: o_custkey survives
+        .join(cust, left_on="o_custkey", right_on="c_custkey")
+        .join(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .group_by(pl.col("o_custkey").alias("c_custkey"), "c_name", "c_acctbal", "n_name")
+        .agg(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount")))
+            .sum()
+            .round(2)
+            .alias("revenue")
+        )
         .select(
             "c_custkey",
             "c_name",
             "revenue",
-            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            pl.col("c_acctbal").round(2).alias("c_acctbal"),
             "n_name",
         )
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
         .limit(20)
+        .to_spark()
     )
