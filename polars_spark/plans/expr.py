@@ -453,6 +453,21 @@ class Expr:
 
         return Expr(fn, self._name)
 
+    def filter(self, *predicates):
+        """Keep only elements matching the predicate — the polars
+        filtered-aggregation idiom ``col('x').filter(cond).sum()``
+        (Expr::Filter).  Lowering: non-matching rows become null, which every
+        aggregate skips."""
+
+        def fn(ctx: ExprContext) -> Column:
+            cond = None
+            for p in predicates:
+                c = _to_expr(p)._resolve(ctx)
+                cond = c if cond is None else (cond & c)
+            return F.when(cond, self._resolve(ctx))
+
+        return Expr(fn, self._name, self._is_agg)
+
     # -- aggregations ---------------------------------------------------------
     def _agg(self, f: Callable[[Column], Column]) -> "Expr":
         def fn(ctx: ExprContext) -> Column:

@@ -235,6 +235,26 @@ class StringNamespace(_NS):
     def extract_all(self, pattern: str) -> Expr:
         return self._map(lambda c: F.regexp_extract_all(c, F.lit(pattern), 0))
 
+    def extract_groups(self, pattern: str) -> Expr:
+        """All capture groups as one struct; field names are the group names
+        (named groups) or 1-based indices, null fields on no-match."""
+        compiled = _re.compile(pattern)
+        names = {v: k for k, v in compiled.groupindex.items()}
+        fields = [(i, names.get(i, str(i))) for i in range(1, compiled.groups + 1)]
+        # Java regex spells named groups (?<name>...), not Python's (?P<name>...)
+        pattern = pattern.replace("(?P<", "(?<")
+
+        def fn(c):
+            matched = F.regexp_like(c, F.lit(pattern))
+            return F.struct(
+                *[
+                    F.when(matched, F.regexp_extract(c, pattern, i)).alias(nm)
+                    for i, nm in fields
+                ]
+            )
+
+        return self._map(fn)
+
     # -- replace ------------------------------------------------------------
     def replace(self, pattern: str, value: str, *, literal: bool = False, n: int = 1) -> Expr:
         """Replace the FIRST match (polars semantics; replace_all for every)."""

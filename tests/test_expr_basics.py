@@ -150,3 +150,23 @@ def test_replace_and_hash(pl, lf):
     assert [r[0] for r in rows(out)] == ["A", "B", "c"]
     h = f.select(pl.col("x").hash().alias("h")).collect()
     assert h["h"].nunique() == 3
+
+
+def test_expr_filter_in_agg(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1.0, 5.0, 3.0])
+    out = f.group_by("g").agg(
+        pl.col("x").filter(pl.col("x") > 2).sum().alias("big_sum"),
+        pl.col("x").filter(pl.col("x") > 2).count().alias("big_n"),
+    )
+    assert rows(out, sort_by="g") == [("a", 5.0, 1), ("b", 3.0, 1)]
+
+
+def test_str_extract_groups(pl, lf):
+    f = lf(s=["a=1 b=2", "nope"])
+    pdf = f.select(
+        pl.col("s").str.extract_groups(r"a=(\d+) b=(\d+)").alias("g"),
+        pl.col("s").str.extract_groups(r"a=(?P<av>\d+)").alias("named"),
+    ).collect()
+    assert pdf["g"][0] == {"1": "1", "2": "2"}
+    assert pdf["g"][1] == {"1": None, "2": None}
+    assert pdf["named"][0] == {"av": "1"}
