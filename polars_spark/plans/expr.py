@@ -899,6 +899,90 @@ class Expr:
 
         return Expr(fn, self._name)
 
+    def ewm_std(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, bias: bool = False, min_samples: int = 1):
+        return self._ewm_var_std(alpha, span, com, bias, min_samples, std=True)
+
+    def ewm_var(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, bias: bool = False, min_samples: int = 1):
+        return self._ewm_var_std(alpha, span, com, bias, min_samples, std=False)
+
+    def _ewm_var_std(self, alpha, span, com, bias, min_samples, *, std: bool):
+        """EW variance/std (pandas/polars adjust=True): one fold accumulates
+        (Σw·x, Σw, Σw², Σw·x²); var = (Σwx²/Σw − m²) with the (Σw)²/((Σw)²−Σw²)
+        bias correction when bias=False."""
+        if alpha is None:
+            if span is not None:
+                alpha = 2.0 / (span + 1.0)
+            elif com is not None:
+                alpha = 1.0 / (1.0 + com)
+            else:
+                raise ValueError("ewm needs alpha/span/com")
+        d = 1.0 - alpha
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
+            arr = F.collect_list(c).over(w)
+            acc0 = F.struct(
+                F.lit(0.0).alias("s1"), F.lit(0.0).alias("s0"),
+                F.lit(0.0).alias("s2"), F.lit(0.0).alias("sx2"),
+            )
+            def step(acc, x):
+                return F.struct(
+                    (acc["s1"] * d + x).alias("s1"),
+                    (acc["s0"] * d + 1.0).alias("s0"),
+                    (acc["s2"] * d * d + 1.0).alias("s2"),
+                    (acc["sx2"] * d + x * x).alias("sx2"),
+                )
+            def fin(acc):
+                m = acc["s1"] / acc["s0"]
+                varb = acc["sx2"] / acc["s0"] - m * m
+                if not bias:
+                    denom = acc["s0"] * acc["s0"] - acc["s2"]
+                    varb = F.when(denom > 0, varb * acc["s0"] * acc["s0"] / denom)
+                varb = F.greatest(varb, F.lit(0.0))
+                return F.sqrt(varb) if std else varb
+            out = F.aggregate(arr, acc0, step, fin)
+            out = F.when(F.size(arr) >= min_samples, out)
+            return F.when(self._resolve(ctx).isNotNull(), out)
+
+        return Expr(fn, self._name)
+
+    def rolling_skew(self, window_size: int, *, bias: bool = True, min_samples: int | None = None):
+        """Rolling skew from windowed power sums (biased, polars default)."""
+        if not bias:
+            raise NotImplementedError("rolling_skew bias=False")
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+            e1, e2, e3 = (F.avg(c).over(w), F.avg(c * c).over(w), F.avg(c * c * c).over(w))
+            m2 = e2 - e1 * e1
+            m3 = e3 - 3 * e1 * e2 + 2 * e1 * e1 * e1
+            val = m3 / F.pow(m2, 1.5)
+            need = window_size if min_samples is None else min_samples
+            return F.when(F.count(c).over(w) >= need, val)
+
+        return Expr(fn, self._name)
+
+    def rolling_kurtosis(self, window_size: int, *, fisher: bool = True, bias: bool = True, min_samples: int | None = None):
+        if not (fisher and bias):
+            raise NotImplementedError("rolling_kurtosis: fisher=True, bias=True only")
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+            e1 = F.avg(c).over(w)
+            e2 = F.avg(c * c).over(w)
+            e3 = F.avg(c * c * c).over(w)
+            e4 = F.avg(c * c * c * c).over(w)
+            m2 = e2 - e1 * e1
+            m4 = e4 - 4 * e1 * e3 + 6 * e1 * e1 * e2 - 3 * F.pow(e1, F.lit(4.0))
+            val = m4 / (m2 * m2) - 3
+            need = window_size if min_samples is None else min_samples
+            return F.when(F.count(c).over(w) >= need, val)
+
+        return Expr(fn, self._name)
+
     def rolling_sum(self, window_size: int, min_samples: int | None = None):
         return self._rolling(F.sum, window_size, min_samples)
 

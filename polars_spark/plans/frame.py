@@ -139,6 +139,10 @@ class LazyFrame:
                     out.extend(F.col(c) for c in self.columns)
                 else:
                     out.append(F.col(e))
+            elif getattr(e, "_selector", None) is not None:
+                # selector: expand against the schema (pure front-end)
+                pred = e._selector
+                out.extend(F.col(c) for c, t in self.schema.items() if pred(c, t))
             elif isinstance(e, Expr) and getattr(e, "_wildcard", False):
                 out.extend(F.col(c) for c in self.columns)
             elif isinstance(e, Expr) and getattr(e, "_multi", None):

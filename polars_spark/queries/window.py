@@ -270,3 +270,30 @@ def win_rolling_quantile(spark, sf_dir):
         pl.col("value").rolling_median(5).over("user_id").round(6).alias("rmed5"),
         pl.col("value").rolling_quantile(0.25, window_size=5).over("user_id").round(6).alias("rq25"),
     ).to_spark()
+
+
+@query(
+    "win_rolling_moments",
+    oracle=f"""
+    WITH pw AS (
+      SELECT event_id,
+             count(value) OVER ({_W} ROWS 9 PRECEDING) AS n,
+             avg(value)   OVER ({_W} ROWS 9 PRECEDING) AS e1,
+             avg(value*value) OVER ({_W} ROWS 9 PRECEDING) AS e2,
+             avg(value*value*value) OVER ({_W} ROWS 9 PRECEDING) AS e3
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN n >= 10
+                THEN round((e3 - 3*e1*e2 + 2*e1*e1*e1) / pow(e2 - e1*e1, 1.5), 6) END AS rskew10
+    FROM pw
+    """,
+)
+def win_rolling_moments(spark, sf_dir):
+    """Rolling skew from windowed power sums — higher-moment rolling stats
+    without any per-row recomputation of the window contents."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").rolling_skew(10).over("user_id").round(6).alias("rskew10"),
+    ).to_spark()

@@ -1,0 +1,116 @@
+"""Column selectors (polars ``cs.*`` — py-polars/src/polars/selectors.py,
+rust polars-plan/src/dsl/selector.rs).
+
+Selectors are pure front-end: they resolve against the frame schema before
+any plan is built, so Catalyst sees only concrete column references.
+
+    import polars_spark.selectors as cs
+    lf.select(cs.numeric())                      # all numeric columns
+    lf.select(cs.starts_with("l_") - cs.float_())  # set algebra
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from polars_spark.plans.expr import Expr
+
+__all__ = [
+    "all",
+    "numeric",
+    "integer",
+    "float_",
+    "string",
+    "temporal",
+    "boolean",
+    "by_name",
+    "by_dtype",
+    "starts_with",
+    "ends_with",
+    "contains",
+    "matches",
+]
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"} | {
+    f"decimal({p},{s})" for p in range(1, 39) for s in (0, 2)
+}
+_INTEGER = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT = {"float", "double"}
+_TEMPORAL = {"date", "timestamp", "timestamp_ntz", "interval day to second"}
+
+
+class Selector(Expr):
+    """An Expr that expands to every matching column at resolution time.
+    Supports polars selector set algebra: ``|`` union, ``&`` intersection,
+    ``-`` difference, ``~`` complement."""
+
+    def __init__(self, predicate, label: str):
+        super().__init__(lambda ctx: (_ for _ in ()).throw(RuntimeError("unexpanded selector")), label)
+        self._selector = predicate
+
+    def __or__(self, other):
+        return Selector(lambda n, t: self._selector(n, t) or other._selector(n, t), "or")
+
+    def __and__(self, other):
+        return Selector(lambda n, t: self._selector(n, t) and other._selector(n, t), "and")
+
+    def __sub__(self, other):
+        return Selector(lambda n, t: self._selector(n, t) and not other._selector(n, t), "sub")
+
+    def __invert__(self):
+        return Selector(lambda n, t: not self._selector(n, t), "not")
+
+
+def all() -> Selector:  # noqa: A001 - polars name
+    return Selector(lambda n, t: True, "all")
+
+
+def numeric() -> Selector:
+    return Selector(lambda n, t: t in _NUMERIC or t.startswith("decimal"), "numeric")
+
+
+def integer() -> Selector:
+    return Selector(lambda n, t: t in _INTEGER, "integer")
+
+
+def float_() -> Selector:
+    return Selector(lambda n, t: t in _FLOAT, "float")
+
+
+def string() -> Selector:
+    return Selector(lambda n, t: t == "string", "string")
+
+
+def boolean() -> Selector:
+    return Selector(lambda n, t: t == "boolean", "boolean")
+
+
+def temporal() -> Selector:
+    return Selector(lambda n, t: t in _TEMPORAL or t.startswith("timestamp"), "temporal")
+
+
+def by_name(*names: str) -> Selector:
+    ns = set(names)
+    return Selector(lambda n, t: n in ns, "by_name")
+
+
+def by_dtype(*dtypes: str) -> Selector:
+    ds = {d.lower() for d in dtypes}
+    return Selector(lambda n, t: t in ds, "by_dtype")
+
+
+def starts_with(*prefixes: str) -> Selector:
+    return Selector(lambda n, t: any(n.startswith(p) for p in prefixes), "starts_with")
+
+
+def ends_with(*suffixes: str) -> Selector:
+    return Selector(lambda n, t: any(n.endswith(s) for s in suffixes), "ends_with")
+
+
+def contains(*substrings: str) -> Selector:
+    return Selector(lambda n, t: any(s in n for s in substrings), "contains")
+
+
+def matches(pattern: str) -> Selector:
+    rx = _re.compile(pattern)
+    return Selector(lambda n, t: rx.search(n) is not None, "matches")

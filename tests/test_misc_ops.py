@@ -142,3 +142,60 @@ def test_transpose(pl, lf):
     assert out["column"].tolist() == ["a", "b"]
     assert out["column_0"].tolist() == [1, 3]
     assert out["column_1"].tolist() == [2, 4]
+
+
+def test_selectors(pl, lf):
+    import polars_spark.selectors as cs
+
+    f = lf(l_a=[1], l_b=[2.5], name=["x"], flag=[True])
+    assert f.select(cs.numeric()).columns == ["l_a", "l_b"]
+    assert f.select(cs.string()).columns == ["name"]
+    assert f.select(cs.starts_with("l_")).columns == ["l_a", "l_b"]
+    assert f.select(cs.starts_with("l_") - cs.float_()).columns == ["l_a"]
+    assert f.select(~cs.boolean()).columns == ["l_a", "l_b", "name"]
+    assert f.select(cs.matches("^l_")).columns == ["l_a", "l_b"]
+
+
+def test_ewm_std_var_pandas_parity(pl, lf):
+    data = [1.0, 3.0, 2.0, 8.0, 5.0]
+    f = lf(x=data).with_row_index("i")
+    out = f.with_columns(
+        pl.col("x").ewm_std(alpha=0.4).alias("es"),
+        pl.col("x").ewm_var(alpha=0.4).alias("ev"),
+    ).sort("i")
+    import pandas as pd
+    import pytest as pt
+
+    got_s = [t[2] for t in rows(out)]
+    got_v = [t[3] for t in rows(out)]
+    want_s = pd.Series(data).ewm(alpha=0.4, adjust=True).std().tolist()
+    want_v = pd.Series(data).ewm(alpha=0.4, adjust=True).var().tolist()
+    # pandas emits NaN for the first element (0/0); ours yields 0-variance -> compare rest
+    assert got_s[1:] == pt.approx(want_s[1:], rel=1e-9)
+    assert got_v[1:] == pt.approx(want_v[1:], rel=1e-9)
+
+
+def test_rolling_skew_kurtosis(pl, lf):
+    import pytest as pt
+
+    data = [1.0, 2.0, 4.0, 8.0, 16.0]
+    f = lf(x=data).with_row_index("i")
+    out = f.with_columns(
+        pl.col("x").rolling_skew(3).alias("sk"),
+        pl.col("x").rolling_kurtosis(3).alias("ku"),
+    ).sort("i")
+    r = rows(out)
+
+    def moments(win):
+        n = len(win)
+        m = sum(win) / n
+        m2 = sum((v - m) ** 2 for v in win) / n
+        m3 = sum((v - m) ** 3 for v in win) / n
+        m4 = sum((v - m) ** 4 for v in win) / n
+        return m3 / m2**1.5, m4 / m2**2 - 3
+
+    for i in range(2, 5):
+        sk, ku = moments(data[i - 2 : i + 1])
+        assert r[i][2] == pt.approx(sk, rel=1e-9)
+        assert r[i][3] == pt.approx(ku, rel=1e-9)
+    assert r[0][2] is None and r[1][2] is None
