@@ -697,6 +697,32 @@ class Expr:
             return e._map(lambda c: c + 3, is_agg=True)
         raise NotImplementedError("unbiased kurtosis")
 
+    def search_sorted(self, element, side: str = "left"):
+        """Insertion position of ``element`` in the sorted column
+        (FunctionExpr::SearchSorted): count of values strictly below (left)
+        or less-or-equal (right) — a plain aggregate, no sort needed."""
+        e = _to_expr(element)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            v = e._resolve(ctx)
+            cmp = (c < v) if side == "left" else (c <= v)
+            return F.sum(F.when(cmp, 1).otherwise(0)).cast("bigint")
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def agg_groups(self):
+        """Row indices (frame row-index order column) of each group's members
+        (AggExpr::AggGroups).  Requires a row index."""
+
+        def fn(ctx: ExprContext) -> Column:
+            specs = ctx.order_specs()
+            if not specs:
+                raise ValueError("agg_groups needs a row index (with_row_index())")
+            return F.array_sort(F.collect_list(F.col(specs[0][0])))
+
+        return Expr(fn, self._name, is_agg=True)
+
     # -- order-sensitive ----------------------------------------------------
     def shift(self, n: int = 1, fill_value=None):
         def fn(ctx: ExprContext) -> Column:
@@ -724,11 +750,15 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def _cum(self, agg, reverse: bool = False):
+    def _cum(self, agg, reverse: bool = False, mask_nulls: bool = True):
+        # polars cumulative ops emit null at null input positions (the null is
+        # skipped by the running aggregate AND shows as null in the output);
+        # cum_count is the exception (a count exists at every row)
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = ctx.order_window(reverse).rowsBetween(Window.unboundedPreceding, 0)
-            return agg(c).over(w)
+            out = agg(c).over(w)
+            return F.when(c.isNotNull(), out) if mask_nulls else out
 
         return Expr(fn, self._name)
 
@@ -742,7 +772,7 @@ class Expr:
         return self._cum(F.max, reverse)
 
     def cum_count(self, reverse: bool = False):
-        return self._cum(F.count, reverse)
+        return self._cum(F.count, reverse, mask_nulls=False)
 
     def cum_prod(self, reverse: bool = False):
         # Same sign/zero tracking as product(): exp(sum(log|x|)) for the

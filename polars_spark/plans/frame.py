@@ -123,6 +123,15 @@ class LazyFrame:
             df = df.drop(ROW_IDX)
         return df.toPandas()
 
+    def to_arrow(self):
+        """Materialize as a pyarrow Table (Arrow transfer end to end)."""
+        df = self._df
+        if self._order:
+            df = df.orderBy(*_order_cols(self._order))
+        if ROW_IDX in df.columns:
+            df = df.drop(ROW_IDX)
+        return df.toArrow()
+
     def lazy(self) -> "LazyFrame":
         return self
 

@@ -158,6 +158,15 @@ def read_ndjson(source, **kw) -> LazyFrame:
     return scan_ndjson(source, **kw)
 
 
+def read_json(source, *, schema: str | None = None, spark: SparkSession | None = None) -> LazyFrame:
+    """Standard (multi-line) JSON documents, one record or an array per file."""
+    spark = spark or _spark()
+    r = spark.read.option("multiLine", True)
+    if schema is not None:
+        r = r.schema(schema)
+    return LazyFrame(r.json(source))
+
+
 def scan_ipc(source, **kw) -> LazyFrame:
     """Arrow IPC: no native Spark datasource — bridge through pyarrow on the
     driver (acceptable for small sidecar files; large data should be parquet)."""

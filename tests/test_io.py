@@ -50,3 +50,40 @@ def test_include_file_paths(pl, lf, tmp_path):
     back = pl.scan_parquet(path, include_file_paths="src")
     pdf = back.collect()
     assert pdf["src"].str.contains("fp").all()
+
+
+def test_io_plugin_datasource(spark, pl):
+    from polars_spark.io_plugins import register_io_source, scan_io_source
+
+    def gen(part_idx):
+        for i in range(3):
+            yield (part_idx, i, float(part_idx * 10 + i))
+
+    register_io_source(
+        "test_gen_src", schema="part int, i int, v double", generator=gen,
+        num_partitions=2, spark=spark,
+    )
+    lf = scan_io_source("test_gen_src", spark=spark)
+    pdf = lf.collect()
+    assert len(pdf) == 6
+    assert sorted(pdf["part"].unique().tolist()) == [0, 1]
+    assert pdf["v"].sum() == (0 + 1 + 2) + (10 + 11 + 12)
+
+
+def test_read_json_multiline(pl, tmp_path):
+    p = tmp_path / "doc.json"
+    p.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]')
+    f = pl.scan_parquet if False else None  # noqa
+    from polars_spark.sources import read_json
+
+    out = read_json(str(p))
+    assert rows(out, sort_by="a") == [(1, "x"), (2, "y")]
+
+
+def test_to_arrow(pl, lf_module_missing=None):
+    import polars_spark as plm
+    import pandas as pd
+
+    f = plm.from_pandas(pd.DataFrame({"x": [1, 2]}))
+    t = f.to_arrow()
+    assert t.num_rows == 2 and t.column_names == ["x"]

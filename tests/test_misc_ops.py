@@ -199,3 +199,16 @@ def test_rolling_skew_kurtosis(pl, lf):
         assert r[i][2] == pt.approx(sk, rel=1e-9)
         assert r[i][3] == pt.approx(ku, rel=1e-9)
     assert r[0][2] is None and r[1][2] is None
+
+
+def test_search_sorted_agg_groups(pl, lf):
+    f = lf(x=[10.0, 20.0, 30.0, 20.0]).with_row_index("i")
+    out = f.select(
+        pl.col("x").search_sorted(25).alias("pos_left"),
+        pl.col("x").search_sorted(20, side="right").alias("pos_right"),
+    )
+    assert rows(out) == [(3, 3)]
+    g = lf(g=["a", "b", "a"], x=[1, 2, 3]).with_row_index("i")
+    pdf = g.group_by("g").agg(pl.col("x").agg_groups().alias("idxs")).collect()
+    got = {r["g"]: list(r["idxs"]) for _, r in pdf.iterrows()}
+    assert got == {"a": [0, 2], "b": [1]}

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis), mirroring the reference's parametric
+strategy (py-polars/src/polars/testing/parametric/): random frames, engine
+results compared against pandas as the independent model.
+
+max_examples is small — each example is a Spark job — but inputs cover
+negatives, duplicates, empty groups and null patterns.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ROWS = st.integers(1, 25)
+
+
+@st.composite
+def frames(draw):
+    n = draw(ROWS)
+    keys = draw(st.lists(st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame({"g": keys, "x": vals})
+
+
+_settings = settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@given(pdf=frames())
+@_settings
+def test_groupby_sum_matches_pandas(pl, pdf):
+    f = pl.from_pandas(pdf)
+    got = (
+        f.group_by("g")
+        .agg(pl.col("x").sum().alias("s"), pl.len().alias("n"))
+        .collect()
+        .sort_values("g", ignore_index=True)
+    )
+    want = (
+        pdf.groupby("g", dropna=False)
+        .agg(s=("x", lambda s: s.sum(min_count=1)), n=("x", "size"))
+        .reset_index()
+        .sort_values("g", ignore_index=True)
+    )
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    for a, b in zip(got["s"].tolist(), want["s"].tolist()):
+        if pd.isna(a) and pd.isna(b):
+            continue
+        assert a == pytest.approx(b, rel=1e-9, abs=1e-9)
+
+
+@given(pdf=frames())
+@_settings
+def test_sort_matches_pandas(pl, pdf):
+    f = pl.from_pandas(pdf)
+    got = f.sort("x", nulls_last=True).collect()["x"].tolist()
+    want = pdf.sort_values("x", na_position="last", kind="stable")["x"].tolist()
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+@given(pdf=frames())
+@_settings
+def test_unique_counts_match_pandas(pl, pdf):
+    f = pl.from_pandas(pdf)
+    got = len(f.unique(subset="g").collect())
+    assert got == pdf["g"].nunique(dropna=False)
+
+
+@given(pdf=frames())
+@_settings
+def test_cum_sum_matches_pandas(pl, pdf):
+    f = pl.from_pandas(pdf).with_row_index("i")
+    got = f.with_columns(pl.col("x").cum_sum().alias("cs")).sort("i").collect()["cs"]
+    want = pdf["x"].cumsum()
+    for a, b in zip(got.tolist(), want.tolist()):
+        assert (pd.isna(a) and pd.isna(b)) or a == pytest.approx(b, rel=1e-9, abs=1e-9)
