@@ -806,6 +806,40 @@ class LazyFrame:
             df = gp.agg(*[aggf(v).alias(v) for v in vals])
         return LazyFrame(df, [])
 
+    def describe(self):
+        """Eager per-column summary (count, null_count, mean, std, min, max,
+        median) — pandas result like polars describe."""
+        import pandas as pd
+
+        stats = []
+        for c, t in self.schema.items():
+            numeric = t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            agg = [
+                F.count(F.lit(1)).alias("count"),
+                F.sum(F.col(c).isNull().cast("int")).alias("null_count"),
+            ]
+            if numeric:
+                agg += [
+                    F.mean(c).alias("mean"),
+                    F.stddev_samp(c).alias("std"),
+                    F.min(c).alias("min"),
+                    F.median(c).alias("median"),
+                    F.max(c).alias("max"),
+                ]
+            else:
+                agg += [
+                    F.lit(None).alias("mean"),
+                    F.lit(None).alias("std"),
+                    F.min(c).cast("string").alias("min"),
+                    F.lit(None).alias("median"),
+                    F.max(c).cast("string").alias("max"),
+                ]
+            row = self._df.agg(*agg).collect()[0].asDict()
+            row["column"] = c
+            stats.append(row)
+        cols = ["column", "count", "null_count", "mean", "std", "min", "median", "max"]
+        return pd.DataFrame(stats)[cols]
+
     def to_dummies(self, columns: Sequence[str] | str, *, separator: str = "_") -> "LazyFrame":
         """Indicator columns per distinct value (polars-ops to_dummies.rs).
         Distinct values are collected eagerly (like polars pivot); the
@@ -1040,18 +1074,27 @@ class DynamicGroupBy:
 class RollingGroupBy:
     """LazyFrame.rolling context (RollingGroupOptions, polars-time dynamic.rs:57).
 
-    Window = (t - period, t] per row — rangeBetween over microseconds with the
-    lower bound shifted one µs inward to make it exclusive, matching polars
-    closed='right' default.  Partitioned by ``group_by`` keys: no global
-    single-partition window when keys are given.
+    Window per row over the µs-resolution time axis; ``closed`` picks the
+    boundary inclusion — 'right' (polars default) = (t-period, t], 'both' =
+    [t-period, t], 'left' = [t-period, t), 'none' = (t-period, t).
+    Partitioned by ``group_by`` keys: no global single-partition window when
+    keys are given.
     """
 
+    _BOUNDS = {
+        "right": (1, 0),  # offsets added to (-period, 0)
+        "both": (0, 0),
+        "left": (0, -1),
+        "none": (1, -1),
+    }
+
     def __init__(self, lf, index_column, period, group_by, closed):
-        if closed != "right":
-            raise NotImplementedError("rolling: only closed='right' (polars default)")
+        if closed not in self._BOUNDS:
+            raise ValueError(f"rolling closed={closed!r}")
         self._lf = lf
         self._index = index_column
         self._period_us = _duration_us(period)
+        self._closed = closed
         gb = group_by or []
         self._by = [gb] if isinstance(gb, str) else list(gb)
 
@@ -1059,10 +1102,11 @@ class RollingGroupBy:
         lf = self._lf
         is_ts = dict(lf._df.dtypes)[self._index].startswith("timestamp")
         okey = F.unix_micros(F.col(self._index).cast("timestamp")) if is_ts else F.col(self._index).cast("bigint")
+        lo_off, hi_off = self._BOUNDS[self._closed]
         w = (
             Window.partitionBy(*[F.col(b) for b in self._by])
             .orderBy(okey)
-            .rangeBetween(-(self._period_us - 1), 0)
+            .rangeBetween(-self._period_us + lo_off, hi_off)
         )
         ctx = _WindowedContext(lf._df, w)
         outs: dict[str, Column] = {}

@@ -297,3 +297,41 @@ def win_rolling_moments(spark, sf_dir):
         "event_id",
         pl.col("value").rolling_skew(10).over("user_id").round(6).alias("rskew10"),
     ).to_spark()
+
+
+@query(
+    "win_top2_per_group",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+)
+def win_top2_per_group(spark, sf_dir):
+    """h2oai groupby q8 shape (top-2 values per group) — rank-ordinal +
+    filter, one window shuffle keyed by the group."""
+    ev = ltable(spark, sf_dir, "events").set_sorted("event_id")
+    ranked = ev.with_columns(
+        pl.col("value").rank("ordinal", descending=True).over("user_id").alias("rn")
+    )
+    return ranked.filter(pl.col("rn") <= 2).select("user_id", "event_id", pl.col("value")).to_spark()
+
+
+@query(
+    "agg_corr_r2",
+    oracle="""
+    SELECT event_type,
+           round(pow(corr(value, epoch_us(ts)), 2), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_corr_r2(spark, sf_dir):
+    """h2oai groupby q9 shape (corr^2 by group)."""
+    ev = ltable(spark, sf_dir, "events")
+    return (
+        ev.group_by("event_type")
+        .agg((pl.corr(pl.col("value"), pl.col("ts").dt.epoch("us")) ** 2).round(6).alias("r2"))
+        .to_spark()
+    )

@@ -163,3 +163,13 @@ def test_group_by_convenience(pl, lf):
     assert rows(f.group_by("g").sum(), sort_by="g") == [("a", 4.0, 4.0), ("b", 10.0, 2.0)]
     assert rows(f.group_by("g").len(), sort_by="g") == [("a", 2), ("b", 1)]
     assert rows(f.group_by("g").mean(), sort_by="g") == [("a", 2.0, 2.0), ("b", 10.0, 2.0)]
+
+
+def test_describe(pl, lf):
+    f = lf(x=[1.0, 2.0, None], s=["a", "b", "c"])
+    d = f.describe()
+    xrow = d[d["column"] == "x"].iloc[0]
+    assert xrow["count"] == 3 and xrow["null_count"] == 1
+    assert xrow["mean"] == 1.5 and xrow["min"] == 1.0 and xrow["max"] == 2.0
+    srow = d[d["column"] == "s"].iloc[0]
+    assert srow["min"] == "a" and srow["max"] == "c"

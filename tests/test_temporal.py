@@ -76,3 +76,33 @@ def test_rolling_excludes_left_boundary(pl, lf):
     r = rows(out, sort_by="ts")
     # second window is (00:00, 00:30] -> excludes the 00:00 row (closed='right')
     assert [t[2] for t in r] == [1.0, 2.0]
+
+
+def test_rolling_closed_variants(pl, lf):
+    ts = [pd.Timestamp("2024-01-01 00:00"), pd.Timestamp("2024-01-01 00:30"), pd.Timestamp("2024-01-01 01:00")]
+    f = lf(ts=ts, v=[1.0, 2.0, 4.0], g=["a"] * 3)
+
+    def sums(closed):
+        out = f.rolling("ts", period="30m", group_by="g", closed=closed).agg(
+            pl.col("v").sum().alias("s")
+        )
+        return [t[2] for t in rows(out, sort_by="ts")]
+
+    assert sums("right") == [1.0, 2.0, 4.0]   # (t-30m, t]
+    assert sums("both") == [1.0, 3.0, 6.0]    # [t-30m, t]
+    assert sums("left") == [None, 1.0, 2.0]   # [t-30m, t)
+    assert sums("none") == [None, None, None]  # (t-30m, t)
+
+
+def test_duration_totals(pl, lf):
+    f = lf(
+        a=[pd.Timestamp("2024-01-01 00:00")],
+        b=[pd.Timestamp("2024-01-02 03:04:05")],
+    )
+    out = f.select(
+        (pl.col("b") - pl.col("a")).dt.total_seconds().alias("secs"),
+        (pl.col("b") - pl.col("a")).dt.total_hours().alias("hrs"),
+        (pl.col("b") - pl.col("a")).dt.total_days().alias("days"),
+    )
+    r = rows(out)[0]
+    assert r == (97445, 27, 1)
