@@ -231,3 +231,64 @@ def q10_returned_items(spark, sf_dir):
         .limit(20)
         .to_spark()
     )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount) END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem").filter(
+        (pl.col("l_shipdate") >= _ts("1996-03-01 00:00:00"))
+        & (pl.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    part = ltable(spark, sf_dir, "part")
+    rev = pl.col("l_extendedprice") * (1 - pl.col("l_discount"))
+    promo = pl.when(pl.col("p_type").str.starts_with("PROMO")).then(rev).otherwise(pl.lit(None))
+    return (
+        li.join(part, left_on="l_partkey", right_on="p_partkey")
+        .select((100.0 * promo.sum() / rev.sum()).round(4).alias("promo_revenue"))
+        .to_spark()
+    )
+
+
+@query(
+    "q18_large_volume",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: pre-aggregate the fact table, then join dimensions —
+    the aggregate runs BEFORE the join so only qualifying orders shuffle."""
+    li = ltable(spark, sf_dir, "lineitem")
+    big = (
+        li.group_by("l_orderkey")
+        .agg(pl.col("l_quantity").sum().alias("qty"))
+        .filter(pl.col("qty") > 300)
+    )
+    orders = ltable(spark, sf_dir, "orders")
+    cust = ltable(spark, sf_dir, "customer")
+    return (
+        big.join(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .join(cust, left_on="o_custkey", right_on="c_custkey")
+        .select(
+            pl.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            pl.col("l_orderkey").alias("o_orderkey"),
+            pl.col("o_totalprice").round(2).alias("o_totalprice"),
+            pl.col("qty"),
+        )
+        .to_spark()
+    )

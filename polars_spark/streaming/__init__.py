@@ -77,6 +77,36 @@ def dynamic_stream_agg(
     return out.withColumn(index_column, F.col("__w__.start")).drop("__w__")
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    *,
+    key: str,
+    value: str,
+    state_timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running (count, sum) maintained in the state store across
+    micro-batches.  The pattern for any user-defined streaming accumulator
+    (sessionization, dedup-with-memory, rate limiting)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = f"{key} long, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key: [key_tuple[0]], "n": [n], "total": [total]})
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", state_timeout
+    )
+
+
 def sink_stream_memory(stream: DataFrame, name: str, *, available_now: bool = True):
     """Memory sink (tests/debug): returns the started query; with
     ``available_now`` it processes the current backlog then stops cleanly."""

@@ -55,3 +55,25 @@ def test_stream_parquet_sink_roundtrip(spark, pl, tmp_path):
 
     back = pl.scan_parquet(out).collect()
     assert sorted(back["x"].tolist()) == [2, 3]
+
+
+def test_stateful_running_totals(spark, pl, tmp_path):
+    from polars_spark.streaming import scan_stream_parquet, stateful_running_totals
+
+    src = str(tmp_path / "s3_src")
+    pdf = pd.DataFrame({"user_id": [1, 1, 2, 2, 2], "value": [1.0, 2.0, 10.0, 20.0, 30.0]})
+    pl.from_pandas(pdf).sink_parquet(src)
+
+    stream = scan_stream_parquet(src, schema="user_id long, value double", spark=spark)
+    totals = stateful_running_totals(stream, key="user_id", value="value")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("run_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM run_totals ORDER BY user_id").toPandas()
+    got = {int(r.user_id): (int(r.n), float(r.total)) for r in out.itertuples()}
+    assert got == {1: (2, 3.0), 2: (3, 60.0)}
