@@ -30,6 +30,7 @@ from polars_spark.sources import (
     read_ndjson,
     scan_ipc,
     from_pandas,
+    DataFrame,
 )
 from polars_spark.sql import SQLContext, sql
 from polars_spark.functions import (
@@ -83,6 +84,7 @@ __all__ = [
     "read_ndjson",
     "scan_ipc",
     "from_pandas",
+    "DataFrame",
     "SQLContext",
     "sql",
     "sum",

@@ -1048,6 +1048,42 @@ class Expr:
             raise NotImplementedError("rolling_quantile: linear interpolation only")
         return self._rolling(lambda c: F.percentile(c, F.lit(quantile)), window_size, min_samples)
 
+    def rolling_sum_by(self, by, window_size: str, *, min_samples: int = 1):
+        return self._rolling_by(F.sum, by, window_size, min_samples)
+
+    def rolling_mean_by(self, by, window_size: str, *, min_samples: int = 1):
+        return self._rolling_by(F.mean, by, window_size, min_samples)
+
+    def rolling_min_by(self, by, window_size: str, *, min_samples: int = 1):
+        return self._rolling_by(F.min, by, window_size, min_samples)
+
+    def rolling_max_by(self, by, window_size: str, *, min_samples: int = 1):
+        return self._rolling_by(F.max, by, window_size, min_samples)
+
+    def _rolling_by(self, agg, by, window_size: str, min_samples: int):
+        """Temporal rolling window (RollingFunctionBy,
+        function_expr/rolling_by.rs:6): (t - window, t] per row over the
+        µs-resolution axis of ``by``; partition comes from .over()."""
+        from polars_spark.plans.frame import _duration_us
+
+        us = _duration_us(window_size)
+        by_e = _to_expr(by) if not isinstance(by, str) else col(by)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            okey = F.unix_micros(by_e._resolve(ctx).cast("timestamp"))
+            w = (
+                Window.partitionBy(*ctx.partition_cols())
+                .orderBy(okey)
+                .rangeBetween(-(us - 1), 0)
+            )
+            val = agg(c).over(w)
+            if min_samples > 1:
+                val = F.when(F.count(c).over(w) >= min_samples, val)
+            return val
+
+        return Expr(fn, self._name)
+
     def _rolling(self, agg, window_size: int, min_samples: int | None):
         if min_samples is None:
             min_samples = window_size

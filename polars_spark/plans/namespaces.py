@@ -798,6 +798,53 @@ class ListNamespace(_NS):
             lambda ctx: F.concat(self._e._resolve(ctx), o._resolve(ctx)), self._e._name
         )
 
+    def shift(self, n: int = 1) -> Expr:
+        """Shift elements within each list (nulls fill the gap)."""
+
+        def fn(c):
+            size = F.size(c)
+            if n >= 0:
+                pad = F.array_repeat(F.lit(None), n)
+                return F.slice(F.concat(pad, c), 1, size)
+            pad = F.array_repeat(F.lit(None), -n)
+            return F.slice(F.concat(F.slice(c, -n + 1, size), pad), 1, size)
+
+        return self._map(fn)
+
+    def diff(self, n: int = 1) -> Expr:
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            idx = F.sequence(F.lit(0), F.size(c) - 1)
+            return F.transform(
+                idx,
+                lambda i: F.when(i >= n, F.get(c, i) - F.get(c, i - n)),
+            )
+
+        return Expr(fn, e._name)
+
+    def to_struct(self, n_field_strategy: str = "first_non_null", fields: list[str] | None = None) -> Expr:
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            width = ctx.df.select(F.max(F.size(e._resolve(ctx))).alias("__w")).collect()[0]["__w"]
+            names = fields or [f"field_{i}" for i in range(width)]
+            return F.struct(*[F.get(c, i).alias(nm) for i, nm in enumerate(names)])
+
+        return Expr(fn, e._name)
+
+    def gather(self, indices) -> Expr:
+        e = self._e
+        idx = _to_expr(indices)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            return F.transform(idx._resolve(ctx), lambda i: F.get(c, i.cast("int")))
+
+        return Expr(fn, e._name)
+
     # -- set ops (ListFunction::SetOperation, function_expr/list.rs:6) --------
     def set_union(self, other) -> Expr:
         o = _to_expr(other)

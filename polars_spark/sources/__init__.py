@@ -181,6 +181,17 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
     return LazyFrame(spark.createDataFrame(pdf))
 
 
+def DataFrame(data=None, spark: SparkSession | None = None, **named) -> LazyFrame:
+    """Eager-style constructor (pl.DataFrame({'a': [...]})) — returns a
+    LazyFrame (Spark is always lazy; polars' eager API delegates to lazy
+    anyway, py-polars dataframe/group_by.py:273)."""
+    import pandas as pd
+
+    if data is None:
+        data = named
+    return from_pandas(pd.DataFrame(data), spark=spark)
+
+
 def read_avro(source, spark: SparkSession | None = None) -> LazyFrame:
     """Avro via Spark's external avro module; raises with the fix when the
     connector jar is absent (as in this container)."""

@@ -376,3 +376,40 @@ def test_name_ns(pl, lf):
         pl.col("abc").name.to_uppercase(),
     )
     assert out.columns == ["p_abc", "abc_s", "ABC"]
+
+
+def test_list_shift_diff_gather(pl, lf):
+    f = lf(a=[[1, 2, 4, 8]])
+    pdf = f.select(
+        pl.col("a").list.shift(1).alias("sh"),
+        pl.col("a").list.shift(-1).alias("shn"),
+        pl.col("a").list.diff().alias("df"),
+        pl.col("a").list.gather(pl.lit([2, 0])).alias("ga"),
+        pl.col("a").list.to_struct(fields=["p", "q", "r", "s"]).alias("st"),
+    ).collect()
+    def denan(xs):
+        return [None if pd.isna(v) else int(v) for v in xs]
+
+    assert denan(pdf["sh"][0]) == [None, 1, 2, 4]
+    assert denan(pdf["shn"][0]) == [2, 4, 8, None]
+    assert denan(pdf["df"][0]) == [None, 1, 2, 4]
+    assert list(pdf["ga"][0]) == [4, 1]
+    assert pdf["st"][0] == {"p": 1, "q": 2, "r": 4, "s": 8}
+
+
+def test_rolling_by_expr(pl, lf):
+    import pandas as pd
+
+    ts = [pd.Timestamp("2024-01-01 00:00"), pd.Timestamp("2024-01-01 00:20"), pd.Timestamp("2024-01-01 00:50")]
+    f = lf(ts=ts, g=["a"] * 3, v=[1.0, 2.0, 4.0])
+    out = f.with_columns(
+        pl.col("v").rolling_sum_by("ts", "30m").over("g").alias("rs"),
+    )
+    r = rows(out, sort_by="ts")
+    # (t-30m, t]: the 00:50 window starts exactly at 00:20, which is excluded
+    assert [t[3] for t in r] == [1.0, 3.0, 4.0]
+
+
+def test_dataframe_constructor(pl):
+    f = pl.DataFrame({"x": [1, 2]})
+    assert f.collect()["x"].tolist() == [1, 2]
