@@ -292,3 +292,123 @@ def q18_large_volume(spark, sf_dir):
         )
         .to_spark()
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 23:59:59'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: nation-pair trade volume by year (synthetic nation names).  The two nation lookups
+    are broadcast (25 rows each); the OR-pair predicate prunes after the
+    dimension joins."""
+    li = ltable(spark, sf_dir, "lineitem").filter(
+        (pl.col("l_shipdate") >= _ts("1995-01-01 00:00:00"))
+        & (pl.col("l_shipdate") <= _ts("1996-12-31 23:59:59"))
+    )
+    supp = ltable(spark, sf_dir, "supplier")
+    orders = ltable(spark, sf_dir, "orders")
+    cust = ltable(spark, sf_dir, "customer")
+    n1 = ltable(spark, sf_dir, "nation").select(
+        pl.col("n_nationkey").alias("s_nkey"), pl.col("n_name").alias("supp_nation")
+    )
+    n2 = ltable(spark, sf_dir, "nation").select(
+        pl.col("n_nationkey").alias("c_nkey"), pl.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .join(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .join(cust, left_on="o_custkey", right_on="c_custkey")
+        .join(n1, left_on="s_nationkey", right_on="s_nkey")
+        .join(n2, left_on="c_nationkey", right_on="c_nkey")
+        .filter(
+            ((pl.col("supp_nation") == "NATION_1") & (pl.col("cust_nation") == "NATION_2"))
+            | ((pl.col("supp_nation") == "NATION_2") & (pl.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.with_columns(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("volume"),
+            pl.col("l_shipdate").dt.year().alias("l_year"),
+        )
+        .group_by("supp_nation", "cust_nation", "l_year")
+        .agg(pl.col("volume").sum().round(2).alias("revenue"))
+        .to_spark()
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 23:59:59'
+        AND p_type LIKE 'ECONOMY%'
+    ) GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: supplier-nation market share inside one region/part-type
+    segment — conditional aggregation over a 7-way join."""
+    part = ltable(spark, sf_dir, "part").filter(pl.col("p_type").str.starts_with("ECONOMY"))
+    li = ltable(spark, sf_dir, "lineitem")
+    supp = ltable(spark, sf_dir, "supplier")
+    orders = ltable(spark, sf_dir, "orders").filter(
+        (pl.col("o_orderdate") >= _ts("1995-01-01 00:00:00"))
+        & (pl.col("o_orderdate") <= _ts("1996-12-31 23:59:59"))
+    )
+    cust = ltable(spark, sf_dir, "customer")
+    n1 = ltable(spark, sf_dir, "nation").select(
+        pl.col("n_nationkey").alias("c_nkey"), pl.col("n_regionkey")
+    )
+    region = ltable(spark, sf_dir, "region").filter(pl.col("r_name") == "AMERICA")
+    n2 = ltable(spark, sf_dir, "nation").select(
+        pl.col("n_nationkey").alias("s_nkey"), pl.col("n_name").alias("nation")
+    )
+    joined = (
+        li.join(part, left_on="l_partkey", right_on="p_partkey", how="semi")
+        .join(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .join(cust, left_on="o_custkey", right_on="c_custkey")
+        .join(n1, left_on="c_nationkey", right_on="c_nkey")
+        .join(region, left_on="n_regionkey", right_on="r_regionkey", how="semi")
+        .join(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .join(n2, left_on="s_nationkey", right_on="s_nkey")
+    )
+    vol = pl.col("l_extendedprice") * (1 - pl.col("l_discount"))
+    brazil = pl.when(pl.col("nation") == "NATION_3").then(vol).otherwise(pl.lit(0.0))
+    return (
+        joined.with_columns(pl.col("o_orderdate").dt.year().alias("o_year"))
+        .group_by("o_year")
+        .agg((brazil.sum() / vol.sum()).round(6).alias("mkt_share"))
+        .to_spark()
+    )
