@@ -58,6 +58,9 @@ from polars_spark.functions import (
     reduce,  # noqa: A004
     corr,
     cov,
+    exclude,
+    rolling_corr,
+    rolling_cov,
     int_ranges,
     date_ranges,
     business_day_count,
@@ -111,6 +114,9 @@ __all__ = [
     "reduce",
     "corr",
     "cov",
+    "exclude",
+    "rolling_corr",
+    "rolling_cov",
     "int_ranges",
     "date_ranges",
     "business_day_count",

@@ -44,6 +44,9 @@ __all__ = [
     "reduce",
     "corr",
     "cov",
+    "exclude",
+    "rolling_corr",
+    "rolling_cov",
     "int_ranges",
     "date_ranges",
     "business_day_count",
@@ -238,6 +241,43 @@ def _wrap_col(c: Column) -> Expr:
 
 
 # -- correlation ------------------------------------------------------------------
+
+
+def exclude(*names: str):
+    """pl.exclude: every column except the named ones (selector complement)."""
+    from polars_spark import selectors as cs
+
+    return ~cs.by_name(*names)
+
+
+def rolling_corr(a, b, *, window_size: int, min_samples: int | None = None) -> Expr:
+    """Rolling Pearson correlation of two columns over the frame order."""
+    ea = _to_expr(a if not isinstance(a, str) else col(a))
+    eb = _to_expr(b if not isinstance(b, str) else col(b))
+    need = window_size if min_samples is None else min_samples
+
+    def fn(ctx: ExprContext) -> Column:
+        w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+        ca, cb = ea._resolve(ctx), eb._resolve(ctx)
+        val = F.corr(ca, cb).over(w)
+        return F.when(F.count(ca).over(w) >= need, val)
+
+    return Expr(fn, "rolling_corr")
+
+
+def rolling_cov(a, b, *, window_size: int, min_samples: int | None = None, ddof: int = 1) -> Expr:
+    ea = _to_expr(a if not isinstance(a, str) else col(a))
+    eb = _to_expr(b if not isinstance(b, str) else col(b))
+    f = F.covar_samp if ddof == 1 else F.covar_pop
+    need = window_size if min_samples is None else min_samples
+
+    def fn(ctx: ExprContext) -> Column:
+        w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+        ca, cb = ea._resolve(ctx), eb._resolve(ctx)
+        val = f(ca, cb).over(w)
+        return F.when(F.count(ca).over(w) >= need, val)
+
+    return Expr(fn, "rolling_cov")
 
 
 def corr(a, b, *, method: str = "pearson") -> Expr:

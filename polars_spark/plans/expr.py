@@ -1099,9 +1099,20 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def over(self, *partition_by, order_by=None, descending: bool = False):
-        """polars ``Expr.over`` (dsl/expr/mod.rs:124, mapping=GroupsToRows)."""
+    def over(self, *partition_by, order_by=None, descending: bool = False, mapping_strategy: str = "group_to_rows"):
+        """polars ``Expr.over`` (dsl/expr/mod.rs:124).  mapping_strategy
+        'group_to_rows' (default) gives each row its group's value; 'join'
+        attaches the whole group's value list to every row."""
         parts = _flatten_exprs(partition_by)
+
+        if mapping_strategy == "join":
+            def fn_join(ctx: ExprContext) -> Column:
+                pcols = [p._resolve(ctx) for p in parts]
+                return F.collect_list(self._resolve(ctx)).over(Window.partitionBy(*pcols))
+
+            return Expr(fn_join, self._name)
+        if mapping_strategy not in ("group_to_rows", "explode"):
+            raise ValueError(f"mapping_strategy {mapping_strategy!r}")
 
         def fn(ctx: ExprContext) -> Column:
             pcols = [p._resolve(ctx) for p in parts]

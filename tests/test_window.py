@@ -135,3 +135,27 @@ def test_order_required_error(pl, lf):
     f = lf(x=[1, 2, 3])
     with pytest.raises(Exception, match="row order"):
         f.with_columns(pl.col("x").shift(1).alias("s")).collect()
+
+
+def test_over_mapping_join(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1, 2, 3])
+    pdf = f.with_columns(pl.col("x").over("g", mapping_strategy="join").alias("xs")).collect()
+    got = {r["g"]: sorted(r["xs"]) for _, r in pdf.drop_duplicates("g").iterrows()}
+    assert got == {"a": [1, 2], "b": [3]}
+
+
+def test_rolling_corr_cov(pl, lf):
+    f = lf(a=[1.0, 2.0, 3.0, 4.0], b=[2.0, 4.0, 6.0, 7.0]).with_row_index("i")
+    out = f.with_columns(
+        pl.rolling_corr("a", "b", window_size=3).alias("rc"),
+        pl.rolling_cov("a", "b", window_size=3).alias("cv"),
+    ).sort("i")
+    r = rows(out)
+    assert r[0][3] is None and r[1][3] is None
+    assert r[2][3] == pytest.approx(1.0)
+    assert r[2][4] == pytest.approx(2.0)  # cov of [1,2,3],[2,4,6]
+
+
+def test_exclude(pl, lf):
+    f = lf(a=[1], b=[2], c=[3])
+    assert f.select(pl.exclude("b")).columns == ["a", "c"]
