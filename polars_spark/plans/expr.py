@@ -906,24 +906,37 @@ class Expr:
                 alpha = 1.0 - 2.0 ** (-1.0 / half_life)
             else:
                 raise ValueError("ewm_mean needs alpha/span/com/half_life")
-        if not adjust:
-            raise NotImplementedError("ewm_mean adjust=False")
         decay = 1.0 - alpha
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
             arr = F.collect_list(c).over(w)  # collect_list drops nulls == ignore_nulls
-            acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
-            folded = F.aggregate(
-                arr,
-                acc0,
-                lambda acc, x: F.struct(
-                    (acc["num"] * decay + x).alias("num"),
-                    (acc["den"] * decay + 1.0).alias("den"),
-                ),
-                lambda acc: acc["num"] / acc["den"],
-            )
+            if adjust:
+                acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+                folded = F.aggregate(
+                    arr,
+                    acc0,
+                    lambda acc, x: F.struct(
+                        (acc["num"] * decay + x).alias("num"),
+                        (acc["den"] * decay + 1.0).alias("den"),
+                    ),
+                    lambda acc: acc["num"] / acc["den"],
+                )
+            else:
+                # recursive form: y_0 = x_0; y_t = (1-a)·y_{t-1} + a·x_t
+                acc0 = F.struct(F.lit(0.0).alias("y"), F.lit(0).alias("started"))
+                folded = F.aggregate(
+                    arr,
+                    acc0,
+                    lambda acc, x: F.struct(
+                        F.when(acc["started"] == 1, acc["y"] * decay + alpha * x)
+                        .otherwise(x)
+                        .alias("y"),
+                        F.lit(1).alias("started"),
+                    ),
+                    lambda acc: F.when(acc["started"] == 1, acc["y"]),
+                )
             out = F.when(F.size(arr) >= min_samples, folded)
             return F.when(self._resolve(ctx).isNotNull(), out)
 

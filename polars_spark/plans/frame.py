@@ -925,6 +925,18 @@ class LazyFrame:
     def sink_ndjson(self, path: str) -> None:
         self.to_spark().write.mode("overwrite").json(path)
 
+    def with_context(self, other: "LazyFrame | list[LazyFrame]") -> "LazyFrame":
+        """DslPlan::ExtContext (dsl/plan.rs:162): let expressions reference
+        columns of other frames.  Supported for scalar (1-row) context frames
+        — the overwhelmingly common case (aggregates computed elsewhere) —
+        via a broadcast cross join."""
+        others = other if isinstance(other, list) else [other]
+        df = self._df
+        for o in others:
+            odf = o.to_spark()
+            df = df.crossJoin(F.broadcast(odf))
+        return LazyFrame(df, self._order)
+
     # -- misc ----------------------------------------------------------------------
     def sql(self, query: str, *, table_name: str = "self") -> "LazyFrame":
         self.to_spark().createOrReplaceTempView(table_name)

@@ -447,10 +447,23 @@ class StringNamespace(_NS):
 
     # -- misc ------------------------------------------------------------
     def normalize(self, form: str = "NFC") -> Expr:
-        raise NotImplementedError(
-            "str.normalize needs a unicode library on executors; "
-            "plumbing exists (mapInPandas), no lib in this image"
-        )
+        """Unicode normalization via stdlib unicodedata, shipped as an
+        Arrow-batched pandas_udf (the one .str op with no JVM builtin)."""
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(form)
+
+        def fn(c):
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def _norm(s):
+                import unicodedata
+
+                return s.map(lambda v: unicodedata.normalize(form, v) if v is not None else None)
+
+            return _norm(c)
+
+        return self._map(fn)
 
     def escape_regex(self) -> Expr:
         return self._map(

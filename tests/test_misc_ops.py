@@ -212,3 +212,29 @@ def test_search_sorted_agg_groups(pl, lf):
     pdf = g.group_by("g").agg(pl.col("x").agg_groups().alias("idxs")).collect()
     got = {r["g"]: list(r["idxs"]) for _, r in pdf.iterrows()}
     assert got == {"a": [0, 2], "b": [1]}
+
+
+def test_str_normalize(pl, lf):
+    f = lf(s=["café", None])  # e + combining accent
+    out = f.select(pl.col("s").str.normalize("NFC").alias("n")).collect()
+    assert out["n"][0] == "café"  # precomposed é
+    assert out["n"][1] is None
+
+
+def test_ewm_mean_no_adjust(pl, lf):
+    import pandas as pd
+    import pytest as pt
+
+    data = [1.0, 2.0, 3.0, 4.0]
+    f = lf(x=data).with_row_index("i")
+    out = f.with_columns(pl.col("x").ewm_mean(alpha=0.5, adjust=False).alias("e")).sort("i")
+    got = [t[2] for t in rows(out)]
+    want = pd.Series(data).ewm(alpha=0.5, adjust=False).mean().tolist()
+    assert got == pt.approx(want, rel=1e-12)
+
+
+def test_with_context(pl, lf):
+    f = lf(x=[1.0, 2.0, 3.0])
+    stats = f.select(pl.col("x").mean().alias("x_mean"))
+    out = f.with_context(stats).with_columns((pl.col("x") - pl.col("x_mean")).alias("centered"))
+    assert sorted(t[2] for t in rows(out)) == [-1.0, 0.0, 1.0]
