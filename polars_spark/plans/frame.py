@@ -1048,8 +1048,9 @@ class DynamicGroupBy:
     """
 
     def __init__(self, lf, index_column, every, period, offset, closed, label, group_by):
-        if closed != "left":
-            raise NotImplementedError("group_by_dynamic: only closed='left' (polars default)")
+        if closed not in ("left", "right"):
+            raise NotImplementedError("group_by_dynamic: closed='left'|'right'")
+        self._closed = closed
         self._lf = lf
         self._index = index_column
         self._every = _duration_str(every)
@@ -1070,10 +1071,15 @@ class DynamicGroupBy:
         for name, e in named.items():
             aggs.append(_to_expr(e)._resolve(ctx).alias(name))
             agg_names.append(name)
+        # closed='right' = (start, end]: assign each row by ts - 1µs (Spark
+        # windows are inherently [start, end)), window labels stay aligned
+        tcol = F.col(self._index)
+        if self._closed == "right":
+            tcol = F.timestamp_micros(F.unix_micros(tcol.cast("timestamp")) - 1)
         win = (
-            F.window(F.col(self._index), self._period, self._every, self._offset)
+            F.window(tcol, self._period, self._every, self._offset)
             if self._offset
-            else F.window(F.col(self._index), self._period, self._every)
+            else F.window(tcol, self._period, self._every)
         )
         df = self._lf._df.groupBy(*self._by, win.alias("__w__")).agg(*aggs)
         bound = "start" if self._label == "left" else "end"

@@ -171,3 +171,50 @@ def sql_window_rank(spark, sf_dir):
         ) WHERE bal_rank <= 3
         """
     ).to_spark()
+
+
+@query(
+    "udf_map_groups",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_rank
+    FROM events
+    """,
+)
+def udf_map_groups(spark, sf_dir):
+    """GroupBy.map_groups (applyInPandas, §2.11) verified against window SQL.
+    Integer output (a per-group rank) so the comparison is exact — float
+    reductions differ between numpy (pairwise) and SQL (sequential) at 1 ulp."""
+    import pandas as pd
+
+    from polars_spark.queries import ltable
+
+    ev = ltable(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def rank_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ignore_index=True)
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        return pdf[["event_id", "value_rank"]]
+
+    return ev.group_by("user_id").map_groups(rank_in_group, "event_id long, value_rank long").to_spark()
+
+
+@query(
+    "udf_map_batches",
+    oracle="""
+    SELECT event_id, round(value * 2 + 1, 2) AS scaled
+    FROM events
+    """,
+)
+def udf_map_batches(spark, sf_dir):
+    """Expr.map_batches (pandas_udf over Arrow batches) vs the pure-SQL
+    expression — validates the vectorized Python path end to end."""
+    from polars_spark.queries import ltable
+
+    import polars_spark as pl
+
+    ev = ltable(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        pl.col("value").map_batches(lambda s: (s * 2 + 1).round(2)).alias("scaled"),
+    ).to_spark()

@@ -170,3 +170,18 @@ def test_str_extract_groups(pl, lf):
     assert pdf["g"][0] == {"1": "1", "2": "2"}
     assert pdf["g"][1] == {"1": None, "2": None}
     assert pdf["named"][0] == {"av": "1"}
+
+
+def test_decimal_and_unsigned_dtypes(pl, lf):
+    f = lf(x=[1.5, 2.25])
+    out = f.select(
+        pl.col("x").cast("Decimal").alias("d") if False else pl.col("x").cast("decimal(10,2)").alias("d"),
+        pl.col("x").cast("UInt32").alias("u"),
+        pl.col("x").cast("UInt64").alias("u64"),
+        pl.col("x").cast("Int8").alias("i8"),
+    )
+    types = dict(out.to_spark().dtypes)
+    assert types["d"] == "decimal(10,2)"
+    assert types["u"] == "bigint"  # unsigned widened per SURVEY §1.2
+    assert types["u64"] == "decimal(20,0)"
+    assert types["i8"] == "tinyint"

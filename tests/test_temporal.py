@@ -106,3 +106,16 @@ def test_duration_totals(pl, lf):
     )
     r = rows(out)[0]
     assert r == (97445, 27, 1)
+
+
+def test_dynamic_closed_right(pl, lf):
+    ts = [pd.Timestamp("2024-01-01 00:00"), pd.Timestamp("2024-01-01 00:30"), pd.Timestamp("2024-01-01 00:45")]
+    f = lf(ts=ts, v=[1.0, 2.0, 4.0])
+    out = f.group_by_dynamic("ts", every="30m", closed="right").agg(pl.col("v").sum().alias("s"))
+    r = rows(out, sort_by="ts")
+    # (start, end]: 00:00 falls in the (-30m, 00:00] window; 00:30 in (00:00, 00:30]
+    assert r == [
+        (pd.Timestamp("2023-12-31 23:30"), 1.0),
+        (pd.Timestamp("2024-01-01 00:00"), 2.0),
+        (pd.Timestamp("2024-01-01 00:30"), 4.0),
+    ]
