@@ -218,6 +218,50 @@ def minhash_lsh_pairs(
     return out.select("d1", "d2", "jaccard")
 
 
+def connected_components(pairs: DataFrame, *, a: str = "d1", b: str = "d2", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list -> (doc, cluster)
+    with cluster = min doc id in the component.
+
+    Iterative min-label propagation: each round joins the current labels
+    across the edge list and keeps the smaller label; converges in
+    O(log(diameter)) rounds (near-dup clusters are tiny, so 2-3 rounds in
+    practice).  Each round is one shuffle keyed by doc id — the standard
+    large-graph CC pattern, no driver materialization."""
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iter):
+        # rename to break self-join lineage ambiguity
+        lab_v = labels.select(F.col("u").alias("vv"), F.col("lbl").alias("vlbl"))
+        neigh = (
+            edges.join(lab_v, edges["v"] == lab_v["vv"], "inner")
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        # localCheckpoint truncates the per-round lineage (otherwise each
+        # round's plan re-embeds all previous rounds and planning time grows)
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select("u", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        old = labels.select(F.col("u").alias("ou"), F.col("lbl").alias("olbl"))
+        changed = (
+            new_labels.join(old, new_labels["u"] == old["ou"])
+            .filter(F.col("lbl") != F.col("olbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 

@@ -81,3 +81,15 @@ def dedup_simhash(spark, sf_dir):
     bucketing (llm.simhash_near_pairs)."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query("dedup_clusters")  # pairs are engine-specific hashes -> rows-only + pytest
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: minhash-LSH pairs -> connected components
+    (min-label propagation, one shuffle per round).  Output: one row per
+    clustered doc with its component id; singletons excluded."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.8)
+    from polars_spark.llm import connected_components
+
+    return connected_components(pairs)

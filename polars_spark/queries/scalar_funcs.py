@@ -389,3 +389,44 @@ def sf_value_counts(spark, sf_dir):
         .agg(pl.len().alias("count"))
         .to_spark()
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS k_and,
+           bit_or(o_orderkey)  AS k_or,
+           bit_xor(o_orderkey) AS k_xor
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitwise(spark, sf_dir):
+    orders = ltable(spark, sf_dir, "orders")
+    return (
+        orders.group_by("o_orderpriority")
+        .agg(
+            pl.col("o_orderkey").bitwise_and().alias("k_and"),
+            pl.col("o_orderkey").bitwise_or().alias("k_or"),
+            pl.col("o_orderkey").bitwise_xor().alias("k_xor"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "rel_match_schema",
+    oracle="""
+    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+           CAST(NULL AS VARCHAR) AS c_phone
+    FROM customer
+    """,
+)
+def rel_match_schema(spark, sf_dir):
+    """match_to_schema: cast + insert-missing-as-null (DslPlan::MatchToSchema)."""
+    cust = ltable(spark, sf_dir, "customer")
+    out = cust.match_to_schema(
+        {"c_custkey": "Int64", "c_acctbal": "decimal(12,2)", "c_phone": "String"},
+        missing_columns="insert",
+    )
+    return out.to_spark()

@@ -115,3 +115,15 @@ def test_quality_and_lang_bounds(spark, docs):
     ).collect()
     assert all(0.0 <= row["q"] <= 1.0 for row in r)
     assert all(row["l"] in ("en", "es", "fr", "de", "unknown") for row in r)
+
+
+def test_connected_components(spark, pl):
+    import pandas as pd
+    from polars_spark.llm import connected_components
+
+    pairs = pl.from_pandas(
+        pd.DataFrame({"d1": [1, 2, 10, 20], "d2": [2, 3, 11, 21]})
+    ).to_spark()
+    out = {r["doc"]: r["cluster"] for r in connected_components(pairs).collect()}
+    # chain 1-2-3 collapses to 1; 10-11 to 10; 20-21 to 20
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
