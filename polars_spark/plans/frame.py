@@ -925,6 +925,9 @@ class LazyFrame:
     def sink_ndjson(self, path: str) -> None:
         self.to_spark().write.mode("overwrite").json(path)
 
+    def sink_orc(self, path: str) -> None:
+        self.to_spark().write.mode("overwrite").orc(path)
+
     def with_context(self, other: "LazyFrame | list[LazyFrame]") -> "LazyFrame":
         """DslPlan::ExtContext (dsl/plan.rs:162): let expressions reference
         columns of other frames.  Supported for scalar (1-row) context frames

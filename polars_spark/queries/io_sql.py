@@ -218,3 +218,26 @@ def udf_map_batches(spark, sf_dir):
         "event_id",
         pl.col("value").map_batches(lambda s: (s * 2 + 1).round(2)).alias("scaled"),
     ).to_spark()
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """ORC sink -> rescan (native Spark columnar format, beyond the polars
+    format list)."""
+    from polars_spark.sources import scan_orc
+
+    supp = ltable(spark, sf_dir, "supplier")
+    path = _dir("supp_orc")
+    supp.sink_orc(path)
+    back = scan_orc(path, spark=spark)
+    return (
+        back.group_by("s_nationkey")
+        .agg(pl.len().alias("n"), pl.col("s_acctbal").sum().round(2).alias("bal"))
+        .to_spark()
+    )

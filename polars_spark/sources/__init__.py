@@ -192,6 +192,14 @@ def DataFrame(data=None, spark: SparkSession | None = None, **named) -> LazyFram
     return from_pandas(pd.DataFrame(data), spark=spark)
 
 
+def scan_orc(source, *, spark: SparkSession | None = None) -> LazyFrame:
+    """ORC scan — native Spark datasource (columnar, predicate pushdown);
+    not in polars, free capability here."""
+    spark = spark or _spark()
+    paths = [source] if isinstance(source, str) else list(source)
+    return LazyFrame(spark.read.orc(*paths))
+
+
 def read_avro(source, spark: SparkSession | None = None) -> LazyFrame:
     """Avro via Spark's external avro module; raises with the fix when the
     connector jar is absent (as in this container)."""
