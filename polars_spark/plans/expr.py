@@ -942,6 +942,41 @@ class Expr:
 
         return Expr(fn, self._name)
 
+    def ewm_mean_by(self, by, *, half_life: str):
+        """Time-decay EWM (polars ewm_mean_by): irregular-interval recursive
+        mean  y_i = (1-a_i)·y_{i-1} + a_i·x_i  with  a_i = 1 - 0.5^(Δt/τ).
+        Lowering: per-row prefix fold over (value, epoch-µs) structs — exact,
+        order from the frame contract, partition from .over()."""
+        from polars_spark.plans.frame import _duration_us
+
+        tau_us = float(_duration_us(half_life))
+        by_e = _to_expr(by) if not isinstance(by, str) else col(by)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            t = F.unix_micros(by_e._resolve(ctx).cast("timestamp"))
+            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
+            arr = F.collect_list(F.struct(c.alias("x"), t.alias("t"))).over(w)
+            acc0 = F.struct(
+                F.lit(0.0).alias("y"), F.lit(0).alias("started"), F.lit(0.0).alias("pt")
+            )
+
+            def step(acc, e):
+                decay = F.pow(F.lit(0.5), (e["t"] - acc["pt"]) / tau_us)
+                a = 1.0 - decay
+                return F.struct(
+                    F.when(acc["started"] == 1, decay * acc["y"] + a * e["x"])
+                    .otherwise(e["x"])
+                    .alias("y"),
+                    F.lit(1).alias("started"),
+                    e["t"].cast("double").alias("pt"),
+                )
+
+            folded = F.aggregate(arr, acc0, step, lambda acc: F.when(acc["started"] == 1, acc["y"]))
+            return F.when(c.isNotNull(), folded)
+
+        return Expr(fn, self._name)
+
     def ewm_std(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, bias: bool = False, min_samples: int = 1):
         return self._ewm_var_std(alpha, span, com, bias, min_samples, std=True)
 

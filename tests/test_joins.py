@@ -114,3 +114,17 @@ def test_asof_suffix_collision(pl, lf):
     right = lf(t=[3], v=[1.0], g=["a"])
     out = left.join_asof(right, on="t", by="g")
     assert "v_right" in out.columns
+
+
+def test_asof_no_by_global(pl, lf):
+    left = lf(t=[1, 6])
+    right = lf(t=[2, 5], v=[10.0, 20.0])
+    out = rows(left.join_asof(right, on="t"), sort_by="t")
+    assert out == [(1, None), (6, 20.0)]
+
+
+def test_asof_multi_by(pl, lf):
+    left = lf(t=[5, 5], a=["x", "x"], b=[1, 2])
+    right = lf(t=[3, 4], v=[1.0, 2.0], a=["x", "x"], b=[1, 2])
+    out = rows(left.join_asof(right, on="t", by=["a", "b"]), sort_by="b")
+    assert out == [(5, "x", 1, 1.0), (5, "x", 2, 2.0)]

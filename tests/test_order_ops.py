@@ -81,3 +81,18 @@ def test_group_by_maintain_order(pl, lf):
     pdf = out.collect()
     assert pdf["g"].tolist() == ["b", "a", "c"]
     assert pdf["s"].tolist() == [1, 6, 3]
+
+
+def test_ewm_mean_by_halflife(pl, lf):
+    import pandas as pd
+    import pytest as pt
+
+    # half-life 1h: after exactly 1h the old value's weight halves
+    ts = [pd.Timestamp("2024-01-01 00:00"), pd.Timestamp("2024-01-01 01:00"), pd.Timestamp("2024-01-01 01:30")]
+    f = lf(ts=ts, x=[10.0, 20.0, 30.0]).set_sorted("ts")
+    out = f.with_columns(pl.col("x").ewm_mean_by("ts", half_life="1h").alias("e"))
+    got = [t[2] for t in __import__("tests.conftest", fromlist=["rows"]).rows(out, sort_by="ts")]
+    # y0 = 10; y1 = 0.5*10 + 0.5*20 = 15; y2: decay = 0.5^0.5
+    d = 0.5 ** 0.5
+    y2 = d * 15 + (1 - d) * 30
+    assert got == pt.approx([10.0, 15.0, y2], rel=1e-12)

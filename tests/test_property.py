@@ -84,3 +84,28 @@ def test_cum_sum_matches_pandas(pl, pdf):
     want = pdf["x"].cumsum()
     for a, b in zip(got.tolist(), want.tolist()):
         assert (pd.isna(a) and pd.isna(b)) or a == pytest.approx(b, rel=1e-9, abs=1e-9)
+
+
+@given(pdf=frames())
+@_settings
+def test_join_counts_match_pandas(pl, pdf):
+    import pandas as pd
+
+    other = pd.DataFrame({"g": ["a", "b"], "w": [1.0, 2.0]})
+    f, o = pl.from_pandas(pdf), pl.from_pandas(other)
+    inner = len(f.join(o, on="g").collect())
+    left = len(f.join(o, on="g", how="left").collect())
+    want_inner = len(pdf.merge(other, on="g"))
+    want_left = len(pdf.merge(other, on="g", how="left"))
+    assert inner == want_inner and left == want_left
+
+
+@given(pdf=frames())
+@_settings
+def test_unique_first_is_subset(pl, pdf):
+    f = pl.from_pandas(pdf).with_row_index("i")
+    u = f.unique(subset="g", keep="first").collect()
+    assert len(u) == pdf["g"].nunique(dropna=False)
+    # kept row indices must be the first occurrence per key
+    firsts = pdf.reset_index(drop=True).groupby("g", dropna=False).apply(lambda s: s.index.min())
+    assert sorted(u["i"].tolist()) == sorted(int(v) for v in firsts.tolist())
