@@ -430,3 +430,34 @@ def rel_match_schema(spark, sf_dir):
         missing_columns="insert",
     )
     return out.to_spark()
+
+
+@query(
+    "agg_spearman",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             rank() OVER (PARTITION BY user_id ORDER BY value)
+               + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS rv,
+             rank() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+               + (count(*) OVER (PARTITION BY user_id, epoch_us(ts)) - 1) / 2.0 AS rt
+      FROM events
+    )
+    SELECT user_id, round(corr(rv, rt), 6) AS spearman
+    FROM ranked GROUP BY user_id
+    """,
+)
+def agg_spearman(spark, sf_dir):
+    """Spearman rank correlation per group: average-rank pre-pass (windows
+    partitioned by the group) then Pearson of the ranks — the scale-safe
+    two-phase pattern; no global ranking anywhere."""
+    ev = ltable(spark, sf_dir, "events")
+    ranked = ev.with_columns(
+        pl.col("value").rank("average").over("user_id").alias("rv"),
+        pl.col("ts").dt.epoch("us").rank("average").over("user_id").alias("rt"),
+    )
+    return (
+        ranked.group_by("user_id")
+        .agg(pl.corr(pl.col("rv"), pl.col("rt")).round(6).alias("spearman"))
+        .to_spark()
+    )

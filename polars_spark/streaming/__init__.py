@@ -107,6 +107,34 @@ def stateful_running_totals(
     )
 
 
+def stateful_dedup(stream: DataFrame, *, key: str) -> DataFrame:
+    """Streaming exact-dedup: emit each key's row only the FIRST time it is
+    seen, remembering seen keys in the state store — the continuous version
+    of llm.exact_dedup for ingest pipelines (dedup-with-memory)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    cols = stream.columns
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in stream.schema)
+
+    def keep_first(key_tuple, pdfs, state: GroupState):
+        seen = state.exists
+        first = None
+        for pdf in pdfs:
+            if not seen and len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if not seen:
+            state.update((1,))
+            if first is not None:
+                yield first[cols]
+        else:
+            yield pd.DataFrame(columns=cols)
+
+    return stream.groupBy(key).applyInPandasWithState(
+        keep_first, out_schema, "seen int", "update", "NoTimeout"
+    )
+
+
 def sink_stream_memory(stream: DataFrame, name: str, *, available_now: bool = True):
     """Memory sink (tests/debug): returns the started query; with
     ``available_now`` it processes the current backlog then stops cleanly."""

@@ -77,3 +77,24 @@ def test_stateful_running_totals(spark, pl, tmp_path):
     out = spark.sql("SELECT * FROM run_totals ORDER BY user_id").toPandas()
     got = {int(r.user_id): (int(r.n), float(r.total)) for r in out.itertuples()}
     assert got == {1: (2, 3.0), 2: (3, 60.0)}
+
+
+def test_stateful_dedup(spark, pl, tmp_path):
+    from polars_spark.streaming import scan_stream_parquet, stateful_dedup
+
+    src = str(tmp_path / "s4_src")
+    pdf = pd.DataFrame({"fp": [7, 7, 8, 9, 9, 9], "payload": list("abcdef")})
+    pl.from_pandas(pdf).sink_parquet(src)
+
+    stream = scan_stream_parquet(src, schema="fp long, payload string", spark=spark)
+    deduped = stateful_dedup(stream, key="fp")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").toPandas()
+    assert sorted(out["fp"].tolist()) == [7, 8, 9]  # one row per key
