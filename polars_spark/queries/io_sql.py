@@ -241,3 +241,25 @@ def io_orc_roundtrip(spark, sf_dir):
         .agg(pl.len().alias("n"), pl.col("s_acctbal").sum().round(2).alias("bal"))
         .to_spark()
     )
+
+
+@query(
+    "io_multifile_scan",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def io_multifile_scan(spark, sf_dir):
+    """Multi-path scan (UnifiedScanArgs glob/multi-file, dsl/plan.rs:47):
+    the table split across two directories, scanned as one frame."""
+    orders = ltable(spark, sf_dir, "orders")
+    p1, p2 = _dir("orders_a"), _dir("orders_b")
+    orders.filter(pl.col("o_orderkey") % 2 == 0).sink_parquet(p1)
+    orders.filter(pl.col("o_orderkey") % 2 == 1).sink_parquet(p2)
+    back = pl.scan_parquet([p1, p2])
+    return (
+        back.group_by("o_orderpriority")
+        .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2).alias("total"))
+        .to_spark()
+    )

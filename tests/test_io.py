@@ -87,3 +87,29 @@ def test_to_arrow(pl, lf_module_missing=None):
     f = plm.from_pandas(pd.DataFrame({"x": [1, 2]}))
     t = f.to_arrow()
     assert t.num_rows == 2 and t.column_names == ["x"]
+
+
+def test_hive_partition_pruning(pl, lf, tmp_path, spark):
+    """A filter on the partition column must prune at scan time
+    (PartitionFilters in the plan), not post-filter."""
+    import io as _io
+    import contextlib
+
+    f = lf(g=["a", "a", "b", "c"], v=[1, 2, 3, 4])
+    path = str(tmp_path / "pruned")
+    f.sink_parquet(path, partition_by="g")
+    back = pl.scan_parquet(path).filter(pl.col("g") == "a")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "g" in plan.split("PartitionFilters", 1)[1][:120]
+    assert len(back.collect()) == 2
+
+
+def test_multifile_scan_list(pl, lf, tmp_path):
+    a, b = str(tmp_path / "m1"), str(tmp_path / "m2")
+    lf(x=[1, 2]).sink_parquet(a)
+    lf(x=[3]).sink_parquet(b)
+    out = pl.scan_parquet([a, b]).collect()
+    assert sorted(out["x"].tolist()) == [1, 2, 3]
