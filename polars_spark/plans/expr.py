@@ -657,6 +657,25 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
+    def head(self, n: int = 5):
+        """First n values per group as a list (polars non-scalar agg:
+        GroupBy.agg(col.head(n)) -> list column), in row order."""
+        imploded = self.implode()
+
+        def fn(ctx: ExprContext) -> Column:
+            return F.slice(imploded._resolve(ctx), 1, n)
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def tail(self, n: int = 5):
+        imploded = self.implode()
+
+        def fn(ctx: ExprContext) -> Column:
+            arr = imploded._resolve(ctx)
+            return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
+
+        return Expr(fn, self._name, is_agg=True)
+
     def mode(self):
         return self._agg(F.mode)
 

@@ -46,10 +46,12 @@ def dedup_exact(spark, sf_dir):
       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
                   JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
     ),
-    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
     pairs AS (
       SELECT s1.doc_id d1, s2.doc_id d2, count(*) shared
-      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
       GROUP BY 1, 2
     )
     SELECT d1, d2, round(shared::DOUBLE / (a.n + b.n - shared), 6) AS jaccard
@@ -58,10 +60,11 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard >= 0.8 pairs via inverted-index join (never
-    all-pairs; see llm.ngram_jaccard_pairs scale notes)."""
+    """Exact 3-gram Jaccard >= 0.8 pairs via inverted-index join with the
+    stop-shingle cap ON (max_df=100, mirrored in the oracle) — the
+    configuration that bounds the worst bucket at 100 TB."""
     docs = table(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_df=100)
     return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -127,3 +127,13 @@ def test_agg_arbitrary_expr(pl, lf):
         pl.when(pl.col("keep")).then(pl.col("x")).otherwise(pl.lit(None)).sum().alias("kept"),
     )
     assert rows(out, sort_by="g") == [("a", 6.0, 1.0), ("b", 6.0, 3.0)]
+
+
+def test_head_tail_in_agg(pl, lf):
+    f = lf(g=["a", "a", "a", "b"], x=[1, 2, 3, 9]).with_row_index("i")
+    pdf = f.group_by("g").agg(
+        pl.col("x").head(2).alias("h"),
+        pl.col("x").tail(2).alias("t"),
+    ).collect().sort_values("g", ignore_index=True)
+    assert list(pdf["h"][0]) == [1, 2] and list(pdf["t"][0]) == [2, 3]
+    assert list(pdf["h"][1]) == [9] and list(pdf["t"][1]) == [9]
