@@ -218,6 +218,43 @@ def minhash_lsh_pairs(
     return out.select("d1", "d2", "jaccard")
 
 
+def contamination_check(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing any word
+    n-gram (default 8 — the standard decontamination shingle) with a probe
+    set.  Inverted-index join keyed by the n-gram: cost scales with matches,
+    never corpus x probes.  Returns (doc, n_hits, n_probe_docs)."""
+    c_sh = _spread(corpus).select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    p_sh = probes.select(
+        F.col(id_col).alias("probe"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    hits = c_sh.join(p_sh, "sh")
+    return hits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.countDistinct("probe").alias("n_probe_docs")
+    )
+
+
+def token_doc_frequency(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Vocabulary table with document frequency and IDF — the TF-IDF /
+    vocab-building pre-pass.  One explode + one groupBy shuffle."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokenize(F.lower(F.col(text_col))))).alias("token"),
+    )
+    n_docs = df.count()
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+    ).withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+
+
 def connected_components(pairs: DataFrame, *, a: str = "d1", b: str = "d2", max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair list -> (doc, cluster)
     with cluster = min doc id in the component.

@@ -114,3 +114,64 @@ def txt_normalize(spark, sf_dir):
     return docs.select(
         "doc_id", F.substring(normalize_text(F.col("text")), 1, 40).alias("norm_head")
     )
+
+
+@query(
+    "txt_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, w, pos FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+               generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+        FROM documents)
+    ),
+    grams AS (
+      SELECT DISTINCT t0.doc_id,
+             t0.w||' '||t1.w||' '||t2.w||' '||t3.w||' '||t4.w||' '||t5.w||' '||t6.w||' '||t7.w AS sh
+      FROM toks t0 JOIN toks t1 ON t1.doc_id=t0.doc_id AND t1.pos=t0.pos+1
+                   JOIN toks t2 ON t2.doc_id=t0.doc_id AND t2.pos=t0.pos+2
+                   JOIN toks t3 ON t3.doc_id=t0.doc_id AND t3.pos=t0.pos+3
+                   JOIN toks t4 ON t4.doc_id=t0.doc_id AND t4.pos=t0.pos+4
+                   JOIN toks t5 ON t5.doc_id=t0.doc_id AND t5.pos=t0.pos+5
+                   JOIN toks t6 ON t6.doc_id=t0.doc_id AND t6.pos=t0.pos+6
+                   JOIN toks t7 ON t7.doc_id=t0.doc_id AND t7.pos=t0.pos+7
+    ),
+    probe AS (SELECT DISTINCT doc_id AS probe, sh FROM grams WHERE doc_id < 10),
+    corpus AS (SELECT doc_id AS doc, sh FROM grams WHERE doc_id >= 10)
+    SELECT doc, count(*) AS n_hits, count(DISTINCT probe) AS n_probe_docs
+    FROM corpus JOIN probe USING (sh)
+    GROUP BY doc
+    """,
+)
+def txt_contamination(spark, sf_dir):
+    """8-gram benchmark-contamination check: corpus (doc_id >= 10) vs a probe
+    set (doc_id < 10) — exact inverted-index collision, oracle-mirrored."""
+    from polars_spark.llm import contamination_check
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    probes = docs.filter(F.col("doc_id") < 10)
+    return contamination_check(corpus, probes, n=8)
+
+
+@query(
+    "txt_token_df_idf",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS token
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token, count(*) AS df,
+           round(ln(n.n_docs::DOUBLE / count(*)), 6) AS idf
+    FROM per_doc, n
+    GROUP BY token, n.n_docs
+    """,
+)
+def txt_token_df_idf(spark, sf_dir):
+    """Vocabulary document-frequency + IDF (the TF-IDF pre-pass)."""
+    from polars_spark.llm import token_doc_frequency
+
+    docs = table(spark, sf_dir, "documents")
+    return token_doc_frequency(docs)
