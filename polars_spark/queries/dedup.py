@@ -68,11 +68,37 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_minhash_lsh")  # approximate: rows-only gate + pytest recall test
+@query(
+    "dedup_minhash_lsh",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT s1.doc_id d1, s2.doc_id d2, count(*) shared
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(shared::DOUBLE / (a.n + b.n - shared), 6) AS jaccard
+    FROM pairs JOIN sizes a ON a.doc_id = d1 JOIN sizes b ON b.doc_id = d2
+    WHERE shared::DOUBLE / (a.n + b.n - shared) >= 0.8
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash (k=32) + banded LSH (8x4) candidates, exact-jaccard-verified
-    at 0.8.  On this corpus recall vs the exact pair set is 100% (asserted
-    in tests/test_llm_ops.py); kept rows-only because DuckDB lacks xxhash64."""
+    at 0.8.  The verification step makes the output a SUBSET of the exact
+    pair set (precision 1.0 by construction); on this corpus LSH recall is
+    100% with these deterministic hashes (asserted at two SFs in
+    tests/test_llm_ops.py), so the exact-jaccard oracle matches.  At
+    degraded recall the oracle would catch it as a row-count miss."""
     docs = table(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.8)
     return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
