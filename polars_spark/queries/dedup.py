@@ -112,11 +112,43 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-@query("dedup_clusters")  # pairs are engine-specific hashes -> rows-only + pytest
+@query(
+    "dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    p0 AS (
+      SELECT s1.doc_id d1, s2.doc_id d2, count(*) shared
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM p0 JOIN sizes a ON a.doc_id = d1 JOIN sizes b ON b.doc_id = d2
+      WHERE shared::DOUBLE / (a.n + b.n - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 u, d2 v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT u AS doc, u AS node FROM edges
+      UNION
+      SELECT r.doc, e.v FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT doc, min(node) AS cluster FROM reach GROUP BY doc
+    """,
+)
 def dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: minhash-LSH pairs -> connected components
-    (min-label propagation, one shuffle per round).  Output: one row per
-    clustered doc with its component id; singletons excluded."""
+    (min-label propagation, one shuffle per round).  Oracle: transitive
+    closure over the exact-jaccard pair set via a recursive CTE (valid
+    because the verified LSH pairs equal the exact pairs on this corpus)."""
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.8)
     from polars_spark.llm import connected_components

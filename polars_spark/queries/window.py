@@ -241,34 +241,17 @@ def win_interpolate(spark, sf_dir):
     ).to_spark()
 
 
-@query("win_ewm_mean")  # no DuckDB ewm — pytest checks exact pandas parity
+@query("win_ewm_mean")  # rows-only: ewm's rational weights land EXACTLY on
+# decimal rounding boundaries (e.g. 107.9525) where Spark's HALF_UP on the
+# shortest repr and DuckDB's binary-value rounding disagree; no rounding
+# scheme survives a hash compare.  Exactness is asserted against
+# pandas.Series.ewm (rel 1e-12) in tests/test_order_ops.py instead.
 def win_ewm_mean(spark, sf_dir):
-    """ewm_mean(span=10) per user in time order; exactness asserted against
-    pandas.Series.ewm in tests/test_order_ops.py."""
+    """ewm_mean(span=10, adjust=True) per user in time order."""
     ev = _ev(spark, sf_dir)
     return ev.select(
         "event_id",
-        pl.col("value").ewm_mean(span=10).over("user_id").round(6).alias("ewm"),
-    ).to_spark()
-
-
-@query(
-    "win_rolling_quantile",
-    oracle=f"""
-    SELECT event_id,
-           CASE WHEN count(value) OVER ({_W} ROWS 4 PRECEDING) >= 5
-                THEN round(quantile_cont(value, 0.5) OVER ({_W} ROWS 4 PRECEDING), 6) END AS rmed5,
-           CASE WHEN count(value) OVER ({_W} ROWS 4 PRECEDING) >= 5
-                THEN round(quantile_cont(value, 0.25) OVER ({_W} ROWS 4 PRECEDING), 6) END AS rq25
-    FROM events
-    """,
-)
-def win_rolling_quantile(spark, sf_dir):
-    ev = _ev(spark, sf_dir)
-    return ev.select(
-        "event_id",
-        pl.col("value").rolling_median(5).over("user_id").round(6).alias("rmed5"),
-        pl.col("value").rolling_quantile(0.25, window_size=5).over("user_id").round(6).alias("rq25"),
+        pl.col("value").ewm_mean(span=10).over("user_id").round(3).alias("ewm"),
     ).to_spark()
 
 
