@@ -40,11 +40,45 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, probes, k=5)
 
 
-@query("sim_ann_lsh")  # approximate: rows-only gate + pytest recall test
+def _ann_oracle() -> str:
+    """Mirror cosine_topk_lsh exactly in DuckDB: same seeded hyperplanes
+    (literals), same sign-bit bucketing, same hamming-1 multiprobe, same
+    rerank and tie-break."""
+    from polars_spark.llm import _rhp_planes
+
+    planes = _rhp_planes(64, 6, seed=7)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = ", ".join(["b0"] + [f"xor(b0, {1 << i})" for i in range(6)])
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS nid, embedding AS nv, {bit_terms} AS bkt FROM embeddings
+    ),
+    q0 AS (SELECT nid AS qid, nv AS qv, bkt AS b0 FROM c WHERE nid < 20),
+    probes AS (SELECT qid, qv, unnest([{probe_list}]) AS bkt FROM q0),
+    scored AS (
+      SELECT DISTINCT qid, nid,
+             round(list_cosine_similarity(qv::DOUBLE[], nv::DOUBLE[]), 6) AS sim
+      FROM probes JOIN c USING (bkt)
+      WHERE qid != nid
+    )
+    SELECT qid, nid, sim, rk FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """
+
+
+@query("sim_ann_lsh", oracle=_ann_oracle())
 def sim_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH (6 planes, hamming-1 multiprobe) + exact rerank
-    within buckets.  Candidate scoring drops from Q*N to ~Q*N*7/64; recall
-    vs brute force asserted in tests/test_llm_ops.py."""
+    within buckets.  Candidate scoring drops from Q*N to ~Q*N*7/64; the
+    oracle replays the identical deterministic construction in DuckDB, and
+    recall vs brute force is asserted in tests/test_llm_ops.py."""
     emb, probes = _queries_subset(spark, sf_dir)
     return cosine_topk_lsh(emb, probes, k=5, n_planes=6, dim=64)
 
