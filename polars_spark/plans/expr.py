@@ -1244,7 +1244,24 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    replace_strict = replace
+    def replace_strict(self, mapping: dict, default=None, return_dtype=None):
+        """Like replace, but unmatched values ERROR at execution (polars
+        ReplaceStrict) unless a default is given — lowered to raise_error()."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            out = None
+            for k, v in mapping.items():
+                cond = c.isNull() if k is None else (c == F.lit(k))
+                out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+            if default is not None:
+                return out.otherwise(_col_of(default, ctx))
+            err = F.raise_error(
+                F.concat(F.lit("replace_strict: value not in mapping: "), c.cast("string"))
+            )
+            return out.otherwise(err)
+
+        return Expr(fn, self._name)
 
     # -- UDF surface (§2.11) -------------------------------------------------
     def map_batches(self, function, return_dtype="double"):

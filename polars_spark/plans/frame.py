@@ -389,6 +389,28 @@ class LazyFrame:
             raise ValueError("reverse() needs a defined row order")
         return LazyFrame(self._df, [(n, not d, not nl) for n, d, nl in self._order])
 
+    def gather(self, indices: "LazyFrame", *, index_col: str | None = None) -> "LazyFrame":
+        """Take rows by position (DslPlan::Gather, dsl/plan.rs:89): join this
+        frame's row index against an index frame — the distributed `take`."""
+        col_name = index_col or indices.columns[0]
+        lf = self.with_row_index(ROW_IDX)  # positions follow the frame order
+        idx = indices.to_spark().select(F.col(col_name).cast("bigint").alias(ROW_IDX))
+        out = idx.join(lf._df, ROW_IDX, "inner")
+        return LazyFrame(out.drop(ROW_IDX), [])
+
+    def item(self):
+        """Single value of a 1x1 result (polars DataFrame.item)."""
+        pdf = self.collect()
+        if pdf.shape != (1, 1):
+            raise ValueError(f"item() needs a 1x1 frame, got {pdf.shape}")
+        return pdf.iloc[0, 0]
+
+    def rows(self) -> list[tuple]:
+        return [tuple(t) for t in self.collect().itertuples(index=False, name=None)]
+
+    def to_dicts(self) -> list[dict]:
+        return self.collect().to_dict("records")
+
     def first(self) -> "LazyFrame":
         return self.limit(1)
 

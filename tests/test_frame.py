@@ -173,3 +173,24 @@ def test_describe(pl, lf):
     assert xrow["mean"] == 1.5 and xrow["min"] == 1.0 and xrow["max"] == 2.0
     srow = d[d["column"] == "s"].iloc[0]
     assert srow["min"] == "a" and srow["max"] == "c"
+
+
+def test_gather_item_rows(pl, lf):
+    f = lf(x=[10, 20, 30, 40]).sort("x")
+    idx = lf(i=[2, 0])
+    out = f.gather(idx)
+    assert sorted(r[0] for r in rows(out)) == [10, 30]
+    assert lf(v=[42]).item() == 42
+    with pytest.raises(ValueError, match="1x1"):
+        lf(v=[1, 2]).item()
+    assert lf(a=[1], b=["x"]).rows() == [(1, "x")]
+    assert lf(a=[1]).to_dicts() == [{"a": 1}]
+
+
+def test_replace_strict(pl, lf):
+    f = lf(x=["a", "b"])
+    ok = f.select(pl.col("x").replace_strict({"a": 1, "b": 2}).alias("r"))
+    assert sorted(t[0] for t in rows(ok)) == [1, 2]
+    bad = lf(x=["a", "zzz"]).select(pl.col("x").replace_strict({"a": 1}).alias("r"))
+    with pytest.raises(Exception, match="replace_strict|USER_RAISED"):
+        bad.collect()
