@@ -16,12 +16,19 @@ import polars_spark as pl
 
 @query(
     "rel_with_columns",
+    # Float discipline: the money columns are 2-decimal data, so we compare
+    # scaled-INTEGER sums (round(x*100) is exact, int64 summation is exact
+    # and order-independent on both engines) — no cross-engine rounding-tie
+    # hazard, unlike round(sum(double), 2).
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS disc_total,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge_total,
-           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)                AS n_bulk,
-           round(sum(greatest(l_discount, l_tax)), 2)                      AS max_rate_sum
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)      AS disc_total_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                    * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS BIGINT)           AS charge_total_c,
+           CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)          AS n_bulk,
+           CAST(sum(CAST(round(greatest(l_discount, l_tax) * 100) AS BIGINT)) AS BIGINT) AS max_rate_sum_c
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -29,17 +36,22 @@ def rel_with_columns(spark, sf_dir):
     li = ltable(spark, sf_dir, "lineitem")
     out = (
         li.with_columns(
-            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("disc_price"),
+            price_c=(pl.col("l_extendedprice") * 100).round(0).cast("bigint"),
+            disc_c=((1 - pl.col("l_discount")) * 100).round(0).cast("bigint"),
+            tax_c=((1 + pl.col("l_tax")) * 100).round(0).cast("bigint"),
             bulk=pl.when(pl.col("l_quantity") > 25).then(1).otherwise(0),
-            max_rate=pl.max_horizontal("l_discount", "l_tax"),
+            max_rate_c=(pl.max_horizontal("l_discount", "l_tax") * 100).round(0).cast("bigint"),
         )
-        .with_columns(charge=pl.col("disc_price") * (1 + pl.col("l_tax")))
+        .with_columns(
+            disc_price_c=pl.col("price_c") * pl.col("disc_c"),
+            charge_c=pl.col("price_c") * pl.col("disc_c") * pl.col("tax_c"),
+        )
         .group_by("l_returnflag")
         .agg(
-            pl.col("disc_price").sum().round(2).alias("disc_total"),
-            pl.col("charge").sum().round(2).alias("charge_total"),
-            pl.col("bulk").sum().alias("n_bulk"),
-            pl.col("max_rate").sum().round(2).alias("max_rate_sum"),
+            pl.col("disc_price_c").sum().alias("disc_total_c"),
+            pl.col("charge_c").sum().alias("charge_total_c"),
+            pl.col("bulk").sum().cast("bigint").alias("n_bulk"),
+            pl.col("max_rate_c").sum().alias("max_rate_sum_c"),
         )
     )
     return out.to_spark()

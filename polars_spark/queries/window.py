@@ -190,19 +190,23 @@ def win_row_index(spark, sf_dir):
       FROM events
     )
     SELECT event_id,
-           (pv IS NULL OR value > pv) AND (nv IS NULL OR value > nv)          AS is_peak,
-           sum(CASE WHEN pt IS NULL OR event_type IS DISTINCT FROM pt
-                    THEN 1 ELSE 0 END)
-             OVER ({_W} ROWS UNBOUNDED PRECEDING) - 1                         AS type_run
+           coalesce((pv IS NULL OR value > pv) AND (nv IS NULL OR value > nv),
+                    false)                                                    AS is_peak,
+           CAST(sum(CASE WHEN pt IS NULL OR event_type IS DISTINCT FROM pt
+                         THEN 1 ELSE 0 END)
+                  OVER ({_W} ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)         AS type_run
     FROM lagged
     """,
 )
 def win_peaks_rle(spark, sf_dir):
+    # type_run is CAST(... AS BIGINT) on both sides: DuckDB's window sum over
+    # integers yields HUGEINT, which pandas materializes as a non-int64 dtype
+    # and trips the driver's value hash even when values agree.
     ev = _ev(spark, sf_dir)
     return ev.select(
         "event_id",
-        pl.col("value").peak_max().over("user_id").alias("is_peak"),
-        pl.col("event_type").rle_id().over("user_id").alias("type_run"),
+        pl.coalesce(pl.col("value").peak_max().over("user_id"), pl.lit(False)).alias("is_peak"),
+        pl.col("event_type").rle_id().over("user_id").cast("bigint").alias("type_run"),
     ).to_spark()
 
 
@@ -241,17 +245,38 @@ def win_interpolate(spark, sf_dir):
     ).to_spark()
 
 
-@query("win_ewm_mean")  # rows-only: ewm's rational weights land EXACTLY on
-# decimal rounding boundaries (e.g. 107.9525) where Spark's HALF_UP on the
-# shortest repr and DuckDB's binary-value rounding disagree; no rounding
-# scheme survives a hash compare.  Exactness is asserted against
-# pandas.Series.ewm (rel 1e-12) in tests/test_order_ops.py instead.
+@query(
+    "win_ewm_mean",
+    # Exact oracle: our ewm_mean(adjust=True) lowers to the prefix fold
+    #   num_i = num_{i-1}·q + x_i ;  den_i = den_{i-1}·q + 1 ;  y = num/den
+    # (plans/expr.py ewm_mean).  A recursive CTE replays the IDENTICAL IEEE
+    # op sequence (mul-by-constant, add, one divide), so both engines produce
+    # bit-identical doubles — no rounding needed.  q = 1 - 2/(span+1) is
+    # interpolated as its shortest round-trip repr and cast to DOUBLE
+    # (DuckDB decimal literals parse correctly-rounded to the same double).
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER ({_W}) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, rn, value AS num, CAST(1.0 AS DOUBLE) AS den
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.rn,
+             r.num * CAST(0.8181818181818181 AS DOUBLE) + b.value,
+             r.den * CAST(0.8181818181818181 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT event_id, num / den AS ewm FROM rec
+    """,
+)
 def win_ewm_mean(spark, sf_dir):
     """ewm_mean(span=10, adjust=True) per user in time order."""
     ev = _ev(spark, sf_dir)
     return ev.select(
         "event_id",
-        pl.col("value").ewm_mean(span=10).over("user_id").round(3).alias("ewm"),
+        pl.col("value").ewm_mean(span=10).over("user_id").alias("ewm"),
     ).to_spark()
 
 
