@@ -32,13 +32,32 @@ class ExprContext:
     expressions into window aggregates.
     """
 
-    __slots__ = ("df", "order_cols", "grouped", "_window")
+    __slots__ = ("df", "order_cols", "grouped", "_window", "preps")
 
-    def __init__(self, df, order_cols: list | None = None, grouped: bool = False):
+    def __init__(
+        self, df, order_cols: list | None = None, grouped: bool = False, preps: list | None = None
+    ):
         self.df = df
         self.order_cols = order_cols or []
         self.grouped = grouped
         self._window = None
+        # whole-frame scalar aggregates registered by exprs (see add_scalar);
+        # derived contexts share the SAME list so the frame sees them all.
+        self.preps = [] if preps is None else preps
+
+    def add_scalar(self, agg_col: Column) -> Column:
+        """Register a whole-frame scalar aggregate (min/mean/percentile/...)
+        and return a column reference to it.
+
+        The enclosing frame operation computes every registered scalar in ONE
+        map-side-partial aggregate and broadcast-cross-joins the 1-row result
+        back (LazyFrame._with_scalar_preps) — the scale-safe alternative to
+        ``agg.over(Window.partitionBy())``, which would shuffle ALL rows into
+        a single partition.
+        """
+        name = f"__scalar_{len(self.preps)}__"
+        self.preps.append((name, agg_col))
+        return F.col(name)
 
     def order_specs(self) -> list[tuple[str, bool]]:
         return [(o, False) if isinstance(o, str) else (o[0], bool(o[1])) for o in self.order_cols]
@@ -288,7 +307,16 @@ class Expr:
             return Expr(fn, self._name)
         if strategy in ("min", "max", "mean"):
             agg = {"min": F.min, "max": F.max, "mean": F.mean}[strategy]
-            return self._map(lambda c: F.coalesce(c, agg(c).over(Window.partitionBy())))
+
+            def fn_scalar(ctx: ExprContext) -> Column:
+                c = self._resolve(ctx)
+                pcols = ctx.partition_cols()
+                if pcols:  # under .over(keys): per-group fill, partitioned window
+                    return F.coalesce(c, agg(c).over(Window.partitionBy(*pcols)))
+                # global fill: broadcast scalar, never a single-partition window
+                return F.coalesce(c, ctx.add_scalar(agg(c)))
+
+            return Expr(fn_scalar, self._name)
         if strategy == "zero":
             return self._map(lambda c: F.coalesce(c, F.lit(0)))
         if strategy == "one":
@@ -1192,11 +1220,11 @@ class Expr:
                     ocols = [c.desc() for c in ocols]
                 inner_order = None
                 w = w.orderBy(*ocols)
-                sub = ExprContext(ctx.df, ctx.order_cols, grouped=False)
+                sub = ExprContext(ctx.df, ctx.order_cols, grouped=False, preps=ctx.preps)
                 # aggregates over an ordered window need full-frame bounds
                 w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
             elif self._is_agg:
-                sub = ExprContext(ctx.df, ctx.order_cols)
+                sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps)
             else:
                 sub = ctx
 
@@ -1310,10 +1338,10 @@ class Expr:
         return Expr(fn, self._name)
 
     def qcut(self, quantiles, *, labels: list[str] | None = None, allow_duplicates: bool = False):
-        """Quantile binning (FunctionExpr::QCut).  Break points come from
-        exact percentiles computed as a global window aggregate — one scalar
-        per quantile moves to every row, but the DATA never collapses to one
-        partition (only the tiny aggregate does).  At 100 TB swap in
+        """Quantile binning (FunctionExpr::QCut).  Break points are exact
+        percentiles registered as frame-level scalars (ctx.add_scalar): one
+        tiny partial aggregate, broadcast back — the data itself never
+        shuffles, let alone to a single partition.  At 100 TB swap in
         approx_percentile for the breakpoint pass."""
         qs = list(quantiles)
         if labels is None:
@@ -1321,10 +1349,9 @@ class Expr:
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            w = Window.partitionBy()
             expr = None
             for q, lab in zip(qs, labels):
-                b = F.percentile(c, F.lit(q)).over(w)
+                b = ctx.add_scalar(F.percentile(c, F.lit(q)))
                 cond = c <= b
                 expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
             out = expr.otherwise(F.lit(labels[len(qs)]))
@@ -1349,7 +1376,7 @@ class _PartitionedContext(ExprContext):
     """ExprContext whose order_window() is partitioned (for Expr.over)."""
 
     def __init__(self, base: ExprContext, pcols, order_by=None, descending=False):
-        super().__init__(base.df, base.order_cols, base.grouped)
+        super().__init__(base.df, base.order_cols, base.grouped, preps=base.preps)
         self._pcols = pcols
         self._order_by = order_by
         self._desc = descending

@@ -139,8 +139,22 @@ class LazyFrame:
         return LazyFrame(self._df.cache(), self._order)
 
     # -- expression resolution ----------------------------------------------
-    def _resolve_exprs(self, exprs, named: Mapping[str, Any] | None = None) -> list[Column]:
-        ctx = self._ctx()
+    def _with_scalar_preps(self, ctx) -> SparkDF:
+        """Satisfy whole-frame scalars registered during expr resolution
+        (fill_null min/max/mean, qcut breakpoints, ...): ONE partial
+        aggregate over the frame, 1-row result broadcast-cross-joined back.
+        No single-partition window, no eager job — the hidden __scalar_N__
+        columns are dropped (or simply not selected) by the caller."""
+        if not getattr(ctx, "preps", None):
+            return self._df
+        scal = self._df.agg(*[a.alias(n) for n, a in ctx.preps])
+        return self._df.crossJoin(F.broadcast(scal))
+
+    def _resolve_exprs(
+        self, exprs, named: Mapping[str, Any] | None = None, ctx=None
+    ) -> list[Column]:
+        if ctx is None:
+            ctx = self._ctx()
         out: list[Column] = []
         for e in _flatten(exprs):
             if isinstance(e, str):
@@ -168,10 +182,11 @@ class LazyFrame:
 
     # -- projection / mutation ----------------------------------------------
     def select(self, *exprs, **named) -> "LazyFrame":
-        cols = self._resolve_exprs(exprs, named)
+        ctx = self._ctx()
+        cols = self._resolve_exprs(exprs, named, ctx=ctx)
         # keep the hidden order column alive if an order is defined
         keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
-        df = self._df.select(*cols, *keep)
+        df = self._with_scalar_preps(ctx).select(*cols, *keep)
         # order survives only through columns that are still present
         order = [o for o in self._order if o[0] in set(df.columns)]
         return LazyFrame(df, order)
@@ -187,7 +202,10 @@ class LazyFrame:
                 mapping[ee._name] = ee._resolve(ctx)
         for name, e in named.items():
             mapping[name] = _to_expr(e)._resolve(ctx)
-        return LazyFrame(self._df.withColumns(mapping), self._order)
+        out = self._with_scalar_preps(ctx).withColumns(mapping)
+        if ctx.preps:
+            out = out.drop(*[n for n, _ in ctx.preps])
+        return LazyFrame(out, self._order)
 
     def with_columns_seq(self, *exprs, **named) -> "LazyFrame":
         return self.with_columns(*exprs, **named)
@@ -270,7 +288,10 @@ class LazyFrame:
         for name, v in constraints.items():
             c = F.col(name) == F.lit(v)
             cond = c if cond is None else (cond & c)
-        return LazyFrame(self._df.filter(cond), self._order)
+        out = self._with_scalar_preps(ctx).filter(cond)
+        if ctx.preps:
+            out = out.drop(*[n for n, _ in ctx.preps])
+        return LazyFrame(out, self._order)
 
     def remove(self, *predicates, **constraints) -> "LazyFrame":
         ctx = self._ctx()
@@ -331,31 +352,46 @@ class LazyFrame:
         df = self._df.orderBy(*_order_cols(self._order, reverse=True)).limit(n)
         return LazyFrame(df.orderBy(*_order_cols(self._order)), self._order)
 
+    def _global_pos(self) -> tuple[SparkDF, str, list]:
+        """(df, pos-column name, order) with a scale-safe 0-based global row
+        position: partition-local row_number + broadcast per-partition offsets
+        (the with_row_index machinery) — never a global-orderBy window, which
+        would shuffle the whole frame into one partition."""
+        if self._order:
+            # "__gpos__": distinct from with_row_index's internal __pos__
+            return self.with_row_index("__gpos__")._df, "__gpos__", self._order
+        lf = self.with_row_index(ROW_IDX)  # ROW_IDX already IS the position
+        return lf._df, ROW_IDX, lf._order
+
     def slice(self, offset: int, length: int | None = None) -> "LazyFrame":
         if offset == 0 and length is not None:
             return self.limit(length)
-        lf = self if self._order else self.with_row_index(ROW_IDX)
-        pos = F.row_number().over(Window.orderBy(*_order_cols(lf._order))) - 1
-        df = lf._df.withColumn("__pos__", pos)
+        df, pos, order = self._global_pos()
+        p = F.col(pos)
         if offset >= 0:
-            cond = F.col("__pos__") >= offset
+            cond = p >= offset
             if length is not None:
-                cond = cond & (F.col("__pos__") < offset + length)
+                cond = cond & (p < offset + length)
         else:
-            df = df.withColumn("__total__", F.count(F.lit(1)).over(Window.partitionBy()))
+            # negative offset counts from the end: total rows via a 1-row
+            # aggregate broadcast back, not a single-partition window
+            total = self._df.agg(F.count(F.lit(1)).alias("__total__"))
+            df = df.crossJoin(F.broadcast(total))
             start = F.col("__total__") + offset
-            cond = F.col("__pos__") >= start
+            cond = p >= start
             if length is not None:
-                cond = cond & (F.col("__pos__") < start + length)
-        return LazyFrame(df.filter(cond).drop("__pos__", "__total__"), lf._order)
+                cond = cond & (p < start + length)
+        out = df.filter(cond).drop("__total__")
+        if pos == "__gpos__":
+            out = out.drop("__gpos__")
+        return LazyFrame(out, order)
 
     def gather_every(self, n: int, offset: int = 0) -> "LazyFrame":
-        lf = self if self._order else self.with_row_index(ROW_IDX)
-        pos = F.row_number().over(Window.orderBy(*_order_cols(lf._order))) - 1
-        df = lf._df.withColumn("__pos__", pos).filter(
-            (F.col("__pos__") >= offset) & ((F.col("__pos__") - offset) % n == 0)
-        )
-        return LazyFrame(df.drop("__pos__"), lf._order)
+        df, pos, order = self._global_pos()
+        out = df.filter((F.col(pos) >= offset) & ((F.col(pos) - offset) % n == 0))
+        if pos == "__gpos__":
+            out = out.drop("__gpos__")
+        return LazyFrame(out, order)
 
     def set_sorted(self, *columns, descending: bool = False) -> "LazyFrame":
         """Declare (without shuffling) that the frame is ordered by ``columns``

@@ -52,7 +52,7 @@ def element() -> Expr:
 
 class _ElementContext(ExprContext):
     def __init__(self, base: ExprContext, element_col: Column):
-        super().__init__(base.df, base.order_cols, base.grouped)
+        super().__init__(base.df, base.order_cols, base.grouped, preps=base.preps)
         self.element_col = element_col
 
 
@@ -837,13 +837,29 @@ class ListNamespace(_NS):
 
         return Expr(fn, e._name)
 
-    def to_struct(self, n_field_strategy: str = "first_non_null", fields: list[str] | None = None) -> Expr:
+    def to_struct(
+        self,
+        n_field_strategy: str = "first_non_null",
+        fields: list[str] | None = None,
+        upper_bound: int | None = None,
+    ) -> Expr:
+        """List -> struct.  With ``fields`` or ``upper_bound`` the struct
+        schema is static and the lowering is pure (no Spark job).  Without
+        either, the width must be probed with a tiny max(size) aggregate —
+        an eager job at plan-build time (the data determines the schema, as
+        in polars' own width strategies); pass ``upper_bound`` in pipelines
+        to keep plan construction lazy."""
         e = self._e
 
         def fn(ctx: ExprContext) -> Column:
             c = e._resolve(ctx)
-            width = ctx.df.select(F.max(F.size(e._resolve(ctx))).alias("__w")).collect()[0]["__w"]
-            names = fields or [f"field_{i}" for i in range(width)]
+            if fields is not None:
+                names = list(fields)
+            else:
+                width = upper_bound
+                if width is None:
+                    width = ctx.df.select(F.max(F.size(c)).alias("__w")).collect()[0]["__w"]
+                names = [f"field_{i}" for i in range(width)]
             return F.struct(*[F.get(c, i).alias(nm) for i, nm in enumerate(names)])
 
         return Expr(fn, e._name)

@@ -58,6 +58,38 @@ def rel_with_columns(spark, sf_dir):
 
 
 @query(
+    "rel_qcut_bands",
+    # Gate for the scale-safe qcut path: breakpoints are exact linear-interp
+    # percentiles (Spark F.percentile == DuckDB quantile_cont) computed as a
+    # broadcast scalar aggregate, never a single-partition window.  Output is
+    # band COUNTS — robust to 1-ulp interpolation differences because no data
+    # point falls strictly between adjacent data values.
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS b1,
+             quantile_cont(l_extendedprice, 0.50) AS b2,
+             quantile_cont(l_extendedprice, 0.75) AS b3
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_extendedprice <= b1 THEN 'q0'
+                WHEN l_extendedprice <= b2 THEN 'q1'
+                WHEN l_extendedprice <= b3 THEN 'q2'
+                ELSE 'q3' END AS band,
+           count(*) AS n
+    FROM lineitem, b GROUP BY 1
+    """,
+)
+def rel_qcut_bands(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    return (
+        li.with_columns(band=pl.col("l_extendedprice").qcut([0.25, 0.5, 0.75]))
+        .group_by("band")
+        .agg(pl.len().alias("n"))
+        .to_spark()
+    )
+
+
+@query(
     "rel_when_then_bands",
     oracle="""
     SELECT CASE WHEN c_acctbal < 0 THEN 'debt'

@@ -211,6 +211,40 @@ def win_peaks_rle(spark, sf_dir):
 
 
 @query(
+    "win_fill_scalar",
+    # Gate for the scale-safe fill_null(min/max/mean) path (broadcast scalar,
+    # no single-partition window).  The filled column is integer-scaled so
+    # the mean is sum-of-exact-integers / count — bit-identical across
+    # engines regardless of summation order.
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id,
+             CASE WHEN value >= 50 THEN CAST(round(value * 100) AS BIGINT) END AS v
+      FROM events
+    )
+    SELECT event_id,
+           coalesce(v, (SELECT min(v) FROM sparse))                  AS v_min,
+           coalesce(v, (SELECT max(v) FROM sparse))                  AS v_max,
+           coalesce(CAST(v AS DOUBLE), (SELECT avg(v) FROM sparse))  AS v_mean
+    FROM sparse
+    """,
+)
+def win_fill_scalar(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    v = (
+        pl.when(pl.col("value") >= 50)
+        .then((pl.col("value") * 100).round(0).cast("bigint"))
+        .otherwise(pl.lit(None))
+    )
+    return ev.select(
+        "event_id",
+        v.fill_null(strategy="min").alias("v_min"),
+        v.fill_null(strategy="max").alias("v_max"),
+        v.cast("double").fill_null(strategy="mean").alias("v_mean"),
+    ).to_spark()
+
+
+@query(
     "win_interpolate",
     oracle=f"""
     WITH sparse AS (
