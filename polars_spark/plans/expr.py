@@ -422,12 +422,17 @@ class Expr:
 
     def clip(self, lower=None, upper=None):
         def fn(ctx: ExprContext) -> Column:
-            c = self._resolve(ctx)
+            c0 = self._resolve(ctx)
+            c = c0
             if lower is not None:
                 c = F.greatest(c, _col_of(lower, ctx))
             if upper is not None:
                 c = F.least(c, _col_of(upper, ctx))
-            return c
+            if lower is None and upper is None:
+                return c
+            # greatest/least skip nulls in Spark, which would turn a null
+            # input into the bound — polars propagates null through clip
+            return F.when(c0.isNull(), c0).otherwise(c)
 
         return Expr(fn, self._name, self._is_agg)
 
@@ -776,8 +781,15 @@ class Expr:
             c = self._resolve(ctx)
             w = ctx.order_window()
             shifted = F.lag(c, n).over(w) if n >= 0 else F.lead(c, -n).over(w)
-            if fill_value is not None:
-                shifted = F.coalesce(shifted, _col_of(fill_value, ctx))
+            if fill_value is not None and n != 0:
+                # polars fills only the |n| boundary slots shifted in — a
+                # coalesce would also overwrite genuine nulls from the data
+                fillc = _col_of(fill_value, ctx)
+                if n >= 0:
+                    boundary = F.row_number().over(w) <= n
+                else:
+                    boundary = F.row_number().over(ctx.order_window(True)) <= -n
+                shifted = F.when(boundary, fillc).otherwise(shifted)
             return shifted
 
         return Expr(fn, self._name)

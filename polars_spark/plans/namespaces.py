@@ -273,10 +273,14 @@ class StringNamespace(_NS):
                 ).otherwise(c)
 
             return self._map(fn)
-        # first-match-only regex: capture the tail and re-emit it
-        safe_val = value.replace("$", "\\$")
+        # First-match-only regex: capture the tail in a NAMED group so user
+        # capture groups keep their numbering, and re-emit it.  The value is
+        # passed through untouched, so polars-style $1/${name} group refs in
+        # the replacement keep working (Java replacement semantics).
         return self._map(
-            lambda c: F.regexp_replace(c, f"(?s)(?:{pattern})((?s:.*))$", safe_val + "$1")
+            lambda c: F.regexp_replace(
+                c, f"(?s)(?:{pattern})(?<psTail>.*)$", value + "${psTail}"
+            )
         )
 
     def replace_all(self, pattern: str, value: str, *, literal: bool = False) -> Expr:

@@ -43,12 +43,30 @@ def _spark() -> SparkSession:
 def _nanos_ts_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
     (spark.sql.legacy.parquet.nanosAsLong); we restore timestamps at µs
-    precision (truncating, same as DuckDB/polars ns->µs cast)."""
+    precision (truncating, same as DuckDB/polars ns->µs cast).
+
+    Globs and directories are resolved to a concrete first file before the
+    schema probe (all files of one dataset share a writer/schema), so the
+    same data surfaces identically however the path is spelled."""
     try:
+        import glob as _glob
+        import os
+
         import pyarrow.parquet as pq
         import pyarrow.types as pt
 
-        schema = pq.read_schema(path)
+        p = path
+        if any(ch in p for ch in "*?["):
+            matches = sorted(_glob.glob(p))
+            if not matches:
+                return []
+            p = matches[0]
+        if os.path.isdir(p):
+            hits = sorted(_glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+            if not hits:
+                return []
+            p = hits[0]
+        schema = pq.read_schema(p)
         return [
             f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
         ]
@@ -68,9 +86,13 @@ def scan_parquet(
 ) -> LazyFrame:
     spark = spark or _spark()
     paths = [source] if isinstance(source, str) else list(source)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_cols = _nanos_ts_cols(paths[0])
+    if ns_cols and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        # only mutate session state when the data actually needs it (Spark
+        # refuses TIMESTAMP(NANOS) parquet without this legacy flag)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(*paths)
-    for c in _nanos_ts_cols(paths[0]):
+    for c in ns_cols:
         # integer div keeps full int64 precision (float division would not)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if include_file_paths:

@@ -103,3 +103,58 @@ def test_floordiv_mod_negative(pl, lf):
     r = rows(f.select((pl.col("a") // pl.col("b")).alias("fd"), (pl.col("a") % pl.col("b")).alias("md")), sort_by="fd")
     assert r[1] == (3.0, 1.0)
     assert r[0][0] == -4.0  # floor division rounds toward -inf (polars/python)
+
+
+def test_shift_fill_only_boundary(pl, lf):
+    """shift(n, fill_value) fills ONLY the n shifted-in slots — genuine data
+    nulls stay null (polars shift_and_fill semantics)."""
+    f = lf(x=[1.0, None, 3.0, None, 5.0]).with_row_index("i")
+    out = f.with_columns(
+        pl.col("x").shift(1, fill_value=-9.0).alias("sf"),
+        pl.col("x").shift(-2, fill_value=-9.0).alias("sb"),
+    ).sort("i")
+    r = rows(out)
+    assert [t[2] for t in r] == [-9.0, 1.0, None, 3.0, None]
+    assert [t[3] for t in r] == [3.0, None, 5.0, -9.0, -9.0]
+
+
+def test_clip_propagates_null(pl, lf):
+    f = lf(x=[-5.0, None, 0.5, 7.0])
+    r = rows(
+        f.select(
+            pl.col("x").clip(0.0, 1.0).alias("c"),
+            pl.col("x").clip(0.0).alias("lo"),
+            pl.col("x").clip(None, 1.0).alias("hi"),
+        )
+    )
+    assert [t[0] for t in r] == [0.0, None, 0.5, 1.0]
+    assert [t[1] for t in r] == [0.0, None, 0.5, 7.0]
+    assert [t[2] for t in r] == [-5.0, None, 0.5, 1.0]
+
+
+def test_str_replace_with_user_capture_group(pl, lf):
+    """User capture groups keep their numbering and $1 refs work (the tail
+    capture is a named group, not $1)."""
+    f = lf(s=["xaby-ab-z", "nope"])
+    r = rows(
+        f.select(
+            pl.col("s").str.replace(r"(a)b", "[$1]").alias("grp"),
+            pl.col("s").str.replace("ab", "_").alias("plain"),
+        )
+    )
+    assert r[0][0] == "x[a]y-ab-z"  # first match only, group ref substituted
+    assert r[1][0] == "nope"
+    assert r[0][1] == "x_y-ab-z"
+
+
+def test_fill_null_strategy_over_groups(pl, lf):
+    """fill_null(min/mean) under .over(keys) fills per group."""
+    f = lf(g=["a", "a", "b", "b"], x=[1.0, None, 10.0, None])
+    out = f.select(
+        "g",
+        pl.col("x").fill_null(strategy="min").over("g").alias("mn"),
+        pl.col("x").fill_null(strategy="mean").over("g").alias("me"),
+    )
+    r = rows(out, sort_by="g")
+    assert [t[1] for t in r] == [1.0, 1.0, 10.0, 10.0]
+    assert [t[2] for t in r] == [1.0, 1.0, 10.0, 10.0]
