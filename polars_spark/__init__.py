@@ -18,7 +18,16 @@ optimization and execution (SURVEY.md §3/§4).
 """
 
 from polars_spark.session import get_spark, stop_spark
-from polars_spark.plans.expr import Expr, col, lit, when, all_ as all, nth  # noqa: A004
+from polars_spark.plans.expr import (  # noqa: A004
+    Categorical,
+    Enum,
+    Expr,
+    all_ as all,
+    col,
+    lit,
+    nth,
+    when,
+)
 from polars_spark.plans.frame import LazyFrame, concat
 from polars_spark.plans.namespaces import element
 from polars_spark.sources import (
@@ -70,6 +79,8 @@ from polars_spark.functions import (
 __all__ = [
     "get_spark",
     "stop_spark",
+    "Categorical",
+    "Enum",
     "Expr",
     "LazyFrame",
     "col",

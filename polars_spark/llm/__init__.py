@@ -303,23 +303,38 @@ def connected_components(pairs: DataFrame, *, a: str = "d1", b: str = "d2", max_
 # simhash
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (Charikar): sign of the per-bit sum of
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, hash_fn: str = "xxhash64", n_bits: int = 64
+) -> DataFrame:
+    """n-bit SimHash per document (Charikar): sign of the per-bit sum of
     token hashes.  Arrow-batched mapInPandas — numpy popcount loops beat 64
     separate codegen'd aggregates; the batch shape keeps executors busy and
-    nothing touches the driver."""
+    nothing touches the driver.
+
+    ``hash_fn='xxhash64'`` is the fast JVM path; ``hash_fn='md5'`` derives a
+    60-bit hash from the md5 hex digest — slower, but replayable bit-for-bit
+    in any engine with md5() (used by the DuckDB correctness oracle)."""
     import numpy as np
     import pandas as pd
 
     tok = _spread(df).select(F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("toks"))
-    hashed = tok.select("doc", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"))
+    if hash_fn == "xxhash64":
+        hcol = F.transform("toks", lambda t: F.xxhash64(t))
+    elif hash_fn == "md5":
+        n_bits = min(n_bits, 60)  # 15 hex chars -> 60 bits, positive in int64
+        hcol = F.transform(
+            "toks", lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    hashed = tok.select("doc", hcol.alias("hs"))
 
     def batches(it):
         for pdf in it:
             out_docs, out_sig = [], []
             for doc, hs in zip(pdf["doc"], pdf["hs"]):
                 h = np.asarray(hs, dtype=np.uint64)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                bits = ((h[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1).astype(np.int64)
                 acc = (bits * 2 - 1).sum(axis=0)
                 sig = np.uint64(0)
                 for b in np.nonzero(acc > 0)[0]:
@@ -331,15 +346,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.mapInPandas(batches, "doc long, simhash long")
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit chunks:
-    two signatures within hamming<=3 must agree exactly on at least one of 4
-    chunks (pigeonhole), so the join is keyed on (chunk_idx, chunk_value) —
-    never all-pairs."""
-    sig = simhash(df, id_col, text_col)
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by (n_bits/4)-bit
+    chunks: two signatures within hamming<=3 must agree exactly on at least
+    one of 4 chunks (pigeonhole), so the join is keyed on
+    (chunk_idx, chunk_value) — never all-pairs."""
+    sig = simhash(df, id_col, text_col, hash_fn=hash_fn, n_bits=n_bits)
+    if hash_fn == "md5":
+        n_bits = min(n_bits, 60)
+    cb = n_bits // 4
+    mask = (1 << cb) - 1
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+            F.shiftright(F.col("simhash"), cb * i).bitwiseAND(F.lit(mask)).alias(f"c{i}")
             for i in range(4)
         ]
     )

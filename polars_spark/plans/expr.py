@@ -343,6 +343,24 @@ class Expr:
     def cast(self, dtype, strict: bool = True):
         # strict=True matches polars strict casts when ANSI mode is on;
         # strict=False -> try_cast (null on failure), polars' non-strict cast.
+        if isinstance(dtype, Enum):
+            cats = list(dtype.categories)
+
+            def fn_enum(c: Column) -> Column:
+                s = c.cast("string")
+                ok = s.isin(cats) | c.isNull()
+                if strict:
+                    return F.when(ok, s).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit("conversion to enum failed for value: "),
+                                F.coalesce(s, F.lit("null")),
+                            )
+                        )
+                    )
+                return F.when(ok, s)
+
+            return self._map(fn_enum)
         spark_type = _dtype_to_spark(dtype)
         if strict:
             return self._map(lambda c: c.cast(spark_type))
@@ -935,6 +953,33 @@ class Expr:
                 interp = F.when((pos - pp) <= (np_ - pos), pv).otherwise(nv)
             else:
                 interp = pv + (nv - pv) * (pos - pp) / (np_ - pp)
+            return F.when(c.isNotNull(), c).otherwise(interp)
+
+        return Expr(fn, self._name)
+
+    def interpolate_by(self, by):
+        """Linear interpolation of interior nulls weighted by a coordinate
+        column (polars-ops/src/series/ops/interpolation/ interpolate_by):
+        fill = pv + (nv - pv) · (x - xp) / (xn - xp) with x from ``by``.
+        Temporal coordinates are cast to epoch seconds for the weights."""
+        by_e = col(by) if isinstance(by, str) else by
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            x = by_e._resolve(ctx)
+            if isinstance(by, str):
+                dt = dict(ctx.df.dtypes).get(by, "") if ctx.df is not None else ""
+                if dt.startswith("date"):
+                    x = x.cast("timestamp")
+            xd = x.cast("double")
+            w = ctx.order_window()
+            wb = w.rowsBetween(Window.unboundedPreceding, 0)
+            wf = w.rowsBetween(0, Window.unboundedFollowing)
+            pv = F.last(F.when(c.isNotNull(), c), ignorenulls=True).over(wb)
+            pp = F.last(F.when(c.isNotNull(), xd), ignorenulls=True).over(wb)
+            nv = F.first(F.when(c.isNotNull(), c), ignorenulls=True).over(wf)
+            np_ = F.first(F.when(c.isNotNull(), xd), ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) * (xd - pp) / (np_ - pp)
             return F.when(c.isNotNull(), c).otherwise(interp)
 
         return Expr(fn, self._name)
@@ -1533,6 +1578,29 @@ def when(condition) -> _When:
 # ---------------------------------------------------------------------------
 # dtype mapping (SURVEY.md §1.2)
 
+class Enum:
+    """polars Enum dtype: a FROZEN category set (reference: polars-dtype
+    categorical dtype.rs FrozenCategories).  Physically a string column;
+    casts VALIDATE membership — strict cast raises on a value outside the
+    categories, non-strict cast nulls it (polars' strict/non-strict cast
+    split)."""
+
+    def __init__(self, categories):
+        self.categories = list(categories)
+
+    def __repr__(self) -> str:
+        return f"Enum({self.categories!r})"
+
+
+class Categorical:
+    """polars Categorical dtype — in this engine a string passthrough (the
+    documented SURVEY §1.2 mapping: Tungsten/parquet already dictionary-encode
+    strings; a global string cache would add a shuffle for no gain)."""
+
+    def __init__(self, ordering: str = "physical"):
+        self.ordering = ordering
+
+
 _DTYPE_MAP = {
     "Int8": "tinyint",
     "Int16": "smallint",
@@ -1562,6 +1630,8 @@ _DTYPE_MAP = {
 def _dtype_to_spark(dtype) -> str:
     if dtype is None:
         raise ValueError("dtype required")
+    if isinstance(dtype, (Enum, Categorical)):
+        return "string"
     if isinstance(dtype, str):
         key = dtype
     elif hasattr(dtype, "__name__"):

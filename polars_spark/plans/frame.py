@@ -32,6 +32,8 @@ import datetime as _dt
 from collections.abc import Iterable, Mapping, Sequence
 from typing import Any
 
+import pandas as _pd
+
 from pyspark.sql import Column, DataFrame as SparkDF, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -952,6 +954,57 @@ class LazyFrame:
                 yield function(pdf)
 
         return LazyFrame(self._df.mapInPandas(gen, out_schema), [])
+
+    def map_rows(
+        self,
+        function,
+        return_dtype=None,
+        *,
+        schema: str | None = None,
+        inference_size: int = 256,
+    ) -> "LazyFrame":
+        """polars DataFrame.map_rows (py-polars/src/polars/dataframe/frame.py:8686):
+        the UDF receives each row as a tuple; a scalar result produces one
+        column ``map``, a tuple result produces ``column_0..column_{n-1}``.
+
+        Lowering: mapInPandas — the UDF runs inside Arrow batches on the
+        executors, never row-at-a-time through the driver.  Pass ``schema``
+        (Spark DDL) to keep plan construction fully lazy; ``return_dtype``
+        covers the scalar case; with neither, the output schema is inferred
+        by applying the UDF to a driver-side sample of ``inference_size``
+        rows (an eager job, as in polars itself — map_rows is an eager
+        DataFrame op there too).
+        """
+        src = self.to_spark()
+        if schema is not None:
+            out_schema = schema
+            names = [f.strip().split()[0] for f in schema.split(",")]
+        elif return_dtype is not None:
+            out_schema = f"map {_dtype_to_spark(return_dtype)}"
+            names = ["map"]
+        else:
+            sample = src.limit(inference_size).toPandas()
+            res = [function(tuple(t)) for t in sample.itertuples(index=False, name=None)]
+            first = res[0] if res else None
+            if isinstance(first, tuple):
+                cols = [f"column_{i}" for i in range(len(first))]
+                probe = src.sparkSession.createDataFrame(
+                    _pd.DataFrame(res, columns=cols)
+                )
+            else:
+                probe = src.sparkSession.createDataFrame(_pd.DataFrame({"map": res}))
+            out_schema = probe.schema
+            names = probe.columns
+
+        def gen(it):
+            for pdf in it:
+                res = [function(tuple(t)) for t in pdf.itertuples(index=False, name=None)]
+                if res and isinstance(res[0], tuple):
+                    yield _pd.DataFrame(res, columns=names)
+                else:
+                    yield _pd.DataFrame({names[0]: res})
+
+        return LazyFrame(src.mapInPandas(gen, out_schema), [])
 
     # -- sinks (SinkType, polars-plan/src/dsl/options/sink.rs:230) -----------------
     def sink_parquet(

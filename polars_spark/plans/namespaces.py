@@ -257,9 +257,18 @@ class StringNamespace(_NS):
 
     # -- replace ------------------------------------------------------------
     def replace(self, pattern: str, value: str, *, literal: bool = False, n: int = 1) -> Expr:
-        """Replace the FIRST match (polars semantics; replace_all for every)."""
+        """Replace the first ``n`` matches (polars function_expr/strings.rs
+        Replace).  n=1 (default) supports $N group refs in ``value``; n>1
+        lowers to split(limit=n+1) + array_join, which replaces exactly the
+        first n occurrences of the ORIGINAL string but cannot carry group
+        refs (the matched text is consumed by the split)."""
+        if n < 0:
+            return self.replace_all(pattern, value, literal=literal)
         if n != 1:
-            raise NotImplementedError("str.replace: only n=1 (use replace_all)")
+            if not literal and "$" in value:
+                raise NotImplementedError("str.replace with n>1: group refs in value")
+            rx = _rx_escape(pattern) if literal else pattern
+            return self._map(lambda c: F.array_join(F.split(c, rx, n + 1), value))
         if literal:
             def fn(c):
                 pos = F.locate(pattern, c)
@@ -369,7 +378,18 @@ class StringNamespace(_NS):
     # -- split ------------------------------------------------------------
     def split(self, by: str, *, inclusive: bool = False) -> Expr:
         if inclusive:
-            raise NotImplementedError("str.split inclusive")
+            # every element but the last keeps its trailing separator
+            # (function_expr/strings.rs SplitInclusive); the separator is a
+            # literal, so re-appending it is exact
+            def fn(c):
+                arr = F.split(c, _rx_escape(by), -1)
+                sz = F.size(arr)
+                return F.transform(
+                    arr,
+                    lambda x, i: F.when(i < sz - 1, F.concat(x, F.lit(by))).otherwise(x),
+                )
+
+            return self._map(fn)
         return self._map(lambda c: F.split(c, _rx_escape(by), -1))
 
     def split_exact(self, by: str, n: int) -> Expr:

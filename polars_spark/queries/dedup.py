@@ -104,12 +104,49 @@ def dedup_minhash_lsh(spark, sf_dir):
     return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_simhash")  # approximate: rows-only gate + pytest sanity test
+@query(
+    "dedup_simhash",
+    # Full replay of the SimHash pipeline in SQL: the md5-derived 60-bit
+    # token hash is computable in both engines, so signature bits, 15-bit
+    # pigeonhole buckets, candidate join and hamming filter are all verified
+    # end to end (the xxhash64 variant is the same algorithm with a faster,
+    # JVM-only hash).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::BIGINT << b) ELSE 0 END) AS s
+      FROM bits GROUP BY 1
+    ),
+    ch AS (
+      SELECT doc_id, s, i.i, (s >> (15 * i.i)) & 32767 AS cv
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.s AS s1, b.s AS s2
+      FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash near-pairs (hamming <= 3) with 16-bit-chunk pigeonhole
-    bucketing (llm.simhash_near_pairs)."""
+    """60-bit md5-SimHash near-pairs (hamming <= 3) with 15-bit-chunk
+    pigeonhole bucketing (llm.simhash_near_pairs)."""
     docs = table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    out = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, hash_fn="md5")
+    return out.select("d1", "d2", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 @query(

@@ -200,6 +200,25 @@ def udf_map_groups(spark, sf_dir):
 
 
 @query(
+    "udf_map_rows",
+    oracle="""
+    SELECT CAST(c_custkey * 2 AS BIGINT) AS column_0,
+           CAST(c_custkey % 7 AS BIGINT) AS column_1
+    FROM customer
+    """,
+)
+def udf_map_rows(spark, sf_dir):
+    """DataFrame.map_rows (row-tuple UDF -> mapInPandas, §2.11) vs pure SQL.
+    Integer outputs keep the hash compare exact."""
+    from polars_spark.queries import ltable
+
+    cust = ltable(spark, sf_dir, "customer").select("c_custkey")
+    return cust.map_rows(
+        lambda t: (t[0] * 2, t[0] % 7), schema="column_0 bigint, column_1 bigint"
+    ).to_spark()
+
+
+@query(
     "udf_map_batches",
     oracle="""
     SELECT event_id, round(value * 2 + 1, 2) AS scaled

@@ -26,7 +26,9 @@ import polars_spark as pl
            regexp_extract(text, '^(\w+)', 1)                AS first_word,
            len(regexp_split_to_array(text, ' '))            AS n_words,
            upper(substr(text, -10))                         AS tail10,
-           reverse(substr(text, 1, 5))                      AS rev5
+           reverse(substr(text, 1, 5))                      AS rev5,
+           regexp_replace(regexp_replace(text, ' ', '_'), ' ', '_') AS repl2,
+           replace(text, ' ', ' |')                         AS incl
     FROM documents
     """,
 )
@@ -45,7 +47,28 @@ def sf_str_ops(spark, sf_dir):
         t.str.split(" ").list.len().alias("n_words"),
         t.str.slice(-10).str.to_uppercase().alias("tail10"),
         t.str.slice(0, 5).str.reverse().alias("rev5"),
+        t.str.replace(" ", "_", literal=True, n=2).alias("repl2"),
+        t.str.split(" ", inclusive=True).list.join("|").alias("incl"),
     ).to_spark()
+
+
+@query(
+    "sf_enum_cast",
+    # strict Enum cast over the full column: if membership validation ever
+    # wrongly rejects a frozen category the query raises and the row goes red
+    oracle="""
+    SELECT l_returnflag AS flag, count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sf_enum_cast(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    return (
+        li.select(pl.col("l_returnflag").cast(pl.Enum(["A", "N", "R"])).alias("flag"))
+        .group_by("flag")
+        .agg(pl.len().alias("n"))
+        .to_spark()
+    )
 
 
 @query(

@@ -238,3 +238,14 @@ def test_with_context(pl, lf):
     stats = f.select(pl.col("x").mean().alias("x_mean"))
     out = f.with_context(stats).with_columns((pl.col("x") - pl.col("x_mean")).alias("centered"))
     assert sorted(t[2] for t in rows(out)) == [-1.0, 0.0, 1.0]
+
+
+def test_map_rows_scalar_and_inferred(pl, lf):
+    f = lf(a=[1, 2, 3], b=[10.0, 20.0, 30.0])
+    # scalar -> single 'map' column via return_dtype (lazy schema)
+    r = sorted(t[0] for t in f.map_rows(lambda t: t[0] * 2, return_dtype=int).collect().itertuples(index=False, name=None))
+    assert r == [2, 4, 6]
+    # tuple -> column_0/column_1 via driver-side schema inference
+    out = f.map_rows(lambda t: (t[0] + 1, t[1] / 2)).collect()
+    assert sorted(out.columns) == ["column_0", "column_1"]
+    assert sorted(out["column_0"]) == [2, 3, 4]

@@ -413,3 +413,39 @@ def test_rolling_by_expr(pl, lf):
 def test_dataframe_constructor(pl):
     f = pl.DataFrame({"x": [1, 2]})
     assert f.collect()["x"].tolist() == [1, 2]
+
+
+def test_str_split_inclusive(pl, lf):
+    f = lf(s=["a,b,c", "x", "a,b,"])
+    r = rows(f.select(pl.col("s").str.split(",", inclusive=True).alias("p")))
+    assert list(r[0][0]) == ["a,", "b,", "c"]
+    assert list(r[1][0]) == ["x"]
+    assert list(r[2][0]) == ["a,", "b,", ""]
+
+
+def test_str_replace_n(pl, lf):
+    f = lf(s=["a-b-c-d"])
+    r = rows(
+        f.select(
+            pl.col("s").str.replace("-", "_", n=2).alias("two"),
+            pl.col("s").str.replace("-", "_", literal=True, n=3).alias("three"),
+        )
+    )
+    assert r[0][0] == "a_b_c-d"
+    assert r[0][1] == "a_b_c_d"
+
+
+def test_enum_cast_validation(pl, lf):
+    import pytest as _pytest
+
+    f = lf(s=["lo", "hi", None])
+    dt = pl.Enum(["lo", "mid", "hi"])
+    ok = rows(f.select(pl.col("s").cast(dt).alias("e")))
+    assert [t[0] for t in ok] == ["lo", "hi", None]
+    bad = lf(s=["lo", "nope"])
+    # non-strict: unknown category -> null
+    r = rows(bad.select(pl.col("s").cast(dt, strict=False).alias("e")))
+    assert sorted([t[0] for t in r], key=str) == ["lo", "None"] or [t[0] for t in r] == ["lo", None]
+    # strict: raises at execution
+    with _pytest.raises(Exception, match="enum"):
+        bad.select(pl.col("s").cast(dt).alias("e")).collect()

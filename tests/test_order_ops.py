@@ -96,3 +96,11 @@ def test_ewm_mean_by_halflife(pl, lf):
     d = 0.5 ** 0.5
     y2 = d * 15 + (1 - d) * 30
     assert got == pt.approx([10.0, 15.0, y2], rel=1e-12)
+
+
+def test_interpolate_by(pl, lf):
+    f = lf(x=[1.0, None, None, 10.0], t=[0.0, 1.0, 3.0, 4.0]).with_row_index("i")
+    out = f.with_columns(pl.col("x").interpolate_by("t").alias("xi")).sort("i")
+    got = [t[3] for t in rows(out)]
+    # weights by coordinate: 1 + 9*(1/4), 1 + 9*(3/4)
+    assert got == [1.0, 3.25, 7.75, 10.0]
