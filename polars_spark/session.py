@@ -54,6 +54,29 @@ def get_spark(app_name: str = "polars_spark", **extra_conf: str) -> SparkSession
         # them back to timestamps (µs, truncating like DuckDB/polars cast)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Connector wiring: SPARK_GRAFT_PACKAGES is a comma-separated list of
+    # maven coordinates (e.g. io.delta:delta-spark_2.13:4.0.0,
+    # org.apache.spark:spark-avro_2.13:4.0.0).  When present, the jars are
+    # resolved at session build and the lakehouse extensions light up —
+    # scan_delta / scan_iceberg / read_avro / read_database then run their
+    # native Spark paths instead of raising.
+    pkgs = os.environ.get("SPARK_GRAFT_PACKAGES", "")
+    if pkgs:
+        builder = builder.config("spark.jars.packages", pkgs)
+        if "delta" in pkgs:
+            builder = builder.config(
+                "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+            ).config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+        if "iceberg" in pkgs:
+            builder = builder.config(
+                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+            ).config("spark.sql.catalog.local.type", "hadoop").config(
+                "spark.sql.catalog.local.warehouse",
+                os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE", "/tmp/iceberg-warehouse"),
+            )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
