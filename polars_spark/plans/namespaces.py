@@ -1012,7 +1012,9 @@ class BinaryNamespace(_NS):
         if encoding == "hex":
             return self._map(lambda c: F.lower(F.hex(c)))
         if encoding == "base64":
-            return self._map(F.base64)
+            # Java's encoder wraps MIME output at 76 chars; polars (and every
+            # other engine) emits unwrapped base64
+            return self._map(lambda c: F.regexp_replace(F.base64(c), "[\\r\\n]", ""))
         raise ValueError(encoding)
 
     def decode(self, encoding: str, *, strict: bool = True) -> Expr:

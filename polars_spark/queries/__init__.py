@@ -72,4 +72,5 @@ from polars_spark.queries import (  # noqa: E402,F401
     dedup,
     similarity,
     io_sql,
+    parity,
 )
