@@ -278,3 +278,66 @@ def udf_map_elements(spark, sf_dir):
         "p_partkey",
         pl.col("p_size").map_elements(lambda v: v * 3 + 1, return_dtype=int).alias("scaled"),
     ).to_spark()
+
+
+@query(
+    "agg_groups_positions",
+    # AggExpr::AggGroups + search_sorted: per-group member row positions and
+    # an insertion-point aggregate (count strictly below).
+    oracle="""
+    WITH pos AS (
+      SELECT c_nationkey, c_acctbal,
+             row_number() OVER (ORDER BY c_custkey) - 1 AS rn
+      FROM customer
+    )
+    SELECT c_nationkey,
+           list(rn ORDER BY rn)                                        AS members,
+           CAST(sum(CASE WHEN c_acctbal < 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS ins_5k
+    FROM pos GROUP BY 1
+    """,
+)
+def agg_groups_positions(spark, sf_dir):
+    cust = ltable(spark, sf_dir, "customer").sort("c_custkey").with_row_index("rn")
+    return (
+        cust.group_by("c_nationkey")
+        .agg(
+            pl.col("c_acctbal").agg_groups().alias("members"),
+            pl.col("c_acctbal").search_sorted(5000.0).alias("ins_5k"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "io_python_datasource",
+    # PythonScan (register_io_source on the Spark 4 Python DataSource API):
+    # a 4-partition generator source aggregated distributively; the oracle
+    # regenerates the same deterministic rows in SQL.
+    oracle="""
+    SELECT CAST(i % 4 AS BIGINT) AS part, CAST(sum(i * i) AS BIGINT) AS ss,
+           CAST(count(*) AS BIGINT) AS n
+    FROM generate_series(0, 399) t(i)
+    GROUP BY 1
+    """,
+)
+def io_python_datasource(spark, sf_dir):
+    from polars_spark.io_plugins import register_io_source, scan_io_source
+
+    def gen(pidx):
+        # partition p yields i in [0,400) with i % 4 == p
+        for i in range(pidx, 400, 4):
+            yield (i, i % 4)
+
+    register_io_source(
+        "pls_gen_parity", schema="i bigint, part bigint", generator=gen,
+        num_partitions=4, spark=spark,
+    )
+    src = scan_io_source("pls_gen_parity", spark=spark)
+    return (
+        src.group_by("part")
+        .agg(
+            (pl.col("i") * pl.col("i")).sum().alias("ss"),
+            pl.len().alias("n"),
+        )
+        .to_spark()
+    )

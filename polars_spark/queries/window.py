@@ -377,3 +377,44 @@ def agg_corr_r2(spark, sf_dir):
         .agg((pl.corr(pl.col("value"), pl.col("ts").dt.epoch("us")) ** 2).round(6).alias("r2"))
         .to_spark()
     )
+
+
+@query(
+    "win_ewm_std",
+    # Same bit-exact recursive-CTE replay as win_ewm_mean: our ewm_std
+    # (adjust=True, bias=False) is the fold s1=s1·q+x, s0=s0·q+1,
+    # s2=(s2·q)·q+1, sx2=sx2·q+x² finished with the debiased variance; every
+    # op is deterministic IEEE, so both engines agree to the last bit.
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT event_id, user_id, value, row_number() OVER ({_W}) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, rn,
+             value AS s1, CAST(1.0 AS DOUBLE) AS s0,
+             CAST(1.0 AS DOUBLE) AS s2, value * value AS sx2
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.rn,
+             r.s1 * CAST(0.8181818181818181 AS DOUBLE) + b.value,
+             r.s0 * CAST(0.8181818181818181 AS DOUBLE) + CAST(1.0 AS DOUBLE),
+             r.s2 * CAST(0.8181818181818181 AS DOUBLE) * CAST(0.8181818181818181 AS DOUBLE) + CAST(1.0 AS DOUBLE),
+             r.sx2 * CAST(0.8181818181818181 AS DOUBLE) + b.value * b.value
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT event_id,
+           sqrt(greatest(
+             CASE WHEN s0 * s0 - s2 > 0
+                  THEN (sx2 / s0 - (s1 / s0) * (s1 / s0)) * s0 * s0 / (s0 * s0 - s2)
+             END,
+             CAST(0.0 AS DOUBLE))) AS ewm_sd
+    FROM rec
+    """,
+)
+def win_ewm_std(spark, sf_dir):
+    """ewm_std(span=10, adjust=True, bias=False) per user in time order."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").ewm_std(span=10).over("user_id").alias("ewm_sd"),
+    ).to_spark()
