@@ -38,6 +38,8 @@ from polars_spark.sources import (
     scan_ndjson,
     read_ndjson,
     scan_ipc,
+    scan_pyarrow_dataset,
+    from_arrow,
     from_pandas,
     DataFrame,
 )
@@ -97,6 +99,8 @@ __all__ = [
     "scan_ndjson",
     "read_ndjson",
     "scan_ipc",
+    "scan_pyarrow_dataset",
+    "from_arrow",
     "from_pandas",
     "DataFrame",
     "SQLContext",

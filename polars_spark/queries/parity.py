@@ -341,3 +341,37 @@ def io_python_datasource(spark, sf_dir):
         )
         .to_spark()
     )
+
+
+@query(
+    "io_pyarrow_dataset",
+    # scan_pyarrow_dataset over a multi-fragment Arrow/Feather dataset: each
+    # fragment is an input partition of a Python DataSource (executor-side
+    # pyarrow read); oracle reads the source parquet directly.
+    oracle="""
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS keysum
+    FROM nation GROUP BY 1
+    """,
+)
+def io_pyarrow_dataset(spark, sf_dir):
+    import tempfile
+
+    import pyarrow.dataset as pads
+    import pyarrow.feather as feather
+
+    from polars_spark.sources import scan_pyarrow_dataset
+
+    nat = ltable(spark, sf_dir, "nation")
+    tbl = nat.to_arrow()
+    d = tempfile.mkdtemp(prefix="pls_pads_q_")
+    # two fragments -> two input partitions
+    feather.write_feather(tbl.slice(0, 12), f"{d}/a.arrow", compression="uncompressed")
+    feather.write_feather(tbl.slice(12), f"{d}/b.arrow", compression="uncompressed")
+    ds = pads.dataset(d, format="arrow")
+    back = scan_pyarrow_dataset(ds, spark=spark)
+    return (
+        back.group_by("n_regionkey")
+        .agg(pl.len().alias("n"), pl.col("n_nationkey").sum().alias("keysum"))
+        .to_spark()
+    )

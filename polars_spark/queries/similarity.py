@@ -108,18 +108,39 @@ def sim_label_centroid(spark, sf_dir):
     )
 
 
-@query("mm_extract_features")  # plumbing check: fake decoder is deterministic
+@query(
+    "mm_extract_features",
+    # Full oracle for the multimodal featurizer: the (deliberately fake,
+    # deterministic) decode is a 16-bin byte histogram over the utf-8
+    # payload; the corpus is pure ASCII, so ord(char)//16 replays the bins
+    # and CAST(cnt/total AS FLOAT) reproduces numpy's
+    # (hist/total).astype(float32) bit-for-bit (one correctly-rounded
+    # divide + one correctly-rounded narrowing on exact integers).
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, ord(unnest(regexp_split_to_array(text, ''))) // 16 AS bin
+      FROM documents
+    ),
+    h AS (SELECT doc_id, bin, count(*) AS cnt FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, count(*) AS total FROM ch GROUP BY 1),
+    grid AS (
+      SELECT t.doc_id, b.b, coalesce(h.cnt, 0) AS cnt, t.total
+      FROM tot t
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+      LEFT JOIN h ON h.doc_id = t.doc_id AND h.bin = b.b
+    )
+    SELECT doc_id,
+           list(CAST(CAST(cnt AS DOUBLE) / total AS FLOAT) ORDER BY b) AS features
+    FROM grid GROUP BY 1
+    """,
+)
 def mm_extract_features(spark, sf_dir):
     """Multimodal plumbing: text bytes as a stand-in binary payload ->
     Arrow-batched mapInPandas featurizer (byte histogram, FAKE decode step —
-    see polars_spark.multimodal) -> per-source feature means."""
+    see polars_spark.multimodal) -> per-document feature vector."""
     from polars_spark.multimodal import attach_fake_image_bytes, extract_features
 
     docs = table(spark, sf_dir, "documents")
     media = attach_fake_image_bytes(docs, "text")
     feats = extract_features(media, "image")
-    return (
-        feats.select("source", F.posexplode("features").alias("d", "v"))
-        .groupBy("source", "d")
-        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
-    )
+    return feats.select("doc_id", "features")

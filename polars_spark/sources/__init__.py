@@ -27,6 +27,8 @@ __all__ = [
     "scan_ndjson",
     "read_ndjson",
     "scan_ipc",
+    "scan_pyarrow_dataset",
+    "from_arrow",
     "from_pandas",
 ]
 
@@ -301,6 +303,108 @@ def read_database(
             "JDBC driver not on the classpath; add the driver coordinate to "
             "SPARK_GRAFT_PACKAGES (e.g. org.postgresql:postgresql:<ver>)"
         ) from exc
+
+
+def scan_pyarrow_dataset(ds, *, spark: SparkSession | None = None) -> LazyFrame:
+    """polars scan_pyarrow_dataset: scan a ``pyarrow.dataset.Dataset``.
+
+    File-backed datasets (the 100 TB case) are read DISTRIBUTED via the
+    Spark 4 Python DataSource API — one input partition per fragment file,
+    each executor opens its own fragment with pyarrow and yields Arrow
+    batches; nothing flows through the driver.  Non-file datasets (in-memory
+    tables) fall back to a driver-side Arrow bridge."""
+    spark = spark or _spark()
+    try:
+        files = list(ds.files)  # FileSystemDataset
+    except AttributeError:
+        files = None
+    if not files:
+        return from_arrow(ds.to_table(), spark=spark)
+
+    fmt = ds.format.default_extname  # 'parquet' / 'arrow' / ...
+    if fmt == "parquet":
+        # parquet fragments: Spark's native reader is strictly better
+        # (pushdown, pruning, vectorized scan)
+        return scan_parquet(files, spark=spark)
+
+    import uuid
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    schema_ddl = ", ".join(
+        f"`{f.name}` {_arrow_to_spark_ddl(f.type)}" for f in ds.schema
+    )
+    name = f"pls_pads_{uuid.uuid4().hex[:8]}"
+
+    class _Reader(DataSourceReader):
+        def __init__(self, schema_, options):
+            self._files = files
+            self._fmt = fmt
+
+        def partitions(self):
+            return [InputPartition(p) for p in self._files]
+
+        def read(self, partition):
+            import pyarrow.dataset as pads
+
+            frag = pads.dataset(partition.value, format=self._fmt)
+            names = frag.schema.names
+            for batch in frag.to_batches():
+                cols = [batch.column(n).to_pylist() for n in names]
+                yield from zip(*cols)
+
+    class _Source(DataSource):
+        @classmethod
+        def name(cls):
+            return name
+
+        def schema(self):
+            return schema_ddl
+
+        def reader(self, schema):
+            return _Reader(schema, self.options)
+
+    spark.dataSource.register(_Source)
+    return LazyFrame(spark.read.format(name).load())
+
+
+def _arrow_to_spark_ddl(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_int64(t):
+        return "bigint"
+    if pt.is_int32(t):
+        return "int"
+    if pt.is_float64(t):
+        return "double"
+    if pt.is_float32(t):
+        return "float"
+    if pt.is_boolean(t):
+        return "boolean"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_binary(t):
+        return "binary"
+    if pt.is_list(t):
+        return f"array<{_arrow_to_spark_ddl(t.value_type)}>"
+    return "string"
+
+
+def from_arrow(data, *, spark: SparkSession | None = None) -> LazyFrame:
+    """polars from_arrow: accept a pyarrow Table/RecordBatch or ANY object
+    implementing the Arrow C stream protocol (``__arrow_c_stream__``) —
+    polars frames, duckdb results, nanoarrow streams.  Driver-side bridge
+    (Arrow -> Spark via createDataFrame's Arrow path)."""
+    import pyarrow as pa
+
+    spark = spark or _spark()
+    if not isinstance(data, (pa.Table, pa.RecordBatch)):
+        data = pa.table(data)  # consumes __arrow_c_stream__ / __arrow_c_array__
+    if isinstance(data, pa.RecordBatch):
+        data = pa.Table.from_batches([data])
+    return LazyFrame(spark.createDataFrame(data.to_pandas()))
 
 
 def read_excel(source, *, sheet_name=0, spark: SparkSession | None = None) -> LazyFrame:

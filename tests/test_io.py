@@ -113,3 +113,26 @@ def test_multifile_scan_list(pl, lf, tmp_path):
     lf(x=[3]).sink_parquet(b)
     out = pl.scan_parquet([a, b]).collect()
     assert sorted(out["x"].tolist()) == [1, 2, 3]
+
+
+def test_scan_pyarrow_dataset_and_from_arrow(pl, spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.feather as feather
+
+    from polars_spark.sources import from_arrow, scan_pyarrow_dataset
+
+    t1 = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    t2 = pa.table({"a": [4, 5], "b": ["p", "q"]})
+    feather.write_feather(t1, str(tmp_path / "f1.arrow"), compression="uncompressed")
+    feather.write_feather(t2, str(tmp_path / "f2.arrow"), compression="uncompressed")
+    ds = pads.dataset(str(tmp_path), format="arrow")
+    out = scan_pyarrow_dataset(ds, spark=spark).collect()
+    assert sorted(out["a"].tolist()) == [1, 2, 3, 4, 5]
+
+    # from_arrow: pyarrow table and a C-stream-capable object
+    assert sorted(from_arrow(t1, spark=spark).collect()["a"].tolist()) == [1, 2, 3]
+    import duckdb
+
+    res = duckdb.sql("SELECT 7 AS x UNION ALL SELECT 8").arrow()
+    assert sorted(from_arrow(res, spark=spark).collect()["x"].tolist()) == [7, 8]
