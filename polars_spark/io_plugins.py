@@ -43,7 +43,23 @@ def register_io_source(
             return [InputPartition(i) for i in range(num_partitions)]
 
         def read(self, partition):
-            yield from generator(partition.value)
+            import pandas as pd
+            import pyarrow as pa
+
+            for item in generator(partition.value):
+                # polars io-plugin generators yield whole frames; accept
+                # Arrow batches/tables and pandas frames on the Arrow fast
+                # path (no per-row Python conversion), plain tuples otherwise
+                if isinstance(item, pa.RecordBatch):
+                    yield item
+                elif isinstance(item, pa.Table):
+                    yield from item.to_batches()
+                elif isinstance(item, pd.DataFrame):
+                    yield from pa.Table.from_pandas(
+                        item, preserve_index=False
+                    ).to_batches()
+                else:
+                    yield item
 
     class _Source(DataSource):
         @classmethod

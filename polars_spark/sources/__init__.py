@@ -336,10 +336,15 @@ def scan_pyarrow_dataset(ds, *, spark: SparkSession | None = None) -> LazyFrame:
     )
     name = f"pls_pads_{uuid.uuid4().hex[:8]}"
 
+    # Arrow batches can only be handed to Spark verbatim when every field's
+    # type maps losslessly onto the declared DDL (no "string" fallback)
+    arrow_ok = all(_arrow_maps_exactly(f.type) for f in ds.schema)
+
     class _Reader(DataSourceReader):
         def __init__(self, schema_, options):
             self._files = files
             self._fmt = fmt
+            self._arrow_ok = arrow_ok
 
         def partitions(self):
             return [InputPartition(p) for p in self._files]
@@ -348,6 +353,11 @@ def scan_pyarrow_dataset(ds, *, spark: SparkSession | None = None) -> LazyFrame:
             import pyarrow.dataset as pads
 
             frag = pads.dataset(partition.value, format=self._fmt)
+            if self._arrow_ok:
+                # Arrow-batch fast path: batches flow to the JVM through the
+                # DataSource Arrow serializer, no per-row Python conversion
+                yield from frag.to_batches()
+                return
             names = frag.schema.names
             for batch in frag.to_batches():
                 cols = [batch.column(n).to_pylist() for n in names]
@@ -366,6 +376,28 @@ def scan_pyarrow_dataset(ds, *, spark: SparkSession | None = None) -> LazyFrame:
 
     spark.dataSource.register(_Source)
     return LazyFrame(spark.read.format(name).load())
+
+
+def _arrow_maps_exactly(t) -> bool:
+    """True when the Arrow type maps losslessly onto the DDL produced by
+    ``_arrow_to_spark_ddl`` so a RecordBatch can be handed to Spark's
+    DataSource Arrow serializer verbatim."""
+    import pyarrow.types as pt
+
+    if pt.is_list(t):
+        return _arrow_maps_exactly(t.value_type)
+    if pt.is_timestamp(t):
+        return t.unit == "us" and t.tz is None
+    return (
+        pt.is_int64(t)
+        or pt.is_int32(t)
+        or pt.is_float64(t)
+        or pt.is_float32(t)
+        or pt.is_boolean(t)
+        or pt.is_date32(t)
+        or pt.is_binary(t)
+        or pt.is_string(t)
+    )
 
 
 def _arrow_to_spark_ddl(t) -> str:
