@@ -497,3 +497,180 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "sim", "rk")
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_tables: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 100,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
+    LSH candidate generation + exact cosine verify >= threshold.
+
+    Reference parity: the embedding analogue of polars-free near-dup dedup
+    (complements the text-side minhash_lsh_pairs). Scale design: never
+    all-pairs — each of the ``n_tables`` hash tables buckets the corpus by
+    the sign pattern of ``n_planes`` seeded hyperplanes (expected bucket
+    N/2^planes), candidates are within-bucket pairs in ANY table, distinct,
+    then one exact-cosine pass over candidates only. Collision prob per
+    table is (1 - theta/pi)^planes, so recall at sim>=0.9 with 6x4 tables
+    is ~0.99; tune (n_tables, n_planes) to the target threshold. All joins
+    shuffle on bucket keys; no driver collect.
+    """
+    c = _spread(emb).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    keyed = None
+    for t in range(n_tables):
+        planes = _rhp_planes(dim, n_planes, seed=seed + t)
+        bt = c.select(
+            "_id",
+            (F.lit(t * (1 << n_planes)) + rhp_bucket(F.col("_v"), planes)).alias("tb"),
+        )
+        keyed = bt if keyed is None else keyed.unionByName(bt)
+    a = keyed.select(F.col("_id").alias("d1"), "tb")
+    b = keyed.select(F.col("_id").alias("d2"), "tb")
+    cand = (
+        a.join(b, "tb")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    ea = c.select(F.col("_id").alias("d1"), F.col("_v").alias("_v1"))
+    eb = c.select(F.col("_id").alias("d2"), F.col("_v").alias("_v2"))
+    return (
+        cand.join(ea, "d1")
+        .join(eb, "d2")
+        .withColumn("sim", F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("d1", "d2", "sim")
+    )
+
+
+def _fround_py(x: float, n: int) -> float:
+    """floor(x*10^n + 0.5)/10^n in pure IEEE — matches fround on both
+    engines bit-for-bit (see polars_spark.queries.fround)."""
+    import math
+
+    p = float(10**n)
+    return math.floor(x * p + 0.5) / p
+
+
+def _l2_normalize(c: Column) -> Column:
+    n = F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.transform(c, lambda v: v / n)
+
+
+def _fround_col(c: Column, n: int) -> Column:
+    p = float(10**n)
+    return F.floor(c * p + 0.5) / p
+
+
+def _centroid_dots(vec: Column, cents: list[list[float]]) -> list[Column]:
+    """fround(dot(vec, centroid), 6) per centroid — map-side only, no
+    shuffle: centroids are literals (K x dim doubles, O(1) in N)."""
+    dots = []
+    for cv in cents:
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in cv]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dots.append(_fround_col(d, 6))
+    return dots
+
+
+def _nearest_cids(vec: Column, cents: list[list[float]], n_probe: int) -> Column:
+    """Array of the n_probe nearest centroid ids (dot desc, cid asc)."""
+    structs = [
+        F.struct(d.alias("d"), F.lit(-i).alias("nc")) for i, d in enumerate(_centroid_dots(vec, cents))
+    ]
+    ranked = F.slice(F.sort_array(F.array(*structs), asc=False), 1, n_probe)
+    return F.transform(ranked, lambda s: -s["nc"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: spherical k-means coarse quantizer +
+    per-query probe of the n_probe nearest cluster lists + exact rerank.
+
+    Scale design (the classic distributed k-means shape): centroids are
+    O(K x dim) and live at the driver between Lloyd rounds — assignment is
+    map-side (centroid literals, no shuffle), recompute is one partial-agg
+    shuffle of (cid, dim) cells per round. The search probes n_probe/K of
+    the corpus instead of all of it. Deterministic: init = the K lowest-id
+    vectors; every cross-engine decision (argmax, centroid values) goes
+    through fround so the DuckDB oracle replays bit-identically.
+    """
+    corpus = _spread(emb).select(
+        F.col(id_col).alias("nid"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    corpus = corpus.cache()
+    init = corpus.orderBy("nid").limit(n_clusters).select("nv").collect()
+    cents = [[_fround_py(float(x), 10) for x in r.nv] for r in init]
+    import math
+
+    for _ in range(iters):
+        assigned = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
+        mean_cells = (
+            assigned.select("cid", F.posexplode("nv").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.avg("x").alias("m"))
+        )
+        rows = (
+            mean_cells.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("m")))).alias("s"))
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            raw = [float(p.m) for p in r.s]
+            nrm = math.sqrt(sum(x * x for x in raw))
+            new[r.cid] = [_fround_py(x / nrm, 10) for x in raw]
+        cents = [new.get(i, cents[i]) for i in range(n_clusters)]
+
+    from pyspark.sql import Window
+
+    lists = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    ).withColumn("cid", F.explode(_nearest_cids(F.col("qv"), cents, n_probe)))
+    scored = (
+        probes.join(lists, "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "sim",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "sim", "rk")
+    )

@@ -144,3 +144,73 @@ def mm_extract_features(spark, sf_dir):
     media = attach_fake_image_bytes(docs, "text")
     feats = extract_features(media, "image")
     return feats.select("doc_id", "features")
+
+
+def _ivf_oracle(k_clusters: int = 8, iters: int = 2, n_probe: int = 2, k: int = 5) -> str:
+    """Replay ivf_topk exactly in DuckDB: deterministic init (K lowest-id
+    vectors), Lloyd rounds as chained CTEs, every cross-engine decision
+    (argmax dots, centroid components) frounded identically to the Spark
+    side.  No literals — centroids derive from the data on both sides."""
+    norm = "list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
+    ctes = [
+        f"e AS (SELECT vec_id, {norm} AS v FROM embeddings)",
+        f"""cent0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 list_transform(v, x -> floor(x * 1e10 + 0.5) / 1e10) AS cv
+          FROM e ORDER BY vec_id LIMIT {k_clusters})""",
+    ]
+    argmax = (
+        "row_number() OVER (PARTITION BY e.vec_id "
+        "ORDER BY floor(list_dot_product(e.v, c.cv) * 1e6 + 0.5) / 1e6 DESC, c.cid)"
+    )
+    for i in range(iters):
+        ctes += [
+            f"""a{i} AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid, {argmax} AS rn
+                FROM e CROSS JOIN cent{i} c) WHERE rn = 1)""",
+            f"""m{i} AS (
+              SELECT cid, dd.d AS d, avg(v[dd.d]) AS m
+              FROM a{i} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+              GROUP BY cid, dd.d)""",
+            f"r{i} AS (SELECT cid, list(m ORDER BY d) AS raw FROM m{i} GROUP BY cid)",
+            f"""cent{i + 1} AS (
+              SELECT c.cid,
+                     coalesce(list_transform(r.raw,
+                       x -> floor(x / sqrt(list_dot_product(r.raw, r.raw)) * 1e10 + 0.5) / 1e10), c.cv) AS cv
+              FROM cent{i} c LEFT JOIN r{i} r ON r.cid = c.cid)""",
+        ]
+    ctes += [
+        f"""lists AS (
+          SELECT vec_id AS nid, v AS nv, cid FROM (
+            SELECT e.vec_id, e.v, c.cid, {argmax} AS rn
+            FROM e CROSS JOIN cent{iters} c) WHERE rn = 1)""",
+        f"""pr AS (
+          SELECT qid, qv, cid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, c.cid, {argmax} AS rn
+            FROM e CROSS JOIN cent{iters} c WHERE e.vec_id < 20) WHERE rn <= {n_probe})""",
+        """scored AS (
+          SELECT DISTINCT qid, nid, round(list_dot_product(qv, nv), 6) AS sim
+          FROM pr JOIN lists USING (cid) WHERE qid != nid)""",
+    ]
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT qid, nid, sim, rk FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@query("sim_ivf_topk", oracle=_ivf_oracle())
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: spherical k-means (K=8, 2 Lloyd rounds, deterministic
+    lowest-id init) + 2-probe search + exact rerank — the scale path where
+    each query scores ~n_probe/K of the corpus.  The oracle replays the
+    entire iterative construction in chained DuckDB CTEs; recall vs brute
+    force is asserted in tests/test_llm_ops.py."""
+    from polars_spark.llm import ivf_topk
+
+    emb, probes = _queries_subset(spark, sf_dir)
+    return ivf_topk(emb, probes, k=5, n_clusters=8, n_probe=2, iters=2)

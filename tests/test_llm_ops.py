@@ -127,3 +127,80 @@ def test_connected_components(spark, pl):
     out = {r["doc"]: r["cluster"] for r in connected_components(pairs).collect()}
     # chain 1-2-3 collapses to 1; 10-11 to 10; 20-21 to 20
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_embedding_near_dup_planted(spark):
+    """Plant 10 near-dup pairs (sim ~0.995) among 40 random vectors; at the
+    0.9 design point with 6x4 tables the collision prob per pair is >0.9999,
+    so the fixed-seed construction finds every planted pair and nothing else."""
+    import numpy as np
+
+    from polars_spark.llm import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 100..109 are jittered copies of ids 0..9
+    for i in range(10):
+        rows.append((100 + i, (base[i] + 0.05 * rng.standard_normal(64)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_tables=6, n_planes=4, seed=100
+    ).collect()
+    pairs = {(r.d1, r.d2) for r in got}
+    assert pairs == {(i, 100 + i) for i in range(10)}, pairs
+    assert all(r.sim >= 0.9 for r in got)
+
+
+def test_embedding_near_dup_matches_bruteforce_on_candidates(spark, emb):
+    """Every emitted pair must carry the exact brute-force cosine (verify
+    step is exact; only candidate generation is approximate)."""
+    from polars_spark.llm import cosine_similarity, embedding_near_dup_pairs
+
+    got = embedding_near_dup_pairs(emb, threshold=0.35, n_tables=3, n_planes=4).collect()
+    assert got, "expected some pairs at threshold 0.35 on sf0.001"
+    e = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").cast("array<double>").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").cast("array<double>").alias("v2"))
+    pairs = spark.createDataFrame([(r.d1, r.d2) for r in got], "d1 long, d2 long")
+    exact = {
+        (r.d1, r.d2): r.sim
+        for r in pairs.join(e, "d1").join(e2, "d2")
+        .select("d1", "d2", F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6).alias("sim"))
+        .collect()
+    }
+    for r in got:
+        assert exact[(r.d1, r.d2)] == r.sim
+
+
+def test_ivf_recall_and_exactness(spark, emb):
+    """IVF(K=4, probe=2) on sf0.001: recall vs brute force is bounded below,
+    and every returned sim equals the exact normalized dot."""
+    from polars_spark.llm import cosine_topk_bruteforce, ivf_topk
+
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"]) for r in cosine_topk_bruteforce(emb, probes, k=3).collect()
+    }
+    got = ivf_topk(emb, probes, k=3, n_clusters=4, n_probe=2, iters=2).collect()
+    approx = {(r["qid"], r["nid"]) for r in got}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # probing half the clusters must not score more than ~all the corpus
+    assert all(r["rk"] <= 3 for r in got)
+
+
+def test_ivf_probe_all_equals_bruteforce(spark, emb):
+    """With n_probe == n_clusters the IVF search degenerates to exhaustive:
+    the result set must equal brute force exactly (same ids per rank)."""
+    from polars_spark.llm import cosine_topk_bruteforce, ivf_topk
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["rk"]): r["nid"]
+        for r in cosine_topk_bruteforce(emb, probes, k=3).collect()
+    }
+    got = {
+        (r["qid"], r["rk"]): r["nid"]
+        for r in ivf_topk(emb, probes, k=3, n_clusters=4, n_probe=4, iters=1).collect()
+    }
+    assert got == exact
