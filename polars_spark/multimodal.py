@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_fake_image_bytes", "decode_image", "extract_features", "sample_frames"]
+__all__ = [
+    "attach_fake_image_bytes",
+    "decode_image",
+    "extract_features",
+    "sample_frames",
+    "resize_images",
+    "extract_audio_features",
+]
 
 FEATURE_DIM = 16
 
@@ -78,7 +85,119 @@ def extract_features(df: DataFrame, binary_col: str = "image", dim: int = FEATUR
     return df.mapInPandas(gen, schema)
 
 
-def sample_frames(df: DataFrame, binary_col: str = "video", every_n: int = 10):
-    """Frame sampling for video payloads — same integration point as
-    decode_image (ffmpeg on executors); not available in this container."""
-    raise NotImplementedError("no video codec in this environment")
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "video",
+    *,
+    frame_bytes: int = 64,
+    every_n: int = 2,
+) -> DataFrame:
+    """Frame sampling: one-to-many mapInPandas (each media row explodes into
+    its sampled frames).  FAKE container format (clearly marked): the
+    payload is treated as a sequence of fixed-size ``frame_bytes`` chunks —
+    a real demuxer (ffmpeg on executors, not in this container) plugs into
+    the same batch-in / multi-row-batch-out shape.  Keeps every
+    ``every_n``-th frame; frames never pass through the driver."""
+    import pandas as pd
+
+    other = [c for c in df.columns if c != binary_col]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != binary_col)
+    schema += ", frame_idx int, frame binary"
+
+    def gen(batches):
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                payload = row[binary_col]
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    rec = {c: row[c] for c in other}
+                    rec["frame_idx"] = k
+                    rec["frame"] = b[k * frame_bytes : (k + 1) * frame_bytes]
+                    out_rows.append(rec)
+            yield pd.DataFrame(out_rows, columns=[*other, "frame_idx", "frame"])
+
+    return df.mapInPandas(gen, schema)
+
+
+def resize_images(df: DataFrame, binary_col: str = "image", *, out_side: int = 4) -> DataFrame:
+    """Resize via mapInPandas.  FAKE decode (clearly marked): the payload is
+    read as a square grayscale image of side floor(sqrt(len)) — a real
+    decoder (PIL, absent here) yields HxWxC the same way.  The resize
+    itself is real: nearest-neighbor index mapping src = (dst * side) //
+    out_side done in numpy per Arrow batch.  Emits the pixel grid
+    row-major as array<int> plus the decoded side, so results are
+    engine-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    other = [c for c in df.columns if c != binary_col]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != binary_col)
+    schema += ", side int, pixels array<int>"
+
+    def gen(batches):
+        for pdf in batches:
+            sides, pixels = [], []
+            for payload in pdf[binary_col]:
+                if payload is None:
+                    sides.append(None)
+                    pixels.append(None)
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                side = int(np.sqrt(len(arr)))
+                if side == 0:
+                    sides.append(0)
+                    pixels.append([])
+                    continue
+                img = arr[: side * side].reshape(side, side)
+                idx = (np.arange(out_side) * side) // out_side
+                resized = img[np.ix_(idx, idx)]
+                sides.append(side)
+                pixels.append(resized.reshape(-1).astype("int32"))
+            out = pdf[other].copy()
+            out["side"] = pd.array(sides, dtype="Int32")
+            out["pixels"] = pixels
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+def extract_audio_features(df: DataFrame, binary_col: str = "audio", *, window: int = 100) -> DataFrame:
+    """Windowed audio features via mapInPandas.  FAKE decode (clearly
+    marked): payload bytes are read as a uint8 waveform centered at 128 —
+    a real codec (soundfile/ffmpeg, absent here) yields PCM the same way.
+    Per ``window``-sample window emits (win, n_samples, rms); one output
+    row per window (one-to-many), all math in numpy float64 with
+    floor-rounding so the value is engine-exact."""
+    import numpy as np
+    import pandas as pd
+
+    other = [c for c in df.columns if c != binary_col]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != binary_col)
+    schema += ", win int, n_samples bigint, rms double"
+
+    def gen(batches):
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                payload = row[binary_col]
+                if payload is None:
+                    continue
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype("float64") - 128.0
+                for w in range(0, len(x), window):
+                    chunk = x[w : w + window]
+                    rms = float(np.sqrt(np.mean(chunk * chunk)))
+                    out_rows.append(
+                        {
+                            **{c: row[c] for c in other},
+                            "win": w // window,
+                            "n_samples": len(chunk),
+                            "rms": np.floor(rms * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+            yield pd.DataFrame(out_rows, columns=[*other, "win", "n_samples", "rms"])
+
+    return df.mapInPandas(gen, schema)

@@ -214,3 +214,103 @@ def sim_ivf_topk(spark, sf_dir):
 
     emb, probes = _queries_subset(spark, sf_dir)
     return ivf_topk(emb, probes, k=5, n_clusters=8, n_probe=2, iters=2)
+
+
+@query(
+    "mm_sample_frames",
+    # Fake container = fixed 64-byte chunks (pure-ASCII corpus, so
+    # bytes == chars); keep every 2nd frame.  The series cap (0..40) just
+    # needs to exceed max(len(text))/64 at the gate SF (553/64 = 9).
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, k.k AS frame_idx, substr(text, k.k * 64 + 1, 64) AS fr
+      FROM documents, (SELECT unnest(generate_series(0, 40)) AS k) k
+      WHERE k.k * 64 < length(text) AND k.k % 2 = 0
+    )
+    SELECT doc_id, frame_idx, length(fr) AS frame_len, md5(fr) AS frame_md5
+    FROM f
+    """,
+)
+def mm_sample_frames(spark, sf_dir):
+    """Video-style frame sampling: binary payload -> one-to-many
+    mapInPandas demux (FAKE fixed-size-chunk container, real Arrow
+    batch-out shape) -> every-2nd 64-byte frame with its md5."""
+    from polars_spark.multimodal import attach_fake_image_bytes, sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_fake_image_bytes(docs, "text", out_col="video")
+    frames = sample_frames(media, "video", frame_bytes=64, every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@query(
+    "mm_resize",
+    # FAKE decode: square grayscale of side floor(sqrt(len)); resize is
+    # real nearest-neighbor (src = dst*side // 4), replayed per pixel via
+    # 1-based substr + ord on the ASCII corpus.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(floor(sqrt(length(d.text))) AS INT) AS side,
+             rc.r, rc.c,
+             ord(substr(
+               d.text,
+               ((rc.r * CAST(floor(sqrt(length(d.text))) AS INT)) // 4)
+                 * CAST(floor(sqrt(length(d.text))) AS INT)
+                 + ((rc.c * CAST(floor(sqrt(length(d.text))) AS INT)) // 4) + 1,
+               1)) AS p
+      FROM documents d
+      CROSS JOIN (
+        SELECT r.r, c.c
+        FROM (SELECT unnest(generate_series(0, 3)) AS r) r,
+             (SELECT unnest(generate_series(0, 3)) AS c) c
+      ) rc
+    )
+    SELECT doc_id, side, list(p ORDER BY r, c) AS pixels
+    FROM px GROUP BY doc_id, side
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Image resize plumbing: binary payload -> mapInPandas numpy
+    nearest-neighbor resize to 4x4 (FAKE square-grayscale decode, real
+    vectorized resize) -> row-major pixel grid."""
+    from polars_spark.multimodal import attach_fake_image_bytes, resize_images
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_fake_image_bytes(docs, "text")
+    return resize_images(media, "image", out_side=4).select("doc_id", "side", "pixels")
+
+
+@query(
+    "mm_audio_features",
+    # FAKE decode: uint8 waveform centered at 128; rms per 100-sample
+    # window.  x*x is exact integer math, avg is one double divide, and
+    # floor(sqrt(.)*1e6+0.5)/1e6 is identical IEEE on both engines.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, (i.i - 1) // 100 AS win,
+             CAST(ord(substr(text, i.i, 1)) - 128 AS DOUBLE) AS x
+      FROM documents, (SELECT unnest(generate_series(1, 2000)) AS i) i
+      WHERE i.i <= length(text)
+    )
+    SELECT doc_id, win, count(*) AS n_samples,
+           floor(sqrt(avg(x * x)) * 1e6 + 0.5) / 1e6 AS rms
+    FROM s GROUP BY doc_id, win
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio featurization plumbing: binary payload -> one-to-many
+    mapInPandas (FAKE uint8-waveform decode, real numpy windowing) ->
+    per-100-sample-window RMS."""
+    from polars_spark.multimodal import attach_fake_image_bytes, extract_audio_features
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_fake_image_bytes(docs, "text", out_col="audio")
+    return extract_audio_features(media, "audio", window=100).select(
+        "doc_id", "win", "n_samples", "rms"
+    )

@@ -204,3 +204,44 @@ def test_ivf_probe_all_equals_bruteforce(spark, emb):
         for r in ivf_topk(emb, probes, k=3, n_clusters=4, n_probe=4, iters=1).collect()
     }
     assert got == exact
+
+
+def test_sample_frames_shape(spark):
+    from polars_spark.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 130)), (2, bytearray(b"b" * 64)), (3, None)],
+        "id long, video binary",
+    )
+    got = {(r.id, r.frame_idx): bytes(r.frame) for r in sample_frames(df, "video", frame_bytes=64, every_n=2).collect()}
+    # 130 bytes -> frames 0,1,2 -> keep 0 and 2 (2-byte tail); 64 bytes -> frame 0; None -> dropped
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 2)] == b"aa"
+    assert len(got[(1, 0)]) == 64
+
+
+def test_resize_images_nearest(spark):
+    import numpy as np
+
+    from polars_spark.multimodal import resize_images
+
+    payload = bytes(range(81))  # 9x9 image, pixel value == index
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, image binary")
+    [r] = resize_images(df, "image", out_side=4).collect()
+    assert r.side == 9
+    idx = (np.arange(4) * 9) // 4  # [0, 2, 4, 6]
+    expect = [int(ri * 9 + ci) for ri in idx for ci in idx]
+    assert list(r.pixels) == expect
+
+
+def test_audio_features_windows(spark):
+    import math
+
+    from polars_spark.multimodal import extract_audio_features
+
+    payload = bytes([128] * 100 + [130] * 50)  # window 0 silent, window 1 = +2
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, audio binary")
+    got = {r.win: (r.n_samples, r.rms) for r in extract_audio_features(df, "audio", window=100).collect()}
+    assert got[0] == (100, 0.0)
+    assert got[1] == (50, 2.0)
+    assert len(got) == 2
