@@ -34,6 +34,9 @@ HEADLINE = [
     "tmp_tumbling_1h",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    # embedding-space training-pipeline ops: bucketed near-dup, IVF ANN
+    "dedup_embedding_cosine",
+    "sim_ivf_topk",
     # fact-dim ratio query and pre-aggregate-then-join
     "q14_promo_effect",
     "q18_large_volume",

@@ -19,6 +19,7 @@ ingest and tokenization.  Design rules applied throughout:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,6 +36,7 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "cosine_similarity",
+    "cosine_similarity_arrow",
     "cosine_topk_bruteforce",
     "rhp_bucket",
     "cosine_topk_lsh",
@@ -410,6 +412,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def cosine_similarity_arrow():
+    """Vectorized cosine scorer: an Arrow-batched pandas_udf that stacks the
+    whole batch into a (batch, dim) float64 matrix and computes every
+    similarity with three einsum calls.  The fast path for scoring large
+    candidate sets (beats both the JVM fold and an unrolled codegen
+    expression — see embedding_near_dup_pairs docstring); batches stream
+    through Python workers, nothing touches the driver.  Returns a fresh
+    udf (factory, so registration happens against the active session)."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.values).astype(np.float64)
+        B = np.stack(b.values).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / (na * nb))
+
+    return _cos
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame, queries: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5
 ) -> DataFrame:
@@ -509,6 +536,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 4,
     dim: int = 64,
     seed: int = 100,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
     LSH candidate generation + exact cosine verify >= threshold.
@@ -522,6 +550,14 @@ def embedding_near_dup_pairs(
     table is (1 - theta/pi)^planes, so recall at sim>=0.9 with 6x4 tables
     is ~0.99; tune (n_tables, n_planes) to the target threshold. All joins
     shuffle on bucket keys; no driver collect.
+
+    ``scorer='arrow'`` (default) verifies candidates with a vectorized
+    Arrow-batched pandas_udf (numpy einsum over the whole batch) — the
+    fast path when the candidate set is large.  ``scorer='fold'`` keeps
+    scoring JVM-side (aggregate/zip_with), useful where Python workers are
+    at a premium.  An unrolled codegen expression was measured SLOWER than
+    both: ~200-term expressions exceed the JIT'able method size and fall
+    back to per-node interpretation.
     """
     c = _spread(emb).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -544,10 +580,11 @@ def embedding_near_dup_pairs(
     )
     ea = c.select(F.col("_id").alias("d1"), F.col("_v").alias("_v1"))
     eb = c.select(F.col("_id").alias("d2"), F.col("_v").alias("_v2"))
+    score = cosine_similarity_arrow() if scorer == "arrow" else cosine_similarity
     return (
         cand.join(ea, "d1")
         .join(eb, "d2")
-        .withColumn("sim", F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6))
+        .withColumn("sim", F.round(score(F.col("_v1"), F.col("_v2")), 6))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("d1", "d2", "sim")
     )
