@@ -30,16 +30,31 @@ __all__ = [
     "scan_stream_parquet",
     "scan_stream_rate",
     "dynamic_stream_agg",
+    "stateful_running_totals",
+    "stateful_dedup",
+    "stream_interval_join",
     "sink_stream_memory",
     "sink_stream_parquet",
 ]
 
 
-def scan_stream_parquet(path: str, *, schema: str, spark: SparkSession | None = None) -> DataFrame:
+def scan_stream_parquet(
+    path: str,
+    *,
+    schema: str,
+    spark: SparkSession | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Incremental scan of a directory that accumulates parquet files.
-    Schema must be explicit (streaming sources cannot infer)."""
+    Schema must be explicit (streaming sources cannot infer).
+    ``max_files_per_trigger`` bounds each micro-batch (files are taken
+    oldest-modification-first), which also makes multi-batch watermark
+    semantics testable with a static fixture set."""
     spark = spark or SparkSession.getActiveSession()
-    return spark.readStream.schema(schema).parquet(path)
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def scan_stream_rate(rows_per_second: int = 100, *, spark: SparkSession | None = None) -> DataFrame:
@@ -135,10 +150,45 @@ def stateful_dedup(stream: DataFrame, *, key: str) -> DataFrame:
     )
 
 
-def sink_stream_memory(stream: DataFrame, name: str, *, available_now: bool = True):
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0s",
+    upper: str = "1h",
+    watermark: str = "1h",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: rows pair when keys match and
+    ``right_ts`` falls in [left_ts + lower, left_ts + upper].
+
+    Both sides carry watermarks, so Spark bounds the join state store: a
+    buffered left row can be evicted once the right watermark passes
+    left_ts + upper (and vice versa) — the streaming analogue of
+    join_asof/join_where for unbounded inputs.  ``how`` may be inner or the
+    outer variants Spark supports for stream-stream joins (leftOuter etc.,
+    which emit nulls only after watermark expiry)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withWatermark(left_ts, _duration_str(watermark)).alias("l")
+    r = right.withWatermark(right_ts, _duration_str(watermark)).alias("r")
+    conds = [f"l.{k} = r.{k}" for k in keys]
+    conds.append(f"r.{right_ts} >= l.{left_ts} + INTERVAL {_duration_str(lower)}")
+    conds.append(f"r.{right_ts} <= l.{left_ts} + INTERVAL {_duration_str(upper)}")
+    return l.join(r, F.expr(" AND ".join(conds)), how)
+
+
+def sink_stream_memory(
+    stream: DataFrame, name: str, *, available_now: bool = True, output_mode: str = "complete"
+):
     """Memory sink (tests/debug): returns the started query; with
-    ``available_now`` it processes the current backlog then stops cleanly."""
-    w = stream.writeStream.format("memory").queryName(name).outputMode("complete")
+    ``available_now`` it processes the current backlog then stops cleanly.
+    Use ``output_mode='append'`` to observe real watermark semantics
+    (late-row dropping / window finalization) — in complete mode Spark
+    keeps all state and the watermark drops nothing."""
+    w = stream.writeStream.format("memory").queryName(name).outputMode(output_mode)
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()

@@ -98,3 +98,95 @@ def test_stateful_dedup(spark, pl, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM dedup_out").toPandas()
     assert sorted(out["fp"].tolist()) == [7, 8, 9]  # one row per key
+
+
+def test_stream_interval_join(spark, pl, tmp_path):
+    """Impressions joined to clicks by user within [imp_ts, imp_ts + 30m]."""
+    from polars_spark.streaming import scan_stream_parquet, sink_stream_memory, stream_interval_join
+    from pyspark.sql import functions as F
+
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+    pl.from_pandas(
+        pd.DataFrame(
+            {
+                "user": [1, 1, 2],
+                "imp_ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 10:00"]),
+                "ad": ["a", "b", "c"],
+            }
+        )
+    ).sink_parquet(imp_src)
+    pl.from_pandas(
+        pd.DataFrame(
+            {
+                "user": [1, 1, 2],
+                "clk_ts": pd.to_datetime(["2024-01-01 10:10", "2024-01-01 11:45", "2024-01-01 10:20"]),
+            }
+        )
+    ).sink_parquet(clk_src)
+
+    imps = scan_stream_parquet(imp_src, schema="user bigint, imp_ts timestamp, ad string", spark=spark)
+    clks = scan_stream_parquet(clk_src, schema="user bigint, clk_ts timestamp", spark=spark)
+    joined = stream_interval_join(
+        imps, clks, on="user", left_ts="imp_ts", right_ts="clk_ts", lower="0s", upper="30m", watermark="2h"
+    ).select(F.col("l.user").alias("user"), "ad", "clk_ts")
+    q = sink_stream_memory(joined, "ij_out", output_mode="append")
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT user, ad FROM ij_out ORDER BY user, ad").toPandas()
+    # user1 10:10 click matches only the 10:00 impression (11:45 is outside
+    # 11:00+30m); user2 10:20 matches c
+    assert list(map(tuple, out.itertuples(index=False, name=None))) == [(1, "a"), (2, "c")]
+
+
+def test_stream_late_rows_dropped(spark, pl, tmp_path):
+    """Append-mode watermark semantics across micro-batches: a row older
+    than the watermark is DROPPED (its window never materializes), and only
+    watermark-finalized windows are emitted."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polars_spark.streaming import dynamic_stream_agg, scan_stream_parquet, sink_stream_memory
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write(name, ts_list, mtime):
+        t = pa.table({"ts": pa.array(pd.to_datetime(ts_list), type=pa.timestamp("us"))})
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    # Spark >= 3.4 filters late rows with the PREVIOUS batch's watermark
+    # (eventTimeWatermarkForLateEvents) while evicting with the current one,
+    # so the late row must arrive two batches after the data that outdates it.
+    # batch 0: events 10:05, 10:20 -> watermark 10:05 (15m delay)
+    write("f1.parquet", ["2024-01-01 10:05", "2024-01-01 10:20"], now - 300)
+    # batch 1: advances the watermark to 11:15
+    write("f2.parquet", ["2024-01-01 11:30"], now - 200)
+    # batch 2: 09:50 is older than the late-events watermark (10:05) -> DROPPED
+    write("f3.parquet", ["2024-01-01 09:50", "2024-01-01 12:00"], now - 100)
+
+    stream = scan_stream_parquet(src.as_posix(), schema="ts timestamp", spark=spark, max_files_per_trigger=1)
+    agg = dynamic_stream_agg(
+        stream, index_column="ts", every="30m", watermark="15m", aggs=[F.count(F.lit(1)).alias("n")]
+    )
+    q = sink_stream_memory(agg, "late_out", output_mode="append")
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT ts, n FROM late_out ORDER BY ts").toPandas()
+    got = list(map(tuple, out.itertuples(index=False, name=None)))
+    # the 09:30-10:00 window (late 09:50 row) must NOT appear; the 10:00-10:30
+    # window (2 on-time rows) is finalized once the watermark passes 10:30
+    assert (pd.Timestamp("2024-01-01 09:30"), 1) not in got
+    assert (pd.Timestamp("2024-01-01 10:00"), 2) in got
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1
