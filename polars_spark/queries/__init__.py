@@ -73,4 +73,5 @@ from polars_spark.queries import (  # noqa: E402,F401
     similarity,
     io_sql,
     parity,
+    h2oai,
 )
