@@ -40,6 +40,11 @@ HEADLINE = [
     # fact-dim ratio query and pre-aggregate-then-join
     "q14_promo_effect",
     "q18_large_volume",
+    # the reference's own benchmark corpus (h2oai db-benchmark group-by):
+    # high-card string key, median+std, and the 6-key near-row-level case
+    "h2o_q3",
+    "h2o_q6",
+    "h2o_q10",
 ]
 
 

@@ -44,6 +44,7 @@ from polars_spark.sources import (
     DataFrame,
 )
 from polars_spark.sql import SQLContext, sql
+from polars_spark.plans.expr import sql_expr  # noqa: E402
 from polars_spark.functions import (
     sum,  # noqa: A004
     min,  # noqa: A004
@@ -105,6 +106,7 @@ __all__ = [
     "DataFrame",
     "SQLContext",
     "sql",
+    "sql_expr",
     "sum",
     "min",
     "max",

@@ -14,6 +14,8 @@ order contract is threaded (SURVEY.md §1.1 "row order" gap).
 
 from __future__ import annotations
 
+import re
+
 import datetime as _dt
 from collections.abc import Iterable
 from typing import Any, Callable
@@ -1488,6 +1490,16 @@ def col(*names: str) -> Expr:
     e = Expr(lambda ctx: F.col(cols[0]), cols[0])
     e._multi = list(cols)  # type: ignore[attr-defined]
     return e
+
+
+def sql_expr(s: str) -> Expr:
+    """Parse one SQL expression string into an Expr (reference:
+    py-polars ``pl.sql_expr``, py-polars/src/polars/functions/lazy.py) —
+    delegated to Spark's native SQL expression parser, so the whole Spark
+    SQL scalar surface is available.  Named after the leading identifier
+    (polars keeps the root column name); alias to override."""
+    m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)", s)
+    return Expr(lambda ctx: F.expr(s), m.group(1) if m else "literal")
 
 
 def all_() -> Expr:

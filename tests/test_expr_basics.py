@@ -185,3 +185,12 @@ def test_decimal_and_unsigned_dtypes(pl, lf):
     assert types["u"] == "bigint"  # unsigned widened per SURVEY §1.2
     assert types["u64"] == "decimal(20,0)"
     assert types["i8"] == "tinyint"
+
+
+def test_sql_expr(pl, lf):
+    f = lf(a=[1, 2, 3])
+    out = f.with_columns(pl.sql_expr("a * 10 + 1").alias("b")).collect()
+    assert out["b"].tolist() == [11, 21, 31]
+    # default name = root identifier (polars keeps the column name)
+    out2 = lf(price=[2.0]).select(pl.sql_expr("price * 3")).collect()
+    assert out2.columns.tolist() == ["price"] and out2["price"].tolist() == [6.0]
