@@ -210,3 +210,45 @@ def h2o_q10(spark, sf_dir):
         .groupBy("id1", "id2", "id3", "id4", "id5", "id6")
         .agg((F.sum("v3c") / F.lit(100.0)).alias("v3_sum"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# -- the reference's filter benchmark family (test_filter.py:12,24):
+#    one selective equality filter + sums, and its negation ----------------
+
+
+@query(
+    "h2o_f1_selective",
+    oracle=f"""WITH t AS ({_SQL_BASE})
+    SELECT count(*) AS n, sum(v1) AS v1_sum, sum(v3c) / 100.0 AS v3_sum
+    FROM t WHERE id3 = 'id123'""",
+)
+def h2o_f1_selective(spark, sf_dir):
+    """Selective filter (one of 2000 high-card keys) + sums."""
+    return (
+        _base(spark, sf_dir)
+        .filter(F.col("id3") == "id123")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v1").alias("v1_sum"),
+            (F.sum("v3c") / F.lit(100.0)).alias("v3_sum"),
+        )
+    )
+
+
+@query(
+    "h2o_f2_negated",
+    oracle=f"""WITH t AS ({_SQL_BASE})
+    SELECT count(*) AS n, sum(v1) AS v1_sum, sum(v3c) / 100.0 AS v3_sum
+    FROM t WHERE id3 <> 'id123'""",
+)
+def h2o_f2_negated(spark, sf_dir):
+    """Negated filter (keeps ~all rows) + sums — the anti-selective case."""
+    return (
+        _base(spark, sf_dir)
+        .filter(F.col("id3") != "id123")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v1").alias("v1_sum"),
+            (F.sum("v3c") / F.lit(100.0)).alias("v3_sum"),
+        )
+    )

@@ -206,3 +206,76 @@ def join_asof_tolerance(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts", pl.col("purchase_value").round(2).alias("purchase_value")
     ).to_spark()
+
+
+# -- reference inequality-join benchmark family (east_west fixture shape:
+#    py-polars/tests/benchmark/test_join_where.py:15,29,43) ----------------
+# Pure inequality joins (no equality conjunct) — Spark's plan is a
+# BroadcastNestedLoopJoin with the SMALL side broadcast (the only correct
+# strategy without an equi-key; polars uses IEJoin).  Inputs are filtered
+# small like the reference's fixtures, output re-aggregated to stay
+# bounded; money sums go through integer cents (exact both engines).
+
+_JW_ORACLE = """
+    WITH e AS (SELECT s_suppkey, s_acctbal, s_nationkey FROM supplier),
+    w AS (
+      SELECT c_custkey, c_acctbal, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+      FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT s_suppkey, count(*) AS n, sum(balc) / 100.0 AS bal_sum
+    FROM e JOIN w ON {cond}
+    GROUP BY s_suppkey
+"""
+
+
+def _jw(spark, sf_dir, *conds):
+    supp = ltable(spark, sf_dir, "supplier")
+    cust = (
+        ltable(spark, sf_dir, "customer")
+        .filter(pl.col("c_acctbal") > 9000)
+        .with_columns((pl.col("c_acctbal") * 100).round(0).cast("bigint").alias("balc"))
+    )
+    out = supp.join_where(cust, *conds)
+    return (
+        out.group_by("s_suppkey")
+        .agg(pl.len().alias("n"), (pl.col("balc").sum() / 100.0).alias("bal_sum"))
+        .to_spark()
+    )
+
+
+@query(
+    "join_where_strict",
+    oracle=_JW_ORACLE.format(cond="s_acctbal < c_acctbal AND s_nationkey < c_nationkey"),
+)
+def join_where_strict(spark, sf_dir):
+    """Two strict inequalities, no equi-key (reference test_join_where.py:15)."""
+    return _jw(
+        spark,
+        sf_dir,
+        pl.col("s_acctbal") < pl.col("c_acctbal"),
+        pl.col("s_nationkey") < pl.col("c_nationkey"),
+    )
+
+
+@query(
+    "join_where_nonstrict",
+    oracle=_JW_ORACLE.format(cond="s_acctbal <= c_acctbal AND s_nationkey <= c_nationkey"),
+)
+def join_where_nonstrict(spark, sf_dir):
+    """Non-strict variant (reference test_join_where.py:29)."""
+    return _jw(
+        spark,
+        sf_dir,
+        pl.col("s_acctbal") <= pl.col("c_acctbal"),
+        pl.col("s_nationkey") <= pl.col("c_nationkey"),
+    )
+
+
+@query(
+    "join_where_single",
+    oracle=_JW_ORACLE.format(cond="s_acctbal < c_acctbal"),
+)
+def join_where_single(spark, sf_dir):
+    """Single-inequality variant (reference test_join_where.py:43)."""
+    return _jw(spark, sf_dir, pl.col("s_acctbal") < pl.col("c_acctbal"))
