@@ -438,19 +438,27 @@ def cosine_similarity_arrow():
 
 
 def cosine_topk_bruteforce(
-    emb: DataFrame, queries: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Exact top-k cosine neighbors: queries x corpus join + per-query top-k.
     The correctness baseline — O(Q*N); at scale Q is a small probe set or
-    the LSH variant below takes over."""
+    the LSH variant below takes over.  ``scorer``: 'arrow' (vectorized
+    pandas_udf batch scoring, the measured fast path) or 'fold' (JVM-side)."""
     from pyspark.sql import Window
 
+    score = cosine_similarity_arrow() if scorer == "arrow" else cosine_similarity
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     c = _spread(emb).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6))
+        .withColumn("sim", F.round(score(F.col("qv"), F.col("nv")), 6))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     return (
@@ -493,6 +501,7 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 6,
     dim: int = 64,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """ANN top-k: random-hyperplane buckets + exact rerank inside the bucket.
 
@@ -504,6 +513,7 @@ def cosine_topk_lsh(
     planes = _rhp_planes(dim, n_planes)
     from pyspark.sql import Window
 
+    score = cosine_similarity_arrow() if scorer == "arrow" else cosine_similarity
     c = _spread(emb).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), rhp_bucket(F.col(vec_col), planes).alias("bkt")
     )
@@ -515,7 +525,7 @@ def cosine_topk_lsh(
     scored = (
         q.join(c, "bkt")
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6))
+        .withColumn("sim", F.round(score(F.col("qv"), F.col("nv")), 6))
         .dropDuplicates(["qid", "nid"])
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
