@@ -866,6 +866,74 @@ class LazyFrame:
             df = gp.agg(*[aggf(v).alias(v) for v in vals])
         return LazyFrame(df, [])
 
+    def collect_schema(self):
+        """Schema without executing the query (reference: LazyFrame.
+        collect_schema) — plan analysis only, no job runs."""
+        return dict(self.schema)
+
+    def glimpse(self, *, max_items_per_column: int = 10, return_as_string: bool = False):
+        """Transposed head preview (reference: DataFrame.glimpse): one line
+        per column with dtype and the first values.  Reads ONE small batch
+        (limit pushdown), never the full table."""
+        pdf = self.limit(max_items_per_column).collect()
+        lines = [f"Rows fetched: {len(pdf)}", f"Columns: {self.width}"]
+        for c, t in self.schema.items():
+            vals = ", ".join(repr(v) for v in pdf[c].tolist())
+            lines.append(f"$ {c} <{t}> {vals}")
+        out = "\n".join(lines)
+        if return_as_string:
+            return out
+        print(out)
+        return None
+
+    def partition_by(self, *by, include_key: bool = True):
+        """Split into per-key frames (reference: DataFrame.partition_by).
+
+        Returns ``{key_tuple: LazyFrame}``.  The key set is collected at the
+        driver (inherent to the API — the caller wants one handle per key);
+        each value stays a LAZY filtered frame, so downstream work on a
+        partition prunes at the scan instead of materializing everything the
+        way eager polars does.  For unbounded key cardinality prefer
+        ``sink_parquet(partition_by=...)`` / ``group_by`` — this API is for
+        a driver-manageable number of groups."""
+        keys = [k if isinstance(k, str) else k._name for k in _flatten(by)]
+        distinct = self._df.select(*keys).distinct().collect()
+        out = {}
+        for row in distinct:
+            kt = tuple(row[k] for k in keys)
+            cond = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.lit(row[k]))
+                cond = c if cond is None else cond & c
+            part = self._df.filter(cond)
+            if not include_key:
+                part = part.drop(*keys)
+            out[kt if len(kt) > 1 else kt[0]] = LazyFrame(part, self._order)
+        return out
+
+    def profile(self):
+        """Run the query and return (result, timings) like LazyFrame.profile.
+        Timings are phase-level (planning vs execution wall time) — Spark
+        executes operators in fused whole-stage-codegen pipelines, so polars'
+        per-node timings have no faithful equivalent."""
+        import time as _time
+
+        import pandas as pd
+
+        t0 = _time.perf_counter()
+        self._df._jdf.queryExecution().executedPlan()
+        t1 = _time.perf_counter()
+        result = self.collect()
+        t2 = _time.perf_counter()
+        timings = pd.DataFrame(
+            {
+                "node": ["optimization", "execution"],
+                "start_us": [0, int((t1 - t0) * 1e6)],
+                "end_us": [int((t1 - t0) * 1e6), int((t2 - t0) * 1e6)],
+            }
+        )
+        return result, timings
+
     def describe(self):
         """Eager per-column summary (count, null_count, mean, std, min, max,
         median) — pandas result like polars describe."""

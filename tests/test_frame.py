@@ -194,3 +194,29 @@ def test_replace_strict(pl, lf):
     bad = lf(x=["a", "zzz"]).select(pl.col("x").replace_strict({"a": 1}).alias("r"))
     with pytest.raises(Exception, match="replace_strict|USER_RAISED"):
         bad.collect()
+
+
+def test_collect_schema_and_glimpse(pl, lf):
+    f = lf(a=[1, 2], s=["x", "y"])
+    assert f.collect_schema() == {"a": "bigint", "s": "string"}
+    g = f.glimpse(return_as_string=True)
+    assert "$ a <bigint> 1, 2" in g and "Columns: 2" in g
+
+
+def test_partition_by(pl, lf):
+    f = lf(g=["a", "a", "b", None], x=[1, 2, 3, 4])
+    parts = f.partition_by("g")
+    got = {k: sorted(v.collect()["x"].tolist()) for k, v in parts.items()}
+    assert got == {"a": [1, 2], "b": [3], None: [4]}
+    nk = f.partition_by("g", include_key=False)["b"]
+    assert nk.collect().columns.tolist() == ["x"]
+    multi = f.partition_by("g", "x")
+    assert multi[("b", 3)].collect()["x"].tolist() == [3]
+
+
+def test_profile(pl, lf):
+    f = lf(g=["a", "b"], x=[1, 2])
+    res, tm = f.group_by("g").agg(pl.col("x").sum().alias("s")).profile()
+    assert sorted(res["s"].tolist()) == [1, 2]
+    assert tm["node"].tolist() == ["optimization", "execution"]
+    assert (tm["end_us"] >= tm["start_us"]).all()
