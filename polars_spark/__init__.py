@@ -39,12 +39,80 @@ from polars_spark.sources import (
     read_ndjson,
     scan_ipc,
     scan_pyarrow_dataset,
+    scan_delta,
+    scan_iceberg,
+    scan_orc,
+    read_avro,
+    read_database,
+    read_excel,
+    read_json,
     from_arrow,
     from_pandas,
+    from_dict,
+    from_dicts,
+    from_records,
+    from_numpy,
+    int_range,
+    linear_space,
+    date_range,
+    datetime_range,
+    zeros,
+    ones,
+    select,
+    collect_all,
+    show_versions,
+    set_random_seed,
+    enable_string_cache,
+    disable_string_cache,
+    using_string_cache,
+    read_ipc,
+    read_ipc_stream,
+    read_delta,
+    read_database_uri,
+    scan_lines,
+    read_lines,
+    read_parquet_schema,
+    read_parquet_metadata,
+    read_ipc_schema,
+    json_normalize,
+    from_dataframe,
+    from_torch,
+    merge_sorted,
+    union,
+    align_frames,
+    explain_all,
+    collect_all_async,
+    thread_pool_size,
+    threadpool_size,
+    build_info,
+    get_index_type,
     DataFrame,
 )
+from polars_spark import selectors  # noqa: E402
 from polars_spark.sql import SQLContext, sql
 from polars_spark.plans.expr import sql_expr  # noqa: E402
+from polars_spark.plans.expr import (  # noqa: E402
+    Int8,
+    Int16,
+    Int32,
+    Int64,
+    Int128,
+    UInt8,
+    UInt16,
+    UInt32,
+    UInt64,
+    Float32,
+    Float64,
+    Boolean,
+    String,
+    Utf8,
+    Binary,
+    Date,
+    Datetime,
+    Time,
+    Duration,
+    Null,
+)
 from polars_spark.functions import (
     sum,  # noqa: A004
     min,  # noqa: A004
@@ -77,7 +145,36 @@ from polars_spark.functions import (
     date_ranges,
     business_day_count,
     repeat,
+    std,
+    var,
+    head,
+    tail,
+    implode,
+    quantile,
+    cum_sum,
+    cum_count,
+    approx_n_unique,
+    any,  # noqa: A004
+    arctan2,
+    arctan2d,
+    format,  # noqa: A004
+    from_epoch,
+    cum_fold,
+    cum_reduce,
+    cum_sum_horizontal,
+    date,
+    datetime,
+    duration,
+    datetime_ranges,
+    linear_spaces,
+    escape_regex,
+    field,
+    arg_sort_by,
 )
+
+# thin aliases (deprecated polars names kept for drop-in compatibility)
+arange = int_range
+concat_arr = concat_list
 
 __all__ = [
     "get_spark",

@@ -358,3 +358,269 @@ def repeat(value, n) -> Expr:
         return F.array_repeat(v._resolve(ctx), k._resolve(ctx).cast("int"))
 
     return Expr(fn, "repeat")
+
+
+# ---------------------------------------------------------------------------
+# top-level parity shims (reference py-polars/src/polars/functions/lazy.py):
+# the col()-shortcut family, expression combiners, and eager generators
+
+
+def std(column: str, ddof: int = 1):
+    return col(column).std(ddof)
+
+
+def var(column: str, ddof: int = 1):
+    return col(column).var(ddof)
+
+
+def head(column: str, n: int = 10):
+    return col(column).head(n)
+
+
+def tail(column: str, n: int = 10):
+    return col(column).tail(n)
+
+
+def implode(column: str):
+    return col(column).implode()
+
+
+def quantile(column: str, q: float, interpolation: str = "nearest"):
+    return col(column).quantile(q, interpolation)
+
+
+def cum_sum(column: str):
+    return col(column).cum_sum()
+
+
+def cum_count(column: str):
+    return col(column).cum_count()
+
+
+def approx_n_unique(column: str):
+    return col(column).approx_n_unique()
+
+
+def any(column: str):  # noqa: A001
+    return col(column).any()
+
+
+def arctan2(y, x) -> Expr:
+    """Two-argument arctangent of y/x (F.atan2 — JVM-side)."""
+    ye, xe = _to_expr(y), _to_expr(x)
+    return Expr(lambda ctx: F.atan2(ye._resolve(ctx), xe._resolve(ctx)), "arctan2")
+
+
+def arctan2d(y, x) -> Expr:
+    """arctan2 in degrees."""
+    ye, xe = _to_expr(y), _to_expr(x)
+    return Expr(
+        lambda ctx: F.degrees(F.atan2(ye._resolve(ctx), xe._resolve(ctx))), "arctan2"
+    )
+
+
+def format(fstring: str, *args) -> Expr:
+    """pl.format("x={}", col) -> string concat of literal segments and
+    expressions (reference functions/as_datatype.py format)."""
+    parts = fstring.split("{}")
+    n_args = tuple(args).__len__()  # plain len() is shadowed by pl.len above
+    if fstring.count("{}") != n_args:
+        raise ValueError("number of {} placeholders must match number of args")
+    exprs = [_to_expr(a) for a in args]
+
+    def fn(ctx: ExprContext) -> Column:
+        segs = []
+        for i, p in enumerate(parts):
+            if p:
+                segs.append(F.lit(p))
+            if i < n_args:
+                segs.append(exprs[i]._resolve(ctx).cast("string"))
+        return F.concat(*segs) if segs else F.lit("")
+
+    return Expr(fn, "format")
+
+
+def from_epoch(column, time_unit: str = "s") -> Expr:
+    """Integer epoch -> timestamp at the given unit (s/ms/us/d)."""
+    e = _to_expr(column) if not isinstance(column, str) else col(column)
+
+    def fn(ctx: ExprContext) -> Column:
+        c = e._resolve(ctx).cast("bigint")
+        if time_unit == "s":
+            return F.timestamp_seconds(c)
+        if time_unit == "ms":
+            return F.timestamp_millis(c)
+        if time_unit == "us":
+            return F.timestamp_micros(c)
+        if time_unit == "d":
+            return F.date_add(F.lit("1970-01-01").cast("date"), c.cast("int"))
+        raise ValueError(f"unsupported time_unit {time_unit!r}")
+
+    return Expr(fn, e._name)
+
+
+def cum_fold(acc, function, exprs) -> Expr:
+    """Horizontal cumulative fold: struct of every intermediate accumulator
+    (reference functions/lazy.py cum_fold)."""
+    accs = [_to_expr(acc)]
+    names = []
+    for e in _cols(exprs):
+        names.append(e._name)
+        accs.append(function(accs[-1], e))
+
+    def fn(ctx: ExprContext) -> Column:
+        return F.struct(*[a._resolve(ctx).alias(n) for a, n in zip(accs[1:], names)])
+
+    return Expr(fn, "cum_fold")
+
+
+def cum_reduce(function, exprs) -> Expr:
+    """Like cum_fold but seeded with the first expression."""
+    exprs = _cols(exprs)
+    accs = [exprs[0]]
+    names = [exprs[0]._name]
+    for e in exprs[1:]:
+        accs.append(function(accs[-1], e))
+        names.append(e._name)
+
+    def fn(ctx: ExprContext) -> Column:
+        return F.struct(*[a._resolve(ctx).alias(n) for a, n in zip(accs, names)])
+
+    return Expr(fn, "cum_reduce")
+
+
+def cum_sum_horizontal(*exprs) -> Expr:
+    flat = []
+    for e in exprs:
+        flat.extend(e) if isinstance(e, (list, tuple)) else flat.append(e)
+    return cum_fold(lit(0), lambda a, b: a + b, flat).alias("cum_sum")
+
+
+def date(year, month, day) -> Expr:
+    y, m, d = _cols([year, month, day])
+    return Expr(
+        lambda ctx: F.make_date(y._resolve(ctx), m._resolve(ctx), d._resolve(ctx)), "date"
+    )
+
+
+def datetime(year, month, day, hour=0, minute=0, second=0, microsecond=0) -> Expr:
+    parts = _cols([year, month, day, hour, minute, second])
+    us = _cols([microsecond])[0]
+
+    def fn(ctx: ExprContext) -> Column:
+        y, m, d, h, mi, s = (p._resolve(ctx) for p in parts)
+        sec = s.cast("double") + us._resolve(ctx).cast("double") / 1e6
+        return F.make_timestamp_ntz(y, m, d, h, mi, sec)
+
+    return Expr(fn, "datetime")
+
+
+def duration(*, weeks=0, days=0, hours=0, minutes=0, seconds=0, milliseconds=0, microseconds=0) -> Expr:
+    """Duration literal/expr as an INTERVAL DAY TO SECOND (the §1.2 mapping
+    for polars Duration)."""
+    parts = {
+        "days": _to_expr(days),
+        "hours": _to_expr(hours),
+        "mins": _to_expr(minutes),
+    }
+    w = _to_expr(weeks)
+    s = _to_expr(seconds)
+    ms = _to_expr(milliseconds)
+    us = _to_expr(microseconds)
+
+    def fn(ctx: ExprContext) -> Column:
+        d = parts["days"]._resolve(ctx) + w._resolve(ctx) * 7
+        sec = (
+            s._resolve(ctx).cast("double")
+            + ms._resolve(ctx).cast("double") / 1e3
+            + us._resolve(ctx).cast("double") / 1e6
+        )
+        return F.make_dt_interval(
+            d.cast("int"), parts["hours"]._resolve(ctx).cast("int"), parts["mins"]._resolve(ctx).cast("int"), sec
+        )
+
+    return Expr(fn, "duration")
+
+
+def datetime_ranges(start, end, interval: str = "1h") -> Expr:
+    """Per-row list of timestamps (plural form, like date_ranges)."""
+    from polars_spark.plans.frame import _duration_str
+
+    s, e = _to_expr(start), _to_expr(end)
+
+    def fn(ctx: ExprContext) -> Column:
+        return F.sequence(
+            s._resolve(ctx).cast("timestamp"),
+            e._resolve(ctx).cast("timestamp"),
+            F.expr(f"INTERVAL {_duration_str(interval)}"),
+        )
+
+    return Expr(fn, "datetime_range")
+
+
+def linear_spaces(start, end, num_samples) -> Expr:
+    """Per-row list of evenly spaced doubles."""
+    s, e, n = _to_expr(start), _to_expr(end), _to_expr(num_samples)
+
+    def fn(ctx: ExprContext) -> Column:
+        sc, ec, nc = s._resolve(ctx).cast("double"), e._resolve(ctx).cast("double"), n._resolve(ctx).cast("int")
+        idx = F.sequence(F.lit(0), nc - 1)
+        return F.when(nc == 1, F.array(sc)).otherwise(
+            F.transform(idx, lambda i: sc + i.cast("double") * (ec - sc) / (nc.cast("double") - 1))
+        )
+
+    return Expr(fn, "linear_space")
+
+
+def escape_regex(s: str) -> str:
+    """Escape a literal string for use in (Java) regex patterns."""
+    import re as _re
+
+    return _re.escape(s)
+
+
+def field(name):
+    """Reference a sibling field inside struct.with_fields scope
+    (reference functions/lazy.py:61)."""
+    from polars_spark.plans import namespaces as _ns
+
+    if isinstance(name, (list, tuple)):
+        names = list(name)
+
+        def fn_multi(ctx: ExprContext) -> Column:
+            raise ValueError("pl.field with a list is only valid inside struct.with_fields")
+
+        e = Expr(fn_multi, names[0])
+        e._multi_fields = names  # type: ignore[attr-defined]
+        return e
+
+    def fn(ctx: ExprContext) -> Column:
+        scope = _ns._FIELD_SCOPE
+        if not scope:
+            raise ValueError("pl.field is only valid inside struct.with_fields")
+        return scope[-1].getField(name)
+
+    return Expr(fn, name)
+
+
+def arg_sort_by(*exprs, descending=False) -> Expr:
+    """Rank of each row under the given sort keys, 0-based (the arg_sort
+    permutation).  Requires a frame order only for tie-stability; expressed
+    as a window row_number over the keys — one window exchange, no global
+    row-position materialization."""
+    flat = []
+    for e in exprs:
+        flat.extend(e) if isinstance(e, (list, tuple)) else flat.append(e)
+    flat = _cols(flat)
+    descs = descending if isinstance(descending, (list, tuple)) else [descending] * flat.__len__()
+
+    def fn(ctx: ExprContext) -> Column:
+        from pyspark.sql import Window
+
+        keys = []
+        for e, d in zip(flat, descs):
+            c = e._resolve(ctx)
+            keys.append(c.desc() if d else c.asc())
+        return (F.row_number().over(Window.orderBy(*keys)) - 1).cast("bigint")
+
+    return Expr(fn, "arg_sort_by")

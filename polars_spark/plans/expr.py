@@ -1613,6 +1613,30 @@ class Categorical:
         self.ordering = ordering
 
 
+# polars dtype classes (pl.Int64, pl.Datetime, ...): _dtype_to_spark maps
+# them via __name__, so bare classes give full cast()/schema parity
+class Int8: ...
+class Int16: ...
+class Int32: ...
+class Int64: ...
+class Int128: ...
+class UInt8: ...
+class UInt16: ...
+class UInt32: ...
+class UInt64: ...
+class Float32: ...
+class Float64: ...
+class Boolean: ...
+class String: ...
+class Utf8: ...
+class Binary: ...
+class Date: ...
+class Datetime: ...
+class Time: ...
+class Duration: ...
+class Null: ...
+
+
 _DTYPE_MAP = {
     "Int8": "tinyint",
     "Int16": "smallint",

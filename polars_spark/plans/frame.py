@@ -50,6 +50,10 @@ __all__ = ["LazyFrame", "LazyGroupBy", "wrap", "concat"]
 ROW_IDX = "__row_idx__"
 
 
+# global default seed for sample/shuffle (pl.set_random_seed)
+_GLOBAL_SEED: int | None = None
+
+
 def wrap(df: SparkDF, order: list[tuple[str, bool]] | None = None) -> "LazyFrame":
     return LazyFrame(df, order)
 
@@ -515,12 +519,16 @@ class LazyFrame:
         return gb
 
     def sample(self, fraction: float | None = None, *, n: int | None = None, seed: int | None = None, with_replacement: bool = False) -> "LazyFrame":
+        if seed is None:
+            seed = _GLOBAL_SEED
         if fraction is None and n is not None:
             # approximate n via limit on a shuffled frame
             return LazyFrame(self._df.orderBy(F.rand(seed if seed is not None else 42)).limit(n), [])
         return LazyFrame(self._df.sample(with_replacement, fraction, seed), [])
 
     def shuffle(self, seed: int | None = None) -> "LazyFrame":
+        if seed is None:
+            seed = _GLOBAL_SEED
         return LazyFrame(self._df.orderBy(F.rand(seed if seed is not None else 42)), [])
 
     def count(self) -> int:

@@ -932,6 +932,11 @@ class ListNamespace(_NS):
 # .struct
 
 
+# struct.with_fields resolution scope (pl.field) — plan construction is
+# synchronous and single-threaded, so a module stack is safe
+_FIELD_SCOPE: list = []
+
+
 class StructNamespace(_NS):
     def field(self, name: str) -> Expr:
         return self._map(lambda c: c.getField(name), name=name)
@@ -942,11 +947,26 @@ class StructNamespace(_NS):
     def json_encode(self) -> Expr:
         return self._map(F.to_json)
 
-    def with_fields(self, **named) -> Expr:
+    def with_fields(self, *exprs, **named) -> Expr:
+        """Add/replace struct fields.  Positional exprs may use pl.field(..)
+        to reference sibling fields (reference functions/lazy.py:61); the
+        struct column is pushed on a resolution-scope stack so field()
+        resolves against it."""
+
         def fn(ctx: ExprContext) -> Column:
             c = self._e._resolve(ctx)
-            for n, e in named.items():
-                c = c.withField(n, _to_expr(e)._resolve(ctx))
+            _FIELD_SCOPE.append(c)
+            try:
+                for e in exprs:
+                    ee = _to_expr(e)
+                    c2 = ee._resolve(ctx)
+                    c = c.withField(ee._name, c2)
+                    _FIELD_SCOPE[-1] = c
+                for n, e in named.items():
+                    c = c.withField(n, _to_expr(e)._resolve(ctx))
+                    _FIELD_SCOPE[-1] = c
+            finally:
+                _FIELD_SCOPE.pop()
             return c
 
         return Expr(fn, self._e._name)

@@ -449,3 +449,326 @@ def read_excel(source, *, sheet_name=0, spark: SparkSession | None = None) -> La
     import pandas as pd
 
     return from_pandas(pd.read_excel(source, sheet_name=sheet_name), spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# constructors + eager generators (reference py-polars functions/eager.py,
+# functions/range/): Spark-idiomatic — ranges come from the DISTRIBUTED
+# spark.range source (parallel, no driver materialization), not a local list.
+
+
+def from_dict(data: dict, spark: SparkSession | None = None) -> LazyFrame:
+    import pandas as pd
+
+    return from_pandas(pd.DataFrame(data), spark=spark)
+
+
+def from_dicts(rows, spark: SparkSession | None = None) -> LazyFrame:
+    import pandas as pd
+
+    return from_pandas(pd.DataFrame(list(rows)), spark=spark)
+
+
+def from_records(data, *, schema=None, orient: str = "col", spark: SparkSession | None = None) -> LazyFrame:
+    import pandas as pd
+
+    if orient == "col":
+        cols = schema or [f"column_{i}" for i in range(len(data))]
+        return from_pandas(pd.DataFrame(dict(zip(cols, data))), spark=spark)
+    return from_pandas(pd.DataFrame(list(data), columns=schema), spark=spark)
+
+
+def from_numpy(arr, *, schema=None, spark: SparkSession | None = None) -> LazyFrame:
+    import pandas as pd
+
+    cols = schema or [f"column_{i}" for i in range(arr.shape[1] if arr.ndim > 1 else 1)]
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    return from_pandas(pd.DataFrame(arr, columns=cols), spark=spark)
+
+
+def int_range(
+    start: int = 0, end: int | None = None, step: int = 1, *, eager: bool = True, spark: SparkSession | None = None
+) -> LazyFrame:
+    """pl.int_range as a DISTRIBUTED range scan (spark.range splits the
+    range across the cluster — polars generates a local Series).  Only the
+    eager-frame form is supported; inside expressions use int_ranges."""
+    if not eager:
+        raise NotImplementedError("expression-position int_range: use int_ranges (per-row list ranges)")
+    if end is None:
+        start, end = 0, start
+    spark = spark or _spark()
+    return LazyFrame(spark.range(start, end, step).select(F.col("id").alias("literal")))
+
+
+def linear_space(start: float, end: float, num_samples: int, *, spark: SparkSession | None = None) -> LazyFrame:
+    """num_samples evenly spaced points over [start, end] — spark.range
+    backed, computed as start + i*(end-start)/(n-1) per row."""
+    spark = spark or _spark()
+    n = num_samples
+    if n == 1:
+        return LazyFrame(spark.range(1).select(F.lit(float(start)).alias("literal")))
+    stepc = (F.col("id").cast("double") * ((end - start) / (n - 1)) + F.lit(float(start))).alias("literal")
+    return LazyFrame(spark.range(n).select(stepc))
+
+
+def date_range(start, end, interval: str = "1d", *, closed: str = "both", spark: SparkSession | None = None) -> LazyFrame:
+    """Eager date range via one sequence() + explode (JVM-side)."""
+    from polars_spark.plans.frame import _duration_str
+
+    spark = spark or _spark()
+    seq = F.sequence(
+        F.lit(str(start)).cast("date"),
+        F.lit(str(end)).cast("date"),
+        F.expr(f"INTERVAL {_duration_str(interval)}"),
+    )
+    df = spark.range(1).select(F.explode(seq).alias("literal"))
+    if closed in ("left", "none"):
+        df = df.filter(F.col("literal") != F.lit(str(end)).cast("date"))
+    if closed in ("right", "none"):
+        df = df.filter(F.col("literal") != F.lit(str(start)).cast("date"))
+    return LazyFrame(df)
+
+
+def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", spark: SparkSession | None = None) -> LazyFrame:
+    from polars_spark.plans.frame import _duration_str
+
+    spark = spark or _spark()
+    seq = F.sequence(
+        F.lit(str(start)).cast("timestamp"),
+        F.lit(str(end)).cast("timestamp"),
+        F.expr(f"INTERVAL {_duration_str(interval)}"),
+    )
+    df = spark.range(1).select(F.explode(seq).alias("literal"))
+    if closed in ("left", "none"):
+        df = df.filter(F.col("literal") != F.lit(str(end)).cast("timestamp"))
+    if closed in ("right", "none"):
+        df = df.filter(F.col("literal") != F.lit(str(start)).cast("timestamp"))
+    return LazyFrame(df)
+
+
+def zeros(n: int, spark: SparkSession | None = None) -> LazyFrame:
+    spark = spark or _spark()
+    return LazyFrame(spark.range(n).select(F.lit(0.0).alias("zeros")))
+
+
+def ones(n: int, spark: SparkSession | None = None) -> LazyFrame:
+    spark = spark or _spark()
+    return LazyFrame(spark.range(n).select(F.lit(1.0).alias("ones")))
+
+
+def select(*exprs, spark: SparkSession | None = None, **named) -> LazyFrame:
+    """pl.select: evaluate expressions against an empty one-row frame
+    (reference functions/eager.py select)."""
+    spark = spark or _spark()
+    base = LazyFrame(spark.range(1).select(F.lit(1).alias("__dummy__")))
+    out = base.select(*exprs, **named)
+    return out
+
+
+def collect_all(lazy_frames, **kwargs):
+    """Collect a list of LazyFrames (reference collect_all).  Sequential:
+    Spark already parallelizes each job across the cluster, and concurrent
+    driver jobs would contend for the same executors."""
+    return [lf.collect(**kwargs) for lf in lazy_frames]
+
+
+def show_versions() -> None:
+    import sys
+
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+
+    print(f"polars_spark backend: pyspark {pyspark.__version__}")
+    print(f"python {sys.version.split()[0]}; pyarrow {pyarrow.__version__}; "
+          f"pandas {pandas.__version__}; numpy {numpy.__version__}")
+
+
+def set_random_seed(seed: int) -> None:
+    """Global default seed for sample/shuffle when no seed is passed."""
+    from polars_spark.plans import frame as _frame
+
+    _frame._GLOBAL_SEED = seed
+
+
+def enable_string_cache() -> None:
+    """No-op: .cat is a string passthrough (documented §1.2 design) — Spark
+    strings are dictionary-encoded at the parquet/Tungsten layer already,
+    so there is no global interning cache to manage."""
+
+
+def disable_string_cache() -> None:
+    """No-op — see enable_string_cache."""
+
+
+def using_string_cache():
+    class _Ctx:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    return _Ctx()
+
+
+# -- long-tail IO + frame-level parity shims --------------------------------
+
+
+def read_ipc(path: str, spark: SparkSession | None = None) -> LazyFrame:
+    """Alias of scan_ipc (reference read_ipc — eager polars delegates to the
+    same scan)."""
+    return scan_ipc(path, spark=spark)
+
+
+def read_ipc_stream(path: str, spark: SparkSession | None = None) -> LazyFrame:
+    return scan_ipc(path, spark=spark)
+
+
+def read_delta(path: str, spark: SparkSession | None = None, **kw) -> LazyFrame:
+    return scan_delta(path, spark=spark, **kw)
+
+
+def read_database_uri(query: str, uri: str, *, spark: SparkSession | None = None, **kw) -> LazyFrame:
+    """URI-form of read_database (reference io/database) — same JDBC path."""
+    return read_database(query, uri, spark=spark, **kw)
+
+
+def scan_lines(path: str, spark: SparkSession | None = None) -> LazyFrame:
+    """Distributed line scan (reference scan_lines): spark.read.text —
+    splittable, one 'line' string column, filter/limit push down."""
+    spark = spark or _spark()
+    return LazyFrame(spark.read.text(path).select(F.col("value").alias("line")))
+
+
+def read_lines(path: str, spark: SparkSession | None = None) -> LazyFrame:
+    return scan_lines(path, spark=spark)
+
+
+def read_parquet_schema(path: str) -> dict:
+    """Column -> dtype string, read from footer metadata only (pyarrow,
+    no data scan; reference io/parquet read_parquet_schema)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path)
+    return {f.name: str(f.type) for f in sch}
+
+
+def read_parquet_metadata(path: str) -> dict:
+    """File-level parquet metadata from the footer (row count, row groups,
+    created_by) — no data scan."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    return {
+        "num_rows": md.num_rows,
+        "num_row_groups": md.num_row_groups,
+        "num_columns": md.num_columns,
+        "created_by": md.created_by,
+    }
+
+
+def read_ipc_schema(path: str) -> dict:
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(path) as r:
+        return {f.name: str(f.type) for f in r.schema}
+
+
+def json_normalize(data, *, separator: str = ".", spark: SparkSession | None = None) -> LazyFrame:
+    """Flatten nested dicts/lists of dicts into columns (pandas
+    json_normalize bridge, then distributed)."""
+    import pandas as pd
+
+    return from_pandas(pd.json_normalize(data, sep=separator), spark=spark)
+
+
+def from_dataframe(df, *, spark: SparkSession | None = None) -> LazyFrame:
+    """Any dataframe-interchange-protocol object (reference from_dataframe)."""
+    import pandas as pd
+
+    return from_pandas(pd.api.interchange.from_dataframe(df), spark=spark)
+
+
+def from_torch(tensor, *, schema=None, spark: SparkSession | None = None) -> LazyFrame:
+    """2-D torch tensor -> frame (import-guarded; torch is not in this
+    environment)."""
+    try:
+        import torch  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("from_torch requires the 'torch' package") from exc
+    return from_numpy(tensor.cpu().numpy(), schema=schema, spark=spark)
+
+
+def merge_sorted(left: LazyFrame, right: LazyFrame, key: str) -> LazyFrame:
+    """Top-level form of LazyFrame.merge_sorted."""
+    return left.merge_sorted(right, key)
+
+
+def union(items, *, how: str = "vertical", strict: bool | None = None) -> LazyFrame:
+    """Order-free combine (reference functions/eager.py:382) — same plan as
+    concat; Spark never guarantees row order anyway."""
+    from polars_spark.plans.frame import concat as _concat
+
+    return _concat(list(items), how=how)
+
+
+def align_frames(*frames: LazyFrame, on: str, how: str = "outer"):
+    """Align frames to a common sorted key domain (reference
+    functions/eager.py align_frames): the key union is built lazily and
+    joined back to each frame — no driver materialization."""
+    from functools import reduce as _red
+
+    keys = _red(
+        lambda a, b: a.unionByName(b),
+        [f._df.select(on) for f in frames],
+    ).distinct()
+    out = []
+    for f in frames:
+        aligned = keys.join(f._df, on, "left").sort(on)
+        out.append(LazyFrame(aligned, [(on, False)]))
+    return out
+
+
+def explain_all(lazy_frames) -> str:
+    """Concatenated formatted plans (reference explain_all)."""
+    parts = []
+    for i, lf in enumerate(lazy_frames):
+        parts.append(f"-- frame {i} --")
+        parts.append(lf._df._jdf.queryExecution().explainString("formatted"))
+    return "\n".join(parts)
+
+
+def collect_all_async(lazy_frames):
+    """Futures for each collect (reference collect_all_async) — a small
+    driver thread pool; Spark schedules the jobs fairly across executors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        return [pool.submit(lf.collect) for lf in lazy_frames]
+    finally:
+        pool.shutdown(wait=False)
+
+
+def thread_pool_size(spark: SparkSession | None = None) -> int:
+    """Executor-core count (the Spark analogue of polars' thread pool)."""
+    spark = spark or _spark()
+    return spark.sparkContext.defaultParallelism
+
+
+threadpool_size = thread_pool_size
+
+
+def build_info() -> dict:
+    import pyspark
+
+    return {"backend": "pyspark", "version": pyspark.__version__}
+
+
+def get_index_type() -> str:
+    """Row-index dtype ('bigint' — Spark indexes are 64-bit; polars uses
+    UInt32 by default)."""
+    return "bigint"

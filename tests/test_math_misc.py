@@ -158,3 +158,148 @@ def test_fill_null_strategy_over_groups(pl, lf):
     r = rows(out, sort_by="g")
     assert [t[1] for t in r] == [1.0, 1.0, 10.0, 10.0]
     assert [t[2] for t in r] == [1.0, 1.0, 10.0, 10.0]
+
+
+def test_toplevel_shortcut_family(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1.0, 3.0, 5.0])
+    out = (
+        f.group_by("g")
+        .agg(
+            pl.std("x").alias("sd"),
+            pl.var("x").alias("vr"),
+            pl.implode("x").alias("xs"),
+            pl.quantile("x", 0.5).alias("q"),
+            pl.approx_n_unique("x").alias("anu"),
+        )
+        .collect()
+        .set_index("g")
+    )
+    assert out.loc["a", "vr"] == 2.0 and list(out.loc["a", "xs"]) == [1.0, 3.0]
+
+
+def test_toplevel_generators(pl, spark):
+    assert pl.int_range(4, spark=spark).collect()["literal"].tolist() == [0, 1, 2, 3]
+    assert pl.int_range(2, 8, 2, spark=spark).collect()["literal"].tolist() == [2, 4, 6]
+    ls = pl.linear_space(0.0, 1.0, 5, spark=spark).collect()["literal"].tolist()
+    assert ls == [0.0, 0.25, 0.5, 0.75, 1.0]
+    dr = pl.date_range("2024-01-01", "2024-01-03", "1d", closed="left", spark=spark).collect()
+    assert [str(d) for d in dr["literal"]] == ["2024-01-01", "2024-01-02"]
+    tr = pl.datetime_range("2024-01-01 00:00", "2024-01-01 02:00", "1h", spark=spark).collect()
+    assert len(tr) == 3
+    assert pl.ones(3, spark=spark).collect()["ones"].tolist() == [1.0, 1.0, 1.0]
+
+
+def test_toplevel_format_epoch_arctan2(pl, lf):
+    import math
+
+    f = lf(a=[1, 2])
+    out = f.with_columns(
+        pl.format("v={}", pl.col("a")).alias("s"),
+        pl.from_epoch(pl.col("a"), "d").alias("d"),
+        pl.arctan2(pl.col("a"), pl.lit(1.0)).alias("t"),
+    ).collect()
+    assert out["s"].tolist() == ["v=1", "v=2"]
+    assert [str(v) for v in out["d"]] == ["1970-01-02", "1970-01-03"]
+    assert abs(out["t"].tolist()[0] - math.atan2(1, 1)) < 1e-12
+
+
+def test_constructors_and_select(pl, spark):
+    assert pl.from_dicts([{"a": 1}, {"a": 2}], spark=spark).collect()["a"].tolist() == [1, 2]
+    import numpy as np
+
+    nf = pl.from_numpy(np.array([[1, 2], [3, 4]]), schema=["x", "y"], spark=spark).collect()
+    assert nf["y"].tolist() == [2, 4]
+    sel = pl.select(pl.lit(7).alias("x"), spark=spark).collect()
+    assert sel["x"].tolist() == [7]
+    frames = [pl.from_dict({"a": [i]}, spark=spark) for i in range(2)]
+    assert [d["a"].tolist() for d in pl.collect_all(frames)] == [[0], [1]]
+
+
+def test_set_random_seed(pl, spark):
+    f = pl.from_dict({"x": list(range(50))}, spark=spark)
+    pl.set_random_seed(11)
+    a = f.sample(n=5).collect()["x"].tolist()
+    pl.set_random_seed(11)
+    b = f.sample(n=5).collect()["x"].tolist()
+    assert a == b
+    pl.set_random_seed(12)
+    c = f.sample(n=5).collect()["x"].tolist()
+    assert a != c
+    with pl.using_string_cache():
+        pl.enable_string_cache()
+        pl.disable_string_cache()
+
+
+def test_struct_field_and_with_fields(pl, lf):
+    f = lf(a=[1, 2]).with_columns(
+        pl.struct(x=pl.col("a"), y=pl.col("a") * 10).alias("s")
+    )
+    out = f.with_columns(
+        pl.col("s").struct.with_fields((pl.field("x") * 100).alias("z")).alias("s2")
+    ).collect()
+    assert out["s2"].tolist()[0] == {"x": 1, "y": 10, "z": 100}
+
+
+def test_cum_fold_and_horizontal(pl, lf):
+    f = lf(a=[1], b=[2], c=[3])
+    out = f.select(
+        pl.cum_sum_horizontal("a", "b", "c").alias("cs"),
+        pl.cum_reduce(lambda x, y: x * y, [pl.col("a"), pl.col("b"), pl.col("c")]).alias("cp"),
+    ).collect()
+    assert out["cs"].tolist()[0] == {"a": 1, "b": 3, "c": 6}
+    assert out["cp"].tolist()[0] == {"a": 1, "b": 2, "c": 6}
+
+
+def test_temporal_constructors(pl, lf):
+    f = lf(y=[2024], m=[2], d=[29])
+    out = f.select(
+        pl.date("y", "m", "d").alias("dt"),
+        pl.datetime("y", "m", "d", 12, 30).alias("ts"),
+        pl.datetime_ranges(pl.datetime("y", "m", "d"), pl.datetime("y", "m", pl.col("d") , 2), "1h").alias("r"),
+        pl.linear_spaces(0.0, 2.0, 3).alias("ls"),
+    ).collect()
+    assert str(out["dt"][0]) == "2024-02-29"
+    assert str(out["ts"][0]) == "2024-02-29 12:30:00"
+    assert len(out["r"][0]) == 3
+    assert list(out["ls"][0]) == [0.0, 1.0, 2.0]
+
+
+def test_duration_add(pl, lf):
+    f = lf(t=["2024-01-01 00:00:00"]).with_columns(pl.col("t").cast(pl.Datetime).alias("t"))
+    out = f.select((pl.col("t") + pl.duration(days=1, hours=2)).alias("t2")).collect()
+    assert str(out["t2"][0]) == "2024-01-02 02:00:00"
+
+
+def test_arg_sort_by(pl, lf):
+    f = lf(x=[30, 10, 20])
+    out = f.with_columns(pl.arg_sort_by("x").alias("r")).sort("x").collect()
+    assert out["r"].tolist() == [0, 1, 2]
+
+
+def test_union_and_align_frames(pl, lf):
+    a, b = lf(k=[1, 2], v=[10, 20]), lf(k=[2, 3], w=[200, 300])
+    u = pl.union([a.select("k"), b.select("k")]).collect()
+    assert sorted(u["k"].tolist()) == [1, 2, 2, 3]
+    aa, bb = pl.align_frames(a, b, on="k")
+    pa, pb = aa.collect(), bb.collect()
+    assert pa["k"].tolist() == pb["k"].tolist() == [1, 2, 3]
+    assert pb["w"].tolist()[0] is None or pb["w"].isna().tolist() == [True, False, False]
+
+
+def test_scan_lines_and_parquet_schema(pl, spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("alpha\nbeta\n")
+    out = pl.scan_lines(str(p), spark=spark).collect()
+    assert sorted(out["line"].tolist()) == ["alpha", "beta"]
+    pq_path = tmp_path / "t.parquet"
+    pl.from_dict({"a": [1]}, spark=spark).sink_parquet(str(pq_path))
+    import glob
+
+    f = glob.glob(f"{pq_path}/*.parquet") or [str(pq_path)]
+    sch = pl.read_parquet_schema(f[0])
+    assert sch.get("a") == "int64"
+    md = pl.read_parquet_metadata(f[0])
+    assert md["num_rows"] == 1
+    assert pl.thread_pool_size(spark=spark) >= 1
+    assert pl.get_index_type() == "bigint"
+    assert pl.build_info()["backend"] == "pyspark"
