@@ -188,27 +188,33 @@ class LazyFrame:
 
     # -- projection / mutation ----------------------------------------------
     def select(self, *exprs, **named) -> "LazyFrame":
-        ctx = self._ctx()
-        cols = self._resolve_exprs(exprs, named, ctx=ctx)
-        # keep the hidden order column alive if an order is defined
-        keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
-        df = self._with_scalar_preps(ctx).select(*cols, *keep)
+        from polars_spark.exceptions import translate_errors
+
+        with translate_errors():
+            ctx = self._ctx()
+            cols = self._resolve_exprs(exprs, named, ctx=ctx)
+            # keep the hidden order column alive if an order is defined
+            keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
+            df = self._with_scalar_preps(ctx).select(*cols, *keep)
         # order survives only through columns that are still present
         order = [o for o in self._order if o[0] in set(df.columns)]
         return LazyFrame(df, order)
 
     def with_columns(self, *exprs, **named) -> "LazyFrame":
-        ctx = self._ctx()
-        mapping: dict[str, Column] = {}
-        for e in _flatten(exprs):
-            if isinstance(e, str):
-                mapping[e] = F.col(e)
-            else:
-                ee = _to_expr(e) if not hasattr(e, "_resolve") else e
-                mapping[ee._name] = ee._resolve(ctx)
-        for name, e in named.items():
-            mapping[name] = _to_expr(e)._resolve(ctx)
-        out = self._with_scalar_preps(ctx).withColumns(mapping)
+        from polars_spark.exceptions import translate_errors
+
+        with translate_errors():
+            ctx = self._ctx()
+            mapping: dict[str, Column] = {}
+            for e in _flatten(exprs):
+                if isinstance(e, str):
+                    mapping[e] = F.col(e)
+                else:
+                    ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+                    mapping[ee._name] = ee._resolve(ctx)
+            for name, e in named.items():
+                mapping[name] = _to_expr(e)._resolve(ctx)
+            out = self._with_scalar_preps(ctx).withColumns(mapping)
         if ctx.preps:
             out = out.drop(*[n for n, _ in ctx.preps])
         return LazyFrame(out, self._order)
@@ -286,15 +292,18 @@ class LazyFrame:
 
     # -- filter --------------------------------------------------------------
     def filter(self, *predicates, **constraints) -> "LazyFrame":
-        ctx = self._ctx()
-        cond: Column | None = None
-        for p in _flatten(predicates):
-            c = p._resolve(ctx) if hasattr(p, "_resolve") else (p if isinstance(p, Column) else F.lit(p))
-            cond = c if cond is None else (cond & c)
-        for name, v in constraints.items():
-            c = F.col(name) == F.lit(v)
-            cond = c if cond is None else (cond & c)
-        out = self._with_scalar_preps(ctx).filter(cond)
+        from polars_spark.exceptions import translate_errors
+
+        with translate_errors():
+            ctx = self._ctx()
+            cond: Column | None = None
+            for p in _flatten(predicates):
+                c = p._resolve(ctx) if hasattr(p, "_resolve") else (p if isinstance(p, Column) else F.lit(p))
+                cond = c if cond is None else (cond & c)
+            for name, v in constraints.items():
+                c = F.col(name) == F.lit(v)
+                cond = c if cond is None else (cond & c)
+            out = self._with_scalar_preps(ctx).filter(cond)
         if ctx.preps:
             out = out.drop(*[n for n, _ in ctx.preps])
         return LazyFrame(out, self._order)

@@ -220,3 +220,17 @@ def test_profile(pl, lf):
     assert sorted(res["s"].tolist()) == [1, 2]
     assert tm["node"].tolist() == ["optimization", "execution"]
     assert (tm["end_us"] >= tm["start_us"]).all()
+
+
+def test_polars_exception_translation(pl, lf):
+    import pytest
+
+    f = lf(a=[1, 2])
+    with pytest.raises(pl.exceptions.ColumnNotFoundError):
+        f.select(pl.col("missing"))
+    with pytest.raises(pl.exceptions.ColumnNotFoundError):
+        f.filter(pl.col("missing") > 1)
+    with pytest.raises(pl.exceptions.PolarsError):
+        f.with_columns((pl.col("ghost") * 2).alias("x"))
+    # untranslated errors pass through unchanged
+    assert f.select(pl.col("a")).collect()["a"].tolist() == [1, 2]
