@@ -90,6 +90,7 @@ from polars_spark.sources import (
 )
 from polars_spark import selectors  # noqa: E402
 from polars_spark import exceptions  # noqa: E402
+from polars_spark.series import Series  # noqa: E402
 from polars_spark.sql import SQLContext, sql
 from polars_spark.plans.expr import sql_expr  # noqa: E402
 from polars_spark.plans.expr import (  # noqa: E402

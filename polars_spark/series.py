@@ -1,0 +1,150 @@
+"""Driver-local Series facade (reference polars-core/src/series/mod.rs:150;
+SURVEY §1: Series -> "a single-column DataFrame / Column").
+
+polars' Series is an EAGER in-memory structure — its Spark-side analogue
+for anything large is a single-column LazyFrame (use ``to_frame()``); this
+wrapper exists so drop-in code that builds small Series, passes them to
+constructors, or calls scalar reductions keeps working.  It delegates
+storage/ops to pandas on the driver and is intentionally NOT a distributed
+structure — at 100 TB a Series-shaped workload belongs in a frame.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+class Series:
+    def __init__(self, name="", values=None, dtype=None, *, spark=None):
+        if not isinstance(name, str):
+            name, values = "", name
+        if values is None:
+            values = []
+        self._s = pd.Series(list(values), name=name or None)
+        if dtype is not None:
+            from polars_spark.plans.expr import _dtype_to_spark
+
+            spark_t = _dtype_to_spark(dtype)
+            pd_map = {
+                "tinyint": "int8", "smallint": "int16", "int": "int32",
+                "bigint": "int64", "float": "float32", "double": "float64",
+                "string": "object", "boolean": "bool",
+            }
+            if spark_t in pd_map:
+                self._s = self._s.astype(pd_map[spark_t])
+        self._spark = spark
+
+    # -- basics -----------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self._s.name or ""
+
+    def rename(self, name: str) -> "Series":
+        out = Series(name, self._s.tolist(), spark=self._spark)
+        return out
+
+    def __len__(self) -> int:
+        return int(self._s.size)
+
+    def len(self) -> int:
+        return self.__len__()
+
+    def to_list(self) -> list:
+        return [None if pd.isna(v) else v for v in self._s.tolist()]
+
+    def to_pandas(self) -> pd.Series:
+        return self._s.copy()
+
+    def to_frame(self, name: str | None = None):
+        """Promote to a (distributed) single-column LazyFrame — the scale
+        path for any further computation."""
+        from polars_spark.sources import from_pandas
+
+        col = name or self.name or "column_0"
+        return from_pandas(pd.DataFrame({col: self._s}), spark=self._spark)
+
+    def __repr__(self) -> str:
+        return f"Series({self.name!r}, {self._s.tolist()!r})"
+
+    # -- scalar reductions -------------------------------------------------
+    def sum(self):
+        return self._s.sum() if self._s.size else 0
+
+    def min(self):
+        return None if not self._s.size else self._s.min()
+
+    def max(self):
+        return None if not self._s.size else self._s.max()
+
+    def mean(self):
+        return None if not self._s.size else float(self._s.mean())
+
+    def median(self):
+        return None if not self._s.size else float(self._s.median())
+
+    def std(self, ddof: int = 1):
+        return None if not self._s.size else float(self._s.std(ddof=ddof))
+
+    def var(self, ddof: int = 1):
+        return None if not self._s.size else float(self._s.var(ddof=ddof))
+
+    def n_unique(self) -> int:
+        return int(self._s.nunique(dropna=False))
+
+    def null_count(self) -> int:
+        return int(self._s.isna().sum())
+
+    def is_empty(self) -> bool:
+        return self._s.size == 0
+
+    # -- elementwise (pandas-delegated) ------------------------------------
+    def _wrap(self, s: pd.Series) -> "Series":
+        out = Series(self.name, [], spark=self._spark)
+        out._s = s
+        return out
+
+    def _other(self, other):
+        return other._s if isinstance(other, Series) else other
+
+    def __add__(self, other):
+        return self._wrap(self._s + self._other(other))
+
+    def __sub__(self, other):
+        return self._wrap(self._s - self._other(other))
+
+    def __mul__(self, other):
+        return self._wrap(self._s * self._other(other))
+
+    def __truediv__(self, other):
+        return self._wrap(self._s / self._other(other))
+
+    def __eq__(self, other):  # type: ignore[override]
+        return self._wrap(self._s == self._other(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._wrap(self._s != self._other(other))
+
+    def __lt__(self, other):
+        return self._wrap(self._s < self._other(other))
+
+    def __gt__(self, other):
+        return self._wrap(self._s > self._other(other))
+
+    def __getitem__(self, i):
+        v = self._s.iloc[i]
+        return None if pd.isna(v) else v
+
+    def head(self, n: int = 10) -> "Series":
+        return self._wrap(self._s.head(n))
+
+    def tail(self, n: int = 10) -> "Series":
+        return self._wrap(self._s.tail(n))
+
+    def unique(self) -> "Series":
+        return self._wrap(self._s.drop_duplicates())
+
+    def sort(self, *, descending: bool = False) -> "Series":
+        return self._wrap(self._s.sort_values(ascending=not descending, ignore_index=True))
+
+    def equals(self, other: "Series") -> bool:
+        return bool(self._s.reset_index(drop=True).equals(other._s.reset_index(drop=True)))

@@ -211,8 +211,16 @@ def DataFrame(data=None, spark: SparkSession | None = None, **named) -> LazyFram
     anyway, py-polars dataframe/group_by.py:273)."""
     import pandas as pd
 
+    from polars_spark.series import Series
+
     if data is None:
         data = named
+    if isinstance(data, Series):
+        data = {data.name or "column_0": data.to_pandas()}
+    elif isinstance(data, dict):
+        data = {k: (v.to_pandas() if isinstance(v, Series) else v) for k, v in data.items()}
+    elif isinstance(data, (list, tuple)) and data and isinstance(data[0], Series):
+        data = {s.name or f"column_{i}": s.to_pandas() for i, s in enumerate(data)}
     return from_pandas(pd.DataFrame(data), spark=spark)
 
 

@@ -234,3 +234,19 @@ def test_polars_exception_translation(pl, lf):
         f.with_columns((pl.col("ghost") * 2).alias("x"))
     # untranslated errors pass through unchanged
     assert f.select(pl.col("a")).collect()["a"].tolist() == [1, 2]
+
+
+def test_series_facade(pl, spark):
+    s = pl.Series("a", [3, 1, 2, None])
+    assert s.name == "a" and len(s) == 4 and s.null_count() == 1
+    assert s.sum() == 6 and s.n_unique() == 4
+    assert (s * 2).to_list()[:3] == [6, 2, 4]
+    assert s.sort().to_list()[:3] == [1, 2, 3]
+    # promote to a distributed frame for real work
+    f = s.to_frame()
+    assert f.collect()["a"].dropna().sum() == 6
+    # constructor interop
+    df = pl.DataFrame({"x": pl.Series("x", [1, 2]), "y": [10, 20]}, spark=spark)
+    out = df.select((pl.col("x") + pl.col("y")).alias("z")).collect()
+    assert out["z"].tolist() == [11, 22]
+    assert pl.DataFrame(pl.Series("q", [5]), spark=spark).collect()["q"].tolist() == [5]
