@@ -883,6 +883,188 @@ class LazyFrame:
             df = gp.agg(*[aggf(v).alias(v) for v in vals])
         return LazyFrame(df, [])
 
+    # -- frame-level reductions / conveniences (reference lazyframe/frame.py) --
+
+    _NUMERIC_T = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+    def _frame_agg(self, fn, *, numeric_only: bool = False) -> "LazyFrame":
+        cols = [
+            fn(c).alias(c)
+            for c, t in self.schema.items()
+            if not numeric_only or t in self._NUMERIC_T
+        ]
+        return LazyFrame(self._df.agg(*cols), [])
+
+    def sum(self) -> "LazyFrame":
+        return self._frame_agg(F.sum, numeric_only=True)
+
+    def min(self) -> "LazyFrame":
+        return self._frame_agg(F.min)
+
+    def max(self) -> "LazyFrame":
+        return self._frame_agg(F.max)
+
+    def mean(self) -> "LazyFrame":
+        return self._frame_agg(F.mean, numeric_only=True)
+
+    def median(self) -> "LazyFrame":
+        return self._frame_agg(F.median, numeric_only=True)
+
+    def std(self, ddof: int = 1) -> "LazyFrame":
+        f = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._frame_agg(f, numeric_only=True)
+
+    def var(self, ddof: int = 1) -> "LazyFrame":
+        f = F.var_samp if ddof == 1 else F.var_pop
+        return self._frame_agg(f, numeric_only=True)
+
+    def quantile(self, q: float, interpolation: str = "linear") -> "LazyFrame":
+        return self._frame_agg(lambda c: F.percentile(c, q), numeric_only=True)
+
+    def null_count(self) -> "LazyFrame":
+        return self._frame_agg(lambda c: F.sum(F.col(c).isNull().cast("bigint")))
+
+    def approx_n_unique(self) -> "LazyFrame":
+        return self._frame_agg(F.approx_count_distinct)
+
+    def top_k(self, k: int, *, by, descending: bool = False) -> "LazyFrame":
+        """k rows with the largest `by` — sort+limit fuses into Spark's
+        TakeOrderedAndProject (no global sort materialization)."""
+        bys = by if isinstance(by, (list, tuple)) else [by]
+        descs = descending if isinstance(descending, (list, tuple)) else [descending] * len(bys)
+        # polars top_k: LARGEST first => sort descending (unless descending flips it)
+        return self.sort(*bys, descending=[not d for d in descs]).limit(k)
+
+    def bottom_k(self, k: int, *, by, descending: bool = False) -> "LazyFrame":
+        bys = by if isinstance(by, (list, tuple)) else [by]
+        descs = descending if isinstance(descending, (list, tuple)) else [descending] * len(bys)
+        return self.sort(*bys, descending=list(descs)).limit(k)
+
+    def shift(self, n: int = 1, *, fill_value=None) -> "LazyFrame":
+        """Shift every column by n over the frame order."""
+        exprs = []
+        from polars_spark.plans.expr import col as _col
+
+        for c in self.columns:
+            e = _col(c).shift(n, fill_value) if fill_value is not None else _col(c).shift(n)
+            exprs.append(e.alias(c))
+        return self.with_columns(*exprs)
+
+    def interpolate(self) -> "LazyFrame":
+        from polars_spark.plans.expr import col as _col
+
+        return self.with_columns(
+            *[_col(c).interpolate().alias(c) for c, t in self.schema.items() if t in self._NUMERIC_T]
+        )
+
+    def clear(self, n: int = 0) -> "LazyFrame":
+        """Empty (or n-null-row) frame with this schema."""
+        if n == 0:
+            return LazyFrame(self._df.filter(F.lit(False)), self._order)
+        spark = self._df.sparkSession
+        nulls = spark.range(n).select(
+            *[F.lit(None).cast(t).alias(c) for c, t in zip(self._df.columns, [f.dataType for f in self._df.schema])]
+        )
+        return LazyFrame(nulls, [])
+
+    def clone(self) -> "LazyFrame":
+        return LazyFrame(self._df, self._order)
+
+    def pipe(self, function, *args, **kwargs):
+        return function(self, *args, **kwargs)
+
+    def select_seq(self, *exprs, **named) -> "LazyFrame":
+        return self.select(*exprs, **named)
+
+    def fetch(self, n_rows: int = 500):
+        return self.limit(n_rows).collect()
+
+    def collect_async(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            return pool.submit(self.collect)
+        finally:
+            pool.shutdown(wait=False)
+
+    def show(self, n: int = 5) -> None:
+        print(self.limit(n).collect().to_string(index=False))
+
+    def show_graph(self, **_) -> str:
+        """Physical plan string (Spark's equivalent of the polars plan
+        graph)."""
+        return self._df._jdf.queryExecution().executedPlan().toString()
+
+    def inspect(self, fmt: str = "{}") -> "LazyFrame":
+        """Print the frame head as a side effect and pass the frame through
+        (divergence: triggers a small job; polars inspects mid-stream)."""
+        print(fmt.format(self.limit(5).collect()))
+        return self
+
+    def with_row_count(self, name: str = "row_nr", offset: int = 0) -> "LazyFrame":
+        """Deprecated polars alias of with_row_index."""
+        return self.with_row_index(name=name, offset=offset)
+
+    def update(self, other: "LazyFrame", on=None, how: str = "left", *, include_nulls: bool = False) -> "LazyFrame":
+        """Overwrite values with non-null values from `other`, polars
+        LazyFrame.update: join on the key and coalesce(right, left) for the
+        shared non-key columns."""
+        keys = [on] if isinstance(on, str) else list(on or [])
+        if not keys:
+            raise ValueError("update requires `on` key column(s)")
+        shared = [c for c in other.columns if c in self.columns and c not in keys]
+        right = other._df.select(
+            *keys, F.lit(True).alias("__u_match"), *[F.col(c).alias(f"__u_{c}") for c in shared]
+        )
+        joined = self._df.join(right, keys, how)
+        out_cols = []
+        for c in self.columns:
+            if c in shared:
+                upd = F.col(f"__u_{c}")
+                if include_nulls:
+                    # a matched row takes other's value even when null;
+                    # unmatched rows keep their own
+                    val = F.when(F.col("__u_match"), upd).otherwise(F.col(c))
+                else:
+                    val = F.coalesce(upd, F.col(c))
+                out_cols.append(val.alias(c))
+            else:
+                out_cols.append(F.col(c))
+        return LazyFrame(joined.select(*out_cols), self._order)
+
+    def sink_batches(self, callback, *, batch_size: int = 10000) -> None:
+        """Stream result batches to a callback (reference sink_batches) —
+        driver-side iteration over Arrow batches."""
+        for batch in self.collect_batches(batch_size=batch_size):
+            callback(batch)
+
+    def sink_ipc(self, path: str) -> None:
+        """Arrow IPC (feather) sink — driver-side pyarrow write (IPC is not
+        a Spark-native sink; for scale use sink_parquet/orc)."""
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        feather.write_feather(pa.Table.from_pandas(self.collect()), path)
+
+    def sink_delta(self, path: str, *, mode: str = "error") -> None:
+        """Delta sink via the Spark connector (jar-gated like scan_delta)."""
+        try:
+            self._df.write.format("delta").mode(mode).save(path)
+        except Exception as exc:
+            raise NotImplementedError(
+                "delta-spark jar not on the classpath (set SPARK_GRAFT_PACKAGES)"
+            ) from exc
+
+    def sink_iceberg(self, table: str, *, mode: str = "error") -> None:
+        try:
+            w = self._df.writeTo(table)
+            w.createOrReplace() if mode == "overwrite" else w.create()
+        except Exception as exc:
+            raise NotImplementedError(
+                "iceberg runtime jar not on the classpath (set SPARK_GRAFT_PACKAGES)"
+            ) from exc
+
     def collect_schema(self):
         """Schema without executing the query (reference: LazyFrame.
         collect_schema) — plan analysis only, no job runs."""

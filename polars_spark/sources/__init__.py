@@ -745,7 +745,7 @@ def explain_all(lazy_frames) -> str:
     parts = []
     for i, lf in enumerate(lazy_frames):
         parts.append(f"-- frame {i} --")
-        parts.append(lf._df._jdf.queryExecution().explainString("formatted"))
+        parts.append(lf._df._jdf.queryExecution().executedPlan().toString())
     return "\n".join(parts)
 
 

