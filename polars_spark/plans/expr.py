@@ -1202,6 +1202,267 @@ class Expr:
             raise NotImplementedError("rolling_quantile: linear interpolation only")
         return self._rolling(lambda c: F.percentile(c, F.lit(quantile)), window_size, min_samples)
 
+    # -- operator-method aliases (reference expr.py: add/sub/.../xor) --------
+    def add(self, other):
+        return self.__add__(other)
+
+    def sub(self, other):
+        return self.__sub__(other)
+
+    def mul(self, other):
+        return self.__mul__(other)
+
+    def truediv(self, other):
+        return self.__truediv__(other)
+
+    def floordiv(self, other):
+        return self.__floordiv__(other)
+
+    def mod(self, other):
+        return self.__mod__(other)
+
+    def neg(self):
+        return self.__neg__()
+
+    def eq(self, other):
+        return self.__eq__(other)
+
+    def ne(self, other):
+        return self.__ne__(other)
+
+    def lt(self, other):
+        return self.__lt__(other)
+
+    def le(self, other):
+        return self.__le__(other)
+
+    def gt(self, other):
+        return self.__gt__(other)
+
+    def ge(self, other):
+        return self.__ge__(other)
+
+    def and_(self, *others):
+        out = self
+        for o in others:
+            out = out & _to_expr(o)
+        return out
+
+    def or_(self, *others):
+        out = self
+        for o in others:
+            out = out | _to_expr(o)
+        return out
+
+    def xor(self, other):
+        return self._zip(other, lambda a, b: a.cast("boolean") != b.cast("boolean"))
+
+    # -- inverse hyperbolics / misc math ------------------------------------
+    def arcsinh(self):
+        return self._map(F.asinh)
+
+    def arccosh(self):
+        return self._map(F.acosh)
+
+    def arctanh(self):
+        return self._map(F.atanh)
+
+    def cot(self):
+        return self._map(lambda c: F.cos(c) / F.sin(c))
+
+    def round_sig_figs(self, digits: int):
+        """Round to significant figures: round(x, d-1-floor(log10(|x|)))."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx).cast("double")
+            mag = F.floor(F.log10(F.abs(c)))
+            scale = F.pow(F.lit(10.0), mag - (digits - 1))
+            return F.when(c == 0, c).otherwise(F.round(c / scale) * scale)
+
+        return Expr(fn, self._name)
+
+    def is_close(self, other, *, abs_tol: float = 0.0, rel_tol: float = 1e-9, nans_equal: bool = False):
+        o = _to_expr(other)
+
+        def fn(ctx: ExprContext) -> Column:
+            a, b = self._resolve(ctx).cast("double"), o._resolve(ctx).cast("double")
+            tol = F.greatest(F.lit(abs_tol), F.lit(rel_tol) * F.greatest(F.abs(a), F.abs(b)))
+            close = F.abs(a - b) <= tol
+            if nans_equal:
+                close = close | (F.isnan(a) & F.isnan(b))
+            return close
+
+        return Expr(fn, self._name)
+
+    def dot(self, other):
+        """sum(self * other) — an aggregate (reference expr.py dot)."""
+        return (self * _to_expr(other)).sum()
+
+    def max_by(self, by):
+        """Value of self at the row where `by` is maximal (F.max_by)."""
+        b = col(by) if isinstance(by, str) else _to_expr(by)
+        e = self._zip(b, F.max_by)
+        e._is_agg = True
+        return e
+
+    def min_by(self, by):
+        b = col(by) if isinstance(by, str) else _to_expr(by)
+        e = self._zip(b, F.min_by)
+        e._is_agg = True
+        return e
+
+    def has_nulls(self):
+        return self._map(lambda c: F.max(c.isNull()), is_agg=True)
+
+    def is_empty(self):
+        return self._map(lambda c: F.count(F.lit(1)) == 0, is_agg=True)
+
+    def pipe(self, function, *args, **kwargs):
+        return function(self, *args, **kwargs)
+
+    def where(self, predicate):
+        """Alias of filter (reference expr.py where)."""
+        return self.filter(predicate)
+
+    def set_sorted(self, *, descending: bool = False):
+        """No-op flag: Spark tracks ordering in the plan (SortExec), not on
+        the column; LazyFrame.set_sorted carries the order context."""
+        return self
+
+    def rechunk(self):
+        """No-op: Tungsten memory is not chunked the way polars Series are."""
+        return self
+
+    def to_physical(self):
+        """Physical representation: Date -> days since epoch, Datetime ->
+        µs since epoch, Categorical/Enum -> the string itself (documented
+        passthrough), everything else unchanged."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            t = dict(zip(ctx.df.columns, [f.dataType.simpleString() for f in ctx.df.schema])).get(self._name)
+            if t == "date":
+                return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("int")
+            if t in ("timestamp", "timestamp_ntz"):
+                return F.unix_micros(c.cast("timestamp"))
+            return c
+
+        return Expr(fn, self._name)
+
+    def lower_bound(self):
+        """Dtype minimum as a literal (reference expr.py lower_bound)."""
+
+        def fn(ctx: ExprContext) -> Column:
+            t = dict(zip(ctx.df.columns, [f.dataType.simpleString() for f in ctx.df.schema])).get(self._name)
+            bounds = {
+                "tinyint": -128, "smallint": -32768, "int": -2147483648,
+                "bigint": -9223372036854775808,
+                "float": float("-inf"), "double": float("-inf"),
+            }
+            if t not in bounds:
+                raise ValueError(f"lower_bound undefined for dtype {t!r}")
+            return F.lit(bounds[t]).cast(t)
+
+        return Expr(fn, self._name)
+
+    def upper_bound(self):
+        def fn(ctx: ExprContext) -> Column:
+            t = dict(zip(ctx.df.columns, [f.dataType.simpleString() for f in ctx.df.schema])).get(self._name)
+            bounds = {
+                "tinyint": 127, "smallint": 32767, "int": 2147483647,
+                "bigint": 9223372036854775807,
+                "float": float("inf"), "double": float("inf"),
+            }
+            if t not in bounds:
+                raise ValueError(f"upper_bound undefined for dtype {t!r}")
+            return F.lit(bounds[t]).cast(t)
+
+        return Expr(fn, self._name)
+
+    def is_sorted(self, *, descending: bool = False):
+        """Whether the column is non-decreasing (or non-increasing) over the
+        frame order.  Lowered through the windowed-scalar prep: the per-row
+        lag comparison is materialized once, aggregated in the same single
+        pass, and broadcast back (a window cannot sit inside an aggregate)."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window()
+            prev = F.lag(c).over(w)
+            ok = (c >= prev) if not descending else (c <= prev)
+            step = F.when(prev.isNull(), F.lit(True)).otherwise(ok)
+            name = f"__wscalar_{len(ctx.preps)}__"
+            ctx.preps.append((name, step, F.min))
+            return F.col(name)
+
+        return Expr(fn, self._name)
+
+    def arg_sort(self, *, descending: bool = False):
+        """Rank permutation of this column (0-based row_number over its
+        sort order) — one window exchange."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            key = c.desc() if descending else c.asc()
+            return (F.row_number().over(Window.partitionBy(*ctx.partition_cols()).orderBy(key)) - 1).cast("bigint")
+
+        return Expr(fn, self._name)
+
+    def extend_constant(self, value, n: int):
+        """Append n copies of value to the IMPLODED list form (the agg
+        context where polars uses this)."""
+        v = _to_expr(value)
+
+        def fn(ctx: ExprContext) -> Column:
+            arr = F.collect_list(self._resolve(ctx))
+            return F.concat(arr, F.array_repeat(v._resolve(ctx), n))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def ewm_sum(self, *, alpha: float | None = None, half_life: float | None = None, span: float | None = None, adjust: bool = True):
+        """Exponentially weighted rolling sum: sum_i (1-a)^(n-1-i) x_i —
+        same prefix-scan lowering as ewm_mean without the normalization."""
+        import math as _math
+
+        if alpha is None:
+            if half_life is not None:
+                alpha = 1 - _math.exp(-_math.log(2) / half_life)
+            elif span is not None:
+                alpha = 2.0 / (span + 1)
+            else:
+                raise ValueError("ewm_sum needs alpha, half_life, or span")
+        a = float(alpha)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx).cast("double")
+            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
+            n = F.count(c).over(w)
+            # sum over window of x_i * (1-a)^(n-1-i): use position index
+            pos = F.row_number().over(ctx.order_window())
+            # weight depends on both row and current n -> express as
+            # (1-a)^(n-1) * sum((1-a)^(-(i-1)) x_i); guard overflow with logs
+            scaled = c * F.pow(F.lit(1 - a), -(pos.cast("double") - 1))
+            s = F.sum(scaled).over(w)
+            return s * F.pow(F.lit(1 - a), n.cast("double") - 1)
+
+        return Expr(fn, self._name)
+
+    def rolling_std_by(self, by, window_size: str, *, min_samples: int = 1, ddof: int = 1):
+        f = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._rolling_by(f, by, window_size, min_samples)
+
+    def rolling_var_by(self, by, window_size: str, *, min_samples: int = 1, ddof: int = 1):
+        f = F.var_samp if ddof == 1 else F.var_pop
+        return self._rolling_by(f, by, window_size, min_samples)
+
+    def rolling_median_by(self, by, window_size: str, *, min_samples: int = 1):
+        # median() is aggregate-only in Spark; percentile(.5) is the
+        # window-frame-compatible equivalent
+        return self._rolling_by(lambda c: F.percentile(c, F.lit(0.5)), by, window_size, min_samples)
+
+    def rolling_quantile_by(self, by, window_size: str, *, quantile: float, min_samples: int = 1):
+        return self._rolling_by(lambda c: F.percentile(c, F.lit(quantile)), by, window_size, min_samples)
+
     def rolling_sum_by(self, by, window_size: str, *, min_samples: int = 1):
         return self._rolling_by(F.sum, by, window_size, min_samples)
 

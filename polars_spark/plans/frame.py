@@ -153,7 +153,17 @@ class LazyFrame:
         columns are dropped (or simply not selected) by the caller."""
         if not getattr(ctx, "preps", None):
             return self._df
-        scal = self._df.agg(*[a.alias(n) for n, a in ctx.preps])
+        plain = [p for p in ctx.preps if len(p) == 2]
+        wind = [p for p in ctx.preps if len(p) == 3]
+        base = self._df
+        if wind:
+            # window-dependent scalars (is_sorted, ...): materialize the
+            # windowed column first, aggregate it in the same single pass
+            base = self._df.select("*", *[w.alias(f"{n}__in") for n, w, _ in wind])
+        scal = base.agg(
+            *[a.alias(n) for n, a in plain],
+            *[fn(F.col(f"{n}__in")).alias(n) for n, _, fn in wind],
+        )
         return self._df.crossJoin(F.broadcast(scal))
 
     def _resolve_exprs(
@@ -216,7 +226,7 @@ class LazyFrame:
                 mapping[name] = _to_expr(e)._resolve(ctx)
             out = self._with_scalar_preps(ctx).withColumns(mapping)
         if ctx.preps:
-            out = out.drop(*[n for n, _ in ctx.preps])
+            out = out.drop(*[p[0] for p in ctx.preps])
         return LazyFrame(out, self._order)
 
     def with_columns_seq(self, *exprs, **named) -> "LazyFrame":
@@ -305,7 +315,7 @@ class LazyFrame:
                 cond = c if cond is None else (cond & c)
             out = self._with_scalar_preps(ctx).filter(cond)
         if ctx.preps:
-            out = out.drop(*[n for n, _ in ctx.preps])
+            out = out.drop(*[p[0] for p in ctx.preps])
         return LazyFrame(out, self._order)
 
     def remove(self, *predicates, **constraints) -> "LazyFrame":

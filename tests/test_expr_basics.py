@@ -194,3 +194,71 @@ def test_sql_expr(pl, lf):
     # default name = root identifier (polars keeps the column name)
     out2 = lf(price=[2.0]).select(pl.sql_expr("price * 3")).collect()
     assert out2.columns.tolist() == ["price"] and out2["price"].tolist() == [6.0]
+
+
+def test_expr_operator_aliases(pl, lf):
+    f = lf(a=[4.0, 9.0], b=[2.0, 3.0])
+    out = f.select(
+        pl.col("a").add(1).alias("p"),
+        pl.col("a").sub("b").alias("m") if False else pl.col("a").sub(pl.col("b")).alias("m"),
+        pl.col("a").truediv(pl.col("b")).alias("d"),
+        pl.col("a").ge(4.0).alias("ge"),
+        pl.col("a").eq(9.0).alias("eq"),
+        (pl.col("a") > 5).xor(pl.col("b") > 5).alias("x"),
+        pl.col("a").neg().alias("n"),
+    ).collect()
+    r = out.to_dict("records")[0]
+    assert r == {"p": 5.0, "m": 2.0, "d": 2.0, "ge": True, "eq": False, "x": False, "n": -4.0}
+
+
+def test_expr_math_and_bounds(pl, lf):
+    import math
+
+    f = lf(x=[2.0], i=[7])
+    r = f.select(
+        pl.col("x").arccosh().alias("ach"),
+        pl.col("x").cot().alias("cot"),
+        pl.lit(12345.0).round_sig_figs(2).alias("sf"),
+        pl.col("i").upper_bound().alias("ub"),
+        pl.col("i").lower_bound().alias("lb"),
+    ).collect().to_dict("records")[0]
+    assert abs(r["ach"] - math.acosh(2)) < 1e-12
+    assert abs(r["cot"] - 1 / math.tan(2)) < 1e-12
+    assert r["sf"] == 12000.0
+    assert r["ub"] == 9223372036854775807 and r["lb"] == -9223372036854775808
+
+
+def test_expr_by_aggs_and_rolling_by(pl, lf):
+    import pandas as pd
+
+    f = lf(
+        g=["a", "a", "a", "b"],
+        t=pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00", "2024-01-01 00:00"]),
+        v=[1.0, 5.0, 3.0, 7.0],
+    ).set_sorted("t")
+    agg = f.group_by("g").agg(
+        pl.col("t").max_by("v").alias("t_at_max"),
+        pl.col("v").min_by("v").alias("vmin"),
+    ).sort("g").collect()
+    assert str(agg["t_at_max"][0]) == "2024-01-01 00:10:00"
+    roll = f.with_columns(
+        pl.col("v").rolling_std_by("t", "30m").over("g").alias("rs"),
+        pl.col("v").rolling_median_by("t", "30m").over("g").alias("rm"),
+    ).sort("g", "t").collect()
+    assert roll["rm"].tolist()[1] == 3.0  # median(1,5)
+    import math
+    assert abs(roll["rs"].tolist()[1] - math.sqrt(8.0)) < 1e-9  # std(1,5)
+
+
+def test_ewm_sum_matches_recurrence(pl, lf):
+    f = lf(i=[1, 2, 3, 4], x=[1.0, 2.0, 3.0, 4.0]).set_sorted("i")
+    es = f.select(pl.col("x").ewm_sum(alpha=0.5).alias("es"), pl.col("i").alias("i")).sort("i").collect()
+    assert es["es"].tolist() == [1.0, 2.5, 4.25, 6.125]
+
+
+def test_is_sorted_and_arg_sort(pl, lf):
+    f = lf(i=[1, 2, 3], x=[3.0, 1.0, 2.0]).set_sorted("i")
+    assert f.select(pl.col("i").is_sorted().alias("s")).collect()["s"].tolist() == [True] * 3
+    assert f.select(pl.col("x").is_sorted().alias("s")).collect()["s"].tolist() == [False] * 3
+    out = f.with_columns(pl.col("x").arg_sort().alias("r")).sort("x").collect()
+    assert out["r"].tolist() == [0, 1, 2]
