@@ -1463,6 +1463,195 @@ class Expr:
     def rolling_quantile_by(self, by, window_size: str, *, quantile: float, min_samples: int = 1):
         return self._rolling_by(lambda c: F.percentile(c, F.lit(quantile)), by, window_size, min_samples)
 
+    # -- agg-context list family (reference: these exprs are length-changing;
+    # inside group_by().agg() polars yields LIST results, which is exactly
+    # Spark's collect_list world — all lowered over the order-preserving
+    # implode and documented as agg-context operators) -----------------------
+
+    def _implode_map(self, f, name=None):
+        im = self.implode()
+        return Expr(lambda ctx: f(im._resolve(ctx)), name or self._name, is_agg=True)
+
+    def sort(self, *, descending: bool = False, nulls_last: bool = False):
+        """Sorted values (agg context -> sorted list; polars null-smallest
+        rule: asc puts nulls first, desc puts them last)."""
+        if not descending:
+            return self._implode_map(F.array_sort)
+        return self._implode_map(lambda c: F.reverse(F.array_sort(c)))
+
+    def sort_by(self, by, *, descending: bool = False):
+        """Values sorted by another expression (agg context)."""
+        b = col(by) if isinstance(by, str) else _to_expr(by)
+
+        def fn(ctx: ExprContext) -> Column:
+            pairs = F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v")))
+            arr = F.array_sort(pairs)
+            if descending:
+                arr = F.reverse(arr)
+            return F.transform(arr, lambda s: s.getField("__v"))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def reverse(self):
+        return self._implode_map(F.reverse)
+
+    def top_k(self, k: int = 5):
+        return self._implode_map(lambda c: F.slice(F.reverse(F.array_sort(c)), 1, k))
+
+    def bottom_k(self, k: int = 5):
+        return self._implode_map(lambda c: F.slice(F.array_sort(c), 1, k))
+
+    def top_k_by(self, by, k: int = 5):
+        b = col(by) if isinstance(by, str) else _to_expr(by)
+
+        def fn(ctx: ExprContext) -> Column:
+            pairs = F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v")))
+            return F.transform(F.slice(F.reverse(F.array_sort(pairs)), 1, k), lambda s: s.getField("__v"))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def bottom_k_by(self, by, k: int = 5):
+        b = col(by) if isinstance(by, str) else _to_expr(by)
+
+        def fn(ctx: ExprContext) -> Column:
+            pairs = F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v")))
+            return F.transform(F.slice(F.array_sort(pairs), 1, k), lambda s: s.getField("__v"))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def limit(self, n: int = 10):
+        return self._implode_map(lambda c: F.slice(c, 1, n))
+
+    def slice(self, offset: int, length: int | None = None):
+        def f(c):
+            if offset >= 0:
+                start = offset + 1
+                return F.slice(c, start, length) if length is not None else F.slice(c, start, F.size(c))
+            start = F.greatest(F.size(c) + offset + 1, F.lit(1))
+            ln = F.lit(length) if length is not None else F.size(c)
+            return F.slice(c, start, ln)
+
+        return self._implode_map(f)
+
+    def gather(self, indices):
+        idx = indices if isinstance(indices, (list, tuple)) else None
+
+        def f(c):
+            if idx is not None:
+                return F.array(*[F.get(c, int(i)) for i in idx])
+            raise NotImplementedError("gather(expr) in agg context: pass a literal index list")
+
+        return self._implode_map(f)
+
+    def get(self, index: int):
+        """Value at position `index` of the (order-preserving) imploded
+        group — agg context."""
+        return self._implode_map(lambda c: F.get(c, index))
+
+    def index_of(self, value):
+        """0-based position of the first occurrence (null when absent)."""
+        v = _to_expr(value)
+
+        def fn(ctx: ExprContext) -> Column:
+            im = self.implode()._resolve(ctx)
+            pos = F.array_position(im, v._resolve(ctx))
+            return F.when(pos > 0, pos - 1).cast("bigint")
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def append(self, other):
+        o = col(other) if isinstance(other, str) else _to_expr(other)
+
+        def fn(ctx: ExprContext) -> Column:
+            return F.concat(self.implode()._resolve(ctx), o.implode()._resolve(ctx))
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def flatten(self):
+        """Implode then flatten one nesting level (alias family of
+        explode-in-agg: list-of-lists -> list)."""
+        return self._implode_map(F.flatten)
+
+    def drop_nans(self):
+        return self._implode_map(lambda c: F.filter(c, lambda v: ~F.isnan(v)))
+
+    def rle(self):
+        """Run-length encoding of the ordered group: list of structs
+        {len, value} — an aggregate fold over the imploded array."""
+
+        def f(arr):
+            def step(acc, v):
+                last = F.element_at(acc, -1)
+                same = last.isNotNull() & (
+                    last.getField("value").eqNullSafe(v)
+                )
+                grown = F.concat(
+                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                    F.array(F.struct((last.getField("len") + 1).alias("len"), last.getField("value").alias("value"))),
+                )
+                appended = F.concat(acc, F.array(F.struct(F.lit(1).cast("bigint").alias("len"), v.alias("value"))))
+                return F.when(F.size(acc) == 0, appended).otherwise(
+                    F.when(same, grown).otherwise(appended)
+                )
+
+            zero = F.expr("array()").cast("array<struct<len:bigint,value:double>>")
+            return F.aggregate(arr.cast("array<double>"), zero, step)
+
+        return self._implode_map(f)
+
+    def bitwise_leading_zeros(self):
+        """Exact leading-zero count for 64-bit ints via the binary-string
+        representation (bin() drops leading zeros for non-negatives)."""
+
+        def f(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx).cast("bigint")
+            return (
+                F.when(c == 0, F.lit(64))
+                .when(c < 0, F.lit(0))
+                .otherwise(64 - F.length(F.bin(c)))
+                .cast("int")
+            )
+
+        return Expr(f, self._name)
+
+    def bitwise_trailing_zeros(self):
+        def f(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx).cast("bigint")
+            low = c.bitwiseAND(-c)  # lowest set bit
+            return (
+                F.when(c == 0, F.lit(64))
+                .otherwise(F.length(F.bin(low)) - 1)
+                .cast("int")
+            )
+
+        return Expr(f, self._name)
+
+    def bitwise_leading_ones(self):
+        def f(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx).cast("bigint")
+            inv = c.bitwiseXOR(F.lit(-1).cast("bigint"))
+            return (
+                F.when(inv == 0, F.lit(64))
+                .when(inv < 0, F.lit(0))
+                .otherwise(64 - F.length(F.bin(inv)))
+                .cast("int")
+            )
+
+        return Expr(f, self._name)
+
+    def bitwise_trailing_ones(self):
+        def f(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx).cast("bigint")
+            inv = c.bitwiseXOR(F.lit(-1).cast("bigint"))
+            low = inv.bitwiseAND(-inv)
+            return (
+                F.when(inv == 0, F.lit(64))
+                .otherwise(F.length(F.bin(low)) - 1)
+                .cast("int")
+            )
+
+        return Expr(f, self._name)
+
     def rolling_sum_by(self, by, window_size: str, *, min_samples: int = 1):
         return self._rolling_by(F.sum, by, window_size, min_samples)
 

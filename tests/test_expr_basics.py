@@ -262,3 +262,47 @@ def test_is_sorted_and_arg_sort(pl, lf):
     assert f.select(pl.col("x").is_sorted().alias("s")).collect()["s"].tolist() == [False] * 3
     out = f.with_columns(pl.col("x").arg_sort().alias("r")).sort("x").collect()
     assert out["r"].tolist() == [0, 1, 2]
+
+
+def test_expr_agg_list_family(pl, lf):
+    f = lf(g=["a"] * 5, i=[1, 2, 3, 4, 5], x=[3.0, 1.0, 1.0, 5.0, 2.0]).set_sorted("i")
+    out = (
+        f.group_by("g")
+        .agg(
+            pl.col("x").sort().alias("s"),
+            pl.col("x").top_k(2).alias("tk"),
+            pl.col("x").bottom_k(2).alias("bk"),
+            pl.col("x").get(0).alias("g0"),
+            pl.col("x").index_of(5.0).alias("io"),
+            pl.col("x").index_of(99.0).alias("io_none"),
+            pl.col("x").slice(-2, 2).alias("sl"),
+            pl.col("x").sort_by(pl.col("i"), descending=True).alias("sb"),
+            pl.col("x").reverse().alias("rv"),
+            pl.col("x").rle().alias("rle"),
+        )
+        .collect()
+        .to_dict("records")[0]
+    )
+    assert list(out["s"]) == [1.0, 1.0, 2.0, 3.0, 5.0]
+    assert list(out["tk"]) == [5.0, 3.0] and list(out["bk"]) == [1.0, 1.0]
+    import pandas as pd
+
+    assert out["g0"] == 3.0 and out["io"] == 3 and pd.isna(out["io_none"])
+    assert list(out["sl"]) == [5.0, 2.0]
+    assert list(out["sb"]) == [2.0, 5.0, 1.0, 1.0, 3.0]
+    assert list(out["rv"]) == [2.0, 5.0, 1.0, 1.0, 3.0]
+    assert [(r["len"], r["value"]) for r in out["rle"]] == [(1, 3.0), (2, 1.0), (1, 5.0), (1, 2.0)]
+
+
+def test_bitwise_leading_trailing(pl, lf):
+    f = lf(n=[0, 1, 8, -1, 6])
+    out = f.select(
+        pl.col("n").bitwise_leading_zeros().alias("lz"),
+        pl.col("n").bitwise_trailing_zeros().alias("tz"),
+        pl.col("n").bitwise_leading_ones().alias("lo"),
+        pl.col("n").bitwise_trailing_ones().alias("to"),
+    ).collect()
+    assert out["lz"].tolist() == [64, 63, 60, 0, 61]
+    assert out["tz"].tolist() == [64, 0, 3, 0, 1]
+    assert out["lo"].tolist() == [0, 0, 0, 64, 0]
+    assert out["to"].tolist() == [0, 1, 0, 64, 0]
