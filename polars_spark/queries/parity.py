@@ -375,3 +375,44 @@ def io_pyarrow_dataset(spark, sf_dir):
         .agg(pl.len().alias("n"), pl.col("n_nationkey").sum().alias("keysum"))
         .to_spark()
     )
+
+
+@query(
+    "agg_list_family",
+    # The length-changing exprs (sort/top_k/slice/get) in agg context yield
+    # lists; money goes through integer cents so list equality is exact.
+    oracle="""
+    WITH t AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+      FROM customer
+    )
+    SELECT c_nationkey,
+           list_sort(list(balc))                                   AS sorted_bals,
+           list_sort(list(balc), 'DESC')[1:2]                      AS top2,
+           list_sort(list(balc))[1:2]                              AS bottom2,
+           (list(balc ORDER BY c_custkey))[1]                      AS first_bal,
+           (list(balc ORDER BY c_custkey))[-2:]                    AS last2_in_order
+    FROM t GROUP BY c_nationkey
+    """,
+)
+def agg_list_family(spark, sf_dir):
+    """Agg-context list family (sort/top_k/bottom_k/get/slice over the
+    order-preserving implode) — reference length-changing exprs inside
+    group_by().agg()."""
+    cust = (
+        ltable(spark, sf_dir, "customer")
+        .sort("c_custkey")
+        .with_columns((pl.col("c_acctbal") * 100).round(0).cast("bigint").alias("balc"))
+    )
+    return (
+        cust.group_by("c_nationkey")
+        .agg(
+            pl.col("balc").sort().alias("sorted_bals"),
+            pl.col("balc").top_k(2).alias("top2"),
+            pl.col("balc").bottom_k(2).alias("bottom2"),
+            pl.col("balc").get(0).alias("first_bal"),
+            pl.col("balc").slice(-2, 2).alias("last2_in_order"),
+        )
+        .to_spark()
+    )
