@@ -153,6 +153,33 @@ class StringNamespace(_NS):
     def len_bytes(self) -> Expr:
         return self._map(F.octet_length)
 
+    def join(self, delimiter: str = "", *, ignore_nulls: bool = True) -> Expr:
+        """Concatenate all values of the group into one string (agg) —
+        order-preserving via the imploded list."""
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            arr = e.implode()._resolve(ctx)
+            if ignore_nulls:
+                arr = F.filter(arr, lambda v: v.isNotNull())
+            return F.array_join(arr, delimiter)
+
+        return Expr(fn, e._name, is_agg=True)
+
+    def concat(self, delimiter: str = "", *, ignore_nulls: bool = True) -> Expr:
+        """Deprecated polars alias of join."""
+        return self.join(delimiter, ignore_nulls=ignore_nulls)
+
+    def extract_many(self, patterns: list[str], *, overlapping: bool = False) -> Expr:
+        """All occurrences of any of the LITERAL patterns, in order —
+        lowered as an escaped-alternation regexp_extract_all (the polars
+        impl is Aho-Corasick; same result set for non-overlapping
+        matches)."""
+        import re as _re
+
+        alt = "|".join(_re.escape(p) for p in patterns)
+        return self._map(lambda c: F.regexp_extract_all(c, F.lit(f"({alt})"), 1))
+
     # -- case ----------------------------------------------------------------
     def to_lowercase(self) -> Expr:
         return self._map(F.lower)
@@ -469,6 +496,7 @@ class StringNamespace(_NS):
             return self._map(F.unbase64)
         raise ValueError(encoding)
 
+
     # -- misc ------------------------------------------------------------
     def normalize(self, form: str = "NFC") -> Expr:
         """Unicode normalization via stdlib unicodedata, shipped as an
@@ -502,6 +530,96 @@ class StringNamespace(_NS):
 class DateTimeNamespace(_NS):
     def year(self) -> Expr:
         return self._map(F.year)
+
+    def century(self) -> Expr:
+        return self._map(lambda c: ((F.year(c) - 1) / 100 + 1).cast("int"))
+
+    def millennium(self) -> Expr:
+        return self._map(lambda c: ((F.year(c) - 1) / 1000 + 1).cast("int"))
+
+    def days_in_month(self) -> Expr:
+        return self._map(lambda c: F.dayofmonth(F.last_day(c)))
+
+    def is_business_day(self) -> Expr:
+        """ISO weekday Mon-Fri (polars default week_mask, no holidays)."""
+        return self._map(lambda c: ((F.dayofweek(c) + 5) % 7 + 1) <= 5)
+
+    def add_business_days(self, n: int) -> Expr:
+        """Add n business days (literal n, default Mon-Fri mask): generate
+        the candidate day window, keep business days, take the nth — all
+        JVM-side array ops, no UDF."""
+        if not isinstance(n, int):
+            raise NotImplementedError("add_business_days: literal integer n only")
+        span = abs(n) * 2 + 7
+
+        def fn(c):
+            d = F.to_date(c)
+            if n >= 0:
+                days = F.sequence(d, F.date_add(d, span))
+            else:
+                days = F.reverse(F.sequence(F.date_sub(d, span), d))
+            wd = lambda x: (F.dayofweek(x) + 5) % 7 + 1
+            biz = F.filter(days, lambda x: wd(x) <= 5)
+            # element 0 is the start day when it is a business day; polars
+            # counts n days from the start (roll behavior for non-business
+            # starts is 'raise' — here the next business day stands in)
+            return F.get(biz, abs(n))
+
+        return self._map(fn)
+
+    def replace(self, *, year=None, month=None, day=None, hour=None, minute=None, second=None, microsecond=None) -> Expr:
+        """Replace date/time components (reference dt.replace)."""
+
+        def fn(c):
+            ts = c.cast("timestamp")
+            y = F.lit(year) if year is not None else F.year(ts)
+            mo = F.lit(month) if month is not None else F.month(ts)
+            d = F.lit(day) if day is not None else F.dayofmonth(ts)
+            h = F.lit(hour) if hour is not None else F.hour(ts)
+            mi = F.lit(minute) if minute is not None else F.minute(ts)
+            us_in_min = _us(ts) % 60_000_000
+            if second is not None or microsecond is not None:
+                sec_part = F.lit(float(second or 0) + float(microsecond or 0) / 1e6)
+            else:
+                sec_part = us_in_min.cast("double") / 1e6
+            return F.make_timestamp_ntz(y, mo, d, h, mi, sec_part)
+
+        return self._map(fn)
+
+    def datetime(self) -> Expr:
+        """The value as Datetime (cast to timestamp)."""
+        return self._map(lambda c: c.cast("timestamp_ntz"))
+
+    def combine(self, time, time_unit: str = "us") -> Expr:
+        """Date part + a time-of-day (bigint ns since midnight, the §1.2
+        Time mapping, or a literal datetime.time) -> Datetime."""
+        import datetime as _dt
+
+        if isinstance(time, _dt.time):
+            ns = (time.hour * 3600 + time.minute * 60 + time.second) * 1_000_000_000 + time.microsecond * 1000
+            t = _to_expr(ns)
+        else:
+            t = _to_expr(time)
+
+        def fn(ctx: ExprContext) -> Column:
+            d = F.to_date(self._e._resolve(ctx))
+            day_us = _us(d.cast("timestamp"))
+            tns = t._resolve(ctx).cast("bigint")
+            return F.timestamp_micros(day_us + F.floor(tns / 1000).cast("bigint"))
+
+        return Expr(fn, self._e._name)
+
+    def cast_time_unit(self, time_unit: str) -> Expr:
+        """No-op: the Spark mapping stores every Datetime at fixed us
+        precision (§1.2); ns inputs are normalized at scan time."""
+        return self._e
+
+    def with_time_unit(self, time_unit: str) -> Expr:
+        raise NotImplementedError(
+            "with_time_unit reinterprets the physical int64 under a different "
+            "unit; the Spark mapping is fixed-us — use dt.timestamp() + "
+            "arithmetic for reinterpretation"
+        )
 
     def iso_year(self) -> Expr:
         # ISO year = calendar year of that week's Thursday
@@ -688,6 +806,12 @@ class DateTimeNamespace(_NS):
     def total_milliseconds(self) -> Expr:
         return self._total(1_000)
 
+    def total_nanoseconds(self) -> Expr:
+        def fn(ctx: ExprContext) -> Column:
+            return (self._total(1)._resolve(ctx) * 1000).cast("bigint")
+
+        return Expr(fn, self._e._name)
+
     def total_microseconds(self) -> Expr:
         return self._total(1)
 
@@ -717,6 +841,44 @@ class ListNamespace(_NS):
             lambda ctx: F.array_contains(self._e._resolve(ctx), it._resolve(ctx)),
             self._e._name,
         )
+
+    def drop_nulls(self) -> Expr:
+        return self._map(lambda c: F.filter(c, lambda v: v.isNotNull()))
+
+    def gather_every(self, n: int, offset: int = 0) -> Expr:
+        return self._map(
+            lambda c: F.filter(c, lambda v, i: ((i - offset) % n == 0) & (i >= offset))
+        )
+
+    def item(self) -> Expr:
+        """The single element of a 1-element list (null when the length
+        differs — polars raises; per-row raising is not expressible)."""
+        return self._map(lambda c: F.when(F.size(c) == 1, F.get(c, 0)))
+
+    def to_array(self, width: int | None = None) -> Expr:
+        """Identity: §1.2 maps polars Array to Spark array (same storage)."""
+        return self._e
+
+    def std(self, ddof: int = 1) -> Expr:
+        def f(c):
+            arr = F.filter(c.cast("array<double>"), lambda v: v.isNotNull())
+            n = F.size(arr)
+            s = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
+            s2 = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)
+            var = (s2 - s * s / n) / (n - ddof)
+            return F.when(n > ddof, F.sqrt(var))
+
+        return self._map(f)
+
+    def var(self, ddof: int = 1) -> Expr:
+        def f(c):
+            arr = F.filter(c.cast("array<double>"), lambda v: v.isNotNull())
+            n = F.size(arr)
+            s = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
+            s2 = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)
+            return F.when(n > ddof, (s2 - s * s / n) / (n - ddof))
+
+        return self._map(f)
 
     def _nn(self, c: Column) -> Column:
         return F.filter(c, lambda x: x.isNotNull())
@@ -971,6 +1133,18 @@ class StructNamespace(_NS):
 
         return Expr(fn, self._e._name)
 
+    def drop(self, *names) -> Expr:
+        """Struct without the named fields (Column.dropFields)."""
+        flat = []
+        for n in names:
+            flat.extend(n) if isinstance(n, (list, tuple)) else flat.append(n)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._e._resolve(ctx)
+            return c.dropFields(*flat)
+
+        return Expr(fn, self._e._name)
+
     def rename_fields(self, names: list[str]) -> Expr:
         e = self._e
 
@@ -1027,6 +1201,29 @@ class BinaryNamespace(_NS):
 
     def size(self) -> Expr:
         return self._map(F.octet_length)
+    def get(self, index: int) -> Expr:
+        """Byte at position (as a 1-byte binary; null when out of bounds)."""
+        if index >= 0:
+            return self._map(lambda c: F.when(F.octet_length(c) > index, F.substring(c, index + 1, 1)))
+        return self._map(
+            lambda c: F.when(F.octet_length(c) >= -index, F.substring(c, F.octet_length(c) + index + 1, 1))
+        )
+
+    def head(self, n: int = 10) -> Expr:
+        return self._map(lambda c: F.substring(c, 1, n))
+
+    def tail(self, n: int = 10) -> Expr:
+        return self._map(lambda c: F.when(F.octet_length(c) <= n, c).otherwise(F.substring(c, -n, n)))
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        def f(c):
+            ln = F.lit(length) if length is not None else F.octet_length(c)
+            if offset >= 0:
+                return F.substring(c, offset + 1, ln)
+            start = F.greatest(F.octet_length(c) + offset + 1, F.lit(1))
+            return F.substring(c, start, ln)
+
+        return self._map(f)
 
     def encode(self, encoding: str) -> Expr:
         if encoding == "hex":
@@ -1058,6 +1255,29 @@ class CatNamespace(_NS):
 
     def get_categories(self) -> Expr:
         raise NotImplementedError("cat.get_categories: use frame.select(col).unique()")
+
+    # string-delegating surface: Categorical IS StringType here (§1.2), so
+    # the cat string accessors are the str ones
+    def starts_with(self, prefix) -> Expr:
+        return StringNamespace(self._e).starts_with(prefix)
+
+    def ends_with(self, suffix) -> Expr:
+        return StringNamespace(self._e).ends_with(suffix)
+
+    def len_bytes(self) -> Expr:
+        return StringNamespace(self._e).len_bytes()
+
+    def len_chars(self) -> Expr:
+        return StringNamespace(self._e).len_chars()
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        return StringNamespace(self._e).slice(offset, length)
+
+    def physical(self) -> Expr:
+        """Physical representation — the string itself (no dictionary
+        encoding at this layer; parquet/Tungsten dictionary-encode
+        transparently)."""
+        return self._e
 
 
 # ---------------------------------------------------------------------------

@@ -449,3 +449,76 @@ def test_enum_cast_validation(pl, lf):
     # strict: raises at execution
     with _pytest.raises(Exception, match="enum"):
         bad.select(pl.col("s").cast(dt).alias("e")).collect()
+
+
+def test_str_join_and_extract_many(pl, lf):
+    f = lf(g=["a", "a", "b"], s=["x", "y", "z"]).set_sorted("s")
+    out = f.group_by("g").agg(pl.col("s").str.join("-").alias("j")).sort("g").collect()
+    assert out["j"].tolist() == ["x-y", "z"]
+    f2 = lf(s=["the cat and the dog"])
+    em = f2.select(pl.col("s").str.extract_many(["cat", "dog", "the"]).alias("m")).collect()
+    assert list(em["m"][0]) == ["the", "cat", "the", "dog"]
+
+
+def test_dt_new_accessors(pl, lf):
+    import pandas as pd
+
+    f = lf(t=pd.to_datetime(["2024-02-15 10:30:45"]))
+    r = f.select(
+        pl.col("t").dt.century().alias("c"),
+        pl.col("t").dt.millennium().alias("m"),
+        pl.col("t").dt.days_in_month().alias("dim"),
+        pl.col("t").dt.is_business_day().alias("biz"),
+        pl.col("t").dt.add_business_days(3).alias("abd"),
+        pl.col("t").dt.replace(year=2000, minute=0).alias("rep"),
+    ).collect().to_dict("records")[0]
+    assert (r["c"], r["m"], r["dim"], r["biz"]) == (21, 3, 29, True)
+    assert str(r["abd"]) == "2024-02-20"
+    assert str(r["rep"]) == "2000-02-15 10:00:45"
+
+
+def test_list_std_var_item_gather_every(pl, lf):
+    import math
+
+    f = lf(l=[[1.0, 5.0, 3.0, None]], one=[[7.0]])
+    r = f.select(
+        pl.col("l").list.std().alias("sd"),
+        pl.col("l").list.var().alias("vr"),
+        pl.col("l").list.drop_nulls().alias("dn"),
+        pl.col("l").list.gather_every(2).alias("ge"),
+        pl.col("one").list.item().alias("it"),
+        pl.col("l").list.item().alias("it_bad"),
+    ).collect().to_dict("records")[0]
+    assert abs(r["vr"] - 4.0) < 1e-12 and abs(r["sd"] - 2.0) < 1e-12
+    assert list(r["dn"]) == [1.0, 5.0, 3.0]
+    assert list(r["ge"]) == [1.0, 3.0]
+    assert r["it"] == 7.0
+    import pandas as pd
+
+    assert pd.isna(r["it_bad"])
+
+
+def test_bin_byte_ops(pl, lf):
+    f = lf(h=["68656c6c6f"]).with_columns(pl.col("h").str.decode("hex").alias("raw"))
+    r = f.select(
+        pl.col("raw").bin.get(0).alias("g0"),
+        pl.col("raw").bin.get(-1).alias("gl"),
+        pl.col("raw").bin.head(2).alias("hd"),
+        pl.col("raw").bin.tail(2).alias("tl"),
+        pl.col("raw").bin.slice(1, 3).alias("sl"),
+        pl.col("raw").bin.get(99).alias("oob"),
+    ).collect().to_dict("records")[0]
+    assert bytes(r["g0"]) == b"h" and bytes(r["gl"]) == b"o"
+    assert bytes(r["hd"]) == b"he" and bytes(r["tl"]) == b"lo" and bytes(r["sl"]) == b"ell"
+    assert r["oob"] is None
+
+
+def test_struct_drop_and_cat_delegation(pl, lf):
+    f = lf(s=["hello"]).with_columns(pl.struct(a=pl.lit(1), b=pl.lit(2), c=pl.lit(3)).alias("st"))
+    assert f.select(pl.col("st").struct.drop("b", "c").alias("d")).collect()["d"].tolist() == [{"a": 1}]
+    r = f.select(
+        pl.col("s").cat.starts_with("he").alias("sw"),
+        pl.col("s").cat.len_chars().alias("lc"),
+        pl.col("s").cat.physical().alias("ph"),
+    ).collect().to_dict("records")[0]
+    assert r == {"sw": True, "lc": 5, "ph": "hello"}
