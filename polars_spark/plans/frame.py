@@ -1380,9 +1380,14 @@ class LazyGroupBy:
             seen = F.min(F.struct(*[F.col(o[0]) for o in self._lf._order])).alias("__seen__")
             df = self._grouped().agg(*aggs, seen)
             df = df.orderBy("__seen__").drop("__seen__")
-            return LazyFrame(df, [])
+            return self._apply_having(LazyFrame(df, []), ctx)
         df = self._grouped().agg(*aggs)
-        return LazyFrame(df, [])
+        return self._apply_having(LazyFrame(df, []), ctx)
+
+    def _apply_having(self, out: LazyFrame, ctx) -> LazyFrame:
+        for p in getattr(self, "_having", []):
+            out = out.filter(p)
+        return out
 
     def len(self, name: str = "len") -> LazyFrame:
         df = self._lf._df.groupBy(*self._key_cols()).agg(F.count(F.lit(1)).alias(name))
@@ -1421,6 +1426,60 @@ class LazyGroupBy:
 
     def last(self) -> LazyFrame:
         return self._all_agg(F.last)
+
+    def quantile(self, q: float, interpolation: str = "linear") -> LazyFrame:
+        return self._all_agg(lambda c: F.percentile(c, q))
+
+    def all(self) -> LazyFrame:
+        """Implode every non-key column (order-preserving collect_list)."""
+        names = [k for k in self._keys if isinstance(k, str)] + list(self._named)
+        rest = [c for c in self._lf.columns if c not in names]
+        from polars_spark.plans.expr import col as _col
+
+        return self.agg(*[_col(c).implode().alias(c) for c in rest])
+
+    def head(self, n: int = 5) -> LazyFrame:
+        """First n rows of each group over the frame order — one window
+        exchange keyed by the group keys."""
+        from pyspark.sql import Window
+
+        keys = [k for k in self._keys if isinstance(k, str)]
+        ctx = self._lf._ctx()
+        order = ctx.order_by_cols() if ctx.order_cols else [F.monotonically_increasing_id()]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        df = (
+            self._lf._df.withColumn("__gh__", F.row_number().over(w))
+            .filter(F.col("__gh__") <= n)
+            .drop("__gh__")
+        )
+        return LazyFrame(df, self._lf._order)
+
+    def tail(self, n: int = 5) -> LazyFrame:
+        from pyspark.sql import Window
+
+        keys = [k for k in self._keys if isinstance(k, str)]
+        ctx = self._lf._ctx()
+        order = (
+            ctx.order_by_cols(reverse=True)
+            if ctx.order_cols
+            else [F.monotonically_increasing_id().desc()]
+        )
+        w = Window.partitionBy(*keys).orderBy(*order)
+        df = (
+            self._lf._df.withColumn("__gt__", F.row_number().over(w))
+            .filter(F.col("__gt__") <= n)
+            .drop("__gt__")
+        )
+        return LazyFrame(df, self._lf._order)
+
+    def having(self, *predicates) -> "LazyGroupBy":
+        """SQL-style HAVING: filter applied after agg — returns a wrapper
+        whose agg() chains the filter (Spark pushes it into the same
+        aggregate stage)."""
+        gb = LazyGroupBy(self._lf, self._keys, self._named, self._maintain)
+        gb._mode = self._mode
+        gb._having = list(predicates)
+        return gb
 
     def map_groups(self, function, schema) -> LazyFrame:
         """polars GroupBy.map_groups (DslPlan::GroupBy.apply) -> applyInPandas."""

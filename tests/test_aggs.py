@@ -137,3 +137,22 @@ def test_head_tail_in_agg(pl, lf):
     ).collect().sort_values("g", ignore_index=True)
     assert list(pdf["h"][0]) == [1, 2] and list(pdf["t"][0]) == [2, 3]
     assert list(pdf["h"][1]) == [9] and list(pdf["t"][1]) == [9]
+
+
+def test_groupby_quantile_all_head_tail_having(pl, lf):
+    f = lf(g=["a", "a", "a", "b", "b"], i=[1, 2, 3, 4, 5], x=[1.0, 2.0, 9.0, 4.0, 6.0]).set_sorted("i")
+    q = f.group_by("g").quantile(0.5).sort("g").collect()
+    assert q["x"].tolist() == [2.0, 5.0]
+    al = f.group_by("g").all().sort("g").collect()
+    assert list(al["x"][0]) == [1.0, 2.0, 9.0]
+    hd = f.group_by("g").head(2).sort("i").collect()
+    assert hd["i"].tolist() == [1, 2, 4, 5]
+    tl = f.group_by("g").tail(1).sort("i").collect()
+    assert tl["i"].tolist() == [3, 5]
+    hv = (
+        f.group_by("g")
+        .having(pl.col("n") >= 3)
+        .agg(pl.len().alias("n"))
+        .collect()
+    )
+    assert hv["g"].tolist() == ["a"]
