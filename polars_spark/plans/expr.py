@@ -1599,6 +1599,56 @@ class Expr:
 
         return self._implode_map(f)
 
+    def item(self):
+        """The single value (get(0) over the imploded group; polars raises
+        on length != 1 — per-row raising is not expressible, extra rows are
+        ignored)."""
+        return self.get(0)
+
+    def explode(self):
+        """Agg/list context: flatten one nesting level (polars explode on a
+        list column inside agg).  Frame-level row explosion is
+        LazyFrame.explode."""
+        return self._implode_map(lambda c: F.flatten(c))
+
+    def arg_true(self):
+        """Positions (0-based, frame order) where the predicate is true —
+        list result in agg context."""
+
+        def f(arr):
+            idx = F.sequence(F.lit(0), F.size(arr) - 1)
+            return F.filter(idx, lambda i: F.get(arr, i))
+
+        return self._implode_map(f)
+
+    def arg_unique(self):
+        """Positions of first occurrences (0-based, frame order)."""
+
+        def f(arr):
+            idx = F.sequence(F.lit(0), F.size(arr) - 1)
+            return F.filter(idx, lambda i: F.array_position(arr, F.get(arr, i)) == i + 1)
+
+        return self._implode_map(f)
+
+    def from_json(self, dtype=None):
+        """Deprecated polars alias of str.json_decode (schema required —
+        Spark's from_json does not infer)."""
+        if dtype is None:
+            raise ValueError("from_json requires a dtype/schema on this engine")
+        return self._map(lambda c: F.from_json(c, _dtype_to_spark(dtype)))
+
+    def exclude(self, *names):
+        """Wildcard complement (pl.all().exclude(...)); only meaningful on
+        the wildcard — use pl.exclude(...) / selectors otherwise."""
+        if not getattr(self, "_wildcard", False):
+            raise ValueError("Expr.exclude is only supported on pl.all()")
+        from polars_spark import selectors as cs
+
+        flat = []
+        for n in names:
+            flat.extend(n) if isinstance(n, (list, tuple)) else flat.append(n)
+        return ~cs.by_name(*flat)
+
     def bitwise_leading_zeros(self):
         """Exact leading-zero count for 64-bit ints via the binary-string
         representation (bin() drops leading zeros for non-negatives)."""

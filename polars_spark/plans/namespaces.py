@@ -1273,6 +1273,10 @@ class CatNamespace(_NS):
     def slice(self, offset: int, length: int | None = None) -> Expr:
         return StringNamespace(self._e).slice(offset, length)
 
+    def to(self, dtype) -> Expr:
+        """cat.to(dtype): plain cast (categories are physical strings)."""
+        return self._map(lambda c: c.cast(_dtype_to_spark(dtype)))
+
     def physical(self) -> Expr:
         """Physical representation — the string itself (no dictionary
         encoding at this layer; parquet/Tungsten dictionary-encode

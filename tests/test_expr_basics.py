@@ -306,3 +306,25 @@ def test_bitwise_leading_trailing(pl, lf):
     assert out["tz"].tolist() == [64, 0, 3, 0, 1]
     assert out["lo"].tolist() == [0, 0, 0, 64, 0]
     assert out["to"].tolist() == [0, 1, 0, 64, 0]
+
+
+def test_arg_true_unique_item_from_json_exclude(pl, lf):
+    f = lf(g=["a"] * 4, i=[1, 2, 3, 4], b=[True, False, True, True], x=[5.0, 5.0, 7.0, 5.0]).set_sorted("i")
+    out = (
+        f.group_by("g")
+        .agg(
+            pl.col("b").arg_true().alias("at"),
+            pl.col("x").arg_unique().alias("au"),
+            pl.col("x").item().alias("it"),
+        )
+        .collect()
+        .to_dict("records")[0]
+    )
+    assert list(out["at"]) == [0, 2, 3]
+    assert list(out["au"]) == [0, 2]
+    assert out["it"] == 5.0
+    j = lf(s=['{"a": 5}'])
+    assert j.select(pl.col("s").from_json("struct<a:bigint>").alias("o")).collect()["o"].tolist() == [{"a": 5}]
+    assert f.select(pl.all().exclude("g", "i")).collect().columns.tolist() == ["b", "x"]
+    c = lf(s=["12"]).select(pl.col("s").cat.to(pl.Int64).alias("n")).collect()
+    assert c["n"].tolist() == [12]
