@@ -318,3 +318,77 @@ def rel_horizontal_fold(spark, sf_dir):
         )
     )
     return out.to_spark()
+
+
+@query(
+    "rel_update",
+    # LazyFrame.update: non-null right values overwrite on the key; cents
+    # math keeps the money column exact.
+    oracle="""
+    WITH delta AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 3 = 0
+                  THEN CAST(round(s_acctbal * 100) AS BIGINT) + 100000 END AS balc
+      FROM supplier WHERE s_suppkey <= 50
+    ),
+    base AS (
+      SELECT s_suppkey, s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS balc
+      FROM supplier
+    )
+    SELECT b.s_suppkey, b.s_name, coalesce(d.balc, b.balc) AS balc
+    FROM base b LEFT JOIN delta d USING (s_suppkey)
+    """,
+)
+def rel_update(spark, sf_dir):
+    """LazyFrame.update (join + coalesce): every third supplier under 51
+    gets a bumped balance; null delta values leave the original in place."""
+    supp = ltable(spark, sf_dir, "supplier").with_columns(
+        (pl.col("s_acctbal") * 100).round(0).cast("bigint").alias("balc")
+    )
+    base = supp.select("s_suppkey", "s_name", "balc")
+    delta = (
+        supp.filter(pl.col("s_suppkey") <= 50)
+        .select(
+            "s_suppkey",
+            pl.when(pl.col("s_suppkey") % 3 == 0)
+            .then(pl.col("balc") + 100000)
+            .otherwise(pl.lit(None))
+            .alias("balc"),
+        )
+    )
+    return base.update(delta, on="s_suppkey").to_spark()
+
+
+@query(
+    "rel_groupby_head_tail",
+    oracle="""
+    WITH h AS (
+      SELECT c_nationkey, c_custkey, 'head' AS part
+      FROM (
+        SELECT c_nationkey, c_custkey,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        FROM customer
+      ) WHERE rn <= 2
+    ),
+    t AS (
+      SELECT c_nationkey, c_custkey, 'tail' AS part
+      FROM (
+        SELECT c_nationkey, c_custkey,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey DESC) AS rn
+        FROM customer
+      ) WHERE rn <= 2
+    )
+    SELECT * FROM h UNION ALL SELECT * FROM t
+    """,
+)
+def rel_groupby_head_tail(spark, sf_dir):
+    """GroupBy.head/tail: first/last 2 customers per nation over the key
+    order — per-group windows, no global sort."""
+    cust = ltable(spark, sf_dir, "customer").sort("c_custkey")
+    h = cust.group_by("c_nationkey").head(2).select(
+        "c_nationkey", "c_custkey", pl.lit("head").alias("part")
+    )
+    t = cust.group_by("c_nationkey").tail(2).select(
+        "c_nationkey", "c_custkey", pl.lit("tail").alias("part")
+    )
+    return pl.concat([h, t]).to_spark()
