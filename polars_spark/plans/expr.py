@@ -1083,6 +1083,39 @@ class Expr:
 
         return Expr(fn, self._name)
 
+    def ewm_sum_by(self, by, *, half_life: str):
+        """Time-decay EWM sum (polars ewm_sum_by): y_i = 0.5^(dt/tau)*y_{i-1}
+        + x_i over irregular intervals — same prefix-fold lowering as
+        ewm_mean_by without the normalization term."""
+        from polars_spark.plans.frame import _duration_us
+
+        tau_us = float(_duration_us(half_life))
+        by_e = _to_expr(by) if not isinstance(by, str) else col(by)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            t = F.unix_micros(by_e._resolve(ctx).cast("timestamp"))
+            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
+            arr = F.collect_list(F.struct(c.alias("x"), t.alias("t"))).over(w)
+            acc0 = F.struct(
+                F.lit(0.0).alias("y"), F.lit(0).alias("started"), F.lit(0.0).alias("pt")
+            )
+
+            def step(acc, e):
+                decay = F.pow(F.lit(0.5), (e["t"] - acc["pt"]) / tau_us)
+                return F.struct(
+                    F.when(acc["started"] == 1, decay * acc["y"] + e["x"])
+                    .otherwise(e["x"])
+                    .alias("y"),
+                    F.lit(1).alias("started"),
+                    e["t"].cast("double").alias("pt"),
+                )
+
+            folded = F.aggregate(arr, acc0, step, lambda acc: F.when(acc["started"] == 1, acc["y"]))
+            return F.when(c.isNotNull(), folded)
+
+        return Expr(fn, self._name)
+
     def ewm_std(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, bias: bool = False, min_samples: int = 1):
         return self._ewm_var_std(alpha, span, com, bias, min_samples, std=True)
 

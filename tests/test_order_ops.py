@@ -104,3 +104,15 @@ def test_interpolate_by(pl, lf):
     got = [t[3] for t in rows(out)]
     # weights by coordinate: 1 + 9*(1/4), 1 + 9*(3/4)
     assert got == [1.0, 3.25, 7.75, 10.0]
+
+
+def test_ewm_sum_by(pl, lf):
+    import pandas as pd
+
+    f = lf(
+        t=pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 03:00"]),
+        x=[4.0, 2.0, 1.0],
+    ).set_sorted("t")
+    out = f.select(pl.col("x").ewm_sum_by("t", half_life="1h").alias("es"), pl.col("t")).sort("t").collect()
+    # y0=4; y1=0.5*4+2=4; y2=0.25*4+1=2
+    assert out["es"].tolist() == [4.0, 4.0, 2.0]
