@@ -76,3 +76,45 @@ def quality_score(c: Column) -> Column:
     return (0.3 * len_band + 0.2 * wl_band + 0.3 * alpha + 0.2 * (1 - F.least(punct * 10, F.lit(1.0)))).cast(
         "double"
     )
+
+
+def chunk_documents(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping fixed-token-count chunks — the
+    standard pre-tokenization windowing step of a training pipeline.
+
+    Whitespace tokens; chunk k covers tokens [k*stride, k*stride+chunk)
+    with stride = chunk - overlap; the final partial chunk is kept.  All
+    JVM-side: tokenize once, sequence() over chunk starts, one posexplode
+    — no UDF, parallel over input splits at scale.
+    """
+    from pyspark.sql import functions as F
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), n.alias("n_tokens"), starts.alias("__ks"))
+        .select(F.col(id_col), "n_tokens", "__toks", F.posexplode("__ks").alias("chunk_id", "__k"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__k") * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.col("n_tokens").cast("int") - F.col("__k") * stride,
+                F.lit(chunk_tokens),
+            ).alias("chunk_len"),
+        )
+    )

@@ -175,3 +175,39 @@ def txt_token_df_idf(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return token_doc_frequency(docs)
+
+
+@query(
+    "txt_chunk_documents",
+    # chunk k covers whitespace tokens [k*48, k*48+64); stride 48 = 64-16;
+    # ceil((n-16)/48) chunks, minimum 1; final partial chunk kept.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1) AS n_chunks
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks
+      FROM d
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+           CAST(least(n - chunk_id * 48, 64) AS INT) AS chunk_len
+    FROM k
+    """,
+)
+def txt_chunk_documents(spark, sf_dir):
+    """Training-pipeline chunking: overlapping 64-token windows (stride 48)
+    per document — tokenize once, sequence + posexplode, no UDF."""
+    from polars_spark.llm.text import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        "doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk_text",
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+    )

@@ -245,3 +245,18 @@ def test_audio_features_windows(spark):
     assert got[0] == (100, 0.0)
     assert got[1] == (50, 2.0)
     assert len(got) == 2
+
+
+def test_chunk_documents_windows(spark):
+    from polars_spark.llm.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "x " * 64)], "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_id): (r.chunk_len, r.chunk_text) for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()}
+    # doc1: 100 tokens -> ceil((100-16)/48)=2 chunks: [0..63], [48..99]
+    assert got[(1, 0)][0] == 64 and got[(1, 0)][1].startswith("w0 ") 
+    assert got[(1, 1)][0] == 52 and got[(1, 1)][1].startswith("w48 ")
+    # doc2: 2 tokens -> one partial chunk
+    assert got[(2, 0)] == (2, "a b")
+    # doc3: exactly 64 tokens -> exactly one full chunk
+    assert got[(3, 0)][0] == 64 and (3, 1) not in got
