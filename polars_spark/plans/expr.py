@@ -1529,10 +1529,15 @@ class Expr:
         return self._implode_map(F.reverse)
 
     def top_k(self, k: int = 5):
-        return self._implode_map(lambda c: F.slice(F.reverse(F.array_sort(c)), 1, k))
+        # polars top_k ignores nulls (reverse(array_sort) would put them first)
+        return self._implode_map(
+            lambda c: F.slice(F.reverse(F.array_sort(F.filter(c, lambda v: v.isNotNull()))), 1, k)
+        )
 
     def bottom_k(self, k: int = 5):
-        return self._implode_map(lambda c: F.slice(F.array_sort(c), 1, k))
+        return self._implode_map(
+            lambda c: F.slice(F.array_sort(F.filter(c, lambda v: v.isNotNull())), 1, k)
+        )
 
     def top_k_by(self, by, k: int = 5):
         b = col(by) if isinstance(by, str) else _to_expr(by)
