@@ -1075,6 +1075,158 @@ class LazyFrame:
                 "iceberg runtime jar not on the classpath (set SPARK_GRAFT_PACKAGES)"
             ) from exc
 
+    # -- eager-DataFrame drop-in surface (reference dataframe/frame.py):
+    # write_* aliases of the sinks, shape/height/to_pandas conveniences ------
+
+    def write_parquet(self, path: str, **kw) -> None:
+        self.sink_parquet(path, **kw)
+
+    def write_csv(self, path: str, **kw) -> None:
+        self.sink_csv(path, **kw)
+
+    def write_ndjson(self, path: str, **kw) -> None:
+        self.sink_ndjson(path, **kw)
+
+    def write_json(self, path: str, **kw) -> None:
+        self.sink_ndjson(path, **kw)
+
+    def write_ipc(self, path: str) -> None:
+        self.sink_ipc(path)
+
+    def write_ipc_stream(self, path: str) -> None:
+        self.sink_ipc(path)
+
+    def write_delta(self, path: str, *, mode: str = "error") -> None:
+        self.sink_delta(path, mode=mode)
+
+    def write_iceberg(self, table: str, *, mode: str = "error") -> None:
+        self.sink_iceberg(table, mode=mode)
+
+    def write_avro(self, path: str, *, mode: str = "overwrite") -> None:
+        """Avro sink via the Spark connector (jar-gated like read_avro)."""
+        try:
+            self._df.write.format("avro").mode(mode).save(path)
+        except Exception as exc:
+            raise NotImplementedError(
+                "spark-avro jar not on the classpath (set SPARK_GRAFT_PACKAGES)"
+            ) from exc
+
+    def write_database(self, table_name: str, connection: str, *, if_table_exists: str = "fail") -> None:
+        """JDBC sink (jar-gated like read_database)."""
+        try:
+            mode = {"fail": "errorifexists", "replace": "overwrite", "append": "append"}[if_table_exists]
+            self._df.write.mode(mode).jdbc(connection, table_name)
+        except KeyError:
+            raise ValueError(f"if_table_exists={if_table_exists!r}")
+        except Exception as exc:
+            raise NotImplementedError("no JDBC driver on the classpath") from exc
+
+    @property
+    def height(self) -> int:
+        """Row count (triggers a count job, like eager polars materializes)."""
+        return self.count()
+
+    @property
+    def shape(self) -> tuple:
+        return (self.count(), self.width)
+
+    def is_empty(self) -> bool:
+        return self._df.isEmpty()
+
+    def to_pandas(self):
+        return self.collect()
+
+    def to_dict(self, *, as_series: bool = False) -> dict:
+        pdf = self.collect()
+        return {c: pdf[c].tolist() for c in pdf.columns}
+
+    def to_numpy(self):
+        return self.collect().to_numpy()
+
+    def to_series(self, index: int = 0):
+        from polars_spark.series import Series
+
+        name = self.columns[index]
+        pdf = self.collect()
+        return Series(name, pdf[name].tolist())
+
+    def get_column(self, name: str):
+        from polars_spark.series import Series
+
+        return Series(name, self.collect()[name].tolist())
+
+    def get_column_index(self, name: str) -> int:
+        return self.columns.index(name)
+
+    def get_columns(self):
+        pdf = self.collect()
+        from polars_spark.series import Series
+
+        return [Series(c, pdf[c].tolist()) for c in pdf.columns]
+
+    def equals(self, other: "LazyFrame", *, null_equal: bool = True) -> bool:
+        """Frame equality in frame order (collects both sides)."""
+        a, b = self.collect(), other.collect()
+        if list(a.columns) != list(b.columns) or len(a) != len(b):
+            return False
+        return a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+    def n_unique(self) -> int:
+        return self._df.distinct().count()
+
+    def is_empty_frame(self) -> bool:
+        return self.is_empty()
+
+    def iter_rows(self, *, named: bool = False):
+        """Iterate result rows via Arrow batches (driver-side by
+        definition — same as eager polars)."""
+        for batch in self.collect_batches():
+            for row in batch.itertuples(index=False, name=None):
+                yield dict(zip(batch.columns, row)) if named else row
+
+    def iter_slices(self, n_rows: int = 10000):
+        yield from self.collect_batches(batch_size=n_rows)
+
+    def to_struct(self, name: str = ""):
+        from polars_spark.plans.expr import col as _col
+        from polars_spark import functions as _fn
+
+        return self.select(_fn.struct(*[_col(c) for c in self.columns]).alias(name or "struct"))
+
+    def fold(self, operation):
+        """Horizontal fold across columns (reference DataFrame.fold)."""
+        from polars_spark.plans.expr import col as _col
+        from functools import reduce as _red
+
+        out = _red(operation, [_col(c) for c in self.columns])
+        return self.select(out.alias("fold"))
+
+    def product(self) -> "LazyFrame":
+        from polars_spark.plans.expr import col as _col
+
+        return self.select(
+            *[_col(c).product().alias(c) for c, t in self.schema.items() if t in self._NUMERIC_T]
+        )
+
+    def estimated_size(self, unit: str = "b"):
+        """Planner size estimate from Spark statistics (no data scan)."""
+        stats = self._df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+        div = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4}[unit]
+        return size / div if div > 1 else size
+
+    def n_chunks(self, strategy: str = "first") -> int:
+        """Partition count (Spark's analogue of chunk count)."""
+        return self._df.rdd.getNumPartitions()
+
+    def rechunk(self) -> "LazyFrame":
+        """No-op at the API level: partition management is repartition()'s
+        job, and Tungsten rows are not chunked arrays."""
+        return self
+
+    def shrink_to_fit(self) -> "LazyFrame":
+        return self
+
     def collect_schema(self):
         """Schema without executing the query (reference: LazyFrame.
         collect_schema) — plan analysis only, no job runs."""

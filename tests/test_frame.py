@@ -296,3 +296,27 @@ def test_pipe_fetch_misc(pl, lf, tmp_path):
     back = pl.scan_ipc(p).collect()
     assert back["a"].tolist() == [1, 2, 3]
     assert f.with_row_count().collect()["row_nr"].tolist() == [0, 1, 2]
+
+
+def test_eager_dataframe_surface(pl, lf, tmp_path):
+    f = lf(a=[1, 2, 3], b=["x", "y", "z"])
+    assert f.shape == (3, 2) and f.height == 3 and not f.is_empty()
+    assert f.to_dict() == {"a": [1, 2, 3], "b": ["x", "y", "z"]}
+    s = f.to_series(1)
+    assert s.name == "b" and s.to_list() == ["x", "y", "z"]
+    assert f.get_column_index("b") == 1
+    assert [c.name for c in f.get_columns()] == ["a", "b"]
+    assert f.equals(f) and not f.equals(f.sort("a", descending=True))
+    assert f.n_unique() == 3
+    rows_ = list(f.sort("a").iter_rows(named=True))
+    assert rows_[0] == {"a": 1, "b": "x"}
+    st = f.to_struct("s").collect()
+    assert st["s"][0] == {"a": 1, "b": "x"}
+    fd = f.select(pl.col("a")).fold(lambda x, y: x + y).collect()
+    assert fd["fold"].tolist() == [1, 2, 3]
+    p = str(tmp_path / "w.parquet")
+    f.write_parquet(p)
+    assert sorted(pl.read_parquet(p).collect()["a"].tolist()) == [1, 2, 3]
+    assert f.n_chunks() >= 1
+    assert f.estimated_size() > 0
+    assert f.rechunk() is f and f.shrink_to_fit() is f
