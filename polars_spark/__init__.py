@@ -172,6 +172,8 @@ from polars_spark.functions import (
     escape_regex,
     field,
     arg_sort_by,
+    arg_where,
+    row_index,
 )
 
 # thin aliases (deprecated polars names kept for drop-in compatibility)

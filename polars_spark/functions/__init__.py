@@ -624,3 +624,33 @@ def arg_sort_by(*exprs, descending=False) -> Expr:
         return (F.row_number().over(Window.orderBy(*keys)) - 1).cast("bigint")
 
     return Expr(fn, "arg_sort_by")
+
+
+def arg_where(condition) -> Expr:
+    """Row positions (frame order) where the condition holds — list result
+    in agg context (reference functions/lazy.py arg_where); for a flat
+    frame of indices use with_row_index().filter(condition)."""
+    return _to_expr(condition).arg_true()
+
+
+def row_index() -> Expr:
+    """0-based row position.  Safe only under a PARTITIONED order context
+    (inside .over(keys) or a grouped frame) — an unpartitioned version
+    would collapse every row into one task, so it raises with the
+    scale-safe alternative (LazyFrame.with_row_index, which uses the
+    partition-offset pattern)."""
+
+    def fn(ctx: ExprContext) -> Column:
+        from pyspark.sql import Window
+
+        parts = ctx.partition_cols() if hasattr(ctx, "partition_cols") else []
+        if not parts:
+            raise ValueError(
+                "pl.row_index() without a partition would move all rows to one "
+                "task; use LazyFrame.with_row_index() (partition-offset, "
+                "scale-safe) or apply .over(keys)"
+            )
+        w = Window.partitionBy(*parts).orderBy(*ctx.order_by_cols())
+        return (F.row_number().over(w) - 1).cast("bigint")
+
+    return Expr(fn, "index")
