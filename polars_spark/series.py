@@ -97,6 +97,76 @@ class Series:
     def is_empty(self) -> bool:
         return self._s.size == 0
 
+    def value_counts(self, *, sort: bool = False):
+        vc = self._s.value_counts(dropna=False)
+        out = pd.DataFrame({self.name or "value": vc.index, "count": vc.values})
+        if not sort:
+            out = out.sort_values(self.name or "value", ignore_index=True)
+        return out
+
+    def is_null(self) -> "Series":
+        return self._wrap(self._s.isna())
+
+    def is_not_null(self) -> "Series":
+        return self._wrap(~self._s.isna())
+
+    def fill_null(self, value) -> "Series":
+        return self._wrap(self._s.fillna(value))
+
+    def drop_nulls(self) -> "Series":
+        return self._wrap(self._s.dropna().reset_index(drop=True))
+
+    def abs(self) -> "Series":
+        return self._wrap(self._s.abs())
+
+    def round(self, decimals: int = 0) -> "Series":
+        return self._wrap(self._s.round(decimals))
+
+    def cast(self, dtype) -> "Series":
+        from polars_spark.plans.expr import _dtype_to_spark
+
+        t = _dtype_to_spark(dtype)
+        pd_map = {
+            "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+            "bigint": "Int64", "float": "float32", "double": "float64",
+            "string": "object", "boolean": "boolean",
+        }
+        return self._wrap(self._s.astype(pd_map.get(t, "object")))
+
+    def to_numpy(self):
+        return self._s.to_numpy()
+
+    def cum_sum(self) -> "Series":
+        return self._wrap(self._s.cumsum())
+
+    def arg_max(self):
+        return None if not self._s.size else int(self._s.idxmax())
+
+    def arg_min(self):
+        return None if not self._s.size else int(self._s.idxmin())
+
+    def mode(self) -> "Series":
+        return self._wrap(self._s.mode())
+
+    def shift(self, n: int = 1) -> "Series":
+        return self._wrap(self._s.shift(n))
+
+    def diff(self, n: int = 1) -> "Series":
+        return self._wrap(self._s.diff(n))
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        return self._wrap(self._s.clip(lower, upper))
+
+    def alias(self, name: str) -> "Series":
+        return self.rename(name)
+
+    def filter(self, mask: "Series") -> "Series":
+        return self._wrap(self._s[mask._s.to_numpy()].reset_index(drop=True))
+
+    def slice(self, offset: int, length: int | None = None) -> "Series":
+        end = None if length is None else offset + length
+        return self._wrap(self._s.iloc[offset:end].reset_index(drop=True))
+
     # -- elementwise (pandas-delegated) ------------------------------------
     def _wrap(self, s: pd.Series) -> "Series":
         out = Series(self.name, [], spark=self._spark)

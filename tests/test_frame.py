@@ -320,3 +320,20 @@ def test_eager_dataframe_surface(pl, lf, tmp_path):
     assert f.n_chunks() >= 1
     assert f.estimated_size() > 0
     assert f.rechunk() is f and f.shrink_to_fit() is f
+
+
+def test_series_extended_surface(pl):
+    s = pl.Series("a", [3, 1, None, 3])
+    vc = s.value_counts().to_dict("records")
+    assert {"a": 3.0, "count": 2} in vc
+    assert s.is_null().to_list() == [False, False, True, False]
+    assert s.fill_null(0).to_list() == [3, 1, 0, 3]
+    assert s.drop_nulls().to_list() == [3, 1, 3]
+    assert s.arg_max() == 0 and s.mode().to_list() == [3.0]
+    assert s.shift(1).to_list()[0] is None
+    assert s.diff(1).to_list()[1] == -2.0
+    assert s.clip(1, 2).to_list()[0] == 2
+    assert s.slice(1, 2).to_list() == [1, None]
+    assert s.cast(pl.Int64).drop_nulls().to_list() == [3, 1, 3]
+    assert s.filter(s.is_not_null()).len() == 3
+    assert s.alias("b").name == "b"
