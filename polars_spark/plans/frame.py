@@ -1078,6 +1078,46 @@ class LazyFrame:
     # -- eager-DataFrame drop-in surface (reference dataframe/frame.py):
     # write_* aliases of the sinks, shape/height/to_pandas conveniences ------
 
+    # -- Spark-native scale management (beyond polars: partitioning, join
+    # hints, lineage checkpoints — the knobs a 100 TB job actually needs) ---
+
+    def repartition(self, n: int | None = None, *cols: str) -> "LazyFrame":
+        """Exchange to n partitions (hash-partitioned by cols when given) —
+        use before wide joins to co-locate keys or after explosive
+        operators to rebalance."""
+        if cols:
+            df = self._df.repartition(n, *cols) if n else self._df.repartition(*cols)
+        else:
+            df = self._df.repartition(n)
+        return LazyFrame(df, self._order)
+
+    def coalesce_partitions(self, n: int) -> "LazyFrame":
+        """Reduce partition count WITHOUT a shuffle (narrow) — right-size
+        output files before a sink."""
+        return LazyFrame(self._df.coalesce(n), self._order)
+
+    def hint(self, name: str, *params) -> "LazyFrame":
+        """Join-strategy hint (broadcast/merge/shuffle_hash/
+        shuffle_replicate_nl) on this side of a subsequent join."""
+        return LazyFrame(self._df.hint(name, *params), self._order)
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "LazyFrame":
+        from pyspark import StorageLevel
+
+        return LazyFrame(self._df.persist(getattr(StorageLevel, storage_level)), self._order)
+
+    def unpersist(self) -> "LazyFrame":
+        return LazyFrame(self._df.unpersist(), self._order)
+
+    def checkpoint(self, *, eager: bool = True) -> "LazyFrame":
+        """Truncate lineage via localCheckpoint — essential inside iterative
+        algorithms (see llm.connected_components) where the plan would
+        otherwise grow per round."""
+        return LazyFrame(self._df.localCheckpoint(eager=eager), self._order)
+
+    def num_partitions(self) -> int:
+        return self._df.rdd.getNumPartitions()
+
     def write_parquet(self, path: str, **kw) -> None:
         self.sink_parquet(path, **kw)
 

@@ -337,3 +337,20 @@ def test_series_extended_surface(pl):
     assert s.cast(pl.Int64).drop_nulls().to_list() == [3, 1, 3]
     assert s.filter(s.is_not_null()).len() == 3
     assert s.alias("b").name == "b"
+
+
+def test_spark_scale_management(pl, lf):
+    f = lf(g=["a", "b"] * 10, x=list(range(20)))
+    r = f.repartition(8, "g")
+    assert r.num_partitions() == 8
+    c = r.coalesce_partitions(2)
+    assert c.num_partitions() == 2
+    assert sorted(c.collect()["x"].tolist()) == list(range(20))
+    h = f.hint("broadcast")
+    joined = h.to_spark().join(f.to_spark().withColumnRenamed("x", "y"), "g")
+    assert "Broadcast" in joined._jdf.queryExecution().executedPlan().toString()
+    ck = f.checkpoint()
+    assert sorted(ck.collect()["x"].tolist()) == list(range(20))
+    p = f.persist()
+    assert p.collect().shape[0] == 20
+    p.unpersist()
