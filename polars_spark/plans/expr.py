@@ -1687,6 +1687,52 @@ class Expr:
             flat.extend(n) if isinstance(n, (list, tuple)) else flat.append(n)
         return ~cs.by_name(*flat)
 
+    def hist(self, bins=None, *, bin_count: int | None = None, include_breakpoint: bool = True):
+        """Histogram of the group (agg context): list of {breakpoint, count}
+        structs over right-closed bins (polars semantics: (lo, hi], first
+        bin closed on the left).  Either explicit literal bin edges or
+        bin_count uniform bins between group min and max.  Divergence:
+        always emits the breakpoint field."""
+        if bins is None and bin_count is None:
+            bin_count = 10
+
+        def f(arr):
+            a = F.filter(arr.cast("array<double>"), lambda v: v.isNotNull())
+            if bins is not None:
+                edges = [float(b) for b in bins]
+                structs = []
+                for i in range(len(edges) - 1):
+                    lo, hi = edges[i], edges[i + 1]
+                    pred = (lambda lo=lo, hi=hi, first=(i == 0): (
+                        lambda v: ((v >= lo) if first else (v > lo)) & (v <= hi)
+                    ))()
+                    structs.append(
+                        F.struct(
+                            F.lit(hi).alias("breakpoint"),
+                            F.size(F.filter(a, pred)).cast("bigint").alias("count"),
+                        )
+                    )
+                return F.array(*structs)
+            lo = F.array_min(a).cast("double")
+            hi = F.array_max(a).cast("double")
+            width = (hi - lo) / bin_count
+            structs = []
+            for i in range(bin_count):
+                b_lo = lo + width * i
+                b_hi = hi if i == bin_count - 1 else lo + width * (i + 1)
+                pred = (lambda b_lo=b_lo, b_hi=b_hi, first=(i == 0): (
+                    lambda v: ((v >= b_lo) if first else (v > b_lo)) & (v <= b_hi)
+                ))()
+                structs.append(
+                    F.struct(
+                        b_hi.alias("breakpoint"),
+                        F.size(F.filter(a, pred)).cast("bigint").alias("count"),
+                    )
+                )
+            return F.array(*structs)
+
+        return self._implode_map(f)
+
     def bitwise_leading_zeros(self):
         """Exact leading-zero count for 64-bit ints via the binary-string
         representation (bin() drops leading zeros for non-negatives)."""
