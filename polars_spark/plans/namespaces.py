@@ -170,6 +170,18 @@ class StringNamespace(_NS):
         """Deprecated polars alias of join."""
         return self.join(delimiter, ignore_nulls=ignore_nulls)
 
+    def explode(self) -> Expr:
+        """Agg context: all characters of the group's strings, flattened
+        (polars str.explode = per-string char explosion; frame-level row
+        explosion is LazyFrame.explode)."""
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            arr = e.implode()._resolve(ctx)
+            return F.flatten(F.transform(arr, lambda s: F.split(s, "(?!^)(?=.)")))
+
+        return Expr(fn, e._name, is_agg=True)
+
     def extract_many(self, patterns: list[str], *, overlapping: bool = False) -> Expr:
         """All occurrences of any of the LITERAL patterns, in order —
         lowered as an escaped-alternation regexp_extract_all (the polars
@@ -952,6 +964,13 @@ class ListNamespace(_NS):
 
     def arg_max(self) -> Expr:
         return self._map(lambda c: F.array_position(c, F.array_max(c)).cast("bigint") - 1)
+
+    def agg(self, expr: Expr) -> Expr:
+        """polars list.agg: aggregate each list with an expression over
+        pl.element().  Lowered via eval for elementwise parts; the common
+        scalar aggregations (sum/mean/min/max/...) have direct methods on
+        this namespace — use those for single reductions."""
+        return self.eval(expr)
 
     def eval(self, expr: Expr) -> Expr:
         """polars list.eval(pl.element()...) -> higher-order transform."""

@@ -522,3 +522,11 @@ def test_struct_drop_and_cat_delegation(pl, lf):
         pl.col("s").cat.physical().alias("ph"),
     ).collect().to_dict("records")[0]
     assert r == {"sw": True, "lc": 5, "ph": "hello"}
+
+
+def test_str_explode_and_list_agg(pl, lf):
+    f = lf(g=["a", "a"], s=["hi", "yo"], l=[[1.0, 2.0], [3.0]]).set_sorted("s")
+    out = f.group_by("g").agg(pl.col("s").str.explode().alias("ch")).collect()
+    assert list(out["ch"][0]) == ["h", "i", "y", "o"]
+    ev = f.select(pl.col("l").list.agg(pl.element() * 10).alias("e")).collect()
+    assert [list(v) for v in ev["e"]] == [[10.0, 20.0], [30.0]]
