@@ -63,6 +63,7 @@ def ltable(spark: SparkSession, sf_dir: str, name: str):
 # Import side-effect: populate the registry.  Keep this list at the bottom.
 from polars_spark.queries import (  # noqa: E402,F401
     tpch,
+    tpch_full,
     relational,
     joins,
     window,
