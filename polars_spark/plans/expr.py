@@ -136,7 +136,13 @@ class Expr:
 
     # -- naming -----------------------------------------------------------
     def alias(self, name: str) -> "Expr":
-        return Expr(self._fn, name, self._is_agg)
+        e = Expr(self._fn, name, self._is_agg)
+        e._alias_of = self  # meta.undo_aliases support
+        return e
+
+    @property
+    def meta(self):
+        return ExprMetaNamespace(self)
 
     @property
     def name(self):
@@ -362,7 +368,9 @@ class Expr:
                     )
                 return F.when(ok, s)
 
-            return self._map(fn_enum)
+            out = self._map(fn_enum)
+            out._enum = dtype  # cat.get_categories support
+            return out
         spark_type = _dtype_to_spark(dtype)
         if strict:
             return self._map(lambda c: c.cast(spark_type))
@@ -563,6 +571,10 @@ class Expr:
     def first(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                # window frames are already row-ordered -> plain first/last
+                return F.first(c).over(w)
             if ctx.order_cols:
                 # frame order defined: first by row order (asc keys assumed,
                 # the common case — order comes from a row index)
@@ -574,6 +586,9 @@ class Expr:
     def last(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                return F.last(c).over(w)
             if ctx.order_cols:
                 return F.max_by(c, F.struct(*ctx.order_plain_cols()))
             return F.last(c)
@@ -585,6 +600,9 @@ class Expr:
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                return F.first(c, ignorenulls=True).over(w)
             if ctx.order_cols:
                 return F.min_by(c, F.when(c.isNotNull(), F.struct(*ctx.order_plain_cols())))
             return F.first(c, ignorenulls=True)
@@ -594,6 +612,9 @@ class Expr:
     def last_non_null(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                return F.last(c, ignorenulls=True).over(w)
             if ctx.order_cols:
                 return F.max_by(c, F.when(c.isNotNull(), F.struct(*ctx.order_plain_cols())))
             return F.last(c, ignorenulls=True)
@@ -606,16 +627,20 @@ class Expr:
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            has_nan = F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1
-            return F.when(has_nan, F.lit(float("nan"))).otherwise(F.min(c))
+            w = getattr(ctx, "_window", None)
+            over = (lambda a: a.over(w)) if w is not None else (lambda a: a)
+            has_nan = over(F.max(F.when(F.isnan(c), 1).otherwise(0))) == 1
+            return F.when(has_nan, F.lit(float("nan"))).otherwise(over(F.min(c)))
 
         return Expr(fn, self._name, is_agg=True)
 
     def nan_max(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            has_nan = F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1
-            return F.when(has_nan, F.lit(float("nan"))).otherwise(F.max(c))
+            w = getattr(ctx, "_window", None)
+            over = (lambda a: a.over(w)) if w is not None else (lambda a: a)
+            has_nan = over(F.max(F.when(F.isnan(c), 1).otherwise(0))) == 1
+            return F.when(has_nan, F.lit(float("nan"))).otherwise(over(F.max(c)))
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -683,7 +708,9 @@ class Expr:
         # nearest/lower/higher/midpoint: implement via sorted-array indexing
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            arr = F.array_sort(F.collect_list(c))
+            w = getattr(ctx, "_window", None)
+            coll = F.collect_list(c).over(w) if w is not None else F.collect_list(c)
+            arr = F.array_sort(coll)
             n = F.size(arr)
             pos = (n - 1) * F.lit(q)
             lo = F.floor(pos).cast("int")
@@ -703,6 +730,9 @@ class Expr:
     def implode(self):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                return F.collect_list(c).over(w)  # window frame is row-ordered
             if ctx.order_cols:
                 pairs = F.collect_list(F.struct(*ctx.order_plain_cols(), c.alias("__v")))
                 return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))
@@ -736,9 +766,11 @@ class Expr:
         # no F.product aggregate; exp(sum(log)) breaks on <=0 -> use sign tracking
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            zero = F.max(F.when(c == 0, F.lit(1)).otherwise(F.lit(0)))
-            neg = F.sum(F.when(c < 0, 1).otherwise(0))
-            mag = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))))
+            w = getattr(ctx, "_window", None)
+            over = (lambda a: a.over(w)) if w is not None else (lambda a: a)
+            zero = over(F.max(F.when(c == 0, F.lit(1)).otherwise(F.lit(0))))
+            neg = over(F.sum(F.when(c < 0, 1).otherwise(0)))
+            mag = F.exp(over(F.sum(F.log(F.abs(F.nullif(c, F.lit(0)))))))
             signed = F.when(neg % 2 == 1, -mag).otherwise(mag)
             return F.when(zero == 1, F.lit(0.0)).otherwise(signed)
 
@@ -867,6 +899,33 @@ class Expr:
             mag = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))).over(w))
             signed = F.when(neg % 2 == 1, -mag).otherwise(mag)
             return F.when(zero_seen == 1, F.lit(0.0)).otherwise(signed)
+
+        return Expr(fn, self._name)
+
+    def cumulative_eval(self, expr: "Expr", *, min_samples: int = 1):
+        """polars Expr.cumulative_eval (dsl cumulative_eval): evaluate
+        ``expr`` over the running prefix of this series, where
+        ``pl.element()`` is the prefix.
+
+        Lowering: the prefix IS a running window (unboundedPreceding..current
+        row), so every aggregate inside ``expr`` resolves with
+        ``ctx._window`` set to that frame — ``pl.element().sum()`` becomes
+        ``sum(c) OVER (... ROWS UNBOUNDED PRECEDING)``, and compositions
+        like ``element().first() - element().last()**2`` wrap each aggregate
+        node independently.  One window pass, no per-prefix re-evaluation
+        (the reference warns its own impl is O(n^2); this is O(n))."""
+
+        def fn(ctx: ExprContext) -> Column:
+            from polars_spark.plans.namespaces import _ElementContext
+
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
+            sub = _ElementContext(ctx, c)
+            sub._window = w
+            val = expr._resolve(sub)
+            if min_samples > 1:
+                val = F.when(F.count(c).over(w) >= min_samples, val)
+            return val
 
         return Expr(fn, self._name)
 
@@ -1958,6 +2017,171 @@ class Expr:
     def gather_every(self, n: int, offset: int = 0):
         raise NotImplementedError("frame-level: LazyFrame.gather_every")
 
+    def rolling_map(
+        self,
+        function,
+        window_size: int,
+        *,
+        weights: list[float] | None = None,
+        min_samples: int | None = None,
+        center: bool = False,
+    ):
+        """polars Expr.rolling_map: a custom reducer over each rolling
+        window.  The window's values (nulls preserved, polars semantics) are
+        gathered per row via a window collect, then ``function`` is applied
+        Arrow-batched (pandas_udf: one python call per batch, each window a
+        pandas Series) — never row-at-a-time pickling.
+
+        For the built-in reducers use rolling_sum/mean/... — those stay
+        fully JVM-side; this is the escape hatch for arbitrary logic."""
+        import pandas as pd
+
+        from pyspark.sql.functions import pandas_udf
+
+        if min_samples is None:
+            min_samples = window_size
+        if center:
+            # label at the window center (even widths lean left, as pandas)
+            lo = -(window_size // 2)
+            hi = window_size - 1 + lo
+        else:
+            lo, hi = -(window_size - 1), 0
+        wts = list(weights) if weights is not None else None
+
+        def batch(s):
+            def one(vals):
+                ser = pd.Series([v["v"] for v in vals])
+                if wts is not None:
+                    ser = ser * pd.Series(wts[: len(ser)])
+                return function(ser)
+
+            return s.map(one)
+
+        udf = pandas_udf(batch, "double")
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(lo, hi)
+            # struct-wrap so collect_list keeps nulls (polars windows do)
+            arr = F.collect_list(F.struct(c.alias("v"))).over(w)
+            val = udf(arr)
+            return F.when(F.size(arr) >= min_samples, val)
+
+        return Expr(fn, self._name)
+
+    def shuffle(self, seed: int | None = None):
+        """polars Expr.shuffle, made deterministic: values are re-dealt to
+        rows by the rank of xxhash64(position, seed) — same seed, same
+        permutation, on any engine run.
+
+        Scale note: like slice/tail this is a presentation op at top level
+        (the value gather needs the whole series per partition group); under
+        ``.over(keys)`` it permutes within each group, shuffle-partitioned
+        by the keys."""
+        s = 0 if seed is None else int(seed)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            parts = ctx.partition_cols()
+            full = Window.partitionBy(*parts).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            # each row's deal position = rank of its seeded row-identity hash
+            hw = Window.partitionBy(*parts).orderBy(
+                F.xxhash64(*ctx.order_plain_cols(), F.lit(s))
+            )
+            k = F.row_number().over(hw)
+            # canonical value order (array_sort); row k takes the k-th value.
+            # collect_list drops nulls, so rows dealt past the non-null count
+            # get null — the null slots land on the highest hash ranks, and
+            # the output multiset equals the input's.
+            ordered = F.array_sort(F.collect_list(c).over(full))
+            return F.get(ordered, k - 1)
+
+        return Expr(fn, self._name)
+
+    def sample(self, n: int | None = None, *, fraction: float | None = None, **_kw):
+        raise NotImplementedError(
+            "frame-level: LazyFrame.sample (seeded, scale-safe); Expr.sample of a "
+            "full column is the same row-subset operation"
+        )
+
+    def shrink_dtype(self):
+        """polars Expr.shrink_dtype: cast to the smallest integer type that
+        holds the column's min/max.  The bounds are data, so polars itself
+        computes them eagerly; here a 2-value aggregate probe runs at
+        plan-build time (same documented trade as list.to_struct width
+        inference — the only exprs whose SCHEMA depends on data)."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            row = ctx.df.select(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+            lo = row["lo"] if row["lo"] is not None else 0
+            hi = row["hi"] if row["hi"] is not None else 0
+            for t, tlo, thi in (
+                ("tinyint", -(2**7), 2**7 - 1),
+                ("smallint", -(2**15), 2**15 - 1),
+                ("int", -(2**31), 2**31 - 1),
+            ):
+                if lo >= tlo and hi <= thi:
+                    return c.cast(t)
+            return c.cast("bigint")
+
+        return Expr(fn, self._name)
+
+    def reshape(self, dimensions: tuple) -> "Expr":
+        """polars Expr.reshape((-1, width)): chunk the series into
+        fixed-width arrays.  Row-count-changing, so it aggregates: the
+        result is ONE list-of-arrays — ``.explode()`` (or the frame explode)
+        yields the reshaped rows, matching polars' Array-dtype output.
+        ``reshape((-1,))`` flattens list rows instead (alias of explode
+        semantics on the imploded series)."""
+        dims = tuple(dimensions)
+        if len(dims) == 1:
+            # flatten list rows back to one flat series (one row, one array;
+            # explode at frame level for scalar rows)
+            def fn_flat(ctx: ExprContext) -> Column:
+                return F.flatten(self.implode()._resolve(ctx))
+
+            return Expr(fn_flat, self._name, is_agg=True)
+        if len(dims) != 2 or dims[0] != -1 or dims[1] <= 0:
+            raise ValueError("reshape supports (-1,), or (-1, width) with width > 0")
+        width = int(dims[1])
+
+        def fn(ctx: ExprContext) -> Column:
+            arr = self.implode()._resolve(ctx)
+            n_chunks = F.ceil(F.size(arr) / width).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(arr, i * width + 1, width),
+            )
+
+        return Expr(fn, self._name, is_agg=True)
+
+    def reinterpret(self, *, signed: bool = True):
+        """polars Expr.reinterpret: bit-reinterpret Int64 <-> UInt64.  Spark
+        has no unsigned ints (SURVEY §1.2 widens UInt64 to Decimal(20,0)),
+        so the lowering is arithmetic on the two's-complement value — pure
+        JVM math, exact for the full 64-bit range."""
+        # 2^64 exceeds a py4j long — ship it as a decimal-cast string literal
+        two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if signed:
+                # unsigned (decimal) -> signed bits
+                d = c.cast("decimal(21,0)")
+                half = F.lit(str(2**63)).cast("decimal(21,0)")
+                return (
+                    F.when(d >= half, (d - two64).cast("bigint"))
+                    .otherwise(d.cast("bigint"))
+                )
+            # signed -> unsigned (decimal carries the full range)
+            d = c.cast("decimal(21,0)")
+            return F.when(d < 0, d + two64).otherwise(d).cast("decimal(20,0)")
+
+        return Expr(fn, self._name)
+
 
     def cut(self, breaks: list[float], *, labels: list[str] | None = None, left_closed: bool = False):
         """Bin values into discrete categories (FunctionExpr::Cut) — a
@@ -2173,6 +2397,86 @@ def when(condition) -> _When:
 
 # ---------------------------------------------------------------------------
 # dtype mapping (SURVEY.md §1.2)
+
+class _MetaContext(ExprContext):
+    """Resolution context for Expr.meta introspection: no frame, a sentinel
+    order column (so order-sensitive exprs resolve), empty partition set."""
+
+    SENTINEL = "__meta_order__"
+
+    def __init__(self):
+        super().__init__(None, [self.SENTINEL])
+
+
+class ExprMetaNamespace:
+    """polars Expr.meta (py-polars expr/meta.py): plan-level introspection.
+
+    Our Expr is its own lowering (ctx -> Column), so introspection resolves
+    the expr against a frameless context and walks the resulting UNRESOLVED
+    Catalyst expression tree — root names are the UnresolvedAttribute leaves
+    (lambda variables and the sentinel order column excluded)."""
+
+    def __init__(self, e: "Expr"):
+        self._e = e
+
+    def _node(self):
+        """The unresolved Spark ColumnNode tree (classic mode)."""
+        return self._e._resolve(_MetaContext())._jc.node()
+
+    def root_names(self) -> list[str]:
+        """Column names this expression depends on (meta.root_names):
+        the UnresolvedAttribute leaves of the ColumnNode tree (the sentinel
+        order column and lambda variables excluded)."""
+        txt = self._node().normalized().toString()
+        out: list[str] = []
+        for m in re.finditer(r"UnresolvedAttribute\(List\(([^)]+)\)", txt):
+            name = m.group(1).split(", ")[0]
+            if name != _MetaContext.SENTINEL and name not in out:
+                out.append(name)
+        return out
+
+    def output_name(self, *, raise_if_undetermined: bool = True) -> str:
+        return self._e._name
+
+    def undo_aliases(self) -> "Expr":
+        e = self._e
+        while getattr(e, "_alias_of", None) is not None:
+            e = e._alias_of
+        return e
+
+    def eq(self, other: "Expr") -> bool:
+        """Structural equality via the normalized unresolved tree."""
+        return (
+            self._node().normalized().toString()
+            == ExprMetaNamespace(_to_expr(other))._node().normalized().toString()
+        )
+
+    def ne(self, other: "Expr") -> bool:
+        return not self.eq(other)
+
+    def has_multiple_outputs(self) -> bool:
+        return False  # wildcards/selectors expand at frame level here
+
+    def is_regex_projection(self) -> bool:
+        return False
+
+    def is_column(self) -> bool:
+        return self._node().getClass().getSimpleName() == "UnresolvedAttribute"
+
+    def is_column_selection(self, *, allow_aliasing: bool = False) -> bool:
+        e = self.undo_aliases() if allow_aliasing else self._e
+        return ExprMetaNamespace(e).is_column()
+
+    def tree_format(self, return_as_string: bool = True) -> str:
+        """The unresolved ColumnNode tree rendering."""
+        txt = self._node().normalized().toString()
+        return txt if return_as_string else print(txt)  # noqa: T201
+
+    def serialize(self, *, format: str = "json") -> str:
+        """The expr's unresolved SQL text — round-trippable through
+        pl.sql_expr (the polars binary plan format has no Spark analogue)."""
+        return self._node().sql()
+
 
 class Enum:
     """polars Enum dtype: a FROZEN category set (reference: polars-dtype

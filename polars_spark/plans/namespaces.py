@@ -182,6 +182,56 @@ class StringNamespace(_NS):
 
         return Expr(fn, e._name, is_agg=True)
 
+    def find_many(self, patterns: list[str], *, overlapping: bool = False) -> Expr:
+        """polars str.find_many: start offsets of every occurrence of any
+        LITERAL pattern (the reference uses Aho-Corasick).  Lowered with
+        higher-order functions only — for each candidate position, a pattern
+        matches iff the substring there equals it:
+
+        - overlapping=True: filter over all positions x patterns.
+        - overlapping=False: an aggregate fold that skips past each match
+          (leftmost, first-listed pattern wins), like find_iter.
+
+        Offsets are CHARACTER offsets (the reference reports byte offsets;
+        identical for ASCII)."""
+        pats = F.array(*[F.lit(p) for p in patterns])
+
+        def fn(c):
+            idx = F.sequence(F.lit(1), F.length(c))
+            if overlapping:
+                hits = F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.filter(pats, lambda p: F.substring(c, i, F.length(p)) == p),
+                            lambda p: i - 1,
+                        ),
+                    )
+                )
+                return hits.cast("array<bigint>")
+            # non-overlapping: fold positions, skipping past matches
+            init = F.named_struct(
+                F.lit("nxt"), F.lit(1), F.lit("acc"), F.array().cast("array<bigint>")
+            )
+            def step(acc, i):
+                first = F.get(
+                    F.filter(pats, lambda p: F.substring(c, i, F.length(p)) == p), 0
+                )
+                matched = acc["nxt"] <= i
+                hit = first.isNotNull() & matched
+                return F.named_struct(
+                    F.lit("nxt"),
+                    F.when(hit, i + F.length(first)).otherwise(acc["nxt"]),
+                    F.lit("acc"),
+                    F.when(
+                        hit, F.concat(acc["acc"], F.array((i - 1).cast("bigint")))
+                    ).otherwise(acc["acc"]),
+                )
+
+            return F.aggregate(idx, init, step, lambda acc: acc["acc"])
+
+        return self._map(fn)
+
     def extract_many(self, patterns: list[str], *, overlapping: bool = False) -> Expr:
         """All occurrences of any of the LITERAL patterns, in order —
         lowered as an escaped-alternation regexp_extract_all (the polars
@@ -1220,6 +1270,47 @@ class BinaryNamespace(_NS):
 
     def size(self) -> Expr:
         return self._map(F.octet_length)
+
+    def reinterpret(self, *, dtype, endianness: str = "little") -> Expr:
+        """polars bin.reinterpret: read the bytes as a fixed-width integer.
+        JVM-side lowering: hex() the bytes, byte-swap for little-endian by
+        re-concatenating the 2-char groups, then conv(hex, 16, 10) and a
+        two's-complement fold back into the signed range.  Raises for float
+        targets (no bit-level float cast in Spark SQL)."""
+        from polars_spark.plans.expr import _dtype_to_spark
+
+        name = getattr(dtype, "__name__", None) or str(dtype)
+        widths = {"Int16": 2, "UInt16": 2, "Int32": 4, "UInt32": 4, "Int64": 8, "UInt64": 8}
+        if name not in widths:
+            raise NotImplementedError(
+                f"bin.reinterpret to {name}: only fixed-width integers are supported"
+            )
+        nbytes = widths[name]
+        signed = name.startswith("Int")
+        bits = nbytes * 8
+
+        def fn(c):
+            h = F.hex(c)  # big-endian hex, 2 chars per byte
+            if endianness == "little":
+                h = F.concat(
+                    *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+                )
+            elif endianness != "big":
+                raise ValueError(f"endianness {endianness!r}")
+            u = F.conv(h, 16, 10).cast("decimal(21,0)")
+            if signed:
+                # 2^63 / 2^64 exceed a py4j long; ship as decimal-cast strings
+                two_bits = F.lit(str(2**bits)).cast("decimal(21,0)")
+                half = F.lit(str(2 ** (bits - 1))).cast("decimal(21,0)")
+                v = F.when(u >= half, u - two_bits).otherwise(u)
+                return v.cast(_dtype_to_spark(name))
+            return u.cast(_dtype_to_spark(name))
+
+        return self._map(
+            lambda c: F.when(F.octet_length(c) == nbytes, fn(c)).otherwise(
+                F.raise_error(F.lit(f"bin.reinterpret: binary is not {nbytes} bytes"))
+            )
+        )
     def get(self, index: int) -> Expr:
         """Byte at position (as a 1-byte binary; null when out of bounds)."""
         if index >= 0:
@@ -1273,7 +1364,24 @@ class CatNamespace(_NS):
         return self._e  # physical/lexical ordering is a no-op on strings
 
     def get_categories(self) -> Expr:
-        raise NotImplementedError("cat.get_categories: use frame.select(col).unique()")
+        """The category list.  For an Enum-cast expr the categories are
+        FROZEN metadata (dtype.rs FrozenCategories) — returned as rows via
+        explode, no data scan.  For plain Categorical (string passthrough,
+        no global dictionary by design) use frame.select(col).unique()."""
+        enum = getattr(self._e, "_enum", None)
+        if enum is None:
+            raise NotImplementedError(
+                "cat.get_categories on plain Categorical: use frame.select(col).unique()"
+            )
+        cats = list(enum.categories)
+        # resolves to ONE row holding the category list (aggregate context —
+        # the result is frame-size-independent, as in polars); explode at the
+        # frame level for one-row-per-category
+        return Expr(
+            lambda ctx: F.first(F.array(*[F.lit(c) for c in cats])),
+            self._e._name,
+            is_agg=True,
+        )
 
     # string-delegating surface: Categorical IS StringType here (§1.2), so
     # the cat string accessors are the str ones

@@ -484,3 +484,67 @@ def agg_spearman(spark, sf_dir):
         .agg(pl.corr(pl.col("rv"), pl.col("rt")).round(6).alias("spearman"))
         .to_spark()
     )
+
+
+@query(
+    "sf_bin_reinterpret",
+    # 8 md5 bytes -> int64/uint64, little/big endian.  DuckDB replays the
+    # byte order with substring re-concat and hex-literal casts; the signed
+    # fold runs in HUGEINT then narrows.
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, substring(md5(c_name), 1, 16) AS hx
+      FROM customer
+    ), r AS (
+      SELECT c_custkey,
+             substring(hx,15,2) || substring(hx,13,2) || substring(hx,11,2) ||
+             substring(hx, 9,2) || substring(hx, 7,2) || substring(hx, 5,2) ||
+             substring(hx, 3,2) || substring(hx, 1,2) AS hle, hx
+      FROM h
+    )
+    SELECT c_custkey,
+           CAST(CASE WHEN ('0x'||hle)::UBIGINT::HUGEINT >= 9223372036854775808::HUGEINT
+                     THEN ('0x'||hle)::UBIGINT::HUGEINT - 18446744073709551616::HUGEINT
+                     ELSE ('0x'||hle)::UBIGINT::HUGEINT END AS BIGINT) AS as_i64_le,
+           ('0x'||hx)::UBIGINT AS as_u64_be
+    FROM r
+    """,
+)
+def sf_bin_reinterpret(spark, sf_dir):
+    """bin.reinterpret (reference binary namespace): md5-derived 8-byte
+    blobs read as int64 (little-endian) and uint64 (big-endian).  All
+    JVM-side: hex + substring byte-swap + conv + two's-complement fold."""
+    cust = ltable(spark, sf_dir, "customer")
+    blob = pl.sql_expr("substring(md5(c_name), 1, 16)").str.decode("hex")
+    return cust.select(
+        "c_custkey",
+        blob.bin.reinterpret(dtype=pl.Int64, endianness="little").alias("as_i64_le"),
+        blob.bin.reinterpret(dtype=pl.UInt64, endianness="big")
+        .cast("double")
+        .alias("as_u64_be"),
+    ).to_spark()
+
+
+@query(
+    "sf_find_many",
+    # 'the'/'table' can never overlap each other or themselves in
+    # space-separated text, so the aho-corasick non-overlapping scan equals
+    # the all-positions filter DuckDB can express with list lambdas.
+    oracle="""
+    SELECT doc_id,
+           list_transform(
+             list_filter(range(1, length(text)+1),
+                         i -> substring(text, i, 3) = 'the'
+                           OR substring(text, i, 5) = 'table'),
+             i -> i - 1) AS hits
+    FROM documents
+    """,
+)
+def sf_find_many(spark, sf_dir):
+    """str.find_many (reference aho-corasick find): start offsets of every
+    literal-pattern match, via a JVM-side aggregate fold (no UDF)."""
+    docs = ltable(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        pl.col("text").str.find_many(["the", "table"]).alias("hits"),
+    ).to_spark()

@@ -418,3 +418,66 @@ def win_ewm_std(spark, sf_dir):
         "event_id",
         pl.col("value").ewm_std(span=10).over("user_id").alias("ewm_sd"),
     ).to_spark()
+
+
+@query(
+    "win_cumulative_eval",
+    # cumulative_eval lowers every aggregate inside the sub-expr onto the
+    # running prefix window, so the oracle is the plain SQL running-window
+    # form of the same composition.
+    oracle=f"""
+    SELECT event_id,
+           round(sum(value)  OVER ({_W} ROWS UNBOUNDED PRECEDING), 4) AS run_sum,
+           round(first_value(value) OVER ({_W} ROWS UNBOUNDED PRECEDING)
+                 - last_value(value) OVER ({_W} ROWS UNBOUNDED PRECEDING)
+                   * last_value(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 4)
+             AS first_minus_last_sq
+    FROM events
+    """,
+)
+def win_cumulative_eval(spark, sf_dir):
+    """Expr.cumulative_eval (reference dsl cumulative_eval): expression over
+    the running prefix, one window pass per aggregate node — O(n), not the
+    reference's O(n^2) re-evaluation."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value")
+        .cumulative_eval(pl.element().sum())
+        .round(4)
+        .over("user_id")
+        .alias("run_sum"),
+        pl.col("value")
+        .cumulative_eval(pl.element().first() - pl.element().last() ** 2)
+        .round(4)
+        .over("user_id")
+        .alias("first_minus_last_sq"),
+    ).to_spark()
+
+
+@query(
+    "win_rolling_map",
+    # rolling_map ships each window through an Arrow-batched pandas UDF; a
+    # sum reducer must hash-match the built-in SQL window sum (full windows
+    # only: min_samples = window_size, polars default).
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN count(*) OVER ({_W} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) >= 4
+                THEN round(sum(value) OVER ({_W} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+           END AS map_sum
+    FROM events
+    """,
+)
+def win_rolling_map(spark, sf_dir):
+    """Expr.rolling_map (reference rolling_map): arbitrary python reducer per
+    rolling window, Arrow-batched.  The oracle uses a sum reducer so DuckDB
+    can replay it with the built-in window aggregate."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value")
+        .rolling_map(lambda s: float(s.sum()), 4)
+        .round(4)
+        .over("user_id")
+        .alias("map_sum"),
+    ).to_spark()

@@ -1,0 +1,224 @@
+"""Round-4 parity tail: cumulative_eval, rolling_map, shuffle, shrink_dtype,
+reshape, reinterpret (Expr + .bin), str.find_many, cat.get_categories (Enum),
+Expr.meta introspection."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+def _idx(pl, **cols):
+    return pl.from_pandas(pd.DataFrame(cols)).with_row_index("idx")
+
+
+class TestCumulativeEval:
+    def test_sum_matches_cum_sum(self, pl):
+        f = _idx(pl, x=[3.0, 1.0, 4.0, 1.5])
+        got = f.select(
+            pl.col("x").cumulative_eval(pl.element().sum()).alias("a"),
+            pl.col("x").cum_sum().alias("b"),
+        ).collect()
+        assert got["a"].tolist() == got["b"].tolist()
+
+    def test_first_minus_last_squared(self, pl):
+        # the reference's doc example: element().first() - element().last()**2
+        f = _idx(pl, x=[1.0, 2.0, 3.0])
+        got = f.select(
+            pl.col("x")
+            .cumulative_eval(pl.element().first() - pl.element().last() ** 2)
+            .alias("e")
+        ).collect()
+        assert got["e"].tolist() == [0.0, -3.0, -8.0]
+
+    def test_min_samples_gates(self, pl):
+        f = _idx(pl, x=[1.0, 2.0, 3.0])
+        got = f.select(
+            pl.col("x").cumulative_eval(pl.element().sum(), min_samples=2).alias("e")
+        ).collect()
+        vals = got["e"].tolist()
+        assert pd.isna(vals[0]) and vals[1:] == [3.0, 6.0]
+
+    def test_composite_quantile_and_implode(self, pl):
+        f = _idx(pl, x=[3.0, 1.0, 2.0])
+        got = f.select(
+            pl.col("x").cumulative_eval(pl.element().quantile(0.5, "lower")).alias("q"),
+            pl.col("x").cumulative_eval(pl.element().implode()).alias("arr"),
+        ).collect()
+        assert got["q"].tolist() == [3.0, 1.0, 2.0]
+        assert [list(a) for a in got["arr"]] == [[3.0], [3.0, 1.0], [3.0, 1.0, 2.0]]
+
+    def test_under_over_partitions(self, pl):
+        f = _idx(pl, g=["a", "a", "b", "b"], x=[1.0, 2.0, 10.0, 20.0])
+        got = f.select(
+            "g",
+            pl.col("x").cumulative_eval(pl.element().sum()).over("g").alias("e"),
+        ).collect()
+        assert got["e"].tolist() == [1.0, 3.0, 10.0, 30.0]
+
+
+class TestRollingMap:
+    def test_matches_rolling_sum(self, pl):
+        f = _idx(pl, x=[1.0, 2.0, 3.0, 4.0, 5.0])
+        got = f.select(
+            pl.col("x").rolling_map(lambda s: float(s.sum()), 3).alias("m"),
+            pl.col("x").rolling_sum(3).alias("r"),
+        ).collect()
+        assert got["m"].tolist()[2:] == got["r"].tolist()[2:]
+        assert pd.isna(got["m"].tolist()[0]) and pd.isna(got["m"].tolist()[1])
+
+    def test_nulls_preserved_in_window(self, pl):
+        # polars windows include nulls; collect via struct keeps them
+        f = _idx(pl, x=[1.0, None, 3.0])
+        got = f.select(
+            pl.col("x")
+            .rolling_map(lambda s: float(s.isna().sum()), 2, min_samples=1)
+            .alias("m")
+        ).collect()
+        assert got["m"].tolist() == [0.0, 1.0, 1.0]
+
+    def test_weights(self, pl):
+        f = _idx(pl, x=[1.0, 2.0, 4.0])
+        got = f.select(
+            pl.col("x")
+            .rolling_map(lambda s: float(s.sum()), 2, weights=[0.5, 1.0])
+            .alias("m")
+        ).collect()
+        assert got["m"].tolist()[1:] == [0.5 * 1 + 2.0, 0.5 * 2 + 4.0]
+
+
+class TestShuffleSample:
+    def test_shuffle_deterministic_permutation(self, pl):
+        f = _idx(pl, i=list(range(20)))
+        a = f.select("idx", pl.col("i").shuffle(seed=7).alias("s")).collect()
+        b = f.select("idx", pl.col("i").shuffle(seed=7).alias("s")).collect()
+        c = f.select("idx", pl.col("i").shuffle(seed=8).alias("s")).collect()
+        assert a["s"].tolist() == b["s"].tolist()
+        assert sorted(a["s"].tolist()) == list(range(20))
+        assert a["s"].tolist() != c["s"].tolist()
+        assert a["s"].tolist() != list(range(20))  # actually permuted
+
+    def test_shuffle_within_groups(self, pl):
+        f = _idx(pl, g=["a"] * 5 + ["b"] * 5, i=list(range(10)))
+        got = f.select("g", pl.col("i").shuffle(seed=3).over("g").alias("s")).collect()
+        assert sorted(got["s"][got["g"] == "a"].tolist()) == list(range(5))
+        assert sorted(got["s"][got["g"] == "b"].tolist()) == list(range(5, 10))
+
+    def test_frame_sample_seeded(self, pl):
+        f = _idx(pl, i=list(range(100)))
+        a = f.sample(fraction=0.3, seed=5).collect()
+        b = f.sample(fraction=0.3, seed=5).collect()
+        assert a["i"].tolist() == b["i"].tolist()
+        assert 5 < len(a) < 70
+
+
+class TestShrinkReshapeReinterpret:
+    def test_shrink_dtype(self, pl, spark):
+        f = _idx(pl, small=[1, 2, 3], big=[1, 2, 3_000_000_000])
+        df = f.select(
+            pl.col("small").shrink_dtype().alias("s"),
+            pl.col("big").shrink_dtype().alias("b"),
+        ).to_spark()
+        types = dict(df.dtypes)
+        assert types["s"] == "tinyint" and types["b"] == "bigint"
+
+    def test_reshape_chunks(self, pl):
+        f = _idx(pl, i=[1, 2, 3, 4, 5])
+        got = f.select(pl.col("i").reshape((-1, 2)).alias("r")).explode("r").collect()
+        assert [list(a) for a in got["r"]] == [[1, 2], [3, 4], [5]]
+
+    def test_reshape_flatten(self, pl):
+        f = _idx(pl, a=[[1, 2], [3]])
+        got = f.select(pl.col("a").reshape((-1,)).alias("f")).explode("f").collect()
+        assert got["f"].tolist() == [1, 2, 3]
+
+    def test_expr_reinterpret_roundtrip(self, pl):
+        f = _idx(pl, i=[-1, 0, 1, -(2**63)])
+        got = f.select(
+            pl.col("i").reinterpret(signed=False).alias("u"),
+        ).collect()
+        assert [int(v) for v in got["u"]] == [2**64 - 1, 0, 1, 2**63]
+        back = f.select(
+            pl.col("i").reinterpret(signed=False).reinterpret(signed=True).alias("rt")
+        ).collect()
+        assert back["rt"].tolist() == [-1, 0, 1, -(2**63)]
+
+    def test_bin_reinterpret(self, pl):
+        f = _idx(
+            pl,
+            b=[b"\x01\x00\x00\x00\x00\x00\x00\x00", b"\xff\xff\xff\xff\xff\xff\xff\xff"],
+        )
+        le = f.select(
+            pl.col("b").bin.reinterpret(dtype=pl.Int64, endianness="little").alias("v")
+        ).collect()
+        assert le["v"].tolist() == [1, -1]
+        ue = f.select(
+            pl.col("b").bin.reinterpret(dtype=pl.UInt64, endianness="little").alias("v")
+        ).collect()
+        assert [int(v) for v in ue["v"]] == [1, 2**64 - 1]
+        be32 = _idx(pl, b=[b"\x00\x00\x00\x2a", b"\xff\xff\xff\xfe"]).select(
+            pl.col("b").bin.reinterpret(dtype=pl.Int32, endianness="big").alias("v")
+        ).collect()
+        assert be32["v"].tolist() == [42, -2]
+
+    def test_bin_reinterpret_wrong_size_raises(self, pl):
+        f = _idx(pl, b=[b"\x01\x02"])
+        with pytest.raises(Exception, match="not 8 bytes"):
+            f.select(
+                pl.col("b").bin.reinterpret(dtype=pl.Int64, endianness="little")
+            ).collect()
+
+
+class TestFindMany:
+    def test_non_overlapping_skips_past_matches(self, pl):
+        f = _idx(pl, s=["abcabc", "xyz", "aaa", None])
+        got = f.select(pl.col("s").str.find_many(["ab", "aa"]).alias("f")).collect()
+        vals = [None if v is None else list(v) for v in got["f"]]
+        assert vals == [[0, 3], [], [0], None]
+
+    def test_overlapping(self, pl):
+        f = _idx(pl, s=["aaa"])
+        got = f.select(
+            pl.col("s").str.find_many(["aa"], overlapping=True).alias("f")
+        ).collect()
+        assert [list(v) for v in got["f"]] == [[0, 1]]
+
+    def test_first_listed_pattern_wins(self, pl):
+        # at pos 0 both "ab" and "abc" match; first-listed consumes
+        f = _idx(pl, s=["abcd"])
+        got = f.select(pl.col("s").str.find_many(["ab", "cd"]).alias("f")).collect()
+        assert [list(v) for v in got["f"]] == [[0, 2]]
+
+
+class TestEnumMeta:
+    def test_get_categories(self, pl):
+        f = _idx(pl, s=["a", "b", "a"])
+        got = (
+            f.select(
+                pl.col("s").cast(pl.Enum(["a", "b", "c"])).cat.get_categories().alias("c")
+            )
+            .explode("c")
+            .collect()
+        )
+        assert got["c"].tolist() == ["a", "b", "c"]
+
+    def test_get_categories_plain_categorical_raises(self, pl):
+        with pytest.raises(NotImplementedError):
+            pl.col("s").cat.get_categories()
+
+    def test_meta_output_name_and_roots(self, pl):
+        e = (pl.col("a") * 2 + pl.col("b")).alias("z")
+        assert e.meta.output_name() == "z"
+        assert e.meta.root_names() == ["a", "b"]
+        assert pl.col("v").shift(1).meta.root_names() == ["v"]
+
+    def test_meta_eq_undo_aliases_is_column(self, pl):
+        e = (pl.col("a") * 2 + pl.col("b")).alias("z")
+        assert e.meta.eq((pl.col("a") * 2 + pl.col("b")).alias("z"))
+        assert e.meta.ne(pl.col("a") * 2 + pl.col("b")) is False  # alias undone? no — different tree
+        assert pl.col("q").meta.is_column()
+        assert not e.meta.is_column()
+        assert e.meta.undo_aliases().meta.root_names() == ["a", "b"]
+        assert pl.col("a").alias("x").meta.is_column_selection(allow_aliasing=True)
