@@ -437,6 +437,25 @@ def cosine_similarity_arrow():
     return _cos
 
 
+def dot_product_arrow():
+    """Vectorized plain dot product (inputs pre-normalized): Arrow-batched
+    pandas_udf, one einsum per batch.  Same engine-choice rationale as
+    cosine_similarity_arrow; einsum's pairwise summation agrees with the
+    left-fold to well past the 1e-6 rounding the oracles compare at."""
+
+    @F.pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.values).astype(np.float64)
+        B = np.stack(b.values).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame,
     queries: DataFrame,
@@ -572,14 +591,14 @@ def embedding_near_dup_pairs(
     c = _spread(emb).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    keyed = None
-    for t in range(n_tables):
-        planes = _rhp_planes(dim, n_planes, seed=seed + t)
-        bt = c.select(
-            "_id",
-            (F.lit(t * (1 << n_planes)) + rhp_bucket(F.col("_v"), planes)).alias("tb"),
-        )
-        keyed = bt if keyed is None else keyed.unionByName(bt)
+    # all n_tables bucket keys in ONE corpus pass (map-side explode of the
+    # per-table bucket array; a union would re-scan the corpus per table)
+    tbs = [
+        F.lit(t * (1 << n_planes))
+        + rhp_bucket(F.col("_v"), _rhp_planes(dim, n_planes, seed=seed + t))
+        for t in range(n_tables)
+    ]
+    keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb"))
     a = keyed.select(F.col("_id").alias("d1"), "tb")
     b = keyed.select(F.col("_id").alias("d2"), "tb")
     cand = (
@@ -673,23 +692,25 @@ def ivf_topk(
     cents = [[_fround_py(float(x), 10) for x in r.nv] for r in init]
     import math
 
+    dim = len(cents[0]) if cents else 0
     for _ in range(iters):
         assigned = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
-        mean_cells = (
+        # ONE partial-agg shuffle of (cid, dim) cells per round; the K x dim
+        # result (a few hundred rows) is collected directly and the centroid
+        # vectors assembled at the driver — no second groupBy stage.
+        rows = (
             assigned.select("cid", F.posexplode("nv").alias("d", "x"))
             .groupBy("cid", "d")
             .agg(F.avg("x").alias("m"))
-        )
-        rows = (
-            mean_cells.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("m")))).alias("s"))
             .collect()
         )
-        new = {}
+        acc: dict[int, list] = {}
         for r in rows:
-            raw = [float(p.m) for p in r.s]
+            acc.setdefault(r.cid, [0.0] * dim)[r.d] = float(r.m)
+        new = {}
+        for cid, raw in acc.items():
             nrm = math.sqrt(sum(x * x for x in raw))
-            new[r.cid] = [_fround_py(x / nrm, 10) for x in raw]
+            new[cid] = [_fround_py(x / nrm, 10) for x in raw]
         cents = [new.get(i, cents[i]) for i in range(n_clusters)]
 
     from pyspark.sql import Window
@@ -699,6 +720,11 @@ def ivf_topk(
         F.col(id_col).alias("qid"),
         _l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
     ).withColumn("cid", F.explode(_nearest_cids(F.col("qv"), cents, n_probe)))
+    # rerank JVM-side (fold): measured FASTER than the Arrow einsum UDF for
+    # this shape — the probe join already co-locates both arrays, and
+    # shipping 2x64 doubles per candidate through Arrow costs more than the
+    # interpreted fold saves (the UDF path wins only when, as in
+    # embedding_near_dup_pairs, the verify join is the sole array transfer)
     scored = (
         probes.join(lists, "cid")
         .filter(F.col("qid") != F.col("nid"))
@@ -713,7 +739,8 @@ def ivf_topk(
                 6,
             ),
         )
-        .dropDuplicates(["qid", "nid"])
+        # no dedup pass needed: each nid lives in exactly ONE cluster list,
+        # so the multiprobe join yields every (qid, nid) at most once
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     return (
