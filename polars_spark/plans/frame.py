@@ -1142,6 +1142,20 @@ class LazyFrame:
     def write_iceberg(self, table: str, *, mode: str = "error") -> None:
         self.sink_iceberg(table, mode=mode)
 
+    def write_excel(self, workbook: str, *, worksheet: str = "Sheet1") -> None:
+        """polars DataFrame.write_excel: driver-side openpyxl bridge (a
+        single xlsx is inherently a driver artifact, same trade as
+        read_excel — the query before it still runs distributed)."""
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "write_excel needs openpyxl (not in this image)"
+            ) from exc
+        self.to_pandas().to_excel(
+            workbook, sheet_name=worksheet, index=False, engine="openpyxl"
+        )
+
     def write_avro(self, path: str, *, mode: str = "overwrite") -> None:
         """Avro sink via the Spark connector (jar-gated like read_avro)."""
         try:

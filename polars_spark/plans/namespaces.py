@@ -1015,6 +1015,47 @@ class ListNamespace(_NS):
     def arg_max(self) -> Expr:
         return self._map(lambda c: F.array_position(c, F.array_max(c)).cast("bigint") - 1)
 
+    def sample(
+        self,
+        n: int | None = None,
+        *,
+        fraction: float | None = None,
+        with_replacement: bool = False,
+        shuffle: bool = False,
+        seed: int | None = None,
+    ) -> Expr:
+        """polars list.sample, made deterministic: elements are ranked by a
+        seeded hash of (value, position) and the top n (or ceil(fraction *
+        len)) taken — same seed, same subset, every run.  shuffle=False
+        restores the original element order (polars semantics)."""
+        if with_replacement:
+            raise NotImplementedError("list.sample with_replacement")
+        if (n is None) == (fraction is None):
+            raise ValueError("provide exactly one of n / fraction")
+        s = 0 if seed is None else int(seed)
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            idx = F.sequence(F.lit(0), F.size(c) - 1)
+            pairs = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.xxhash64(F.get(c, i), i, F.lit(s)).alias("h"), i.alias("p")
+                ),
+            )
+            if n is not None:
+                k = F.least(F.lit(int(n)), F.size(c))
+            else:
+                k = F.ceil(F.size(c) * F.lit(float(fraction))).cast("int")
+            chosen = F.slice(F.array_sort(pairs), 1, k)
+            if shuffle:
+                return F.transform(chosen, lambda st: F.get(c, st["p"]))
+            pos = F.array_sort(F.transform(chosen, lambda st: st["p"]))
+            return F.transform(pos, lambda p: F.get(c, p))
+
+        return Expr(fn, e._name)
+
     def agg(self, expr: Expr) -> Expr:
         """polars list.agg: aggregate each list with an expression over
         pl.element().  Lowered via eval for elementwise parts; the common

@@ -222,3 +222,30 @@ class TestEnumMeta:
         assert not e.meta.is_column()
         assert e.meta.undo_aliases().meta.root_names() == ["a", "b"]
         assert pl.col("a").alias("x").meta.is_column_selection(allow_aliasing=True)
+
+class TestWriteExcelListSample:
+    def test_write_excel_roundtrip(self, pl, tmp_path):
+        pytest.importorskip("openpyxl")
+        import pandas as pd
+
+        f = pl.from_pandas(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+        path = str(tmp_path / "out.xlsx")
+        f.write_excel(path)
+        from polars_spark.sources import read_excel
+
+        back = read_excel(path).collect()
+        assert back["a"].tolist() == [1, 2] and back["b"].tolist() == ["x", "y"]
+
+    def test_list_sample_deterministic(self, pl):
+        f = _idx(pl, a=[[1, 2, 3, 4, 5], [6, 7]])
+        g1 = f.select(pl.col("a").list.sample(3, seed=1).alias("s")).collect()
+        g2 = f.select(pl.col("a").list.sample(3, seed=1).alias("s")).collect()
+        assert [list(x) for x in g1["s"]] == [list(x) for x in g2["s"]]
+        assert len(g1["s"][0]) == 3 and len(g1["s"][1]) == 2  # capped at len
+        # order preserved (subset of original order)
+        assert g1["s"][0].tolist() == sorted(g1["s"][0].tolist())
+
+    def test_list_sample_fraction(self, pl):
+        f = _idx(pl, a=[[1, 2, 3, 4]])
+        got = f.select(pl.col("a").list.sample(fraction=0.5, seed=2).alias("s")).collect()
+        assert len(got["s"][0]) == 2
