@@ -40,6 +40,12 @@ HEADLINE = [
     # fact-dim ratio query and pre-aggregate-then-join
     "q14_promo_effect",
     "q18_large_volume",
+    # round 4: the suite-completing TPC-H shapes — decorrelated min subquery,
+    # 5-way join profit, left-join count distribution, EXISTS/NOT-EXISTS
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q21_suppliers_kept_waiting",
     # the reference's own benchmark corpus (h2oai db-benchmark group-by):
     # high-card string key, median+std, and the 6-key near-row-level case
     "h2o_q3",
