@@ -40,6 +40,8 @@ __all__ = [
     "cosine_topk_bruteforce",
     "rhp_bucket",
     "cosine_topk_lsh",
+    "deterministic_sample",
+    "pack_sequences",
 ]
 
 
@@ -748,3 +750,74 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "sim", "rk")
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    fraction: float | None = None,
+    by: str | None = None,
+    fractions: dict | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling for training-data pipelines: a row
+    is kept iff the first 32 bits of md5(key || ':' || seed) fall below
+    fraction * 2^32.  Pure projection + filter — no shuffle, no RNG state,
+    reproducible on ANY engine (md5 is engine-independent, unlike
+    rand(seed), whose stream depends on partitioning), so downstream reruns
+    and the DuckDB oracle select the exact same rows.
+
+    ``by`` + ``fractions`` gives per-group rates (data mixing: e.g. keep 80%
+    of web, 100% of books) resolved via a literal map lookup — still
+    map-side only.  Groups absent from ``fractions`` default to 0.0.
+    """
+    if (fraction is None) == (fractions is None):
+        raise ValueError("provide exactly one of fraction / fractions (with by)")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    if fraction is not None:
+        thr = F.lit(int(fraction * 4294967296))
+    else:
+        if by is None:
+            raise ValueError("fractions requires by")
+        pairs = []
+        for k, v in fractions.items():
+            pairs += [F.lit(k), F.lit(int(float(v) * 4294967296))]
+        thr = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(by).cast("string")), F.lit(0)
+        )
+    return df.filter(h < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    target_tokens: int,
+    token_col: str,
+    order_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Greedy contiguous sequence packing (training-batch assembly): in
+    deterministic ``order_col`` order, documents fill a bin until the token
+    budget is crossed; ``bin_id = floor((cum - tokens) / target)`` over the
+    running token sum.  A document longer than the budget gets its own bin.
+
+    Scale design: the running sum is a window PARTITIONED by ``by``
+    (source/shard) — one shuffle on the partition key, never a global
+    window.  With ``by=None`` it falls back to a per-source-file global
+    order requirement and is intended for already-partitioned inputs."""
+    from pyspark.sql import Window
+
+    parts = [F.col(by)] if by is not None else []
+    w = Window.partitionBy(*parts).orderBy(F.col(order_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    out = df.withColumn(
+        "bin_id", F.floor((cum - F.col(token_col)) / F.lit(int(target_tokens))).cast("bigint")
+    )
+    return out

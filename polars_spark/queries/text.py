@@ -211,3 +211,52 @@ def txt_chunk_documents(spark, sf_dir):
         "doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk_text",
         F.col("chunk_len").cast("int").alias("chunk_len"),
     )
+
+
+@query(
+    "txt_deterministic_sample",
+    # md5-threshold Bernoulli: engine-independent (unlike rand(seed), whose
+    # stream depends on partitioning), so DuckDB selects the same rows.
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':7'), 1, 8))::UBIGINT::BIGINT <
+          CASE WHEN source IN ('src0','src1','src2') THEN 4294967296
+               WHEN source IN ('src3','src4')        THEN 2147483648
+               ELSE 429496729 END
+    """,
+)
+def txt_deterministic_sample(spark, sf_dir):
+    """Training-data mixing: per-source deterministic Bernoulli sampling
+    (keep 100% of src0-2, 50% of src3-4, 10% of the rest) via an md5
+    threshold — pure map-side filter, reproducible at any partitioning."""
+    from polars_spark.llm import deterministic_sample
+
+    docs = table(spark, sf_dir, "documents")
+    fractions = {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 0.5, "src4": 0.5}
+    fractions.update({f"src{i}": 0.1 for i in range(5, 20)})
+    out = deterministic_sample(docs, key_col="doc_id", by="source", fractions=fractions, seed=7)
+    return out.select("doc_id", "source")
+
+
+@query(
+    "txt_pack_sequences",
+    # contiguous greedy packing = floor((running_sum - own)/budget) over a
+    # per-source ordered window — replayed verbatim as a SQL window.
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_chars)
+                      / 2000) AS BIGINT) AS bin_id
+    FROM documents
+    """,
+)
+def txt_pack_sequences(spark, sf_dir):
+    """Training-batch assembly: greedy contiguous packing of documents into
+    ~2000-char bins per source — ONE windowed shuffle on the source key, no
+    global window (SURVEY §2.4 order contract)."""
+    from polars_spark.llm import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, target_tokens=2000, token_col="n_chars", order_col="doc_id", by="source"
+    ).select("doc_id", "source", "n_chars", "bin_id")

@@ -260,3 +260,59 @@ def test_chunk_documents_windows(spark):
     assert got[(2, 0)] == (2, "a b")
     # doc3: exactly 64 tokens -> exactly one full chunk
     assert got[(3, 0)][0] == 64 and (3, 1) not in got
+
+
+class TestTrainingPipelineOps:
+    def test_deterministic_sample_reproducible(self, spark):
+        from polars_spark.llm import deterministic_sample
+
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        a = deterministic_sample(df, key_col="k", fraction=0.3, seed=1)
+        b = deterministic_sample(df, key_col="k", fraction=0.3, seed=1)
+        ka = sorted(r.k for r in a.collect())
+        assert ka == sorted(r.k for r in b.collect())
+        assert 200 < len(ka) < 400  # ~binomial(1000, .3)
+        # different seed -> different subset
+        kc = sorted(r.k for r in deterministic_sample(df, key_col="k", fraction=0.3, seed=2).collect())
+        assert ka != kc
+
+    def test_deterministic_sample_stratified(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_spark.llm import deterministic_sample
+
+        df = spark.range(500).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, "keep").otherwise("drop").alias("src"),
+        )
+        out = deterministic_sample(
+            df, key_col="k", by="src", fractions={"keep": 1.0}, seed=0
+        ).collect()
+        assert len(out) == 250 and all(r.src == "keep" for r in out)
+
+    def test_pack_sequences_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_spark.llm import pack_sequences
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit("s").alias("src"), F.lit(300).alias("toks")
+        )
+        out = pack_sequences(
+            df, target_tokens=1000, token_col="toks", order_col="doc_id", by="src"
+        ).orderBy("doc_id").collect()
+        # 300-token docs, 1000 budget: bins of 4 docs (cum-own: 0,300,600,900 -> bin0)
+        assert [r.bin_id for r in out] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+    def test_pack_sequences_oversized_doc_own_bin(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_spark.llm import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, "s", 5000), (2, "s", 100), (3, "s", 100)], "doc_id long, src string, toks long"
+        )
+        out = pack_sequences(
+            df, target_tokens=1000, token_col="toks", order_col="doc_id", by="src"
+        ).orderBy("doc_id").collect()
+        assert out[0].bin_id == 0 and out[1].bin_id == 5 and out[2].bin_id == 5
