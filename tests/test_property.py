@@ -144,3 +144,69 @@ def test_agg_list_family_matches_pandas(pl, spark, pdf):
         # polars top_k drops nulls, ours may include them -- compare non-null part
         assert got_tk == expect_tk[: len(got_tk)]
         assert len(r["sl"]) == min(2, len(xs))
+
+
+# ---------------------------------------------------------------------------
+# round-4 ops vs independent python models
+
+
+@st.composite
+def texts(draw):
+    n = draw(st.integers(1, 8))
+    alpha = st.text(alphabet="abcx ", min_size=0, max_size=20)
+    return draw(st.lists(alpha, min_size=n, max_size=n))
+
+
+@given(strings=texts())
+@_settings
+def test_find_many_matches_python_scan(pl, strings):
+    pats = ["ab", "ca"]
+    f = pl.from_pandas(pd.DataFrame({"s": strings})).with_row_index("i")
+    got = f.select("i", pl.col("s").str.find_many(pats).alias("f")).collect()
+    got = got.sort_values("i", ignore_index=True)
+
+    def model(s):
+        out, i = [], 0
+        while i < len(s):
+            for p in pats:
+                if s.startswith(p, i):
+                    out.append(i)
+                    i += len(p)
+                    break
+            else:
+                i += 1
+        return out
+
+    for s, arr in zip(strings, got["f"]):
+        assert list(arr) == model(s)
+
+
+@given(
+    vals=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=10),
+    endianness=st.sampled_from(["little", "big"]),
+)
+@_settings
+def test_bin_reinterpret_matches_int_from_bytes(pl, vals, endianness):
+    raw = [v.to_bytes(8, endianness, signed=True) for v in vals]
+    f = pl.from_pandas(pd.DataFrame({"b": raw})).with_row_index("i")
+    got = f.select(
+        "i", pl.col("b").bin.reinterpret(dtype=pl.Int64, endianness=endianness).alias("v")
+    ).collect().sort_values("i", ignore_index=True)
+    assert got["v"].tolist() == [
+        int.from_bytes(r, endianness, signed=True) for r in raw
+    ]
+
+
+@given(pdf=frames())
+@_settings
+def test_cumulative_eval_mean_matches_pandas_expanding(pl, pdf):
+    f = pl.from_pandas(pdf).with_row_index("i")
+    got = f.select(
+        "i", pl.col("x").cumulative_eval(pl.element().mean()).alias("m")
+    ).collect().sort_values("i", ignore_index=True)
+    want = pdf["x"].expanding(min_periods=1).mean()
+    for g, w in zip(got["m"].tolist(), want.tolist()):
+        if pd.isna(w):
+            assert pd.isna(g)
+        else:
+            assert abs(g - w) < 1e-9
