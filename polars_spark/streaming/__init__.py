@@ -32,6 +32,8 @@ __all__ = [
     "dynamic_stream_agg",
     "stateful_running_totals",
     "stateful_dedup",
+    "session_stream_agg",
+    "dedup_within_watermark",
     "stream_interval_join",
     "sink_stream_memory",
     "sink_stream_parquet",
@@ -90,6 +92,45 @@ def dynamic_stream_agg(
         .agg(*agg_cols)
     )
     return out.withColumn(index_column, F.col("__w__.start")).drop("__w__")
+
+
+def session_stream_agg(
+    stream: DataFrame,
+    *,
+    index_column: str,
+    gap: str,
+    group_by: Sequence[str] | str | None = None,
+    watermark: str = "1h",
+    aggs: Sequence | None = None,
+) -> DataFrame:
+    """Sessionization: variable-length session windows that close after
+    ``gap`` of inactivity per key (F.session_window — merging window state,
+    no batch equivalent in the reference).  Watermark bounds the state
+    store: a session finalizes once the watermark passes its end + gap."""
+    gb = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    win = F.session_window(F.col(index_column), _duration_str(gap))
+    agg_cols = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
+    out = (
+        stream.withWatermark(index_column, _duration_str(watermark))
+        .groupBy(*gb, win.alias("__s__"))
+        .agg(*agg_cols)
+    )
+    return (
+        out.withColumn("session_start", F.col("__s__.start"))
+        .withColumn("session_end", F.col("__s__.end"))
+        .drop("__s__")
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, *, key: str | Sequence[str], index_column: str, watermark: str = "1h"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps each key only until the watermark passes it (the unbounded-state
+    trap of plain dropDuplicates on an infinite stream).  The batch twin is
+    llm.exact_dedup / LazyFrame.unique."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return stream.withWatermark(index_column, _duration_str(watermark)).dropDuplicatesWithinWatermark(keys)
 
 
 def stateful_running_totals(

@@ -190,3 +190,67 @@ def test_stream_late_rows_dropped(spark, pl, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_session_stream_agg(spark, pl, tmp_path):
+    """Two sessions per user separated by > gap inactivity; session bounds
+    merge transitively (a-b-c chained within gap = one session)."""
+    from pyspark.sql import functions as F
+
+    from polars_spark.streaming import scan_stream_parquet, session_stream_agg, sink_stream_memory
+
+    src = str(tmp_path / "sess_src")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:19",  # one session (chained)
+                    "2024-01-01 02:00",                                          # second session
+                ]
+            ),
+            "user": ["u1"] * 4,
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    pl.from_pandas(pdf).sink_parquet(src)
+    stream = scan_stream_parquet(src, schema="ts timestamp, user string, v double", spark=spark)
+    agg = session_stream_agg(
+        stream,
+        index_column="ts",
+        gap="15m",
+        group_by="user",
+        watermark="4h",
+        aggs=[F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")],
+    )
+    q = sink_stream_memory(agg, "sessions")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sessions ORDER BY session_start").toPandas()
+    assert len(out) == 2
+    assert out["n"].tolist() == [3, 1]
+    assert out["total"].tolist() == [6.0, 4.0]
+    # chained merge: session 1 spans 00:00 .. 00:19+gap
+    assert out["session_start"].tolist()[0] == pd.Timestamp("2024-01-01 00:00")
+    assert out["session_end"].tolist()[0] == pd.Timestamp("2024-01-01 00:34")
+
+
+def test_dedup_within_watermark(spark, pl, tmp_path):
+    from polars_spark.streaming import dedup_within_watermark, scan_stream_parquet, sink_stream_memory
+
+    src = str(tmp_path / "dwm_src")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02", "2024-01-01 00:03"]
+            ),
+            "k": ["a", "a", "b", "a"],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    pl.from_pandas(pdf).sink_parquet(src)
+    stream = scan_stream_parquet(src, schema="ts timestamp, k string, v double", spark=spark)
+    out_stream = dedup_within_watermark(stream, key="k", index_column="ts", watermark="1h")
+    # no aggregation in the plan -> append mode (complete needs agg state)
+    q = sink_stream_memory(out_stream, "dwm_out", output_mode="append")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dwm_out ORDER BY k").toPandas()
+    assert out["k"].tolist() == ["a", "b"]
