@@ -593,6 +593,17 @@ class LazyFrame:
     def rolling(self, index_column: str, *, period: str, group_by=None, closed: str = "right") -> "RollingGroupBy":
         return RollingGroupBy(self, index_column, period, group_by, closed)
 
+    def group_by_sessions(
+        self, index_column: str, *, gap: str, group_by=None
+    ) -> "SessionGroupBy":
+        """Sessionization (Spark-native extension; no reference equivalent):
+        variable-length windows that merge events whose time gaps are
+        at most ``gap`` (boundary-inclusive).  Lowered to ``F.session_window`` — the
+        merging-window aggregate, one shuffle on (group_by, session), the
+        same operator the streaming twin (streaming.session_stream_agg)
+        runs incrementally."""
+        return SessionGroupBy(self, index_column, gap, group_by)
+
     # -- joins ---------------------------------------------------------------
     def join(
         self,
@@ -1692,6 +1703,39 @@ class LazyGroupBy:
         names = [k for k in self._keys if isinstance(k, str)]
         df = self._lf._df.groupBy(*names).applyInPandas(function, schema)
         return LazyFrame(df, [])
+
+
+class SessionGroupBy:
+    """Session windows via F.session_window: a session extends while
+    consecutive events are <= gap apart (boundary merges); window =
+    [first_event, last_event + gap).  Output columns: group keys,
+    ``session_start``, ``session_end``, aggregates."""
+
+    def __init__(self, lf, index_column, gap, group_by):
+        self._lf = lf
+        self._index = index_column
+        self._gap = _duration_str(gap)
+        gb = group_by or []
+        self._by = [gb] if isinstance(gb, str) else list(gb)
+
+    def agg(self, *exprs, **named) -> LazyFrame:
+        ctx = self._lf._ctx()
+        aggs: list[Column] = []
+        for e in _flatten(exprs):
+            ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            aggs.append(ee._resolve(ctx).alias(ee._name))
+        for name, e in named.items():
+            aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+        win = F.session_window(F.col(self._index), self._gap)
+        df = self._lf._df.groupBy(*self._by, win.alias("__s__")).agg(*aggs)
+        return LazyFrame(
+            df.select(
+                *self._by,
+                F.col("__s__.start").alias("session_start"),
+                F.col("__s__.end").alias("session_end"),
+                *[c for c in df.columns if c not in (*self._by, "__s__")],
+            )
+        )
 
 
 class DynamicGroupBy:

@@ -132,3 +132,44 @@ def tmp_upsample_1h(spark, sf_dir):
         .agg(pl.len().alias("n_slots"), pl.col("event_id").count().alias("n_hits"))
         .to_spark()
     )
+
+
+@query(
+    "tmp_session_windows",
+    # session_window replayed as SQL gaps-and-islands: break when the gap
+    # to the previous event EXCEEDS 30m (Spark merges an event landing
+    # exactly at the session-end boundary — verified in test_temporal.py),
+    # session id = running sum of breaks, end = last event + gap.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def tmp_session_windows(spark, sf_dir):
+    """Batch sessionization (LazyFrame.group_by_sessions -> F.session_window):
+    variable-length gap-merged windows, one shuffle on the user key."""
+    ev = ltable(spark, sf_dir, "events")
+    return (
+        ev.group_by_sessions("ts", gap="30m", group_by="user_id")
+        .agg(
+            pl.len().alias("n_events"),
+            pl.col("value").sum().round(4).alias("total"),
+        )
+        .to_spark()
+    )

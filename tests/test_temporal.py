@@ -119,3 +119,47 @@ def test_dynamic_closed_right(pl, lf):
         (pd.Timestamp("2024-01-01 00:00"), 2.0),
         (pd.Timestamp("2024-01-01 00:30"), 4.0),
     ]
+
+
+def test_group_by_sessions_merges_within_gap(pl):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:19", "2024-01-01 02:00"]
+            ),
+            "u": ["a"] * 4,
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    f = pl.from_pandas(pdf)
+    got = (
+        f.group_by_sessions("ts", gap="15m", group_by="u")
+        .agg(pl.len().alias("n"), pl.col("v").sum().alias("s"))
+        .collect()
+        .sort_values("session_start", ignore_index=True)
+    )
+    assert got["n"].tolist() == [3, 1]
+    assert got["s"].tolist() == [6.0, 4.0]
+    assert got["session_end"][0] == pd.Timestamp("2024-01-01 00:34")
+
+
+def test_group_by_sessions_boundary_event_merges(pl):
+    # Spark session_window semantics: an event landing EXACTLY at the
+    # session-end boundary merges (diff <= gap extends the session) — this
+    # pins the inequality the tmp_session_windows oracle replays
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:15:00", "2024-01-01 00:30:01"]
+            ),
+            "u": ["a", "a", "a"],
+        }
+    )
+    got = (
+        pl.from_pandas(pdf)
+        .group_by_sessions("ts", gap="15m", group_by="u")
+        .agg(pl.len().alias("n"))
+        .collect()
+        .sort_values("session_start", ignore_index=True)
+    )
+    assert got["n"].tolist() == [2, 1]
