@@ -52,6 +52,7 @@ from polars_spark.sources import (
     from_dicts,
     from_records,
     from_numpy,
+    from_repr,
     int_range,
     linear_space,
     date_range,
@@ -204,6 +205,7 @@ __all__ = [
     "scan_pyarrow_dataset",
     "from_arrow",
     "from_pandas",
+    "from_repr",
     "DataFrame",
     "SQLContext",
     "sql",

@@ -780,3 +780,71 @@ def get_index_type() -> str:
     """Row-index dtype ('bigint' — Spark indexes are 64-bit; polars uses
     UInt32 by default)."""
     return "bigint"
+
+
+def from_repr(text: str, spark: SparkSession | None = None) -> LazyFrame:
+    """polars from_repr (py-polars functions/general): rebuild a frame from
+    its printed table repr — the round-trip used throughout the reference's
+    doctests.  Parses the box-drawing layout: header row, dtype row, data
+    rows; supports the common scalar dtypes (ints, floats, str, bool,
+    date/datetime) and ``null`` cells."""
+    import re as _re
+
+    import pandas as pd
+
+    norm = text.replace("┆", "│")
+    lines = [ln for ln in norm.splitlines() if "│" in ln or "|" in ln]
+    if not lines:
+        raise ValueError("from_repr: no table rows found")
+    sep = "│" if "│" in lines[0] else "|"
+
+    def cells(ln: str) -> list[str]:
+        return [c.strip() for c in ln.strip().strip(sep).split(sep)]
+
+    names = cells(lines[0])
+    body = lines[1:]
+    # optional '---' separator row between names and dtypes
+    if body and all(c == "---" for c in cells(body[0])):
+        body = body[1:]
+    dtype_tokens = {
+        "i8", "i16", "i32", "i64", "u8", "u16", "u32", "u64",
+        "f32", "f64", "str", "bool", "date", "null",
+    }
+    dtypes = cells(body[0]) if body else []
+    has_dtype_row = bool(dtypes) and all(
+        d in dtype_tokens or d.startswith(("datetime", "duration", "time", "cat"))
+        for d in dtypes
+    )
+    data_rows = body[1:] if has_dtype_row else body
+    if not has_dtype_row:
+        dtypes = ["str"] * len(names)
+
+    def conv(val: str, dt: str):
+        if val in ("null", ""):
+            return None
+        if dt.startswith(("i", "u")):
+            return int(val)
+        if dt.startswith("f"):
+            return float(val)
+        if dt == "bool":
+            return val == "true"
+        if dt == "date" or dt.startswith("datetime"):
+            return pd.Timestamp(val)
+        return val
+
+    rows = []
+    for ln in data_rows:
+        vals = cells(ln)
+        if len(vals) != len(names):
+            continue  # separator / ellipsis rows
+        if all(_re.fullmatch(r"[-─═┄…]+", v or "-") for v in vals):
+            continue
+        rows.append([conv(v, d) for v, d in zip(vals, dtypes)])
+    pdf = pd.DataFrame(rows, columns=names)
+    # pin integer columns (all-null object columns stay object)
+    for n, d in zip(names, dtypes):
+        if d.startswith(("i", "u")) and pdf[n].notna().all() and len(pdf):
+            pdf[n] = pdf[n].astype("int64")
+        elif d.startswith("f") and len(pdf):
+            pdf[n] = pdf[n].astype("float64")
+    return from_pandas(pdf, spark=spark)

@@ -136,3 +136,23 @@ def test_scan_pyarrow_dataset_and_from_arrow(pl, spark, tmp_path):
 
     res = duckdb.sql("SELECT 7 AS x UNION ALL SELECT 8").arrow()
     assert sorted(from_arrow(res, spark=spark).collect()["x"].tolist()) == [7, 8]
+
+
+def test_from_repr_roundtrip(pl):
+    txt = """
+    shape: (3, 3)
+    ┌─────┬──────┬───────┐
+    │ a   ┆ b    ┆ s     │
+    │ --- ┆ ---  ┆ ---   │
+    │ i64 ┆ f64  ┆ str   │
+    ╞═════╪══════╪═══════╡
+    │ 1   ┆ 1.5  ┆ x     │
+    │ 2   ┆ null ┆ y     │
+    │ 3   ┆ 3.25 ┆ null  │
+    └─────┴──────┴───────┘
+    """
+    f = pl.from_repr(txt).collect()
+    assert f["a"].tolist() == [1, 2, 3]
+    assert f["s"].tolist()[0:2] == ["x", "y"] and pd.isna(f["s"][2])
+    import math
+    assert f["b"][0] == 1.5 and math.isnan(f["b"][1]) and f["b"][2] == 3.25
