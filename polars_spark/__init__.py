@@ -53,6 +53,7 @@ from polars_spark.sources import (
     from_records,
     from_numpy,
     from_repr,
+    scan_table,
     int_range,
     linear_space,
     date_range,
@@ -117,6 +118,7 @@ from polars_spark.plans.expr import (  # noqa: E402
     Null,
 )
 from polars_spark.functions import (
+    salted_join,
     sum,  # noqa: A004
     min,  # noqa: A004
     max,  # noqa: A004
@@ -206,6 +208,8 @@ __all__ = [
     "from_arrow",
     "from_pandas",
     "from_repr",
+    "scan_table",
+    "salted_join",
     "DataFrame",
     "SQLContext",
     "sql",

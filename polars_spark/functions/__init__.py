@@ -51,6 +51,7 @@ __all__ = [
     "date_ranges",
     "business_day_count",
     "repeat",
+    "salted_join",
 ]
 
 
@@ -654,3 +655,46 @@ def row_index() -> Expr:
         return (F.row_number().over(w) - 1).cast("bigint")
 
     return Expr(fn, "index")
+
+
+def salted_join(
+    left,
+    right,
+    on,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+    suffix: str = "_right",
+):
+    """Skew-busting equi-join (Spark-native scale tool; the single-node
+    reference never needs it): every left row gets a deterministic salt in
+    [0, salt), the right side is replicated ``salt`` times, and the join
+    keys become (key, salt) — one pathological hot key (power-law web
+    domains, null-ish defaults) spreads over ``salt`` reducers instead of
+    sinking one.
+
+    AQE's skew-join split already handles moderate skew at runtime;
+    salting is the explicit control for EXTREME single-key skew where one
+    key's partition would exceed executor memory even after splitting.
+    The salt is xxhash64 of the whole left row (deterministic — reruns
+    produce identical partitioning).  Supported: inner/left/semi (a
+    replicated right side would duplicate unmatched rows under right/full).
+    """
+    from polars_spark.plans.frame import LazyFrame
+
+    if how not in ("inner", "left", "semi"):
+        raise ValueError("salted_join supports how='inner'|'left'|'semi'")
+    keys = [on] if isinstance(on, str) else list(on)
+    ldf = left.to_spark()
+    l_salted = LazyFrame(
+        ldf.withColumn(
+            "__salt__", F.pmod(F.xxhash64(*[F.col(c) for c in ldf.columns]), F.lit(salt))
+        )
+    )
+    r_salted = LazyFrame(
+        right.to_spark().withColumn(
+            "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+    )
+    out = l_salted.join(r_salted, on=keys + ["__salt__"], how=how, suffix=suffix)
+    return out.drop("__salt__")

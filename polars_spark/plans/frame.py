@@ -1518,6 +1518,45 @@ class LazyFrame:
             w = w.partitionBy(*pb)
         w.parquet(path)
 
+    def sink_bucketed_table(
+        self,
+        name: str,
+        *,
+        bucket_by: Sequence[str] | str,
+        num_buckets: int,
+        sort_by: Sequence[str] | str | None = None,
+        mode: str = "overwrite",
+        format: str = "parquet",
+    ) -> None:
+        """Bucketed managed table (Spark-native scale feature; the reference
+        is single-node and has no equivalent): rows are hash-partitioned
+        into ``num_buckets`` files by ``bucket_by`` AT WRITE TIME, so later
+        equi-joins / aggregations on those keys read co-located data and
+        skip the shuffle entirely — the canonical strategy for a 100 TB
+        fact table joined repeatedly on the same key.  ``sort_by`` makes
+        each bucket sort-merge-ready (no sort at read).  Verified in
+        tests/test_io.py: a self-join of two bucketed tables shows NO
+        Exchange above the join in the physical plan."""
+        spark = self._df.sparkSession
+        if mode == "overwrite" and "." not in name:
+            # the in-memory catalog forgets tables across restarts but the
+            # warehouse directory survives — clear both to avoid
+            # LOCATION_ALREADY_EXISTS on re-create
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            import os
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+            loc = os.path.join(wh, name.lower())
+            if wh and os.path.isdir(loc):
+                shutil.rmtree(loc)
+        bb = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        w = self.to_spark().write.mode(mode).format(format).bucketBy(num_buckets, *bb)
+        if sort_by:
+            sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            w = w.sortBy(*sb)
+        w.saveAsTable(name)
+
     def sink_csv(self, path: str, *, include_header: bool = True, separator: str = ",") -> None:
         (
             self.to_spark()

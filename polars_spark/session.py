@@ -48,6 +48,11 @@ def get_spark(app_name: str = "polars_spark", **extra_conf: str) -> SparkSession
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse (bucketed tables) outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"),
+        )
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         # read TIMESTAMP(NANOS) parquet columns as long; scan_parquet converts

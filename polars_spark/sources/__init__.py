@@ -848,3 +848,11 @@ def from_repr(text: str, spark: SparkSession | None = None) -> LazyFrame:
         elif d.startswith("f") and len(pdf):
             pdf[n] = pdf[n].astype("float64")
     return from_pandas(pdf, spark=spark)
+
+
+def scan_table(name: str, *, spark: SparkSession | None = None) -> LazyFrame:
+    """Catalog table scan (pairs with LazyFrame.sink_bucketed_table): reads
+    a managed/bucketed table; bucketing metadata lets Catalyst drop the
+    shuffle on joins/aggs keyed by the bucket columns."""
+    spark = spark or _spark()
+    return LazyFrame(spark.table(name))

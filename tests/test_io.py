@@ -156,3 +156,42 @@ def test_from_repr_roundtrip(pl):
     assert f["s"].tolist()[0:2] == ["x", "y"] and pd.isna(f["s"][2])
     import math
     assert f["b"][0] == 1.5 and math.isnan(f["b"][1]) and f["b"][2] == 3.25
+
+
+def test_bucketed_table_join_eliminates_shuffle(pl, spark):
+    """sink_bucketed_table + scan_table: a sort-merge join of two tables
+    bucketed+sorted on the join key runs with ZERO Exchange and ZERO Sort
+    nodes — write-time co-location replaces the per-query shuffle (the
+    canonical repeated-join strategy at 100 TB)."""
+    import contextlib
+    import io
+
+    pdf = pd.DataFrame({"k": list(range(500)), "v": [float(i) for i in range(500)]})
+    f = pl.from_pandas(pdf)
+    f.sink_bucketed_table("bt_test_a", bucket_by="k", num_buckets=4, sort_by="k")
+    f.sink_bucketed_table("bt_test_b", bucket_by="k", num_buckets=4, sort_by="k")
+    from polars_spark.sources import scan_table
+
+    j = (
+        scan_table("bt_test_a", spark=spark)
+        .hint("merge")  # suppress the tiny-table broadcast so the plan shows the bucket payoff
+        .join(scan_table("bt_test_b", spark=spark), on="k", suffix="_r")
+    )
+    df = j.to_spark()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 0
+    assert df.count() == 500
+
+
+def test_bucketed_table_overwrite_survives_stale_location(pl, spark):
+    pdf = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})
+    f = pl.from_pandas(pdf)
+    f.sink_bucketed_table("bt_test_c", bucket_by="k", num_buckets=2)
+    f.sink_bucketed_table("bt_test_c", bucket_by="k", num_buckets=2)  # re-create ok
+    from polars_spark.sources import scan_table
+
+    assert scan_table("bt_test_c", spark=spark).collect().shape[0] == 2

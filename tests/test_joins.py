@@ -128,3 +128,42 @@ def test_asof_multi_by(pl, lf):
     right = lf(t=[3, 4], v=[1.0, 2.0], a=["x", "x"], b=[1, 2])
     out = rows(left.join_asof(right, on="t", by=["a", "b"]), sort_by="b")
     assert out == [(5, "x", 1, 1.0), (5, "x", 2, 2.0)]
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_on_skewed_data(self, pl, spark):
+        import pandas as pd
+
+        # 90% of left rows share one hot key
+        left = pl.from_pandas(
+            pd.DataFrame({"k": [1] * 900 + list(range(2, 102)), "v": list(range(1000))})
+        )
+        right = pl.from_pandas(
+            pd.DataFrame({"k": list(range(1, 102)), "w": [f"r{i}" for i in range(1, 102)]})
+        )
+        plain = left.join(right, on="k").collect().sort_values(["k", "v"], ignore_index=True)
+        salted = (
+            pl.salted_join(left, right, "k", salt=8)
+            .collect()
+            .sort_values(["k", "v"], ignore_index=True)[plain.columns]
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+
+    def test_left_and_semi(self, pl, spark):
+        import pandas as pd
+
+        left = pl.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3], "v": [10, 11, 20, 30]}))
+        right = pl.from_pandas(pd.DataFrame({"k": [1, 2], "w": ["a", "b"]}))
+        lj = pl.salted_join(left, right, "k", salt=4, how="left").collect()
+        assert len(lj) == 4 and lj[lj["k"] == 3]["w"].isna().all()
+        sj = pl.salted_join(left, right, "k", salt=4, how="semi").collect()
+        assert sorted(sj["k"].tolist()) == [1, 1, 2]
+
+    def test_rejects_full(self, pl):
+        import pandas as pd
+
+        f = pl.from_pandas(pd.DataFrame({"k": [1]}))
+        import pytest
+
+        with pytest.raises(ValueError, match="inner"):
+            pl.salted_join(f, f, "k", how="full")
