@@ -210,3 +210,37 @@ def test_cumulative_eval_mean_matches_pandas_expanding(pl, pdf):
             assert pd.isna(g)
         else:
             assert abs(g - w) < 1e-9
+
+
+@st.composite
+def event_times(draw):
+    n = draw(st.integers(1, 15))
+    # minute offsets, may contain duplicates and big gaps
+    offs = draw(st.lists(st.integers(0, 300), min_size=n, max_size=n))
+    return sorted(offs)
+
+
+@given(offs=event_times())
+@_settings
+def test_group_by_sessions_matches_python_model(pl, offs):
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({"ts": [base + pd.Timedelta(minutes=m) for m in offs], "u": "a"})
+    got = (
+        pl.from_pandas(pdf)
+        .group_by_sessions("ts", gap="30m", group_by="u")
+        .agg(pl.len().alias("n"))
+        .collect()
+        .sort_values("session_start", ignore_index=True)
+    )
+    # model: boundary-inclusive merge (diff <= gap extends the session)
+    sessions, cur = [], None
+    for m in offs:
+        if cur is None or m - cur[1] > 30:
+            sessions.append([m, m, 0])
+            cur = sessions[-1]
+        cur[1] = m
+        cur[2] += 1
+    assert got["n"].tolist() == [s[2] for s in sessions]
+    assert got["session_start"].tolist() == [
+        base + pd.Timedelta(minutes=s[0]) for s in sessions
+    ]
