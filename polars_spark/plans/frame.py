@@ -1908,6 +1908,17 @@ def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool =
             d = f.with_row_index("__hidx__")._df
             out = d if out is None else out.join(d, "__hidx__", "full")
         return LazyFrame(out.drop("__hidx__"), [])
+    if how in ("align", "align_full", "align_left", "align_inner"):
+        # polars align: outer/left/inner-join the frames on their COMMON
+        # columns, result sorted by those keys (functions/eager.py concat)
+        join_how = {"align": "full", "align_full": "full", "align_left": "left", "align_inner": "inner"}[how]
+        common = [c for c in frames[0].columns if all(c in f.columns for f in frames[1:])]
+        if not common:
+            raise ValueError("concat(align): frames share no common columns")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.join(f, on=common, how=join_how, coalesce=True)
+        return out.sort(common)
     raise ValueError(f"unknown concat how={how!r}")
 
 

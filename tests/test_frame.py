@@ -354,3 +354,18 @@ def test_spark_scale_management(pl, lf):
     p = f.persist()
     assert p.collect().shape[0] == 20
     p.unpersist()
+
+
+def test_concat_align(pl):
+    import pandas as pd
+
+    a = pl.from_pandas(pd.DataFrame({"id": [1, 2, 3], "x": ["a", "b", "c"]}))
+    b = pl.from_pandas(pd.DataFrame({"id": [2, 3, 4], "y": [20, 30, 40]}))
+    got = pl.concat([a, b], how="align").collect()
+    assert got["id"].tolist() == [1, 2, 3, 4]
+    assert got["x"].tolist()[:3] == ["a", "b", "c"] and pd.isna(got["x"][3])
+    assert pd.isna(got["y"][0]) and got["y"].tolist()[1:] == [20, 30, 40]
+    inner = pl.concat([a, b], how="align_inner").collect()
+    assert inner["id"].tolist() == [2, 3]
+    left = pl.concat([a, b], how="align_left").collect()
+    assert left["id"].tolist() == [1, 2, 3]
