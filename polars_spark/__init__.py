@@ -28,7 +28,7 @@ from polars_spark.plans.expr import (  # noqa: A004
     nth,
     when,
 )
-from polars_spark.plans.frame import LazyFrame, concat
+from polars_spark.plans.frame import LazyFrame, align_frames, concat
 from polars_spark.plans.namespaces import element
 from polars_spark.sources import (
     scan_parquet,
@@ -197,6 +197,7 @@ __all__ = [
     "nth",
     "element",
     "concat",
+    "align_frames",
     "scan_parquet",
     "read_parquet",
     "scan_csv",

@@ -2015,3 +2015,26 @@ def _duration_to_value(tol, is_ts: bool):
     if isinstance(tol, _dt.timedelta):
         return tol.total_seconds() if is_ts else int(tol.total_seconds() * 1e6)
     return tol
+
+
+def align_frames(*frames: LazyFrame, on, how: str = "outer", descending: bool = False) -> list[LazyFrame]:
+    """polars align_frames (functions/eager.py): give every frame the same
+    key spine — the union (how='outer') of the ``on`` values across all
+    frames — left-joining each frame's columns onto it, sorted by the keys.
+    The spine is a distinct-union of key columns only (narrow shuffle);
+    each frame then joins once on the keys."""
+    keys = [on] if isinstance(on, str) else list(on)
+    fr = list(frames)
+    if not fr:
+        return []
+    spine_df = fr[0].to_spark().select(*keys)
+    for f in fr[1:]:
+        spine_df = spine_df.unionByName(f.to_spark().select(*keys))
+    spine = LazyFrame(spine_df.distinct())
+    out = []
+    for f in fr:
+        aligned = spine.join(f, on=keys, how="left", coalesce=True).sort(
+            keys, descending=descending
+        )
+        out.append(aligned.select(*f.columns))
+    return out

@@ -369,3 +369,15 @@ def test_concat_align(pl):
     assert inner["id"].tolist() == [2, 3]
     left = pl.concat([a, b], how="align_left").collect()
     assert left["id"].tolist() == [1, 2, 3]
+
+
+def test_align_frames(pl):
+    import pandas as pd
+
+    a = pl.from_pandas(pd.DataFrame({"id": [1, 3], "x": [10.0, 30.0]}))
+    b = pl.from_pandas(pd.DataFrame({"id": [2, 3], "y": [200.0, 300.0]}))
+    fa, fb = pl.align_frames(a, b, on="id")
+    ga, gb = fa.collect(), fb.collect()
+    assert ga["id"].tolist() == [1, 2, 3] and gb["id"].tolist() == [1, 2, 3]
+    assert ga["x"].tolist()[0] == 10.0 and pd.isna(ga["x"][1]) and ga["x"][2] == 30.0
+    assert pd.isna(gb["y"][0]) and gb["y"].tolist()[1:] == [200.0, 300.0]
