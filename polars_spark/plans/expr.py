@@ -654,7 +654,9 @@ class Expr:
                 raise ValueError("arg_min needs a row index (with_row_index())")
             pos = F.col(specs[0][0])
             c = self._resolve(ctx)
-            return F.min_by(pos, F.when(c.isNotNull(), F.struct(c, pos)))
+            out = F.min_by(pos, F.when(c.isNotNull(), F.struct(c, pos)))
+            w = getattr(ctx, "_window", None)
+            return out.over(w) if w is not None else out
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -665,7 +667,9 @@ class Expr:
                 raise ValueError("arg_max needs a row index (with_row_index())")
             pos = F.col(specs[0][0])
             c = self._resolve(ctx)
-            return F.min_by(pos, F.when(c.isNotNull(), F.struct((-c).alias("v"), pos)))
+            out = F.min_by(pos, F.when(c.isNotNull(), F.struct((-c).alias("v"), pos)))
+            w = getattr(ctx, "_window", None)
+            return out.over(w) if w is not None else out
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -811,7 +815,11 @@ class Expr:
             c = self._resolve(ctx)
             v = e._resolve(ctx)
             cmp = (c < v) if side == "left" else (c <= v)
-            return F.sum(F.when(cmp, 1).otherwise(0)).cast("bigint")
+            out = F.sum(F.when(cmp, 1).otherwise(0))
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                out = out.over(w)
+            return out.cast("bigint")
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -823,7 +831,11 @@ class Expr:
             specs = ctx.order_specs()
             if not specs:
                 raise ValueError("agg_groups needs a row index (with_row_index())")
-            return F.array_sort(F.collect_list(F.col(specs[0][0])))
+            coll = F.collect_list(F.col(specs[0][0]))
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                coll = coll.over(w)
+            return F.array_sort(coll)
 
         return Expr(fn, self._name, is_agg=True)
 

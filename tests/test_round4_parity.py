@@ -249,3 +249,18 @@ class TestWriteExcelListSample:
         f = _idx(pl, a=[[1, 2, 3, 4]])
         got = f.select(pl.col("a").list.sample(fraction=0.5, seed=2).alias("s")).collect()
         assert len(got["s"][0]) == 2
+
+
+class TestCumulativeEvalWindowAggs:
+    def test_positional_aggs_run_per_prefix(self, pl):
+        # arg_min/arg_max/search_sorted/agg_groups must honor the prefix
+        # window (they silently computed ONE global aggregate before r4)
+        f = _idx(pl, x=[3.0, 1.0, 2.0])
+        got = f.select(
+            pl.col("x").cumulative_eval(pl.element().arg_min()).alias("am"),
+            pl.col("x").cumulative_eval(pl.element().arg_max()).alias("ax"),
+            pl.col("x").cumulative_eval(pl.element().search_sorted(2.0)).alias("ss"),
+        ).collect()
+        assert got["am"].tolist() == [0, 1, 1]
+        assert got["ax"].tolist() == [0, 0, 0]
+        assert got["ss"].tolist() == [0, 1, 1]
