@@ -548,3 +548,46 @@ def sf_find_many(spark, sf_dir):
         "doc_id",
         pl.col("text").str.find_many(["the", "table"]).alias("hits"),
     ).to_spark()
+
+
+@query(
+    "sf_decimal_exact",
+    # DECIMAL(12,2)/(18,4) arithmetic is EXACT on both engines (SURVEY §1.2:
+    # both 128-bit, max precision 38) — sums compare as exact decimals, no
+    # float rounding discipline needed.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2))
+             AS dec_sum,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+             AS dec_min,
+           CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+             AS dec_max,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS dec_rev
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sf_decimal_exact(spark, sf_dir):
+    """Exact decimal aggregation (polars Decimal dtype -> Spark DecimalType,
+    both 128-bit): sums/products carry no float error, so the compare is
+    exact decimal equality — the money-math path a pipeline would actually
+    use at scale."""
+    li = ltable(spark, sf_dir, "lineitem")
+    price2 = pl.col("l_extendedprice").cast("decimal(12,2)")
+    price4 = pl.col("l_extendedprice").cast("decimal(18,4)")
+    disc4 = (1 - pl.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            price2.sum().cast("decimal(22,2)").alias("dec_sum"),
+            price2.min().cast("decimal(12,2)").alias("dec_min"),
+            price2.max().cast("decimal(12,2)").alias("dec_max"),
+            (price4 * disc4).sum().cast("decimal(38,6)").alias("dec_rev"),
+        )
+        .sort("l_returnflag")
+        .to_spark()
+    )
