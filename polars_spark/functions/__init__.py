@@ -109,7 +109,9 @@ def n_unique(name):
 
 
 def len() -> Expr:  # noqa: A001 - polars name
-    return Expr(lambda ctx: F.count(F.lit(1)), "len", is_agg=True)
+    from polars_spark.plans.expr import _wover
+
+    return Expr(lambda ctx: _wover(ctx, F.count(F.lit(1))), "len", is_agg=True)
 
 
 # -- horizontal (FunctionExpr::{Sum,Max,Min,Mean}Horizontal) ------------------
@@ -289,7 +291,9 @@ def corr(a, b, *, method: str = "pearson") -> Expr:
         raise NotImplementedError("corr: only pearson (spearman needs rank pre-pass)")
 
     def fn(ctx: ExprContext) -> Column:
-        return F.corr(ea._resolve(ctx), eb._resolve(ctx))
+        from polars_spark.plans.expr import _wover
+
+        return _wover(ctx, F.corr(ea._resolve(ctx), eb._resolve(ctx)))
 
     return Expr(fn, "corr", is_agg=True)
 
@@ -300,7 +304,9 @@ def cov(a, b, *, ddof: int = 1) -> Expr:
     f = F.covar_samp if ddof == 1 else F.covar_pop
 
     def fn(ctx: ExprContext) -> Column:
-        return f(ea._resolve(ctx), eb._resolve(ctx))
+        from polars_spark.plans.expr import _wover
+
+        return _wover(ctx, f(ea._resolve(ctx), eb._resolve(ctx)))
 
     return Expr(fn, "cov", is_agg=True)
 

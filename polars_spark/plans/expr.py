@@ -89,6 +89,15 @@ class ExprContext:
         return []
 
 
+
+def _wover(ctx: "ExprContext", c: Column) -> Column:
+    """Apply the enclosing window (rolling/over/cumulative_eval contexts) to
+    a raw aggregate Column — every aggregate closure that does not route
+    through _agg must call this so `agg.over(keys)` and cumulative_eval
+    lower correctly."""
+    w = getattr(ctx, "_window", None)
+    return c.over(w) if w is not None else c
+
 def _to_expr(v: Any) -> "Expr":
     return v if isinstance(v, Expr) else lit(v)
 
@@ -345,7 +354,7 @@ class Expr:
         return self
 
     def null_count(self):
-        return self._map(lambda c: F.count(F.when(c.isNull(), 1)), is_agg=True)
+        return self._agg(lambda c: F.count(F.when(c.isNull(), 1)))
 
     # -- casts / conversions ----------------------------------------------
     def cast(self, dtype, strict: bool = True):
@@ -540,7 +549,29 @@ class Expr:
         return Expr(fn, self._name, is_agg=True)
 
     def sum(self):
-        return self._agg(F.sum)
+        """polars sum semantics: nulls are ignored AND an empty/all-null
+        group sums to 0 (not SQL's NULL — reference docs 'missing data').
+        The zero-coalesce is skipped for interval dtypes (no untyped zero
+        literal) and for frameless meta contexts; the dtype check is plan
+        analysis only, no job."""
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            s = F.sum(c)
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                s = s.over(w)
+            if ctx.df is None:
+                return s
+            try:
+                dt = ctx.df.select(c.alias("__p__")).schema[0].dataType.simpleString()
+            except Exception:
+                return s
+            if dt.startswith("interval"):
+                return s
+            return F.coalesce(s, F.lit(0))
+
+        return Expr(fn, self._name, is_agg=True)
 
     def mean(self):
         return self._agg(F.mean)
@@ -1416,10 +1447,13 @@ class Expr:
         return e
 
     def has_nulls(self):
-        return self._map(lambda c: F.max(c.isNull()), is_agg=True)
+        return self._agg(lambda c: F.max(c.isNull()))
 
     def is_empty(self):
-        return self._map(lambda c: F.count(F.lit(1)) == 0, is_agg=True)
+        def fn(ctx: ExprContext) -> Column:
+            return _wover(ctx, F.count(F.lit(1))) == 0
+
+        return Expr(fn, self._name, is_agg=True)
 
     def pipe(self, function, *args, **kwargs):
         return function(self, *args, **kwargs)
@@ -1518,7 +1552,7 @@ class Expr:
         v = _to_expr(value)
 
         def fn(ctx: ExprContext) -> Column:
-            arr = F.collect_list(self._resolve(ctx))
+            arr = _wover(ctx, F.collect_list(self._resolve(ctx)))
             return F.concat(arr, F.array_repeat(v._resolve(ctx), n))
 
         return Expr(fn, self._name, is_agg=True)
@@ -1588,7 +1622,7 @@ class Expr:
         b = col(by) if isinstance(by, str) else _to_expr(by)
 
         def fn(ctx: ExprContext) -> Column:
-            pairs = F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v")))
+            pairs = _wover(ctx, F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v"))))
             arr = F.array_sort(pairs)
             if descending:
                 arr = F.reverse(arr)
@@ -1614,7 +1648,7 @@ class Expr:
         b = col(by) if isinstance(by, str) else _to_expr(by)
 
         def fn(ctx: ExprContext) -> Column:
-            pairs = F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v")))
+            pairs = _wover(ctx, F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v"))))
             return F.transform(F.slice(F.reverse(F.array_sort(pairs)), 1, k), lambda s: s.getField("__v"))
 
         return Expr(fn, self._name, is_agg=True)
@@ -1623,7 +1657,7 @@ class Expr:
         b = col(by) if isinstance(by, str) else _to_expr(by)
 
         def fn(ctx: ExprContext) -> Column:
-            pairs = F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v")))
+            pairs = _wover(ctx, F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v"))))
             return F.transform(F.slice(F.array_sort(pairs), 1, k), lambda s: s.getField("__v"))
 
         return Expr(fn, self._name, is_agg=True)
@@ -1943,11 +1977,12 @@ class Expr:
                 sub = ctx
 
             if self._is_agg:
-                # Spark turns an aggregate Column into a window function via
-                # .over(w).  Requires the aggregation to be the outermost
-                # function in the expr (matches polars' common usage; for
-                # `agg + scalar` write `expr.agg().over(k) + scalar`).
-                return self._resolve(sub).over(w)
+                # route the window through ctx._window: every aggregate NODE
+                # wraps itself in .over(w) (see _agg/_wover), so compositions
+                # like `a.sum() - b.first()` window each aggregate correctly
+                # instead of requiring the agg to be outermost.
+                sub._window = w
+                return self._resolve(sub)
             # non-agg exprs (shift/cum/rank/...) need the partition in their
             # order window: give them a context whose order_window is
             # partitioned.
@@ -1959,7 +1994,7 @@ class Expr:
     # -- misc ---------------------------------------------------------------
     def unique(self, maintain_order: bool = False):
         def fn(ctx: ExprContext) -> Column:
-            return F.array_distinct(F.collect_list(self._resolve(ctx)))
+            return F.array_distinct(_wover(ctx, F.collect_list(self._resolve(ctx))))
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -2242,10 +2277,10 @@ class Expr:
         # -Σ p·ln p with p = x/S  ==  ln S − Σ x·ln x / S  (single agg pass)
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            s = F.sum(c)
-            ent = F.log(s) - F.sum(c * F.log(c)) / s
+            s = _wover(ctx, F.sum(c))
+            ent = F.log(s) - _wover(ctx, F.sum(c * F.log(c))) / s
             if not normalize:
-                ent = -F.sum(F.log(c) * c)  # non-normalized: -Σ x·ln x
+                ent = -_wover(ctx, F.sum(F.log(c) * c))  # non-normalized: -Σ x·ln x
             return ent / F.log(F.lit(base))
 
         return Expr(fn, self._name, is_agg=True)

@@ -202,6 +202,24 @@ def scan_ipc(source, **kw) -> LazyFrame:
 
 def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
     spark = spark or _spark()
+    if len(pdf) == 0:
+        # empty frames cannot schema-infer; build the schema from the
+        # pandas dtypes (object -> string, the polars empty-frame default)
+        from pyspark.sql import types as T
+
+        m = {
+            "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
+            "int64": T.LongType(), "float32": T.FloatType(), "float64": T.DoubleType(),
+            "bool": T.BooleanType(), "object": T.StringType(), "string": T.StringType(),
+        }
+        fields = []
+        for name, dt in pdf.dtypes.items():
+            s = str(dt)
+            if s.startswith("datetime64"):
+                fields.append(T.StructField(name, T.TimestampType()))
+            else:
+                fields.append(T.StructField(name, m.get(s, T.StringType())))
+        return LazyFrame(spark.createDataFrame([], T.StructType(fields)))
     return LazyFrame(spark.createDataFrame(pdf))
 
 

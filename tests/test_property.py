@@ -45,7 +45,7 @@ def test_groupby_sum_matches_pandas(pl, pdf):
     )
     want = (
         pdf.groupby("g", dropna=False)
-        .agg(s=("x", lambda s: s.sum(min_count=1)), n=("x", "size"))
+        .agg(s=("x", "sum"), n=("x", "size"))  # pandas sum: all-NaN -> 0.0 (polars semantics)
         .reset_index()
         .sort_values("g", ignore_index=True)
     )

@@ -90,8 +90,9 @@ def test_rolling_closed_variants(pl, lf):
 
     assert sums("right") == [1.0, 2.0, 4.0]   # (t-30m, t]
     assert sums("both") == [1.0, 3.0, 6.0]    # [t-30m, t]
-    assert sums("left") == [None, 1.0, 2.0]   # [t-30m, t)
-    assert sums("none") == [None, None, None]  # (t-30m, t)
+    # polars sum semantics: an EMPTY window sums to 0, not null
+    assert sums("left") == [0.0, 1.0, 2.0]    # [t-30m, t)
+    assert sums("none") == [0.0, 0.0, 0.0]    # (t-30m, t)
 
 
 def test_duration_totals(pl, lf):
