@@ -536,7 +536,11 @@ class Expr:
                 cond = c if cond is None else (cond & c)
             return F.when(cond, self._resolve(ctx))
 
-        return Expr(fn, self._name, self._is_agg)
+        e = Expr(fn, self._name, self._is_agg)
+        # null-masking loses the kept-null / dropped-row distinction, so
+        # null-counting aggregates (n_unique) treat filtered exprs SQL-style
+        e._null_masked = True
+        return e
 
     # -- aggregations ---------------------------------------------------------
     def _agg(self, f: Callable[[Column], Column]) -> "Expr":
@@ -592,7 +596,24 @@ class Expr:
         return self._agg(lambda c: F.count(F.lit(1)))
 
     def n_unique(self):
-        return self._agg(lambda c: F.countDistinct(c))
+        """polars counts null as a distinct value (n_unique([None, None]) ==
+        1); SQL count(DISTINCT) ignores nulls, so add a has-null indicator —
+        except on filter()-masked exprs, whose nulls are synthetic dropped
+        rows (the filtered-aggregation idiom stays SQL-style).  Window
+        contexts use collect_set (DISTINCT aggregates can't window)."""
+        count_null = not getattr(self, "_null_masked", False)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            has_null = F.max(F.when(c.isNull(), F.lit(1)).otherwise(F.lit(0)))
+            w = getattr(ctx, "_window", None)
+            if w is not None:
+                base = F.size(F.collect_set(c).over(w))
+                return (base + has_null.over(w) if count_null else base).cast("bigint")
+            base = F.countDistinct(c)
+            return (base + has_null if count_null else base).cast("bigint")
+
+        return Expr(fn, self._name, is_agg=True)
 
     def approx_n_unique(self):
         # polars HyperLogLog++ (polars-compute/src/hyperloglogplus.rs) ==
@@ -807,7 +828,9 @@ class Expr:
             neg = over(F.sum(F.when(c < 0, 1).otherwise(0)))
             mag = F.exp(over(F.sum(F.log(F.abs(F.nullif(c, F.lit(0)))))))
             signed = F.when(neg % 2 == 1, -mag).otherwise(mag)
-            return F.when(zero == 1, F.lit(0.0)).otherwise(signed)
+            out = F.when(zero == 1, F.lit(0.0)).otherwise(signed)
+            # polars: product of an empty/all-null group is 1 (fold identity)
+            return F.coalesce(out, F.lit(1.0))
 
         return Expr(fn, self._name, is_agg=True)
 

@@ -156,3 +156,31 @@ def test_groupby_quantile_all_head_tail_having(pl, lf):
         .collect()
     )
     assert hv["g"].tolist() == ["a"]
+
+
+class TestEmptyGroupIdentities:
+    """polars missing-data rules: fold identities for empty/all-null groups
+    (sum -> 0, product -> 1), and n_unique counts null as a value."""
+
+    def test_sum_all_null_is_zero(self, pl, lf):
+        f = lf(g=["a", "a", "b"], x=[None, None, 5.0])
+        got = f.group_by("g").agg(pl.col("x").sum().alias("s")).collect()
+        got = got.sort_values("g", ignore_index=True)
+        assert got["s"].tolist() == [0.0, 5.0]
+
+    def test_product_all_null_is_one(self, pl, lf):
+        f = lf(g=["a", "a", "b"], x=[None, None, 5.0])
+        got = f.group_by("g").agg(pl.col("x").product().alias("p")).collect()
+        got = got.sort_values("g", ignore_index=True)
+        assert got["p"].tolist() == [1.0, 5.0]
+
+    def test_n_unique_counts_null(self, pl, lf):
+        f = lf(g=["a", "a", "a", "b"], x=[1.0, None, None, 2.0])
+        got = f.group_by("g").agg(pl.col("x").n_unique().alias("n")).collect()
+        got = got.sort_values("g", ignore_index=True)
+        assert got["n"].tolist() == [2, 1]  # a: {1.0, null}, b: {2.0}
+
+    def test_n_unique_over_window(self, pl, lf):
+        f = lf(g=["a", "a", "b"], x=[1.0, 1.0, 2.0])
+        got = f.select("g", pl.col("x").n_unique().over("g").alias("n")).collect()
+        assert got["n"].tolist() == [1, 1, 1]
