@@ -593,6 +593,10 @@ class Expr:
         return self._agg(F.count)
 
     def len(self):
+        # polars len() counts rows INCLUDING nulls — but on a filter()-masked
+        # expr the masked rows are dropped rows, so count survivors only
+        if getattr(self, "_null_masked", False):
+            return self._agg(F.count)
         return self._agg(lambda c: F.count(F.lit(1)))
 
     def n_unique(self):
@@ -621,29 +625,37 @@ class Expr:
         return self._agg(F.approx_count_distinct)
 
     def first(self):
+        # on a filter()-masked expr, "first" means first SURVIVOR (masked
+        # rows are dropped rows, lowered as nulls) -> first non-null
+        masked = getattr(self, "_null_masked", False)
+
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
                 # window frames are already row-ordered -> plain first/last
-                return F.first(c).over(w)
+                return F.first(c, ignorenulls=masked).over(w)
             if ctx.order_cols:
                 # frame order defined: first by row order (asc keys assumed,
                 # the common case — order comes from a row index)
-                return F.min_by(c, F.struct(*ctx.order_plain_cols()))
-            return F.first(c)
+                key = F.struct(*ctx.order_plain_cols())
+                return F.min_by(c, F.when(c.isNotNull(), key) if masked else key)
+            return F.first(c, ignorenulls=masked)
 
         return Expr(fn, self._name, is_agg=True)
 
     def last(self):
+        masked = getattr(self, "_null_masked", False)
+
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
-                return F.last(c).over(w)
+                return F.last(c, ignorenulls=masked).over(w)
             if ctx.order_cols:
-                return F.max_by(c, F.struct(*ctx.order_plain_cols()))
-            return F.last(c)
+                key = F.struct(*ctx.order_plain_cols())
+                return F.max_by(c, F.when(c.isNotNull(), key) if masked else key)
+            return F.last(c, ignorenulls=masked)
 
         return Expr(fn, self._name, is_agg=True)
 

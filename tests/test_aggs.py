@@ -184,3 +184,20 @@ class TestEmptyGroupIdentities:
         f = lf(g=["a", "a", "b"], x=[1.0, 1.0, 2.0])
         got = f.select("g", pl.col("x").n_unique().over("g").alias("n")).collect()
         assert got["n"].tolist() == [1, 1, 1]
+
+    def test_filtered_len_counts_survivors(self, pl, lf):
+        f = lf(g=["a", "a", "a"], x=[1.0, 2.0, 3.0])
+        got = f.group_by("g").agg(
+            pl.col("x").filter(pl.col("x") > 1.5).len().alias("n"),
+            pl.len().alias("total"),
+        ).collect()
+        assert got["n"].tolist() == [2] and got["total"].tolist() == [3]
+
+    def test_filtered_first_last_skip_masked(self, pl, lf):
+        f = lf(g=["a"] * 4, x=[1.0, 2.0, 3.0, 4.0])
+        f = f.with_row_index("i")
+        got = f.group_by("g").agg(
+            pl.col("x").filter(pl.col("x") > 1.5).first().alias("f"),
+            pl.col("x").filter(pl.col("x") < 3.5).last().alias("l"),
+        ).collect()
+        assert got["f"].tolist() == [2.0] and got["l"].tolist() == [3.0]
