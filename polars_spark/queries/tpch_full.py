@@ -157,11 +157,12 @@ def q4_order_priority(spark, sf_dir):
 @query(
     "q9_product_type_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, sum(cents) / 100.0 AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.1 * p_retailprice * l_quantity AS amount
+             CAST(round((l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity) * 100) AS BIGINT)
+               AS cents
       FROM part JOIN lineitem ON p_partkey = l_partkey
                 JOIN supplier ON s_suppkey = l_suppkey
                 JOIN orders   ON o_orderkey = l_orderkey
@@ -181,9 +182,14 @@ def q9_product_type_profit(spark, sf_dir):
     supp = ltable(spark, sf_dir, "supplier")
     orders = ltable(spark, sf_dir, "orders")
     nation = ltable(spark, sf_dir, "nation")
+    # integer-cents discipline (the h2o queries' float rule): the per-row
+    # double is IEEE-identical on both engines, so its rounded cents are
+    # identical, and integer sums are exact at any scale — no summation-order
+    # rounding flips (a 1-cent flip appeared at sf0.1 with round(sum, 2))
     amount = pl.col("l_extendedprice") * (1 - pl.col("l_discount")) - 0.1 * pl.col(
         "p_retailprice"
     ) * pl.col("l_quantity")
+    cents = (amount * 100).round(0).cast("bigint")
     return (
         li.join(part, left_on="l_partkey", right_on="p_partkey")
         .join(supp, left_on="l_suppkey", right_on="s_suppkey")
@@ -192,10 +198,10 @@ def q9_product_type_profit(spark, sf_dir):
         .with_columns(
             pl.col("n_name").alias("nation"),
             pl.col("o_orderdate").dt.year().alias("o_year"),
-            amount.alias("amount"),
+            cents.alias("cents"),
         )
         .group_by("nation", "o_year")
-        .agg(pl.col("amount").sum().round(2).alias("sum_profit"))
+        .agg((pl.col("cents").sum() / 100.0).alias("sum_profit"))
         .sort(["nation", "o_year"], descending=[False, True])
         .to_spark()
     )
@@ -213,7 +219,7 @@ def q9_product_type_profit(spark, sf_dir):
     SELECT l_partkey AS ps_partkey, round(sum(val), 2) AS value
     FROM natline
     GROUP BY l_partkey
-    HAVING sum(val) > (SELECT sum(val) * 0.001 FROM natline)
+    HAVING sum(val) > (SELECT sum(val) * 0.0002 FROM natline)
     ORDER BY value DESC, ps_partkey
     """,
 )
@@ -237,7 +243,7 @@ def q11_important_stock(spark, sf_dir):
         .group_by("l_partkey")
         .agg((pl.col("l_extendedprice") * pl.col("l_quantity")).sum().alias("__val"))
     )
-    total = grouped.select((pl.col("__val").sum() * 0.001).alias("__threshold"))
+    total = grouped.select((pl.col("__val").sum() * 0.0002).alias("__threshold"))
     return (
         grouped.join(total, how="cross")
         .filter(pl.col("__val") > pl.col("__threshold"))
