@@ -244,3 +244,68 @@ def test_group_by_sessions_matches_python_model(pl, offs):
     assert got["session_start"].tolist() == [
         base + pd.Timedelta(minutes=s[0]) for s in sessions
     ]
+
+
+# ---------------------------------------------------------------------------
+# joins / unique / sort vs pandas models (null keys, duplicates, stability)
+
+
+@st.composite
+def keyed_frames(draw):
+    n = draw(st.integers(1, 15))
+    keys = draw(st.lists(st.one_of(st.none(), st.integers(0, 4)), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-5, 5), min_size=n, max_size=n))
+    m = draw(st.integers(1, 8))
+    rkeys = draw(st.lists(st.one_of(st.none(), st.integers(0, 4)), min_size=m, max_size=m))
+    rvals = draw(st.lists(st.integers(100, 105), min_size=m, max_size=m))
+    return (
+        pd.DataFrame({"k": pd.array(keys, dtype="Int64"), "v": vals}),
+        pd.DataFrame({"k": pd.array(rkeys, dtype="Int64"), "w": rvals}),
+    )
+
+
+@given(frames2=keyed_frames())
+@_settings
+def test_inner_join_matches_sql_model(pl, frames2):
+    left, right = frames2
+    got = (
+        pl.from_pandas(left)
+        .join(pl.from_pandas(right), on="k", suffix="_r")
+        .collect()
+        .sort_values(["k", "v", "w"], ignore_index=True)
+    )
+    # SQL/polars semantics: null keys never match (nulls_equal=False)
+    lm = left.dropna(subset=["k"])
+    rm = right.dropna(subset=["k"])
+    want = lm.merge(rm, on="k").sort_values(["k", "v", "w"], ignore_index=True)
+    assert len(got) == len(want)
+    assert got["k"].astype("int64").tolist() == want["k"].astype("int64").tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["w"].tolist() == want["w"].tolist()
+
+
+@given(frames2=keyed_frames())
+@_settings
+def test_unique_keep_first_matches_pandas(pl, frames2):
+    left, _ = frames2
+    f = pl.from_pandas(left).with_row_index("i")
+    got = (
+        f.unique(subset=["k"], keep="first")
+        .collect()
+        .sort_values("i", ignore_index=True)
+    )
+    want = left.reset_index(names="i").drop_duplicates(subset=["k"], keep="first")
+    assert got["i"].tolist() == want["i"].tolist()
+
+
+@given(frames2=keyed_frames())
+@_settings
+def test_sort_stable_nulls_first(pl, frames2):
+    left, _ = frames2
+    f = pl.from_pandas(left).with_row_index("i")
+    got = f.sort("k").collect()
+    # polars default: nulls smallest (first), ties in original order (stable)
+    want = left.reset_index(names="i").sort_values(
+        "k", kind="stable", na_position="first", ignore_index=True
+    )
+    assert got["i"].tolist() == want["i"].tolist()
