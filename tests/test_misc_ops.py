@@ -249,3 +249,43 @@ def test_map_rows_scalar_and_inferred(pl, lf):
     out = f.map_rows(lambda t: (t[0] + 1, t[1] / 2)).collect()
     assert sorted(out.columns) == ["column_0", "column_1"]
     assert sorted(out["column_0"]) == [2, 3, 4]
+
+
+class TestTestingModule:
+    def test_assert_frame_equal(self, pl):
+        import pandas as pd
+
+        from polars_spark import testing as plt
+
+        a = pl.from_pandas(pd.DataFrame({"x": [1.0, 2.0], "y": ["a", "b"]}))
+        b = pl.from_pandas(pd.DataFrame({"x": [1.0, 2.0000000001], "y": ["a", "b"]}))
+        plt.assert_frame_equal(a, b)  # within tolerance
+        import pytest
+
+        with pytest.raises(AssertionError, match="value mismatch"):
+            plt.assert_frame_equal(a, b, check_exact=True)
+        # row order toggle
+        c = pl.from_pandas(pd.DataFrame({"x": [2.0, 1.0], "y": ["b", "a"]}))
+        with pytest.raises(AssertionError):
+            plt.assert_frame_equal(a, c)
+        plt.assert_frame_equal(a, c, check_row_order=False)
+        # column order toggle
+        d = pl.from_pandas(pd.DataFrame({"y": ["a", "b"], "x": [1.0, 2.0]}))
+        with pytest.raises(AssertionError, match="columns differ"):
+            plt.assert_frame_equal(a, d)
+        plt.assert_frame_equal(a, d, check_column_order=False)
+        plt.assert_frame_not_equal(a, b, check_exact=True)
+
+    def test_assert_series_equal(self, pl):
+        import pandas as pd
+        import pytest
+
+        from polars_spark import testing as plt
+
+        plt.assert_series_equal(pd.Series([1.0, None], name="s"), pd.Series([1.0, None], name="s"))
+        with pytest.raises(AssertionError, match="name mismatch"):
+            plt.assert_series_equal(pd.Series([1], name="a"), pd.Series([1], name="b"))
+        with pytest.raises(AssertionError, match="value mismatch"):
+            plt.assert_series_equal(
+                pd.Series([1.0], name="s"), pd.Series([2.0], name="s")
+            )
