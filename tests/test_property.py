@@ -309,3 +309,18 @@ def test_sort_stable_nulls_first(pl, frames2):
         "k", kind="stable", na_position="first", ignore_index=True
     )
     assert got["i"].tolist() == want["i"].tolist()
+
+
+# the packaged user-facing strategies (testing_parametric) drive an engine
+# invariant end to end: filter + union partitioning never loses rows
+from polars_spark.testing_parametric import column, dataframes
+
+
+@given(f=dataframes([column("a", "float"), column("g", "str", allow_null=False)], max_size=12))
+@_settings
+def test_parametric_filter_partition_invariant(pl, f):
+    total = f.count()
+    pos = f.filter(pl.col("a") > 0).count()
+    rest = f.filter(~(pl.col("a") > 0)).count()  # null a -> kept here? NO: ~(null>0) is null -> dropped
+    nulls = f.filter(pl.col("a").is_null()).count()
+    assert pos + rest + nulls == total
