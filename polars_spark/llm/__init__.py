@@ -808,12 +808,16 @@ def pack_sequences(
 
     Scale design: the running sum is a window PARTITIONED by ``by``
     (source/shard) — one shuffle on the partition key, never a global
-    window.  With ``by=None`` it falls back to a per-source-file global
-    order requirement and is intended for already-partitioned inputs."""
+    window.  ``by`` is REQUIRED: an unpartitioned running sum would move
+    every row through one task (the same guard as pl.row_index)."""
     from pyspark.sql import Window
 
-    parts = [F.col(by)] if by is not None else []
-    w = Window.partitionBy(*parts).orderBy(F.col(order_col)).rowsBetween(
+    if by is None:
+        raise ValueError(
+            "pack_sequences needs a partition key (by=...): a global running "
+            "sum would collapse all rows into one task; pack per source/shard"
+        )
+    w = Window.partitionBy(F.col(by)).orderBy(F.col(order_col)).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = F.sum(F.col(token_col)).over(w)

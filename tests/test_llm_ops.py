@@ -316,3 +316,13 @@ class TestTrainingPipelineOps:
             df, target_tokens=1000, token_col="toks", order_col="doc_id", by="src"
         ).orderBy("doc_id").collect()
         assert out[0].bin_id == 0 and out[1].bin_id == 5 and out[2].bin_id == 5
+
+    def test_pack_sequences_requires_partition_key(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from polars_spark.llm import pack_sequences
+
+        df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(10).alias("toks"))
+        with pytest.raises(ValueError, match="partition key"):
+            pack_sequences(df, target_tokens=100, token_col="toks", order_col="doc_id")
