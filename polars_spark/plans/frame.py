@@ -871,7 +871,7 @@ class LazyFrame:
         df = self.to_spark().unpivot(idx, vals, variable_name, value_name)
         return LazyFrame(df, [])
 
-    melt = unpivot
+    melt = unpivot  # pre-1.0 name
 
     def pivot(
         self,
