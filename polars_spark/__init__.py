@@ -247,4 +247,4 @@ __all__ = [
     "business_day_count",
     "repeat",
 ]
-__version__ = "0.2.0"
+__version__ = "0.4.0"
