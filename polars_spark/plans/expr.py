@@ -619,6 +619,14 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
+    def approx_quantile(self, q: float, accuracy: int = 10000):
+        """Approximate quantile (Spark-native scale bonus, pairs with
+        approx_n_unique): Greenwald-Khanna sketch via approx_percentile —
+        mergeable partial state, so a 100 TB percentile costs one normal
+        partial-agg shuffle instead of the exact path's per-group sort.
+        ``accuracy`` trades memory for error (err <= 1/accuracy)."""
+        return self._agg(lambda c: F.approx_percentile(c, F.lit(q), F.lit(accuracy)))
+
     def approx_n_unique(self):
         # polars HyperLogLog++ (polars-compute/src/hyperloglogplus.rs) ==
         # Spark approx_count_distinct (also HLL++)

@@ -201,3 +201,12 @@ class TestEmptyGroupIdentities:
             pl.col("x").filter(pl.col("x") < 3.5).last().alias("l"),
         ).collect()
         assert got["f"].tolist() == [2.0] and got["l"].tolist() == [3.0]
+
+    def test_approx_quantile_near_exact(self, pl, lf):
+        vals = [float(i) for i in range(1000)]
+        f = lf(g=["a"] * 1000, x=vals)
+        got = f.group_by("g").agg(
+            pl.col("x").approx_quantile(0.5).alias("aq"),
+            pl.col("x").quantile(0.5, "lower").alias("eq"),
+        ).collect()
+        assert abs(got["aq"][0] - got["eq"][0]) <= 1.0
