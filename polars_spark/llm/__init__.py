@@ -77,26 +77,33 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
-def shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column, built with
-    higher-order array functions (no UDF).
+def word_ngrams(c: Column, n: int = 2) -> Column:
+    """ALL word n-grams of a text column, in document order (duplicates
+    kept), built with higher-order array functions (no UDF).
 
     Perf note: the obvious transform(idx, i -> slice(toks, i+1, n)) lowering
     re-evaluates the tokenize() expression PER ELEMENT inside the lambda
     (no cross-lambda subexpression elimination in codegen) — ~15x slower on
     real corpora.  Zipping n shifted views of the token array references it
     only a constant number of times, then one transform joins each zip row.
-    Only FULL n-grams are produced (documents shorter than n tokens shingle
-    to empty — matching the SQL-oracle replays)."""
+    Only FULL n-grams are produced (documents shorter than n tokens produce
+    an empty array — matching the SQL-oracle replays)."""
     toks = tokenize(F.lower(c))
     if n == 1:
-        return F.array_distinct(toks)
+        return toks
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, F.size(toks)).alias(f"t{i}") for i in range(n)]
     )
     grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
-    full = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(full)
+    return F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (see word_ngrams for
+    the lowering rationale)."""
+    if n == 1:
+        return F.array_distinct(tokenize(F.lower(c)))
+    return F.array_distinct(word_ngrams(c, n))
 
 
 # ---------------------------------------------------------------------------

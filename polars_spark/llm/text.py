@@ -10,9 +10,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from polars_spark.llm import tokenize
+from polars_spark.llm import tokenize, word_ngrams
 
-__all__ = ["token_count", "bpe_ish_token_count", "stopword_ratio", "lang_scores", "lang_id", "quality_score"]
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "stopword_ratio",
+    "lang_scores",
+    "lang_id",
+    "quality_score",
+    "gopher_signals",
+    "gopher_filter",
+    "top_ngram_stats",
+]
 
 
 # tiny per-language stopword lists — enough signal for a heuristic voter
@@ -75,6 +85,131 @@ def quality_score(c: Column) -> Column:
     wl_band = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.5)
     return (0.3 * len_band + 0.2 * wl_band + 0.3 * alpha + 0.2 * (1 - F.least(punct * 10, F.lit(1.0)))).cast(
         "double"
+    )
+
+
+# Gopher rule 7 wants "at least 2 of a required stopword list"; the list is
+# the paper's (Rae et al. 2021, appendix A1.1).
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(c: Column) -> dict[str, Column]:
+    """Gopher-style (Rae et al. 2021, A1.1) per-document repetition and
+    quality signals, all pure row-local pyspark.sql.functions — at scale
+    this is a mapper fused into the scan, zero shuffle.
+
+    Count-based duplicate fractions (1 - distinct/total over lines, words,
+    word 2-grams, word 3-grams) stand in for the paper's char-weighted
+    variants: same monotone signal, expressible with array_distinct on both
+    engines.  Char-weighted top-n-gram mass is the shuffle-based
+    ``top_ngram_stats`` below.
+    """
+    toks = tokenize(F.lower(c))
+    n_words = F.size(toks)
+    nw1 = F.greatest(n_words, F.lit(1)).cast("double")
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    grams2 = word_ngrams(c, 2)
+    grams3 = word_ngrams(c, 3)
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.length(F.regexp_replace(c, r"\s", "")) / nw1,
+        "symbol_word_ratio": F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0)) / nw1,
+        "bullet_line_frac": F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]")))
+        / n_lines,
+        "ellipsis_line_frac": F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$")))
+        / n_lines,
+        "alpha_word_frac": F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / nw1,
+        "n_stopword_hits": F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+            )
+        ).cast("bigint"),
+        "dup_line_frac": F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
+        "dup_word_frac": F.lit(1.0) - F.size(F.array_distinct(toks)) / nw1,
+        "dup_2gram_frac": F.lit(1.0)
+        - F.size(F.array_distinct(grams2)) / F.greatest(F.size(grams2), F.lit(1)).cast("double"),
+        "dup_3gram_frac": F.lit(1.0)
+        - F.size(F.array_distinct(grams3)) / F.greatest(F.size(grams3), F.lit(1)).cast("double"),
+    }
+
+
+def gopher_filter(
+    df,
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 1,
+    max_dup_line_frac: float = 0.3,
+    max_dup_word_frac: float = 0.5,
+    max_dup_2gram_frac: float = 0.05,
+):
+    """Attach the gopher_signals columns plus a ``passes_gopher`` flag.
+
+    Thresholds default to the paper's where the signal is the paper's, and
+    to corpus-calibrated values for the count-based duplicate fractions.
+    Zero-shuffle: a 100 TB corpus filters in one scan-fused mapper stage.
+    """
+    sig = gopher_signals(F.col(text_col))
+    out = df
+    for name, col in sig.items():
+        out = out.withColumn(name, col)
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stopword_hits") >= min_stopword_hits)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+    )
+    return out.withColumn("passes_gopher", passes)
+
+
+def top_ngram_stats(df, *, id_col: str = "doc_id", text_col: str = "text", n: int = 2):
+    """Per-document most-frequent word n-gram and the fraction of document
+    characters it covers (Gopher's char-weighted top-n-gram repetition
+    signal).
+
+    Plan: one posexplode of the n-gram array, a (doc, gram) hash count, and
+    a per-doc max — two shuffles keyed on doc id, both partial-aggregated
+    map-side.  Ties break to the lexically smallest gram (deterministic on
+    both engines)."""
+    from pyspark.sql import Window
+
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.greatest(F.length(text_col), F.lit(1)).alias("n_chars_doc"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy(id_col, "n_chars_doc", "gram")
+        .agg(F.count(F.lit(1)).alias("gram_count"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("gram_count"), F.asc("gram"))
+    return (
+        grams.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias("top_gram"),
+            F.col("gram_count").cast("bigint").alias("gram_count"),
+            (F.col("gram_count") * F.length("gram") / F.col("n_chars_doc").cast("double")).alias(
+                "top_gram_char_frac"
+            ),
+        )
     )
 
 

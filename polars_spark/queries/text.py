@@ -260,3 +260,108 @@ def txt_pack_sequences(spark, sf_dir):
     return pack_sequences(
         docs, target_tokens=2000, token_col="n_chars", order_col="doc_id", by="source"
     ).select("doc_id", "source", "n_chars", "bin_id")
+
+
+@query(
+    "txt_gopher_quality",
+    # Every signal is the same IEEE arithmetic on both engines (small-int
+    # divisions), so the pass flag needs no rounding; the double signals are
+    # fround(6)'d for the value hash.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(toks)::BIGINT AS n_words,
+        length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / greatest(len(toks), 1) AS mean_word_len,
+        len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE / greatest(len(toks), 1) AS symbol_word_ratio,
+        len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE / greatest(len(lines), 1) AS bullet_line_frac,
+        len(list_filter(lines, x -> regexp_matches(trim(x), '\.\.\.$')))::DOUBLE / greatest(len(lines), 1) AS ellipsis_line_frac,
+        len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / greatest(len(toks), 1) AS alpha_word_frac,
+        len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stopword_hits,
+        1.0 - len(list_distinct(lines))::DOUBLE / greatest(len(lines), 1) AS dup_line_frac,
+        1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS dup_word_frac,
+        1.0 - len(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                               i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE
+            / greatest(len(toks) - 1, 1) AS dup_2gram_frac,
+        1.0 - len(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))::DOUBLE
+            / greatest(len(toks) - 2, 1) AS dup_3gram_frac
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           floor(mean_word_len * 1000000 + 0.5) / 1000000 AS mean_word_len,
+           n_stopword_hits,
+           floor(dup_word_frac * 1000000 + 0.5) / 1000000 AS dup_word_frac,
+           floor(dup_2gram_frac * 1000000 + 0.5) / 1000000 AS dup_2gram_frac,
+           floor(dup_3gram_frac * 1000000 + 0.5) / 1000000 AS dup_3gram_frac,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+           AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+           AND n_stopword_hits >= 1 AND dup_line_frac <= 0.3
+           AND dup_word_frac <= 0.5 AND dup_2gram_frac <= 0.05 AS passes_gopher
+    FROM s
+    """,
+)
+def txt_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality pre-filter (Rae et al. 2021 A1.1):
+    zero-shuffle row-local signals + pass flag; at 100 TB this fuses into
+    the scan as one mapper stage."""
+    from polars_spark.llm.text import gopher_filter
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    out = gopher_filter(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        fround(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        "n_stopword_hits",
+        fround(F.col("dup_word_frac"), 6).alias("dup_word_frac"),
+        fround(F.col("dup_2gram_frac"), 6).alias("dup_2gram_frac"),
+        fround(F.col("dup_3gram_frac"), 6).alias("dup_3gram_frac"),
+        "passes_gopher",
+    )
+
+
+@query(
+    "txt_top_ngram",
+    # char-weighted top-bigram repetition mass; ties break lexically on both
+    # engines.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, greatest(length(text), 1) AS n_chars_doc,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_chars_doc,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t
+    ), cnt AS (
+      SELECT doc_id, n_chars_doc, gram, count(*)::BIGINT AS gram_count
+      FROM g GROUP BY doc_id, n_chars_doc, gram
+    )
+    SELECT doc_id, gram AS top_gram, gram_count,
+           floor(gram_count * length(gram) / n_chars_doc::DOUBLE * 1000000 + 0.5) / 1000000
+             AS top_gram_char_frac
+    FROM cnt
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY gram_count DESC, gram ASC) = 1
+    """,
+)
+def txt_top_ngram(spark, sf_dir):
+    """Gopher's char-weighted top-2-gram mass: explode + (doc, gram) count +
+    per-doc argmax — two doc-keyed shuffles, both partial-aggregated."""
+    from polars_spark.llm.text import top_ngram_stats
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    out = top_ngram_stats(docs, n=2)
+    return out.select(
+        "doc_id",
+        "top_gram",
+        "gram_count",
+        fround(F.col("top_gram_char_frac"), 6).alias("top_gram_char_frac"),
+    )

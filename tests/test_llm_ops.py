@@ -326,3 +326,45 @@ class TestTrainingPipelineOps:
         df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(10).alias("toks"))
         with pytest.raises(ValueError, match="partition key"):
             pack_sequences(df, target_tokens=100, token_col="toks", order_col="doc_id")
+
+
+class TestGopherFilter:
+    def _mk(self, spark, texts):
+        return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_signals_on_crafted_docs(self, spark):
+        from polars_spark.llm.text import gopher_filter
+
+        good = " ".join(f"the word{i} and next{i} of thing{i}" for i in range(10))
+        bullets = "\n".join(f"- item {i}" for i in range(10))
+        repeats = "spam ham " * 40
+        df = gopher_filter(self._mk(spark, [good, bullets, repeats]))
+        r = {row["doc_id"]: row for row in df.collect()}
+        assert r[0]["passes_gopher"]
+        assert r[1]["bullet_line_frac"] == 1.0 and not r[1]["passes_gopher"]
+        assert r[2]["dup_word_frac"] > 0.9 and r[2]["dup_2gram_frac"] > 0.9
+        assert not r[2]["passes_gopher"]
+
+    def test_ellipsis_and_dup_lines(self, spark):
+        from polars_spark.llm.text import gopher_filter
+
+        text = "read more...\nread more...\nread more...\nunique line"
+        df = gopher_filter(self._mk(spark, [text]))
+        row = df.collect()[0]
+        assert row["ellipsis_line_frac"] == 0.75
+        assert abs(row["dup_line_frac"] - 0.5) < 1e-12
+
+    def test_top_ngram_stats(self, spark):
+        from polars_spark.llm.text import top_ngram_stats
+
+        df = top_ngram_stats(self._mk(spark, ["a b a b a c", "x y z"]), n=2)
+        r = {row["doc_id"]: row for row in df.collect()}
+        assert r[0]["top_gram"] == "a b" and r[0]["gram_count"] == 2
+        # tie between 'x y' and 'y z' breaks lexically
+        assert r[1]["top_gram"] == "x y" and r[1]["gram_count"] == 1
+
+    def test_word_ngrams_short_doc_empty(self, spark):
+        from polars_spark.llm import word_ngrams
+
+        df = self._mk(spark, ["solo"]).select(word_ngrams(F.col("text"), 2).alias("g"))
+        assert df.collect()[0]["g"] == []
