@@ -22,6 +22,9 @@ __all__ = [
     "gopher_signals",
     "gopher_filter",
     "top_ngram_stats",
+    "c4_clean",
+    "pii_counts",
+    "redact_pii",
 ]
 
 
@@ -211,6 +214,80 @@ def top_ngram_stats(df, *, id_col: str = "doc_id", text_col: str = "text", n: in
             ),
         )
     )
+
+
+# C4-style (Raffel et al. 2020 §2.2) line-level cleaning -------------------
+
+C4_BANNED_SUBSTRINGS = ["javascript", "lorem ipsum", "cookie policy", "{"]
+
+
+def c4_clean(
+    df,
+    *,
+    text_col: str = "text",
+    require_terminal_punct: bool = True,
+    min_words_per_line: int = 3,
+    banned_substrings: list[str] | None = None,
+    min_lines_kept: int = 1,
+):
+    """C4-style line filtering: keep lines that end in terminal punctuation,
+    have at least ``min_words_per_line`` words, and contain no banned
+    substring; a document survives when at least ``min_lines_kept`` lines
+    remain.
+
+    Entirely higher-order array functions over split(text, '\\n') — a
+    zero-shuffle mapper stage at any scale.  Output columns: cleaned_text
+    (kept lines re-joined), n_lines_total, n_lines_kept, doc_kept.
+    """
+    banned = C4_BANNED_SUBSTRINGS if banned_substrings is None else banned_substrings
+    lines = F.split(F.col(text_col), r"\n")
+
+    def keep(x: Column) -> Column:
+        cond = F.size(F.split(F.trim(x), r"\s+")) >= min_words_per_line
+        if require_terminal_punct:
+            cond = cond & F.trim(x).rlike(r'[.!?"]$')
+        for b in banned:
+            cond = cond & ~F.lower(x).contains(F.lit(b))
+        return cond
+
+    kept = F.filter(lines, keep)
+    return (
+        df.withColumn("n_lines_total", F.size(lines).cast("bigint"))
+        .withColumn("__kept", kept)
+        .withColumn("n_lines_kept", F.size("__kept").cast("bigint"))
+        .withColumn("cleaned_text", F.array_join("__kept", "\n"))
+        .withColumn("doc_kept", F.col("n_lines_kept") >= min_lines_kept)
+        .drop("__kept")
+    )
+
+
+# PII redaction --------------------------------------------------------------
+
+# Order matters: ip before phone (dotted quads contain digit runs), email
+# first (may embed digits).  Identical Java/RE2 semantics for these classes.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+}
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-document counts of each PII class (emails, IPv4s, phone-shaped
+    digit runs) — row-local regexp_extract_all, zero shuffle."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("bigint")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(c: Column, *, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` — the map-side scrubbing pass
+    a training pipeline runs before tokenization."""
+    out = c
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def chunk_documents(

@@ -365,3 +365,105 @@ def txt_top_ngram(spark, sf_dir):
         "gram_count",
         fround(F.col("top_gram_char_frac"), 6).alias("top_gram_char_frac"),
     )
+
+
+@query(
+    "txt_c4_clean",
+    # corpus-calibrated params: no terminal punct in the synthetic docs, so
+    # variance comes from the word-count floor and the banned substring.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\n') AS lines FROM documents
+    ), k AS (
+      SELECT doc_id, len(lines)::BIGINT AS n_lines_total,
+             list_filter(lines, x -> len(regexp_split_to_array(trim(x), '\s+')) >= 30
+                                      AND NOT contains(lower(x), 'customer')) AS kept
+      FROM t
+    )
+    SELECT doc_id, n_lines_total, len(kept)::BIGINT AS n_lines_kept,
+           coalesce(length(array_to_string(kept, chr(10))), 0)::BIGINT AS cleaned_len,
+           len(kept) >= 1 AS doc_kept
+    FROM k
+    """,
+)
+def txt_c4_clean(spark, sf_dir):
+    """C4-style line filtering (Raffel et al. 2020 §2.2) — higher-order
+    array filter over split lines, zero shuffle."""
+    from polars_spark.llm.text import c4_clean
+
+    docs = table(spark, sf_dir, "documents")
+    out = c4_clean(
+        docs,
+        require_terminal_punct=False,
+        min_words_per_line=30,
+        banned_substrings=["customer"],
+        min_lines_kept=1,
+    )
+    return out.select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        F.length("cleaned_text").cast("bigint").alias("cleaned_len"),
+        "doc_kept",
+    )
+
+
+@query(
+    "txt_pii_redact",
+    # The corpus carries no PII, so the query deterministically plants
+    # class-conditional PII (email always, IP on doc_id%3=0, phone on
+    # doc_id%2=0) and both engines scrub it with the SAME regex set, in the
+    # SAME order (email, ip, phone).
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             'reach ' || source || '.' || doc_id || '@corp.example'
+             || CASE WHEN doc_id % 3 = 0 THEN ' at 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN ' or 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+             || ' ' || substr(text, 1, 40) AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+           len(regexp_extract_all(pii_text, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}'))::BIGINT AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+               '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '[PII]', 'g') AS redacted
+    FROM t
+    """,
+)
+def txt_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / phone shapes): row-local regex counts
+    + ordered redaction — a map-side pass before tokenization."""
+    from polars_spark.llm.text import pii_counts, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.lit("reach "),
+        F.col("source"),
+        F.lit("."),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" or 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" "),
+        F.substring("text", 1, 40),
+    )
+    base = docs.select("doc_id", pii_text.alias("pii_text"))
+    counts = pii_counts(F.col("pii_text"))
+    return base.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        redact_pii(F.col("pii_text")).alias("redacted"),
+    )

@@ -368,3 +368,46 @@ class TestGopherFilter:
 
         df = self._mk(spark, ["solo"]).select(word_ngrams(F.col("text"), 2).alias("g"))
         assert df.collect()[0]["g"] == []
+
+
+class TestC4AndPII:
+    def _mk(self, spark, texts):
+        return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_c4_terminal_punct_and_banned(self, spark):
+        from polars_spark.llm.text import c4_clean
+
+        doc = (
+            "This line ends with a period.\n"
+            "no terminal punctuation here\n"
+            "Enable javascript to continue.\n"
+            "Tiny line.\n"
+            "A perfectly reasonable sentence with enough words."
+        )
+        out = c4_clean(self._mk(spark, [doc]), min_words_per_line=4).collect()[0]
+        assert out["n_lines_total"] == 5
+        assert out["n_lines_kept"] == 2
+        assert out["cleaned_text"].splitlines() == [
+            "This line ends with a period.",
+            "A perfectly reasonable sentence with enough words.",
+        ]
+        assert out["doc_kept"]
+
+    def test_c4_min_lines_threshold(self, spark):
+        from polars_spark.llm.text import c4_clean
+
+        out = c4_clean(self._mk(spark, ["short.\nshort."]), min_lines_kept=1).collect()[0]
+        assert out["n_lines_kept"] == 0 and not out["doc_kept"]
+
+    def test_redact_pii_all_classes(self, spark):
+        from polars_spark.llm.text import pii_counts, redact_pii
+
+        text = "mail a.b@x.io or b@y.co, call 415-555-0199, host 10.0.0.7 up"
+        df = self._mk(spark, [text])
+        counts = pii_counts(F.col("text"))
+        row = df.select(
+            *[c.alias(n) for n, c in counts.items()],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()[0]
+        assert row["n_email"] == 2 and row["n_phone"] == 1 and row["n_ip"] == 1
+        assert row["red"] == "mail [PII] or [PII], call [PII], host [PII] up"
