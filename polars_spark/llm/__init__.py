@@ -800,6 +800,55 @@ def deterministic_sample(
     return df.filter(h < thr)
 
 
+def hash_split(
+    df: DataFrame,
+    *,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 32 bits of
+    md5(key || ':' || seed) place each row in a [0,1) bucket, split by the
+    cumulative fractions (insertion order; the last split absorbs the
+    rounding residue).  Pure projection — zero shuffle, reproducible across
+    engines and reruns, and a given key always lands in the same split even
+    as the corpus grows (the property that keeps eval sets uncontaminated
+    across dataset versions)."""
+    fracs = list(fractions.items())
+    if len(fracs) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(v for _, v in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    expr = None
+    cum = 0.0
+    for name, frac in fracs[:-1]:
+        cum += float(frac)
+        cond = h < F.lit(int(cum * 4294967296))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr.otherwise(F.lit(fracs[-1][0])))
+
+
+def global_shuffle(
+    df: DataFrame, *, key_col: str, seed: int = 0, key_out: str = "shuffle_key"
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: order rows by
+    md5(key || ':' || seed).  Spark executes a global sort as sampled RANGE
+    partitioning (no single-partition collapse), and md5 keys distribute
+    uniformly, so the sort is skew-free by construction; downstream
+    sink_parquet writes the shuffled order shard by shard.  Same order on
+    every engine and every rerun — unlike orderBy(rand(seed)), whose stream
+    depends on the physical partitioning."""
+    k = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+    return df.withColumn(key_out, k).orderBy(key_out)
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -467,3 +467,46 @@ def txt_pii_redact(spark, sf_dir):
         *[c.alias(n) for n, c in counts.items()],
         redact_pii(F.col("pii_text")).alias("redacted"),
     )
+
+
+@query(
+    "txt_hash_split",
+    # cumulative md5-bucket thresholds: int(0.8*2^32)=3435973836,
+    # int((0.8+0.1)*2^32)=3865470566 (same float accumulation as the op).
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 3435973836 THEN 'train'
+                WHEN h < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substring(md5(doc_id::VARCHAR || ':11'), 1, 8))::UBIGINT::BIGINT AS h
+          FROM documents)
+    """,
+)
+def txt_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split keyed on doc_id — a pure
+    md5-bucket projection, stable as the corpus grows."""
+    from polars_spark.llm import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, key_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}, seed=11
+    )
+    return out.select("doc_id", "split")
+
+
+@query(
+    "txt_global_shuffle",
+    oracle="""
+    SELECT doc_id, md5(doc_id::VARCHAR || ':5') AS shuffle_key
+    FROM documents ORDER BY shuffle_key LIMIT 50
+    """,
+)
+def txt_global_shuffle(spark, sf_dir):
+    """Deterministic global training-data shuffle: md5 sort key + Spark's
+    sampled range-partitioned sort (skew-free, no single partition); the
+    head-50 pins the exact order against the oracle."""
+    from polars_spark.llm import global_shuffle
+
+    docs = table(spark, sf_dir, "documents")
+    return global_shuffle(docs, key_col="doc_id", seed=5).select("doc_id", "shuffle_key").limit(50)

@@ -411,3 +411,42 @@ class TestC4AndPII:
         ).collect()[0]
         assert row["n_email"] == 2 and row["n_phone"] == 1 and row["n_ip"] == 1
         assert row["red"] == "mail [PII] or [PII], call [PII], host [PII] up"
+
+
+class TestSplitAndShuffle:
+    def test_hash_split_fractions_and_stability(self, spark):
+        from polars_spark.llm import hash_split
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        out = hash_split(
+            df, key_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}, seed=1
+        )
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] / 2000 - 0.8) < 0.05
+        # growing the corpus must not move existing keys between splits
+        small = {r["doc_id"]: r["split"] for r in hash_split(
+            spark.range(500).withColumnRenamed("id", "doc_id"),
+            key_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}, seed=1,
+        ).collect()}
+        big = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_hash_split_validation(self, spark):
+        from polars_spark.llm import hash_split
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(df, key_col="doc_id", fractions={"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="two splits"):
+            hash_split(df, key_col="doc_id", fractions={"a": 1.0})
+
+    def test_global_shuffle_deterministic_and_uniform(self, spark):
+        from polars_spark.llm import global_shuffle
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        a = [r["doc_id"] for r in global_shuffle(df, key_col="doc_id", seed=3).collect()]
+        b = [r["doc_id"] for r in global_shuffle(df, key_col="doc_id", seed=3).collect()]
+        c = [r["doc_id"] for r in global_shuffle(df, key_col="doc_id", seed=4).collect()]
+        assert a == b != c
+        assert sorted(a) == list(range(100)) and a != sorted(a)
