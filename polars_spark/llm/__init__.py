@@ -800,6 +800,53 @@ def deterministic_sample(
     return df.filter(h < thr)
 
 
+def duplicated_spans(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Exact duplicated-substring spans (the suffix-array dedup of Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): every maximal token span that lies inside
+    some >=n-token substring occurring at least twice in the corpus.
+
+    Key identity: a substring of length >= n is duplicated iff ALL of its
+    n-grams are duplicated, so marking token positions covered by any
+    duplicated n-gram and merging adjacent positions (gaps-and-islands)
+    yields exactly the suffix-array span set at resolution n — with no
+    suffix array, just three relational passes:
+
+      1. positioned n-grams (posexplode, map-side),
+      2. gram occurrence counts (one gram-keyed shuffle, partial-agg'd) —
+         counts only, so hot grams CANNOT cause a pair blowup (unlike
+         all-pairs joins, the back-join matches each position at most once),
+      3. covered positions -> islands (one doc-keyed window).
+
+    Returns (id, span_start, span_end, span_len), token positions 1-based.
+    """
+    from pyspark.sql import Window
+
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos0", "gram"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    dup = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ")).where(F.col("n_occ") >= 2)
+    covered = (
+        occ.join(dup.select("gram"), "gram")
+        .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    return (
+        covered.withColumn("__grp", F.col("p") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            F.max("p").cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("span_len"),
+        )
+        .drop("__grp")
+    )
+
+
 def hash_split(
     df: DataFrame,
     *,

@@ -237,3 +237,40 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup_pairs(
         emb, threshold=0.40, n_tables=3, n_planes=4, seed=100
     )
+
+
+@query(
+    "dedup_span_ngrams",
+    # suffix-array-style exact substring dedup at 5-gram resolution: the
+    # oracle replays positioned grams, duplicated-gram cover, and the
+    # gaps-and-islands merge.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+        i -> {'pos': i, 'gram': toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]})) AS pg
+      FROM t
+    ), g2 AS (
+      SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g
+    ), dup AS (
+      SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p
+        FROM g2 WHERE gram IN (SELECT gram FROM dup))
+    )
+    SELECT doc_id, min(p)::BIGINT AS span_start, max(p)::BIGINT AS span_end,
+           count(*)::BIGINT AS span_len
+    FROM (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov)
+    GROUP BY doc_id, grp
+    """,
+)
+def dedup_span_ngrams(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 suffix-array dedup
+    at 5-gram resolution): gram counts -> covered positions -> islands;
+    linear passes, no pair blowup."""
+    from polars_spark.llm import duplicated_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=5)

@@ -450,3 +450,33 @@ class TestSplitAndShuffle:
         c = [r["doc_id"] for r in global_shuffle(df, key_col="doc_id", seed=4).collect()]
         assert a == b != c
         assert sorted(a) == list(range(100)) and a != sorted(a)
+
+
+class TestDuplicatedSpans:
+    def test_cross_doc_planted_span(self, spark):
+        from polars_spark.llm import duplicated_spans
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+        d0 = "u0 u1 u2 " + shared + " v0 v1"            # shared at pos 4..9
+        d1 = "w0 " + shared + " x0 x1 x2 x3"            # shared at pos 2..7
+        df = spark.createDataFrame([(0, d0), (1, d1)], "doc_id long, text string")
+        spans = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+                 for r in duplicated_spans(df, n=5).collect()}
+        assert spans == {(0, 4, 9, 6), (1, 2, 7, 6)}
+
+    def test_within_doc_repetition_counts(self, spark):
+        from polars_spark.llm import duplicated_spans
+
+        # the same 5 tokens twice IN ONE doc -> both occurrences marked
+        text = "a b c d e sep1 sep2 sep3 a b c d e"
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        spans = {(r["span_start"], r["span_end"]) for r in duplicated_spans(df, n=5).collect()}
+        assert spans == {(1, 5), (9, 13)}
+
+    def test_no_duplicates_empty(self, spark):
+        from polars_spark.llm import duplicated_spans
+
+        df = spark.createDataFrame(
+            [(0, "p q r s t u v"), (1, "h i j k l m n")], "doc_id long, text string"
+        )
+        assert duplicated_spans(df, n=5).count() == 0
