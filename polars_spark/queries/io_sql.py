@@ -13,7 +13,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from polars_spark.queries import ltable, query
+from polars_spark.queries import ltable, query, table
 
 import polars_spark as pl
 
@@ -281,4 +281,49 @@ def io_multifile_scan(spark, sf_dir):
         back.group_by("o_orderpriority")
         .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2).alias("total"))
         .to_spark()
+    )
+
+
+def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+    """Bit-interleave two bucket expressions in portable SQL (col a at even
+    bit positions, b at odd — same layout as functions.morton_interleave)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "scale_zorder_events",
+    # equal-width 256-bucket per dim from global min/max (scalar agg), then
+    # Morton interleave — identical IEEE floor arithmetic on both engines.
+    oracle=f"""
+    WITH s AS (
+      SELECT min(user_id::DOUBLE) AS lo_u, max(user_id::DOUBLE) AS hi_u,
+             min(value::DOUBLE) AS lo_v, max(value::DOUBLE) AS hi_v
+      FROM events
+    ), b AS (
+      SELECT event_id,
+             least(floor((user_id::DOUBLE - lo_u) / (hi_u - lo_u) * 256), 255)::BIGINT AS bu,
+             least(floor((value::DOUBLE - lo_v) / (hi_v - lo_v) * 256), 255)::BIGINT AS bv
+      FROM events, s
+    )
+    SELECT event_id, bu, bv, ({_morton_sql('bu', 'bv')})::BIGINT AS zorder
+    FROM b
+    """,
+)
+def scale_zorder_events(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value) — the write-
+    time layout tool behind sink_parquet_zorder; key computation is a tiny
+    scalar agg broadcast + map-side bit interleave."""
+    from polars_spark.functions import zorder_key
+
+    ev = table(spark, sf_dir, "events")
+    out = zorder_key(ev, ["user_id", "value"], bits=8, keep_buckets=True)
+    return out.select(
+        "event_id",
+        F.col("__bucket_user_id").alias("bu"),
+        F.col("__bucket_value").alias("bv"),
+        F.col("__zorder").alias("zorder"),
     )
