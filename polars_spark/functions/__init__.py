@@ -55,6 +55,7 @@ __all__ = [
     "morton_interleave",
     "zorder_key",
     "sink_parquet_zorder",
+    "heavy_hitters",
 ]
 
 
@@ -777,3 +778,58 @@ def sink_parquet_zorder(frame, path: str, cols, *, bits: int = 8, num_files: int
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def heavy_hitters(frame, column: str, *, k: int = 10, capacity: int | None = None):
+    """Frequent items at unbounded cardinality: per-partition Misra-Gries
+    summaries (bounded memory, Arrow-batched), merged and cut to a candidate
+    set, then an EXACT recount of just the candidates — the sketch only
+    proposes, the second pass decides, so emitted counts are exact.
+
+    Guarantee: the per-partition summary keeps every item whose partition
+    frequency exceeds n_p/(capacity+1); by pigeonhole any item with global
+    frequency > N/(capacity+1) survives in at least one partition, so with
+    capacity >= N/freq(k-th item) the top-k is exact.  (With fewer distinct
+    items than capacity, trivially exact.)
+
+    Scale shape: one mapInPandas pass (no shuffle), a candidate-set
+    pre-aggregation bounded by partitions x capacity, a broadcast semi-join
+    recount, and a TakeOrdered top-k.  Ties break (count desc, item asc).
+    """
+    from pyspark.sql import types as T
+
+    sdf = frame.to_spark() if hasattr(frame, "to_spark") else frame
+    m = capacity or 8 * k
+    item_type = dict((f.name, f.dataType) for f in sdf.schema.fields)[column]
+    out_schema = T.StructType(
+        [T.StructField("item", item_type), T.StructField("mg_count", T.LongType())]
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        cnt = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[column].dropna().value_counts()
+            cnt = cnt.add(vc, fill_value=0).astype("int64")
+            if cnt.size > m:
+                # Misra-Gries merge: subtract the (m+1)-th largest count,
+                # drop non-positive — keeps the n_p/(m+1) error bound
+                thresh = cnt.nlargest(m + 1).iloc[-1]
+                cnt = cnt[cnt > thresh] - thresh
+        yield pd.DataFrame({"item": cnt.index, "mg_count": cnt.values})
+
+    summaries = sdf.select(column).mapInPandas(mg_partition, out_schema)
+    cand = (
+        summaries.groupBy("item")
+        .agg(F.sum("mg_count").alias("lb"))
+        .orderBy(F.desc("lb"), F.asc("item"))
+        .limit(4 * m)
+        .select("item")
+    )
+    exact = (
+        sdf.join(F.broadcast(cand), sdf[column] == cand["item"], "inner")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_count"))
+    )
+    return exact.orderBy(F.desc("item_count"), F.asc("item")).limit(k)

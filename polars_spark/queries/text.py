@@ -510,3 +510,27 @@ def txt_global_shuffle(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return global_shuffle(docs, key_col="doc_id", seed=5).select("doc_id", "shuffle_key").limit(50)
+
+
+@query(
+    "txt_heavy_hitters",
+    # the sketch only proposes candidates; the exact recount decides, so
+    # the result equals the exact top-k (tie-break count desc, item asc).
+    oracle=r"""
+    SELECT w AS item, count(*)::BIGINT AS item_count
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY item_count DESC, item ASC
+    LIMIT 20
+    """,
+)
+def txt_heavy_hitters(spark, sf_dir):
+    """Top-20 corpus tokens via bounded-memory Misra-Gries candidates +
+    exact recount — the unbounded-cardinality path where a plain groupBy
+    top-k would need the full distinct item set in the shuffle."""
+    from polars_spark.functions import heavy_hitters
+    from polars_spark.llm import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.lower(F.col("text")))).alias("token"))
+    return heavy_hitters(toks, "token", k=20, capacity=64)

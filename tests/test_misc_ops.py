@@ -289,3 +289,36 @@ class TestTestingModule:
             plt.assert_series_equal(
                 pd.Series([1.0], name="s"), pd.Series([2.0], name="s")
             )
+
+
+class TestHeavyHitters:
+    def test_matches_exact_topk_on_zipf(self, spark):
+        """Zipf-ish stream with 500 distinct items but capacity 32: the
+        sketch pass must still surface the true top-10 (exact recount)."""
+        from pyspark.sql import functions as F
+
+        from polars_spark.functions import heavy_hitters
+
+        # item i appears floor(5000/(i+1)) times -> heavy head, long tail
+        df = (
+            spark.range(500)
+            .select(F.col("id"), F.explode(F.sequence(F.lit(1), (F.lit(5000) / (F.col("id") + 1)).cast("int"))).alias("rep"))
+            .select(F.concat(F.lit("item"), F.format_string("%03d", F.col("id"))).alias("item_str"))
+            .repartition(8)
+        )
+        got = [(r["item"], r["item_count"]) for r in heavy_hitters(df, "item_str", k=10, capacity=32).collect()]
+        exact = [
+            (r["item_str"], r["n"])
+            for r in df.groupBy("item_str").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("item_str")).limit(10).collect()
+        ]
+        assert got == exact
+
+    def test_small_cardinality_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_spark.functions import heavy_hitters
+
+        df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3, "x string")
+        got = [(r["item"], r["item_count"]) for r in heavy_hitters(df, "x", k=2).collect()]
+        assert got == [("a", 5), ("b", 3)]  # tie b/c broken by item asc
