@@ -994,6 +994,51 @@ class LazyFrame:
     def pipe(self, function, *args, **kwargs):
         return function(self, *args, **kwargs)
 
+    def pipe_with_schema(self, function) -> "LazyFrame":
+        """Pipe with the resolved schema as the second argument (reference:
+        py-polars lazyframe/frame.py pipe_with_schema).  Spark resolves the
+        schema at plan-construction time without executing, so "during the
+        plan stage" and "now" coincide here — the callable runs immediately
+        with the already-resolved schema."""
+        return function(self, self.collect_schema())
+
+    def serialize(self, file=None, *, format: str = "json"):
+        """Serialize the logical plan (reference: py-polars
+        lazyframe/frame.py serialize).
+
+        The Spark-side equivalent of polars' DSL-plan dump is the resolved
+        Catalyst logical plan, which Spark can emit as JSON — useful for
+        plan diffing, auditing and shipping to diagnostics.  Like polars,
+        the output is NOT stable across engine versions.  Spark exposes no
+        public API to REBUILD a DataFrame from that JSON, so
+        ``deserialize`` is not supported — reconstruct plans from the API
+        or a SQL string instead."""
+        if format not in ("json", "binary"):
+            raise ValueError("format must be 'json' or 'binary'")
+        payload = self._df._jdf.queryExecution().logical().toJSON()
+        if format == "binary":
+            payload = payload.encode()
+        if file is None:
+            return payload
+        if hasattr(file, "write"):
+            file.write(payload)
+            return None
+        mode = "wb" if format == "binary" else "w"
+        with open(file, mode) as fh:
+            fh.write(payload)
+        return None
+
+    @classmethod
+    def deserialize(cls, source, *, format: str = "json"):
+        """Not supported on the Spark backend: Catalyst has no public
+        plan-from-JSON constructor (SparkSession cannot adopt a foreign
+        logical plan).  Rebuild the plan via the API or ``pl.sql``."""
+        raise NotImplementedError(
+            "LazyFrame.deserialize: Spark has no public API to reconstruct "
+            "a DataFrame from a serialized logical plan; rebuild via the "
+            "polars_spark API or pl.sql(...)"
+        )
+
     def select_seq(self, *exprs, **named) -> "LazyFrame":
         return self.select(*exprs, **named)
 

@@ -847,6 +847,54 @@ class DateTimeNamespace(_NS):
             return self._map(lambda c: c)
         return self._map(lambda c: F.to_utc_timestamp(c, time_zone))
 
+    def _offset_parts(self, c: Column, time_zone: str):
+        """(total_offset_secs JVM-side, dst_secs via zoneinfo pandas_udf)."""
+        from pyspark.sql.functions import pandas_udf
+
+        total = F.from_utc_timestamp(c, time_zone).cast("long") - c.cast("long")
+
+        @pandas_udf("long")
+        def dst_secs(s):
+            import datetime as dt
+            from zoneinfo import ZoneInfo
+
+            z = ZoneInfo(time_zone)
+
+            def one(x):
+                if x is None or x != x:
+                    return None
+                d = x.to_pydatetime().replace(tzinfo=dt.timezone.utc).astimezone(z)
+                off = d.dst()
+                return int(off.total_seconds()) if off is not None else 0
+
+            return s.map(one)
+
+        return total, dst_secs(c)
+
+    def base_utc_offset(self, time_zone: str) -> Expr:
+        """Standard (non-DST) UTC offset at each instant, as a duration
+        (reference: polars-time base_utc_offset; py-polars expr/datetime.py).
+        polars reads the zone from the tz-aware Datetime dtype; our Datetime
+        is tz-naive (SURVEY §1.2), so the zone is an explicit argument —
+        the same convention as convert_time_zone.  base = total offset
+        (JVM-side from_utc_timestamp delta) minus the DST component
+        (IANA-exact via zoneinfo, Arrow-batched)."""
+        def mk(c: Column) -> Column:
+            total, dst = self._offset_parts(c, time_zone)
+            return F.make_dt_interval(secs=(total - dst).cast("double"))
+
+        return self._map(mk)
+
+    def dst_offset(self, time_zone: str) -> Expr:
+        """Daylight-saving component of the UTC offset at each instant
+        (reference: polars-time dst_offset) — IANA-exact via zoneinfo,
+        Arrow-batched; see base_utc_offset for the explicit-zone rationale."""
+        def mk(c: Column) -> Column:
+            _, dst = self._offset_parts(c, time_zone)
+            return F.make_dt_interval(secs=dst.cast("double"))
+
+        return self._map(mk)
+
     # -- duration totals (interval -> scalar via epoch-anchored add) -------------
     def _total(self, div_us: float) -> Expr:
         return self._map(

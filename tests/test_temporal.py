@@ -164,3 +164,55 @@ def test_group_by_sessions_boundary_event_merges(pl):
         .sort_values("session_start", ignore_index=True)
     )
     assert got["n"].tolist() == [2, 1]
+
+
+class TestUtcOffsets:
+    def test_base_and_dst_offset_paris(self, pl, lf):
+        import datetime as dt
+
+        f = lf(ts=[dt.datetime(2024, 1, 15, 12), dt.datetime(2024, 7, 15, 12)])
+        out = f.select(
+            pl.col("ts").dt.base_utc_offset("Europe/Paris").alias("base"),
+            pl.col("ts").dt.dst_offset("Europe/Paris").alias("dst"),
+        ).collect()
+        base, dst = out["base"].to_list(), out["dst"].to_list()
+        assert base[0].total_seconds() == 3600 and base[1].total_seconds() == 3600
+        assert dst[0].total_seconds() == 0 and dst[1].total_seconds() == 3600
+
+    def test_dst_southern_hemisphere(self, pl, lf):
+        import datetime as dt
+
+        # Sydney: DST in January, none in July; base +10h year-round
+        f = lf(ts=[dt.datetime(2024, 1, 15, 12), dt.datetime(2024, 7, 15, 12)])
+        out = f.select(
+            pl.col("ts").dt.base_utc_offset("Australia/Sydney").alias("base"),
+            pl.col("ts").dt.dst_offset("Australia/Sydney").alias("dst"),
+        ).collect()
+        assert [b.total_seconds() for b in out["base"].to_list()] == [36000.0, 36000.0]
+        assert [d.total_seconds() for d in out["dst"].to_list()] == [3600.0, 0.0]
+
+
+class TestPipeWithSchemaAndSerialize:
+    def test_pipe_with_schema_sees_resolved_schema(self, pl, lf):
+        f = lf(a=[1, 2], b=["x", "y"])
+        seen = {}
+
+        def fn(frame, schema):
+            seen.update(schema)
+            return frame.select(pl.col("a"))
+
+        out = f.pipe_with_schema(fn)
+        assert out.columns == ["a"]
+        assert "a" in seen and "b" in seen
+
+    def test_serialize_json_plan(self, pl, lf, tmp_path):
+        f = lf(a=[1, 2]).filter(pl.col("a") > 1)
+        s = f.serialize()
+        assert isinstance(s, str) and "class" in s
+        b = f.serialize(format="binary")
+        assert isinstance(b, bytes)
+        p = tmp_path / "plan.json"
+        f.serialize(str(p))
+        assert p.read_text() == s
+        with pytest.raises(NotImplementedError, match="deserialize"):
+            pl.LazyFrame.deserialize(s)
