@@ -25,6 +25,7 @@ __all__ = [
     "c4_clean",
     "pii_counts",
     "redact_pii",
+    "unigram_logprob_score",
 ]
 
 
@@ -213,6 +214,38 @@ def top_ngram_stats(df, *, id_col: str = "doc_id", text_col: str = "text", n: in
                 "top_gram_char_frac"
             ),
         )
+    )
+
+
+def unigram_logprob_score(df, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Language-model quality proxy (the CCNet/Wenzek et al. 2020 pattern,
+    with a corpus unigram LM standing in for KenLM): per-document mean
+    negative log-probability of its tokens under corpus frequencies.  Low
+    scores = common/boilerplate text, high = rare/noisy — the standard
+    signal for perplexity-bucketing a crawl.
+
+    Two linear passes: (1) corpus token counts (one token-keyed shuffle,
+    partial-agg'd), (2) explode + join tokens to their frequencies (AQE
+    picks broadcast when the vocabulary is small enough to ship) and a
+    per-doc mean.  No OOV smoothing needed: the vocabulary IS the corpus.
+
+    Returns (id, n_tokens, mean_nll)."""
+    from polars_spark.llm import tokenize
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
+    total = vocab.agg(F.sum("tok_count").alias("tok_total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("tok_count") / F.col("tok_total"))).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.avg("nll").alias("mean_nll"),
     )
 
 

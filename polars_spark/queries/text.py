@@ -534,3 +534,34 @@ def txt_heavy_hitters(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize(F.lower(F.col("text")))).alias("token"))
     return heavy_hitters(toks, "token", k=20, capacity=64)
+
+
+@query(
+    "txt_unigram_logprob",
+    # mean of ~n_words -ln(p) terms: both engines do the identical division
+    # count/total and ln; the mean is fround(6)'d on both sides (same
+    # discipline as agg_product_entropy).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS tok_count FROM toks GROUP BY token
+    ), total AS (
+      SELECT sum(tok_count) AS tok_total FROM vocab
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(-ln(tok_count::DOUBLE / tok_total)) * 1000000 + 0.5) / 1000000 AS mean_nll
+    FROM toks JOIN vocab USING (token), total
+    GROUP BY doc_id
+    """,
+)
+def txt_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy: per-doc mean -ln p(token) under the
+    corpus unigram model — two linear passes, AQE-sized vocabulary join."""
+    from polars_spark.llm.text import unigram_logprob_score
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs)
+    return out.select("doc_id", "n_tokens", fround(F.col("mean_nll"), 6).alias("mean_nll"))

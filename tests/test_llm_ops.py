@@ -480,3 +480,23 @@ class TestDuplicatedSpans:
             [(0, "p q r s t u v"), (1, "h i j k l m n")], "doc_id long, text string"
         )
         assert duplicated_spans(df, n=5).count() == 0
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Docs made of rare tokens must score higher mean NLL than docs of
+    common tokens; counts and values match the hand model."""
+    import math
+
+    from polars_spark.llm.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(0, "common common common common"), (1, "common rare")],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in unigram_logprob_score(df).collect()}
+    # vocab: common=5, rare=1, total=6
+    assert r[0]["n_tokens"] == 4 and r[1]["n_tokens"] == 2
+    assert abs(r[0]["mean_nll"] - (-math.log(5 / 6))) < 1e-12
+    expected = (-math.log(5 / 6) - math.log(1 / 6)) / 2
+    assert abs(r[1]["mean_nll"] - expected) < 1e-12
+    assert r[1]["mean_nll"] > r[0]["mean_nll"]
