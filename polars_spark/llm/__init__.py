@@ -847,6 +847,53 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """The removal half of suffix-array dedup (Lee et al. 2022): keep ONE
+    occurrence of every duplicated >=n-token substring corpus-wide and cut
+    the rest out of the text.
+
+    Per duplicated n-gram the canonical occurrence is the (doc, pos)-least
+    one (row_number over the gram — deterministic); every other occurrence
+    marks its n positions for removal.  Rebuild = a 2-arg higher-order
+    filter dropping marked token indices, JVM-side.  Shuffles: gram window
+    + doc-keyed distinct/collect — all linear, no pair joins.
+
+    Returns (id, kept_text, n_tokens, n_removed)."""
+    from pyspark.sql import Window
+
+    lowered = word_ngrams(F.col(text_col), n)
+    occ = df.select(F.col(id_col), F.posexplode(lowered).alias("pos0", "gram")).select(
+        F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+    wg = Window.partitionBy("gram").orderBy(F.col(id_col), F.col("pos"))
+    # rn > 1 already implies the gram occurs at least twice
+    marked = occ.withColumn("__rn", F.row_number().over(wg)).where(F.col("__rn") > 1)
+    covered = (
+        marked.select(F.col(id_col), F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("__cov"))
+    )
+    toks = tokenize(F.col(text_col))
+    out = (
+        df.join(covered, id_col, "left")
+        .withColumn("__cov", F.coalesce("__cov", F.array().cast("array<int>")))
+        .withColumn("__toks", toks)
+        .withColumn(
+            "__kept",
+            F.filter("__toks", lambda x, i: ~F.array_contains("__cov", (i + 1).cast("int"))),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join("__kept", " ").alias("kept_text"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size("__kept")).cast("bigint").alias("n_removed"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     *,

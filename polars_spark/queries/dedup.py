@@ -274,3 +274,49 @@ def dedup_span_ngrams(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return duplicated_spans(docs, n=5)
+
+
+@query(
+    "dedup_span_removal",
+    # keep-one-copy rewrite: canonical occurrence per duplicated 5-gram is
+    # the (doc,pos)-least (row_number over the gram on both engines).
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS otoks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+        i -> {'pos': i, 'gram': toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]})) AS pg
+      FROM t
+    ), g2 AS (
+      SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g
+    ), rem AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM g2) WHERE rn > 1
+    ), cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM rem)
+    ), tok_tbl AS (
+      SELECT doc_id, unnest(otoks) AS w, generate_subscripts(otoks, 1) AS pos FROM t
+    ), kept AS (
+      SELECT tok_tbl.doc_id, string_agg(w, ' ' ORDER BY pos) AS kept_text, count(*) AS n_kept
+      FROM tok_tbl LEFT JOIN cov ON cov.doc_id = tok_tbl.doc_id AND cov.p = tok_tbl.pos
+      WHERE cov.p IS NULL
+      GROUP BY tok_tbl.doc_id
+    )
+    SELECT t.doc_id, coalesce(kept_text, '') AS kept_text,
+           len(t.otoks)::BIGINT AS n_tokens,
+           (len(t.otoks) - coalesce(n_kept, 0))::BIGINT AS n_removed
+    FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    """Keep-one-copy duplicated-substring removal (Lee et al. 2022): the
+    rewrite half of dedup_span_ngrams — canonical-occurrence window +
+    higher-order index filter, all linear passes."""
+    from polars_spark.llm import remove_duplicated_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=5)

@@ -500,3 +500,33 @@ def test_unigram_logprob_orders_rarity(spark):
     expected = (-math.log(5 / 6) - math.log(1 / 6)) / 2
     assert abs(r[1]["mean_nll"] - expected) < 1e-12
     assert r[1]["mean_nll"] > r[0]["mean_nll"]
+
+
+class TestSpanRemoval:
+    def test_keeps_exactly_one_copy(self, spark):
+        from polars_spark.llm import remove_duplicated_spans
+
+        shared = "alpha beta gamma delta epsilon"  # exactly 5 tokens
+        d0 = "u0 u1 " + shared + " v0"
+        d1 = "w0 " + shared + " x0 x1"
+        df = spark.createDataFrame([(0, d0), (1, d1)], "doc_id long, text string")
+        r = {row["doc_id"]: row for row in remove_duplicated_spans(df, n=5).collect()}
+        # doc 0 holds the (doc,pos)-least occurrence -> untouched
+        assert r[0]["kept_text"] == d0 and r[0]["n_removed"] == 0
+        # doc 1 loses the whole shared span, keeps its unique tokens
+        assert r[1]["kept_text"] == "w0 x0 x1" and r[1]["n_removed"] == 5
+
+    def test_within_doc_second_occurrence_removed(self, spark):
+        from polars_spark.llm import remove_duplicated_spans
+
+        text = "a b c d e z1 z2 a b c d e"
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        row = remove_duplicated_spans(df, n=5).collect()[0]
+        assert row["kept_text"] == "a b c d e z1 z2" and row["n_removed"] == 5
+
+    def test_case_preserved_in_output(self, spark):
+        from polars_spark.llm import remove_duplicated_spans
+
+        df = spark.createDataFrame([(0, "Hello World Of Unique Words")], "doc_id long, text string")
+        row = remove_duplicated_spans(df, n=5).collect()[0]
+        assert row["kept_text"] == "Hello World Of Unique Words" and row["n_removed"] == 0
