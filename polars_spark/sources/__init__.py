@@ -192,12 +192,27 @@ def read_json(source, *, schema: str | None = None, spark: SparkSession | None =
 
 
 def scan_ipc(source, **kw) -> LazyFrame:
-    """Arrow IPC: no native Spark datasource — bridge through pyarrow on the
-    driver (acceptable for small sidecar files; large data should be parquet)."""
-    import pyarrow.feather as feather
+    """Arrow IPC / Feather-v2 scan (polars scan_ipc, py-polars io/ipc).
 
-    pdf = feather.read_feather(source)
-    return from_pandas(pdf)
+    No native Spark datasource exists for IPC, so file-backed sources go
+    through the same distributed Python DataSource path as
+    ``scan_pyarrow_dataset``: one input partition per file, each executor
+    opens its fragment with pyarrow and streams Arrow record batches to the
+    JVM — nothing flows through the driver, so a directory of IPC shards
+    scales with the cluster like any other scan."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    paths = [source] if isinstance(source, (str, os.PathLike)) else list(source)
+    try:
+        ds = pads.dataset(paths, format="ipc")
+    except Exception:
+        # feather v1 (uncompressed legacy) isn't a pads format — driver bridge
+        import pyarrow.feather as feather
+
+        return from_pandas(feather.read_feather(paths[0]))
+    return scan_pyarrow_dataset(ds)
 
 
 def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:

@@ -255,3 +255,23 @@ class TestZorderSink:
         # a=101 at even bits (z0,z2,z4), b=011 at odd bits (z1,z3,z5):
         # z = a0 + 2*b0 + 4*a1 + 8*b1 + 16*a2 + 32*b2 = 1+2+0+8+16+0 = 27
         assert df.collect()[0]["z"] == 27
+
+
+def test_scan_ipc_distributed_multishard(pl, tmp_path):
+    # a directory of IPC shards must be read executor-side: one input
+    # partition per file through the Python DataSource path (nothing
+    # funnels through the driver), same as scan_pyarrow_dataset
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    paths = []
+    for i in range(4):
+        t = pa.table({"a": list(range(i * 5, i * 5 + 5)), "s": [f"v{j}" for j in range(5)]})
+        p = str(tmp_path / f"shard{i}.arrow")
+        feather.write_feather(t, p)
+        paths.append(p)
+    lf = pl.scan_ipc(paths)
+    sdf = lf.to_spark()
+    assert sdf.rdd.getNumPartitions() == 4  # one per shard
+    pdf = lf.collect()
+    assert sorted(pdf["a"].tolist()) == list(range(20))
