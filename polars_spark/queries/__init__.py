@@ -75,4 +75,5 @@ from polars_spark.queries import (  # noqa: E402,F401
     io_sql,
     parity,
     h2oai,
+    web,
 )

@@ -530,3 +530,45 @@ class TestSpanRemoval:
         df = spark.createDataFrame([(0, "Hello World Of Unique Words")], "doc_id long, text string")
         row = remove_duplicated_spans(df, n=5).collect()[0]
         assert row["kept_text"] == "Hello World Of Unique Words" and row["n_removed"] == 0
+
+
+def test_url_normalize_edge_cases(spark):
+    from polars_spark.llm.web import registered_domain, url_host, url_normalize
+
+    cases = [
+        # (raw, expected_norm, expected_host, expected_domain)
+        ("HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&utm_medium=y#frag",
+         "https://www.site.com/A/b", "www.site.com", "site.com"),
+        ("http://news.bbc.co.uk:80/story?id=1&gclid=Z",
+         "http://news.bbc.co.uk/story?id=1", "news.bbc.co.uk", "bbc.co.uk"),
+        ("https://a.com/p?xref=keep&utm_campaign=c&id=2",
+         "https://a.com/p?xref=keep&id=2", "a.com", "a.com"),
+        ("https://user@Host.Org/x", "https://host.org/x", "host.org", "host.org"),
+        ("https://only.com/", "https://only.com", "only.com", "only.com"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "u: string")
+    got = df.select(
+        url_normalize(F.col("u")).alias("n"),
+        url_host(F.col("u")).alias("h"),
+        registered_domain(url_host(F.col("u"))).alias("d"),
+    ).collect()
+    for (raw, en, eh, ed), row in zip(cases, got):
+        assert row["n"] == en, (raw, row["n"])
+        assert row["h"] == eh, (raw, row["h"])
+        assert row["d"] == ed, (raw, row["d"])
+
+
+def test_cap_per_domain_and_blocklist(spark):
+    from polars_spark.llm.web import cap_per_domain, filter_blocked_domains
+
+    rows = [(f"d{i % 3}.com", i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "domain: string, id: long, score: double")
+    capped = cap_per_domain(df, domain_col="domain", n=2, order_by=["score", "id"])
+    out = capped.groupBy("domain").count().collect()
+    assert all(r["count"] == 2 for r in out) and len(out) == 3
+    # keeps the HIGHEST scores
+    top = {r["id"] for r in capped.collect()}
+    assert top == {24, 25, 26, 27, 28, 29}
+
+    kept = filter_blocked_domains(df, domain_col="domain", blocked=["d1.com"])
+    assert kept.select("domain").distinct().count() == 2
