@@ -572,3 +572,34 @@ def test_cap_per_domain_and_blocklist(spark):
 
     kept = filter_blocked_domains(df, domain_col="domain", blocked=["d1.com"])
     assert kept.select("domain").distinct().count() == 2
+
+
+def test_int8_quantization_roundtrip_and_topk(spark, emb):
+    import math
+
+    from polars_spark.llm import _l2_normalize
+    from polars_spark.llm.embedding import dequantize_int8, quantize_int8, quantized_topk
+
+    u = _l2_normalize(F.col("embedding").cast("array<double>"))
+    qs = quantize_int8(u)
+    rt = emb.select(
+        F.array_max(
+            F.zip_with(u, dequantize_int8(qs), lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        F.array_max(F.transform(qs["q"], F.abs)).alias("qmax"),
+    ).collect()
+    # absmax symmetric: worst-case error is scale/2 = max|x|/254 <= 1/254
+    # for unit vectors; every quantized value within [-127, 127]
+    assert all(r["err"] <= 1.0 / 254 + 1e-12 for r in rt)
+    assert all(r["qmax"] <= 127 for r in rt)
+
+    # quantized top-k should nearly match exact brute-force top-k
+    from polars_spark.llm import cosine_topk_bruteforce
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["nid"]) for r in cosine_topk_bruteforce(emb, probes, k=5).collect()
+    }
+    quant = {(r["qid"], r["nid"]) for r in quantized_topk(emb, probes, k=5).collect()}
+    overlap = len(exact & quant) / max(len(exact), 1)
+    assert overlap >= 0.9, overlap
