@@ -833,3 +833,127 @@ def heavy_hitters(frame, column: str, *, k: int = 10, capacity: int | None = Non
         .agg(F.count(F.lit(1)).alias("item_count"))
     )
     return exact.orderBy(F.desc("item_count"), F.asc("item")).limit(k)
+
+
+# -- pl.map_batches / pl.map_groups / pl.groups (functions/lazy.py:1114,
+#    1215, 1885) — multi-expression UDF surface ------------------------------
+
+
+def map_batches(exprs, function, return_dtype="double") -> Expr:
+    """Map a custom function over multiple columns (polars pl.map_batches).
+
+    ``function`` receives a list of pandas Series (one per input expression,
+    Arrow-batched — never row-at-a-time) and returns a Series/array.  Slow
+    path by design: prefer native expressions."""
+    from pyspark.sql.functions import pandas_udf
+
+    from polars_spark.plans.expr import _dtype_to_spark
+
+    es = [col(e) if isinstance(e, str) else _to_expr(e) for e in exprs]
+    udf = pandas_udf(lambda *cols: function(list(cols)), _dtype_to_spark(return_dtype))
+
+    def fn(ctx: ExprContext) -> Column:
+        return udf(*[e._resolve(ctx) for e in es])
+
+    return Expr(fn, "map")
+
+
+def map_groups(exprs, function, return_dtype="double", *, returns_scalar: bool = True) -> Expr:
+    """Apply a custom function per group inside ``group_by(...).agg(...)``
+    (polars pl.map_groups): a GROUPED_AGG Arrow pandas_udf — the function
+    receives one pandas Series per input expression holding the whole
+    group, and must return a scalar."""
+    if not returns_scalar:
+        raise NotImplementedError("map_groups returns_scalar=False: use GroupBy.map_groups")
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from polars_spark.plans.expr import _dtype_to_spark
+
+    es = [col(e) if isinstance(e, str) else _to_expr(e) for e in exprs]
+    udf = pandas_udf(
+        lambda *cols: function(list(cols)),
+        _dtype_to_spark(return_dtype),
+        PandasUDFType.GROUPED_AGG,
+    )
+
+    def fn(ctx: ExprContext) -> Column:
+        return udf(*[e._resolve(ctx) for e in es])
+
+    return Expr(fn, "map")
+
+
+def groups(column: str) -> Expr:
+    """Deprecated sugar for ``pl.col(column).agg_groups()`` (reference
+    functions/lazy.py:1885 — deprecated in polars 1.35 as well)."""
+    import warnings
+
+    warnings.warn(
+        "pl.groups() is deprecated; use with_row_index().group_by(...).agg(col('index'))",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return col(column).agg_groups()
+
+
+# -- Time dtype surface: pl.time / time_ranges ------------------------------
+# polars Time = ns since midnight (dtype.rs:123); this engine's documented
+# mapping is a tagged BIGINT of those same ns (SURVEY.md §1.2 — Spark has no
+# TIME type usable across functions yet).
+
+
+def _time_to_ns(t) -> int:
+    import datetime as _dt
+
+    if t is None:
+        return 0
+    if isinstance(t, int):
+        return t
+    if isinstance(t, _dt.time):
+        return ((t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000 + t.microsecond) * 1000
+    if isinstance(t, str):
+        parts = t.split(":")
+        h, m = int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
+        sec = float(parts[2]) if len(parts) > 2 else 0.0
+        return int(((h * 3600 + m * 60) + sec) * 1_000_000_000)
+    raise TypeError(f"cannot interpret {type(t).__name__} as a time")
+
+
+def time(hour: int = 0, minute: int = 0, second: int = 0, microsecond: int = 0) -> Expr:
+    """A Time literal: ns since midnight as BIGINT (the documented Time
+    mapping)."""
+    ns = ((hour * 3600 + minute * 60 + second) * 1_000_000 + microsecond) * 1000
+    return lit(ns).cast("Int64")
+
+
+_TIME_END_NS = ((23 * 3600 + 59 * 60 + 59) * 1_000_000 + 999_999) * 1000
+
+
+def time_ranges(start=None, end=None, interval: str = "1h", *, closed: str = "both") -> Expr:
+    """Per-row arrays of Time values (ns-bigint) — expression position,
+    like date_ranges.  start/end may be python time, ns ints, or
+    expressions yielding ns bigints."""
+    from polars_spark.plans.frame import _duration_us
+
+    import datetime as _dt
+
+    def as_expr(v, default_ns):
+        if v is None:
+            return lit(default_ns)
+        if isinstance(v, (int, _dt.time, str)):
+            return lit(_time_to_ns(v))
+        return _to_expr(v)
+
+    s, e = as_expr(start, 0), as_expr(end, _TIME_END_NS)
+    step = _duration_us(interval) * 1000
+
+    def fn(ctx: ExprContext) -> Column:
+        sc = s._resolve(ctx).cast("long")
+        ec = e._resolve(ctx).cast("long")
+        seq = F.sequence(sc, ec, F.lit(step))
+        if closed in ("left", "none"):
+            seq = F.filter(seq, lambda x: x != ec)
+        if closed in ("right", "none"):
+            seq = F.filter(seq, lambda x: x != sc)
+        return seq
+
+    return Expr(fn, "time")

@@ -233,6 +233,15 @@ class Expr:
     def __pow__(self, o):
         return self._zip(o, lambda a, b: F.pow(a, b))
 
+    def __rpow__(self, o):
+        return self._zip(o, lambda a, b: F.pow(b, a))
+
+    def __rmod__(self, o):
+        return self._zip(o, lambda a, b: b % a)
+
+    def __rfloordiv__(self, o):
+        return self._zip(o, lambda a, b: F.floor(b / a))
+
     def __neg__(self):
         return self._map(lambda c: -c)
 

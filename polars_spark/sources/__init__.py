@@ -889,3 +889,87 @@ def scan_table(name: str, *, spark: SparkSession | None = None) -> LazyFrame:
     shuffle on joins/aggs keyed by the bucket columns."""
     spark = spark or _spark()
     return LazyFrame(spark.table(name))
+
+
+def time_range(
+    start=None, end=None, interval: str = "1h", *, closed: str = "both",
+    eager: bool = True, spark: SparkSession | None = None,
+) -> LazyFrame:
+    """Eager Time range (polars time_range): ns-since-midnight BIGINTs —
+    the documented Time mapping — via one sequence() + explode."""
+    from polars_spark.functions import _TIME_END_NS, _time_to_ns
+    from polars_spark.plans.frame import _duration_us
+
+    spark = spark or _spark()
+    s = _time_to_ns(start) if start is not None else 0
+    e = _time_to_ns(end) if end is not None else _TIME_END_NS
+    step = _duration_us(interval) * 1000
+    df = spark.range(1).select(
+        F.explode(F.sequence(F.lit(s), F.lit(e), F.lit(step))).alias("literal")
+    )
+    if closed in ("left", "none"):
+        df = df.filter(F.col("literal") != e)
+    if closed in ("right", "none"):
+        df = df.filter(F.col("literal") != s)
+    return LazyFrame(df)
+
+
+class BatchedCsvReader:
+    """polars read_csv_batched handle: pull result chunks with
+    ``next_batches(n)`` (py-polars io/csv/batched_reader.py).  Batches
+    stream through toLocalIterator — the whole file is never materialized
+    on the driver at once."""
+
+    def __init__(self, lf: LazyFrame, batch_size: int):
+        self._gen = lf.collect_batches(batch_size=batch_size)
+        self._done = False
+
+    def next_batches(self, n: int):
+        if self._done:
+            return None
+        out = []
+        for _ in range(n):
+            try:
+                out.append(next(self._gen))
+            except StopIteration:
+                self._done = True
+                break
+        return out or None
+
+
+def read_csv_batched(source, *, batch_size: int = 50_000, **kw) -> BatchedCsvReader:
+    return BatchedCsvReader(scan_csv(source, **kw), batch_size)
+
+
+class _DeferredFrame:
+    """polars pl.defer: delay running ``function`` until the frame is used
+    (reference functions/lazy.py defer — built for polars-cloud, where the
+    callback must run remotely at collect time; here the callback runs at
+    first use, after which Spark's own laziness takes over)."""
+
+    def __init__(self, function, *, schema=None, validate_schema: bool = True):
+        self._function = function
+        self._schema = schema
+        self._validate = validate_schema
+        self._materialized: LazyFrame | None = None
+
+    def _target(self) -> LazyFrame:
+        if self._materialized is None:
+            out = self._function()
+            if not isinstance(out, LazyFrame):
+                out = from_pandas(out) if hasattr(out, "dtypes") else DataFrame(out)
+            if self._validate and self._schema is not None:
+                got = list(out.columns)
+                want = list(self._schema)
+                if got != want:
+                    msg = f"defer: schema mismatch — expected {want}, function returned {got}"
+                    raise ValueError(msg)
+            self._materialized = out
+        return self._materialized
+
+    def __getattr__(self, name):
+        return getattr(self._target(), name)
+
+
+def defer(function, *, schema=None, validate_schema: bool = True) -> _DeferredFrame:
+    return _DeferredFrame(function, schema=schema, validate_schema=validate_schema)

@@ -1,0 +1,126 @@
+"""Round-5 API tail: pl.api custom namespaces, top-level map_batches /
+map_groups, Time-dtype ranges, read_csv_batched, defer."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def test_register_expr_namespace(pl, lf):
+    @pl.api.register_expr_namespace("pow_n")
+    class PowersOfN:
+        def __init__(self, expr):
+            self._expr = expr
+
+        def next(self, p: int):
+            return (p ** (self._expr.log(p).ceil()).cast("Int64")).cast("Int64")
+
+    f = lf(n=[1.4, 24.3, 55.0])
+    out = rows(f.select(pl.col("n").pow_n.next(2).alias("x")), sort_by="x")
+    assert out == [(2,), (32,), (64,)]
+
+
+def test_register_lazyframe_namespace(pl, lf):
+    @pl.api.register_lazyframe_namespace("split")
+    class SplitFrame:
+        def __init__(self, ldf):
+            self._ldf = ldf
+
+        def by_alternate_rows(self):
+            return self._ldf
+
+    f = lf(a=[1, 2])
+    assert f.split.by_alternate_rows() is f
+
+
+def test_register_namespace_reserved_rejected(pl):
+    with pytest.raises(AttributeError):
+
+        @pl.api.register_expr_namespace("str")
+        class Bad:
+            pass
+
+
+def test_top_level_map_batches(pl, lf):
+    f = lf(a=[1.0, 2.0, 3.0], b=[10.0, 20.0, 30.0])
+    out = rows(
+        f.select(
+            pl.map_batches(["a", "b"], lambda s: s[0] * s[1], "double").alias("ab")
+        ),
+        sort_by="ab",
+    )
+    assert out == [(10.0,), (40.0,), (90.0,)]
+
+
+def test_top_level_map_groups(pl, lf):
+    f = lf(g=["x", "x", "y"], v=[1.0, 3.0, 10.0])
+    out = rows(
+        f.group_by("g").agg(
+            pl.map_groups(["v"], lambda s: float(s[0].max() - s[0].min()), "double").alias(
+                "spread"
+            )
+        ),
+        sort_by="g",
+    )
+    assert out == [("x", 2.0), ("y", 0.0)]
+
+
+def test_time_literal_and_ranges(pl, lf):
+    ns_1030 = ((10 * 3600 + 30 * 60) * 1_000_000) * 1000
+    f = lf(a=[1])
+    out = rows(f.select(pl.time(10, 30).alias("t")))
+    assert out == [(ns_1030,)]
+
+    # eager time_range: hourly, both ends closed
+    tr = pl.time_range(datetime.time(0), datetime.time(3), "1h").collect()
+    hours = [v / 3_600_000_000_000 for v in tr["literal"]]
+    assert hours == [0.0, 1.0, 2.0, 3.0]
+    tr2 = pl.time_range(datetime.time(0), datetime.time(3), "1h", closed="left").collect()
+    assert len(tr2) == 3
+
+    # expression-position time_ranges
+    g = lf(s=[0], e=[2 * 3_600_000_000_000])
+    out = rows(g.select(pl.time_ranges(pl.col("s"), pl.col("e"), "1h").alias("r")))
+    assert [len(out[0][0])] == [3]
+
+
+def test_read_csv_batched(pl, tmp_path):
+    import pandas as pd
+
+    p = str(tmp_path / "b.csv")
+    pd.DataFrame({"a": range(25), "b": [f"s{i}" for i in range(25)]}).to_csv(
+        p, index=False
+    )
+    reader = pl.read_csv_batched(p, batch_size=10)
+    seen = 0
+    while True:
+        batches = reader.next_batches(2)
+        if batches is None:
+            break
+        seen += sum(len(b) for b in batches)
+    assert seen == 25
+    assert reader.next_batches(1) is None
+
+
+def test_defer_lazy_and_schema_validation(pl):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return pl.DataFrame({"a": [1, 2, 3]})
+
+    d = pl.defer(build, schema=["a"])
+    assert calls == []  # nothing ran yet
+    assert d.collect()["a"].tolist() == [1, 2, 3]
+    assert calls == [1]
+    d.collect()
+    assert calls == [1]  # materialized once
+
+    bad = pl.defer(lambda: pl.DataFrame({"x": [1]}), schema=["y"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        bad.collect()
