@@ -327,3 +327,40 @@ def scale_zorder_events(spark, sf_dir):
         F.col("__bucket_value").alias("bv"),
         F.col("__zorder").alias("zorder"),
     )
+
+
+@query(
+    "udf_map_multi",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_quantity * l_extendedprice) AS BIGINT)) AS BIGINT) AS qty_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def udf_map_multi(spark, sf_dir):
+    """Top-level pl.map_batches (multi-expression elementwise Arrow UDF)
+    and pl.map_groups (GROUPED_AGG Arrow UDF) in one pipeline, verified
+    against pure SQL.  Integer products/sums keep the hash exact."""
+    import polars_spark as pl
+    from polars_spark.queries import ltable
+
+    li = ltable(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    prod = pl.map_batches(
+        ["l_quantity", "l_extendedprice"],
+        lambda s: __import__("numpy").floor(s[0] * s[1]).astype("int64"),
+        "Int64",
+    ).alias("qp")
+    return (
+        li.with_columns(prod)
+        .group_by("l_orderkey")
+        .agg(
+            pl.map_groups(["qp"], lambda s: int(s[0].sum()), "Int64").alias("qty_price"),
+            # NB: Spark forbids mixing GROUPED_AGG pandas UDFs with JVM
+            # aggregates in one agg — so the count is a pandas UDF too
+            pl.map_groups(["qp"], lambda s: len(s[0]), "Int64").alias("n"),
+        )
+        .to_spark()
+    )
