@@ -1832,8 +1832,8 @@ class DynamicGroupBy:
     """
 
     def __init__(self, lf, index_column, every, period, offset, closed, label, group_by):
-        if closed not in ("left", "right"):
-            raise NotImplementedError("group_by_dynamic: closed='left'|'right'")
+        if closed not in ("left", "right", "both", "none"):
+            raise ValueError(f"group_by_dynamic closed={closed!r}")
         self._closed = closed
         self._lf = lf
         self._index = index_column
@@ -1845,7 +1845,44 @@ class DynamicGroupBy:
         self._by = [gb] if isinstance(gb, str) else list(gb)
 
     def agg(self, *exprs, **named) -> LazyFrame:
-        ctx = self._lf._ctx()
+        # closed='right' = (start, end]: assign each row by ts - 1µs (Spark
+        # windows are inherently [start, end)), window labels stay aligned.
+        # closed='both'/'none' assign windows BEFORE the aggregate so
+        # boundary rows can be duplicated into / dropped from the adjacent
+        # window (boundary duplication is polars' documented 'both'
+        # semantics); Spark's Expand-based window projection keeps this a
+        # map-side operation — no extra shuffle.
+        def win_of(tc):
+            return (
+                F.window(tc, self._period, self._every, self._offset)
+                if self._offset
+                else F.window(tc, self._period, self._every)
+            )
+
+        tcol = F.col(self._index)
+        t_prev = F.timestamp_micros(F.unix_micros(tcol.cast("timestamp")) - 1)
+        src = self._lf._df
+        if self._closed == "right":
+            src = src.select("*", win_of(t_prev).alias("__w__"))
+        elif self._closed == "both":
+            a = src.select("*", win_of(tcol).alias("__w__"))
+            # rows exactly on a boundary also close the PREVIOUS window:
+            # assign via t-1µs and keep only exact end-of-window hits
+            b = src.select("*", win_of(t_prev).alias("__w__")).filter(
+                tcol.cast("timestamp") == F.col("__w__.end")
+            )
+            src = a.unionByName(b)
+        elif self._closed == "none":
+            # open on both sides — drop exact start-of-window rows
+            src = src.select("*", win_of(tcol).alias("__w__")).filter(
+                tcol.cast("timestamp") != F.col("__w__.start")
+            )
+        else:
+            src = src.select("*", win_of(tcol).alias("__w__"))
+
+        # aggregates resolve against the window-assigned frame so boundary
+        # duplication/removal is visible to them
+        ctx = ExprContext(src, list(self._lf._order))
         aggs: list[Column] = []
         agg_names: list[str] = []
         for e in _flatten(exprs):
@@ -1855,17 +1892,7 @@ class DynamicGroupBy:
         for name, e in named.items():
             aggs.append(_to_expr(e)._resolve(ctx).alias(name))
             agg_names.append(name)
-        # closed='right' = (start, end]: assign each row by ts - 1µs (Spark
-        # windows are inherently [start, end)), window labels stay aligned
-        tcol = F.col(self._index)
-        if self._closed == "right":
-            tcol = F.timestamp_micros(F.unix_micros(tcol.cast("timestamp")) - 1)
-        win = (
-            F.window(tcol, self._period, self._every, self._offset)
-            if self._offset
-            else F.window(tcol, self._period, self._every)
-        )
-        df = self._lf._df.groupBy(*self._by, win.alias("__w__")).agg(*aggs)
+        df = src.groupBy(*self._by, "__w__").agg(*aggs)
         bound = "start" if self._label == "left" else "end"
         df = df.select(
             *self._by, F.col(f"__w__.{bound}").alias(self._index), *agg_names

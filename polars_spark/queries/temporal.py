@@ -173,3 +173,53 @@ def tmp_session_windows(spark, sf_dir):
         )
         .to_spark()
     )
+
+
+@query(
+    "tmp_closed_both",
+    oracle="""
+    WITH t AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts, value FROM events),
+    a AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value FROM t),
+    b AS (SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR AS w, value FROM t
+          WHERE epoch_us(ts) % 3600000000 = 0),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT w AS ts, round(sum(value), 4) AS total, count(*) AS n
+    FROM u GROUP BY w
+    """,
+)
+def tmp_closed_both(spark, sf_dir):
+    """group_by_dynamic closed='both': rows exactly on an hour boundary
+    belong to BOTH adjacent windows (ts truncated to 15m first so ~1/4 of
+    rows sit on boundaries — the oracle replays the duplication as an
+    explicit union)."""
+    ev = ltable(spark, sf_dir, "events").with_columns(
+        pl.col("ts").dt.truncate("15m").alias("ts")
+    )
+    return (
+        ev.group_by_dynamic("ts", every="1h", closed="both")
+        .agg(pl.col("value").sum().round(4).alias("total"), pl.len().alias("n"))
+        .to_spark()
+    )
+
+
+@query(
+    "tmp_closed_none",
+    oracle="""
+    WITH t AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts, value FROM events),
+    a AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value FROM t
+          WHERE epoch_us(ts) % 3600000000 != 0)
+    SELECT w AS ts, round(sum(value), 4) AS total, count(*) AS n
+    FROM a GROUP BY w
+    """,
+)
+def tmp_closed_none(spark, sf_dir):
+    """group_by_dynamic closed='none': open interval — rows exactly on a
+    window start belong to NO window."""
+    ev = ltable(spark, sf_dir, "events").with_columns(
+        pl.col("ts").dt.truncate("15m").alias("ts")
+    )
+    return (
+        ev.group_by_dynamic("ts", every="1h", closed="none")
+        .agg(pl.col("value").sum().round(4).alias("total"), pl.len().alias("n"))
+        .to_spark()
+    )
