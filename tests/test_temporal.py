@@ -216,3 +216,32 @@ class TestPipeWithSchemaAndSerialize:
         assert p.read_text() == s
         with pytest.raises(NotImplementedError, match="deserialize"):
             pl.LazyFrame.deserialize(s)
+
+
+def test_dynamic_closed_both_and_none(pl, lf):
+    import datetime as dt
+
+    ts = [
+        dt.datetime(2024, 1, 1, 0, 0),   # exact hour boundary
+        dt.datetime(2024, 1, 1, 0, 30),
+        dt.datetime(2024, 1, 1, 1, 0),   # exact hour boundary
+        dt.datetime(2024, 1, 1, 1, 15),
+    ]
+    f = lf(ts=ts, v=[1, 2, 4, 8])
+    both = rows(
+        f.group_by_dynamic("ts", every="1h", closed="both").agg(
+            pl.col("v").sum().alias("s")
+        ),
+        sort_by="ts",
+    )
+    # 00:00-01:00 gets {1,2} plus the 01:00 boundary row (4); 01:00-02:00
+    # gets {4,8}; 00:00 also closes the previous (empty until now) window
+    assert [(r[1]) for r in both] == [1, 7, 12]
+    none = rows(
+        f.group_by_dynamic("ts", every="1h", closed="none").agg(
+            pl.col("v").sum().alias("s")
+        ),
+        sort_by="ts",
+    )
+    # exact-start rows dropped entirely
+    assert [(r[1]) for r in none] == [2, 8]
