@@ -291,8 +291,56 @@ def corr(a, b, *, method: str = "pearson") -> Expr:
     ea, eb = _to_expr(a if not isinstance(a, str) else col(a)), _to_expr(
         b if not isinstance(b, str) else col(b)
     )
-    if method != "pearson":
-        raise NotImplementedError("corr: only pearson (spearman needs rank pre-pass)")
+    if method not in ("pearson", "spearman"):
+        raise ValueError(f"corr method {method!r}")
+
+    if method == "spearman":
+        # self-contained average-rank spearman: collect the (a, b) pairs,
+        # rank both sides by pairwise comparison (O(n²) folds per group —
+        # fine for typical group sizes; for very large groups use the
+        # scale-safe two-phase pattern rank().over(keys) then pearson, as
+        # in the agg_spearman gate query), then pearson of the ranks.
+        def fn(ctx: ExprContext) -> Column:
+            from polars_spark.plans.expr import _wover
+
+            ca, cb = ea._resolve(ctx), eb._resolve(ctx)
+            pair = F.when(
+                ca.isNotNull() & cb.isNotNull(),
+                F.struct(ca.cast("double").alias("a"), cb.cast("double").alias("b")),
+            )
+            arr = _wover(ctx, F.collect_list(pair))
+
+            def asum(xs):
+                return F.aggregate(xs, F.lit(0.0), lambda acc, v: acc + v)
+
+            def ranks(get):
+                return F.transform(
+                    arr,
+                    lambda p: asum(
+                        F.transform(arr, lambda q: F.when(get(q) < get(p), 1.0).otherwise(0.0))
+                    )
+                    + (
+                        asum(
+                            F.transform(
+                                arr, lambda q: F.when(get(q) == get(p), 1.0).otherwise(0.0)
+                            )
+                        )
+                        + 1.0
+                    )
+                    / 2.0,
+                )
+
+            ra, rb = ranks(lambda p: p["a"]), ranks(lambda p: p["b"])
+            n = F.size(arr).cast("double")
+            sx, sy = asum(ra), asum(rb)
+            sxx = asum(F.transform(ra, lambda x: x * x))
+            syy = asum(F.transform(rb, lambda x: x * x))
+            sxy = asum(F.zip_with(ra, rb, lambda x, y: x * y))
+            num = n * sxy - sx * sy
+            den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            return F.when(den != 0, num / den)
+
+        return Expr(fn, "corr", is_agg=True)
 
     def fn(ctx: ExprContext) -> Column:
         from polars_spark.plans.expr import _wover

@@ -886,7 +886,15 @@ class Expr:
             return e
         if not fisher and bias:
             return e._map(lambda c: c + 3, is_agg=True)
-        raise NotImplementedError("unbiased kurtosis")
+        # bias=False: scipy/polars G2 sample correction
+        # G2 = ((n-1)/((n-2)(n-3))) * ((n+1)*g2 + 6), +3 when fisher=False
+        def corrected(c):
+            n = F.count(c).cast("double")
+            g2 = F.kurtosis(c)
+            out = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+            return out if fisher else out + 3
+
+        return self._agg(corrected)
 
     def search_sorted(self, element, side: str = "left"):
         """Insertion position of ``element`` in the sorted column
@@ -1319,9 +1327,8 @@ class Expr:
         return Expr(fn, self._name)
 
     def rolling_skew(self, window_size: int, *, bias: bool = True, min_samples: int | None = None):
-        """Rolling skew from windowed power sums (biased, polars default)."""
-        if not bias:
-            raise NotImplementedError("rolling_skew bias=False")
+        """Rolling skew from windowed power sums (bias=False applies the
+        sqrt(n(n-1))/(n-2) sample correction, like Expr.skew)."""
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
@@ -1330,25 +1337,35 @@ class Expr:
             m2 = e2 - e1 * e1
             m3 = e3 - 3 * e1 * e2 + 2 * e1 * e1 * e1
             val = m3 / F.pow(m2, 1.5)
+            if not bias:
+                n = F.count(c).over(w).cast("double")
+                val = val * F.sqrt(n * (n - 1)) / (n - 2)
             need = window_size if min_samples is None else min_samples
             return F.when(F.count(c).over(w) >= need, val)
 
         return Expr(fn, self._name)
 
     def rolling_kurtosis(self, window_size: int, *, fisher: bool = True, bias: bool = True, min_samples: int | None = None):
-        if not (fisher and bias):
-            raise NotImplementedError("rolling_kurtosis: fisher=True, bias=True only")
+        """Rolling kurtosis from windowed power sums; all four
+        fisher x bias variants (bias=False applies the scipy/polars G2
+        sample correction)."""
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+            n = F.count(c).over(w).cast("double")
             e1 = F.avg(c).over(w)
             e2 = F.avg(c * c).over(w)
             e3 = F.avg(c * c * c).over(w)
             e4 = F.avg(c * c * c * c).over(w)
             m2 = e2 - e1 * e1
             m4 = e4 - 4 * e1 * e3 + 6 * e1 * e1 * e2 - 3 * F.pow(e1, F.lit(4.0))
-            val = m4 / (m2 * m2) - 3
+            g2 = m4 / (m2 * m2) - 3
+            val = g2
+            if not bias:
+                val = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+            if not fisher:
+                val = val + 3
             need = window_size if min_samples is None else min_samples
             return F.when(F.count(c).over(w) >= need, val)
 
@@ -1385,9 +1402,32 @@ class Expr:
         window_size: int,
         min_samples: int | None = None,
     ):
-        if interpolation != "linear":
-            raise NotImplementedError("rolling_quantile: linear interpolation only")
-        return self._rolling(lambda c: F.percentile(c, F.lit(quantile)), window_size, min_samples)
+        if interpolation == "linear":
+            return self._rolling(lambda c: F.percentile(c, F.lit(quantile)), window_size, min_samples)
+        # nearest/lower/higher/midpoint: sorted-array indexing over the
+        # window values (same rule as Expr.quantile)
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+            arr = F.array_sort(F.collect_list(c).over(w))
+            n = F.size(arr)
+            pos = (n - 1) * F.lit(quantile)
+            lo = F.floor(pos).cast("int")
+            hi = F.ceil(pos).cast("int")
+            if interpolation == "lower":
+                val = F.get(arr, lo)
+            elif interpolation == "higher":
+                val = F.get(arr, hi)
+            elif interpolation == "midpoint":
+                val = (F.get(arr, lo) + F.get(arr, hi)) / 2
+            elif interpolation == "nearest":
+                val = F.get(arr, F.round(pos).cast("int"))
+            else:
+                raise ValueError(f"rolling_quantile interpolation {interpolation!r}")
+            need = window_size if min_samples is None else min_samples
+            return F.when(F.count(c).over(w) >= need, val)
+
+        return Expr(fn, self._name)
 
     # -- operator-method aliases (reference expr.py: add/sub/.../xor) --------
     def add(self, other):

@@ -210,3 +210,29 @@ class TestEmptyGroupIdentities:
             pl.col("x").quantile(0.5, "lower").alias("eq"),
         ).collect()
         assert abs(got["aq"][0] - got["eq"][0]) <= 1.0
+
+
+def test_corr_spearman_matches_scipy_model(pl, lf):
+    # ties included: average ranks
+    a = [1.0, 2.0, 2.0, 4.0, 7.0, 5.0]
+    b = [3.0, 1.0, 4.0, 4.0, 9.0, 8.0]
+    f = lf(g=["x"] * 6 + ["y"] * 6, a=a + [float(i) for i in range(6)],
+           b=b + [float(i * i) for i in range(6)])
+    out = f.group_by("g").agg(
+        pl.corr(pl.col("a"), pl.col("b"), method="spearman").alias("rho")
+    )
+    got = {r[0]: r[1] for r in out.collect().itertuples(index=False)}
+
+    import numpy as np
+
+    def spearman(x, y):
+        def avg_rank(v):
+            v = np.asarray(v)
+            return np.array(
+                [(v < vi).sum() + ((v == vi).sum() + 1) / 2.0 for vi in v]
+            )
+        rx, ry = avg_rank(x), avg_rank(y)
+        return np.corrcoef(rx, ry)[0, 1]
+
+    assert abs(got["x"] - spearman(a, b)) < 1e-9
+    assert abs(got["y"] - 1.0) < 1e-9  # monotone -> rho = 1

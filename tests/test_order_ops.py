@@ -116,3 +116,63 @@ def test_ewm_sum_by(pl, lf):
     out = f.select(pl.col("x").ewm_sum_by("t", half_life="1h").alias("es"), pl.col("t")).sort("t").collect()
     # y0=4; y1=0.5*4+2=4; y2=0.25*4+1=2
     assert out["es"].tolist() == [4.0, 4.0, 2.0]
+
+
+def test_unbiased_skew_kurtosis_match_pandas(pl, lf):
+    import pandas as pd
+
+    vals = [1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0, 9.0, 2.5, 6.0]
+    f = lf(v=vals)
+    got = f.select(
+        pl.col("v").skew(bias=False).alias("sk"),
+        pl.col("v").kurtosis(fisher=True, bias=False).alias("ku"),
+        pl.col("v").kurtosis(fisher=False, bias=False).alias("kup"),
+    ).collect()
+    s = pd.Series(vals)
+    assert abs(got["sk"][0] - s.skew()) < 1e-9          # pandas skew = G1
+    assert abs(got["ku"][0] - s.kurt()) < 1e-9          # pandas kurt = G2
+    assert abs(got["kup"][0] - (s.kurt() + 3)) < 1e-9
+
+
+def test_rolling_skew_kurt_unbiased_match_pandas(pl, lf):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    vals = rng.rand(40).tolist()
+    f = lf(i=list(range(40)), v=vals).sort("i")
+    got = (
+        f.select(
+            pl.col("v").rolling_skew(7, bias=False).alias("rs"),
+            pl.col("v").rolling_kurtosis(7, fisher=True, bias=False).alias("rk"),
+        )
+        .collect()
+    )
+    s = pd.Series(vals)
+    exp_s = s.rolling(7).skew()   # pandas rolling skew/kurt are the unbiased G1/G2
+    exp_k = s.rolling(7).kurt()
+    for i in range(7 - 1, 40):
+        assert abs(got["rs"][i] - exp_s[i]) < 1e-8, i
+        assert abs(got["rk"][i] - exp_k[i]) < 1e-8, i
+
+
+def test_rolling_quantile_interpolations(pl, lf):
+    import numpy as np
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0]
+    f = lf(i=list(range(8)), v=vals).sort("i")
+    q = 0.3
+    got = f.select(
+        pl.col("v").rolling_quantile(q, "lower", window_size=4).alias("lo"),
+        pl.col("v").rolling_quantile(q, "higher", window_size=4).alias("hi"),
+        pl.col("v").rolling_quantile(q, "midpoint", window_size=4).alias("mid"),
+        pl.col("v").rolling_quantile(q, "nearest", window_size=4).alias("near"),
+    ).collect()
+    for i in range(3, 8):
+        win = sorted(vals[i - 3 : i + 1])
+        pos = (len(win) - 1) * q
+        lo, hi = win[int(np.floor(pos))], win[int(np.ceil(pos))]
+        assert got["lo"][i] == lo
+        assert got["hi"][i] == hi
+        assert got["mid"][i] == (lo + hi) / 2
+        assert got["near"][i] == win[int(np.floor(pos + 0.5))]
