@@ -975,3 +975,39 @@ def pack_sequences(
         "bin_id", F.floor((cum - F.col(token_col)) / F.lit(int(target_tokens))).cast("bigint")
     )
     return out
+
+
+def filter_funnel(df: DataFrame, stages):
+    """One-pass filter-pipeline observability (the DataTrove/Dolma 'stats
+    per pipeline stage' report).
+
+    ``stages`` is a list of (name, boolean Column) quality filters applied
+    in order.  Returns ``(filtered_df, funnel_df)`` where funnel_df has one
+    row per stage: docs entering, surviving, and dropped.
+
+    The whole funnel is ONE aggregate over ONE scan — survival counts are
+    sums of cumulative conjunctions, not per-stage count() jobs.  At 100 TB
+    the difference is N full scans vs one; the filtered frame shares the
+    same conjunction so Catalyst pushes it into the scan as usual.  A null
+    filter result counts as a drop (coalesce false), matching SQL WHERE.
+    """
+    spark = df.sparkSession
+    names = [n for n, _ in stages]
+    cum = []
+    acc = F.lit(True)
+    for _, cond in stages:
+        acc = acc & F.coalesce(cond, F.lit(False))
+        cum.append(acc)
+    agg_cols = [F.count("*").alias("__n0")] + [
+        F.sum(c.cast("long")).alias(f"__n{i+1}") for i, c in enumerate(cum)
+    ]
+    row = df.agg(*agg_cols).collect()[0]
+    counts = [row[f"__n{i}"] or 0 for i in range(len(stages) + 1)]
+    funnel = spark.createDataFrame(
+        [
+            (i + 1, names[i], counts[i], counts[i + 1], counts[i] - counts[i + 1])
+            for i in range(len(stages))
+        ],
+        "stage_idx: long, stage: string, n_in: long, n_out: long, n_dropped: long",
+    )
+    return df.filter(cum[-1]), funnel

@@ -565,3 +565,46 @@ def txt_unigram_logprob(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     out = unigram_logprob_score(docs)
     return out.select("doc_id", "n_tokens", fround(F.col("mean_nll"), 6).alias("mean_nll"))
+
+
+@query(
+    "txt_filter_funnel",
+    oracle=r"""
+    WITH f AS (
+      SELECT n_chars BETWEEN 100 AND 5000                                   AS c1,
+             len(regexp_split_to_array(trim(text), '\s+')) >= 20            AS c2,
+             lang = 'en'                                                    AS c3
+      FROM documents
+    )
+    SELECT 1 AS stage_idx, 'len_chars' AS stage,
+           count(*) AS n_in,
+           count(*) FILTER (c1) AS n_out,
+           count(*) - count(*) FILTER (c1) AS n_dropped FROM f
+    UNION ALL
+    SELECT 2, 'min_tokens',
+           count(*) FILTER (c1),
+           count(*) FILTER (c1 AND c2),
+           count(*) FILTER (c1) - count(*) FILTER (c1 AND c2) FROM f
+    UNION ALL
+    SELECT 3, 'english',
+           count(*) FILTER (c1 AND c2),
+           count(*) FILTER (c1 AND c2 AND c3),
+           count(*) FILTER (c1 AND c2) - count(*) FILTER (c1 AND c2 AND c3) FROM f
+    """,
+)
+def txt_filter_funnel(spark, sf_dir):
+    """One-pass pipeline funnel: three chained quality filters, survival
+    counts from a single aggregate over a single scan (no per-stage count
+    jobs)."""
+    from polars_spark.llm import filter_funnel
+
+    docs = table(spark, sf_dir, "documents")
+    _, funnel = filter_funnel(
+        docs,
+        [
+            ("len_chars", F.col("n_chars").between(100, 5000)),
+            ("min_tokens", token_count(F.col("text")) >= 20),
+            ("english", F.col("lang") == "en"),
+        ],
+    )
+    return funnel

@@ -603,3 +603,21 @@ def test_int8_quantization_roundtrip_and_topk(spark, emb):
     quant = {(r["qid"], r["nid"]) for r in quantized_topk(emb, probes, k=5).collect()}
     overlap = len(exact & quant) / max(len(exact), 1)
     assert overlap >= 0.9, overlap
+
+
+def test_filter_funnel_one_pass(spark, docs):
+    from polars_spark.llm import filter_funnel
+
+    kept, funnel = filter_funnel(
+        docs.to_spark() if hasattr(docs, "to_spark") else docs,
+        [
+            ("nonempty", F.length("text") > 0),
+            ("longish", F.col("n_chars") > 200),
+        ],
+    )
+    rows_ = {r["stage"]: r for r in funnel.collect()}
+    assert rows_["nonempty"]["n_in"] >= rows_["nonempty"]["n_out"]
+    # funnel is consistent: stage2 input == stage1 output
+    assert rows_["longish"]["n_in"] == rows_["nonempty"]["n_out"]
+    assert kept.count() == rows_["longish"]["n_out"]
+    assert all(r["n_in"] - r["n_out"] == r["n_dropped"] for r in rows_.values())
