@@ -621,3 +621,39 @@ def test_filter_funnel_one_pass(spark, docs):
     assert rows_["longish"]["n_in"] == rows_["nonempty"]["n_out"]
     assert kept.count() == rows_["longish"]["n_out"]
     assert all(r["n_in"] - r["n_out"] == r["n_dropped"] for r in rows_.values())
+
+
+def test_quality_classifier_trains_and_scores(spark, docs):
+    from polars_spark.llm.classifier import (
+        quality_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    base = quality_features(docs)
+    # separable synthetic labels: long docs are "good"
+    labeled = base.withColumn(
+        "label", (F.col("n_chars") > 250).cast("double")
+    )
+    model = train_quality_classifier(labeled)
+
+    # column-algebra scorer must match MLlib's own transform probabilities
+    scored = score_quality(model, labeled)
+    from pyspark.ml.functions import vector_to_array
+
+    via_ml = model.transform(labeled).withColumn(
+        "p1", F.element_at(vector_to_array(F.col("probability")), 2)
+    )
+    a = scored.select("doc_id", "quality_prob").toPandas().set_index("doc_id")
+    b = via_ml.select("doc_id", "p1").toPandas().set_index("doc_id")
+    joined = a.join(b)
+    assert (joined["quality_prob"] - joined["p1"]).abs().max() < 1e-9
+
+    # separable labeling must be learned nearly perfectly
+    acc = (
+        scored.withColumn("pred", (F.col("quality_prob") > 0.5).cast("double"))
+        .filter(F.col("pred") == F.col("label"))
+        .count()
+        / scored.count()
+    )
+    assert acc > 0.95, acc
