@@ -254,3 +254,42 @@ def test_dedup_within_watermark(spark, pl, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM dwm_out ORDER BY k").toPandas()
     assert out["k"].tolist() == ["a", "b"]
+
+
+def test_stateful_topk_transform_with_state(spark, pl, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): per-key top-3
+    leaderboard maintained in a ListState across micro-batches.  Skipped
+    where protobuf (the TWS state protocol) is absent from the image."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from polars_spark.streaming import scan_stream_parquet, stateful_topk
+
+    src = str(tmp_path / "twsip_src")
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "value": [5.0, 9.0, 1.0, 7.0, 3.0, 4.0],
+        }
+    )
+    pl.from_pandas(pdf).sink_parquet(src)
+
+    stream = scan_stream_parquet(src, schema="user_id long, value double", spark=spark)
+    top = stateful_topk(stream, key="user_id", value="value", k=3)
+    q = (
+        top.writeStream.format("memory")
+        .queryName("topk_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM topk_out ORDER BY user_id, rank"
+    ).toPandas()
+    by_user = {
+        u: g.sort_values("rank")["value"].tolist()
+        for u, g in out.groupby("user_id")
+    }
+    assert by_user[1] == [9.0, 7.0, 5.0]
+    assert by_user[2] == [4.0, 3.0]
