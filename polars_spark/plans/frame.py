@@ -1106,12 +1106,41 @@ class LazyFrame:
             callback(batch)
 
     def sink_ipc(self, path: str) -> None:
-        """Arrow IPC (feather) sink — driver-side pyarrow write (IPC is not
-        a Spark-native sink; for scale use sink_parquet/orc)."""
+        """Arrow IPC (feather-v2) sink.
+
+        A path WITHOUT an ipc extension is treated as a directory and
+        written DISTRIBUTED: every executor streams its partition's Arrow
+        batches into its own shard file via mapInArrow — no data crosses
+        the driver, so the sink scales like any native format (and
+        scan_ipc reads the shard directory back one-partition-per-file).
+        An explicit ``*.arrow`` / ``*.feather`` / ``*.ipc`` path keeps
+        polars' single-file semantics (driver-side, small results)."""
         import pyarrow as pa
         import pyarrow.feather as feather
 
-        feather.write_feather(pa.Table.from_pandas(self.collect()), path)
+        if path.rsplit(".", 1)[-1].lower() in ("arrow", "feather", "ipc"):
+            feather.write_feather(pa.Table.from_pandas(self.collect()), path)
+            return
+        import os
+        import uuid
+
+        os.makedirs(path, exist_ok=True)
+        df = self.to_spark()
+
+        def write_partition(batches):
+            writer = None
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+            n = 0
+            for batch in batches:
+                if writer is None:
+                    writer = pa.ipc.new_file(fname, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+            if writer is not None:
+                writer.close()
+            yield pa.RecordBatch.from_pylist([{"rows": n}])
+
+        df.mapInArrow(write_partition, "rows long").agg(F.sum("rows")).collect()
 
     def sink_delta(self, path: str, *, mode: str = "error") -> None:
         """Delta sink via the Spark connector (jar-gated like scan_delta)."""

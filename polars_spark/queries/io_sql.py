@@ -364,3 +364,29 @@ def udf_map_multi(spark, sf_dir):
         )
         .to_spark()
     )
+
+
+@query(
+    "io_ipc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def io_ipc_roundtrip(spark, sf_dir):
+    """Distributed Arrow-IPC round trip: executor-side sharded sink
+    (mapInArrow, one shard per partition) then the DataSource-based
+    scan_ipc (one input partition per shard) — the oracle aggregates the
+    ORIGINAL parquet, so any loss in the IPC path breaks the hash."""
+    cust = ltable(spark, sf_dir, "customer")
+    path = _dir("cust_ipc")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    cust.sink_ipc(path)
+    back = pl.scan_ipc(path)
+    return (
+        back.group_by("c_mktsegment")
+        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2).alias("bal"))
+        .to_spark()
+    )

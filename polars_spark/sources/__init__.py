@@ -206,7 +206,9 @@ def scan_ipc(source, **kw) -> LazyFrame:
 
     paths = [source] if isinstance(source, (str, os.PathLike)) else list(source)
     try:
-        ds = pads.dataset(paths, format="ipc")
+        # a single path may be a directory of shards (pads only walks
+        # directories when given the bare path, not a list)
+        ds = pads.dataset(paths[0] if len(paths) == 1 else paths, format="ipc")
     except Exception:
         # feather v1 (uncompressed legacy) isn't a pads format — driver bridge
         import pyarrow.feather as feather
