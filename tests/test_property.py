@@ -324,3 +324,72 @@ def test_parametric_filter_partition_invariant(pl, f):
     rest = f.filter(~(pl.col("a") > 0)).count()  # null a -> kept here? NO: ~(null>0) is null -> dropped
     nulls = f.filter(pl.col("a").is_null()).count()
     assert pos + rest + nulls == total
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTPS", "Http"]))
+    host_bits = draw(
+        st.lists(
+            st.text("abcdefgXYZ09", min_size=1, max_size=6), min_size=2, max_size=4
+        )
+    )
+    host = ".".join(host_bits)
+    port = draw(st.sampled_from(["", ":443", ":80", ":8080"]))
+    path = draw(st.sampled_from(["", "/", "/A/b", "/x/"]))
+    q = draw(
+        st.sampled_from(
+            [
+                "",
+                "?id=1",
+                "?utm_source=a",
+                "?utm_source=a&utm_medium=b",
+                "?id=1&gclid=x",
+                "?xref=k&utm_c=2",
+            ]
+        )
+    )
+    frag = draw(st.sampled_from(["", "#f", "#s-2"]))
+    return f"{scheme}://{host}{port}{path}{q}{frag}"
+
+
+@given(us=st.lists(urls(), min_size=1, max_size=8))
+@_settings
+def test_url_normalize_idempotent(pl, spark, us):
+    from pyspark.sql import functions as F
+
+    from polars_spark.llm.web import url_normalize
+
+    df = spark.createDataFrame([(u,) for u in us], "u: string")
+    out = df.select(
+        url_normalize(F.col("u")).alias("n1"),
+        url_normalize(url_normalize(F.col("u"))).alias("n2"),
+    ).collect()
+    for r in out:
+        # canonicalization must be a fixed point, and never keep fragments
+        # or tracking params
+        assert r["n1"] == r["n2"]
+        assert "#" not in r["n1"] and "utm_" not in r["n1"] and "gclid" not in r["n1"]
+
+
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=2, max_size=16
+    ).filter(lambda v: any(x != 0 for x in v))
+)
+@_settings
+def test_int8_quantize_error_bound(pl, spark, vec):
+    from pyspark.sql import functions as F
+
+    from polars_spark.llm.embedding import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame([(vec,)], "v: array<double>")
+    qs = quantize_int8(F.col("v"))
+    out = df.select(
+        F.array_max(
+            F.zip_with(F.col("v"), dequantize_int8(qs), lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        (F.array_max(F.transform(F.col("v"), F.abs)) / 254.0).alias("bound"),
+    ).collect()[0]
+    # absmax scheme: error <= scale/2 = max|x|/254 (+ float slack)
+    assert out["err"] <= out["bound"] + 1e-9

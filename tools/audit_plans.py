@@ -7,6 +7,11 @@ Checks per plan (on the physical plan string):
   one partition (global windows, global sorts mid-plan) is a 100 TB killer.
 - join strategies reported (BroadcastHashJoin should come from AQE or a
   fixed-size dim, never a forced hint on a scale-growing table)
+- row-at-a-time Python UDFs (BatchEvalPython) are flagged — every Python
+  hop must be Arrow-batched (ArrowEvalPython / mapInPandas / mapInArrow)
+- CartesianProduct is flagged unless the query opted in via
+  ALLOW_CARTESIAN (an explicit cross-join query); a cartesian that
+  Catalyst synthesized from a bad join condition is a 100 TB killer
 
 Usage: python tools/audit_plans.py [sf_dir] [query ...]
 Exit 1 if any plan is flagged.
@@ -26,6 +31,10 @@ JOINS = [
 ]
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+
+# queries whose SEMANTICS are a cross join (explicit cross/theta products)
+ALLOW_CARTESIAN = {"join_cross", "join_where_theta", "join_where_strict",
+                   "join_where_nonstrict", "join_where_single"}
 
 
 def single_partition_hazards(plan: str) -> list[str]:
@@ -68,14 +77,19 @@ def main() -> int:
             bad += 1
             continue
         joins = sorted({j for j in JOINS if j in plan})
-        hazards = single_partition_hazards(plan)
+        sp_hazards = single_partition_hazards(plan)
+        hazards = list(sp_hazards)
+        if "BatchEvalPython" in plan:
+            hazards.append("BatchEvalPython: row-at-a-time Python UDF (must be Arrow-batched)")
+        if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
+            hazards.append("CartesianProduct outside an explicit cross-join query")
         n_single = plan.count("SinglePartition")
-        flag = f"  !! {len(hazards)} SINGLE-PARTITION" if hazards else ""
+        flag = f"  !! {len(hazards)} HAZARDS" if hazards else ""
         if hazards:
             bad += 1
         print(
             f"{name}: joins={joins or '-'} exchanges={plan.count('Exchange ')} "
-            f"single_partition={n_single} scalar_ok={n_single - len(hazards)}"
+            f"single_partition={n_single} scalar_ok={n_single - len(sp_hazards)}"
             f"{flag} [{time.time() - t0:.1f}s]"
         )
         for h in hazards:
