@@ -322,3 +322,27 @@ class TestHeavyHitters:
         df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3, "x string")
         got = [(r["item"], r["item_count"]) for r in heavy_hitters(df, "x", k=2).collect()]
         assert got == [("a", 5), ("b", 3)]  # tie b/c broken by item asc
+
+
+def test_headline_plans_free_of_scale_hazards(spark):
+    """In-suite twin of tools/audit_plans.py for a representative slice:
+    no non-scalar SinglePartition exchange, no row-at-a-time Python UDF,
+    no synthesized cartesian product; filtered parquet scans keep their
+    pushed filters."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.audit_plans import single_partition_hazards
+
+    from polars_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["q1_pricing_summary", "q6_forecast_revenue", "win_shift_cum",
+                 "web_domain_cap", "sim_int8_topk"]:
+        plan = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert not single_partition_hazards(plan), name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # pushdown proof: q6's selective filter reaches the parquet scan
+    plan6 = QUERIES["q6_forecast_revenue"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan6 and "PushedFilters: []" not in plan6.split("PushedFilters:")[1][:4]
