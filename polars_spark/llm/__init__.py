@@ -638,8 +638,12 @@ def _fround_py(x: float, n: int) -> float:
 
 
 def _l2_normalize(c: Column) -> Column:
+    # the norm is pushed through array_repeat so it is evaluated ONCE per
+    # row as a plain child expression — referencing `n` inside the lambda
+    # would re-run the whole fold per element (interpreted HOFs do no
+    # cross-lambda subexpression elimination: O(dim^2) per row)
     n = F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))
-    return F.transform(c, lambda v: v / n)
+    return F.zip_with(c, F.array_repeat(n, F.size(c)), lambda v, nn: v / nn)
 
 
 def _fround_col(c: Column, n: int) -> Column:

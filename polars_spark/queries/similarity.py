@@ -347,14 +347,16 @@ def emb_quantize_error(spark, sf_dir):
     -accuracy monitor for quantized search).  Pure projection: higher-order
     functions only, zero shuffles at any scale."""
     from polars_spark.llm import _l2_normalize
-    from polars_spark.llm.embedding import quantize_int8
+    from polars_spark.llm.embedding import dequantize_int8, quantize_int8
 
     emb = table(spark, sf_dir, "embeddings")
     u = _l2_normalize(F.col("embedding").cast("array<double>"))
     qs = quantize_int8(u)
-    scale, q = qs["scale"], qs["q"]
+    scale = qs["scale"]
+    # dequantize (one-eval-per-row shape) then elementwise |x - x̂|; keeping
+    # `scale` OUT of any lambda avoids the O(dim^2) interpreted blowup
     err = F.array_max(
-        F.zip_with(u, q, lambda x, v: F.abs(x - v.cast("double") * scale))
+        F.zip_with(u, dequantize_int8(qs), lambda x, v: F.abs(x - v))
     )
     return emb.select(
         "vec_id",
