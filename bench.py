@@ -51,6 +51,9 @@ HEADLINE = [
     "h2o_q3",
     "h2o_q6",
     "h2o_q10",
+    # round 5: quantized vector search and web-corpus curation families
+    "sim_int8_topk",
+    "web_domain_cap",
 ]
 
 
