@@ -390,3 +390,25 @@ def io_ipc_roundtrip(spark, sf_dir):
         .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2).alias("bal"))
         .to_spark()
     )
+
+
+@query(
+    "sql_table_functions",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_table_functions(spark, sf_dir):
+    """polars SQL table functions (table_functions.rs): read_parquet(...)
+    directly in FROM — rewritten to native-scan temp views (pushdown
+    intact); DuckDB runs read_parquet natively, so the oracle is the SAME
+    query text."""
+    q = f"""
+    SELECT n_name, count(*) AS n_cust
+    FROM read_parquet('{sf_dir}/customer.parquet') c
+    JOIN read_parquet('{sf_dir}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """
+    return pl.sql(q).to_spark()

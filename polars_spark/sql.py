@@ -10,11 +10,43 @@ frame-registration API.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 from polars_spark.plans.frame import LazyFrame
 
 __all__ = ["SQLContext", "sql"]
+
+# polars SQL table functions (polars-sql/src/table_functions.rs): scan a
+# file directly in a FROM clause.  Spark SQL has no read_csv()-style table
+# functions, so each call site is rewritten to a registered temp view
+# backed by the matching polars_spark scan (pushdown intact — the view IS
+# the native scan).
+_TABLE_FN = re.compile(
+    r"\b(read_csv|read_parquet|read_ndjson|read_json|read_ipc)\s*\(\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_table_functions(spark: SparkSession, query: str) -> str:
+    from polars_spark import sources
+
+    scans = {
+        "read_csv": sources.scan_csv,
+        "read_parquet": sources.scan_parquet,
+        "read_ndjson": sources.scan_ndjson,
+        "read_json": sources.read_json,
+        "read_ipc": sources.scan_ipc,
+    }
+
+    def repl(m: re.Match) -> str:
+        fn, path = m.group(1).lower(), m.group(2)
+        view = "tf_" + re.sub(r"[^A-Za-z0-9]", "_", f"{fn}_{path}")
+        scans[fn](path, spark=spark).to_spark().createOrReplaceTempView(view)
+        return view
+
+    return _TABLE_FN.sub(repl, query)
 
 
 class SQLContext:
@@ -51,7 +83,7 @@ class SQLContext:
         return sorted(self._tables)
 
     def execute(self, query: str, *, eager: bool = False) -> LazyFrame:
-        return LazyFrame(self._spark.sql(query))
+        return LazyFrame(self._spark.sql(_rewrite_table_functions(self._spark, query)))
 
 
 def sql(query: str, *, eager: bool = False) -> LazyFrame:
@@ -61,4 +93,4 @@ def sql(query: str, *, eager: bool = False) -> LazyFrame:
         from polars_spark.session import get_spark
 
         spark = get_spark()
-    return LazyFrame(spark.sql(query))
+    return LazyFrame(spark.sql(_rewrite_table_functions(spark, query)))
