@@ -38,6 +38,7 @@ __all__ = [
     "stream_interval_join",
     "sink_stream_memory",
     "sink_stream_parquet",
+    "sink_stream_upsert",
 ]
 
 
@@ -317,3 +318,41 @@ def stateful_topk(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def sink_stream_upsert(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    key: str,
+    available_now: bool = True,
+):
+    """Idempotent insert-if-absent parquet ingest via foreachBatch.
+
+    Each micro-batch is deduplicated on ``key``, anti-joined against the
+    keys already on disk, and appended.  foreachBatch gives at-least-once
+    batch delivery; the anti-join makes the append idempotent per key, so
+    the sink is effectively exactly-once per key even across retries or
+    replayed batches — the standard lakehouse ingest-dedup pattern when no
+    transactional table format is available.
+
+    Scale note: the existing-keys side is a key-column-only scan of the
+    target (column pruning keeps it narrow); for very large targets swap
+    in a bucketed key table or Delta MERGE when the connector is present.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([key])
+        try:
+            existing = spark.read.parquet(path).select(key).distinct()
+            batch = batch.join(existing, key, "left_anti")
+        except Exception:
+            pass  # first batch: target does not exist yet
+        batch.write.mode("append").parquet(path)
+
+    w = stream.writeStream.foreachBatch(upsert).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -293,3 +293,30 @@ def test_stateful_topk_transform_with_state(spark, pl, tmp_path):
     }
     assert by_user[1] == [9.0, 7.0, 5.0]
     assert by_user[2] == [4.0, 3.0]
+
+
+def test_sink_stream_upsert_idempotent(spark, pl, tmp_path):
+    """foreachBatch ingest-dedup: re-delivered keys never duplicate on disk."""
+    from polars_spark.streaming import scan_stream_parquet, sink_stream_upsert
+
+    src = str(tmp_path / "ups_src")
+    out = str(tmp_path / "ups_out")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    pd1 = pd.DataFrame({"k": [1, 1, 2], "v": ["a", "a2", "b"]})
+    pl.from_pandas(pd1).sink_parquet(src)
+    stream = scan_stream_parquet(src, schema="k long, v string", spark=spark)
+    q = sink_stream_upsert(stream, out, ck1, key="k")
+    q.awaitTermination(120)
+
+    # second run, fresh checkpoint (simulates a replay): overlapping keys
+    # 1/2 must not duplicate, new key 3 lands
+    src2 = str(tmp_path / "ups_src2")
+    pd2 = pd.DataFrame({"k": [2, 3], "v": ["b-again", "c"]})
+    pl.from_pandas(pd2).sink_parquet(src2)
+    stream2 = scan_stream_parquet(src2, schema="k long, v string", spark=spark)
+    q2 = sink_stream_upsert(stream2, out, ck2, key="k")
+    q2.awaitTermination(120)
+
+    final = spark.read.parquet(out).toPandas()
+    assert sorted(final["k"].tolist()) == [1, 2, 3]
