@@ -203,9 +203,20 @@ class LazyFrame:
         with translate_errors():
             ctx = self._ctx()
             cols = self._resolve_exprs(exprs, named, ctx=ctx)
+            # multi-output exprs (struct.unnest): expand the struct into its
+            # fields AFTER the projection — "name.*" is Spark-native
+            unnest = {
+                e._name
+                for e in _flatten(exprs)
+                if getattr(e, "_unnest", False) and hasattr(e, "_name")
+            }
             # keep the hidden order column alive if an order is defined
             keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
             df = self._with_scalar_preps(ctx).select(*cols, *keep)
+            if unnest:
+                df = df.select(
+                    *[f"`{c}`.*" if c in unnest else f"`{c}`" for c in df.columns]
+                )
         # order survives only through columns that are still present
         order = [o for o in self._order if o[0] in set(df.columns)]
         return LazyFrame(df, order)

@@ -1261,6 +1261,15 @@ class StructNamespace(_NS):
     def field(self, name: str) -> Expr:
         return self._map(lambda c: c.getField(name), name=name)
 
+    def unnest(self) -> Expr:
+        """Expand the struct's fields into top-level columns (polars
+        Expr.struct.unnest — a multi-output expression).  Select-context
+        only: LazyFrame.select sees the marker and emits Spark's native
+        ``name.*`` field expansion."""
+        e = self._map(lambda c: c)
+        e._unnest = True
+        return e
+
     def __getitem__(self, name: str) -> Expr:
         return self.field(name)
 

@@ -530,3 +530,13 @@ def test_str_explode_and_list_agg(pl, lf):
     assert list(out["ch"][0]) == ["h", "i", "y", "o"]
     ev = f.select(pl.col("l").list.agg(pl.element() * 10).alias("e")).collect()
     assert [list(v) for v in ev["e"]] == [[10.0, 20.0], [30.0]]
+
+
+def test_struct_unnest_expr(pl, lf):
+    f = lf(a=[1, 2]).select(
+        "a",
+        pl.struct(pl.col("a").alias("x"), (pl.col("a") * 10).alias("y")).alias("s"),
+    )
+    out = f.select("a", pl.col("s").struct.unnest()).collect()
+    assert sorted(out.columns) == ["a", "x", "y"]
+    assert out.sort_values("a")["y"].tolist() == [10, 20]
