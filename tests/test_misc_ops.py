@@ -346,3 +346,20 @@ def test_headline_plans_free_of_scale_hazards(spark):
     # pushdown proof: q6's selective filter reaches the parquet scan
     plan6 = QUERIES["q6_forecast_revenue"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan6 and "PushedFilters: []" not in plan6.split("PushedFilters:")[1][:4]
+
+
+def test_sql_statements_passthrough(pl, lf, spark):
+    """polars SQLContext statement surface (context.rs: CREATE TABLE AS,
+    SHOW TABLES, EXPLAIN, DROP) — inherited via spark.sql."""
+    ctx = pl.SQLContext(frames={"t_stmt": lf(a=[1, 2, 3])})
+    # CREATE TABLE AS (temp view flavor)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW t_stmt2 AS SELECT a * 2 AS b FROM t_stmt")
+    out = ctx.execute("SELECT sum(b) AS s FROM t_stmt2").collect()
+    assert out["s"][0] == 12
+    # SHOW TABLES lists the views; EXPLAIN returns a plan row
+    shows = {r[1] for r in spark.sql("SHOW VIEWS").collect()}
+    assert {"t_stmt", "t_stmt2"} <= shows
+    plan = ctx.execute("EXPLAIN SELECT * FROM t_stmt").collect()
+    assert "Scan" in plan.iloc[0, 0] or "Relation" in plan.iloc[0, 0]
+    spark.sql("DROP VIEW t_stmt2")
+    assert "t_stmt2" not in {r[1] for r in spark.sql("SHOW VIEWS").collect()}
