@@ -674,6 +674,99 @@ def _nearest_cids(vec: Column, cents: list[list[float]], n_probe: int) -> Column
     return F.transform(ranked, lambda s: -s["nc"])
 
 
+def _spherical_kmeans(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+):
+    """Deterministic spherical k-means: init = the K lowest-id vectors,
+    assignment map-side (centroid literals), recompute = ONE partial-agg
+    shuffle of (cid, dim) cells per Lloyd round, centroids assembled at
+    the driver.  Returns (assignments df [nid, nv, cid], centroids)."""
+    import math
+
+    corpus = _spread(emb).select(
+        F.col(id_col).alias("nid"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    corpus = corpus.cache()
+    init = corpus.orderBy("nid").limit(n_clusters).select("nv").collect()
+    cents = [[_fround_py(float(x), 10) for x in r.nv] for r in init]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        assigned = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
+        rows = (
+            assigned.select("cid", F.posexplode("nv").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        acc: dict[int, list] = {}
+        for r in rows:
+            acc.setdefault(r.cid, [0.0] * dim)[r.d] = float(r.m)
+        new = {}
+        for cid, raw in acc.items():
+            nrm = math.sqrt(sum(x * x for x in raw))
+            new[cid] = [_fround_py(x / nrm, 10) for x in raw]
+        cents = [new.get(i, cents[i]) for i in range(n_clusters)]
+    lists = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
+    return lists, cents
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    then intra-cluster cosine.  A vector is dropped when a LOWER-id vector
+    in the same cluster has similarity >= threshold (the deterministic
+    keep-one rule).  Returns (vec_id, cid, kept).
+
+    Scale design: the pairwise pass never leaves a cluster — the join is
+    on cid, so candidate pairs are corpus^2 / K instead of corpus^2, and K
+    grows with the corpus (SemDeDup's own recipe).  Assignment and Lloyd
+    rounds are the shared _spherical_kmeans shape (map-side assignment,
+    one (cid, dim)-cell shuffle per round)."""
+    lists, _ = _spherical_kmeans(
+        emb, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+    )
+    a = lists.select(F.col("nid").alias("i"), F.col("nv").alias("va"), "cid")
+    b = lists.select(F.col("nid").alias("j"), F.col("nv").alias("vb"), "cid")
+    sim = _fround_col(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("j") < F.col("i"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("i").alias("nid"))
+        .distinct()
+    )
+    return (
+        lists.select(F.col("nid").alias(id_col), "cid")
+        .join(
+            dropped.select(F.col("nid").alias(id_col)).withColumn("__d", F.lit(1)),
+            id_col,
+            "left",
+        )
+        .select(id_col, "cid", F.col("__d").isNull().alias("kept"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -696,39 +789,10 @@ def ivf_topk(
     vectors; every cross-engine decision (argmax, centroid values) goes
     through fround so the DuckDB oracle replays bit-identically.
     """
-    corpus = _spread(emb).select(
-        F.col(id_col).alias("nid"),
-        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    lists, cents = _spherical_kmeans(
+        emb, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
     )
-    corpus = corpus.cache()
-    init = corpus.orderBy("nid").limit(n_clusters).select("nv").collect()
-    cents = [[_fround_py(float(x), 10) for x in r.nv] for r in init]
-    import math
-
-    dim = len(cents[0]) if cents else 0
-    for _ in range(iters):
-        assigned = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
-        # ONE partial-agg shuffle of (cid, dim) cells per round; the K x dim
-        # result (a few hundred rows) is collected directly and the centroid
-        # vectors assembled at the driver — no second groupBy stage.
-        rows = (
-            assigned.select("cid", F.posexplode("nv").alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        acc: dict[int, list] = {}
-        for r in rows:
-            acc.setdefault(r.cid, [0.0] * dim)[r.d] = float(r.m)
-        new = {}
-        for cid, raw in acc.items():
-            nrm = math.sqrt(sum(x * x for x in raw))
-            new[cid] = [_fround_py(x / nrm, 10) for x in raw]
-        cents = [new.get(i, cents[i]) for i in range(n_clusters)]
-
     from pyspark.sql import Window
-
-    lists = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
     probes = queries.select(
         F.col(id_col).alias("qid"),
         _l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),

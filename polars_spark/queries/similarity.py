@@ -146,11 +146,11 @@ def mm_extract_features(spark, sf_dir):
     return feats.select("doc_id", "features")
 
 
-def _ivf_oracle(k_clusters: int = 8, iters: int = 2, n_probe: int = 2, k: int = 5) -> str:
-    """Replay ivf_topk exactly in DuckDB: deterministic init (K lowest-id
-    vectors), Lloyd rounds as chained CTEs, every cross-engine decision
-    (argmax dots, centroid components) frounded identically to the Spark
-    side.  No literals — centroids derive from the data on both sides."""
+def _kmeans_ctes(k_clusters: int, iters: int):
+    """Shared DuckDB CTE chain replaying _spherical_kmeans: deterministic
+    init (K lowest-id vectors), Lloyd rounds, final `lists` assignment —
+    every cross-engine decision frounded identically to the Spark side.
+    Returns (ctes, argmax_window_sql)."""
     norm = "list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
     ctes = [
         f"e AS (SELECT vec_id, {norm} AS v FROM embeddings)",
@@ -185,6 +185,13 @@ def _ivf_oracle(k_clusters: int = 8, iters: int = 2, n_probe: int = 2, k: int = 
           SELECT vec_id AS nid, v AS nv, cid FROM (
             SELECT e.vec_id, e.v, c.cid, {argmax} AS rn
             FROM e CROSS JOIN cent{iters} c) WHERE rn = 1)""",
+    ]
+    return ctes, argmax
+
+
+def _ivf_oracle(k_clusters: int = 8, iters: int = 2, n_probe: int = 2, k: int = 5) -> str:
+    ctes, argmax = _kmeans_ctes(k_clusters, iters)
+    ctes += [
         f"""pr AS (
           SELECT qid, qv, cid FROM (
             SELECT e.vec_id AS qid, e.v AS qv, c.cid, {argmax} AS rn
@@ -396,3 +403,33 @@ def sim_int8_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20)
     return quantized_topk(emb, probes, k=5)
+
+
+def _semdedup_oracle(k_clusters: int = 8, iters: int = 2, threshold: float = 0.95) -> str:
+    """Replay semdedup in DuckDB on the shared k-means CTE chain: a vector
+    is dropped when a lower-id cluster-mate has frounded cosine >= t."""
+    ctes, _ = _kmeans_ctes(k_clusters, iters)
+    ctes += [
+        f"""dropped AS (
+          SELECT DISTINCT a.nid
+          FROM lists a JOIN lists b USING (cid)
+          WHERE b.nid < a.nid
+            AND floor(list_dot_product(a.nv, b.nv) * 1e6 + 0.5) / 1e6 >= {threshold})""",
+    ]
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT l.nid AS vec_id, l.cid, (d.nid IS NULL) AS kept
+    FROM lists l LEFT JOIN dropped d ON l.nid = d.nid
+    """
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-then-intra-cluster-cosine semantic dedup): the
+    pairwise pass never leaves a cluster (join on cid — corpus^2/K
+    candidates), assignment/Lloyd shuffles shared with sim_ivf_topk.
+    Oracle replays k-means + the keep-lowest-id drop rule in chained CTEs."""
+    from polars_spark.llm import semdedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.95)

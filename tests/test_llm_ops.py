@@ -657,3 +657,23 @@ def test_quality_classifier_trains_and_scores(spark, docs):
         / scored.count()
     )
     assert acc > 0.95, acc
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    import numpy as np
+
+    from polars_spark.llm import semdedup
+
+    rng = np.random.RandomState(11)
+    base = rng.rand(40, 64) - 0.5
+    rows = [(i, base[i].tolist(), 0) for i in range(40)]
+    # planted near-duplicates of vectors 0..4 (tiny perturbation)
+    for j in range(5):
+        rows.append((100 + j, (base[j] + rng.rand(64) * 1e-4).tolist(), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = semdedup(emb, threshold=0.99).toPandas().set_index("vec_id")
+    # every planted dup has a lower-id twin in its cluster -> dropped
+    assert not out.loc[[100 + j for j in range(5)], "kept"].any()
+    # the originals survive
+    assert out.loc[list(range(5)), "kept"].all()
+    assert out["kept"].sum() >= 40  # random vectors are not near-dups
