@@ -1079,3 +1079,66 @@ def filter_funnel(df: DataFrame, stages):
         "stage_idx: long, stage: string, n_in: long, n_out: long, n_dropped: long",
     )
     return df.filter(cum[-1]), funnel
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    *,
+    anchor: str = "d1",
+    positive: str = "d2",
+    id_col: str = "doc_id",
+    k_neg: int = 2,
+    pool_fraction: float = 1.0,
+    seed: int = 13,
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training.
+
+    Positives come from a near-dup pair frame (minhash/embedding dedup
+    output); negatives are drawn per pair from a deterministically thinned
+    corpus pool, ranked by md5(anchor:candidate:seed) — fully reproducible
+    on any engine, no RNG state (same rationale as deterministic_sample).
+
+    Scale design: ``pool_fraction`` md5-thins the corpus BEFORE the
+    pair x pool join so the pool broadcasts (negatives need only be
+    random, not exhaustive); the ranking window partitions on the pair —
+    never a global window.  Candidates equal to the anchor or positive are
+    excluded.
+    """
+    from pyspark.sql import Window
+
+    pool = corpus.select(F.col(id_col).alias("neg"))
+    if pool_fraction < 1.0:
+        h_pool = F.conv(
+            F.substring(F.md5(F.concat(F.col("neg").cast("string"), F.lit(f":{seed}"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        pool = pool.filter(h_pool < F.lit(int(pool_fraction * 4294967296)))
+    p = pairs.select(F.col(anchor).alias("anchor"), F.col(positive).alias("positive"))
+    cand = (
+        p.crossJoin(F.broadcast(pool))
+        .filter((F.col("neg") != F.col("anchor")) & (F.col("neg") != F.col("positive")))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor").cast("string"),
+                    F.lit(":"),
+                    F.col("neg").cast("string"),
+                    F.lit(f":{seed}"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("anchor", "positive").orderBy(h.asc(), F.col("neg").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neg)
+        .select("anchor", "positive", "neg", "rn")
+    )

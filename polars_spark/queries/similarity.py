@@ -433,3 +433,46 @@ def dedup_semdedup(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return semdedup(emb, threshold=0.95)
+
+
+@query(
+    "emb_contrastive_triplets",
+    oracle="""
+    WITH pairs AS (
+      SELECT qid AS anchor, nid AS positive FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                          c.vec_id) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        CROSS JOIN embeddings c WHERE q.vec_id != c.vec_id
+      ) WHERE rk = 1),
+    pool AS (
+      SELECT vec_id AS neg FROM embeddings
+      WHERE ('0x' || substring(md5(vec_id::VARCHAR || ':13'), 1, 8))::UBIGINT::BIGINT < 1073741824),
+    cand AS (
+      SELECT anchor, positive, neg,
+             ('0x' || substring(md5(anchor::VARCHAR || ':' || neg::VARCHAR || ':13'), 1, 8))::UBIGINT::BIGINT AS h
+      FROM pairs CROSS JOIN pool WHERE neg != anchor AND neg != positive)
+    SELECT anchor, positive, neg, rn FROM (
+      SELECT anchor, positive, neg,
+             row_number() OVER (PARTITION BY anchor, positive ORDER BY h, neg) AS rn
+      FROM cand) WHERE rn <= 2
+    """,
+)
+def emb_contrastive_triplets(spark, sf_dir):
+    """Contrastive training triplets: top-1 cosine neighbor as the
+    positive, negatives md5-ranked from a 25% deterministic pool (broadcast
+    — the pair x pool join never shuffles the corpus).  Fully replayed in
+    the oracle: same md5 ordering, same pool."""
+    from polars_spark.llm import contrastive_triplets
+
+    emb, probes = _queries_subset(spark, sf_dir)
+    pairs = cosine_topk_bruteforce(emb, probes, k=1).select(
+        F.col("qid").alias("d1"), F.col("nid").alias("d2")
+    )
+    return contrastive_triplets(
+        pairs, emb, anchor="d1", positive="d2", id_col="vec_id",
+        k_neg=2, pool_fraction=0.25, seed=13,
+    )
