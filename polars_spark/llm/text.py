@@ -26,6 +26,7 @@ __all__ = [
     "pii_counts",
     "redact_pii",
     "unigram_logprob_score",
+    "bigram_logprob_score",
 ]
 
 
@@ -362,4 +363,41 @@ def chunk_documents(
                 F.lit(chunk_tokens),
             ).alias("chunk_len"),
         )
+    )
+
+
+def bigram_logprob_score(df, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Conditional-LM quality proxy: per-document mean -ln p(w_i | w_{i-1})
+    under corpus bigram frequencies (the step up from
+    unigram_logprob_score toward CCNet's KenLM scoring).
+
+    One bigram-keyed shuffle builds the LM; prefix (history) counts are
+    DERIVED from the bigram table by re-aggregating on the first word —
+    no second corpus pass.  Scoring is explode + two AQE-sized joins.
+    No smoothing needed: the vocabulary is the corpus itself.
+
+    Returns (id, n_bigrams, mean_nll)."""
+    from polars_spark.llm import word_ngrams
+
+    bgs = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("bg")
+    )
+    counts = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_count"))
+    prefix = (
+        counts.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("bg_count").alias("w1_count"))
+    )
+    scored = (
+        bgs.join(counts, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(prefix, "w1")
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("bg_count") / F.col("w1_count"))).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.avg("nll").alias("mean_nll"),
     )

@@ -608,3 +608,40 @@ def txt_filter_funnel(spark, sf_dir):
         ],
     )
     return funnel
+
+
+@query(
+    "txt_bigram_logprob",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i + 1])) AS bg
+      FROM d
+    ), vocab AS (
+      SELECT bg, count(*) AS bg_count FROM bi GROUP BY bg
+    ), prefix AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(bg_count) AS w1_count
+      FROM vocab GROUP BY 1
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           floor(avg(-ln(bg_count::DOUBLE / w1_count)) * 1000000 + 0.5) / 1000000 AS mean_nll
+    FROM bi JOIN vocab USING (bg)
+    JOIN prefix ON split_part(bg, ' ', 1) = prefix.w1
+    GROUP BY doc_id
+    """,
+)
+def txt_bigram_logprob(spark, sf_dir):
+    """Bigram conditional-LM quality proxy: mean -ln p(w_i | w_{i-1}) per
+    doc; prefix counts derived from the bigram table (no second corpus
+    pass)."""
+    from polars_spark.llm.text import bigram_logprob_score
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    out = bigram_logprob_score(docs)
+    return out.select(
+        "doc_id", "n_bigrams", fround(F.col("mean_nll"), 6).alias("mean_nll")
+    )
