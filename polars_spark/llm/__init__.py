@@ -1142,3 +1142,38 @@ def contrastive_triplets(
         .filter(F.col("rn") <= k_neg)
         .select("anchor", "positive", "neg", "rn")
     )
+
+
+def materialize_packed(
+    df: DataFrame,
+    *,
+    target_tokens: int,
+    token_col: str,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    by: str | None = None,
+    separator: str = "\n\n",
+) -> DataFrame:
+    """pack_sequences + the concat step: one output row per training
+    sequence, documents joined in deterministic order with ``separator``
+    (the EOS stand-in).  One shuffle for the running-sum window (keyed by
+    ``by``) and one for the per-bin aggregate — then each sequence row is
+    ready for tokenization.  Returns (by, bin_id, n_docs, n_tokens,
+    packed_text)."""
+    binned = pack_sequences(
+        df, target_tokens=target_tokens, token_col=token_col, order_col=order_col, by=by
+    )
+    ordered_texts = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+        ),
+        lambda s: s["t"],
+    )
+    return (
+        binned.groupBy(by, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).alias("n_tokens"),
+            F.array_join(ordered_texts, separator).alias("packed_text"),
+        )
+    )

@@ -27,6 +27,7 @@ __all__ = [
     "redact_pii",
     "unigram_logprob_score",
     "bigram_logprob_score",
+    "script_profile",
 ]
 
 
@@ -400,4 +401,46 @@ def bigram_logprob_score(df, *, id_col: str = "doc_id", text_col: str = "text"):
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.avg("nll").alias("mean_nll"),
+    )
+
+
+# Unicode-script profiling -------------------------------------------------
+# explicit codepoint ranges (not \p{Script} classes — Java and RE2 spell
+# those differently, and the gate must replay byte-identically in both)
+SCRIPT_RANGES = {
+    "latin": "A-Za-z\\u00C0-\\u024F",
+    "cyrillic": "\\u0400-\\u04FF",
+    "greek": "\\u0370-\\u03FF",
+    "arabic": "\\u0600-\\u06FF",
+    "cjk": "\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF",
+    "digit": "0-9",
+}
+
+
+def script_profile(df, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Unicode-script composition: fraction of characters in
+    each major script range, plus the dominant script.  Pure regexp column
+    algebra — a zero-shuffle projection used for routing multilingual
+    corpora (e.g. send CJK docs to a CJK tokenizer) and catching
+    mojibake/mixed-script spam."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t).cast("double"), F.lit(1.0))
+    fracs = {
+        name: F.length(F.regexp_replace(t, f"[^{rng}]", "")) / n
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(c.alias("f"), F.lit(name).alias("s"))
+                for name, c in fracs.items()
+                if name != "digit"
+            ]
+        ),
+        asc=False,
+    )
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"frac_{name}") for name, c in fracs.items()],
+        ranked[0]["s"].alias("dominant_script"),
     )

@@ -645,3 +645,94 @@ def txt_bigram_logprob(spark, sf_dir):
     return out.select(
         "doc_id", "n_bigrams", fround(F.col("mean_nll"), 6).alias("mean_nll")
     )
+
+
+@query(
+    "txt_materialize_packed",
+    # same window replay as txt_pack_sequences, plus string_agg in doc order
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ), binned AS (
+      SELECT doc_id, source, text, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok) / 2000.0) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text
+    FROM binned GROUP BY source, bin_id
+    """,
+)
+def txt_materialize_packed(spark, sf_dir):
+    """Sequence packing materialized: per-bin concatenated training
+    sequences (docs joined in deterministic doc_id order), one window
+    shuffle + one aggregate shuffle."""
+    from polars_spark.llm import materialize_packed
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    out = materialize_packed(
+        docs, target_tokens=2000, token_col="n_tok", text_col="text",
+        order_col="doc_id", by="source",
+    )
+    return out.select(
+        "source", "bin_id", "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"), "packed_text",
+    )
+
+
+def _script_oracle() -> str:
+    from polars_spark.llm.text import SCRIPT_RANGES
+
+    def rng_re2(rng: str) -> str:
+        # Spark side uses Java \uXXXX escapes; RE2 spells them \x{XXXX}
+        import re as _re
+
+        return _re.sub(r"\\u([0-9A-Fa-f]{4})", r"\\x{\1}", rng)
+
+    fr = {
+        name: (
+            f"length(regexp_replace(text, '[^{rng_re2(rng)}]', '', 'g'))::DOUBLE"
+            f" / greatest(length(text), 1)"
+        )
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    cols = ", ".join(
+        f"floor(({e}) * 1e6 + 0.5) / 1e6 AS frac_{n}" for n, e in fr.items()
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{n}' AS s, {e} AS fval FROM documents"
+        for n, e in fr.items()
+        if n != "digit"
+    )
+    return f"""
+    WITH u AS ({unions}),
+    dom AS (
+      SELECT doc_id, s AS dominant_script FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY fval DESC, s DESC) AS rn FROM u) WHERE rn = 1)
+    SELECT d.doc_id, {cols}, dom.dominant_script
+    FROM documents d JOIN dom ON d.doc_id = dom.doc_id
+    """
+
+
+@query("txt_script_profile", oracle=_script_oracle())
+def txt_script_profile(spark, sf_dir):
+    """Unicode-script composition per document (multilingual routing /
+    mojibake detection): zero-shuffle regexp projection; dominant script by
+    (fraction desc, name desc) — identical tie rule in the oracle."""
+    from polars_spark.llm.text import script_profile
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    out = script_profile(docs)
+    frac_cols = [c for c in out.columns if c.startswith("frac_")]
+    return out.select(
+        "doc_id",
+        *[fround(F.col(c), 6).alias(c) for c in frac_cols],
+        "dominant_script",
+    )

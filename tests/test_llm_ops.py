@@ -677,3 +677,20 @@ def test_semdedup_drops_planted_duplicates(spark):
     # the originals survive
     assert out.loc[list(range(5)), "kept"].all()
     assert out["kept"].sum() >= 40  # random vectors are not near-dups
+
+
+def test_script_profile_detects_scripts(spark):
+    from polars_spark.llm.text import script_profile
+
+    rows = [
+        (1, "hello world plain ascii"),
+        (2, "Привет мир как дела сегодня"),
+        (3, "你好世界 これはテスト 안녕하세요"),
+        (4, "12345 67890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["frac_latin"] > 0.7
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["dominant_script"] == "cjk"
+    assert out[4]["frac_digit"] > 0.8  # digit excluded from dominance voting
