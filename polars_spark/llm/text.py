@@ -28,6 +28,7 @@ __all__ = [
     "unigram_logprob_score",
     "bigram_logprob_score",
     "script_profile",
+    "winnow_fingerprints",
 ]
 
 
@@ -443,4 +444,59 @@ def script_profile(df, *, id_col: str = "doc_id", text_col: str = "text"):
         F.col(id_col),
         *[c.alias(f"frac_{name}") for name, c in fracs.items()],
         ranked[0]["s"].alias("dominant_script"),
+    )
+
+
+def winnow_fingerprints(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every word k-gram, then in each sliding window of
+    ``window`` consecutive hashes keep the minimum (ties -> rightmost).
+    The selected hash set is a position-robust fingerprint: any shared
+    substring of >= k+window-1 words between two documents is GUARANTEED
+    to share a fingerprint — the screening property exact span dedup
+    builds on.
+
+    Plan shape: one explode + one window pass partitioned by document
+    (shuffle keyed on the doc id, never global), then a distinct per doc.
+    Hash = first 8 hex digits of md5 (portable across engines, same
+    convention as deterministic_sample).  Returns (id, fingerprint,
+    first_pos) — one row per selected hash, first_pos = the earliest
+    window position that selected it."""
+    from pyspark.sql import Window
+
+    from polars_spark.llm import word_ngrams
+
+    M = 1 << 20  # position capacity per doc (1M k-grams)
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("bigint")
+    # (hash, rightmost-tie) packed into ONE integer key so min() implements
+    # the winnowing tie rule portably: key = (h+1)*M - pos — smaller hash
+    # wins, equal hashes prefer the LARGER pos; +1 keeps keys positive.
+    key = (h + 1) * F.lit(M) - F.col("pos")
+    hashed = grams.select(id_col, "pos", key.alias("key"))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    wp = Window.partitionBy(id_col)
+    sel = hashed.select(
+        id_col,
+        "pos",
+        F.min("key").over(w).alias("wk"),
+        F.max("pos").over(wp).alias("max_pos"),
+    ).filter(F.col("pos") <= F.col("max_pos") - (window - 1))
+    pos_rec = (F.lit(M) - F.col("wk") % F.lit(M)) % F.lit(M)
+    fp = F.floor((F.col("wk") + pos_rec) / F.lit(M)).cast("bigint") - 1
+    return (
+        sel.select(id_col, fp.alias("fingerprint"), pos_rec.alias("pos_rec"))
+        .groupBy(id_col, "fingerprint")
+        .agg(F.min("pos_rec").cast("bigint").alias("first_pos"))
     )

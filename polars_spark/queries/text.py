@@ -736,3 +736,43 @@ def txt_script_profile(spark, sf_dir):
         *[fround(F.col(c), 6).alias(c) for c in frac_cols],
         "dominant_script",
     )
+
+
+@query(
+    "txt_winnow_fingerprints",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i - 1 AS pos,
+             ((('0x' || substring(md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                 || ' ' || arr[i+3] || ' ' || arr[i+4]), 1, 8))::UBIGINT::BIGINT) + 1)
+               * 1048576 - (i - 1) AS key
+      FROM d, unnest(range(1, len(arr) - 3)) AS t(i)
+    ), wm AS (
+      SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk,
+             max(pos) OVER (PARTITION BY doc_id) AS max_pos
+      FROM g
+    ), sel AS (
+      SELECT doc_id, wk,
+             (1048576 - (wk % 1048576)) % 1048576 AS pos_rec
+      FROM wm WHERE pos <= max_pos - 3
+    )
+    SELECT doc_id,
+           (floor((wk + pos_rec) / 1048576))::BIGINT - 1 AS fingerprint,
+           min(pos_rec)::BIGINT AS first_pos
+    FROM sel GROUP BY doc_id, fingerprint
+    """,
+)
+def txt_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: md5-hashed word 5-grams, min per
+    4-window with the rightmost tie rule packed into one integer key —
+    one doc-keyed window shuffle; the oracle replays the identical key
+    arithmetic."""
+    from polars_spark.llm.text import winnow_fingerprints
+
+    docs = table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, window=4)

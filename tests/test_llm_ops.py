@@ -694,3 +694,23 @@ def test_script_profile_detects_scripts(spark):
     assert out[2]["dominant_script"] == "cyrillic"
     assert out[3]["dominant_script"] == "cjk"
     assert out[4]["frac_digit"] > 0.8  # digit excluded from dominance voting
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing screening property: two docs sharing a run of
+    >= k + window - 1 = 8 words must share at least one fingerprint."""
+    from polars_spark.llm.text import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"nine ten {shared} eleven twelve thirteen fourteen"),
+        (3, "totally different words everywhere here and there again now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, window=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "shared 8-word run must share a fingerprint"
+    assert not (fps[3] & (fps[1] | fps[2]))
