@@ -29,6 +29,7 @@ __all__ = [
     "bigram_logprob_score",
     "script_profile",
     "winnow_fingerprints",
+    "dsir_weights",
 ]
 
 
@@ -499,4 +500,55 @@ def winnow_fingerprints(
         sel.select(id_col, fp.alias("fingerprint"), pos_rec.alias("pos_rec"))
         .groupBy(id_col, "fingerprint")
         .agg(F.min("pos_rec").cast("bigint").alias("first_pos"))
+    )
+
+
+def dsir_weights(
+    df,
+    *,
+    target_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR-style importance weights (Xie et al. 2023, unigram feature
+    space): log w(doc) = sum_tokens [ ln p_target(w) - ln q_corpus(w) ],
+    with add-1 smoothing over the shared vocabulary.  Documents that look
+    like the target domain (``target_cond`` marks its rows) get high
+    weights; resampling by these weights tilts a raw crawl toward the
+    target distribution.
+
+    Plan: two token-keyed count aggregates off ONE tokenized pass (the
+    target side is a filtered re-aggregation, not a second scan), scalar
+    totals broadcast, then explode + one vocabulary join + per-doc sum.
+    Returns (id, n_tokens, log_weight)."""
+    from polars_spark.llm import tokenize
+
+    toks = df.select(
+        F.col(id_col),
+        target_cond.cast("int").alias("__is_target"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("q_count"),
+        F.sum("__is_target").alias("t_count"),
+    )
+    totals = vocab.agg(
+        F.sum("q_count").alias("q_total"),
+        F.sum("t_count").alias("t_total"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.col("t_count") + 1) / (F.col("t_total") + F.col("v_size")))
+                - F.log((F.col("q_count") + 1) / (F.col("q_total") + F.col("v_size")))
+            ).alias("lw"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("lw").alias("log_weight"),
     )

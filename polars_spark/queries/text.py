@@ -776,3 +776,39 @@ def txt_winnow_fingerprints(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=5, window=4)
+
+
+@query(
+    "txt_dsir_weights",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en')::INT AS it,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS q_count, sum(it) AS t_count
+      FROM toks GROUP BY token
+    ), totals AS (
+      SELECT sum(q_count) AS q_total, sum(t_count) AS t_total, count(*) AS v_size
+      FROM vocab
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(sum(ln((t_count + 1)::DOUBLE / (t_total + v_size))
+                   - ln((q_count + 1)::DOUBLE / (q_total + v_size))) * 10000 + 0.5)
+             / 10000 AS log_weight
+    FROM toks JOIN vocab USING (token), totals
+    GROUP BY doc_id
+    """,
+)
+def txt_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the lang='en' slice: unigram
+    log-likelihood ratio with add-1 smoothing; fround(4) absorbs
+    summation-order float noise."""
+    from polars_spark.llm.text import dsir_weights
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    out = dsir_weights(docs, target_cond=F.col("lang") == "en")
+    return out.select(
+        "doc_id", "n_tokens", fround(F.col("log_weight"), 4).alias("log_weight")
+    )
