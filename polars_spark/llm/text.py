@@ -30,6 +30,7 @@ __all__ = [
     "script_profile",
     "winnow_fingerprints",
     "dsir_weights",
+    "remove_boilerplate_lines",
 ]
 
 
@@ -551,4 +552,55 @@ def dsir_weights(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum("lw").alias("log_weight"),
+    )
+
+
+def remove_boilerplate_lines(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    max_line_df: int = 5,
+    min_line_chars: int = 1,
+):
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    pass): a line that repeats across more than ``max_line_df`` documents
+    (optionally within a ``group_col`` such as the domain — nav bars and
+    cookie banners repeat per site) is stripped from every document.
+
+    Plan: explode lines with position -> line-frequency aggregate (one
+    shuffle keyed by the md5 of the normalized line) -> join back ->
+    re-assemble surviving lines in original order.  Unlike the per-doc
+    rules in c4_clean this is a CORPUS statistic — the signal no
+    single-document filter can compute.
+
+    Returns (id, cleaned_text, n_lines_total, n_lines_kept)."""
+    keys = [group_col] if group_col else []
+    lines = df.select(
+        F.col(id_col),
+        *keys,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln_pos", "line"),
+    ).withColumn("line_key", F.md5(F.trim(F.lower(F.col("line")))))
+    freq = (
+        lines.filter(F.length(F.trim(F.col("line"))) >= min_line_chars)
+        .groupBy(*keys, "line_key")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+    )
+    joined = lines.join(freq, [*keys, "line_key"], "left")
+    kept = joined.withColumn(
+        "keep", F.coalesce(F.col("line_df"), F.lit(0)) <= max_line_df
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep"), F.struct(F.col("ln_pos").alias("p"), F.col("line").alias("l")))
+            )
+        ),
+        lambda s: s["l"],
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, "\n").alias("cleaned_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_total"),
+        F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_lines_kept"),
     )

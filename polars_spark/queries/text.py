@@ -812,3 +812,54 @@ def txt_dsir_weights(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", fround(F.col("log_weight"), 4).alias("log_weight")
     )
+
+
+@query(
+    "txt_boilerplate_lines",
+    oracle=r"""
+    WITH d0 AS (
+      SELECT doc_id, source,
+             text || (CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'Copyright ' || source ELSE '' END)
+                  || chr(10) || 'All rights reserved' AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source, regexp_split_to_array(text, chr(10)) AS ls FROM d0
+    ), lines AS (
+      SELECT doc_id, source, i - 1 AS ln_pos, ls[i] AS line,
+             md5(trim(lower(ls[i]))) AS lk
+      FROM d, unnest(range(1, len(ls) + 1)) AS t(i)
+    ), freq AS (
+      SELECT source, lk, count(DISTINCT doc_id) AS ldf
+      FROM lines WHERE length(trim(line)) >= 1 GROUP BY source, lk
+    ), j AS (
+      SELECT l.doc_id, l.ln_pos, l.line,
+             coalesce(f.ldf, 0) <= 5 AS keep
+      FROM lines l LEFT JOIN freq f ON l.source = f.source AND l.lk = f.lk
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY ln_pos) FILTER (keep), '') AS cleaned_text,
+           count(*)::BIGINT AS n_lines_total,
+           sum(keep::INT)::BIGINT AS n_lines_kept
+    FROM j GROUP BY doc_id
+    """,
+)
+def txt_boilerplate_lines(spark, sf_dir):
+    """Corpus-level boilerplate line removal (CCNet/RefinedWeb pass): a
+    line repeating across >5 docs of the same source is stripped from all
+    of them — per-source copyright footers vanish, unique content stays.
+    One line-keyed shuffle + positional reassembly."""
+    from polars_spark.llm.text import remove_boilerplate_lines
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("\nCopyright "), F.col("source"))).otherwise(F.lit("")),
+            F.lit("\nAll rights reserved"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(
+        docs, group_col="source", max_line_df=5
+    )
