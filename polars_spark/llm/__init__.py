@@ -1177,3 +1177,47 @@ def materialize_packed(
             F.array_join(ordered_texts, separator).alias("packed_text"),
         )
     )
+
+
+def mix_to_budget(
+    df: DataFrame,
+    *,
+    token_col: str,
+    by: str,
+    weights: dict,
+    total_tokens: int,
+    key_col: str,
+    seed: int = 0,
+):
+    """Data mixing to a token budget: compute per-source keep-fractions so
+    the sampled corpus hits ``total_tokens`` with mixture ``weights``
+    (normalized), then apply the deterministic md5 Bernoulli sample.
+
+    fraction[s] = min(1, weight[s] * total_tokens / available_tokens[s])
+    — no upsampling (a source short of its quota contributes all it has).
+    One tiny aggregate collects per-source token totals (K rows at the
+    driver); the sample itself is a map-side filter.  Returns
+    (sampled_df, plan_df) where plan_df records target/available/fraction
+    per source."""
+    wsum = float(sum(weights.values()))
+    wnorm = {k: float(v) / wsum for k, v in weights.items()}
+    avail = {
+        r[by]: int(r["avail"])
+        for r in df.groupBy(by).agg(F.sum(token_col).alias("avail")).collect()
+    }
+    plan_rows = []
+    fractions = {}
+    for s, w in wnorm.items():
+        a = avail.get(s, 0)
+        target = w * total_tokens
+        frac = 1.0 if a == 0 else min(1.0, target / a)
+        fractions[s] = frac
+        plan_rows.append((s, float(w), a, int(target), float(frac)))
+    spark = df.sparkSession
+    plan = spark.createDataFrame(
+        plan_rows, f"{by}: string, weight: double, avail_tokens: long, target_tokens: long, fraction: double"
+    )
+    sampled = deterministic_sample(
+        df, key_col=key_col, by=by, fractions=fractions, seed=seed
+    )
+    return sampled, plan

@@ -863,3 +863,46 @@ def txt_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(
         docs, group_col="source", max_line_df=5
     )
+
+
+@query(
+    "txt_mix_to_budget",
+    # fractions derive from corpus token sums; the oracle recomputes the
+    # SAME double arithmetic (w*budget/avail, trunc to the md5 threshold)
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ), avail AS (
+      SELECT source, sum(n_tok)::BIGINT AS a FROM t GROUP BY source
+    ), frac AS (
+      SELECT source,
+             least(1.0, (CASE source
+                           WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.4
+                           WHEN 'src2' THEN 0.05 WHEN 'src3' THEN 0.05
+                           WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+                           ELSE 0.0 END * 30000) / a) AS f
+      FROM avail
+    )
+    SELECT t.doc_id, t.source, t.n_tok::BIGINT AS n_tok
+    FROM t JOIN frac USING (source)
+    WHERE ('0x' || substring(md5(t.doc_id::VARCHAR || ':5'), 1, 8))::UBIGINT::BIGINT
+          < CAST(trunc(f * 4294967296) AS BIGINT)
+    """,
+)
+def txt_mix_to_budget(spark, sf_dir):
+    """Token-budget mixture sampling: 40/40/5x4 weights over sources to a
+    30k-token budget; per-source fractions from one tiny aggregate, then
+    the deterministic md5 Bernoulli filter (map-side)."""
+    from polars_spark.llm import mix_to_budget
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    weights = {"src0": 0.4, "src1": 0.4, "src2": 0.05, "src3": 0.05, "src4": 0.05, "src5": 0.05}
+    sampled, _ = mix_to_budget(
+        docs, token_col="n_tok", by="source", weights=weights,
+        total_tokens=30000, key_col="doc_id", seed=5,
+    )
+    return sampled.select("doc_id", "source", F.col("n_tok").cast("bigint").alias("n_tok"))
