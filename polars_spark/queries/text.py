@@ -906,3 +906,46 @@ def txt_mix_to_budget(spark, sf_dir):
         total_tokens=30000, key_col="doc_id", seed=5,
     )
     return sampled.select("doc_id", "source", F.col("n_tok").cast("bigint").alias("n_tok"))
+
+
+@query(
+    "txt_perplexity_buckets",
+    # CCNet's head/middle/tail split: tertile breakpoints of the unigram
+    # mean-NLL (exact linear-interp percentiles, broadcast scalar agg),
+    # bucket counts are robust to 1-ulp interpolation differences
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS tok_count FROM toks GROUP BY token
+    ), total AS (SELECT sum(tok_count) AS tok_total FROM vocab),
+    nll AS (
+      SELECT doc_id, avg(-ln(tok_count::DOUBLE / tok_total)) AS mean_nll
+      FROM toks JOIN vocab USING (token), total GROUP BY doc_id
+    ), b AS (
+      SELECT quantile_cont(mean_nll, 1.0/3) AS b1,
+             quantile_cont(mean_nll, 2.0/3) AS b2
+      FROM nll
+    )
+    SELECT CASE WHEN mean_nll <= b1 THEN 'head'
+                WHEN mean_nll <= b2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs
+    FROM nll, b GROUP BY 1
+    """,
+)
+def txt_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing: head/middle/tail tertiles of the
+    corpus-LM mean NLL (low NLL = boilerplate-like 'head').  The qcut
+    breakpoints are a broadcast scalar aggregate — never a global window."""
+    import polars_spark as pl
+    from polars_spark.llm.text import unigram_logprob_score
+    from polars_spark.plans.frame import LazyFrame
+
+    docs = table(spark, sf_dir, "documents")
+    nll = LazyFrame(unigram_logprob_score(docs))
+    labeled = nll.with_columns(
+        bucket=pl.col("mean_nll").qcut([1.0 / 3, 2.0 / 3], labels=["head", "middle", "tail"])
+    )
+    return labeled.group_by("bucket").agg(pl.len().alias("n_docs")).to_spark()
