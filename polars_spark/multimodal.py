@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "attach_fake_image_bytes",
+    "image_ahash",
+    "image_ahash_pairs",
     "decode_image",
     "extract_features",
     "sample_frames",
@@ -201,3 +203,62 @@ def extract_audio_features(df: DataFrame, binary_col: str = "audio", *, window: 
             yield pd.DataFrame(out_rows, columns=[*other, "win", "n_samples", "rms"])
 
     return df.mapInPandas(gen, schema)
+
+
+def image_ahash(df: DataFrame, binary_col: str = "image", *, id_cols=None) -> DataFrame:
+    """Perceptual average-hash (aHash): resize to 8x8 (FAKE decode, real
+    nearest-neighbor — see resize_images), threshold each pixel against
+    the image mean, pack the 64 bits into four 16-bit band integers.
+
+    Everything after the resize is pure column algebra (exact integer /
+    one double mean), so the hash replays in any engine and the bands
+    drop straight into a pigeonhole near-dup join (hamming <= 3 across 64
+    bits guarantees at least one of 4 bands matches)."""
+    out_side = 8
+    resized = resize_images(df, binary_col, out_side=out_side)
+    px = F.col("pixels")
+    n = out_side * out_side
+    mean = F.aggregate(px, F.lit(0.0), lambda a, v: a + v) / F.lit(float(n))
+    bands = []
+    for k in range(4):
+        b = F.lit(0)
+        for j in range(16):
+            b = b + (F.get(px, k * 16 + j) > mean).cast("int") * F.lit(1 << j)
+        bands.append(b.alias(f"b{k}"))
+    keep = [c for c in resized.columns if c not in ("pixels", "side")]
+    return resized.select(*keep, *bands)
+
+
+def image_ahash_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "image",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: pigeonhole band join
+    (hamming <= 3 over 4 bands -> some band equal) then exact hamming
+    verification via XOR popcounts.  The band joins shuffle only
+    (id, band) pairs — never pixels; the classic bucketed shape, same as
+    simhash_near_pairs for text."""
+    hashed = image_ahash(df, binary_col).select(F.col(id_col).alias("doc"), "b0", "b1", "b2", "b3")
+    hashed = hashed.cache()
+    cands = None
+    for k in range(4):
+        a = hashed.select(F.col("doc").alias("d1"), F.col(f"b{k}").alias("bk"))
+        b = hashed.select(F.col("doc").alias("d2"), F.col(f"b{k}").alias("bk"))
+        c = a.join(b, "bk").filter(F.col("d1") < F.col("d2")).select("d1", "d2")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["d1", "d2"])
+    h1 = hashed.select(F.col("doc").alias("d1"), *[F.col(f"b{k}").alias(f"x{k}") for k in range(4)])
+    h2 = hashed.select(F.col("doc").alias("d2"), *[F.col(f"b{k}").alias(f"y{k}") for k in range(4)])
+    joined = cands.join(h1, "d1").join(h2, "d2")
+    ham = None
+    for k in range(4):
+        t = F.bit_count(F.col(f"x{k}").bitwiseXOR(F.col(f"y{k}")))
+        ham = t if ham is None else ham + t
+    return (
+        joined.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -476,3 +476,44 @@ def emb_contrastive_triplets(spark, sf_dir):
         pairs, emb, anchor="d1", positive="d2", id_col="vec_id",
         k_neg=2, pool_fraction=0.25, seed=13,
     )
+
+
+@query(
+    "mm_image_ahash_pairs",
+    # FAKE square-grayscale decode (as mm_resize) -> real 8x8 nearest
+    # resize -> mean-threshold 64-bit aHash packed as 4x16-bit bands ->
+    # pigeonhole band join -> exact hamming via XOR popcounts.  Integer
+    # -exact except the mean (sum/64 — exact: power-of-two divide).
+    oracle="""
+    WITH d AS (SELECT doc_id, text, CAST(floor(sqrt(length(text))) AS INT) AS side FROM documents),
+    px AS (
+      SELECT d.doc_id, rc.r * 8 + rc.c AS i,
+             ord(substr(d.text, ((rc.r * side) // 8) * side + ((rc.c * side) // 8) + 1, 1)) AS p
+      FROM d CROSS JOIN (SELECT r.r, c.c FROM (SELECT unnest(generate_series(0,7)) AS r) r,
+                         (SELECT unnest(generate_series(0,7)) AS c) c) rc
+    ), m AS (SELECT doc_id, avg(p::DOUBLE) AS mean FROM px GROUP BY doc_id),
+    bits AS (SELECT px.doc_id, i, (p > mean)::INT AS bit FROM px JOIN m USING (doc_id)),
+    bands AS (SELECT doc_id,
+      sum(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END)::INT AS b0,
+      sum(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END)::INT AS b1,
+      sum(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END)::INT AS b2,
+      sum(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END)::INT AS b3
+      FROM bits GROUP BY doc_id)
+    SELECT d1, d2, hamming FROM (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             (bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1))
+            + bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)))::INT AS hamming
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+      WHERE a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3
+    ) WHERE hamming <= 3
+    """,
+)
+def mm_image_ahash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual average-hash: pigeonhole
+    band join (only (id, band) shuffles — pixels never leave the hash
+    stage) + exact XOR-popcount verification."""
+    from polars_spark.multimodal import attach_fake_image_bytes, image_ahash_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_fake_image_bytes(docs, "text")
+    return image_ahash_pairs(media, "doc_id", "image", max_hamming=3)

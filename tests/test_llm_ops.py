@@ -714,3 +714,19 @@ def test_winnowing_guarantee_shared_substring(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fps[1] & fps[2], "shared 8-word run must share a fingerprint"
     assert not (fps[3] & (fps[1] | fps[2]))
+
+
+def test_image_ahash_pairs_planted(spark):
+    """Two byte-identical payloads must collide at hamming 0; a payload
+    with a few flipped bytes stays within the hamming budget."""
+    from polars_spark.multimodal import image_ahash_pairs
+
+    base = bytes(range(256)) * 4  # 1024 bytes -> side 32
+    near = bytearray(base)
+    near[10] = 255  # one pixel nudge
+    rows = [(1, bytes(base)), (2, bytes(base)), (3, bytes(near)),
+            (4, bytes(reversed(base)))]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    got = {(r.d1, r.d2): r.hamming for r in image_ahash_pairs(df, "doc_id", max_hamming=3).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
