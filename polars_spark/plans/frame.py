@@ -1600,10 +1600,18 @@ class LazyFrame:
         maintain_order: bool = False,
     ) -> None:
         """Distributed parquet sink; ``partition_by`` maps to hive-style
-        ``write.partitionBy`` (polars PartitionStrategy::Keyed)."""
+        ``write.partitionBy`` (polars PartitionStrategy::Keyed).  ``path``
+        may be a pl.PartitionBy config (keyed and/or max_rows_per_file
+        splitting)."""
         w = self.to_spark().write.mode("overwrite").option("compression", compression)
-        if partition_by:
-            pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        pb = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+        if type(path).__name__ == "PartitionBy":
+            cfg = path
+            path = cfg.base_path
+            pb = pb or cfg.key
+            if cfg.max_rows_per_file:
+                w = w.option("maxRecordsPerFile", int(cfg.max_rows_per_file))
+        if pb:
             w = w.partitionBy(*pb)
         w.parquet(path)
 

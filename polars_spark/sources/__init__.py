@@ -976,3 +976,34 @@ class _DeferredFrame:
 
 def defer(function, *, schema=None, validate_schema: bool = True) -> _DeferredFrame:
     return _DeferredFrame(function, schema=schema, validate_schema=validate_schema)
+
+
+class PartitionBy:
+    """polars pl.PartitionBy (py-polars io/partition.py:31): multi-file
+    sink configuration, accepted as the ``path`` argument of sink_parquet.
+
+    Mapping: ``key`` -> hive-style write.partitionBy (Spark's layout always
+    excludes key columns from the data files — they are recovered on read,
+    so include_key affects nothing); ``max_rows_per_file`` ->
+    spark.sql.files maxRecordsPerFile (polars PartitionStrategy::FileSize,
+    dsl/options/sink.rs:281).  approximate_bytes_per_file has no direct
+    Spark knob and is accepted as advisory."""
+
+    def __init__(
+        self,
+        base_path: str,
+        *,
+        key=None,
+        include_key: bool | None = None,
+        max_rows_per_file: int | None = None,
+        approximate_bytes_per_file=None,
+        file_path_provider=None,
+    ):
+        if key is None and max_rows_per_file is None and approximate_bytes_per_file is None:
+            raise ValueError(
+                "at least one of ('key', 'max_rows_per_file', "
+                "'approximate_bytes_per_file') must be specified for PartitionBy"
+            )
+        self.base_path = str(base_path)
+        self.key = [key] if isinstance(key, str) else (list(key) if key else [])
+        self.max_rows_per_file = max_rows_per_file

@@ -275,3 +275,22 @@ def test_scan_ipc_distributed_multishard(pl, tmp_path):
     assert sdf.rdd.getNumPartitions() == 4  # one per shard
     pdf = lf.collect()
     assert sorted(pdf["a"].tolist()) == list(range(20))
+
+
+def test_partition_by_config_sink(pl, lf, tmp_path):
+    import os
+
+    f = lf(year=[2026, 2026, 1970, 1970, 1970], v=[1, 2, 3, 4, 5])
+    base = str(tmp_path / "pbk")
+    f.sink_parquet(pl.PartitionBy(base, key="year"))
+    assert sorted(d for d in os.listdir(base) if d.startswith("year=")) == [
+        "year=1970", "year=2026",
+    ]
+    back = pl.scan_parquet(base).collect()
+    assert sorted(back["v"].tolist()) == [1, 2, 3, 4, 5]
+
+    # max_rows_per_file splits files
+    base2 = str(tmp_path / "pmx")
+    f.sink_parquet(pl.PartitionBy(base2, max_rows_per_file=2))
+    n_files = sum(1 for n in os.listdir(base2) if n.endswith(".parquet"))
+    assert n_files >= 2
