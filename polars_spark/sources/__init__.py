@@ -1007,3 +1007,46 @@ class PartitionBy:
         self.base_path = str(base_path)
         self.key = [key] if isinstance(key, str) else (list(key) if key else [])
         self.max_rows_per_file = max_rows_per_file
+
+
+class Catalog:
+    """polars pl.Catalog (Unity-Catalog client in the reference) backed by
+    the SPARK catalog: the same list/load surface over whatever metastore
+    the session is connected to (in-session temp views + the managed
+    warehouse locally; Hive/Glue/Unity on a real cluster — Spark's catalog
+    API is the abstraction layer the reference client talks to anyway)."""
+
+    def __init__(self, workspace_url: str | None = None, *, spark: SparkSession | None = None):
+        self._spark = spark or _spark()
+        self.workspace_url = workspace_url
+
+    def list_namespaces(self) -> list[str]:
+        return [d.name for d in self._spark.catalog.listDatabases()]
+
+    # reference alias
+    list_schemas = list_namespaces
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        dbs = [namespace] if namespace else [None]
+        out = []
+        for db in dbs:
+            out += [t.name for t in self._spark.catalog.listTables(db)]
+        return out
+
+    def load_table(self, name: str) -> LazyFrame:
+        return LazyFrame(self._spark.table(name))
+
+    # polars scan_table equivalent
+    scan_table = load_table
+
+    def create_namespace(self, name: str) -> None:
+        self._spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+
+    def drop_namespace(self, name: str) -> None:
+        self._spark.sql(f"DROP DATABASE IF EXISTS `{name}`")
+
+    def write_table(self, frame: LazyFrame, name: str, *, mode: str = "error") -> None:
+        frame.to_spark().write.mode(mode).saveAsTable(name)
+
+    def drop_table(self, name: str) -> None:
+        self._spark.sql(f"DROP TABLE IF EXISTS `{name}`")

@@ -294,3 +294,15 @@ def test_partition_by_config_sink(pl, lf, tmp_path):
     f.sink_parquet(pl.PartitionBy(base2, max_rows_per_file=2))
     n_files = sum(1 for n in os.listdir(base2) if n.endswith(".parquet"))
     assert n_files >= 2
+
+
+def test_catalog_over_spark_catalog(pl, lf, spark):
+    cat = pl.Catalog()
+    assert "default" in cat.list_namespaces()
+    f = lf(a=[1, 2, 3])
+    cat.write_table(f, "cat_t1", mode="overwrite")
+    assert "cat_t1" in cat.list_tables()
+    back = cat.load_table("cat_t1").collect()
+    assert sorted(back["a"].tolist()) == [1, 2, 3]
+    cat.drop_table("cat_t1")
+    assert "cat_t1" not in cat.list_tables()
