@@ -1341,6 +1341,59 @@ class LazyFrame:
     def iter_slices(self, n_rows: int = 10000):
         yield from self.collect_batches(batch_size=n_rows)
 
+    def row(self, index: int | None = None, *, by_predicate=None, named: bool = False):
+        """polars DataFrame.row: a single row as a tuple (or dict).  With
+        ``by_predicate`` the filter runs distributed and exactly one match
+        is required, like the reference."""
+        if by_predicate is not None:
+            pdf = self.filter(by_predicate).collect()
+            if len(pdf) != 1:
+                msg = f"predicate matched {len(pdf)} rows (expected exactly 1)"
+                raise ValueError(msg)
+            rec = pdf.iloc[0]
+        else:
+            if index is None:
+                raise ValueError("row() needs an index or by_predicate")
+            pdf = self.slice(index, 1).collect()
+            if len(pdf) == 0:
+                raise IndexError(index)
+            rec = pdf.iloc[0]
+        return dict(rec) if named else tuple(rec)
+
+    def to_torch(self, return_type: str = "tensor"):
+        """polars DataFrame.to_torch — collected result as torch tensor(s);
+        raises with the fix when torch is absent (not in this image)."""
+        try:
+            import torch
+        except ImportError as exc:  # pragma: no cover - env
+            raise NotImplementedError("to_torch needs the 'torch' package") from exc
+        pdf = self.collect()
+        if return_type == "dict":
+            return {c: torch.as_tensor(pdf[c].to_numpy()) for c in pdf.columns}
+        import numpy as np
+
+        return torch.as_tensor(np.asarray(pdf.to_numpy(), dtype="float64"))
+
+    def to_jax(self, return_type: str = "array"):
+        """polars DataFrame.to_jax (jax absent from this image)."""
+        try:
+            import jax.numpy as jnp
+        except ImportError as exc:  # pragma: no cover - env
+            raise NotImplementedError("to_jax needs the 'jax' package") from exc
+        pdf = self.collect()
+        if return_type == "dict":
+            return {c: jnp.asarray(pdf[c].to_numpy()) for c in pdf.columns}
+        return jnp.asarray(pdf.to_numpy())
+
+    def to_init_repr(self, n: int = 1000) -> str:
+        """polars DataFrame.to_init_repr: python source that reconstructs
+        the (head of the) frame."""
+        pdf = self.limit(n).collect()
+        cols = ",\n".join(
+            f"        pl.Series({c!r}, {pdf[c].tolist()!r})" for c in pdf.columns
+        )
+        return f"pl.DataFrame(\n    [\n{cols},\n    ]\n)"
+
     def to_struct(self, name: str = ""):
         from polars_spark.plans.expr import col as _col
         from polars_spark import functions as _fn

@@ -381,3 +381,17 @@ def test_align_frames(pl):
     assert ga["id"].tolist() == [1, 2, 3] and gb["id"].tolist() == [1, 2, 3]
     assert ga["x"].tolist()[0] == 10.0 and pd.isna(ga["x"][1]) and ga["x"][2] == 30.0
     assert pd.isna(gb["y"][0]) and gb["y"].tolist()[1:] == [200.0, 300.0]
+
+
+def test_row_and_init_repr(pl, lf):
+    import pytest as _pt
+
+    f = lf(a=[10, 20, 30], s=["x", "y", "z"]).sort("a")
+    assert f.row(1) == (20, "y")
+    assert f.row(by_predicate=pl.col("s") == "z", named=True) == {"a": 30, "s": "z"}
+    with _pt.raises(ValueError):
+        f.row(by_predicate=pl.col("a") > 10)
+    rep = f.to_init_repr()
+    assert "pl.DataFrame" in rep and "[10, 20, 30]" in rep
+    with _pt.raises(NotImplementedError):
+        f.to_torch()
