@@ -1221,3 +1221,80 @@ def mix_to_budget(
         df, key_col=key_col, by=by, fractions=fractions, seed=seed
     )
     return sampled, plan
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded-LSH index of a corpus: one (doc, band_idx, band)
+    row per band, hive-partitioned parquet.  Build once per corpus
+    snapshot; every future crawl batch dedups against it WITHOUT
+    re-shingling the existing corpus (the economics of incremental
+    ingestion at 100 TB — the index is ~bands x 16 bytes/doc).  Shingle
+    sets are stored alongside for the exact-verify step."""
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.select(
+        "doc", "sh", lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows).alias("bands")
+    )
+    out = sig.select("doc", "sh", F.posexplode("bands").alias("band_idx", "band"))
+    out.write.mode(mode).parquet(path)
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_path: str,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup check: band-join a NEW batch against a stored
+    minhash index (build_minhash_index) and exact-verify candidates.
+    Returns (new_id, index_id, jaccard) pairs at or above threshold —
+    drop matched new docs to keep the corpus near-dup-free as it grows.
+
+    The existing corpus is never re-shingled or re-hashed; the join
+    shuffles only the new batch's (doc, band) pairs plus matching index
+    partitions."""
+    rows = k // bands
+    spark = new_df.sparkSession
+    idx = spark.read.parquet(index_path)
+    base = new_df.select(
+        F.col(id_col).alias("nid"), shingles(F.col(text_col), n).alias("nsh")
+    ).filter(F.size("nsh") > 0).cache()
+    banded = base.select(
+        "nid",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("nsh"), k=k), bands=bands, rows=rows)
+        ).alias("band"),
+    )
+    cand = (
+        banded.join(idx.select(F.col("doc").alias("xid"), "band"), "band")
+        .select("nid", "xid")
+        .dropDuplicates(["nid", "xid"])
+    )
+    pairs = (
+        cand.join(base, "nid")
+        .join(idx.select(F.col("doc").alias("xid"), F.col("sh").alias("xsh")).dropDuplicates(["xid"]), "xid")
+    )
+    inter = F.size(F.array_intersect("nsh", "xsh"))
+    union = F.size("nsh") + F.size("xsh") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("nid").alias("new_id"), F.col("xid").alias("index_id"), "jaccard")
+    )

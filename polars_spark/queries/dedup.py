@@ -320,3 +320,50 @@ def dedup_span_removal(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, n=5)
+
+
+@query(
+    "dedup_incremental_index",
+    # exact cross-jaccard oracle (same rationale as dedup_minhash_lsh:
+    # verification makes precision 1.0; recall is 100% at this scale with
+    # the deterministic hashes, so the exact pair set matches)
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT s1.doc_id AS new_id, s2.doc_id AS index_id, count(*) AS shared
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+      WHERE s1.doc_id % 2 = 1 AND s2.doc_id % 2 = 0
+      GROUP BY 1, 2
+    )
+    SELECT new_id, index_id,
+           round(shared::DOUBLE / (a.n + b.n - shared), 6) AS jaccard
+    FROM pairs JOIN sizes a ON a.doc_id = new_id JOIN sizes b ON b.doc_id = index_id
+    WHERE shared::DOUBLE / (a.n + b.n - shared) >= 0.8
+    """,
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental ingestion dedup: the even-id half is the EXISTING corpus
+    whose minhash index is persisted once (build_minhash_index); the odd-id
+    half is the new crawl batch, band-joined against the stored index and
+    exact-verified — the existing corpus is never re-shingled."""
+    import tempfile
+
+    from polars_spark.llm import build_minhash_index, dedup_against_index
+
+    docs = table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.gettempdir() + "/polars_spark_mh_index"
+    build_minhash_index(existing, path, id_col="doc_id", text_col="text")
+    out = dedup_against_index(new, path, id_col="doc_id", text_col="text", threshold=0.8)
+    return out.select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
