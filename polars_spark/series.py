@@ -218,3 +218,56 @@ class Series:
 
     def equals(self, other: "Series") -> bool:
         return bool(self._s.reset_index(drop=True).equals(other._s.reset_index(drop=True)))
+
+
+class _SeriesExprNS:
+    """Namespace proxy (s.str / s.dt / ...): each call routes through a
+    single-column frame and the Expr namespace of the same name."""
+
+    def __init__(self, series: "Series", ns: str):
+        self._series = series
+        self._ns = ns
+
+    def __getattr__(self, method: str):
+        def call(*args, **kwargs):
+            e = getattr(self._series._as_expr(), self._ns)
+            return self._series._run_expr(getattr(e, method)(*args, **kwargs))
+
+        return call
+
+
+def _series_getattr(self, name: str):
+    """Fallback: any Expr method or namespace works on a Series by routing
+    through a one-column frame (same trick the reference uses in reverse —
+    its Expr ops run on a Series under the hood).  Driver-local by design;
+    explicitly-defined Series methods take precedence."""
+    if name.startswith("_"):
+        raise AttributeError(name)
+    from polars_spark.plans.expr import Expr
+
+    attr = getattr(Expr, name, None)
+    if isinstance(attr, property):
+        return _SeriesExprNS(self, name)
+    if callable(attr):
+        def call(*args, **kwargs):
+            return self._run_expr(getattr(self._as_expr(), name)(*args, **kwargs))
+
+        return call
+    raise AttributeError(name)
+
+
+def _series_as_expr(self):
+    from polars_spark.plans.expr import col
+
+    return col(self.name or "column_0")
+
+
+def _series_run_expr(self, expr) -> "Series":
+    lf = self.to_frame(self.name or "column_0")
+    out = lf.select(expr.alias("__out")).collect()["__out"]
+    return Series(self.name, out.tolist())
+
+
+Series.__getattr__ = _series_getattr
+Series._as_expr = _series_as_expr
+Series._run_expr = _series_run_expr

@@ -363,3 +363,17 @@ def test_sql_statements_passthrough(pl, lf, spark):
     assert "Scan" in plan.iloc[0, 0] or "Relation" in plan.iloc[0, 0]
     spark.sql("DROP VIEW t_stmt2")
     assert "t_stmt2" not in {r[1] for r in spark.sql("SHOW VIEWS").collect()}
+
+
+def test_series_expr_fallback(pl):
+    s = pl.Series("x", ["Hello", "WORLD"])
+    assert s.str.to_lowercase().to_list() == ["hello", "world"]
+    n = pl.Series("n", [3.0, 1.0, 2.0])
+    assert n.rank().to_list() == [3.0, 1.0, 2.0]
+    assert n.clip(1.5, 2.5).to_list() == [2.5, 1.5, 2.0]
+    # explicitly-defined methods still win over the fallback
+    assert n.sum() == 6.0
+    import pytest as _pt
+
+    with _pt.raises(AttributeError):
+        s.definitely_not_a_method
