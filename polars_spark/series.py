@@ -263,9 +263,14 @@ def _series_as_expr(self):
 
 
 def _series_run_expr(self, expr) -> "Series":
-    lf = self.to_frame(self.name or "column_0")
-    out = lf.select(expr.alias("__out")).collect()["__out"]
-    return Series(self.name, out.tolist())
+    from polars_spark.plans.expr import col
+
+    # thread a row index so window/rank exprs keep the Series' element
+    # order (and get an order contract to rank against)
+    lf = self.to_frame(self.name or "column_0").with_row_index("__sidx")
+    pdf = lf.select(col("__sidx"), expr.alias("__out")).collect()
+    pdf = pdf.sort_values("__sidx")
+    return Series(self.name, pdf["__out"].tolist())
 
 
 Series.__getattr__ = _series_getattr
