@@ -225,9 +225,9 @@ def test_set_random_seed(pl, spark):
     pl.set_random_seed(12)
     c = f.sample(n=5).collect()["x"].tolist()
     assert a != c
-    with pl.using_string_cache():
-        pl.enable_string_cache()
-        pl.disable_string_cache()
+    with pl.StringCache():
+        assert pl.using_string_cache()  # bool, reference semantics
+    assert not pl.using_string_cache()
 
 
 def test_struct_field_and_with_fields(pl, lf):
