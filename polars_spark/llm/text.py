@@ -31,6 +31,7 @@ __all__ = [
     "winnow_fingerprints",
     "dsir_weights",
     "remove_boilerplate_lines",
+    "corpus_report",
 ]
 
 
@@ -604,3 +605,41 @@ def remove_boilerplate_lines(
         F.count(F.lit(1)).cast("bigint").alias("n_lines_total"),
         F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_lines_kept"),
     )
+
+
+def corpus_report(df, *, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"):
+    """Corpus datasheet in one pass + one tiny group-by: the numbers every
+    dataset card starts with — doc/token/char totals, mean/percentile
+    lengths, exact-duplicate rate, per-language shares.  Long format
+    (metric, value) so reports append across snapshots.
+
+    Two jobs total at any scale: one global aggregate (all scalar metrics,
+    including the exact-dup estimate via countDistinct of the content
+    fingerprint) and one language group-by unioned in."""
+    from polars_spark.llm import fingerprint, tokenize
+
+    t = F.col(text_col)
+    n_tok = F.size(tokenize(t)).cast("double")
+    g = df.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.sum(F.length(t)).cast("double").alias("n_chars"),
+        F.avg(n_tok).alias("mean_tokens"),
+        F.expr(f"percentile(size(split(trim({text_col}), '\\\\s+')), 0.5)").alias("median_tokens"),
+        (
+            1
+            - F.countDistinct(fingerprint(t)).cast("double")
+            / F.count("*")
+        ).alias("exact_dup_rate"),
+    )
+    metrics = g.selectExpr(
+        "stack(6, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars, "
+        "'mean_tokens', mean_tokens, 'median_tokens', median_tokens, "
+        "'exact_dup_rate', exact_dup_rate) AS (metric, value)"
+    )
+    langs = (
+        df.groupBy(lang_col)
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.concat(F.lit("n_docs_lang_"), F.col(lang_col)).alias("metric"), "value")
+    )
+    return metrics.unionByName(langs)

@@ -949,3 +949,46 @@ def txt_perplexity_buckets(spark, sf_dir):
         bucket=pl.col("mean_nll").qcut([1.0 / 3, 2.0 / 3], labels=["head", "middle", "tail"])
     )
     return labeled.group_by("bucket").agg(pl.len().alias("n_docs")).to_spark()
+
+
+@query(
+    "txt_corpus_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_ch,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), g AS (
+      SELECT count(*)::DOUBLE AS n_docs, sum(n_tok) AS n_tokens,
+             sum(n_ch) AS n_chars, avg(n_tok) AS mean_tokens,
+             quantile_cont(n_tok, 0.5) AS median_tokens,
+             1 - count(DISTINCT fp)::DOUBLE / count(*) AS exact_dup_rate
+      FROM t
+    )
+    SELECT 'n_docs' AS metric, n_docs AS value FROM g
+    UNION ALL SELECT 'n_tokens', n_tokens FROM g
+    UNION ALL SELECT 'n_chars', n_chars FROM g
+    UNION ALL SELECT 'mean_tokens', floor(mean_tokens * 1e6 + 0.5) / 1e6 FROM g
+    UNION ALL SELECT 'median_tokens', median_tokens FROM g
+    UNION ALL SELECT 'exact_dup_rate', floor(exact_dup_rate * 1e6 + 0.5) / 1e6 FROM g
+    UNION ALL SELECT 'n_docs_lang_' || lang, count(*)::DOUBLE FROM t GROUP BY lang
+    """,
+)
+def txt_corpus_report(spark, sf_dir):
+    """Dataset-card metrics in two jobs: global scalar aggregate (incl.
+    exact-dup rate via countDistinct of the content fingerprint) + one
+    language group-by, long format."""
+    from polars_spark.llm.text import corpus_report
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    out = corpus_report(docs)
+    return out.select(
+        "metric",
+        F.when(
+            F.col("metric").isin("mean_tokens", "exact_dup_rate"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6,
+        ).otherwise(F.col("value")).alias("value"),
+    )
