@@ -84,8 +84,20 @@ def scan_parquet(
     hive_partitioning: bool | None = None,
     include_file_paths: str | None = None,
     glob: bool = True,
+    n_rows: int | None = None,
+    allow_missing_columns: bool = False,
+    missing_columns: str | None = None,
     spark: SparkSession | None = None,
+    **_compat,
 ) -> LazyFrame:
+    """``allow_missing_columns`` / ``missing_columns='insert'`` turn on
+    Spark's mergeSchema scan (files with differing schemas union by name,
+    absent columns null-filled — polars UnifiedScanArgs policies,
+    dsl/plan.rs:47).  ``n_rows`` is a limit (slice pushdown: Spark's
+    CollectLimit stops the scan early).  Unknown polars kwargs (rechunk,
+    low_memory, cache, parallel, storage_options hints handled at the
+    session level, ...) are accepted and inert — Spark has no equivalent
+    memory-layout knobs to honor."""
     spark = spark or _spark()
     paths = [source] if isinstance(source, str) else list(source)
     ns_cols = _nanos_ts_cols(paths[0])
@@ -93,7 +105,12 @@ def scan_parquet(
         # only mutate session state when the data actually needs it (Spark
         # refuses TIMESTAMP(NANOS) parquet without this legacy flag)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(*paths)
+    r = spark.read
+    if allow_missing_columns or missing_columns == "insert":
+        r = r.option("mergeSchema", True)
+    df = r.parquet(*paths)
+    if n_rows is not None:
+        df = df.limit(n_rows)
     for c in ns_cols:
         # integer div keeps full int64 precision (float division would not)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -123,7 +140,9 @@ def scan_csv(
     skip_rows: int = 0,
     encoding: str = "utf8",
     row_index_name: str | None = None,
+    n_rows: int | None = None,
     spark: SparkSession | None = None,
+    **_compat,
 ) -> LazyFrame:
     """CSV scan with schema inference (polars-io/src/csv/read/schema_inference.rs:17
     -> Spark's native inferSchema pass)."""
@@ -149,7 +168,10 @@ def scan_csv(
     if skip_rows:
         r = r.option("skipRows", skip_rows)
     paths = [source] if isinstance(source, str) else list(source)
-    lf = LazyFrame(r.csv(paths))
+    df = r.csv(paths)
+    if n_rows is not None:
+        df = df.limit(n_rows)
+    lf = LazyFrame(df)
     if row_index_name:
         lf = lf.with_row_index(row_index_name)
     return lf

@@ -306,3 +306,16 @@ def test_catalog_over_spark_catalog(pl, lf, spark):
     assert sorted(back["a"].tolist()) == [1, 2, 3]
     cat.drop_table("cat_t1")
     assert "cat_t1" not in cat.list_tables()
+
+
+def test_scan_compat_kwargs_and_merge_schema(pl, lf, tmp_path):
+    # two files with different schemas: mergeSchema unions by name
+    d = str(tmp_path / "ms")
+    lf(a=[1, 2]).to_spark().write.parquet(d + "/f1")
+    lf(a=[3], b=["x"]).to_spark().write.parquet(d + "/f2")
+    out = pl.scan_parquet([d + "/f1", d + "/f2"], allow_missing_columns=True).collect()
+    assert sorted(out.columns) == ["a", "b"]
+    assert out["b"].isna().sum() == 2
+    # n_rows limit + inert polars kwargs accepted
+    top = pl.scan_parquet(d + "/f1", n_rows=1, rechunk=True, low_memory=True, cache=False)
+    assert len(top.collect()) == 1
