@@ -599,7 +599,10 @@ class LazyFrame:
         group_by=None,
         start_by: str = "window",
     ) -> "DynamicGroupBy":
-        return DynamicGroupBy(self, index_column, every, period, offset, closed, label, group_by)
+        return DynamicGroupBy(
+            self, index_column, every, period, offset, closed, label, group_by,
+            start_by=start_by,
+        )
 
     def rolling(self, index_column: str, *, period: str, group_by=None, closed: str = "right") -> "RollingGroupBy":
         return RollingGroupBy(self, index_column, period, group_by, closed)
@@ -1936,13 +1939,21 @@ class DynamicGroupBy:
     ``closed='left'`` (polars default) is exactly Spark's [start, end).
     """
 
-    def __init__(self, lf, index_column, every, period, offset, closed, label, group_by):
+    _WEEKDAYS = {"monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
+                 "friday": 4, "saturday": 5, "sunday": 6}
+
+    def __init__(self, lf, index_column, every, period, offset, closed, label, group_by,
+                 start_by: str = "window"):
         if closed not in ("left", "right", "both", "none"):
             raise ValueError(f"group_by_dynamic closed={closed!r}")
+        if start_by != "window" and start_by != "datapoint" and start_by not in self._WEEKDAYS:
+            raise ValueError(f"group_by_dynamic start_by={start_by!r}")
+        self._start_by = start_by
         self._closed = closed
         self._lf = lf
         self._index = index_column
         self._every = _duration_str(every)
+        self._every_us = _duration_us(every)
         self._period = _duration_str(period) if period else self._every
         self._offset = _duration_str(offset) if offset else None
         self._label = label
@@ -1957,10 +1968,26 @@ class DynamicGroupBy:
         # window (boundary duplication is polars' documented 'both'
         # semantics); Spark's Expand-based window projection keeps this a
         # map-side operation — no extra shuffle.
+        start = self._offset
+        if self._start_by == "datapoint":
+            # polars start_by='datapoint': window origin = the earliest data
+            # point rather than the epoch.  One tiny min() job (polars is
+            # equally eager here — origin depends on the data); the offset
+            # becomes F.window's startTime.
+            row = self._lf._df.agg(
+                F.min(F.unix_micros(F.col(self._index).cast("timestamp"))).alias("m")
+            ).collect()[0]
+            start = f"{int(row['m'] or 0) % self._every_us} microseconds"
+        elif self._start_by in self._WEEKDAYS:
+            # weekly windows starting on a given weekday: the epoch
+            # (1970-01-01) is a THURSDAY; shift startTime by the distance
+            days = (self._WEEKDAYS[self._start_by] - 3) % 7
+            start = f"{days} days"
+
         def win_of(tc):
             return (
-                F.window(tc, self._period, self._every, self._offset)
-                if self._offset
+                F.window(tc, self._period, self._every, start)
+                if start
                 else F.window(tc, self._period, self._every)
             )
 

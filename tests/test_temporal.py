@@ -245,3 +245,32 @@ def test_dynamic_closed_both_and_none(pl, lf):
     )
     # exact-start rows dropped entirely
     assert [(r[1]) for r in none] == [2, 8]
+
+
+def test_dynamic_start_by_datapoint_and_weekday(pl, lf):
+    import datetime as dt
+
+    # data starts at 00:17 — datapoint-aligned hourly windows begin there
+    ts = [dt.datetime(2024, 1, 1, 0, 17), dt.datetime(2024, 1, 1, 0, 50),
+          dt.datetime(2024, 1, 1, 1, 20)]
+    f = lf(ts=ts, v=[1, 2, 4])
+    out = rows(
+        f.group_by_dynamic("ts", every="1h", start_by="datapoint").agg(
+            pl.col("v").sum().alias("s")
+        ),
+        sort_by="ts",
+    )
+    assert out[0][0].minute == 17  # window origin = first datapoint
+    assert [r[1] for r in out] == [3, 4]
+
+    # weekly windows starting on Monday: 2024-01-01 IS a Monday
+    ts2 = [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 4), dt.datetime(2024, 1, 8)]
+    g = lf(ts=ts2, v=[1, 2, 4])
+    out2 = rows(
+        g.group_by_dynamic("ts", every="1w", start_by="monday").agg(
+            pl.col("v").sum().alias("s")
+        ),
+        sort_by="ts",
+    )
+    assert [r[0].weekday() for r in out2] == [0, 0]  # both windows start Monday
+    assert [r[1] for r in out2] == [3, 4]
