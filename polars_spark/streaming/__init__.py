@@ -36,6 +36,7 @@ __all__ = [
     "session_stream_agg",
     "dedup_within_watermark",
     "stream_interval_join",
+    "stream_enrich",
     "sink_stream_memory",
     "sink_stream_parquet",
     "sink_stream_upsert",
@@ -356,3 +357,20 @@ def sink_stream_upsert(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame | LazyFrame,
+    *,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    event as it arrives.  The static side is re-read per micro-batch (so a
+    slowly-changing dim stays current) and Spark broadcasts it when small
+    — the standard shape for decorating a 100 TB/day event feed with
+    reference data, no state store involved."""
+    d = dim.to_spark() if isinstance(dim, LazyFrame) else dim
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(d, keys, how)

@@ -320,3 +320,20 @@ def test_sink_stream_upsert_idempotent(spark, pl, tmp_path):
 
     final = spark.read.parquet(out).toPandas()
     assert sorted(final["k"].tolist()) == [1, 2, 3]
+
+
+def test_stream_enrich_static_join(spark, pl, tmp_path):
+    from polars_spark.streaming import scan_stream_parquet, stream_enrich
+
+    src = str(tmp_path / "enr_src")
+    pl.from_pandas(pd.DataFrame({"user_id": [1, 2, 3], "v": [10.0, 20.0, 30.0]})).sink_parquet(src)
+    dim = pl.DataFrame({"user_id": [1, 2], "tier": ["gold", "basic"]})
+    stream = scan_stream_parquet(src, schema="user_id long, v double", spark=spark)
+    out = stream_enrich(stream, dim, on="user_id")
+    q = (
+        out.writeStream.format("memory").queryName("enr_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enr_out ORDER BY user_id").toPandas()
+    assert got["tier"].tolist() == ["gold", "basic", None]
