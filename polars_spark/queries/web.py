@@ -213,3 +213,29 @@ def web_blocklist_stats(spark, sf_dir):
         "n_docs",
         (F.floor(F.col("share") * 1000000 + F.lit(0.5)) / 1000000).alias("share"),
     )
+
+
+@query(
+    "web_url_dedup",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_SYNTH_URL_SQL} AS u FROM documents
+    ), norm AS (
+      SELECT doc_id, {_NORM_SQL} AS url_norm FROM urls
+    )
+    SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM norm GROUP BY url_norm
+    """,
+)
+def web_url_dedup(spark, sf_dir):
+    """Exact URL-level dedup AFTER canonicalization: syntactic variants
+    (tracking params, case, ports, fragments) collapse to one canonical
+    URL; keep the lowest doc id.  One hash-groupBy shuffle on the
+    canonical form — the first stage of every crawl pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    u = _synth_url_spark()
+    return (
+        docs.select("doc_id", url_normalize(u).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )

@@ -393,3 +393,30 @@ def test_int8_quantize_error_bound(pl, spark, vec):
     ).collect()[0]
     # absmax scheme: error <= scale/2 = max|x|/254 (+ float slack)
     assert out["err"] <= out["bound"] + 1e-9
+
+
+@st.composite
+def docs_with_shared_run(draw):
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    shared = draw(st.lists(st.sampled_from(words), min_size=8, max_size=12))
+    def pad():
+        return draw(st.lists(st.sampled_from(["pad", "noise", "xx", "yy", "zz"]),
+                             min_size=0, max_size=6))
+    d1 = pad() + shared + pad()
+    d2 = pad() + shared + pad()
+    return " ".join(d1), " ".join(d2)
+
+
+@given(pair=docs_with_shared_run())
+@_settings
+def test_winnowing_guarantee_property(pl, spark, pair):
+    """Randomized screening guarantee: ANY shared run of >= k+w-1 = 8 words
+    must produce a shared fingerprint, wherever it sits in the documents."""
+    from polars_spark.llm.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, pair[0]), (2, pair[1])], "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, window=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps.get(1, set()) & fps.get(2, set())
