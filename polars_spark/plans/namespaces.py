@@ -354,10 +354,37 @@ class StringNamespace(_NS):
         if n < 0:
             return self.replace_all(pattern, value, literal=literal)
         if n != 1:
-            if not literal and "$" in value:
-                raise NotImplementedError("str.replace with n>1: group refs in value")
             rx = _rx_escape(pattern) if literal else pattern
-            return self._map(lambda c: F.array_join(F.split(c, rx, n + 1), value))
+            if literal or "$" not in value:
+                return self._map(lambda c: F.array_join(F.split(c, rx, n + 1), value))
+            # group refs with n>1: split(limit=n+1) yields the segments
+            # BETWEEN the first n matches of the ORIGINAL string (the last
+            # segment keeps any further matches untouched — exact polars
+            # left-to-right replacen semantics, replacements never
+            # rescanned), and regexp_extract_all(c, rx, k) yields group k
+            # of every match to fill each $k in the template
+            import re as _re
+
+            pieces = _re.split(r"\$(\d)", value)  # text, ref, text, ref, ...
+
+            def fn(c):
+                parts = F.split(c, rx, n + 1)
+                nseg = F.size(parts)
+                groups = {
+                    int(g): F.regexp_extract_all(c, F.lit(rx), int(g))
+                    for g in pieces[1::2]
+                }
+                out = [F.get(parts, 0)]
+                for i in range(n):
+                    repl = [
+                        F.get(groups[int(p)], i) if j % 2 else F.lit(p)
+                        for j, p in enumerate(pieces)
+                    ]
+                    seg = F.concat(*repl, F.get(parts, i + 1))
+                    out.append(F.when(F.lit(i) < nseg - 1, seg).otherwise(F.lit("")))
+                return F.concat(*out)
+
+            return self._map(fn)
         if literal:
             def fn(c):
                 pos = F.locate(pattern, c)

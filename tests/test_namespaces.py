@@ -540,3 +540,15 @@ def test_struct_unnest_expr(pl, lf):
     out = f.select("a", pl.col("s").struct.unnest()).collect()
     assert sorted(out.columns) == ["a", "x", "y"]
     assert out.sort_values("a")["y"].tolist() == [10, 20]
+
+
+def test_str_replace_n_with_group_refs(pl, lf):
+    f = lf(s=["ab12cd34ef56gh", "x9y", "none", "77"])
+    out = rows(
+        f.select(pl.col("s").str.replace(r"(\d)(\d)", "<$2$1>", n=2).alias("r")),
+        sort_by="r",
+    )
+    got = sorted(r[0] for r in out)
+    # first two matches replaced with swapped groups; the third match and
+    # non-matching strings untouched
+    assert got == sorted(["ab<21>cd<43>ef56gh", "x9y", "none", "<77>"])
