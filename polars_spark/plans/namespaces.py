@@ -633,28 +633,45 @@ class DateTimeNamespace(_NS):
         """ISO weekday Mon-Fri (polars default week_mask, no holidays)."""
         return self._map(lambda c: ((F.dayofweek(c) + 5) % 7 + 1) <= 5)
 
-    def add_business_days(self, n: int) -> Expr:
-        """Add n business days (literal n, default Mon-Fri mask): generate
-        the candidate day window, keep business days, take the nth — all
-        JVM-side array ops, no UDF."""
-        if not isinstance(n, int):
-            raise NotImplementedError("add_business_days: literal integer n only")
-        span = abs(n) * 2 + 7
+    def add_business_days(self, n) -> Expr:
+        """Add n business days (literal int OR expression, default Mon-Fri
+        mask): generate the candidate day window, keep business days, take
+        the nth — all JVM-side array ops, no UDF.  For an expression n the
+        window spans both directions (|n| is only known per row)."""
+        wd = lambda x: (F.dayofweek(x) + 5) % 7 + 1
 
-        def fn(c):
+        if isinstance(n, int):
+            span = abs(n) * 2 + 7
+
+            def fn(c):
+                d = F.to_date(c)
+                if n >= 0:
+                    days = F.sequence(d, F.date_add(d, span))
+                else:
+                    days = F.reverse(F.sequence(F.date_sub(d, span), d))
+                biz = F.filter(days, lambda x: wd(x) <= 5)
+                # element 0 is the start day when it is a business day;
+                # polars counts n days from the start (roll for
+                # non-business starts is 'raise' — here the next business
+                # day stands in)
+                return F.get(biz, abs(n))
+
+            return self._map(fn)
+
+        ne = _to_expr(n)
+
+        def fn2(ctx: "ExprContext"):
+            c = self._e._resolve(ctx)
+            nn = ne._resolve(ctx).cast("int")
             d = F.to_date(c)
-            if n >= 0:
-                days = F.sequence(d, F.date_add(d, span))
-            else:
-                days = F.reverse(F.sequence(F.date_sub(d, span), d))
-            wd = lambda x: (F.dayofweek(x) + 5) % 7 + 1
+            span = F.abs(nn) * 2 + 7
+            fwd = F.sequence(d, F.date_add(d, span))
+            bwd = F.reverse(F.sequence(F.date_sub(d, span), d))
+            days = F.when(nn >= 0, fwd).otherwise(bwd)
             biz = F.filter(days, lambda x: wd(x) <= 5)
-            # element 0 is the start day when it is a business day; polars
-            # counts n days from the start (roll behavior for non-business
-            # starts is 'raise' — here the next business day stands in)
-            return F.get(biz, abs(n))
+            return F.get(biz, F.abs(nn))
 
-        return self._map(fn)
+        return Expr(fn2, self._e._name)
 
     def replace(self, *, year=None, month=None, day=None, hour=None, minute=None, second=None, microsecond=None) -> Expr:
         """Replace date/time components (reference dt.replace)."""

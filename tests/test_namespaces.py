@@ -552,3 +552,16 @@ def test_str_replace_n_with_group_refs(pl, lf):
     # first two matches replaced with swapped groups; the third match and
     # non-matching strings untouched
     assert got == sorted(["ab<21>cd<43>ef56gh", "x9y", "none", "<77>"])
+
+
+def test_add_business_days_expr_n(pl, lf):
+    import datetime as dt
+
+    f = lf(d=[dt.date(2024, 1, 5), dt.date(2024, 1, 5), dt.date(2024, 1, 8)],
+           n=[1, -1, 3])
+    out = rows(f.select(pl.col("d").dt.add_business_days(pl.col("n")).alias("r"),
+                        pl.col("n")), sort_by="n")
+    got = {r[1]: r[0] for r in out}
+    assert got[1] == dt.date(2024, 1, 8)    # Fri +1bd -> Mon
+    assert got[-1] == dt.date(2024, 1, 4)   # Fri -1bd -> Thu
+    assert got[3] == dt.date(2024, 1, 11)   # Mon +3bd -> Thu
