@@ -1120,12 +1120,33 @@ class ListNamespace(_NS):
         seeded hash of (value, position) and the top n (or ceil(fraction *
         len)) taken — same seed, same subset, every run.  shuffle=False
         restores the original element order (polars semantics)."""
-        if with_replacement:
-            raise NotImplementedError("list.sample with_replacement")
         if (n is None) == (fraction is None):
             raise ValueError("provide exactly one of n / fraction")
         s = 0 if seed is None else int(seed)
         e = self._e
+
+        if with_replacement:
+            # deterministic draws WITH replacement: draw i picks the
+            # element at xxhash64(list, i, seed) mod len — seeded, engine
+            # -stable, and each draw independent of the others
+            def fn_wr(ctx: ExprContext) -> Column:
+                c = e._resolve(ctx)
+                sz = F.size(c)
+                cnt = (
+                    F.lit(int(n))
+                    if n is not None
+                    else F.ceil(sz * F.lit(float(fraction))).cast("int")
+                )
+                draws = F.sequence(F.lit(0), cnt - 1)
+                picked = F.transform(
+                    draws,
+                    lambda i: F.get(
+                        c, F.pmod(F.xxhash64(c, i, F.lit(s)), sz).cast("int")
+                    ),
+                )
+                return F.when(sz > 0, picked)
+
+            return Expr(fn_wr, e._name)
 
         def fn(ctx: ExprContext) -> Column:
             c = e._resolve(ctx)

@@ -565,3 +565,17 @@ def test_add_business_days_expr_n(pl, lf):
     assert got[1] == dt.date(2024, 1, 8)    # Fri +1bd -> Mon
     assert got[-1] == dt.date(2024, 1, 4)   # Fri -1bd -> Thu
     assert got[3] == dt.date(2024, 1, 11)   # Mon +3bd -> Thu
+
+
+def test_list_sample_with_replacement(pl, lf):
+    f = lf(l=[[1, 2, 3], [10], []])
+    out = rows(f.select(pl.col("l").list.sample(5, with_replacement=True, seed=7).alias("s")))
+    vals = [list(r[0]) if r[0] is not None else None for r in out]
+    by_len = sorted((v for v in vals if v is not None), key=len)
+    assert by_len[0] == [10] * 5 or by_len[1] == [10] * 5  # single-elem list repeats
+    big = [v for v in vals if v is not None and set(v) <= {1, 2, 3}][0]
+    assert len(big) == 5 and set(big) <= {1, 2, 3}
+    assert None in vals  # empty list -> null
+    # seeded: identical across runs
+    out2 = rows(f.select(pl.col("l").list.sample(5, with_replacement=True, seed=7).alias("s")))
+    assert [list(r[0]) if r[0] is not None else None for r in out2] == vals
