@@ -1344,6 +1344,55 @@ class LazyFrame:
     def iter_slices(self, n_rows: int = 10000):
         yield from self.collect_batches(batch_size=n_rows)
 
+    def profile(self):
+        """polars LazyFrame.profile(): run the query and return
+        (result, profile) where profile has one row per PHYSICAL operator
+        with its runtime metrics — here straight from Spark's executed
+        plan (AQE stages unwrapped): output rows, the operator's time
+        metric (aggTime/scanTime/pipelineTime, ms), and peak memory."""
+        import pandas as pd
+
+        result = self.collect()
+        plan = self._df._jdf.queryExecution().executedPlan()
+        rows: list = []
+
+        def walk(node, depth):
+            name = node.nodeName()
+            if name == "AdaptiveSparkPlan":
+                walk(node.executedPlan(), depth)
+                return
+            if "QueryStage" in name:
+                walk(node.plan(), depth)
+                return
+            m = node.metrics()
+            it = m.iterator()
+            mets = {}
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = kv._2().value()
+            time_ms = next(
+                (mets[k] for k in ("aggTime", "scanTime", "pipelineTime", "collectTime", "shuffleWriteTime") if k in mets),
+                None,
+            )
+            rows.append(
+                {
+                    "depth": depth,
+                    "node": name,
+                    "rows_out": mets.get("numOutputRows"),
+                    "time_ms": time_ms,
+                    "peak_memory": mets.get("peakMemory"),
+                }
+            )
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), depth + 1)
+
+        try:
+            walk(plan, 0)
+        except Exception:  # pragma: no cover - py4j surface drift
+            pass
+        return result, pd.DataFrame(rows)
+
     def row(self, index: int | None = None, *, by_predicate=None, named: bool = False):
         """polars DataFrame.row: a single row as a tuple (or dict).  With
         ``by_predicate`` the filter runs distributed and exactly one match

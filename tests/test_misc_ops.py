@@ -377,3 +377,17 @@ def test_series_expr_fallback(pl):
 
     with _pt.raises(AttributeError):
         s.definitely_not_a_method
+
+
+def test_profile_returns_operator_metrics(pl):
+    f = pl.scan_parquet("/root/testdata/sf0.001/customer.parquet").group_by(
+        "c_mktsegment"
+    ).agg(pl.len().alias("n"))
+    result, prof = f.profile()
+    assert len(result) == 5
+    nodes = prof["node"].tolist()
+    assert any("HashAggregate" in n for n in nodes)
+    assert any("Scan" in n for n in nodes)
+    # scan row counts are real execution metrics
+    scan = prof[prof["node"].str.contains("Scan")]
+    assert scan["rows_out"].iloc[0] == 150
