@@ -1352,8 +1352,15 @@ class LazyFrame:
         metric (aggTime/scanTime/pipelineTime, ms), and peak memory."""
         import pandas as pd
 
-        result = self.collect()
-        plan = self._df._jdf.queryExecution().executedPlan()
+        # execute and walk the SAME DataFrame instance — metrics live on
+        # the plan that actually ran
+        df = self._df
+        if self._order:
+            df = df.orderBy(*_order_cols(self._order))
+        if ROW_IDX in df.columns:
+            df = df.drop(ROW_IDX)
+        result = df.toPandas()
+        plan = df._jdf.queryExecution().executedPlan()
         rows: list = []
 
         def walk(node, depth):
