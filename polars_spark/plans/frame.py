@@ -1538,29 +1538,6 @@ class LazyFrame:
             out[kt if len(kt) > 1 else kt[0]] = LazyFrame(part, self._order)
         return out
 
-    def profile(self):
-        """Run the query and return (result, timings) like LazyFrame.profile.
-        Timings are phase-level (planning vs execution wall time) — Spark
-        executes operators in fused whole-stage-codegen pipelines, so polars'
-        per-node timings have no faithful equivalent."""
-        import time as _time
-
-        import pandas as pd
-
-        t0 = _time.perf_counter()
-        self._df._jdf.queryExecution().executedPlan()
-        t1 = _time.perf_counter()
-        result = self.collect()
-        t2 = _time.perf_counter()
-        timings = pd.DataFrame(
-            {
-                "node": ["optimization", "execution"],
-                "start_us": [0, int((t1 - t0) * 1e6)],
-                "end_us": [int((t1 - t0) * 1e6), int((t2 - t0) * 1e6)],
-            }
-        )
-        return result, timings
-
     def describe(self):
         """Eager per-column summary (count, null_count, mean, std, min, max,
         median) — pandas result like polars describe."""
