@@ -218,8 +218,9 @@ def test_profile(pl, lf):
     f = lf(g=["a", "b"], x=[1, 2])
     res, tm = f.group_by("g").agg(pl.col("x").sum().alias("s")).profile()
     assert sorted(res["s"].tolist()) == [1, 2]
-    assert tm["node"].tolist() == ["optimization", "execution"]
-    assert (tm["end_us"] >= tm["start_us"]).all()
+    # per-operator metrics from the executed plan: one row per physical node
+    assert {"node", "rows_out", "time_ms", "peak_memory"} <= set(tm.columns)
+    assert len(tm) >= 1
 
 
 def test_polars_exception_translation(pl, lf):
