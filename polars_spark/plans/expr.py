@@ -366,9 +366,31 @@ class Expr:
         return self._agg(lambda c: F.count(F.when(c.isNull(), 1)))
 
     # -- casts / conversions ----------------------------------------------
+    def _resolve_dtype_expr(self, dtype, ctx) -> str:
+        """Resolve a DataTypeExpr against this expression's context (owner
+        dtype for pl.self_dtype computed by an analysis-only select)."""
+        from polars_spark.plans.datatype_expr import _normalize
+        from polars_spark.plans.frame import LazyFrame
+
+        out = LazyFrame(ctx.df, ctx.order_cols).select(self.alias("__dt__"))
+        sd = {f.name: f.dataType for f in out._df.schema.fields}["__dt__"]
+        from polars_spark.plans.datatype_expr import _spark_to_polars
+
+        resolved = dtype._resolve_dtype(ctx, _spark_to_polars(sd))
+        return _dtype_to_spark(_normalize(resolved))
+
     def cast(self, dtype, strict: bool = True):
         # strict=True matches polars strict casts when ANSI mode is on;
         # strict=False -> try_cast (null on failure), polars' non-strict cast.
+        from polars_spark.plans.datatype_expr import DataTypeExpr
+
+        if isinstance(dtype, DataTypeExpr):
+            def fn_dte(ctx: ExprContext) -> Column:
+                spark_type = self._resolve_dtype_expr(dtype, ctx)
+                c = self._resolve(ctx)
+                return c.cast(spark_type) if strict else c.try_cast(spark_type)
+
+            return Expr(fn_dte, self._name, self._is_agg)
         if isinstance(dtype, Enum):
             cats = list(dtype.categories)
 
@@ -2133,22 +2155,32 @@ class Expr:
         return Expr(fn, self._name)
 
     # -- UDF surface (§2.11) -------------------------------------------------
+    def _batched_udf_expr(self, series_fn, return_dtype) -> "Expr":
+        """pandas_udf-backed Expr; return_dtype may be a DataTypeExpr
+        (pl.dtype_of / pl.self_dtype), resolved against the frame schema."""
+        from pyspark.sql.functions import pandas_udf
+
+        from polars_spark.plans.datatype_expr import DataTypeExpr
+
+        if isinstance(return_dtype, DataTypeExpr):
+            def fn(ctx: ExprContext) -> Column:
+                rt = self._resolve_dtype_expr(return_dtype, ctx)
+                return pandas_udf(series_fn, rt)(self._resolve(ctx))
+
+            return Expr(fn, self._name, self._is_agg)
+        udf = pandas_udf(series_fn, _dtype_to_spark(return_dtype))
+        return self._map(lambda c: udf(c))
+
     def map_batches(self, function, return_dtype="double"):
         """polars Expr.map_batches (AnonymousFunction): vectorized over Arrow
         batches via pandas_udf — function takes and returns a pandas Series."""
-        from pyspark.sql.functions import pandas_udf
-
-        udf = pandas_udf(function, _dtype_to_spark(return_dtype))
-        return self._map(lambda c: udf(c))
+        return self._batched_udf_expr(function, return_dtype)
 
     def map_elements(self, function, return_dtype="double"):
         """polars Expr.map_elements: scalar function applied per element —
         still shipped Arrow-batched (pandas_udf + Series.map), never
         row-at-a-time pickling."""
-        from pyspark.sql.functions import pandas_udf
-
-        udf = pandas_udf(lambda s: s.map(function), _dtype_to_spark(return_dtype))
-        return self._map(lambda c: udf(c))
+        return self._batched_udf_expr(lambda s: s.map(function), return_dtype)
 
     def repeat_by(self, n):
         return self._zip(n, lambda c, k: F.array_repeat(c, k.cast("int")))
