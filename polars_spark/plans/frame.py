@@ -1419,6 +1419,318 @@ class LazyFrame:
             rec = pdf.iloc[0]
         return dict(rec) if named else tuple(rec)
 
+    # -- eager-surface tail (reference dataframe/frame.py) -------------------
+
+    def _ordered_for_series(self) -> "LazyFrame":
+        """Frame with a guaranteed row order for Series-producing eager ops
+        (scan order via the partition-offset row index when unordered)."""
+        if self._order:
+            return self
+        return self.with_row_index("__sidx__")
+
+    def _series_collect(self, expr, name: str = ""):
+        """Evaluate one expression in frame order and wrap as a Series."""
+        from polars_spark.series import Series
+
+        f = self._ordered_for_series()
+        out = f.select(expr.alias("__v__")).collect()
+        return Series(name, out["__v__"].tolist())
+
+    def corr(self, *, label: str | None = None, **kwargs) -> _pd.DataFrame:
+        """polars DataFrame.corr (reference dataframe/frame.py corr):
+        pairwise Pearson correlation matrix of the numeric columns —
+        computed as one distributed aggregate (K^2 corr aggregates in a
+        single pass), never via a driver-side matrix."""
+        num = [
+            c
+            for c, t in self.schema.items()
+            if t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or t.startswith("decimal")
+        ]
+        aggs = [
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}\x00{b}")
+            for a in num
+            for b in num
+        ]
+        row = self._df.agg(*aggs).collect()[0].asDict()
+        data = {b: [row[f"{a}\x00{b}"] for a in num] for b in num}
+        out = _pd.DataFrame(data, columns=num)
+        if label is not None:
+            out.insert(0, label, num)
+        return out
+
+    def drop_in_place(self, name: str):
+        """Drop a column in place and return it as a (driver-local) Series."""
+        s = self._series_collect(_col(name), name)
+        self._df = self._df.drop(name)
+        return s
+
+    def extend(self, other: "LazyFrame") -> "LazyFrame":
+        """Mutating vstack (reference frame.py extend — its realloc-avoiding
+        rationale doesn't apply to Spark plans; semantically identical to
+        vertical concat)."""
+        self._df = self._df.unionByName(other._df.select(*self._df.columns))
+        return self
+
+    @property
+    def flags(self) -> dict:
+        """Per-column flags; only the frame's declared sort order is known
+        plan-side (reference Series flags SORTED_ASC/SORTED_DESC)."""
+        specs = {
+            (o[0] if isinstance(o, tuple) else o): (
+                bool(o[1]) if isinstance(o, tuple) else False
+            )
+            for o in self._order
+        }
+        return {
+            c: {
+                "SORTED_ASC": c in specs and not specs[c],
+                "SORTED_DESC": c in specs and bool(specs[c]),
+            }
+            for c in self.columns
+        }
+
+    def hash_rows(self, seed: int = 0, seed_1=None, seed_2=None, seed_3=None):
+        """Row hashes as a Series (reference frame.py hash_rows).  Uses
+        xxhash64 over all columns; Spark's BIGINT is signed so values are
+        the i64 reinterpretation of polars' u64 hash space, and (like the
+        reference warns) values are not stable across engines."""
+        seeds = [F.lit(s) for s in (seed, seed_1, seed_2, seed_3) if s is not None]
+        return self._series_collect(
+            Expr(lambda ctx: F.xxhash64(*seeds, *[F.col(c) for c in self.columns])),
+            "",
+        )
+
+    def _lit_series_column(self, values: list) -> tuple["LazyFrame", Column]:
+        """A column holding driver-local ``values`` aligned to frame order:
+        an array literal indexed by the row position (for the small eager
+        Series surfaces only — a big column belongs in a frame join)."""
+        f = self.with_row_index("__ins__") if "__ins__" not in self.columns else self
+        return f, F.get(F.lit(values), F.col("__ins__").cast("int"))
+
+    def insert_column(self, index: int, column) -> "LazyFrame":
+        """Insert a Series or Expr at a column position (mutating)."""
+        from polars_spark.series import Series
+
+        cols = list(self.columns)
+        if index < 0:
+            index += len(cols) + 1
+        if isinstance(column, Series):
+            f, c = self._lit_series_column(column.to_list())
+            name = column.name or f"column_{index}"
+            df = f._df.withColumn(name, c).drop("__ins__")
+        else:
+            e = _to_expr(column)
+            name = e._name
+            ctx = self._ctx()
+            c = e._resolve(ctx)
+            df = self._with_scalar_preps(ctx).withColumn(name, c)
+        cols.insert(index, name)
+        keep = [o[0] for o in self._order if o[0] == ROW_IDX]
+        self._df = df.select(*cols, *keep)
+        return self
+
+    def replace_column(self, index: int, column) -> "LazyFrame":
+        """Replace the column at ``index`` with a (driver-local) Series."""
+        old = self.columns[index]
+        cols = list(self.columns)
+        new = column.name or old
+        cols[index] = new
+        f, c = self._lit_series_column(column.to_list())
+        keep = [o[0] for o in self._order if o[0] == ROW_IDX]
+        self._df = f._df.withColumn(new, c).select(*cols, *keep)
+        return self
+
+    def is_duplicated(self):
+        """Boolean Series: row appears more than once (reference frame.py
+        is_duplicated) — a window count over all columns, fully partitioned."""
+        w = Window.partitionBy(*[F.col(c) for c in self.columns])
+        return self._series_collect(
+            Expr(lambda ctx: F.count(F.lit(1)).over(w) > 1), ""
+        )
+
+    def is_unique(self):
+        """Boolean Series: row appears exactly once."""
+        w = Window.partitionBy(*[F.col(c) for c in self.columns])
+        return self._series_collect(
+            Expr(lambda ctx: F.count(F.lit(1)).over(w) == 1), ""
+        )
+
+    def iter_columns(self):
+        """Yield each column as a driver-local Series (eager; one collect)."""
+        from polars_spark.series import Series
+
+        pdf = self.collect()
+        for c in pdf.columns:
+            yield Series(c, pdf[c].tolist())
+
+    def map_columns(self, column_names, function, *args, **kwargs) -> "LazyFrame":
+        """Apply ``function`` to each named column (reference frame.py
+        map_columns).  The function is applied SYMBOLICALLY: it receives the
+        column Expr (our Series mirrors the Expr surface, so idiomatic
+        ``lambda s: s.str.json_decode()`` code works unchanged) and must
+        return an Expr — keeping the transform distributed instead of
+        collecting each column to the driver."""
+        names = self._resolve_name_selector(column_names)
+        outs = []
+        for n in names:
+            r = function(_col(n), *args, **kwargs)
+            if not isinstance(r, Expr):
+                msg = (
+                    "map_columns function must return an expression "
+                    f"(got {type(r).__name__}); Series-only transforms have "
+                    "no distributed equivalent"
+                )
+                raise TypeError(msg)
+            outs.append(r.alias(n))
+        return self.with_columns(*outs)
+
+    def _resolve_name_selector(self, column_names) -> list[str]:
+        sel = getattr(column_names, "_selector", None)
+        if sel is not None:
+            return [c for c, t in self.schema.items() if sel(c, t)]
+        if isinstance(column_names, str):
+            return [column_names]
+        return list(column_names)
+
+    def max_horizontal(self):
+        """Row-wise max across all columns as a Series."""
+        from polars_spark.functions import max_horizontal as _mh
+
+        return self._series_collect(_mh(*[_col(c) for c in self.columns]), "max")
+
+    def min_horizontal(self):
+        from polars_spark.functions import min_horizontal as _mh
+
+        return self._series_collect(_mh(*[_col(c) for c in self.columns]), "min")
+
+    def sum_horizontal(self, *, ignore_nulls: bool = True):
+        from polars_spark.functions import sum_horizontal as _sh
+
+        return self._series_collect(
+            _sh(*[_col(c) for c in self.columns], ignore_nulls=ignore_nulls), "sum"
+        )
+
+    def mean_horizontal(self, *, ignore_nulls: bool = True):
+        from polars_spark.functions import mean_horizontal as _mh
+
+        return self._series_collect(
+            _mh(*[_col(c) for c in self.columns], ignore_nulls=ignore_nulls), "mean"
+        )
+
+    def rows_by_key(
+        self,
+        key,
+        *,
+        named: bool = False,
+        include_key: bool = False,
+        unique: bool = False,
+    ) -> dict:
+        """Rows grouped into a driver-side dict by key (reference frame.py
+        rows_by_key — an eager convenience; the distributed form of this
+        shape is group_by/partition_by)."""
+        keys = self._resolve_name_selector(key)
+        pdf = self.collect()
+        out: dict = {}
+        val_cols = [c for c in pdf.columns if include_key or c not in keys]
+        for _, r in pdf.iterrows():
+            k = tuple(r[c] for c in keys)
+            k = k[0] if len(k) == 1 else k
+            v = dict(r[val_cols]) if named else tuple(r[c] for c in val_cols)
+            if unique:
+                out[k] = v
+            else:
+                out.setdefault(k, []).append(v)
+        return out
+
+    def unstack(
+        self,
+        *,
+        step: int,
+        how: str = "vertical",
+        columns=None,
+        fill_values=None,
+    ) -> "LazyFrame":
+        """Long-to-wide reshape without aggregation (reference frame.py
+        unstack): each source column splits into ``ceil(n/step)`` chunk
+        columns of height ``step``.  Runs as a distributed pivot over the
+        row position — the data never single-partitions."""
+        import math
+
+        f = self if columns is None else self.select(*self._resolve_name_selector(columns))
+        names = f.columns
+        n = f._df.count()
+        n_chunks = max(1, math.ceil(n / step))
+        fi = f.with_row_index("__ui__")
+        if how == "vertical":
+            chunk = F.col("__ui__") / F.lit(step)
+            pos = F.col("__ui__") % F.lit(step)
+        else:  # horizontal: row-major fill
+            chunk = F.col("__ui__") % F.lit(n_chunks)
+            pos = F.col("__ui__") / F.lit(n_chunks)
+        df = fi._df.withColumn("__chunk__", chunk.cast("int")).withColumn(
+            "__pos__", pos.cast("int")
+        )
+        pivoted = (
+            df.groupBy("__pos__")
+            .pivot("__chunk__", list(range(n_chunks)))
+            .agg(*[F.first(c).alias(c) for c in names])
+        )
+        # spark names multi-agg pivot columns "<chunk>_<col>" -> "<col>_<chunk>"
+        sel = [F.col("__pos__")]
+        out_names = []
+        for c in names:
+            for j in range(n_chunks):
+                src = f"{j}_{c}" if len(names) > 1 else str(j)
+                tgt = f"{c}_{j}"
+                colref = F.col(f"`{src}`")
+                if fill_values is not None:
+                    fv = (
+                        fill_values[names.index(c)]
+                        if isinstance(fill_values, list)
+                        else fill_values
+                    )
+                    if fv is not None:
+                        colref = F.coalesce(colref, F.lit(fv))
+                sel.append(colref.alias(tgt))
+                out_names.append(tgt)
+        out = pivoted.select(*sel)
+        return self._keep_order_col(out, "__pos__")
+
+    def _keep_order_col(self, df, name: str) -> "LazyFrame":
+        """Order by a still-present physical column, dropped at collect."""
+        renamed = df.withColumnRenamed(name, ROW_IDX)
+        return LazyFrame(renamed, [(ROW_IDX, False)])
+
+    def plot(self, *args, **kwargs):  # pragma: no cover - env
+        """reference frame.py plot (altair bridge) — altair isn't in this
+        image; the data side is ``.collect()`` (a pandas frame every plotting
+        lib accepts)."""
+        try:
+            import altair  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError("plot needs the 'altair' package") from exc
+        import altair as alt
+
+        return alt.Chart(self.collect())
+
+    def style(self):  # pragma: no cover - env
+        """reference frame.py style (great-tables bridge) — not in image."""
+        try:
+            from great_tables import GT
+        except ImportError as exc:
+            raise NotImplementedError("style needs the 'great-tables' package") from exc
+        return GT(self.collect())
+
+    def write_clipboard(self, **kwargs):  # pragma: no cover - env
+        """reference io clipboard — no clipboard in a headless container."""
+        try:
+            self.collect().to_clipboard(**kwargs)
+        except Exception as exc:
+            raise NotImplementedError(
+                "write_clipboard needs a clipboard-capable environment"
+            ) from exc
+
     def to_torch(self, return_type: str = "tensor"):
         """polars DataFrame.to_torch — collected result as torch tensor(s);
         raises with the fix when torch is absent (not in this image)."""

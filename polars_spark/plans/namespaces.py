@@ -975,6 +975,13 @@ class DateTimeNamespace(_NS):
 
 
 class ListNamespace(_NS):
+    def explode(self) -> Expr:
+        """One output row per list element (reference expr/list.py:1200).
+        Lowered to explode_outer, so null/empty lists yield a null row like
+        polars.  Spark permits ONE generator expression per select — for
+        multi-column explodes use LazyFrame.explode(*columns)."""
+        return self._map(F.explode_outer)
+
     def len(self) -> Expr:
         return self._map(lambda c: F.when(c.isNotNull(), F.size(c)))
 
