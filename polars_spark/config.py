@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Any
 
-__all__ = ["Config", "StringCache", "CompatLevel"]
+__all__ = ["Config", "StringCache", "CompatLevel", "QueryOptFlags", "GPUEngine", "DEFAULT_QUERY_OPT_FLAGS"]
 
 _DEFAULTS: dict[str, Any] = {
     "tbl_rows": 10,
@@ -137,3 +137,73 @@ class CompatLevel:
     @classmethod
     def oldest(cls) -> "CompatLevel":
         return cls(0)
+
+
+class QueryOptFlags:
+    """Per-query optimization toggles (reference lazyframe/opt_flags.py:25).
+
+    Accepted by ``collect(optimizations=...)`` for drop-in compatibility.
+    On this engine every listed optimization is CATALYST's job — predicate/
+    projection pushdown, expression simplification, slice pushdown, common-
+    subplan elimination (exchange reuse) run inside the Spark optimizer and
+    cannot be usefully switched off per query; the flags are recorded and
+    readable, and ``collapse_joins=False``-style requests are no-ops by
+    design (documented divergence, not an oversight)."""
+
+    _FLAGS = (
+        "predicate_pushdown",
+        "projection_pushdown",
+        "simplify_expression",
+        "slice_pushdown",
+        "comm_subplan_elim",
+        "comm_subexpr_elim",
+        "cluster_with_columns",
+        "collapse_joins",
+        "check_order_observe",
+        "fast_projection",
+    )
+
+    def __init__(self, **flags: bool):
+        for f in self._FLAGS:
+            setattr(self, f, flags.pop(f, True))
+        if flags:
+            bad = ", ".join(sorted(flags))
+            raise TypeError(f"unknown optimization flags: {bad}")
+
+    @classmethod
+    def none(cls) -> "QueryOptFlags":
+        return cls(**{f: False for f in cls._FLAGS})
+
+    def no_optimizations(self) -> None:
+        for f in self._FLAGS:
+            setattr(self, f, False)
+
+    def update(self, **flags: bool) -> "QueryOptFlags":
+        for k, v in flags.items():
+            if k not in self._FLAGS:
+                raise TypeError(f"unknown optimization flag: {k}")
+            setattr(self, k, v)
+        return self
+
+    def __copy__(self) -> "QueryOptFlags":
+        return QueryOptFlags(**{f: getattr(self, f) for f in self._FLAGS})
+
+    def __repr__(self) -> str:
+        on = [f for f in self._FLAGS if getattr(self, f)]
+        return f"QueryOptFlags({', '.join(on)})"
+
+
+DEFAULT_QUERY_OPT_FLAGS = QueryOptFlags()
+
+
+class GPUEngine:
+    """reference lazyframe/engine_config.py:11 — cuDF engine configuration.
+
+    Spark has no cuDF backend; accepted for drop-in compatibility and
+    collect(engine=...) runs the (always-distributed) Spark plan.  The
+    config dict is preserved so callers can introspect what they asked for."""
+
+    def __init__(self, *, device: int | None = None, memory_resource=None, **config):
+        self.device = device
+        self.memory_resource = memory_resource
+        self.config = config

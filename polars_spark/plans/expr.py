@@ -1451,6 +1451,164 @@ class Expr:
 
         return Expr(fn, self._name)
 
+    def _window_rank_col(self, arr, cur, method: str, seed, tiebreak_key):
+        """Rank of ``cur`` among the window values ``arr`` (nulls ignored,
+        like polars rank)."""
+        less = F.size(F.filter(arr, lambda x: x < cur))
+        eq = F.size(F.filter(arr, lambda x: x == cur))
+        if method == "min":
+            r = (less + 1).cast("double")
+        elif method == "max":
+            r = (less + eq).cast("double")
+        elif method == "dense":
+            r = (F.size(F.array_distinct(F.filter(arr, lambda x: x < cur))) + 1).cast(
+                "double"
+            )
+        elif method == "average":
+            r = (F.lit(2) * less + eq + 1) / F.lit(2.0)
+        elif method == "random":
+            # seeded-deterministic uniform pick among the tie positions
+            draw = F.pmod(F.xxhash64(F.lit(seed or 0), cur, tiebreak_key), eq)
+            r = (less + 1 + draw).cast("double")
+        else:
+            raise ValueError(f"rank method {method!r}")
+        return F.when(cur.isNotNull(), r)
+
+    def rolling_rank(
+        self,
+        window_size: int,
+        method: str = "average",
+        *,
+        seed: int | None = None,
+        min_samples: int | None = None,
+        center: bool = False,
+    ):
+        """Rank of the newest value within its trailing window (reference
+        expr.py rolling_rank; kernel polars-compute/src/rolling/).  Window
+        values collected per row and ranked with array HOFs — stays inside
+        the partitioned window, no shuffle beyond the ordering."""
+        need = window_size if min_samples is None else min_samples
+        shift = window_size // 2 if center else 0
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            w = ctx.order_window().rowsBetween(-(window_size - 1) + shift, shift)
+            arr = F.collect_list(c).over(w)
+            pos = F.row_number().over(ctx.order_window())
+            val = self._window_rank_col(arr, c, method, seed, pos)
+            return F.when(F.count(c).over(w) >= need, val)
+
+        return Expr(fn, self._name)
+
+    def rolling_rank_by(
+        self,
+        by,
+        window_size: str,
+        *,
+        method: str = "average",
+        seed: int | None = None,
+        min_samples: int = 1,
+        closed: str = "right",
+    ):
+        """Temporal-window variant of rolling_rank ((t-window, t] per row
+        over ``by``, reference function_expr/rolling_by.rs)."""
+        from polars_spark.plans.frame import _duration_us
+
+        us = _duration_us(window_size)
+        by_e = _to_expr(by) if not isinstance(by, str) else col(by)
+        lo_off = 1 if closed in ("right", "none") else 0
+        hi_off = -1 if closed in ("left", "none") else 0
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            okey = F.unix_micros(by_e._resolve(ctx).cast("timestamp"))
+            w = (
+                Window.partitionBy(*ctx.partition_cols())
+                .orderBy(okey)
+                .rangeBetween(-us + lo_off, hi_off)
+            )
+            arr = F.collect_list(c).over(w)
+            pos = F.row_number().over(
+                Window.partitionBy(*ctx.partition_cols()).orderBy(okey)
+            )
+            val = self._window_rank_col(arr, c, method, seed, pos)
+            return F.when(F.count(c).over(w) >= min_samples, val)
+
+        return Expr(fn, self._name)
+
+    def rolling(self, index_column, *, period, offset=None, closed: str = "right"):
+        """Expr.rolling (reference expr.py rolling): evaluate this aggregate
+        expression over per-row ranges (t+offset, t+offset+period] of
+        ``index_column``.  NOTE: like the reference, this form has no group
+        keys — the ordered window spans the whole frame, so at scale prefer
+        ``LazyFrame.rolling(..., group_by=...)`` (partitioned) for the same
+        semantics."""
+        from polars_spark.plans.frame import RollingGroupBy, _duration_us
+
+        if closed not in RollingGroupBy._BOUNDS:
+            raise ValueError(f"rolling closed={closed!r}")
+
+        def _units(v):
+            # polars "Ni" = N index steps (integer index column); otherwise
+            # a temporal duration in µs
+            if isinstance(v, str) and v.endswith("i") and v[:-1].lstrip("-").isdigit():
+                return int(v[:-1])
+            return _duration_us(v)
+
+        p_us = _units(period)
+        o_us = -p_us if offset is None else _units(offset)
+        lo_off, hi_off = RollingGroupBy._BOUNDS[closed]
+        idx_e = _to_expr(index_column) if not isinstance(index_column, str) else col(index_column)
+
+        def fn(ctx: ExprContext) -> Column:
+            idx = idx_e._resolve(ctx)
+            is_ts = False
+            try:
+                is_ts = dict(ctx.df.dtypes).get(
+                    index_column if isinstance(index_column, str) else "", ""
+                ).startswith("timestamp")
+            except Exception:
+                pass
+            okey = F.unix_micros(idx.cast("timestamp")) if is_ts else idx.cast("bigint")
+            w = (
+                Window.partitionBy(*ctx.partition_cols())
+                .orderBy(okey)
+                .rangeBetween(o_us + lo_off, o_us + p_us + hi_off)
+            )
+            ctx2 = ExprContext(ctx.df, ctx.order_cols, ctx.grouped, preps=ctx.preps)
+            ctx2._window = w
+            return self._resolve(ctx2)
+
+        return Expr(fn, self._name)
+
+    def truncate(self, decimals: int = 0):
+        """Numeric truncation toward zero (reference expr.py truncate —
+        unlike round there is no midpoint tiebreak)."""
+        scale = 10 ** decimals
+
+        def f(c: Column) -> Column:
+            scaled = c * F.lit(scale)
+            return (
+                F.when(c >= 0, F.floor(scaled)).otherwise(F.ceil(scaled))
+                / F.lit(scale)
+            ).cast("double")
+
+        return self._map(f)
+
+    def inspect(self, fmt: str = "{}"):
+        """Debug passthrough: print the evaluated batch and return it
+        unchanged (reference expr.py inspect).  Executes as an Arrow-batched
+        UDF, so output appears once per batch on the EXECUTOR's stdout (the
+        driver console in local mode) — a debug tool, not a hot-path op."""
+
+        def passthrough(s):
+            print(fmt.format(s))
+            return s
+
+        from polars_spark.plans.datatype_expr import self_dtype
+
+        return self.map_batches(passthrough, return_dtype=self_dtype())
+
     # -- operator-method aliases (reference expr.py: add/sub/.../xor) --------
     def add(self, other):
         return self.__add__(other)
@@ -2666,10 +2824,18 @@ class Enum:
 class Categorical:
     """polars Categorical dtype — in this engine a string passthrough (the
     documented SURVEY §1.2 mapping: Tungsten/parquet already dictionary-encode
-    strings; a global string cache would add a shuffle for no gain)."""
+    strings; a global string cache would add a shuffle for no gain).
 
-    def __init__(self, ordering: str = "physical"):
-        self.ordering = ordering
+    Accepts a :class:`Categories` instance as first argument (reference
+    Categorical(Categories) form) — the driver-side named mapping."""
+
+    def __init__(self, ordering="physical"):
+        if isinstance(ordering, str) or ordering is None:
+            self.ordering = ordering or "physical"
+            self.categories = None
+        else:  # a Categories instance
+            self.categories = ordering
+            self.ordering = "physical"
 
 
 # polars dtype classes (pl.Int64, pl.Datetime, ...): _dtype_to_spark maps
@@ -2833,3 +2999,78 @@ def _dtype_to_spark(dtype) -> str:
     if key in ("int", "float", "str", "bool"):
         return {"int": "bigint", "float": "double", "str": "string", "bool": "boolean"}[key]
     return key  # assume already a Spark SQL type string
+
+
+# -- named category registries (reference datatypes/classes.py:678) -----------
+
+_CATEGORIES_REGISTRY: dict[tuple, list] = {}
+
+
+class Categories:
+    """A named, shared collection of categories for :class:`Categorical`
+    (reference datatypes/classes.py:678).
+
+    Instances with the same (name, namespace, physical) share one mapping.
+    In this engine the mapping is a DRIVER-side registry: distributed
+    columns stay plain strings (the §1.2 Categorical passthrough — parquet
+    and Tungsten dictionary-encode them physically), so the registry is the
+    lexical<->physical lookup for driver-local Series built with
+    ``pl.Categorical(categories)``, exactly the indexing surface of the
+    reference docstring."""
+
+    def __init__(self, name: str | None = None, namespace: str = "", physical=None):
+        if name is None or name == "":
+            if namespace:
+                msg = "global categories may not specify a namespace"
+                raise ValueError(msg)
+            name = ""
+        self._name = name
+        self._namespace = namespace
+        self._physical = physical if physical is not None else UInt32
+        self._key = (name, namespace, getattr(self._physical, "__name__", str(self._physical)))
+        _CATEGORIES_REGISTRY.setdefault(self._key, [])
+
+    @property
+    def _cats(self) -> list:
+        return _CATEGORIES_REGISTRY[self._key]
+
+    def name(self) -> str:
+        return self._name
+
+    def namespace(self) -> str:
+        return self._namespace
+
+    def is_global(self) -> bool:
+        return self._name == ""
+
+    def _register(self, values) -> None:
+        cats = self._cats
+        seen = set(cats)
+        for v in values:
+            if v is not None and v not in seen:
+                cats.append(v)
+                seen.add(v)
+
+    def __getitem__(self, item):
+        cats = self._cats
+        if isinstance(item, int):
+            return cats[item] if 0 <= item < len(cats) else None
+        try:
+            return cats.index(item)
+        except ValueError:
+            return None
+
+    def __iter__(self):
+        return iter(list(self._cats))
+
+    def __len__(self) -> int:
+        return len(self._cats)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Categories) and other._key == self._key
+
+    def __hash__(self) -> int:
+        return hash(self._key)
+
+    def __repr__(self) -> str:
+        return f"Categories(name={self._name!r}, namespace={self._namespace!r})"

@@ -120,8 +120,13 @@ class LazyFrame:
             return self._df.drop(ROW_IDX)
         return self._df
 
-    def collect(self):
-        """Materialize (in frame order when one is defined) -> pandas."""
+    def collect(self, *, engine=None, optimizations=None, **_compat):
+        """Materialize (in frame order when one is defined) -> pandas.
+
+        ``engine`` (streaming/gpu/GPUEngine) and ``optimizations``
+        (QueryOptFlags) are accepted for reference drop-in compatibility;
+        Catalyst always optimizes and picks the physical engine, so they
+        don't alter the plan (documented in QueryOptFlags)."""
         df = self._df
         if self._order:
             df = df.orderBy(*_order_cols(self._order))

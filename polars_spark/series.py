@@ -22,7 +22,12 @@ class Series:
             values = []
         self._s = pd.Series(list(values), name=name or None)
         if dtype is not None:
-            from polars_spark.plans.expr import _dtype_to_spark
+            from polars_spark.plans.expr import Categorical, _dtype_to_spark
+
+            if isinstance(dtype, Categorical) and dtype.categories is not None:
+                # feed the named driver-side mapping (pl.Categories) in
+                # first-appearance order, like the reference's ingest path
+                dtype.categories._register(self._s.tolist())
 
             spark_t = _dtype_to_spark(dtype)
             pd_map = {

@@ -516,6 +516,60 @@ def read_excel(source, *, sheet_name=0, spark: SparkSession | None = None) -> La
     return from_pandas(pd.read_excel(source, sheet_name=sheet_name), spark=spark)
 
 
+def read_clipboard(separator: str = "\t", *, spark: SparkSession | None = None) -> LazyFrame:
+    """polars read_clipboard (reference io/clipboard.py): driver-side pandas
+    bridge — needs a clipboard-capable environment (not this container)."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_clipboard(sep=separator)
+    except Exception as exc:  # pragma: no cover - env
+        raise NotImplementedError(
+            "read_clipboard needs a clipboard-capable environment"
+        ) from exc
+    return from_pandas(pdf, spark=spark)
+
+
+def scan_arrow_c_stream(source, *, spark: SparkSession | None = None) -> LazyFrame:
+    """polars scan_arrow_c_stream: ingest any object exporting the Arrow
+    PyCapsule C-stream interface (``__arrow_c_stream__``) — materialized via
+    pyarrow on the driver (a C stream is an in-process handle by definition),
+    then distributed."""
+    import pyarrow as pa
+
+    if not hasattr(source, "__arrow_c_stream__"):
+        msg = "source does not export __arrow_c_stream__"
+        raise TypeError(msg)
+    reader = pa.RecordBatchReader.from_stream(source)
+    return from_arrow(reader.read_all(), spark=spark)
+
+
+class ScanCastOptions:
+    """Per-scan cast policy (reference io/scan_options/cast_options.py:28).
+    Accepted by scan_parquet; this engine's scan applies Spark's schema
+    merging, so only the permissive settings are honored — a 'forbid'
+    policy matches the default strict behavior."""
+
+    def __init__(
+        self,
+        *,
+        integer_cast: str = "forbid",
+        float_cast: str = "forbid",
+        datetime_cast: str = "forbid",
+        missing_struct_fields: str = "forbid",
+        extra_struct_fields: str = "forbid",
+    ):
+        self.integer_cast = integer_cast
+        self.float_cast = float_cast
+        self.datetime_cast = datetime_cast
+        self.missing_struct_fields = missing_struct_fields
+        self.extra_struct_fields = extra_struct_fields
+
+    @classmethod
+    def _default(cls) -> "ScanCastOptions":
+        return cls()
+
+
 # ---------------------------------------------------------------------------
 # constructors + eager generators (reference py-polars functions/eager.py,
 # functions/range/): Spark-idiomatic — ranges come from the DISTRIBUTED

@@ -1,0 +1,125 @@
+"""Expr tail (truncate, rolling_rank(_by), Expr.rolling, inspect) and
+drop-in compat objects (QueryOptFlags, GPUEngine, Categories,
+scan_arrow_c_stream, ScanCastOptions)."""
+
+import pandas as pd
+import pytest
+
+from tests.conftest import rows
+
+
+def test_truncate(pl, lf):
+    f = lf(x=[0.25, -0.25, 0.99, -0.99, 1.9999, -1.9999]).sort("x")
+    out = f.select(
+        t0=pl.col("x").truncate(),
+        t1=pl.col("x").truncate(1),
+    )
+    got = {tuple(r) for r in rows(out)}
+    assert (0.0, 0.2) in got        # 0.25 -> 0 / 0.2
+    assert (0.0, -0.2) in got       # -0.25 -> 0 / -0.2 (toward zero)
+    assert (1.0, 1.9) in got        # 1.9999 -> 1 / 1.9
+    assert (-1.0, -1.9) in got      # -1.9999 -> -1 / -1.9
+
+
+def test_rolling_rank_vs_pandas(pl, lf):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    f = lf(i=list(range(10)), x=vals).sort("i")
+    for method in ("average", "min", "max"):
+        out = f.select(r=pl.col("x").rolling_rank(4, method).alias("r"))
+        got = [t[0] for t in rows(out)]
+        exp = pd.Series(vals).rolling(4).rank(method=method).tolist()
+        for g, e in zip(got, exp):
+            if e != e:  # NaN -> min_samples not reached
+                assert g is None
+            else:
+                assert g == pytest.approx(e)
+
+
+def test_rolling_rank_dense_min_samples(pl, lf):
+    f = lf(i=[0, 1, 2, 3], x=[2.0, 2.0, 1.0, 3.0]).sort("i")
+    out = f.select(r=pl.col("x").rolling_rank(3, "dense", min_samples=2))
+    got = [t[0] for t in rows(out)]
+    assert got[0] is None           # only 1 sample
+    assert got[1] == 1.0            # [2,2] -> dense rank of 2 is 1
+    assert got[2] == 1.0            # [2,2,1] -> rank of 1 is 1
+    assert got[3] == 3.0            # [2,1,3] -> dense rank of 3 is 3
+
+
+def test_rolling_rank_random_deterministic(pl, lf):
+    f = lf(i=[0, 1, 2], x=[1.0, 1.0, 1.0]).sort("i")
+    a = [t[0] for t in rows(f.select(r=pl.col("x").rolling_rank(3, "random", seed=7, min_samples=1)))]
+    b = [t[0] for t in rows(f.select(r=pl.col("x").rolling_rank(3, "random", seed=7, min_samples=1)))]
+    assert a == b  # seeded draws replay
+    assert all(1 <= v <= 3 for v in a)
+
+
+def test_rolling_rank_by(pl, lf):
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 02:00"]
+    )
+    f = lf(t=list(ts), x=[1.0, 3.0, 2.0, 5.0]).sort("t")
+    out = f.select(r=pl.col("x").rolling_rank_by("t", "30m", method="min"))
+    got = [t[0] for t in rows(out)]
+    # windows: [1]->1, [1,3]->2, [1,3,2]->2, [5] (2h gap) -> 1
+    assert got == [1.0, 2.0, 2.0, 1.0]
+
+
+def test_expr_rolling_context(pl, lf):
+    f = lf(i=[1, 2, 3, 4, 5], x=[1.0, 1.0, 1.0, 1.0, 1.0]).sort("i")
+    out = f.select(
+        i=pl.col("i"),
+        s=pl.col("x").sum().rolling("i", period="2i"),
+    )
+    got = {t[0]: t[1] for t in rows(out)}
+    assert got[1] == 1.0 and got[2] == 2.0 and got[3] == 2.0
+
+
+def test_inspect_passthrough(pl, lf):
+    f = lf(foo=[1, 1, 2]).sort("foo")
+    out = f.select(bar=pl.col("foo").cum_sum().inspect("value is: {}"))
+    assert [t[0] for t in rows(out)] == [1, 2, 4]
+    assert out.schema["bar"] == "bigint"  # self_dtype kept the input dtype
+
+
+def test_collect_compat_kwargs(pl, lf):
+    f = lf(x=[1, 2])
+    flags = pl.QueryOptFlags(predicate_pushdown=True)
+    assert len(f.collect(engine="streaming", optimizations=flags)) == 2
+    assert len(f.collect(engine=pl.GPUEngine(device=0))) == 2
+    none = pl.QueryOptFlags.none()
+    assert none.predicate_pushdown is False
+    none.update(predicate_pushdown=True)
+    assert none.predicate_pushdown is True
+    with pytest.raises(TypeError):
+        pl.QueryOptFlags(bogus_flag=True)
+
+
+def test_categories_registry(pl):
+    fruit = pl.Categories("fruit_test_r6")
+    s = pl.Series(["apple", "banana", "orange"], dtype=pl.Categorical(fruit))
+    assert len(s) == 3
+    assert fruit[0] == "apple"
+    assert fruit["apple"] == 0
+    fruit2 = pl.Categories("fruit_test_r6")
+    assert fruit2["banana"] == 1
+    assert list(fruit) == ["apple", "banana", "orange"]
+    assert fruit == fruit2
+    assert pl.Categories().is_global()
+    with pytest.raises(ValueError):
+        pl.Categories(None, namespace="x")
+
+
+def test_scan_arrow_c_stream(pl):
+    import pyarrow as pa
+
+    tbl = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    f = pl.scan_arrow_c_stream(tbl)  # pa.Table exports __arrow_c_stream__
+    assert sorted(r[0] for r in rows(f)) == [1, 2, 3]
+    with pytest.raises(TypeError):
+        pl.scan_arrow_c_stream(object())
+
+
+def test_scan_cast_options_accepted(pl):
+    opts = pl.ScanCastOptions(integer_cast="upcast")
+    f = pl.scan_parquet("/root/testdata/sf0.001/region.parquet", cast_options=opts)
+    assert len(rows(f)) == 5
