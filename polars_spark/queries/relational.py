@@ -392,3 +392,25 @@ def rel_groupby_head_tail(spark, sf_dir):
         "c_nationkey", "c_custkey", pl.lit("tail").alias("part")
     )
     return pl.concat([h, t]).to_spark()
+
+@query(
+    "rel_unstack",
+    oracle="""
+    WITH t AS (
+      SELECT n_name, row_number() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation
+    )
+    SELECT
+      max(CASE WHEN i // 5 = 0 THEN n_name END) AS n_name_0,
+      max(CASE WHEN i // 5 = 1 THEN n_name END) AS n_name_1,
+      max(CASE WHEN i // 5 = 2 THEN n_name END) AS n_name_2,
+      max(CASE WHEN i // 5 = 3 THEN n_name END) AS n_name_3,
+      max(CASE WHEN i // 5 = 4 THEN n_name END) AS n_name_4
+    FROM t GROUP BY i % 5
+    """,
+)
+def rel_unstack(spark, sf_dir):
+    """DataFrame.unstack (reference dataframe/frame.py unstack): long-to-wide
+    reshape as a distributed pivot over the row position."""
+    nation = ltable(spark, sf_dir, "nation")
+    out = nation.sort("n_nationkey").select("n_name").unstack(step=5, how="vertical")
+    return out.to_spark()

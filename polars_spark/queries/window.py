@@ -481,3 +481,34 @@ def win_rolling_map(spark, sf_dir):
         .over("user_id")
         .alias("map_sum"),
     ).to_spark()
+
+@query(
+    "win_rolling_rank",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN count(value) OVER w4 >= 4 THEN
+             CAST(len(list_filter(list(value) OVER w4, x -> x < value)) + 1 AS DOUBLE)
+           END AS rr_min,
+           CASE WHEN count(value) OVER w4 >= 4 THEN
+             (2 * len(list_filter(list(value) OVER w4, x -> x < value))
+                + len(list_filter(list(value) OVER w4, x -> x = value)) + 1) / 2.0
+           END AS rr_avg,
+           CASE WHEN count(value) OVER w4 >= 2 THEN
+             CAST(len(list_distinct(list_filter(list(value) OVER w4, x -> x < value))) + 1 AS DOUBLE)
+           END AS rr_dense
+    FROM events
+    WINDOW w4 AS ({_W} ROWS 3 PRECEDING)
+    """,
+)
+def win_rolling_rank(spark, sf_dir):
+    """Expr.rolling_rank (reference expr.py rolling_rank, kernel
+    polars-compute/src/rolling/): rank of the newest value in its trailing
+    window, per-user partitions — the window arrives via .over(), so no
+    global single-partition exchange."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").rolling_rank(4, "min").over("user_id").alias("rr_min"),
+        pl.col("value").rolling_rank(4, "average").over("user_id").alias("rr_avg"),
+        pl.col("value").rolling_rank(4, "dense", min_samples=2).over("user_id").alias("rr_dense"),
+    ).to_spark()
