@@ -31,6 +31,8 @@ __all__ = [
     "cap_per_domain",
     "filter_blocked_domains",
     "domain_stats",
+    "html_to_text",
+    "extract_links",
 ]
 
 # query parameters that never identify content (tracking / attribution)
@@ -134,3 +136,49 @@ def domain_stats(df: DataFrame, *, domain_col: str) -> DataFrame:
             (F.col("n_docs") / F.col("__total")).alias("share"),
         )
     )
+
+
+# -- HTML text extraction (trafilatura/jusText's regexp-only little sibling;
+# the C4/CCNet pipelines run exactly this class of tag-strip before any
+# quality scoring when no DOM parser is available at corpus scale) ----------
+
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Plain text from raw HTML: drop script/style/comment blocks, turn
+    block-level closers into newlines, strip remaining tags, decode the
+    common entities, collapse whitespace.
+
+    Pure ``regexp_replace`` chain — JVM-side, streams through the scan
+    (projection only, no shuffle, no UDF).  Patterns avoid lookaround so
+    the identical chain replays in RE2 (the DuckDB oracle replays it
+    verbatim — web_html_to_text)."""
+    c = html
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)</(?:p|div|h[1-6]|li|tr|br)>", "\n")
+    c = F.regexp_replace(c, r"(?i)<br[^>]*>", "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.trim(c)
+
+
+def extract_links(html: Column) -> Column:
+    """All href targets as an array column (the edge list of the crawl
+    graph — feeding PageRank-ish link analysis or outlink-count quality
+    signals).  regexp_extract_all, JVM-side."""
+    return F.regexp_extract_all(html, F.lit(r'(?i)href="([^"#]+)'), 1)

@@ -239,3 +239,72 @@ def web_url_dedup(spark, sf_dir):
         .groupBy("url_norm")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
     )
+
+
+@query(
+    "web_html_to_text",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><style>a{color:red}</style><SCRIPT>var x=1;</SCRIPT></head>'
+             || '<body><h1>Doc ' || doc_id || '</h1><!-- c1 --><p>'
+             || substr(text, 1, 120)
+             || ' &amp; more &lt;stuff&gt;</p><BR/><a href="https://ex.com/p?id='
+             || doc_id || '#f">link &quot;q&#39;s&quot;</a></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?i)</(?:p|div|h[1-6]|li|tr|br)>', chr(10), 'g'),
+            '(?i)<br[^>]*>', chr(10), 'g'),
+          '<[^>]+>', ' ', 'g') AS t,
+        regexp_extract_all(html, '(?i)href="([^"#]+)', 1) AS links
+      FROM raw
+    ), decoded AS (
+      SELECT doc_id, links,
+        replace(replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', ''''), '&apos;', '''') AS t
+      FROM stripped
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[ ' || chr(9) || ']+', ' ', 'g'),
+          ' ?' || chr(10) || ' ?', chr(10), 'g'),
+        chr(10) || '{2,}', chr(10), 'g')) AS text,
+      links[1] AS first_link,
+      len(links) AS n_links
+    FROM decoded
+    """,
+)
+def web_html_to_text(spark, sf_dir):
+    """llm.web.html_to_text + extract_links: regexp-only HTML text
+    extraction (tag/script/style/comment strip, entity decode, whitespace
+    collapse) — a pure projection that pipelines into the scan; the oracle
+    replays the identical chain in RE2."""
+    from polars_spark.llm.web import extract_links, html_to_text
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><style>a{color:red}</style><SCRIPT>var x=1;</SCRIPT></head>"),
+        F.lit("<body><h1>Doc "), d.cast("string"), F.lit("</h1><!-- c1 --><p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(' &amp; more &lt;stuff&gt;</p><BR/><a href="https://ex.com/p?id='),
+        d.cast("string"), F.lit('#f">link &quot;q&#39;s&quot;</a></body></html>'),
+    )
+    out = docs.select(
+        d.alias("doc_id"),
+        html_to_text(html).alias("text"),
+        F.element_at(extract_links(html), 1).alias("first_link"),
+        F.size(extract_links(html)).alias("n_links"),
+    )
+    return out

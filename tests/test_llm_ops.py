@@ -730,3 +730,31 @@ def test_image_ahash_pairs_planted(spark):
     got = {(r.d1, r.d2): r.hamming for r in image_ahash_pairs(df, "doc_id", max_hamming=3).collect()}
     assert got[(1, 2)] == 0
     assert (1, 3) in got and got[(1, 3)] <= 3
+
+
+def test_html_to_text(spark):
+    from polars_spark.llm.web import extract_links, html_to_text
+
+    html = (
+        "<html><head><title>T</title><style>p{}</style>"
+        "<script type='x'>if (a<b) {}</script></head>"
+        "<body><h1>Head</h1><!-- note --><p>one &amp; two</p>"
+        "<p>three&nbsp;&lt;4&gt;</p><br><a href=\"/x?a=1#frag\">go</a></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    row = df.select(
+        html_to_text(F.col("html")).alias("t"),
+        extract_links(F.col("html")).alias("l"),
+    ).collect()[0]
+    assert row["t"] == "T Head\none & two\nthree <4>\ngo"
+    assert row["l"] == ["/x?a=1"]
+
+
+def test_html_to_text_plan_is_projection(spark):
+    # the extraction must pipeline into the scan: no exchange, no UDF
+    from polars_spark.llm.web import html_to_text
+
+    df = spark.createDataFrame([("<p>x</p>",)], "html string")
+    plan = df.select(html_to_text(F.col("html"))). _jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
