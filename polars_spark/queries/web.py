@@ -308,3 +308,70 @@ def web_html_to_text(spark, sf_dir):
         F.size(extract_links(html)).alias("n_links"),
     )
     return out
+
+
+@query(
+    "web_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT doc_id % 60 AS u, (doc_id * 7 + 3) % 60 AS v FROM documents
+        UNION ALL
+        SELECT doc_id % 60, (doc_id * 13 + 5) % 60 FROM documents
+      ) WHERE u <> v
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges UNION SELECT DISTINCT v FROM edges),
+    n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT u, count(*)::DOUBLE AS deg FROM edges GROUP BY u),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes),
+    it1 AS (
+      SELECT nodes.node,
+             (1 - 0.85) / (SELECT n FROM n)
+             + 0.85 * coalesce(sum(r0.rank / deg.deg), 0) AS rank
+      FROM nodes
+      LEFT JOIN edges ON edges.v = nodes.node
+      LEFT JOIN deg ON deg.u = edges.u
+      LEFT JOIN r0 ON r0.node = edges.u
+      GROUP BY nodes.node
+    ),
+    it2 AS (
+      SELECT nodes.node,
+             (1 - 0.85) / (SELECT n FROM n)
+             + 0.85 * coalesce(sum(it1.rank / deg.deg), 0) AS rank
+      FROM nodes
+      LEFT JOIN edges ON edges.v = nodes.node
+      LEFT JOIN deg ON deg.u = edges.u
+      LEFT JOIN it1 ON it1.node = edges.u
+      GROUP BY nodes.node
+    ),
+    it3 AS (
+      SELECT nodes.node,
+             (1 - 0.85) / (SELECT n FROM n)
+             + 0.85 * coalesce(sum(it2.rank / deg.deg), 0) AS rank
+      FROM nodes
+      LEFT JOIN edges ON edges.v = nodes.node
+      LEFT JOIN deg ON deg.u = edges.u
+      LEFT JOIN it2 ON it2.node = edges.u
+      GROUP BY nodes.node
+    )
+    SELECT node, floor(rank * 1e9 + 0.5) / 1e9 AS rank FROM it3
+    """,
+)
+def web_pagerank(spark, sf_dir):
+    """llm.graph.pagerank: dataframe-native power iteration over a
+    deterministic synthetic crawl graph (same arithmetic both engines);
+    the oracle replays 3 supersteps as chained CTEs.  Dangling mass
+    simplification identical on both sides."""
+    from polars_spark.llm.graph import pagerank
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = (
+        docs.select((d % 60).alias("src"), ((d * 7 + 3) % 60).alias("dst"))
+        .unionByName(docs.select((d % 60).alias("src"), ((d * 13 + 5) % 60).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select("node", fround(F.col("rank"), 9).alias("rank"))

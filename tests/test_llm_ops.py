@@ -758,3 +758,22 @@ def test_html_to_text_plan_is_projection(spark):
     plan = df.select(html_to_text(F.col("html"))). _jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_star_graph(spark):
+    # star: everyone links to node 0 -> node 0 dominates; sources tie
+    from polars_spark.llm.graph import degree_stats, pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iters=10).collect()}
+    assert r[0] == max(r.values())
+    assert len({round(r[i], 12) for i in range(1, 6)}) == 1  # leaves tie
+    # teleport floor: every node keeps at least (1-d)/N
+    assert all(v >= (1 - 0.85) / 6 - 1e-12 for v in r.values())
+
+    d = {row["node"]: row for row in degree_stats(edges).collect()}
+    assert d[0]["in_deg"] == 5 and d[0]["out_deg"] == 0
+    assert d[1]["out_deg"] == 1 and d[1]["in_deg"] == 0
+    assert d[0]["hubness"] > 0 > d[1]["hubness"]
