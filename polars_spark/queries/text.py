@@ -992,3 +992,54 @@ def txt_corpus_report(spark, sf_dir):
             F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6,
         ).otherwise(F.col("value")).alias("value"),
     )
+
+
+# fixed demo vocabulary for the tokenizer gate (ids = position+1, 0 = UNK);
+# includes multi-char subwords to exercise greedy longest-match and enough
+# single letters that UNK still appears (f, v, x, z are absent on purpose)
+TOKENIZER_VOCAB = ['ta', 'ble', 'val', 'ue', 'scan', 'fast', 'win', 'dow', 'a', 'b', 'c', 'd', 'e', 'g', 'h', 'i', 'j', 'k', 'l', 'm', 'n', 'o', 'p', 'q', 'r', 's', 't', 'u', 'w', 'y']
+
+
+@query(
+    "txt_tokenize_wordpiece",
+    oracle="""
+    WITH RECURSIVE vocab(id, tok) AS (
+      VALUES (1,'ta'),(2,'ble'),(3,'val'),(4,'ue'),(5,'scan'),(6,'fast'),(7,'win'),(8,'dow'),(9,'a'),(10,'b'),(11,'c'),(12,'d'),(13,'e'),(14,'g'),(15,'h'),(16,'i'),(17,'j'),(18,'k'),(19,'l'),(20,'m'),(21,'n'),(22,'o'),(23,'p'),(24,'q'),(25,'r'),(26,'s'),(27,'t'),(28,'u'),(29,'w'),(30,'y')
+    ),
+    words AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr)+1), i -> {'pos': i, 'word': arr[i]}), recursive := true)
+      FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr FROM documents)
+    ),
+    w2 AS (SELECT doc_id, pos, word FROM words WHERE word <> ''),
+    dwords AS (SELECT DISTINCT word FROM w2),
+    step AS (
+      SELECT word, 1 AS pos, CAST([] AS INT[]) AS ids FROM dwords
+      UNION ALL
+      SELECT s.word, s.pos + coalesce(len(b.tok), 1), list_append(s.ids, coalesce(b.id, 0))
+      FROM step s
+      LEFT JOIN LATERAL (
+        SELECT v.id, v.tok FROM vocab v
+        WHERE substr(s.word, s.pos, len(v.tok)) = v.tok
+        ORDER BY len(v.tok) DESC, v.id LIMIT 1
+      ) b ON true
+      WHERE s.pos <= len(s.word)
+    ),
+    mapping AS (SELECT word, ids FROM step WHERE pos > len(word))
+    SELECT w2.doc_id,
+           flatten(list(m.ids ORDER BY w2.pos)) AS token_ids,
+           len(flatten(list(m.ids ORDER BY w2.pos))) AS n_tokens
+    FROM w2 JOIN mapping m USING (word)
+    GROUP BY w2.doc_id
+    """,
+)
+def txt_tokenize_wordpiece(spark, sf_dir):
+    """llm.tokenizer.tokenize_documents: greedy longest-match subword
+    tokenization — Python runs only on DISTINCT words (Zipf dedup), the
+    mapping joins back and one doc-keyed shuffle reassembles order.  The
+    oracle replays the greedy matcher as a recursive CTE over the same
+    distinct-word set."""
+    from polars_spark.llm.tokenizer import tokenize_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return tokenize_documents(docs, TOKENIZER_VOCAB)

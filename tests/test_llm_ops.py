@@ -777,3 +777,32 @@ def test_pagerank_star_graph(spark):
     assert d[0]["in_deg"] == 5 and d[0]["out_deg"] == 0
     assert d[1]["out_deg"] == 1 and d[1]["in_deg"] == 0
     assert d[0]["hubness"] > 0 > d[1]["hubness"]
+
+
+def test_greedy_tokenize_rules(spark):
+    from polars_spark.llm.tokenizer import greedy_tokenize
+
+    vocab = {"hel": 1, "lo": 2, "he": 3, "l": 4, "o": 5}
+    assert greedy_tokenize("hello", vocab, 3) == [1, 2]   # longest match wins
+    assert greedy_tokenize("hex", vocab, 3) == [3, 0]     # UNK advances 1
+    assert greedy_tokenize("x" * 200, vocab, 3) == [0]    # overlong -> [UNK]
+
+
+def test_tokenize_documents_plan_and_roundtrip(spark):
+    from polars_spark.llm.tokenizer import tokenize_documents
+
+    df = spark.createDataFrame(
+        [(1, "Table TABLE value"), (2, "scan!!scan fast")],
+        "doc_id bigint, text string",
+    )
+    vocab = ["ta", "ble", "val", "ue", "scan", "fast", "a", "b", "c", "e", "l", "n", "s", "t", "u", "v"]
+    out = {r["doc_id"]: r for r in tokenize_documents(df, vocab).collect()}
+    # 'table' -> ta,ble twice; 'value' -> val,ue
+    assert out[1]["token_ids"] == [1, 2, 1, 2, 3, 4]
+    # punctuation splits words; 'scan' id=5, 'fast' id=6
+    assert out[2]["token_ids"] == [5, 5, 6]
+    assert out[2]["n_tokens"] == 3
+    # exactly ONE Arrow-batched python stage (distinct words), nothing row-wise
+    plan = tokenize_documents(df, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
