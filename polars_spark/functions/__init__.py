@@ -52,6 +52,8 @@ __all__ = [
     "business_day_count",
     "repeat",
     "salted_join",
+    "band_join",
+    "interval_join",
     "morton_interleave",
     "zorder_key",
     "sink_parquet_zorder",
@@ -756,6 +758,108 @@ def salted_join(
     )
     out = l_salted.join(r_salted, on=keys + ["__salt__"], how=how, suffix=suffix)
     return out.drop("__salt__")
+
+
+def band_join(left, right, left_on: str, right_on: str, *, band, suffix: str = "_right"):
+    """Scale path for the |l - r| <= band inequality join (the IEJoin-class
+    workload, polars-ops/src/frame/join/iejoin/ — which Spark would
+    otherwise run as a BroadcastNestedLoopJoin: O(n*m) pair checks).
+
+    Equi-bucket rewrite: bucket width = ``band``, the left value explodes to
+    its 3 candidate buckets (floor((x-band)/w)..floor((x+band)/w)), the
+    right value sits in exactly one bucket, and the join becomes an EQUI
+    join on the bucket (Catalyst extracts the equi-conjunct -> shuffled
+    hash / sort-merge, one shuffle each side) with the exact band predicate
+    as a residual filter.  Each qualifying pair appears exactly once (the
+    right side is bucketed once, so no dedup pass).  O(n + m + output)
+    instead of O(n*m)."""
+    from polars_spark.plans.frame import LazyFrame, _suffix_collisions
+
+    w = float(band)
+    if w <= 0:
+        raise ValueError("band must be > 0")
+    l = left.to_spark()
+    r = _suffix_collisions(right.to_spark(), l.columns, suffix)
+    r_on = right_on if right_on in r.columns else f"{right_on}{suffix}"
+    lx = l.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(left_on) - w) / w).cast("bigint"),
+                F.floor((F.col(left_on) + w) / w).cast("bigint"),
+            )
+        ),
+    )
+    rx = r.withColumn("__bucket__", F.floor(F.col(r_on) / w).cast("bigint"))
+    cond = (lx["__bucket__"] == rx["__bucket__"]) & (
+        F.abs(lx[left_on] - rx[r_on]) <= F.lit(w)
+    )
+    out = lx.join(rx, cond, "inner").drop("__bucket__")
+    return LazyFrame(out)
+
+
+def interval_join(
+    left,
+    right,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width,
+    suffix: str = "_right",
+):
+    """Interval-overlap join (closed intervals: l.lo <= r.hi AND r.lo <=
+    l.hi) via equi-bucketing — the distributed range-join shape
+    (polars-stream nodes/joins/range_join.rs is the reference's streaming
+    analogue).
+
+    Both sides explode to the ``bucket_width``-wide buckets their interval
+    spans; the bucket key turns the join equi (one shuffle per side); each
+    overlapping pair is counted ONCE by keeping only the bucket containing
+    greatest(l.lo, r.lo) — the standard dedup rule for replicated range
+    partitioning.  Pick ``bucket_width`` near the typical interval length:
+    too small explodes replication, too large degrades to few giant buckets
+    (both visible as shuffle-size skew, tunable without code change)."""
+    from polars_spark.plans.frame import LazyFrame, _suffix_collisions
+
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be > 0")
+    l = left.to_spark()
+    r = _suffix_collisions(right.to_spark(), l.columns, suffix)
+
+    def named(side_df, name):
+        return name if name in side_df.columns else f"{name}{suffix}"
+
+    rlo, rhi = named(r, right_lo), named(r, right_hi)
+    lx = l.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / w).cast("bigint"),
+                F.floor(F.col(left_hi) / w).cast("bigint"),
+            )
+        ),
+    )
+    rx = r.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(rlo) / w).cast("bigint"),
+                F.floor(F.col(rhi) / w).cast("bigint"),
+            )
+        ),
+    )
+    overlap = (lx[left_lo] <= rx[rhi]) & (rx[rlo] <= lx[left_hi])
+    once = lx["__bucket__"] == F.floor(
+        F.greatest(lx[left_lo], rx[rlo]) / w
+    ).cast("bigint")
+    out = (
+        lx.join(rx, (lx["__bucket__"] == rx["__bucket__"]) & overlap & once, "inner")
+        .drop("__bucket__")
+    )
+    return LazyFrame(out)
 
 
 def morton_interleave(bucket_cols, *, bits: int = 8) -> "Column":

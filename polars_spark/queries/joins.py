@@ -279,3 +279,82 @@ def join_where_nonstrict(spark, sf_dir):
 def join_where_single(spark, sf_dir):
     """Single-inequality variant (reference test_join_where.py:43)."""
     return _jw(spark, sf_dir, pl.col("s_acctbal") < pl.col("c_acctbal"))
+
+
+@query(
+    "join_band_agg",
+    oracle="""
+    SELECT a.event_id,
+           count(*) AS n_close,
+           floor(avg(b.value) * 1e6 + 0.5) / 1e6 AS avg_close
+    FROM events a JOIN events b
+      ON abs(a.value - b.value) <= 0.25 AND a.event_id <> b.event_id
+    WHERE a.event_id % 50 = 0
+    GROUP BY a.event_id
+    """,
+)
+def join_band_agg(spark, sf_dir):
+    """pl.band_join: the |l-r| <= band inequality join rewritten as an
+    equi-bucket join (O(n+m+output), one shuffle per side) instead of the
+    BroadcastNestedLoopJoin Spark would pick for the raw predicate.  The
+    oracle runs the raw inequality join (DuckDB IEJoin) — same pair set."""
+    from polars_spark.queries import fround
+
+    ev = ltable(spark, sf_dir, "events")
+    left = ev.filter(pl.col("event_id") % 50 == 0)
+    out = pl.band_join(left, ev, "value", "value", band=0.25)
+    sdf = out.to_spark()
+    import pyspark.sql.functions as F
+
+    return (
+        sdf.filter(F.col("event_id") != F.col("event_id_right"))
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_close"),
+            fround(F.avg("value_right"), 6).alias("avg_close"),
+        )
+    )
+
+
+@query(
+    "join_interval_agg",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, value AS lo, value + (event_id % 10) / 10.0 AS hi
+      FROM events WHERE event_id % 50 = 0
+    ), r AS (
+      SELECT event_id AS rid, value AS lo2, value + 0.5 AS hi2
+      FROM events WHERE event_id % 50 = 25
+    )
+    SELECT l.event_id, count(*) AS n_overlap, min(r.rid) AS first_rid
+    FROM l JOIN r ON l.lo <= r.hi2 AND r.lo2 <= l.hi
+    GROUP BY l.event_id
+    """,
+)
+def join_interval_agg(spark, sf_dir):
+    """pl.interval_join: interval-overlap join via bucket replication with
+    the count-once rule (bucket == floor(greatest(lo, lo2)/w)) — the
+    distributed range-join shape vs the oracle's direct IEJoin."""
+    import pyspark.sql.functions as F
+
+    ev = ltable(spark, sf_dir, "events")
+    d = pl.col("event_id")
+    left = ev.filter(d % 50 == 0).select(
+        "event_id",
+        pl.col("value").alias("lo"),
+        (pl.col("value") + (d % 10) / 10.0).alias("hi"),
+    )
+    right = ev.filter(d % 50 == 25).select(
+        pl.col("event_id").alias("rid"),
+        pl.col("value").alias("lo2"),
+        (pl.col("value") + 0.5).alias("hi2"),
+    )
+    out = pl.interval_join(
+        left, right, left_lo="lo", left_hi="hi",
+        right_lo="lo2", right_hi="hi2", bucket_width=0.5,
+    )
+    return (
+        out.to_spark()
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"), F.min("rid").alias("first_rid"))
+    )

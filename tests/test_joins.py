@@ -167,3 +167,48 @@ class TestSaltedJoin:
 
         with pytest.raises(ValueError, match="inner"):
             pl.salted_join(f, f, "k", how="full")
+
+
+def test_band_join_matches_bruteforce(pl, lf):
+    left = lf(lid=[1, 2, 3, 4], x=[1.0, 5.0, 9.4, 20.0])
+    right = lf(rid=[10, 20, 30], y=[1.4, 9.0, 40.0])
+    out = pl.band_join(left, right, "x", "y", band=0.5)
+    pairs = sorted((r[0], r[2]) for r in rows(out.select("lid", "x", "rid", "y")))
+    assert pairs == [(1, 10), (3, 20)]  # |1-1.4|<=.5, |9.4-9|<=.5
+    # equi-bucketed: Catalyst must NOT fall back to nested-loop/cartesian
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_join_boundary_inclusive(pl, lf):
+    left = lf(x=[0.0])
+    right = lf(y=[1.0, -1.0, 1.0001])
+    out = pl.band_join(left, right, "x", "y", band=1.0)
+    ys = sorted(r[1] for r in rows(out))
+    assert ys == [-1.0, 1.0]
+
+
+def test_interval_join_counts_each_pair_once(pl, lf):
+    # long intervals spanning many buckets must not duplicate pairs
+    left = lf(lid=[1, 2], lo=[0.0, 50.0], hi=[30.0, 55.0])
+    right = lf(rid=[7, 8, 9], lo2=[29.0, 54.0, 100.0], hi2=[40.0, 60.0, 101.0])
+    out = pl.interval_join(
+        left, right, left_lo="lo", left_hi="hi",
+        right_lo="lo2", right_hi="hi2", bucket_width=5.0,
+    )
+    pairs = sorted((r[0], r[3]) for r in rows(out.select("lid", "lo", "hi", "rid")))
+    assert pairs == [(1, 7), (2, 8)]
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_same_column_names(pl, lf):
+    left = lf(lo=[0.0], hi=[10.0])
+    right = lf(lo=[5.0, 20.0], hi=[6.0, 21.0])
+    out = pl.interval_join(
+        left, right, left_lo="lo", left_hi="hi",
+        right_lo="lo", right_hi="hi", bucket_width=4.0,
+    )
+    assert len(rows(out)) == 1  # only [5,6] overlaps [0,10]
