@@ -42,6 +42,8 @@ __all__ = [
     "cosine_topk_lsh",
     "deterministic_sample",
     "pack_sequences",
+    "snapshot_diff",
+    "pr_curve",
 ]
 
 
@@ -1298,3 +1300,82 @@ def dedup_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("nid").alias("new_id"), F.col("xid").alias("index_id"), "jaccard")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Diff two corpus snapshots -> (id, status) with status in
+    added / removed / changed / unchanged.
+
+    The incremental-crawl bookkeeping op: between two snapshot dates a
+    pipeline reprocesses only added+changed docs and tombstones removed
+    ones.  One full outer join keyed on the doc id (a single shuffle per
+    side at any scale); content equality via the portable md5 fingerprint
+    of normalized text (llm.fingerprint), or a precomputed
+    ``fingerprint_col``."""
+    def fp(df):
+        c = F.col(fingerprint_col) if fingerprint_col else fingerprint(F.col(text_col))
+        return df.select(F.col(id_col), c.alias("__fp__"))
+
+    o = fp(old).withColumnRenamed("__fp__", "__fp_old__")
+    n = fp(new).withColumnRenamed("__fp__", "__fp_new__")
+    joined = o.join(n, id_col, "full")
+    return joined.select(
+        id_col,
+        F.when(F.col("__fp_old__").isNull(), F.lit("added"))
+        .when(F.col("__fp_new__").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old__") == F.col("__fp_new__"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    thresholds,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 at each threshold -> (threshold, tp, fp, fn,
+    precision, recall, f1).
+
+    The quality-classifier calibration sweep (FineWeb-Edu-style pipelines
+    pick the keep-threshold off exactly this table).  ONE pass over the
+    corpus: every threshold is a conditional aggregate in the same job —
+    len(thresholds) x 3 counters, no per-threshold rescan, no sort, no
+    window (the sorted-cumulative formulation would order the whole corpus
+    by score; conditional aggregation is shuffle-free map-side work)."""
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col(score_col) >= F.lit(float(t))
+        pos = F.col(label_col).cast("boolean")
+        aggs += [
+            F.sum((pred & pos).cast("bigint")).alias(f"tp_{i}"),
+            F.sum((pred & ~pos).cast("bigint")).alias(f"fp_{i}"),
+            F.sum((~pred & pos).cast("bigint")).alias(f"fn_{i}"),
+        ]
+    row = scored.agg(*aggs)
+    parts = []
+    for i, t in enumerate(thresholds):
+        tp, fp, fn = F.col(f"tp_{i}"), F.col(f"fp_{i}"), F.col(f"fn_{i}")
+        prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(None))
+        rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(None))
+        f1 = F.when(
+            prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+            2 * prec * rec / (prec + rec),
+        )
+        parts.append(
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+                prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("s")).select("s.*")

@@ -1043,3 +1043,84 @@ def txt_tokenize_wordpiece(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return tokenize_documents(docs, TOKENIZER_VOCAB)
+
+
+@query(
+    "txt_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 4 <> 0
+    ), new AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 4 = 1 THEN text || ' edited' ELSE text END
+             ), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 4 <> 2
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp = new.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def txt_snapshot_diff(spark, sf_dir):
+    """llm.snapshot_diff: incremental-crawl bookkeeping — one full outer
+    join on doc id, portable md5 fingerprints; the synthetic 'new' snapshot
+    drops doc_id%4==2 (removed), adds %4==0 (added) and edits %4==1
+    (changed), same arithmetic both engines."""
+    from polars_spark.llm import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    old = docs.filter(d % 4 != 0)
+    new = docs.filter(d % 4 != 2).withColumn(
+        "text",
+        F.when(d % 4 == 1, F.concat(F.col("text"), F.lit(" edited"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new)
+
+
+@query(
+    "txt_pr_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars / 3000.0 AS score, (doc_id % 3 = 0) AS label FROM documents
+    ), t(threshold) AS (VALUES (0.2),(0.4),(0.6),(0.8))
+    SELECT t.threshold,
+           sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS fn,
+           floor(CASE WHEN sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) > 0 THEN
+             sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS DOUBLE) END * 1e9 + 0.5) / 1e9 AS precision,
+           floor(CASE WHEN sum(CASE WHEN label THEN 1 ELSE 0 END) > 0 THEN
+             sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) END * 1e9 + 0.5) / 1e9 AS recall
+    FROM scored, t
+    GROUP BY t.threshold
+    """,
+)
+def txt_pr_curve(spark, sf_dir):
+    """llm.pr_curve: classifier-threshold calibration sweep — every
+    threshold is a conditional aggregate in ONE corpus pass (no sort, no
+    window); f1 omitted from the gate (pure function of the compared
+    precision/recall)."""
+    from polars_spark.llm import pr_curve
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("n_chars") / 3000.0).alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    out = pr_curve(scored, [0.2, 0.4, 0.6, 0.8])
+    return out.select(
+        "threshold", "tp", "fp", "fn",
+        fround(F.col("precision"), 9).alias("precision"),
+        fround(F.col("recall"), 9).alias("recall"),
+    )

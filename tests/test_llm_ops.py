@@ -806,3 +806,32 @@ def test_tokenize_documents_plan_and_roundtrip(spark):
     plan = tokenize_documents(df, vocab)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    from polars_spark.llm import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_pr_curve_single_pass(spark):
+    from polars_spark.llm import pr_curve
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.3, True), (0.1, False)],
+        "score double, label boolean",
+    )
+    out = {r["threshold"]: r for r in pr_curve(df, [0.5]).collect()}
+    r = out[0.5]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.5 and r["f1"] == 0.5
+    # one aggregation job, no window/sort in the plan
+    plan = pr_curve(df, [0.1, 0.5, 0.9])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", "")
