@@ -516,6 +516,21 @@ def read_excel(source, *, sheet_name=0, spark: SparkSession | None = None) -> La
     return from_pandas(pd.read_excel(source, sheet_name=sheet_name), spark=spark)
 
 
+def read_ods(source, *, sheet_name=0, spark: SparkSession | None = None) -> LazyFrame:
+    """polars read_ods: driver-side odfpy/pandas bridge, same trade as
+    read_excel (an ODS file is a driver artifact; the frame distributes
+    after parse)."""
+    try:
+        import odf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env
+        raise NotImplementedError("read_ods needs odfpy (not in this image)") from exc
+    import pandas as pd
+
+    return from_pandas(
+        pd.read_excel(source, sheet_name=sheet_name, engine="odf"), spark=spark
+    )
+
+
 def read_clipboard(separator: str = "\t", *, spark: SparkSession | None = None) -> LazyFrame:
     """polars read_clipboard (reference io/clipboard.py): driver-side pandas
     bridge — needs a clipboard-capable environment (not this container)."""
