@@ -835,3 +835,25 @@ def test_pr_curve_single_pass(spark):
     # one aggregation job, no window/sort in the plan
     plan = pr_curve(df, [0.1, 0.5, 0.9])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_tokenizer_roundtrip_property(spark):
+    # with every alphabet letter in vocab, concatenating the matched tokens
+    # reconstructs the word — greedy matching is a partition of the word
+    import random
+
+    from polars_spark.llm.tokenizer import greedy_tokenize
+
+    vocab_list = ["ab", "abc", "bc", "ca", "a", "b", "c"]
+    vmap = {t: i + 1 for i, t in enumerate(vocab_list)}
+    inv = {i: t for t, i in vmap.items()}
+    rng = random.Random(42)
+    for _ in range(200):
+        w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+        ids = greedy_tokenize(w, vmap, 3)
+        assert 0 not in ids  # complete alphabet -> no UNK
+        assert "".join(inv[i] for i in ids) == w
+        # greedy: first token is the longest vocab prefix of w
+        first = inv[ids[0]]
+        for ln in range(len(first) + 1, 4):
+            assert w[:ln] not in vmap or ln > len(w)
