@@ -1124,3 +1124,107 @@ def txt_pr_curve(spark, sf_dir):
         fround(F.col("precision"), 9).alias("precision"),
         fround(F.col("recall"), 9).alias("recall"),
     )
+
+
+_PASSK = 10
+_PASSK_PROD = " * ".join(
+    f"((n - c - {i}) / CAST(n - {i} AS DOUBLE))" for i in range(_PASSK)
+)
+
+
+@query(
+    "txt_eval_em_f1",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+        array_to_string((string_split_regex(lower(text), '\\s+'))[1:8], ' ') AS ref_raw
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, ref_raw AS reference,
+        CASE WHEN doc_id % 3 = 0 THEN ref_raw
+             WHEN doc_id % 3 = 1 THEN array_to_string(string_split(ref_raw, ' ')[1:6], ' ')
+             ELSE 'the quick brown fox' END AS prediction
+      FROM base
+    ), norm AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(lower(prediction),
+          '[^a-z0-9 ]', ' ', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS p,
+        trim(regexp_replace(regexp_replace(regexp_replace(lower(reference),
+          '[^a-z0-9 ]', ' ', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS r
+      FROM pairs
+    ), ptok AS (
+      SELECT doc_id, t, count(*) AS cp FROM (
+        SELECT doc_id, unnest(list_filter(string_split(p, ' '), x -> x <> '')) AS t FROM norm
+      ) GROUP BY doc_id, t
+    ), rtok AS (
+      SELECT doc_id, t, count(*) AS cr FROM (
+        SELECT doc_id, unnest(list_filter(string_split(r, ' '), x -> x <> '')) AS t FROM norm
+      ) GROUP BY doc_id, t
+    ), inter AS (
+      SELECT ptok.doc_id, sum(least(cp, cr)) AS common
+      FROM ptok JOIN rtok ON ptok.doc_id = rtok.doc_id AND ptok.t = rtok.t
+      GROUP BY ptok.doc_id
+    ), sizes AS (
+      SELECT norm.doc_id,
+             len(list_filter(string_split(p, ' '), x -> x <> '')) AS np,
+             len(list_filter(string_split(r, ' '), x -> x <> '')) AS nr,
+             (p = r)::INT AS em,
+             coalesce(inter.common, 0) AS common
+      FROM norm LEFT JOIN inter ON norm.doc_id = inter.doc_id
+    )
+    SELECT doc_id, em,
+      floor(CASE WHEN np = 0 AND nr = 0 THEN 1.0
+           WHEN np = 0 OR nr = 0 OR common = 0 THEN 0.0
+           ELSE 2.0 * (common/CAST(np AS DOUBLE)) * (common/CAST(nr AS DOUBLE))
+                / (common/CAST(np AS DOUBLE) + common/CAST(nr AS DOUBLE)) END * 1e9 + 0.5) / 1e9 AS f1
+    FROM sizes
+    """,
+)
+def txt_eval_em_f1(spark, sf_dir):
+    """llm.eval.exact_match_f1: SQuAD-style EM + token F1 per prediction —
+    pure column algebra (multiset intersection via array HOFs); oracle
+    computes the intersection relationally (unnest + counted join)."""
+    from polars_spark.llm.eval import exact_match_f1
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ref = F.array_join(F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 8), " ")
+    pred = (
+        F.when(d % 3 == 0, ref)
+        .when(d % 3 == 1, F.array_join(F.slice(F.split(ref, " "), 1, 6), " "))
+        .otherwise(F.lit("the quick brown fox"))
+    )
+    pairs = docs.select(d.alias("doc_id"), pred.alias("prediction"), ref.alias("reference"))
+    out = exact_match_f1(pairs)
+    return out.select("doc_id", "em", fround(F.col("f1"), 9).alias("f1"))
+
+
+@query(
+    "txt_pass_at_k",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id % 40 AS task_id,
+             count(*) AS n,
+             sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY event_id % 40
+    )
+    SELECT task_id, n, c,
+      floor(CASE WHEN n - c < {_PASSK} THEN 1.0
+            ELSE 1.0 - {_PASSK_PROD} END * 1e9 + 0.5) / 1e9 AS pass_at_k
+    FROM g
+    """,
+)
+def txt_pass_at_k(spark, sf_dir):
+    """llm.eval.pass_at_k: the unbiased HumanEval pass@k estimator per
+    task (product form, k unrolled) — one groupBy shuffle."""
+    from polars_spark.llm.eval import pass_at_k
+    from polars_spark.queries import fround
+
+    ev = table(spark, sf_dir, "events")
+    samples = ev.select(
+        (F.col("event_id") % 40).alias("task_id"),
+        (F.col("value") < 100).alias("passed"),
+    )
+    out = pass_at_k(samples, _PASSK)
+    return out.select("task_id", "n", "c", fround(F.col("pass_at_k"), 9).alias("pass_at_k"))

@@ -857,3 +857,43 @@ def test_tokenizer_roundtrip_property(spark):
         first = inv[ids[0]]
         for ln in range(len(first) + 1, 4):
             assert w[:ln] not in vmap or ln > len(w)
+
+
+def test_exact_match_f1(spark):
+    from polars_spark.llm.eval import exact_match_f1
+
+    df = spark.createDataFrame(
+        [
+            ("The Cat sat!", "the cat sat"),      # EM after normalization
+            ("cat sat here", "the cat sat"),      # partial overlap
+            ("", ""),                             # both empty -> match
+            ("dog", "cat"),                       # disjoint
+            ("b b b", "b"),                       # multiset: min counts
+        ],
+        "prediction string, reference string",
+    )
+    out = exact_match_f1(df).collect()
+    by = {r["prediction"]: r for r in out}
+    assert by["The Cat sat!"]["em"] == 1 and by["The Cat sat!"]["f1"] == 1.0
+    r = by["cat sat here"]
+    assert r["em"] == 0 and abs(r["f1"] - 2 * (2 / 3) * (2 / 2) / (2 / 3 + 1)) < 1e-12
+    assert by[""]["em"] == 1 and by[""]["f1"] == 1.0
+    assert by["dog"]["f1"] == 0.0
+    # multiset: common = min(3,1) = 1; p=1/3, r=1 -> f1 = 0.5
+    assert abs(by["b b b"]["f1"] - 0.5) < 1e-12
+
+
+def test_pass_at_k(spark):
+    import math
+
+    from polars_spark.llm.eval import pass_at_k
+
+    rows = [("t1", i < 2) for i in range(10)] + [("t2", False) for _ in range(10)]
+    df = spark.createDataFrame(rows, "task_id string, passed boolean")
+    out = {r["task_id"]: r for r in pass_at_k(df, 3).collect()}
+    # t1: n=10 c=2 -> 1 - C(8,3)/C(10,3) = 1 - 56/120
+    assert abs(out["t1"]["pass_at_k"] - (1 - 56 / 120)) < 1e-12
+    assert out["t2"]["pass_at_k"] == 0.0
+    # n - c < k  =>  1.0
+    df2 = spark.createDataFrame([("t", True), ("t", False)], "task_id string, passed boolean")
+    assert pass_at_k(df2, 3).collect()[0]["pass_at_k"] == 1.0
