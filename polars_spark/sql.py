@@ -82,7 +82,35 @@ class SQLContext:
     def tables(self) -> list[str]:
         return sorted(self._tables)
 
+    _DELETE = re.compile(
+        r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _TRUNCATE = re.compile(
+        r"^\s*TRUNCATE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
     def execute(self, query: str, *, eager: bool = False) -> LazyFrame:
+        # polars-sql statements Spark SQL lacks on temp views: DELETE
+        # (context.rs:785) and TRUNCATE (context.rs:842) — both are
+        # re-registrations of a filtered plan (polars' own semantics: the
+        # registered frame is replaced, nothing is written anywhere)
+        m = self._DELETE.match(query)
+        if m:
+            name, cond = m.group(1), m.group(2)
+            df = self._spark.table(name)
+            from pyspark.sql import functions as F
+
+            new = df.filter(~F.expr(cond)) if cond else df.limit(0)
+            self.register(name, LazyFrame(new))
+            return LazyFrame(new)
+        m = self._TRUNCATE.match(query)
+        if m:
+            name = m.group(1)
+            new = self._spark.table(name).limit(0)
+            self.register(name, LazyFrame(new))
+            return LazyFrame(new)
         return LazyFrame(self._spark.sql(_rewrite_table_functions(self._spark, query)))
 
 

@@ -396,3 +396,13 @@ def test_row_and_init_repr(pl, lf):
     assert "pl.DataFrame" in rep and "[10, 20, 30]" in rep
     with _pt.raises(NotImplementedError):
         f.to_torch()
+
+
+def test_sql_delete_truncate(pl, lf):
+    ctx = pl.SQLContext(frames={"tt": lf(x=[1, 2, 3, 4])})
+    out = ctx.execute("DELETE FROM tt WHERE x > 2")
+    assert sorted(r[0] for r in rows(out)) == [1, 2]
+    # registration updated: later SQL sees the deleted state
+    assert rows(ctx.execute("SELECT count(*) AS n FROM tt")) == [(2,)]
+    ctx.execute("TRUNCATE TABLE tt")
+    assert rows(ctx.execute("SELECT count(*) AS n FROM tt")) == [(0,)]
