@@ -657,6 +657,38 @@ class LazyFrame:
         if coalesce is None:
             coalesce = how != "full"
 
+        if validate not in ("m:m", "many_to_many"):
+            # polars join validation (args.rs JoinValidation): uniqueness of
+            # the keys on the required side(s).  Distributed check — one
+            # limit-1 aggregate per side, short-circuits on first duplicate
+            # (the reference also pays an eager check inside its join).
+            from polars_spark.exceptions import ComputeError
+
+            checks = {
+                "1:1": ("left", "right"), "one_to_one": ("left", "right"),
+                "1:m": ("left",), "one_to_many": ("left",),
+                "m:1": ("right",), "many_to_one": ("right",),
+            }
+            if validate not in checks:
+                raise ValueError(f"join validate={validate!r}")
+            for side in checks[validate]:
+                sdf, keys = (
+                    (self.to_spark(), lon) if side == "left" else (other.to_spark(), ron)
+                )
+                dup = (
+                    sdf.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    msg = (
+                        f"join keys did not fulfill {validate} validation: "
+                        f"{side} side has duplicate keys"
+                    )
+                    raise ComputeError(msg)
+
         ldf = self.to_spark().alias("__l")
         rdf = other.to_spark().alias("__r")
         cond = None

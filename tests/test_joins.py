@@ -212,3 +212,18 @@ def test_interval_join_same_column_names(pl, lf):
         right_lo="lo", right_hi="hi", bucket_width=4.0,
     )
     assert len(rows(out)) == 1  # only [5,6] overlaps [0,10]
+
+
+def test_join_validate(pl, lf):
+    import pytest
+
+    left = lf(k=[1, 2, 2], a=["x", "y", "z"])
+    right = lf(k=[1, 2], b=["p", "q"])
+    # m:1 ok (right unique); 1:m violated (left has dup keys)
+    assert len(rows(left.join(right, on="k", validate="m:1"))) == 3
+    with pytest.raises(pl.exceptions.ComputeError, match="1:m validation"):
+        left.join(right, on="k", validate="1:m")
+    with pytest.raises(pl.exceptions.ComputeError, match="1:1 validation"):
+        left.join(right, on="k", validate="1:1")
+    uniq = lf(k=[1, 2], a=["x", "y"])
+    assert len(rows(uniq.join(right, on="k", validate="1:1"))) == 2
