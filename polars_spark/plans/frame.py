@@ -645,6 +645,30 @@ class LazyFrame:
         forced — Catalyst/AQE pick broadcast vs shuffled-hash at runtime.
         """
         how = {"outer": "full", "leftouter": "left"}.get(how, how)
+        mo = maintain_order or "none"
+        if mo != "none":
+            # polars maintain_order (args.rs MaintainOrderJoin): tag the
+            # ordered side(s) with the scale-safe partition-offset row index,
+            # join unordered, then declare the output order on the hidden
+            # ROW_IDX (a struct of the tags — dropped at collect, and the
+            # orderBy only materializes when the user's plan needs order)
+            lf_l = self.with_row_index("__mo_l__") if "left" in mo else self
+            lf_r = other.with_row_index("__mo_r__") if "right" in mo else other
+            res = lf_l.join(
+                lf_r, on=on, how=how, left_on=left_on, right_on=right_on,
+                suffix=suffix, coalesce=coalesce, nulls_equal=nulls_equal,
+                validate=validate, maintain_order=None,
+            )
+            first = "__mo_l__" if mo.startswith("left") else "__mo_r__"
+            second = {"left_right": "__mo_r__", "right_left": "__mo_l__"}.get(mo)
+            if first not in res.columns:
+                return res
+            parts = [F.col(first)]
+            if second and second in res.columns:
+                parts.append(F.col(second))
+            cols = [c for c in res.columns if c not in ("__mo_l__", "__mo_r__")]
+            df = res._df.withColumn(ROW_IDX, F.struct(*parts))
+            return LazyFrame(df.select(*cols, ROW_IDX), [(ROW_IDX, False)])
         if how == "cross":
             r = _suffix_collisions(other.to_spark(), self.columns, suffix)
             return LazyFrame(self.to_spark().crossJoin(r))

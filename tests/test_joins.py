@@ -227,3 +227,17 @@ def test_join_validate(pl, lf):
         left.join(right, on="k", validate="1:1")
     uniq = lf(k=[1, 2], a=["x", "y"])
     assert len(rows(uniq.join(right, on="k", validate="1:1"))) == 2
+
+
+def test_join_maintain_order(pl, lf):
+    left = lf(k=[3, 1, 2, 1], a=["c", "a1", "b", "a2"]).set_sorted("k") if hasattr(
+        lf(k=[1]), "set_sorted"
+    ) else None
+    # build with explicit scan order via sort on a tag column
+    l = lf(tag=[0, 1, 2, 3], k=[3, 1, 2, 1]).sort("tag")
+    r = lf(k=[1, 2, 3], b=["x", "y", "z"])
+    out = l.join(r, on="k", maintain_order="left")
+    assert [t[1] for t in rows(out)] == [3, 1, 2, 1]  # left appearance order
+    out2 = l.join(r, on="k", how="right", maintain_order="right")
+    # right appearance order; k=1 matches two left rows -> 'x' twice
+    assert [t[-1] for t in rows(out2.select("k", "b"))] == ["x", "x", "y", "z"]
