@@ -1228,3 +1228,44 @@ def txt_pass_at_k(spark, sf_dir):
     )
     out = pass_at_k(samples, _PASSK)
     return out.select("task_id", "n", "c", fround(F.col("pass_at_k"), 9).alias("pass_at_k"))
+
+
+@query(
+    "txt_distinct_sketch",
+    oracle="""
+    SELECT source,
+           count(DISTINCT t) AS distinct_tokens,
+           TRUE AS est_within_5pct
+    FROM (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def txt_distinct_sketch(spark, sf_dir):
+    """llm.sketches: mergeable HLL distinct sketches (DataSketches via
+    hll_sketch_agg) — the incremental corpus-statistics path.  The oracle
+    pins the EXACT per-source distinct token count (computed distributed on
+    the Spark side too); the sketch estimate is asserted Spark-side to sit
+    within 5% of that exact value (lgk=12 ~ 1.6% stderr), since an
+    approximate value cannot hash-match a different engine by definition."""
+    from polars_spark.llm.sketches import build_distinct_sketches, union_sketch_estimates
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    sk = build_distinct_sketches(toks, "source", "t")
+    est = union_sketch_estimates(sk, "source")
+    exact = toks.groupBy("source").agg(F.countDistinct("t").alias("distinct_tokens"))
+    return exact.join(est, "source").select(
+        "source",
+        "distinct_tokens",
+        (
+            F.abs(F.col("distinct_est") - F.col("distinct_tokens"))
+            / F.col("distinct_tokens")
+            <= 0.05
+        ).alias("est_within_5pct"),
+    )

@@ -897,3 +897,39 @@ def test_pass_at_k(spark):
     # n - c < k  =>  1.0
     df2 = spark.createDataFrame([("t", True), ("t", False)], "task_id string, passed boolean")
     assert pass_at_k(df2, 3).collect()[0]["pass_at_k"] == 1.0
+
+
+def test_hll_sketches_incremental(spark, tmp_path):
+    from polars_spark.llm.sketches import (
+        build_distinct_sketches,
+        incremental_distinct,
+        union_sketch_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    full = spark.range(3000).select(
+        (F.col("id") % 3).alias("src"), (F.col("id") % 700).alias("v")
+    )
+    b1 = full.filter(F.col("id") < 1500) if "id" in full.columns else None
+    b1 = spark.range(1500).select((F.col("id") % 3).alias("src"), (F.col("id") % 700).alias("v"))
+    b2 = spark.range(1500, 3000).select((F.col("id") % 3).alias("src"), (F.col("id") % 700).alias("v"))
+
+    # incremental fold == one-shot sketch (associativity), with a parquet
+    # round-trip of the binary sketch column in the middle
+    t1 = incremental_distinct(None, b1, "src", "v")
+    p = str(tmp_path / "sketches.parquet")
+    t1.write.mode("overwrite").parquet(p)
+    t1_back = spark.read.parquet(p)
+    t2 = incremental_distinct(t1_back, b2, "src", "v")
+    inc = {r["src"]: r for r in union_sketch_estimates(t2, "src").collect()}
+    one = {r["src"]: r for r in union_sketch_estimates(
+        build_distinct_sketches(full, "src", "v"), "src").collect()}
+    exact = {r["src"]: r["n"] for r in full.groupBy("src").agg(
+        F.countDistinct("v").alias("n")).collect()}
+    for s in (0, 1, 2):
+        # union-of-sketches need not be bit-identical to sketching the
+        # union (sparse->dense mode transitions); both must sit inside the
+        # sketch's error envelope (lgk=12 -> ~1.6% stderr, 3 sigma bound)
+        assert abs(inc[s]["distinct_est"] - exact[s]) / exact[s] < 0.05
+        assert abs(one[s]["distinct_est"] - exact[s]) / exact[s] < 0.05
+        assert inc[s]["total_rows"] == 1000
