@@ -43,6 +43,14 @@ def get_spark(app_name: str = "polars_spark", **extra_conf: str) -> SparkSession
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level filtering: build a bloom filter from the small
+        # side of a shuffle join and push it into the big side's SCAN — at
+        # 100 TB this prunes most of a fact-table read when the dim side is
+        # selective (the Spark-native analogue of polars' semi-join pushdown)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # NOTE: runtimeFilter.semiJoinReduction was tried and HANGS planning
+        # on this Spark build (infinite re-optimization with AQE) — bloom
+        # runtime filters alone are the safe, effective form
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
