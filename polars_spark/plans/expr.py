@@ -2710,6 +2710,15 @@ class _WhenThen:
     def _is_agg(self):
         return False
 
+    def __getattr__(self, name: str):
+        """Any Expr method/namespace works directly on an unfinished
+        when/then chain (polars semantics: missing otherwise = null), so
+        ``pl.when(c).then(x).min().over(k)`` parses like the reference.
+        Only fires for attributes _WhenThen doesn't define itself."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._as_expr(), name)
+
 
 class _When:
     def __init__(self, prior: list[tuple[Expr, Expr]], condition: Expr):

@@ -223,3 +223,119 @@ def tmp_closed_none(spark, sf_dir):
         .agg(pl.col("value").sum().round(4).alias("total"), pl.len().alias("n"))
         .to_spark()
     )
+
+
+@query(
+    "evt_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), step2 AS (
+      SELECT e.user_id, p.t_view,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > p.t_view THEN e.ts END) AS t_click
+      FROM events e JOIN per_user p USING (user_id)
+      GROUP BY e.user_id, p.t_view
+    ), step3 AS (
+      SELECT e.user_id, s.t_view, s.t_click,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s.t_click THEN e.ts END) AS t_buy
+      FROM events e JOIN step2 s USING (user_id)
+      GROUP BY e.user_id, s.t_view, s.t_click
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END)  AS n_view,
+           count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click,
+           count(CASE WHEN t_buy IS NOT NULL THEN 1 END)   AS n_purchase,
+           floor(count(CASE WHEN t_buy IS NOT NULL THEN 1 END)
+                 / CAST(count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS DOUBLE)
+                 * 1e9 + 0.5) / 1e9 AS conversion
+    FROM step3
+    """,
+)
+def evt_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view -> click-after-view -> purchase-after-
+    click), the classic event-analytics op: three chained per-user window
+    minima sharing ONE user_id exchange (consecutive Window ops over the
+    same partitioning reuse the shuffle), then a global conversion rollup."""
+    ev = ltable(spark, sf_dir, "events")
+    t1 = pl.when(pl.col("event_type") == "view").then(pl.col("ts")).min().over("user_id")
+    stage1 = ev.with_columns(t1.alias("t_view"))
+    t2 = (
+        pl.when((pl.col("event_type") == "click") & (pl.col("ts") > pl.col("t_view")))
+        .then(pl.col("ts"))
+        .min()
+        .over("user_id")
+    )
+    stage2 = stage1.with_columns(t2.alias("t_click"))
+    t3 = (
+        pl.when((pl.col("event_type") == "purchase") & (pl.col("ts") > pl.col("t_click")))
+        .then(pl.col("ts"))
+        .min()
+        .over("user_id")
+    )
+    stage3 = stage2.with_columns(t3.alias("t_buy"))
+    per_user = stage3.unique(subset="user_id", keep="any").select(
+        "user_id", "t_view", "t_click", "t_buy"
+    )
+    out = per_user.select(
+        pl.col("t_view").count().alias("n_view"),
+        pl.col("t_click").count().alias("n_click"),
+        pl.col("t_buy").count().alias("n_purchase"),
+    )
+    import pyspark.sql.functions as F
+
+    from polars_spark.queries import fround
+
+    return out.to_spark().withColumn(
+        "conversion", fround(F.col("n_purchase") / F.col("n_view"), 9)
+    )
+
+
+@query(
+    "evt_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01', min(ts)) / 7) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7) AS BIGINT) AS week
+      FROM events
+    )
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, a.week - f.cohort_week
+    """,
+)
+def evt_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = week of first activity,
+    cell (cohort, offset) = distinct users active offset weeks later.
+    Two user-keyed aggregations + one join — no window, no collect."""
+    ev = ltable(spark, sf_dir, "events")
+    week = (
+        (pl.col("ts").cast(pl.Date) - pl.lit("2024-01-01").cast(pl.Date))
+        .dt.total_days()
+        .floordiv(7)
+    )
+    firsts = (
+        ev.group_by("user_id")
+        .agg(pl.col("ts").min().alias("first_ts"))
+        .with_columns(
+            (
+                (pl.col("first_ts").cast(pl.Date) - pl.lit("2024-01-01").cast(pl.Date))
+                .dt.total_days()
+                .floordiv(7)
+            ).alias("cohort_week")
+        )
+        .select("user_id", "cohort_week")
+    )
+    active = ev.select("user_id", week.alias("week")).unique()
+    out = (
+        active.join(firsts, on="user_id")
+        .with_columns((pl.col("week") - pl.col("cohort_week")).alias("week_offset"))
+        .group_by("cohort_week", "week_offset")
+        .agg(pl.col("user_id").n_unique().alias("n_users"))
+    )
+    return out.to_spark()
