@@ -58,6 +58,7 @@ __all__ = [
     "zorder_key",
     "sink_parquet_zorder",
     "heavy_hitters",
+    "key_skew_profile",
 ]
 
 
@@ -1109,3 +1110,37 @@ def time_ranges(start=None, end=None, interval: str = "1h", *, closed: str = "bo
         return seq
 
     return Expr(fn, "time")
+
+
+def key_skew_profile(frame, keys, *, percentiles=(0.5, 0.9, 0.99)):
+    """Shuffle-skew diagnostic: the rows-per-key distribution for a
+    prospective join/groupBy key — p50/p90/p99/max rows per key, the skew
+    factor (max / mean), and the share of all rows held by the single
+    hottest key.  Read it BEFORE shipping a 100 TB job: skew_factor in the
+    hundreds means the hottest reduce task gets that multiple of the
+    average — reach for salted_join / AQE skew split.  Cost: one groupBy
+    on the key + a tiny percentile aggregate over the per-key counts."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sdf = frame.to_spark() if hasattr(frame, "to_spark") else frame
+    counts = sdf.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+    pcts = [float(p) for p in percentiles]
+    row = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n__").alias("n_rows"),
+        F.max("__n__").alias("max_per_key"),
+        F.avg("__n__").alias("mean_per_key"),
+        F.percentile(F.col("__n__"), F.array(*[F.lit(p) for p in pcts])).alias("__p__"),
+    )
+    cols = [
+        "n_keys",
+        "n_rows",
+        "max_per_key",
+        F.col("mean_per_key"),
+        (F.col("max_per_key") / F.col("mean_per_key")).alias("skew_factor"),
+        (F.col("max_per_key") / F.col("n_rows")).alias("top_key_share"),
+    ]
+    for i, p in enumerate(pcts):
+        cols.append(F.get(F.col("__p__"), i).alias(f"p{int(p * 100)}_per_key"))
+    from polars_spark.plans.frame import LazyFrame
+
+    return LazyFrame(row.select(*cols))

@@ -412,3 +412,41 @@ def sql_table_functions(spark, sf_dir):
     GROUP BY n_name
     """
     return pl.sql(q).to_spark()
+
+
+@query(
+    "scale_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           sum(n) AS n_rows,
+           max(n) AS max_per_key,
+           floor(avg(n) * 1e6 + 0.5) / 1e6 AS mean_per_key,
+           floor(max(n) / avg(n) * 1e6 + 0.5) / 1e6 AS skew_factor,
+           floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_key_share,
+           CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50_per_key,
+           CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99_per_key
+    FROM counts
+    """,
+)
+def scale_key_skew_profile(spark, sf_dir):
+    """pl.key_skew_profile: rows-per-key distribution for a prospective
+    shuffle key — the pre-flight skew diagnostic (salting / AQE decision
+    input).  Exact percentiles over per-key counts; fround-aligned."""
+    import pyspark.sql.functions as F
+
+    from polars_spark import key_skew_profile
+    from polars_spark.queries import fround, ltable
+
+    ev = ltable(spark, sf_dir, "events")
+    prof = key_skew_profile(ev, "user_id", percentiles=(0.5, 0.99))
+    return prof.to_spark().select(
+        "n_keys", "n_rows", "max_per_key",
+        fround(F.col("mean_per_key"), 6).alias("mean_per_key"),
+        fround(F.col("skew_factor"), 6).alias("skew_factor"),
+        fround(F.col("top_key_share"), 6).alias("top_key_share"),
+        F.col("p50_per_key").cast("double").alias("p50_per_key"),
+        F.col("p99_per_key").cast("double").alias("p99_per_key"),
+    )

@@ -339,3 +339,32 @@ def evt_retention(spark, sf_dir):
         .agg(pl.col("user_id").n_unique().alias("n_users"))
     )
     return out.to_spark()
+
+
+@query(
+    "evt_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def evt_transitions(spark, sf_dir):
+    """First-order journey transition matrix (event -> next event per
+    user): one partitioned lead window + one pair-keyed aggregation — the
+    Markov-chain input for journey modeling."""
+    ev = ltable(spark, sf_dir, "events").set_sorted("ts", "event_id")
+    out = (
+        ev.with_columns(
+            pl.col("event_type").shift(-1).over("user_id").alias("next_type")
+        )
+        .filter(pl.col("next_type").is_not_null())
+        .group_by("event_type", "next_type")
+        .agg(pl.len().alias("n"))
+    )
+    return out.to_spark()
