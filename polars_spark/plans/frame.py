@@ -184,9 +184,19 @@ class LazyFrame:
                 else:
                     out.append(F.col(e))
             elif getattr(e, "_selector", None) is not None:
-                # selector: expand against the schema (pure front-end)
+                # selector: expand against the schema (pure front-end);
+                # a chain (cs.numeric().fill_null(0)) applies its recorded
+                # transform to each matched column, keeping the name unless
+                # the chain's .name.* ops changed it
                 pred = e._selector
-                out.extend(F.col(c) for c, t in self.schema.items() if pred(c, t))
+                chain = getattr(e, "_chain_fn", None)
+                if chain is None:
+                    out.extend(F.col(c) for c, t in self.schema.items() if pred(c, t))
+                else:
+                    for c, t in self.schema.items():
+                        if pred(c, t):
+                            ce = chain(_col(c))
+                            out.append(ce._resolve(ctx).alias(ce._name or c))
             elif isinstance(e, Expr) and getattr(e, "_wildcard", False):
                 out.extend(F.col(c) for c in self.columns)
             elif isinstance(e, Expr) and getattr(e, "_multi", None):
@@ -235,6 +245,18 @@ class LazyFrame:
             for e in _flatten(exprs):
                 if isinstance(e, str):
                     mapping[e] = F.col(e)
+                elif getattr(e, "_selector", None) is not None:
+                    # selector (plain or expression chain): expand per
+                    # matching column, same rules as select
+                    pred = e._selector
+                    chain = getattr(e, "_chain_fn", None)
+                    for c, t in self.schema.items():
+                        if pred(c, t):
+                            if chain is None:
+                                mapping[c] = F.col(c)
+                            else:
+                                ce = chain(_col(c))
+                                mapping[ce._name or c] = ce._resolve(ctx)
                 else:
                     ee = _to_expr(e) if not hasattr(e, "_resolve") else e
                     mapping[ee._name] = ee._resolve(ctx)

@@ -114,3 +114,89 @@ def contains(*substrings: str) -> Selector:
 def matches(pattern: str) -> Selector:
     rx = _re.compile(pattern)
     return Selector(lambda n, t: rx.search(n) is not None, "matches")
+
+
+# ---------------------------------------------------------------------------
+# selector expression chains: cs.numeric().fill_null(0), cs.string().str.
+# to_uppercase(), cs.float_() * 2 ... — polars lets any Expr operation ride
+# on a selector and applies it per expanded column (keeping each column's
+# name, or the name the chain's .name.* ops produce).  The chain records a
+# pure Expr -> Expr function; LazyFrame._resolve_exprs expands the selector
+# against the schema and applies the function to each matched pl.col(name).
+
+
+class _SelectorChain:
+    """A selector plus a recorded expression transform, expanded per
+    matching column at plan-build time (pure front-end, like Selector)."""
+
+    def __init__(self, pred, fn, label: str):
+        self._selector = pred
+        self._chain_fn = fn
+        self._label = label
+
+    def __repr__(self):  # pragma: no cover - repr only
+        return f"<selector-chain {self._label}>"
+
+
+def _chain_method(name: str):
+    def meth(self, *a, **k):
+        base = getattr(self, "_chain_fn", None) or (lambda e: e)
+
+        def fn(e, _base=base):
+            return getattr(_base(e), name)(*a, **k)
+
+        return _SelectorChain(self._selector, fn, f"{getattr(self, '_label', 'sel')}.{name}")
+
+    meth.__name__ = name
+    return meth
+
+
+class _ChainNS:
+    """Deferred namespace access on a selector chain (cs.string().str....)."""
+
+    def __init__(self, owner, ns: str):
+        self._owner = owner
+        self._ns = ns
+
+    def __getattr__(self, meth: str):
+        owner, ns = self._owner, self._ns
+        base = getattr(owner, "_chain_fn", None) or (lambda e: e)
+
+        def call(*a, **k):
+            def fn(e, _base=base):
+                return getattr(getattr(_base(e), ns), meth)(*a, **k)
+
+            return _SelectorChain(
+                owner._selector, fn, f"{getattr(owner, '_label', 'sel')}.{ns}.{meth}"
+            )
+
+        return call
+
+
+def _install_chain_surface() -> None:
+    for n in dir(Expr):
+        if n.startswith("_"):
+            continue
+        attr = getattr(Expr, n, None)
+        if callable(attr):
+            setattr(Selector, n, _chain_method(n))
+            setattr(_SelectorChain, n, _chain_method(n))
+        elif isinstance(attr, property):
+            def _mk(nsname):
+                return property(lambda self, _ns=nsname: _ChainNS(self, _ns))
+
+            setattr(Selector, n, _mk(n))
+            setattr(_SelectorChain, n, _mk(n))
+    # arithmetic/comparison dunders chain too (cs.numeric() * 2); the
+    # SET-ALGEBRA dunders (__or__/__and__/__sub__/__invert__) stay selector
+    # combinators on Selector itself, but chain on an already-started chain
+    for dunder in ("__add__", "__mul__", "__truediv__", "__pow__", "__mod__",
+                   "__gt__", "__lt__", "__ge__", "__le__", "__neg__"):
+        if hasattr(Expr, dunder):
+            setattr(Selector, dunder, _chain_method(dunder))
+            setattr(_SelectorChain, dunder, _chain_method(dunder))
+    for dunder in ("__or__", "__and__", "__sub__", "__invert__"):
+        setattr(_SelectorChain, dunder, _chain_method(dunder))
+
+
+_install_chain_surface()

@@ -52,6 +52,10 @@ def get_spark(app_name: str = "polars_spark", **extra_conf: str) -> SparkSession
         # on this Spark build (infinite re-optimization with AQE) — bloom
         # runtime filters alone are the safe, effective form
         .config("spark.sql.session.timeZone", "UTC")
+        # polars columns are case-SENSITIVE ("name" and "NAME" coexist);
+        # Spark's default case-insensitive resolution would silently
+        # replace one with the other in withColumns (found by user-sim)
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))

@@ -123,3 +123,30 @@ def test_scan_cast_options_accepted(pl):
     opts = pl.ScanCastOptions(integer_cast="upcast")
     f = pl.scan_parquet("/root/testdata/sf0.001/region.parquet", cast_options=opts)
     assert len(rows(f)) == 5
+
+
+def test_selector_chains(pl, lf):
+    import polars_spark.selectors as cs
+
+    f = lf(id=["r1", "r2"], a=[1.0, None], b=[None, 4.0])
+    out = f.with_columns(cs.numeric().fill_null(0))
+    got = rows(out, sort_by="id")
+    assert got == [("r1", 1.0, 0.0), ("r2", 0.0, 4.0)]
+
+    g = lf(s=["ab"], t=["cd"], n=[1.5])
+    up = g.with_columns(cs.string().str.to_uppercase())
+    assert rows(up) == [("AB", "CD", 1.5)]
+    dbl = g.select((cs.numeric() * 2).round(1))
+    assert rows(dbl) == [(3.0,)]
+    sfx = g.select(cs.string().name.suffix("_u"))
+    assert sfx.columns == ["s_u", "t_u"]
+    # set algebra unaffected on plain selectors
+    assert g.select(cs.all() - cs.numeric()).columns == ["s", "t"]
+
+
+def test_case_sensitive_columns(pl, lf):
+    # polars semantics: "name" and "NAME" are distinct columns
+    f = lf(name=["alice"])
+    out = f.with_columns(pl.col("name").str.to_uppercase().alias("NAME"))
+    assert out.columns == ["name", "NAME"]
+    assert rows(out) == [("alice", "ALICE")]
