@@ -124,11 +124,29 @@ def len() -> Expr:  # noqa: A001 - polars name
 # -- horizontal (FunctionExpr::{Sum,Max,Min,Mean}Horizontal) ------------------
 
 
+def _expand_multi(es, ctx: ExprContext):
+    """Expand wildcard (pl.all()) and selector exprs against the frame
+    schema — fold/reduce/horizontal ops take 'all columns' in polars."""
+    out = []
+    for e in es:
+        if getattr(e, "_wildcard", False):
+            out.extend(col(c) for c in ctx.df.columns if not c.startswith("__"))
+        elif getattr(e, "_selector", None) is not None:
+            pred = e._selector
+            chain = getattr(e, "_chain_fn", None)
+            for c, t in ctx.df.dtypes:
+                if not c.startswith("__") and pred(c, t):
+                    out.append(chain(col(c)) if chain else col(c))
+        else:
+            out.append(e)
+    return out
+
+
 def _horizontal(exprs, combine, name: str) -> Expr:
     es = _cols(exprs)
 
     def fn(ctx: ExprContext) -> Column:
-        return combine([e._resolve(ctx) for e in es])
+        return combine([e._resolve(ctx) for e in _expand_multi(es, ctx)])
 
     return Expr(fn, name)
 
@@ -226,7 +244,7 @@ def fold(acc, function, exprs) -> Expr:
 
     def fn(ctx: ExprContext) -> Column:
         out = a0._resolve(ctx)
-        for e in es:
+        for e in _expand_multi(es, ctx):
             nxt = e._resolve(ctx)
             out = function(_wrap_col(out), _wrap_col(nxt))._resolve(ctx)
         return out
@@ -238,8 +256,9 @@ def reduce(function, exprs) -> Expr:
     es = _cols(exprs if isinstance(exprs, (list, tuple)) else [exprs])
 
     def fn(ctx: ExprContext) -> Column:
-        out = es[0]._resolve(ctx)
-        for e in es[1:]:
+        ex = _expand_multi(es, ctx)
+        out = ex[0]._resolve(ctx)
+        for e in ex[1:]:
             out = function(_wrap_col(out), _wrap_col(e._resolve(ctx)))._resolve(ctx)
         return out
 

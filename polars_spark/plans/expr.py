@@ -147,6 +147,9 @@ class Expr:
     def alias(self, name: str) -> "Expr":
         e = Expr(self._fn, name, self._is_agg)
         e._alias_of = self  # meta.undo_aliases support
+        if hasattr(self, "_vc_parent"):  # value_counts select-rewrite marker
+            e._vc_parent = self._vc_parent
+            e._vc_opts = self._vc_opts
         return e
 
     @property
@@ -2277,8 +2280,35 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def value_counts(self, sort: bool = False):
-        raise NotImplementedError("use LazyFrame.group_by(...).len() for value_counts")
+    def value_counts(
+        self,
+        *,
+        sort: bool = False,
+        parallel: bool = True,
+        name: str = "count",
+        normalize: bool = False,
+    ):
+        """polars Expr.value_counts -> struct{value, count} per distinct
+        value.  In a SELECT this is a length-changing, frame-level group-by:
+        LazyFrame.select detects the marker and lowers it to the real
+        distributed ``groupBy(value).count()`` plan (one keyed shuffle — the
+        same plan polars' own value_counts runs).  In agg context the counts
+        are built per group with array HOFs over the imploded group."""
+
+        def fn_agg(arr):
+            distinct = F.array_distinct(arr)
+            return F.transform(
+                distinct,
+                lambda d: F.struct(
+                    d.alias(self._name),
+                    F.size(F.filter(arr, lambda x: x.eqNullSafe(d))).alias(name),
+                ),
+            )
+
+        out = self._implode_map(fn_agg)
+        out._vc_parent = self  # select-context rewrite marker
+        out._vc_opts = {"sort": sort, "name": name, "normalize": normalize}
+        return out
 
     def replace(self, mapping: dict, default=None):
         def fn(ctx: ExprContext) -> Column:

@@ -215,6 +215,38 @@ class LazyFrame:
     def select(self, *exprs, **named) -> "LazyFrame":
         from polars_spark.exceptions import translate_errors
 
+        flat = [e for e in _flatten(exprs)]
+        if (
+            len(flat) == 1
+            and not named
+            and getattr(flat[0], "_vc_parent", None) is not None
+        ):
+            # Expr.value_counts in select context: the real distributed
+            # group-by plan (one keyed shuffle), not a window/implode
+            e = flat[0]
+            opts = e._vc_opts
+            ctx = self._ctx()
+            vcol = e._vc_parent._resolve(ctx)
+            vname = e._vc_parent._name
+            cname = opts["name"]
+            g = (
+                self._with_scalar_preps(ctx)
+                .groupBy(vcol.alias(vname))
+                .agg(F.count(F.lit(1)).alias(cname))
+            )
+            if opts["normalize"]:
+                total = g.agg(F.sum(cname).alias("__t__"))
+                g = g.crossJoin(F.broadcast(total)).select(
+                    vname, (F.col(cname) / F.col("__t__")).alias(cname)
+                )
+            out = g.select(F.struct(vname, cname).alias(e._name))
+            order = []
+            if opts["sort"]:
+                g2 = g.orderBy(F.col(cname).desc())
+                out = g2.select(F.struct(vname, cname).alias(e._name))
+                return LazyFrame(out, [])
+            return LazyFrame(out, order)
+
         with translate_errors():
             ctx = self._ctx()
             cols = self._resolve_exprs(exprs, named, ctx=ctx)
@@ -275,7 +307,10 @@ class LazyFrame:
         return LazyFrame(self._df.drop(*names), [o for o in self._order if o[0] not in names])
 
     def rename(self, mapping: Mapping[str, str] | None = None, **kw) -> "LazyFrame":
-        m = dict(mapping or {}, **kw)
+        if callable(mapping):  # polars: rename(lambda old_name: new_name)
+            m = {c: mapping(c) for c in self.columns}
+        else:
+            m = dict(mapping or {}, **kw)
         df = self._df.withColumnsRenamed(m)
         order = [(m.get(n, n), d, nl) for n, d, nl in self._order]
         return LazyFrame(df, order)

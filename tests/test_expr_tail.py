@@ -150,3 +150,34 @@ def test_case_sensitive_columns(pl, lf):
     out = f.with_columns(pl.col("name").str.to_uppercase().alias("NAME"))
     assert out.columns == ["name", "NAME"]
     assert rows(out) == [("alice", "ALICE")]
+
+
+def test_value_counts_select_context(pl, lf):
+    f = lf(x=["a", "b", "a", "c", "a"])
+    out = f.select(pl.col("x").value_counts(sort=True)).collect()
+    recs = [dict(v) for v in out["x"]]
+    assert recs[0] == {"x": "a", "count": 3}
+    assert sorted(r["x"] for r in recs) == ["a", "b", "c"]
+    norm = f.select(pl.col("x").value_counts(normalize=True, name="frac")).collect()
+    fracs = {d["x"]: d["frac"] for d in norm["x"]}
+    assert fracs["a"] == pytest.approx(0.6)
+    # agg context: per-group counts list
+    g = lf(g=["p", "p", "q"], x=["a", "a", "b"])
+    ag = g.group_by("g").agg(pl.col("x").value_counts().alias("vc")).collect()
+    row = {r["g"]: list(r["vc"]) for _, r in ag.iterrows()}
+    assert dict(row["p"][0]) == {"x": "a", "count": 2}
+
+
+def test_fold_horizontal_wildcard(pl, lf):
+    import polars_spark.selectors as cs
+
+    f = lf(a=[1, 2], b=[3, 4], c=[5, 6])
+    s1 = sorted(t[0] for t in rows(f.select(pl.fold(pl.lit(0), lambda a, x: a + x, pl.all()).alias("s"))))
+    s2 = sorted(t[0] for t in rows(f.select(pl.sum_horizontal(pl.all()).alias("s"))))
+    s3 = sorted(t[0] for t in rows(f.select(pl.reduce(lambda a, x: a + x, cs.numeric()).alias("s"))))
+    assert s1 == s2 == s3 == [9, 12]
+
+
+def test_rename_callable(pl, lf):
+    f = lf(abc=[1], xyz=[2])
+    assert f.rename(lambda c: c.upper()).columns == ["ABC", "XYZ"]
