@@ -750,32 +750,58 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
-    def arg_min(self):
-        """Row position (frame row-index) of the minimum; first occurrence
-        wins (FunctionExpr::ArgMin).  Requires a row-index order column."""
+    def _arg_extreme(self, ctx: ExprContext, *, reverse: bool) -> Column:
+        """Position of the min (or max with ``reverse``), first occurrence
+        wins, nulls ignored (FunctionExpr::ArgMin/ArgMax).
 
-        def fn(ctx: ExprContext) -> Column:
+        Grouped/window context: the frame's order column is the position
+        (requires a real row index).  Select context: the position is the
+        0-based rank in the frame order, materialized through the
+        windowed-scalar prep (works after any sort, not only row_index)."""
+        c = self._resolve(ctx)
+        if ctx.grouped or getattr(ctx, "_window", None) is not None:
             specs = ctx.order_specs()
             if not specs:
-                raise ValueError("arg_min needs a row index (with_row_index())")
+                raise ValueError("arg_min/arg_max need a row index (with_row_index())")
             pos = F.col(specs[0][0])
-            c = self._resolve(ctx)
-            out = F.min_by(pos, F.when(c.isNotNull(), F.struct(c, pos)))
+            if reverse:
+                out = F.max_by(pos, F.when(c.isNotNull(), F.struct(c.alias("v"), (-pos).alias("p"))))
+            else:
+                out = F.min_by(pos, F.when(c.isNotNull(), F.struct(c.alias("v"), pos.alias("p"))))
             w = getattr(ctx, "_window", None)
             return out.over(w) if w is not None else out
+        if ctx.order_cols:
+            w = ctx.order_window()
+        else:
+            # scan order: a one-off global ranking for this SCALAR reduction;
+            # at scale attach with_row_index() first (partition-offset, no
+            # global window) — then the position column is already physical
+            w = Window.orderBy(F.monotonically_increasing_id())
+        pos = F.row_number().over(w) - 1
+        if reverse:
+            step = F.when(c.isNotNull(), F.struct(c.alias("v"), (-pos).alias("p")))
+            agg = lambda col: -F.max(col).getField("p")  # noqa: E731
+        else:
+            step = F.when(c.isNotNull(), F.struct(c.alias("v"), pos.alias("p")))
+            agg = lambda col: F.min(col).getField("p")  # noqa: E731
+        name = f"__wscalar_{len(ctx.preps)}__"
+        ctx.preps.append((name, step, agg))
+        # aggregate over the broadcast scalar so an all-aggregate select
+        # still collapses to one row (Spark's implicit global aggregate)
+        return F.min(F.col(name))
+
+    def arg_min(self):
+        """Row position (frame order) of the minimum; first occurrence
+        wins (FunctionExpr::ArgMin)."""
+
+        def fn(ctx: ExprContext) -> Column:
+            return self._arg_extreme(ctx, reverse=False)
 
         return Expr(fn, self._name, is_agg=True)
 
     def arg_max(self):
         def fn(ctx: ExprContext) -> Column:
-            specs = ctx.order_specs()
-            if not specs:
-                raise ValueError("arg_max needs a row index (with_row_index())")
-            pos = F.col(specs[0][0])
-            c = self._resolve(ctx)
-            out = F.min_by(pos, F.when(c.isNotNull(), F.struct((-c).alias("v"), pos)))
-            w = getattr(ctx, "_window", None)
-            return out.over(w) if w is not None else out
+            return self._arg_extreme(ctx, reverse=True)
 
         return Expr(fn, self._name, is_agg=True)
 

@@ -2241,6 +2241,7 @@ class LazyGroupBy:
 
     def agg(self, *exprs, **named) -> LazyFrame:
         ctx = self._lf._ctx()
+        ctx.grouped = True  # exprs may branch on agg vs select context
         aggs: list[Column] = []
         for e in _flatten(exprs):
             ee = _to_expr(e) if not hasattr(e, "_resolve") else e
@@ -2375,6 +2376,7 @@ class SessionGroupBy:
 
     def agg(self, *exprs, **named) -> LazyFrame:
         ctx = self._lf._ctx()
+        ctx.grouped = True  # exprs may branch on agg vs select context
         aggs: list[Column] = []
         for e in _flatten(exprs):
             ee = _to_expr(e) if not hasattr(e, "_resolve") else e

@@ -391,3 +391,12 @@ def test_profile_returns_operator_metrics(pl):
     # scan row counts are real execution metrics
     scan = prof[prof["node"].str.contains("Scan")]
     assert scan["rows_out"].iloc[0] == 150
+
+
+def test_arg_min_max_sorted_and_unordered(pl, lf):
+    # positions follow frame order even when the order is a sort key
+    f = lf(v=[7.0, 3.0, 7.0, 1.0])
+    r = f.select(pl.col("v").arg_max().alias("am"), pl.col("v").arg_min().alias("ai"))
+    assert rows(r) == [(0, 3)]  # first occurrence of max 7 is row 0
+    s = f.sort("v")
+    assert rows(s.select(pl.col("v").arg_max().alias("am"))) == [(2,)]
