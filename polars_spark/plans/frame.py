@@ -1518,6 +1518,60 @@ class LazyFrame:
             pass
         return result, pd.DataFrame(rows)
 
+    def __getitem__(self, item):
+        """polars DataFrame indexing (reference dataframe/frame.py
+        __getitem__): ``df["a"]`` -> Series, ``df[["a","b"]]`` -> frame,
+        ``df[i]`` -> row tuple, ``df[a:b:s]`` -> sliced frame,
+        ``df[row, col]`` -> scalar / Series.  Row-returning forms are eager
+        by definition (they are on the eager DataFrame in polars too)."""
+        from polars_spark.series import Series
+
+        if isinstance(item, str):
+            pdf = self.select(item).collect()
+            return Series(item, pdf[item].tolist())
+        if isinstance(item, (list, tuple)) and item and all(
+            isinstance(c, str) for c in item
+        ):
+            return self.select(*item)
+        if isinstance(item, list) and item and all(isinstance(i, int) for i in item):
+            idx = "__gi__"
+            f = self.with_row_index(idx)
+            out = f.filter(_col(idx).is_in(item)).drop(idx)
+            return out
+        if isinstance(item, int):
+            return self.row(item)
+        if isinstance(item, slice):
+            start, stop, step = item.start or 0, item.stop, item.step
+            if start < 0 or (stop is not None and stop < 0):
+                n = self.count()
+                if start < 0:
+                    start += n
+                if stop is not None and stop < 0:
+                    stop += n
+            length = None if stop is None else max(0, stop - start)
+            out = self.slice(start, length)
+            if step and step != 1:
+                out = out.gather_every(step)
+            return out
+        if isinstance(item, tuple) and len(item) == 2:
+            rows_part, cols_part = item
+            base = self if rows_part == slice(None) else self[rows_part]
+            if isinstance(rows_part, int):
+                # single row: base is a tuple already — recompute properly
+                rec = self.row(rows_part, named=True)
+                if isinstance(cols_part, str):
+                    return rec[cols_part]
+                if isinstance(cols_part, int):
+                    return rec[self.columns[cols_part]]
+                return {c: rec[c] for c in cols_part}
+            if isinstance(cols_part, str):
+                return base[cols_part]
+            if isinstance(cols_part, int):
+                return base[self.columns[cols_part]]
+            return base.select(*cols_part)
+        msg = f"cannot index a frame with {type(item).__name__!r}"
+        raise TypeError(msg)
+
     def row(self, index: int | None = None, *, by_predicate=None, named: bool = False):
         """polars DataFrame.row: a single row as a tuple (or dict).  With
         ``by_predicate`` the filter runs distributed and exactly one match

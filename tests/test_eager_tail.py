@@ -128,3 +128,20 @@ def test_unstack_column_subset(pl, lf):
     out = f.unstack(step=1, columns="x")
     assert out.columns == ["x_0", "x_1"]
     assert rows(out) == [("A", "B")]
+
+
+def test_getitem_forms(pl, lf):
+    f = lf(a=[1, 2, 3], b=["x", "y", "z"]).sort("a")
+    assert f["a"].to_list() == [1, 2, 3]
+    assert f[["b", "a"]].columns == ["b", "a"]
+    assert f[1] == (2, "y")
+    assert [r[0] for r in rows(f[0:2])] == [1, 2]
+    assert [r[0] for r in rows(f[::2])] == [1, 3]
+    assert [r[0] for r in rows(f[-2:])] == [2, 3]
+    assert [r[0] for r in rows(f[[0, 2]])] == [1, 3]
+    assert f[1, "b"] == "y" and f[1, 1] == "y"
+    assert f[:, "a"].to_list() == [1, 2, 3]
+    import pytest
+
+    with pytest.raises(TypeError):
+        f[object()]
