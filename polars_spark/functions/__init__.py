@@ -1027,7 +1027,7 @@ def map_batches(exprs, function, return_dtype="double") -> Expr:
     def fn(ctx: ExprContext) -> Column:
         return udf(*[e._resolve(ctx) for e in es])
 
-    return Expr(fn, "map")
+    return Expr(fn, "map", is_agg=True)
 
 
 def map_groups(exprs, function, return_dtype="double", *, returns_scalar: bool = True) -> Expr:
@@ -1051,7 +1051,7 @@ def map_groups(exprs, function, return_dtype="double", *, returns_scalar: bool =
     def fn(ctx: ExprContext) -> Column:
         return udf(*[e._resolve(ctx) for e in es])
 
-    return Expr(fn, "map")
+    return Expr(fn, "map", is_agg=True)
 
 
 def groups(column: str) -> Expr:

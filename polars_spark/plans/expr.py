@@ -2667,12 +2667,25 @@ def _flatten_exprs(items) -> list[Expr]:
 # constructors
 
 
-def col(*names: str) -> Expr:
+def col(*names) -> Expr:
     if len(names) == 1 and isinstance(names[0], str):
         name = names[0]
         if name == "*":
             return all_()
+        if name.startswith("^") and name.endswith("$"):
+            # polars: ^...$ names are regex column selections
+            from polars_spark import selectors as cs
+
+            return cs.matches(name)
         return Expr(lambda ctx: F.col(name), name)
+    if names and all(
+        (isinstance(n, type) and issubclass(n, DataType)) or isinstance(n, DataType)
+        for n in names
+    ):
+        # polars: pl.col(pl.Float64) selects by dtype
+        from polars_spark import selectors as cs
+
+        return cs.by_dtype(*[_dtype_to_spark(n) for n in names])
     # multi-column: expanded at frame level
     cols = []
     for n in names:
@@ -2695,8 +2708,18 @@ def sql_expr(s: str) -> Expr:
     return Expr(lambda ctx: F.expr(s), m.group(1) if m else "literal")
 
 
-def all_() -> Expr:
-    e = Expr(lambda ctx: F.col("*"), "*")
+def all_(*names) -> Expr:
+    if names:
+        # pl.all("a", "b"): boolean ALL of the named columns (reference
+        # functions/lazy.py all): single name -> col.all()
+        if len(names) == 1:
+            return col(names[0]).all()
+        return col(*names)
+    # wildcard: a Selector so expression chains expand per column
+    # (pl.all().sum() in agg context); _wildcard kept for legacy consumers
+    from polars_spark import selectors as cs
+
+    e = cs.all()
     e._wildcard = True  # type: ignore[attr-defined]
     return e
 

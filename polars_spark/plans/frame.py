@@ -2296,12 +2296,35 @@ class LazyGroupBy:
     def agg(self, *exprs, **named) -> LazyFrame:
         ctx = self._lf._ctx()
         ctx.grouped = True  # exprs may branch on agg vs select context
+        key_names = {k for k in self._keys if isinstance(k, str)} | set(self._named)
         aggs: list[Column] = []
+
+        def _wrap(ee):
+            # polars: a non-aggregate expression inside .agg() captures the
+            # group as a LIST (implicit implode — GroupBy "full list
+            # capture", dsl/plan.rs GroupBy aggs)
+            return ee if getattr(ee, "_is_agg", True) else ee.implode()
+
         for e in _flatten(exprs):
+            if isinstance(e, str):
+                e = _col(e)
+            if getattr(e, "_selector", None) is not None:
+                # selector / pl.all() (+chains): expand over non-key columns
+                pred = e._selector
+                chain = getattr(e, "_chain_fn", None)
+                for c, t in self._lf.schema.items():
+                    if c in key_names or not pred(c, t):
+                        continue
+                    ce = chain(_col(c)) if chain else _col(c)
+                    ce = _wrap(ce)
+                    aggs.append(ce._resolve(ctx).alias(ce._name or c))
+                continue
             ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            ee = _wrap(ee)
             aggs.append(ee._resolve(ctx).alias(ee._name))
         for name, e in named.items():
-            aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+            ee = _wrap(_to_expr(e))
+            aggs.append(ee._resolve(ctx).alias(name))
         if self._maintain and self._lf._order:
             # polars maintain_order: groups come out in first-seen row order
             seen = F.min(F.struct(*[F.col(o[0]) for o in self._lf._order])).alias("__seen__")

@@ -200,3 +200,14 @@ def _install_chain_surface() -> None:
 
 
 _install_chain_surface()
+
+
+def _selector_exclude(self, *names):
+    """pl.all().exclude(...) / selector.exclude(...): set difference."""
+    flat = []
+    for n in names:
+        flat.extend(n) if isinstance(n, (list, tuple)) else flat.append(n)
+    return self - by_name(*flat)
+
+
+Selector.exclude = _selector_exclude

@@ -181,3 +181,33 @@ def test_fold_horizontal_wildcard(pl, lf):
 def test_rename_callable(pl, lf):
     f = lf(abc=[1], xyz=[2])
     assert f.rename(lambda c: c.upper()).columns == ["ABC", "XYZ"]
+
+
+def test_polars_col_selection_forms(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1, 2, 30], y=[1.5, 2.5, 3.5])
+    # regex column selection
+    assert f.select(pl.col("^[xy]$")).columns == ["x", "y"]
+    # dtype-based selection
+    assert f.select(pl.col(pl.Float64)).columns == ["y"]
+    # wildcard exclude
+    assert f.select(pl.all().exclude("g")).columns == ["x", "y"]
+
+
+def test_agg_implicit_implode_and_wildcard(pl, lf):
+    f = lf(g=["a", "a", "b"], x=[1, 2, 30], y=[1.5, 2.5, 3.5])
+    bare = f.group_by("g").agg(pl.col("x")).collect()
+    got = sorted((r["g"], sorted(r["x"])) for r in bare.to_dict("records"))
+    assert got == [("a", [1, 2]), ("b", [30])]
+    allsum = f.group_by("g").agg(pl.all().sum()).collect()
+    rec = sorted(allsum.to_dict("records"), key=lambda r: r["g"])
+    assert rec[0] == {"g": "a", "x": 3, "y": 4.0}
+    # expr applied to the imploding column (non-agg chain) also implodes
+    doubled = f.group_by("g").agg((pl.col("x") * 2).alias("d")).collect()
+    got2 = sorted((r["g"], sorted(r["d"])) for r in doubled.to_dict("records"))
+    assert got2 == [("a", [2, 4]), ("b", [60])]
+
+
+def test_group_by_expr_key(pl, lf):
+    f = lf(x=[1, 2, 30])
+    out = f.group_by((pl.col("x") // 10).alias("dec")).agg(pl.len().alias("n"))
+    assert rows(out, sort_by="dec") == [(0, 2), (3, 1)]
