@@ -539,8 +539,11 @@ class LazyFrame:
             raise ValueError(f"item() needs a 1x1 frame, got {pdf.shape}")
         return pdf.iloc[0, 0]
 
-    def rows(self) -> list[tuple]:
-        return [tuple(t) for t in self.collect().itertuples(index=False, name=None)]
+    def rows(self, *, named: bool = False) -> list:
+        pdf = self.collect()
+        if named:
+            return pdf.to_dict("records")
+        return [tuple(t) for t in pdf.itertuples(index=False, name=None)]
 
     def to_dicts(self) -> list[dict]:
         return self.collect().to_dict("records")
@@ -1342,14 +1345,26 @@ class LazyFrame:
     def write_parquet(self, path: str, **kw) -> None:
         self.sink_parquet(path, **kw)
 
-    def write_csv(self, path: str, **kw) -> None:
-        self.sink_csv(path, **kw)
+    def write_csv(self, path: str | None = None, *, separator: str = ",", include_header: bool = True, **kw):
+        """With no path, return the CSV as a string (polars write_csv()
+        string mode — driver-side by definition); with a path, distributed
+        sink_csv."""
+        if path is None:
+            return self.collect().to_csv(index=False, sep=separator, header=include_header)
+        self.sink_csv(path, separator=separator, include_header=include_header, **kw)
+        return None
 
-    def write_ndjson(self, path: str, **kw) -> None:
+    def write_ndjson(self, path: str | None = None, **kw):
+        if path is None:
+            return self.collect().to_json(orient="records", lines=True)
         self.sink_ndjson(path, **kw)
+        return None
 
-    def write_json(self, path: str, **kw) -> None:
+    def write_json(self, path: str | None = None, **kw):
+        if path is None:
+            return self.collect().to_json(orient="records")
         self.sink_ndjson(path, **kw)
+        return None
 
     def write_ipc(self, path: str) -> None:
         self.sink_ipc(path)
