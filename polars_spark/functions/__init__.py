@@ -97,11 +97,16 @@ def median(*names):
     return col(*names).median()
 
 
-def first(name):
+def first(name=None):
+    if name is None:
+        # polars pl.first(): the frame's first column
+        return Expr(lambda ctx: F.col(ctx.df.columns[0]), "first")
     return col(name).first()
 
 
-def last(name):
+def last(name=None):
+    if name is None:
+        return Expr(lambda ctx: F.col([c for c in ctx.df.columns if not c.startswith("__")][-1]), "last")
     return col(name).last()
 
 

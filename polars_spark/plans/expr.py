@@ -2050,10 +2050,23 @@ class Expr:
         return self.get(0)
 
     def explode(self):
-        """Agg/list context: flatten one nesting level (polars explode on a
-        list column inside agg).  Frame-level row explosion is
-        LazyFrame.explode."""
-        return self._implode_map(lambda c: F.flatten(c))
+        """polars Expr.explode / flatten: in a SELECT this is row explosion
+        of the list column (explode_outer — null/empty -> null row); inside
+        group_by().agg() it flattens one nesting level of the captured
+        group lists."""
+        imploded = self._implode_map(lambda c: F.flatten(c))
+
+        def fn(ctx: ExprContext) -> Column:
+            if ctx.grouped or getattr(ctx, "_window", None) is not None:
+                return imploded._resolve(ctx)
+            return F.explode_outer(self._resolve(ctx))
+
+        # is_agg: inside group_by().agg() this IS the aggregate (flatten of
+        # the captured lists) — never re-imploded by the implicit-implode rule
+        return Expr(fn, self._name, is_agg=True)
+
+    def flatten(self):
+        return self.explode()
 
     def arg_true(self):
         """Positions (0-based, frame order) where the predicate is true —

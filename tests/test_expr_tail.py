@@ -211,3 +211,28 @@ def test_group_by_expr_key(pl, lf):
     f = lf(x=[1, 2, 30])
     out = f.group_by((pl.col("x") // 10).alias("dec")).agg(pl.len().alias("n"))
     assert rows(out, sort_by="dec") == [(0, 2), (3, 1)]
+
+
+def test_explode_flatten_contexts(pl, lf):
+    d = lf(l=[[1, 2], [3], None])
+    got = sorted(
+        (t[0] for t in rows(d.select(pl.col("l").flatten()))),
+        key=lambda v: (v is None, v),
+    )
+    assert got == [1, 2, 3, None]
+    g = lf(g=["a", "a"], l=[[1, 2], [3]])
+    ag = g.group_by("g").agg(pl.col("l").explode().alias("f")).collect()
+    assert sorted(ag["f"][0]) == [1, 2, 3]
+
+
+def test_first_last_no_arg(pl, lf):
+    f = lf(x=[1], y=[2])
+    assert f.select(pl.first()).columns == ["x"]
+    assert f.select(pl.last()).columns == ["y"]
+
+
+def test_write_string_modes(pl, lf):
+    f = lf(a=[1, 2], b=["x", "y"]).sort("a")
+    assert f.write_csv() == "a,b\n1,x\n2,y\n"
+    assert f.rows(named=True)[0] == {"a": 1, "b": "x"}
+    assert '"a":1' in f.write_ndjson()
