@@ -97,16 +97,35 @@ def median(*names):
     return col(*names).median()
 
 
+class _PositionalColumn(Expr):
+    """pl.first()/pl.last() no-arg forms: the frame's first/last column,
+    keeping that column's own name (resolved against the schema lazily)."""
+
+    def __init__(self, idx: int, label: str):
+        self._idx = idx
+        super().__init__(self._resolve_col, label)
+
+    def _visible(self, ctx):
+        return [c for c in ctx.df.columns if not c.startswith("__")]
+
+    def _resolve_col(self, ctx):
+        return F.col(self._visible(ctx)[self._idx])
+
+    def _named(self, ctx):
+        name = self._visible(ctx)[self._idx]
+        return F.col(name).alias(name)
+
+
 def first(name=None):
     if name is None:
         # polars pl.first(): the frame's first column
-        return Expr(lambda ctx: F.col(ctx.df.columns[0]), "first")
+        return _PositionalColumn(0, "first")
     return col(name).first()
 
 
 def last(name=None):
     if name is None:
-        return Expr(lambda ctx: F.col([c for c in ctx.df.columns if not c.startswith("__")][-1]), "last")
+        return _PositionalColumn(-1, "last")
     return col(name).last()
 
 

@@ -202,7 +202,10 @@ class LazyFrame:
             elif isinstance(e, Expr) and getattr(e, "_multi", None):
                 out.extend(F.col(c).alias(c) for c in e._multi)
             elif isinstance(e, Expr) or hasattr(e, "_resolve"):
-                out.append(e._resolve(ctx).alias(e._name))
+                if hasattr(e, "_named"):
+                    out.append(e._named(ctx))  # dynamic-name exprs override
+                else:
+                    out.append(e._resolve(ctx).alias(e._name))
             elif isinstance(e, Column):
                 out.append(e)
             else:
