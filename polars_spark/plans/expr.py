@@ -150,6 +150,13 @@ class Expr:
         if hasattr(self, "_vc_parent"):  # value_counts select-rewrite marker
             e._vc_parent = self._vc_parent
             e._vc_opts = self._vc_opts
+        if hasattr(self, "_select_rewrite"):
+            parent_rewrite = self._select_rewrite
+
+            def renamed(lf, _pr=parent_rewrite, _nm=name):
+                return _rename_first(_pr(lf), _nm)
+
+            e._select_rewrite = renamed
         return e
 
     @property
@@ -1934,16 +1941,40 @@ class Expr:
     def reverse(self):
         return self._implode_map(F.reverse)
 
+    def _k_extreme(self, k: int, *, desc: bool):
+        def shape(c):
+            arr = F.array_sort(F.filter(c, lambda v: v.isNotNull()))
+            return F.slice(F.reverse(arr) if desc else arr, 1, k)
+
+        out = self._implode_map(shape)
+        parent = self
+
+        def rewrite(lf):
+            # sole expr in a SELECT: the real TakeOrderedAndProject plan
+            # (sort + limit k), k rows out — polars' length-changing top_k
+            from polars_spark.plans.frame import LazyFrame
+
+            ctx = lf._ctx()
+            c = parent._resolve(ctx)
+            nm = out._name
+            df = (
+                lf._with_scalar_preps(ctx)
+                .select(c.alias(nm))
+                .filter(F.col(nm).isNotNull())
+                .orderBy(F.col(nm).desc() if desc else F.col(nm).asc())
+                .limit(k)
+            )
+            return LazyFrame(df, [])
+
+        out._select_rewrite = rewrite
+        return out
+
     def top_k(self, k: int = 5):
         # polars top_k ignores nulls (reverse(array_sort) would put them first)
-        return self._implode_map(
-            lambda c: F.slice(F.reverse(F.array_sort(F.filter(c, lambda v: v.isNotNull()))), 1, k)
-        )
+        return self._k_extreme(k, desc=True)
 
     def bottom_k(self, k: int = 5):
-        return self._implode_map(
-            lambda c: F.slice(F.array_sort(F.filter(c, lambda v: v.isNotNull())), 1, k)
-        )
+        return self._k_extreme(k, desc=False)
 
     def top_k_by(self, by, k: int = 5):
         b = col(by) if isinstance(by, str) else _to_expr(by)
@@ -2742,6 +2773,11 @@ def nth(i: int) -> Expr:
         return F.col(ctx.df.columns[i])
 
     return Expr(fn, f"nth_{i}")
+
+
+def _rename_first(lf, name: str):
+    first_col = lf.columns[0]
+    return lf.rename({first_col: name}) if first_col != name else lf
 
 
 def _py_to_lit(v) -> Column:

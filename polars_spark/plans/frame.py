@@ -222,6 +222,14 @@ class LazyFrame:
         if (
             len(flat) == 1
             and not named
+            and getattr(flat[0], "_select_rewrite", None) is not None
+        ):
+            # length-changing sole-expr selects (top_k/bottom_k): replace the
+            # projection with the dedicated frame plan (sort+limit)
+            return flat[0]._select_rewrite(self)
+        if (
+            len(flat) == 1
+            and not named
             and getattr(flat[0], "_vc_parent", None) is not None
         ):
             # Expr.value_counts in select context: the real distributed

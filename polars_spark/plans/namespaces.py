@@ -821,6 +821,9 @@ class DateTimeNamespace(_NS):
         via epoch micros."""
         from polars_spark.plans.frame import _parse_duration, _DUR_UNITS_US
 
+        # polars' deprecated '_saturating' suffix: month arithmetic is
+        # always saturating here (add_months), so the suffix is a no-op
+        by = by.replace("_saturating", "")
         months = 0
         fixed_us = 0
         for n, unit in _parse_duration(by):

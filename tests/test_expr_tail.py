@@ -236,3 +236,20 @@ def test_write_string_modes(pl, lf):
     assert f.write_csv() == "a,b\n1,x\n2,y\n"
     assert f.rows(named=True)[0] == {"a": 1, "b": "x"}
     assert '"a":1' in f.write_ndjson()
+
+
+def test_top_k_select_context(pl, lf):
+    d = lf(x=[5, 1, 9, 3])
+    assert d.select(pl.col("x").top_k(2)).collect()["x"].tolist() == [9, 5]
+    assert d.select(pl.col("x").bottom_k(2).alias("lo")).collect()["lo"].tolist() == [1, 3]
+    g = lf(g=["a", "a", "b"], x=[1, 5, 9])
+    ag = g.group_by("g").agg(pl.col("x").top_k(1).alias("t")).collect()
+    assert sorted((r["g"], list(r["t"])) for r in ag.to_dict("records")) == [("a", [5]), ("b", [9])]
+
+
+def test_offset_by_saturating(pl, lf):
+    import datetime
+
+    f = lf(d=[datetime.date(2024, 1, 31)])
+    got = f.select(pl.col("d").dt.offset_by("1mo_saturating").alias("o")).collect().iloc[0, 0]
+    assert str(got).startswith("2024-02-29")
