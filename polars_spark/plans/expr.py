@@ -1093,6 +1093,12 @@ class Expr:
     def rank(self, method: str = "average", descending: bool = False):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            arr = getattr(ctx, "arr_col", None)
+            if arr is not None:
+                # inside list.eval: rank of the element among its peers
+                cur = F.lit(-1) * c if descending else c
+                peers = F.transform(arr, lambda x: F.lit(-1) * x) if descending else arr
+                return self._window_rank_col(peers, cur, method, None, F.lit(0))
             parts = ctx.partition_cols()
             w = Window.partitionBy(*parts).orderBy(c.desc() if descending else c.asc())
             wv = Window.partitionBy(*parts, c)  # rows sharing this value
@@ -2633,13 +2639,21 @@ class Expr:
 
         return Expr(fn, self._name)
 
+    def shift_and_fill(self, fill_value, *, n: int = 1):
+        """Deprecated polars alias: shift(n, fill_value=...)."""
+        return self.shift(n, fill_value=fill_value)
+
     def qcut(self, quantiles, *, labels: list[str] | None = None, allow_duplicates: bool = False):
         """Quantile binning (FunctionExpr::QCut).  Break points are exact
         percentiles registered as frame-level scalars (ctx.add_scalar): one
         tiny partial aggregate, broadcast back — the data itself never
         shuffles, let alone to a single partition.  At 100 TB swap in
         approx_percentile for the breakpoint pass."""
-        qs = list(quantiles)
+        if isinstance(quantiles, int):
+            # polars: an int means N equal-probability bins
+            qs = [i / quantiles for i in range(1, quantiles)]
+        else:
+            qs = list(quantiles)
         if labels is None:
             labels = [f"q{i}" for i in range(len(qs) + 1)]
 

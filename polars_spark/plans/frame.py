@@ -326,7 +326,10 @@ class LazyFrame:
         order = [(m.get(n, n), d, nl) for n, d, nl in self._order]
         return LazyFrame(df, order)
 
-    def cast(self, dtypes: Mapping[str, Any], strict: bool = True) -> "LazyFrame":
+    def cast(self, dtypes, strict: bool = True) -> "LazyFrame":
+        if not isinstance(dtypes, Mapping):
+            # polars: a single dtype casts EVERY column
+            dtypes = {c: dtypes for c in self.columns}
         mapping = {
             c: (F.col(c).cast(_dtype_to_spark(t)) if strict else F.col(c).try_cast(_dtype_to_spark(t)))
             for c, t in dtypes.items()
@@ -2662,8 +2665,16 @@ class _WindowedContext(ExprContext):
 
 
 def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool = False) -> LazyFrame:
-    """polars concat (dsl/plan.rs:152 Union / :157 HConcat)."""
+    """polars concat (dsl/plan.rs:152 Union / :157 HConcat).  Series inputs
+    concat driver-side and stay Series (the eager polars form)."""
     frames = list(items)
+    from polars_spark.series import Series
+
+    if frames and all(isinstance(f, Series) for f in frames):
+        vals: list = []
+        for f in frames:
+            vals.extend(f.to_list())
+        return Series(frames[0].name, vals)
     if how in ("vertical", "vertical_relaxed"):
         df = frames[0].to_spark()
         for f in frames[1:]:

@@ -51,9 +51,12 @@ def element() -> Expr:
 
 
 class _ElementContext(ExprContext):
-    def __init__(self, base: ExprContext, element_col: Column):
+    def __init__(self, base: ExprContext, element_col: Column, arr_col: Column | None = None):
         super().__init__(base.df, base.order_cols, base.grouped, preps=base.preps)
         self.element_col = element_col
+        # the whole array, for element exprs that need the peer values
+        # (rank, and friends) — polars list.eval runs the full expr language
+        self.arr_col = arr_col
 
 
 def _rx_escape(s: str) -> str:
@@ -1191,10 +1194,12 @@ class ListNamespace(_NS):
         e = self._e
 
         def fn(ctx: ExprContext) -> Column:
-            def body(x: Column) -> Column:
-                return expr._resolve(_ElementContext(ctx, x))
+            arr = e._resolve(ctx)
 
-            return F.transform(e._resolve(ctx), body)
+            def body(x: Column) -> Column:
+                return expr._resolve(_ElementContext(ctx, x, arr))
+
+            return F.transform(arr, body)
 
         return Expr(fn, e._name)
 

@@ -253,3 +253,21 @@ def test_offset_by_saturating(pl, lf):
     f = lf(d=[datetime.date(2024, 1, 31)])
     got = f.select(pl.col("d").dt.offset_by("1mo_saturating").alias("o")).collect().iloc[0, 0]
     assert str(got).startswith("2024-02-29")
+
+
+def test_user_sim8_fixes(pl, lf):
+    # cast(single dtype) casts everything
+    assert lf(a=[1], b=[2]).cast(pl.Float64).schema == {"a": "double", "b": "double"}
+    # shift_and_fill alias
+    f = lf(i=[0, 1], x=[1, 2]).sort("i")
+    assert f.select(pl.col("x").shift_and_fill(99, n=1)).collect()["x"].tolist() == [99, 1]
+    # qcut with int bin count + labels
+    q = lf(v=[1.0, 2.0, 3.0, 4.0]).select(pl.col("v").qcut(2, labels=["a", "b"]))
+    assert sorted(q.collect()["v"].tolist()) == ["a", "a", "b", "b"]
+    # rank inside list.eval (the canonical polars eval example)
+    d = lf(l=[[3, 1, 2], [5, 5, 1]])
+    got = [v.tolist() for v in d.select(pl.col("l").list.eval(pl.element().rank())).collect()["l"]]
+    assert got == [[3.0, 1.0, 2.0], [2.5, 2.5, 1.0]]
+    # concat of Series stays a Series
+    s = pl.concat([pl.Series("s", [1]), pl.Series("s", [2])])
+    assert s.to_list() == [1, 2]
