@@ -1100,25 +1100,29 @@ class Expr:
                 peers = F.transform(arr, lambda x: F.lit(-1) * x) if descending else arr
                 return self._window_rank_col(peers, cur, method, None, F.lit(0))
             parts = ctx.partition_cols()
-            w = Window.partitionBy(*parts).orderBy(c.desc() if descending else c.asc())
+            # polars: null values get a NULL rank and do not consume ranks
+            # -> sort nulls last so non-null ranks are unaffected, mask after
+            okey = c.desc_nulls_last() if descending else c.asc_nulls_last()
+            w = Window.partitionBy(*parts).orderBy(okey)
             wv = Window.partitionBy(*parts, c)  # rows sharing this value
             if method == "ordinal":
                 # polars rank('ordinal') breaks ties by row order -> require it
                 w2 = Window.partitionBy(*parts).orderBy(
-                    *([c.desc() if descending else c.asc()] + ctx.order_by_cols())
+                    *([okey] + ctx.order_by_cols())
                 )
-                return F.row_number().over(w2)
-            if method == "dense":
-                return F.dense_rank().over(w)
-            if method == "min":
-                return F.rank().over(w)
-            if method == "max":
-                return F.rank().over(w) + F.count(F.lit(1)).over(wv) - 1
-            # average (polars default)
-            return (
-                F.rank().over(w).cast("double")
-                + (F.count(F.lit(1)).over(wv) - 1) / 2.0
-            )
+                out = F.row_number().over(w2)
+            elif method == "dense":
+                out = F.dense_rank().over(w)
+            elif method == "min":
+                out = F.rank().over(w)
+            elif method == "max":
+                out = F.rank().over(w) + F.count(F.lit(1)).over(wv) - 1
+            else:  # average (polars default)
+                out = (
+                    F.rank().over(w).cast("double")
+                    + (F.count(F.lit(1)).over(wv) - 1) / 2.0
+                )
+            return F.when(c.isNotNull(), out)
 
         return Expr(fn, self._name)
 

@@ -218,8 +218,23 @@ class Series:
     def unique(self) -> "Series":
         return self._wrap(self._s.drop_duplicates())
 
-    def sort(self, *, descending: bool = False) -> "Series":
-        return self._wrap(self._s.sort_values(ascending=not descending, ignore_index=True))
+    def sort(self, *, descending: bool = False, nulls_last: bool | None = None) -> "Series":
+        # polars null-smallest rule: nulls FIRST ascending, LAST descending
+        if nulls_last is None:
+            nulls_last = descending
+        return self._wrap(
+            self._s.sort_values(
+                ascending=not descending,
+                ignore_index=True,
+                na_position="last" if nulls_last else "first",
+            )
+        )
+
+    def dot(self, other) -> float:
+        import pandas as pd
+
+        o = other._s if isinstance(other, Series) else pd.Series(list(other))
+        return float((self._s * o.values).sum())
 
     def equals(self, other: "Series") -> bool:
         return bool(self._s.reset_index(drop=True).equals(other._s.reset_index(drop=True)))

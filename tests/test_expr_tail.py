@@ -271,3 +271,14 @@ def test_user_sim8_fixes(pl, lf):
     # concat of Series stays a Series
     s = pl.concat([pl.Series("s", [1]), pl.Series("s", [2])])
     assert s.to_list() == [1, 2]
+
+
+def test_rank_null_handling(pl, lf):
+    f = lf(v=[3.0, 1.0, None, 5.0])
+    got = f.select(pl.col("v").rank().alias("r")).collect()["r"].tolist()
+    import math
+
+    assert [None if (g is None or (isinstance(g, float) and math.isnan(g))) else g for g in got] == [2.0, 1.0, None, 3.0]
+    s = pl.Series("v", [3.0, 1.0, None, 5.0])
+    assert s.sort().to_list() == [None, 1.0, 3.0, 5.0]
+    assert pl.Series([1.0, 2.0]).dot(pl.Series([3.0, 4.0])) == 11.0
