@@ -275,10 +275,14 @@ def test_user_sim8_fixes(pl, lf):
 
 def test_rank_null_handling(pl, lf):
     f = lf(v=[3.0, 1.0, None, 5.0])
-    got = f.select(pl.col("v").rank().alias("r")).collect()["r"].tolist()
+    got = rows(f.select("v", pl.col("v").rank().alias("r")))
     import math
 
-    assert [None if (g is None or (isinstance(g, float) and math.isnan(g))) else g for g in got] == [2.0, 1.0, None, 3.0]
+    def clean(x):
+        return None if (x is None or (isinstance(x, float) and math.isnan(x))) else x
+
+    by_val = {clean(v): clean(r) for v, r in got}
+    assert by_val == {3.0: 2.0, 1.0: 1.0, None: None, 5.0: 3.0}
     s = pl.Series("v", [3.0, 1.0, None, 5.0])
     assert s.sort().to_list() == [None, 1.0, 3.0, 5.0]
     assert pl.Series([1.0, 2.0]).dot(pl.Series([3.0, 4.0])) == 11.0
