@@ -591,3 +591,32 @@ def sf_decimal_exact(spark, sf_dir):
         .sort("l_returnflag")
         .to_spark()
     )
+
+
+@query(
+    "sf_hist",
+    oracle="""
+    WITH edges(i, lo, hi) AS (VALUES (0, 0.0, 2000.0), (1, 2000.0, 20000.0), (2, 20000.0, 80000.0)),
+    c AS (
+      SELECT hi AS breakpoint,
+             count(CASE WHEN (CASE WHEN i = 0 THEN l.l_extendedprice >= lo
+                                   ELSE l.l_extendedprice > lo END)
+                         AND l.l_extendedprice <= hi THEN 1 END) AS count
+      FROM edges LEFT JOIN lineitem l ON true
+      GROUP BY hi
+    )
+    SELECT breakpoint, count FROM c
+    """,
+)
+def sf_hist(spark, sf_dir):
+    """Expr.hist(bins): right-closed (lo, hi] bins (first bin closed left),
+    one {breakpoint, count} struct per bin — exploded so the oracle
+    compares one row per bin."""
+    li = ltable(spark, sf_dir, "lineitem")
+    out = li.select(
+        pl.col("l_extendedprice").hist(bins=[0.0, 2000.0, 20000.0, 80000.0]).alias("h")
+    )
+    import pyspark.sql.functions as F
+
+    sdf = out.to_spark().select(F.explode("h").alias("b")).select("b.*")
+    return sdf.select("breakpoint", "count")

@@ -512,3 +512,33 @@ def win_rolling_rank(spark, sf_dir):
         pl.col("value").rolling_rank(4, "average").over("user_id").alias("rr_avg"),
         pl.col("value").rolling_rank(4, "dense", min_samples=2).over("user_id").alias("rr_dense"),
     ).to_spark()
+
+@query(
+    "win_rank_nulls",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value < 450 THEN value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN v IS NOT NULL THEN
+             rank() OVER (PARTITION BY user_id ORDER BY v ASC NULLS LAST) END AS rk_min,
+           CASE WHEN v IS NOT NULL THEN
+             dense_rank() OVER (PARTITION BY user_id ORDER BY v DESC NULLS LAST) END AS rk_dense_desc
+    FROM t
+    """,
+)
+def win_rank_nulls(spark, sf_dir):
+    """polars null-rank rule pinned cross-engine: nulls receive a NULL rank
+    and do not consume rank positions (nulls-last ordering + mask — the
+    round-6 fidelity fix)."""
+    ev = _ev(spark, sf_dir)
+    withv = ev.with_columns(
+        pl.when(pl.col("value") < 450).then(pl.col("value")).alias("v")
+    )
+    return withv.select(
+        "event_id",
+        pl.col("v").rank("min").over("user_id").cast(pl.Int64).alias("rk_min"),
+        pl.col("v").rank("dense", descending=True).over("user_id").cast(pl.Int64).alias("rk_dense_desc"),
+    ).to_spark()

@@ -242,7 +242,8 @@ def test_series_facade(pl, spark):
     assert s.name == "a" and len(s) == 4 and s.null_count() == 1
     assert s.sum() == 6 and s.n_unique() == 4
     assert (s * 2).to_list()[:3] == [6, 2, 4]
-    assert s.sort().to_list()[:3] == [1, 2, 3]
+    # polars null-smallest rule: ascending sort puts nulls FIRST
+    assert s.sort().to_list() == [None, 1, 2, 3]
     # promote to a distributed frame for real work
     f = s.to_frame()
     assert f.collect()["a"].dropna().sum() == 6
