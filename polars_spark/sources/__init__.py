@@ -635,7 +635,7 @@ def int_range(
     return LazyFrame(spark.range(start, end, step).select(F.col("id").alias("literal")))
 
 
-def linear_space(start: float, end: float, num_samples: int, *, spark: SparkSession | None = None) -> LazyFrame:
+def linear_space(start: float, end: float, num_samples: int, *, eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
     """num_samples evenly spaced points over [start, end] — spark.range
     backed, computed as start + i*(end-start)/(n-1) per row."""
     spark = spark or _spark()
@@ -646,7 +646,7 @@ def linear_space(start: float, end: float, num_samples: int, *, spark: SparkSess
     return LazyFrame(spark.range(n).select(stepc))
 
 
-def date_range(start, end, interval: str = "1d", *, closed: str = "both", spark: SparkSession | None = None) -> LazyFrame:
+def date_range(start, end, interval: str = "1d", *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
     """Eager date range via one sequence() + explode (JVM-side)."""
     from polars_spark.plans.frame import _duration_str
 
@@ -664,7 +664,7 @@ def date_range(start, end, interval: str = "1d", *, closed: str = "both", spark:
     return LazyFrame(df)
 
 
-def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", spark: SparkSession | None = None) -> LazyFrame:
+def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
     from polars_spark.plans.frame import _duration_str
 
     spark = spark or _spark()
