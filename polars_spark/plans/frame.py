@@ -2625,7 +2625,11 @@ class RollingGroupBy:
             raise ValueError(f"rolling closed={closed!r}")
         self._lf = lf
         self._index = index_column
-        self._period_us = _duration_us(period)
+        if isinstance(period, str) and period.endswith("i") and period[:-1].lstrip("-").isdigit():
+            # polars "Ni": N integer index steps (integer index column)
+            self._period_us = int(period[:-1])
+        else:
+            self._period_us = _duration_us(period)
         self._closed = closed
         gb = group_by or []
         self._by = [gb] if isinstance(gb, str) else list(gb)

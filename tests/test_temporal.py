@@ -274,3 +274,9 @@ def test_dynamic_start_by_datapoint_and_weekday(pl, lf):
     )
     assert [r[0].weekday() for r in out2] == [0, 0]  # both windows start Monday
     assert [r[1] for r in out2] == [3, 4]
+
+
+def test_rolling_integer_index(pl, lf):
+    f = lf(t=[1, 2, 3], v=[1.0, 2.0, 3.0]).sort("t")
+    out = f.rolling("t", period="2i").agg(pl.col("v").sum().alias("s"))
+    assert out.collect()["s"].tolist() == [1.0, 3.0, 5.0]
