@@ -602,24 +602,44 @@ class Expr:
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            dt = None
+            if ctx.df is not None:
+                try:
+                    dt = ctx.df.select(c.alias("__p__")).schema[0].dataType.simpleString()
+                except Exception:
+                    dt = None
+            if dt == "boolean":
+                # polars: boolean sum counts the Trues
+                c = c.cast("bigint")
             s = F.sum(c)
             w = getattr(ctx, "_window", None)
             if w is not None:
                 s = s.over(w)
-            if ctx.df is None:
-                return s
-            try:
-                dt = ctx.df.select(c.alias("__p__")).schema[0].dataType.simpleString()
-            except Exception:
-                return s
-            if dt.startswith("interval"):
+            if dt is None or dt.startswith("interval"):
                 return s
             return F.coalesce(s, F.lit(0))
 
         return Expr(fn, self._name, is_agg=True)
 
     def mean(self):
-        return self._agg(F.mean)
+        # polars: boolean mean = fraction of Trues (Spark mean rejects bool)
+        def agg(c):
+            return F.mean(c)
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            if ctx.df is not None:
+                try:
+                    dt = ctx.df.select(c.alias("__p__")).schema[0].dataType.simpleString()
+                    if dt == "boolean":
+                        c = c.cast("double")
+                except Exception:
+                    pass
+            from polars_spark.plans.expr import _wover
+
+            return _wover(ctx, F.mean(c))
+
+        return Expr(fn, self._name, is_agg=True)
 
     def min(self):
         return self._agg(F.min)

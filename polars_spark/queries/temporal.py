@@ -368,3 +368,31 @@ def evt_transitions(spark, sf_dir):
         .agg(pl.len().alias("n"))
     )
     return out.to_spark()
+
+
+@query(
+    "evt_json_props",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 END) AS k_hi,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def evt_json_props(spark, sf_dir):
+    """Semi-structured payload analytics: JSON property extraction
+    (str.json_path_match -> get_json_object, pushed into the scan
+    projection) feeding a keyed aggregation — the ClickBench-style
+    JSON-at-scale shape."""
+    ev = ltable(spark, sf_dir, "events")
+    k = pl.col("props").str.json_path_match("$.k").cast(pl.Int64)
+    return (
+        ev.group_by("event_type")
+        .agg(
+            k.sum().alias("k_sum"),
+            (k >= 50).sum().alias("k_hi"),
+            k.max().alias("k_max"),
+        )
+        .to_spark()
+    )

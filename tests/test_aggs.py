@@ -236,3 +236,11 @@ def test_corr_spearman_matches_scipy_model(pl, lf):
 
     assert abs(got["x"] - spearman(a, b)) < 1e-9
     assert abs(got["y"] - 1.0) < 1e-9  # monotone -> rho = 1
+
+
+def test_boolean_sum_mean(pl, lf):
+    f = lf(b=[True, False, True, None])
+    out = f.select(pl.col("b").sum().alias("s"), pl.col("b").mean().alias("m"))
+    r = rows(out)[0]
+    assert r[0] == 2
+    assert abs(r[1] - 2 / 3) < 1e-12  # nulls ignored
