@@ -286,3 +286,29 @@ def test_rank_null_handling(pl, lf):
     s = pl.Series("v", [3.0, 1.0, None, 5.0])
     assert s.sort().to_list() == [None, 1.0, 3.0, 5.0]
     assert pl.Series([1.0, 2.0]).dot(pl.Series([3.0, 4.0])) == 11.0
+
+
+def test_user_sim_consolidated(pl, lf):
+    """One pass over the round-6 user-sim findings, as a living regression."""
+    import datetime
+
+    import polars_spark.selectors as cs
+
+    # tz round-trip, json, asof nearest, decimal
+    f = lf(t=[datetime.datetime(2024, 6, 1, 12)], j=['{"a": 5}'], d=["1.10"])
+    out = f.select(
+        h=pl.col("t").dt.replace_time_zone("UTC").dt.convert_time_zone("Europe/Paris").dt.hour(),
+        a=pl.col("j").str.json_path_match("$.a").cast(pl.Int64),
+        x=(pl.col("d").cast(pl.Decimal(10, 2)) * 3),
+    )
+    r = rows(out)[0]
+    assert r[0] == 14 and r[1] == 5 and float(r[2]) == 3.30
+    # chained selector + implicit implode + wildcard agg in one pipeline
+    g = lf(g=["a", "a", "b"], x=[1, 2, 30], y=[1.5, 2.5, 3.5])
+    res = (
+        g.with_columns(cs.numeric().fill_null(0))
+        .group_by("g")
+        .agg(pl.all().sum())
+        .sort("g")
+    )
+    assert rows(res) == [("a", 3, 4.0), ("b", 30, 3.5)]
