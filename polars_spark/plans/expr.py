@@ -974,16 +974,20 @@ class Expr:
 
         return self._agg(corrected)
 
-    def search_sorted(self, element, side: str = "left"):
+    def search_sorted(self, element, side: str = "left", *, descending: bool = False):
         """Insertion position of ``element`` in the sorted column
         (FunctionExpr::SearchSorted): count of values strictly below (left)
-        or less-or-equal (right) — a plain aggregate, no sort needed."""
+        or less-or-equal (right) — a plain aggregate, no sort needed.
+        ``descending`` flips the comparison for descending-sorted input."""
         e = _to_expr(element)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             v = e._resolve(ctx)
-            cmp = (c < v) if side == "left" else (c <= v)
+            if descending:
+                cmp = (c > v) if side == "left" else (c >= v)
+            else:
+                cmp = (c < v) if side == "left" else (c <= v)
             out = F.sum(F.when(cmp, 1).otherwise(0))
             w = getattr(ctx, "_window", None)
             if w is not None:

@@ -746,12 +746,30 @@ class LazyFrame:
         if how == "cross":
             r = _suffix_collisions(other.to_spark(), self.columns, suffix)
             return LazyFrame(self.to_spark().crossJoin(r))
-        lon = [on] if isinstance(on, str) else list(on) if on is not None else None
-        if lon is not None:
-            ron = lon
+        def _split(spec):
+            if isinstance(spec, str) or hasattr(spec, "_resolve"):
+                return [spec]
+            return list(spec)
+
+        def _prep_keys(lf, specs, tag):
+            # polars allows EXPRESSION join keys: materialize each as a
+            # hidden column, join on it, drop it from the output
+            names, out = [], lf
+            for i, k in enumerate(specs):
+                if isinstance(k, str):
+                    names.append(k)
+                else:
+                    nm = f"__jk{tag}{i}__"
+                    out = out.with_columns(_to_expr(k).alias(nm))
+                    names.append(nm)
+            return out, names
+
+        if on is not None:
+            lspec = rspec = _split(on)
         else:
-            lon = [left_on] if isinstance(left_on, str) else list(left_on)
-            ron = [right_on] if isinstance(right_on, str) else list(right_on)
+            lspec, rspec = _split(left_on), _split(right_on)
+        self_k, lon = _prep_keys(self, lspec, "l")
+        other_k, ron = _prep_keys(other, rspec, "r")
         if coalesce is None:
             coalesce = how != "full"
 
@@ -771,7 +789,7 @@ class LazyFrame:
                 raise ValueError(f"join validate={validate!r}")
             for side in checks[validate]:
                 sdf, keys = (
-                    (self.to_spark(), lon) if side == "left" else (other.to_spark(), ron)
+                    (self_k.to_spark(), lon) if side == "left" else (other_k.to_spark(), ron)
                 )
                 dup = (
                     sdf.groupBy(*keys)
@@ -787,8 +805,8 @@ class LazyFrame:
                     )
                     raise ComputeError(msg)
 
-        ldf = self.to_spark().alias("__l")
-        rdf = other.to_spark().alias("__r")
+        ldf = self_k.to_spark().alias("__l")
+        rdf = other_k.to_spark().alias("__r")
         cond = None
         for lk, rk in zip(lon, ron):
             c = (
@@ -977,7 +995,7 @@ class LazyFrame:
     def explode(self, *columns) -> "LazyFrame":
         """Explode list columns; empty/null lists yield a null row
         (FunctionIR::Explode, polars-plan/src/plans/functions/mod.rs:55)."""
-        cols = list(_flatten(columns))
+        cols = self._names_of(list(columns))
         df = self._df
         if len(cols) == 1:
             c = cols[0]
@@ -1007,6 +1025,23 @@ class LazyFrame:
                 out.append(F.col(c))
         return LazyFrame(self._df.select(*out), self._order)
 
+
+    def _names_of(self, items) -> list[str]:
+        """Column names from strings / Exprs (root column) / selectors."""
+        out: list[str] = []
+        for it in _flatten([items]):
+            if it is None:
+                continue
+            if isinstance(it, str):
+                out.append(it)
+            elif getattr(it, "_selector", None) is not None:
+                out.extend(c for c, t in self.schema.items() if it._selector(c, t))
+            elif hasattr(it, "_name"):
+                out.append(it._name)
+            else:
+                out.append(str(it))
+        return out
+
     def unpivot(
         self,
         on: Sequence[str] | str | None = None,
@@ -1015,8 +1050,8 @@ class LazyFrame:
         variable_name: str = "variable",
         value_name: str = "value",
     ) -> "LazyFrame":
-        idx = [index] if isinstance(index, str) else list(index or [])
-        vals = [on] if isinstance(on, str) else list(on or [c for c in self.columns if c not in idx])
+        idx = self._names_of(index)
+        vals = self._names_of(on) or [c for c in self.columns if c not in idx]
         df = self.to_spark().unpivot(idx, vals, variable_name, value_name)
         return LazyFrame(df, [])
 

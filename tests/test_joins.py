@@ -241,3 +241,23 @@ def test_join_maintain_order(pl, lf):
     out2 = l.join(r, on="k", how="right", maintain_order="right")
     # right appearance order; k=1 matches two left rows -> 'x' twice
     assert [t[-1] for t in rows(out2.select("k", "b"))] == ["x", "x", "y", "z"]
+
+
+def test_join_on_expressions(pl, lf):
+    left = lf(a=[1, 2, 3])
+    right = lf(b=[2, 4, 9])
+    out = left.join(right, left_on=(pl.col("a") * 2), right_on="b")
+    assert sorted(r[0] for r in rows(out)) == [1, 2]
+    # expr on both sides
+    out2 = left.join(right, left_on=(pl.col("a") + 1), right_on=(pl.col("b") / 2))
+    assert sorted(r[0] for r in rows(out2.select("a"))) == [1]  # a+1=2 == b/2 (b=4)
+
+
+def test_unpivot_explode_selectors(pl, lf):
+    import polars_spark.selectors as cs
+
+    f = lf(id=["r"], a=[1], b=[2])
+    u = f.unpivot(on=cs.numeric(), index="id")
+    assert sorted(u.collect()["variable"].tolist()) == ["a", "b"]
+    e = lf(a=[[1, 2]], b=[[3, 4]]).explode(pl.col("a"), pl.col("b"))
+    assert len(rows(e)) == 2
