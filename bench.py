@@ -54,6 +54,11 @@ HEADLINE = [
     # round 5: quantized vector search and web-corpus curation families
     "sim_int8_topk",
     "web_domain_cap",
+    # round 6: subword tokenization (distinct-word Zipf dedup), link-graph
+    # PageRank (iterative Pregel), equi-bucketed inequality join
+    "txt_tokenize_wordpiece",
+    "web_pagerank",
+    "join_band_agg",
 ]
 
 
