@@ -32,6 +32,7 @@ __all__ = [
     "dsir_weights",
     "remove_boilerplate_lines",
     "corpus_report",
+    "dedup_lines",
 ]
 
 
@@ -643,3 +644,17 @@ def corpus_report(df, *, id_col: str = "doc_id", text_col: str = "text", lang_co
         .select(F.concat(F.lit("n_docs_lang_"), F.col(lang_col)).alias("metric"), "value")
     )
     return metrics.unionByName(langs)
+
+
+def dedup_lines(c: Column, *, keep_order: bool = True) -> Column:
+    """Remove repeated lines WITHIN a document, keeping the first
+    occurrence (the cleanup counterpart of gopher_signals'
+    duplicate-line-fraction score — boilerplate menus/footers repeat
+    inside a page long before they repeat across the corpus).
+
+    Pure array HOFs over the line split (position-preserving first-wins
+    filter); corpus-level line dedup is remove_boilerplate_lines."""
+    lines = F.split(c, "\n")
+    idx = F.sequence(F.lit(1), F.size(lines))
+    kept = F.filter(idx, lambda i: F.array_position(lines, F.get(lines, i - 1)) == i)
+    return F.array_join(F.transform(kept, lambda i: F.get(lines, i - 1)), "\n")

@@ -1269,3 +1269,34 @@ def txt_distinct_sketch(spark, sf_dir):
             <= 0.05
         ).alias("est_within_5pct"),
     )
+
+
+@query(
+    "txt_dedup_lines",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             replace(substr(text, 1, 200), ' table ', chr(10)) AS doc
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, string_split(doc, chr(10)) AS ls FROM t
+    ), kept AS (
+      SELECT doc_id,
+             list_filter(range(1, len(ls) + 1), i -> list_position(ls, ls[i]) = i) AS ki,
+             ls
+      FROM lines
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(ki, i -> ls[i]), chr(10)) AS deduped
+    FROM kept
+    """,
+)
+def txt_dedup_lines(spark, sf_dir):
+    """llm.text.dedup_lines: within-document repeated-line removal (first
+    occurrence wins) — synthetic multi-line docs made by turning a common
+    token into newlines, same construction both engines."""
+    from polars_spark.llm.text import dedup_lines
+
+    docs = table(spark, sf_dir, "documents")
+    doc = F.replace(F.substring(F.col("text"), 1, 200), F.lit(" table "), F.lit("\n"))
+    return docs.select(F.col("doc_id"), dedup_lines(doc).alias("deduped"))

@@ -933,3 +933,15 @@ def test_hll_sketches_incremental(spark, tmp_path):
         assert abs(inc[s]["distinct_est"] - exact[s]) / exact[s] < 0.05
         assert abs(one[s]["distinct_est"] - exact[s]) / exact[s] < 0.05
         assert inc[s]["total_rows"] == 1000
+
+
+def test_dedup_lines(spark):
+    from polars_spark.llm.text import dedup_lines
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("menu\nbody one\nmenu\nbody two\nmenu",), ("a\na\na",)], "t string"
+    )
+    got = [r[0] for r in df.select(dedup_lines(F.col("t"))).collect()]
+    assert got[0] == "menu\nbody one\nbody two"
+    assert got[1] == "a"
