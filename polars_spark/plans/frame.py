@@ -2332,10 +2332,26 @@ class LazyFrame:
 class LazyGroupBy:
     def __init__(self, lf: LazyFrame, keys, named_keys: dict, maintain_order: bool):
         self._lf = lf
-        self._keys = keys
+        # selector keys (group_by(cs.string())) expand against the schema
+        expanded = []
+        for k in keys:
+            if getattr(k, "_selector", None) is not None and getattr(k, "_chain_fn", None) is None:
+                expanded.extend(c for c, t in lf.schema.items() if k._selector(c, t))
+            else:
+                expanded.append(k)
+        self._keys = expanded
         self._named = named_keys
         self._maintain = maintain_order
         self._mode = "groupby"  # groupby | cube | rollup
+
+    def __iter__(self):
+        """polars GroupBy iteration: yields (key, sub-DataFrame) per group
+        (an eager convenience — the distributed form is agg/map_groups)."""
+        names = [k for k in self._keys if isinstance(k, str)]
+        if len(names) != len(self._keys) or self._named:
+            raise TypeError("group_by iteration needs plain column-name keys")
+        parts = self._lf.partition_by(*names)
+        return iter(parts.items())
 
     def _grouped(self):
         cols = self._key_cols()

@@ -407,3 +407,14 @@ def test_sql_delete_truncate(pl, lf):
     assert rows(ctx.execute("SELECT count(*) AS n FROM tt")) == [(2,)]
     ctx.execute("TRUNCATE TABLE tt")
     assert rows(ctx.execute("SELECT count(*) AS n FROM tt")) == [(0,)]
+
+
+def test_group_by_selector_keys_and_iter(pl, lf):
+    import polars_spark.selectors as cs
+
+    f = lf(g=["a", "b"], h=["x", "y"], v=[1, 2])
+    out = f.group_by(cs.string()).agg(pl.col("v").sum())
+    assert sorted(out.columns) == ["g", "h", "v"]
+    assert len(rows(out)) == 2
+    got = sorted((k, len(sub.collect())) for k, sub in f.group_by("g"))
+    assert got == [("a", 1), ("b", 1)]
