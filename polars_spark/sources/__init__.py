@@ -262,23 +262,71 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
     return LazyFrame(spark.createDataFrame(pdf))
 
 
-def DataFrame(data=None, spark: SparkSession | None = None, **named) -> LazyFrame:
+def DataFrame(
+    data=None,
+    schema=None,
+    *,
+    schema_overrides=None,
+    orient: str | None = None,
+    strict: bool = True,
+    nan_to_null: bool = False,
+    spark: SparkSession | None = None,
+    **named,
+) -> LazyFrame:
     """Eager-style constructor (pl.DataFrame({'a': [...]})) — returns a
     LazyFrame (Spark is always lazy; polars' eager API delegates to lazy
-    anyway, py-polars dataframe/group_by.py:273)."""
+    anyway, py-polars dataframe/group_by.py:273).
+
+    ``schema`` may be a name list or a {name: dtype} mapping;
+    ``schema_overrides`` casts named columns after construction.
+    ``nan_to_null`` is inherent to the Spark conversion (float NaN from
+    python sequences arrives as null already); ``strict=False`` mixed
+    types fall back to strings, like the reference's supertype relax."""
     import pandas as pd
 
     from polars_spark.series import Series
 
     if data is None:
         data = named
+    names = None
+    dtypes: dict = {}
+    if isinstance(schema, dict):
+        names = list(schema.keys())
+        dtypes.update(schema)
+    elif isinstance(schema, (list, tuple)):
+        for it in schema:
+            if isinstance(it, tuple):
+                names = names or []
+                names.append(it[0])
+                dtypes[it[0]] = it[1]
+            else:
+                names = names or []
+                names.append(it)
     if isinstance(data, Series):
         data = {data.name or "column_0": data.to_pandas()}
     elif isinstance(data, dict):
         data = {k: (v.to_pandas() if isinstance(v, Series) else v) for k, v in data.items()}
     elif isinstance(data, (list, tuple)) and data and isinstance(data[0], Series):
         data = {s.name or f"column_{i}": s.to_pandas() for i, s in enumerate(data)}
-    return from_pandas(pd.DataFrame(data), spark=spark)
+    elif isinstance(data, (list, tuple)) and data and isinstance(data[0], (list, tuple)):
+        # 2D sequence: polars infers row orientation unless told otherwise
+        if orient == "col" or (orient is None and names is not None and len(names) == len(data)
+                               and all(len(c) == len(data[0]) for c in data) and len(data) != len(data[0])):
+            data = dict(zip(names or [f"column_{i}" for i in range(len(data))], data))
+        else:
+            pdf = pd.DataFrame(list(data), columns=names)
+            lf = from_pandas(pdf, spark=spark)
+            if schema_overrides:
+                dtypes.update(schema_overrides)
+            return lf.cast({k: v for k, v in dtypes.items() if k in lf.columns}) if dtypes else lf
+    pdf = pd.DataFrame(data)
+    if names and len(names) == len(pdf.columns):
+        pdf.columns = names
+    lf = from_pandas(pdf, spark=spark)
+    if schema_overrides:
+        dtypes.update(schema_overrides)
+    dtypes = {k: v for k, v in dtypes.items() if v is not None and k in lf.columns}
+    return lf.cast(dtypes) if dtypes else lf
 
 
 def scan_orc(source, *, spark: SparkSession | None = None) -> LazyFrame:
@@ -603,7 +651,9 @@ def from_dicts(rows, spark: SparkSession | None = None) -> LazyFrame:
     return from_pandas(pd.DataFrame(list(rows)), spark=spark)
 
 
-def from_records(data, *, schema=None, orient: str = "col", spark: SparkSession | None = None) -> LazyFrame:
+def from_records(data, *, schema=None, orient: str | None = None, spark: SparkSession | None = None) -> LazyFrame:
+    """polars from_records: row-major by default (list of row tuples);
+    pass orient='col' for column-major lists."""
     import pandas as pd
 
     if orient == "col":

@@ -312,3 +312,11 @@ def test_user_sim_consolidated(pl, lf):
         .sort("g")
     )
     assert rows(res) == [("a", 3, 4.0), ("b", 30, 3.5)]
+
+
+def test_dataframe_constructor_schema_forms(pl, lf):
+    assert pl.DataFrame({"a": [1, 2]}, schema_overrides={"a": pl.Float64}).schema == {"a": "double"}
+    assert pl.DataFrame({"a": [1]}, schema={"a": pl.Int32}).schema == {"a": "int"}
+    rowwise = pl.DataFrame([[1, "x"], [2, "y"]], schema=["n", "s"], orient="row")
+    assert rows(rowwise, sort_by="n") == [(1, "x"), (2, "y")]
+    assert pl.from_records([(1, "x"), (2, "y")], schema=["n", "s"]).columns == ["n", "s"]
