@@ -2235,11 +2235,15 @@ class LazyFrame:
         partition_by: Sequence[str] | str | None = None,
         mkdir: bool = True,
         maintain_order: bool = False,
+        **_compat,
     ) -> None:
         """Distributed parquet sink; ``partition_by`` maps to hive-style
         ``write.partitionBy`` (polars PartitionStrategy::Keyed).  ``path``
         may be a pl.PartitionBy config (keyed and/or max_rows_per_file
-        splitting)."""
+        splitting).  polars tuning kwargs (statistics, row_group_size,
+        data_page_size, compression_level, ...) are accepted and inert —
+        Spark's parquet writer manages row groups/stats via its own
+        block-size config, not per-call knobs."""
         w = self.to_spark().write.mode("overwrite").option("compression", compression)
         pb = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
         if type(path).__name__ == "PartitionBy":
