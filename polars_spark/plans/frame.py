@@ -1052,7 +1052,15 @@ class LazyFrame:
     ) -> "LazyFrame":
         idx = self._names_of(index)
         vals = self._names_of(on) or [c for c in self.columns if c not in idx]
-        df = self.to_spark().unpivot(idx, vals, variable_name, value_name)
+        sdf = self.to_spark()
+        kinds = {self.schema[c] for c in vals}
+        if len(kinds) > 1:
+            # polars casts mixed value columns to their supertype
+            # (numeric mix -> double, anything else -> string)
+            numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+            target = "double" if kinds <= numeric else "string"
+            sdf = sdf.withColumns({c: F.col(c).cast(target) for c in vals})
+        df = sdf.unpivot(idx, vals, variable_name, value_name)
         return LazyFrame(df, [])
 
     melt = unpivot  # pre-1.0 name

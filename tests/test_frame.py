@@ -418,3 +418,11 @@ def test_group_by_selector_keys_and_iter(pl, lf):
     assert len(rows(out)) == 2
     got = sorted((k, len(sub.collect())) for k, sub in f.group_by("g"))
     assert got == [("a", 1), ("b", 1)]
+
+
+def test_unpivot_mixed_dtypes_supertype(pl, lf):
+    f = lf(g=["a"], x=[1.0], t=[2])
+    u = f.unpivot()  # no args: every column, supertyped to string
+    assert sorted(u.collect()["variable"].tolist()) == ["g", "t", "x"]
+    u2 = f.unpivot(on=["x", "t"])  # numeric mix -> double
+    assert u2.schema["value"] == "double"
