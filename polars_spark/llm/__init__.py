@@ -44,6 +44,7 @@ __all__ = [
     "pack_sequences",
     "snapshot_diff",
     "pr_curve",
+    "tfidf_cosine_pairs",
 ]
 
 
@@ -1379,3 +1380,64 @@ def pr_curve(
             )
         )
     return row.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via an inverted-index join —
+    the SPARSE counterpart of the dense-embedding near-dup family
+    (embedding_near_dup_pairs): classic IR duplicate detection when no
+    embedding model is in the loop.
+
+    Shape (the part that matters at 100 TB): documents become (token,
+    doc, weight) postings; the pairwise dot product is a self-join of the
+    POSTING LISTS keyed on token — candidate pairs only materialize for
+    docs sharing a token, O(Σ_token df_token²) instead of O(n_docs²).
+    Tokens appearing in more than ``max_df_ratio`` of documents are
+    dropped (stop-token cap — exactly the posting-list-blowup guard the
+    n-gram jaccard dedup uses), so the quadratic term is bounded by the
+    cap.  One shuffle builds postings, one token-keyed join forms partial
+    products, one pair-keyed aggregation sums them.
+
+    TF = token count / doc token count; IDF = ln(n_docs / df); weights
+    are L2-normalized per doc so the summed products ARE the cosine.
+    Deterministic: ordering-free aggregations + fround on the emitted
+    similarity.
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy("doc").agg(F.sum("tf").alias("len"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dfreq.filter(F.col("df") <= int(max_df_ratio * n_docs))
+    w = (
+        tf.join(dfreq, "token")
+        .join(doclen, "doc")
+        .withColumn(
+            "w",
+            (F.col("tf") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+    )
+    norm = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    unit = w.join(norm, "doc").select(
+        "token", "doc", (F.col("w") / F.col("nrm")).alias("u")
+    )
+    a = unit.select(F.col("token"), F.col("doc").alias("d1"), F.col("u").alias("u1"))
+    b = unit.select(F.col("token"), F.col("doc").alias("d2"), F.col("u").alias("u2"))
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("u1") * F.col("u2")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

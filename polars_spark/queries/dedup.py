@@ -367,3 +367,46 @@ def dedup_incremental_index(spark, sf_dir):
     build_minhash_index(existing, path, id_col="doc_id", text_col="text")
     out = dedup_against_index(new, path, id_col="doc_id", text_col="text", threshold=0.8)
     return out.select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "dedup_tfidf_cosine",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc, token, count(*) AS tf FROM toks GROUP BY doc, token),
+    doclen AS (SELECT doc, sum(tf) AS len FROM tf GROUP BY doc),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+      HAVING count(*) <= (SELECT CAST(0.5 * n_docs AS BIGINT) FROM n)
+    ),
+    w AS (
+      SELECT tf.doc, tf.token,
+             (tf.tf / CAST(doclen.len AS DOUBLE)) * ln((SELECT n_docs FROM n) / CAST(dfreq.df AS DOUBLE)) AS w
+      FROM tf JOIN dfreq USING (token) JOIN doclen USING (doc)
+    ),
+    nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc),
+    unit AS (SELECT w.token, w.doc, w.w / nrm.nrm AS u FROM w JOIN nrm USING (doc)),
+    pairs AS (
+      SELECT a.doc AS d1, b.doc AS d2, sum(a.u * b.u) AS cosine
+      FROM unit a JOIN unit b ON a.token = b.token AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT d1, d2, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine
+    FROM pairs WHERE cosine >= 0.5
+    """,
+)
+def dedup_tfidf_cosine(spark, sf_dir):
+    """llm.tfidf_cosine_pairs: sparse TF-IDF cosine near-dup pairs via the
+    inverted-index posting join (candidates only where tokens are shared,
+    stop-token df cap bounds the blowup) — the sparse counterpart of
+    dedup_embedding_cosine, replayed relationally in the oracle."""
+    from polars_spark.llm import tfidf_cosine_pairs
+    from polars_spark.queries import fround
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = tfidf_cosine_pairs(docs, threshold=0.5)
+    return pairs.select("d1", "d2", fround(F.col("cosine"), 6).alias("cosine"))

@@ -945,3 +945,23 @@ def test_dedup_lines(spark):
     got = [r[0] for r in df.select(dedup_lines(F.col("t"))).collect()]
     assert got[0] == "menu\nbody one\nbody two"
     assert got[1] == "a"
+
+
+def test_tfidf_cosine_pairs(spark):
+    from polars_spark.llm import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare alpha beta"),
+            (2, "rare alpha beta"),     # identical -> cosine 1.0
+            (3, "gamma delta epsilon"),  # disjoint -> no pair
+            (4, "common common common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r["d1"], r["d2"]): r["cosine"] for r in tfidf_cosine_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs and abs(pairs[(1, 2)] - 1.0) < 1e-9
+    assert all(d in (1, 2) for p in pairs for d in p)  # no cross-topic pairs
+    # plan: posting join is an equi join on token, never a cartesian
+    plan = tfidf_cosine_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
