@@ -271,6 +271,14 @@ class LazyFrame:
             # keep the hidden order column alive if an order is defined
             keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
             df = self._with_scalar_preps(ctx).select(*cols, *keep)
+            seen: set = set()
+            for c in df.columns:
+                if c in seen:
+                    from polars_spark.exceptions import DuplicateError
+
+                    msg = f"the name {c!r} is duplicate in the select output"
+                    raise DuplicateError(msg)
+                seen.add(c)
             if unnest:
                 df = df.select(
                     *[f"`{c}`.*" if c in unnest else f"`{c}`" for c in df.columns]

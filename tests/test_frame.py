@@ -426,3 +426,9 @@ def test_unpivot_mixed_dtypes_supertype(pl, lf):
     assert sorted(u.collect()["variable"].tolist()) == ["g", "t", "x"]
     u2 = f.unpivot(on=["x", "t"])  # numeric mix -> double
     assert u2.schema["value"] == "double"
+
+
+def test_select_duplicate_output_raises(pl, lf):
+    f = lf(a=[1])
+    with pytest.raises(pl.exceptions.DuplicateError, match="duplicate"):
+        f.select(pl.col("a"), pl.col("a"))
