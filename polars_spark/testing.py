@@ -68,11 +68,18 @@ def assert_frame_equal(
     check_exact: bool = False,
     rel_tol: float = 1e-5,
     abs_tol: float = 1e-8,
+    rtol: float | None = None,
+    atol: float | None = None,
     categorical_as_str: bool = False,
 ) -> None:
     """Assert two frames (LazyFrame or pandas) are equal, with a detailed
     AssertionError on mismatch (reference asserts/frame.py:36 semantics:
-    row/column order and dtype checks toggleable, float tolerance)."""
+    row/column order and dtype checks toggleable, float tolerance).
+    ``rtol``/``atol`` are the reference's parameter names (aliases)."""
+    if rtol is not None:
+        rel_tol = rtol
+    if atol is not None:
+        abs_tol = atol
     lp, rp = _to_pandas(left), _to_pandas(right)
 
     lcols, rcols = list(lp.columns), list(rp.columns)
