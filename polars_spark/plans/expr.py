@@ -65,16 +65,30 @@ class ExprContext:
         return [(o, False) if isinstance(o, str) else (o[0], bool(o[1])) for o in self.order_cols]
 
     def order_by_cols(self, reverse: bool = False) -> list[Column]:
-        """Resolved ordering columns; raises if the frame has no row order."""
+        """Resolved ordering columns; raises if the frame has no row order.
+        Honors the order spec's nulls placement (an order created by
+        sort(nulls_last=True) must replay identically here)."""
         if not self.order_cols:
             raise ValueError(
                 "order-sensitive expression used on a frame with no defined row order; "
                 "scan with row order enabled, with_row_index(), or sort() first"
             )
-        return [
-            F.col(n).desc() if (d != reverse) else F.col(n).asc()
-            for n, d in self.order_specs()
-        ]
+        out = []
+        for o in self.order_cols:
+            if isinstance(o, str):
+                n, d, nl = o, False, False
+            elif len(o) == 2:
+                n, d, nl = o[0], bool(o[1]), False
+            else:
+                n, d, nl = o[0], bool(o[1]), bool(o[2])
+            if reverse:
+                d, nl = not d, not nl
+            c = F.col(n)
+            if d:
+                out.append(c.desc_nulls_last() if nl else c.desc_nulls_first())
+            else:
+                out.append(c.asc_nulls_last() if nl else c.asc_nulls_first())
+        return out
 
     def order_plain_cols(self) -> list[Column]:
         return [F.col(n) for n, _ in self.order_specs()]

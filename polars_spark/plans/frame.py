@@ -85,7 +85,14 @@ class LazyFrame:
 
     def __init__(self, df: SparkDF, order: list | None = None):
         self._df = df
-        self._order: list[tuple[str, bool, bool]] = [_ospec(o) for o in (order or [])]
+        # order survives only through columns still present in the plan —
+        # operators that project the hidden index away (asof union-tag,
+        # groupBy, ...) drop the contract instead of failing at collect
+        specs = [_ospec(o) for o in (order or [])]
+        if specs:
+            have = set(df.columns)
+            specs = [o for o in specs if o[0] in have]
+        self._order: list[tuple[str, bool, bool]] = specs
 
     # -- introspection ------------------------------------------------------
     @property
@@ -270,7 +277,19 @@ class LazyFrame:
             }
             # keep the hidden order column alive if an order is defined
             keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
-            df = self._with_scalar_preps(ctx).select(*cols, *keep)
+            base = self._with_scalar_preps(ctx)
+            if keep:
+                try:
+                    df = base.select(*cols, *keep)
+                except Exception as exc:  # scalar-aggregate projection:
+                    # mixing the bare order column into an aggregate-only
+                    # select is invalid (MISSING_GROUP_BY) — the aggregate
+                    # result has no row order to preserve, drop it
+                    if "MISSING_GROUP_BY" not in str(exc):
+                        raise
+                    df = base.select(*cols)
+            else:
+                df = base.select(*cols)
             seen: set = set()
             for c in df.columns:
                 if c in seen:
@@ -1239,6 +1258,76 @@ class LazyFrame:
             "polars_spark API or pl.sql(...)"
         )
 
+    def execute(self, *, optimizations=None, engine="auto", **_kwargs):
+        """Execute into a QueryResult (reference lazyframe/frame.py
+        LazyFrame.execute).  The Spark result stays distributed; the
+        QueryResult exposes ``head``, ``n_rows_total`` and ``lazy()``
+        without collecting the full frame to the driver."""
+        return _QueryResult(self)
+
+    def remote(self, context=None, **_kwargs):
+        """Polars Cloud dispatch has no Spark-local analogue — the Spark
+        equivalent of "run remotely" is submitting this same plan through
+        spark-submit / Spark Connect to a cluster master."""
+        raise NotImplementedError(
+            "LazyFrame.remote targets Polars Cloud; on Spark, point the "
+            "SparkSession at a cluster master (or Spark Connect) instead"
+        )
+
+    def is_sorted(
+        self,
+        by,
+        *more_by,
+        descending=False,
+        nulls_last=False,
+    ) -> bool:
+        """Whether the frame (in frame order) is sorted by the given columns
+        (reference dataframe/frame.py DataFrame.is_sorted).
+
+        Lowered through the windowed-scalar prep like Expr.is_sorted: one
+        lag pass computes a per-row lexicographic comparison against the
+        previous row, a single aggregate ANDs them, and only ONE row is
+        collected — no driver-side materialization of the data."""
+        from polars_spark.plans.expr import Expr
+
+        names = list(self._resolve_name_selector(by)) + [
+            n for m in more_by for n in self._resolve_name_selector(m)
+        ]
+        k = len(names)
+        desc = [descending] * k if isinstance(descending, bool) else list(descending)
+        nlast = [nulls_last] * k if isinstance(nulls_last, bool) else list(nulls_last)
+        if len(desc) != k or len(nlast) != k:
+            raise ValueError("descending/nulls_last length must match number of columns")
+
+        def fn(ctx) -> Column:
+            w = ctx.order_window()
+            first = F.lag(F.lit(1)).over(w)
+            cmps = []
+            for nme, d, nl in zip(names, desc, nlast):
+                c = F.col(nme)
+                p = F.lag(c).over(w)
+                # 3-way compare of (prev, cur) with polars null placement:
+                # null is smallest unless nulls_last
+                base = (
+                    F.when(p.isNull() & c.isNull(), F.lit(0))
+                    .when(p.isNull(), F.lit(-1 if nl else 1))
+                    .when(c.isNull(), F.lit(1 if nl else -1))
+                    .when(c > p, F.lit(1))
+                    .when(c < p, F.lit(-1))
+                    .otherwise(F.lit(0))
+                )
+                if d:
+                    base = -base
+                cmps.append(F.nullif(base, F.lit(0)))
+            lex = F.coalesce(*cmps, F.lit(0)) if cmps else F.lit(0)
+            step = F.when(first.isNull(), F.lit(True)).otherwise(lex >= 0)
+            name = f"__wscalar_{len(ctx.preps)}__"
+            ctx.preps.append((name, step, F.min))
+            return F.col(name)
+
+        pdf = self.select(Expr(fn, "__issorted").alias("__issorted")).head(1).collect()
+        return True if pdf.empty else bool(pdf["__issorted"].iloc[0])
+
     def select_seq(self, *exprs, **named) -> "LazyFrame":
         return self.select(*exprs, **named)
 
@@ -2183,13 +2272,14 @@ class LazyFrame:
         ``function`` takes a pandas.DataFrame batch and returns one; executed
         Arrow-batched per partition, never row-at-a-time.
         """
-        out_schema = schema or self._df.schema
+        src = self.to_spark()
+        out_schema = schema or src.schema
 
         def gen(it):
             for pdf in it:
                 yield function(pdf)
 
-        return LazyFrame(self._df.mapInPandas(gen, out_schema), [])
+        return LazyFrame(src.mapInPandas(gen, out_schema), [])
 
     def map_rows(
         self,
@@ -2347,6 +2437,30 @@ class LazyFrame:
 
 # -------------------------------------------------------------------------------
 # group-by
+
+
+class _QueryResult:
+    """QueryResult surface (reference lazyframe/query_result.py
+    SingleNodeQueryResult): head / n_rows_total / lazy().  Backed by the
+    still-distributed Spark frame; ``head`` and ``n_rows_total`` each run
+    one bounded job."""
+
+    def __init__(self, lf: "LazyFrame"):
+        self._lf = lf
+
+    @property
+    def head(self):
+        return self._lf.head(10)
+
+    @property
+    def n_rows_total(self) -> int:
+        return self._lf.height
+
+    def lazy(self) -> "LazyFrame":
+        return self._lf
+
+    def __repr__(self) -> str:
+        return f"<QueryResult columns={self._lf.columns}>"
 
 
 class LazyGroupBy:
@@ -2534,7 +2648,7 @@ class LazyGroupBy:
     def map_groups(self, function, schema) -> LazyFrame:
         """polars GroupBy.map_groups (DslPlan::GroupBy.apply) -> applyInPandas."""
         names = [k for k in self._keys if isinstance(k, str)]
-        df = self._lf._df.groupBy(*names).applyInPandas(function, schema)
+        df = self._lf.to_spark().groupBy(*names).applyInPandas(function, schema)
         return LazyFrame(df, [])
 
 

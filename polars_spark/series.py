@@ -239,6 +239,185 @@ class Series:
     def equals(self, other: "Series") -> bool:
         return bool(self._s.reset_index(drop=True).equals(other._s.reset_index(drop=True)))
 
+    # -- structural / memory surface (reference series/series.py) ----------
+    @property
+    def shape(self) -> tuple:
+        return (len(self),)
+
+    @property
+    def dtype(self):
+        """Map the pandas storage dtype back to the polars dtype class
+        (reference Series.dtype)."""
+        from polars_spark.plans import expr as _e
+
+        k = str(self._s.dtype).lower()
+        table = {
+            "int8": _e.Int8, "int16": _e.Int16, "int32": _e.Int32,
+            "int64": _e.Int64, "uint8": _e.UInt8, "uint16": _e.UInt16,
+            "uint32": _e.UInt32, "uint64": _e.UInt64,
+            "float32": _e.Float32, "float64": _e.Float64,
+            "bool": _e.Boolean, "boolean": _e.Boolean,
+            "object": _e.String, "string": _e.String,
+        }
+        if k.startswith("datetime64"):
+            return _e.Datetime
+        if k in table:
+            return table[k]
+        return _e.Object
+
+    @property
+    def flags(self) -> dict:
+        """Sortedness flags (reference Series.flags).  The facade keeps no
+        sortedness metadata — always unsorted, like a freshly-built Series."""
+        return {"SORTED_ASC": False, "SORTED_DESC": False}
+
+    # chunk model: pandas storage is one contiguous block, so the chunk
+    # surface is the trivial single-chunk answer (reference n_chunks/
+    # chunk_lengths/get_chunks/rechunk on a rechunked Series)
+    def n_chunks(self) -> int:
+        return 1
+
+    def chunk_lengths(self) -> list:
+        return [len(self)]
+
+    def get_chunks(self) -> list:
+        return [self]
+
+    def rechunk(self, *, in_place: bool = False) -> "Series":
+        return self if in_place else self.clone()
+
+    def shrink_to_fit(self, *, in_place: bool = False) -> "Series":
+        return self if in_place else self.clone()
+
+    def clear(self, n: int = 0) -> "Series":
+        return Series(self.name, [None] * n, spark=self._spark)
+
+    def clone(self) -> "Series":
+        return self._wrap(self._s.copy())
+
+    def estimated_size(self, unit: str = "b"):
+        nbytes = int(self._s.memory_usage(index=False, deep=True))
+        scale = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4}
+        if unit not in scale:
+            raise ValueError(f"unit must be one of {list(scale)}, got {unit!r}")
+        return nbytes if unit == "b" else nbytes / scale[unit]
+
+    def has_validity(self) -> bool:
+        return bool(self._s.isna().any())
+
+    def extend(self, other: "Series") -> "Series":
+        """In-place append (reference Series.extend — the physically-
+        contiguous variant of append; one block here either way)."""
+        self._s = pd.concat([self._s, other._s], ignore_index=True).rename(
+            self._s.name
+        )
+        return self
+
+    def new_from_index(self, index: int, length: int) -> "Series":
+        return Series(self.name, [self[index]] * length, spark=self._spark)
+
+    def scatter(self, indices, values) -> "Series":
+        """Set values at positions (reference Series.scatter — mutating)."""
+        idx = [indices] if isinstance(indices, int) else list(indices)
+        if not isinstance(values, (list, tuple)):
+            values = [values] * len(idx)
+        s = self._s.copy()
+        for i, v in zip(idx, values):
+            s.iloc[i] = v
+        self._s = s
+        return self
+
+    def set(self, filter_mask: "Series", value) -> "Series":
+        mask = filter_mask._s.fillna(False).to_numpy(dtype=bool)
+        s = self._s.copy()
+        s[mask] = value
+        return self._wrap(s)
+
+    def zip_with(self, mask: "Series", other: "Series") -> "Series":
+        """where(mask, self, other) elementwise (reference Series.zip_with)."""
+        m = mask._s.fillna(False).to_numpy(dtype=bool)
+        return self._wrap(self._s.where(m, other._s))
+
+    def index_of(self, element):
+        hits = self._s[self._s == element] if element is not None else self._s[self._s.isna()]
+        return None if hits.empty else int(hits.index[0])
+
+    def describe(self, percentiles=(0.25, 0.50, 0.75)):
+        """Summary statistics frame (reference Series.describe)."""
+        rows = [
+            ("count", float(self._s.notna().sum())),
+            ("null_count", float(self._s.isna().sum())),
+        ]
+        if pd.api.types.is_numeric_dtype(self._s):
+            rows += [
+                ("mean", self.mean()), ("std", self.std()), ("min", self.min()),
+            ]
+            for p in percentiles or ():
+                rows.append((f"{int(p*100)}%", float(self._s.quantile(p)) if self._s.notna().any() else None))
+            rows.append(("max", self.max()))
+        else:
+            rows += [("min", self.min()), ("max", self.max())]
+        import polars_spark as pl
+
+        return pl.DataFrame(
+            {"statistic": [r[0] for r in rows], "value": [r[1] for r in rows]},
+            spark=self._spark,
+        )
+
+    def sql(self, query: str, *, table_name: str = "self"):
+        """Run SQL against this Series registered as ``table_name``
+        (reference Series.sql)."""
+        from polars_spark.sql import SQLContext
+
+        ctx = SQLContext(frames={table_name: self.to_frame(self.name or "column_0")})
+        return ctx.execute(query)
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Array.from_pandas(self._s)
+
+    def to_dummies(self, *, separator: str = "_", drop_first: bool = False):
+        name = self.name or "column_0"
+        d = pd.get_dummies(self._s.rename(name), prefix=name, prefix_sep=separator,
+                           drop_first=drop_first, dtype="int8")
+        from polars_spark.sources import from_pandas
+
+        return from_pandas(d, spark=self._spark)
+
+    def to_init_repr(self, n: int = 1000) -> str:
+        vals = self.head(n).to_list()
+        return f'pl.Series("{self.name}", {vals!r})'
+
+    def to_torch(self):
+        try:
+            import torch
+        except ImportError as exc:
+            raise NotImplementedError("to_torch needs the 'torch' package") from exc
+        return torch.from_numpy(self._s.to_numpy())
+
+    def to_jax(self):
+        try:
+            import jax.numpy as jnp
+        except ImportError as exc:
+            raise NotImplementedError("to_jax needs the 'jax' package") from exc
+        return jnp.asarray(self._s.to_numpy())
+
+    @property
+    def plot(self):
+        try:
+            import altair  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError("plot needs the 'altair' package") from exc
+        raise NotImplementedError("Series.plot: altair chart surface not wired")
+
+    @property
+    def ext(self):
+        raise NotImplementedError(
+            "extension-type namespaces target polars' Rust extension registry; "
+            "register Spark-side logic as expressions instead"
+        )
+
 
 class _SeriesExprNS:
     """Namespace proxy (s.str / s.dt / ...): each call routes through a

@@ -240,6 +240,13 @@ def scan_ipc(source, **kw) -> LazyFrame:
 
 
 def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
+    """Driver-memory ingest.  The frame carries INSERTION ORDER (hidden
+    row-index + order contract) like an eager polars DataFrame — so
+    order-dependent exprs (cum_sum, shift, rank, ...) work immediately on
+    constructed frames.  Driver-side data is small by definition (big data
+    arrives via scans), so the index column costs nothing at scale."""
+    from polars_spark.plans.frame import ROW_IDX
+
     spark = spark or _spark()
     if len(pdf) == 0:
         # empty frames cannot schema-infer; build the schema from the
@@ -258,8 +265,13 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
                 fields.append(T.StructField(name, T.TimestampType()))
             else:
                 fields.append(T.StructField(name, m.get(s, T.StringType())))
-        return LazyFrame(spark.createDataFrame([], T.StructType(fields)))
-    return LazyFrame(spark.createDataFrame(pdf))
+        fields.append(T.StructField(ROW_IDX, T.LongType()))
+        return LazyFrame(spark.createDataFrame([], T.StructType(fields)), [(ROW_IDX, False)])
+    if ROW_IDX in pdf.columns:
+        return LazyFrame(spark.createDataFrame(pdf), [(ROW_IDX, False)])
+    pdf2 = pdf.copy(deep=False)
+    pdf2[ROW_IDX] = range(len(pdf2))
+    return LazyFrame(spark.createDataFrame(pdf2), [(ROW_IDX, False)])
 
 
 def DataFrame(

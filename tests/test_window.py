@@ -131,8 +131,12 @@ def test_is_distinct_flags(pl, lf):
     assert [t[5] for t in r] == [False, True, True, True]
 
 
-def test_order_required_error(pl, lf):
-    f = lf(x=[1, 2, 3])
+def test_order_required_error(pl, lf, spark):
+    # constructed frames now carry insertion order (like eager polars);
+    # only an order-less source (scan-shaped frame) still raises
+    from polars_spark.plans.frame import wrap
+
+    f = wrap(spark.createDataFrame([(1,), (2,), (3,)], "x int"))
     with pytest.raises(Exception, match="row order"):
         f.with_columns(pl.col("x").shift(1).alias("s")).collect()
 
