@@ -231,7 +231,40 @@ def concat_str(exprs, *more, separator: str = "", ignore_nulls: bool = False) ->
 
 
 def concat_list(*exprs) -> Expr:
+    """polars concat_list: list inputs are EXTENDED (one level), scalar
+    inputs become single elements (functions/as_datatype.py concat_list)."""
     es = _cols(exprs)
+
+    def fn(ctx: ExprContext) -> Column:
+        cols = [e._resolve(ctx) for e in es]
+        arrs = list(cols)
+        if ctx.df is not None:
+            try:
+                fields = ctx.df.select(
+                    *[c.alias(f"__cl{i}") for i, c in enumerate(cols)]
+                ).schema.fields
+                arrs = [
+                    c if f.dataType.typeName() == "array" else F.array(c)
+                    for c, f in zip(cols, fields)
+                ]
+            except Exception:
+                arrs = [F.array(c) for c in cols]
+        else:
+            arrs = [F.array(c) for c in cols]
+        return F.concat(*arrs)
+
+    return Expr(fn, es[0]._name if es else "literal")
+
+
+def _pl_list(exprs=None, *more_exprs) -> Expr:
+    """pl.list: collect columns into a list column, each input's value ONE
+    element (reference functions/as_datatype.py:503 — unlike concat_list,
+    list inputs are NOT extended: List(T) inputs give List(List(T))).
+    Exported as ``polars_spark.list`` (builtin-shadowing at package level
+    only, same as the reference)."""
+    items = [exprs] if not isinstance(exprs, (tuple, list)) else list(exprs)
+    items += list(more_exprs)
+    es = _cols(tuple(items))
 
     def fn(ctx: ExprContext) -> Column:
         return F.array(*[e._resolve(ctx) for e in es])

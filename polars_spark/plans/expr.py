@@ -2482,6 +2482,49 @@ class Expr:
         batches via pandas_udf — function takes and returns a pandas Series."""
         return self._batched_udf_expr(function, return_dtype)
 
+    @classmethod
+    def deserialize(cls, source, *, format: str = "binary") -> "Expr":
+        """Rebuild an Expr from Expr.meta.serialize output (reference
+        expr/expr.py:532).  Binary payloads are cloudpickled Expr closures
+        (round-trip with meta.serialize); strings are parsed as SQL
+        expression text.  File-likes/paths accepted like the reference."""
+        if hasattr(source, "read"):
+            source = source.read()
+        elif isinstance(source, str):
+            import os
+
+            if os.path.sep in source and os.path.exists(source):
+                mode = "rb" if format == "binary" else "r"
+                with open(source, mode) as fh:
+                    source = fh.read()
+        if isinstance(source, bytes):
+            from pyspark import cloudpickle
+
+            out = cloudpickle.loads(source)
+            if not isinstance(out, cls):
+                raise ValueError("deserialize: payload is not a serialized Expr")
+            return out
+        return sql_expr(source)
+
+    @property
+    def ext(self):
+        """Extension-type namespace (reference ExprExtensionNameSpace) —
+        extension types store as their physical column here, so extension
+        ops are plain expressions on the storage column."""
+        raise NotImplementedError(
+            "Expr.ext: extension types store as their physical storage "
+            "column on Spark; operate on the column directly"
+        )
+
+    def register_plugin(self, *, lib=None, symbol=None, args=None, **kwargs):
+        """Deprecated plugin hook (reference Expr.register_plugin ->
+        plugins.register_plugin_function)."""
+        from polars_spark.plugins import register_plugin_function
+
+        return register_plugin_function(
+            plugin_path=lib, function_name=symbol or "", args=[self, *(args or [])], **kwargs
+        )
+
     def map_elements(self, function, return_dtype="double"):
         """polars Expr.map_elements: scalar function applied per element —
         still shipped Arrow-batched (pandas_udf + Series.map), never
@@ -2994,9 +3037,18 @@ class ExprMetaNamespace:
         txt = self._node().normalized().toString()
         return txt if return_as_string else print(txt)  # noqa: T201
 
-    def serialize(self, *, format: str = "json") -> str:
-        """The expr's unresolved SQL text — round-trippable through
-        pl.sql_expr (the polars binary plan format has no Spark analogue)."""
+    def serialize(self, *, format: str = "binary"):
+        """Serialize the expression (reference expr/meta.py serialize).
+
+        ``binary`` (the reference default) pickles the Expr closure with
+        cloudpickle — fully round-trippable through Expr.deserialize, like
+        polars' binary DSL dump.  ``json`` emits the unresolved Catalyst
+        node's display text (diagnostic only, like polars' versioned JSON:
+        readable, not guaranteed parseable)."""
+        if format == "binary":
+            from pyspark import cloudpickle
+
+            return cloudpickle.dumps(self._e)
         return self._node().sql()
 
 

@@ -161,3 +161,111 @@ def test_config_context_and_string_cache(pl, capsys):
         assert pl.using_string_cache()
     assert not pl.using_string_cache()
     assert pl.CompatLevel.newest()._level == 1
+
+
+class TestRound7Surface:
+    """Round-7 API tail: top-level parity with the reference __all__."""
+
+    def test_pl_list_vs_concat_list(self, pl):
+        df = pl.DataFrame({"a": [1, 2], "b": [[10, 11], [20, 21]]})
+        got = df.select(pl.list("a", "a").alias("l")).collect()["l"]
+        assert [list(v) for v in got] == [[1, 1], [2, 2]]
+        # concat_list EXTENDS list inputs; pl.list nests them
+        cl = df.select(pl.concat_list("b", "b").alias("l")).collect()["l"]
+        assert [list(v) for v in cl] == [[10, 11, 10, 11], [20, 21, 20, 21]]
+        nested = df.select(pl.list("b").alias("l")).collect()["l"]
+        assert [list(v[0]) for v in nested] == [[10, 11], [20, 21]]
+
+    def test_extension_registry(self, pl):
+        class PointExt(pl.BaseExtension):
+            pass
+
+        pl.register_extension_type("point_t", PointExt)
+        try:
+            assert pl.get_extension_type("point_t") is PointExt
+            import pytest
+
+            with pytest.raises(ValueError, match="already registered"):
+                pl.register_extension_type("point_t", PointExt)
+        finally:
+            pl.unregister_extension_type("point_t")
+        assert pl.get_extension_type("point_t") is None
+        e = pl.Extension("point_t", "double", "meta")
+        assert e.ext_name() == "point_t" and e.ext_metadata() == "meta"
+
+    def test_credential_providers_inert(self, pl):
+        p = pl.CredentialProviderAWS(profile_name="x", region_name="eu-west-1")
+        conf = p.to_spark_conf()
+        assert "spark.hadoop.fs.s3a.aws.credentials.provider" in conf
+        fn = pl.CredentialProviderFunction(lambda: ({"k": "v"}, None))
+        assert fn() == ({"k": "v"}, None)
+
+    def test_expr_deserialize_roundtrip(self, pl):
+        src = (pl.col("a") + 1).meta.serialize()
+        assert isinstance(src, bytes)
+        e = pl.Expr.deserialize(src)
+        out = pl.DataFrame({"a": [1, 2]}).select(e.alias("x")).collect()["x"].tolist()
+        assert out == [2, 3]
+        # SQL-text path still accepted
+        e2 = pl.Expr.deserialize("a * 2")
+        out2 = pl.DataFrame({"a": [1, 2]}).select(e2.alias("x")).collect()["x"].tolist()
+        assert out2 == [2, 4]
+
+    def test_register_plugin_function_paths(self, pl):
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="map_batches"):
+            pl.plugins.register_plugin_function(
+                plugin_path="/x.so", function_name="f", args=[pl.col("a")]
+            )
+        e = pl.plugins.register_plugin_function(
+            plugin_path=None,
+            function_name="double",
+            args=[pl.col("a")],
+            _python_function=lambda s: s * 2,
+        )
+        out = pl.DataFrame({"a": [1.0, 2.0]}).select(e.alias("x")).collect()["x"].tolist()
+        assert out == [2.0, 4.0]
+
+    def test_queryresult_and_is_sorted(self, pl):
+        df = pl.DataFrame({"a": [3, 1, 2]})
+        qr = df.lazy().execute()
+        assert qr.n_rows_total == 3
+        assert qr.lazy().collect()["a"].tolist() == [3, 1, 2]
+        assert not df.is_sorted("a")
+        assert df.sort("a").is_sorted("a")
+        assert df.sort("a", descending=True).is_sorted("a", descending=True)
+
+    def test_series_tail_methods(self, pl):
+        s = pl.Series("v", [1, 2, None, 2])
+        assert s.shape == (4,)
+        assert s.n_chunks() == 1 and s.chunk_lengths() == [4]
+        assert s.clear(2).to_list() == [None, None]
+        assert s.has_validity()
+        assert s.clone().to_list() == s.to_list()
+        assert pl.Series("v", [1, 2]).extend(pl.Series("v", [3])).to_list() == [1, 2, 3]
+        assert pl.Series("v", [5, 6, 7]).new_from_index(1, 2).to_list() == [6, 6]
+        assert pl.Series("v", [1, 2, 3]).scatter([0, 2], [9, 9]).to_list() == [9, 2, 9]
+        assert pl.Series("v", [1, 2, 3]).set(
+            pl.Series("", [True, False, True]), 0
+        ).to_list() == [0, 2, 0]
+        assert pl.Series("v", [1, 2, 3]).zip_with(
+            pl.Series("", [True, False, True]), pl.Series("", [9, 9, 9])
+        ).to_list() == [1, 9, 3]
+        assert pl.Series("v", [5, 6]).index_of(6) == 1
+        assert pl.Series("v", [3, 1]).sql("SELECT sum(v) AS s FROM self").to_dicts() == [
+            {"s": 4}
+        ]
+        stats = dict(
+            zip(
+                pl.Series("v", [1.0, 2.0]).describe().collect()["statistic"],
+                pl.Series("v", [1.0, 2.0]).describe().collect()["value"],
+            )
+        )
+        assert stats["mean"] == 1.5
+        d = pl.Series("c", ["x", "y", "x"]).to_dummies().collect()
+        assert d["c_x"].tolist() == [1, 0, 1]
+        assert "pl.Series" in pl.Series("v", [1]).to_init_repr()
+        import pyarrow as pa
+
+        assert isinstance(pl.Series("v", [1, 2]).to_arrow(), pa.Array)
