@@ -508,19 +508,25 @@ def _rhp_planes(dim: int, n_planes: int, seed: int = 7):
 
 
 def rhp_bucket(vec: Column, planes) -> Column:
-    """Random-hyperplane LSH bucket id: sign bit per plane, packed to a long."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda v, w: v.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("bigint")
+    """Random-hyperplane LSH bucket id: sign bit per plane, packed to a long.
+
+    The plane matrix ships as ONE 2-D literal + indexed transform (not one
+    fold tree per plane — K x dim literal nodes made Catalyst analysis the
+    small-N bottleneck; same math, same per-plane fold order)."""
+    matrix = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        matrix,
+        lambda p, i: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda v, w: v.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
 def cosine_topk_lsh(
@@ -618,6 +624,12 @@ def embedding_near_dup_pairs(
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
+        # AQE sizes the post-distinct partitions by the SLIM (d1, d2) rows
+        # (often coalescing to 1-2), but the next join fattens each row by
+        # two dim-length vectors — re-spread on the first attach key so the
+        # verify stage uses the whole cluster (partition count follows
+        # spark.sql.shuffle.partitions, i.e. scales with the cluster)
+        .repartition(F.col("d1"))
     )
     ea = c.select(F.col("_id").alias("d1"), F.col("_v").alias("_v1"))
     eb = c.select(F.col("_id").alias("d2"), F.col("_v").alias("_v2"))
@@ -654,26 +666,33 @@ def _fround_col(c: Column, n: int) -> Column:
     return F.floor(c * p + 0.5) / p
 
 
-def _centroid_dots(vec: Column, cents: list[list[float]]) -> list[Column]:
-    """fround(dot(vec, centroid), 6) per centroid — map-side only, no
-    shuffle: centroids are literals (K x dim doubles, O(1) in N)."""
-    dots = []
-    for cv in cents:
-        d = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in cv]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        dots.append(_fround_col(d, 6))
-    return dots
+def _centroid_dots(vec: Column, cents: list[list[float]]) -> Column:
+    """Array of fround(dot(vec, centroid), 6), one element per centroid —
+    map-side only, no shuffle.  The centroid matrix is ONE 2-D literal and
+    the K dots come from a single indexed transform: K separate fold trees
+    (K x dim literal nodes) made Catalyst analysis the bottleneck at small
+    N — same math, same per-centroid fold order, ~K x smaller plan."""
+    matrix = F.lit([[float(x) for x in cv] for cv in cents])
+    return F.transform(
+        matrix,
+        lambda cv: _fround_col(
+            F.aggregate(
+                F.zip_with(vec, cv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ),
+    )
 
 
 def _nearest_cids(vec: Column, cents: list[list[float]], n_probe: int) -> Column:
     """Array of the n_probe nearest centroid ids (dot desc, cid asc)."""
-    structs = [
-        F.struct(d.alias("d"), F.lit(-i).alias("nc")) for i, d in enumerate(_centroid_dots(vec, cents))
-    ]
-    ranked = F.slice(F.sort_array(F.array(*structs), asc=False), 1, n_probe)
+    structs = F.transform(
+        _centroid_dots(vec, cents),
+        lambda d, i: F.struct(d.alias("d"), (-i).alias("nc")),
+    )
+    ranked = F.slice(F.sort_array(structs, asc=False), 1, n_probe)
     return F.transform(ranked, lambda s: -s["nc"])
 
 
