@@ -59,6 +59,7 @@ __all__ = [
     "sink_parquet_zorder",
     "heavy_hitters",
     "key_skew_profile",
+    "linear_fit",
 ]
 
 
@@ -1220,3 +1221,25 @@ def key_skew_profile(frame, keys, *, percentiles=(0.5, 0.9, 0.99)):
     from polars_spark.plans.frame import LazyFrame
 
     return LazyFrame(row.select(*cols))
+
+
+def linear_fit(y, x) -> Expr:
+    """Per-group OLS fit as an aggregate expression: struct(slope,
+    intercept, r2, n) — the drift/trend detector for pipeline telemetry
+    (e.g. quality score over crawl time).
+
+    Pure Catalyst aggregates (regr_slope/regr_intercept/regr_r2 +
+    regr_count): partial-aggregated map-side like any sum, so one shuffle
+    of K x 4 cells regardless of N — nothing iterative, no driver math."""
+    ye, xe = _to_expr(y), _to_expr(x)
+
+    def fn(ctx: ExprContext) -> Column:
+        yc, xc = ye._resolve(ctx), xe._resolve(ctx)
+        return F.struct(
+            F.regr_slope(yc, xc).alias("slope"),
+            F.regr_intercept(yc, xc).alias("intercept"),
+            F.regr_r2(yc, xc).alias("r2"),
+            F.regr_count(yc, xc).alias("n"),
+        )
+
+    return Expr(fn, "linear_fit", is_agg=True)

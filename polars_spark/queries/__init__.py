@@ -76,4 +76,5 @@ from polars_spark.queries import (  # noqa: E402,F401
     parity,
     h2oai,
     web,
+    streaming_gate,
 )

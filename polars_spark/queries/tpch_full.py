@@ -88,6 +88,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     part = ltable(spark, sf_dir, "part").filter(
         (pl.col("p_size") == 15) & (pl.col("p_type") == "STANDARD")
     )
+    # the per-partkey MIN only matters for parts that survive the part
+    # filter, so semi-join the (selective) part predicate FIRST — both the
+    # supplier association and the min aggregate then run on ~1/CARD(p_size
+    # x p_type) of partsupp instead of all of it (the correlated subquery's
+    # own correlation key makes this reordering exact)
+    ps = ps.join(part, left_on="ps_partkey", right_on="p_partkey", how="semi")
     # European supplier association (region/nation are fixed-size dims -> AQE broadcasts)
     eur = (
         ps.join(supp, left_on="ps_suppkey", right_on="s_suppkey")
@@ -100,7 +106,6 @@ def q2_min_cost_supplier(spark, sf_dir):
     return (
         eur.join(min_cost, on="ps_partkey")
         .filter(pl.col("ps_supplycost") == pl.col("__min_cost"))
-        .join(part, left_on="ps_partkey", right_on="p_partkey", how="semi")
         .select(
             pl.col("s_acctbal").round(2).alias("s_acctbal"),
             "s_name",

@@ -380,6 +380,43 @@ def agg_corr_r2(spark, sf_dir):
 
 
 @query(
+    "agg_linreg",
+    oracle="""
+    SELECT event_type,
+           floor(regr_slope(value, epoch_us(ts) / 1e12) * 1e6 + 0.5) / 1e6 AS slope,
+           floor(regr_intercept(value, epoch_us(ts) / 1e12) * 1e6 + 0.5) / 1e6 AS intercept,
+           floor(regr_r2(value, epoch_us(ts) / 1e12) * 1e6 + 0.5) / 1e6 AS r2,
+           count(value) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_linreg(spark, sf_dir):
+    """Per-group OLS trend fit (functions.linear_fit): slope/intercept/r2
+    of value over event time — the drift detector for pipeline telemetry.
+    Pure Catalyst regr_* aggregates: partial-aggregated map-side, one
+    shuffle of K x 4 cells at any corpus size.  The regressor is epoch
+    scaled to ~O(1) so slope/intercept stay in a float range where the
+    1e-6 fround is meaningful on both engines."""
+    from polars_spark.functions import linear_fit
+    from polars_spark.queries import fround as _fr
+
+    ev = ltable(spark, sf_dir, "events")
+    fit = ev.group_by("event_type").agg(
+        linear_fit(pl.col("value"), pl.col("ts").dt.epoch("us") / 1_000_000_000_000.0).alias("f")
+    )
+    sdf = fit.to_spark()
+    from pyspark.sql import functions as F
+
+    return sdf.select(
+        "event_type",
+        _fr(F.col("f.slope"), 6).alias("slope"),
+        _fr(F.col("f.intercept"), 6).alias("intercept"),
+        _fr(F.col("f.r2"), 6).alias("r2"),
+        F.col("f.n").alias("n"),
+    )
+
+
+@query(
     "win_ewm_std",
     # Same bit-exact recursive-CTE replay as win_ewm_mean: our ewm_std
     # (adjust=True, bias=False) is the fold s1=s1·q+x, s0=s0·q+1,

@@ -303,12 +303,21 @@ def test_unique_keep_first_matches_pandas(pl, frames2):
 def test_sort_stable_nulls_first(pl, frames2):
     left, _ = frames2
     f = pl.from_pandas(left).with_row_index("i")
-    got = f.sort("k").collect()
-    # polars default: nulls smallest (first), ties in original order (stable)
+    # polars: nulls smallest (first); stability is maintain_order=True's
+    # contract (the default sort leaves tie order unspecified, and our
+    # hidden-index range repartition makes that visible on >1 partition)
+    got = f.sort("k", maintain_order=True).collect()
     want = left.reset_index(names="i").sort_values(
         "k", kind="stable", na_position="first", ignore_index=True
     )
     assert got["i"].tolist() == want["i"].tolist()
+    # default sort still honors the null-first value order
+    got_vals = f.sort("k").collect()["k"]
+    assert got_vals.tolist()[: int(left["k"].isna().sum())] == [None] * int(
+        left["k"].isna().sum()
+    ) or got_vals.isna().tolist()[: int(left["k"].isna().sum())] == [True] * int(
+        left["k"].isna().sum()
+    )
 
 
 # the packaged user-facing strategies (testing_parametric) drive an engine

@@ -337,3 +337,37 @@ def test_stream_enrich_static_join(spark, pl, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM enr_out ORDER BY user_id").toPandas()
     assert got["tier"].tolist() == ["gold", "basic", None]
+
+
+def test_streaming_gate_queries_smoke(pl, spark):
+    """The 4 streaming registry queries run end-to-end at the smallest SF
+    and produce the batch-equivalent shapes (full value parity is the
+    oracle sweep's job)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    tumb = qs["stream_tumbling_1h"](spark, sf)
+    assert set(tumb.columns) == {"event_type", "ts", "total", "n"}
+    assert tumb.count() > 0
+    dd = qs["stream_dedup_keys"](spark, sf)
+    assert dd.count() == dd.select("user_id", "event_type").distinct().count()
+
+
+def test_linear_fit_matches_numpy(pl, lf):
+    import numpy as np
+
+    x = [1.0, 2.0, 3.0, 4.0, 5.0]
+    y = [2.0, 4.1, 5.9, 8.2, 9.8]
+    f = lf(x=x, y=y)
+    got = (
+        f.select(pl.linear_fit(pl.col("y"), pl.col("x")).alias("f"))
+        .collect()["f"]
+        .iloc[0]
+    )
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(got["slope"] - slope) < 1e-9
+    assert abs(got["intercept"] - intercept) < 1e-9
+    assert got["n"] == 5
+    r = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(got["r2"] - r) < 1e-9
