@@ -711,6 +711,10 @@ class Expr:
         # on a filter()-masked expr, "first" means first SURVIVOR (masked
         # rows are dropped rows, lowered as nulls) -> first non-null
         masked = getattr(self, "_null_masked", False)
+        if getattr(self, "_listwise", False):
+            # parent is a list-shaped group projection (sort_by): polars
+            # composes element-wise — first = head of the sorted group
+            return self._map(lambda c: F.get(c, 0), is_agg=True)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
@@ -729,6 +733,8 @@ class Expr:
 
     def last(self):
         masked = getattr(self, "_null_masked", False)
+        if getattr(self, "_listwise", False):
+            return self._map(lambda c: F.element_at(c, -1), is_agg=True)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
@@ -1984,7 +1990,9 @@ class Expr:
                 arr = F.reverse(arr)
             return F.transform(arr, lambda s: s.getField("__v"))
 
-        return Expr(fn, self._name, is_agg=True)
+        e = Expr(fn, self._name, is_agg=True)
+        e._listwise = True  # .first()/.last() compose element-wise on this
+        return e
 
     def reverse(self):
         return self._implode_map(F.reverse)

@@ -427,7 +427,28 @@ class LazyFrame:
             for name, v in constraints.items():
                 c = F.col(name) == F.lit(v)
                 cond = c if cond is None else (cond & c)
-            out = self._with_scalar_preps(ctx).filter(cond)
+            try:
+                out = self._with_scalar_preps(ctx).filter(cond)
+            except Exception as exc:
+                # window-backed predicates (is_duplicated, rank-based, ...)
+                # cannot sit in WHERE: materialize the predicate as a hidden
+                # projection first, filter on it, drop it — same plan Spark
+                # would need anyway (window pass then filter)
+                if "window functions inside WHERE" not in str(exc).replace(
+                    "\n", " "
+                ) and "WINDOW_FUNCTION" not in str(exc):
+                    raise
+                exprs = [p for p in _flatten(predicates) if hasattr(p, "_resolve")]
+                combined = exprs[0]
+                for e in exprs[1:]:
+                    combined = combined & e
+                for name, v in constraints.items():
+                    from polars_spark.plans.expr import col as _colfn, lit as _litfn
+
+                    combined = combined & (_colfn(name) == _litfn(v))
+                staged = self.with_columns(combined.alias("__flt__"))
+                out = staged._df.filter(F.col("__flt__")).drop("__flt__")
+                return LazyFrame(out, self._order)
         if ctx.preps:
             out = out.drop(*[p[0] for p in ctx.preps])
         return LazyFrame(out, self._order)
@@ -1090,7 +1111,74 @@ class LazyFrame:
         df = sdf.unpivot(idx, vals, variable_name, value_name)
         return LazyFrame(df, [])
 
-    melt = unpivot  # pre-1.0 name
+    def melt(
+        self,
+        id_vars=None,
+        value_vars=None,
+        variable_name: str = "variable",
+        value_name: str = "value",
+        *,
+        on=None,
+        index=None,
+    ) -> "LazyFrame":
+        """Pre-1.0 unpivot name, keeping its old id_vars/value_vars
+        parameter names (reference melt -> unpivot rename)."""
+        return self.unpivot(
+            on if on is not None else value_vars,
+            index=index if index is not None else id_vars,
+            variable_name=variable_name,
+            value_name=value_name,
+        )
+
+    def _broadcast_op(self, other, op_name: str, reverse: bool = False) -> "LazyFrame":
+        """Frame (op) scalar: apply elementwise to EVERY column (eager
+        polars frame arithmetic).  Frame (op) frame is positional in
+        polars — unsupported here (no stable cheap row pairing at scale);
+        use a join + expression instead."""
+        if isinstance(other, LazyFrame):
+            raise TypeError(
+                f"frame {op_name} frame is positional in polars; on Spark, "
+                "join on a key and use column expressions instead"
+            )
+        import operator
+
+        from polars_spark.plans.expr import col as _colfn, lit as _litfn
+
+        op = getattr(operator, op_name)
+        o = _litfn(other)
+        return self.select(
+            *[
+                (op(o, _colfn(c)) if reverse else op(_colfn(c), o)).alias(c)
+                for c in self.columns
+            ]
+        )
+
+    def __mul__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "mul")
+
+    def __rmul__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "mul")
+
+    def __add__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "add")
+
+    def __sub__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "sub")
+
+    def __rsub__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "sub", reverse=True)
+
+    def __truediv__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "truediv")
+
+    def __rtruediv__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "truediv", reverse=True)
+
+    def __floordiv__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "floordiv")
+
+    def __mod__(self, other) -> "LazyFrame":
+        return self._broadcast_op(other, "mod")
 
     def pivot(
         self,

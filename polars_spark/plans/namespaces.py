@@ -566,9 +566,33 @@ class StringNamespace(_NS):
         return self._map(lambda c: c.cast(f"decimal(38,{scale})"))
 
     # -- json ------------------------------------------------------------
-    def json_decode(self, dtype: str) -> Expr:
-        """dtype: Spark DDL schema string, e.g. 'a INT, b STRING' or 'array<int>'."""
-        return self._map(lambda c: F.from_json(c, dtype))
+    def json_decode(self, dtype: str | None = None, *, infer_schema_length=None) -> Expr:
+        """dtype: Spark DDL schema string, e.g. 'a INT, b STRING' or
+        'array<int>'.  With no dtype the schema is INFERRED from a sample of
+        the data (one bounded driver job over ``infer_schema_length`` rows,
+        default 100 — polars' json_decode inference also reads the values)."""
+        if dtype is not None:
+            return self._map(lambda c: F.from_json(c, dtype))
+        e = self._e
+        n = int(infer_schema_length or 100)
+
+        def fn(ctx) -> "F.Column":
+            c = e._resolve(ctx)
+            sample = [
+                r[0]
+                for r in ctx.df.select(c.alias("__j")).filter(F.col("__j").isNotNull()).limit(n).collect()
+            ]
+            if not sample:
+                return F.from_json(c, "string")
+            spark = ctx.df.sparkSession
+            ddl = (
+                spark.range(1)
+                .select(F.schema_of_json(F.lit(max(sample, key=len))).alias("s"))
+                .first()[0]
+            )
+            return F.from_json(c, ddl)
+
+        return Expr(fn, e._name, e._is_agg)
 
     def json_path_match(self, json_path: str) -> Expr:
         return self._map(lambda c: F.get_json_object(c, json_path))

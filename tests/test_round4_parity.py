@@ -264,3 +264,63 @@ class TestCumulativeEvalWindowAggs:
         assert got["am"].tolist() == [0, 1, 1]
         assert got["ax"].tolist() == [0, 0, 0]
         assert got["ss"].tolist() == [0, 1, 1]
+
+
+class TestRound7Fidelity:
+    """Round-7 drop-in fidelity findings (user-simulation driven)."""
+
+    def test_filter_on_window_predicate(self, pl):
+        f = pl.DataFrame({"m": ["a", "a", "b"], "t": [1, 1, 2]})
+        out = f.filter(pl.struct("m", "t").is_duplicated()).collect()
+        assert len(out) == 2
+        assert set(out["m"]) == {"a"}
+
+    def test_sort_by_first_last_in_agg(self, pl):
+        f = pl.DataFrame(
+            {"g": ["x", "x", "y"], "v": ["p", "q", "r"], "k": [2, 1, 5]}
+        )
+        out = (
+            f.group_by("g")
+            .agg(
+                pl.col("v").sort_by("k").first().alias("lo"),
+                pl.col("v").sort_by("k").last().alias("hi"),
+            )
+            .collect()
+            .sort_values("g")
+        )
+        assert out["lo"].tolist() == ["q", "r"]
+        assert out["hi"].tolist() == ["p", "r"]
+
+    def test_implode_first_still_list(self, pl):
+        f = pl.DataFrame({"g": ["a", "a"], "x": [1, 2]})
+        out = f.group_by("g").agg(pl.col("x").implode().alias("l")).collect()
+        assert list(out["l"].iloc[0]) == [1, 2]
+
+    def test_json_decode_inferred(self, pl):
+        f = pl.DataFrame({"j": ['{"a":1,"b":"x"}', '{"a":2,"b":"y"}']})
+        out = f.select(pl.col("j").str.json_decode().alias("s")).unnest("s").collect()
+        assert out["a"].tolist() == [1, 2]
+        arr = pl.DataFrame({"j": ["[1,2]", "[3]"]}).select(
+            pl.col("j").str.json_decode().alias("l")
+        ).collect()
+        assert [list(v) for v in arr["l"]] == [[1, 2], [3]]
+
+    def test_melt_old_param_names(self, pl):
+        f = pl.DataFrame({"g": ["a"], "x": [1], "y": [2]})
+        out = f.melt(id_vars="g", value_vars=["x", "y"]).collect()
+        assert set(out.columns) == {"g", "variable", "value"}
+        assert len(out) == 2
+
+    def test_frame_scalar_arithmetic(self, pl):
+        f = pl.DataFrame({"x": [1, 2], "y": [2.0, 3.0]})
+        assert (f * 2).collect()["x"].tolist() == [2, 4]
+        assert (10 - f).collect()["y"].tolist() == [8.0, 7.0]
+        assert (f // 2).collect()["x"].tolist() == [0, 1]
+        # order contract survives the broadcast op
+        assert (f * 2).select(pl.col("x").cum_sum().alias("c")).collect()[
+            "c"
+        ].tolist() == [2, 6]
+        import pytest
+
+        with pytest.raises(TypeError, match="positional"):
+            f * f
