@@ -2672,8 +2672,12 @@ class Expr:
                 return F.flatten(self.implode()._resolve(ctx))
 
             return Expr(fn_flat, self._name, is_agg=True)
-        if len(dims) != 2 or dims[0] != -1 or dims[1] <= 0:
-            raise ValueError("reshape supports (-1,), or (-1, width) with width > 0")
+        if len(dims) != 2 or (dims[0] != -1 and dims[0] <= 0) or dims[1] <= 0:
+            raise ValueError("reshape supports (-1,), (rows, width) or (-1, width) with width > 0")
+        # explicit (rows, width): same chunking — rows is implied by the
+        # data (polars validates rows*width == len; total length is not
+        # known at plan time here, so a mismatch surfaces as a short/ragged
+        # final chunk rather than an eager error)
         width = int(dims[1])
 
         def fn(ctx: ExprContext) -> Column:

@@ -55,7 +55,32 @@ class Series:
         return self.__len__()
 
     def to_list(self) -> list:
-        return [None if pd.isna(v) else v for v in self._s.tolist()]
+        out = []
+        for v in self._s.tolist():
+            if type(v).__name__ == "ndarray":
+                out.append(v.tolist())
+            else:
+                try:
+                    out.append(None if pd.isna(v) else v)
+                except (TypeError, ValueError):
+                    out.append(v)
+        return out
+
+    def search_sorted(self, element, side: str = "any"):
+        """Index where element would be inserted to keep order (reference
+        Series.search_sorted: scalar in -> scalar out, list in -> Series).
+        Driver-local numpy searchsorted — the facade is driver-resident by
+        design; the distributed form is Expr.search_sorted on a frame."""
+        import numpy as np
+
+        np_side = "left" if side in ("any", "left") else "right"
+        arr = self._s.to_numpy()
+        if isinstance(element, (list, tuple, Series)):
+            items = element.to_list() if isinstance(element, Series) else list(element)
+            return Series(
+                self.name, [int(i) for i in np.searchsorted(arr, items, side=np_side)]
+            )
+        return int(np.searchsorted(arr, element, side=np_side))
 
     def to_pandas(self) -> pd.Series:
         return self._s.copy()
@@ -206,6 +231,10 @@ class Series:
         return self._wrap(self._s > self._other(other))
 
     def __getitem__(self, i):
+        if isinstance(i, slice):
+            return self._wrap(self._s.iloc[i].reset_index(drop=True))
+        if isinstance(i, (list, tuple)):
+            return self._wrap(self._s.iloc[list(i)].reset_index(drop=True))
         v = self._s.iloc[i]
         return None if pd.isna(v) else v
 
@@ -312,6 +341,33 @@ class Series:
             self._s.name
         )
         return self
+
+    def append(self, other: "Series") -> "Series":
+        """In-place append (reference Series.append; chunk model is trivial
+        here so append == extend)."""
+        return self.extend(other)
+
+    def sample(
+        self,
+        n: int | None = None,
+        *,
+        fraction: float | None = None,
+        with_replacement: bool = False,
+        shuffle: bool = False,
+        seed: int | None = None,
+    ) -> "Series":
+        out = self._s.sample(
+            n=n if fraction is None else None,
+            frac=fraction,
+            replace=with_replacement,
+            random_state=seed,
+        )
+        return self._wrap(out.reset_index(drop=True))
+
+    def shuffle(self, seed: int | None = None) -> "Series":
+        return self._wrap(
+            self._s.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+        )
 
     def new_from_index(self, index: int, length: int) -> "Series":
         return Series(self.name, [self[index]] * length, spark=self._spark)
@@ -467,9 +523,23 @@ def _series_run_expr(self, expr) -> "Series":
     # thread a row index so window/rank exprs keep the Series' element
     # order (and get an order contract to rank against)
     lf = self.to_frame(self.name or "column_0").with_row_index("__sidx")
-    pdf = lf.select(col("__sidx"), expr.alias("__out")).collect()
-    pdf = pdf.sort_values("__sidx")
-    return Series(self.name, pdf["__out"].tolist())
+    try:
+        pdf = lf.select(col("__sidx"), expr.alias("__out")).collect()
+        return Series(self.name, pdf.sort_values("__sidx")["__out"].tolist())
+    except Exception as exc:
+        # aggregate / length-changing exprs (top_k, arg_true, hist, ...)
+        # cannot carry the row index through the projection — run bare
+        if "MISSING_GROUP_BY" not in str(exc):
+            raise
+    out = lf.select(expr.alias("__out")).collect()["__out"]
+    if len(out) == 1 and (
+        isinstance(out.iloc[0], (list, tuple))
+        or type(out.iloc[0]).__name__ == "ndarray"
+    ):
+        # imploded aggregate (one row, one array): flatten back to the
+        # element Series, the polars shape for top_k/arg_true/...
+        return Series(self.name, list(out.iloc[0]))
+    return Series(self.name, out.tolist())
 
 
 Series.__getattr__ = _series_getattr

@@ -269,3 +269,32 @@ class TestRound7Surface:
         import pyarrow as pa
 
         assert isinstance(pl.Series("v", [1, 2]).to_arrow(), pa.Array)
+
+
+class TestRound7SeriesFidelity:
+    """Series-facade findings from the round-7 user-sim campaign."""
+
+    def test_series_aggregate_routes(self, pl):
+        s = pl.Series("a", [1, 2, 3, None, 5])
+        assert s.top_k(2).to_list() == [5.0, 3.0]
+        assert pl.Series("b", [False, True, True]).arg_true().to_list() == [1, 2]
+        h = pl.Series("x", [1.0, 2, 3, 4]).hist(bins=[0.0, 2.0, 4.0])
+        assert len(h) > 0
+
+    def test_series_append_sample_shuffle(self, pl):
+        assert pl.Series("a", [1]).append(pl.Series("a", [2])).to_list() == [1, 2]
+        assert sorted(pl.Series("x", [1, 2, 3, 4]).sample(n=2, seed=0).to_list()) == sorted(
+            pl.Series("x", [1, 2, 3, 4]).sample(n=2, seed=0).to_list()
+        )
+        assert sorted(pl.Series("x", [1, 2, 3]).shuffle(seed=1).to_list()) == [1, 2, 3]
+
+    def test_series_reshape_and_slices(self, pl):
+        assert pl.Series("x", [1, 2, 3, 4]).reshape((2, 2)).to_list() == [[1, 2], [3, 4]]
+        s = pl.Series("a", [1.0, 2.0, 3.0])
+        assert s[1:3].to_list() == [2.0, 3.0]
+        assert s[[0, 2]].to_list() == [1.0, 3.0]
+
+    def test_series_search_sorted(self, pl):
+        assert pl.Series("x", [1, 3, 5]).search_sorted(4) == 2
+        assert pl.Series("x", [1, 3, 5]).search_sorted([0, 4]).to_list() == [0, 2]
+        assert pl.Series("x", [1, 3, 3, 5]).search_sorted(3, side="right") == 3
