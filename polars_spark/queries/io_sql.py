@@ -450,3 +450,36 @@ def scale_key_skew_profile(spark, sf_dir):
         F.col("p50_per_key").cast("double").alias("p50_per_key"),
         F.col("p99_per_key").cast("double").alias("p99_per_key"),
     )
+
+
+@query(
+    "io_bucketed_join",
+    oracle="""
+    SELECT a.event_type, count(*) AS n,
+           floor(sum(b.value) * 1e4 + 0.5) / 1e4 AS total_b
+    FROM events a JOIN events b ON a.event_id = b.event_id
+    GROUP BY a.event_type
+    """,
+)
+def io_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (sink_bucketed_table + scan_table):
+    both sides are hash-bucketed AND sorted on the join key at write time,
+    so the sort-merge join reads co-located, pre-sorted buckets — ZERO
+    Exchange and ZERO Sort above the join (asserted in tests/test_io.py).
+    THE strategy for a 100 TB fact table joined repeatedly on one key:
+    pay the shuffle once at ingest, never again."""
+    ev = ltable(spark, sf_dir, "events")
+    ev.sink_bucketed_table("gate_ev_a", bucket_by="event_id", num_buckets=8, sort_by="event_id")
+    ev.sink_bucketed_table("gate_ev_b", bucket_by="event_id", num_buckets=8, sort_by="event_id")
+    a = pl.scan_table("gate_ev_a", spark=spark)
+    b = pl.scan_table("gate_ev_b", spark=spark).select(
+        "event_id", pl.col("value").alias("value_b")
+    )
+    from polars_spark.queries import fround
+    from pyspark.sql import functions as F
+
+    joined = a.join(b, on="event_id").to_spark()
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        fround(F.sum("value_b"), 4).alias("total_b"),
+    )

@@ -331,10 +331,38 @@ def DataFrame(
             if schema_overrides:
                 dtypes.update(schema_overrides)
             return lf.cast({k: v for k, v in dtypes.items() if k in lf.columns}) if dtypes else lf
+    # polars keeps NaN distinct from null (nan_to_null=False default); the
+    # pandas bridge conflates them in float columns, so remember which
+    # positions were EXPLICIT NaN literals and restore them after ingest
+    nan_positions: dict = {}
+    if not nan_to_null and isinstance(data, dict):
+        for k, v in data.items():
+            if isinstance(v, (list, tuple)):
+                pos = [i for i, x in enumerate(v) if isinstance(x, float) and x != x]
+                if pos:
+                    nan_positions[k] = pos
     pdf = pd.DataFrame(data)
     if names and len(names) == len(pdf.columns):
         pdf.columns = names
     lf = from_pandas(pdf, spark=spark)
+    if nan_positions:
+        from pyspark.sql import functions as F
+
+        from polars_spark.plans.frame import ROW_IDX
+
+        df = lf._df
+        types = dict(df.dtypes)
+        for k, pos in nan_positions.items():
+            if k not in types:
+                continue
+            df = df.withColumn(
+                k,
+                F.when(
+                    F.col(ROW_IDX).isin(pos),
+                    F.lit(float("nan")).cast(types[k]),
+                ).otherwise(F.col(k)),
+            )
+        lf = LazyFrame(df, lf._order)
     if schema_overrides:
         dtypes.update(schema_overrides)
     dtypes = {k: v for k, v in dtypes.items() if v is not None and k in lf.columns}

@@ -324,3 +324,19 @@ class TestRound7Fidelity:
 
         with pytest.raises(TypeError, match="positional"):
             f * f
+
+    def test_nan_distinct_from_null_in_constructor(self, pl):
+        import math
+
+        df = pl.DataFrame({"a": [1.0, float("nan"), None]})
+        mx = df.select(pl.col("a").max().alias("m")).collect()["m"].iloc[0]
+        assert isinstance(mx, float) and math.isnan(mx)  # NaN sorts largest
+        flags = df.select(pl.col("a").is_nan().alias("n")).collect()["n"].tolist()
+        assert flags[0] is False and flags[1] is True and flags[2] is None
+        filled = df.select(pl.col("a").fill_nan(0).alias("f")).collect()["f"].tolist()
+        assert filled[0] == 1.0 and filled[1] == 0.0
+        # nan_to_null converts at ingest
+        mx2 = pl.DataFrame({"a": [1.0, float("nan")]}, nan_to_null=True).select(
+            pl.col("a").max().alias("m")
+        ).collect()["m"].iloc[0]
+        assert mx2 == 1.0
