@@ -512,7 +512,12 @@ class Expr:
     def sign(self):
         return self._map(F.signum)
 
-    def clip(self, lower=None, upper=None):
+    def clip(self, lower_bound=None, upper_bound=None, *, lower=None, upper=None):
+        # reference parameter names are lower_bound/upper_bound; the short
+        # forms are kept for existing callers
+        lower = lower_bound if lower_bound is not None else lower
+        upper = upper_bound if upper_bound is not None else upper
+
         def fn(ctx: ExprContext) -> Column:
             c0 = self._resolve(ctx)
             c = c0
@@ -1483,28 +1488,28 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def rolling_sum(self, window_size: int, min_samples: int | None = None):
-        return self._rolling(F.sum, window_size, min_samples)
+    def rolling_sum(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+        return self._rolling(F.sum, window_size, min_samples, center)
 
-    def rolling_mean(self, window_size: int, min_samples: int | None = None):
-        return self._rolling(F.mean, window_size, min_samples)
+    def rolling_mean(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+        return self._rolling(F.mean, window_size, min_samples, center)
 
-    def rolling_min(self, window_size: int, min_samples: int | None = None):
-        return self._rolling(F.min, window_size, min_samples)
+    def rolling_min(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+        return self._rolling(F.min, window_size, min_samples, center)
 
-    def rolling_max(self, window_size: int, min_samples: int | None = None):
-        return self._rolling(F.max, window_size, min_samples)
+    def rolling_max(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+        return self._rolling(F.max, window_size, min_samples, center)
 
-    def rolling_std(self, window_size: int, min_samples: int | None = None, ddof: int = 1):
+    def rolling_std(self, window_size: int, min_samples: int | None = None, *, center: bool = False, ddof: int = 1):
         f = F.stddev_samp if ddof == 1 else F.stddev_pop
-        return self._rolling(f, window_size, min_samples)
+        return self._rolling(f, window_size, min_samples, center)
 
-    def rolling_var(self, window_size: int, min_samples: int | None = None, ddof: int = 1):
+    def rolling_var(self, window_size: int, min_samples: int | None = None, *, center: bool = False, ddof: int = 1):
         f = F.var_samp if ddof == 1 else F.var_pop
-        return self._rolling(f, window_size, min_samples)
+        return self._rolling(f, window_size, min_samples, center)
 
-    def rolling_median(self, window_size: int, min_samples: int | None = None):
-        return self._rolling(lambda c: F.percentile(c, F.lit(0.5)), window_size, min_samples)
+    def rolling_median(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+        return self._rolling(lambda c: F.percentile(c, F.lit(0.5)), window_size, min_samples, center)
 
     def rolling_quantile(
         self,
@@ -2328,13 +2333,18 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def _rolling(self, agg, window_size: int, min_samples: int | None):
+    def _rolling(self, agg, window_size: int, min_samples: int | None, center: bool = False):
         if min_samples is None:
             min_samples = window_size
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
+            if center:
+                # polars center=True: window spans [i - n//2, i + (n-1) - n//2]
+                lo = -(window_size // 2)
+                w = ctx.order_window().rowsBetween(lo, lo + window_size - 1)
+            else:
+                w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
             val = agg(c).over(w)
             if min_samples > 1:
                 cnt = F.count(c).over(w)

@@ -1572,9 +1572,26 @@ class CatNamespace(_NS):
         no global dictionary by design) use frame.select(col).unique()."""
         enum = getattr(self._e, "_enum", None)
         if enum is None:
-            raise NotImplementedError(
-                "cat.get_categories on plain Categorical: use frame.select(col).unique()"
-            )
+            # plain Categorical (string passthrough, no global dictionary by
+            # design): the observed categories are the column's distinct
+            # values — a length-changing select, lowered like value_counts
+            # to the real distributed DISTINCT plan
+            parent = self._e
+
+            def rewrite(lf):
+                from polars_spark.plans.frame import LazyFrame
+
+                ctx = lf._ctx()
+                c = parent._resolve(ctx)
+                return LazyFrame(
+                    lf._with_scalar_preps(ctx)
+                    .select(c.alias(parent._name))
+                    .distinct()
+                )
+
+            out = Expr(lambda ctx: parent._resolve(ctx), parent._name)
+            out._select_rewrite = rewrite
+            return out
         cats = list(enum.categories)
         # resolves to ONE row holding the category list (aggregate context —
         # the result is frame-size-independent, as in polars); explode at the

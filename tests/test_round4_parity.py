@@ -204,9 +204,11 @@ class TestEnumMeta:
         )
         assert got["c"].tolist() == ["a", "b", "c"]
 
-    def test_get_categories_plain_categorical_raises(self, pl):
-        with pytest.raises(NotImplementedError):
-            pl.col("s").cat.get_categories()
+    def test_get_categories_plain_categorical_distinct(self, pl):
+        # round-7: plain-Categorical get_categories now lowers to the
+        # distributed DISTINCT select-rewrite instead of raising
+        e = pl.col("s").cat.get_categories()
+        assert getattr(e, "_select_rewrite", None) is not None
 
     def test_meta_output_name_and_roots(self, pl):
         e = (pl.col("a") * 2 + pl.col("b")).alias("z")
@@ -340,3 +342,20 @@ class TestRound7Fidelity:
             pl.col("a").max().alias("m")
         ).collect()["m"].iloc[0]
         assert mx2 == 1.0
+
+    def test_rolling_center_and_clip_names(self, pl):
+        f = pl.DataFrame({"x": [1.0, 2.0, 3.0]})
+        assert f.select(
+            pl.col("x").rolling_mean(3, center=True, min_samples=1).alias("m")
+        ).collect()["m"].tolist() == [1.5, 2.0, 2.5]
+        assert f.select(
+            pl.col("x").clip(lower_bound=1.5, upper_bound=2.5).alias("c")
+        ).collect()["c"].tolist() == [1.5, 2.0, 2.5]
+
+    def test_cat_get_categories_plain(self, pl):
+        out = (
+            pl.DataFrame({"c": ["b", "a", "b"]})
+            .select(pl.col("c").cast(pl.Categorical).cat.get_categories())
+            .collect()
+        )
+        assert sorted(out["c"]) == ["a", "b"]
