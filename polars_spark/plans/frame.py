@@ -499,6 +499,9 @@ class LazyFrame:
         return LazyFrame(self._df.orderBy(*cols), order)
 
     def limit(self, n: int = 5) -> "LazyFrame":
+        if n < 0:
+            # polars head(-n): everything but the last |n| rows
+            return self.slice(0, n)
         df = self._df
         if self._order:
             df = df.orderBy(*_order_cols(self._order))
@@ -507,6 +510,9 @@ class LazyFrame:
     head = limit
 
     def tail(self, n: int = 5) -> "LazyFrame":
+        if n < 0:
+            # polars tail(-n): everything but the first |n| rows
+            return self.slice(abs(n))
         if not self._order:
             raise ValueError("tail() needs a defined row order; sort() or with_row_index() first")
         df = self._df.orderBy(*_order_cols(self._order, reverse=True)).limit(n)
@@ -524,23 +530,29 @@ class LazyFrame:
         return lf._df, ROW_IDX, lf._order
 
     def slice(self, offset: int, length: int | None = None) -> "LazyFrame":
-        if offset == 0 and length is not None:
+        if offset == 0 and length is not None and length >= 0:
             return self.limit(length)
         df, pos, order = self._global_pos()
         p = F.col(pos)
+        need_total = offset < 0 or (length is not None and length < 0)
+        if need_total:
+            # counting from the end needs the row count: a 1-row aggregate
+            # broadcast back, not a single-partition window
+            total = self._df.agg(F.count(F.lit(1)).alias("__total__"))
+            df = df.crossJoin(F.broadcast(total))
         if offset >= 0:
             cond = p >= offset
             if length is not None:
-                cond = cond & (p < offset + length)
+                # negative length: stop |length| rows before the end
+                # (python df[offset : height+length] semantics)
+                end = (F.col("__total__") + length) if length < 0 else F.lit(offset + length)
+                cond = cond & (p < end)
         else:
-            # negative offset counts from the end: total rows via a 1-row
-            # aggregate broadcast back, not a single-partition window
-            total = self._df.agg(F.count(F.lit(1)).alias("__total__"))
-            df = df.crossJoin(F.broadcast(total))
             start = F.col("__total__") + offset
             cond = p >= start
             if length is not None:
-                cond = cond & (p < start + length)
+                end = (F.col("__total__") + length) if length < 0 else (start + length)
+                cond = cond & (p < end)
         out = df.filter(cond).drop("__total__")
         if pos == "__gpos__":
             out = out.drop("__gpos__")

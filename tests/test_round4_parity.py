@@ -359,3 +359,10 @@ class TestRound7Fidelity:
             .collect()
         )
         assert sorted(out["c"]) == ["a", "b"]
+
+    def test_negative_head_tail_slice(self, pl):
+        f = pl.DataFrame({"x": [1, 2, 3, 4]})
+        assert f.head(-1).collect()["x"].tolist() == [1, 2, 3]
+        assert f.tail(-1).collect()["x"].tolist() == [2, 3, 4]
+        assert f.slice(1, -1).collect()["x"].tolist() == [2, 3]
+        assert f.slice(0, -2).collect()["x"].tolist() == [1, 2]
