@@ -91,7 +91,10 @@ def quantized_topk(
                 F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
             )
         )
-        unit = F.transform(v, lambda x: x / nrm)
+        # norm through array_repeat so it evaluates ONCE per row — inside
+        # the lambda it would re-run the whole O(dim) fold per element
+        # (interpreted HOFs do no cross-lambda subexpression elimination)
+        unit = F.zip_with(v, F.array_repeat(nrm, F.size(v)), lambda x, n: x / n)
         qs = quantize_int8(unit)
         return df.select(
             F.col(id_col).alias(f"{prefix}id"),
