@@ -617,8 +617,14 @@ def embedding_near_dup_pairs(
         for t in range(n_tables)
     ]
     keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb"))
-    a = keyed.select(F.col("_id").alias("d1"), "tb")
-    b = keyed.select(F.col("_id").alias("d2"), "tb")
+    # pin the bucket-join partitioning: AQE sizes partitions by the SLIM
+    # (id, bucket) inputs and coalesces the join to 1-2 tasks — but the
+    # join OUTPUT explodes quadratically per bucket, so those 2 tasks do
+    # all the pair-generation work.  An explicit repartition survives AQE
+    # and keeps pair generation spread across the cluster.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = keyed.select(F.col("_id").alias("d1"), "tb").repartition(par, "tb")
+    b = keyed.select(F.col("_id").alias("d2"), "tb").repartition(par, "tb")
     cand = (
         a.join(b, "tb")
         .filter(F.col("d1") < F.col("d2"))
