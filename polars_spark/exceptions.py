@@ -69,6 +69,18 @@ _CLASS_MAP = {
 }
 
 
+_RUNTIME_MAP = {
+    # execution-time (collect) error classes -> polars names
+    "CAST_INVALID_INPUT": InvalidOperationError,
+    "CAST_OVERFLOW": InvalidOperationError,
+    "NUMERIC_VALUE_OUT_OF_RANGE": InvalidOperationError,
+    "ARITHMETIC_OVERFLOW": InvalidOperationError,
+    "DIVIDE_BY_ZERO": InvalidOperationError,
+    "INVALID_ARRAY_INDEX": OutOfBoundsError,
+    "INVALID_INDEX_OF_ZERO": OutOfBoundsError,
+}
+
+
 @contextmanager
 def translate_errors():
     """Re-raise Spark AnalysisExceptions under their polars names."""
@@ -88,3 +100,41 @@ def translate_errors():
         if cls is None:
             raise
         raise cls(str(exc)) from exc
+
+
+@contextmanager
+def translate_runtime_errors():
+    """Re-raise Spark EXECUTION failures under their polars names: strict
+    casts (polars InvalidOperationError), raise_error-backed guards (Enum
+    validation and option guards raise via F.raise_error, arriving as
+    USER_RAISED_EXCEPTION), index OOB.  Analysis errors pass through
+    translate_errors' mapping too (collect analyzes lazily-built extras
+    like the frame-order sort)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.errors.exceptions.base import PySparkException
+
+    try:
+        yield
+    except AnalysisException as exc:
+        cls = None
+        try:
+            ec = exc.getErrorClass()
+        except Exception:
+            ec = None
+        if ec:
+            cls = _CLASS_MAP.get(ec.split(".")[0])
+        if cls is None:
+            raise
+        raise cls(str(exc)) from exc
+    except PySparkException as exc:
+        msg = str(exc)
+        cls = None
+        for key, mapped in _RUNTIME_MAP.items():
+            if key in msg:
+                cls = mapped
+                break
+        if cls is None and "USER_RAISED_EXCEPTION" in msg:
+            cls = InvalidOperationError
+        if cls is None:
+            raise
+        raise cls(msg) from exc

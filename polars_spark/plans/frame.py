@@ -134,12 +134,15 @@ class LazyFrame:
         (QueryOptFlags) are accepted for reference drop-in compatibility;
         Catalyst always optimizes and picks the physical engine, so they
         don't alter the plan (documented in QueryOptFlags)."""
+        from polars_spark.exceptions import translate_runtime_errors
+
         df = self._df
         if self._order:
             df = df.orderBy(*_order_cols(self._order))
         if ROW_IDX in df.columns:
             df = df.drop(ROW_IDX)
-        return df.toPandas()
+        with translate_runtime_errors():
+            return df.toPandas()
 
     def to_arrow(self):
         """Materialize as a pyarrow Table (Arrow transfer end to end)."""
@@ -830,6 +833,14 @@ class LazyFrame:
             lspec, rspec = _split(left_on), _split(right_on)
         self_k, lon = _prep_keys(self, lspec, "l")
         other_k, ron = _prep_keys(other, rspec, "r")
+        from polars_spark.exceptions import ColumnNotFoundError
+
+        for k in lon:
+            if k not in self_k._df.columns:
+                raise ColumnNotFoundError(f"join key {k!r} not found in left frame")
+        for k in ron:
+            if k not in other_k._df.columns:
+                raise ColumnNotFoundError(f"join key {k!r} not found in right frame")
         if coalesce is None:
             coalesce = how != "full"
 

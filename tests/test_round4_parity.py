@@ -366,3 +366,21 @@ class TestRound7Fidelity:
         assert f.tail(-1).collect()["x"].tolist() == [2, 3, 4]
         assert f.slice(1, -1).collect()["x"].tolist() == [2, 3]
         assert f.slice(0, -2).collect()["x"].tolist() == [1, 2]
+
+    def test_polars_exception_types(self, pl):
+        from polars_spark import exceptions as exc
+
+        df = pl.DataFrame({"a": [1], "b": ["x"]})
+        with pytest.raises(exc.InvalidOperationError):
+            pl.DataFrame({"s": ["abc"]}).select(pl.col("s").cast(pl.Int64)).collect()
+        with pytest.raises(exc.ColumnNotFoundError):
+            df.join(pl.DataFrame({"k": [1]}), on="nope")
+        with pytest.raises(exc.InvalidOperationError):
+            pl.DataFrame({"c": ["z"]}).select(
+                pl.col("c").cast(pl.Enum(["a", "b"]))
+            ).collect()
+        # non-strict cast nulls instead of raising
+        out = pl.DataFrame({"s": ["abc", "7"]}).select(
+            pl.col("s").cast(pl.Int64, strict=False).alias("n")
+        ).collect()["n"]
+        assert pd.isna(out.iloc[0]) and int(out.iloc[1]) == 7
