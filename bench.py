@@ -59,6 +59,10 @@ HEADLINE = [
     "txt_tokenize_wordpiece",
     "web_pagerank",
     "join_band_agg",
+    # round 7: true Structured Streaming run (watermark window -> memory
+    # sink, availableNow) and the OLS trend aggregate
+    "stream_tumbling_1h",
+    "agg_linreg",
 ]
 
 
