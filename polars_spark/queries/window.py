@@ -579,3 +579,46 @@ def win_rank_nulls(spark, sf_dir):
         pl.col("v").rank("min").over("user_id").cast(pl.Int64).alias("rk_min"),
         pl.col("v").rank("dense", descending=True).over("user_id").cast(pl.Int64).alias("rk_dense_desc"),
     ).to_spark()
+
+
+@query(
+    "win_interpolate_by",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, ts, epoch_us(ts) / 1e6 AS x,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ), w AS (
+      SELECT event_id, v, x,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER
+               (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER
+               (ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM masked
+    )
+    SELECT event_id,
+           floor(coalesce(v, pv + (nv - pv) * (x - px) / (nx - px)) * 1e6 + 0.5) / 1e6 AS vi
+    FROM w
+    """,
+)
+def win_interpolate_by(spark, sf_dir):
+    """interpolate_by: linear interpolation of interior nulls weighted by a
+    COORDINATE column (here event time) rather than row position — the
+    irregular-time-series gap filler.  One forward + one backward window
+    pass over the frame order; the coordinate weighting is pure arithmetic
+    on the same rows (no extra shuffle vs plain interpolate)."""
+    from polars_spark.queries import fround as _fr
+    from pyspark.sql import functions as F
+
+    ev = ltable(spark, sf_dir, "events").sort("ts", "event_id")
+    masked = ev.with_columns(
+        pl.when(pl.col("event_id") % 7 == 0).then(None).otherwise(pl.col("value")).alias("v"),
+        (pl.col("ts").dt.epoch("us") / 1_000_000).alias("x"),
+    )
+    out = masked.with_columns(pl.col("v").interpolate_by("x").alias("vi"))
+    sdf = out.to_spark()
+    return sdf.select("event_id", _fr(F.col("vi"), 6).alias("vi"))
