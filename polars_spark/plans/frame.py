@@ -2757,9 +2757,27 @@ class LazyGroupBy:
         return gb
 
     def map_groups(self, function, schema) -> LazyFrame:
-        """polars GroupBy.map_groups (DslPlan::GroupBy.apply) -> applyInPandas."""
+        """polars GroupBy.map_groups (DslPlan::GroupBy.apply) -> applyInPandas.
+
+        When the frame has a row-order contract, each group's pandas frame
+        is sorted to FRAME ORDER before the user function sees it (polars
+        hands groups over in frame order); the hidden order columns are
+        stripped from the user-visible input."""
         names = [k for k in self._keys if isinstance(k, str)]
-        df = self._lf.to_spark().groupBy(*names).applyInPandas(function, schema)
+        order = self._lf._order
+        if order:
+            src = self._lf._df
+            ocols = [o[0] for o in order]
+            asc = [not o[1] for o in map(_ospec, order)]
+            hidden = [c for c in ocols if c == ROW_IDX]
+
+            def ordered_fn(pdf):
+                pdf = pdf.sort_values(ocols, ascending=asc, kind="stable")
+                return function(pdf.drop(columns=hidden))
+
+            df = src.groupBy(*names).applyInPandas(ordered_fn, schema)
+        else:
+            df = self._lf.to_spark().groupBy(*names).applyInPandas(function, schema)
         return LazyFrame(df, [])
 
 

@@ -432,3 +432,18 @@ def test_select_duplicate_output_raises(pl, lf):
     f = lf(a=[1])
     with pytest.raises(pl.exceptions.DuplicateError, match="duplicate"):
         f.select(pl.col("a"), pl.col("a"))
+
+
+def test_map_groups_receives_frame_order(pl):
+    import pandas as pd
+
+    df = pl.DataFrame({"g": ["a", "a", "a", "b"], "x": [3, 1, 2, 9]})
+
+    def f(pdf):
+        return pd.DataFrame(
+            {"g": pdf["g"].iloc[:1], "seq": [",".join(map(str, pdf["x"]))]}
+        )
+
+    out = df.group_by("g").map_groups(f, "g string, seq string").collect()
+    got = dict(zip(out["g"], out["seq"]))
+    assert got == {"a": "3,1,2", "b": "9"}  # insertion order inside the group
