@@ -138,15 +138,30 @@ def scan_csv(
     schema: str | None = None,
     comment_prefix: str | None = None,
     skip_rows: int = 0,
+    skip_rows_after_header: int = 0,
     encoding: str = "utf8",
     row_index_name: str | None = None,
+    row_index_offset: int = 0,
     n_rows: int | None = None,
+    new_columns: Sequence[str] | None = None,
+    columns: Sequence[str] | str | None = None,
+    infer_schema_length: int | None = None,
+    schema_overrides=None,
     spark: SparkSession | None = None,
     **_compat,
 ) -> LazyFrame:
     """CSV scan with schema inference (polars-io/src/csv/read/schema_inference.rs:17
-    -> Spark's native inferSchema pass)."""
+    -> Spark's native inferSchema pass).
+
+    polars option mapping: ``infer_schema_length=0`` (or
+    ``infer_schema=False``) reads every column as string;
+    ``skip_rows_after_header`` drops the first N DATA rows (ordered by the
+    file's own row sequence); ``new_columns`` renames positionally;
+    ``columns`` projects after read (the projection prunes at the scan —
+    Catalyst pushes it down)."""
     spark = spark or _spark()
+    if infer_schema_length == 0:
+        infer_schema = False
     r = (
         spark.read.option("header", has_header)
         .option("sep", separator)
@@ -169,11 +184,28 @@ def scan_csv(
         r = r.option("skipRows", skip_rows)
     paths = [source] if isinstance(source, str) else list(source)
     df = r.csv(paths)
-    if n_rows is not None:
-        df = df.limit(n_rows)
+    if new_columns:
+        renames = dict(zip(df.columns, new_columns))
+        df = df.withColumnsRenamed(renames)
+    elif not has_header:
+        # polars unnamed-column convention (column_1..N; Spark gives _c0..)
+        renames = {c: f"column_{i + 1}" for i, c in enumerate(df.columns)}
+        df = df.withColumnsRenamed(renames)
     lf = LazyFrame(df)
+    if skip_rows_after_header:
+        idx = lf.with_row_index("__skip__")._df
+        lf = LazyFrame(
+            idx.filter(F.col("__skip__") >= skip_rows_after_header).drop("__skip__")
+        )
+    if n_rows is not None:
+        lf = lf.limit(n_rows)
+    if columns is not None:
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        lf = LazyFrame(lf._df.select(*cols, *[c for c in lf._df.columns if c.startswith("__") and c not in cols]), lf._order)
+    if schema_overrides:
+        lf = lf.cast(dict(schema_overrides))
     if row_index_name:
-        lf = lf.with_row_index(row_index_name)
+        lf = lf.with_row_index(row_index_name, row_index_offset)
     return lf
 
 
@@ -187,16 +219,27 @@ def scan_ndjson(
     schema: str | None = None,
     infer_schema_length: int | None = None,
     row_index_name: str | None = None,
+    row_index_offset: int = 0,
+    n_rows: int | None = None,
+    batch_size: int | None = None,
+    low_memory: bool = False,
+    rechunk: bool = False,
     spark: SparkSession | None = None,
+    **_compat,
 ) -> LazyFrame:
+    """NDJSON scan.  ``batch_size``/``low_memory``/``rechunk`` are polars
+    buffer knobs with no Spark analogue (executors stream splits) —
+    accepted and inert."""
     spark = spark or _spark()
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
     paths = [source] if isinstance(source, str) else list(source)
     lf = LazyFrame(r.json(paths))
+    if n_rows is not None:
+        lf = lf.limit(n_rows)
     if row_index_name:
-        lf = lf.with_row_index(row_index_name)
+        lf = lf.with_row_index(row_index_name, row_index_offset)
     return lf
 
 

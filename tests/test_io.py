@@ -319,3 +319,26 @@ def test_scan_compat_kwargs_and_merge_schema(pl, lf, tmp_path):
     # n_rows limit + inert polars kwargs accepted
     top = pl.scan_parquet(d + "/f1", n_rows=1, rechunk=True, low_memory=True, cache=False)
     assert len(top.collect()) == 1
+
+
+def test_csv_polars_options_round7(pl, tmp_path):
+    p = str(tmp_path / "o.csv")
+    with open(p, "w") as fh:
+        fh.write("x,y\n1,a\n2,b\n3,c\n")
+    assert len(pl.read_csv(p, skip_rows_after_header=1).collect()) == 2
+    assert pl.read_csv(p, has_header=False).collect().columns.tolist() == [
+        "column_1",
+        "column_2",
+    ]
+    assert pl.read_csv(p, new_columns=["p", "q"]).collect().columns.tolist() == ["p", "q"]
+    assert pl.read_csv(p, columns=["y"]).collect().columns.tolist() == ["y"]
+    assert pl.read_csv(p, infer_schema_length=0).collect()["x"].tolist() == ["1", "2", "3"]
+    assert pl.read_csv(p, schema_overrides={"x": pl.Float64}).collect()["x"].tolist() == [
+        1.0,
+        2.0,
+        3.0,
+    ]
+    nd = str(tmp_path / "o.ndjson")
+    with open(nd, "w") as fh:
+        fh.write('{"a":1}\n{"a":2}\n')
+    assert len(pl.read_ndjson(nd, n_rows=1).collect()) == 1
