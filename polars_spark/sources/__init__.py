@@ -116,6 +116,10 @@ def scan_parquet(
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if include_file_paths:
         df = df.withColumn(include_file_paths, F.input_file_name())
+    cols = _compat.pop("columns", None)
+    if cols is not None:
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        df = df.select(*cols)
     lf = LazyFrame(df)
     if row_index_name:
         lf = lf.with_row_index(row_index_name, row_index_offset)
@@ -915,12 +919,29 @@ def read_lines(path: str, spark: SparkSession | None = None) -> LazyFrame:
     return scan_lines(path, spark=spark)
 
 
+def _first_parquet_file(path: str) -> str:
+    """Spark sinks write a DIRECTORY of part files; footer readers want a
+    file — resolve to the first part inside."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path!r}")
+        return parts[0]
+    return path
+
+
 def read_parquet_schema(path: str) -> dict:
     """Column -> dtype string, read from footer metadata only (pyarrow,
-    no data scan; reference io/parquet read_parquet_schema)."""
+    no data scan; reference io/parquet read_parquet_schema).  Directory
+    sinks resolve to their first part file."""
     import pyarrow.parquet as pq
 
-    sch = pq.read_schema(path)
+    sch = pq.read_schema(_first_parquet_file(path))
     return {f.name: str(f.type) for f in sch}
 
 
@@ -929,7 +950,7 @@ def read_parquet_metadata(path: str) -> dict:
     created_by) — no data scan."""
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(path)
+    md = pq.read_metadata(_first_parquet_file(path))
     return {
         "num_rows": md.num_rows,
         "num_row_groups": md.num_row_groups,
