@@ -1300,3 +1300,60 @@ def txt_dedup_lines(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     doc = F.replace(F.substring(F.col("text"), 1, 200), F.lit(" table "), F.lit("\n"))
     return docs.select(F.col("doc_id"), dedup_lines(doc).alias("deduped"))
+
+
+@query(
+    "txt_bm25_topk",
+    # Full BM25 replay: postings -> df/idf -> dl/avgdl -> per-(qid,doc)
+    # term-sum -> fround(6) -> top-5 per query with (score desc, doc asc)
+    # tie-break.  IDF is the smoothed ln(1 + (N-df+.5)/(df+.5)) form.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    postings AS (SELECT doc, token, count(*) AS tf FROM toks GROUP BY doc, token),
+    dl AS (SELECT doc, sum(tf) AS dl FROM postings GROUP BY doc),
+    dft AS (SELECT token, count(*) AS df FROM postings GROUP BY token),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    qterms AS (
+      SELECT doc_id AS qid,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+      FROM documents WHERE doc_id < 8
+    ),
+    scored AS (
+      SELECT q.qid, p.doc,
+             sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS raw
+      FROM qterms q
+      JOIN postings p USING (token)
+      JOIN dft d USING (token)
+      JOIN dl l ON l.doc = p.doc
+      CROSS JOIN stats s
+      WHERE p.doc != q.qid
+      GROUP BY q.qid, p.doc
+    )
+    SELECT qid, doc, score, rk FROM (
+      SELECT qid, doc,
+             floor(raw * 1000000 + 0.5) / 1000000 AS score,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY floor(raw * 1000000 + 0.5) / 1000000 DESC, doc ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def txt_bm25_topk(spark, sf_dir):
+    """llm.retrieval.bm25_topk: Okapi BM25 top-5 per probe query (8 probes
+    drawn from the corpus, self-match excluded) over the inverted index.
+    Every stage is a keyed shuffle; corpus stats are a broadcast 1-row agg."""
+    from polars_spark.llm.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") < 8)
+    return bm25_topk(docs, probes, k=5)
