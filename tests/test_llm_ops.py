@@ -965,3 +965,80 @@ def test_tfidf_cosine_pairs(spark):
     # plan: posting join is an equi join on token, never a cartesian
     plan = tfidf_cosine_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 on a 3-doc corpus checked against the hand-evaluated formula."""
+    import math
+
+    from polars_spark.llm.retrieval import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id bigint, text string",
+    )
+    probes = spark.createDataFrame([(10, "apple cherry")], "doc_id bigint, text string")
+    rows = {r["doc"]: r for r in bm25_topk(corpus, probes, k=3).collect()}
+
+    def score(tf, df, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # doc1 matches 'apple' (tf=2, df=1, dl=3); doc2 'cherry' (tf=1, df=2, dl=2);
+    # doc3 'cherry' (tf=3, df=2, dl=4)
+    exp = {
+        1: score(2, 1, 3),
+        2: score(1, 2, 2),
+        3: score(3, 2, 4),
+    }
+    assert set(rows) == {1, 2, 3}
+    for d, e in exp.items():
+        assert abs(rows[d]["score"] - round(e, 6)) < 2e-6, (d, rows[d]["score"], e)
+    # ranks follow score desc
+    ranked = sorted(rows.values(), key=lambda r: r["rk"])
+    assert [r["score"] for r in ranked] == sorted((r["score"] for r in ranked), reverse=True)
+
+
+def test_bm25_max_df_drops_stop_tokens(spark):
+    from polars_spark.llm.retrieval import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(i, "the filler") for i in range(1, 6)] + [(6, "the needle")],
+        "doc_id bigint, text string",
+    )
+    probes = spark.createDataFrame([(10, "the needle")], "doc_id bigint, text string")
+    # 'the' appears in all 6 docs; with max_df=3 only 'needle' scores
+    out = bm25_topk(corpus, probes, k=10, max_df=3).collect()
+    assert [r["doc"] for r in out] == [6]
+
+
+def test_bm25_self_exclusion(spark):
+    from polars_spark.llm.retrieval import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id bigint, text string"
+    )
+    probes = corpus.filter("doc_id = 1")
+    out = bm25_topk(corpus, probes, k=5).collect()
+    assert all(r["doc"] != 1 for r in out)
+    out2 = bm25_topk(corpus, probes, k=5, exclude_self=False).collect()
+    assert 1 in {r["doc"] for r in out2}
+
+
+def test_tf_idf_vectors(spark):
+    import math
+
+    from polars_spark.llm.retrieval import tf_idf_vectors
+
+    corpus = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")],
+        "doc_id bigint, text string",
+    )
+    w = {(r["doc"], r["token"]): r["weight"] for r in tf_idf_vectors(corpus).collect()}
+    assert abs(w[(1, "apple")] - 2 * math.log(2 / 1)) < 1e-12
+    assert abs(w[(1, "banana")] - 1 * math.log(2 / 2)) < 1e-12  # df=2 -> weight 0
+    assert abs(w[(2, "cherry")] - 1 * math.log(2 / 1)) < 1e-12
