@@ -277,7 +277,8 @@ def struct(*exprs, **named) -> Expr:
     es = _cols(exprs)
 
     def fn(ctx: ExprContext) -> Column:
-        cs = [e._resolve(ctx).alias(e._name) for e in es]
+        # pl.struct(pl.all()) / selectors expand against the frame schema
+        cs = [e._resolve(ctx).alias(e._name) for e in _expand_multi(es, ctx)]
         cs += [_to_expr(e)._resolve(ctx).alias(n) for n, e in named.items()]
         return F.struct(*cs)
 

@@ -2832,7 +2832,7 @@ def _flatten_exprs(items) -> list[Expr]:
 # constructors
 
 
-def col(*names) -> Expr:
+def _col_fn(*names) -> Expr:
     if len(names) == 1 and isinstance(names[0], str):
         name = names[0]
         if name == "*":
@@ -2863,6 +2863,26 @@ def col(*names) -> Expr:
     return e
 
 
+class _Col:
+    """``pl.col`` — callable like a function, and attribute access builds a
+    column expression (``col.foo == col("foo")``), matching the reference
+    ``Col`` class (py-polars/src/polars/functions/col.py:154)."""
+
+    def __call__(self, *names) -> Expr:
+        return _col_fn(*names)
+
+    def __getattr__(self, name: str) -> Expr:
+        if name.startswith("_"):  # keep pickling/introspection sane
+            raise AttributeError(name)
+        return _col_fn(name)
+
+    def __repr__(self) -> str:
+        return "<polars_spark.col>"
+
+
+col = _Col()
+
+
 def sql_expr(s: str) -> Expr:
     """Parse one SQL expression string into an Expr (reference:
     py-polars ``pl.sql_expr``, py-polars/src/polars/functions/lazy.py) —
@@ -2889,11 +2909,27 @@ def all_(*names) -> Expr:
     return e
 
 
-def nth(i: int) -> Expr:
-    def fn(ctx: ExprContext) -> Column:
-        return F.col(ctx.df.columns[i])
+def nth(*indices, strict: bool = True) -> Expr:
+    """Column(s) by position (reference functions/lazy.py:705: ``pl.nth``).
 
-    return Expr(fn, f"nth_{i}")
+    Keeps the source column NAME (like the reference, which routes through
+    ``cs.by_index``): ``df.select(pl.nth(1))`` yields a column named after
+    the frame's second column.  Multiple indices (or a sequence) expand to
+    multiple columns at the frame level; ``strict=False`` ignores
+    out-of-bounds indices instead of raising."""
+    idx: list[int] = []
+    for i in indices:
+        if isinstance(i, (list, tuple, range)):
+            idx.extend(int(x) for x in i)
+        else:
+            idx.append(int(i))
+
+    def fn(ctx: ExprContext) -> Column:
+        return F.col(ctx.df.columns[idx[0]])
+
+    e = Expr(fn, f"nth_{idx[0]}" if idx else "nth")
+    e._nth_indices = (idx, strict)  # type: ignore[attr-defined]
+    return e
 
 
 def _rename_first(lf, name: str):
@@ -2919,8 +2955,8 @@ class _WhenThen:
     def __init__(self, branches: list[tuple[Expr, Expr]]):
         self._branches = branches
 
-    def when(self, condition) -> "_When":
-        return _When(self._branches, _to_expr(condition))
+    def when(self, *predicates, **constraints) -> "_When":
+        return _When(self._branches, _combine_predicates(predicates, constraints))
 
     def otherwise(self, value) -> Expr:
         v = _to_expr(value)
@@ -2978,8 +3014,23 @@ class _When:
         return _WhenThen(self._prior + [(self._condition, _to_expr(value))])
 
 
-def when(condition) -> _When:
-    return _When([], _to_expr(condition))
+def _combine_predicates(predicates, constraints) -> Expr:
+    conds: list[Expr] = [_to_expr(p) for p in _flatten_exprs(list(predicates))]
+    for name, v in constraints.items():
+        conds.append(_col_fn(name) == v)
+    if not conds:
+        raise TypeError("when() requires at least one predicate or constraint")
+    combined = conds[0]
+    for c in conds[1:]:
+        combined = combined & c
+    return combined
+
+
+def when(*predicates, **constraints) -> _When:
+    """``pl.when(...)`` — accepts positional predicates (AND-combined) and
+    keyword equality constraints (``pl.when(x=1, y=2)``), like the reference
+    (py-polars functions/whenthen.py)."""
+    return _When([], _combine_predicates(predicates, constraints))
 
 
 # ---------------------------------------------------------------------------

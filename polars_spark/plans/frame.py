@@ -80,6 +80,21 @@ def _order_cols(order: list, reverse: bool = False) -> list[Column]:
     return out
 
 
+def _py_value(v):
+    """Spark collected value -> the Python value polars row APIs return:
+    struct Rows become dicts, containers recurse, scalars pass through
+    (ints stay ints, null stays None)."""
+    from pyspark.sql import Row as _SparkRow
+
+    if isinstance(v, _SparkRow):
+        return {k: _py_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_py_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py_value(x) for k, x in v.items()}
+    return v
+
+
 class LazyFrame:
     """Lazy, Spark-backed polars frame.  All methods return new frames."""
 
@@ -143,6 +158,23 @@ class LazyFrame:
             df = df.drop(ROW_IDX)
         with translate_runtime_errors():
             return df.toPandas()
+
+    def _collect_rows(self) -> list:
+        """Materialize as exact Python rows (frame order applied).
+
+        Unlike ``collect()`` (pandas — which widens nullable ints to float64
+        with NaN), Spark's row collection preserves int-ness, None for null,
+        Decimal, datetime, and nested lists/structs — matching the
+        reference's ``rows()``/``to_dicts()`` value fidelity."""
+        from polars_spark.exceptions import translate_runtime_errors
+
+        df = self._df
+        if self._order:
+            df = df.orderBy(*_order_cols(self._order))
+        if ROW_IDX in df.columns:
+            df = df.drop(ROW_IDX)
+        with translate_runtime_errors():
+            return df.collect()
 
     def to_arrow(self):
         """Materialize as a pyarrow Table (Arrow transfer end to end)."""
@@ -211,6 +243,17 @@ class LazyFrame:
                 out.extend(F.col(c) for c in self.columns)
             elif isinstance(e, Expr) and getattr(e, "_multi", None):
                 out.extend(F.col(c).alias(c) for c in e._multi)
+            elif isinstance(e, Expr) and getattr(e, "_nth_indices", None) is not None:
+                # pl.nth: positional selection keeps the source column name
+                idx, strict = e._nth_indices
+                cols = self.columns
+                for i in idx:
+                    if -len(cols) <= i < len(cols):
+                        out.append(F.col(cols[i]).alias(cols[i]))
+                    elif strict:
+                        from polars_spark.exceptions import ColumnNotFoundError
+
+                        raise ColumnNotFoundError(f"nth({i}) out of bounds for width {len(cols)}")
             elif isinstance(e, Expr) or hasattr(e, "_resolve"):
                 if hasattr(e, "_named"):
                     out.append(e._named(ctx))  # dynamic-name exprs override
@@ -611,19 +654,21 @@ class LazyFrame:
 
     def item(self):
         """Single value of a 1x1 result (polars DataFrame.item)."""
-        pdf = self.collect()
-        if pdf.shape != (1, 1):
-            raise ValueError(f"item() needs a 1x1 frame, got {pdf.shape}")
-        return pdf.iloc[0, 0]
+        rows = self._collect_rows()
+        if len(rows) != 1 or len(self.columns) != 1:
+            raise ValueError(
+                f"item() needs a 1x1 frame, got ({len(rows)}, {len(self.columns)})"
+            )
+        return _py_value(rows[0][0])
 
     def rows(self, *, named: bool = False) -> list:
-        pdf = self.collect()
+        rows = self._collect_rows()
         if named:
-            return pdf.to_dict("records")
-        return [tuple(t) for t in pdf.itertuples(index=False, name=None)]
+            return [{k: _py_value(v) for k, v in r.asDict().items()} for r in rows]
+        return [tuple(_py_value(v) for v in r) for r in rows]
 
     def to_dicts(self) -> list[dict]:
-        return self.collect().to_dict("records")
+        return self.rows(named=True)
 
     def first(self) -> "LazyFrame":
         return self.limit(1)
@@ -1692,32 +1737,39 @@ class LazyFrame:
         return self.collect()
 
     def to_dict(self, *, as_series: bool = False) -> dict:
-        pdf = self.collect()
-        return {c: pdf[c].tolist() for c in pdf.columns}
+        cols = self.columns
+        data: dict[str, list] = {c: [] for c in cols}
+        for r in self._collect_rows():
+            for c, v in zip(cols, r):
+                data[c].append(_py_value(v))
+        if as_series:
+            from polars_spark.series import Series
+
+            return {c: Series(c, vs) for c, vs in data.items()}
+        return data
 
     def to_numpy(self):
         return self.collect().to_numpy()
 
     def to_series(self, index: int = 0):
-        from polars_spark.series import Series
-
         name = self.columns[index]
-        pdf = self.collect()
-        return Series(name, pdf[name].tolist())
+        return self.select(name).get_column(name)
 
     def get_column(self, name: str):
         from polars_spark.series import Series
 
-        return Series(name, self.collect()[name].tolist())
+        i = self.columns.index(name)
+        return Series(name, [_py_value(r[i]) for r in self._collect_rows()])
 
     def get_column_index(self, name: str) -> int:
         return self.columns.index(name)
 
     def get_columns(self):
-        pdf = self.collect()
         from polars_spark.series import Series
 
-        return [Series(c, pdf[c].tolist()) for c in pdf.columns]
+        cols = self.columns
+        rows = self._collect_rows()
+        return [Series(c, [_py_value(r[i]) for r in rows]) for i, c in enumerate(cols)]
 
     def equals(self, other: "LazyFrame", *, null_equal: bool = True) -> bool:
         """Frame equality in frame order (collects both sides)."""
@@ -1733,11 +1785,20 @@ class LazyFrame:
         return self.is_empty()
 
     def iter_rows(self, *, named: bool = False):
-        """Iterate result rows via Arrow batches (driver-side by
-        definition — same as eager polars)."""
-        for batch in self.collect_batches():
-            for row in batch.itertuples(index=False, name=None):
-                yield dict(zip(batch.columns, row)) if named else row
+        """Iterate result rows (driver-side by definition — same as eager
+        polars).  Streams partitions via toLocalIterator so only one
+        partition is resident at a time; values are exact (ints stay ints,
+        null is None — see _collect_rows)."""
+        df = self._df
+        if self._order:
+            df = df.orderBy(*_order_cols(self._order))
+        if ROW_IDX in df.columns:
+            df = df.drop(ROW_IDX)
+        for r in df.toLocalIterator():
+            if named:
+                yield {k: _py_value(v) for k, v in r.asDict().items()}
+            else:
+                yield tuple(_py_value(v) for v in r)
 
     def iter_slices(self, n_rows: int = 10000):
         yield from self.collect_batches(batch_size=n_rows)
@@ -1807,8 +1868,7 @@ class LazyFrame:
         from polars_spark.series import Series
 
         if isinstance(item, str):
-            pdf = self.select(item).collect()
-            return Series(item, pdf[item].tolist())
+            return self.select(item).get_column(item)
         if isinstance(item, (list, tuple)) and item and all(
             isinstance(c, str) for c in item
         ):
@@ -1857,19 +1917,17 @@ class LazyFrame:
         ``by_predicate`` the filter runs distributed and exactly one match
         is required, like the reference."""
         if by_predicate is not None:
-            pdf = self.filter(by_predicate).collect()
-            if len(pdf) != 1:
-                msg = f"predicate matched {len(pdf)} rows (expected exactly 1)"
+            rows = self.filter(by_predicate).rows(named=named)
+            if len(rows) != 1:
+                msg = f"predicate matched {len(rows)} rows (expected exactly 1)"
                 raise ValueError(msg)
-            rec = pdf.iloc[0]
-        else:
-            if index is None:
-                raise ValueError("row() needs an index or by_predicate")
-            pdf = self.slice(index, 1).collect()
-            if len(pdf) == 0:
-                raise IndexError(index)
-            rec = pdf.iloc[0]
-        return dict(rec) if named else tuple(rec)
+            return rows[0]
+        if index is None:
+            raise ValueError("row() needs an index or by_predicate")
+        rows = self.slice(index, 1).rows(named=named)
+        if not rows:
+            raise IndexError(index)
+        return rows[0]
 
     # -- eager-surface tail (reference dataframe/frame.py) -------------------
 
@@ -2369,7 +2427,21 @@ class LazyFrame:
     def vstack(self, other: "LazyFrame") -> "LazyFrame":
         return concat([self, other], how="vertical")
 
-    def hstack(self, other: "LazyFrame") -> "LazyFrame":
+    def hstack(self, other, *, in_place: bool = False) -> "LazyFrame":
+        """polars DataFrame.hstack: accepts a frame OR a list of Series
+        (reference dataframe/frame.py hstack)."""
+        if isinstance(other, (list, tuple)):
+            from polars_spark.series import Series
+
+            cols = {}
+            for i, s in enumerate(other):
+                if isinstance(s, Series):
+                    cols[s.name or f"column_{i}"] = s.to_list()
+                else:
+                    cols[f"column_{i}"] = list(s)
+            from polars_spark.sources import DataFrame as _DF
+
+            other = _DF(cols)
         return concat([self, other], how="horizontal")
 
     def merge_sorted(self, other: "LazyFrame", key: str) -> "LazyFrame":
@@ -2837,13 +2909,32 @@ class DynamicGroupBy:
         self._closed = closed
         self._lf = lf
         self._index = index_column
-        self._every = _duration_str(every)
-        self._every_us = _duration_us(every)
-        self._period = _duration_str(period) if period else self._every
-        self._offset = _duration_str(offset) if offset else None
         self._label = label
         gb = group_by or []
         self._by = [gb] if isinstance(gb, str) else list(gb)
+        # "Ni" durations = INDEX units over an integer column (polars
+        # dynamic.rs integer windows); everything else is temporal
+        self._int_mode = isinstance(every, str) and every.rstrip().endswith("i")
+
+        def _int_units(s, default=None):
+            if s is None:
+                return default
+            s = s.strip()
+            if not s.endswith("i"):
+                raise ValueError(
+                    f"integer group_by_dynamic needs 'i' units on every/period/offset, got {s!r}"
+                )
+            return int(s[:-1])
+
+        if self._int_mode:
+            self._every_i = _int_units(every)
+            self._period_i = _int_units(period, self._every_i)
+            self._offset_i = _int_units(offset, 0)
+        else:
+            self._every = _duration_str(every)
+            self._every_us = _duration_us(every)
+            self._period = _duration_str(period) if period else self._every
+            self._offset = _duration_str(offset) if offset else None
 
     def agg(self, *exprs, **named) -> LazyFrame:
         # closed='right' = (start, end]: assign each row by ts - 1µs (Spark
@@ -2853,6 +2944,8 @@ class DynamicGroupBy:
         # window (boundary duplication is polars' documented 'both'
         # semantics); Spark's Expand-based window projection keeps this a
         # map-side operation — no extra shuffle.
+        if self._int_mode:
+            return self._agg_int(exprs, named)
         start = self._offset
         if self._start_by == "datapoint":
             # polars start_by='datapoint': window origin = the earliest data
@@ -2914,6 +3007,46 @@ class DynamicGroupBy:
         df = df.select(
             *self._by, F.col(f"__w__.{bound}").alias(self._index), *agg_names
         )
+        return LazyFrame(df, [])
+
+    def _agg_int(self, exprs, named) -> LazyFrame:
+        """Integer-index dynamic windows ('4i' units, polars dynamic.rs
+        integer path): window starts aligned to ``offset mod every``; a row
+        lands in every window whose [start, start+period) span (per
+        ``closed``) contains it.  Candidate starts are generated map-side
+        (explode of ceil(period/every)+1 aligned starts), so sliding windows
+        stay a projection + one keyed shuffle — same shape as F.window."""
+        ev, per, off = self._every_i, self._period_i, self._offset_i
+        i = F.col(self._index).cast("bigint")
+        # largest aligned start <= i (pmod keeps floor semantics for negatives)
+        s_base = i - F.pmod(i - F.lit(off), F.lit(ev))
+        n_cand = per // ev + 2
+        cand = F.array(*[s_base - F.lit(j * ev) for j in range(n_cand)])
+        src = self._lf._df.select("*", F.explode(cand).alias("__ws__"))
+        s = F.col("__ws__")
+        if self._closed == "left":
+            keep = (i >= s) & (i < s + per)
+        elif self._closed == "right":
+            keep = (i > s) & (i <= s + per)
+        elif self._closed == "both":
+            keep = (i >= s) & (i <= s + per)
+        else:  # none
+            keep = (i > s) & (i < s + per)
+        src = src.filter(keep)
+
+        ctx = ExprContext(src, list(self._lf._order))
+        aggs: list[Column] = []
+        agg_names: list[str] = []
+        for e in _flatten(exprs):
+            ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            aggs.append(ee._resolve(ctx).alias(ee._name))
+            agg_names.append(ee._name)
+        for name, e in named.items():
+            aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+            agg_names.append(name)
+        df = src.groupBy(*self._by, "__ws__").agg(*aggs)
+        lbl = s if self._label == "left" else s + per
+        df = df.select(*self._by, lbl.alias(self._index), *agg_names)
         return LazyFrame(df, [])
 
 

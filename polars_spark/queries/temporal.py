@@ -396,3 +396,37 @@ def evt_json_props(spark, sf_dir):
         )
         .to_spark()
     )
+
+
+@query(
+    "tmp_int_dynamic",
+    # integer-index dynamic windows (every=1000i, period=3000i, closed left):
+    # row i belongs to aligned starts s in {i - i%1000 - j*1000, j=0..2}
+    # with s <= i < s+3000 — replayed literally via unnest
+    oracle="""
+    WITH e AS (SELECT event_id AS i, value FROM events),
+    w AS (
+      SELECT i, value,
+             unnest([i - (i % 1000), i - (i % 1000) - 1000, i - (i % 1000) - 2000]) AS s
+      FROM e
+    )
+    SELECT s AS event_id, count(*) AS n,
+           floor(sum(value) * 10000 + 0.5) / 10000 AS total
+    FROM w WHERE i >= s AND i < s + 3000
+    GROUP BY s
+    """,
+)
+def tmp_int_dynamic(spark, sf_dir):
+    """group_by_dynamic over an INTEGER index column ('i' units, polars
+    dynamic.rs integer path): sliding 3000-wide windows every 1000 ids.
+    Window assignment is a map-side explode of the aligned candidate
+    starts; one keyed shuffle."""
+    ev = ltable(spark, sf_dir, "events")
+    return (
+        ev.group_by_dynamic("event_id", every="1000i", period="3000i")
+        .agg(
+            pl.len().alias("n"),
+            (pl.col("value").sum() * 10000 + 0.5).floor().truediv(10000).alias("total"),
+        )
+        .to_spark()
+    )

@@ -20,7 +20,21 @@ class Series:
             name, values = "", name
         if values is None:
             values = []
-        self._s = pd.Series(list(values), name=name or None)
+        vals = list(values)
+        if (
+            dtype is None
+            and any(v is None for v in vals)
+            and any(v is not None for v in vals)
+            and all(
+                v is None or (isinstance(v, int) and not isinstance(v, bool))
+                for v in vals
+            )
+        ):
+            # int + null: pandas' plain Series widens to float64/NaN; the
+            # nullable Int64 extension keeps polars' int-with-null semantics
+            self._s = pd.Series(pd.array(vals, dtype="Int64"), name=name or None)
+        else:
+            self._s = pd.Series(vals, name=name or None)
         if dtype is not None:
             from polars_spark.plans.expr import Categorical, _dtype_to_spark
 

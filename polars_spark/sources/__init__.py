@@ -214,6 +214,23 @@ def scan_csv(
 
 
 def read_csv(source, **kw) -> LazyFrame:
+    """Eager CSV read.  Besides paths, accepts in-memory sources like the
+    reference (bytes, str CSV payload, or a file-like object) — spooled to
+    a temp file so Spark's native reader (and its pushdown) still runs."""
+    import os
+    import tempfile
+
+    if isinstance(source, (bytes, bytearray)) or hasattr(source, "read"):
+        data = source.read() if hasattr(source, "read") else source
+        if isinstance(data, str):
+            data = data.encode()
+        fd, path = tempfile.mkstemp(suffix=".csv")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return scan_csv(path, **kw)
+    if isinstance(source, str) and "\n" in source:
+        # a CSV payload string, not a path (polars accepts both)
+        return read_csv(source.encode(), **kw)
     return scan_csv(source, **kw)
 
 
@@ -388,6 +405,24 @@ def DataFrame(
                 pos = [i for i, x in enumerate(v) if isinstance(x, float) and x != x]
                 if pos:
                     nan_positions[k] = pos
+    if isinstance(data, dict):
+        # int/bool lists containing None: plain pandas widens to float64
+        # (ints become 1.0, null becomes NaN); the nullable extension dtypes
+        # keep polars' typed-null semantics through createDataFrame
+        def _nullable_ingest(v):
+            if (
+                isinstance(v, (list, tuple))
+                and any(x is None for x in v)
+                and any(x is not None for x in v)
+            ):
+                nonnull = [x for x in v if x is not None]
+                if all(isinstance(x, int) and not isinstance(x, bool) for x in nonnull):
+                    return pd.array(v, dtype="Int64")
+                if all(isinstance(x, bool) for x in nonnull):
+                    return pd.array(v, dtype="boolean")
+            return v
+
+        data = {k: _nullable_ingest(v) for k, v in data.items()}
     pdf = pd.DataFrame(data)
     if names and len(names) == len(pdf.columns):
         pdf.columns = names

@@ -384,3 +384,177 @@ class TestRound7Fidelity:
             pl.col("s").cast(pl.Int64, strict=False).alias("n")
         ).collect()["n"]
         assert pd.isna(out.iloc[0]) and int(out.iloc[1]) == 7
+
+
+class TestRound8Fidelity:
+    """Round-8 user-sim campaign: attribute-style col, nth naming, when
+    keyword constraints (reference functions/col.py:154, lazy.py:705,
+    whenthen.py)."""
+
+    def test_col_attribute_access(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+        assert df.select(pl.col.a * 2).to_series().to_list() == [2, 4, 6]
+        # callable form unchanged
+        assert df.select(pl.col("a") + 1).to_series().to_list() == [2, 3, 4]
+        # struct kwarg composition through attribute access
+        assert df.select(
+            pl.struct(a2=pl.col.a).struct.field("a2").alias("f")
+        ).to_series().to_list() == [1, 2, 3]
+
+    def test_nth_keeps_source_name(self, spark):
+        import polars_spark as pl
+        from polars_spark.exceptions import ColumnNotFoundError
+        import pytest
+
+        df = pl.DataFrame({"a": [1, 8, 3], "b": [4, 5, 2], "c": ["f", "g", "h"]})
+        assert df.select(pl.nth(1)).columns == ["b"]
+        assert df.select(pl.nth(2, 0)).columns == ["c", "a"]
+        assert df.select(pl.nth(-1)).columns == ["c"]
+        assert df.select(pl.nth(9, strict=False)).columns == []
+        with pytest.raises(ColumnNotFoundError):
+            df.select(pl.nth(9))
+
+    def test_when_keyword_constraints(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+        assert df.select(
+            pl.when(a=2).then(99).otherwise(0).alias("w")
+        ).to_series().to_list() == [0, 99, 0]
+        # positional + keyword AND-combine
+        assert df.select(
+            pl.when(pl.col.a > 1, b="z").then(1).otherwise(0).alias("w")
+        ).to_series().to_list() == [0, 0, 1]
+        # chained .when accepts constraints too
+        assert df.select(
+            pl.when(a=1).then(10).when(a=2).then(20).otherwise(0).alias("w")
+        ).to_series().to_list() == [10, 20, 0]
+
+
+class TestTypedNullFidelity:
+    """Round-8: nulls in row-output APIs are None (never NaN), and int/bool
+    columns with nulls keep their dtype end to end (reference rows()/
+    to_dicts()/Series semantics)."""
+
+    def test_constructor_keeps_int_bool_dtypes_with_nulls(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"x": [1, None, 3], "b": [True, None, False]})
+        assert df.schema["x"] == "bigint"
+        assert df.schema["b"] == "boolean"
+        assert df.rows() == [(1, True), (None, None), (3, False)]
+
+    def test_row_apis_return_none_not_nan(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"x": [1, None, 3], "s": ["a", None, "c"], "f": [1.5, None, 2.5]})
+        assert df.rows()[1] == (None, None, None)
+        assert df.rows(named=True)[1] == {"x": None, "s": None, "f": None}
+        assert df.to_dicts()[1]["f"] is None
+        assert df.to_dict()["x"] == [1, None, 3]
+        assert list(df.iter_rows())[1] == (None, None, None)
+        assert df.row(1) == (None, None, None)
+        assert df["x"].to_list() == [1, None, 3]
+        assert df.get_column("x").to_list() == [1, None, 3]
+        assert [s.to_list() for s in df.get_columns()][0] == [1, None, 3]
+
+    def test_item_preserves_int(self, spark):
+        import polars_spark as pl
+
+        v = pl.DataFrame({"a": [7]}).item()
+        assert v == 7 and isinstance(v, int)
+
+    def test_struct_rows_become_dicts(self, spark):
+        import polars_spark as pl
+
+        out = pl.DataFrame({"a": [1]}).select(
+            pl.struct(x=pl.lit(1), y=pl.lit("z")).alias("s")
+        ).rows()
+        assert out == [({"x": 1, "y": "z"},)]
+
+    def test_align_concat_keeps_ints(self, spark):
+        import polars_spark as pl
+
+        d2 = pl.concat(
+            [pl.DataFrame({"k": [1, 2], "v": [10, 20]}), pl.DataFrame({"k": [2, 3], "w": [5, 6]})],
+            how="align",
+        )
+        assert d2.sort("k").rows() == [(1, 10, None), (2, 20, 5), (3, None, 6)]
+
+    def test_nan_stays_distinct_from_null(self, spark):
+        import math
+
+        import polars_spark as pl
+
+        rows = pl.DataFrame({"f": [1.0, float("nan"), None]}).rows()
+        assert rows[0] == (1.0,)
+        assert math.isnan(rows[1][0])
+        assert rows[2] == (None,)
+
+    def test_series_nullable_int_ops(self, spark):
+        import polars_spark as pl
+
+        s = pl.Series("x", [1, None, 3])
+        assert s.to_list() == [1, None, 3]
+        assert s.sum() == 4
+        assert (s + 1).to_list() == [2, None, 4]
+
+
+class TestRound8FidelityBatch2:
+    """Round-8 second sim batch: struct(pl.all()) expansion, hstack with
+    Series, in-memory read_csv sources, integer group_by_dynamic."""
+
+    def test_struct_wildcard_expansion(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+        assert df.select(pl.struct(pl.all()).alias("s")).rows() == [
+            ({"a": 1, "b": "x"},),
+            ({"a": 2, "b": "y"},),
+        ]
+        # selector form
+        import polars_spark.selectors as cs
+
+        assert df.select(pl.struct(cs.numeric()).alias("s")).rows() == [
+            ({"a": 1},),
+            ({"a": 2},),
+        ]
+
+    def test_hstack_series_list(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+        out = df.hstack([pl.Series("n", [7, 8])])
+        assert out.columns == ["a", "b", "n"]
+        assert out.rows() == [(1, "x", 7), (2, "y", 8)]
+
+    def test_read_csv_in_memory_sources(self, spark):
+        import io
+
+        import polars_spark as pl
+
+        assert pl.read_csv(b"a,b\n1,x\n2,y\n").rows() == [(1, "x"), (2, "y")]
+        assert pl.read_csv("a,b\n1,x\n").rows() == [(1, "x")]
+        assert pl.read_csv(io.StringIO("a,b\n3,z\n")).rows() == [(3, "z")]
+        df = pl.DataFrame({"a": [1], "b": ["q"]})
+        assert pl.read_csv(df.write_csv().encode()).rows() == [(1, "q")]
+
+    def test_group_by_dynamic_integer_units(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"i": [1, 5, 9, 12], "v": [1, 1, 1, 1]})
+        out = df.group_by_dynamic("i", every="4i").agg(pl.col("v").sum()).sort("i")
+        assert out.rows() == [(0, 1), (4, 1), (8, 1), (12, 1)]
+        # sliding: every=2i period=4i over 0..5 (hand-checked per window)
+        df2 = pl.DataFrame({"i": list(range(6)), "v": [1] * 6})
+        out2 = df2.group_by_dynamic("i", every="2i", period="4i").agg(
+            pl.col("v").sum()
+        ).sort("i")
+        assert out2.rows() == [(-2, 2), (0, 4), (2, 4), (4, 2)]
+        # closed='right' shifts membership to (s, s+p]
+        out3 = df.group_by_dynamic("i", every="4i", closed="right").agg(
+            pl.col("v").sum()
+        ).sort("i")
+        assert out3.rows() == [(0, 1), (4, 1), (8, 2)]
