@@ -132,8 +132,21 @@ class LazyFrame:
     def _ctx(self) -> ExprContext:
         return ExprContext(self._df, list(self._order))
 
-    def explain(self, mode: str = "formatted") -> None:
-        self._df.explain(mode)
+    def explain(self, mode: str = "formatted", **_compat) -> str:
+        """Plan as a STRING (polars LazyFrame.explain returns, not prints)."""
+        try:
+            # what DataFrame.explain() prints, returned instead
+            return self._df._sc._jvm.PythonSQLUtils.explainString(
+                self._df._jdf.queryExecution(), mode
+            )
+        except Exception:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                self._df.explain(mode)
+            return buf.getvalue()
 
     # -- materialization ----------------------------------------------------
     def to_spark(self) -> SparkDF:
@@ -390,12 +403,20 @@ class LazyFrame:
         names = list(_flatten(columns))
         return LazyFrame(self._df.drop(*names), [o for o in self._order if o[0] not in names])
 
-    def rename(self, mapping: Mapping[str, str] | None = None, **kw) -> "LazyFrame":
+    def rename(self, mapping: Mapping[str, str] | None = None, *, strict: bool = True, **kw) -> "LazyFrame":
         if callable(mapping):  # polars: rename(lambda old_name: new_name)
             m = {c: mapping(c) for c in self.columns}
         else:
             m = dict(mapping or {}, **kw)
-        df = self._df.withColumnsRenamed(m)
+        if strict and not callable(mapping):
+            from polars_spark.exceptions import ColumnNotFoundError
+
+            missing = [k for k in m if k not in self._df.columns]
+            if missing:
+                raise ColumnNotFoundError(f"rename: column(s) not found: {missing}")
+        # simultaneous projection — swap renames ({'a':'b','b':'a'}) must not
+        # collide the way sequential withColumnRenamed does
+        df = self._df.select(*[F.col(c).alias(m.get(c, c)) for c in self._df.columns])
         order = [(m.get(n, n), d, nl) for n, d, nl in self._order]
         return LazyFrame(df, order)
 

@@ -175,7 +175,13 @@ class Series:
             "bigint": "Int64", "float": "float32", "double": "float64",
             "string": "object", "boolean": "boolean",
         }
-        return self._wrap(self._s.astype(pd_map.get(t, "object")))
+        target = pd_map.get(t, "object")
+        if target.startswith("Int") and pd.api.types.is_float_dtype(self._s):
+            # polars float->int casts truncate toward zero (pandas astype
+            # refuses non-integral floats)
+            vals = [None if pd.isna(v) else int(v) for v in self._s]
+            return self._wrap(pd.Series(pd.array(vals, dtype=target), name=self._s.name))
+        return self._wrap(self._s.astype(target))
 
     def to_numpy(self):
         return self._s.to_numpy()

@@ -833,7 +833,8 @@ def date_range(start, end, interval: str = "1d", *, closed: str = "both", eager:
         df = df.filter(F.col("literal") != F.lit(str(end)).cast("date"))
     if closed in ("right", "none"):
         df = df.filter(F.col("literal") != F.lit(str(start)).cast("date"))
-    return LazyFrame(df)
+    lf = LazyFrame(df)
+    return lf.to_series() if eager else lf
 
 
 def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
@@ -850,7 +851,8 @@ def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", ea
         df = df.filter(F.col("literal") != F.lit(str(end)).cast("timestamp"))
     if closed in ("right", "none"):
         df = df.filter(F.col("literal") != F.lit(str(start)).cast("timestamp"))
-    return LazyFrame(df)
+    lf = LazyFrame(df)
+    return lf.to_series() if eager else lf
 
 
 def zeros(n: int, spark: SparkSession | None = None) -> LazyFrame:

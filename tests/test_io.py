@@ -92,17 +92,11 @@ def test_to_arrow(pl, lf_module_missing=None):
 def test_hive_partition_pruning(pl, lf, tmp_path, spark):
     """A filter on the partition column must prune at scan time
     (PartitionFilters in the plan), not post-filter."""
-    import io as _io
-    import contextlib
-
     f = lf(g=["a", "a", "b", "c"], v=[1, 2, 3, 4])
     path = str(tmp_path / "pruned")
     f.sink_parquet(path, partition_by="g")
     back = pl.scan_parquet(path).filter(pl.col("g") == "a")
-    buf = _io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        back.explain("formatted")
-    plan = buf.getvalue()
+    plan = back.explain("formatted")  # returns the plan string (polars API)
     assert "PartitionFilters" in plan and "g" in plan.split("PartitionFilters", 1)[1][:120]
     assert len(back.collect()) == 2
 

@@ -182,10 +182,14 @@ def test_toplevel_generators(pl, spark):
     assert pl.int_range(2, 8, 2, spark=spark).collect()["literal"].tolist() == [2, 4, 6]
     ls = pl.linear_space(0.0, 1.0, 5, spark=spark).collect()["literal"].tolist()
     assert ls == [0.0, 0.25, 0.5, 0.75, 1.0]
-    dr = pl.date_range("2024-01-01", "2024-01-03", "1d", closed="left", spark=spark).collect()
-    assert [str(d) for d in dr["literal"]] == ["2024-01-01", "2024-01-02"]
-    tr = pl.datetime_range("2024-01-01 00:00", "2024-01-01 02:00", "1h", spark=spark).collect()
-    assert len(tr) == 3
+    # eager=True (the default) returns a Series, like the reference
+    dr = pl.date_range("2024-01-01", "2024-01-03", "1d", closed="left", spark=spark)
+    assert [str(d) for d in dr.to_list()] == ["2024-01-01", "2024-01-02"]
+    tr = pl.datetime_range("2024-01-01 00:00", "2024-01-01 02:00", "1h", spark=spark)
+    assert tr.len() == 3
+    # eager=False keeps the lazy frame form
+    lzf = pl.date_range("2024-01-01", "2024-01-02", "1d", eager=False, spark=spark)
+    assert len(lzf.collect()) == 2
     assert pl.ones(3, spark=spark).collect()["ones"].tolist() == [1.0, 1.0, 1.0]
 
 

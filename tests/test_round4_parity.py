@@ -558,3 +558,42 @@ class TestRound8FidelityBatch2:
             pl.col("v").sum()
         ).sort("i")
         assert out3.rows() == [(0, 1), (4, 1), (8, 2)]
+
+
+class TestRound8FidelityBatch3:
+    """Round-8 third sim batch: simultaneous rename, explain() returns a
+    string, eager ranges return Series, Series float->int truncation."""
+
+    def test_rename_swap_is_simultaneous(self, spark):
+        import pytest
+
+        import polars_spark as pl
+        from polars_spark.exceptions import ColumnNotFoundError
+
+        df = pl.DataFrame({"a": [1], "b": [2]})
+        assert df.rename({"a": "b", "b": "a"}).rows(named=True) == [{"b": 1, "a": 2}]
+        with pytest.raises(ColumnNotFoundError):
+            df.rename({"zz": "y"})
+        # strict=False ignores unknown keys (polars rule)
+        assert df.rename({"zz": "y"}, strict=False).columns == ["a", "b"]
+
+    def test_explain_returns_string(self, spark):
+        import polars_spark as pl
+
+        s = pl.DataFrame({"a": [1]}).lazy().explain()
+        assert isinstance(s, str) and "Physical Plan" in s
+
+    def test_eager_ranges_return_series(self, spark):
+        from datetime import date, datetime
+
+        import polars_spark as pl
+
+        s = pl.date_range(date(2024, 1, 1), date(2024, 1, 5), "1d", eager=True)
+        assert s.to_list()[0] == date(2024, 1, 1) and s.len() == 5
+        s2 = pl.datetime_range(datetime(2024, 1, 1), datetime(2024, 1, 2), "6h", eager=True)
+        assert s2.len() == 5
+
+    def test_series_float_to_int_truncates(self, spark):
+        import polars_spark as pl
+
+        assert pl.Series([1.7, -2.2, None]).cast(pl.Int64).to_list() == [1, -2, None]
