@@ -121,3 +121,49 @@ def tf_idf_vectors(
         "token",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("weight"),
     )
+
+
+def rrf_fuse(
+    rankings,
+    *,
+    k: int = 60,
+    query_col: str = "qid",
+    doc_col: str = "doc",
+    rank_col: str = "rk",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over N per-query rankings (hybrid retrieval:
+    BM25 + dense ANN is the classic pair): score(q, d) = sum over rankings
+    of 1 / (k + rank).  Input frames carry (query_col, doc_col, rank_col).
+
+    Scale shape: one union (no shuffle), one keyed aggregate on
+    (query, doc), and a per-query top-k window — fusion cost is linear in
+    the candidate lists, independent of corpus size."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(query_col).alias("qid"),
+            F.col(doc_col).alias("doc"),
+            F.col(rank_col).cast("bigint").alias("rk"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = u.groupBy("qid", "doc").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rk"))).alias("raw"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    out = fused.select(
+        "qid",
+        "doc",
+        (F.floor(F.col("raw") * 1e6 + F.lit(0.5)) / 1e6).alias("rrf"),
+        "n_lists",
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("doc").asc())
+    out = out.withColumn("fused_rk", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("fused_rk") <= topk)
+    return out

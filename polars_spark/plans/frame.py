@@ -2303,12 +2303,15 @@ class LazyFrame:
         return self.select(_fn.struct(*[_col(c) for c in self.columns]).alias(name or "struct"))
 
     def fold(self, operation):
-        """Horizontal fold across columns (reference DataFrame.fold)."""
-        from polars_spark.plans.expr import col as _col
+        """Horizontal fold across columns -> Series named after the first
+        column (reference DataFrame.fold).  One distributed projection."""
         from functools import reduce as _red
 
-        out = _red(operation, [_col(c) for c in self.columns])
-        return self.select(out.alias("fold"))
+        from polars_spark.plans.expr import col as _col
+
+        cols = self.columns
+        out = _red(operation, [_col(c) for c in cols])
+        return self.select(out.alias(cols[0])).to_series()
 
     def product(self) -> "LazyFrame":
         from polars_spark.plans.expr import col as _col
@@ -2356,20 +2359,40 @@ class LazyFrame:
         print(out)
         return None
 
-    def partition_by(self, *by, include_key: bool = True):
-        """Split into per-key frames (reference: DataFrame.partition_by).
+    def partition_by(
+        self,
+        *by,
+        maintain_order: bool = True,
+        include_key: bool = True,
+        as_dict: bool = False,
+    ):
+        """Split into per-key frames (reference: DataFrame.partition_by,
+        dataframe/frame.py:10059): a LIST of frames by default, a dict keyed
+        by key TUPLES with ``as_dict=True``.
 
-        Returns ``{key_tuple: LazyFrame}``.  The key set is collected at the
-        driver (inherent to the API — the caller wants one handle per key);
-        each value stays a LAZY filtered frame, so downstream work on a
-        partition prunes at the scan instead of materializing everything the
-        way eager polars does.  For unbounded key cardinality prefer
-        ``sink_parquet(partition_by=...)`` / ``group_by`` — this API is for
-        a driver-manageable number of groups."""
+        The key set is collected at the driver (inherent to the API — the
+        caller wants one handle per key); each value stays a LAZY filtered
+        frame, so downstream work on a partition prunes at the scan instead
+        of materializing everything the way eager polars does.  For
+        unbounded key cardinality prefer ``sink_parquet(partition_by=...)``
+        / ``group_by`` — this API is for a driver-manageable number of
+        groups.  ``maintain_order`` lists groups by first appearance when
+        the frame carries an order; otherwise by key."""
         keys = [k if isinstance(k, str) else k._name for k in _flatten(by)]
-        distinct = self._df.select(*keys).distinct().collect()
-        out = {}
-        for row in distinct:
+        if maintain_order and ROW_IDX in self._df.columns:
+            ordered = (
+                self._df.groupBy(*keys)
+                .agg(F.min(ROW_IDX).alias("__first__"))
+                .orderBy("__first__")
+                .collect()
+            )
+        else:
+            ordered = sorted(
+                self._df.select(*keys).distinct().collect(),
+                key=lambda r: tuple((v is None, v) for v in r),
+            )
+        pairs = []
+        for row in ordered:
             kt = tuple(row[k] for k in keys)
             cond = None
             for k in keys:
@@ -2378,8 +2401,10 @@ class LazyFrame:
             part = self._df.filter(cond)
             if not include_key:
                 part = part.drop(*keys)
-            out[kt if len(kt) > 1 else kt[0]] = LazyFrame(part, self._order)
-        return out
+            pairs.append((kt, LazyFrame(part, self._order)))
+        if as_dict:
+            return dict(pairs)
+        return [lf for _, lf in pairs]
 
     def describe(self):
         """Eager per-column summary (count, null_count, mean, std, min, max,
@@ -2688,8 +2713,11 @@ class LazyGroupBy:
         names = [k for k in self._keys if isinstance(k, str)]
         if len(names) != len(self._keys) or self._named:
             raise TypeError("group_by iteration needs plain column-name keys")
-        parts = self._lf.partition_by(*names)
-        return iter(parts.items())
+        parts = self._lf.partition_by(*names, as_dict=True)
+        # polars GroupBy iteration: single keys arrive unwrapped
+        return iter(
+            (k[0] if len(k) == 1 else k, v) for k, v in parts.items()
+        )
 
     def _grouped(self):
         cols = self._key_cols()

@@ -517,3 +517,83 @@ def mm_image_ahash_pairs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     media = attach_fake_image_bytes(docs, "text")
     return image_ahash_pairs(media, "doc_id", "image", max_hamming=3)
+
+
+@query(
+    "sim_rrf_fusion",
+    # RRF over two rankings of the same probe set: cosine top-10 and
+    # (negative) L2-distance top-10, fused with k=60, top-5 kept.  Both
+    # rankings, the 1/(60+rk) sum, fround(6), and the fused tie-break are
+    # replayed literally.
+    oracle="""
+    WITH probes AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT p.qid, c.vec_id AS doc,
+             round(list_cosine_similarity(p.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+             round(list_distance(p.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS dist
+      FROM probes p CROSS JOIN embeddings c
+      WHERE p.qid != c.vec_id
+    ),
+    r1 AS (
+      SELECT qid, doc, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc ASC) AS rk
+      FROM pairs
+    ),
+    r2 AS (
+      SELECT qid, doc, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, doc ASC) AS rk
+      FROM pairs
+    ),
+    u AS (
+      SELECT * FROM (SELECT qid, doc, rk FROM r1 WHERE rk <= 10)
+      UNION ALL
+      SELECT * FROM (SELECT qid, doc, rk FROM r2 WHERE rk <= 10)
+    ),
+    fused AS (
+      SELECT qid, doc,
+             floor(sum(1.0 / (60.0 + rk)) * 1000000 + 0.5) / 1000000 AS rrf,
+             count(*) AS n_lists
+      FROM u GROUP BY qid, doc
+    )
+    SELECT qid, doc, rrf, n_lists, fused_rk FROM (
+      SELECT qid, doc, rrf, n_lists,
+             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc ASC) AS fused_rk
+      FROM fused
+    ) WHERE fused_rk <= 5
+    """,
+)
+def sim_rrf_fusion(spark, sf_dir):
+    """llm.retrieval.rrf_fuse: hybrid-retrieval Reciprocal Rank Fusion of a
+    cosine ranking and an L2-distance ranking (the lexical+dense fusion
+    shape), top-5 fused per query.  Fusion is one union + one keyed
+    aggregate + a per-query window — linear in the candidate lists."""
+    from pyspark.sql import Window
+
+    from polars_spark.llm import _spread
+    from polars_spark.llm.retrieval import rrf_fuse
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    q = probes.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = _spread(emb).select(F.col("vec_id").alias("doc"), F.col("embedding").alias("nv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col_: F.sqrt(F.aggregate(F.transform(col_, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    sq_diff = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("doc"))
+        .select(
+            "qid",
+            "doc",
+            F.round(dot / (norm(F.col("qv")) * norm(F.col("nv"))), 6).alias("sim"),
+            F.round(F.sqrt(sq_diff), 6).alias("dist"),
+        )
+        .cache()
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("doc").asc())
+    w2 = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("doc").asc())
+    r1 = pairs.withColumn("rk", F.row_number().over(w1)).filter(F.col("rk") <= 10)
+    r2 = pairs.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= 10)
+    return rrf_fuse([r1, r2], k=60, topk=5)

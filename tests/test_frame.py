@@ -205,12 +205,18 @@ def test_collect_schema_and_glimpse(pl, lf):
 
 def test_partition_by(pl, lf):
     f = lf(g=["a", "a", "b", None], x=[1, 2, 3, 4])
+    # default: a LIST of frames, first-appearance order (reference
+    # dataframe/frame.py:10059 as_dict=False)
     parts = f.partition_by("g")
-    got = {k: sorted(v.collect()["x"].tolist()) for k, v in parts.items()}
-    assert got == {"a": [1, 2], "b": [3], None: [4]}
-    nk = f.partition_by("g", include_key=False)["b"]
+    assert isinstance(parts, list)
+    assert [sorted(p.collect()["x"].tolist()) for p in parts] == [[1, 2], [3], [4]]
+    # as_dict: keys are TUPLES, even for a single key column
+    d = f.partition_by("g", as_dict=True)
+    got = {k: sorted(v.collect()["x"].tolist()) for k, v in d.items()}
+    assert got == {("a",): [1, 2], ("b",): [3], (None,): [4]}
+    nk = f.partition_by("g", include_key=False, as_dict=True)[("b",)]
     assert nk.collect().columns.tolist() == ["x"]
-    multi = f.partition_by("g", "x")
+    multi = f.partition_by("g", "x", as_dict=True)
     assert multi[("b", 3)].collect()["x"].tolist() == [3]
 
 
@@ -314,8 +320,9 @@ def test_eager_dataframe_surface(pl, lf, tmp_path):
     assert rows_[0] == {"a": 1, "b": "x"}
     st = f.to_struct("s").collect()
     assert st["s"][0] == {"a": 1, "b": "x"}
-    fd = f.select(pl.col("a")).fold(lambda x, y: x + y).collect()
-    assert fd["fold"].tolist() == [1, 2, 3]
+    # fold returns a Series named after the first column (reference)
+    fd = f.select(pl.col("a")).fold(lambda x, y: x + y)
+    assert fd.name == "a" and fd.to_list() == [1, 2, 3]
     p = str(tmp_path / "w.parquet")
     f.write_parquet(p)
     assert sorted(pl.read_parquet(p).collect()["a"].tolist()) == [1, 2, 3]

@@ -1042,3 +1042,23 @@ def test_tf_idf_vectors(spark):
     assert abs(w[(1, "apple")] - 2 * math.log(2 / 1)) < 1e-12
     assert abs(w[(1, "banana")] - 1 * math.log(2 / 2)) < 1e-12  # df=2 -> weight 0
     assert abs(w[(2, "cherry")] - 1 * math.log(2 / 1)) < 1e-12
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF of two 2-doc rankings checked against the 1/(k+rank) formula."""
+    from polars_spark.llm.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 10, 1), (1, 20, 2)], "qid bigint, doc bigint, rk bigint")
+    r2 = spark.createDataFrame([(1, 20, 1), (1, 30, 2)], "qid bigint, doc bigint, rk bigint")
+    out = {r["doc"]: r for r in rrf_fuse([r1, r2], k=60).collect()}
+    # doc 20 appears in both lists (ranks 2 and 1)
+    assert abs(out[20]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 2e-6
+    assert out[20]["n_lists"] == 2
+    assert abs(out[10]["rrf"] - round(1 / 61, 6)) < 2e-6
+    assert out[30]["n_lists"] == 1
+    # fused order: 20 first (two contributions), then 10 (rank1 beats rank2), then 30
+    order = [d for d, r in sorted(out.items(), key=lambda kv: kv[1]["fused_rk"])]
+    assert order == [20, 10, 30]
+    # topk filter
+    top1 = rrf_fuse([r1, r2], k=60, topk=1).collect()
+    assert [r["doc"] for r in top1] == [20]
