@@ -63,6 +63,10 @@ HEADLINE = [
     # sink, availableNow) and the OLS trend aggregate
     "stream_tumbling_1h",
     "agg_linreg",
+    # round 8: lexical retrieval (inverted-index BM25) and hybrid-retrieval
+    # rank fusion
+    "txt_bm25_topk",
+    "sim_rrf_fusion",
 ]
 
 
