@@ -448,7 +448,9 @@ def cov(a, b, *, ddof: int = 1) -> Expr:
 
 
 def int_ranges(start, end, step: int = 1) -> Expr:
-    s, e = _to_expr(start), _to_expr(end)
+    # polars parse rule: bare strings are COLUMN names in range functions
+    s = col(start) if isinstance(start, str) else _to_expr(start)
+    e = col(end) if isinstance(end, str) else _to_expr(end)
 
     def fn(ctx: ExprContext) -> Column:
         # sequence is inclusive on both ends; polars int_range excludes end
@@ -469,6 +471,10 @@ def date_ranges(start, end, interval: str = "1d") -> Expr:
     from polars_spark.plans.frame import _duration_str
 
     iv = _duration_str(interval)
+    if isinstance(start, str):
+        s = col(start)
+    if isinstance(end, str):
+        e = col(end)
 
     def fn(ctx: ExprContext) -> Column:
         return F.sequence(s._resolve(ctx), e._resolve(ctx), F.expr(f"INTERVAL {iv}"))
@@ -497,7 +503,18 @@ def repeat(value, n) -> Expr:
     def fn(ctx: ExprContext) -> Column:
         return F.array_repeat(v._resolve(ctx), k._resolve(ctx).cast("int"))
 
-    return Expr(fn, "repeat")
+    e = Expr(fn, "repeat")
+    if isinstance(n, int) and not isinstance(value, Expr):
+        # sole-expr select: pl.repeat(v, n) materializes n ROWS (reference
+        # functions/repeat.py) — same length-changing rewrite as top_k
+        def rewrite(lf, _v=value, _n=n):
+            from polars_spark.plans.frame import LazyFrame
+
+            spark = lf._df.sparkSession
+            return LazyFrame(spark.range(_n).select(F.lit(_v).alias("repeat")))
+
+        e._select_rewrite = rewrite
+    return e
 
 
 # ---------------------------------------------------------------------------

@@ -1075,9 +1075,22 @@ class ListNamespace(_NS):
         return F.filter(c, lambda x: x.isNotNull())
 
     def sum(self) -> Expr:
-        return self._map(
-            lambda c: F.aggregate(self._nn(c), F.lit(0.0), lambda acc, x: acc + x)
-        )
+        parent = self._e
+
+        def fn(ctx) -> Column:
+            c = parent._resolve(ctx)
+            init = F.lit(0.0)
+            try:
+                # driver-only analysis: integer element lists sum to their
+                # integer type (polars rule), not double
+                et = ctx.df.select(c.alias("__t__")).schema["__t__"].dataType.elementType.simpleString()
+                if et in ("tinyint", "smallint", "int", "bigint"):
+                    init = F.lit(0).cast("bigint")
+            except Exception:
+                pass
+            return F.aggregate(self._nn(c), init, lambda acc, x: acc + x)
+
+        return Expr(fn, parent._name)
 
     def min(self) -> Expr:
         return self._map(F.array_min)

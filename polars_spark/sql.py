@@ -115,10 +115,67 @@ class SQLContext:
 
 
 def sql(query: str, *, eager: bool = False) -> LazyFrame:
-    """pl.sql(...) — run SQL against already-registered temp views."""
+    """pl.sql(...) — run SQL against frames in the CALLER'S scope (reference
+    sql/functions.py:21 execute_global): any LazyFrame / Series / pandas /
+    pyarrow object whose variable name appears in the query is registered as
+    a view, so ``pl.sql("SELECT * FROM my_frame")`` just works.  Explicitly
+    registered temp views keep working too (scope wins on collision)."""
+    import inspect
+    import re
+
     spark = SparkSession.getActiveSession()
     if spark is None:
         from polars_spark.session import get_spark
 
         spark = get_spark()
+
+    idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
+    caller = inspect.currentframe().f_back
+    seen: dict = {}
+    if caller is not None:
+        for scope in (caller.f_locals, caller.f_globals):
+            for name, obj in scope.items():
+                if name in idents and name not in seen:
+                    lf = _as_frame(obj)
+                    if lf is not None:
+                        seen[name] = lf
+    for name, lf in seen.items():
+        lf.to_spark().createOrReplaceTempView(name)
     return LazyFrame(spark.sql(_rewrite_table_functions(spark, query)))
+
+
+def _as_frame(obj):
+    """Convert a scope object to a LazyFrame if it is frame-like (our
+    LazyFrame/Series, pandas DataFrame/Series, pyarrow Table); else None."""
+    if isinstance(obj, LazyFrame):
+        return obj
+    try:
+        from polars_spark.series import Series
+
+        if isinstance(obj, Series):
+            return obj.to_frame()
+    except ImportError:
+        pass
+    try:
+        import pandas as pd
+
+        if isinstance(obj, pd.DataFrame):
+            from polars_spark.sources import from_pandas
+
+            return from_pandas(obj)
+        if isinstance(obj, pd.Series):
+            from polars_spark.sources import from_pandas
+
+            return from_pandas(obj.to_frame())
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        if isinstance(obj, (pa.Table, pa.RecordBatch)):
+            from polars_spark.sources import from_arrow
+
+            return from_arrow(obj)
+    except ImportError:
+        pass
+    return None

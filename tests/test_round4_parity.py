@@ -597,3 +597,39 @@ class TestRound8FidelityBatch3:
         import polars_spark as pl
 
         assert pl.Series([1.7, -2.2, None]).cast(pl.Int64).to_list() == [1, -2, None]
+
+
+class TestRound8FidelityBatch4:
+    """Round-8 fourth sim batch: caller-scope pl.sql, column-ref ranges,
+    repeat row materialization, integer list.sum dtype."""
+
+    def test_sql_resolves_caller_scope_frames(self, spark):
+        import pandas as pd
+
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, 2, 3]})
+        other = pl.DataFrame({"a": [2, 3], "d": [9, 8]})
+        pdf = pd.DataFrame({"a": [1], "e": [0.5]})
+        assert pl.sql("SELECT count(*) AS n FROM df").item() == 3
+        assert pl.sql(
+            "SELECT df.a, d FROM df JOIN other USING (a) ORDER BY a"
+        ).rows() == [(2, 9), (3, 8)]
+        assert pl.sql("SELECT sum(e) AS s FROM pdf").item() == 0.5
+
+    def test_int_ranges_accepts_column_names(self, spark):
+        import polars_spark as pl
+
+        out = pl.DataFrame({"s": [1], "e": [4]}).select(pl.int_ranges("s", "e"))
+        assert out.rows() == [([1, 2, 3],)]
+
+    def test_repeat_materializes_rows_in_select(self, spark):
+        import polars_spark as pl
+
+        assert pl.select(pl.repeat(7, 3).alias("r")).to_series().to_list() == [7, 7, 7]
+
+    def test_list_sum_keeps_integer_dtype(self, spark):
+        import polars_spark as pl
+
+        assert pl.DataFrame({"l": [[1, 2]]}).select(pl.col("l").list.sum()).rows() == [(3,)]
+        assert pl.DataFrame({"l": [[1.5, 2.0]]}).select(pl.col("l").list.sum()).rows() == [(3.5,)]
