@@ -313,7 +313,24 @@ class Expr:
         return _to_expr(o)._zip(self, lambda a, b: a | b, self._name)
 
     def __xor__(self, o):
-        return self._zip(o, lambda a, b: a.bitwiseXOR(b))
+        oe = _to_expr(o)
+
+        def fn(ctx: ExprContext) -> Column:
+            a, b = self._resolve(ctx), oe._resolve(ctx)
+            try:
+                # booleans need logical xor (!=); ints bitwise — driver-only
+                # schema probe, falls back to bitwise on analysis failure
+                t = ctx.df.select(a.alias("__t__")).schema["__t__"].dataType.simpleString()
+                if t == "boolean":
+                    return a != b
+            except Exception:
+                pass
+            return a.bitwiseXOR(b)
+
+        return Expr(fn, self._name, self._is_agg or oe._is_agg)
+
+    def __rxor__(self, o):
+        return _to_expr(o).__xor__(self)
 
     def __invert__(self):
         return self._map(lambda c: ~c)
@@ -510,7 +527,14 @@ class Expr:
         return self._map(F.radians)
 
     def sign(self):
-        return self._map(F.signum)
+        # polars keeps the input dtype (Int -> Int); F.signum forces double.
+        # (c - c) re-injects the input's type/NaN: int -> +0, float NaN -> NaN
+        return self._map(
+            lambda c: F.when(
+                c.isNotNull(),
+                ((c > 0).cast("long") - (c < 0).cast("long")) + (c - c),
+            )
+        )
 
     def clip(self, lower_bound=None, upper_bound=None, *, lower=None, upper=None):
         # reference parameter names are lower_bound/upper_bound; the short
@@ -948,7 +972,30 @@ class Expr:
         return Expr(fn, self._name, is_agg=True)
 
     def mode(self):
-        return self._agg(F.mode)
+        e = self._agg(F.mode)
+
+        # select context: polars mode() returns ALL most-frequent values
+        # (length-changing) — rewrite to a count group-by + max-count filter;
+        # sorted output since polars leaves mode order arbitrary.  Agg
+        # context keeps the single-mode aggregate (ties broken arbitrarily).
+        def rewrite(lf, _p=self):
+            from polars_spark.plans.frame import LazyFrame
+
+            ctx = lf._ctx()
+            c = _p._resolve(ctx)
+            name = _p._name
+            counts = lf._df.groupBy(c.alias(name)).agg(F.count(F.lit(1)).alias("__n__"))
+            mx = counts.agg(F.max("__n__").alias("__mx__"))
+            out = (
+                counts.crossJoin(F.broadcast(mx))
+                .filter(F.col("__n__") == F.col("__mx__"))
+                .select(name)
+                .orderBy(name)
+            )
+            return LazyFrame(out)
+
+        e._select_rewrite = rewrite
+        return e
 
     def product(self):
         # no F.product aggregate; exp(sum(log)) breaks on <=0 -> use sign tracking

@@ -633,3 +633,35 @@ class TestRound8FidelityBatch4:
 
         assert pl.DataFrame({"l": [[1, 2]]}).select(pl.col("l").list.sum()).rows() == [(3,)]
         assert pl.DataFrame({"l": [[1.5, 2.0]]}).select(pl.col("l").list.sum()).rows() == [(3.5,)]
+
+
+class TestRound8FidelityBatch5:
+    """Round-8 fifth sim batch: multi-value mode in select, dtype-keeping
+    sign, boolean xor."""
+
+    def test_mode_returns_all_ties_in_select(self, spark):
+        import polars_spark as pl
+
+        out = pl.DataFrame({"x": [1, 1, 2, 2, 3]}).select(pl.col("x").mode())
+        assert sorted(out.to_series().to_list()) == [1, 2]
+        # agg context stays single-mode (documented)
+        agg = pl.DataFrame({"g": ["a"] * 3, "x": [1, 1, 2]}).group_by("g").agg(
+            pl.col("x").mode()
+        )
+        assert agg.rows() == [("a", 1)]
+
+    def test_sign_keeps_integer_dtype(self, spark):
+        import polars_spark as pl
+
+        out = pl.DataFrame({"x": [-5, 0, 5, None]}).select(pl.col("x").sign())
+        assert out.to_series().to_list() == [-1, 0, 1, None]
+        assert out.schema["x"] == "bigint"
+
+    def test_boolean_xor(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"x": [True, False]})
+        assert df.select((pl.col("x") ^ True).alias("b")).to_series().to_list() == [False, True]
+        assert df.select((True ^ pl.col("x")).alias("b")).to_series().to_list() == [False, True]
+        # integers stay bitwise
+        assert pl.DataFrame({"x": [5]}).select((pl.col("x") ^ 3).alias("b")).item() == 6
