@@ -66,6 +66,8 @@ _CLASS_MAP = {
     "DATATYPE_MISMATCH": SchemaError,
     "NUM_COLUMNS_MISMATCH": ShapeError,
     "INVALID_COLUMN_OR_FIELD_DATA_TYPE": SchemaError,
+    # missing scan paths raise the builtin FileNotFoundError, like polars
+    "PATH_NOT_FOUND": FileNotFoundError,
 }
 
 

@@ -98,7 +98,28 @@ def _py_value(v):
 class LazyFrame:
     """Lazy, Spark-backed polars frame.  All methods return new frames."""
 
-    def __init__(self, df: SparkDF, order: list | None = None):
+    def __init__(self, df: SparkDF = None, order: list | None = None, *,
+                 schema=None, schema_overrides=None, orient=None, strict=True,
+                 nan_to_null=False, **named):
+        if df is None or isinstance(df, (dict, list, tuple)) or (
+            df is not None and type(df).__module__.startswith("pandas")
+        ):
+            # pl.LazyFrame({'a': [...]}) — the reference's data constructor
+            # (lazyframe/frame.py __init__); delegates to the DataFrame
+            # builder (Spark is lazy either way)
+            from polars_spark.sources import DataFrame as _build
+
+            built = _build(
+                df if df is not None else (named or None),
+                schema=schema,
+                schema_overrides=schema_overrides,
+                orient=orient,
+                strict=strict,
+                nan_to_null=nan_to_null,
+            )
+            self._df = built._df
+            self._order = built._order
+            return
         self._df = df
         # order survives only through columns still present in the plan —
         # operators that project the hidden index away (asof union-tag,
@@ -673,8 +694,17 @@ class LazyFrame:
         out = idx.join(lf._df, ROW_IDX, "inner")
         return LazyFrame(out.drop(ROW_IDX), [])
 
-    def item(self):
-        """Single value of a 1x1 result (polars DataFrame.item)."""
+    def item(self, row: int | None = None, column=None):
+        """Single value: of a 1x1 result, or at (row, column) like the
+        reference (dataframe/frame.py item)."""
+        if row is not None or column is not None:
+            if row is None or column is None:
+                raise ValueError("item(): pass both row and column, or neither")
+            name = column if isinstance(column, str) else self.columns[column]
+            vals = self.slice(row, 1).select(name).rows()
+            if not vals:
+                raise IndexError(row)
+            return vals[0][0]
         rows = self._collect_rows()
         if len(rows) != 1 or len(self.columns) != 1:
             raise ValueError(
@@ -1988,7 +2018,9 @@ class LazyFrame:
         out = _pd.DataFrame(data, columns=num)
         if label is not None:
             out.insert(0, label, num)
-        return out
+        from polars_spark.sources import from_pandas
+
+        return from_pandas(out)
 
     def drop_in_place(self, name: str):
         """Drop a column in place and return it as a (driver-local) Series."""

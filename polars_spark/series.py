@@ -142,11 +142,14 @@ class Series:
         return self._s.size == 0
 
     def value_counts(self, *, sort: bool = False):
+        """-> DataFrame with (value, count) like the reference (not pandas)."""
         vc = self._s.value_counts(dropna=False)
         out = pd.DataFrame({self.name or "value": vc.index, "count": vc.values})
         if not sort:
             out = out.sort_values(self.name or "value", ignore_index=True)
-        return out
+        from polars_spark.sources import from_pandas
+
+        return from_pandas(out)
 
     def is_null(self) -> "Series":
         return self._wrap(self._s.isna())

@@ -108,7 +108,10 @@ def scan_parquet(
     r = spark.read
     if allow_missing_columns or missing_columns == "insert":
         r = r.option("mergeSchema", True)
-    df = r.parquet(*paths)
+    from polars_spark.exceptions import translate_errors
+
+    with translate_errors():
+        df = r.parquet(*paths)
     if n_rows is not None:
         df = df.limit(n_rows)
     for c in ns_cols:
@@ -187,7 +190,10 @@ def scan_csv(
     if skip_rows:
         r = r.option("skipRows", skip_rows)
     paths = [source] if isinstance(source, str) else list(source)
-    df = r.csv(paths)
+    from polars_spark.exceptions import translate_errors
+
+    with translate_errors():
+        df = r.csv(paths)
     if new_columns:
         renames = dict(zip(df.columns, new_columns))
         df = df.withColumnsRenamed(renames)
@@ -265,6 +271,24 @@ def scan_ndjson(
 
 
 def read_ndjson(source, **kw) -> LazyFrame:
+    """Eager NDJSON read; accepts in-memory sources (bytes, str payload,
+    file-like) like the reference — spooled to a temp file so Spark's
+    native json reader runs."""
+    import os
+    import tempfile
+
+    if isinstance(source, (bytes, bytearray)) or hasattr(source, "read"):
+        data = source.read() if hasattr(source, "read") else source
+        if isinstance(data, str):
+            data = data.encode()
+        fd, path = tempfile.mkstemp(suffix=".ndjson")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return scan_ndjson(path, **kw)
+    if isinstance(source, str) and "\n" in source.strip():
+        return read_ndjson(source.encode(), **kw)
+    if isinstance(source, str) and source.lstrip().startswith("{"):
+        return read_ndjson(source.encode(), **kw)
     return scan_ndjson(source, **kw)
 
 
@@ -378,6 +402,9 @@ def DataFrame(
             else:
                 names = names or []
                 names.append(it)
+    if data is None or (isinstance(data, dict) and not data):
+        # schema-only construction: an empty frame WITH the named columns
+        data = {n: [] for n in (names or [])}
     if isinstance(data, Series):
         data = {data.name or "column_0": data.to_pandas()}
     elif isinstance(data, dict):

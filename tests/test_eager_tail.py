@@ -11,14 +11,15 @@ from tests.conftest import rows
 
 def test_corr_matrix(pl, lf):
     f = lf(foo=[1, 2, 3], bar=[3, 2, 1], ham=[7, 8, 9], s=["x", "y", "z"])
-    m = f.corr()
+    m = f.corr()  # returns a frame (reference), not pandas
     assert list(m.columns) == ["foo", "bar", "ham"]  # string col excluded
-    assert m["bar"][0] == pytest.approx(-1.0)
-    assert m["ham"][0] == pytest.approx(1.0)
-    assert m["foo"][0] == pytest.approx(1.0)
+    r0 = m.rows()[0]
+    assert r0[0] == pytest.approx(1.0)   # foo
+    assert r0[1] == pytest.approx(-1.0)  # bar
+    assert r0[2] == pytest.approx(1.0)   # ham
     lab = f.corr(label="cols")
     assert list(lab.columns) == ["cols", "foo", "bar", "ham"]
-    assert lab["cols"].tolist() == ["foo", "bar", "ham"]
+    assert lab["cols"].to_list() == ["foo", "bar", "ham"]
 
 
 def test_hash_rows(pl, lf):

@@ -333,8 +333,8 @@ def test_eager_dataframe_surface(pl, lf, tmp_path):
 
 def test_series_extended_surface(pl):
     s = pl.Series("a", [3, 1, None, 3])
-    vc = s.value_counts().to_dict("records")
-    assert {"a": 3.0, "count": 2} in vc
+    vc = s.value_counts().to_dicts()  # returns a frame (reference)
+    assert {"a": 3, "count": 2} in vc
     assert s.is_null().to_list() == [False, False, True, False]
     assert s.fill_null(0).to_list() == [3, 1, 0, 3]
     assert s.drop_nulls().to_list() == [3, 1, 3]

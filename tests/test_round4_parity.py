@@ -665,3 +665,45 @@ class TestRound8FidelityBatch5:
         assert df.select((True ^ pl.col("x")).alias("b")).to_series().to_list() == [False, True]
         # integers stay bitwise
         assert pl.DataFrame({"x": [5]}).select((pl.col("x") ^ 3).alias("b")).item() == 6
+
+
+class TestRound8FidelityBatch6:
+    """Round-8 sixth sim batch: LazyFrame data constructor, frame-returning
+    corr/value_counts, item(row, col), in-memory ndjson, missing-path error."""
+
+    def test_lazyframe_data_constructor(self, spark):
+        import polars_spark as pl
+
+        assert pl.LazyFrame({"a": [1, 2]}).collect().shape == (2, 1)
+        assert pl.LazyFrame(schema={"a": pl.Int64}).schema == {"a": "bigint"}
+        assert pl.LazyFrame({"a": [1]}, schema_overrides={"a": pl.Float64}).schema == {
+            "a": "double"
+        }
+
+    def test_corr_and_value_counts_return_frames(self, spark):
+        import polars_spark as pl
+
+        c = pl.DataFrame({"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0]}).corr()
+        assert c.rows() == [(1.0, 1.0), (1.0, 1.0)]
+        vc = pl.Series("v", ["a", "a", "b"]).value_counts().sort("v")
+        assert vc.rows() == [("a", 2), ("b", 1)]
+
+    def test_item_row_column(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, 2], "b": [3, 4]})
+        assert df.item(1, "b") == 4
+        assert df.item(0, 0) == 1
+
+    def test_read_ndjson_in_memory(self, spark):
+        import polars_spark as pl
+
+        assert pl.read_ndjson(b'{"a": 1}\n{"a": 2}\n').rows() == [(1,), (2,)]
+
+    def test_missing_scan_path_raises_file_not_found(self, spark):
+        import pytest
+
+        import polars_spark as pl
+
+        with pytest.raises(FileNotFoundError):
+            pl.scan_parquet("/tmp/definitely_missing_zz.parquet")
