@@ -2438,39 +2438,75 @@ class LazyFrame:
             return dict(pairs)
         return [lf for _, lf in pairs]
 
-    def describe(self):
-        """Eager per-column summary (count, null_count, mean, std, min, max,
-        median) — pandas result like polars describe."""
-        import pandas as pd
-
-        stats = []
+    def describe(self, percentiles=(0.25, 0.50, 0.75), *, interpolation: str = "nearest"):
+        """Summary statistics in the reference shape (dataframe/frame.py:5915):
+        one row per statistic (count, null_count, mean, std, min,
+        percentiles..., max), one output column per input column —
+        numeric columns as floats, other columns stringified.  All columns'
+        statistics are computed in ONE distributed aggregate pass."""
+        if percentiles is None:
+            pcts: list[float] = []
+        elif isinstance(percentiles, (int, float)):
+            pcts = [float(percentiles)]
+        else:
+            pcts = [float(p) for p in percentiles]
+        num_t = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        ctx = self._ctx()
+        aggs: list[Column] = []
         for c, t in self.schema.items():
-            numeric = t in ("tinyint", "smallint", "int", "bigint", "float", "double")
-            agg = [
-                F.count(F.lit(1)).alias("count"),
-                F.sum(F.col(c).isNull().cast("int")).alias("null_count"),
+            numeric = t in num_t or t.startswith("decimal")
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}\x00count"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}\x00null_count"),
             ]
             if numeric:
-                agg += [
-                    F.mean(c).alias("mean"),
-                    F.stddev_samp(c).alias("std"),
-                    F.min(c).alias("min"),
-                    F.median(c).alias("median"),
-                    F.max(c).alias("max"),
+                aggs += [
+                    F.mean(c).alias(f"{c}\x00mean"),
+                    F.stddev_samp(c).alias(f"{c}\x00std"),
+                    F.min(c).cast("double").alias(f"{c}\x00min"),
+                    F.max(c).cast("double").alias(f"{c}\x00max"),
                 ]
+                for p in pcts:
+                    q = _col(c).quantile(p, interpolation)._resolve(ctx)
+                    aggs.append(q.alias(f"{c}\x00{p}"))
             else:
-                agg += [
-                    F.lit(None).alias("mean"),
-                    F.lit(None).alias("std"),
-                    F.min(c).cast("string").alias("min"),
-                    F.lit(None).alias("median"),
-                    F.max(c).cast("string").alias("max"),
+                aggs += [
+                    F.min(F.col(c).cast("string")).alias(f"{c}\x00min"),
+                    F.max(F.col(c).cast("string")).alias(f"{c}\x00max"),
                 ]
-            row = self._df.agg(*agg).collect()[0].asDict()
-            row["column"] = c
-            stats.append(row)
-        cols = ["column", "count", "null_count", "mean", "std", "min", "median", "max"]
-        return pd.DataFrame(stats)[cols]
+        row = self._df.agg(*aggs).collect()[0].asDict()
+        stat_names = (
+            ["count", "null_count", "mean", "std", "min"]
+            + [f"{p * 100:g}%" for p in pcts]
+            + ["max"]
+        )
+        data: dict = {"statistic": stat_names}
+        for c, t in self.schema.items():
+            numeric = t in num_t or t.startswith("decimal")
+            if numeric:
+                vals = [
+                    float(row[f"{c}\x00count"]),
+                    float(row[f"{c}\x00null_count"]),
+                    row[f"{c}\x00mean"],
+                    row[f"{c}\x00std"],
+                    row[f"{c}\x00min"],
+                ]
+                vals += [row[f"{c}\x00{p}"] for p in pcts]
+                vals.append(row[f"{c}\x00max"])
+            else:
+                vals = [
+                    str(row[f"{c}\x00count"]),
+                    str(row[f"{c}\x00null_count"]),
+                    None,
+                    None,
+                    row[f"{c}\x00min"],
+                ]
+                vals += [None for _ in pcts]
+                vals.append(row[f"{c}\x00max"])
+            data[c] = vals
+        from polars_spark.sources import DataFrame as _build
+
+        return _build(data)
 
     def to_dummies(self, columns: Sequence[str] | str, *, separator: str = "_") -> "LazyFrame":
         """Indicator columns per distinct value (polars-ops to_dummies.rs).

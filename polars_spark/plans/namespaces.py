@@ -416,7 +416,12 @@ class StringNamespace(_NS):
             return self._map(lambda c: F.replace(c, F.lit(pattern), F.lit(value)))
         return self._map(lambda c: F.regexp_replace(c, pattern, value))
 
-    def replace_many(self, patterns, replacements) -> Expr:
+    def replace_many(self, patterns, replacements=None) -> Expr:
+        if isinstance(patterns, dict):
+            # polars accepts a single mapping {pattern: replacement}
+            patterns, replacements = list(patterns.keys()), list(patterns.values())
+        if replacements is None:
+            raise TypeError("replace_many needs replacements (or a dict of patterns)")
         if isinstance(replacements, str):
             replacements = [replacements] * len(patterns)
 
@@ -1030,6 +1035,19 @@ class ListNamespace(_NS):
         it = _to_expr(item)
         return Expr(
             lambda ctx: F.array_contains(self._e._resolve(ctx), it._resolve(ctx)),
+            self._e._name,
+        )
+
+    def index_of(self, element) -> Expr:
+        """0-based index of the first matching element, null if absent
+        (reference expr/list.py index_of) — array_position is 1-based with
+        0-for-missing, so shift and nullif."""
+        el = _to_expr(element)
+        return Expr(
+            lambda ctx: F.nullif(
+                F.array_position(self._e._resolve(ctx), el._resolve(ctx)), F.lit(0)
+            )
+            - 1,
             self._e._name,
         )
 

@@ -167,12 +167,16 @@ def test_group_by_convenience(pl, lf):
 
 def test_describe(pl, lf):
     f = lf(x=[1.0, 2.0, None], s=["a", "b", "c"])
-    d = f.describe()
-    xrow = d[d["column"] == "x"].iloc[0]
-    assert xrow["count"] == 3 and xrow["null_count"] == 1
-    assert xrow["mean"] == 1.5 and xrow["min"] == 1.0 and xrow["max"] == 2.0
-    srow = d[d["column"] == "s"].iloc[0]
-    assert srow["min"] == "a" and srow["max"] == "c"
+    d = f.describe()  # reference shape: statistic rows, one col per input col
+    assert d.columns == ["statistic", "x", "s"]
+    stats = {r[0]: r for r in d.rows()}
+    assert stats["count"][1] == 3.0 and stats["null_count"][1] == 1.0
+    assert stats["mean"][1] == 1.5 and stats["min"][1] == 1.0 and stats["max"][1] == 2.0
+    assert stats["min"][2] == "a" and stats["max"][2] == "c"
+    assert "50%" in stats  # default percentiles present
+    # custom percentiles
+    d2 = f.describe(percentiles=[0.1])
+    assert [r[0] for r in d2.rows()] == ["count", "null_count", "mean", "std", "min", "10%", "max"]
 
 
 def test_gather_item_rows(pl, lf):

@@ -579,3 +579,10 @@ def test_list_sample_with_replacement(pl, lf):
     # seeded: identical across runs
     out2 = rows(f.select(pl.col("l").list.sample(5, with_replacement=True, seed=7).alias("s")))
     assert [list(r[0]) if r[0] is not None else None for r in out2] == vals
+
+
+def test_replace_many_dict_and_list_index_of(pl, lf):
+    f = lf(s=["a b c"], l=[[5, 7]])
+    assert f.select(pl.col("s").str.replace_many({"a": "1", "c": "3"})).item() == "1 b 3"
+    assert f.select(pl.col("l").list.index_of(7)).item() == 1
+    assert f.select(pl.col("l").list.index_of(9)).rows() == [(None,)]
