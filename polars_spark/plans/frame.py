@@ -2860,15 +2860,25 @@ class LazyGroupBy:
     def count(self) -> LazyFrame:
         return self.len(name="count")
 
-    def _all_agg(self, f) -> LazyFrame:
-        keys = {c._jc.toString() for c in self._key_cols()} if False else None
+    _NUMERIC_AGG_T = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+    def _all_agg(self, f, *, numeric_only: bool = False) -> LazyFrame:
         names = [k for k in self._keys if isinstance(k, str)] + list(self._named)
         rest = [c for c in self._lf.columns if c not in names]
-        df = self._lf._df.groupBy(*self._key_cols()).agg(*[f(c).alias(c) for c in rest])
+        schema = self._lf.schema
+        aggs = []
+        for c in rest:
+            t = schema.get(c, "")
+            if numeric_only and not (t in self._NUMERIC_AGG_T or t.startswith("decimal")):
+                # polars: numeric-only aggregates null out other columns
+                aggs.append(F.first(F.lit(None)).alias(c))
+            else:
+                aggs.append(f(c).alias(c))
+        df = self._lf._df.groupBy(*self._key_cols()).agg(*aggs)
         return LazyFrame(df, [])
 
     def sum(self) -> LazyFrame:
-        return self._all_agg(F.sum)
+        return self._all_agg(F.sum, numeric_only=True)
 
     def min(self) -> LazyFrame:
         return self._all_agg(F.min)
@@ -2877,10 +2887,10 @@ class LazyGroupBy:
         return self._all_agg(F.max)
 
     def mean(self) -> LazyFrame:
-        return self._all_agg(F.mean)
+        return self._all_agg(F.mean, numeric_only=True)
 
     def median(self) -> LazyFrame:
-        return self._all_agg(F.median)
+        return self._all_agg(F.median, numeric_only=True)
 
     def n_unique(self) -> LazyFrame:
         return self._all_agg(F.countDistinct)
@@ -2892,7 +2902,7 @@ class LazyGroupBy:
         return self._all_agg(F.last)
 
     def quantile(self, q: float, interpolation: str = "linear") -> LazyFrame:
-        return self._all_agg(lambda c: F.percentile(c, q))
+        return self._all_agg(lambda c: F.percentile(c, q), numeric_only=True)
 
     def all(self) -> LazyFrame:
         """Implode every non-key column (order-preserving collect_list)."""

@@ -244,3 +244,13 @@ def test_boolean_sum_mean(pl, lf):
     r = rows(out)[0]
     assert r[0] == 2
     assert abs(r[1] - 2 / 3) < 1e-12  # nulls ignored
+
+
+def test_groupby_convenience_numeric_only(pl, lf):
+    """sum/mean/median/quantile null out non-numeric columns (polars rule)
+    instead of raising a cast error; min/max keep strings."""
+    f = lf(g=["a", "a", "b"], x=[1, 2, 3], t=["p", "q", "r"])
+    assert f.group_by("g").quantile(0.5).sort("g").rows() == [("a", 1.5, None), ("b", 3.0, None)]
+    assert f.group_by("g").mean().sort("g").rows() == [("a", 1.5, None), ("b", 3.0, None)]
+    assert f.group_by("g").sum().sort("g").rows() == [("a", 3, None), ("b", 3, None)]
+    assert f.group_by("g").min().sort("g").rows() == [("a", 1, "p"), ("b", 3, "r")]
