@@ -784,10 +784,21 @@ def arg_sort_by(*exprs, descending=False) -> Expr:
 
 
 def arg_where(condition) -> Expr:
-    """Row positions (frame order) where the condition holds — list result
-    in agg context (reference functions/lazy.py arg_where); for a flat
-    frame of indices use with_row_index().filter(condition)."""
-    return _to_expr(condition).arg_true()
+    """Row positions (frame order) where the condition holds (reference
+    functions/lazy.py arg_where).  A sole-expr SELECT materializes the
+    indices as rows (length-changing rewrite: row-index + filter — the
+    scale-safe partition-offset numbering, no global window); agg context
+    keeps the list form."""
+    cond = _to_expr(condition)
+    e = cond.arg_true()
+
+    def rewrite(lf, _c=cond):
+        idx = lf.with_row_index("__aw__")
+        out = idx.filter(_c).select(col("__aw__").alias(_c._name or "literal"))
+        return out
+
+    e._select_rewrite = rewrite
+    return e
 
 
 def row_index() -> Expr:

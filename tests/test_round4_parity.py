@@ -707,3 +707,11 @@ class TestRound8FidelityBatch6:
 
         with pytest.raises(FileNotFoundError):
             pl.scan_parquet("/tmp/definitely_missing_zz.parquet")
+
+
+def test_arg_where_materializes_rows(spark):
+    import polars_spark as pl
+
+    df = pl.DataFrame({"b": [False, True, True]})
+    assert df.select(pl.arg_where(pl.col("b"))).to_series().to_list() == [1, 2]
+    assert df.select(pl.arg_where(pl.col("b")).alias("i")).columns == ["i"]
