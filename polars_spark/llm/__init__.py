@@ -1466,3 +1466,33 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    by: str,
+    n_per_group: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-count per-stratum sampling: the n_per_group rows of each group
+    with the smallest md5(key || ':' || seed) — the deterministic
+    counterpart of per-group reservoir sampling (balanced eval-set /
+    per-source quota construction).
+
+    One window partitioned by the stratum (a single keyed shuffle);
+    md5-rank is engine-independent, so the selection replays exactly in
+    any engine (same rule as deterministic_sample).  Ties cannot occur for
+    distinct keys (md5 collisions aside); the key itself breaks residual
+    ties deterministically.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__srk__", F.row_number().over(w))
+        .filter(F.col("__srk__") <= n_per_group)
+        .drop("__srk__")
+    )

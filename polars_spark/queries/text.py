@@ -1357,3 +1357,98 @@ def txt_bm25_topk(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     probes = docs.filter(F.col("doc_id") < 8)
     return bm25_topk(docs, probes, k=5)
+
+
+@query(
+    "txt_stratified_sample",
+    # exact 20-per-source sample: md5(doc_id || ':0') rank within source,
+    # replayed literally (md5 is engine-independent)
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || ':0') ASC, doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def txt_stratified_sample(spark, sf_dir):
+    """llm.stratified_sample: exact-count per-stratum sampling (balanced
+    eval sets / per-source quotas) — one window keyed on the stratum, rank
+    by engine-independent md5 so any engine replays the same rows."""
+    from polars_spark.llm import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(docs, by="source", n_per_group=20, key_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "pipeline_curation",
+    # END-TO-END curation chain (each stage individually gated elsewhere):
+    # exact dedup on the normalized fingerprint (keep min doc_id) ->
+    # quality threshold -> 30-per-source cap by md5 rank.  Every stage
+    # replayed literally in one SQL chain.
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS dk
+        FROM fp
+      ) WHERE dk = 1
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             0.3 * (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (CASE WHEN length(text)::DOUBLE / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+           + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+           + 0.2 * (1 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                              / greatest(length(text), 1) * 10, 1.0)) AS q
+      FROM dedup
+    ),
+    kept AS (SELECT doc_id, source FROM scored WHERE q >= 0.5),
+    capped AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(doc_id::VARCHAR || ':0') ASC, doc_id ASC) AS rk
+        FROM kept
+      ) WHERE rk <= 30
+    )
+    SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM capped GROUP BY source
+    """,
+)
+def pipeline_curation(spark, sf_dir):
+    """Composite web-curation pipeline — the end-to-end shape a training
+    -data team actually runs, built ONLY from the engine's own gated ops:
+    exact dedup (normalized fingerprint, keep lowest id) -> quality-score
+    filter -> per-source quota (stratified md5 rank) -> per-source stats.
+    Three keyed shuffles total (fingerprint, source-quota window, final
+    group-by); every stage is the same code path its standalone gate
+    verifies."""
+    from pyspark.sql import Window
+
+    from polars_spark.llm import fingerprint, stratified_sample
+    from polars_spark.llm.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    dedup = (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("dk", F.row_number().over(w))
+        .filter(F.col("dk") == 1)
+    )
+    kept = dedup.filter(quality_score(F.col("text")) >= 0.5).select("doc_id", "source")
+    capped = stratified_sample(kept, by="source", n_per_group=30, key_col="doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )

@@ -1062,3 +1062,24 @@ def test_rrf_fuse_hand_computed(spark):
     # topk filter
     top1 = rrf_fuse([r1, r2], k=60, topk=1).collect()
     assert [r["doc"] for r in top1] == [20]
+
+
+def test_stratified_sample_exact_counts(spark):
+    from polars_spark.llm import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(60)], "id bigint, g string"
+    )
+    out = stratified_sample(df, by="g", n_per_group=5, key_col="id")
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5}
+    # deterministic: same seed -> same rows
+    a = sorted(r["id"] for r in stratified_sample(df, by="g", n_per_group=5, key_col="id").collect())
+    b = sorted(r["id"] for r in stratified_sample(df, by="g", n_per_group=5, key_col="id").collect())
+    assert a == b
+    # different seed -> (almost surely) different rows
+    c = sorted(r["id"] for r in stratified_sample(df, by="g", n_per_group=5, key_col="id", seed=1).collect())
+    assert a != c
+    # groups smaller than n keep everything
+    tiny = spark.createDataFrame([(1, "z")], "id bigint, g string")
+    assert stratified_sample(tiny, by="g", n_per_group=5, key_col="id").count() == 1
