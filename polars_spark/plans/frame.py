@@ -153,6 +153,41 @@ class LazyFrame:
     def _ctx(self) -> ExprContext:
         return ExprContext(self._df, list(self._order))
 
+    def __repr__(self) -> str:
+        """Eager-polars-style preview: shape line + up to 10 rows.  Collects
+        at most 11 rows (one LIMIT job); width is always exact, height shows
+        '?' beyond the preview instead of running a full count."""
+        try:
+            rows = self.limit(11).rows()
+        except Exception:
+            return f"<polars_spark.LazyFrame {self.columns}>"
+        cols = self.columns
+        h = str(len(rows)) if len(rows) <= 10 else "?"
+        shown = rows[:10]
+        head = " | ".join(cols)
+        body = "\n".join(" | ".join("null" if v is None else str(v) for v in r) for r in shown)
+        more = "\n…" if len(rows) > 10 else ""
+        return f"shape: ({h}, {len(cols)})\n{head}\n{'-' * len(head)}\n{body}{more}"
+
+    def _repr_html_(self) -> str:
+        try:
+            rows = self.limit(11).rows()
+        except Exception:
+            return f"<i>polars_spark.LazyFrame {self.columns}</i>"
+        cols = self.columns
+        shown = rows[:10]
+        th = "".join(f"<th>{c}</th>" for c in cols)
+        trs = "".join(
+            "<tr>" + "".join(f"<td>{'null' if v is None else v}</td>" for v in r) + "</tr>"
+            for r in shown
+        )
+        more = "<tr><td colspan='%d'>…</td></tr>" % len(cols) if len(rows) > 10 else ""
+        h = str(len(rows)) if len(rows) <= 10 else "?"
+        return (
+            f"<div>shape: ({h}, {len(cols)})<table border='1'>"
+            f"<thead><tr>{th}</tr></thead><tbody>{trs}{more}</tbody></table></div>"
+        )
+
     def explain(self, mode: str = "formatted", **_compat) -> str:
         """Plan as a STRING (polars LazyFrame.explain returns, not prints)."""
         try:
@@ -409,6 +444,12 @@ class LazyFrame:
                                 mapping[ce._name or c] = ce._resolve(ctx)
                 else:
                     ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+                    if ee._name in mapping:
+                        from polars_spark.exceptions import DuplicateError
+
+                        raise DuplicateError(
+                            f"column {ee._name!r} produced more than once in with_columns"
+                        )
                     mapping[ee._name] = ee._resolve(ctx)
             for name, e in named.items():
                 mapping[name] = _to_expr(e)._resolve(ctx)

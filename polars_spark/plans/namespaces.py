@@ -577,6 +577,10 @@ class StringNamespace(_NS):
         the data (one bounded driver job over ``infer_schema_length`` rows,
         default 100 — polars' json_decode inference also reads the values)."""
         if dtype is not None:
+            if not isinstance(dtype, str):
+                # polars dtype objects (pl.List(pl.Int64), pl.Struct...) ->
+                # the Spark DDL mapping
+                dtype = _dtype_to_spark(dtype)
             return self._map(lambda c: F.from_json(c, dtype))
         e = self._e
         n = int(infer_schema_length or 100)

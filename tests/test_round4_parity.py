@@ -715,3 +715,37 @@ def test_arg_where_materializes_rows(spark):
     df = pl.DataFrame({"b": [False, True, True]})
     assert df.select(pl.arg_where(pl.col("b"))).to_series().to_list() == [1, 2]
     assert df.select(pl.arg_where(pl.col("b")).alias("i")).columns == ["i"]
+
+
+class TestRound8FidelityBatch7:
+    """Round-8 seventh sim batch: repr preview, duplicate with_columns
+    names, json_decode with polars dtype objects."""
+
+    def test_repr_shows_shape_and_rows(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, None], "b": ["x", "y"]})
+        r = repr(df)
+        assert "shape: (2, 2)" in r and "null" in r
+        assert "<table" in df._repr_html_()
+
+    def test_with_columns_duplicate_output_name_raises(self, spark):
+        import pytest
+
+        import polars_spark as pl
+        from polars_spark.exceptions import DuplicateError
+
+        with pytest.raises(DuplicateError):
+            pl.DataFrame({"a": [1]}).with_columns(
+                pl.lit(1).alias("b"), pl.lit(2).alias("b")
+            )
+        # overwriting an existing column is fine
+        assert pl.DataFrame({"a": [1]}).with_columns(pl.lit(9).alias("a")).rows() == [(9,)]
+
+    def test_json_decode_accepts_dtype_objects(self, spark):
+        import polars_spark as pl
+
+        out = pl.DataFrame({"j": ["[1,2]"]}).select(
+            pl.col("j").str.json_decode(pl.List(pl.Int64))
+        )
+        assert out.rows() == [([1, 2],)]
