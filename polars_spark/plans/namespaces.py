@@ -901,14 +901,16 @@ class DateTimeNamespace(_NS):
 
     # -- epoch / formatting ------------------------------------------------------------
     def epoch(self, time_unit: str = "us") -> Expr:
+        tz = getattr(self._e, "_tz", None)
+        inst = (lambda c: F.to_utc_timestamp(c, tz)) if tz else (lambda c: c)
         if time_unit == "us":
-            return self._map(_us)
+            return self._map(lambda c: _us(inst(c)))
         if time_unit == "ms":
-            return self._map(F.unix_millis)
+            return self._map(lambda c: F.unix_millis(inst(c)))
         if time_unit == "s":
-            return self._map(lambda c: _us(c) / 1_000_000)
+            return self._map(lambda c: _us(inst(c)) / 1_000_000)
         if time_unit == "ns":
-            return self._map(lambda c: _us(c) * 1000)
+            return self._map(lambda c: _us(inst(c)) * 1000)
         if time_unit == "d":
             return self._map(lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01")))
         raise ValueError(time_unit)
@@ -922,13 +924,33 @@ class DateTimeNamespace(_NS):
     to_string = strftime
 
     # -- time zones ------------------------------------------------------------
+    # Model (SURVEY §1.2: Spark timestamps carry no zone): a tz-aware value
+    # is stored as its WALL time (so every dt.* extractor reads local parts
+    # unchanged, like polars) with the zone carried as an Expr-level
+    # annotation (``_tz``) consumed by the ops that need the true instant
+    # (convert_time_zone, epoch).  The annotation survives direct chains
+    # (col.dt.replace_time_zone(z).dt.hour()); it does not survive a
+    # round-trip through a frame column, matching the mapping's documented
+    # limits.
     def convert_time_zone(self, time_zone: str) -> Expr:
-        return self._map(lambda c: F.from_utc_timestamp(c, time_zone))
+        src = getattr(self._e, "_tz", None)
+        if src is not None:
+            e = self._map(
+                lambda c: F.from_utc_timestamp(F.to_utc_timestamp(c, src), time_zone)
+            )
+        else:
+            # un-annotated input is treated as UTC-instant storage
+            e = self._map(lambda c: F.from_utc_timestamp(c, time_zone))
+        e._tz = time_zone  # type: ignore[attr-defined]
+        return e
 
     def replace_time_zone(self, time_zone: str | None) -> Expr:
-        if time_zone is None:
-            return self._map(lambda c: c)
-        return self._map(lambda c: F.to_utc_timestamp(c, time_zone))
+        # polars: wall time PRESERVED, the zone (the instant) changes —
+        # storage already holds the wall time, so this is an annotation
+        e = self._map(lambda c: c)
+        if time_zone is not None:
+            e._tz = time_zone  # type: ignore[attr-defined]
+        return e
 
     def _offset_parts(self, c: Column, time_zone: str):
         """(total_offset_secs JVM-side, dst_secs via zoneinfo pandas_udf)."""

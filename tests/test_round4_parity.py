@@ -749,3 +749,20 @@ class TestRound8FidelityBatch7:
             pl.col("j").str.json_decode(pl.List(pl.Int64))
         )
         assert out.rows() == [([1, 2],)]
+
+
+def test_replace_time_zone_preserves_wall_time(spark):
+    """polars tz model: replace_time_zone keeps the wall clock (the instant
+    shifts), convert_time_zone keeps the instant (the wall clock shifts);
+    epoch on an annotated value reads the true instant."""
+    from datetime import datetime, timezone
+
+    import polars_spark as pl
+
+    df = pl.DataFrame({"t": [datetime(2024, 3, 1, 12)]})
+    assert df.select(pl.col("t").dt.replace_time_zone("America/New_York").dt.hour()).item() == 12
+    assert df.select(
+        pl.col("t").dt.replace_time_zone("America/New_York").dt.convert_time_zone("UTC").dt.hour()
+    ).item() == 17
+    got = df.select(pl.col("t").dt.replace_time_zone("America/New_York").dt.epoch("s")).item()
+    assert got == int(datetime(2024, 3, 1, 17, tzinfo=timezone.utc).timestamp())
