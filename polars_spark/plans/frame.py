@@ -2677,6 +2677,8 @@ class LazyFrame:
         *,
         compression: str = "zstd",
         partition_by: Sequence[str] | str | None = None,
+        cluster_by: Sequence[str] | str | None = None,
+        cluster_files: int | None = None,
         mkdir: bool = True,
         maintain_order: bool = False,
         **_compat,
@@ -2687,8 +2689,23 @@ class LazyFrame:
         splitting).  polars tuning kwargs (statistics, row_group_size,
         data_page_size, compression_level, ...) are accepted and inert —
         Spark's parquet writer manages row groups/stats via its own
-        block-size config, not per-call knobs."""
-        w = self.to_spark().write.mode("overwrite").option("compression", compression)
+        block-size config, not per-call knobs.
+
+        ``cluster_by`` (Spark scale extension): range-repartition + sort
+        within partitions on the given columns before writing, so each
+        output file covers a DISJOINT key range.  Parquet min/max footer
+        stats then prune whole files for range/point predicates — the
+        cheap write-once layout optimization for 100 TB scan-heavy
+        columns (the single-column analogue of Z-ordering)."""
+        src = self.to_spark()
+        if cluster_by:
+            cb = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            if cluster_files:
+                src = src.repartitionByRange(int(cluster_files), *cb)
+            else:
+                src = src.repartitionByRange(*cb)
+            src = src.sortWithinPartitions(*cb)
+        w = src.write.mode("overwrite").option("compression", compression)
         pb = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
         if type(path).__name__ == "PartitionBy":
             cfg = path

@@ -336,3 +336,35 @@ def test_csv_polars_options_round7(pl, tmp_path):
     with open(nd, "w") as fh:
         fh.write('{"a":1}\n{"a":2}\n')
     assert len(pl.read_ndjson(nd, n_rows=1).collect()) == 1
+
+
+def test_sink_parquet_cluster_by_disjoint_file_ranges(pl, lf, tmp_path, spark):
+    """cluster_by writes range-disjoint files: every output file's parquet
+    footer (min, max) interval for the cluster key must not overlap any
+    other file's — the property that lets min/max stats prune whole files
+    at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = pl.DataFrame({"k": list(range(1000)), "v": ["x"] * 1000})
+    # shuffle the rows so clustering has to do real work
+    df = df.sort(pl.col("k").hash(seed=1) if hasattr(pl.col("k"), "hash") else "k")
+    path = str(tmp_path / "clustered")
+    df.sink_parquet(path, cluster_by="k", cluster_files=4)
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1  # actually split into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+    # read back intact
+    assert pl.read_parquet(path).height == 1000
