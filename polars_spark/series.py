@@ -201,11 +201,24 @@ class Series:
     def mode(self) -> "Series":
         return self._wrap(self._s.mode())
 
+    def _keep_int(self, out: pd.Series) -> pd.Series:
+        """shift/diff on ints: pandas widens to float64 + NaN; polars keeps
+        the integer dtype with nulls — restore via nullable Int64."""
+        if pd.api.types.is_integer_dtype(self._s) and pd.api.types.is_float_dtype(out):
+            return out.astype("Int64")
+        return out
+
     def shift(self, n: int = 1) -> "Series":
-        return self._wrap(self._s.shift(n))
+        return self._wrap(self._keep_int(self._s.shift(n)))
 
     def diff(self, n: int = 1) -> "Series":
-        return self._wrap(self._s.diff(n))
+        return self._wrap(self._keep_int(self._s.diff(n)))
+
+    def item(self):
+        if self._s.size != 1:
+            raise ValueError(f"item() needs a 1-element Series, got {self._s.size}")
+        v = self._s.iloc[0]
+        return None if (v is None or (not isinstance(v, (list, tuple)) and pd.isna(v))) else v
 
     def clip(self, lower=None, upper=None) -> "Series":
         return self._wrap(self._s.clip(lower, upper))
@@ -562,6 +575,13 @@ def _series_run_expr(self, expr) -> "Series":
         # imploded aggregate (one row, one array): flatten back to the
         # element Series, the polars shape for top_k/arg_true/...
         return Series(self.name, list(out.iloc[0]))
+    if len(out) == 1:
+        # scalar aggregate (quantile/any/all/entropy/...): polars returns
+        # the VALUE, not a 1-row Series
+        v = out.iloc[0]
+        if v is None or pd.isna(v):
+            return None
+        return v.item() if hasattr(v, "item") else v
     return Series(self.name, out.tolist())
 
 

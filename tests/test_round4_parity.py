@@ -766,3 +766,16 @@ def test_replace_time_zone_preserves_wall_time(spark):
     ).item() == 17
     got = df.select(pl.col("t").dt.replace_time_zone("America/New_York").dt.epoch("s")).item()
     assert got == int(datetime(2024, 3, 1, 17, tzinfo=timezone.utc).timestamp())
+
+
+def test_series_scalar_aggregates_and_int_shift(spark):
+    import polars_spark as pl
+
+    s = pl.Series("x", [3, 1, 2])
+    assert s.quantile(0.5) == 2
+    assert pl.Series([True, False]).any() is True or pl.Series([True, False]).any() == True  # noqa: E712
+    assert pl.Series([True, False]).all() == False  # noqa: E712
+    assert pl.Series([9]).item() == 9
+    # shift/diff keep integer dtype with null, not float+NaN
+    assert s.diff().to_list() == [None, -2, 1]
+    assert s.shift(1).to_list() == [None, 3, 1]
