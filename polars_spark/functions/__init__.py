@@ -70,6 +70,10 @@ def _cols(exprs) -> list[Expr]:
             out.extend(_cols(e))
         elif isinstance(e, str):
             out.append(col(e))
+        elif getattr(e, "_selector", None) is not None:
+            # selector or selector-chain: kept as-is, expanded against the
+            # schema at resolve time by _expand_multi
+            out.append(e)
         else:
             out.append(_to_expr(e))
     return out
@@ -331,11 +335,21 @@ def _wrap_col(c: Column) -> Expr:
 # -- correlation ------------------------------------------------------------------
 
 
-def exclude(*names: str):
-    """pl.exclude: every column except the named ones (selector complement)."""
+def exclude(*names):
+    """pl.exclude: every column except the named ones OR the given dtypes
+    (selector complement; reference accepts names, dtypes, or lists)."""
     from polars_spark import selectors as cs
+    from polars_spark.plans.expr import DataType, _dtype_to_spark
 
-    return ~cs.by_name(*names)
+    flat: list = []
+    for n in names:
+        flat.extend(n if isinstance(n, (list, tuple)) else [n])
+    if flat and all(
+        (isinstance(n, type) and issubclass(n, DataType)) or isinstance(n, DataType)
+        for n in flat
+    ):
+        return ~cs.by_dtype(*[_dtype_to_spark(n) for n in flat])
+    return ~cs.by_name(*flat)
 
 
 def rolling_corr(a, b, *, window_size: int, min_samples: int | None = None) -> Expr:
@@ -368,7 +382,17 @@ def rolling_cov(a, b, *, window_size: int, min_samples: int | None = None, ddof:
     return Expr(fn, "rolling_cov")
 
 
-def corr(a, b, *, method: str = "pearson") -> Expr:
+def corr(a, b, *, method: str = "pearson", eager: bool = False, ddof=None):
+    from polars_spark.series import Series as _S
+
+    if isinstance(a, _S) or isinstance(b, _S):
+        # Series inputs (pl.corr(s1, s2, eager=True)): driver-side pandas corr
+        import pandas as _pd
+
+        sa = a._s if isinstance(a, _S) else _pd.Series(list(a))
+        sb = b._s if isinstance(b, _S) else _pd.Series(list(b))
+        val = float(sa.corr(sb, method="spearman" if method == "spearman" else "pearson"))
+        return _S("", [val]) if eager else val
     ea, eb = _to_expr(a if not isinstance(a, str) else col(a)), _to_expr(
         b if not isinstance(b, str) else col(b)
     )
@@ -618,14 +642,16 @@ def from_epoch(column, time_unit: str = "s") -> Expr:
 
 def cum_fold(acc, function, exprs) -> Expr:
     """Horizontal cumulative fold: struct of every intermediate accumulator
-    (reference functions/lazy.py cum_fold)."""
-    accs = [_to_expr(acc)]
-    names = []
-    for e in _cols(exprs):
-        names.append(e._name)
-        accs.append(function(accs[-1], e))
+    (reference functions/lazy.py cum_fold).  Wildcards/selectors in
+    ``exprs`` expand against the schema at resolve time."""
+    es = _cols(exprs if isinstance(exprs, (list, tuple)) else [exprs])
+    a0 = _to_expr(acc)
 
     def fn(ctx: ExprContext) -> Column:
+        accs, names = [a0], []
+        for e in _expand_multi(es, ctx):
+            names.append(e._name)
+            accs.append(function(accs[-1], e))
         return F.struct(*[a._resolve(ctx).alias(n) for a, n in zip(accs[1:], names)])
 
     return Expr(fn, "cum_fold")
@@ -633,14 +659,14 @@ def cum_fold(acc, function, exprs) -> Expr:
 
 def cum_reduce(function, exprs) -> Expr:
     """Like cum_fold but seeded with the first expression."""
-    exprs = _cols(exprs)
-    accs = [exprs[0]]
-    names = [exprs[0]._name]
-    for e in exprs[1:]:
-        accs.append(function(accs[-1], e))
-        names.append(e._name)
+    es = _cols(exprs if isinstance(exprs, (list, tuple)) else [exprs])
 
     def fn(ctx: ExprContext) -> Column:
+        ex = _expand_multi(es, ctx)
+        accs, names = [ex[0]], [ex[0]._name]
+        for e in ex[1:]:
+            accs.append(function(accs[-1], e))
+            names.append(e._name)
         return F.struct(*[a._resolve(ctx).alias(n) for a, n in zip(accs, names)])
 
     return Expr(fn, "cum_reduce")

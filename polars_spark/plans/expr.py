@@ -361,6 +361,20 @@ class Expr:
     def fill_null(self, value=None, strategy: str | None = None, limit=None):
         if strategy is None:
             v = _to_expr(value)
+            if v._is_agg:
+                # fill with an AGGREGATE expr (col.fill_null(col.median())):
+                # the aggregate becomes a whole-frame broadcast scalar (or a
+                # per-group window under .over) — never a global window
+                def fn_agg(ctx: ExprContext) -> Column:
+                    c = self._resolve(ctx)
+                    pcols = ctx.partition_cols()
+                    if pcols:
+                        return F.coalesce(
+                            c, v._resolve(ctx).over(Window.partitionBy(*pcols))
+                        )
+                    return F.coalesce(c, ctx.add_scalar(v._resolve(ctx)))
+
+                return Expr(fn_agg, self._name)
             return self._zip(v, lambda a, b: F.coalesce(a, b))
         if strategy in ("forward", "backward"):
             def fn(ctx: ExprContext) -> Column:

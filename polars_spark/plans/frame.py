@@ -80,6 +80,21 @@ def _order_cols(order: list, reverse: bool = False) -> list[Column]:
     return out
 
 
+class FrameSchema(dict):
+    """Schema mapping with the reference pl.Schema accessors (names /
+    dtypes / len) — still a plain dict of {column: spark type string} for
+    every existing consumer."""
+
+    def names(self) -> list:
+        return list(self.keys())
+
+    def dtypes(self) -> list:
+        return list(self.values())
+
+    def len(self) -> int:
+        return len(self)
+
+
 def _py_value(v):
     """Spark collected value -> the Python value polars row APIs return:
     struct Rows become dicts, containers recurse, scalars pass through
@@ -140,8 +155,8 @@ class LazyFrame:
         return [t for c, t in self._df.dtypes if c != ROW_IDX]
 
     @property
-    def schema(self) -> dict[str, str]:
-        return {c: t for c, t in self._df.dtypes if c != ROW_IDX}
+    def schema(self) -> "FrameSchema":
+        return FrameSchema((c, t) for c, t in self._df.dtypes if c != ROW_IDX)
 
     @property
     def width(self) -> int:
@@ -877,10 +892,11 @@ class LazyFrame:
         label: str = "left",
         group_by=None,
         start_by: str = "window",
+        include_boundaries: bool = False,
     ) -> "DynamicGroupBy":
         return DynamicGroupBy(
             self, index_column, every, period, offset, closed, label, group_by,
-            start_by=start_by,
+            start_by=start_by, include_boundaries=include_boundaries,
         )
 
     def rolling(self, index_column: str, *, period: str, group_by=None, closed: str = "right") -> "RollingGroupBy":
@@ -1343,14 +1359,20 @@ class LazyFrame:
     def pivot(
         self,
         on: str,
+        on_columns: Sequence | None = None,
         *,
         index: Sequence[str] | str,
         values: Sequence[str] | str,
         aggregate_function: str = "first",
         sort_columns: bool = False,
+        maintain_order: bool = True,
+        separator: str = "_",
+        column_naming: str = "auto",
     ) -> "LazyFrame":
         """Wide pivot (DslPlan::Pivot, dsl/plan.rs:117) — Spark-native
-        groupBy().pivot(); distinct `on` values are collected by Spark."""
+        groupBy().pivot(); distinct `on` values are collected by Spark
+        unless ``on_columns`` names them explicitly (which also skips
+        Spark's distinct-values job — the reference's subset-pivot)."""
         idx = [index] if isinstance(index, str) else list(index)
         vals = [values] if isinstance(values, str) else list(values)
         aggf = {
@@ -1364,7 +1386,8 @@ class LazyFrame:
             "count": F.count,
             "len": F.count,
         }[aggregate_function]
-        gp = self.to_spark().groupBy(*idx).pivot(on)
+        base = self.to_spark().groupBy(*idx)
+        gp = base.pivot(on, list(on_columns)) if on_columns is not None else base.pivot(on)
         if len(vals) == 1:
             df = gp.agg(aggf(vals[0]))
         else:
@@ -1613,18 +1636,35 @@ class LazyFrame:
         """Deprecated polars alias of with_row_index."""
         return self.with_row_index(name=name, offset=offset)
 
-    def update(self, other: "LazyFrame", on=None, how: str = "left", *, include_nulls: bool = False) -> "LazyFrame":
+    def update(self, other: "LazyFrame", on=None, how: str = "left", *,
+               left_on=None, right_on=None, include_nulls: bool = False,
+               maintain_order: str | None = "left") -> "LazyFrame":
         """Overwrite values with non-null values from `other`, polars
-        LazyFrame.update: join on the key and coalesce(right, left) for the
-        shared non-key columns."""
+        LazyFrame.update (dataframe/frame.py:12801): join on the key and
+        coalesce(right, left) for the shared non-key columns.  With no key
+        the frames align BY ROW POSITION (the reference's implicit
+        row-index join); ``left_on``/``right_on`` join differently-named
+        keys."""
+        if on is None and left_on is None and right_on is None:
+            # positional update: join on the row index of both frames
+            lkey = "__u_pos__"
+            left = self.with_row_index(lkey)
+            right_f = other.with_row_index(lkey)
+            out = left.update(right_f, on=lkey, how=how, include_nulls=include_nulls)
+            return out.drop(lkey)
+        if left_on is not None or right_on is not None:
+            lo = [left_on] if isinstance(left_on, str) else list(left_on or [])
+            ro = [right_on] if isinstance(right_on, str) else list(right_on or [])
+            ren = dict(zip(ro, lo))
+            return self.update(
+                other.rename(ren), on=lo, how=how, include_nulls=include_nulls
+            )
         keys = [on] if isinstance(on, str) else list(on or [])
-        if not keys:
-            raise ValueError("update requires `on` key column(s)")
         shared = [c for c in other.columns if c in self.columns and c not in keys]
         right = other._df.select(
             *keys, F.lit(True).alias("__u_match"), *[F.col(c).alias(f"__u_{c}") for c in shared]
         )
-        joined = self._df.join(right, keys, how)
+        joined = self._df.join(right, keys, "inner" if how == "inner" else ("full" if how == "full" else "left"))
         out_cols = []
         for c in self.columns:
             if c in shared:
@@ -2417,7 +2457,10 @@ class LazyFrame:
         collect_schema) — plan analysis only, no job runs."""
         return dict(self.schema)
 
-    def glimpse(self, *, max_items_per_column: int = 10, return_as_string: bool = False):
+    def glimpse(self, *, max_items_per_column: int = 10, return_as_string: bool = False,
+                return_type: str | None = None, max_colname_length: int = 50):
+        if return_type == "string":
+            return_as_string = True
         """Transposed head preview (reference: DataFrame.glimpse): one line
         per column with dtype and the first values.  Reads ONE small batch
         (limit pushdown), never the full table."""
@@ -2564,15 +2607,28 @@ class LazyFrame:
             df = df.drop(c)
         return LazyFrame(df, self._order)
 
-    def transpose(self, *, include_header: bool = True, header_name: str = "column") -> "LazyFrame":
+    def transpose(self, *, include_header: bool = True, header_name: str = "column",
+                  column_names=None) -> "LazyFrame":
         """Eager transpose (polars-core transpose.rs) — inherently driver-side
-        (the result has one column per input ROW); guarded for small frames."""
+        (the result has one column per input ROW); guarded for small frames.
+        ``column_names``: explicit output names (or a column name whose
+        values become the names, like the reference)."""
         pdf = self.collect()
         n = len(pdf)
         if n > 10_000:
             raise ValueError("transpose of >10k rows would be driver-bound")
-        t = pdf.T
-        t.columns = [f"column_{i}" for i in range(n)]
+        if isinstance(column_names, str) and column_names in pdf.columns:
+            names = [str(v) for v in pdf[column_names]]
+            pdf = pdf.drop(columns=[column_names])
+            t = pdf.T
+            t.columns = names
+        else:
+            t = pdf.T
+            t.columns = (
+                [str(c) for c in column_names]
+                if column_names is not None
+                else [f"column_{i}" for i in range(n)]
+            )
         if include_header:
             t.insert(0, header_name, t.index)
         spark = SparkSession.getActiveSession()
@@ -3085,7 +3141,8 @@ class DynamicGroupBy:
                  "friday": 4, "saturday": 5, "sunday": 6}
 
     def __init__(self, lf, index_column, every, period, offset, closed, label, group_by,
-                 start_by: str = "window"):
+                 start_by: str = "window", include_boundaries: bool = False):
+        self._include_boundaries = include_boundaries
         if closed not in ("left", "right", "both", "none"):
             raise ValueError(f"group_by_dynamic closed={closed!r}")
         if start_by != "window" and start_by != "datapoint" and start_by not in self._WEEKDAYS:
@@ -3178,20 +3235,39 @@ class DynamicGroupBy:
         # aggregates resolve against the window-assigned frame so boundary
         # duplication/removal is visible to them
         ctx = ExprContext(src, list(self._lf._order))
+        ctx.grouped = True
         aggs: list[Column] = []
         agg_names: list[str] = []
+
+        def _wrap(ee):
+            # polars: non-aggregate exprs in a dynamic agg capture the group
+            # list (same implicit-implode rule as plain group_by)
+            return ee if getattr(ee, "_is_agg", True) else ee.implode()
+
         for e in _flatten(exprs):
             ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            ee = _wrap(ee)
             aggs.append(ee._resolve(ctx).alias(ee._name))
             agg_names.append(ee._name)
         for name, e in named.items():
-            aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+            aggs.append(_wrap(_to_expr(e))._resolve(ctx).alias(name))
             agg_names.append(name)
         df = src.groupBy(*self._by, "__w__").agg(*aggs)
         bound = "start" if self._label == "left" else "end"
-        df = df.select(
-            *self._by, F.col(f"__w__.{bound}").alias(self._index), *agg_names
-        )
+        out_cols = [
+            *self._by,
+            F.col(f"__w__.{bound}").alias(self._index),
+            *agg_names,
+        ]
+        if self._include_boundaries:
+            out_cols = [
+                *self._by,
+                F.col("__w__.start").alias("_lower_boundary"),
+                F.col("__w__.end").alias("_upper_boundary"),
+                F.col(f"__w__.{bound}").alias(self._index),
+                *agg_names,
+            ]
+        df = df.select(*out_cols)
         return LazyFrame(df, [])
 
     def _agg_int(self, exprs, named) -> LazyFrame:
@@ -3220,18 +3296,33 @@ class DynamicGroupBy:
         src = src.filter(keep)
 
         ctx = ExprContext(src, list(self._lf._order))
+        ctx.grouped = True
         aggs: list[Column] = []
         agg_names: list[str] = []
         for e in _flatten(exprs):
             ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+            if not getattr(ee, "_is_agg", True):
+                ee = ee.implode()
             aggs.append(ee._resolve(ctx).alias(ee._name))
             agg_names.append(ee._name)
         for name, e in named.items():
-            aggs.append(_to_expr(e)._resolve(ctx).alias(name))
+            ee = _to_expr(e)
+            if not getattr(ee, "_is_agg", True):
+                ee = ee.implode()
+            aggs.append(ee._resolve(ctx).alias(name))
             agg_names.append(name)
         df = src.groupBy(*self._by, "__ws__").agg(*aggs)
         lbl = s if self._label == "left" else s + per
-        df = df.select(*self._by, lbl.alias(self._index), *agg_names)
+        cols = [*self._by, lbl.alias(self._index), *agg_names]
+        if self._include_boundaries:
+            cols = [
+                *self._by,
+                s.alias("_lower_boundary"),
+                (s + per).alias("_upper_boundary"),
+                lbl.alias(self._index),
+                *agg_names,
+            ]
+        df = df.select(*cols)
         return LazyFrame(df, [])
 
 

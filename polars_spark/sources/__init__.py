@@ -821,17 +821,48 @@ def from_numpy(arr, *, schema=None, spark: SparkSession | None = None) -> LazyFr
 
 
 def int_range(
-    start: int = 0, end: int | None = None, step: int = 1, *, eager: bool = True, spark: SparkSession | None = None
-) -> LazyFrame:
-    """pl.int_range as a DISTRIBUTED range scan (spark.range splits the
-    range across the cluster — polars generates a local Series).  Only the
-    eager-frame form is supported; inside expressions use int_ranges."""
-    if not eager:
-        raise NotImplementedError("expression-position int_range: use int_ranges (per-row list ranges)")
+    start=0, end=None, step: int = 1, *, dtype=None, eager: bool = True, spark: SparkSession | None = None
+):
+    """pl.int_range.  With int bounds: a DISTRIBUTED range scan
+    (spark.range splits the range across the cluster — polars generates a
+    local Series); eager=True returns a Series like the reference.  With
+    EXPRESSION bounds (the ``pl.int_range(pl.len())`` index idiom): an
+    order-window row counter over the frame order, offset by ``start``."""
+    from polars_spark.plans.expr import Expr, _dtype_to_spark
+
+    if isinstance(start, Expr) or isinstance(end, Expr) or not eager:
+        from pyspark.sql import Window as _W
+
+        from polars_spark.plans.expr import _to_expr
+
+        s_e = _to_expr(0 if (end is None and not isinstance(start, Expr)) else start)
+        if end is None:
+            # int_range(pl.len()): 0..n-1 over the frame order
+            def fn(ctx):
+                w = ctx.order_window()
+                c = (F.row_number().over(w) - 1).cast("bigint")
+                if dtype is not None:
+                    c = c.cast(_dtype_to_spark(dtype))
+                return c
+
+            return Expr(fn, "int")
+
+        def fn(ctx):
+            w = ctx.order_window()
+            c = (F.row_number().over(w) - 1) * step + s_e._resolve(ctx)
+            c = c.cast("bigint")
+            if dtype is not None:
+                c = c.cast(_dtype_to_spark(dtype))
+            return c
+
+        return Expr(fn, "int")
     if end is None:
         start, end = 0, start
     spark = spark or _spark()
-    return LazyFrame(spark.range(start, end, step).select(F.col("id").alias("literal")))
+    lf = LazyFrame(spark.range(start, end, step).select(F.col("id").alias("literal")))
+    if dtype is not None:
+        lf = lf.cast({"literal": dtype})
+    return lf.to_series() if eager else lf
 
 
 def linear_space(start: float, end: float, num_samples: int, *, eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:

@@ -178,8 +178,9 @@ def test_toplevel_shortcut_family(pl, lf):
 
 
 def test_toplevel_generators(pl, spark):
-    assert pl.int_range(4, spark=spark).collect()["literal"].tolist() == [0, 1, 2, 3]
-    assert pl.int_range(2, 8, 2, spark=spark).collect()["literal"].tolist() == [2, 4, 6]
+    # eager int_range returns a Series (reference behavior)
+    assert pl.int_range(4, spark=spark).to_list() == [0, 1, 2, 3]
+    assert pl.int_range(2, 8, 2, spark=spark).to_list() == [2, 4, 6]
     ls = pl.linear_space(0.0, 1.0, 5, spark=spark).collect()["literal"].tolist()
     assert ls == [0.0, 0.25, 0.5, 0.75, 1.0]
     # eager=True (the default) returns a Series, like the reference

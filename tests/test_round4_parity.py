@@ -779,3 +779,89 @@ def test_series_scalar_aggregates_and_int_shift(spark):
     # shift/diff keep integer dtype with null, not float+NaN
     assert s.diff().to_list() == [None, -2, 1]
     assert s.shift(1).to_list() == [None, 3, 1]
+
+
+class TestDoctestHarvestFixes:
+    """Round-8: fixes driven by running the reference's own docstring
+    examples verbatim (1400+ pass)."""
+
+    def test_fold_cum_fold_selector_expansion(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"a": [1, 2], "b": [3, 0]})
+        out = df.filter(
+            pl.fold(acc=pl.lit(True), function=lambda a, x: a & x, exprs=pl.col("*") > 0)
+        )
+        assert out.rows() == [(1, 3)]
+        cf = df.with_columns(
+            pl.cum_fold(acc=pl.lit(1), function=lambda acc, x: acc + x, exprs=pl.all())
+        ).rows()
+        assert cf[0][2] == {"a": 2, "b": 5}
+
+    def test_exclude_dtype_list(self, spark):
+        import polars_spark as pl
+
+        df = pl.DataFrame({"i": [1], "f": [1.5], "s": ["x"]})
+        assert df.select(pl.exclude([pl.Int64, pl.Float64])).columns == ["s"]
+
+    def test_fill_null_with_aggregate_expr(self, spark):
+        import polars_spark as pl
+
+        out = pl.DataFrame({"b": [1.0, None, 3.0]}).with_columns(
+            pl.col("b").fill_null(pl.col("b").median())
+        )
+        assert out.to_series().to_list() == [1.0, 2.0, 3.0]
+
+    def test_dynamic_agg_implicit_implode_and_boundaries(self, spark):
+        from datetime import datetime
+
+        import polars_spark as pl
+
+        tdf = pl.DataFrame(
+            {"time": [datetime(2021, 12, 16, h) for h in (0, 1, 2)], "n": [1, 2, 3]}
+        )
+        out = tdf.group_by_dynamic("time", every="1h", closed="right").agg(pl.col("n"))
+        assert [r[1] for r in out.sort("time").rows()] == [[1], [2], [3]]
+        cols = tdf.group_by_dynamic("time", every="1h", include_boundaries=True).agg(
+            pl.col("n").mean()
+        ).columns
+        assert cols[:2] == ["_lower_boundary", "_upper_boundary"]
+
+    def test_update_positional_and_keyed_variants(self, spark):
+        import polars_spark as pl
+
+        assert pl.DataFrame({"a": [1, 2], "b": [10, 20]}).update(
+            pl.DataFrame({"b": [99]})
+        ).rows() == [(1, 99), (2, 20)]
+        assert pl.DataFrame({"A": [1, 2], "b": [10, 20]}).update(
+            pl.DataFrame({"C": [2], "b": [99]}), left_on=["A"], right_on=["C"]
+        ).sort("A").rows() == [(1, 10), (2, 99)]
+
+    def test_pivot_transpose_glimpse_schema_params(self, spark):
+        import polars_spark as pl
+
+        p = pl.DataFrame({"n": ["a", "a"], "s": ["m", "p"], "v": [1, 2]}).pivot(
+            "s", on_columns=["m"], index="n", values="v"
+        )
+        assert p.columns == ["n", "m"]
+        t = pl.DataFrame({"a": [1, 2], "b": [3, 4]}).transpose(
+            include_header=False, column_names=["x", "y"]
+        )
+        assert t.columns == ["x", "y"]
+        assert "Columns" in pl.DataFrame({"a": [1]}).glimpse(return_type="string")
+        sch = pl.DataFrame({"a": [1]}).schema
+        assert sch.names() == ["a"] and sch.len() == 1 and sch.dtypes() == ["bigint"]
+
+    def test_int_range_expr_and_eager_series(self, spark):
+        import polars_spark as pl
+
+        assert pl.int_range(3).to_list() == [0, 1, 2]
+        out = pl.DataFrame({"A": ["x", "y", "z"]}).select(
+            pl.int_range(pl.len(), dtype=pl.UInt32).alias("index"), pl.all()
+        )
+        assert out.rows() == [(0, "x"), (1, "y"), (2, "z")]
+
+    def test_corr_eager_series(self, spark):
+        import polars_spark as pl
+
+        assert pl.corr(pl.Series([1.0, 2.0, 3.0]), pl.Series([2.0, 4.0, 6.0]), eager=True).to_list() == [1.0]
