@@ -3418,17 +3418,29 @@ def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool =
             d = f.with_row_index("__hidx__")._df
             out = d if out is None else out.join(d, "__hidx__", "full")
         return LazyFrame(out.drop("__hidx__"), [])
-    if how in ("align", "align_full", "align_left", "align_inner"):
-        # polars align: outer/left/inner-join the frames on their COMMON
-        # columns, result sorted by those keys (functions/eager.py concat)
-        join_how = {"align": "full", "align_full": "full", "align_left": "left", "align_inner": "inner"}[how]
+    if how == "horizontal_extend":
+        # like horizontal, but shorter frames null-extend (the full join on
+        # the row index already does exactly this)
+        return concat(frames, how="horizontal")
+    if how in ("align", "align_full", "align_left", "align_right", "align_inner"):
+        # polars align: outer/left/right/inner-join the frames on their
+        # COMMON columns, result sorted by those keys (functions/eager.py)
+        join_how = {
+            "align": "full",
+            "align_full": "full",
+            "align_left": "left",
+            "align_right": "right",
+            "align_inner": "inner",
+        }[how]
         common = [c for c in frames[0].columns if all(c in f.columns for f in frames[1:])]
         if not common:
             raise ValueError("concat(align): frames share no common columns")
         out = frames[0]
         for f in frames[1:]:
             out = out.join(f, on=common, how=join_how, coalesce=True)
-        return out.sort(common)
+        # polars column order: common keys first, then the rest by appearance
+        rest = [c for c in out.columns if c not in common]
+        return out.select(*common, *rest).sort(common)
     raise ValueError(f"unknown concat how={how!r}")
 
 

@@ -144,6 +144,20 @@ class _NS:
         return Expr(lambda ctx: f(e._resolve(ctx)), name or e._name, e._is_agg)
 
 
+
+def _num_arg(v):
+    """polars IntoExprColumn for numeric namespace params: Expr kept, bare
+    string = COLUMN name, int stays a literal; returns (expr_or_none, int)
+    — expr_or_none is None for plain literals (fast path unchanged)."""
+    from polars_spark.plans.expr import _col_fn
+
+    if isinstance(v, Expr):
+        return v
+    if isinstance(v, str):
+        return _col_fn(v)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # .str
 
@@ -298,6 +312,19 @@ class StringNamespace(_NS):
         )
 
     def find(self, pattern, *, literal: bool = False) -> Expr:
+        if isinstance(pattern, Expr):
+            e = self._e
+
+            def fn(ctx):
+                c, p = e._resolve(ctx), pattern._resolve(ctx)
+                hit = (
+                    F.call_function("locate", p, c)
+                    if literal
+                    else F.regexp_instr(c, p)
+                )
+                return F.when(hit > 0, hit - 1)
+
+            return Expr(fn, e._name)
         if literal:
             return self._map(
                 lambda c: F.when(
@@ -473,7 +500,23 @@ class StringNamespace(_NS):
     def pad_end(self, length: int, fill_char: str = " ") -> Expr:
         return self._map(lambda c: F.rpad(c, length, fill_char))
 
-    def zfill(self, length: int) -> Expr:
+    def zfill(self, length) -> Expr:
+        le = _num_arg(length)
+        if le is not None:
+            e = self._e
+
+            def fnc(ctx):
+                c, n = e._resolve(ctx), le._resolve(ctx).cast("int")
+                neg = F.startswith(c, F.lit("-"))
+                body = F.when(neg, F.substring(c, 2, F.length(c))).otherwise(c)
+                pad = F.repeat(F.lit("0"), F.greatest(n - F.length(c), F.lit(0)))
+                filled = F.when(
+                    neg, F.concat(F.lit("-"), pad, body)
+                ).otherwise(F.concat(pad, c))
+                return F.when(F.length(c) >= n, c).otherwise(filled)
+
+            return Expr(fnc, e._name)
+
         def fn(c):
             neg = F.startswith(c, F.lit("-"))
             body = F.when(neg, F.substring(c, 2, F.length(c))).otherwise(c)
@@ -485,22 +528,61 @@ class StringNamespace(_NS):
         return self._map(fn)
 
     # -- slice ------------------------------------------------------------
-    def slice(self, offset: int, length: int | None = None) -> Expr:
+    def slice(self, offset, length=None) -> Expr:
+        oe, le = _num_arg(offset), _num_arg(length)
+        if oe is not None or le is not None:
+            e = self._e
+
+            def fn(ctx):
+                c = e._resolve(ctx)
+                off = (oe._resolve(ctx) if oe is not None else F.lit(offset)).cast("int")
+                n = (
+                    le._resolve(ctx).cast("int")
+                    if le is not None
+                    else F.lit(length if length is not None else (1 << 30))
+                )
+                pos = F.when(off >= 0, off + 1).otherwise(off)
+                return c.substr(pos, n)
+
+            return Expr(fn, e._name)
         n = length if length is not None else (1 << 30)
         pos = offset + 1 if offset >= 0 else offset
         return self._map(lambda c: c.substr(F.lit(pos), F.lit(n)))
 
-    def head(self, n: int) -> Expr:
+    def head(self, n) -> Expr:
         return self.slice(0, n)
 
-    def tail(self, n: int) -> Expr:
+    def tail(self, n) -> Expr:
+        ne = _num_arg(n)
+        if ne is not None:
+            e = self._e
+
+            def fn(ctx):
+                c, k = e._resolve(ctx), ne._resolve(ctx).cast("int")
+                return F.when(F.length(c) <= k, c).otherwise(c.substr(-k, k))
+
+            return Expr(fn, e._name)
         return self._map(lambda c: F.when(F.length(c) <= n, c).otherwise(c.substr(-n, n)))
 
     def reverse(self) -> Expr:
         return self._map(F.reverse)
 
     # -- split ------------------------------------------------------------
-    def split(self, by: str, *, inclusive: bool = False) -> Expr:
+    def split(self, by, *, inclusive: bool = False, literal: bool | None = None) -> Expr:
+        if isinstance(by, Expr):
+            # per-row separator column; literal=False treats it as a regex
+            e = self._e
+
+            def fn(ctx):
+                c, p = e._resolve(ctx), by._resolve(ctx)
+                if literal is False:
+                    pat = p  # the separator column IS a regex
+                else:
+                    # literal separator: escape regex metacharacters
+                    pat = F.regexp_replace(p, r"([.^$*+?()\[\]{}|\\])", r"\\$1")
+                return F.split(c, pat, -1)
+
+            return Expr(fn, e._name)
         if inclusive:
             # every element but the last keeps its trailing separator
             # (function_expr/strings.rs SplitInclusive); the separator is a
@@ -535,12 +617,20 @@ class StringNamespace(_NS):
         return self._map(fn)
 
     # -- conversions ------------------------------------------------------------
-    def to_integer(self, *, base: int = 10, strict: bool = True) -> Expr:
+    def to_integer(self, *, base: int = 10, dtype=None, strict: bool = True) -> Expr:
+        t = _dtype_to_spark(dtype) if dtype is not None else "bigint"
         if base == 10:
             return self._map(
-                lambda c: c.cast("bigint") if strict else c.try_cast("bigint")
+                lambda c: c.cast(t) if strict else c.try_cast(t)
             )
-        return self._map(lambda c: F.conv(c, base, 10).cast("bigint"))
+        def fn(c):
+            out = F.conv(c, base, 10).cast(t)
+            if not strict:
+                # conv never raises; mask inputs with invalid digits
+                valid = c.rlike({2: "^[01]+$", 8: "^[0-7]+$", 16: "^[0-9a-fA-F]+$"}.get(base, ".*"))
+                out = F.when(valid, out)
+            return out
+        return self._map(fn)
 
     def strptime(self, dtype: str = "Datetime", format: str | None = None, *, strict: bool = True) -> Expr:
         java = chrono_to_java(format) if format else None
@@ -1036,11 +1126,22 @@ class DateTimeNamespace(_NS):
 
 
 class ListNamespace(_NS):
-    def explode(self) -> Expr:
+    def __getitem__(self, i):
+        # pl.col("a").list[0] / list[1:3] (reference list.__getitem__)
+        if isinstance(i, slice):
+            start = i.start or 0
+            length = None if i.stop is None else i.stop - start
+            return self.slice(start, length)
+        return self.get(i)
+
+    def explode(self, *, empty_as_null: bool = True) -> Expr:
         """One output row per list element (reference expr/list.py:1200).
         Lowered to explode_outer, so null/empty lists yield a null row like
-        polars.  Spark permits ONE generator expression per select — for
-        multi-column explodes use LazyFrame.explode(*columns)."""
+        polars (``empty_as_null=False`` drops them instead).  Spark permits
+        ONE generator expression per select — for multi-column explodes use
+        LazyFrame.explode(*columns)."""
+        if not empty_as_null:
+            return self._map(F.explode)
         return self._map(F.explode_outer)
 
     def len(self) -> Expr:
@@ -1085,10 +1186,12 @@ class ListNamespace(_NS):
             lambda c: F.filter(c, lambda v, i: ((i - offset) % n == 0) & (i >= offset))
         )
 
-    def item(self) -> Expr:
+    def item(self, *, allow_empty: bool = False) -> Expr:
         """The single element of a 1-element list (null when the length
-        differs — polars raises; per-row raising is not expressible)."""
-        return self._map(lambda c: F.when(F.size(c) == 1, F.get(c, 0)))
+        differs — polars raises; per-row raising is not expressible).
+        ``allow_empty`` also nulls empty lists (reference item)."""
+        ok = (lambda s: (s == 1) | (s == 0)) if allow_empty else (lambda s: s == 1)
+        return self._map(lambda c: F.when(ok(F.size(c)), F.get(c, 0)))
 
     def to_array(self, width: int | None = None) -> Expr:
         """Identity: §1.2 maps polars Array to Spark array (same storage)."""
@@ -1311,10 +1414,26 @@ class ListNamespace(_NS):
         return Expr(fn, self._e._name)
 
     def concat(self, other) -> Expr:
-        o = _to_expr(other)
-        return Expr(
-            lambda ctx: F.concat(self._e._resolve(ctx), o._resolve(ctx)), self._e._name
-        )
+        """Append ``other`` to each list — a list column concatenates, a
+        scalar/element column is appended as one element (reference
+        expr/list.py concat)."""
+        from polars_spark.plans.expr import _col_fn
+
+        e = self._e
+        o = _col_fn(other) if isinstance(other, str) else _to_expr(other)
+
+        def fn(ctx: ExprContext) -> Column:
+            c, v = e._resolve(ctx), o._resolve(ctx)
+            t = None
+            try:
+                t = ctx.df.select(v.alias("__t__")).schema["__t__"].dataType.simpleString()
+            except Exception:
+                pass
+            if t is not None and not t.startswith("array"):
+                v = F.array(v)
+            return F.concat(c, v)
+
+        return Expr(fn, e._name)
 
     def shift(self, n: int = 1) -> Expr:
         """Shift elements within each list (nulls fill the gap)."""
@@ -1329,16 +1448,20 @@ class ListNamespace(_NS):
 
         return self._map(fn)
 
-    def diff(self, n: int = 1) -> Expr:
+    def diff(self, n: int = 1, null_behavior: str = "ignore") -> Expr:
         e = self._e
 
         def fn(ctx: ExprContext) -> Column:
             c = e._resolve(ctx)
             idx = F.sequence(F.lit(0), F.size(c) - 1)
-            return F.transform(
+            out = F.transform(
                 idx,
                 lambda i: F.when(i >= n, F.get(c, i) - F.get(c, i - n)),
             )
+            if null_behavior == "drop":
+                # polars: drop the n leading slots instead of nulling them
+                out = F.slice(out, n + 1, F.greatest(F.size(c) - n, F.lit(0)))
+            return out
 
         return Expr(fn, e._name)
 
@@ -1369,7 +1492,10 @@ class ListNamespace(_NS):
 
         return Expr(fn, e._name)
 
-    def gather(self, indices) -> Expr:
+    def gather(self, indices, *, null_on_oob: bool = False) -> Expr:
+        """``null_on_oob=True`` nulls out-of-bounds indices (F.get already
+        does — polars raises by default, which is not expressible per-row;
+        both forms null here, the kwarg is accepted for parity)."""
         e = self._e
         idx = _to_expr(indices)
 

@@ -586,3 +586,35 @@ def test_replace_many_dict_and_list_index_of(pl, lf):
     assert f.select(pl.col("s").str.replace_many({"a": "1", "c": "3"})).item() == "1 b 3"
     assert f.select(pl.col("l").list.index_of(7)).item() == 1
     assert f.select(pl.col("l").list.index_of(9)).rows() == [(None,)]
+
+
+def test_str_expression_valued_params(pl, lf):
+    """Numeric str-namespace params accept Expr or bare column names
+    (polars IntoExprColumn); find/split accept expression patterns."""
+    f = lf(txt=["hello world"], pat=["wor"], idx=[2], n=[3], length=[8])
+    assert f.select(pl.col("txt").str.find(pl.col("pat"))).item() == 6
+    assert f.select(pl.col("txt").str.find(pl.col("pat"), literal=True)).item() == 6
+    assert f.select(pl.col("txt").str.slice("idx", length=3)).item() == "llo"
+    assert f.select(pl.col("txt").str.tail("n")).item() == "rld"
+    g = lf(s=["-7"], l=[5])
+    assert g.select(pl.col("s").str.zfill("l")).item() == "-0007"
+    h = lf(s=["a1b22c"], by=[r"\d+"])
+    assert h.select(pl.col("s").str.split(by=pl.col("by"), literal=False)).item() == ["a", "b", "c"]
+    assert lf(b=["110"]).select(pl.col("b").str.to_integer(base=2, dtype=pl.Int32)).schema["b"] == "int"
+
+
+def test_list_param_tail(pl, lf):
+    assert lf(a=[[1, 2, 3]]).select(pl.col("a").list[0]).item() == 1
+    assert lf(a=[[1, 2, 3]]).select(pl.col("a").list[1:3]).item() == [2, 3]
+    assert lf(a=[[], [5]]).select(pl.col("a").list.item(allow_empty=True)).to_series().to_list() == [None, 5]
+    assert lf(n=[[1, 3, 6, 10]]).select(pl.col("n").list.diff(n=2, null_behavior="drop")).item() == [5, 7]
+    assert lf(a=[[1, 2]]).select(pl.col("a").list.gather([0, 4], null_on_oob=True)).item() == [1, None]
+    assert lf(a=[[1], []]).select(pl.col("a").list.explode(empty_as_null=False)).to_series().to_list() == [1]
+    assert lf(a=[[1, 2]], b=[9]).select(pl.col("a").list.concat("b")).item() == [1, 2, 9]
+
+
+def test_concat_align_right_and_horizontal_extend(pl, lf):
+    a = lf(k=[1, 2], v=[1, 1])
+    b = lf(k=[2, 3], w=[2, 2])
+    assert pl.concat([a, b], how="align_right").rows() == [(2, 1, 2), (3, None, 2)]
+    assert pl.concat([lf(a=[1, 2]), lf(b=[9])], how="horizontal_extend").rows() == [(1, 9), (2, None)]
