@@ -471,8 +471,11 @@ def cov(a, b, *, ddof: int = 1) -> Expr:
 # -- per-row ranges (FunctionExpr ranges, function_expr/range.rs:57) ---------------
 
 
-def int_ranges(start, end, step: int = 1) -> Expr:
-    # polars parse rule: bare strings are COLUMN names in range functions
+def int_ranges(start, end=None, step: int = 1) -> Expr:
+    # polars parse rule: bare strings are COLUMN names in range functions;
+    # single-arg form means int_ranges(0, end)
+    if end is None:
+        start, end = 0, start
     s = col(start) if isinstance(start, str) else _to_expr(start)
     e = col(end) if isinstance(end, str) else _to_expr(end)
 

@@ -147,6 +147,20 @@ class Expr:
         )
 
     def _zip(self, other: Any, f: Callable[[Column, Column], Column], name: str | None = None) -> "Expr":
+        if getattr(other, "_selector", None) is not None:
+            # a plain Expr combined with a selector/chain on the RIGHT
+            # (pl.lit(10) / pl.all()): becomes a chain expanded per column
+            from polars_spark.selectors import _SelectorChain
+
+            base = getattr(other, "_chain_fn", None) or (lambda e: e)
+
+            def chain_fn(e, _b=base, _f=f):
+                ce = _b(e)
+                return Expr(
+                    lambda ctx: _f(self._resolve(ctx), ce._resolve(ctx)), ce._name
+                )
+
+            return _SelectorChain(other._selector, chain_fn, "op")
         o = _to_expr(other)
         return Expr(
             lambda ctx: f(self._resolve(ctx), o._resolve(ctx)),

@@ -1147,7 +1147,18 @@ class ListNamespace(_NS):
     def len(self) -> Expr:
         return self._map(lambda c: F.when(c.isNotNull(), F.size(c)))
 
-    def get(self, index: int, *, null_on_oob: bool = True) -> Expr:
+    def get(self, index, *, null_on_oob: bool = True) -> Expr:
+        ie = _num_arg(index)
+        if ie is not None:
+            e = self._e
+
+            def fn(ctx):
+                c, i = e._resolve(ctx), ie._resolve(ctx).cast("int")
+                # 0-based positive, python-style negative: element_at is
+                # 1-based and rejects 0
+                return F.try_element_at(c, F.when(i >= 0, i + 1).otherwise(i))
+
+            return Expr(fn, e._name)
         if index >= 0:
             return self._map(lambda c: F.get(c, index))
         return self._map(lambda c: F.try_element_at(c, F.lit(index)))
@@ -1180,6 +1191,10 @@ class ListNamespace(_NS):
 
     def drop_nulls(self) -> Expr:
         return self._map(lambda c: F.filter(c, lambda v: v.isNotNull()))
+
+    def to_list(self) -> Expr:
+        """Array -> List is an identity at this layer (§1.2 shared storage)."""
+        return self._e
 
     def gather_every(self, n: int, offset: int = 0) -> Expr:
         return self._map(
@@ -1279,15 +1294,16 @@ class ListNamespace(_NS):
     def n_unique(self) -> Expr:
         return self._map(lambda c: F.size(F.array_distinct(c)))
 
-    def head(self, n: int = 5) -> Expr:
+    def head(self, n: int = 5, *, as_array: bool = False) -> Expr:
+        # as_array: polars Array/List share Spark storage (§1.2) — identity
         return self._map(lambda c: F.slice(c, 1, n))
 
-    def tail(self, n: int = 5) -> Expr:
+    def tail(self, n: int = 5, *, as_array: bool = False) -> Expr:
         return self._map(
             lambda c: F.when(F.size(c) <= n, c).otherwise(F.slice(c, -n, n))
         )
 
-    def slice(self, offset: int, length: int | None = None) -> Expr:
+    def slice(self, offset: int, length: int | None = None, *, as_array: bool = False) -> Expr:
         def fn(c):
             n = length if length is not None else F.size(c)
             start = offset + 1 if offset >= 0 else offset
@@ -1295,7 +1311,16 @@ class ListNamespace(_NS):
 
         return self._map(fn)
 
-    def join(self, separator: str, *, ignore_nulls: bool = True) -> Expr:
+    def join(self, separator, *, ignore_nulls: bool = True) -> Expr:
+        if isinstance(separator, Expr) or not isinstance(separator, str):
+            sep = _to_expr(separator)
+            e = self._e
+            return Expr(
+                lambda ctx: F.call_function(
+                    "array_join", e._resolve(ctx), sep._resolve(ctx)
+                ),
+                e._name,
+            )
         return self._map(lambda c: F.array_join(c, separator))
 
     def arg_min(self) -> Expr:
@@ -1481,7 +1506,12 @@ class ListNamespace(_NS):
 
         def fn(ctx: ExprContext) -> Column:
             c = e._resolve(ctx)
-            if fields is not None:
+            if callable(fields):
+                width = upper_bound
+                if width is None:
+                    width = ctx.df.select(F.max(F.size(c)).alias("__w")).collect()[0]["__w"]
+                names = [fields(i) for i in range(width)]
+            elif fields is not None:
                 names = list(fields)
             else:
                 width = upper_bound
@@ -1545,7 +1575,45 @@ _FIELD_SCOPE: list = []
 
 
 class StructNamespace(_NS):
-    def field(self, name: str) -> Expr:
+    def field(self, name, *more_names) -> Expr:
+        """Struct field access (reference expr/struct.py field): a name, an
+        int position, several names (multi-output expansion in select), a
+        wildcard '*', or a ^regex$ over field names."""
+        e = self._e
+
+        def _names(ctx):
+            t = ctx.df.select(e._resolve(ctx).alias("__s__")).schema["__s__"].dataType
+            return [f.name for f in t.fields]
+
+        if more_names or name == "*" or (
+            isinstance(name, str) and name.startswith("^") and name.endswith("$")
+        ):
+            # multi-output: resolves to ALL matching fields — uses the same
+            # select-level unnest marker machinery, restricted by name set
+            import re as _re
+
+            wanted = [name, *more_names]
+
+            def fn(ctx):
+                fields = _names(ctx)
+                if name == "*":
+                    keep = fields
+                elif name.startswith("^"):
+                    keep = [f for f in fields if _re.match(name, f)]
+                else:
+                    keep = [f for f in wanted if f in fields]
+                c = e._resolve(ctx)
+                return F.struct(*[c.getField(f).alias(f) for f in keep])
+
+            out = Expr(fn, e._name)
+            out._unnest = True
+            return out
+        if isinstance(name, int):
+            def fn(ctx):
+                fields = _names(ctx)
+                return e._resolve(ctx).getField(fields[name])
+
+            return Expr(fn, "field")
         return self._map(lambda c: c.getField(name), name=name)
 
     def unnest(self) -> Expr:
@@ -1557,7 +1625,7 @@ class StructNamespace(_NS):
         e._unnest = True
         return e
 
-    def __getitem__(self, name: str) -> Expr:
+    def __getitem__(self, name) -> Expr:
         return self.field(name)
 
     def json_encode(self) -> Expr:
@@ -1629,6 +1697,16 @@ class StructNamespace(_NS):
 
         return Expr(fn, e._name)
 
+    def map_field_names(self, function) -> Expr:
+        e = self._e
+
+        def fn(ctx: ExprContext) -> Column:
+            c = e._resolve(ctx)
+            old = ctx.df.select(c.alias("__s")).schema["__s"].dataType.names
+            return F.struct(*[c.getField(o).alias(function(o)) for o in old])
+
+        return Expr(fn, e._name)
+
 
 # ---------------------------------------------------------------------------
 # .bin
@@ -1653,8 +1731,11 @@ class BinaryNamespace(_NS):
             lambda ctx: F.endswith(self._e._resolve(ctx), p._resolve(ctx)), self._e._name
         )
 
-    def size(self) -> Expr:
-        return self._map(F.octet_length)
+    def size(self, unit: str = "b") -> Expr:
+        div = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3}[unit]
+        if div == 1:
+            return self._map(F.octet_length)
+        return self._map(lambda c: F.octet_length(c) / F.lit(float(div)))
 
     def reinterpret(self, *, dtype, endianness: str = "little") -> Expr:
         """polars bin.reinterpret: read the bytes as a fixed-width integer.
@@ -1696,7 +1777,7 @@ class BinaryNamespace(_NS):
                 F.raise_error(F.lit(f"bin.reinterpret: binary is not {nbytes} bytes"))
             )
         )
-    def get(self, index: int) -> Expr:
+    def get(self, index: int, *, null_on_oob: bool = True) -> Expr:
         """Byte at position (as a 1-byte binary; null when out of bounds)."""
         if index >= 0:
             return self._map(lambda c: F.when(F.octet_length(c) > index, F.substring(c, index + 1, 1)))
@@ -1838,3 +1919,23 @@ class ExprNameNamespace:
 
     def map(self, function) -> Expr:
         return self._e.alias(function(self._e._name))
+
+    def replace(self, pattern: str, value: str, *, literal: bool = False) -> Expr:
+        """Regex (or literal) rename of the output name (reference
+        expr/name.py replace)."""
+        import re as _re
+
+        name = self._e._name
+        new = name.replace(pattern, value) if literal else _re.sub(pattern, value, name)
+        return self._e.alias(new)
+
+    # struct FIELD renames through the name namespace (reference keeps both
+    # surfaces; delegate to the struct-namespace implementations)
+    def map_fields(self, function) -> Expr:
+        return StructNamespace(self._e).map_field_names(function)
+
+    def prefix_fields(self, prefix: str) -> Expr:
+        return StructNamespace(self._e).prefix_fields(prefix)
+
+    def suffix_fields(self, suffix: str) -> Expr:
+        return StructNamespace(self._e).suffix_fields(suffix)

@@ -618,3 +618,43 @@ def test_concat_align_right_and_horizontal_extend(pl, lf):
     b = lf(k=[2, 3], w=[2, 2])
     assert pl.concat([a, b], how="align_right").rows() == [(2, 1, 2), (3, None, 2)]
     assert pl.concat([lf(a=[1, 2]), lf(b=[9])], how="horizontal_extend").rows() == [(1, 9), (2, None)]
+
+
+def test_name_namespace_tail(pl, lf):
+    f = lf(n_foo=[1])
+    assert f.select(pl.all().name.replace(r"^n_", "col_")).columns == ["col_foo"]
+    g = lf(a=[1])
+    assert g.select(
+        pl.struct(x=pl.col("a")).alias("s").name.prefix_fields("p_")
+    ).rows() == [({"p_x": 1},)]
+    assert g.select(
+        pl.struct(x=pl.col("a")).alias("s").name.map_fields(lambda x: x.upper())
+    ).rows() == [({"X": 1},)]
+
+
+def test_expr_selector_right_operand(pl, lf):
+    # pl.lit(10) / pl.all() — selector on the RIGHT of a binary op
+    f = lf(a=[2], b=[4])
+    assert f.select((pl.lit(10) / pl.all()).name.keep()).rows() == [(5.0, 2.5)]
+
+
+def test_struct_field_forms(pl, lf):
+    f = lf(a=[1], b=["x"], c=[2]).select(pl.struct(pl.all()).alias("s"))
+    assert f.select(pl.col("s").struct[0]).item() == 1
+    assert f.select(pl.col("s").struct.field("a", "c")).columns == ["a", "c"]
+    assert f.select(pl.col("s").struct.field("*")).columns == ["a", "b", "c"]
+    assert f.select(pl.col("s").struct.field("^[ab]$")).columns == ["a", "b"]
+
+
+def test_bin_arr_tail_params(pl, lf):
+    f = lf(d=[b"xxxx"])
+    assert f.select(pl.col("d").cast(pl.Binary).bin.size("kb")).item() == 4 / 1024
+    g = lf(arr=[[9, 8]], idx=[1], sep=["-"])
+    assert g.select(pl.col("arr").arr.get("idx", null_on_oob=True)).item() == 8
+    assert g.select(pl.col("arr").arr.to_list()).item() == [9, 8]
+    h = lf(s=[["a", "b"]], separator=["-"])
+    assert h.select(pl.col("s").arr.join(pl.col("separator"))).item() == "a-b"
+    assert lf(n=[[1, 2]]).select(
+        pl.col("n").list.to_struct(fields=lambda i: f"n{i}")
+    ).rows() == [({"n0": 1, "n1": 2},)]
+    assert lf(end=[3]).select(pl.int_ranges("end")).item() == [0, 1, 2]
