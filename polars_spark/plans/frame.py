@@ -2624,11 +2624,18 @@ class LazyFrame:
             t.columns = names
         else:
             t = pdf.T
-            t.columns = (
-                [str(c) for c in column_names]
-                if column_names is not None
-                else [f"column_{i}" for i in range(n)]
-            )
+            if column_names is not None:
+                # reference accepts a (possibly infinite) iterator — take n
+                import itertools
+
+                names = [str(c) for c in itertools.islice(iter(column_names), n)]
+                if len(names) < n:
+                    raise ValueError(
+                        f"`column_names` must supply at least {n} names"
+                    )
+                t.columns = names
+            else:
+                t.columns = [f"column_{i}" for i in range(n)]
         if include_header:
             t.insert(0, header_name, t.index)
         spark = SparkSession.getActiveSession()

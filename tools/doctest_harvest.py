@@ -20,7 +20,11 @@ import contextlib
 import doctest
 import glob
 import io
+import os
+import signal
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF = "/root/reference/py-polars/src/polars"
 
@@ -87,6 +91,11 @@ def main() -> None:
     sys.modules.setdefault("polars", pl)
     import polars_spark.selectors as cs
 
+    def _alarm(signum, frame):  # noqa: ARG001
+        raise TimeoutError("example watchdog fired")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
     filters = sys.argv[1:]
     files = [f for f in FILES if not filters or any(s in f for s in filters)]
 
@@ -122,6 +131,7 @@ def main() -> None:
             if "#SKIPME" in code or any(tok in code for tok in SKIP_TOKENS):
                 continue
             try:
+                signal.alarm(90)  # watchdog: skip examples that hang
                 with contextlib.redirect_stdout(io.StringIO()):
                     exec(compile(code, "<doc>", "exec"), g)
                 ok += 1
@@ -131,10 +141,17 @@ def main() -> None:
             except BaseException as e:  # noqa: BLE001
                 err += 1
                 ferr += 1
+                if isinstance(e, TimeoutError):
+                    print(
+                        f"HANG {path.rsplit('/',1)[-1]}: {code.strip()[:120]}",
+                        flush=True,
+                    )
                 key = f"{type(e).__name__}: {str(e).splitlines()[0][:90] if str(e) else ''}"
                 fails.setdefault(key, []).append(
                     path.rsplit("/", 1)[-1] + " | " + code.strip()[:110]
                 )
+            finally:
+                signal.alarm(0)
         per_file[path.replace(REF + "/", "")] = [fok, ferr]
 
     total = ok + err
