@@ -161,11 +161,12 @@ def _expand_multi(es, ctx: ExprContext):
         if getattr(e, "_wildcard", False):
             out.extend(col(c) for c in ctx.df.columns if not c.startswith("__"))
         elif getattr(e, "_selector", None) is not None:
-            pred = e._selector
+            from polars_spark.selectors import expand_names
+
             chain = getattr(e, "_chain_fn", None)
-            for c, t in ctx.df.dtypes:
-                if not c.startswith("__") and pred(c, t):
-                    out.append(chain(col(c)) if chain else col(c))
+            schema = {c: t for c, t in ctx.df.dtypes if not c.startswith("__")}
+            for c in expand_names(e, schema):
+                out.append(chain(col(c)) if chain else col(c))
         else:
             out.append(e)
     return out

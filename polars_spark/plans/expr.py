@@ -104,6 +104,32 @@ class ExprContext:
 
 
 
+def _element_agg(ctx, parent: "Expr", kind: str, *a, **k) -> Column:
+    """list.agg / arr.agg lowering (reference expr/list.py list_agg): the
+    elementwise prefix of the expression runs inside a JVM-side
+    ``transform`` over the source array; the reduction itself delegates to
+    the ListNamespace implementation of the same aggregate (identical
+    dtype/null rules) — no explode, no shuffle, one projection."""
+    from polars_spark.plans import namespaces as _ns
+
+    base = ExprContext(ctx.df, ctx.order_cols, ctx.grouped, preps=ctx.preps)
+    arr0 = ctx.arr_col
+
+    def vals_fn(_c, _p=parent):
+        return F.transform(
+            arr0, lambda x: _p._resolve(_ns._ElementContext(base, x, arr0))
+        )
+
+    vals = Expr(vals_fn, "vals")
+    if kind == "count":
+        return F.size(F.filter(vals._resolve(base), lambda x: x.isNotNull())).cast("bigint")
+    if kind == "null_count":
+        return F.size(F.filter(vals._resolve(base), lambda x: x.isNull())).cast("bigint")
+    if kind == "drop_nulls":
+        return F.filter(vals._resolve(base), lambda x: x.isNotNull())
+    return getattr(_ns.ListNamespace(vals), kind)(*a, **k)._resolve(base)
+
+
 def _wover(ctx: "ExprContext", c: Column) -> Column:
     """Apply the enclosing window (rolling/over/cumulative_eval contexts) to
     a raw aggregate Column — every aggregate closure that does not route
@@ -160,7 +186,10 @@ class Expr:
                     lambda ctx: _f(self._resolve(ctx), ce._resolve(ctx)), ce._name
                 )
 
-            return _SelectorChain(other._selector, chain_fn, "op")
+            return _SelectorChain(
+                other._selector, chain_fn, "op",
+                expand=getattr(other, "_schema_expand", None),
+            )
         o = _to_expr(other)
         return Expr(
             lambda ctx: f(self._resolve(ctx), o._resolve(ctx)),
@@ -429,10 +458,19 @@ class Expr:
         return self._zip(v, lambda a, b: F.when(F.isnan(a), b).otherwise(a))
 
     def drop_nulls(self):  # expression-level: handled at frame level mostly
-        return self
+        parent = self
+
+        def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, parent, "drop_nulls")
+            return parent._resolve(ctx)
+
+        out = Expr(fn, self._name, self._is_agg)
+        out._elem_group_op = True  # list.agg must use the element-agg ctx
+        return out
 
     def null_count(self):
-        return self._agg(lambda c: F.count(F.when(c.isNull(), 1)))
+        return self._agg(lambda c: F.count(F.when(c.isNull(), 1)), _elem_kind="null_count")
 
     # -- casts / conversions ----------------------------------------------
     def _resolve_dtype_expr(self, dtype, ctx) -> str:
@@ -655,8 +693,10 @@ class Expr:
         return e
 
     # -- aggregations ---------------------------------------------------------
-    def _agg(self, f: Callable[[Column], Column]) -> "Expr":
+    def _agg(self, f: Callable[[Column], Column], _elem_kind: str | None = None) -> "Expr":
         def fn(ctx: ExprContext) -> Column:
+            if _elem_kind is not None and getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, _elem_kind)
             c = f(self._resolve(ctx))
             # under a rolling/over context, aggregates become window aggs
             w = getattr(ctx, "_window", None)
@@ -672,6 +712,8 @@ class Expr:
         analysis only, no job."""
 
         def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, "sum")
             c = self._resolve(ctx)
             dt = None
             if ctx.df is not None:
@@ -698,6 +740,8 @@ class Expr:
             return F.mean(c)
 
         def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, "mean")
             c = self._resolve(ctx)
             if ctx.df is not None:
                 try:
@@ -713,23 +757,23 @@ class Expr:
         return Expr(fn, self._name, is_agg=True)
 
     def min(self):
-        return self._agg(F.min)
+        return self._agg(F.min, _elem_kind="min")
 
     def max(self):
-        return self._agg(F.max)
+        return self._agg(F.max, _elem_kind="max")
 
     def median(self):
-        return self._agg(F.median)
+        return self._agg(F.median, _elem_kind="median")
 
     def count(self):
-        return self._agg(F.count)
+        return self._agg(F.count, _elem_kind="count")
 
     def len(self):
         # polars len() counts rows INCLUDING nulls — but on a filter()-masked
         # expr the masked rows are dropped rows, so count survivors only
         if getattr(self, "_null_masked", False):
-            return self._agg(F.count)
-        return self._agg(lambda c: F.count(F.lit(1)))
+            return self._agg(F.count, _elem_kind="len")
+        return self._agg(lambda c: F.count(F.lit(1)), _elem_kind="len")
 
     def n_unique(self):
         """polars counts null as a distinct value (n_unique([None, None]) ==
@@ -740,6 +784,8 @@ class Expr:
         count_null = not getattr(self, "_null_masked", False)
 
         def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, "n_unique")
             c = self._resolve(ctx)
             has_null = F.max(F.when(c.isNull(), F.lit(1)).otherwise(F.lit(0)))
             w = getattr(ctx, "_window", None)
@@ -774,6 +820,8 @@ class Expr:
             return self._map(lambda c: F.get(c, 0), is_agg=True)
 
         def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, "first")
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
@@ -794,6 +842,8 @@ class Expr:
             return self._map(lambda c: F.element_at(c, -1), is_agg=True)
 
         def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, "last")
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
@@ -1042,10 +1092,10 @@ class Expr:
         return Expr(fn, self._name, is_agg=True)
 
     def any(self):
-        return self._agg(lambda c: F.max(F.coalesce(c, F.lit(False))))
+        return self._agg(lambda c: F.max(F.coalesce(c, F.lit(False))), _elem_kind="any")
 
     def all(self):
-        return self._agg(lambda c: F.min(F.coalesce(c, F.lit(True))))
+        return self._agg(lambda c: F.min(F.coalesce(c, F.lit(True))), _elem_kind="all")
 
     def skew(self, bias: bool = True):
         # Spark skewness() is the biased (population) estimator == polars bias=True
@@ -2216,9 +2266,10 @@ class Expr:
         ignored)."""
         return self.get(0)
 
-    def explode(self):
+    def explode(self, *, empty_as_null: bool = True):
         """polars Expr.explode / flatten: in a SELECT this is row explosion
-        of the list column (explode_outer — null/empty -> null row); inside
+        of the list column (explode_outer — null/empty -> null row; pass
+        empty_as_null=False to drop those rows instead); inside
         group_by().agg() it flattens one nesting level of the captured
         group lists."""
         imploded = self._implode_map(lambda c: F.flatten(c))
@@ -2226,6 +2277,8 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             if ctx.grouped or getattr(ctx, "_window", None) is not None:
                 return imploded._resolve(ctx)
+            if not empty_as_null:
+                return F.explode(self._resolve(ctx))
             return F.explode_outer(self._resolve(ctx))
 
         # is_agg: inside group_by().agg() this IS the aggregate (flatten of
@@ -2521,7 +2574,33 @@ class Expr:
         out._vc_opts = {"sort": sort, "name": name, "normalize": normalize}
         return out
 
-    def replace(self, mapping: dict, default=None):
+    @staticmethod
+    def _replace_mapping(old, new) -> dict:
+        """Normalize the reference's replace argument forms — a dict, a
+        pair of lists, a pair of scalars, or Series — to one mapping."""
+        if new is None and isinstance(old, dict):
+            return old
+        from polars_spark.series import Series as _S
+
+        if isinstance(old, _S):
+            old = old.to_list()
+        if isinstance(new, _S):
+            new = new.to_list()
+        olds = list(old) if isinstance(old, (list, tuple)) else [old]
+        if isinstance(new, (list, tuple)):
+            news = list(new)
+            if len(news) == 1:
+                news = news * len(olds)
+        else:
+            news = [new] * len(olds)
+        if len(olds) != len(news):
+            msg = f"replace: old has {len(olds)} values, new has {len(news)}"
+            raise ValueError(msg)
+        return dict(zip(olds, news))
+
+    def replace(self, mapping, new=None, *, default=None, return_dtype=None):
+        mapping = Expr._replace_mapping(mapping, new)
+
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             out = None
@@ -2534,9 +2613,10 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def replace_strict(self, mapping: dict, default=None, return_dtype=None):
+    def replace_strict(self, mapping, new=None, default=None, return_dtype=None):
         """Like replace, but unmatched values ERROR at execution (polars
         ReplaceStrict) unless a default is given — lowered to raise_error()."""
+        mapping = Expr._replace_mapping(mapping, new)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
@@ -2628,7 +2708,30 @@ class Expr:
         return self._zip(n, lambda c, k: F.array_repeat(c, k.cast("int")))
 
     def gather_every(self, n: int, offset: int = 0):
-        raise NotImplementedError("frame-level: LazyFrame.gather_every")
+        """Every nth value (select context): a length-changing select —
+        rewritten to the frame-level partition-offset plan
+        (LazyFrame.gather_every, scale-safe row positions)."""
+        parent = self
+        out = Expr(
+            lambda ctx: (_ for _ in ()).throw(
+                NotImplementedError(
+                    "Expr.gather_every is select-context only (length-changing)"
+                )
+            ),
+            self._name,
+        )
+
+        def rewrite(lf):
+            ctx = lf._ctx()
+            c = parent._resolve(ctx)
+            nm = out._name
+            projected = type(lf)(
+                lf._with_scalar_preps(ctx).select(c.alias(nm)), lf._order
+            )
+            return projected.gather_every(n, offset)
+
+        out._select_rewrite = rewrite
+        return out
 
     def rolling_map(
         self,
@@ -3034,6 +3137,40 @@ class _WhenThen:
         return _When(self._branches, _combine_predicates(predicates, constraints))
 
     def otherwise(self, value) -> Expr:
+        def _is_sel(v):
+            return getattr(v, "_selector", None) is not None
+
+        sels = [v for _, v in self._branches if _is_sel(v)]
+        if _is_sel(value):
+            sels.append(value)
+        if sels:
+            # a selector in then/otherwise broadcasts the whole chain per
+            # matched column (reference whenthen multi-output expansion)
+            from polars_spark.selectors import _SelectorChain
+
+            sel0 = sels[0]
+            branches = self._branches
+
+            def chain_fn(e, _b=branches, _v=value):
+                def mk(x):
+                    if _is_sel(x):
+                        cf = getattr(x, "_chain_fn", None)
+                        return cf(e) if cf else e
+                    return _to_expr(x)
+
+                def fn(ctx: ExprContext) -> Column:
+                    out = None
+                    for cond, val in _b:
+                        c, xx = cond._resolve(ctx), mk(val)._resolve(ctx)
+                        out = F.when(c, xx) if out is None else out.when(c, xx)
+                    return out.otherwise(mk(_v)._resolve(ctx))
+
+                return Expr(fn, e._name)
+
+            return _SelectorChain(
+                sel0._selector, chain_fn, "whenthen",
+                expand=getattr(sel0, "_schema_expand", None),
+            )
         v = _to_expr(value)
 
         def fn(ctx: ExprContext) -> Column:
@@ -3176,6 +3313,12 @@ class ExprMetaNamespace:
     def is_column(self) -> bool:
         return self._node().getClass().getSimpleName() == "UnresolvedAttribute"
 
+    def is_literal(self, *, allow_aliasing: bool = False) -> bool:
+        e = self.undo_aliases() if allow_aliasing else self._e
+        return (
+            ExprMetaNamespace(e)._node().getClass().getSimpleName() == "Literal"
+        )
+
     def is_column_selection(self, *, allow_aliasing: bool = False) -> bool:
         e = self.undo_aliases() if allow_aliasing else self._e
         return ExprMetaNamespace(e).is_column()
@@ -3200,43 +3343,199 @@ class ExprMetaNamespace:
         return self._node().sql()
 
 
-class Enum:
-    """polars Enum dtype: a FROZEN category set (reference: polars-dtype
-    categorical dtype.rs FrozenCategories).  Physically a string column;
-    casts VALIDATE membership — strict cast raises on a value outside the
-    categories, non-strict cast nulls it (polars' strict/non-strict cast
-    split)."""
-
-    def __init__(self, categories):
-        self.categories = list(categories)
-
-    def __repr__(self) -> str:
-        return f"Enum({self.categories!r})"
-
-
-class Categorical:
-    """polars Categorical dtype — in this engine a string passthrough (the
-    documented SURVEY §1.2 mapping: Tungsten/parquet already dictionary-encode
-    strings; a global string cache would add a shuffle for no gain).
-
-    Accepts a :class:`Categories` instance as first argument (reference
-    Categorical(Categories) form) — the driver-side named mapping."""
-
-    def __init__(self, ordering="physical"):
-        if isinstance(ordering, str) or ordering is None:
-            self.ordering = ordering or "physical"
-            self.categories = None
-        else:  # a Categories instance
-            self.categories = ordering
-            self.ordering = "physical"
+# Enum / Categorical are defined after the DataType base below (they
+# subclass it for base_type/equality parity); forward declarations keep
+# earlier type hints working.
 
 
 # polars dtype classes (pl.Int64, pl.Datetime, ...): _dtype_to_spark maps
-# them via __name__, so bare classes give full cast()/schema parity
-class DataType:
+# them via __name__, so bare classes give full cast()/schema parity.
+# DataTypeClass mirrors the reference metaclass (datatypes/classes.py:60):
+# the class object itself answers base_type/is_/min/max/to_python, so both
+# ``pl.Int8`` and ``pl.Int8()`` work everywhere a dtype is accepted.
+
+# physical bounds for .min()/.max() (reference classes.py:309-360: literal
+# expressions of the dtype's physical range; Time is ns-since-midnight)
+_DTYPE_BOUNDS = {
+    "Int8": (-128, 127),
+    "Int16": (-32768, 32767),
+    "Int32": (-2147483648, 2147483647),
+    "Int64": (-9223372036854775808, 9223372036854775807),
+    "Int128": (-(2**127), 2**127 - 1),
+    "UInt8": (0, 255),
+    "UInt16": (0, 65535),
+    "UInt32": (0, 4294967295),
+    "UInt64": (0, 18446744073709551615),
+    "UInt128": (0, 2**128 - 1),
+    "Float32": (float("-inf"), float("inf")),
+    "Float64": (float("-inf"), float("inf")),
+    "Time": (0, 86_399_999_999_999),
+    "Date": (-2147483648, 2147483647),
+}
+
+
+class DataTypeClass(type):
+    """Metaclass: bare dtype classes act like instances (reference
+    DataTypeClass).  ``pl.List == pl.List(pl.Int32)`` is True (base-type
+    equality); ``is_`` is the strict check."""
+
+    def __eq__(cls, other) -> bool:
+        if isinstance(other, DataTypeClass):
+            return cls.__name__ == other.__name__ or (
+                issubclass(cls, other) or issubclass(other, cls)
+            )
+        if isinstance(other, DataType):
+            return isinstance(other, cls)
+        return NotImplemented
+
+    def __ne__(cls, other) -> bool:
+        r = cls.__eq__(other)
+        return NotImplemented if r is NotImplemented else not r
+
+    __hash__ = type.__hash__
+
+
+import builtins  # noqa: E402  (list/object dtype names shadow builtins below)
+
+
+def _lit(v):
+    from polars_spark.functions import lit as _pl_lit
+
+    return _pl_lit(v)
+
+
+class _classinst:
+    """Descriptor: one function serving both ``pl.Int8.max()`` and
+    ``pl.Int8().max()`` (the reference's classinstmethod pattern —
+    metaclass methods alone are shadowed by same-named class attributes)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def __get__(self, obj, cls):
+        target = obj if obj is not None else cls
+        import functools
+
+        return functools.partial(self._fn, target)
+
+
+def _dt_name(t) -> str:
+    return t.__name__ if isinstance(t, type) else type(t).__name__
+
+
+def _dt_base_type(t):
+    return t if isinstance(t, type) else type(t)
+
+
+def _dt_is(t, other) -> bool:
+    """Strict dtype identity (reference is_): parametric instances must
+    match structurally; a bare class only matches the same bare class."""
+    if isinstance(t, type) or isinstance(other, type):
+        return t is other
+    return type(t) is type(other) and t._params() == other._params()
+
+
+def _dt_max(t):
+    try:
+        return _lit(_DTYPE_BOUNDS[_dt_name(t)][1])
+    except KeyError:
+        msg = f"cannot determine max of dtype {_dt_name(t)}"
+        raise TypeError(msg) from None
+
+
+def _dt_min(t):
+    try:
+        return _lit(_DTYPE_BOUNDS[_dt_name(t)][0])
+    except KeyError:
+        msg = f"cannot determine min of dtype {_dt_name(t)}"
+        raise TypeError(msg) from None
+
+
+def _dt_to_python(t):
+    import datetime as _dt
+    import decimal as _decimal
+
+    n = _dt_name(t)
+    if n.startswith(("Int", "UInt")):
+        return int
+    if n == "Decimal":
+        return _decimal.Decimal
+    if n.startswith("Float"):
+        return float
+    return {
+        "Boolean": bool, "String": str, "Utf8": str, "Binary": bytes,
+        "Date": _dt.date, "Datetime": _dt.datetime, "Time": _dt.time,
+        "Duration": _dt.timedelta, "Null": type(None),
+        "List": builtins.list, "Array": builtins.list, "Struct": dict,
+        "Object": object, "Categorical": str, "Enum": str,
+    }.get(n, object)
+
+
+class DataType(metaclass=DataTypeClass):
     """Base class for polars dtypes (reference datatypes/classes.py).
     Parametric dtypes stringify to their Spark DDL, which is what
     _dtype_to_spark consumes."""
+
+    base_type = _classinst(_dt_base_type)
+    is_ = _classinst(_dt_is)
+    max = _classinst(_dt_max)
+    min = _classinst(_dt_min)
+    to_python = _classinst(_dt_to_python)
+    is_numeric = _classinst(
+        lambda t: _dt_name(t) in _DTYPE_BOUNDS and _dt_name(t) not in ("Time", "Date")
+    )
+    is_integer = _classinst(lambda t: _dt_name(t).startswith(("Int", "UInt")))
+    is_signed_integer = _classinst(lambda t: _dt_name(t).startswith("Int"))
+    is_unsigned_integer = _classinst(lambda t: _dt_name(t).startswith("UInt"))
+    is_float = _classinst(lambda t: _dt_name(t).startswith("Float"))
+    is_decimal = _classinst(lambda t: _dt_name(t) == "Decimal")
+    is_temporal = _classinst(
+        lambda t: _dt_name(t) in ("Date", "Datetime", "Time", "Duration")
+    )
+    is_nested = _classinst(lambda t: _dt_name(t) in ("List", "Array", "Struct"))
+
+    @classmethod
+    def from_python(cls, py_type):
+        import datetime as _dt
+        import decimal as _decimal
+
+        if py_type is _dt.datetime:  # before date: datetime subclasses date
+            return Datetime
+        mapping = {
+            int: Int64, float: Float64, str: String, bool: Boolean,
+            bytes: Binary, _dt.date: Date, _dt.time: Time,
+            _dt.timedelta: Duration, _decimal.Decimal: Decimal,
+            type(None): Null, builtins.list: List, tuple: List,
+            dict: Struct, object: Object,
+        }
+        try:
+            return mapping[py_type]
+        except KeyError:
+            msg = f"cannot infer dtype from {py_type!r}"
+            raise TypeError(msg) from None
+
+    def _params(self) -> tuple:
+        return tuple(sorted(self.__dict__.items(), key=lambda kv: kv[0]))
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, DataTypeClass):
+            return isinstance(self, other)
+        if isinstance(other, DataType):
+            return type(self).__name__ == type(other).__name__ and (
+                self._params() == other._params()
+            )
+        return NotImplemented
+
+    def __ne__(self, other) -> bool:
+        r = self.__eq__(other)
+        return NotImplemented if r is NotImplemented else not r
+
+    def __hash__(self) -> int:
+        return hash(type(self).__name__)
+
+    def __repr__(self) -> str:
+        ps = ", ".join(f"{k}={v!r}" for k, v in self.__dict__.items())
+        return f"{type(self).__name__}({ps})"
 
 
 class Int8(DataType): ...
@@ -3252,17 +3551,86 @@ class Float32(DataType): ...
 class Float64(DataType): ...
 class Boolean(DataType): ...
 class String(DataType): ...
-class Utf8(DataType): ...
+class Utf8(String): ...  # alias dtype: Utf8 == String (reference alias)
 class Binary(DataType): ...
 class Date(DataType): ...
-class Datetime(DataType): ...
+
+
+class Datetime(DataType):
+    """pl.Datetime(time_unit, time_zone) — all Spark timestamps are
+    microsecond precision; the unit/zone are carried as dtype params for
+    schema fidelity (the tz annotation model lives on Expr.dt, see
+    namespaces.py replace_time_zone)."""
+
+    def __init__(self, time_unit: str = "us", time_zone=None):
+        if time_unit not in ("ms", "us", "ns"):
+            msg = f"invalid time_unit {time_unit!r}; expected one of ms/us/ns"
+            raise ValueError(msg)
+        self.time_unit = time_unit
+        self.time_zone = str(time_zone) if time_zone is not None else None
+
+    def __str__(self):
+        return "timestamp"
+
+
 class Time(DataType): ...
-class Duration(DataType): ...
+
+
+class Duration(DataType):
+    """pl.Duration(time_unit) — maps to Spark day-time interval."""
+
+    def __init__(self, time_unit: str = "us"):
+        if time_unit not in ("ms", "us", "ns"):
+            msg = f"invalid time_unit {time_unit!r}; expected one of ms/us/ns"
+            raise ValueError(msg)
+        self.time_unit = time_unit
+
+    def __str__(self):
+        return "interval day to second"
+
+
 class Null(DataType): ...
 class Float16(DataType): ...
 class UInt128(DataType): ...
 class Object(DataType): ...
 class Unknown(DataType): ...
+
+
+class Enum(DataType):
+    """polars Enum dtype: a FROZEN category set (reference: polars-dtype
+    categorical dtype.rs FrozenCategories).  Physically a string column;
+    casts VALIDATE membership — strict cast raises on a value outside the
+    categories, non-strict cast nulls it (polars' strict/non-strict cast
+    split)."""
+
+    def __init__(self, categories):
+        self.categories = list(categories)
+
+    def __repr__(self) -> str:
+        return f"Enum({self.categories!r})"
+
+    def __str__(self):
+        return "string"
+
+
+class Categorical(DataType):
+    """polars Categorical dtype — in this engine a string passthrough (the
+    documented SURVEY §1.2 mapping: Tungsten/parquet already dictionary-encode
+    strings; a global string cache would add a shuffle for no gain).
+
+    Accepts a :class:`Categories` instance as first argument (reference
+    Categorical(Categories) form) — the driver-side named mapping."""
+
+    def __init__(self, ordering="physical"):
+        if isinstance(ordering, str) or ordering is None:
+            self.ordering = ordering or "physical"
+            self.categories = None
+        else:  # a Categories instance
+            self.categories = ordering
+            self.ordering = "physical"
+
+    def __str__(self):
+        return "string"
 
 
 class Field:
@@ -3433,8 +3801,24 @@ class Categories:
     def namespace(self) -> str:
         return self._namespace
 
+    def physical(self):
+        return self._physical
+
     def is_global(self) -> bool:
         return self._name == ""
+
+    def __iter__(self):
+        return iter(self._cats)
+
+    def to_series(self):
+        """The categories as a String Series (reference classes.py)."""
+        from polars_spark.series import Series
+
+        return Series("category", builtins.list(self._cats), dtype=String)
+
+    def to_dict(self) -> dict:
+        """category -> physical index mapping (reference classes.py)."""
+        return {cat: i for i, cat in enumerate(self._cats) if cat is not None}
 
     def _register(self, values) -> None:
         cats = self._cats

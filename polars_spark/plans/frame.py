@@ -314,15 +314,15 @@ class LazyFrame:
                 # a chain (cs.numeric().fill_null(0)) applies its recorded
                 # transform to each matched column, keeping the name unless
                 # the chain's .name.* ops changed it
-                pred = e._selector
+                from polars_spark.selectors import expand_names
+
                 chain = getattr(e, "_chain_fn", None)
                 if chain is None:
-                    out.extend(F.col(c) for c, t in self.schema.items() if pred(c, t))
+                    out.extend(F.col(c) for c in expand_names(e, self.schema))
                 else:
-                    for c, t in self.schema.items():
-                        if pred(c, t):
-                            ce = chain(_col(c))
-                            out.append(ce._resolve(ctx).alias(ce._name or c))
+                    for c in expand_names(e, self.schema):
+                        ce = chain(_col(c))
+                        out.append(ce._resolve(ctx).alias(ce._name or c))
             elif isinstance(e, Expr) and getattr(e, "_wildcard", False):
                 out.extend(F.col(c) for c in self.columns)
             elif isinstance(e, Expr) and getattr(e, "_multi", None):
@@ -348,13 +348,38 @@ class LazyFrame:
             else:
                 out.append(F.lit(e))
         for name, e in (named or {}).items():
-            out.append(_to_expr(e)._resolve(ctx).alias(name))
+            out.append(self._named_col(name, e, ctx).alias(name))
         return out
+
+    def _named_col(self, name: str, e, ctx) -> Column:
+        """A keyword-named expression value — selectors/chains must expand
+        to exactly one column here (polars keyword multi-output rule)."""
+        if getattr(e, "_selector", None) is not None:
+            from polars_spark.selectors import expand_names
+
+            cols = expand_names(e, self.schema)
+            if len(cols) != 1:
+                from polars_spark.exceptions import ComputeError
+
+                raise ComputeError(
+                    f"keyword expression {name!r}: selector matched "
+                    f"{len(cols)} columns (need exactly 1)"
+                )
+            chain = getattr(e, "_chain_fn", None)
+            ce = chain(_col(cols[0])) if chain else _col(cols[0])
+            return ce._resolve(ctx)
+        return _to_expr(e)._resolve(ctx)
 
     # -- projection / mutation ----------------------------------------------
     def select(self, *exprs, **named) -> "LazyFrame":
         from polars_spark.exceptions import translate_errors
 
+        rest, named_rest, attach = self._split_series_args(exprs, named)
+        if attach:
+            base = self
+            for nm, s in attach:
+                base = base._attach_series(nm, s)
+            return base.select(*rest, *[nm for nm, _ in attach], **named_rest)
         flat = [e for e in _flatten(exprs)]
         if (
             len(flat) == 1
@@ -439,6 +464,12 @@ class LazyFrame:
     def with_columns(self, *exprs, **named) -> "LazyFrame":
         from polars_spark.exceptions import translate_errors
 
+        rest, named_rest, attach = self._split_series_args(exprs, named)
+        if attach:
+            base = self
+            for nm, s in attach:
+                base = base._attach_series(nm, s)
+            return base.with_columns(*rest, **named_rest) if (rest or named_rest) else base
         with translate_errors():
             ctx = self._ctx()
             mapping: dict[str, Column] = {}
@@ -448,15 +479,15 @@ class LazyFrame:
                 elif getattr(e, "_selector", None) is not None:
                     # selector (plain or expression chain): expand per
                     # matching column, same rules as select
-                    pred = e._selector
+                    from polars_spark.selectors import expand_names
+
                     chain = getattr(e, "_chain_fn", None)
-                    for c, t in self.schema.items():
-                        if pred(c, t):
-                            if chain is None:
-                                mapping[c] = F.col(c)
-                            else:
-                                ce = chain(_col(c))
-                                mapping[ce._name or c] = ce._resolve(ctx)
+                    for c in expand_names(e, self.schema):
+                        if chain is None:
+                            mapping[c] = F.col(c)
+                        else:
+                            ce = chain(_col(c))
+                            mapping[ce._name or c] = ce._resolve(ctx)
                 else:
                     ee = _to_expr(e) if not hasattr(e, "_resolve") else e
                     if ee._name in mapping:
@@ -467,7 +498,7 @@ class LazyFrame:
                         )
                     mapping[ee._name] = ee._resolve(ctx)
             for name, e in named.items():
-                mapping[name] = _to_expr(e)._resolve(ctx)
+                mapping[name] = self._named_col(name, e, ctx)
             out = self._with_scalar_preps(ctx).withColumns(mapping)
         if ctx.preps:
             out = out.drop(*[p[0] for p in ctx.preps])
@@ -545,12 +576,14 @@ class LazyFrame:
         return self.with_columns(*exprs) if exprs else self
 
     def drop_nulls(self, subset: Sequence[str] | str | None = None) -> "LazyFrame":
-        subset = [subset] if isinstance(subset, str) else (list(subset) if subset else None)
+        subset = self._resolve_name_selector(subset) if subset is not None else None
         return LazyFrame(self._df.dropna(subset=subset), self._order)
 
     def drop_nans(self, subset: Sequence[str] | str | None = None) -> "LazyFrame":
-        cols = [subset] if isinstance(subset, str) else (
-            list(subset) if subset else [c for c, t in self.schema.items() if t in ("float", "double")]
+        cols = (
+            self._resolve_name_selector(subset)
+            if subset is not None
+            else [c for c, t in self.schema.items() if t in ("float", "double")]
         )
         cond = None
         for c in cols:
@@ -618,7 +651,14 @@ class LazyFrame:
         maintain_order: bool = False,
         multithreaded: bool = True,
     ) -> "LazyFrame":
-        keys = list(_flatten([by, *more_by]))
+        keys = []
+        for k in _flatten([by, *more_by]):
+            if getattr(k, "_selector", None) is not None and getattr(k, "_chain_fn", None) is None:
+                from polars_spark.selectors import expand_names
+
+                keys.extend(expand_names(k, self.schema))
+            else:
+                keys.append(k)
         n = len(keys)
         desc = [descending] * n if isinstance(descending, bool) else list(descending)
         nlast = [nulls_last] * n if isinstance(nulls_last, bool) else list(nulls_last)
@@ -672,6 +712,46 @@ class LazyFrame:
             return self.with_row_index("__gpos__")._df, "__gpos__", self._order
         lf = self.with_row_index(ROW_IDX)  # ROW_IDX already IS the position
         return lf._df, ROW_IDX, lf._order
+
+    def _attach_series(self, name: str, s) -> "LazyFrame":
+        """Attach a driver-local Series as a column, aligned by row
+        position (polars with_columns(name=Series) semantics).  The Series
+        is small driver data by construction (series.py docstring); it
+        ships as a broadcast join on the scale-safe partition-offset row
+        position — never a global window."""
+        df, pos, order = self._global_pos()
+        spark = self._df.sparkSession
+        import pandas as _pd
+
+        pdf = _pd.DataFrame({"__spos__": range(len(s)), name: s._s.values})
+        sdf = spark.createDataFrame(pdf)
+        if name in df.columns:
+            df = df.drop(name)
+        out = (
+            df.join(F.broadcast(sdf), F.col(pos) == F.col("__spos__"), "left")
+            .drop("__spos__")
+        )
+        if pos == "__gpos__":
+            out = out.drop(pos)
+        return LazyFrame(out, order)
+
+    def _split_series_args(self, exprs, named):
+        """Split driver-local Series out of select/with_columns arguments."""
+        from polars_spark.series import Series as _S
+
+        rest, attach = [], []
+        for e in _flatten(exprs):
+            if isinstance(e, _S):
+                attach.append((e.name or f"column_{len(attach)}", e))
+            else:
+                rest.append(e)
+        named_rest = {}
+        for k, v in (named or {}).items():
+            if isinstance(v, _S):
+                attach.append((k, v))
+            else:
+                named_rest[k] = v
+        return rest, named_rest, attach
 
     def slice(self, offset: int, length: int | None = None) -> "LazyFrame":
         if offset == 0 and length is not None and length >= 0:
@@ -1195,7 +1275,7 @@ class LazyFrame:
         maintain_order: bool = False,
     ) -> "LazyFrame":
         """polars Distinct with UniqueKeepStrategy (polars-core/src/frame/mod.rs:60)."""
-        cols = [subset] if isinstance(subset, str) else (list(subset) if subset else self.columns)
+        cols = self._resolve_name_selector(subset) if subset is not None else self.columns
         if keep == "any":
             return LazyFrame(self._df.dropDuplicates(cols), self._order if maintain_order else [])
         if keep in ("first", "last"):
@@ -1259,7 +1339,9 @@ class LazyFrame:
             if isinstance(it, str):
                 out.append(it)
             elif getattr(it, "_selector", None) is not None:
-                out.extend(c for c, t in self.schema.items() if it._selector(c, t))
+                from polars_spark.selectors import expand_names
+
+                out.extend(expand_names(it, self.schema))
             elif hasattr(it, "_name"):
                 out.append(it._name)
             else:
@@ -2040,8 +2122,53 @@ class LazyFrame:
                 return base[cols_part]
             if isinstance(cols_part, int):
                 return base[self.columns[cols_part]]
-            return base.select(*cols_part)
+            if isinstance(cols_part, slice):
+                return base.select(*self.columns[cols_part])
+            cols = [
+                self.columns[c] if isinstance(c, int) else c for c in cols_part
+            ]
+            return base.select(*cols)
         msg = f"cannot index a frame with {type(item).__name__!r}"
+        raise TypeError(msg)
+
+    def __setitem__(self, key, value) -> None:
+        """polars DataFrame.__setitem__ (reference dataframe/frame.py:1450):
+        ``df[["a","b"]] = 2D`` multi-column assign, ``df[row, col] = v``
+        single-element assign; plain ``df["a"] = v`` raises TypeError like
+        the reference (use with_columns).  Mutates this frame's plan in
+        place (the facade is eager-styled; Spark stays lazy)."""
+        if isinstance(key, str):
+            msg = (
+                "DataFrame object does not support `Series` assignment by index"
+                "\n\nUse `DataFrame.with_columns`."
+            )
+            raise TypeError(msg)
+        if isinstance(key, list) and key and all(isinstance(c, str) for c in key):
+            from polars_spark.series import Series as _S
+
+            rows = value.tolist() if hasattr(value, "tolist") else [list(r) for r in value]
+            if rows and len(rows[0]) != len(key):
+                msg = f"value has {len(rows[0])} columns, key names {len(key)}"
+                raise ValueError(msg)
+            new = self
+            for i, name in enumerate(key):
+                new = new._attach_series(name, _S(name, [r[i] for r in rows]))
+            self._df, self._order = new._df, new._order
+            return
+        if isinstance(key, tuple) and len(key) == 2:
+            row_idx, colk = key
+            name = colk if isinstance(colk, str) else self.columns[colk]
+            idx = "__si__"
+            f = self.with_row_index(idx)
+            sdf = f._df.withColumn(
+                name,
+                F.when(F.col(idx) == int(row_idx), F.lit(value)).otherwise(
+                    F.col(name)
+                ),
+            ).drop(idx)
+            self._df = sdf
+            return
+        msg = f"cannot assign to a frame with key {type(key).__name__!r}"
         raise TypeError(msg)
 
     def row(self, index: int | None = None, *, by_predicate=None, named: bool = False):
@@ -2230,9 +2357,10 @@ class LazyFrame:
         return self.with_columns(*outs)
 
     def _resolve_name_selector(self, column_names) -> list[str]:
-        sel = getattr(column_names, "_selector", None)
-        if sel is not None:
-            return [c for c, t in self.schema.items() if sel(c, t)]
+        if getattr(column_names, "_selector", None) is not None:
+            from polars_spark.selectors import expand_names
+
+            return expand_names(column_names, self.schema)
         if isinstance(column_names, str):
             return [column_names]
         return list(column_names)
@@ -2455,7 +2583,7 @@ class LazyFrame:
     def collect_schema(self):
         """Schema without executing the query (reference: LazyFrame.
         collect_schema) — plan analysis only, no job runs."""
-        return dict(self.schema)
+        return self.schema
 
     def glimpse(self, *, max_items_per_column: int = 10, return_as_string: bool = False,
                 return_type: str | None = None, max_colname_length: int = 50):
@@ -2888,7 +3016,9 @@ class LazyGroupBy:
         expanded = []
         for k in keys:
             if getattr(k, "_selector", None) is not None and getattr(k, "_chain_fn", None) is None:
-                expanded.extend(c for c, t in lf.schema.items() if k._selector(c, t))
+                from polars_spark.selectors import expand_names
+
+                expanded.extend(expand_names(k, lf.schema))
             else:
                 expanded.append(k)
         self._keys = expanded
@@ -2945,10 +3075,11 @@ class LazyGroupBy:
                 e = _col(e)
             if getattr(e, "_selector", None) is not None:
                 # selector / pl.all() (+chains): expand over non-key columns
-                pred = e._selector
+                from polars_spark.selectors import expand_names
+
                 chain = getattr(e, "_chain_fn", None)
-                for c, t in self._lf.schema.items():
-                    if c in key_names or not pred(c, t):
+                for c in expand_names(e, self._lf.schema):
+                    if c in key_names:
                         continue
                     ce = chain(_col(c)) if chain else _col(c)
                     ce = _wrap(ce)
@@ -3529,7 +3660,17 @@ def _duration_str(s) -> str:
         "d": "days",
         "w": "weeks",
         "mo": "months",
+        "q": "months",
+        "y": "years",
     }
+    if isinstance(s, str):
+        # quarters have no Spark interval unit: 1q -> 3 months
+        parts = []
+        for n, u in _parse_duration(s):
+            if u == "q":
+                n, u = n * 3, "mo"
+            parts.append(f"{n} {names[u]}")
+        return " ".join(parts)
     if isinstance(s, _dt.timedelta):
         return f"{int(s.total_seconds())} seconds"
     parts = [f"{n} {names[u]}" for n, u in _parse_duration(s)]

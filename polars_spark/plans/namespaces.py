@@ -59,6 +59,20 @@ class _ElementContext(ExprContext):
         self.arr_col = arr_col
 
 
+class _ElementAggContext(ExprContext):
+    """list.agg / arr.agg resolution context: aggregate Expr nodes check
+    ``element_agg`` and lower to array reductions over ``arr_col``
+    (expr.py _element_agg)."""
+
+    def __init__(self, base: ExprContext, arr_col: Column):
+        super().__init__(base.df, base.order_cols, base.grouped, preps=base.preps)
+        self.arr_col = arr_col
+        self.element_agg = True
+        # a bare pl.element() with no aggregate (list.agg(pl.element()))
+        # degrades to identity over the array
+        self.element_col = arr_col
+
+
 def _rx_escape(s: str) -> str:
     return _re.escape(s)
 
@@ -90,6 +104,9 @@ _CHRONO_TO_JAVA = {
     "%a": "EEE",
     "%z": "xx",
     "%:z": "xxx",
+    # polars' "dialect-flexible" offset: +09:00 or +0900 — DateTimeFormatter
+    # optional sections try each form
+    "%#z": "[XXX][XX]",
     "%Z": "zz",
     "%%": "%",
     "%T": "HH:mm:ss",
@@ -105,7 +122,7 @@ def chrono_to_java(fmt: str) -> str:
     while i < len(fmt):
         ch = fmt[i]
         if ch == "%":
-            for k in ("%.f", "%3f", "%6f", "%9f", "%:z"):
+            for k in ("%.f", "%3f", "%6f", "%9f", "%:z", "%#z"):
                 if fmt.startswith(k, i):
                     out.append(_CHRONO_TO_JAVA[k])
                     i += len(k)
@@ -443,12 +460,30 @@ class StringNamespace(_NS):
             return self._map(lambda c: F.replace(c, F.lit(pattern), F.lit(value)))
         return self._map(lambda c: F.regexp_replace(c, pattern, value))
 
-    def replace_many(self, patterns, replacements=None) -> Expr:
+    def replace_many(self, patterns, replacements=None, *, ascii_case_insensitive: bool = False, leftmost: bool = False) -> Expr:
+        """leftmost=True prefers the leftmost match per position (reference
+        aho-corasick LeftmostFirst); the sequential-replace lowering applies
+        patterns in order, which matches when patterns don't overlap."""
+        from polars_spark.series import Series as _S
+
+        if isinstance(patterns, _S):
+            patterns = patterns.to_list()
+        if isinstance(replacements, _S):
+            replacements = replacements.to_list()
         if isinstance(patterns, dict):
             # polars accepts a single mapping {pattern: replacement}
             patterns, replacements = list(patterns.keys()), list(patterns.values())
         if replacements is None:
             raise TypeError("replace_many needs replacements (or a dict of patterns)")
+        if ascii_case_insensitive:
+            import re as _re
+
+            rx = "(?i)" + "|".join(_re.escape(p) for p in patterns)
+            if isinstance(replacements, str) or len(set(replacements)) == 1:
+                rep = replacements if isinstance(replacements, str) else replacements[0]
+                return self._map(lambda c: F.regexp_replace(c, rx, rep))
+            msg = "replace_many: ascii_case_insensitive with distinct replacements"
+            raise NotImplementedError(msg)
         if isinstance(replacements, str):
             replacements = [replacements] * len(patterns)
 
@@ -1392,11 +1427,23 @@ class ListNamespace(_NS):
         return Expr(fn, e._name)
 
     def agg(self, expr: Expr) -> Expr:
-        """polars list.agg: aggregate each list with an expression over
-        pl.element().  Lowered via eval for elementwise parts; the common
-        scalar aggregations (sum/mean/min/max/...) have direct methods on
-        this namespace — use those for single reductions."""
-        return self.eval(expr)
+        """polars list.agg (reference expr/list.py:1446): run an
+        aggregation expression against each list's elements.  The agg node
+        resolves in an element-agg context: its elementwise input runs
+        inside a JVM ``transform`` over the array and the reduction lowers
+        to this namespace's own array aggregate — no explode, no shuffle."""
+        e = self._e
+        if not (expr._is_agg or getattr(expr, "_elem_group_op", False)):
+            # no reduction anywhere (agg(pl.element() * 10)): elementwise,
+            # same as eval (polars: agg == eval + aggregate semantics)
+            return self.eval(expr)
+
+        def fn(ctx: ExprContext) -> Column:
+            arr = e._resolve(ctx)
+            sub = _ElementAggContext(ctx, arr)
+            return expr._resolve(sub)
+
+        return Expr(fn, e._name)
 
     def eval(self, expr: Expr) -> Expr:
         """polars list.eval(pl.element()...) -> higher-order transform."""

@@ -620,3 +620,33 @@ def sf_hist(spark, sf_dir):
 
     sdf = out.to_spark().select(F.explode("h").alias("b")).select("b.*")
     return sdf.select("breakpoint", "count")
+
+
+@query(
+    "sf_list_agg",
+    # list.agg lowering (reference expr/list.py list_agg): elementwise
+    # prefix inside a JVM transform + array reduction — replayed in DuckDB
+    # with list_transform/list_aggregate/list_filter
+    oracle="""
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(regexp_split_to_array(text, ' '),
+                x -> length(x)), 'sum') AS BIGINT)                        AS total_chars,
+           CAST(len(list_distinct(regexp_split_to_array(text, ' '))) AS BIGINT) AS uniq_words,
+           len(list_filter(regexp_split_to_array(text, ' '),
+               x -> length(x) > 5)) > 0                                   AS has_long,
+           CAST(list_aggregate(list_transform(regexp_split_to_array(text, ' '),
+                x -> length(x)), 'max') AS BIGINT)                        AS longest
+    FROM documents
+    """,
+)
+def sf_list_agg(spark, sf_dir):
+    docs = ltable(spark, sf_dir, "documents")
+    words = pl.col("text").str.split(" ")
+    el = pl.element()
+    return docs.select(
+        "doc_id",
+        words.list.agg(el.str.len_chars().sum()).cast(pl.Int64).alias("total_chars"),
+        words.list.agg(el.n_unique()).alias("uniq_words"),
+        words.list.agg((el.str.len_chars() > 5).any()).alias("has_long"),
+        words.list.agg(el.str.len_chars().max()).cast(pl.Int64).alias("longest"),
+    ).to_spark()

@@ -12,6 +12,8 @@ materialize on the driver.
 
 from __future__ import annotations
 
+import builtins
+
 from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
@@ -409,6 +411,12 @@ def DataFrame(
         data = {data.name or "column_0": data.to_pandas()}
     elif isinstance(data, dict):
         data = {k: (v.to_pandas() if isinstance(v, Series) else v) for k, v in data.items()}
+        if data and builtins.all(
+            not isinstance(v, (list, tuple, range)) and not hasattr(v, "__len__")
+            for v in data.values()
+        ):
+            # all-scalar dict: one row (polars broadcasts scalars)
+            data = {k: [v] for k, v in data.items()}
     elif isinstance(data, (list, tuple)) and data and isinstance(data[0], Series):
         data = {s.name or f"column_{i}": s.to_pandas() for i, s in enumerate(data)}
     elif isinstance(data, (list, tuple)) and data and isinstance(data[0], (list, tuple)):
@@ -865,19 +873,39 @@ def int_range(
     return lf.to_series() if eager else lf
 
 
-def linear_space(start: float, end: float, num_samples: int, *, eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
+def linear_space(start: float, end: float, num_samples: int, *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
     """num_samples evenly spaced points over [start, end] — spark.range
-    backed, computed as start + i*(end-start)/(n-1) per row."""
+    backed, computed as start + i*step per row.  ``closed`` picks which
+    endpoints are included (reference functions/linear_space.py): 'both'
+    divides by n-1, the open variants by n/n+1 with an index shift."""
     spark = spark or _spark()
     n = num_samples
+    if n == 0:
+        lf = LazyFrame(spark.range(0).select(F.lit(0.0).alias("literal")))
+        return lf.to_series() if eager else lf
     if n == 1:
-        return LazyFrame(spark.range(1).select(F.lit(float(start)).alias("literal")))
-    stepc = (F.col("id").cast("double") * ((end - start) / (n - 1)) + F.lit(float(start))).alias("literal")
-    return LazyFrame(spark.range(n).select(stepc))
+        v = {"both": float(start), "left": float(start),
+             "right": float(end), "none": (float(start) + float(end)) / 2}[closed]
+        lf = LazyFrame(spark.range(1).select(F.lit(v).alias("literal")))
+        return lf.to_series() if eager else lf
+    span = end - start
+    i = F.col("id").cast("double")
+    if closed == "both":
+        expr = i * (span / (n - 1)) + F.lit(float(start))
+    elif closed == "left":
+        expr = i * (span / n) + F.lit(float(start))
+    elif closed == "right":
+        expr = (i + 1) * (span / n) + F.lit(float(start))
+    else:  # none: n interior points of n+1 intervals
+        expr = (i + 1) * (span / (n + 1)) + F.lit(float(start))
+    lf = LazyFrame(spark.range(n).select(expr.alias("literal")))
+    return lf.to_series() if eager else lf
 
 
-def date_range(start, end, interval: str = "1d", *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
-    """Eager date range via one sequence() + explode (JVM-side)."""
+def date_range(start, end, interval: str = "1d", *, closed: str = "both", time_unit=None, time_zone=None, eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
+    """Eager date range via one sequence() + explode (JVM-side).
+    time_unit/time_zone accepted for signature parity: Spark timestamps
+    are µs and zone-naive (§1.2 — the tz annotation lives on Expr.dt)."""
     from polars_spark.plans.frame import _duration_str
 
     spark = spark or _spark()
@@ -895,7 +923,9 @@ def date_range(start, end, interval: str = "1d", *, closed: str = "both", eager:
     return lf.to_series() if eager else lf
 
 
-def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
+def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", time_unit=None, time_zone=None, eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
+    """time_unit/time_zone accepted for signature parity (§1.2: µs
+    precision, wall-time values; the tz annotation lives on Expr.dt)."""
     from polars_spark.plans.frame import _duration_str
 
     spark = spark or _spark()

@@ -181,8 +181,13 @@ def test_toplevel_generators(pl, spark):
     # eager int_range returns a Series (reference behavior)
     assert pl.int_range(4, spark=spark).to_list() == [0, 1, 2, 3]
     assert pl.int_range(2, 8, 2, spark=spark).to_list() == [2, 4, 6]
-    ls = pl.linear_space(0.0, 1.0, 5, spark=spark).collect()["literal"].tolist()
+    # eager=True (the default) returns a Series (reference linear_space)
+    ls = pl.linear_space(0.0, 1.0, 5, spark=spark).to_list()
     assert ls == [0.0, 0.25, 0.5, 0.75, 1.0]
+    ls_left = pl.linear_space(0.0, 1.0, 4, closed="left", spark=spark).to_list()
+    assert ls_left == [0.0, 0.25, 0.5, 0.75]
+    lzs = pl.linear_space(0.0, 1.0, 3, eager=False, spark=spark)
+    assert len(lzs.collect()) == 3
     # eager=True (the default) returns a Series, like the reference
     dr = pl.date_range("2024-01-01", "2024-01-03", "1d", closed="left", spark=spark)
     assert [str(d) for d in dr.to_list()] == ["2024-01-01", "2024-01-02"]
