@@ -2125,7 +2125,34 @@ class Expr:
         return e
 
     def reverse(self):
-        return self._implode_map(F.reverse)
+        parent = self
+        agg_form = self._implode_map(F.reverse)
+
+        def fn(ctx: ExprContext) -> Column:
+            if (
+                ctx.grouped
+                or getattr(ctx, "_window", None) is not None
+                or getattr(ctx, "element_col", None) is not None
+                or not ctx.order_cols
+            ):
+                # agg/window/element context (or no order contract): the
+                # imploded-list reverse (group_by().agg(col.reverse()))
+                return agg_form._resolve(ctx)
+            # select context: length-preserving reverse — value at the
+            # mirrored position of the frame's order contract.  One
+            # full-frame window (a global reverse is inherently global;
+            # order contracts only exist on driver-ingested frames, scans
+            # stay on the agg path above).
+            order = ctx.order_by_cols()
+            c = parent._resolve(ctx)
+            w_full = Window.orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            arr = F.collect_list(F.struct(c.alias("__v"))).over(w_full)
+            rn = F.row_number().over(Window.orderBy(*order))
+            return F.element_at(arr, (F.size(arr) - rn + 1)).getField("__v")
+
+        return Expr(fn, self._name, is_agg=True)
 
     def _k_extreme(self, k: int, *, desc: bool):
         def shape(c):

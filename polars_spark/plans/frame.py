@@ -58,6 +58,9 @@ def wrap(df: SparkDF, order: list[tuple[str, bool]] | None = None) -> "LazyFrame
     return LazyFrame(df, order)
 
 
+_NO_DEFAULT = object()  # get_column(default=...) absent-vs-None sentinel
+
+
 def _ospec(o) -> tuple[str, bool, bool]:
     """Normalize an order entry to (name, descending, nulls_last)."""
     if isinstance(o, str):
@@ -508,7 +511,14 @@ class LazyFrame:
         return self.with_columns(*exprs, **named)
 
     def drop(self, *columns, strict: bool = True) -> "LazyFrame":
-        names = list(_flatten(columns))
+        names: list = []
+        for c in _flatten(columns):
+            if getattr(c, "_selector", None) is not None:
+                from polars_spark.selectors import expand_names
+
+                names.extend(expand_names(c, self.schema))
+            else:
+                names.append(c)
         return LazyFrame(self._df.drop(*names), [o for o in self._order if o[0] not in names])
 
     def rename(self, mapping: Mapping[str, str] | None = None, *, strict: bool = True, **kw) -> "LazyFrame":
@@ -532,6 +542,30 @@ class LazyFrame:
         if not isinstance(dtypes, Mapping):
             # polars: a single dtype casts EVERY column
             dtypes = {c: dtypes for c in self.columns}
+        else:
+            # keys may be column names, selectors, or dtype classes/instances
+            # (reference cast: {cs.numeric(): pl.UInt32} / {pl.Date: pl.Datetime})
+            from polars_spark.plans.expr import DataType, DataTypeClass
+            from polars_spark.selectors import by_dtype, expand_names
+
+            flat: dict = {}
+            for k, t in dtypes.items():
+                if isinstance(k, str):
+                    flat[k] = t
+                    continue
+                sel = (
+                    k
+                    if getattr(k, "_selector", None) is not None
+                    else by_dtype(k)
+                    if isinstance(k, (DataType, DataTypeClass))
+                    else None
+                )
+                if sel is None:
+                    flat[k] = t
+                else:
+                    for c in expand_names(sel, self.schema):
+                        flat[c] = t
+            dtypes = flat
         mapping = {
             c: (F.col(c).cast(_dtype_to_spark(t)) if strict else F.col(c).try_cast(_dtype_to_spark(t)))
             for c, t in dtypes.items()
@@ -594,7 +628,17 @@ class LazyFrame:
     # -- filter --------------------------------------------------------------
     def filter(self, *predicates, **constraints) -> "LazyFrame":
         from polars_spark.exceptions import translate_errors
+        from polars_spark.series import Series as _S
 
+        if any(isinstance(p, _S) for p in _flatten(predicates)):
+            # a driver-local boolean Series mask (df.filter(df.is_duplicated())):
+            # attach by row position, filter on it, drop it
+            rest = [p for p in _flatten(predicates) if not isinstance(p, _S)]
+            out = self
+            for i, s in enumerate(p for p in _flatten(predicates) if isinstance(p, _S)):
+                mask = f"__mask_{i}__"
+                out = out._attach_series(mask, s).filter(_col(mask)).drop(mask)
+            return out.filter(*rest, **constraints) if (rest or constraints) else out
         with translate_errors():
             ctx = self._ctx()
             cond: Column | None = None
@@ -723,7 +767,11 @@ class LazyFrame:
         spark = self._df.sparkSession
         import pandas as _pd
 
-        pdf = _pd.DataFrame({"__spos__": range(len(s)), name: s._s.values})
+        vals = s.to_list()
+        pdf = _pd.DataFrame({"__spos__": range(len(vals))})
+        pdf[name] = _pd.Series(vals, dtype="object") if any(
+            v is None for v in vals
+        ) else _pd.Series(s._s.to_numpy() if hasattr(s._s, "to_numpy") else vals)
         sdf = spark.createDataFrame(pdf)
         if name in df.columns:
             df = df.drop(name)
@@ -821,9 +869,38 @@ class LazyFrame:
             raise ValueError("reverse() needs a defined row order")
         return LazyFrame(self._df, [(n, not d, not nl) for n, d, nl in self._order])
 
-    def gather(self, indices: "LazyFrame", *, index_col: str | None = None) -> "LazyFrame":
+    def gather(self, indices, *, index_col: str | None = None, null_on_oob: bool = False) -> "LazyFrame":
         """Take rows by position (DslPlan::Gather, dsl/plan.rs:89): join this
-        frame's row index against an index frame — the distributed `take`."""
+        frame's row index against an index frame — the distributed `take`.
+        A plain list/Series of positions (reference df.gather([2, 0, 0]))
+        becomes a small index frame first; duplicates and output order are
+        preserved via a position-on-positions join."""
+        from polars_spark.series import Series as _S
+
+        if isinstance(indices, _S):
+            indices = indices.to_list()
+        if isinstance(indices, (list, tuple, range)):
+            import pandas as _pd
+
+            spark = self._df.sparkSession
+            pos = list(indices)
+            pdf = _pd.DataFrame({"__take__": pos, "__ord__": range(len(pos))})
+            lf = self.with_row_index(ROW_IDX)
+            how = "left" if null_on_oob else "inner"
+            out = (
+                spark.createDataFrame(pdf)
+                .join(lf._df, F.col("__take__") == F.col(ROW_IDX), how)
+                .drop("__take__", ROW_IDX)
+            )
+            res = LazyFrame(out, [("__ord__", False, False)])
+            if not null_on_oob and len(pos):
+                # polars raises on out-of-bounds when null_on_oob=False; an
+                # inner join silently drops — detect via count
+                if res.count() != len(pos):
+                    msg = "gather indices are out of bounds"
+                    raise IndexError(msg)
+            # keep the requested order physically (len(pos) rows — small)
+            return LazyFrame(res._df.orderBy("__ord__").drop("__ord__"), [])
         col_name = index_col or indices.columns[0]
         lf = self.with_row_index(ROW_IDX)  # positions follow the frame order
         idx = indices.to_spark().select(F.col(col_name).cast("bigint").alias(ROW_IDX))
@@ -1296,23 +1373,25 @@ class LazyFrame:
         raise ValueError(f"unknown keep strategy {keep!r}")
 
     # -- reshape -----------------------------------------------------------------
-    def explode(self, *columns) -> "LazyFrame":
+    def explode(self, *columns, empty_as_null: bool = True) -> "LazyFrame":
         """Explode list columns; empty/null lists yield a null row
-        (FunctionIR::Explode, polars-plan/src/plans/functions/mod.rs:55)."""
+        (FunctionIR::Explode, polars-plan/src/plans/functions/mod.rs:55) —
+        ``empty_as_null=False`` drops those rows instead."""
         cols = self._names_of(list(columns))
         df = self._df
+        _explode = F.explode_outer if empty_as_null else F.explode
         if len(cols) == 1:
             c = cols[0]
             df = df.select(
                 *[F.col(x) for x in df.columns if x != c],
-                F.explode_outer(F.col(c)).alias(c),
+                _explode(F.col(c)).alias(c),
             )
         else:
             # multi-column explode zips element-wise (polars requires equal lengths)
             zipped = F.arrays_zip(*[F.col(c).alias(c) for c in cols])
             df = df.select(
                 *[F.col(x) for x in df.columns if x not in cols],
-                F.explode_outer(zipped).alias("__z__"),
+                _explode(zipped).alias("__z__"),
             ).select(
                 *[F.col(x) for x in df.columns if x not in cols],
                 *[F.col(f"__z__.{c}").alias(c) for c in cols],
@@ -1443,8 +1522,8 @@ class LazyFrame:
         on: str,
         on_columns: Sequence | None = None,
         *,
-        index: Sequence[str] | str,
-        values: Sequence[str] | str,
+        index: Sequence[str] | str | None = None,
+        values: Sequence[str] | str | None = None,
         aggregate_function: str = "first",
         sort_columns: bool = False,
         maintain_order: bool = True,
@@ -1455,8 +1534,18 @@ class LazyFrame:
         groupBy().pivot(); distinct `on` values are collected by Spark
         unless ``on_columns`` names them explicitly (which also skips
         Spark's distinct-values job — the reference's subset-pivot)."""
-        idx = [index] if isinstance(index, str) else list(index)
-        vals = [values] if isinstance(values, str) else list(values)
+        on_cols = [on] if isinstance(on, str) else list(on)
+        # reference defaulting (dataframe/frame.py pivot): omitted index =
+        # all columns not in on/values; omitted values = the remainder
+        if index is None and values is None:
+            msg = "pivot: at least one of `index` and `values` must be given"
+            raise ValueError(msg)
+        idx = self._resolve_name_selector(index) if index is not None else None
+        vals = self._resolve_name_selector(values) if values is not None else None
+        if vals is None:
+            vals = [c for c in self.columns if c not in set(on_cols) | set(idx)]
+        if idx is None:
+            idx = [c for c in self.columns if c not in set(on_cols) | set(vals)]
         aggf = {
             "first": F.first,
             "last": F.last,
@@ -1969,9 +2058,15 @@ class LazyFrame:
         name = self.columns[index]
         return self.select(name).get_column(name)
 
-    def get_column(self, name: str):
+    def get_column(self, name: str, *, default=_NO_DEFAULT):
         from polars_spark.series import Series
 
+        if name not in self.columns:
+            if default is not _NO_DEFAULT:
+                return default
+            from polars_spark.exceptions import ColumnNotFoundError
+
+            raise ColumnNotFoundError(name)
         i = self.columns.index(name)
         return Series(name, [_py_value(r[i]) for r in self._collect_rows()])
 
@@ -2681,6 +2776,13 @@ class LazyFrame:
                 for p in pcts:
                     q = _col(c).quantile(p, interpolation)._resolve(ctx)
                     aggs.append(q.alias(f"{c}\x00{p}"))
+            elif t.startswith("time"):
+                # Spark's TIME type rejects min/max aggregates (4.1):
+                # stringify per-row first, then aggregate the strings
+                aggs += [
+                    F.min(F.date_format(F.col(c), "HH:mm:ss")).alias(f"{c}\x00min"),
+                    F.max(F.date_format(F.col(c), "HH:mm:ss")).alias(f"{c}\x00max"),
+                ]
             else:
                 aggs += [
                     F.min(F.col(c).cast("string")).alias(f"{c}\x00min"),
@@ -2976,9 +3078,11 @@ class LazyFrame:
 
     # -- misc ----------------------------------------------------------------------
     def sql(self, query: str, *, table_name: str = "self") -> "LazyFrame":
+        from polars_spark.sql import _rewrite_table_functions
+
         self.to_spark().createOrReplaceTempView(table_name)
         spark = SparkSession.getActiveSession()
-        return LazyFrame(spark.sql(query), [])
+        return LazyFrame(spark.sql(_rewrite_table_functions(spark, query)), [])
 
 
 # -------------------------------------------------------------------------------

@@ -50,7 +50,14 @@ class Series:
                 "string": "object", "boolean": "bool",
             }
             if spark_t in pd_map:
-                self._s = self._s.astype(pd_map[spark_t])
+                target = pd_map[spark_t]
+                if self._s.isna().any() and target[0] in "bi":
+                    # nulls present: the nullable extension dtypes keep
+                    # int/bool-with-null (plain astype raises on NaN)
+                    target = {"int8": "Int8", "int16": "Int16",
+                              "int32": "Int32", "int64": "Int64",
+                              "bool": "boolean"}[target]
+                self._s = self._s.astype(target)
         self._spark = spark
 
     # -- basics -----------------------------------------------------------

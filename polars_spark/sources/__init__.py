@@ -357,11 +357,38 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
                 fields.append(T.StructField(name, m.get(s, T.StringType())))
         fields.append(T.StructField(ROW_IDX, T.LongType()))
         return LazyFrame(spark.createDataFrame([], T.StructType(fields)), [(ROW_IDX, False)])
+    pdf = _time_to_ns(pdf)
     if ROW_IDX in pdf.columns:
         return LazyFrame(spark.createDataFrame(pdf), [(ROW_IDX, False)])
     pdf2 = pdf.copy(deep=False)
     pdf2[ROW_IDX] = range(len(pdf2))
     return LazyFrame(spark.createDataFrame(pdf2), [(ROW_IDX, False)])
+
+
+def _time_to_ns(pdf):
+    """python datetime.time values -> ns-since-midnight bigint (§1.2 Time
+    mapping).  Spark 4.1's native TIME type rejects every aggregate
+    (UNSUPPORTED_TIME_TYPE even for count), so it must never enter a plan."""
+    import datetime as _dt
+
+    time_cols = []
+    for c in pdf.columns:
+        if str(pdf[c].dtype) == "object":
+            non_null = pdf[c].dropna()
+            if len(non_null) and isinstance(non_null.iloc[0], _dt.time) and not isinstance(
+                non_null.iloc[0], _dt.datetime
+            ):
+                time_cols.append(c)
+    if not time_cols:
+        return pdf
+    pdf = pdf.copy(deep=False)
+    for c in time_cols:
+        pdf[c] = pdf[c].map(
+            lambda t: None
+            if t is None
+            else ((t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000 + t.microsecond) * 1000
+        )
+    return pdf
 
 
 def DataFrame(
@@ -411,10 +438,15 @@ def DataFrame(
         data = {data.name or "column_0": data.to_pandas()}
     elif isinstance(data, dict):
         data = {k: (v.to_pandas() if isinstance(v, Series) else v) for k, v in data.items()}
-        if data and builtins.all(
-            not isinstance(v, (list, tuple, range)) and not hasattr(v, "__len__")
-            for v in data.values()
-        ):
+
+        def _scalarish(v) -> bool:
+            # str/bytes/dict are single VALUES (dict = one struct row),
+            # not sequences, despite having __len__
+            return isinstance(v, (str, bytes, dict)) or (
+                not isinstance(v, (list, tuple, range)) and not hasattr(v, "__len__")
+            )
+
+        if data and builtins.all(_scalarish(v) for v in data.values()):
             # all-scalar dict: one row (polars broadcasts scalars)
             data = {k: [v] for k, v in data.items()}
     elif isinstance(data, (list, tuple)) and data and isinstance(data[0], Series):
@@ -955,8 +987,22 @@ def ones(n: int, spark: SparkSession | None = None) -> LazyFrame:
 
 def select(*exprs, spark: SparkSession | None = None, **named) -> LazyFrame:
     """pl.select: evaluate expressions against an empty one-row frame
-    (reference functions/eager.py select)."""
+    (reference functions/eager.py select).  Series arguments become full
+    columns (the reference builds the frame from them)."""
+    from polars_spark.series import Series as _S
+
     spark = spark or _spark()
+    ser = {
+        **{(e.name or f"column_{i}"): e for i, e in enumerate(exprs) if isinstance(e, _S)},
+        **{k: v for k, v in named.items() if isinstance(v, _S)},
+    }
+    if ser:
+        base = DataFrame({k: v.to_list() for k, v in ser.items()}, spark=spark)
+        rest = [e for e in exprs if not isinstance(e, _S)]
+        named_rest = {k: v for k, v in named.items() if not isinstance(v, _S)}
+        if not rest and not named_rest:
+            return base
+        return base.select(*base.columns, *rest, **named_rest)
     base = LazyFrame(spark.range(1).select(F.lit(1).alias("__dummy__")))
     out = base.select(*exprs, **named)
     return out

@@ -29,7 +29,29 @@ _TABLE_FN = re.compile(
 )
 
 
+_PG_TYPES = {
+    "float4": "float", "float8": "double", "int2": "smallint",
+    "int4": "int", "int8": "bigint",
+}
+
+
+def _polars_dialect(query: str) -> str:
+    """polars-sql dialect forms Spark SQL rejects (polars-sql/src/sql_expr.rs):
+    trailing commas in SELECT lists, Postgres type aliases after ``::``,
+    and double-quoted identifiers (Spark defaults "..." to string literals)."""
+    query = re.sub(r",\s*(FROM\b)", r" \1", query, flags=re.IGNORECASE)
+    query = re.sub(
+        r"::\s*(float4|float8|int2|int4|int8)\b",
+        lambda m: "::" + _PG_TYPES[m.group(1).lower()],
+        query,
+        flags=re.IGNORECASE,
+    )
+    query = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", query)
+    return query
+
+
 def _rewrite_table_functions(spark: SparkSession, query: str) -> str:
+    query = _polars_dialect(query)
     from polars_spark import sources
 
     scans = {

@@ -43,6 +43,8 @@ FILES = sorted(
         + glob.glob(f"{REF}/datatypes/*.py")
     )
 )
+# underscore modules are reference-internal helpers, not user API surface
+FILES = [f for f in FILES if not f.rsplit("/", 1)[-1].startswith("_")]
 
 SKIP_TOKENS = (
     "plot",
@@ -114,6 +116,10 @@ def main() -> None:
             examples = parser.get_examples(src)
         except ValueError:
             continue
+        import pathlib
+        import tempfile
+
+        dirpath = pathlib.Path(tempfile.mkdtemp(prefix="doctest_io_"))
         g = {
             "pl": pl,
             "cs": cs,
@@ -124,6 +130,9 @@ def main() -> None:
             "datetime": datetime,
             "time": time,
             "timedelta": timedelta,
+            # the reference's tmp-dir doctest fixtures (write_*/read_* examples)
+            "dirpath": dirpath,
+            "path": dirpath / "doctest_tmp.dat",
         }
         fok = ferr = 0
         for ex in examples:
