@@ -61,6 +61,16 @@ class ExprContext:
         self.preps.append((name, agg_col))
         return F.col(name)
 
+    def add_series(self, vals: list) -> Column:
+        """Register a driver-local Series used inside an expression
+        (pl.min_horizontal(series, ...)): the enclosing frame op attaches
+        it as a position-aligned literal-array lookup column
+        (LazyFrame._with_scalar_preps) — small driver data by definition,
+        shipped with the task binary, no shuffle."""
+        name = f"__series_{len(self.preps)}__"
+        self.preps.append((name, "series", list(vals)))
+        return F.col(name)
+
     def order_specs(self) -> list[tuple[str, bool]]:
         return [(o, False) if isinstance(o, str) else (o[0], bool(o[1])) for o in self.order_cols]
 
@@ -139,7 +149,15 @@ def _wover(ctx: "ExprContext", c: Column) -> Column:
     return c.over(w) if w is not None else c
 
 def _to_expr(v: Any) -> "Expr":
-    return v if isinstance(v, Expr) else lit(v)
+    if isinstance(v, Expr):
+        return v
+    if type(v).__name__ == "Series" and hasattr(v, "to_list"):
+        # a driver-local Series inside an expression: position-aligned
+        # lookup column registered on the context (add_series)
+        vals = v.to_list()
+        name = getattr(v, "name", "") or "series"
+        return Expr(lambda ctx, _v=vals: ctx.add_series(_v), name)
+    return lit(v)
 
 
 def _col_of(v: Any, ctx: ExprContext) -> Column:
@@ -2517,7 +2535,14 @@ class Expr:
         if mapping_strategy == "join":
             def fn_join(ctx: ExprContext) -> Column:
                 pcols = [p._resolve(ctx) for p in parts]
-                return F.collect_list(self._resolve(ctx)).over(Window.partitionBy(*pcols))
+                w = Window.partitionBy(*pcols)
+                if self._is_agg:
+                    # list-valued aggregates (head/sort/...) already give the
+                    # group's value list — window them directly
+                    sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps)
+                    sub._window = w
+                    return self._resolve(sub)
+                return F.collect_list(self._resolve(ctx)).over(w)
 
             return Expr(fn_join, self._name)
         if mapping_strategy not in ("group_to_rows", "explode"):

@@ -288,17 +288,43 @@ class LazyFrame:
         if not getattr(ctx, "preps", None):
             return self._df
         plain = [p for p in ctx.preps if len(p) == 2]
-        wind = [p for p in ctx.preps if len(p) == 3]
-        base = self._df
+        series = [p for p in ctx.preps if len(p) == 3 and isinstance(p[1], str) and p[1] == "series"]
+        wind = [p for p in ctx.preps if len(p) == 3 and p not in series]
+        src = self._df
+        if series:
+            # position-aligned Series lookups (ctx.add_series): literal
+            # array indexed by the scale-safe partition-offset row position
+            maxlen = max(len(vals) for _, _, vals in series)
+            if "__dummy__" in src.columns and src.columns == ["__dummy__"]:
+                # pl.select's 1-row base: grow to the series length
+                lf = LazyFrame(
+                    src.sparkSession.range(maxlen).select(
+                        F.lit(1).alias("__dummy__"),
+                        F.col("id").alias("__spp__"),
+                    )
+                )
+                src, pos = lf._df, "__spp__"
+            else:
+                src, pos, _ = LazyFrame(src, self._order)._global_pos()
+            for name, _, vals in series:
+                arr = F.array(*[F.lit(v) for v in vals])
+                src = src.withColumn(
+                    name, F.element_at(arr, F.col(pos).cast("int") + 1)
+                )
+            if pos not in self._df.columns:
+                src = src.drop(pos)
+        if not plain and not wind:
+            return src
+        base = src
         if wind:
             # window-dependent scalars (is_sorted, ...): materialize the
             # windowed column first, aggregate it in the same single pass
-            base = self._df.select("*", *[w.alias(f"{n}__in") for n, w, _ in wind])
+            base = src.select("*", *[w.alias(f"{n}__in") for n, w, _ in wind])
         scal = base.agg(
             *[a.alias(n) for n, a in plain],
             *[fn(F.col(f"{n}__in")).alias(n) for n, _, fn in wind],
         )
-        return self._df.crossJoin(F.broadcast(scal))
+        return src.crossJoin(F.broadcast(scal))
 
     def _resolve_exprs(
         self, exprs, named: Mapping[str, Any] | None = None, ctx=None
@@ -576,22 +602,34 @@ class LazyFrame:
         self,
         schema: Mapping[str, Any],
         *,
-        missing_columns: str = "insert",
+        missing_columns="insert",
+        missing_struct_fields="insert",
         extra_columns: str = "ignore",
+        extra_struct_fields: str = "ignore",
+        integer_cast: str = "upcast",
+        float_cast: str = "upcast",
     ) -> "LazyFrame":
         """Conform to a target schema (DslPlan::MatchToSchema, dsl/plan.rs:101):
         cast matching columns, insert missing as typed nulls, drop or reject
-        extras."""
+        extras.  ``missing_columns`` may be a per-column policy dict
+        (reference form: {"col": "insert" | "raise"})."""
         have = set(self.columns)
         out: list[Column] = []
         for name, dtype in schema.items():
             t = _dtype_to_spark(dtype)
+            policy = (
+                missing_columns.get(name, "raise")
+                if isinstance(missing_columns, Mapping)
+                else missing_columns
+            )
             if name in have:
                 out.append(F.col(name).cast(t).alias(name))
-            elif missing_columns == "insert":
+            elif policy == "insert":
                 out.append(F.lit(None).cast(t).alias(name))
             else:
-                raise ValueError(f"missing column {name!r}")
+                from polars_spark.exceptions import SchemaError
+
+                raise SchemaError(f"missing column {name!r}")
         extras = have - set(schema)
         if extras and extra_columns == "raise":
             raise ValueError(f"extra columns {sorted(extras)}")
@@ -1351,8 +1389,25 @@ class LazyFrame:
         keep: str = "any",
         maintain_order: bool = False,
     ) -> "LazyFrame":
-        """polars Distinct with UniqueKeepStrategy (polars-core/src/frame/mod.rs:60)."""
-        cols = self._resolve_name_selector(subset) if subset is not None else self.columns
+        """polars Distinct with UniqueKeepStrategy (polars-core/src/frame/mod.rs:60).
+        ``subset`` may contain expressions (reference: distinct over computed
+        values) — they materialize as hidden key columns first."""
+        base = self
+        if subset is not None:
+            items = subset if isinstance(subset, (list, tuple)) else [subset]
+            exprs = [e for e in items if isinstance(e, Expr) and getattr(e, "_selector", None) is None]
+            if exprs:
+                hidden = {f"__uq_{i}__": e for i, e in enumerate(exprs)}
+                base = self.with_columns(**hidden)
+                names = [x for x in items if not (isinstance(x, Expr) and getattr(x, "_selector", None) is None)]
+                out = base.unique(
+                    subset=base._resolve_name_selector(names) + list(hidden) if names else list(hidden),
+                    keep=keep,
+                    maintain_order=maintain_order,
+                )
+                return out.drop(*hidden)
+        cols = base._resolve_name_selector(subset) if subset is not None else self.columns
+        self = base
         if keep == "any":
             return LazyFrame(self._df.dropDuplicates(cols), self._order if maintain_order else [])
         if keep in ("first", "last"):
@@ -1398,12 +1453,24 @@ class LazyFrame:
             )
         return LazyFrame(df, [])
 
-    def unnest(self, *columns) -> "LazyFrame":
-        cols = list(_flatten(columns))
+    def unnest(self, *columns, separator: str | None = None) -> "LazyFrame":
+        cols = []
+        for c in _flatten(columns):
+            if getattr(c, "_selector", None) is not None:
+                from polars_spark.selectors import expand_names
+
+                cols.extend(expand_names(c, self.schema))
+            else:
+                cols.append(c)
         out = []
         for c in self._df.columns:
             if c in cols:
-                out.append(F.col(f"{c}.*"))
+                if separator is not None:
+                    # prefixed field names (reference unnest separator)
+                    for f in self._df.schema[c].dataType.names:
+                        out.append(F.col(f"`{c}`.`{f}`").alias(f"{c}{separator}{f}"))
+                else:
+                    out.append(F.col(f"{c}.*"))
             else:
                 out.append(F.col(c))
         return LazyFrame(self._df.select(*out), self._order)
@@ -1546,17 +1613,32 @@ class LazyFrame:
             vals = [c for c in self.columns if c not in set(on_cols) | set(idx)]
         if idx is None:
             idx = [c for c in self.columns if c not in set(on_cols) | set(vals)]
-        aggf = {
-            "first": F.first,
-            "last": F.last,
-            "sum": F.sum,
-            "min": F.min,
-            "max": F.max,
-            "mean": F.mean,
-            "median": F.median,
-            "count": F.count,
-            "len": F.count,
-        }[aggregate_function]
+        if isinstance(aggregate_function, Expr):
+            # an expression over pl.element() (reference pivot custom agg):
+            # element() binds to the pivoted value column, the reduction
+            # resolves in grouped context
+            agg_expr = aggregate_function
+
+            def aggf(v):
+                from polars_spark.plans.namespaces import _ElementContext
+
+                sub = _ElementContext(
+                    ExprContext(self._df, grouped=True),
+                    F.col(v) if isinstance(v, str) else v,
+                )
+                return agg_expr._resolve(sub)
+        else:
+            aggf = {
+                "first": F.first,
+                "last": F.last,
+                "sum": F.sum,
+                "min": F.min,
+                "max": F.max,
+                "mean": F.mean,
+                "median": F.median,
+                "count": F.count,
+                "len": F.count,
+            }[aggregate_function]
         base = self.to_spark().groupBy(*idx)
         gp = base.pivot(on, list(on_columns)) if on_columns is not None else base.pivot(on)
         if len(vals) == 1:
@@ -1867,6 +1949,7 @@ class LazyFrame:
         scan_ipc reads the shard directory back one-partition-per-file).
         An explicit ``*.arrow`` / ``*.feather`` / ``*.ipc`` path keeps
         polars' single-file semantics (driver-side, small results)."""
+        path = str(path) if path is not None else None
         import pyarrow as pa
         import pyarrow.feather as feather
 
@@ -1896,6 +1979,7 @@ class LazyFrame:
 
     def sink_delta(self, path: str, *, mode: str = "error") -> None:
         """Delta sink via the Spark connector (jar-gated like scan_delta)."""
+        path = str(path) if path is not None else None
         try:
             self._df.write.format("delta").mode(mode).save(path)
         except Exception as exc:
@@ -1956,36 +2040,43 @@ class LazyFrame:
         return self._df.rdd.getNumPartitions()
 
     def write_parquet(self, path: str, **kw) -> None:
+        path = str(path) if path is not None else None
         self.sink_parquet(path, **kw)
 
     def write_csv(self, path: str | None = None, *, separator: str = ",", include_header: bool = True, **kw):
         """With no path, return the CSV as a string (polars write_csv()
         string mode — driver-side by definition); with a path, distributed
         sink_csv."""
+        path = str(path) if path is not None else None
         if path is None:
             return self.collect().to_csv(index=False, sep=separator, header=include_header)
         self.sink_csv(path, separator=separator, include_header=include_header, **kw)
         return None
 
     def write_ndjson(self, path: str | None = None, **kw):
+        path = str(path) if path is not None else None
         if path is None:
             return self.collect().to_json(orient="records", lines=True)
         self.sink_ndjson(path, **kw)
         return None
 
     def write_json(self, path: str | None = None, **kw):
+        path = str(path) if path is not None else None
         if path is None:
             return self.collect().to_json(orient="records")
         self.sink_ndjson(path, **kw)
         return None
 
     def write_ipc(self, path: str) -> None:
+        path = str(path) if path is not None else None
         self.sink_ipc(path)
 
     def write_ipc_stream(self, path: str) -> None:
+        path = str(path) if path is not None else None
         self.sink_ipc(path)
 
     def write_delta(self, path: str, *, mode: str = "error") -> None:
+        path = str(path) if path is not None else None
         self.sink_delta(path, mode=mode)
 
     def write_iceberg(self, table: str, *, mode: str = "error") -> None:
@@ -2007,6 +2098,7 @@ class LazyFrame:
 
     def write_avro(self, path: str, *, mode: str = "overwrite") -> None:
         """Avro sink via the Spark connector (jar-gated like read_avro)."""
+        path = str(path) if path is not None else None
         try:
             self._df.write.format("avro").mode(mode).save(path)
         except Exception as exc:
@@ -2087,8 +2179,10 @@ class LazyFrame:
             return False
         return a.reset_index(drop=True).equals(b.reset_index(drop=True))
 
-    def n_unique(self) -> int:
-        return self._df.distinct().count()
+    def n_unique(self, subset=None) -> int:
+        if subset is None:
+            return self._df.distinct().count()
+        return self.unique(subset=subset).count()
 
     def is_empty_frame(self) -> bool:
         return self.is_empty()
@@ -2822,17 +2916,29 @@ class LazyFrame:
 
         return _build(data)
 
-    def to_dummies(self, columns: Sequence[str] | str, *, separator: str = "_") -> "LazyFrame":
+    def to_dummies(self, columns: Sequence[str] | str | None = None, *, separator: str = "_", drop_first: bool = False, drop_nulls: bool = False) -> "LazyFrame":
         """Indicator columns per distinct value (polars-ops to_dummies.rs).
         Distinct values are collected eagerly (like polars pivot); the
-        indicators themselves are codegen'd when-exprs."""
-        cols = [columns] if isinstance(columns, str) else list(columns)
+        indicators themselves are codegen'd when-exprs.  ``drop_first``
+        omits each column's first category (regression encoding)."""
+        cols = (
+            self._resolve_name_selector(columns)
+            if columns is not None
+            else self.columns
+        )
         df = self._df
         for c in cols:
             values = [r[0] for r in df.select(c).distinct().collect()]
-            for v in sorted(str(x) for x in values if x is not None):
+            cats = sorted(str(x) for x in values if x is not None)
+            if drop_first:
+                cats = cats[1:]
+            for v in cats:
                 df = df.withColumn(
                     f"{c}{separator}{v}", (F.col(c).cast("string") == v).cast("tinyint")
+                )
+            if not drop_nulls and any(x is None for x in values):
+                df = df.withColumn(
+                    f"{c}{separator}null", F.col(c).isNull().cast("tinyint")
                 )
             df = df.drop(c)
         return LazyFrame(df, self._order)
@@ -2892,9 +2998,10 @@ class LazyFrame:
             other = _DF(cols)
         return concat([self, other], how="horizontal")
 
-    def merge_sorted(self, other: "LazyFrame", key: str) -> "LazyFrame":
+    def merge_sorted(self, other: "LazyFrame", key) -> "LazyFrame":
+        keys = [key] if isinstance(key, str) else list(key)
         df = self.to_spark().unionByName(other.to_spark())
-        return LazyFrame(df, [(key, False)]).sort(key)
+        return LazyFrame(df, [(k, False) for k in keys]).sort(keys)
 
     # -- UDF surface (§2.11) -------------------------------------------------------
     def map_batches(self, function, *, schema=None, streamable: bool = True) -> "LazyFrame":
@@ -3008,7 +3115,7 @@ class LazyFrame:
                 w = w.option("maxRecordsPerFile", int(cfg.max_rows_per_file))
         if pb:
             w = w.partitionBy(*pb)
-        w.parquet(path)
+        w.parquet(str(path))
 
     def sink_bucketed_table(
         self,
@@ -3050,6 +3157,7 @@ class LazyFrame:
         w.saveAsTable(name)
 
     def sink_csv(self, path: str, *, include_header: bool = True, separator: str = ",") -> None:
+        path = str(path) if path is not None else None
         (
             self.to_spark()
             .write.mode("overwrite")
@@ -3059,6 +3167,7 @@ class LazyFrame:
         )
 
     def sink_ndjson(self, path: str) -> None:
+        path = str(path) if path is not None else None
         self.to_spark().write.mode("overwrite").json(path)
 
     def sink_orc(self, path: str) -> None:

@@ -101,7 +101,7 @@ def scan_parquet(
     session level, ...) are accepted and inert — Spark has no equivalent
     memory-layout knobs to honor."""
     spark = spark or _spark()
-    paths = [source] if isinstance(source, str) else list(source)
+    paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
     ns_cols = _nanos_ts_cols(paths[0])
     if ns_cols and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         # only mutate session state when the data actually needs it (Spark
@@ -191,7 +191,7 @@ def scan_csv(
         r = r.option("comment", comment_prefix)
     if skip_rows:
         r = r.option("skipRows", skip_rows)
-    paths = [source] if isinstance(source, str) else list(source)
+    paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
     from polars_spark.exceptions import translate_errors
 
     with translate_errors():
@@ -263,7 +263,7 @@ def scan_ndjson(
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
-    paths = [source] if isinstance(source, str) else list(source)
+    paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
     lf = LazyFrame(r.json(paths))
     if n_rows is not None:
         lf = lf.limit(n_rows)
@@ -522,7 +522,7 @@ def scan_orc(source, *, spark: SparkSession | None = None) -> LazyFrame:
     """ORC scan — native Spark datasource (columnar, predicate pushdown);
     not in polars, free capability here."""
     spark = spark or _spark()
-    paths = [source] if isinstance(source, str) else list(source)
+    paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
     return LazyFrame(spark.read.orc(*paths))
 
 

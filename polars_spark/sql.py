@@ -46,7 +46,9 @@ def _polars_dialect(query: str) -> str:
         query,
         flags=re.IGNORECASE,
     )
-    query = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", query)
+    # polars-sql is ANSI: "..." is ALWAYS an identifier (strings are
+    # single-quoted), so every double-quoted segment maps to backticks
+    query = re.sub(r'"([^"]+)"', r"`\1`", query)
     return query
 
 

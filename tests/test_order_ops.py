@@ -69,9 +69,11 @@ def test_match_to_schema(pl, lf):
     out = f.match_to_schema({"a": "Int64", "b": "String", "c": "Float64"})
     assert out.columns == ["a", "b", "c"]
     assert rows(out) == [(1, "x", None)]
-    with pytest.raises(ValueError, match="missing"):
+    from polars_spark.exceptions import SchemaError
+
+    with pytest.raises(SchemaError, match="missing"):
         f.match_to_schema({"zzz": "Int64"}, missing_columns="raise")
-    with pytest.raises(ValueError, match="extra"):
+    with pytest.raises((ValueError, SchemaError), match="extra"):
         f.match_to_schema({"a": "Int64"}, extra_columns="raise")
 
 

@@ -133,6 +133,7 @@ def main() -> None:
             # the reference's tmp-dir doctest fixtures (write_*/read_* examples)
             "dirpath": dirpath,
             "path": dirpath / "doctest_tmp.dat",
+            "buf": io.StringIO(),
         }
         fok = ferr = 0
         for ex in examples:
