@@ -34,7 +34,7 @@ class ExprContext:
     expressions into window aggregates.
     """
 
-    __slots__ = ("df", "order_cols", "grouped", "_window", "preps")
+    __slots__ = ("df", "order_cols", "grouped", "_window", "preps", "_broadcast_aggs")
 
     def __init__(
         self, df, order_cols: list | None = None, grouped: bool = False, preps: list | None = None
@@ -144,9 +144,18 @@ def _wover(ctx: "ExprContext", c: Column) -> Column:
     """Apply the enclosing window (rolling/over/cumulative_eval contexts) to
     a raw aggregate Column — every aggregate closure that does not route
     through _agg must call this so `agg.over(keys)` and cumulative_eval
-    lower correctly."""
+    lower correctly.
+
+    In a broadcast-aggregate context (a projection mixing aggregates with
+    row-level values — polars broadcasts the scalar), the raw aggregate is
+    registered as a whole-frame scalar prep instead: one partial aggregate
+    broadcast-cross-joined back, never a single-partition window."""
     w = getattr(ctx, "_window", None)
-    return c.over(w) if w is not None else c
+    if w is not None:
+        return c.over(w)
+    if getattr(ctx, "_broadcast_aggs", False) and not ctx.grouped:
+        return ctx.add_scalar(c)
+    return c
 
 def _to_expr(v: Any) -> "Expr":
     if isinstance(v, Expr):
@@ -715,10 +724,9 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             if _elem_kind is not None and getattr(ctx, "element_agg", False):
                 return _element_agg(ctx, self, _elem_kind)
-            c = f(self._resolve(ctx))
-            # under a rolling/over context, aggregates become window aggs
-            w = getattr(ctx, "_window", None)
-            return c.over(w) if w is not None else c
+            # under a rolling/over context, aggregates become window aggs;
+            # in a broadcast-agg projection they become scalar preps
+            return _wover(ctx, f(self._resolve(ctx)))
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -742,10 +750,7 @@ class Expr:
             if dt == "boolean":
                 # polars: boolean sum counts the Trues
                 c = c.cast("bigint")
-            s = F.sum(c)
-            w = getattr(ctx, "_window", None)
-            if w is not None:
-                s = s.over(w)
+            s = _wover(ctx, F.sum(c))
             if dt is None or dt.startswith("interval"):
                 return s
             return F.coalesce(s, F.lit(0))
@@ -811,7 +816,7 @@ class Expr:
                 base = F.size(F.collect_set(c).over(w))
                 return (base + has_null.over(w) if count_null else base).cast("bigint")
             base = F.countDistinct(c)
-            return (base + has_null if count_null else base).cast("bigint")
+            return _wover(ctx, (base + has_null if count_null else base).cast("bigint"))
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -849,8 +854,8 @@ class Expr:
                 # frame order defined: first by row order (asc keys assumed,
                 # the common case — order comes from a row index)
                 key = F.struct(*ctx.order_plain_cols())
-                return F.min_by(c, F.when(c.isNotNull(), key) if masked else key)
-            return F.first(c, ignorenulls=masked)
+                return _wover(ctx, F.min_by(c, F.when(c.isNotNull(), key) if masked else key))
+            return _wover(ctx, F.first(c, ignorenulls=masked))
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -868,8 +873,8 @@ class Expr:
                 return F.last(c, ignorenulls=masked).over(w)
             if ctx.order_cols:
                 key = F.struct(*ctx.order_plain_cols())
-                return F.max_by(c, F.when(c.isNotNull(), key) if masked else key)
-            return F.last(c, ignorenulls=masked)
+                return _wover(ctx, F.max_by(c, F.when(c.isNotNull(), key) if masked else key))
+            return _wover(ctx, F.last(c, ignorenulls=masked))
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -1109,10 +1114,26 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
-    def any(self):
+    def any(self, *, ignore_nulls: bool = True):
+        if not ignore_nulls:
+            # Kleene: True if any True, else null if any null, else False
+            return self._agg(
+                lambda c: F.when(F.max(F.coalesce(c, F.lit(False))), F.lit(True))
+                .when(F.max(c.isNull().cast("int")) == 1, F.lit(None))
+                .otherwise(F.lit(False)),
+                _elem_kind="any",
+            )
         return self._agg(lambda c: F.max(F.coalesce(c, F.lit(False))), _elem_kind="any")
 
-    def all(self):
+    def all(self, *, ignore_nulls: bool = True):
+        if not ignore_nulls:
+            # Kleene: False if any False, else null if any null, else True
+            return self._agg(
+                lambda c: F.when(~F.min(F.coalesce(c, F.lit(True))), F.lit(False))
+                .when(F.max(c.isNull().cast("int")) == 1, F.lit(None))
+                .otherwise(F.lit(True)),
+                _elem_kind="all",
+            )
         return self._agg(lambda c: F.min(F.coalesce(c, F.lit(True))), _elem_kind="all")
 
     def skew(self, bias: bool = True):
@@ -3764,6 +3785,30 @@ class Schema(dict):
 
     def to_ddl(self) -> str:
         return ", ".join(f"`{k}` {_dtype_to_spark(v)}" for k, v in self.items())
+
+
+def unpack_dtypes(*dtypes, include_compound: bool = False) -> set:
+    """Flatten nested dtypes to their contained base dtypes (reference
+    datatypes/convert.py unpack_dtypes)."""
+    out: set = set()
+    for d in dtypes:
+        if d is None:
+            continue
+        if isinstance(d, (builtins.list, tuple, set, frozenset)):
+            out |= unpack_dtypes(*d, include_compound=include_compound)
+        elif isinstance(d, List):  # Array subclasses List
+            if include_compound:
+                out.add(d)
+            out |= unpack_dtypes(d.inner, include_compound=include_compound)
+        elif isinstance(d, Struct):
+            if include_compound:
+                out.add(d)
+            out |= unpack_dtypes(
+                *[f.dtype for f in d.fields], include_compound=include_compound
+            )
+        else:
+            out.add(d)
+    return out
 
 
 _DTYPE_MAP = {

@@ -450,8 +450,6 @@ class LazyFrame:
             return LazyFrame(out, order)
 
         with translate_errors():
-            ctx = self._ctx()
-            cols = self._resolve_exprs(exprs, named, ctx=ctx)
             # multi-output exprs (struct.unnest): expand the struct into its
             # fields AFTER the projection — "name.*" is Spark-native
             unnest = {
@@ -459,21 +457,36 @@ class LazyFrame:
                 for e in _flatten(exprs)
                 if getattr(e, "_unnest", False) and hasattr(e, "_name")
             }
-            # keep the hidden order column alive if an order is defined
-            keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
-            base = self._with_scalar_preps(ctx)
-            if keep:
-                try:
-                    df = base.select(*cols, *keep)
-                except Exception as exc:  # scalar-aggregate projection:
-                    # mixing the bare order column into an aggregate-only
-                    # select is invalid (MISSING_GROUP_BY) — the aggregate
-                    # result has no row order to preserve, drop it
-                    if "MISSING_GROUP_BY" not in str(exc):
-                        raise
-                    df = base.select(*cols)
-            else:
-                df = base.select(*cols)
+
+            def _build(broadcast_aggs: bool):
+                ctx = self._ctx()
+                if broadcast_aggs:
+                    ctx._broadcast_aggs = True
+                cols = self._resolve_exprs(exprs, named, ctx=ctx)
+                # keep the hidden order column alive if an order is defined
+                keep = [F.col(o[0]) for o in self._order if o[0] == ROW_IDX]
+                base = self._with_scalar_preps(ctx)
+                if keep:
+                    try:
+                        return ctx, base.select(*cols, *keep)
+                    except Exception as exc:  # scalar-aggregate projection:
+                        # mixing the bare order column into an aggregate-only
+                        # select is invalid (MISSING_GROUP_BY) — the aggregate
+                        # result has no row order to preserve, drop it
+                        if "MISSING_GROUP_BY" not in str(exc):
+                            raise
+                        return ctx, base.select(*cols)
+                return ctx, base.select(*cols)
+
+            try:
+                ctx, df = _build(False)
+            except Exception as exc:
+                # a projection mixing aggregates with row-level values:
+                # polars broadcasts the scalar — re-resolve with aggregates
+                # as whole-frame scalar preps (broadcast join, no window)
+                if "MISSING_GROUP_BY" not in str(exc):
+                    raise
+                ctx, df = _build(True)
             seen: set = set()
             for c in df.columns:
                 if c in seen:
@@ -500,35 +513,48 @@ class LazyFrame:
                 base = base._attach_series(nm, s)
             return base.with_columns(*rest, **named_rest) if (rest or named_rest) else base
         with translate_errors():
-            ctx = self._ctx()
-            mapping: dict[str, Column] = {}
-            for e in _flatten(exprs):
-                if isinstance(e, str):
-                    mapping[e] = F.col(e)
-                elif getattr(e, "_selector", None) is not None:
-                    # selector (plain or expression chain): expand per
-                    # matching column, same rules as select
-                    from polars_spark.selectors import expand_names
 
-                    chain = getattr(e, "_chain_fn", None)
-                    for c in expand_names(e, self.schema):
-                        if chain is None:
-                            mapping[c] = F.col(c)
-                        else:
-                            ce = chain(_col(c))
-                            mapping[ce._name or c] = ce._resolve(ctx)
-                else:
-                    ee = _to_expr(e) if not hasattr(e, "_resolve") else e
-                    if ee._name in mapping:
-                        from polars_spark.exceptions import DuplicateError
+            def _build(broadcast_aggs: bool):
+                ctx = self._ctx()
+                if broadcast_aggs:
+                    ctx._broadcast_aggs = True
+                mapping: dict[str, Column] = {}
+                for e in _flatten(exprs):
+                    if isinstance(e, str):
+                        mapping[e] = F.col(e)
+                    elif getattr(e, "_selector", None) is not None:
+                        # selector (plain or expression chain): expand per
+                        # matching column, same rules as select
+                        from polars_spark.selectors import expand_names
 
-                        raise DuplicateError(
-                            f"column {ee._name!r} produced more than once in with_columns"
-                        )
-                    mapping[ee._name] = ee._resolve(ctx)
-            for name, e in named.items():
-                mapping[name] = self._named_col(name, e, ctx)
-            out = self._with_scalar_preps(ctx).withColumns(mapping)
+                        chain = getattr(e, "_chain_fn", None)
+                        for c in expand_names(e, self.schema):
+                            if chain is None:
+                                mapping[c] = F.col(c)
+                            else:
+                                ce = chain(_col(c))
+                                mapping[ce._name or c] = ce._resolve(ctx)
+                    else:
+                        ee = _to_expr(e) if not hasattr(e, "_resolve") else e
+                        if ee._name in mapping:
+                            from polars_spark.exceptions import DuplicateError
+
+                            raise DuplicateError(
+                                f"column {ee._name!r} produced more than once in with_columns"
+                            )
+                        mapping[ee._name] = ee._resolve(ctx)
+                for name, e in named.items():
+                    mapping[name] = self._named_col(name, e, ctx)
+                return ctx, self._with_scalar_preps(ctx).withColumns(mapping)
+
+            try:
+                ctx, out = _build(False)
+            except Exception as exc:
+                # with_columns is always row-aligned: aggregates broadcast
+                # (polars semantics) — retry with aggs as scalar preps
+                if "MISSING_GROUP_BY" not in str(exc):
+                    raise
+                ctx, out = _build(True)
         if ctx.preps:
             out = out.drop(*[p[0] for p in ctx.preps])
         return LazyFrame(out, self._order)
@@ -3304,14 +3330,20 @@ class LazyGroupBy:
         for name, e in named.items():
             ee = _wrap(_to_expr(e))
             aggs.append(ee._resolve(ctx).alias(name))
+        drop_hidden = []
+        if not aggs:
+            # agg() with no exprs (having-only): keys + a hidden group size
+            # the having predicates can reference
+            aggs = [F.count(F.lit(1)).alias("__glen__")]
+            drop_hidden = ["__glen__"]
         if self._maintain and self._lf._order:
             # polars maintain_order: groups come out in first-seen row order
             seen = F.min(F.struct(*[F.col(o[0]) for o in self._lf._order])).alias("__seen__")
             df = self._grouped().agg(*aggs, seen)
             df = df.orderBy("__seen__").drop("__seen__")
-            return self._apply_having(LazyFrame(df, []), ctx)
+            return self._apply_having(LazyFrame(df, []), ctx).drop(*drop_hidden)
         df = self._grouped().agg(*aggs)
-        return self._apply_having(LazyFrame(df, []), ctx)
+        return self._apply_having(LazyFrame(df, []), ctx).drop(*drop_hidden)
 
     def _apply_having(self, out: LazyFrame, ctx) -> LazyFrame:
         for p in getattr(self, "_having", []):
@@ -3360,11 +3392,11 @@ class LazyGroupBy:
     def n_unique(self) -> LazyFrame:
         return self._all_agg(F.countDistinct)
 
-    def first(self) -> LazyFrame:
-        return self._all_agg(F.first)
+    def first(self, *, ignore_nulls: bool = False) -> LazyFrame:
+        return self._all_agg(lambda c: F.first(c, ignorenulls=ignore_nulls))
 
-    def last(self) -> LazyFrame:
-        return self._all_agg(F.last)
+    def last(self, *, ignore_nulls: bool = False) -> LazyFrame:
+        return self._all_agg(lambda c: F.last(c, ignorenulls=ignore_nulls))
 
     def quantile(self, q: float, interpolation: str = "linear") -> LazyFrame:
         return self._all_agg(lambda c: F.percentile(c, q), numeric_only=True)

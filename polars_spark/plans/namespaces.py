@@ -790,31 +790,57 @@ class DateTimeNamespace(_NS):
     def days_in_month(self) -> Expr:
         return self._map(lambda c: F.dayofmonth(F.last_day(c)))
 
-    def is_business_day(self) -> Expr:
-        """ISO weekday Mon-Fri (polars default week_mask, no holidays)."""
-        return self._map(lambda c: ((F.dayofweek(c) + 5) % 7 + 1) <= 5)
+    def is_business_day(self, *, week_mask=(True, True, True, True, True, False, False), holidays=()) -> Expr:
+        """Business-day test (reference polars-time business.rs): ISO
+        weekday mask Mon..Sun + explicit holiday dates, all JVM-side."""
+        allowed = [i + 1 for i, b in enumerate(week_mask) if b]
+        hol = [str(d) for d in holidays]
 
-    def add_business_days(self, n) -> Expr:
-        """Add n business days (literal int OR expression, default Mon-Fri
-        mask): generate the candidate day window, keep business days, take
-        the nth — all JVM-side array ops, no UDF.  For an expression n the
-        window spans both directions (|n| is only known per row)."""
-        wd = lambda x: (F.dayofweek(x) + 5) % 7 + 1
+        def fn(c):
+            cond = ((F.dayofweek(c) + 5) % 7 + 1).isin(allowed)
+            if hol:
+                cond = cond & ~F.to_date(c).cast("string").isin(hol)
+            return cond
+
+        return self._map(fn)
+
+    def add_business_days(self, n, *, week_mask=(True, True, True, True, True, False, False), holidays=(), roll: str = "raise") -> Expr:
+        """Add n business days (literal int OR expression) with week_mask
+        Mon..Sun and explicit holidays (reference polars-time business.rs):
+        generate the candidate day window, keep business days, take the
+        nth — all JVM-side array ops, no UDF.  ``roll`` adjusts a
+        non-business start ('forward'/'backward'; 'raise' is not
+        row-expressible — the next business day stands in, documented).
+        For an expression n the window spans both directions."""
+        allowed = [i + 1 for i, b in enumerate(week_mask) if b]
+        hol = [str(d) for d in holidays]
+        slack = 14 + 2 * len(hol)
+
+        def is_biz(x):
+            cond = ((F.dayofweek(x) + 5) % 7 + 1).isin(allowed)
+            if hol:
+                cond = cond & ~x.cast("string").isin(hol)
+            return cond
+
+        def rolled_start(d):
+            # first business day at-or-after d (forward / raise stand-in),
+            # or at-or-before d (backward)
+            if roll == "backward":
+                win = F.reverse(F.sequence(F.date_sub(d, slack), d))
+            else:
+                win = F.sequence(d, F.date_add(d, slack))
+            return F.element_at(F.filter(win, is_biz), 1)
 
         if isinstance(n, int):
-            span = abs(n) * 2 + 7
+            span = abs(n) * 2 + slack
 
             def fn(c):
-                d = F.to_date(c)
+                d0 = rolled_start(F.to_date(c))
                 if n >= 0:
-                    days = F.sequence(d, F.date_add(d, span))
+                    days = F.sequence(d0, F.date_add(d0, span))
                 else:
-                    days = F.reverse(F.sequence(F.date_sub(d, span), d))
-                biz = F.filter(days, lambda x: wd(x) <= 5)
-                # element 0 is the start day when it is a business day;
-                # polars counts n days from the start (roll for
-                # non-business starts is 'raise' — here the next business
-                # day stands in)
+                    days = F.reverse(F.sequence(F.date_sub(d0, span), d0))
+                biz = F.filter(days, is_biz)
                 return F.get(biz, abs(n))
 
             return self._map(fn)
@@ -824,12 +850,12 @@ class DateTimeNamespace(_NS):
         def fn2(ctx: "ExprContext"):
             c = self._e._resolve(ctx)
             nn = ne._resolve(ctx).cast("int")
-            d = F.to_date(c)
-            span = F.abs(nn) * 2 + 7
-            fwd = F.sequence(d, F.date_add(d, span))
-            bwd = F.reverse(F.sequence(F.date_sub(d, span), d))
+            d0 = rolled_start(F.to_date(c))
+            span = F.abs(nn) * 2 + slack
+            fwd = F.sequence(d0, F.date_add(d0, span))
+            bwd = F.reverse(F.sequence(F.date_sub(d0, span), d0))
             days = F.when(nn >= 0, fwd).otherwise(bwd)
-            biz = F.filter(days, lambda x: wd(x) <= 5)
+            biz = F.filter(days, is_biz)
             return F.get(biz, F.abs(nn))
 
         return Expr(fn2, self._e._name)
@@ -922,7 +948,11 @@ class DateTimeNamespace(_NS):
     def minute(self) -> Expr:
         return self._map(F.minute)
 
-    def second(self) -> Expr:
+    def second(self, *, fractional: bool = False) -> Expr:
+        if fractional:
+            return self._map(
+                lambda c: F.second(c).cast("double") + (_us(c) % 1_000_000) / 1e6
+            )
         return self._map(lambda c: F.second(c))
 
     def millisecond(self) -> Expr:
@@ -1043,7 +1073,12 @@ class DateTimeNamespace(_NS):
     def timestamp(self, time_unit: str = "us") -> Expr:
         return self.epoch(time_unit)
 
-    def strftime(self, format: str) -> Expr:
+    def strftime(self, format: str | None = None) -> Expr:
+        if format is None or format == "iso":
+            # reference to_string default: ISO-8601 rendering
+            return self._map(lambda c: c.cast("string"))
+        if format == "iso:strict":
+            return self._map(lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
         return self._map(lambda c: F.date_format(c, chrono_to_java(format)))
 
     to_string = strftime
@@ -1069,7 +1104,7 @@ class DateTimeNamespace(_NS):
         e._tz = time_zone  # type: ignore[attr-defined]
         return e
 
-    def replace_time_zone(self, time_zone: str | None) -> Expr:
+    def replace_time_zone(self, time_zone: str | None, *, ambiguous: str = "raise", non_existent: str = "raise") -> Expr:
         # polars: wall time PRESERVED, the zone (the instant) changes —
         # storage already holds the wall time, so this is an annotation
         e = self._map(lambda c: c)
@@ -1101,7 +1136,7 @@ class DateTimeNamespace(_NS):
 
         return total, dst_secs(c)
 
-    def base_utc_offset(self, time_zone: str) -> Expr:
+    def base_utc_offset(self, time_zone: str | None = None) -> Expr:
         """Standard (non-DST) UTC offset at each instant, as a duration
         (reference: polars-time base_utc_offset; py-polars expr/datetime.py).
         polars reads the zone from the tz-aware Datetime dtype; our Datetime
@@ -1109,18 +1144,22 @@ class DateTimeNamespace(_NS):
         the same convention as convert_time_zone.  base = total offset
         (JVM-side from_utc_timestamp delta) minus the DST component
         (IANA-exact via zoneinfo, Arrow-batched)."""
+        tz = time_zone or getattr(self._e, "_tz", None) or "UTC"
+
         def mk(c: Column) -> Column:
-            total, dst = self._offset_parts(c, time_zone)
+            total, dst = self._offset_parts(c, tz)
             return F.make_dt_interval(secs=(total - dst).cast("double"))
 
         return self._map(mk)
 
-    def dst_offset(self, time_zone: str) -> Expr:
+    def dst_offset(self, time_zone: str | None = None) -> Expr:
         """Daylight-saving component of the UTC offset at each instant
         (reference: polars-time dst_offset) — IANA-exact via zoneinfo,
         Arrow-batched; see base_utc_offset for the explicit-zone rationale."""
+        tz = time_zone or getattr(self._e, "_tz", None) or "UTC"
+
         def mk(c: Column) -> Column:
-            _, dst = self._offset_parts(c, time_zone)
+            _, dst = self._offset_parts(c, tz)
             return F.make_dt_interval(secs=dst.cast("double"))
 
         return self._map(mk)

@@ -533,6 +533,10 @@ class _SelectorChain:
     def __repr__(self):  # pragma: no cover - repr only
         return f"<selector-chain {self._label}>"
 
+    @property
+    def _name(self) -> str:
+        return self._label.rsplit(".", 1)[-1]
+
 
 def _chain_method(name: str):
     def meth(self, *a, **k):
