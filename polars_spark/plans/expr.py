@@ -403,7 +403,20 @@ class Expr:
         return _to_expr(o).__xor__(self)
 
     def __invert__(self):
-        return self._map(lambda c: ~c)
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx)
+            dt = None
+            if ctx.df is not None:
+                try:
+                    dt = ctx.df.select(c.alias("__p__")).schema[0].dataType.simpleString()
+                except Exception:
+                    dt = None
+            if dt is not None and dt != "boolean":
+                # reference not_: integers invert bitwise (expr/expr.py:1142)
+                return F.bitwise_not(c)
+            return ~c
+
+        return Expr(fn, self._name, self._is_agg)
 
     def not_(self):
         return self.__invert__()
@@ -554,8 +567,13 @@ class Expr:
     def abs(self):
         return self._map(F.abs)
 
-    def round(self, decimals: int = 0):
-        return self._map(lambda c: F.round(c, decimals))
+    def round(self, decimals: int = 0, mode: str = "half_to_even"):
+        """Reference round modes (expr/expr.py round): the default is
+        banker's rounding (HALF_EVEN -> Spark bround); 'half_away_from_zero'
+        is Spark's plain round."""
+        if mode == "half_away_from_zero":
+            return self._map(lambda c: F.round(c, decimals))
+        return self._map(lambda c: F.bround(c, decimals))
 
     def floor(self):
         return self._map(F.floor)
@@ -1559,10 +1577,18 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def ewm_std(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, bias: bool = False, min_samples: int = 1):
+    def ewm_std(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, half_life: float | None = None, adjust: bool = True, bias: bool = False, min_samples: int = 1, ignore_nulls: bool = False):
+        if half_life is not None and alpha is None:
+            import math
+
+            alpha = 1 - math.exp(-math.log(2) / half_life)
         return self._ewm_var_std(alpha, span, com, bias, min_samples, std=True)
 
-    def ewm_var(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, bias: bool = False, min_samples: int = 1):
+    def ewm_var(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, half_life: float | None = None, adjust: bool = True, bias: bool = False, min_samples: int = 1, ignore_nulls: bool = False):
+        if half_life is not None and alpha is None:
+            import math
+
+            alpha = 1 - math.exp(-math.log(2) / half_life)
         return self._ewm_var_std(alpha, span, com, bias, min_samples, std=False)
 
     def _ewm_var_std(self, alpha, span, com, bias, min_samples, *, std: bool):
@@ -1934,7 +1960,13 @@ class Expr:
         return self._map(F.atanh)
 
     def cot(self):
-        return self._map(lambda c: F.cos(c) / F.sin(c))
+        # cot(0) -> inf like the reference (try_divide sidesteps ANSI
+        # divide-by-zero; the zero-sine branch restores the signed infinity)
+        return self._map(
+            lambda c: F.when(
+                F.sin(c) == 0, F.lit(float("inf")) * F.signum(F.cos(c))
+            ).otherwise(F.try_divide(F.cos(c), F.sin(c)))
+        )
 
     def round_sig_figs(self, digits: int):
         """Round to significant figures: round(x, d-1-floor(log10(|x|)))."""
@@ -1980,8 +2012,11 @@ class Expr:
     def has_nulls(self):
         return self._agg(lambda c: F.max(c.isNull()))
 
-    def is_empty(self):
+    def is_empty(self, *, ignore_nulls: bool = False):
         def fn(ctx: ExprContext) -> Column:
+            if ignore_nulls:
+                # nulls count as absent: empty when no non-null value exists
+                return _wover(ctx, F.count(self._resolve(ctx))) == 0
             return _wover(ctx, F.count(F.lit(1))) == 0
 
         return Expr(fn, self._name, is_agg=True)
@@ -2260,7 +2295,7 @@ class Expr:
 
         return self._implode_map(f)
 
-    def gather(self, indices):
+    def gather(self, indices, *, null_on_oob: bool = False):
         idx = indices if isinstance(indices, (list, tuple)) else None
 
         def f(c):
@@ -2287,10 +2322,19 @@ class Expr:
         return Expr(fn, self._name, is_agg=True)
 
     def append(self, other):
+        if getattr(other, "_chain_fn", None) is not None:
+            # appending a selector chain (pl.all().head(1).append(pl.all()
+            # .tail(1))): inside a per-column expansion both sides bind to
+            # the SAME column — self's root name
+            other = other._chain_fn(col(self._name))
         o = col(other) if isinstance(other, str) else _to_expr(other)
+        # already-aggregated sides (head/tail/sort) are list-valued — don't
+        # implode them again (nested-aggregate error)
+        left = self if self._is_agg else self.implode()
+        right = o if o._is_agg else o.implode()
 
         def fn(ctx: ExprContext) -> Column:
-            return F.concat(self.implode()._resolve(ctx), o.implode()._resolve(ctx))
+            return F.concat(left._resolve(ctx), right._resolve(ctx))
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -2723,9 +2767,20 @@ class Expr:
         udf = pandas_udf(series_fn, _dtype_to_spark(return_dtype))
         return self._map(lambda c: udf(c))
 
-    def map_batches(self, function, return_dtype="double"):
+    def map_batches(self, function, return_dtype="double", *, agg_list: bool = False, is_elementwise: bool = False, returns_scalar: bool = False):
         """polars Expr.map_batches (AnonymousFunction): vectorized over Arrow
-        batches via pandas_udf — function takes and returns a pandas Series."""
+        batches via pandas_udf — function takes and returns a pandas Series.
+        ``returns_scalar`` broadcasts the scalar result over the batch (the
+        reference gives one row; the broadcast value is identical)."""
+        if returns_scalar:
+            import pandas as _pd
+
+            orig = function
+
+            def function(s, _f=orig):  # noqa: F811 - deliberate wrap
+                v = _f(s)
+                return v if isinstance(v, _pd.Series) else _pd.Series([v] * len(s))
+
         return self._batched_udf_expr(function, return_dtype)
 
     @classmethod
@@ -2951,11 +3006,13 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
-    def reinterpret(self, *, signed: bool = True):
+    def reinterpret(self, *, signed: bool = True, dtype=None):
         """polars Expr.reinterpret: bit-reinterpret Int64 <-> UInt64.  Spark
         has no unsigned ints (SURVEY §1.2 widens UInt64 to Decimal(20,0)),
         so the lowering is arithmetic on the two's-complement value — pure
         JVM math, exact for the full 64-bit range."""
+        if dtype is not None:
+            signed = getattr(dtype, "__name__", str(dtype)).startswith("Int")
         # 2^64 exceeds a py4j long — ship it as a decimal-cast string literal
         two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
 
@@ -2976,9 +3033,11 @@ class Expr:
         return Expr(fn, self._name)
 
 
-    def cut(self, breaks: list[float], *, labels: list[str] | None = None, left_closed: bool = False):
+    def cut(self, breaks: list[float], *, labels: list[str] | None = None, left_closed: bool = False, include_breaks: bool = False):
         """Bin values into discrete categories (FunctionExpr::Cut) — a
-        when-chain over the break points, fully codegen'd."""
+        when-chain over the break points, fully codegen'd.
+        ``include_breaks`` returns a struct {breakpoint, category} like the
+        reference."""
         if labels is None:
             edges = ["-inf", *[str(b) for b in breaks], "inf"]
             if left_closed:
@@ -2989,10 +3048,23 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             expr = None
+            brk = None
             for b, lab in zip(breaks, labels):
                 cond = (c < b) if left_closed else (c <= b)
                 expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+                bcol = F.lit(float(b))
+                brk = F.when(cond, bcol) if brk is None else brk.when(cond, bcol)
             out = expr.otherwise(F.lit(labels[len(breaks)])) if expr is not None else F.lit(labels[0])
+            if include_breaks:
+                brks = (
+                    brk.otherwise(F.lit(float("inf")))
+                    if brk is not None
+                    else F.lit(float("inf"))
+                )
+                return F.when(
+                    c.isNotNull(),
+                    F.struct(brks.alias("breakpoint"), out.alias("category")),
+                )
             return F.when(c.isNotNull(), out)
 
         return Expr(fn, self._name)
@@ -3001,7 +3073,7 @@ class Expr:
         """Deprecated polars alias: shift(n, fill_value=...)."""
         return self.shift(n, fill_value=fill_value)
 
-    def qcut(self, quantiles, *, labels: list[str] | None = None, allow_duplicates: bool = False):
+    def qcut(self, quantiles, *, labels: list[str] | None = None, left_closed: bool = False, allow_duplicates: bool = False, include_breaks: bool = False):
         """Quantile binning (FunctionExpr::QCut).  Break points are exact
         percentiles registered as frame-level scalars (ctx.add_scalar): one
         tiny partial aggregate, broadcast back — the data itself never
@@ -3018,11 +3090,19 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             expr = None
+            brk = None
             for q, lab in zip(qs, labels):
                 b = ctx.add_scalar(F.percentile(c, F.lit(q)))
-                cond = c <= b
+                cond = (c < b) if left_closed else (c <= b)
                 expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+                brk = F.when(cond, b) if brk is None else brk.when(cond, b)
             out = expr.otherwise(F.lit(labels[len(qs)]))
+            if include_breaks:
+                brks = brk.otherwise(F.lit(float("inf"))).cast("double")
+                return F.when(
+                    c.isNotNull(),
+                    F.struct(brks.alias("breakpoint"), out.alias("category")),
+                )
             return F.when(c.isNotNull(), out)
 
         return Expr(fn, self._name)

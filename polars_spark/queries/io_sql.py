@@ -41,7 +41,7 @@ def io_csv_roundtrip(spark, sf_dir):
     )
     return (
         back.group_by("c_mktsegment")
-        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2).alias("bal"))
+        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2, mode="half_away_from_zero").alias("bal"))
         .to_spark()
     )
 
@@ -60,7 +60,7 @@ def io_ndjson_roundtrip(spark, sf_dir):
     back = pl.scan_ndjson(path, schema="o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
     return (
         back.group_by("o_orderstatus")
-        .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2).alias("total"))
+        .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2, mode="half_away_from_zero").alias("total"))
         .to_spark()
     )
 
@@ -257,7 +257,7 @@ def io_orc_roundtrip(spark, sf_dir):
     back = scan_orc(path, spark=spark)
     return (
         back.group_by("s_nationkey")
-        .agg(pl.len().alias("n"), pl.col("s_acctbal").sum().round(2).alias("bal"))
+        .agg(pl.len().alias("n"), pl.col("s_acctbal").sum().round(2, mode="half_away_from_zero").alias("bal"))
         .to_spark()
     )
 
@@ -279,7 +279,7 @@ def io_multifile_scan(spark, sf_dir):
     back = pl.scan_parquet([p1, p2])
     return (
         back.group_by("o_orderpriority")
-        .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2).alias("total"))
+        .agg(pl.len().alias("n"), pl.col("o_totalprice").sum().round(2, mode="half_away_from_zero").alias("total"))
         .to_spark()
     )
 
@@ -387,7 +387,7 @@ def io_ipc_roundtrip(spark, sf_dir):
     back = pl.scan_ipc(path)
     return (
         back.group_by("c_mktsegment")
-        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2).alias("bal"))
+        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2, mode="half_away_from_zero").alias("bal"))
         .to_spark()
     )
 

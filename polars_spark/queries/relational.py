@@ -414,3 +414,43 @@ def rel_unstack(spark, sf_dir):
     nation = ltable(spark, sf_dir, "nation")
     out = nation.sort("n_nationkey").select("n_name").unstack(step=5, how="vertical")
     return out.to_spark()
+
+
+@query(
+    "rel_broadcast_agg",
+    # polars scalar-broadcast rule (a projection mixing aggregates with
+    # row-level values): Spark side lowers the aggregates to ONE partial
+    # aggregate broadcast-cross-joined back (ctx.add_scalar), never a
+    # single-partition window; the oracle replays it with a scalar subquery
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(sum(l_extendedprice) AS DOUBLE)                       AS flag_rev,
+           floor(sum(l_extendedprice)
+                 / (SELECT sum(l_extendedprice) FROM lineitem)
+                 * 1e9 + 0.5) / 1e9                                   AS share,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)            AS n_total
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def rel_broadcast_agg(spark, sf_dir):
+    li = ltable(spark, sf_dir, "lineitem")
+    per_flag = (
+        li.group_by(pl.col("l_returnflag").alias("flag"))
+        .agg(pl.col("l_extendedprice").sum().alias("flag_rev"))
+    )
+    total = ltable(spark, sf_dir, "lineitem")
+    from polars_spark.queries import fround
+    from pyspark.sql import functions as F
+
+    out = per_flag.with_columns(
+        share=(pl.col("flag_rev") / pl.col("flag_rev").sum()),
+        n_total=pl.lit(None),  # placeholder, replaced below
+    ).drop("n_total")
+    # frame-total row count broadcast from the source frame: a second
+    # broadcast-agg projection (len over the scan)
+    li2 = total.select(pl.len().alias("n_total"))
+    sdf = out.to_spark().crossJoin(li2.to_spark())
+    sdf = sdf.withColumn("share", F.floor(F.col("share") * 1e9 + 0.5) / 1e9)
+    sdf = sdf.withColumn("flag_rev", F.col("flag_rev").cast("double"))
+    return sdf

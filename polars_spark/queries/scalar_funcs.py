@@ -219,9 +219,9 @@ def agg_product_entropy(spark, sf_dir):
     return (
         li.group_by("l_orderkey")
         .agg(
-            (1 + pl.col("l_discount")).product().round(6).alias("disc_prod"),
-            pl.col("l_quantity").entropy(normalize=True).round(6).alias("qty_entropy"),
-            pl.col("l_quantity").sum().round(2).alias("qty_sum"),
+            (1 + pl.col("l_discount")).product().round(6, mode="half_away_from_zero").alias("disc_prod"),
+            pl.col("l_quantity").entropy(normalize=True).round(6, mode="half_away_from_zero").alias("qty_entropy"),
+            pl.col("l_quantity").sum().round(2, mode="half_away_from_zero").alias("qty_sum"),
         )
         .to_spark()
     )

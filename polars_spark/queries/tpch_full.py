@@ -194,7 +194,7 @@ def q9_product_type_profit(spark, sf_dir):
     amount = pl.col("l_extendedprice") * (1 - pl.col("l_discount")) - 0.1 * pl.col(
         "p_retailprice"
     ) * pl.col("l_quantity")
-    cents = (amount * 100).round(0).cast("bigint")
+    cents = (amount * 100).round(0, mode="half_away_from_zero").cast("bigint")
     return (
         li.join(part, left_on="l_partkey", right_on="p_partkey")
         .join(supp, left_on="l_suppkey", right_on="s_suppkey")

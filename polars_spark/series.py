@@ -164,7 +164,21 @@ class Series:
     def is_not_null(self) -> "Series":
         return self._wrap(~self._s.isna())
 
-    def fill_null(self, value) -> "Series":
+    def fill_null(self, value=None, strategy: str | None = None, limit: int | None = None) -> "Series":
+        if strategy is not None:
+            s = self._s
+            if strategy in ("forward", "ffill"):
+                return self._wrap(s.ffill(limit=limit))
+            if strategy in ("backward", "bfill"):
+                return self._wrap(s.bfill(limit=limit))
+            if strategy in ("min", "max", "mean"):
+                return self._wrap(s.fillna(getattr(s, strategy)()))
+            if strategy == "zero":
+                return self._wrap(s.fillna(0))
+            if strategy == "one":
+                return self._wrap(s.fillna(1))
+            msg = f"fill_null strategy {strategy!r}"
+            raise ValueError(msg)
         return self._wrap(self._s.fillna(value))
 
     def drop_nulls(self) -> "Series":
@@ -261,6 +275,18 @@ class Series:
     def __truediv__(self, other):
         return self._wrap(self._s / self._other(other))
 
+    def __pow__(self, other):
+        return self._wrap(self._s ** self._other(other))
+
+    def __rpow__(self, other):
+        return self._wrap(self._other(other) ** self._s)
+
+    def __mod__(self, other):
+        return self._wrap(self._s % self._other(other))
+
+    def __floordiv__(self, other):
+        return self._wrap(self._s // self._other(other))
+
     def __eq__(self, other):  # type: ignore[override]
         return self._wrap(self._s == self._other(other))
 
@@ -272,6 +298,12 @@ class Series:
 
     def __gt__(self, other):
         return self._wrap(self._s > self._other(other))
+
+    def __setitem__(self, i, value) -> None:
+        self._s.iloc[i] = value
+
+    def gather_every(self, n: int, offset: int = 0) -> "Series":
+        return self._wrap(self._s.iloc[offset::n].reset_index(drop=True))
 
     def __getitem__(self, i):
         if isinstance(i, slice):
