@@ -121,26 +121,42 @@ class _PositionalColumn(Expr):
         return F.col(name).alias(name)
 
 
-def first(name=None):
+def _multi_col_agg(names, meth):
+    """pl.first('a', 'c') variadic forms: a by_name selector chain — one
+    output per named column, same agg applied to each."""
+    from polars_spark import selectors as cs
+
+    return getattr(cs.by_name(*names), meth)()
+
+
+def first(name=None, *more):
     if name is None:
         # polars pl.first(): the frame's first column
         return _PositionalColumn(0, "first")
+    if more:
+        return _multi_col_agg((name, *more), "first")
     return col(name).first()
 
 
-def last(name=None):
+def last(name=None, *more):
     if name is None:
         return _PositionalColumn(-1, "last")
+    if more:
+        return _multi_col_agg((name, *more), "last")
     return col(name).last()
 
 
-def count(name=None):
+def count(name=None, *more):
     if name is None:
         return len()
+    if more:
+        return _multi_col_agg((name, *more), "count")
     return col(name).count()
 
 
-def n_unique(name):
+def n_unique(name, *more):
+    if more:
+        return _multi_col_agg((name, *more), "n_unique")
     return col(name).n_unique()
 
 
@@ -290,7 +306,26 @@ def struct(*exprs, **named) -> Expr:
     return Expr(fn, es[0]._name if es else "struct")
 
 
-def coalesce(*exprs) -> Expr:
+def coalesce(*exprs, eager: bool = False):
+    from polars_spark.series import Series as _S
+
+    if eager or builtins_any(isinstance(e, _S) for e in exprs):
+        import pandas as _pd
+
+        series = [e._s if isinstance(e, _S) else _pd.Series(list(e)) for e in exprs]
+        out = series[0].copy()
+        for s in series[1:]:
+            out = out.fillna(s)
+        name = next((e.name for e in exprs if isinstance(e, _S) and e.name), "")
+        return _S(name, out.tolist())
+    return _coalesce_expr(*exprs)
+
+
+import builtins as _builtins  # noqa: E402
+builtins_any = _builtins.any
+
+
+def _coalesce_expr(*exprs) -> Expr:
     es = _cols(exprs)
 
     def fn(ctx: ExprContext) -> Column:
@@ -350,7 +385,12 @@ def exclude(*names):
         for n in flat
     ):
         return ~cs.by_dtype(*[_dtype_to_spark(n) for n in flat])
-    return ~cs.by_name(*flat)
+    rx = [n for n in flat if isinstance(n, str) and n.startswith("^") and n.endswith("$")]
+    plain = [n for n in flat if n not in rx]
+    sel = cs.by_name(*plain) if plain else cs.empty()
+    for pattern in rx:  # ^...$ names are regex selections (polars col rule)
+        sel = sel | cs.matches(pattern)
+    return ~sel
 
 
 def rolling_corr(a, b, *, window_size: int, min_samples: int | None = None) -> Expr:
@@ -392,7 +432,11 @@ def corr(a, b, *, method: str = "pearson", eager: bool = False, ddof=None):
 
         sa = a._s if isinstance(a, _S) else _pd.Series(list(a))
         sb = b._s if isinstance(b, _S) else _pd.Series(list(b))
-        val = float(sa.corr(sb, method="spearman" if method == "spearman" else "pearson"))
+        if method == "spearman":
+            # rank-then-pearson avoids pandas' scipy dependency
+            val = float(sa.rank().corr(sb.rank(), method="pearson"))
+        else:
+            val = float(sa.corr(sb, method="pearson"))
         return _S("", [val]) if eager else val
     ea, eb = _to_expr(a if not isinstance(a, str) else col(a)), _to_expr(
         b if not isinstance(b, str) else col(b)
@@ -456,7 +500,17 @@ def corr(a, b, *, method: str = "pearson", eager: bool = False, ddof=None):
     return Expr(fn, "corr", is_agg=True)
 
 
-def cov(a, b, *, ddof: int = 1) -> Expr:
+def cov(a, b, *, ddof: int = 1, eager: bool = False):
+    from polars_spark.series import Series as _S
+
+    if eager or isinstance(a, _S) or isinstance(b, _S):
+        # eager Series form (reference functions/lazy.py cov): one scalar
+        import pandas as _pd
+
+        sa = _pd.Series(a.to_list() if isinstance(a, _S) else list(a))
+        sb = _pd.Series(b.to_list() if isinstance(b, _S) else list(b))
+        v = sa.cov(sb, ddof=ddof)
+        return _S("cov", [float(v)])
     ea = _to_expr(a if not isinstance(a, str) else col(a))
     eb = _to_expr(b if not isinstance(b, str) else col(b))
     f = F.covar_samp if ddof == 1 else F.covar_pop
@@ -566,7 +620,9 @@ def tail(column: str, n: int = 10):
     return col(column).tail(n)
 
 
-def implode(column: str):
+def implode(column: str, *more):
+    if more:
+        return _multi_col_agg((column, *more), "implode")
     return col(column).implode()
 
 
@@ -582,7 +638,9 @@ def cum_count(column: str):
     return col(column).cum_count()
 
 
-def approx_n_unique(column: str):
+def approx_n_unique(column: str, *more):
+    if more:
+        return _multi_col_agg((column, *more), "approx_n_unique")
     return col(column).approx_n_unique()
 
 
@@ -791,10 +849,16 @@ def field(name):
 
 
 def arg_sort_by(*exprs, descending=False) -> Expr:
-    """Rank of each row under the given sort keys, 0-based (the arg_sort
-    permutation).  Requires a frame order only for tie-stability; expressed
-    as a window row_number over the keys — one window exchange, no global
-    row-position materialization."""
+    """The row indices that would sort by the given keys (the true argsort
+    permutation, reference functions/lazy.py arg_sort_by: element i is the
+    SOURCE position of the i-th row in sort order; nulls first like the
+    polars sort default).
+
+    Lowering: positions paired with keys are collected once over the frame
+    order and array_sort'd with a multi-key comparator — inherently a
+    global op (like reverse), gated on the order contract driver-ingested
+    frames carry.  ``col.gather(arg_sort_by(k))`` short-circuits to
+    sort_by(k) in Expr.gather — no global window on that idiom."""
     flat = []
     for e in exprs:
         flat.extend(e) if isinstance(e, (list, tuple)) else flat.append(e)
@@ -804,13 +868,51 @@ def arg_sort_by(*exprs, descending=False) -> Expr:
     def fn(ctx: ExprContext) -> Column:
         from pyspark.sql import Window
 
-        keys = []
-        for e, d in zip(flat, descs):
-            c = e._resolve(ctx)
-            keys.append(c.desc() if d else c.asc())
-        return (F.row_number().over(Window.orderBy(*keys)) - 1).cast("bigint")
+        if not ctx.order_cols:
+            msg = (
+                "arg_sort_by needs a defined row order (positions are "
+                "meaningless on an unordered distributed frame); sort() or "
+                "with_row_index() first"
+            )
+            raise ValueError(msg)
+        order = ctx.order_by_cols()
+        pos = F.row_number().over(Window.orderBy(*order)) - 1
+        kcols = [e._resolve(ctx) for e in flat]
+        pair = F.struct(
+            *[k.alias(f"__k{i}") for i, k in enumerate(kcols)], pos.alias("__p")
+        )
+        w_full = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        arr = F.collect_list(pair).over(w_full)
 
-    return Expr(fn, "arg_sort_by")
+        def cmp(left, right):
+            res = F.lit(0)
+            for i, d in reversed(list(enumerate(descs))):
+                lf_, rf = left[f"__k{i}"], right[f"__k{i}"]
+                lt, gt = (F.lit(1), F.lit(-1)) if d else (F.lit(-1), F.lit(1))
+                res = (
+                    # polars null-smallest rule: null sorts first ascending
+                    F.when(lf_.isNull() & rf.isNull(), res)
+                    .when(lf_.isNull(), lt)
+                    .when(rf.isNull(), gt)
+                    .when(lf_ < rf, lt)
+                    .when(lf_ > rf, gt)
+                    .otherwise(res)
+                )
+            # stable: ties keep source order
+            return F.when(res != 0, res).otherwise(
+                F.when(left["__p"] < right["__p"], -1)
+                .when(left["__p"] > right["__p"], 1)
+                .otherwise(0)
+            )
+
+        sorted_arr = F.array_sort(arr, cmp)
+        return F.element_at(sorted_arr, pos.cast("int") + 1)["__p"].cast("bigint")
+
+    e = Expr(fn, "arg_sort_by")
+    e._arg_sort_spec = (flat, descs)  # type: ignore[attr-defined] - gather shortcut
+    return e
 
 
 def arg_where(condition) -> Expr:
@@ -831,7 +933,7 @@ def arg_where(condition) -> Expr:
     return e
 
 
-def row_index() -> Expr:
+def row_index(name: str = "index") -> Expr:
     """0-based row position.  Safe only under a PARTITIONED order context
     (inside .over(keys) or a grouped frame) — an unpartitioned version
     would collapse every row into one task, so it raises with the
@@ -841,6 +943,9 @@ def row_index() -> Expr:
     def fn(ctx: ExprContext) -> Column:
         from pyspark.sql import Window
 
+        if ctx.grouped:
+            # inside group_by().agg(): the group's 0..len-1 index list
+            return F.sequence(F.lit(0).cast("bigint"), F.count(F.lit(1)).cast("bigint") - 1)
         parts = ctx.partition_cols() if hasattr(ctx, "partition_cols") else []
         if not parts:
             raise ValueError(
@@ -851,7 +956,7 @@ def row_index() -> Expr:
         w = Window.partitionBy(*parts).orderBy(*ctx.order_by_cols())
         return (F.row_number().over(w) - 1).cast("bigint")
 
-    return Expr(fn, "index")
+    return Expr(fn, name, is_agg=False)
 
 
 def salted_join(

@@ -2101,16 +2101,14 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def arg_sort(self, *, descending: bool = False):
-        """Rank permutation of this column (0-based row_number over its
-        sort order) — one window exchange."""
+    def arg_sort(self, *, descending: bool = False, nulls_last: bool = False):
+        """The row indices that would sort this column (true argsort
+        permutation — reference Expr.arg_sort; delegates to the shared
+        arg_sort_by lowering)."""
+        from polars_spark.functions import arg_sort_by
 
-        def fn(ctx: ExprContext) -> Column:
-            c = self._resolve(ctx)
-            key = c.desc() if descending else c.asc()
-            return (F.row_number().over(Window.partitionBy(*ctx.partition_cols()).orderBy(key)) - 1).cast("bigint")
-
-        return Expr(fn, self._name)
+        out = arg_sort_by(self, descending=descending)
+        return Expr(out._fn, self._name)
 
     def extend_constant(self, value, n: int):
         """Append n copies of value to the IMPLODED list form (the agg
@@ -2297,11 +2295,28 @@ class Expr:
 
     def gather(self, indices, *, null_on_oob: bool = False):
         idx = indices if isinstance(indices, (list, tuple)) else None
+        spec = getattr(indices, "_arg_sort_spec", None) if idx is None else None
+        if spec is not None and len(spec[0]) == 1:
+            # col.gather(arg_sort_by(k)) IS sort_by(k) — lower to the
+            # windowless sorted-list form instead of a global argsort
+            return self.sort_by(spec[0][0], descending=spec[1][0])
+        if idx is None:
+            # expression indices (gather(pl.arg_sort_by("a"))): both sides
+            # implode, then a JVM transform does the positional lookup
+            ie = _to_expr(indices)
+            parent = self
+
+            def fn2(ctx: ExprContext) -> Column:
+                varr = parent.implode()._resolve(ctx)
+                iarr = (
+                    ie._resolve(ctx) if ie._is_agg else ie.implode()._resolve(ctx)
+                )
+                return F.transform(iarr, lambda i: F.get(varr, i.cast("int")))
+
+            return Expr(fn2, self._name, is_agg=True)
 
         def f(c):
-            if idx is not None:
-                return F.array(*[F.get(c, int(i)) for i in idx])
-            raise NotImplementedError("gather(expr) in agg context: pass a literal index list")
+            return F.array(*[F.get(c, int(i)) for i in idx])
 
         return self._implode_map(f)
 
@@ -3214,14 +3229,23 @@ class _Col:
 col = _Col()
 
 
-def sql_expr(s: str) -> Expr:
-    """Parse one SQL expression string into an Expr (reference:
+def sql_expr(s):
+    """Parse SQL expression string(s) into Expr(s) (reference:
     py-polars ``pl.sql_expr``, py-polars/src/polars/functions/lazy.py) —
     delegated to Spark's native SQL expression parser, so the whole Spark
     SQL scalar surface is available.  Named after the leading identifier
-    (polars keeps the root column name); alias to override."""
+    (polars keeps the root column name); alias to override.  A list of
+    strings returns a list of Exprs (reference multi form)."""
+    if isinstance(s, (builtins.list, tuple)):
+        return [sql_expr(x) for x in s]
+    # 'expr AS name' names the output like the reference SQL projection
+    alias = re.search(r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", s, re.IGNORECASE)
     m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)", s)
-    return Expr(lambda ctx: F.expr(s), m.group(1) if m else "literal")
+    name = alias.group(1) if alias else (m.group(1) if m else "literal")
+    body = s[: alias.start()] if alias else s
+    # polars-SQL type aliases Spark lacks
+    body = re.sub(r"(?i)\b(AS\s+)TEXT\b", r"\1STRING", body)
+    return Expr(lambda ctx: F.expr(body), name)
 
 
 def all_(*names) -> Expr:

@@ -77,6 +77,15 @@ def _rx_escape(s: str) -> str:
     return _re.escape(s)
 
 
+def _java_template(v: str) -> str:
+    """polars/rust replacement template -> Java Matcher template:
+    ``${1}`` numbered-brace refs become ``$1`` (Java braces are
+    named-group-only) and ``$$`` becomes a literal escaped dollar."""
+    out = v.replace("$$", "\x00ESC\x00")
+    out = _re.sub(r"\$\{(\d+)\}", r"$\1", out)
+    return out.replace("\x00ESC\x00", "\\$")
+
+
 # ---------------------------------------------------------------------------
 # chrono (polars/rust strftime) -> Java DateTimeFormatter pattern
 
@@ -328,7 +337,9 @@ class StringNamespace(_NS):
             lambda ctx: F.endswith(self._e._resolve(ctx), p._resolve(ctx)), self._e._name
         )
 
-    def find(self, pattern, *, literal: bool = False) -> Expr:
+    def find(self, pattern, *, literal: bool = False, strict: bool = True) -> Expr:
+        if not isinstance(pattern, (str, Expr)):
+            pattern = _to_expr(pattern)  # Series and other exprables
         if isinstance(pattern, Expr):
             e = self._e
 
@@ -374,10 +385,12 @@ class StringNamespace(_NS):
     def extract_groups(self, pattern: str) -> Expr:
         """All capture groups as one struct; field names are the group names
         (named groups) or 1-based indices, null fields on no-match."""
-        compiled = _re.compile(pattern)
+        # Java spells named groups (?<name>...), Python (?P<name>...) —
+        # normalize each side to its own dialect (lookbehinds untouched)
+        py_pattern = _re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", pattern)
+        compiled = _re.compile(py_pattern)
         names = {v: k for k, v in compiled.groupindex.items()}
         fields = [(i, names.get(i, str(i))) for i in range(1, compiled.groups + 1)]
-        # Java regex spells named groups (?<name>...), not Python's (?P<name>...)
         pattern = pattern.replace("(?P<", "(?<")
 
         def fn(c):
@@ -449,16 +462,18 @@ class StringNamespace(_NS):
         # capture groups keep their numbering, and re-emit it.  The value is
         # passed through untouched, so polars-style $1/${name} group refs in
         # the replacement keep working (Java replacement semantics).
+        jvalue = _java_template(value)
         return self._map(
             lambda c: F.regexp_replace(
-                c, f"(?s)(?:{pattern})(?<psTail>.*)$", value + "${psTail}"
+                c, f"(?s)(?:{pattern})(?<psTail>.*)$", jvalue + "${psTail}"
             )
         )
 
     def replace_all(self, pattern: str, value: str, *, literal: bool = False) -> Expr:
         if literal:
             return self._map(lambda c: F.replace(c, F.lit(pattern), F.lit(value)))
-        return self._map(lambda c: F.regexp_replace(c, pattern, value))
+        jvalue = _java_template(value)
+        return self._map(lambda c: F.regexp_replace(c, pattern, jvalue))
 
     def replace_many(self, patterns, replacements=None, *, ascii_case_insensitive: bool = False, leftmost: bool = False) -> Expr:
         """leftmost=True prefers the leftmost match per position (reference
@@ -670,10 +685,31 @@ class StringNamespace(_NS):
     def strptime(self, dtype: str = "Datetime", format: str | None = None, *, strict: bool = True) -> Expr:
         java = chrono_to_java(format) if format else None
         key = dtype if isinstance(dtype, str) else getattr(dtype, "__name__", str(dtype))
+        # no explicit format: polars INFERS — try ISO first, then the
+        # common separators (all JVM-side try_* forms, first hit wins)
+        _DATE_GUESSES = ["yyyy/MM/dd", "MM/dd/yyyy", "dd-MM-yyyy", "yyyy.MM.dd", "dd.MM.yyyy"]
         if key in ("Date",):
-            return self._map(lambda c: F.to_date(c, java) if java else F.to_date(c))
+            if java:
+                return self._map(lambda c: F.to_date(c, java))
+            return self._map(
+                lambda c: F.coalesce(
+                    F.try_to_timestamp(c).cast("date"),
+                    *[F.try_to_timestamp(c, F.lit(f)).cast("date") for f in _DATE_GUESSES],
+                )
+            )
         if key in ("Datetime", "Timestamp"):
-            return self._map(lambda c: F.to_timestamp(c, java) if java else F.to_timestamp(c))
+            if java:
+                return self._map(lambda c: F.to_timestamp(c, java))
+            return self._map(
+                lambda c: F.coalesce(
+                    F.try_to_timestamp(c),
+                    *[
+                        F.try_to_timestamp(c, F.lit(f"{f} HH:mm:ss"))
+                        for f in _DATE_GUESSES
+                    ],
+                    *[F.try_to_timestamp(c, F.lit(f)) for f in _DATE_GUESSES],
+                )
+            )
         if key == "Time":
             # Time -> nanoseconds since midnight (SURVEY §1.2 Time mapping)
             def fn(c):
@@ -1012,6 +1048,38 @@ class DateTimeNamespace(_NS):
         via epoch micros."""
         from polars_spark.plans.frame import _parse_duration, _DUR_UNITS_US
 
+        if isinstance(by, Expr):
+            # per-row duration strings (reference offset_by(pl.col(...))):
+            # unit counts extracted JVM-side, applied as one interval
+            be = by
+            e = self._e
+
+            def fn_expr(ctx: "ExprContext"):
+                c = e._resolve(ctx)
+                s = F.replace(be._resolve(ctx), F.lit("_saturating"), F.lit(""))
+
+                def unit(pat):
+                    return F.coalesce(
+                        F.nullif(F.regexp_extract(s, pat, 1), F.lit("")), F.lit("0")
+                    ).cast("bigint")
+
+                months = unit(r"(-?\d+)y") * 12 + unit(r"(-?\d+)mo") + unit(r"(-?\d+)q") * 3
+                days = unit(r"(-?\d+)w") * 7 + unit(r"(-?\d+)d")
+                hours = unit(r"(-?\d+)h")
+                mins = unit(r"(-?\d+)m(?!o|s)")
+                micros = (
+                    unit(r"(-?\d+)us")
+                    + unit(r"(-?\d+)ms") * 1000
+                    + F.floor(unit(r"(-?\d+)ns") / 1000)
+                )
+                secs = unit(r"(-?\d+)s") + micros.cast("double") / 1e6
+                return c.cast("timestamp") + F.make_interval(
+                    F.lit(0), months.cast("int"), F.lit(0), days.cast("int"),
+                    hours.cast("int"), mins.cast("int"), secs.cast("decimal(18,6)"),
+                )
+
+            return Expr(fn_expr, e._name)
+
         # polars' deprecated '_saturating' suffix: month arithmetic is
         # always saturating here (add_months), so the suffix is a no-op
         by = by.replace("_saturating", "")
@@ -1057,7 +1125,10 @@ class DateTimeNamespace(_NS):
     # -- epoch / formatting ------------------------------------------------------------
     def epoch(self, time_unit: str = "us") -> Expr:
         tz = getattr(self._e, "_tz", None)
-        inst = (lambda c: F.to_utc_timestamp(c, tz)) if tz else (lambda c: c)
+        # date columns promote to midnight timestamps (unix_* reject DATE)
+        def inst(c, _tz=tz):
+            c = c.cast("timestamp")
+            return F.to_utc_timestamp(c, _tz) if _tz else c
         if time_unit == "us":
             return self._map(lambda c: _us(inst(c)))
         if time_unit == "ms":
@@ -1074,8 +1145,9 @@ class DateTimeNamespace(_NS):
         return self.epoch(time_unit)
 
     def strftime(self, format: str | None = None) -> Expr:
-        if format is None or format == "iso":
-            # reference to_string default: ISO-8601 rendering
+        if format is None or format in ("iso", "polars"):
+            # reference to_string default / 'polars' repr: string rendering
+            # (durations take Spark's interval repr)
             return self._map(lambda c: c.cast("string"))
         if format == "iso:strict":
             return self._map(lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))

@@ -260,8 +260,9 @@ def test_is_sorted_and_arg_sort(pl, lf):
     f = lf(i=[1, 2, 3], x=[3.0, 1.0, 2.0]).set_sorted("i")
     assert f.select(pl.col("i").is_sorted().alias("s")).collect()["s"].tolist() == [True] * 3
     assert f.select(pl.col("x").is_sorted().alias("s")).collect()["s"].tolist() == [False] * 3
-    out = f.with_columns(pl.col("x").arg_sort().alias("r")).sort("x").collect()
-    assert out["r"].tolist() == [0, 1, 2]
+    # x=[3.0, 1.0, 2.0] -> argsort [1, 2, 0] (true permutation, reference)
+    out = f.with_columns(pl.col("x").arg_sort().alias("r")).collect()
+    assert out["r"].tolist() == [1, 2, 0]
 
 
 def test_expr_agg_list_family(pl, lf):

@@ -282,8 +282,10 @@ def test_duration_add(pl, lf):
 
 def test_arg_sort_by(pl, lf):
     f = lf(x=[30, 10, 20])
-    out = f.with_columns(pl.arg_sort_by("x").alias("r")).sort("x").collect()
-    assert out["r"].tolist() == [0, 1, 2]
+    # true argsort permutation (reference semantics): element i is the
+    # SOURCE position of the i-th row in sort order -> [1, 2, 0]
+    out = f.with_columns(pl.arg_sort_by("x").alias("r")).collect()
+    assert out["r"].tolist() == [1, 2, 0]
 
 
 def test_union_and_align_frames(pl, lf):
