@@ -119,6 +119,7 @@ _CHRONO_TO_JAVA = {
     "%Z": "zz",
     "%%": "%",
     "%T": "HH:mm:ss",
+    "%c": "EEE MMM d HH:mm:ss yyyy",
     "%D": "MM/dd/yy",
     "%F": "yyyy-MM-dd",
     "%R": "HH:mm",
