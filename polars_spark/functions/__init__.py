@@ -526,7 +526,7 @@ def cov(a, b, *, ddof: int = 1, eager: bool = False):
 # -- per-row ranges (FunctionExpr ranges, function_expr/range.rs:57) ---------------
 
 
-def int_ranges(start, end=None, step: int = 1) -> Expr:
+def int_ranges(start, end=None, step: int = 1, *, dtype=None) -> Expr:
     # polars parse rule: bare strings are COLUMN names in range functions;
     # single-arg form means int_ranges(0, end)
     if end is None:
@@ -536,11 +536,16 @@ def int_ranges(start, end=None, step: int = 1) -> Expr:
 
     def fn(ctx: ExprContext) -> Column:
         # sequence is inclusive on both ends; polars int_range excludes end
-        return F.sequence(
+        out = F.sequence(
             s._resolve(ctx).cast("bigint"),
             (e._resolve(ctx) - (1 if step > 0 else -1)).cast("bigint"),
             F.lit(step),
         )
+        if dtype is not None:
+            from polars_spark.plans.expr import _dtype_to_spark
+
+            out = out.cast(f"array<{_dtype_to_spark(dtype)}>")
+        return out
 
     return Expr(fn, "int_range")
 

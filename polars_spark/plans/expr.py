@@ -294,10 +294,40 @@ class Expr:
 
     # -- arithmetic ---------------------------------------------------------
     def __add__(self, o):
-        return self._zip(o, lambda a, b: a + b)
+        if isinstance(o, str):
+            # a string literal operand: polars concatenates
+            return self._zip(o, lambda a, b: F.concat(a, b))
+        if getattr(o, "_selector", None) is not None:
+            return self._zip(o, lambda a, b: a + b)
+        oe = _to_expr(o)
+        parent = self
+
+        def fn(ctx: ExprContext) -> Column:
+            a, b = parent._resolve(ctx), oe._resolve(ctx)
+            # polars `+` on string columns CONCATENATES (Spark's + would
+            # cast-error).  Cheap pre-check on the ROOT column names keeps
+            # the full analysis probe off the numeric hot path.
+            if ctx.df is not None:
+                try:
+                    sch = dict(ctx.df.dtypes)
+                    maybe_str = (
+                        sch.get(parent._name) == "string"
+                        or sch.get(getattr(oe, "_name", None)) == "string"
+                    )
+                    if maybe_str:
+                        dt = ctx.df.select(a.alias("__p__")).schema[0].dataType.simpleString()
+                        if dt == "string":
+                            return F.concat(a, b)
+                except Exception:
+                    pass
+            return a + b
+
+        return Expr(fn, self._name, self._is_agg or oe._is_agg)
 
     def __radd__(self, o):
-        return _to_expr(o)._zip(self, lambda a, b: a + b, self._name)
+        if isinstance(o, str):
+            return _to_expr(o)._zip(self, lambda a, b: F.concat(a, b), self._name)
+        return _to_expr(o).__add__(self).alias(self._name)
 
     def __sub__(self, o):
         return self._zip(o, lambda a, b: a - b)
@@ -855,6 +885,10 @@ class Expr:
         # on a filter()-masked expr, "first" means first SURVIVOR (masked
         # rows are dropped rows, lowered as nulls) -> first non-null
         masked = getattr(self, "_null_masked", False)
+        if self._is_agg and not getattr(self, "_listwise", False):
+            # first() of a scalar aggregate is the aggregate itself
+            # (mode().first(), sum().first() — avoids nested aggregates)
+            return self
         if getattr(self, "_listwise", False):
             # parent is a list-shaped group projection (sort_by): polars
             # composes element-wise — first = head of the sorted group
@@ -879,6 +913,8 @@ class Expr:
 
     def last(self):
         masked = getattr(self, "_null_masked", False)
+        if self._is_agg and not getattr(self, "_listwise", False):
+            return self
         if getattr(self, "_listwise", False):
             return self._map(lambda c: F.element_at(c, -1), is_agg=True)
 
@@ -2024,6 +2060,19 @@ class Expr:
     def pipe(self, function, *args, **kwargs):
         return function(self, *args, **kwargs)
 
+    def zip_with(self, mask, other) -> "Expr":
+        """Element-wise choose: self where mask is true, else other
+        (reference Series/Expr.zip_with)."""
+        me = _to_expr(mask)
+        oe = _to_expr(other)
+
+        def fn(ctx: ExprContext) -> Column:
+            return F.when(me._resolve(ctx), self._resolve(ctx)).otherwise(
+                oe._resolve(ctx)
+            )
+
+        return Expr(fn, self._name, self._is_agg)
+
     def where(self, predicate):
         """Alias of filter (reference expr.py where)."""
         return self.filter(predicate)
@@ -2261,7 +2310,9 @@ class Expr:
     def bottom_k(self, k: int = 5):
         return self._k_extreme(k, desc=False)
 
-    def top_k_by(self, by, k: int = 5):
+    def top_k_by(self, by, k: int = 5, *, reverse: bool = False):
+        if reverse:
+            return self.bottom_k_by(by, k)
         b = col(by) if isinstance(by, str) else _to_expr(by)
 
         def fn(ctx: ExprContext) -> Column:

@@ -153,6 +153,19 @@ class LazyFrame:
     def columns(self) -> list[str]:
         return [c for c in self._df.columns if c != ROW_IDX]
 
+    @columns.setter
+    def columns(self, names) -> None:
+        """df.columns = [...] renames positionally in place (reference
+        eager DataFrame.columns setter)."""
+        current = [c for c in self._df.columns if c != ROW_IDX]
+        names = list(names)
+        if len(names) != len(current):
+            msg = f"{len(names)} names for {len(current)} columns"
+            raise ValueError(msg)
+        self._df = self._df.withColumnsRenamed(dict(zip(current, names)))
+        ren = dict(zip(current, names))
+        self._order = [(ren.get(n, n), d, nl) for n, d, nl in self._order]
+
     @property
     def dtypes(self) -> list[str]:
         return [t for c, t in self._df.dtypes if c != ROW_IDX]
@@ -908,7 +921,7 @@ class LazyFrame:
         cols = list(_flatten(columns))
         return LazyFrame(self._df, [(c, descending, False) for c in cols])
 
-    def upsample(self, time_column: str, *, every: str, group_by=None) -> "LazyFrame":
+    def upsample(self, time_column: str, *, every: str, group_by=None, maintain_order: bool = False) -> "LazyFrame":
         """Insert missing time steps (polars-time/src/upsample.rs:117):
         per-group spine = sequence(min, max, every), left-joined back.
         Distributed: the spine is built from a per-group min/max aggregate,
@@ -1063,7 +1076,7 @@ class LazyFrame:
         gb._mode = "rollup"
         return gb
 
-    def sample(self, fraction: float | None = None, *, n: int | None = None, seed: int | None = None, with_replacement: bool = False) -> "LazyFrame":
+    def sample(self, fraction: float | None = None, *, n: int | None = None, seed: int | None = None, with_replacement: bool = False, shuffle: bool = False) -> "LazyFrame":
         if seed is None:
             seed = _GLOBAL_SEED
         if fraction is None and n is not None:
@@ -2093,13 +2106,24 @@ class LazyFrame:
         self.sink_ndjson(path, **kw)
         return None
 
-    def write_ipc(self, path: str) -> None:
-        path = str(path) if path is not None else None
-        self.sink_ipc(path)
+    def write_ipc(self, path=None, *, file=None, **kw):
+        """path/file=None returns the IPC payload as bytes (reference
+        write_ipc buffer mode)."""
+        target = path if path is not None else file
+        if target is None:
+            import io as _io
 
-    def write_ipc_stream(self, path: str) -> None:
-        path = str(path) if path is not None else None
-        self.sink_ipc(path)
+            import pyarrow as pa
+            import pyarrow.feather as feather
+
+            buf = _io.BytesIO()
+            feather.write_feather(pa.Table.from_pandas(self.collect()), buf)
+            return buf.getvalue()
+        self.sink_ipc(str(target))
+        return None
+
+    def write_ipc_stream(self, path=None, *, file=None, **kw):
+        return self.write_ipc(path, file=file, **kw)
 
     def write_delta(self, path: str, *, mode: str = "error") -> None:
         path = str(path) if path is not None else None
@@ -2154,7 +2178,13 @@ class LazyFrame:
     def is_empty(self) -> bool:
         return self._df.isEmpty()
 
-    def to_pandas(self):
+    def to_pandas(self, *, use_pyarrow_extension_array: bool = False, **kwargs):
+        if use_pyarrow_extension_array:
+            import pyarrow as pa
+
+            return pa.Table.from_pandas(self.collect()).to_pandas(
+                types_mapper=__import__("pandas").ArrowDtype
+            )
         return self.collect()
 
     def to_dict(self, *, as_series: bool = False) -> dict:
@@ -2169,8 +2199,18 @@ class LazyFrame:
             return {c: Series(c, vs) for c, vs in data.items()}
         return data
 
-    def to_numpy(self):
-        return self.collect().to_numpy()
+    def to_numpy(self, *, structured: bool = False, order: str = "fortran", writable: bool = False, **kwargs):
+        pdf = self.collect()
+        if structured:
+            return pdf.to_records(index=False)
+        out = pdf.to_numpy()
+        if order == "c":
+            import numpy as _np
+
+            out = _np.ascontiguousarray(out)
+        if writable and not out.flags.writeable:
+            out = out.copy()
+        return out
 
     def to_series(self, index: int = 0):
         name = self.columns[index]
@@ -2230,7 +2270,12 @@ class LazyFrame:
                 yield tuple(_py_value(v) for v in r)
 
     def iter_slices(self, n_rows: int = 10000):
-        yield from self.collect_batches(batch_size=n_rows)
+        """Yield frame slices (reference iter_slices yields DataFrames —
+        each batch re-wraps as a frame so .to_arrow()/.select() work)."""
+        from polars_spark.sources import from_pandas
+
+        for pdf in self.collect_batches(batch_size=n_rows):
+            yield from_pandas(pdf)
 
     def profile(self):
         """polars LazyFrame.profile(): run the query and return
@@ -2338,6 +2383,12 @@ class LazyFrame:
             if isinstance(cols_part, int):
                 return base[self.columns[cols_part]]
             if isinstance(cols_part, slice):
+                if isinstance(cols_part.start, str) or isinstance(cols_part.stop, str):
+                    # name-bounded column slice: df[:, "a":"c"] (inclusive)
+                    cols = self.columns
+                    i0 = cols.index(cols_part.start) if cols_part.start else 0
+                    i1 = (cols.index(cols_part.stop) + 1) if cols_part.stop else None
+                    return base.select(*cols[i0:i1:cols_part.step])
                 return base.select(*self.columns[cols_part])
             cols = [
                 self.columns[c] if isinstance(c, int) else c for c in cols_part
@@ -2753,10 +2804,15 @@ class LazyFrame:
         return f"pl.DataFrame(\n    [\n{cols},\n    ]\n)"
 
     def to_struct(self, name: str = ""):
-        from polars_spark.plans.expr import col as _col
+        """-> a driver-local Series of structs (reference DataFrame.to_struct
+        returns a Series); use .to_frame() to go back to the lazy form."""
         from polars_spark import functions as _fn
+        from polars_spark.plans.expr import col as _col
+        from polars_spark.series import Series
 
-        return self.select(_fn.struct(*[_col(c) for c in self.columns]).alias(name or "struct"))
+        nm = name or "struct"
+        lf = self.select(_fn.struct(*[_col(c) for c in self.columns]).alias(nm))
+        return Series(nm, [_py_value(r[0]) for r in lf._collect_rows()])
 
     def fold(self, operation):
         """Horizontal fold across columns -> Series named after the first
@@ -2837,7 +2893,16 @@ class LazyFrame:
         / ``group_by`` — this API is for a driver-manageable number of
         groups.  ``maintain_order`` lists groups by first appearance when
         the frame carries an order; otherwise by key."""
-        keys = [k if isinstance(k, str) else k._name for k in _flatten(by)]
+        keys = []
+        for k in _flatten(by):
+            if isinstance(k, str):
+                keys.append(k)
+            elif getattr(k, "_selector", None) is not None:
+                from polars_spark.selectors import expand_names
+
+                keys.extend(expand_names(k, self.schema))
+            else:
+                keys.append(k._name)
         if maintain_order and ROW_IDX in self._df.columns:
             ordered = (
                 self._df.groupBy(*keys)

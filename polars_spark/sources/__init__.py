@@ -431,6 +431,11 @@ def DataFrame(
             else:
                 names = names or []
                 names.append(it)
+    import collections.abc as _abc
+
+    if isinstance(data, _abc.Iterator):
+        # generators of Series/rows (pl.DataFrame(s * 2 for s in ...))
+        data = list(data)
     if data is None or (isinstance(data, dict) and not data):
         # schema-only construction: an empty frame WITH the named columns
         data = {n: [] for n in (names or [])}
@@ -1060,9 +1065,16 @@ def using_string_cache() -> bool:
 # -- long-tail IO + frame-level parity shims --------------------------------
 
 
-def read_ipc(path: str, spark: SparkSession | None = None) -> LazyFrame:
+def read_ipc(path, spark: SparkSession | None = None) -> LazyFrame:
     """Alias of scan_ipc (reference read_ipc — eager polars delegates to the
-    same scan)."""
+    same scan).  Accepts bytes / BytesIO payloads (write_ipc buffer mode)."""
+    if isinstance(path, (bytes, bytearray)) or hasattr(path, "read"):
+        import io as _io
+
+        import pyarrow.feather as feather
+
+        buf = _io.BytesIO(path) if isinstance(path, (bytes, bytearray)) else path
+        return from_arrow(feather.read_table(buf))
     return scan_ipc(path, spark=spark)
 
 

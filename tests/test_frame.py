@@ -322,8 +322,9 @@ def test_eager_dataframe_surface(pl, lf, tmp_path):
     assert f.n_unique() == 3
     rows_ = list(f.sort("a").iter_rows(named=True))
     assert rows_[0] == {"a": 1, "b": "x"}
-    st = f.to_struct("s").collect()
-    assert st["s"][0] == {"a": 1, "b": "x"}
+    # to_struct returns a Series of structs (reference DataFrame.to_struct)
+    st = f.to_struct("s")
+    assert st.name == "s" and st.to_list()[0] == {"a": 1, "b": "x"}
     # fold returns a Series named after the first column (reference)
     fd = f.select(pl.col("a")).fold(lambda x, y: x + y)
     assert fd.name == "a" and fd.to_list() == [1, 2, 3]
