@@ -682,6 +682,11 @@ class Expr:
         # forms are kept for existing callers
         lower = lower_bound if lower_bound is not None else lower
         upper = upper_bound if upper_bound is not None else upper
+        # string bounds are COLUMN names (reference clip("low", "up"))
+        if isinstance(lower, str):
+            lower = col(lower)
+        if isinstance(upper, str):
+            upper = col(upper)
 
         def fn(ctx: ExprContext) -> Column:
             c0 = self._resolve(ctx)
@@ -698,8 +703,9 @@ class Expr:
 
         return Expr(fn, self._name, self._is_agg)
 
-    def hash(self, seed: int = 0):
-        return self._map(lambda c: F.xxhash64(c, F.lit(seed)))
+    def hash(self, seed: int = 0, *more_seeds):
+        seeds = [F.lit(int(s)) for s in (seed, *more_seeds)]
+        return self._map(lambda c: F.xxhash64(c, *seeds))
 
     # -- membership ---------------------------------------------------------
     def is_in(self, values):
@@ -748,16 +754,20 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def filter(self, *predicates):
+    def filter(self, *predicates, **constraints):
         """Keep only elements matching the predicate — the polars
         filtered-aggregation idiom ``col('x').filter(cond).sum()``
-        (Expr::Filter).  Lowering: non-matching rows become null, which every
-        aggregate skips."""
+        (Expr::Filter).  Keyword constraints are equality filters
+        (``filter(n=1)``).  Lowering: non-matching rows become null, which
+        every aggregate skips."""
 
         def fn(ctx: ExprContext) -> Column:
             cond = None
             for p in predicates:
                 c = _to_expr(p)._resolve(ctx)
+                cond = c if cond is None else (cond & c)
+            for k, v in constraints.items():
+                c = F.col(k) == F.lit(v)
                 cond = c if cond is None else (cond & c)
             return F.when(cond, self._resolve(ctx))
 
@@ -881,10 +891,10 @@ class Expr:
         # Spark approx_count_distinct (also HLL++)
         return self._agg(F.approx_count_distinct)
 
-    def first(self):
+    def first(self, *, ignore_nulls: bool = False):
         # on a filter()-masked expr, "first" means first SURVIVOR (masked
         # rows are dropped rows, lowered as nulls) -> first non-null
-        masked = getattr(self, "_null_masked", False)
+        masked = getattr(self, "_null_masked", False) or ignore_nulls
         if self._is_agg and not getattr(self, "_listwise", False):
             # first() of a scalar aggregate is the aggregate itself
             # (mode().first(), sum().first() — avoids nested aggregates)
@@ -911,8 +921,8 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
-    def last(self):
-        masked = getattr(self, "_null_masked", False)
+    def last(self, *, ignore_nulls: bool = False):
+        masked = getattr(self, "_null_masked", False) or ignore_nulls
         if self._is_agg and not getattr(self, "_listwise", False):
             return self
         if getattr(self, "_listwise", False):
@@ -1274,12 +1284,28 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def diff(self, n: int = 1):
+    def diff(self, n: int = 1, null_behavior: str = "ignore"):
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             return c - F.lag(c, n).over(ctx.order_window())
 
-        return Expr(fn, self._name)
+        out = Expr(fn, self._name)
+        if null_behavior == "drop":
+            # reference null_behavior='drop': the first n (null) results are
+            # dropped — length-changing, so rewrite as a sole-expr select
+            parent = self
+
+            def rewrite(lf, _o=out):
+                ctx = lf._ctx()
+                c = _o._resolve(ctx)
+                nm = _o._name
+                projected = type(lf)(
+                    lf._with_scalar_preps(ctx).select(c.alias(nm)), lf._order
+                )
+                return projected.filter(_col_fn(nm).is_not_null())
+
+            out._select_rewrite = rewrite
+        return out
 
     def pct_change(self, n: int = 1):
         def fn(ctx: ExprContext) -> Column:
@@ -1550,14 +1576,20 @@ class Expr:
         mean  y_i = (1-a_i)·y_{i-1} + a_i·x_i  with  a_i = 1 - 0.5^(Δt/τ).
         Lowering: per-row prefix fold over (value, epoch-µs) structs — exact,
         order from the frame contract, partition from .over()."""
-        from polars_spark.plans.frame import _duration_us
+        from polars_spark.plans.frame import _duration_us, _index_halflife
 
-        tau_us = float(_duration_us(half_life))
+        idx_tau = _index_halflife(half_life)
+        tau_us = idx_tau if idx_tau is not None else float(_duration_us(half_life))
         by_e = _to_expr(by) if not isinstance(by, str) else col(by)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            t = F.unix_micros(by_e._resolve(ctx).cast("timestamp"))
+            bcol = by_e._resolve(ctx)
+            t = (
+                bcol.cast("double")
+                if idx_tau is not None
+                else F.unix_micros(bcol.cast("timestamp"))
+            )
             w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
             arr = F.collect_list(F.struct(c.alias("x"), t.alias("t"))).over(w)
             acc0 = F.struct(
@@ -1584,14 +1616,20 @@ class Expr:
         """Time-decay EWM sum (polars ewm_sum_by): y_i = 0.5^(dt/tau)*y_{i-1}
         + x_i over irregular intervals — same prefix-fold lowering as
         ewm_mean_by without the normalization term."""
-        from polars_spark.plans.frame import _duration_us
+        from polars_spark.plans.frame import _duration_us, _index_halflife
 
-        tau_us = float(_duration_us(half_life))
+        idx_tau = _index_halflife(half_life)
+        tau_us = idx_tau if idx_tau is not None else float(_duration_us(half_life))
         by_e = _to_expr(by) if not isinstance(by, str) else col(by)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            t = F.unix_micros(by_e._resolve(ctx).cast("timestamp"))
+            bcol = by_e._resolve(ctx)
+            t = (
+                bcol.cast("double")
+                if idx_tau is not None
+                else F.unix_micros(bcol.cast("timestamp"))
+            )
             w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
             arr = F.collect_list(F.struct(c.alias("x"), t.alias("t"))).over(w)
             acc0 = F.struct(
@@ -1714,28 +1752,88 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def rolling_sum(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+    def rolling_sum(self, window_size: int, weights=None, min_samples: int | None = None, *, center: bool = False):
+        if weights is not None:
+            return self._rolling_weighted("sum", window_size, weights, min_samples, center)
         return self._rolling(F.sum, window_size, min_samples, center)
 
-    def rolling_mean(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+    def rolling_mean(self, window_size: int, weights=None, min_samples: int | None = None, *, center: bool = False):
+        if weights is not None:
+            return self._rolling_weighted("mean", window_size, weights, min_samples, center)
         return self._rolling(F.mean, window_size, min_samples, center)
 
-    def rolling_min(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+    def rolling_min(self, window_size: int, weights=None, min_samples: int | None = None, *, center: bool = False):
+        if weights is not None:
+            return self._rolling_weighted("min", window_size, weights, min_samples, center)
         return self._rolling(F.min, window_size, min_samples, center)
 
-    def rolling_max(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+    def rolling_max(self, window_size: int, weights=None, min_samples: int | None = None, *, center: bool = False):
+        if weights is not None:
+            return self._rolling_weighted("max", window_size, weights, min_samples, center)
         return self._rolling(F.max, window_size, min_samples, center)
 
-    def rolling_std(self, window_size: int, min_samples: int | None = None, *, center: bool = False, ddof: int = 1):
+    def rolling_std(self, window_size: int, weights=None, min_samples: int | None = None, *, center: bool = False, ddof: int = 1):
+        if weights is not None:
+            return self._rolling_weighted("std", window_size, weights, min_samples, center, ddof=ddof)
         f = F.stddev_samp if ddof == 1 else F.stddev_pop
         return self._rolling(f, window_size, min_samples, center)
 
-    def rolling_var(self, window_size: int, min_samples: int | None = None, *, center: bool = False, ddof: int = 1):
+    def rolling_var(self, window_size: int, weights=None, min_samples: int | None = None, *, center: bool = False, ddof: int = 1):
+        if weights is not None:
+            return self._rolling_weighted("var", window_size, weights, min_samples, center, ddof=ddof)
         f = F.var_samp if ddof == 1 else F.var_pop
         return self._rolling(f, window_size, min_samples, center)
 
-    def rolling_median(self, window_size: int, min_samples: int | None = None, *, center: bool = False):
+    def rolling_median(self, window_size: int, weights=None, min_samples: int | None = None, *, center: bool = False):
+        if weights is not None:
+            return self._rolling_weighted("median", window_size, weights, min_samples, center)
         return self._rolling(lambda c: F.percentile(c, F.lit(0.5)), window_size, min_samples, center)
+
+    def _rolling_weighted(self, kind: str, window_size: int, weights, min_samples, center: bool = False, *, ddof: int = 1, quantile: float = 0.5):
+        """Weighted rolling aggregates (reference rolling_* weights=): the
+        window's values multiply elementwise with the weights, then the
+        aggregate runs over the weighted values — one collect per window
+        (JVM array ops, no UDF)."""
+        wlist = [float(x) for x in weights]
+
+        def fn(ctx: ExprContext) -> Column:
+            c = self._resolve(ctx).cast("double")
+            lo = -(window_size // 2) if center else -(window_size - 1)
+            w = ctx.order_window().rowsBetween(lo, lo + window_size - 1)
+            arr = F.collect_list(F.struct(c.alias("__v"))).over(w)
+            vals = F.transform(arr, lambda s: s["__v"])
+            wlit = F.array(*[F.lit(x) for x in wlist])
+            wv = F.filter(
+                F.zip_with(vals, wlit, lambda v, wt: v * wt),
+                lambda v: v.isNotNull(),
+            )
+            n = F.size(wv)
+            if kind == "sum":
+                val = F.aggregate(wv, F.lit(0.0), lambda a, b: a + b)
+            elif kind == "mean":
+                val = F.aggregate(wv, F.lit(0.0), lambda a, b: a + b) / n
+            elif kind == "min":
+                val = F.array_min(wv)
+            elif kind == "max":
+                val = F.array_max(wv)
+            elif kind in ("median", "quantile"):
+                q = 0.5 if kind == "median" else quantile
+                s = F.array_sort(wv)
+                pos = (n - 1).cast("double") * F.lit(q)
+                i0 = F.floor(pos).cast("int")
+                i1 = F.ceil(pos).cast("int")
+                v0, v1 = F.get(s, i0), F.get(s, i1)
+                val = v0 + (v1 - v0) * (pos - i0.cast("double"))
+            else:  # std / var
+                s1 = F.aggregate(wv, F.lit(0.0), lambda a, b: a + b)
+                s2 = F.aggregate(wv, F.lit(0.0), lambda a, b: a + b * b)
+                m = s1 / n
+                var = (s2 - n.cast("double") * m * m) / (n - ddof).cast("double")
+                val = F.sqrt(var) if kind == "std" else var
+            ms = window_size if min_samples is None else min_samples
+            return F.when(n >= ms, val)
+
+        return Expr(fn, self._name)
 
     def rolling_quantile(
         self,
@@ -1743,8 +1841,15 @@ class Expr:
         interpolation: str = "linear",
         *,
         window_size: int,
+        weights=None,
         min_samples: int | None = None,
+        center: bool = False,
     ):
+        if weights is not None:
+            return self._rolling_weighted(
+                "quantile", window_size, weights, min_samples, center,
+                quantile=quantile,
+            )
         if interpolation == "linear":
             return self._rolling(lambda c: F.percentile(c, F.lit(quantile)), window_size, min_samples)
         # nearest/lower/higher/midpoint: sorted-array indexing over the
@@ -1970,17 +2075,46 @@ class Expr:
     def ge(self, other):
         return self.__ge__(other)
 
+    def _bool_or_bitwise(self, others, bool_op, bit_op):
+        oes = [_to_expr(o) for o in others]
+        parent = self
+
+        def fn(ctx: ExprContext) -> Column:
+            cs = [parent._resolve(ctx)] + [o._resolve(ctx) for o in oes]
+            # mixed bool/int operands: ints are bitwise (reference and_/or_)
+            non_bool = False
+            if ctx.df is not None:
+                try:
+                    sch = ctx.df.select(
+                        *[c.alias(f"__b{i}") for i, c in enumerate(cs)]
+                    ).schema
+                    non_bool = any(
+                        f.dataType.simpleString() != "boolean" for f in sch.fields
+                    )
+                except Exception:
+                    non_bool = False
+            if non_bool:
+                cs = [c.cast("bigint") for c in cs]
+                out = cs[0]
+                for c in cs[1:]:
+                    out = bit_op(out, c)
+                return out
+            out = cs[0]
+            for c in cs[1:]:
+                out = bool_op(out, c)
+            return out
+
+        return Expr(fn, self._name, self._is_agg)
+
     def and_(self, *others):
-        out = self
-        for o in others:
-            out = out & _to_expr(o)
-        return out
+        return self._bool_or_bitwise(
+            others, lambda a, b: a & b, lambda a, b: a.bitwiseAND(b)
+        )
 
     def or_(self, *others):
-        out = self
-        for o in others:
-            out = out | _to_expr(o)
-        return out
+        return self._bool_or_bitwise(
+            others, lambda a, b: a | b, lambda a, b: a.bitwiseOR(b)
+        )
 
     def xor(self, other):
         return self._zip(other, lambda a, b: a.cast("boolean") != b.cast("boolean"))
@@ -2198,21 +2332,21 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def rolling_std_by(self, by, window_size: str, *, min_samples: int = 1, ddof: int = 1):
+    def rolling_std_by(self, by, window_size: str, *, min_samples: int = 1, ddof: int = 1, closed: str = "right"):
         f = F.stddev_samp if ddof == 1 else F.stddev_pop
-        return self._rolling_by(f, by, window_size, min_samples)
+        return self._rolling_by(f, by, window_size, min_samples, closed=closed)
 
-    def rolling_var_by(self, by, window_size: str, *, min_samples: int = 1, ddof: int = 1):
+    def rolling_var_by(self, by, window_size: str, *, min_samples: int = 1, ddof: int = 1, closed: str = "right"):
         f = F.var_samp if ddof == 1 else F.var_pop
-        return self._rolling_by(f, by, window_size, min_samples)
+        return self._rolling_by(f, by, window_size, min_samples, closed=closed)
 
-    def rolling_median_by(self, by, window_size: str, *, min_samples: int = 1):
+    def rolling_median_by(self, by, window_size: str, *, min_samples: int = 1, closed: str = "right"):
         # median() is aggregate-only in Spark; percentile(.5) is the
         # window-frame-compatible equivalent
-        return self._rolling_by(lambda c: F.percentile(c, F.lit(0.5)), by, window_size, min_samples)
+        return self._rolling_by(lambda c: F.percentile(c, F.lit(0.5)), by, window_size, min_samples, closed=closed)
 
-    def rolling_quantile_by(self, by, window_size: str, *, quantile: float, min_samples: int = 1):
-        return self._rolling_by(lambda c: F.percentile(c, F.lit(quantile)), by, window_size, min_samples)
+    def rolling_quantile_by(self, by, window_size: str, *, quantile: float, min_samples: int = 1, closed: str = "right"):
+        return self._rolling_by(lambda c: F.percentile(c, F.lit(quantile)), by, window_size, min_samples, closed=closed)
 
     # -- agg-context list family (reference: these exprs are length-changing;
     # inside group_by().agg() polars yields LIST results, which is exactly
@@ -2230,15 +2364,41 @@ class Expr:
             return self._implode_map(F.array_sort)
         return self._implode_map(lambda c: F.reverse(F.array_sort(c)))
 
-    def sort_by(self, by, *, descending: bool = False):
-        """Values sorted by another expression (agg context)."""
-        b = col(by) if isinstance(by, str) else _to_expr(by)
+    def sort_by(self, by, *more_by, descending=False, nulls_last=False):
+        """Values sorted by other expression(s) (agg context)."""
+        bys = [by, *more_by]
+        bys = [b for one in bys for b in (one if isinstance(one, (builtins.list, tuple)) else [one])]
+        bes = [col(b) if isinstance(b, str) else _to_expr(b) for b in bys]
+        descs = descending if isinstance(descending, (builtins.list, tuple)) else [descending] * builtins.len(bes)
 
         def fn(ctx: ExprContext) -> Column:
-            pairs = _wover(ctx, F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v"))))
-            arr = F.array_sort(pairs)
-            if descending:
-                arr = F.reverse(arr)
+            keys = []
+            for be, d in zip(bes, descs):
+                k = be._resolve(ctx)
+                keys.append(k.alias(f"__k{builtins.len(keys)}"))
+            pairs = _wover(
+                ctx,
+                F.collect_list(
+                    F.struct(*keys, self._resolve(ctx).alias("__v"))
+                ),
+            )
+
+            def cmp(left, right):
+                res = F.lit(0)
+                for i, d in reversed(builtins.list(enumerate(descs))):
+                    lf_, rf = left[f"__k{i}"], right[f"__k{i}"]
+                    lt, gt = (F.lit(1), F.lit(-1)) if d else (F.lit(-1), F.lit(1))
+                    res = (
+                        F.when(lf_.isNull() & rf.isNull(), res)
+                        .when(lf_.isNull(), lt)
+                        .when(rf.isNull(), gt)
+                        .when(lf_ < rf, lt)
+                        .when(lf_ > rf, gt)
+                        .otherwise(res)
+                    )
+                return res
+
+            arr = F.array_sort(pairs, cmp)
             return F.transform(arr, lambda s: s.getField("__v"))
 
         e = Expr(fn, self._name, is_agg=True)
@@ -2321,7 +2481,7 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
-    def bottom_k_by(self, by, k: int = 5):
+    def bottom_k_by(self, by, k: int = 5, *, reverse: bool = False):
         b = col(by) if isinstance(by, str) else _to_expr(by)
 
         def fn(ctx: ExprContext) -> Column:
@@ -2436,7 +2596,7 @@ class Expr:
 
         return self._implode_map(f)
 
-    def item(self):
+    def item(self, *, allow_empty: bool = False):
         """The single value (get(0) over the imploded group; polars raises
         on length != 1 — per-row raising is not expressible, extra rows are
         ignored)."""
@@ -2502,7 +2662,7 @@ class Expr:
             flat.extend(n) if isinstance(n, (list, tuple)) else flat.append(n)
         return ~cs.by_name(*flat)
 
-    def hist(self, bins=None, *, bin_count: int | None = None, include_breakpoint: bool = True):
+    def hist(self, bins=None, *, bin_count: int | None = None, include_breakpoint: bool = True, include_category: bool = False):
         """Histogram of the group (agg context): list of {breakpoint, count}
         structs over right-closed bins (polars semantics: (lo, hi], first
         bin closed on the left).  Either explicit literal bin edges or
@@ -2601,19 +2761,19 @@ class Expr:
 
         return Expr(f, self._name)
 
-    def rolling_sum_by(self, by, window_size: str, *, min_samples: int = 1):
-        return self._rolling_by(F.sum, by, window_size, min_samples)
+    def rolling_sum_by(self, by, window_size: str, *, min_samples: int = 1, closed: str = "right"):
+        return self._rolling_by(F.sum, by, window_size, min_samples, closed=closed)
 
-    def rolling_mean_by(self, by, window_size: str, *, min_samples: int = 1):
-        return self._rolling_by(F.mean, by, window_size, min_samples)
+    def rolling_mean_by(self, by, window_size: str, *, min_samples: int = 1, closed: str = "right"):
+        return self._rolling_by(F.mean, by, window_size, min_samples, closed=closed)
 
-    def rolling_min_by(self, by, window_size: str, *, min_samples: int = 1):
-        return self._rolling_by(F.min, by, window_size, min_samples)
+    def rolling_min_by(self, by, window_size: str, *, min_samples: int = 1, closed: str = "right"):
+        return self._rolling_by(F.min, by, window_size, min_samples, closed=closed)
 
-    def rolling_max_by(self, by, window_size: str, *, min_samples: int = 1):
-        return self._rolling_by(F.max, by, window_size, min_samples)
+    def rolling_max_by(self, by, window_size: str, *, min_samples: int = 1, closed: str = "right"):
+        return self._rolling_by(F.max, by, window_size, min_samples, closed=closed)
 
-    def _rolling_by(self, agg, by, window_size: str, min_samples: int):
+    def _rolling_by(self, agg, by, window_size: str, min_samples: int, closed: str = "right"):
         """Temporal rolling window (RollingFunctionBy,
         function_expr/rolling_by.rs:6): (t - window, t] per row over the
         µs-resolution axis of ``by``; partition comes from .over()."""
@@ -2625,10 +2785,17 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             okey = F.unix_micros(by_e._resolve(ctx).cast("timestamp"))
+            bounds = {
+                # (t - window, t] default; polars closed variants
+                "right": (-(us - 1), 0),
+                "left": (-us, -1),
+                "both": (-us, 0),
+                "none": (-(us - 1), -1),
+            }[closed]
             w = (
                 Window.partitionBy(*ctx.partition_cols())
                 .orderBy(okey)
-                .rangeBetween(-(us - 1), 0)
+                .rangeBetween(*bounds)
             )
             val = agg(c).over(w)
             if min_samples > 1:
@@ -2657,7 +2824,11 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def over(self, *partition_by, order_by=None, descending: bool = False, mapping_strategy: str = "group_to_rows"):
+    def over(self, *partition_by, order_by=None, descending: bool = False, mapping_strategy: str = "group_to_rows", **kw):
+        if "partition_by" in kw:  # over(**{"partition_by": ..., "order_by": ...})
+            pb = kw.pop("partition_by")
+            partition_by = tuple(pb) if isinstance(pb, (builtins.list, tuple)) else (pb,)
+            order_by = kw.pop("order_by", order_by)
         """polars ``Expr.over`` (dsl/expr/mod.rs:124).  mapping_strategy
         'group_to_rows' (default) gives each row its group's value; 'join'
         attaches the whole group's value list to every row."""

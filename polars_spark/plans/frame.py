@@ -3923,6 +3923,18 @@ _DUR_UNITS_US = {
 }
 
 
+def _index_halflife(s) -> float | None:
+    """'1i'-style index-count durations (reference ewm_*_by half_life):
+    N index steps -> N; None when not index-based."""
+    import re as _re2
+
+    if isinstance(s, str):
+        m = _re2.fullmatch(r"(\d+)i", s.strip())
+        if m:
+            return float(m.group(1))
+    return None
+
+
 def _parse_duration(s: str) -> list[tuple[int, str]]:
     """polars duration string: e.g. '3d12h4m25s' -> [(3,'d'),(12,'h'),...]."""
     out = []
