@@ -952,6 +952,13 @@ def row_index(name: str = "index") -> Expr:
             # inside group_by().agg(): the group's 0..len-1 index list
             return F.sequence(F.lit(0).cast("bigint"), F.count(F.lit(1)).cast("bigint") - 1)
         parts = ctx.partition_cols() if hasattr(ctx, "partition_cols") else []
+        if not parts and ctx.df is not None:
+            from polars_spark.plans.frame import ROW_IDX
+
+            if ROW_IDX in ctx.df.columns:
+                # driver-ingested frames already carry the position —
+                # zero-cost, no window at all
+                return F.col(ROW_IDX).cast("bigint")
         if not parts:
             raise ValueError(
                 "pl.row_index() without a partition would move all rows to one "

@@ -473,6 +473,11 @@ class Expr:
 
     def fill_null(self, value=None, strategy: str | None = None, limit=None):
         if strategy is None:
+            if getattr(value, "_chain_fn", None) is not None:
+                # a selector chain value (pl.all().fill_null(pl.all()
+                # .median())): inside per-column expansion both sides bind
+                # to the SAME column
+                value = value._chain_fn(col(self._name))
             v = _to_expr(value)
             if v._is_agg:
                 # fill with an AGGREGATE expr (col.fill_null(col.median())):

@@ -58,6 +58,9 @@ def wrap(df: SparkDF, order: list[tuple[str, bool]] | None = None) -> "LazyFrame
     return LazyFrame(df, order)
 
 
+import builtins as _b
+builtins_len = _b.len
+
 _NO_DEFAULT = object()  # get_column(default=...) absent-vs-None sentinel
 
 
@@ -1088,6 +1091,9 @@ class LazyFrame:
         if seed is None:
             seed = _GLOBAL_SEED
         return LazyFrame(self._df.orderBy(F.rand(seed if seed is not None else 42)), [])
+
+    def __len__(self) -> int:
+        return self.count()
 
     def count(self) -> int:
         """FastCount (FunctionIR::FastCount): parquet metadata-only count when
@@ -3517,14 +3523,37 @@ class LazyGroupBy:
         gb._having = list(predicates)
         return gb
 
-    def map_groups(self, function, schema) -> LazyFrame:
+    def map_groups(self, function, schema=None) -> LazyFrame:
         """polars GroupBy.map_groups (DslPlan::GroupBy.apply) -> applyInPandas.
 
         When the frame has a row-order contract, each group's pandas frame
         is sorted to FRAME ORDER before the user function sees it (polars
         hands groups over in frame order); the hidden order columns are
-        stripped from the user-visible input."""
+        stripped from the user-visible input.  ``schema=None`` infers the
+        output schema by running the function once on the FIRST group at
+        the driver (one bounded job — same trick the reference's
+        map_groups schema inference uses on its first group)."""
         names = [k for k in self._keys if isinstance(k, str)]
+        if schema is None:
+            probe = self._lf._df.limit(1).toPandas()
+            key0 = probe[names].iloc[0].tolist() if names and builtins_len(probe) else []
+            g0 = self._lf._df
+            for k, v in zip(names, key0):
+                g0 = g0.filter(F.col(k) == F.lit(v))
+            sample = g0.toPandas()
+            for h in ("__row_idx__",):
+                if h in sample.columns:
+                    sample = sample.drop(columns=[h])
+            out0 = function(sample)
+            if hasattr(out0, "_df"):  # a polars_spark frame
+                schema = out0._df.schema
+            else:
+                import pandas as _pd
+
+                from pyspark.sql import types as _T
+
+                spark = self._lf._df.sparkSession
+                schema = spark.createDataFrame(_pd.DataFrame(out0)).schema
         order = self._lf._order
         if order:
             src = self._lf._df

@@ -691,6 +691,10 @@ class StringNamespace(_NS):
         _DATE_GUESSES = ["yyyy/MM/dd", "MM/dd/yyyy", "dd-MM-yyyy", "yyyy.MM.dd", "dd.MM.yyyy"]
         if key in ("Date",):
             if java:
+                if not strict:
+                    return self._map(
+                        lambda c: F.try_to_timestamp(c, F.lit(java)).cast("date")
+                    )
                 return self._map(lambda c: F.to_date(c, java))
             return self._map(
                 lambda c: F.coalesce(
@@ -700,6 +704,8 @@ class StringNamespace(_NS):
             )
         if key in ("Datetime", "Timestamp"):
             if java:
+                if not strict:
+                    return self._map(lambda c: F.try_to_timestamp(c, F.lit(java)))
                 return self._map(lambda c: F.to_timestamp(c, java))
             return self._map(
                 lambda c: F.coalesce(
@@ -1343,7 +1349,21 @@ class ListNamespace(_NS):
         """Array -> List is an identity at this layer (§1.2 shared storage)."""
         return self._e
 
-    def gather_every(self, n: int, offset: int = 0) -> Expr:
+    def gather_every(self, n, offset=0) -> Expr:
+        if isinstance(n, Expr) or isinstance(offset, Expr):
+            # per-row n/offset expressions (reference list.gather_every)
+            ne, oe = _to_expr(n), _to_expr(offset)
+            e = self._e
+
+            def fn(ctx: ExprContext) -> Column:
+                c = e._resolve(ctx)
+                nn = ne._resolve(ctx).cast("int")
+                off = oe._resolve(ctx).cast("int")
+                return F.filter(
+                    c, lambda v, i: ((i - off) % nn == 0) & (i >= off)
+                )
+
+            return Expr(fn, e._name)
         return self._map(
             lambda c: F.filter(c, lambda v, i: ((i - offset) % n == 0) & (i >= offset))
         )

@@ -943,8 +943,22 @@ def date_range(start, end, interval: str = "1d", *, closed: str = "both", time_u
     """Eager date range via one sequence() + explode (JVM-side).
     time_unit/time_zone accepted for signature parity: Spark timestamps
     are µs and zone-naive (§1.2 — the tz annotation lives on Expr.dt)."""
+    from polars_spark.plans.expr import Expr as _Expr, _to_expr
     from polars_spark.plans.frame import _duration_str
 
+    if isinstance(start, _Expr) or isinstance(end, _Expr):
+        # expression bounds (agg context: date_range(col.min(), col.max()))
+        # -> a per-row/per-group date LIST via sequence
+        se, ee = _to_expr(start), _to_expr(end)
+
+        def fn(ctx):
+            return F.sequence(
+                se._resolve(ctx).cast("date"),
+                ee._resolve(ctx).cast("date"),
+                F.expr(f"INTERVAL {_duration_str(interval)}"),
+            )
+
+        return _Expr(fn, "date", is_agg=se._is_agg or ee._is_agg)
     spark = spark or _spark()
     seq = F.sequence(
         F.lit(str(start)).cast("date"),
@@ -1098,7 +1112,14 @@ def scan_lines(path: str, spark: SparkSession | None = None) -> LazyFrame:
     return LazyFrame(spark.read.text(path).select(F.col("value").alias("line")))
 
 
-def read_lines(path: str, spark: SparkSession | None = None) -> LazyFrame:
+def read_lines(path, spark: SparkSession | None = None) -> LazyFrame:
+    if isinstance(path, (bytes, bytearray)):
+        # in-memory payload (reference read_lines(b"...")): split driver-side
+        spark = spark or _spark()
+        lines = path.decode("utf8").splitlines()
+        import pandas as _pd
+
+        return from_pandas(_pd.DataFrame({"lines": lines}), spark=spark)
     return scan_lines(path, spark=spark)
 
 
