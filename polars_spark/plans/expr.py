@@ -2296,7 +2296,9 @@ class Expr:
         from polars_spark.functions import arg_sort_by
 
         out = arg_sort_by(self, descending=descending)
-        return Expr(out._fn, self._name)
+        e = Expr(out._fn, self._name)
+        e._arg_sort_spec = ([self], [descending])  # gather() shortcut
+        return e
 
     def extend_constant(self, value, n: int):
         """Append n copies of value to the IMPLODED list form (the agg
@@ -2599,7 +2601,22 @@ class Expr:
             zero = F.expr("array()").cast("array<struct<len:bigint,value:double>>")
             return F.aggregate(arr.cast("array<double>"), zero, step)
 
-        return self._implode_map(f)
+        out = self._implode_map(f)
+        parent = self
+
+        def rewrite(lf, _o=out):
+            # sole expr in a SELECT: polars rle() is length-changing — one
+            # row per run (explode of the run list)
+            from polars_spark.plans.frame import LazyFrame
+
+            ctx = lf._ctx()
+            c = _o._resolve(ctx)
+            nm = _o._name
+            df = lf._with_scalar_preps(ctx).select(F.explode(c).alias(nm))
+            return LazyFrame(df, [])
+
+        out._select_rewrite = rewrite
+        return out
 
     def item(self, *, allow_empty: bool = False):
         """The single value (get(0) over the imploded group; polars raises
