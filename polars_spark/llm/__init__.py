@@ -167,10 +167,16 @@ def ngram_jaccard_pairs(
 def minhash_signature(sh: Column, *, k: int = 32, seed: int = 42) -> Column:
     """k-permutation MinHash signature of a shingle array: element i is
     min(xxhash64(shingle, seed+i)) — all JVM-side array ops."""
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
-        for i in range(k)
-    ]
+    # NOTE: the hash lambda must be single-parameter.  A two-parameter
+    # lambda (even `lambda s, i=i`) makes pyspark's transform() pass the
+    # ARRAY INDEX as the second argument, silently replacing the seed —
+    # which collapses all k permutations into one position-dependent hash
+    # (the round-1..4 recall gap on dedup_minhash_lsh was exactly this).
+    def _hasher(i: int):
+        sl = F.lit(seed + i)
+        return lambda s: F.xxhash64(s, sl)
+
+    sigs = [F.array_min(F.transform(sh, _hasher(i))) for i in range(k)]
     return F.array(*sigs)
 
 
