@@ -713,10 +713,14 @@ class Expr:
         return self._map(lambda c: F.xxhash64(c, *seeds))
 
     # -- membership ---------------------------------------------------------
-    def is_in(self, values):
+    def is_in(self, values, *, nulls_equal: bool = False):
         if isinstance(values, Expr):
             return self._zip(values, lambda a, arr: F.array_contains(arr, a))
-        vals = list(values)
+        from polars_spark.series import Series as _S
+
+        vals = values.to_list() if isinstance(values, _S) else list(values)
+        if nulls_equal and any(v is None for v in vals):
+            return self._map(lambda c: c.isin([v for v in vals if v is not None]) | c.isNull())
         return self._map(lambda c: c.isin(vals))
 
     def is_between(self, lower, upper, closed: str = "both"):
@@ -2391,7 +2395,15 @@ class Expr:
             )
 
             def cmp(left, right):
-                res = F.lit(0)
+                # final tiebreak on the value keeps ties deterministic
+                # (same contract as the previous lexicographic struct sort)
+                lv, rv = left["__v"], right["__v"]
+                res = (
+                    F.when(lv.isNull() | rv.isNull(), F.lit(0))
+                    .when(lv < rv, -1)
+                    .when(lv > rv, 1)
+                    .otherwise(F.lit(0))
+                )
                 for i, d in reversed(builtins.list(enumerate(descs))):
                     lf_, rf = left[f"__k{i}"], right[f"__k{i}"]
                     lt, gt = (F.lit(1), F.lit(-1)) if d else (F.lit(-1), F.lit(1))

@@ -1715,30 +1715,49 @@ class ListNamespace(_NS):
         return Expr(fn, e._name)
 
     # -- set ops (ListFunction::SetOperation, function_expr/list.rs:6) --------
+    def _set_operand(self, other):
+        """Set-op right operand: a string is a COLUMN name (reference list
+        set ops), anything else converts as usual."""
+        from polars_spark.plans.expr import col as _colf
+
+        return _colf(other) if isinstance(other, str) else _to_expr(other)
+
+    def _set_sides(self, ctx, o):
+        """Resolve both sides, coercing the right array's element type to
+        the left's (Spark's array set ops reject differing int widths)."""
+        a, b = self._e._resolve(ctx), o._resolve(ctx)
+        if ctx.df is not None:
+            try:
+                dt = ctx.df.select(a.alias("__p__")).schema[0].dataType.simpleString()
+                b = b.cast(dt)
+            except Exception:
+                pass
+        return a, b
+
     def set_union(self, other) -> Expr:
-        o = _to_expr(other)
+        o = self._set_operand(other)
         return Expr(
-            lambda ctx: F.array_union(self._e._resolve(ctx), o._resolve(ctx)), self._e._name
+            lambda ctx: F.array_union(*self._set_sides(ctx, o)), self._e._name
         )
 
     def set_intersection(self, other) -> Expr:
-        o = _to_expr(other)
+        o = self._set_operand(other)
         return Expr(
-            lambda ctx: F.array_intersect(self._e._resolve(ctx), o._resolve(ctx)),
+            lambda ctx: F.array_intersect(*self._set_sides(ctx, o)),
             self._e._name,
         )
 
     def set_difference(self, other) -> Expr:
-        o = _to_expr(other)
+        o = self._set_operand(other)
         return Expr(
-            lambda ctx: F.array_except(self._e._resolve(ctx), o._resolve(ctx)), self._e._name
+            lambda ctx: F.array_except(*self._set_sides(ctx, o)), self._e._name
         )
 
     def set_symmetric_difference(self, other) -> Expr:
-        o = _to_expr(other)
+        o = self._set_operand(other)
 
         def fn(ctx):
-            a, b = self._e._resolve(ctx), o._resolve(ctx)
+            a, b = self._set_sides(ctx, o)
             return F.array_union(F.array_except(a, b), F.array_except(b, a))
 
         return Expr(fn, self._e._name)

@@ -625,3 +625,28 @@ def win_interpolate_by(spark, sf_dir):
     out = masked.with_columns(pl.col("v").interpolate_by("x").over("user_id").alias("vi"))
     sdf = out.to_spark()
     return sdf.select("event_id", _fr(F.col("vi"), 6).alias("vi"))
+
+
+@query(
+    "win_rolling_weighted",
+    # weighted rolling (reference rolling_* weights=): the DuckDB replay is
+    # the closed-form lag expansion — w0*v[i-2] + w1*v[i-1] + w2*v[i],
+    # null on partial windows exactly like the full-window rule
+    oracle=f"""
+    SELECT event_id,
+           round(0.2 * lag(value, 2) OVER ({_W})
+                 + 0.3 * lag(value, 1) OVER ({_W})
+                 + 0.5 * value, 4)                                            AS wsum3,
+           round((0.2 * lag(value, 2) OVER ({_W})
+                 + 0.3 * lag(value, 1) OVER ({_W})
+                 + 0.5 * value) / 3, 4)                                       AS wmean3
+    FROM events
+    """,
+)
+def win_rolling_weighted(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").rolling_sum(3, weights=[0.2, 0.3, 0.5]).over("user_id").round(4).alias("wsum3"),
+        pl.col("value").rolling_mean(3, weights=[0.2, 0.3, 0.5]).over("user_id").round(4).alias("wmean3"),
+    ).to_spark()

@@ -103,7 +103,14 @@ class Series:
             )
         return int(np.searchsorted(arr, element, side=np_side))
 
-    def to_pandas(self) -> pd.Series:
+    def to_pandas(self, *, use_pyarrow_extension_array: bool = False, **kwargs) -> pd.Series:
+        if use_pyarrow_extension_array:
+            import pyarrow as pa
+
+            return pd.Series(
+                pd.arrays.ArrowExtensionArray(pa.Array.from_pandas(self._s)),
+                name=self._s.name,
+            )
         return self._s.copy()
 
     def to_frame(self, name: str | None = None):
@@ -145,13 +152,16 @@ class Series:
     def null_count(self) -> int:
         return int(self._s.isna().sum())
 
-    def is_empty(self) -> bool:
+    def is_empty(self, *, ignore_nulls: bool = False) -> bool:
+        if ignore_nulls:
+            return int(self._s.notna().sum()) == 0
         return self._s.size == 0
 
-    def value_counts(self, *, sort: bool = False):
+    def value_counts(self, *, sort: bool = False, parallel: bool = False, name: str | None = None, normalize: bool = False):
         """-> DataFrame with (value, count) like the reference (not pandas)."""
-        vc = self._s.value_counts(dropna=False)
-        out = pd.DataFrame({self.name or "value": vc.index, "count": vc.values})
+        vc = self._s.value_counts(dropna=False, normalize=normalize)
+        cname = name or ("proportion" if normalize else "count")
+        out = pd.DataFrame({self.name or "value": vc.index, cname: vc.values})
         if not sort:
             out = out.sort_values(self.name or "value", ignore_index=True)
         from polars_spark.sources import from_pandas
@@ -187,7 +197,14 @@ class Series:
     def abs(self) -> "Series":
         return self._wrap(self._s.abs())
 
-    def round(self, decimals: int = 0) -> "Series":
+    def round(self, decimals: int = 0, mode: str = "half_to_even") -> "Series":
+        if mode == "half_away_from_zero":
+            import numpy as _np
+
+            p = 10.0 ** decimals
+            return self._wrap(
+                self._s.map(lambda v: v if v is None else _np.floor(abs(v) * p + 0.5) / p * (1 if v >= 0 else -1))
+            )
         return self._wrap(self._s.round(decimals))
 
     def cast(self, dtype) -> "Series":
@@ -207,8 +224,11 @@ class Series:
             return self._wrap(pd.Series(pd.array(vals, dtype=target), name=self._s.name))
         return self._wrap(self._s.astype(target))
 
-    def to_numpy(self):
-        return self._s.to_numpy()
+    def to_numpy(self, *, writable: bool = False, **kwargs):
+        out = self._s.to_numpy()
+        if writable and not out.flags.writeable:
+            out = out.copy()
+        return out
 
     def cum_sum(self) -> "Series":
         return self._wrap(self._s.cumsum())
@@ -229,13 +249,26 @@ class Series:
             return out.astype("Int64")
         return out
 
-    def shift(self, n: int = 1) -> "Series":
-        return self._wrap(self._keep_int(self._s.shift(n)))
+    def shift(self, n: int = 1, *, fill_value=None) -> "Series":
+        shifted = self._s.shift(n)
+        if fill_value is not None:
+            k = min(abs(n), len(shifted))
+            if n > 0:
+                shifted.iloc[:k] = fill_value
+            elif n < 0 and k:
+                shifted.iloc[-k:] = fill_value
+        return self._wrap(self._keep_int(shifted))
 
-    def diff(self, n: int = 1) -> "Series":
-        return self._wrap(self._keep_int(self._s.diff(n)))
+    def diff(self, n: int = 1, null_behavior: str = "ignore") -> "Series":
+        out = self._keep_int(self._s.diff(n))
+        if null_behavior == "drop":
+            out = out.iloc[abs(n):].reset_index(drop=True)
+        return self._wrap(out)
 
-    def item(self):
+    def item(self, index: int | None = None):
+        if index is not None:
+            v = self._s.iloc[index]
+            return None if (v is None or (not isinstance(v, (list, tuple)) and pd.isna(v))) else v
         if self._s.size != 1:
             raise ValueError(f"item() needs a 1-element Series, got {self._s.size}")
         v = self._s.iloc[0]
@@ -315,6 +348,9 @@ class Series:
 
     def head(self, n: int = 10) -> "Series":
         return self._wrap(self._s.head(n))
+
+    def limit(self, n: int = 10) -> "Series":
+        return self.head(n)
 
     def tail(self, n: int = 10) -> "Series":
         return self._wrap(self._s.tail(n))
@@ -508,7 +544,7 @@ class Series:
 
         return pa.Array.from_pandas(self._s)
 
-    def to_dummies(self, *, separator: str = "_", drop_first: bool = False):
+    def to_dummies(self, *, separator: str = "_", drop_first: bool = False, drop_nulls: bool = False):
         name = self.name or "column_0"
         d = pd.get_dummies(self._s.rename(name), prefix=name, prefix_sep=separator,
                            drop_first=drop_first, dtype="int8")
