@@ -808,7 +808,7 @@ def datetime_ranges(start, end, interval: str = "1h") -> Expr:
     return Expr(fn, "datetime_range")
 
 
-def linear_spaces(start, end, num_samples) -> Expr:
+def linear_spaces(start, end, num_samples, *, as_array: bool = False) -> Expr:
     """Per-row list of evenly spaced doubles."""
     s, e, n = _to_expr(start), _to_expr(end), _to_expr(num_samples)
 

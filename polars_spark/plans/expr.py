@@ -3704,6 +3704,9 @@ class ExprMetaNamespace:
 
     def _node(self):
         """The unresolved Spark ColumnNode tree (classic mode)."""
+        from polars_spark.session import get_spark
+
+        get_spark()  # F.col needs an active JVM even for unresolved trees
         return self._e._resolve(_MetaContext())._jc.node()
 
     def root_names(self) -> list[str]:
@@ -3727,11 +3730,22 @@ class ExprMetaNamespace:
             e = e._alias_of
         return e
 
+    def pop(self, *, schema=None) -> list:
+        """The expression's direct inputs (reference meta.pop) — one level
+        peeled.  Alias nodes expose their source; other nodes are opaque
+        closures here, so they return themselves (documented)."""
+        src_e = getattr(self._e, "_alias_of", None)
+        return [src_e if src_e is not None else self._e]
+
     def eq(self, other: "Expr") -> bool:
-        """Structural equality via the normalized unresolved tree."""
+        """Structural equality via the normalized unresolved tree — the
+        OUTPUT NAME is part of the identity (an aliased expr is not equal
+        to its unaliased source, reference meta.eq)."""
+        o = _to_expr(other)
         return (
             self._node().normalized().toString()
-            == ExprMetaNamespace(_to_expr(other))._node().normalized().toString()
+            == ExprMetaNamespace(o)._node().normalized().toString()
+            and self._e._name == o._name
         )
 
     def ne(self, other: "Expr") -> bool:

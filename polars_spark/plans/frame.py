@@ -4038,7 +4038,7 @@ def _duration_to_value(tol, is_ts: bool):
     return tol
 
 
-def align_frames(*frames: LazyFrame, on, how: str = "outer", descending: bool = False) -> list[LazyFrame]:
+def align_frames(*frames: LazyFrame, on, how: str = "outer", select=None, descending: bool = False) -> list[LazyFrame]:
     """polars align_frames (functions/eager.py): give every frame the same
     key spine — the union (how='outer') of the ``on`` values across all
     frames — left-joining each frame's columns onto it, sorted by the keys.
@@ -4057,5 +4057,9 @@ def align_frames(*frames: LazyFrame, on, how: str = "outer", descending: bool = 
         aligned = spine.join(f, on=keys, how="left", coalesce=True).sort(
             keys, descending=descending
         )
-        out.append(aligned.select(*f.columns))
+        if select is not None:
+            cols = [select] if isinstance(select, str) else list(select)
+            out.append(aligned.select(*cols))
+        else:
+            out.append(aligned.select(*f.columns))
     return out

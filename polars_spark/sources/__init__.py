@@ -910,13 +910,57 @@ def int_range(
     return lf.to_series() if eager else lf
 
 
-def linear_space(start: float, end: float, num_samples: int, *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
+def linear_space(start, end, num_samples, *, closed: str = "both", eager: bool = True, spark: SparkSession | None = None):
     """num_samples evenly spaced points over [start, end] — spark.range
     backed, computed as start + i*step per row.  ``closed`` picks which
     endpoints are included (reference functions/linear_space.py): 'both'
     divides by n-1, the open variants by n/n+1 with an index shift."""
+    import datetime as _dt
+
+    from polars_spark.plans.expr import Expr as _Expr, _to_expr
+
+    if isinstance(num_samples, _Expr):
+        # expression sample count (linear_space(0, 1, pl.len())): a
+        # per-context array expression (explode at the call site)
+        ne = num_samples
+        s_, e_ = float(start), float(end)
+
+        def fn(ctx):
+            n_ = ne._resolve(ctx).cast("int")
+            # closed='both': i * (end-start)/(n-1) + start
+            idx = F.sequence(F.lit(0), n_ - 1)
+            return F.transform(
+                idx,
+                lambda i: i.cast("double") * ((e_ - s_) / (n_ - 1).cast("double")) + F.lit(s_),
+            )
+
+        return _Expr(fn, "ls", is_agg=getattr(ne, "_is_agg", False))
+    # temporal endpoints interpolate on the epoch axis (reference
+    # linear_space over Date/Datetime/Time)
+    temporal = None
+    if isinstance(start, _dt.time) and not isinstance(start, _dt.datetime):
+        temporal = "time"
+        to_x = lambda t: ((t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000 + t.microsecond) * 1000
+        start, end = to_x(start), to_x(end)
+    elif isinstance(start, _dt.datetime):
+        temporal = "datetime"
+        start, end = start.timestamp() * 1e6, end.timestamp() * 1e6
+    elif isinstance(start, _dt.date):
+        temporal = "date"
+        epoch = _dt.date(1970, 1, 1)
+        start, end = (start - epoch).days, (end - epoch).days
     spark = spark or _spark()
     n = num_samples
+    if temporal is not None:
+        out = linear_space(float(start), float(end), n, closed=closed, eager=False, spark=spark)
+        c = F.col("literal")
+        conv = {
+            "time": c.cast("bigint"),
+            "datetime": F.timestamp_micros(c.cast("bigint")),
+            "date": F.date_add(F.lit("1970-01-01").cast("date"), c.cast("int")),
+        }[temporal]
+        lf = LazyFrame(out._df.select(conv.alias("literal")))
+        return lf.to_series() if eager else lf
     if n == 0:
         lf = LazyFrame(spark.range(0).select(F.lit(0.0).alias("literal")))
         return lf.to_series() if eager else lf
@@ -1195,8 +1239,15 @@ def from_torch(tensor, *, schema=None, spark: SparkSession | None = None) -> Laz
     return from_numpy(tensor.cpu().numpy(), schema=schema, spark=spark)
 
 
-def merge_sorted(left: LazyFrame, right: LazyFrame, key: str) -> LazyFrame:
-    """Top-level form of LazyFrame.merge_sorted."""
+def merge_sorted(left, right=None, key: str = "") -> LazyFrame:
+    """Top-level form of LazyFrame.merge_sorted; also accepts a LIST of
+    frames (reference functions/eager.py merge_sorted multi form)."""
+    if right is None or isinstance(left, (list, tuple)):
+        frames = list(left)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.merge_sorted(f, key)
+        return out
     return left.merge_sorted(right, key)
 
 
@@ -1208,21 +1259,13 @@ def union(items, *, how: str = "vertical", strict: bool | None = None) -> LazyFr
     return _concat(list(items), how=how)
 
 
-def align_frames(*frames: LazyFrame, on: str, how: str = "outer"):
+def align_frames(*frames: LazyFrame, on, how: str = "outer", select=None, descending: bool = False):
     """Align frames to a common sorted key domain (reference
-    functions/eager.py align_frames): the key union is built lazily and
-    joined back to each frame — no driver materialization."""
-    from functools import reduce as _red
+    functions/eager.py align_frames) — delegates to the frame-level
+    implementation (spine = distinct key union, one join per frame)."""
+    from polars_spark.plans.frame import align_frames as _af
 
-    keys = _red(
-        lambda a, b: a.unionByName(b),
-        [f._df.select(on) for f in frames],
-    ).distinct()
-    out = []
-    for f in frames:
-        aligned = keys.join(f._df, on, "left").sort(on)
-        out.append(LazyFrame(aligned, [(on, False)]))
-    return out
+    return _af(*frames, on=on, how=how, select=select, descending=descending)
 
 
 def explain_all(lazy_frames) -> str:

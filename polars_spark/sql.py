@@ -49,7 +49,12 @@ def _polars_dialect(query: str) -> str:
     # polars-sql is ANSI: "..." is ALWAYS an identifier (strings are
     # single-quoted), so every double-quoted segment maps to backticks
     query = re.sub(r'"([^"]+)"', r"`\1`", query)
-    return query
+    # polars-SQL integer division `//` -> Spark DIV (outside string
+    # literals only — 'http://...' must survive)
+    parts = query.split("'")
+    for i in range(0, len(parts), 2):
+        parts[i] = parts[i].replace("//", " DIV ")
+    return "'".join(parts)
 
 
 def _rewrite_table_functions(spark: SparkSession, query: str) -> str:
@@ -74,15 +79,35 @@ def _rewrite_table_functions(spark: SparkSession, query: str) -> str:
 
 
 class SQLContext:
-    def __init__(self, frames: dict[str, LazyFrame] | None = None, *, eager: bool = False, **named):
+    def __init__(self, frames: dict[str, LazyFrame] | None = None, *, eager: bool = False, register_globals: bool = False, **named):
         self._spark = SparkSession.getActiveSession()
         if self._spark is None:
             from polars_spark.session import get_spark
 
             self._spark = get_spark()
         self._tables: list[str] = []
+        if register_globals:
+            # reference SQLContext(register_globals=True): every frame-like
+            # object in the CALLER's scope becomes a view
+            import inspect
+
+            caller = inspect.currentframe().f_back
+            if caller is not None:
+                for scope in (caller.f_locals, caller.f_globals):
+                    for nm, obj in scope.items():
+                        if nm.startswith("_") or nm in self._tables:
+                            continue
+                        lf = _as_frame(obj)
+                        if lf is not None:
+                            self.register(nm, lf)
         for name, lf in {**(frames or {}), **named}.items():
             self.register(name, lf)
+
+    def __enter__(self) -> "SQLContext":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unregister(list(self._tables))
 
     def register(self, name: str, frame: LazyFrame) -> "SQLContext":
         df = frame.to_spark() if isinstance(frame, LazyFrame) else frame
