@@ -732,19 +732,19 @@ def _spherical_kmeans(
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
         assigned = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
+        # per-dimension columnar avg: one groupBy(cid) with dim avg
+        # aggregates — map-side combine shuffles K x dim partials per
+        # partition and never materializes the N x dim posexplode rows
         rows = (
-            assigned.select("cid", F.posexplode("nv").alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(F.avg("x").alias("m"))
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("nv")[d]).alias(f"m{d}") for d in range(dim)])
             .collect()
         )
-        acc: dict[int, list] = {}
-        for r in rows:
-            acc.setdefault(r.cid, [0.0] * dim)[r.d] = float(r.m)
         new = {}
-        for cid, raw in acc.items():
+        for r in rows:
+            raw = [float(r[f"m{d}"]) for d in range(dim)]
             nrm = math.sqrt(sum(x * x for x in raw))
-            new[cid] = [_fround_py(x / nrm, 10) for x in raw]
+            new[r.cid] = [_fround_py(x / nrm, 10) for x in raw]
         cents = [new.get(i, cents[i]) for i in range(n_clusters)]
     lists = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
     return lists, cents
