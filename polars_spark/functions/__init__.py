@@ -569,36 +569,62 @@ def date_ranges(start, end, interval: str = "1d") -> Expr:
     return Expr(fn, "date_range")
 
 
-def business_day_count(start, end) -> Expr:
+def business_day_count(start, end, week_mask=(True, True, True, True, True, False, False), holidays=()) -> Expr:
     """Business days in [start, end) (function_expr/business.rs:10) — counts
-    ISO weekdays Mon-Fri via a generated day array (no UDF)."""
-    s, e = _to_expr(start), _to_expr(end)
+    mask-selected ISO weekdays via a generated day array (no UDF).
+    ``week_mask`` is the polars 7-bool Mon..Sun business-day mask;
+    ``holidays`` is a list of dates excluded even when their weekday is in
+    the mask (both become plan literals — map-side only)."""
+    s, e = _cols([start, end])
+    biz = [i + 1 for i, b in enumerate(week_mask) if b]  # ISO Mon=1..Sun=7
+    hols = [F.lit(str(h)).cast("date") for h in holidays]
 
     def fn(ctx: ExprContext) -> Column:
         sd = F.to_date(s._resolve(ctx))
         ed = F.to_date(e._resolve(ctx))
         days = F.sequence(sd, F.date_sub(ed, 1))
         wd = lambda d: (F.dayofweek(d) + 5) % 7 + 1  # ISO Mon=1..Sun=7
-        return F.when(ed > sd, F.size(F.filter(days, lambda d: wd(d) <= 5))).otherwise(F.lit(0))
+        keep = lambda d: wd(d).isin(biz) & (~F.array_contains(F.array(*hols), d) if hols else F.lit(True))
+        return F.when(ed > sd, F.size(F.filter(days, keep))).otherwise(F.lit(0))
 
     return Expr(fn, "business_day_count")
 
 
-def repeat(value, n) -> Expr:
+def repeat(value, n, *, dtype=None, eager: bool = False):
+    from polars_spark.plans.expr import _dtype_to_spark
+
     v, k = _to_expr(value), _to_expr(n)
+    st = _dtype_to_spark(dtype) if dtype is not None else None
+
+    if eager:
+        from polars_spark.plans.frame import LazyFrame
+        from polars_spark.sources import _spark
+
+        spark = _spark()  # before F.lit: the JVM must be up
+        c = F.lit(value)
+        if st is not None:
+            c = c.cast(st)
+        return LazyFrame(spark.range(int(n)).select(c.alias("repeat"))).to_series()
 
     def fn(ctx: ExprContext) -> Column:
-        return F.array_repeat(v._resolve(ctx), k._resolve(ctx).cast("int"))
+        out = F.array_repeat(v._resolve(ctx), k._resolve(ctx).cast("int"))
+        return F.transform(out, lambda x: x.cast(st)) if st is not None else out
 
-    e = Expr(fn, "repeat")
+    # a scalar-value repeat is LIST-valued like head/tail (length-changing
+    # exprs are list-valued aggregates in this engine) — append/explode
+    # then treat it correctly without an extra implode
+    e = Expr(fn, "repeat", is_agg=not isinstance(value, Expr) and isinstance(n, int))
     if isinstance(n, int) and not isinstance(value, Expr):
         # sole-expr select: pl.repeat(v, n) materializes n ROWS (reference
         # functions/repeat.py) — same length-changing rewrite as top_k
-        def rewrite(lf, _v=value, _n=n):
+        def rewrite(lf, _v=value, _n=n, _st=st):
             from polars_spark.plans.frame import LazyFrame
 
             spark = lf._df.sparkSession
-            return LazyFrame(spark.range(_n).select(F.lit(_v).alias("repeat")))
+            c = F.lit(_v)
+            if _st is not None:
+                c = c.cast(_st)
+            return LazyFrame(spark.range(_n).select(c.alias("repeat")))
 
         e._select_rewrite = rewrite
     return e
@@ -753,7 +779,7 @@ def date(year, month, day) -> Expr:
     )
 
 
-def datetime(year, month, day, hour=0, minute=0, second=0, microsecond=0) -> Expr:
+def datetime(year, month, day, hour=0, minute=0, second=0, microsecond=0, *, time_unit: str = "us", time_zone: str | None = None, ambiguous: str = "raise") -> Expr:
     parts = _cols([year, month, day, hour, minute, second])
     us = _cols([microsecond])[0]
 
@@ -762,7 +788,12 @@ def datetime(year, month, day, hour=0, minute=0, second=0, microsecond=0) -> Exp
         sec = s.cast("double") + us._resolve(ctx).cast("double") / 1e6
         return F.make_timestamp_ntz(y, m, d, h, mi, sec)
 
-    return Expr(fn, "datetime")
+    e = Expr(fn, "datetime")
+    if time_zone is not None:
+        # wall time preserved, the zone is the Expr-level annotation
+        # (the §1.2 tz model — same as dt.replace_time_zone)
+        e._tz = time_zone
+    return e
 
 
 def duration(*, weeks=0, days=0, hours=0, minutes=0, seconds=0, milliseconds=0, microseconds=0) -> Expr:
@@ -968,7 +999,11 @@ def row_index(name: str = "index") -> Expr:
         w = Window.partitionBy(*parts).orderBy(*ctx.order_by_cols())
         return (F.row_number().over(w) - 1).cast("bigint")
 
-    return Expr(fn, name, is_agg=False)
+    e = Expr(fn, name, is_agg=False)
+    # in .agg() the grouped branch is already aggregate-valued (a sequence
+    # over count) — tell the implicit-implode wrapper not to re-wrap it
+    e._ctx_agg = True
+    return e
 
 
 def salted_join(
@@ -1324,11 +1359,23 @@ def _time_to_ns(t) -> int:
     raise TypeError(f"cannot interpret {type(t).__name__} as a time")
 
 
-def time(hour: int = 0, minute: int = 0, second: int = 0, microsecond: int = 0) -> Expr:
-    """A Time literal: ns since midnight as BIGINT (the documented Time
-    mapping)."""
-    ns = ((hour * 3600 + minute * 60 + second) * 1_000_000 + microsecond) * 1000
-    return lit(ns).cast("Int64")
+def time(hour=0, minute=0, second=0, microsecond=0) -> Expr:
+    """A Time value: ns since midnight as BIGINT (the documented Time
+    mapping).  Components may be ints, column names, or expressions."""
+    if all(isinstance(v, int) for v in (hour, minute, second, microsecond)):
+        ns = ((hour * 3600 + minute * 60 + second) * 1_000_000 + microsecond) * 1000
+        return lit(ns).cast("Int64")
+    h, m, s, us = _cols([hour, minute, second, microsecond])
+
+    def fn(ctx: ExprContext) -> Column:
+        total_us = (
+            (h._resolve(ctx).cast("long") * 3600 + m._resolve(ctx).cast("long") * 60 + s._resolve(ctx).cast("long"))
+            * 1_000_000
+            + us._resolve(ctx).cast("long")
+        )
+        return total_us * 1000
+
+    return Expr(fn, "time")
 
 
 _TIME_END_NS = ((23 * 3600 + 59 * 60 + 59) * 1_000_000 + 999_999) * 1000
@@ -1345,7 +1392,10 @@ def time_ranges(start=None, end=None, interval: str = "1h", *, closed: str = "bo
     def as_expr(v, default_ns):
         if v is None:
             return lit(default_ns)
-        if isinstance(v, (int, _dt.time, str)):
+        if isinstance(v, str):
+            # polars range functions: a bare string names a COLUMN
+            return col(v)
+        if isinstance(v, (int, _dt.time)):
             return lit(_time_to_ns(v))
         return _to_expr(v)
 

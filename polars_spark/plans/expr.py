@@ -2512,7 +2512,25 @@ class Expr:
     def limit(self, n: int = 10):
         return self._implode_map(lambda c: F.slice(c, 1, n))
 
-    def slice(self, offset: int, length: int | None = None):
+    def slice(self, offset, length=None):
+        if isinstance(offset, Expr) or isinstance(length, Expr):
+            # expression offset/length (reference expr.slice(pl.len()-10,
+            # pl.col("bar"))): resolve both sides, sign handled per row
+            oe = _to_expr(offset)
+            le = _to_expr(length) if length is not None else None
+            im = self.implode()
+
+            def fn_e(ctx: ExprContext) -> Column:
+                c = im._resolve(ctx)
+                off = oe._resolve(ctx).cast("int")
+                start = F.when(off >= 0, off + 1).otherwise(
+                    F.greatest(F.size(c) + off + 1, F.lit(1))
+                )
+                ln = le._resolve(ctx).cast("int") if le is not None else F.size(c)
+                return F.slice(c, start, ln)
+
+            return Expr(fn_e, self._name, is_agg=True)
+
         def f(c):
             if offset >= 0:
                 start = offset + 1
@@ -2579,7 +2597,21 @@ class Expr:
         right = o if o._is_agg else o.implode()
 
         def fn(ctx: ExprContext) -> Column:
-            return F.concat(left._resolve(ctx), right._resolve(ctx))
+            lc, rc = left._resolve(ctx), right._resolve(ctx)
+            if ctx.df is not None:
+                # a Null-dtype side (pl.repeat(None, n)) resolves to
+                # array<void>, which concat refuses — coerce it to the
+                # other side's type (plan analysis only, no job)
+                try:
+                    kinds = dict(ctx.df.select(lc.alias("__l"), rc.alias("__r")).dtypes)
+                    lt, rt = kinds.get("__l", ""), kinds.get("__r", "")
+                    if lt == "array<void>" and rt.startswith("array<") and rt != lt:
+                        lc = lc.cast(rt)
+                    elif rt == "array<void>" and lt.startswith("array<") and lt != rt:
+                        rc = rc.cast(lt)
+                except Exception:
+                    pass
+            return F.concat(lc, rc)
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -2986,8 +3018,20 @@ class Expr:
             raise ValueError(msg)
         return dict(zip(olds, news))
 
-    def replace(self, mapping, new=None, *, default=None, return_dtype=None):
-        mapping = Expr._replace_mapping(mapping, new)
+    def replace(self, old=None, new=None, *, default=None, return_dtype=None, mapping=None):
+        old = mapping if old is None else old
+        if isinstance(old, Expr) or isinstance(new, Expr):
+            # expression old/new (reference replace with scalar-agg args):
+            # one when() on the resolved pair — aggregates broadcast via
+            # the scalar-projection rule
+            oe, ne = _to_expr(old), _to_expr(new)
+
+            def fn_e(ctx: ExprContext) -> Column:
+                c = self._resolve(ctx)
+                return F.when(c == oe._resolve(ctx), ne._resolve(ctx)).otherwise(c)
+
+            return Expr(fn_e, self._name)
+        mapping = Expr._replace_mapping(old, new)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
@@ -3001,10 +3045,26 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def replace_strict(self, mapping, new=None, default=None, return_dtype=None):
+    def replace_strict(self, old=None, new=None, default=None, return_dtype=None, *, mapping=None):
         """Like replace, but unmatched values ERROR at execution (polars
         ReplaceStrict) unless a default is given — lowered to raise_error()."""
-        mapping = Expr._replace_mapping(mapping, new)
+        old = mapping if old is None else old
+        if isinstance(old, Expr) or isinstance(new, Expr):
+            oe, ne = _to_expr(old), _to_expr(new)
+
+            def fn_e(ctx: ExprContext) -> Column:
+                c = self._resolve(ctx)
+                hit = F.when(c == oe._resolve(ctx), ne._resolve(ctx))
+                if default is not None:
+                    return hit.otherwise(_col_of(default, ctx))
+                return hit.otherwise(
+                    F.raise_error(
+                        F.concat(F.lit("replace_strict: value not in mapping: "), c.cast("string"))
+                    )
+                )
+
+            return Expr(fn_e, self._name)
+        mapping = Expr._replace_mapping(old, new)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
@@ -3028,6 +3088,23 @@ class Expr:
         from pyspark.sql.functions import pandas_udf
 
         from polars_spark.plans.datatype_expr import DataTypeExpr
+
+        if getattr(series_fn, "__annotations__", None):
+            # user functions are typically annotated (s: pl.Series) ->
+            # pl.Series, which pandas_udf's hint inspection rejects —
+            # re-expose as an unannotated callable, and accept a
+            # driver-style Series return
+            orig_fn = series_fn
+
+            def series_fn(s, _f=orig_fn):  # noqa: F811 - deliberate wrap
+                out = _f(s)
+                if hasattr(out, "to_pandas_series"):
+                    return out.to_pandas_series()
+                if hasattr(out, "to_list") and not hasattr(out, "iloc"):
+                    import pandas as _pd
+
+                    return _pd.Series(out.to_list())
+                return out
 
         if isinstance(return_dtype, DataTypeExpr):
             def fn(ctx: ExprContext) -> Column:
@@ -3434,6 +3511,15 @@ def _flatten_exprs(items) -> list[Expr]:
 # constructors
 
 
+def _col_ref(name: str):
+    """F.col with polars name semantics: a dot is part of the COLUMN NAME,
+    never a struct-field path — backtick-quote names the Spark parser
+    would otherwise split."""
+    if "." in name and "`" not in name:
+        return F.col(f"`{name}`")
+    return F.col(name)
+
+
 def _col_fn(*names) -> Expr:
     if len(names) == 1 and isinstance(names[0], str):
         name = names[0]
@@ -3444,7 +3530,7 @@ def _col_fn(*names) -> Expr:
             from polars_spark import selectors as cs
 
             return cs.matches(name)
-        return Expr(lambda ctx: F.col(name), name)
+        return Expr(lambda ctx: _col_ref(name), name)
     if names and all(
         (isinstance(n, type) and issubclass(n, DataType)) or isinstance(n, DataType)
         for n in names

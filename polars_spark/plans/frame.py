@@ -86,10 +86,33 @@ def _order_cols(order: list, reverse: bool = False) -> list[Column]:
     return out
 
 
+class _DtypeStr(str):
+    """A Spark type string that also answers the polars-dtype predicate
+    surface (schema consumers like pipe_with_schema call
+    ``dtype.is_float()`` on schema VALUES) — still a plain str for every
+    existing consumer."""
+
+    def _pl(self):
+        from polars_spark.plans.datatype_expr import _normalize
+
+        return _normalize(str(self))
+
+    def __getattr__(self, name):
+        from polars_spark.plans.expr import DataType
+
+        if not name.startswith("_") and hasattr(DataType, name):
+            return getattr(self._pl(), name)
+        raise AttributeError(name)
+
+
 class FrameSchema(dict):
     """Schema mapping with the reference pl.Schema accessors (names /
     dtypes / len) — still a plain dict of {column: spark type string} for
-    every existing consumer."""
+    every existing consumer; values additionally answer the polars dtype
+    predicates (is_float/is_integer/... via _DtypeStr)."""
+
+    def __init__(self, items=()):
+        super().__init__((k, _DtypeStr(v)) for k, v in dict(items).items())
 
     def names(self) -> list:
         return list(self.keys())
@@ -123,7 +146,8 @@ class LazyFrame:
                  schema=None, schema_overrides=None, orient=None, strict=True,
                  nan_to_null=False, **named):
         if df is None or isinstance(df, (dict, list, tuple)) or (
-            df is not None and type(df).__module__.startswith("pandas")
+            df is not None
+            and type(df).__module__.split(".")[0] in ("pandas", "numpy")
         ):
             # pl.LazyFrame({'a': [...]}) — the reference's data constructor
             # (lazyframe/frame.py __init__); delegates to the DataFrame
@@ -2124,7 +2148,9 @@ class LazyFrame:
 
             buf = _io.BytesIO()
             feather.write_feather(pa.Table.from_pandas(self.collect()), buf)
-            return buf.getvalue()
+            # reference buffer mode returns the BytesIO itself, positioned
+            # at the end of the written data (callers seek(0) to read)
+            return buf
         self.sink_ipc(str(target))
         return None
 
@@ -2606,6 +2632,16 @@ class LazyFrame:
         pdf = self.collect()
         for c in pdf.columns:
             yield Series(c, pdf[c].tolist())
+
+    def __iter__(self):
+        """Eager-surface iteration: polars DataFrames iterate COLUMNS
+        (each a Series) — without this, Python's legacy protocol walks
+        __getitem__ and yields row tuples."""
+        return self.iter_columns()
+
+    def __contains__(self, key) -> bool:
+        """polars: ``name in df`` tests COLUMN membership (never collects)."""
+        return key in self.columns
 
     def map_columns(self, column_names, function, *args, **kwargs) -> "LazyFrame":
         """Apply ``function`` to each named column (reference frame.py
@@ -3377,7 +3413,10 @@ class LazyGroupBy:
         def _wrap(ee):
             # polars: a non-aggregate expression inside .agg() captures the
             # group as a LIST (implicit implode — GroupBy "full list
-            # capture", dsl/plan.rs GroupBy aggs)
+            # capture", dsl/plan.rs GroupBy aggs).  _ctx_agg marks exprs
+            # whose grouped branch is already aggregate-valued (row_index).
+            if getattr(ee, "_ctx_agg", False):
+                return ee
             return ee if getattr(ee, "_is_agg", True) else ee.implode()
 
         for e in _flatten(exprs):

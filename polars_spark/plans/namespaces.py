@@ -685,6 +685,20 @@ class StringNamespace(_NS):
 
     def strptime(self, dtype: str = "Datetime", format: str | None = None, *, strict: bool = True) -> Expr:
         java = chrono_to_java(format) if format else None
+        if java and "EEE" in java:
+            # Spark's CORRECTED-mode parser rejects day-name tokens (EEE) on
+            # the PARSE side — the weekday is redundant for the instant, so
+            # strip it from both the pattern and the input (ctime-style %c)
+            java = java.replace("EEE ", "").replace("EEE", "")
+            parent = self._e
+
+            def _strip(ctx):
+                c = parent._resolve(ctx)
+                return F.regexp_replace(
+                    F.regexp_replace(c, r"^[A-Za-z]{3}\s+", ""), r"\s+", " "
+                )
+
+            self = StringNamespace(Expr(_strip, parent._name))
         key = dtype if isinstance(dtype, str) else getattr(dtype, "__name__", str(dtype))
         # no explicit format: polars INFERS — try ISO first, then the
         # common separators (all JVM-side try_* forms, first hit wins)
@@ -1514,6 +1528,13 @@ class ListNamespace(_NS):
         s = 0 if seed is None else int(seed)
         e = self._e
 
+        def _n_col(ctx) -> Column:
+            if isinstance(n, Expr):
+                return n._resolve(ctx).cast("int")
+            if isinstance(n, str):
+                return F.col(n).cast("int")
+            return F.lit(int(n))
+
         if with_replacement:
             # deterministic draws WITH replacement: draw i picks the
             # element at xxhash64(list, i, seed) mod len — seeded, engine
@@ -1522,7 +1543,7 @@ class ListNamespace(_NS):
                 c = e._resolve(ctx)
                 sz = F.size(c)
                 cnt = (
-                    F.lit(int(n))
+                    _n_col(ctx)
                     if n is not None
                     else F.ceil(sz * F.lit(float(fraction))).cast("int")
                 )
@@ -1547,7 +1568,7 @@ class ListNamespace(_NS):
                 ),
             )
             if n is not None:
-                k = F.least(F.lit(int(n)), F.size(c))
+                k = F.least(_n_col(ctx), F.size(c))
             else:
                 k = F.ceil(F.size(c) * F.lit(float(fraction))).cast("int")
             chosen = F.slice(F.array_sort(pairs), 1, k)
@@ -2120,11 +2141,17 @@ class ExprNameNamespace:
 
     def replace(self, pattern: str, value: str, *, literal: bool = False) -> Expr:
         """Regex (or literal) rename of the output name (reference
-        expr/name.py replace)."""
+        expr/name.py replace).  Backreferences use the Rust-regex ``$1`` /
+        ``${name}`` forms, translated to Python's ``\\1`` / ``\\g<name>``."""
         import re as _re
 
         name = self._e._name
-        new = name.replace(pattern, value) if literal else _re.sub(pattern, value, name)
+        if literal:
+            new = name.replace(pattern, value)
+        else:
+            repl = _re.sub(r"\$\{(\w+)\}", r"\\g<\1>", value)
+            repl = _re.sub(r"\$(\d+)", r"\\\1", repl)
+            new = _re.sub(pattern, repl, name)
         return self._e.alias(new)
 
     # struct FIELD renames through the name namespace (reference keeps both

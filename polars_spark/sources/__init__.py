@@ -215,6 +215,9 @@ def scan_csv(
         cols = [columns] if isinstance(columns, str) else list(columns)
         lf = LazyFrame(lf._df.select(*cols, *[c for c in lf._df.columns if c.startswith("__") and c not in cols]), lf._order)
     if schema_overrides:
+        if isinstance(schema_overrides, (list, tuple)):
+            # positional form (reference scan_csv): dtypes in column order
+            schema_overrides = dict(zip(lf.columns, schema_overrides))
         lf = lf.cast(dict(schema_overrides))
     if row_index_name:
         lf = lf.with_row_index(row_index_name, row_index_offset)
@@ -294,13 +297,36 @@ def read_ndjson(source, **kw) -> LazyFrame:
     return scan_ndjson(source, **kw)
 
 
-def read_json(source, *, schema: str | None = None, spark: SparkSession | None = None) -> LazyFrame:
-    """Standard (multi-line) JSON documents, one record or an array per file."""
+def read_json(source, *, schema=None, schema_overrides=None, spark: SparkSession | None = None, **_compat) -> LazyFrame:
+    """Standard (multi-line) JSON documents, one record or an array per
+    file.  Accepts paths, bytes/str payloads, or file-like objects (spooled
+    to a temp file so Spark's native reader still runs); ``schema`` may be
+    a DDL string or a {name: polars-dtype} dict."""
+    import os
+    import tempfile
+
     spark = spark or _spark()
+    if hasattr(source, "read"):
+        source = source.read()
+    if isinstance(source, (bytes, bytearray, str)) and not (
+        isinstance(source, str) and os.path.exists(source)
+    ):
+        payload = source.decode("utf8") if isinstance(source, (bytes, bytearray)) else source
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        tmp.write(payload)
+        tmp.close()
+        source = tmp.name
     r = spark.read.option("multiLine", True)
+    if isinstance(schema, dict):
+        from polars_spark.plans.expr import _dtype_to_spark
+
+        schema = ", ".join(f"`{k}` {_dtype_to_spark(v)}" for k, v in schema.items())
     if schema is not None:
         r = r.schema(schema)
-    return LazyFrame(r.json(source))
+    lf = LazyFrame(r.json(str(source)))
+    if schema_overrides:
+        lf = lf.cast(dict(schema_overrides))
+    return lf
 
 
 def scan_ipc(source, **kw) -> LazyFrame:
@@ -436,6 +462,10 @@ def DataFrame(
     if isinstance(data, _abc.Iterator):
         # generators of Series/rows (pl.DataFrame(s * 2 for s in ...))
         data = list(data)
+    if type(data).__module__.split(".")[0] == "numpy" and hasattr(data, "ndim"):
+        # ndarray input: 2D goes through the same orient-aware 2D-sequence
+        # path as nested lists; 1D is a single column
+        data = data.tolist() if data.ndim == 2 else list(data)
     if data is None or (isinstance(data, dict) and not data):
         # schema-only construction: an empty frame WITH the named columns
         data = {n: [] for n in (names or [])}
@@ -1021,8 +1051,22 @@ def date_range(start, end, interval: str = "1d", *, closed: str = "both", time_u
 def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", time_unit=None, time_zone=None, eager: bool = True, spark: SparkSession | None = None) -> LazyFrame:
     """time_unit/time_zone accepted for signature parity (§1.2: µs
     precision, wall-time values; the tz annotation lives on Expr.dt)."""
+    from polars_spark.plans.expr import Expr as _Expr, _to_expr
     from polars_spark.plans.frame import _duration_str
 
+    if isinstance(start, _Expr) or isinstance(end, _Expr):
+        # expression bounds (agg context: datetime_range(col.min(),
+        # col.max())) -> a per-row/per-group timestamp LIST via sequence
+        se, ee = _to_expr(start), _to_expr(end)
+
+        def fn(ctx):
+            return F.sequence(
+                se._resolve(ctx).cast("timestamp"),
+                ee._resolve(ctx).cast("timestamp"),
+                F.expr(f"INTERVAL {_duration_str(interval)}"),
+            )
+
+        return _Expr(fn, "datetime", is_agg=se._is_agg or ee._is_agg)
     spark = spark or _spark()
     seq = F.sequence(
         F.lit(str(start)).cast("timestamp"),
@@ -1038,14 +1082,25 @@ def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", ti
     return lf.to_series() if eager else lf
 
 
-def zeros(n: int, spark: SparkSession | None = None) -> LazyFrame:
+def _fill_frame(n: int, value: float, name: str, dtype, eager: bool, spark):
     spark = spark or _spark()
-    return LazyFrame(spark.range(n).select(F.lit(0.0).alias("zeros")))
+    c = F.lit(value)
+    if dtype is not None:
+        from polars_spark.plans.expr import _dtype_to_spark
+
+        c = c.cast(_dtype_to_spark(dtype))
+    lf = LazyFrame(spark.range(n).select(c.alias(name)))
+    return lf.to_series() if eager else lf
 
 
-def ones(n: int, spark: SparkSession | None = None) -> LazyFrame:
-    spark = spark or _spark()
-    return LazyFrame(spark.range(n).select(F.lit(1.0).alias("ones")))
+def zeros(n: int, dtype=None, *, eager: bool = False, spark: SparkSession | None = None):
+    """n zeros (reference functions/repeat.py zeros): Float64 unless dtype."""
+    return _fill_frame(n, 0.0, "zeros", dtype, eager, spark)
+
+
+def ones(n: int, dtype=None, *, eager: bool = False, spark: SparkSession | None = None):
+    """n ones (reference functions/repeat.py ones): Float64 unless dtype."""
+    return _fill_frame(n, 1.0, "ones", dtype, eager, spark)
 
 
 def select(*exprs, spark: SparkSession | None = None, **named) -> LazyFrame:
@@ -1149,22 +1204,30 @@ def read_database_uri(query: str, uri: str, *, spark: SparkSession | None = None
     return read_database(query, uri, spark=spark, **kw)
 
 
-def scan_lines(path: str, spark: SparkSession | None = None) -> LazyFrame:
-    """Distributed line scan (reference scan_lines): spark.read.text —
-    splittable, one 'line' string column, filter/limit push down."""
+def scan_lines(path, *, name: str = "line", n_rows: int | None = None, row_index_name: str | None = None, row_index_offset: int = 0, spark: SparkSession | None = None, **_compat) -> LazyFrame:
+    """Distributed line scan (reference io/lines.py scan_lines):
+    spark.read.text — splittable, one string column, filter/limit push
+    down.  Bytes / file-like sources split driver-side (in-memory payloads
+    are driver data by definition)."""
     spark = spark or _spark()
-    return LazyFrame(spark.read.text(path).select(F.col("value").alias("line")))
-
-
-def read_lines(path, spark: SparkSession | None = None) -> LazyFrame:
-    if isinstance(path, (bytes, bytearray)):
-        # in-memory payload (reference read_lines(b"...")): split driver-side
-        spark = spark or _spark()
-        lines = path.decode("utf8").splitlines()
+    if hasattr(path, "read"):
+        path = path.read()
+    if isinstance(path, (bytes, bytearray)) or (isinstance(path, str) and "\n" in path):
+        raw = path.decode("utf8") if isinstance(path, (bytes, bytearray)) else path
         import pandas as _pd
 
-        return from_pandas(_pd.DataFrame({"lines": lines}), spark=spark)
-    return scan_lines(path, spark=spark)
+        lf = from_pandas(_pd.DataFrame({name: raw.splitlines()}), spark=spark)
+    else:
+        lf = LazyFrame(spark.read.text(str(path)).select(F.col("value").alias(name)))
+    if n_rows is not None:
+        lf = lf.limit(n_rows)
+    if row_index_name:
+        lf = lf.with_row_index(row_index_name, row_index_offset)
+    return lf
+
+
+def read_lines(path, **kw) -> LazyFrame:
+    return scan_lines(path, **kw)
 
 
 def _first_parquet_file(path: str) -> str:
@@ -1406,7 +1469,8 @@ def time_range(
         df = df.filter(F.col("literal") != e)
     if closed in ("right", "none"):
         df = df.filter(F.col("literal") != s)
-    return LazyFrame(df)
+    lf = LazyFrame(df)
+    return lf.to_series() if eager else lf
 
 
 class BatchedCsvReader:

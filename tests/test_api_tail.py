@@ -76,12 +76,12 @@ def test_time_literal_and_ranges(pl, lf):
     out = rows(f.select(pl.time(10, 30).alias("t")))
     assert out == [(ns_1030,)]
 
-    # eager time_range: hourly, both ends closed
-    tr = pl.time_range(datetime.time(0), datetime.time(3), "1h").collect()
-    hours = [v / 3_600_000_000_000 for v in tr["literal"]]
+    # eager time_range (reference: eager=True returns a Series)
+    tr = pl.time_range(datetime.time(0), datetime.time(3), "1h")
+    hours = [v / 3_600_000_000_000 for v in tr.to_list()]
     assert hours == [0.0, 1.0, 2.0, 3.0]
-    tr2 = pl.time_range(datetime.time(0), datetime.time(3), "1h", closed="left").collect()
-    assert len(tr2) == 3
+    tr2 = pl.time_range(datetime.time(0), datetime.time(3), "1h", closed="left")
+    assert len(tr2.to_list()) == 3
 
     # expression-position time_ranges
     g = lf(s=[0], e=[2 * 3_600_000_000_000])
