@@ -1609,9 +1609,39 @@ class LazyFrame:
         polars — unsupported here (no stable cheap row pairing at scale);
         use a join + expression instead."""
         if isinstance(other, LazyFrame):
+            # frame (op) frame is positional in polars.  With a DEFINED row
+            # order on both sides (sort contract or driver-ingested index)
+            # the pairing is a row-index equi-join — one co-partitioned
+            # shuffle; without one there is no stable cheap pairing at
+            # scale, so it stays an error.
+            if reverse:
+                return other._broadcast_op(self, op_name)
+            if (self._order or ROW_IDX in self._df.columns) and (
+                other._order or ROW_IDX in other._df.columns
+            ):
+                import operator as _op
+
+                op = getattr(_op, op_name)
+                li = self.with_row_index("__fpos__")._df
+                ri = other.with_row_index("__fpos__")._df
+                rcols = [c for c in ri.columns if c not in ("__fpos__", ROW_IDX)]
+                ri = ri.select("__fpos__", *[F.col(c).alias(f"__r{i}__") for i, c in enumerate(rcols)])
+                li = li.drop(ROW_IDX) if ROW_IDX in li.columns else li
+                joined = li.join(ri, "__fpos__", "inner")
+                out = joined.select(
+                    F.col("__fpos__").alias(ROW_IDX),
+                    *[
+                        op(F.col(c), F.col(f"__r{i}__")).alias(c)
+                        for i, c in enumerate(
+                            [c for c in self.columns if c != ROW_IDX]
+                        )
+                    ],
+                )
+                return LazyFrame(out, [(ROW_IDX, False)])
             raise TypeError(
                 f"frame {op_name} frame is positional in polars; on Spark, "
-                "join on a key and use column expressions instead"
+                "join on a key and use column expressions instead (or sort "
+                "both frames first to establish a row order)"
             )
         import operator
 
@@ -4096,6 +4126,10 @@ def align_frames(*frames: LazyFrame, on, how: str = "outer", select=None, descen
         aligned = spine.join(f, on=keys, how="left", coalesce=True).sort(
             keys, descending=descending
         )
+        # pin the key order into the hidden row index so a projection that
+        # drops the keys (select=) keeps the row order — and positional
+        # frame arithmetic over the aligned results stays well-defined
+        aligned = aligned.with_row_index(ROW_IDX)
         if select is not None:
             cols = [select] if isinstance(select, str) else list(select)
             out.append(aligned.select(*cols))
