@@ -719,6 +719,10 @@ class Expr:
         from polars_spark.series import Series as _S
 
         vals = values.to_list() if isinstance(values, _S) else list(values)
+        if isinstance(values, _S) and any(isinstance(v, (builtins.list, tuple)) for v in vals):
+            # a Series of LISTS is a position-aligned membership test
+            # (reference is_in(sets)): row i checks against sets[i]
+            return self._zip(_to_expr(values), lambda a, arr: F.array_contains(arr, a))
         if nulls_equal and any(v is None for v in vals):
             return self._map(lambda c: c.isin([v for v in vals if v is not None]) | c.isNull())
         return self._map(lambda c: c.isin(vals))
@@ -1320,7 +1324,10 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             prev = F.lag(c, n).over(ctx.order_window())
-            return (c - prev) / prev
+            # try_divide: a zero previous value is null (polars gives inf,
+            # but ANSI mode would ERROR the whole query — null is the
+            # documented Spark-side divide-by-zero relaxation)
+            return F.try_divide(c - prev, prev)
 
         return Expr(fn, self._name)
 
@@ -1496,7 +1503,24 @@ class Expr:
         column (polars-ops/src/series/ops/interpolation/ interpolate_by):
         fill = pv + (nv - pv) · (x - xp) / (xn - xp) with x from ``by``.
         Temporal coordinates are cast to epoch seconds for the weights."""
-        by_e = col(by) if isinstance(by, str) else by
+        import datetime as _dtm
+
+        if type(by).__name__ == "Series" and hasattr(by, "to_list"):
+            # driver-local coordinate Series: temporal values become day
+            # ordinals driver-side (the interpolation weight is invariant
+            # under affine transforms of x)
+            vals = by.to_list()
+            if vals and isinstance(vals[0], (_dtm.date, _dtm.datetime)):
+                vals = [
+                    None if v is None else (
+                        v.timestamp() if isinstance(v, _dtm.datetime) else float(v.toordinal())
+                    )
+                    for v in vals
+                ]
+            from polars_spark.series import Series as _S2
+
+            by = _S2(getattr(by, "name", "by") or "by", vals)
+        by_e = col(by) if isinstance(by, str) else _to_expr(by)
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)

@@ -124,6 +124,35 @@ class FrameSchema(dict):
         return len(self)
 
 
+class _CollectedFrame(_pd.DataFrame):
+    """The collect() result: a plain pandas DataFrame that ALSO answers the
+    polars eager accessors users chain onto collect() (to_dict(as_series=),
+    rows(), to_dicts()).  Everything pandas stays untouched."""
+
+    @property
+    def _constructor(self):
+        return _CollectedFrame
+
+    def to_dict(self, orient="dict", *args, as_series=None, **kwargs):
+        if as_series is not None:
+            cols = {c: [_py_value(v) for v in self[c].tolist()] for c in self.columns}
+            if as_series:
+                from polars_spark.series import Series
+
+                return {c: Series(c, vals) for c, vals in cols.items()}
+            return cols
+        return super().to_dict(orient, *args, **kwargs)
+
+    def rows(self, *, named: bool = False):
+        recs = [tuple(_py_value(v) for v in row) for row in self.itertuples(index=False, name=None)]
+        if named:
+            return [dict(zip(self.columns, r)) for r in recs]
+        return recs
+
+    def to_dicts(self) -> list:
+        return self.rows(named=True)
+
+
 def _py_value(v):
     """Spark collected value -> the Python value polars row APIs return:
     struct Rows become dicts, containers recurse, scalars pass through
@@ -284,7 +313,9 @@ class LazyFrame:
         if ROW_IDX in df.columns:
             df = df.drop(ROW_IDX)
         with translate_runtime_errors():
-            return df.toPandas()
+            pdf = df.toPandas()
+        pdf.__class__ = _CollectedFrame  # in-place view: no data copy
+        return pdf
 
     def _collect_rows(self) -> list:
         """Materialize as exact Python rows (frame order applied).
@@ -1000,7 +1031,7 @@ class LazyFrame:
             if not null_on_oob and len(pos):
                 # polars raises on out-of-bounds when null_on_oob=False; an
                 # inner join silently drops — detect via count
-                if res.count() != len(pos):
+                if res.height != len(pos):
                     msg = "gather indices are out of bounds"
                     raise IndexError(msg)
             # keep the requested order physically (len(pos) rows — small)
@@ -1117,12 +1148,15 @@ class LazyFrame:
         return LazyFrame(self._df.orderBy(F.rand(seed if seed is not None else 42)), [])
 
     def __len__(self) -> int:
-        return self.count()
-
-    def count(self) -> int:
-        """FastCount (FunctionIR::FastCount): parquet metadata-only count when
-        the plan is a bare scan — Catalyst does that rewrite itself."""
         return self._df.count()
+
+    def count(self) -> "LazyFrame":
+        """Per-column NON-NULL counts as a 1-row frame (reference
+        LazyFrame.count) — one partial-agg pass.  The old row-count int is
+        ``height`` / ``len()`` (FastCount: parquet metadata-only when the
+        plan is a bare scan — Catalyst does that rewrite itself)."""
+        cols = [c for c in self._df.columns if c != ROW_IDX]
+        return LazyFrame(self._df.agg(*[F.count(F.col(c)).alias(c) for c in cols]))
 
     def collect_batches(self, batch_size: int = 10_000):
         """Incremental result pull (polars collect_batches,
@@ -2231,11 +2265,11 @@ class LazyFrame:
     @property
     def height(self) -> int:
         """Row count (triggers a count job, like eager polars materializes)."""
-        return self.count()
+        return self._df.count()
 
     @property
     def shape(self) -> tuple:
-        return (self.count(), self.width)
+        return (self.height, self.width)
 
     def is_empty(self) -> bool:
         return self._df.isEmpty()
@@ -2310,7 +2344,7 @@ class LazyFrame:
     def n_unique(self, subset=None) -> int:
         if subset is None:
             return self._df.distinct().count()
-        return self.unique(subset=subset).count()
+        return self.unique(subset=subset).height
 
     def is_empty_frame(self) -> bool:
         return self.is_empty()
@@ -2419,7 +2453,7 @@ class LazyFrame:
         if isinstance(item, slice):
             start, stop, step = item.start or 0, item.stop, item.step
             if start < 0 or (stop is not None and stop < 0):
-                n = self.count()
+                n = self.height
                 if start < 0:
                     start += n
                 if stop is not None and stop < 0:

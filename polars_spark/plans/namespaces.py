@@ -182,6 +182,9 @@ def _num_arg(v):
         return v
     if isinstance(v, str):
         return _col_fn(v)
+    if type(v).__name__ == "Series" and hasattr(v, "to_list"):
+        # driver-local Series index: position-aligned literal column
+        return _to_expr(v)
     return None
 
 
@@ -835,6 +838,14 @@ class StringNamespace(_NS):
 
 
 class DateTimeNamespace(_NS):
+    def min(self) -> Expr:
+        """Earliest value (reference Series.dt.min) — a plain aggregate."""
+        return self._e.min()
+
+    def max(self) -> Expr:
+        """Latest value (reference Series.dt.max) — a plain aggregate."""
+        return self._e.max()
+
     def year(self) -> Expr:
         return self._map(F.year)
 
@@ -1529,8 +1540,8 @@ class ListNamespace(_NS):
         e = self._e
 
         def _n_col(ctx) -> Column:
-            if isinstance(n, Expr):
-                return n._resolve(ctx).cast("int")
+            if isinstance(n, Expr) or type(n).__name__ == "Series":
+                return _to_expr(n)._resolve(ctx).cast("int")
             if isinstance(n, str):
                 return F.col(n).cast("int")
             return F.lit(int(n))

@@ -274,7 +274,9 @@ class Series:
         v = self._s.iloc[0]
         return None if (v is None or (not isinstance(v, (list, tuple)) and pd.isna(v))) else v
 
-    def clip(self, lower=None, upper=None) -> "Series":
+    def clip(self, lower_bound=None, upper_bound=None, *, lower=None, upper=None) -> "Series":
+        lower = lower_bound if lower_bound is not None else lower
+        upper = upper_bound if upper_bound is not None else upper
         return self._wrap(self._s.clip(lower, upper))
 
     def alias(self, name: str) -> "Series":
@@ -523,7 +525,15 @@ class Series:
                 rows.append((f"{int(p*100)}%", float(self._s.quantile(p)) if self._s.notna().any() else None))
             rows.append(("max", self.max()))
         else:
-            rows += [("min", self.min()), ("max", self.max())]
+            # non-numeric: the value column is STRING-typed (reference
+            # describe on str/bool series) — stringify the counts too
+            nn = self._s.dropna()
+            rows = [(k, None if v is None else str(int(v))) for k, v in rows]
+            rows += [
+                ("min", None if nn.empty else nn.min()),
+                ("max", None if nn.empty else nn.max()),
+            ]
+            rows = [(k, None if v is None else str(v)) for k, v in rows]
         import polars_spark as pl
 
         return pl.DataFrame(
@@ -597,9 +607,21 @@ class _SeriesExprNS:
     def __getattr__(self, method: str):
         def call(*args, **kwargs):
             e = getattr(self._series._as_expr(), self._ns)
-            return self._series._run_expr(getattr(e, method)(*args, **kwargs))
+            out = getattr(e, method)(*args, **kwargs)
+            res = self._series._run_expr(out)
+            if getattr(out, "_is_agg", False) and hasattr(res, "to_list"):
+                # aggregate results (s.dt.min()) are SCALARS on a Series
+                vals = res.to_list()
+                return vals[0] if vals else None
+            return res
 
         return call
+
+    def __getitem__(self, item):
+        """Subscript namespaces (s.struct["field"] / s.struct[0]) route to
+        the Expr namespace's own __getitem__."""
+        e = getattr(self._series._as_expr(), self._ns)
+        return self._series._run_expr(e[item])
 
 
 def _series_getattr(self, name: str):

@@ -95,7 +95,10 @@ def test_collect_batches(pl, lf):
 
 
 def test_fast_count(pl, lf):
-    assert lf(x=[1, 2, 3]).count() == 3
+    f = lf(x=[1, 2, 3])
+    assert f.height == 3
+    # reference count(): 1-row frame of per-column non-null counts
+    assert f.count().collect()["x"].tolist() == [3]
 
 
 def test_expr_map_batches_elements(pl, lf):

@@ -324,10 +324,15 @@ class TestRound7Fidelity:
         assert (f * 2).select(pl.col("x").cum_sum().alias("c")).collect()[
             "c"
         ].tolist() == [2, 6]
+        # frame * frame: positional over ordered (driver-ingested) frames
+        ff = (f * f).collect()
+        assert ff["x"].tolist() == [1, 4] and ff["y"].tolist() == [4.0, 9.0]
         import pytest
 
+        # no row order on either side -> still the documented error
+        g1 = pl.LazyFrame(f.to_spark())  # raw Spark frame: no order contract
         with pytest.raises(TypeError, match="positional"):
-            f * f
+            g1 * g1
 
     def test_nan_distinct_from_null_in_constructor(self, pl):
         import math
