@@ -454,3 +454,50 @@ def rel_broadcast_agg(spark, sf_dir):
     sdf = sdf.withColumn("share", F.floor(F.col("share") * 1e9 + 0.5) / 1e9)
     sdf = sdf.withColumn("flag_rev", F.col("flag_rev").cast("double"))
     return sdf
+
+
+@query(
+    "rel_count_columns",
+    # reference LazyFrame.count(): a 1-row frame of per-column NON-NULL
+    # counts — one partial-agg pass, map-side combine
+    oracle="""
+    SELECT CAST(count(o_orderkey) AS BIGINT)     AS o_orderkey,
+           CAST(count(o_orderstatus) AS BIGINT)  AS o_orderstatus,
+           CAST(count(o_orderdate) AS BIGINT)    AS o_orderdate
+    FROM orders
+    """,
+)
+def rel_count_columns(spark, sf_dir):
+    o = ltable(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
+    return o.count().to_spark()
+
+
+@query(
+    "rel_frame_positional_mul",
+    # positional frame-frame arithmetic over ordered frames: both sides are
+    # key-sorted (nationkey), the product pairs row i with row i — the
+    # oracle replays the pairing with ROW_NUMBER-joined sorted subqueries
+    oracle="""
+    WITH a AS (SELECT n_nationkey AS k, n_regionkey AS r,
+                      row_number() OVER (ORDER BY n_nationkey) AS rn
+               FROM nation),
+         b AS (SELECT n_nationkey AS k, n_regionkey AS r,
+                      row_number() OVER (ORDER BY n_nationkey DESC) AS rn
+               FROM nation)
+    SELECT CAST(a.k * b.k AS BIGINT) AS k, CAST(a.r * b.r AS BIGINT) AS r
+    FROM a JOIN b USING (rn) ORDER BY rn
+    """,
+)
+def rel_frame_positional_mul(spark, sf_dir):
+    n1 = (
+        ltable(spark, sf_dir, "nation")
+        .select(pl.col("n_nationkey").alias("k"), pl.col("n_regionkey").alias("r"))
+        .sort("k")
+    )
+    n2 = (
+        ltable(spark, sf_dir, "nation")
+        .select(pl.col("n_nationkey").alias("k"), pl.col("n_regionkey").alias("r"))
+        .sort("k", descending=True)
+    )
+    out = n1 * n2
+    return out.to_spark()
