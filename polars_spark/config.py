@@ -76,6 +76,12 @@ class Config(metaclass=_ConfigMeta):
         _state.update(self._saved)
         return False
 
+    def __getattr__(self, name: str):
+        # instance-level setters (with pl.Config() as cfg: cfg.set_verbose(True))
+        if name.startswith(("set_", "unset_")):
+            return getattr(type(self), name)
+        raise AttributeError(name)
+
     def __call__(self, fn):
         import functools
 
@@ -94,8 +100,38 @@ class Config(metaclass=_ConfigMeta):
         return wrapper
 
     @classmethod
-    def state(cls) -> dict:
+    def state(cls, *, if_set: bool = False, env_only: bool = False) -> dict:
+        if env_only:
+            return {}
+        if if_set:
+            return {k: v for k, v in _state.items() if _DEFAULTS.get(k, None) != v}
         return dict(_state)
+
+    @classmethod
+    def save(cls) -> str:
+        """The current option state as a JSON string (reference
+        Config.save) — round-trips through Config.load."""
+        import json
+
+        return json.dumps({"environment": {}, "direct": dict(_state)})
+
+    @classmethod
+    def save_to_file(cls, file) -> None:
+        with open(file, "w", encoding="utf8") as f:
+            f.write(cls.save())
+
+    @classmethod
+    def load(cls, cfg: str):
+        import json
+
+        data = json.loads(cfg)
+        _state.update(data.get("direct", data) or {})
+        return cls
+
+    @classmethod
+    def load_from_file(cls, file):
+        with open(file, encoding="utf8") as f:
+            return cls.load(f.read())
 
     @classmethod
     def restore_defaults(cls):

@@ -3545,6 +3545,12 @@ def _col_ref(name: str):
 
 
 def _col_fn(*names) -> Expr:
+    if names and all(type(n).__name__ == "_DtypeStr" for n in names):
+        # schema VALUES (spark type strings off lf.schema.dtypes()) select
+        # by dtype, like passing the polars dtype classes
+        from polars_spark import selectors as cs
+
+        return cs.by_dtype(*[str(n) for n in names])
     if len(names) == 1 and isinstance(names[0], str):
         name = names[0]
         if name == "*":
@@ -3945,6 +3951,11 @@ class DataTypeClass(type):
             return isinstance(other, cls)
         return NotImplemented
 
+    def __arrow_c_schema__(cls):
+        # pa.field()/pa.schema() accept Arrow-C-exportable type objects —
+        # lets pa.schema(pl.Schema({...})) consume bare dtype CLASSES
+        return _dt_to_arrow(cls).__arrow_c_schema__()
+
     def __ne__(cls, other) -> bool:
         r = cls.__eq__(other)
         return NotImplemented if r is NotImplemented else not r
@@ -4070,6 +4081,9 @@ class DataType(metaclass=DataTypeClass):
         except KeyError:
             msg = f"cannot infer dtype from {py_type!r}"
             raise TypeError(msg) from None
+
+    def __arrow_c_schema__(self):
+        return _dt_to_arrow(self).__arrow_c_schema__()
 
     def _params(self) -> tuple:
         return tuple(sorted(self.__dict__.items(), key=lambda kv: kv[0]))
@@ -4251,10 +4265,23 @@ class Decimal(DataType):
 class Schema(dict):
     """Ordered name -> dtype mapping (reference polars-schema schema.rs:13
     — python Schema class).  dict preserves insertion order, matching the
-    reference's IndexMap."""
+    reference's IndexMap.  Accepts mappings, (name, dtype) pair iterables,
+    and Arrow-exportable schemas (pa.Schema); exports back via to_arrow /
+    __arrow_c_schema__ so ``pa.schema(pl.Schema(...))`` round-trips."""
 
-    def __init__(self, mapping=None, **named):
+    def __init__(self, mapping=None, *, check_dtypes: bool = True, **named):
         super().__init__()
+        if mapping is not None and hasattr(mapping, "__arrow_c_schema__") and not isinstance(mapping, Schema):
+            import pyarrow as pa
+
+            from polars_spark.plans.datatype_expr import _spark_to_polars
+
+            from pyspark.sql.pandas.types import from_arrow_type
+
+            mapping = {
+                f.name: _spark_to_polars(from_arrow_type(f.type))
+                for f in pa.schema(mapping)
+            }
         for k, v in {**(dict(mapping) if mapping else {}), **named}.items():
             self[k] = v
 
@@ -4269,6 +4296,79 @@ class Schema(dict):
 
     def to_ddl(self) -> str:
         return ", ".join(f"`{k}` {_dtype_to_spark(v)}" for k, v in self.items())
+
+    def contains_dtype(self, dtype, *, recursive: bool = False) -> bool:
+        """Whether the schema contains the dtype (reference schema.py:304);
+        recursive=True also searches inside List/Array/Struct."""
+        if not recursive:
+            return any(_dt_eq(dt, dtype) for dt in self.values())
+        return any(_dt_eq(dt, dtype) for dt in unpack_dtypes(*self.values(), include_compound=True))
+
+    def to_frame(self, *, eager: bool = True):
+        """An empty frame with this schema (reference schema.py:245)."""
+        from polars_spark.sources import DataFrame as _build
+
+        return _build(schema=dict(self))
+
+    def to_python(self) -> dict:
+        """{name: python type} (reference schema.py:286)."""
+        return {name: _dt_to_python_type(tp) for name, tp in self.items()}
+
+    def base_types(self) -> dict:
+        return {name: tp.base_type() if hasattr(tp, "base_type") else tp for name, tp in self.items()}
+
+    def to_arrow(self, *, compat_level=None):
+        """pyarrow.Schema export — a direct driver-side type map (no JVM)."""
+        import pyarrow as pa
+
+        return pa.schema([pa.field(k, _dt_to_arrow(v)) for k, v in self.items()])
+
+    def __arrow_c_schema__(self):
+        return self.to_arrow().__arrow_c_schema__()
+
+
+def _dt_eq(a, b) -> bool:
+    """Dtype equality across class/instance forms (Int64 vs Int64())."""
+    if isinstance(a, type) and isinstance(b, type):
+        return a is b
+    if isinstance(a, type):
+        a = a()
+    if isinstance(b, type):
+        b = b()
+    try:
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def _dt_to_arrow(tp):
+    """polars dtype (class or instance) -> pyarrow type, driver-side."""
+    import pyarrow as pa
+
+    name = tp.__name__ if isinstance(tp, type) else type(tp).__name__
+    simple = {
+        "Int8": pa.int8(), "Int16": pa.int16(), "Int32": pa.int32(), "Int64": pa.int64(),
+        "UInt8": pa.uint8(), "UInt16": pa.uint16(), "UInt32": pa.uint32(), "UInt64": pa.uint64(),
+        "Float32": pa.float32(), "Float64": pa.float64(), "Boolean": pa.bool_(),
+        "String": pa.large_string(), "Utf8": pa.large_string(), "Binary": pa.large_binary(),
+        "Date": pa.date32(), "Datetime": pa.timestamp("us"), "Time": pa.time64("ns"),
+        "Duration": pa.duration("us"), "Null": pa.null(), "Categorical": pa.large_string(),
+        "Enum": pa.large_string(),
+    }
+    if name in simple:
+        return simple[name]
+    if name in ("List", "Array") and not isinstance(tp, type):
+        return pa.large_list(_dt_to_arrow(tp.inner))
+    if name == "Struct" and not isinstance(tp, type):
+        return pa.struct([pa.field(f.name, _dt_to_arrow(f.dtype)) for f in tp.fields])
+    if name == "Decimal" and not isinstance(tp, type):
+        return pa.decimal128(tp.precision or 38, tp.scale or 0)
+    return pa.large_string()
+
+
+def _dt_to_python_type(tp):
+    v = tp.to_python() if hasattr(tp, "to_python") else None
+    return v if isinstance(v, type) else type(v) if v is not None else object
 
 
 def unpack_dtypes(*dtypes, include_compound: bool = False) -> set:
@@ -4334,6 +4434,11 @@ def _dtype_to_spark(dtype) -> str:
         key = dtype
     elif hasattr(dtype, "__name__"):
         key = dtype.__name__
+    elif isinstance(dtype, DataType) and type(dtype).__name__ in _DTYPE_MAP:
+        # simple dtype INSTANCES (pl.Int32()): their repr is "Int32()",
+        # not a DDL string — map by class name (parametric instances
+        # stringify to their Spark DDL below)
+        key = type(dtype).__name__
     else:
         key = str(dtype)
     if key in _DTYPE_MAP:

@@ -172,8 +172,11 @@ class LazyFrame:
     """Lazy, Spark-backed polars frame.  All methods return new frames."""
 
     def __init__(self, df: SparkDF = None, order: list | None = None, *,
-                 schema=None, schema_overrides=None, orient=None, strict=True,
-                 nan_to_null=False, **named):
+                 data=None, schema=None, schema_overrides=None, orient=None,
+                 strict=True, nan_to_null=False, **named):
+        if df is None and data is not None:
+            # reference keyword form: pl.LazyFrame(data={...}, schema=...)
+            df = data
         if df is None or isinstance(df, (dict, list, tuple)) or (
             df is not None
             and type(df).__module__.split(".")[0] in ("pandas", "numpy")
@@ -480,6 +483,7 @@ class LazyFrame:
             for nm, s in attach:
                 base = base._attach_series(nm, s)
             return base.select(*rest, *[nm for nm, _ in attach], **named_rest)
+        exprs, named = rest, named_rest  # generators were consumed by the split
         flat = [e for e in _flatten(exprs)]
         if (
             len(flat) == 1
@@ -583,6 +587,7 @@ class LazyFrame:
             for nm, s in attach:
                 base = base._attach_series(nm, s)
             return base.with_columns(*rest, **named_rest) if (rest or named_rest) else base
+        exprs, named = rest, named_rest  # generators were consumed by the split
         with translate_errors():
 
             def _build(broadcast_aggs: bool):
@@ -4029,9 +4034,11 @@ def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool =
 
 
 def _flatten(items) -> list:
+    import types as _types
+
     out = []
     for it in items:
-        if isinstance(it, (list, tuple, set)):
+        if isinstance(it, (list, tuple, set, _types.GeneratorType)):
             out.extend(_flatten(it))
         elif it is not None:
             out.append(it)

@@ -363,6 +363,13 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
     arrives via scans), so the index column costs nothing at scale."""
     from polars_spark.plans.frame import ROW_IDX
 
+    import pandas as _pd_mod
+
+    if isinstance(pdf, _pd_mod.Series):
+        # reference from_pandas(pd.Series) -> polars Series
+        from polars_spark.series import Series as _S
+
+        return _S(pdf.name or "", [None if v != v else v for v in pdf.tolist()])
     spark = spark or _spark()
     if len(pdf) == 0:
         # empty frames cannot schema-infer; build the schema from the
@@ -761,7 +768,7 @@ def _arrow_to_spark_ddl(t) -> str:
     return "string"
 
 
-def from_arrow(data, *, spark: SparkSession | None = None) -> LazyFrame:
+def from_arrow(data, schema=None, *, schema_overrides=None, spark: SparkSession | None = None) -> LazyFrame:
     """polars from_arrow: accept a pyarrow Table/RecordBatch or ANY object
     implementing the Arrow C stream protocol (``__arrow_c_stream__``) —
     polars frames, duckdb results, nanoarrow streams.  Driver-side bridge
@@ -769,11 +776,24 @@ def from_arrow(data, *, spark: SparkSession | None = None) -> LazyFrame:
     import pyarrow as pa
 
     spark = spark or _spark()
+    if isinstance(data, (pa.Array, pa.ChunkedArray)):
+        # a bare arrow array is a SERIES in the reference
+        from polars_spark.series import Series as _S
+
+        s = _S("", data.to_pylist())
+        if isinstance(schema, dict):
+            name = next(iter(schema))
+            return _S(name, s.to_list())
+        return s
     if not isinstance(data, (pa.Table, pa.RecordBatch)):
         data = pa.table(data)  # consumes __arrow_c_stream__ / __arrow_c_array__
     if isinstance(data, pa.RecordBatch):
         data = pa.Table.from_batches([data])
-    return LazyFrame(spark.createDataFrame(data.to_pandas()))
+    lf = LazyFrame(spark.createDataFrame(data.to_pandas()))
+    lf = _apply_schema_arg(lf, schema)
+    if schema_overrides:
+        lf = lf.cast(dict(schema_overrides))
+    return lf
 
 
 def read_excel(source, *, sheet_name=0, spark: SparkSession | None = None) -> LazyFrame:
@@ -869,30 +889,78 @@ def from_dict(data: dict, spark: SparkSession | None = None) -> LazyFrame:
     return from_pandas(pd.DataFrame(data), spark=spark)
 
 
-def from_dicts(rows, spark: SparkSession | None = None) -> LazyFrame:
+def _apply_schema_arg(lf: LazyFrame, schema) -> LazyFrame:
+    """Post-construction ``schema=`` handling shared by the from_* family:
+    a dict {name: dtype} casts (and reorders to the dict order); a name
+    list renames positionally."""
+    if schema is None:
+        return lf
+    if isinstance(schema, dict):
+        lf = lf.cast({k: v for k, v in schema.items() if k in lf.columns})
+        return lf.select(*[k for k in schema if k in lf.columns])
+    names = list(schema)
+    if len(names) > len(lf.columns):
+        # a LONGER schema than the data names adds missing columns as null
+        from polars_spark.plans.expr import lit as _lit
+
+        lf = lf.rename(dict(zip(lf.columns, names)))
+        return lf.with_columns(*[_lit(None).alias(n) for n in names[len(lf.columns):]]).select(*names)
+    return lf.rename(dict(zip(lf.columns, names)))
+
+
+def from_dicts(rows, schema=None, *, schema_overrides=None, spark: SparkSession | None = None) -> LazyFrame:
     import pandas as pd
 
-    return from_pandas(pd.DataFrame(list(rows)), spark=spark)
+    lf = from_pandas(pd.DataFrame(list(rows)), spark=spark)
+    lf = _apply_schema_arg(lf, schema)
+    if schema_overrides:
+        lf = lf.cast(dict(schema_overrides))
+    return lf
 
 
-def from_records(data, *, schema=None, orient: str | None = None, spark: SparkSession | None = None) -> LazyFrame:
+def from_records(data, schema=None, *, schema_overrides=None, orient: str | None = None, spark: SparkSession | None = None) -> LazyFrame:
     """polars from_records: row-major by default (list of row tuples);
-    pass orient='col' for column-major lists."""
+    orient='col' (or an unambiguous schema-length match) is column-major."""
     import pandas as pd
 
+    names = list(schema) if schema is not None and not isinstance(schema, dict) else None
+    if orient is None and names is not None and isinstance(data, (list, tuple)) and data:
+        # polars orientation inference: schema length matching the OUTER
+        # length (and not the inner) means the outer lists are columns
+        inner = len(data[0]) if hasattr(data[0], "__len__") else None
+        if len(names) == len(data) and inner is not None and inner != len(names):
+            orient = "col"
     if orient == "col":
-        cols = schema or [f"column_{i}" for i in range(len(data))]
-        return from_pandas(pd.DataFrame(dict(zip(cols, data))), spark=spark)
-    return from_pandas(pd.DataFrame(list(data), columns=schema), spark=spark)
+        cols = names or [f"column_{i}" for i in range(len(data))]
+        lf = from_pandas(pd.DataFrame(dict(zip(cols, data))), spark=spark)
+    else:
+        lf = from_pandas(pd.DataFrame(list(data), columns=names), spark=spark)
+    if isinstance(schema, dict):
+        lf = _apply_schema_arg(lf, schema)
+    if schema_overrides:
+        lf = lf.cast(dict(schema_overrides))
+    return lf
 
 
-def from_numpy(arr, *, schema=None, spark: SparkSession | None = None) -> LazyFrame:
+def from_numpy(arr, schema=None, *, schema_overrides=None, orient: str | None = None, spark: SparkSession | None = None) -> LazyFrame:
     import pandas as pd
 
-    cols = schema or [f"column_{i}" for i in range(arr.shape[1] if arr.ndim > 1 else 1)]
     if arr.ndim == 1:
         arr = arr.reshape(-1, 1)
-    return from_pandas(pd.DataFrame(arr, columns=cols), spark=spark)
+    if orient == "col" or (
+        orient is None and schema is not None and not isinstance(schema, dict)
+        and len(list(schema)) == arr.shape[0] != arr.shape[1]
+    ):
+        arr = arr.T
+    names = list(schema) if schema is not None and not isinstance(schema, dict) else (
+        list(schema.keys()) if isinstance(schema, dict) else [f"column_{i}" for i in range(arr.shape[1])]
+    )
+    lf = from_pandas(pd.DataFrame(arr, columns=names), spark=spark)
+    if isinstance(schema, dict):
+        lf = lf.cast(schema)
+    if schema_overrides:
+        lf = lf.cast(dict(schema_overrides))
+    return lf
 
 
 def int_range(
@@ -1277,12 +1345,14 @@ def read_ipc_schema(path: str) -> dict:
         return {f.name: str(f.type) for f in r.schema}
 
 
-def json_normalize(data, *, separator: str = ".", spark: SparkSession | None = None) -> LazyFrame:
+def json_normalize(data, *, separator: str = ".", max_level: int | None = None, schema=None, strict: bool = True, infer_schema_length=None, encoder=None, spark: SparkSession | None = None) -> LazyFrame:
     """Flatten nested dicts/lists of dicts into columns (pandas
-    json_normalize bridge, then distributed)."""
+    json_normalize bridge, then distributed).  ``max_level`` bounds the
+    flattening depth like the reference."""
     import pandas as pd
 
-    return from_pandas(pd.json_normalize(data, sep=separator), spark=spark)
+    lf = from_pandas(pd.json_normalize(data, sep=separator, max_level=max_level), spark=spark)
+    return _apply_schema_arg(lf, schema)
 
 
 def from_dataframe(df, *, spark: SparkSession | None = None) -> LazyFrame:
@@ -1383,6 +1453,32 @@ def from_repr(text: str, spark: SparkSession | None = None) -> LazyFrame:
 
     import pandas as pd
 
+    m = _re.search(r"Series:\s*'([^']*)'\s*\[(\w+)\]", text)
+    if m and "│" not in text:
+        # Series repr form: name/dtype header + one bracketed value list
+        name, dt = m.group(1), m.group(2)
+        body = text[m.end():]
+        b0, b1 = body.find("["), body.rfind("]")
+        vals = [v.strip().strip('"') for v in body[b0 + 1:b1].splitlines() if v.strip()]
+
+        def sconv(v: str):
+            if v in ("null", ""):
+                return None
+            if dt.startswith(("i", "u")):
+                return int(v)
+            if dt.startswith("f"):
+                return float(v)
+            if dt == "bool":
+                return v == "true"
+            if dt == "date":
+                import datetime as _dtm
+
+                return _dtm.date.fromisoformat(v)
+            return v
+
+        from polars_spark.series import Series as _S
+
+        return _S(name, [sconv(v) for v in vals])
     norm = text.replace("┆", "│")
     lines = [ln for ln in norm.splitlines() if "│" in ln or "|" in ln]
     if not lines:

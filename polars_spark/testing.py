@@ -19,6 +19,7 @@ import pandas as pd
 __all__ = [
     "assert_frame_equal",
     "assert_frame_not_equal",
+    "assert_schema_equal",
     "assert_series_equal",
     "assert_series_not_equal",
 ]
@@ -172,3 +173,24 @@ def assert_series_not_equal(left, right, **kwargs) -> None:
     except AssertionError:
         return
     raise AssertionError("series are equal (expected not equal)")
+
+
+def assert_schema_equal(left, right, *, check_column_order: bool = True, check_dtypes: bool = True) -> None:
+    """Assert two schemas are equal (reference testing/asserts/schema.py).
+    Accepts Schema/dict mappings; detailed AssertionError on mismatch."""
+    ln, rn = list(left.keys()), list(right.keys())
+    if check_column_order:
+        if ln != rn:
+            msg = f"schemas have different column order:\n[left]: {ln}\n[right]: {rn}"
+            raise AssertionError(msg)
+    elif sorted(ln) != sorted(rn):
+        msg = f"schemas have different columns:\n[left]: {sorted(ln)}\n[right]: {sorted(rn)}"
+        raise AssertionError(msg)
+    if check_dtypes:
+        for k in ln:
+            if str(left[k]) != str(right[k]):
+                msg = (
+                    f"schemas have different dtypes for column {k!r}:"
+                    f"\n[left]: {left[k]}\n[right]: {right[k]}"
+                )
+                raise AssertionError(msg)
