@@ -297,9 +297,12 @@ class DataTypeExpr:
 
     # -- Expr-producing methods ----------------------------------------------
     def display(self) -> Expr:
-        """Formatted dtype name as a string column (one literal per row)."""
+        """Formatted dtype name — a LENGTH-1 (scalar) result like the
+        reference, so a select of displays gives one row."""
         return Expr(
-            lambda ctx: F.lit(_polars_name(self._resolve_dtype(ctx))), "dtype"
+            lambda ctx: F.first(F.lit(_polars_name(self._resolve_dtype(ctx)))),
+            "dtype",
+            is_agg=True,
         )
 
     def matches(self, selector) -> Expr:

@@ -531,7 +531,24 @@ def DataFrame(
                     return pd.array(v, dtype="boolean")
             return v
 
-        data = {k: _nullable_ingest(v) for k, v in data.items()}
+        def _objectify(v):
+            # polars Object columns hold arbitrary python values; Spark has
+            # no object type, so non-ingestable values ride as their str()
+            # (documented §1.2 Object mapping — display-faithful)
+            import datetime as _dtm
+            import decimal as _dec
+
+            ok_types = (bool, int, float, str, bytes, _dtm.date, _dtm.time,
+                        _dtm.timedelta, _dec.Decimal, list, tuple, dict)
+            if (
+                isinstance(v, (list, tuple))
+                and any(x is not None and not isinstance(x, ok_types)
+                        and type(x).__module__ not in ("numpy", "pandas") for x in v)
+            ):
+                return [None if x is None else str(x) for x in v]
+            return v
+
+        data = {k: _nullable_ingest(_objectify(v)) for k, v in data.items()}
     pdf = pd.DataFrame(data)
     if names and len(names) == len(pdf.columns):
         pdf.columns = names
