@@ -1883,22 +1883,32 @@ class LazyFrame:
         with the already-resolved schema."""
         return function(self, self.collect_schema())
 
-    def serialize(self, file=None, *, format: str = "json"):
-        """Serialize the logical plan (reference: py-polars
-        lazyframe/frame.py serialize).
+    def serialize(self, file=None, *, format: str = "binary"):
+        """Serialize the frame (reference: py-polars lazyframe/frame.py
+        serialize).
 
-        The Spark-side equivalent of polars' DSL-plan dump is the resolved
-        Catalyst logical plan, which Spark can emit as JSON — useful for
-        plan diffing, auditing and shipping to diagnostics.  Like polars,
-        the output is NOT stable across engine versions.  Spark exposes no
-        public API to REBUILD a DataFrame from that JSON, so
-        ``deserialize`` is not supported — reconstruct plans from the API
-        or a SQL string instead."""
+        ``format='binary'`` (the reference default) is ROUND-TRIPPABLE:
+        Catalyst cannot adopt a foreign logical plan, so the faithful
+        Spark-side payload is the frame's result spec — schema + rows —
+        pickled (the plan executes at serialize time; laziness is not
+        preserved across the boundary, documented).  ``format='json'``
+        emits the resolved Catalyst logical plan as JSON — useful for plan
+        diffing and diagnostics, NOT reconstructable (like polars, neither
+        form is stable across engine versions)."""
         if format not in ("json", "binary"):
             raise ValueError("format must be 'json' or 'binary'")
-        payload = self._df._jdf.queryExecution().logical().toJSON()
         if format == "binary":
-            payload = payload.encode()
+            import pickle
+
+            payload = pickle.dumps(
+                {
+                    "__polars_spark_frame__": 1,
+                    "ddl": ", ".join(f"`{c}` {t}" for c, t in self.schema.items()),
+                    "rows": self.rows(),
+                }
+            )
+        else:
+            payload = self._df._jdf.queryExecution().logical().toJSON()
         if file is None:
             return payload
         if hasattr(file, "write"):
@@ -1910,15 +1920,36 @@ class LazyFrame:
         return None
 
     @classmethod
-    def deserialize(cls, source, *, format: str = "json"):
-        """Not supported on the Spark backend: Catalyst has no public
-        plan-from-JSON constructor (SparkSession cannot adopt a foreign
-        logical plan).  Rebuild the plan via the API or ``pl.sql``."""
-        raise NotImplementedError(
-            "LazyFrame.deserialize: Spark has no public API to reconstruct "
-            "a DataFrame from a serialized logical plan; rebuild via the "
-            "polars_spark API or pl.sql(...)"
-        )
+    def deserialize(cls, source, *, format: str = "binary"):
+        """Rebuild a frame from ``serialize(format='binary')`` output
+        (bytes, a file-like, or a path).  JSON plans are diagnostics only:
+        Catalyst has no public plan-from-JSON constructor, so that form
+        still raises the documented error."""
+        import os
+        import pickle
+
+        if hasattr(source, "read"):
+            source = source.read()
+        if isinstance(source, str):
+            if os.path.exists(source):
+                with open(source, "rb") as fh:
+                    source = fh.read()
+            else:
+                # a JSON plan string: diagnostics-only, not reconstructable
+                raise NotImplementedError(
+                    "LazyFrame.deserialize: Spark has no public API to "
+                    "reconstruct a DataFrame from a serialized JSON logical "
+                    "plan; use serialize(format='binary') for round-trips"
+                )
+        data = pickle.loads(source)
+        if not isinstance(data, dict) or "__polars_spark_frame__" not in data:
+            raise ValueError("deserialize: not a polars_spark binary frame payload")
+        from polars_spark.session import get_spark
+
+        spark = get_spark()
+        sdf = spark.createDataFrame(data["rows"] or [], schema=data["ddl"])
+        out = LazyFrame(sdf)
+        return LazyFrame(out.with_row_index(ROW_IDX)._df, [(ROW_IDX, False)])
 
     def execute(self, *, optimizations=None, engine="auto", **_kwargs):
         """Execute into a QueryResult (reference lazyframe/frame.py

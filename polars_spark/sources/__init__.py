@@ -1719,3 +1719,13 @@ class Catalog:
 
     def drop_table(self, name: str) -> None:
         self._spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def _dataframe_deserialize(source, *, format: str = "binary") -> LazyFrame:
+    """pl.DataFrame.deserialize — same payload as LazyFrame.deserialize."""
+    return LazyFrame.deserialize(source, format=format)
+
+
+# the eager constructor is a function; give it the classmethod surface the
+# reference exposes on the DataFrame class
+DataFrame.deserialize = _dataframe_deserialize

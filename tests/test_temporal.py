@@ -207,15 +207,22 @@ class TestPipeWithSchemaAndSerialize:
 
     def test_serialize_json_plan(self, pl, lf, tmp_path):
         f = lf(a=[1, 2]).filter(pl.col("a") > 1)
-        s = f.serialize()
+        s = f.serialize(format="json")
         assert isinstance(s, str) and "class" in s
-        b = f.serialize(format="binary")
+        # binary (the reference default) round-trips: schema + rows
+        b = f.serialize()
         assert isinstance(b, bytes)
+        assert pl.LazyFrame.deserialize(b).collect()["a"].tolist() == [2]
         p = tmp_path / "plan.json"
-        f.serialize(str(p))
+        f.serialize(str(p), format="json")
         assert p.read_text() == s
+        # a JSON plan string stays diagnostics-only
         with pytest.raises(NotImplementedError, match="deserialize"):
             pl.LazyFrame.deserialize(s)
+        # file path round-trip
+        pb = tmp_path / "frame.bin"
+        f.serialize(str(pb))
+        assert pl.LazyFrame.deserialize(str(pb)).collect()["a"].tolist() == [2]
 
 
 def test_dynamic_closed_both_and_none(pl, lf):

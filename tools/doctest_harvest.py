@@ -84,7 +84,6 @@ SKIP_TOKENS = (
     "s3://",
     "gs://",
     "abfs",
-    "BytesIO",  # many io examples need exact binary round-trips
     "GPUEngine",
     "async",
 )
