@@ -913,8 +913,15 @@ def _apply_schema_arg(lf: LazyFrame, schema) -> LazyFrame:
     if schema is None:
         return lf
     if isinstance(schema, dict):
+        from polars_spark.plans.expr import _dtype_to_spark, lit as _lit
+
         lf = lf.cast({k: v for k, v in schema.items() if k in lf.columns})
-        return lf.select(*[k for k in schema if k in lf.columns])
+        missing = [k for k in schema if k not in lf.columns]
+        if missing:
+            lf = lf.with_columns(
+                *[_lit(None).cast(_dtype_to_spark(schema[k])).alias(k) for k in missing]
+            )
+        return lf.select(*schema.keys())
     names = list(schema)
     if len(names) > len(lf.columns):
         # a LONGER schema than the data names adds missing columns as null
