@@ -169,6 +169,9 @@ def _to_expr(v: Any) -> "Expr":
     return lit(v)
 
 
+_NO_DEFAULT = object()  # replace_strict absent-vs-None default sentinel
+
+
 def _col_of(v: Any, ctx: ExprContext) -> Column:
     return _to_expr(v)._resolve(ctx)
 
@@ -1507,16 +1510,23 @@ class Expr:
 
         if type(by).__name__ == "Series" and hasattr(by, "to_list"):
             # driver-local coordinate Series: temporal values become day
-            # ordinals driver-side (the interpolation weight is invariant
-            # under affine transforms of x)
+            # ordinals / wall-time seconds driver-side (the interpolation
+            # weight is invariant under affine transforms of x).  Type is
+            # probed on the first NON-NULL value; naive datetimes use the
+            # UTC epoch so the axis is wall time, not the driver's zone.
             vals = by.to_list()
-            if vals and isinstance(vals[0], (_dtm.date, _dtm.datetime)):
-                vals = [
-                    None if v is None else (
-                        v.timestamp() if isinstance(v, _dtm.datetime) else float(v.toordinal())
-                    )
-                    for v in vals
-                ]
+            probe = next((v for v in vals if v is not None), None)
+            if isinstance(probe, (_dtm.date, _dtm.datetime)):
+                def _x(v):
+                    if v is None:
+                        return None
+                    if isinstance(v, _dtm.datetime):
+                        if v.tzinfo is None:
+                            v = v.replace(tzinfo=_dtm.timezone.utc)
+                        return v.timestamp()
+                    return float(v.toordinal())
+
+                vals = [_x(v) for v in vals]
             from polars_spark.series import Series as _S2
 
             by = _S2(getattr(by, "name", "by") or "by", vals)
@@ -3069,9 +3079,11 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def replace_strict(self, old=None, new=None, default=None, return_dtype=None, *, mapping=None):
+    def replace_strict(self, old=None, new=None, default=_NO_DEFAULT, return_dtype=None, *, mapping=None):
         """Like replace, but unmatched values ERROR at execution (polars
-        ReplaceStrict) unless a default is given — lowered to raise_error()."""
+        ReplaceStrict) unless a default is given — lowered to raise_error().
+        An EXPLICIT ``default=None`` maps unmatched values to null (the
+        polars no_default sentinel distinction)."""
         old = mapping if old is None else old
         if isinstance(old, Expr) or isinstance(new, Expr):
             oe, ne = _to_expr(old), _to_expr(new)
@@ -3079,7 +3091,7 @@ class Expr:
             def fn_e(ctx: ExprContext) -> Column:
                 c = self._resolve(ctx)
                 hit = F.when(c == oe._resolve(ctx), ne._resolve(ctx))
-                if default is not None:
+                if default is not _NO_DEFAULT:
                     return hit.otherwise(_col_of(default, ctx))
                 return hit.otherwise(
                     F.raise_error(
@@ -3096,7 +3108,7 @@ class Expr:
             for k, v in mapping.items():
                 cond = c.isNull() if k is None else (c == F.lit(k))
                 out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
-            if default is not None:
+            if default is not _NO_DEFAULT:
                 return out.otherwise(_col_of(default, ctx))
             err = F.raise_error(
                 F.concat(F.lit("replace_strict: value not in mapping: "), c.cast("string"))

@@ -1660,20 +1660,39 @@ class LazyFrame:
             ):
                 import operator as _op
 
+                lcols = [c for c in self.columns if c != ROW_IDX]
+                rcols_n = [c for c in other.columns if c != ROW_IDX]
+                if len(lcols) != len(rcols_n):
+                    msg = (
+                        f"frame {op_name} frame: width mismatch "
+                        f"({len(lcols)} vs {len(rcols_n)} columns)"
+                    )
+                    raise ValueError(msg)
                 op = getattr(_op, op_name)
-                li = self.with_row_index("__fpos__")._df
+                li = self.with_row_index("__fpos__")._df.withColumn("__lp__", F.lit(1))
                 ri = other.with_row_index("__fpos__")._df
                 rcols = [c for c in ri.columns if c not in ("__fpos__", ROW_IDX)]
-                ri = ri.select("__fpos__", *[F.col(c).alias(f"__r{i}__") for i, c in enumerate(rcols)])
+                ri = ri.select(
+                    "__fpos__", F.lit(1).alias("__rp__"),
+                    *[F.col(c).alias(f"__r{i}__") for i, c in enumerate(rcols)],
+                )
                 li = li.drop(ROW_IDX) if ROW_IDX in li.columns else li
-                joined = li.join(ri, "__fpos__", "inner")
+                # FULL join with presence markers: a position present on
+                # only one side is a height mismatch — polars raises
+                # ShapeError; raise_error keeps the check distributed
+                # (no extra count jobs) and free when heights agree
+                joined = li.join(ri, "__fpos__", "full")
+                mism = F.when(
+                    F.col("__lp__").isNull() | F.col("__rp__").isNull(),
+                    F.raise_error(
+                        F.lit(f"frame {op_name} frame: height mismatch between the two frames")
+                    ),
+                )
                 out = joined.select(
-                    F.col("__fpos__").alias(ROW_IDX),
+                    F.coalesce(mism, F.col("__fpos__")).alias(ROW_IDX),
                     *[
                         op(F.col(c), F.col(f"__r{i}__")).alias(c)
-                        for i, c in enumerate(
-                            [c for c in self.columns if c != ROW_IDX]
-                        )
+                        for i, c in enumerate(lcols)
                     ],
                 )
                 return LazyFrame(out, [(ROW_IDX, False)])
@@ -1924,7 +1943,13 @@ class LazyFrame:
         """Rebuild a frame from ``serialize(format='binary')`` output
         (bytes, a file-like, or a path).  JSON plans are diagnostics only:
         Catalyst has no public plan-from-JSON constructor, so that form
-        still raises the documented error."""
+        still raises the documented error.
+
+        .. warning::
+            The binary payload is a pickle — loading it executes code.
+            Only deserialize payloads you produced yourself; never feed
+            untrusted bytes to this function (same trust rule as the
+            reference's serialized-plan warning, but stronger here)."""
         import os
         import pickle
 

@@ -696,9 +696,13 @@ class StringNamespace(_NS):
             parent = self._e
 
             def _strip(ctx):
+                # weekday tokens can sit anywhere in the input (%a/%A are
+                # not always leading); month abbreviations never collide
+                # with the 7 day names
                 c = parent._resolve(ctx)
+                days = r"(?i)\b(sun|mon|tue|wed|thu|fri|sat)[a-z]*,?\s*"
                 return F.regexp_replace(
-                    F.regexp_replace(c, r"^[A-Za-z]{3}\s+", ""), r"\s+", " "
+                    F.regexp_replace(c, days, ""), r"\s+", " "
                 )
 
             self = StringNamespace(Expr(_strip, parent._name))

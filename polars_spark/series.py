@@ -610,9 +610,14 @@ class _SeriesExprNS:
             out = getattr(e, method)(*args, **kwargs)
             res = self._series._run_expr(out)
             if getattr(out, "_is_agg", False) and hasattr(res, "to_list"):
-                # aggregate results (s.dt.min()) are SCALARS on a Series
+                # aggregate results (s.dt.min()) are SCALARS on a Series —
+                # but only when the result is a single non-list value
+                # (list-valued aggs like str.explode stay Series)
                 vals = res.to_list()
-                return vals[0] if vals else None
+                if not vals:
+                    return None
+                if len(vals) == 1 and not isinstance(vals[0], (list, tuple)) and not hasattr(vals[0], "tolist"):
+                    return vals[0]
             return res
 
         return call

@@ -308,10 +308,14 @@ def read_json(source, *, schema=None, schema_overrides=None, spark: SparkSession
     spark = spark or _spark()
     if hasattr(source, "read"):
         source = source.read()
-    if isinstance(source, (bytes, bytearray, str)) and not (
-        isinstance(source, str) and os.path.exists(source)
+    if isinstance(source, (bytes, bytearray)) or (
+        # a string is a PAYLOAD only when it looks like a JSON document —
+        # everything else (local paths, s3://-style URIs, globs) goes
+        # straight to spark.read.json, which handles remote filesystems
+        isinstance(source, str) and source.lstrip().startswith(("{", "["))
     ):
         payload = source.decode("utf8") if isinstance(source, (bytes, bytearray)) else source
+        # delete=False: Spark reads the file lazily at job time
         tmp = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
         tmp.write(payload)
         tmp.close()
@@ -1044,16 +1048,25 @@ def linear_space(start, end, num_samples, *, closed: str = "both", eager: bool =
     if isinstance(num_samples, _Expr):
         # expression sample count (linear_space(0, 1, pl.len())): a
         # per-context array expression (explode at the call site)
+        if closed != "both":
+            msg = "linear_space with an expression num_samples supports closed='both' only"
+            raise ValueError(msg)
         ne = num_samples
         s_, e_ = float(start), float(end)
 
         def fn(ctx):
             n_ = ne._resolve(ctx).cast("int")
-            # closed='both': i * (end-start)/(n-1) + start
+            # closed='both': i * (end-start)/(n-1) + start; n<=1 edge cases
+            # handled explicitly (sequence(0,-1) would DESCEND in Spark)
             idx = F.sequence(F.lit(0), n_ - 1)
-            return F.transform(
+            full = F.transform(
                 idx,
-                lambda i: i.cast("double") * ((e_ - s_) / (n_ - 1).cast("double")) + F.lit(s_),
+                lambda i: F.try_divide(i.cast("double") * (e_ - s_), (n_ - 1).cast("double")) + F.lit(s_),
+            )
+            return (
+                F.when(n_ <= 0, F.array().cast("array<double>"))
+                .when(n_ == 1, F.array(F.lit(s_)))
+                .otherwise(full)
             )
 
         return _Expr(fn, "ls", is_agg=getattr(ne, "_is_agg", False))
@@ -1152,11 +1165,14 @@ def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", ti
         se, ee = _to_expr(start), _to_expr(end)
 
         def fn(ctx):
-            return F.sequence(
-                se._resolve(ctx).cast("timestamp"),
-                ee._resolve(ctx).cast("timestamp"),
-                F.expr(f"INTERVAL {_duration_str(interval)}"),
-            )
+            s_c = se._resolve(ctx).cast("timestamp")
+            e_c = ee._resolve(ctx).cast("timestamp")
+            seq = F.sequence(s_c, e_c, F.expr(f"INTERVAL {_duration_str(interval)}"))
+            if closed in ("left", "none"):
+                seq = F.filter(seq, lambda x: x != e_c)
+            if closed in ("right", "none"):
+                seq = F.filter(seq, lambda x: x != s_c)
+            return seq
 
         return _Expr(fn, "datetime", is_agg=se._is_agg or ee._is_agg)
     spark = spark or _spark()

@@ -49,12 +49,26 @@ def _polars_dialect(query: str) -> str:
     # polars-sql is ANSI: "..." is ALWAYS an identifier (strings are
     # single-quoted), so every double-quoted segment maps to backticks
     query = re.sub(r'"([^"]+)"', r"`\1`", query)
-    # polars-SQL integer division `//` -> Spark DIV (outside string
-    # literals only — 'http://...' must survive)
-    parts = query.split("'")
-    for i in range(0, len(parts), 2):
-        parts[i] = parts[i].replace("//", " DIV ")
-    return "'".join(parts)
+    # polars-SQL integer division `//` -> Spark DIV, outside string
+    # literals AND backtick-quoted identifiers ('http://...' and a column
+    # named `a//b` must both survive).  Spark DIV truncates toward zero
+    # where polars floors — they agree on non-negative operands (the
+    # SQL-dialect contract here); mixed-sign floor division needs
+    # FLOOR(a / b) written explicitly.
+    out, i, in_sq, in_bt = [], 0, False, False
+    while i < len(query):
+        ch = query[i]
+        if ch == "'" and not in_bt:
+            in_sq = not in_sq
+        elif ch == "`" and not in_sq:
+            in_bt = not in_bt
+        if not in_sq and not in_bt and query.startswith("//", i):
+            out.append(" DIV ")
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_table_functions(spark: SparkSession, query: str) -> str:
