@@ -358,3 +358,53 @@ def join_interval_agg(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"), F.min("rid").alias("first_rid"))
     )
+
+
+@query(
+    "join_where_strict_pair",
+    # the reference's inequality-join benchmark shape (tests/benchmark/
+    # test_join_where.py): TWO strict inequalities, NO equality conjunct —
+    # the pure IEJoin class.  Spark plans a broadcast-nested-loop with the
+    # small side broadcast; the banded equi-join (join_band_agg) is the
+    # 100 TB path when a band width exists.
+    oracle="""
+    SELECT s_suppkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM supplier JOIN customer
+      ON s_acctbal < c_acctbal AND s_nationkey > c_nationkey
+    GROUP BY s_suppkey
+    """,
+)
+def join_where_strict_pair(spark, sf_dir):
+    supp = ltable(spark, sf_dir, "supplier")
+    cust = ltable(spark, sf_dir, "customer")
+    out = supp.join_where(
+        cust,
+        pl.col("s_acctbal") < pl.col("c_acctbal"),
+        pl.col("s_nationkey") > pl.col("c_nationkey"),
+    )
+    return (
+        out.group_by("s_suppkey")
+        .agg(pl.len().alias("n"), pl.col("c_acctbal").sum().round(2).alias("bal"))
+        .to_spark()
+    )
+
+
+@query(
+    "join_where_nonstrict_pair",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n
+    FROM supplier JOIN customer
+      ON s_acctbal <= c_acctbal AND s_nationkey >= c_nationkey
+    GROUP BY s_suppkey
+    """,
+)
+def join_where_nonstrict_pair(spark, sf_dir):
+    """Non-strict variant of the reference inequality-join benchmark."""
+    supp = ltable(spark, sf_dir, "supplier")
+    cust = ltable(spark, sf_dir, "customer")
+    out = supp.join_where(
+        cust,
+        pl.col("s_acctbal") <= pl.col("c_acctbal"),
+        pl.col("s_nationkey") >= pl.col("c_nationkey"),
+    )
+    return out.group_by("s_suppkey").agg(pl.len().alias("n")).to_spark()
