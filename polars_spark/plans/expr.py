@@ -23,7 +23,23 @@ from typing import Any, Callable
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-__all__ = ["Expr", "ExprContext", "col", "lit", "when", "all_", "nth"]
+__all__ = ["Expr", "ExprContext", "OrderNeeded", "col", "lit", "when", "all_", "nth"]
+
+
+class OrderNeeded(ValueError):
+    """Raised mid-lowering when an order-sensitive expression lands on a frame
+    whose row order is DEFERRED (the file-order contract every plain scan now
+    carries — reference: polars DataFrame order is semantic, see
+    polars-plan/src/plans/functions/mod.rs:33 RowIndex over scan order).  The
+    enclosing frame operation catches it, materializes the hidden order column
+    (LazyFrame._materialize_order), and retries the lowering — so queries that
+    never consume row order never pay for it (the elision rule of SURVEY §4
+    item 1: no input_file_name/window appears in an order-free plan)."""
+
+    def __init__(self) -> None:
+        super().__init__(
+            "order-sensitive expression needs the deferred scan order materialized"
+        )
 
 
 class ExprContext:
@@ -34,15 +50,20 @@ class ExprContext:
     expressions into window aggregates.
     """
 
-    __slots__ = ("df", "order_cols", "grouped", "_window", "preps", "_broadcast_aggs")
+    __slots__ = ("df", "order_cols", "grouped", "_window", "preps", "_broadcast_aggs", "deferred")
 
     def __init__(
-        self, df, order_cols: list | None = None, grouped: bool = False, preps: list | None = None
+        self, df, order_cols: list | None = None, grouped: bool = False, preps: list | None = None,
+        deferred: bool = False,
     ):
         self.df = df
         self.order_cols = order_cols or []
         self.grouped = grouped
         self._window = None
+        # frame has a deferred (not yet materialized) scan-order contract:
+        # order-sensitive lowerings raise OrderNeeded so the frame op can
+        # materialize the hidden order column and retry
+        self.deferred = deferred
         # whole-frame scalar aggregates registered by exprs (see add_scalar);
         # derived contexts share the SAME list so the frame sees them all.
         self.preps = [] if preps is None else preps
@@ -79,6 +100,8 @@ class ExprContext:
         Honors the order spec's nulls placement (an order created by
         sort(nulls_last=True) must replay identically here)."""
         if not self.order_cols:
+            if self.deferred:
+                raise OrderNeeded()
             raise ValueError(
                 "order-sensitive expression used on a frame with no defined row order; "
                 "scan with row order enabled, with_row_index(), or sort() first"
@@ -122,7 +145,7 @@ def _element_agg(ctx, parent: "Expr", kind: str, *a, **k) -> Column:
     dtype/null rules) — no explode, no shuffle, one projection."""
     from polars_spark.plans import namespaces as _ns
 
-    base = ExprContext(ctx.df, ctx.order_cols, ctx.grouped, preps=ctx.preps)
+    base = ExprContext(ctx.df, ctx.order_cols, ctx.grouped, preps=ctx.preps, deferred=ctx.deferred)
     arr0 = ctx.arr_col
 
     def vals_fn(_c, _p=parent):
@@ -933,6 +956,8 @@ class Expr:
                 # the common case — order comes from a row index)
                 key = F.struct(*ctx.order_plain_cols())
                 return _wover(ctx, F.min_by(c, F.when(c.isNotNull(), key) if masked else key))
+            if ctx.deferred:
+                raise OrderNeeded()
             return _wover(ctx, F.first(c, ignorenulls=masked))
 
         return Expr(fn, self._name, is_agg=True)
@@ -954,6 +979,8 @@ class Expr:
             if ctx.order_cols:
                 key = F.struct(*ctx.order_plain_cols())
                 return _wover(ctx, F.max_by(c, F.when(c.isNotNull(), key) if masked else key))
+            if ctx.deferred:
+                raise OrderNeeded()
             return _wover(ctx, F.last(c, ignorenulls=masked))
 
         return Expr(fn, self._name, is_agg=True)
@@ -968,6 +995,8 @@ class Expr:
                 return F.first(c, ignorenulls=True).over(w)
             if ctx.order_cols:
                 return F.min_by(c, F.when(c.isNotNull(), F.struct(*ctx.order_plain_cols())))
+            if ctx.deferred:
+                raise OrderNeeded()
             return F.first(c, ignorenulls=True)
 
         return Expr(fn, self._name, is_agg=True)
@@ -980,6 +1009,8 @@ class Expr:
                 return F.last(c, ignorenulls=True).over(w)
             if ctx.order_cols:
                 return F.max_by(c, F.when(c.isNotNull(), F.struct(*ctx.order_plain_cols())))
+            if ctx.deferred:
+                raise OrderNeeded()
             return F.last(c, ignorenulls=True)
 
         return Expr(fn, self._name, is_agg=True)
@@ -1129,6 +1160,8 @@ class Expr:
             if ctx.order_cols:
                 pairs = F.collect_list(F.struct(*ctx.order_plain_cols(), c.alias("__v")))
                 return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))
+            if ctx.deferred:
+                raise OrderNeeded()  # imploded lists follow scan order (polars)
             return F.collect_list(c)
 
         return Expr(fn, self._name, is_agg=True)
@@ -2044,7 +2077,7 @@ class Expr:
                 .orderBy(okey)
                 .rangeBetween(o_us + lo_off, o_us + p_us + hi_off)
             )
-            ctx2 = ExprContext(ctx.df, ctx.order_cols, ctx.grouped, preps=ctx.preps)
+            ctx2 = ExprContext(ctx.df, ctx.order_cols, ctx.grouped, preps=ctx.preps, deferred=ctx.deferred)
             ctx2._window = w
             return self._resolve(ctx2)
 
@@ -2941,7 +2974,7 @@ class Expr:
                 if self._is_agg:
                     # list-valued aggregates (head/sort/...) already give the
                     # group's value list — window them directly
-                    sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps)
+                    sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps, deferred=ctx.deferred)
                     sub._window = w
                     return self._resolve(sub)
                 return F.collect_list(self._resolve(ctx)).over(w)
@@ -2961,11 +2994,11 @@ class Expr:
                     ocols = [c.desc() for c in ocols]
                 inner_order = None
                 w = w.orderBy(*ocols)
-                sub = ExprContext(ctx.df, ctx.order_cols, grouped=False, preps=ctx.preps)
+                sub = ExprContext(ctx.df, ctx.order_cols, grouped=False, preps=ctx.preps, deferred=ctx.deferred)
                 # aggregates over an ordered window need full-frame bounds
                 w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
             elif self._is_agg:
-                sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps)
+                sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps, deferred=ctx.deferred)
             else:
                 sub = ctx
 
@@ -3508,7 +3541,10 @@ class _PartitionedContext(ExprContext):
     """ExprContext whose order_window() is partitioned (for Expr.over)."""
 
     def __init__(self, base: ExprContext, pcols, order_by=None, descending=False):
-        super().__init__(base.df, base.order_cols, base.grouped, preps=base.preps)
+        super().__init__(
+            base.df, base.order_cols, base.grouped, preps=base.preps,
+            deferred=base.deferred,
+        )
         self._pcols = pcols
         self._order_by = order_by
         self._desc = descending
@@ -3522,6 +3558,8 @@ class _PartitionedContext(ExprContext):
                 ocols = [c.desc() for c in ocols]
             return Window.partitionBy(*self._pcols).orderBy(*ocols)
         if not self.order_cols:
+            if self.deferred:
+                raise OrderNeeded()
             raise ValueError("over(...) on order-sensitive expr needs row order or order_by=")
         return Window.partitionBy(*self._pcols).orderBy(*self.order_by_cols(reverse))
 

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from polars_spark.plans.expr import (
     Expr,
     ExprContext,
+    OrderNeeded,
     _dtype_to_spark,
     _to_expr,
     col as _col,
@@ -71,6 +72,26 @@ def _ospec(o) -> tuple[str, bool, bool]:
     if len(o) == 2:
         return (o[0], bool(o[1]), False)
     return (o[0], bool(o[1]), bool(o[2]))
+
+
+def _order_retry(fn):
+    """Retry a frame operation after paying for the deferred scan-order
+    contract: an order-sensitive expression inside it raised OrderNeeded, so
+    materialize the hidden order column (one withColumn on the scan — no job)
+    and lower again.  Ops that never consume row order never reach this, so
+    their plans stay order-column-free (the SURVEY §4 elision rule)."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(self, *a, **k):
+        try:
+            return fn(self, *a, **k)
+        except OrderNeeded:
+            if self._order or self._deferred_order is None:
+                raise
+            return fn(self._materialize_order(), *a, **k)
+
+    return inner
 
 
 def _order_cols(order: list, reverse: bool = False) -> list[Column]:
@@ -173,7 +194,12 @@ class LazyFrame:
 
     def __init__(self, df: SparkDF = None, order: list | None = None, *,
                  data=None, schema=None, schema_overrides=None, orient=None,
-                 strict=True, nan_to_null=False, **named):
+                 strict=True, nan_to_null=False, deferred=None, **named):
+        # deferred scan-order contract: a callable (SparkDF) -> (SparkDF, specs)
+        # that materializes the hidden file-order column on demand (polars row
+        # order is semantic on scans too — SURVEY §1.1); None once paid for,
+        # after a sort, or on frames with no file lineage
+        self._deferred_order = deferred
         if df is None and data is not None:
             # reference keyword form: pl.LazyFrame(data={...}, schema=...)
             df = data
@@ -206,6 +232,22 @@ class LazyFrame:
             have = set(df.columns)
             specs = [o for o in specs if o[0] in have]
         self._order: list[tuple[str, bool, bool]] = specs
+        if specs:
+            self._deferred_order = None  # explicit order supersedes the contract
+
+    def _materialize_order(self) -> "LazyFrame":
+        """Pay for the deferred scan-order contract: add the hidden ROW_IDX
+        order column (a struct of file rank / block offset / within-partition
+        position — plan-only, no Spark job) and return the now-ordered frame."""
+        df, specs = self._deferred_order(self._df)
+        return LazyFrame(df, specs)
+
+    def _ordered(self) -> "LazyFrame":
+        """This frame with its row order materialized when it was deferred;
+        self otherwise (callers requiring an order raise their own error)."""
+        if not self._order and self._deferred_order is not None:
+            return self._materialize_order()
+        return self
 
     # -- introspection ------------------------------------------------------
     @property
@@ -241,7 +283,9 @@ class LazyFrame:
         return f"<LazyFrame {self.columns} order={self._order}>"
 
     def _ctx(self) -> ExprContext:
-        return ExprContext(self._df, list(self._order))
+        return ExprContext(
+            self._df, list(self._order), deferred=self._deferred_order is not None
+        )
 
     def __repr__(self) -> str:
         """Eager-polars-style preview: shape line + up to 10 rows.  Collects
@@ -474,6 +518,7 @@ class LazyFrame:
         return _to_expr(e)._resolve(ctx)
 
     # -- projection / mutation ----------------------------------------------
+    @_order_retry
     def select(self, *exprs, **named) -> "LazyFrame":
         from polars_spark.exceptions import translate_errors
 
@@ -576,8 +621,9 @@ class LazyFrame:
                 )
         # order survives only through columns that are still present
         order = [o for o in self._order if o[0] in set(df.columns)]
-        return LazyFrame(df, order)
+        return LazyFrame(df, order, deferred=self._deferred_order)
 
+    @_order_retry
     def with_columns(self, *exprs, **named) -> "LazyFrame":
         from polars_spark.exceptions import translate_errors
 
@@ -633,7 +679,7 @@ class LazyFrame:
                 ctx, out = _build(True)
         if ctx.preps:
             out = out.drop(*[p[0] for p in ctx.preps])
-        return LazyFrame(out, self._order)
+        return LazyFrame(out, self._order, deferred=self._deferred_order)
 
     def with_columns_seq(self, *exprs, **named) -> "LazyFrame":
         return self.with_columns(*exprs, **named)
@@ -647,7 +693,7 @@ class LazyFrame:
                 names.extend(expand_names(c, self.schema))
             else:
                 names.append(c)
-        return LazyFrame(self._df.drop(*names), [o for o in self._order if o[0] not in names])
+        return LazyFrame(self._df.drop(*names), [o for o in self._order if o[0] not in names], deferred=self._deferred_order)
 
     def rename(self, mapping: Mapping[str, str] | None = None, *, strict: bool = True, **kw) -> "LazyFrame":
         if callable(mapping):  # polars: rename(lambda old_name: new_name)
@@ -698,7 +744,7 @@ class LazyFrame:
             c: (F.col(c).cast(_dtype_to_spark(t)) if strict else F.col(c).try_cast(_dtype_to_spark(t)))
             for c, t in dtypes.items()
         }
-        return LazyFrame(self._df.withColumns(mapping), self._order)
+        return LazyFrame(self._df.withColumns(mapping), self._order, deferred=self._deferred_order)
 
     def match_to_schema(
         self,
@@ -751,7 +797,7 @@ class LazyFrame:
 
     def drop_nulls(self, subset: Sequence[str] | str | None = None) -> "LazyFrame":
         subset = self._resolve_name_selector(subset) if subset is not None else None
-        return LazyFrame(self._df.dropna(subset=subset), self._order)
+        return LazyFrame(self._df.dropna(subset=subset), self._order, deferred=self._deferred_order)
 
     def drop_nans(self, subset: Sequence[str] | str | None = None) -> "LazyFrame":
         cols = (
@@ -763,9 +809,10 @@ class LazyFrame:
         for c in cols:
             p = ~F.isnan(F.col(c)) | F.col(c).isNull()
             cond = p if cond is None else (cond & p)
-        return LazyFrame(self._df.filter(cond), self._order) if cond is not None else self
+        return LazyFrame(self._df.filter(cond), self._order, deferred=self._deferred_order) if cond is not None else self
 
     # -- filter --------------------------------------------------------------
+    @_order_retry
     def filter(self, *predicates, **constraints) -> "LazyFrame":
         from polars_spark.exceptions import translate_errors
         from polars_spark.series import Series as _S
@@ -809,11 +856,12 @@ class LazyFrame:
                     combined = combined & (_colfn(name) == _litfn(v))
                 staged = self.with_columns(combined.alias("__flt__"))
                 out = staged._df.filter(F.col("__flt__")).drop("__flt__")
-                return LazyFrame(out, self._order)
+                return LazyFrame(out, staged._order, deferred=staged._deferred_order)
         if ctx.preps:
             out = out.drop(*[p[0] for p in ctx.preps])
-        return LazyFrame(out, self._order)
+        return LazyFrame(out, self._order, deferred=self._deferred_order)
 
+    @_order_retry
     def remove(self, *predicates, **constraints) -> "LazyFrame":
         ctx = self._ctx()
         cond: Column | None = None
@@ -823,7 +871,7 @@ class LazyFrame:
         for name, v in constraints.items():
             c = F.col(name) == F.lit(v)
             cond = c if cond is None else (cond & c)
-        return LazyFrame(self._df.filter(~F.coalesce(cond, F.lit(False))), self._order)
+        return LazyFrame(self._df.filter(~F.coalesce(cond, F.lit(False))), self._order, deferred=self._deferred_order)
 
     # -- sort / slice ---------------------------------------------------------
     def sort(
@@ -873,7 +921,7 @@ class LazyFrame:
         df = self._df
         if self._order:
             df = df.orderBy(*_order_cols(self._order))
-        return LazyFrame(df.limit(n), self._order)
+        return LazyFrame(df.limit(n), self._order, deferred=self._deferred_order)
 
     head = limit
 
@@ -881,6 +929,7 @@ class LazyFrame:
         if n < 0:
             # polars tail(-n): everything but the first |n| rows
             return self.slice(abs(n))
+        self = self._ordered()  # pay the deferred scan-order contract
         if not self._order:
             raise ValueError("tail() needs a defined row order; sort() or with_row_index() first")
         df = self._df.orderBy(*_order_cols(self._order, reverse=True)).limit(n)
@@ -891,6 +940,7 @@ class LazyFrame:
         position: partition-local row_number + broadcast per-partition offsets
         (the with_row_index machinery) — never a global-orderBy window, which
         would shuffle the whole frame into one partition."""
+        self = self._ordered()  # scan positions follow file order (polars)
         if self._order:
             # "__gpos__": distinct from with_row_index's internal __pos__
             return self.with_row_index("__gpos__")._df, "__gpos__", self._order
@@ -1005,6 +1055,7 @@ class LazyFrame:
         return LazyFrame(joined, [(c, False, False) for c in (*gb, time_column)])
 
     def reverse(self) -> "LazyFrame":
+        self = self._ordered()  # reverse of a scan = reverse file order
         if not self._order:
             raise ValueError("reverse() needs a defined row order")
         return LazyFrame(self._df, [(n, not d, not nl) for n, d, nl in self._order])
@@ -1091,6 +1142,7 @@ class LazyFrame:
         broadcast back), so no global sort or single-partition window ever
         happens — the pattern survives a 1000-executor scan.
         """
+        self = self._ordered()  # scans number in file order (polars contract)
         if self._order:
             # range-partition by the order keys so numbering stays per-partition
             # (partition i holds a contiguous, ordered slice of the frame)
@@ -1516,6 +1568,8 @@ class LazyFrame:
                 return out.drop(*hidden)
         cols = base._resolve_name_selector(subset) if subset is not None else self.columns
         self = base
+        if keep in ("first", "last"):
+            self = self._ordered()  # keep first/last row in scan order (polars)
         if keep == "any":
             return LazyFrame(self._df.dropDuplicates(cols), self._order if maintain_order else [])
         if keep in ("first", "last"):
@@ -1532,7 +1586,7 @@ class LazyFrame:
             df = self._df.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(
                 F.col("__cnt__") == 1
             ).drop("__cnt__")
-            return LazyFrame(df, self._order)
+            return LazyFrame(df, self._order, deferred=self._deferred_order)
         raise ValueError(f"unknown keep strategy {keep!r}")
 
     # -- reshape -----------------------------------------------------------------
@@ -3530,6 +3584,17 @@ class LazyGroupBy:
         return out
 
     def agg(self, *exprs, **named) -> LazyFrame:
+        try:
+            return self._agg_impl(*exprs, **named)
+        except OrderNeeded:
+            # an order-sensitive agg (first/last/implode/cum inside groups) on
+            # a deferred-order scan: pay the file-order contract and retry
+            if self._lf._order or self._lf._deferred_order is None:
+                raise
+            self._lf = self._lf._materialize_order()
+            return self._agg_impl(*exprs, **named)
+
+    def _agg_impl(self, *exprs, **named) -> LazyFrame:
         ctx = self._lf._ctx()
         ctx.grouped = True  # exprs may branch on agg vs select context
         key_names = {k for k in self._keys if isinstance(k, str)} | set(self._named)

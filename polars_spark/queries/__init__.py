@@ -64,6 +64,7 @@ def ltable(spark: SparkSession, sf_dir: str, name: str):
 from polars_spark.queries import (  # noqa: E402,F401
     tpch,
     tpch_full,
+    order_contract,
     relational,
     joins,
     window,

