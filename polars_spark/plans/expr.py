@@ -3361,11 +3361,46 @@ class Expr:
 
         return Expr(fn, self._name)
 
-    def sample(self, n: int | None = None, *, fraction: float | None = None, **_kw):
-        raise NotImplementedError(
-            "frame-level: LazyFrame.sample (seeded, scale-safe); Expr.sample of a "
-            "full column is the same row-subset operation"
-        )
+    def sample(
+        self,
+        n: int | None = None,
+        *,
+        fraction: float | None = None,
+        with_replacement: bool = False,
+        shuffle: bool | None = None,
+        seed: int | None = None,
+        **_kw,
+    ):
+        """Expr.sample (reference py-polars/src/polars/expr/expr.py sample):
+        sampling a full column is a ROW-subset operation, so in select
+        context it lowers to the LazyFrame.sample plan (seeded, distributed
+        Bernoulli / rand-order limit — the same length-changing sole-expr
+        rewrite top_k/value_counts use).  Outside select context it has no
+        row-aligned meaning and raises, like the reference inside
+        with_columns."""
+        if n is not None and fraction is not None:
+            raise ValueError("cannot specify both `n` and `fraction`")
+
+        def fn(ctx: ExprContext) -> Column:
+            raise NotImplementedError(
+                "Expr.sample is only supported as the sole expression of a "
+                "select() (a row-subset plan); use LazyFrame.sample for the "
+                "frame form"
+            )
+
+        e = Expr(fn, self._name)
+
+        def rewrite(lf, _p=self, _n=n, _f=fraction):
+            sub = lf.select(_p)
+            if _f is None and _n is None:
+                _n = 1  # polars default: a single sampled element
+            return sub.sample(
+                _f, n=_n, seed=seed, with_replacement=with_replacement,
+                shuffle=bool(shuffle),
+            )
+
+        e._select_rewrite = rewrite
+        return e
 
     def shrink_dtype(self):
         """polars Expr.shrink_dtype: cast to the smallest integer type that

@@ -74,6 +74,125 @@ def _ospec(o) -> tuple[str, bool, bool]:
     return (o[0], bool(o[1]), bool(o[2]))
 
 
+class _FramePlan:
+    """Picklable stand-in for a LazyFrame argument inside a serialized plan
+    journal (the nested frame of join/concat/with_context): holds that
+    frame's own journal, replayed on deserialize."""
+
+    __slots__ = ("journal",)
+
+    def __init__(self, journal):
+        self.journal = journal
+
+    def __getstate__(self):
+        return self.journal
+
+    def __setstate__(self, state):
+        self.journal = state
+
+
+class _NotPlannable(Exception):
+    pass
+
+
+_JDEPTH = 0  # >0 while inside a journaled method: inner calls don't re-record
+
+
+def _plan_value(v):
+    import types
+
+    if isinstance(v, LazyFrame):
+        if v._journal is None:
+            raise _NotPlannable()
+        return _FramePlan(v._journal)
+    if isinstance(v, types.GeneratorType):
+        raise _NotPlannable()  # caller materializes generators before fn
+    if isinstance(v, list):
+        return [_plan_value(x) for x in v]
+    if isinstance(v, tuple):
+        return tuple(_plan_value(x) for x in v)
+    return v
+
+
+def _extend_journal(parent, name, args, kwargs):
+    """parent journal + one step; None (not plan-serializable) poisons."""
+    if parent is None:
+        return None
+    try:
+        return parent + (
+            (name, tuple(_plan_value(a) for a in args),
+             {k: _plan_value(v) for k, v in kwargs.items()}),
+        )
+    except _NotPlannable:
+        return None
+
+
+def _journal_step(fn, name):
+    """Record a user-level LazyFrame method call into the plan journal
+    (LazyFrame.serialize ships the journal; deserialize replays it against a
+    live session — the polars DslPlan round-trip, reference
+    py-polars/src/polars/lazyframe/frame.py serialize/deserialize).  Only the
+    OUTERMOST call records (depth guard): methods implemented in terms of
+    other methods replay correctly from the single user-facing step."""
+    import functools
+    import types
+
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        global _JDEPTH
+        # materialize generator args so both fn and the journal can use them
+        args = tuple(
+            list(a) if isinstance(a, types.GeneratorType) else a for a in args
+        )
+        _JDEPTH += 1
+        try:
+            out = fn(self, *args, **kwargs)
+        finally:
+            _JDEPTH -= 1
+        if _JDEPTH == 0 and isinstance(out, LazyFrame):
+            out._journal = _extend_journal(self._journal, name, args, kwargs)
+        return out
+
+    return inner
+
+
+def _replay_journal(journal):
+    """Rebuild a LazyFrame from a serialized plan journal — lazily: only the
+    plan is constructed here; collect happens when the caller collects."""
+    import polars_spark as pls
+
+    (name, a, k), *steps = journal
+
+    def _unwrap(v):
+        if isinstance(v, _FramePlan):
+            return _replay_journal(v.journal)
+        if isinstance(v, list):
+            return [_unwrap(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(_unwrap(x) for x in v)
+        return v
+
+    if name == "__data__":
+        lf = LazyFrame(a[0], **k)
+    else:
+        lf = getattr(pls, name)(*_unwrap(a), **{kk: _unwrap(v) for kk, v in k.items()})
+    for m, a, k in steps:
+        a = tuple(_unwrap(x) for x in a)
+        k = {kk: _unwrap(v) for kk, v in k.items()}
+        if m == "group_by.agg":
+            gargs, gkw, aargs, akw = a
+            mode = k.get("mode", "groupby")
+            gb = (
+                lf.group_by(*gargs, **gkw)
+                if mode == "groupby"
+                else getattr(lf, mode)(*gargs)
+            )
+            lf = gb.agg(*aargs, **akw)
+        else:
+            lf = getattr(lf, m)(*a, **k)
+    return lf
+
+
 def _order_retry(fn):
     """Retry a frame operation after paying for the deferred scan-order
     contract: an order-sensitive expression inside it raised OrderNeeded, so
@@ -200,6 +319,10 @@ class LazyFrame:
         # order is semantic on scans too — SURVEY §1.1); None once paid for,
         # after a sort, or on frames with no file lineage
         self._deferred_order = deferred
+        # plan journal for serialize/deserialize (polars DslPlan round-trip):
+        # a tuple of (method, args, kwargs) steps from a replayable origin,
+        # or None when the frame's history crossed an unjournaled op
+        self._journal = None
         if df is None and data is not None:
             # reference keyword form: pl.LazyFrame(data={...}, schema=...)
             df = data
@@ -222,6 +345,21 @@ class LazyFrame:
             )
             self._df = built._df
             self._order = built._order
+            # data-constructed frames are plan-serializable from their
+            # literal data (polars DataFrameScan embeds the frame too)
+            self._journal = (
+                (
+                    "__data__",
+                    (df if df is not None else (named or None),),
+                    dict(
+                        schema=schema,
+                        schema_overrides=schema_overrides,
+                        orient=orient,
+                        strict=strict,
+                        nan_to_null=nan_to_null,
+                    ),
+                ),
+            )
             return
         self._df = df
         # order survives only through columns still present in the plan —
@@ -240,7 +378,9 @@ class LazyFrame:
         order column (a struct of file rank / block offset / within-partition
         position — plan-only, no Spark job) and return the now-ordered frame."""
         df, specs = self._deferred_order(self._df)
-        return LazyFrame(df, specs)
+        out = LazyFrame(df, specs)
+        out._journal = self._journal  # replay re-materializes on demand
+        return out
 
     def _ordered(self) -> "LazyFrame":
         """This frame with its row order materialized when it was deferred;
@@ -1960,26 +2100,41 @@ class LazyFrame:
         """Serialize the frame (reference: py-polars lazyframe/frame.py
         serialize).
 
-        ``format='binary'`` (the reference default) is ROUND-TRIPPABLE:
-        Catalyst cannot adopt a foreign logical plan, so the faithful
-        Spark-side payload is the frame's result spec — schema + rows —
-        pickled (the plan executes at serialize time; laziness is not
-        preserved across the boundary, documented).  ``format='json'``
-        emits the resolved Catalyst logical plan as JSON — useful for plan
-        diffing and diagnostics, NOT reconstructable (like polars, neither
-        form is stable across engine versions)."""
+        ``format='binary'`` (the reference default) round-trips the LOGICAL
+        PLAN: every frame whose history is built from the journaled DslPlan
+        surface (scan_*/constructor + select/filter/group_by.agg/join/sort/
+        ... — _JOURNALED_METHODS) ships its op journal, and ``deserialize``
+        replays it against the live session WITHOUT executing — collect
+        after deserialize hits Spark, like the reference's polars-cloud
+        idiom (py-polars lazyframe/frame.py serialize; rust polars-plan
+        serde).  Frames whose history crossed an unjournaled op fall back to
+        the result-snapshot payload (schema + rows; executes now —
+        documented).  ``format='json'`` emits the resolved Catalyst logical
+        plan as JSON — diagnostics only, NOT reconstructable (like polars,
+        neither form is stable across engine versions)."""
         if format not in ("json", "binary"):
             raise ValueError("format must be 'json' or 'binary'")
         if format == "binary":
             import pickle
 
-            payload = pickle.dumps(
-                {
-                    "__polars_spark_frame__": 1,
-                    "ddl": ", ".join(f"`{c}` {t}" for c, t in self.schema.items()),
-                    "rows": self.rows(),
-                }
-            )
+            payload = None
+            if self._journal is not None:
+                from pyspark import cloudpickle
+
+                try:
+                    payload = cloudpickle.dumps(
+                        {"__polars_spark_plan__": 1, "journal": self._journal}
+                    )
+                except Exception:
+                    payload = None  # unpicklable arg in a step -> snapshot
+            if payload is None:
+                payload = pickle.dumps(
+                    {
+                        "__polars_spark_frame__": 1,
+                        "ddl": ", ".join(f"`{c}` {t}" for c, t in self.schema.items()),
+                        "rows": self.rows(),
+                    }
+                )
         else:
             payload = self._df._jdf.queryExecution().logical().toJSON()
         if file is None:
@@ -2021,6 +2176,10 @@ class LazyFrame:
                     "plan; use serialize(format='binary') for round-trips"
                 )
         data = pickle.loads(source)
+        if isinstance(data, dict) and "__polars_spark_plan__" in data:
+            # plan payload: replay the op journal against the live session —
+            # nothing executes here; collect() after this hits Spark
+            return _replay_journal(data["journal"])
         if not isinstance(data, dict) or "__polars_spark_frame__" not in data:
             raise ValueError("deserialize: not a polars_spark binary frame payload")
         from polars_spark.session import get_spark
@@ -4298,3 +4457,54 @@ def align_frames(*frames: LazyFrame, on, how: str = "outer", select=None, descen
         else:
             out.append(aligned.select(*f.columns))
     return out
+
+
+def _journal_gb_agg(fn):
+    """Journal a LazyGroupBy.agg as one composite 'group_by.agg' plan step
+    (keys + named keys + maintain_order + agg exprs, with the cube/rollup
+    mode), so grouped plans round-trip through LazyFrame.serialize."""
+    import functools
+    import types
+
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        global _JDEPTH
+        args = tuple(
+            list(a) if isinstance(a, types.GeneratorType) else a for a in args
+        )
+        _JDEPTH += 1
+        try:
+            out = fn(self, *args, **kwargs)
+        finally:
+            _JDEPTH -= 1
+        if _JDEPTH == 0 and isinstance(out, LazyFrame):
+            gkw = dict(self._named)
+            if self._maintain:
+                gkw["maintain_order"] = True
+            out._journal = _extend_journal(
+                self._lf._journal,
+                "group_by.agg",
+                (tuple(self._keys), gkw, args, kwargs),
+                {"mode": self._mode},
+            )
+        return out
+
+    return inner
+
+
+# plan-journaled surface: the DslPlan-style ops the reference's serialized
+# plans are built from.  Ops outside this list poison the journal (serialize
+# then falls back to the documented result-snapshot payload).
+_JOURNALED_METHODS = [
+    "select", "with_columns", "with_columns_seq", "filter", "remove", "sort",
+    "limit", "head", "tail", "slice", "first", "last", "unique", "drop",
+    "rename", "cast", "explode", "unpivot", "melt", "with_row_index",
+    "reverse", "drop_nulls", "drop_nans", "fill_null", "fill_nan", "join",
+    "join_asof", "join_where", "gather", "gather_every", "top_k", "bottom_k",
+    "sum", "mean", "min", "max", "median", "std", "var", "count", "shift",
+    "interpolate", "set_sorted", "quantile", "null_count", "product", "pipe",
+]
+for _m in _JOURNALED_METHODS:
+    setattr(LazyFrame, _m, _journal_step(getattr(LazyFrame, _m), _m))
+LazyGroupBy.agg = _journal_gb_agg(LazyGroupBy.agg)
+del _m

@@ -1798,3 +1798,25 @@ def _dataframe_deserialize(source, *, format: str = "binary") -> LazyFrame:
 # the eager constructor is a function; give it the classmethod surface the
 # reference exposes on the DataFrame class
 DataFrame.deserialize = _dataframe_deserialize
+
+
+def _origin_journal(fn, name):
+    """Stamp scan results with a replayable plan-journal origin so
+    LazyFrame.serialize ships the scan spec (path + options), not results —
+    the polars DslPlan::Scan serde equivalent."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        if isinstance(out, LazyFrame):
+            kw = {k: v for k, v in kwargs.items() if k != "spark"}
+            out._journal = ((name, args, kw),)
+        return out
+
+    return inner
+
+
+for _n in ("scan_parquet", "scan_csv", "scan_ndjson", "scan_ipc", "scan_orc"):
+    globals()[_n] = _origin_journal(globals()[_n], _n)
+del _n
