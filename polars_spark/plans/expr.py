@@ -267,6 +267,10 @@ class Expr:
                 return _rename_first(_pr(lf), _nm)
 
             e._select_rewrite = renamed
+        if getattr(self, "_ewm_spec", None) is not None:
+            e._ewm_spec = self._ewm_spec
+            if hasattr(self, "_ewm_parts"):
+                e._ewm_parts = self._ewm_parts
         return e
 
     @property
@@ -1645,7 +1649,21 @@ class Expr:
             out = F.when(F.size(arr) >= min_samples, folded)
             return F.when(self._resolve(ctx).isNotNull(), out)
 
-        return Expr(fn, self._name)
+        e = Expr(fn, self._name)
+        # frame-level scale path: top-level ewm exprs are hoisted into ONE
+        # applyInPandas pass per key set (O(n) per key, Arrow-batched, same
+        # IEEE op sequence) instead of the O(n²) per-row prefix fold — see
+        # LazyFrame._hoist_ewm.  The fold stays as the fallback for nested
+        # compositions.
+        e._ewm_spec = {
+            "kind": "mean",
+            "parent": self,
+            "decay": decay,
+            "alpha": alpha,
+            "adjust": adjust,
+            "min_samples": min_samples,
+        }
+        return e
 
     def ewm_mean_by(self, by, *, half_life: str):
         """Time-decay EWM (polars ewm_mean_by): irregular-interval recursive
@@ -1781,7 +1799,16 @@ class Expr:
             out = F.when(F.size(arr) >= min_samples, out)
             return F.when(self._resolve(ctx).isNotNull(), out)
 
-        return Expr(fn, self._name)
+        e = Expr(fn, self._name)
+        e._ewm_spec = {
+            "kind": "std" if std else "var",
+            "parent": self,
+            "decay": d,
+            "alpha": alpha,
+            "bias": bias,
+            "min_samples": min_samples,
+        }
+        return e
 
     def rolling_skew(self, window_size: int, *, bias: bool = True, min_samples: int | None = None):
         """Rolling skew from windowed power sums (bias=False applies the
@@ -3015,7 +3042,12 @@ class Expr:
             part_ctx = _PartitionedContext(ctx, pcols, order_by=order_by, descending=descending)
             return self._resolve(part_ctx)
 
-        return Expr(fn, self._name)
+        e = Expr(fn, self._name)
+        if getattr(self, "_ewm_spec", None) is not None and order_by is None:
+            # keep the ewm hoist viable under .over(keys) in frame order
+            e._ewm_spec = self._ewm_spec
+            e._ewm_parts = parts
+        return e
 
     # -- misc ---------------------------------------------------------------
     def unique(self, maintain_order: bool = False):

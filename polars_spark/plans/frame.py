@@ -74,6 +74,84 @@ def _ospec(o) -> tuple[str, bool, bool]:
     return (o[0], bool(o[1]), bool(o[2]))
 
 
+def _ewm_kernel(spec: dict, src: str, rid: str, out_name: str):
+    """Arrow-batched exact ewm per key group: replays the IDENTICAL IEEE op
+    sequence as the expression-level prefix fold (plans/expr.py ewm_mean /
+    _ewm_var_std — and therefore the bit-exact recursive-CTE oracles), but in
+    O(n) per key instead of the fold's O(n²): the scale path for long series
+    (a 10⁶-row key finishes in seconds).  Input nulls arrive as NaN through
+    Arrow and are skipped exactly like collect_list drops them."""
+    import math
+
+    decay = spec["decay"]
+    alpha = spec.get("alpha")
+    kind = spec["kind"]
+    adjust = spec.get("adjust", True)
+    bias = spec.get("bias", False)
+    minp = spec.get("min_samples", 1)
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(rid)
+        xs = pdf[src].to_numpy(dtype=float)
+        out: list = [None] * builtins_len(xs)
+        if kind == "mean":
+            if adjust:
+                num = den = 0.0
+                cnt = 0
+                for i, x in enumerate(xs):
+                    if x != x:
+                        continue
+                    num = num * decay + x
+                    den = den * decay + 1.0
+                    cnt += 1
+                    if cnt >= minp:
+                        out[i] = num / den
+            else:
+                y = 0.0
+                started = False
+                cnt = 0
+                for i, x in enumerate(xs):
+                    if x != x:
+                        continue
+                    y = y * decay + alpha * x if started else x
+                    started = True
+                    cnt += 1
+                    if cnt >= minp:
+                        out[i] = y
+        else:
+            d = decay
+            s1 = s0 = s2 = sx2 = 0.0
+            cnt = 0
+            for i, x in enumerate(xs):
+                if x != x:
+                    continue
+                s1 = s1 * d + x
+                s0 = s0 * d + 1.0
+                s2 = s2 * d * d + 1.0
+                sx2 = sx2 * d + x * x
+                cnt += 1
+                if cnt < minp:
+                    continue
+                m = s1 / s0
+                varb = sx2 / s0 - m * m
+                if not bias:
+                    denom = s0 * s0 - s2
+                    # fold: F.when(denom > 0, ...) -> null when denom == 0
+                    varb = varb * s0 * s0 / denom if denom > 0 else None
+                # fold: F.greatest(varb, 0.0) — null -> 0.0, NaN -> NaN
+                if varb is None:
+                    varb = 0.0
+                elif varb == varb and varb < 0.0:
+                    varb = 0.0
+                out[i] = math.sqrt(varb) if kind == "std" else varb
+        pdf[out_name] = pd.array(out, dtype="Float64")
+        return pdf
+
+    return fn
+
+
 class _FramePlan:
     """Picklable stand-in for a LazyFrame argument inside a serialized plan
     journal (the nested frame of join/concat/with_context): holds that
@@ -657,6 +735,63 @@ class LazyFrame:
             return ce._resolve(ctx)
         return _to_expr(e)._resolve(ctx)
 
+    def _hoist_ewm(self, exprs, named, method: str) -> "LazyFrame | None":
+        """Scale path for top-level ewm exprs (ewm_mean/std/var, optionally
+        .over(keys)): compute each via ONE applyInPandas pass over its key
+        groups (exact same IEEE sequence as the fold — see _ewm_kernel), then
+        re-run the select/with_columns with the ewm exprs replaced by the
+        computed columns.  Returns None when nothing to hoist (or no row
+        order is defined — the fold path raises the descriptive error)."""
+        flat = [e for e in _flatten(exprs)]
+        specs: list = []
+
+        def conv(e):
+            s = getattr(e, "_ewm_spec", None)
+            if s is None or not hasattr(e, "_fn"):
+                return e
+            i = builtins_len(specs)
+            specs.append((s, list(getattr(e, "_ewm_parts", []) or []), e._name))
+            return _col(f"__ewm_out_{i}__").alias(e._name)
+
+        new_flat = [conv(e) for e in flat]
+        new_named = {k: conv(v) for k, v in named.items()}
+        if not specs:
+            return None
+        base = self._ordered()
+        if not base._order:
+            return None
+        base = base.with_row_index(ROW_IDX)  # numeric global order id
+        hidden: list[str] = []
+        prep: dict = {}
+        for i, (s, parts, _nm) in enumerate(specs):
+            prep[f"__ewm_src_{i}__"] = s["parent"]
+            for j, p in enumerate(parts):
+                prep[f"__ewm_key_{i}_{j}__"] = p
+        hidden.extend(prep)
+        base = base.with_columns(**prep)
+        from pyspark.sql import types as T
+
+        for i, (s, parts, _nm) in enumerate(specs):
+            out_name = f"__ewm_out_{i}__"
+            hidden.append(out_name)
+            sdf = base._df
+            schema = T.StructType(
+                sdf.schema.fields + [T.StructField(out_name, T.DoubleType())]
+            )
+            keys = [F.col(f"__ewm_key_{i}_{j}__") for j in range(builtins_len(parts))]
+            # alias the constant key: a bare lit(1) parses as a GROUP BY ordinal
+            grouped = (
+                sdf.groupBy(*keys) if keys else sdf.groupBy(F.lit(1).alias("__ewm_g__"))
+            )
+            out_df = grouped.applyInPandas(
+                _ewm_kernel(s, f"__ewm_src_{i}__", ROW_IDX, out_name), schema
+            )
+            base = LazyFrame(out_df, base._order)
+        if method == "select":
+            return base.select(*new_flat, **new_named)
+        out = base.with_columns(*new_flat, **new_named)
+        return out.drop(*[h for h in hidden if h in set(out._df.columns)])
+
     # -- projection / mutation ----------------------------------------------
     @_order_retry
     def select(self, *exprs, **named) -> "LazyFrame":
@@ -670,6 +805,14 @@ class LazyFrame:
             return base.select(*rest, *[nm for nm, _ in attach], **named_rest)
         exprs, named = rest, named_rest  # generators were consumed by the split
         flat = [e for e in _flatten(exprs)]
+        if any(
+            getattr(e, "_ewm_spec", None) is not None
+            for e in flat + list(named.values())
+            if hasattr(e, "_fn")
+        ):
+            hoisted = self._hoist_ewm(flat, named, "select")
+            if hoisted is not None:
+                return hoisted
         if (
             len(flat) == 1
             and not named
@@ -774,6 +917,14 @@ class LazyFrame:
                 base = base._attach_series(nm, s)
             return base.with_columns(*rest, **named_rest) if (rest or named_rest) else base
         exprs, named = rest, named_rest  # generators were consumed by the split
+        if any(
+            getattr(e, "_ewm_spec", None) is not None
+            for e in list(_flatten(exprs)) + list(named.values())
+            if hasattr(e, "_fn")
+        ):
+            hoisted = self._hoist_ewm(list(_flatten(exprs)), named, "with_columns")
+            if hoisted is not None:
+                return hoisted
         with translate_errors():
 
             def _build(broadcast_aggs: bool):
@@ -1285,8 +1436,17 @@ class LazyFrame:
         self = self._ordered()  # scans number in file order (polars contract)
         if self._order:
             # range-partition by the order keys so numbering stays per-partition
-            # (partition i holds a contiguous, ordered slice of the frame)
-            base = self._df.repartitionByRange(*_order_cols(self._order))
+            # (partition i holds a contiguous, ordered slice of the frame).
+            # PERSIST pins a single evaluation: rangepartitioning samples its
+            # bounds NONDETERMINISTICALLY, and the per-partition-counts branch
+            # and the numbering branch below would otherwise each re-evaluate
+            # it with different bounds — mismatched __pid__s silently drop
+            # rows in the offsets join (found round 6 on a 10⁶-row frame).
+            from pyspark import StorageLevel
+
+            base = self._df.repartitionByRange(*_order_cols(self._order)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             within = Window.partitionBy("__pid__").orderBy(*_order_cols(self._order))
         else:
             base = self._df
