@@ -1342,6 +1342,17 @@ def groups(column: str) -> Expr:
 # TIME type usable across functions yet).
 
 
+def _ns_to_time(c: "Column") -> "Column":
+    """ns-since-midnight (long) -> native Spark TIME(6) via make_time
+    (truncating to µs, the fixed-µs policy)."""
+    us = (c / F.lit(1000)).cast("long")
+    return F.make_time(
+        (us / F.lit(3_600_000_000)).cast("int"),
+        ((us / F.lit(60_000_000)) % 60).cast("int"),
+        (us % 60_000_000).cast("decimal(16,6)") / F.lit(1_000_000).cast("decimal(16,6)"),
+    )
+
+
 def _time_to_ns(t) -> int:
     import datetime as _dt
 
@@ -1360,20 +1371,22 @@ def _time_to_ns(t) -> int:
 
 
 def time(hour=0, minute=0, second=0, microsecond=0) -> Expr:
-    """A Time value: ns since midnight as BIGINT (the documented Time
-    mapping).  Components may be ints, column names, or expressions."""
+    """A Time value — NATIVE Spark TIME(6) since round 6 (reference
+    functions/datetime_.py time; polars-time/src/chunkedarray/time.rs).
+    Components may be ints, column names, or expressions."""
+    import datetime as _dt
+
     if all(isinstance(v, int) for v in (hour, minute, second, microsecond)):
-        ns = ((hour * 3600 + minute * 60 + second) * 1_000_000 + microsecond) * 1000
-        return lit(ns).cast("Int64")
+        return lit(_dt.time(hour, minute, second, microsecond))
     h, m, s, us = _cols([hour, minute, second, microsecond])
 
     def fn(ctx: ExprContext) -> Column:
-        total_us = (
-            (h._resolve(ctx).cast("long") * 3600 + m._resolve(ctx).cast("long") * 60 + s._resolve(ctx).cast("long"))
-            * 1_000_000
-            + us._resolve(ctx).cast("long")
+        return F.make_time(
+            h._resolve(ctx).cast("int"),
+            m._resolve(ctx).cast("int"),
+            s._resolve(ctx).cast("decimal(16,6)")
+            + us._resolve(ctx).cast("decimal(16,6)") / F.lit(1_000_000).cast("decimal(16,6)"),
         )
-        return total_us * 1000
 
     return Expr(fn, "time")
 
@@ -1410,7 +1423,7 @@ def time_ranges(start=None, end=None, interval: str = "1h", *, closed: str = "bo
             seq = F.filter(seq, lambda x: x != ec)
         if closed in ("right", "none"):
             seq = F.filter(seq, lambda x: x != sc)
-        return seq
+        return F.transform(seq, _ns_to_time)
 
     return Expr(fn, "time")
 

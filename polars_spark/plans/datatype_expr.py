@@ -51,6 +51,7 @@ from polars_spark.plans.expr import (
     Null,
     Object,
     String,
+    Time,
     UInt8,
     UInt16,
     UInt32,
@@ -89,6 +90,8 @@ _SIMPLE = {
     "date": Date,
     "timestamp": Datetime,
     "timestamp_ntz": Datetime,
+    "time(6)": Time,
+    "time": Time,
     "void": Null,
 }
 

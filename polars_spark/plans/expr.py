@@ -624,6 +624,41 @@ class Expr:
             out._enum = dtype  # cat.get_categories support
             return out
         spark_type = _dtype_to_spark(dtype)
+        if spark_type.startswith("time"):
+            # polars cast to Time (polars-time/src/chunkedarray/time.rs):
+            # Datetime -> wall-clock time of day; integers are ns since
+            # midnight (the pre-round-6 physical mapping); strings parse
+            # natively.  Spark has no direct timestamp->time cast, so the
+            # source type is probed once at lowering (analysis only, no job).
+            def fn_time(ctx: ExprContext) -> Column:
+                c = self._resolve(ctx)
+                t = ctx.df.select(c.alias("__t__")).schema["__t__"].dataType.simpleString()
+                if t.split("(")[0] == "time":
+                    return c
+                if t.startswith("timestamp"):
+                    return F.date_format(c, "HH:mm:ss.SSSSSS").cast(spark_type)
+                if t in ("bigint", "long", "int", "smallint", "tinyint"):
+                    from polars_spark.functions import _ns_to_time
+
+                    return _ns_to_time(c.cast("long"))
+                return c.cast(spark_type) if strict else c.try_cast(spark_type)
+
+            return Expr(fn_time, self._name, self._is_agg)
+        if spark_type == "bigint":
+            # Time -> Int64 yields ns since midnight (polars physical cast)
+            def fn_big(ctx: ExprContext) -> Column:
+                c = self._resolve(ctx)
+                t = ctx.df.select(c.alias("__t__")).schema["__t__"].dataType.simpleString()
+                if t.split("(")[0] == "time":
+                    sec = F.split(c.cast("string"), ":")[2]  # "ss[.ffffff]"
+                    return (
+                        F.hour(c).cast("bigint") * F.lit(3_600_000_000_000)
+                        + F.minute(c).cast("bigint") * F.lit(60_000_000_000)
+                        + (sec.cast("decimal(16,9)") * F.lit(1_000_000_000)).cast("bigint")
+                    )
+                return c.cast(spark_type) if strict else c.try_cast(spark_type)
+
+            return Expr(fn_big, self._name, self._is_agg)
         if strict:
             return self._map(lambda c: c.cast(spark_type))
         return self._map(lambda c: c.try_cast(spark_type))
@@ -4468,7 +4503,7 @@ def _dt_to_arrow(tp):
         "UInt8": pa.uint8(), "UInt16": pa.uint16(), "UInt32": pa.uint32(), "UInt64": pa.uint64(),
         "Float32": pa.float32(), "Float64": pa.float64(), "Boolean": pa.bool_(),
         "String": pa.large_string(), "Utf8": pa.large_string(), "Binary": pa.large_binary(),
-        "Date": pa.date32(), "Datetime": pa.timestamp("us"), "Time": pa.time64("ns"),
+        "Date": pa.date32(), "Datetime": pa.timestamp("us"), "Time": pa.time64("us"),
         "Duration": pa.duration("us"), "Null": pa.null(), "Categorical": pa.large_string(),
         "Enum": pa.large_string(),
     }
@@ -4530,7 +4565,7 @@ _DTYPE_MAP = {
     "Binary": "binary",
     "Date": "date",
     "Datetime": "timestamp",
-    "Time": "bigint",
+    "Time": "time(6)",  # native Spark TIME (µs, like the fixed-µs Datetime policy)
     "Duration": "interval day to second",
     "Categorical": "string",
     "Enum": "string",

@@ -841,7 +841,28 @@ class StringNamespace(_NS):
 # .dt
 
 
+def _is_time_col(ctx, c):
+    """Probe (analysis-only) whether a resolved column is Spark native TIME
+    (the polars Time dtype since round 6)."""
+    try:
+        return (
+            ctx.df.select(c.alias("__t__"))
+            .schema["__t__"]
+            .dataType.simpleString()
+            .split("(")[0]
+            == "time"
+        )
+    except Exception:
+        return False
+
+
+def _time_sec_frac(c):
+    """Decimal seconds (incl. fraction) of a native TIME column."""
+    return F.split(c.cast("string"), ":")[2].cast("decimal(16,9)")
+
+
 class DateTimeNamespace(_NS):
+
     def min(self) -> Expr:
         """Earliest value (reference Series.dt.min) — a plain aggregate."""
         return self._e.min()
@@ -1027,23 +1048,42 @@ class DateTimeNamespace(_NS):
             )
         return self._map(lambda c: F.second(c))
 
+    def _sub_second(self, scale: int, out: str) -> Expr:
+        e = self._e
+
+        def fn(ctx):
+            c = e._resolve(ctx)
+            if _is_time_col(ctx, c):
+                frac = _time_sec_frac(c) % 1
+                return (frac * scale).cast(out)
+            return ((_us(c) % 1_000_000) * (scale // 1_000_000)).cast(out) if scale >= 1_000_000 else ((_us(c) % 1_000_000) / (1_000_000 // scale)).cast(out)
+
+        return Expr(fn, e._name, e._is_agg)
+
     def millisecond(self) -> Expr:
-        return self._map(lambda c: (_us(c) % 1_000_000 / 1000).cast("int"))
+        return self._sub_second(1_000, "int")
 
     def microsecond(self) -> Expr:
-        return self._map(lambda c: (_us(c) % 1_000_000).cast("int"))
+        return self._sub_second(1_000_000, "int")
 
     def nanosecond(self) -> Expr:
-        return self._map(lambda c: (_us(c) % 1_000_000 * 1000).cast("bigint"))
+        return self._sub_second(1_000_000_000, "bigint")
 
     def date(self) -> Expr:
         return self._map(F.to_date)
 
     def time(self) -> Expr:
-        # ns since midnight (Time dtype mapping, SURVEY §1.2)
-        return self._map(
-            lambda c: ((_us(c) - _us(F.date_trunc("DAY", c))) * 1000).cast("bigint")
-        )
+        """Time-of-day as the NATIVE Time dtype (reference dt.time();
+        Spark has no timestamp->time cast, so format+parse JVM-side)."""
+        e = self._e
+
+        def fn(ctx):
+            c = e._resolve(ctx)
+            if _is_time_col(ctx, c):
+                return c
+            return F.date_format(c, "HH:mm:ss.SSSSSS").cast("time(6)")
+
+        return Expr(fn, e._name, e._is_agg)
 
     def is_leap_year(self) -> Expr:
         def fn(c):

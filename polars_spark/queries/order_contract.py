@@ -74,3 +74,40 @@ def io_scan_order_shift_first(spark, sf_dir):
         )
         .to_spark()
     )
+
+
+@query(
+    "tmp_time_of_day",
+    oracle="""
+    SELECT CAST(ts AS TIME) AS tod,
+           extract(hour FROM ts) AS h,
+           extract(minute FROM ts) AS m,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(ts AS TIME) >= TIME '06:30:00'
+    GROUP BY 1, 2, 3
+    ORDER BY tod
+    LIMIT 500
+    """,
+)
+def tmp_time_of_day(spark, sf_dir):
+    """Native Time dtype gate (round 6: polars Time = Spark TIME(6), enabled
+    via spark.sql.timeType.enabled — reference polars-time/src/chunkedarray/
+    time.rs): Datetime -> Time cast, a Time-literal comparison, Time
+    group-by keys and hour/minute accessors, all against DuckDB TIME."""
+    import datetime as _dt
+
+    ev = ltable(spark, sf_dir, "events")
+    tod = pl.col("ts").dt.time()
+    return (
+        ev.filter(tod >= _dt.time(6, 30))
+        .group_by(
+            tod.alias("tod"),
+            pl.col("ts").dt.hour().cast(pl.Int64).alias("h"),
+            pl.col("ts").dt.minute().cast(pl.Int64).alias("m"),
+        )
+        .agg(pl.len().alias("n"))
+        .sort("tod")
+        .limit(500)
+        .to_spark()
+    )

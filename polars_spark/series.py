@@ -403,6 +403,20 @@ class Series:
         }
         if k.startswith("datetime64"):
             return _e.Datetime
+        if k == "object":
+            # pandas stores time/date/bytes as objects: sniff the first
+            # non-null value so Time/Date/Binary report their real dtype
+            import datetime as _dt
+
+            nn = self._s.dropna()
+            if len(nn):
+                v = nn.iloc[0]
+                if isinstance(v, _dt.time) and not isinstance(v, _dt.datetime):
+                    return _e.Time
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                    return _e.Date
+                if isinstance(v, (bytes, bytearray)):
+                    return _e.Binary
         if k in table:
             return table[k]
         return _e.Object

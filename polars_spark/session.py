@@ -70,6 +70,10 @@ def get_spark(app_name: str = "polars_spark", **extra_conf: str) -> SparkSession
         # read TIMESTAMP(NANOS) parquet columns as long; scan_parquet converts
         # them back to timestamps (µs, truncating like DuckDB/polars cast)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # native TIME type (Spark 4.x): backs the polars Time dtype at µs
+        # precision — hour/minute/second, comparisons and time literals all
+        # JVM-native (reference polars-time/src/chunkedarray/time.rs)
+        .config("spark.sql.timeType.enabled", "true")
     )
     # Connector wiring: SPARK_GRAFT_PACKAGES is a comma-separated list of
     # maven coordinates (e.g. io.delta:delta-spark_2.13:4.0.0,

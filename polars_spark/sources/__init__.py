@@ -440,7 +440,8 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
                 fields.append(T.StructField(name, m.get(s, T.StringType())))
         fields.append(T.StructField(ROW_IDX, T.LongType()))
         return LazyFrame(spark.createDataFrame([], T.StructType(fields)), [(ROW_IDX, False)])
-    pdf = _time_to_ns(pdf)
+    # datetime.time values stay NATIVE: Spark 4's TIME(6) type (enabled via
+    # spark.sql.timeType.enabled in session.py) backs the polars Time dtype
     if ROW_IDX in pdf.columns:
         return LazyFrame(spark.createDataFrame(pdf), [(ROW_IDX, False)])
     pdf2 = pdf.copy(deep=False)
@@ -449,9 +450,10 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
 
 
 def _time_to_ns(pdf):
-    """python datetime.time values -> ns-since-midnight bigint (§1.2 Time
-    mapping).  Spark 4.1's native TIME type rejects every aggregate
-    (UNSUPPORTED_TIME_TYPE even for count), so it must never enter a plan."""
+    """(legacy, unused by the builder since round 6) python datetime.time
+    values -> ns-since-midnight bigint.  Round 6 flipped the Time dtype to
+    Spark 4's NATIVE TIME(6) type — aggregates/sorts/compares all work once
+    spark.sql.timeType.enabled is on (set in session.py)."""
     import datetime as _dt
 
     time_cols = []
@@ -1635,9 +1637,10 @@ def time_range(
     start=None, end=None, interval: str = "1h", *, closed: str = "both",
     eager: bool = True, spark: SparkSession | None = None,
 ) -> LazyFrame:
-    """Eager Time range (polars time_range): ns-since-midnight BIGINTs —
-    the documented Time mapping — via one sequence() + explode."""
-    from polars_spark.functions import _TIME_END_NS, _time_to_ns
+    """Eager Time range (polars time_range): NATIVE Spark TIME(6) values
+    (µs precision, like the fixed-µs Datetime policy) via one sequence()
+    over ns-since-midnight + a make_time projection."""
+    from polars_spark.functions import _TIME_END_NS, _ns_to_time, _time_to_ns
     from polars_spark.plans.frame import _duration_us
 
     spark = spark or _spark()
@@ -1647,10 +1650,12 @@ def time_range(
     df = spark.range(1).select(
         F.explode(F.sequence(F.lit(s), F.lit(e), F.lit(step))).alias("literal")
     )
+
     if closed in ("left", "none"):
         df = df.filter(F.col("literal") != e)
     if closed in ("right", "none"):
         df = df.filter(F.col("literal") != s)
+    df = df.select(_ns_to_time(F.col("literal")).alias("literal"))
     lf = LazyFrame(df)
     return lf.to_series() if eager else lf
 

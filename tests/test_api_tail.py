@@ -71,22 +71,22 @@ def test_top_level_map_groups(pl, lf):
 
 
 def test_time_literal_and_ranges(pl, lf):
-    ns_1030 = ((10 * 3600 + 30 * 60) * 1_000_000) * 1000
+    # round 6: the Time dtype is Spark's NATIVE TIME(6) — pl.time and
+    # time_range return real datetime.time values like the reference
     f = lf(a=[1])
     out = rows(f.select(pl.time(10, 30).alias("t")))
-    assert out == [(ns_1030,)]
+    assert out == [(datetime.time(10, 30),)]
 
     # eager time_range (reference: eager=True returns a Series)
     tr = pl.time_range(datetime.time(0), datetime.time(3), "1h")
-    hours = [v / 3_600_000_000_000 for v in tr.to_list()]
-    assert hours == [0.0, 1.0, 2.0, 3.0]
+    assert tr.to_list() == [datetime.time(h) for h in range(4)]
     tr2 = pl.time_range(datetime.time(0), datetime.time(3), "1h", closed="left")
     assert len(tr2.to_list()) == 3
 
     # expression-position time_ranges
     g = lf(s=[0], e=[2 * 3_600_000_000_000])
     out = rows(g.select(pl.time_ranges(pl.col("s"), pl.col("e"), "1h").alias("r")))
-    assert [len(out[0][0])] == [3]
+    assert list(out[0][0]) == [datetime.time(0), datetime.time(1), datetime.time(2)]
 
 
 def test_read_csv_batched(pl, tmp_path):
