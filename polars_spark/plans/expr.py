@@ -1612,7 +1612,14 @@ class Expr:
                 if dt.startswith("date"):
                     x = x.cast("timestamp")
             xd = x.cast("double")
-            w = ctx.order_window()
+            # neighbors are determined along the COORDINATE axis (polars
+            # interpolate_by sorts by `by` internally), so the window orders
+            # by x — no frame row order needed (works right after a join);
+            # the existing frame order, when defined, breaks x-ties stably
+            tie = []
+            if ctx.order_cols:
+                tie = ctx.order_by_cols()
+            w = Window.partitionBy(*ctx.partition_cols()).orderBy(xd.asc_nulls_last(), *tie)
             wb = w.rowsBetween(Window.unboundedPreceding, 0)
             wf = w.rowsBetween(0, Window.unboundedFollowing)
             pv = F.last(F.when(c.isNotNull(), c), ignorenulls=True).over(wb)

@@ -74,82 +74,103 @@ def _ospec(o) -> tuple[str, bool, bool]:
     return (o[0], bool(o[1]), bool(o[2]))
 
 
-def _ewm_kernel(spec: dict, src: str, rid: str, out_name: str):
-    """Arrow-batched exact ewm per key group: replays the IDENTICAL IEEE op
-    sequence as the expression-level prefix fold (plans/expr.py ewm_mean /
-    _ewm_var_std — and therefore the bit-exact recursive-CTE oracles), but in
-    O(n) per key instead of the fold's O(n²): the scale path for long series
-    (a 10⁶-row key finishes in seconds).  Input nulls arrive as NaN through
-    Arrow and are skipped exactly like collect_list drops them."""
+def _ewm_step_mean_adjust(st, x, decay, alpha, minp):
+    num, den, cnt = st
+    num = num * decay + x
+    den = den * decay + 1.0
+    cnt += 1
+    return (num / den if cnt >= minp else None), (num, den, cnt)
+
+
+def _ewm_step_mean_rec(st, x, decay, alpha, minp):
+    y, started, cnt = st
+    y = y * decay + alpha * x if started else x
+    cnt += 1
+    return (y if cnt >= minp else None), (y, True, cnt)
+
+
+def _ewm_step_var(st, x, d, alpha, minp, *, bias, std):
     import math
 
-    decay = spec["decay"]
-    alpha = spec.get("alpha")
-    kind = spec["kind"]
-    adjust = spec.get("adjust", True)
-    bias = spec.get("bias", False)
-    minp = spec.get("min_samples", 1)
+    s1, s0, s2, sx2, cnt = st
+    s1 = s1 * d + x
+    s0 = s0 * d + 1.0
+    s2 = s2 * d * d + 1.0
+    sx2 = sx2 * d + x * x
+    cnt += 1
+    st = (s1, s0, s2, sx2, cnt)
+    if cnt < minp:
+        return None, st
+    m = s1 / s0
+    varb = sx2 / s0 - m * m
+    if not bias:
+        denom = s0 * s0 - s2
+        # fold: F.when(denom > 0, ...) -> null when denom == 0
+        varb = varb * s0 * s0 / denom if denom > 0 else None
+    # fold: F.greatest(varb, 0.0) — null -> 0.0, NaN -> NaN
+    if varb is None:
+        varb = 0.0
+    elif varb == varb and varb < 0.0:
+        varb = 0.0
+    return (math.sqrt(varb) if std else varb), st
 
-    def fn(pdf):
+
+def _ewm_stream_kernel(specs, key_names, srcs, outs):
+    """One streaming Arrow pass computing EVERY hoisted ewm expression of a
+    key set: input arrives key-partitioned and sorted (keys, frame order)
+    within each Spark partition, so groups are contiguous — state resets on
+    key change and carries across Arrow batch boundaries.  Replays the exact
+    IEEE op sequence of the expression-level prefix fold (bit-exact vs the
+    recursive-CTE oracles) in O(n) per key instead of the fold's O(n²):
+    a 10⁶-row single-key series finishes in seconds.  Nulls arrive as NaN
+    through Arrow and are skipped exactly like collect_list drops them."""
+
+    def init(sp):
+        if sp["kind"] == "mean":
+            return (0.0, 0.0, 0) if sp.get("adjust", True) else (0.0, False, 0)
+        return (0.0, 0.0, 0.0, 0.0, 0)
+
+    def step(sp, st, x):
+        if sp["kind"] == "mean":
+            f = _ewm_step_mean_adjust if sp.get("adjust", True) else _ewm_step_mean_rec
+            return f(st, x, sp["decay"], sp.get("alpha"), sp.get("min_samples", 1))
+        return _ewm_step_var(
+            st, x, sp["decay"], sp.get("alpha"), sp.get("min_samples", 1),
+            bias=sp.get("bias", False), std=sp["kind"] == "std",
+        )
+
+    def run(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(rid)
-        xs = pdf[src].to_numpy(dtype=float)
-        out: list = [None] * builtins_len(xs)
-        if kind == "mean":
-            if adjust:
-                num = den = 0.0
-                cnt = 0
-                for i, x in enumerate(xs):
-                    if x != x:
-                        continue
-                    num = num * decay + x
-                    den = den * decay + 1.0
-                    cnt += 1
-                    if cnt >= minp:
-                        out[i] = num / den
+        cur = object()  # sentinel: no group yet
+        states: list = []
+        for pdf in batches:
+            n = builtins_len(pdf)
+            if key_names:
+                kcols = [
+                    pdf[k].astype(object).where(pdf[k].notna(), None) for k in key_names
+                ]
+                keys = list(zip(*[kc.tolist() for kc in kcols]))
             else:
-                y = 0.0
-                started = False
-                cnt = 0
-                for i, x in enumerate(xs):
-                    if x != x:
+                keys = None
+            xss = [pdf[s_].to_numpy(dtype=float) for s_ in srcs]
+            outcols = [[None] * n for _ in outs]
+            for i in range(n):
+                k = keys[i] if keys is not None else ()
+                if k != cur:
+                    cur = k
+                    states = [init(sp) for sp in specs]
+                for j, sp in enumerate(specs):
+                    x = xss[j][i]
+                    if x != x:  # null/NaN input -> null output, state unchanged
                         continue
-                    y = y * decay + alpha * x if started else x
-                    started = True
-                    cnt += 1
-                    if cnt >= minp:
-                        out[i] = y
-        else:
-            d = decay
-            s1 = s0 = s2 = sx2 = 0.0
-            cnt = 0
-            for i, x in enumerate(xs):
-                if x != x:
-                    continue
-                s1 = s1 * d + x
-                s0 = s0 * d + 1.0
-                s2 = s2 * d * d + 1.0
-                sx2 = sx2 * d + x * x
-                cnt += 1
-                if cnt < minp:
-                    continue
-                m = s1 / s0
-                varb = sx2 / s0 - m * m
-                if not bias:
-                    denom = s0 * s0 - s2
-                    # fold: F.when(denom > 0, ...) -> null when denom == 0
-                    varb = varb * s0 * s0 / denom if denom > 0 else None
-                # fold: F.greatest(varb, 0.0) — null -> 0.0, NaN -> NaN
-                if varb is None:
-                    varb = 0.0
-                elif varb == varb and varb < 0.0:
-                    varb = 0.0
-                out[i] = math.sqrt(varb) if kind == "std" else varb
-        pdf[out_name] = pd.array(out, dtype="Float64")
-        return pdf
+                    v, states[j] = step(sp, states[j], x)
+                    outcols[j][i] = v
+            for o, vals in zip(outs, outcols):
+                pdf[o] = pd.array(vals, dtype="Float64")
+            yield pdf
 
-    return fn
+    return run
 
 
 class _FramePlan:
@@ -737,11 +758,14 @@ class LazyFrame:
 
     def _hoist_ewm(self, exprs, named, method: str) -> "LazyFrame | None":
         """Scale path for top-level ewm exprs (ewm_mean/std/var, optionally
-        .over(keys)): compute each via ONE applyInPandas pass over its key
-        groups (exact same IEEE sequence as the fold — see _ewm_kernel), then
-        re-run the select/with_columns with the ewm exprs replaced by the
-        computed columns.  Returns None when nothing to hoist (or no row
-        order is defined — the fold path raises the descriptive error)."""
+        .over(keys)): ONE streaming mapInPandas pass per key set over
+        key-partitioned, key+order-sorted data computes every hoisted ewm at
+        once (exact same IEEE sequence as the prefix fold — _ewm_stream_kernel),
+        then the select/with_columns re-runs with the ewm exprs replaced by
+        the computed columns.  One hash shuffle + one in-partition sort +
+        one Arrow pass — O(n) per key where the fold is O(n²).  Returns None
+        when nothing to hoist (or no row order is defined — the fold path
+        raises the descriptive error)."""
         flat = [e for e in _flatten(exprs)]
         specs: list = []
 
@@ -760,7 +784,16 @@ class LazyFrame:
         base = self._ordered()
         if not base._order:
             return None
-        base = base.with_row_index(ROW_IDX)  # numeric global order id
+        # plain-column orders sort in the kernel directly; struct orders
+        # (materialized scan order) get a numeric global row id first
+        fields = {f.name: f.dataType.simpleString() for f in base._df.schema.fields}
+        plain = all(
+            not fields.get(n, "struct").startswith("struct")
+            for n, _d, _nl in base._order
+        )
+        if not plain:
+            base = base.with_row_index(ROW_IDX)
+        order_specs = [tuple(o) for o in base._order]
         hidden: list[str] = []
         prep: dict = {}
         for i, (s, parts, _nm) in enumerate(specs):
@@ -771,22 +804,41 @@ class LazyFrame:
         base = base.with_columns(**prep)
         from pyspark.sql import types as T
 
-        for i, (s, parts, _nm) in enumerate(specs):
-            out_name = f"__ewm_out_{i}__"
-            hidden.append(out_name)
-            sdf = base._df
+        # one streaming pass per distinct key-arity set: group specs whose
+        # partition keys are the same hidden columns
+        passes: dict[tuple, list[int]] = {}
+        for i, (_s, parts, _nm) in enumerate(specs):
+            key = tuple(f"__ewm_key_{i}_{j}__" for j in range(builtins_len(parts)))
+            # same partition exprs produce distinct hidden cols per spec, so
+            # key passes on the source exprs' repr to share shuffles
+            sig = tuple(repr(getattr(p, "_name", p)) for p in parts)
+            passes.setdefault(sig, []).append(i)
+        sdf = base._df
+        for sig, idxs in passes.items():
+            key_names = [
+                f"__ewm_key_{idxs[0]}_{j}__"
+                for j in range(builtins_len(specs[idxs[0]][1]))
+            ]
+            srcs = [f"__ewm_src_{i}__" for i in idxs]
+            outs = [f"__ewm_out_{i}__" for i in idxs]
+            hidden.extend(outs)
             schema = T.StructType(
-                sdf.schema.fields + [T.StructField(out_name, T.DoubleType())]
+                sdf.schema.fields
+                + [T.StructField(o, T.DoubleType()) for o in outs]
             )
-            keys = [F.col(f"__ewm_key_{i}_{j}__") for j in range(builtins_len(parts))]
-            # alias the constant key: a bare lit(1) parses as a GROUP BY ordinal
-            grouped = (
-                sdf.groupBy(*keys) if keys else sdf.groupBy(F.lit(1).alias("__ewm_g__"))
+            if key_names:
+                parted = sdf.repartition(*[F.col(k) for k in key_names])
+            else:
+                parted = sdf.coalesce(1)  # a single global sequence is serial
+            sort_cols = [F.col(k) for k in key_names] + _order_cols(order_specs)
+            parted = parted.sortWithinPartitions(*sort_cols)
+            sdf = parted.mapInPandas(
+                _ewm_stream_kernel(
+                    [specs[i][0] for i in idxs], key_names, srcs, outs
+                ),
+                schema,
             )
-            out_df = grouped.applyInPandas(
-                _ewm_kernel(s, f"__ewm_src_{i}__", ROW_IDX, out_name), schema
-            )
-            base = LazyFrame(out_df, base._order)
+        base = LazyFrame(sdf, base._order)
         if method == "select":
             return base.select(*new_flat, **new_named)
         out = base.with_columns(*new_flat, **new_named)
@@ -3501,9 +3553,7 @@ class LazyFrame:
                 for p in pcts:
                     q = _col(c).quantile(p, interpolation)._resolve(ctx)
                     aggs.append(q.alias(f"{c}\x00{p}"))
-            elif t.startswith("time"):
-                # Spark's TIME type rejects min/max aggregates (4.1):
-                # stringify per-row first, then aggregate the strings
+            elif t.startswith("timestamp"):
                 aggs += [
                     F.min(F.date_format(F.col(c), "HH:mm:ss")).alias(f"{c}\x00min"),
                     F.max(F.date_format(F.col(c), "HH:mm:ss")).alias(f"{c}\x00max"),
