@@ -4466,6 +4466,47 @@ class _WindowedContext(ExprContext):
 # concat
 
 
+def _concat_order_deferred(path_lists):
+    """Deferred order contract for a vertical concat of (unmaterialized)
+    deferred-order scans: polars order = frames in GIVEN sequence, file
+    order within each (Union preserves input order —
+    polars-plan/src/plans/ir/mod.rs Union).  input_file_name() survives a
+    union per-row, so the thunk ranks rows by which input's path set their
+    file belongs to (glob paths match on their static prefix), then by the
+    usual (file, block-offset, read-position) key.  Plan-only, elided when
+    no order-sensitive op consumes it — same rules as the scan thunk."""
+    import os as _os
+
+    def _key(p):
+        p = str(p)
+        if "://" in p:
+            return p.split("*")[0].split("?")[0]
+        if not any(ch in p for ch in "*?["):
+            return _os.path.abspath(p)
+        head = p
+        for ch in "*?[":
+            if ch in head:
+                head = head.split(ch)[0]
+        return _os.path.abspath(_os.path.dirname(head + "x")) + "/" + _os.path.basename(head)
+
+    def mat(df):
+        fname = F.input_file_name()
+        branches = []
+        for i, paths in enumerate(path_lists):
+            for q in paths:
+                branches.append(F.when(fname.contains(F.lit(_key(q))), F.lit(i)))
+        rank = F.coalesce(*branches, F.lit(builtins_len(path_lists))).cast("int")
+        ordc = F.struct(
+            rank.alias("g"),
+            fname.alias("n"),
+            F.input_file_block_start().alias("b"),
+            F.monotonically_increasing_id().alias("p"),
+        )
+        return df.withColumn(ROW_IDX, ordc), [(ROW_IDX, False, False)]
+
+    return mat
+
+
 def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool = False) -> LazyFrame:
     """polars concat (dsl/plan.rs:152 Union / :157 HConcat).  Series inputs
     concat driver-side and stay Series (the eager polars form)."""
@@ -4481,6 +4522,17 @@ def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool =
         df = frames[0].to_spark()
         for f in frames[1:]:
             df = df.unionByName(f.to_spark())
+        defs = [getattr(f, "_deferred_order", None) for f in frames]
+        if (
+            frames
+            and all(d is not None and hasattr(d, "paths") for d in defs)
+            and not any(f._order for f in frames)
+        ):
+            # all inputs are unmaterialized deferred scans: the union keeps
+            # the polars frames-in-sequence order contract, still lazily
+            return LazyFrame(
+                df, [], deferred=_concat_order_deferred([d.paths for d in defs])
+            )
         return LazyFrame(df, [])
     if how in ("diagonal", "diagonal_relaxed"):
         df = frames[0].to_spark()

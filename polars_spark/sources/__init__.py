@@ -87,6 +87,7 @@ def _file_order_deferred(paths: Sequence[str]):
             )
         return df.withColumn(ROW_IDX, ordc), [(ROW_IDX, False, False)]
 
+    mat.paths = paths  # concat() composes scan contracts from these
     return mat
 
 

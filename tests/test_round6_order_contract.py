@@ -155,3 +155,41 @@ def test_scan_csv_and_ndjson_carry_the_contract(tmp_path):
     j.write_text('{"x": 5}\n{"x": 1}\n{"x": 2}\n')
     got = pl.scan_ndjson(str(j)).select(pl.col("x").cum_sum().alias("c")).collect()
     assert sorted(got["c"].tolist()) == [5, 6, 8]
+
+
+def test_all_22_tpch_plans_stay_order_free():
+    """The elision guarantee at full width: none of the 22 TPC-H plans pays
+    for the scan-order contract (no order column, no input_file_name, no
+    per-partition numbering anywhere in their executed plans)."""
+    from polars_spark.queries import QUERIES
+    from polars_spark.session import get_spark
+
+    spark = get_spark("order-elide-22")
+    names = [n for n in QUERIES if n.startswith("q") and n[1].isdigit()]
+    assert len(names) >= 22
+    for n in names:
+        plan = (
+            QUERIES[n](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "input_file_name" not in plan, n
+        assert "__row_idx__" not in plan, n
+        assert "monotonically_increasing_id" not in plan, n
+
+
+def test_concat_of_scans_keeps_frame_sequence_order(tmp_path):
+    # polars: concat order = frames in GIVEN sequence (zz before aa here,
+    # beating lexicographic file order), file order within each
+    pq.write_table(pa.table({"x": [1, 2, 3]}), tmp_path / "zz.parquet")
+    pq.write_table(pa.table({"x": [4, 5, 6]}), tmp_path / "aa.parquet")
+    a = pl.scan_parquet(str(tmp_path / "zz.parquet"))
+    b = pl.scan_parquet(str(tmp_path / "aa.parquet"))
+    cat = pl.concat([a, b])
+    assert cat.with_row_index("i").sort("i").collect()["x"].tolist() == [1, 2, 3, 4, 5, 6]
+    got = cat.select(pl.col("x").cum_sum().alias("c")).collect()["c"].tolist()
+    assert sorted(got) == [1, 3, 6, 10, 15, 21]
+    # pre-concat filters compose with the contract
+    cat2 = pl.concat([a.filter(pl.col("x") != 2), b])
+    assert cat2.with_row_index("i").sort("i").collect()["x"].tolist() == [1, 3, 4, 5, 6]
+    # and the contract stays elided for order-free consumers
+    plan = cat.filter(pl.col("x") > 1).to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "input_file_name" not in plan
