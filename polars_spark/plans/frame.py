@@ -3964,6 +3964,10 @@ class LazyGroupBy:
             return self._agg_impl(*exprs, **named)
 
     def _agg_impl(self, *exprs, **named) -> LazyFrame:
+        if self._maintain:
+            # first-appearance group order needs the frame's row order —
+            # pay the deferred scan contract (no-op for ordered frames)
+            self._lf = self._lf._ordered()
         ctx = self._lf._ctx()
         ctx.grouped = True  # exprs may branch on agg vs select context
         key_names = {k for k in self._keys if isinstance(k, str)} | set(self._named)

@@ -193,3 +193,19 @@ def test_concat_of_scans_keeps_frame_sequence_order(tmp_path):
     # and the contract stays elided for order-free consumers
     plan = cat.filter(pl.col("x") > 1).to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "input_file_name" not in plan
+
+
+def test_group_by_maintain_order_on_plain_scan():
+    # polars: maintain_order=True emits groups in first-appearance order,
+    # which on a plain scan is defined by FILE order (deferred contract)
+    lf = pl.scan_parquet(f"{SF}/nation.parquet")
+    out = lf.group_by("n_regionkey", maintain_order=True).agg(pl.len().alias("n"))
+    import duckdb
+
+    exp = (
+        duckdb.sql(f"select n_regionkey from read_parquet('{SF}/nation.parquet')")
+        .df()["n_regionkey"]
+        .drop_duplicates()
+        .tolist()
+    )
+    assert out.collect()["n_regionkey"].tolist() == exp
