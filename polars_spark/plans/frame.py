@@ -1965,7 +1965,10 @@ class LazyFrame:
                 *[F.col(x) for x in df.columns if x not in cols],
                 *[F.col(f"__z__.{c}").alias(c) for c in cols],
             )
-        return LazyFrame(df, [])
+        # a deferred scan contract survives: explode is projection-only, so
+        # (file, block, read-position) still orders rows — source file order
+        # first, within-list generation order second (the polars explode order)
+        return LazyFrame(df, [], deferred=self._deferred_order)
 
     def unnest(self, *columns, separator: str | None = None) -> "LazyFrame":
         cols = []
@@ -1987,7 +1990,7 @@ class LazyFrame:
                     out.append(F.col(f"{c}.*"))
             else:
                 out.append(F.col(c))
-        return LazyFrame(self._df.select(*out), self._order)
+        return LazyFrame(self._df.select(*out), self._order, deferred=self._deferred_order)
 
 
     def _names_of(self, items) -> list[str]:

@@ -209,3 +209,14 @@ def test_group_by_maintain_order_on_plain_scan():
         .tolist()
     )
     assert out.collect()["n_regionkey"].tolist() == exp
+
+
+def test_explode_keeps_scan_order_contract(tmp_path):
+    pq.write_table(
+        pa.table({"k": [1, 2], "xs": [[10, 11, 12], [20, 21]]}), tmp_path / "a.parquet"
+    )
+    pq.write_table(pa.table({"k": [3], "xs": [[30, 31]]}), tmp_path / "b.parquet")
+    lf = pl.scan_parquet(f"{tmp_path}/*.parquet").explode("xs")
+    out = lf.with_row_index("i").sort("i").collect()
+    # polars explode order: source rows in file order, list elements in order
+    assert out["xs"].tolist() == [10, 11, 12, 20, 21, 30, 31]
