@@ -1549,7 +1549,20 @@ class LazyFrame:
         if fraction is None and n is not None:
             # approximate n via limit on a shuffled frame
             return LazyFrame(self._df.orderBy(F.rand(seed if seed is not None else 42)).limit(n), [])
-        return LazyFrame(self._df.sample(with_replacement, fraction, seed), [])
+        if shuffle:
+            return LazyFrame(
+                self._df.sample(with_replacement, fraction, seed).orderBy(
+                    F.rand((seed if seed is not None else 42) + 1)
+                ),
+                [],
+            )
+        # shuffle=False keeps the survivors' relative order (polars sample):
+        # sampling is a row filter, so a deferred scan contract survives
+        return LazyFrame(
+            self._df.sample(with_replacement, fraction, seed),
+            [],
+            deferred=self._deferred_order,
+        )
 
     def shuffle(self, seed: int | None = None) -> "LazyFrame":
         if seed is None:
@@ -4517,6 +4530,19 @@ def _concat_order_deferred(path_lists):
 def concat(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool = False) -> LazyFrame:
     """polars concat (dsl/plan.rs:152 Union / :157 HConcat).  Series inputs
     concat driver-side and stay Series (the eager polars form)."""
+    out = _concat_impl(items, how=how, rechunk=rechunk)
+    if isinstance(out, LazyFrame):
+        # concat is a plan ORIGIN for serialize: embed each input's journal
+        try:
+            out._journal = (
+                ("concat", (tuple(_plan_value(f) for f in list(items)),), {"how": how}),
+            )
+        except _NotPlannable:
+            out._journal = None
+    return out
+
+
+def _concat_impl(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: bool = False) -> LazyFrame:
     frames = list(items)
     from polars_spark.series import Series
 

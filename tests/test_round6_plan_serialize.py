@@ -108,3 +108,25 @@ def test_expr_sample_select_context():
     assert r5["a"].tolist() == again["a"].tolist()
     with pytest.raises(ValueError):
         pl.DataFrame({"a": [1]}).select(pl.col("a").sample(n=1, fraction=0.5))
+
+
+def test_concat_roundtrip():
+    a = pl.scan_parquet(f"{SF}/nation.parquet").select("n_name", "n_regionkey")
+    b = pl.scan_parquet(f"{SF}/nation.parquet").select("n_name", "n_regionkey")
+    cat = (
+        pl.concat([a, b])
+        .group_by("n_regionkey")
+        .agg(pl.len().alias("n"))
+        .sort("n_regionkey")
+    )
+    cat2 = pl.LazyFrame.deserialize(cat.serialize())
+    assert cat.collect().equals(cat2.collect())
+
+
+def test_sample_keeps_scan_order_contract():
+    lf = pl.scan_parquet(f"{SF}/nation.parquet").sample(fraction=0.5, seed=3)
+    # survivors keep relative file order (polars shuffle=False) — the
+    # cum_sum works and is deterministic for a fixed seed
+    a = lf.select(pl.col("n_nationkey").cum_sum().alias("c")).collect()["c"].tolist()
+    b = lf.select(pl.col("n_nationkey").cum_sum().alias("c")).collect()["c"].tolist()
+    assert a == b and len(a) > 0
