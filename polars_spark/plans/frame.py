@@ -1749,7 +1749,11 @@ class LazyFrame:
                     )
                     raise ComputeError(msg)
 
-        ldf = self_k.to_spark().alias("__l")
+        # keep the left frame's hidden order column alive through the join:
+        # polars preserves left row order through left/inner/semi/anti joins
+        # (the in-memory engine's default); declaring it costs nothing until
+        # an order-sensitive consumer materializes the orderBy
+        ldf = self_k._df.alias("__l")
         rdf = other_k.to_spark().alias("__r")
         cond = None
         for lk, rk in zip(lon, ron):
@@ -1762,7 +1766,11 @@ class LazyFrame:
 
         if how in ("semi", "anti"):
             joined = ldf.join(rdf, cond, f"left_{how}")
-            return LazyFrame(joined.select(*[F.col(f"__l.{c}").alias(c) for c in self.columns]))
+            cols = [F.col(f"__l.{c}").alias(c) for c in self.columns]
+            order = [o for o in self._order if o[0] in set(self.columns) or o[0] == ROW_IDX]
+            if any(o[0] == ROW_IDX for o in order) and ROW_IDX in self._df.columns:
+                cols.append(F.col(f"__l.{ROW_IDX}").alias(ROW_IDX))
+            return LazyFrame(joined.select(*cols), order)
 
         joined = ldf.join(rdf, cond, how)
         lcols = self.columns
@@ -1788,7 +1796,19 @@ class LazyFrame:
                 continue
             name = c + suffix if c in lcols else c
             out.append(F.col(f"__r.{c}").alias(name))
-        return LazyFrame(joined.select(*out))
+        order = []
+        if how in ("inner", "left") and self._order:
+            keep = list(self._order)
+            have = set(lcols)
+            if all(o[0] in have for o in keep):
+                order = keep
+            elif (
+                all(o[0] in have or o[0] == ROW_IDX for o in keep)
+                and ROW_IDX in self._df.columns
+            ):
+                out.append(F.col(f"__l.{ROW_IDX}").alias(ROW_IDX))
+                order = keep
+        return LazyFrame(joined.select(*out), order)
 
     def join_where(self, other: "LazyFrame", *predicates, suffix: str = "_right") -> "LazyFrame":
         """Theta join on arbitrary inequality predicates (polars join_where,
