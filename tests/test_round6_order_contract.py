@@ -220,3 +220,32 @@ def test_explode_keeps_scan_order_contract(tmp_path):
     out = lf.with_row_index("i").sort("i").collect()
     # polars explode order: source rows in file order, list elements in order
     assert out["xs"].tolist() == [10, 11, 12, 20, 21, 30, 31]
+
+
+def test_file_order_across_partition_splits(tmp_path):
+    """One file split into MANY Spark partitions (maxPartitionBytes) still
+    numbers by exact file position — the block-offset component of the
+    hidden order key is what makes the contract survive split planning,
+    which schedules splits by size, not by offset."""
+    import numpy as np
+
+    n = 200_000
+    t = pa.table({"i": np.arange(n), "x": np.random.RandomState(0).rand(n)})
+    pq.write_table(t, tmp_path / "big.parquet", row_group_size=20_000)
+    from polars_spark.session import get_spark
+
+    spark = get_spark()
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    try:
+        lf = pl.scan_parquet(str(tmp_path / "big.parquet"))
+        assert lf.to_spark().rdd.getNumPartitions() > 4
+        out = (
+            lf.with_row_index("rn")
+            .to_spark()
+            .selectExpr("sum(cast(rn = i as bigint)) as m", "count(*) as n")
+            .collect()[0]
+        )
+        assert out["m"] == out["n"] == n
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
