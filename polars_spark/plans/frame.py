@@ -1754,7 +1754,7 @@ class LazyFrame:
         # (the in-memory engine's default); declaring it costs nothing until
         # an order-sensitive consumer materializes the orderBy
         ldf = self_k._df.alias("__l")
-        rdf = other_k.to_spark().alias("__r")
+        rdf = other_k._df.alias("__r")
         cond = None
         for lk, rk in zip(lon, ron):
             c = (
@@ -1779,10 +1779,26 @@ class LazyFrame:
         if how == "right":
             out.extend(F.col(f"__l.{c}").alias(c) for c in lcols if not (coalesce and c in lon))
             taken = {c for c in lcols if not (coalesce and c in lon)}
+            ren = {}
             for c in rcols:
                 name = c + suffix if c in taken else c
+                ren[c] = name
                 out.append(F.col(f"__r.{c}").alias(name))
-            return LazyFrame(joined.select(*out))
+            # polars keeps the RIGHT frame's row order through right joins —
+            # declare it on the (possibly suffixed) surviving right columns
+            order = []
+            if other._order:
+                if all(o[0] in ren for o in other._order):
+                    order = [(ren[o[0]], o[1], o[2]) for o in other._order]
+                elif (
+                    all(o[0] in ren or o[0] == ROW_IDX for o in other._order)
+                    and ROW_IDX in other_k._df.columns
+                ):
+                    out.append(F.col(f"__r.{ROW_IDX}").alias(ROW_IDX))
+                    order = [
+                        (ren.get(o[0], o[0]), o[1], o[2]) for o in other._order
+                    ]
+            return LazyFrame(joined.select(*out), order)
         # inner / left / full
         for c in lcols:
             if how == "full" and coalesce and c in lon:

@@ -249,3 +249,16 @@ def test_file_order_across_partition_splits(tmp_path):
         assert out["m"] == out["n"] == n
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_join_preserves_side_order():
+    left = pl.DataFrame({"k": [2, 1], "lv": ["b", "a"]})
+    right = pl.DataFrame({"k": [3, 1, 2], "rv": ["z", "x", "y"]})
+    # left/inner joins keep LEFT insertion order (polars in-memory engine)
+    assert left.join(right, on="k", how="left").collect()["lv"].tolist() == ["b", "a"]
+    assert left.join(right, on="k", how="inner").collect()["lv"].tolist() == ["b", "a"]
+    # right joins keep RIGHT order
+    assert left.join(right, on="k", how="right").collect()["rv"].tolist() == ["z", "x", "y"]
+    # semi/anti are left filters: left order kept (k=2 not in {3,1})
+    assert left.join(right.head(2), on="k", how="semi").collect()["lv"].tolist() == ["a"]
+    assert left.join(right.head(2), on="k", how="anti").collect()["lv"].tolist() == ["b"]
