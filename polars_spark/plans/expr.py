@@ -137,6 +137,18 @@ class ExprContext:
 
 
 
+def _grouped_ordered_array(ctx: "ExprContext", c: Column) -> Column:
+    """The group's values as an ORDERED array (agg context): row-order
+    sorted when the frame has an order, OrderNeeded when it is deferred —
+    the building block for sequence-valued aggs (grouped ewm)."""
+    if ctx.order_cols:
+        pairs = F.collect_list(F.struct(*ctx.order_plain_cols(), c.alias("__v")))
+        return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))
+    if ctx.deferred:
+        raise OrderNeeded()
+    return F.collect_list(c)
+
+
 def _element_agg(ctx, parent: "Expr", kind: str, *a, **k) -> Column:
     """list.agg / arr.agg lowering (reference expr/list.py list_agg): the
     elementwise prefix of the expression runs inside a JVM-side
@@ -271,6 +283,8 @@ class Expr:
             e._ewm_spec = self._ewm_spec
             if hasattr(self, "_ewm_parts"):
                 e._ewm_parts = self._ewm_parts
+        if getattr(self, "_ctx_agg", False):
+            e._ctx_agg = True
         return e
 
     @property
@@ -1661,6 +1675,48 @@ class Expr:
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            if ctx.grouped and getattr(ctx, "_window", None) is None:
+                # agg context (group_by().agg(col.ewm_mean())): the running
+                # mean over the group IN ROW ORDER as a list (polars implicit
+                # implode of a length-preserving expr) — prefix folds over the
+                # imploded array, O(k²) per group, bounded by group size
+                garr = F.filter(_grouped_ordered_array(ctx, c), lambda x: x.isNotNull())
+                idx = F.sequence(F.lit(1), F.size(garr))
+                if adjust:
+                    a0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+                    return F.transform(
+                        idx,
+                        lambda i: F.when(
+                            i >= min_samples,
+                            F.aggregate(
+                                F.slice(garr, 1, i),
+                                a0,
+                                lambda acc, x: F.struct(
+                                    (acc["num"] * decay + x).alias("num"),
+                                    (acc["den"] * decay + 1.0).alias("den"),
+                                ),
+                                lambda acc: acc["num"] / acc["den"],
+                            ),
+                        ),
+                    )
+                a0 = F.struct(F.lit(0.0).alias("y"), F.lit(0).alias("started"))
+                return F.transform(
+                    idx,
+                    lambda i: F.when(
+                        i >= min_samples,
+                        F.aggregate(
+                            F.slice(garr, 1, i),
+                            a0,
+                            lambda acc, x: F.struct(
+                                F.when(acc["started"] == 1, acc["y"] * decay + alpha * x)
+                                .otherwise(x)
+                                .alias("y"),
+                                F.lit(1).alias("started"),
+                            ),
+                            lambda acc: acc["y"],
+                        ),
+                    ),
+                )
             w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
             arr = F.collect_list(c).over(w)  # collect_list drops nulls == ignore_nulls
             if adjust:
@@ -1692,6 +1748,7 @@ class Expr:
             return F.when(self._resolve(ctx).isNotNull(), out)
 
         e = Expr(fn, self._name)
+        e._ctx_agg = True  # grouped branch is already aggregate-valued (list)
         # frame-level scale path: top-level ewm exprs are hoisted into ONE
         # applyInPandas pass per key set (O(n) per key, Arrow-batched, same
         # IEEE op sequence) instead of the O(n²) per-row prefix fold — see
@@ -1816,6 +1873,37 @@ class Expr:
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            if ctx.grouped and getattr(ctx, "_window", None) is None:
+                # agg context: running EW var/std over the group in row
+                # order, as a list (prefix folds over the imploded array)
+                garr = F.filter(_grouped_ordered_array(ctx, c), lambda x: x.isNotNull())
+                idx = F.sequence(F.lit(1), F.size(garr))
+                a0 = F.struct(
+                    F.lit(0.0).alias("s1"), F.lit(0.0).alias("s0"),
+                    F.lit(0.0).alias("s2"), F.lit(0.0).alias("sx2"),
+                )
+
+                def _prefix(i):
+                    def stepg(acc, x):
+                        return F.struct(
+                            (acc["s1"] * d + x).alias("s1"),
+                            (acc["s0"] * d + 1.0).alias("s0"),
+                            (acc["s2"] * d * d + 1.0).alias("s2"),
+                            (acc["sx2"] * d + x * x).alias("sx2"),
+                        )
+
+                    def fing(acc):
+                        m = acc["s1"] / acc["s0"]
+                        varb = acc["sx2"] / acc["s0"] - m * m
+                        if not bias:
+                            denom = acc["s0"] * acc["s0"] - acc["s2"]
+                            varb = F.when(denom > 0, varb * acc["s0"] * acc["s0"] / denom)
+                        varb = F.greatest(varb, F.lit(0.0))
+                        return F.sqrt(varb) if std else varb
+
+                    return F.aggregate(F.slice(garr, 1, i), a0, stepg, fing)
+
+                return F.transform(idx, lambda i: F.when(i >= min_samples, _prefix(i)))
             w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
             arr = F.collect_list(c).over(w)
             acc0 = F.struct(
@@ -1842,6 +1930,7 @@ class Expr:
             return F.when(self._resolve(ctx).isNotNull(), out)
 
         e = Expr(fn, self._name)
+        e._ctx_agg = True  # grouped branch is already aggregate-valued (list)
         e._ewm_spec = {
             "kind": "std" if std else "var",
             "parent": self,

@@ -86,3 +86,20 @@ def test_nulls_and_min_samples_match_fold(keyed):
         e=(pl.col("x").ewm_mean(span=5, min_samples=3) * 1.0)
     ).collect()["e"].to_numpy()
     assert ((h == f) | (np.isnan(h) & np.isnan(f))).all()
+
+
+def test_grouped_ewm_returns_running_list_per_group():
+    # polars: a length-preserving expr inside .agg() implodes — here the
+    # RUNNING ewm over the group in row order (reference implicit implode)
+    df = pl.LazyFrame({"g": ["a", "a", "b"], "x": [1.0, 2.0, 3.0]})
+    r = (
+        df.group_by("g")
+        .agg(
+            pl.col("x").ewm_mean(span=2).alias("e"),
+            pl.col("x").ewm_std(span=2, bias=False).alias("s"),
+        )
+        .sort("g")
+        .collect()
+    )
+    assert [[round(v, 4) for v in vs] for vs in r["e"]] == [[1.0, 1.75], [3.0]]
+    assert [round(v, 4) for v in r["s"].iloc[0]] == [0.0, 0.7071]
