@@ -262,3 +262,47 @@ def test_join_preserves_side_order():
     # semi/anti are left filters: left order kept (k=2 not in {3,1})
     assert left.join(right.head(2), on="k", how="semi").collect()["lv"].tolist() == ["a"]
     assert left.join(right.head(2), on="k", how="anti").collect()["lv"].tolist() == ["b"]
+
+
+def test_order_contract_randomized_against_pandas_simulation(tmp_path):
+    """Seeded randomized property check: for random multi-file datasets and
+    random filter prefixes, cum_sum/shift/with_row_index on the scan must
+    equal a pandas simulation of polars file-order semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    for case in range(6):
+        d = tmp_path / f"case{case}"
+        d.mkdir()
+        n_files = rng.randint(1, 4)
+        parts = []
+        for i in range(n_files):
+            n = rng.randint(1, 30)
+            pdf = pd.DataFrame(
+                {"x": rng.randint(0, 50, n).astype("int64"),
+                 "y": rng.rand(n)}
+            )
+            pq.write_table(pa.Table.from_pandas(pdf), d / f"f{i:02d}.parquet")
+            parts.append(pdf)
+        sim = pd.concat(parts, ignore_index=True)  # lexicographic = written order
+
+        lf = pl.scan_parquet(f"{d}/*.parquet")
+        thresh = int(rng.randint(0, 50))
+        lf2 = lf.filter(pl.col("x") >= thresh)
+        sim2 = sim[sim["x"] >= thresh].reset_index(drop=True)
+
+        got = (
+            lf2.with_row_index("rn")
+            .select("rn", pl.col("x").cum_sum().alias("cs"),
+                    pl.col("x").shift(1).alias("sh"))
+            .sort("rn")
+            .collect()
+        )
+        exp_cs = sim2["x"].cumsum().tolist()
+        exp_sh = sim2["x"].shift(1).tolist()
+        assert got["cs"].tolist() == exp_cs, f"case {case} cum_sum"
+        sh = got["sh"].tolist()
+        assert all(
+            (a != a and b != b) or a == b for a, b in zip(sh, exp_sh)
+        ), f"case {case} shift"
