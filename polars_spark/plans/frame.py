@@ -4607,6 +4607,15 @@ def _concat_impl(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: 
         df = frames[0].to_spark()
         for f in frames[1:]:
             df = df.unionByName(f.to_spark(), allowMissingColumns=True)
+        defs = [getattr(f, "_deferred_order", None) for f in frames]
+        if (
+            frames
+            and all(d is not None and hasattr(d, "paths") for d in defs)
+            and not any(f._order for f in frames)
+        ):
+            return LazyFrame(
+                df, [], deferred=_concat_order_deferred([d.paths for d in defs])
+            )
         return LazyFrame(df, [])
     if how == "horizontal":
         out = None
