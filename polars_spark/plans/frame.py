@@ -4843,6 +4843,9 @@ _JOURNALED_METHODS = [
     "join_asof", "join_where", "gather", "gather_every", "top_k", "bottom_k",
     "sum", "mean", "min", "max", "median", "std", "var", "count", "shift",
     "interpolate", "set_sorted", "quantile", "null_count", "product", "pipe",
+    "sql", "unnest", "update", "merge_sorted", "upsample", "pivot", "unstack",
+    "extend", "vstack", "hstack", "insert_column", "to_dummies",
+    "with_context", "match_to_schema", "select_seq",
 ]
 for _m in _JOURNALED_METHODS:
     setattr(LazyFrame, _m, _journal_step(getattr(LazyFrame, _m), _m))

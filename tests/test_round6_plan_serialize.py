@@ -130,3 +130,17 @@ def test_sample_keeps_scan_order_contract():
     a = lf.select(pl.col("n_nationkey").cum_sum().alias("c")).collect()["c"].tolist()
     b = lf.select(pl.col("n_nationkey").cum_sum().alias("c")).collect()["c"].tolist()
     assert a == b and len(a) > 0
+
+
+def test_sql_and_vstack_roundtrip():
+    a = pl.scan_parquet(f"{SF}/nation.parquet").sql(
+        "SELECT n_regionkey, count(*) AS n FROM self GROUP BY n_regionkey"
+    )
+    a2 = pl.LazyFrame.deserialize(a.serialize())
+    assert a.collect().sort_values("n_regionkey", ignore_index=True).equals(
+        a2.collect().sort_values("n_regionkey", ignore_index=True)
+    )
+    b = pl.scan_parquet(f"{SF}/region.parquet").vstack(
+        pl.scan_parquet(f"{SF}/region.parquet")
+    )
+    assert len(pl.LazyFrame.deserialize(b.serialize()).collect()) == 10
