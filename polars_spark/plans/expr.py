@@ -659,9 +659,15 @@ class Expr:
 
             return Expr(fn_time, self._name, self._is_agg)
         if spark_type == "bigint":
-            # Time -> Int64 yields ns since midnight (polars physical cast)
+            # Time -> Int64 yields ns since midnight (polars physical cast).
+            # The probe analyzes a subplan, so gate it on the frame actually
+            # containing a TIME column (df.dtypes is already-analyzed, free)
             def fn_big(ctx: ExprContext) -> Column:
                 c = self._resolve(ctx)
+                if ctx.df is None or not any(
+                    t.split("(")[0] == "time" for _n, t in ctx.df.dtypes
+                ):
+                    return c.cast(spark_type) if strict else c.try_cast(spark_type)
                 t = ctx.df.select(c.alias("__t__")).schema["__t__"].dataType.simpleString()
                 if t.split("(")[0] == "time":
                     sec = F.split(c.cast("string"), ":")[2]  # "ss[.ffffff]"

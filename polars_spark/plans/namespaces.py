@@ -845,6 +845,10 @@ def _is_time_col(ctx, c):
     """Probe (analysis-only) whether a resolved column is Spark native TIME
     (the polars Time dtype since round 6)."""
     try:
+        if ctx.df is None or not any(
+            t.split("(")[0] == "time" for _n, t in ctx.df.dtypes
+        ):
+            return False  # no TIME column anywhere: skip the subplan probe
         return (
             ctx.df.select(c.alias("__t__"))
             .schema["__t__"]
