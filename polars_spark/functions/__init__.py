@@ -1345,6 +1345,9 @@ def groups(column: str) -> Expr:
 def _ns_to_time(c: "Column") -> "Column":
     """ns-since-midnight (long) -> native Spark TIME(6) via make_time
     (truncating to µs, the fixed-µs policy)."""
+    from polars_spark.session import ensure_time_type
+
+    ensure_time_type()
     us = (c / F.lit(1000)).cast("long")
     return F.make_time(
         (us / F.lit(3_600_000_000)).cast("int"),
@@ -1381,6 +1384,9 @@ def time(hour=0, minute=0, second=0, microsecond=0) -> Expr:
     h, m, s, us = _cols([hour, minute, second, microsecond])
 
     def fn(ctx: ExprContext) -> Column:
+        from polars_spark.session import ensure_time_type
+
+        ensure_time_type(getattr(getattr(ctx, "df", None), "sparkSession", None))
         return F.make_time(
             h._resolve(ctx).cast("int"),
             m._resolve(ctx).cast("int"),

@@ -645,6 +645,9 @@ class Expr:
             # natively.  Spark has no direct timestamp->time cast, so the
             # source type is probed once at lowering (analysis only, no job).
             def fn_time(ctx: ExprContext) -> Column:
+                from polars_spark.session import ensure_time_type
+
+                ensure_time_type(getattr(getattr(ctx, "df", None), "sparkSession", None))
                 c = self._resolve(ctx)
                 t = ctx.df.select(c.alias("__t__")).schema["__t__"].dataType.simpleString()
                 if t.split("(")[0] == "time":
@@ -3923,10 +3926,20 @@ def _py_to_lit(v) -> Column:
 
 
 def lit(v, dtype=None) -> Expr:
+    import datetime as _dt
+
+    is_time = isinstance(v, _dt.time) and not isinstance(v, _dt.datetime)
+
     def fn(ctx: ExprContext) -> Column:
+        spark_ddl = _dtype_to_spark(dtype) if dtype is not None else None
+        if is_time or (spark_ddl is not None and spark_ddl.startswith("time")):
+            # Time literal -> native TIME(6): make the conf session-portable
+            from polars_spark.session import ensure_time_type
+
+            ensure_time_type(getattr(getattr(ctx, "df", None), "sparkSession", None))
         c = F.lit(v)
-        if dtype is not None:
-            c = c.cast(_dtype_to_spark(dtype))
+        if spark_ddl is not None:
+            c = c.cast(spark_ddl)
         return c
 
     return Expr(fn, "literal")

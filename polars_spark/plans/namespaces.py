@@ -1082,6 +1082,9 @@ class DateTimeNamespace(_NS):
         e = self._e
 
         def fn(ctx):
+            from polars_spark.session import ensure_time_type
+
+            ensure_time_type(getattr(getattr(ctx, "df", None), "sparkSession", None))
             c = e._resolve(ctx)
             if _is_time_col(ctx, c):
                 return c

@@ -49,14 +49,18 @@ def fround(col, n: int = 4):
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from polars_spark.sources import scan_parquet
+    from polars_spark.session import ensure_time_type
 
+    ensure_time_type(spark)  # registry queries run on the CALLER's session
     return scan_parquet(f"{sf_dir}/{name}.parquet", spark=spark).to_spark()
 
 
 def ltable(spark: SparkSession, sf_dir: str, name: str):
     """Same as ``table`` but returns the LazyFrame (polars-style API)."""
     from polars_spark.sources import scan_parquet
+    from polars_spark.session import ensure_time_type
 
+    ensure_time_type(spark)  # registry queries run on the CALLER's session
     return scan_parquet(f"{sf_dir}/{name}.parquet", spark=spark)
 
 

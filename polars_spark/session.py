@@ -23,7 +23,38 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "ensure_time_type"]
+
+# sessions already verified/flipped — weak-valued so a stopped session's id
+# can be reused by a new object without being mistaken for a verified one
+import weakref
+
+_TIME_READY: "weakref.WeakValueDictionary[int, SparkSession]" = weakref.WeakValueDictionary()
+
+
+def ensure_time_type(spark: "SparkSession | None" = None) -> None:
+    """Runtime-enable Spark's native TIME type on the CONSUMING session.
+
+    The polars Time dtype lowers to Spark 4's TIME(6), which is gated by
+    ``spark.sql.timeType.enabled``.  ``get_spark`` sets it at build time,
+    but the engine must not assume its consumer's session was built here —
+    a vanilla ``SparkSession.builder.getOrCreate()`` would otherwise fail
+    every Time operation with [UNSUPPORTED_TIME_TYPE].  The conf is
+    runtime-settable, so every Time lowering site calls this (cached per
+    live session: one py4j round-trip ever per session)."""
+    s = spark if spark is not None else SparkSession.getActiveSession()
+    if s is None:
+        return
+    if _TIME_READY.get(id(s)) is s:
+        return
+    try:
+        if (s.conf.get("spark.sql.timeType.enabled", "false") or "").lower() != "true":
+            s.conf.set("spark.sql.timeType.enabled", "true")
+        _TIME_READY[id(s)] = s
+    except Exception:
+        # conf API unavailable (stopped session mid-teardown): the later
+        # analysis error is clearer than failing here
+        pass
 
 
 def _cpus() -> int:

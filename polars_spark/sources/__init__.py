@@ -441,8 +441,11 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
                 fields.append(T.StructField(name, m.get(s, T.StringType())))
         fields.append(T.StructField(ROW_IDX, T.LongType()))
         return LazyFrame(spark.createDataFrame([], T.StructType(fields)), [(ROW_IDX, False)])
-    # datetime.time values stay NATIVE: Spark 4's TIME(6) type (enabled via
-    # spark.sql.timeType.enabled in session.py) backs the polars Time dtype
+    # datetime.time values stay NATIVE: Spark 4's TIME(6) type — enable the
+    # conf on the CONSUMING session (runtime-settable; session-portable)
+    from polars_spark.session import ensure_time_type
+
+    ensure_time_type(spark)
     if ROW_IDX in pdf.columns:
         return LazyFrame(spark.createDataFrame(pdf), [(ROW_IDX, False)])
     pdf2 = pdf.copy(deep=False)
@@ -1643,8 +1646,10 @@ def time_range(
     over ns-since-midnight + a make_time projection."""
     from polars_spark.functions import _TIME_END_NS, _ns_to_time, _time_to_ns
     from polars_spark.plans.frame import _duration_us
+    from polars_spark.session import ensure_time_type
 
     spark = spark or _spark()
+    ensure_time_type(spark)
     s = _time_to_ns(start) if start is not None else 0
     e = _time_to_ns(end) if end is not None else _TIME_END_NS
     step = _duration_us(interval) * 1000
