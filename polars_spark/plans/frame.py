@@ -105,8 +105,10 @@ def _ewm_step_var(st, x, d, alpha, minp, *, bias, std):
     varb = sx2 / s0 - m * m
     if not bias:
         denom = s0 * s0 - s2
-        # fold: F.when(denom > 0, ...) -> null when denom == 0
-        varb = varb * s0 * s0 / denom if denom > 0 else None
+        # fold: F.when(denom > 0, ...) -> null when denom == 0; NB Spark
+        # orders NaN GREATER than any number, so a NaN denom (poisoned
+        # recurrence) takes the division branch and stays NaN
+        varb = varb * s0 * s0 / denom if (denom > 0 or denom != denom) else None
     # fold: F.greatest(varb, 0.0) — null -> 0.0, NaN -> NaN
     if varb is None:
         varb = 0.0
@@ -115,7 +117,7 @@ def _ewm_step_var(st, x, d, alpha, minp, *, bias, std):
     return (math.sqrt(varb) if std else varb), st
 
 
-def _ewm_stream_kernel(specs, key_names, srcs, outs):
+def _ewm_stream_kernel(specs, key_names, srcs, outs, nan_flags=None):
     """One streaming Arrow pass computing EVERY hoisted ewm expression of a
     key set: input arrives key-partitioned and sorted (keys, frame order)
     within each Spark partition, so groups are contiguous — state resets on
@@ -140,6 +142,7 @@ def _ewm_stream_kernel(specs, key_names, srcs, outs):
         )
 
     def run(batches):
+        import numpy as np
         import pandas as pd
 
         cur = object()  # sentinel: no group yet
@@ -154,6 +157,13 @@ def _ewm_stream_kernel(specs, key_names, srcs, outs):
             else:
                 keys = None
             xss = [pdf[s_].to_numpy(dtype=float) for s_ in srcs]
+            # JVM-computed "was a REAL NaN" flags: Arrow collapses null and
+            # NaN to NaN in the float view, but the fold path (collect_list)
+            # drops nulls while a genuine NaN poisons the recurrence
+            if nan_flags is not None:
+                nanss = [pdf[f_].fillna(False).to_numpy(dtype=bool) for f_ in nan_flags]
+            else:
+                nanss = None
             outcols = [[None] * n for _ in outs]
             for i in range(n):
                 k = keys[i] if keys is not None else ()
@@ -162,12 +172,16 @@ def _ewm_stream_kernel(specs, key_names, srcs, outs):
                     states = [init(sp) for sp in specs]
                 for j, sp in enumerate(specs):
                     x = xss[j][i]
-                    if x != x:  # null/NaN input -> null output, state unchanged
-                        continue
+                    if x != x and (nanss is None or not nanss[j][i]):
+                        continue  # true null: null output, state unchanged
                     v, states[j] = step(sp, states[j], x)
                     outcols[j][i] = v
             for o, vals in zip(outs, outcols):
-                pdf[o] = pd.array(vals, dtype="Float64")
+                # FloatingArray keeps NaN as a VALUE (poisoned recurrence)
+                # distinct from the null mask — pd.array would mask NaN too
+                vnp = np.array([0.0 if v is None else v for v in vals], dtype="float64")
+                mask = np.array([v is None for v in vals], dtype=bool)
+                pdf[o] = pd.arrays.FloatingArray(vnp, mask)
             yield pdf
 
     return run
@@ -801,6 +815,22 @@ class LazyFrame:
             for j, p in enumerate(parts):
                 prep[f"__ewm_key_{i}_{j}__"] = p
         hidden.extend(prep)
+        # structural identity of each spec's partition exprs, resolved
+        # against the PRE-prep frame: two specs share one shuffle+sort pass
+        # only when their key COLUMNS are structurally identical (keying on
+        # the root column name alone would merge .over(col('g')) with
+        # .over(col('g').str.slice(0,1)) and silently partition the second
+        # by the wrong key).  Unresolvable exprs get a unique sig -> own pass.
+        pre_ctx = self._ctx()
+        part_sigs: list[tuple] = []
+        for i, (_s, parts, _nm) in enumerate(specs):
+            sig_items: list = []
+            for p in parts:
+                try:
+                    sig_items.append(str(p._resolve(pre_ctx)))
+                except Exception:
+                    sig_items.append(f"__unique_{i}_{builtins_len(sig_items)}__")
+            part_sigs.append(tuple(sig_items))
         base = base.with_columns(**prep)
         from pyspark.sql import types as T
 
@@ -808,11 +838,9 @@ class LazyFrame:
         # partition keys are the same hidden columns
         passes: dict[tuple, list[int]] = {}
         for i, (_s, parts, _nm) in enumerate(specs):
-            key = tuple(f"__ewm_key_{i}_{j}__" for j in range(builtins_len(parts)))
             # same partition exprs produce distinct hidden cols per spec, so
-            # key passes on the source exprs' repr to share shuffles
-            sig = tuple(repr(getattr(p, "_name", p)) for p in parts)
-            passes.setdefault(sig, []).append(i)
+            # passes share a shuffle iff the resolved key columns match
+            passes.setdefault(part_sigs[i], []).append(i)
         sdf = base._df
         for sig, idxs in passes.items():
             key_names = [
@@ -821,7 +849,18 @@ class LazyFrame:
             ]
             srcs = [f"__ewm_src_{i}__" for i in idxs]
             outs = [f"__ewm_out_{i}__" for i in idxs]
+            # Arrow flattens null and NaN to the same NaN in the kernel's
+            # float view; polars (and the fold path) skips NULLS but lets a
+            # real NaN poison the recurrence — flag real NaNs JVM-side
+            nans = [f"__ewm_isnan_{i}__" for i in idxs]
+            sdf = sdf.withColumns(
+                {
+                    fl: F.coalesce(F.isnan(F.col(s_).cast("double")), F.lit(False))
+                    for fl, s_ in zip(nans, srcs)
+                }
+            )
             hidden.extend(outs)
+            hidden.extend(nans)
             schema = T.StructType(
                 sdf.schema.fields
                 + [T.StructField(o, T.DoubleType()) for o in outs]
@@ -834,7 +873,7 @@ class LazyFrame:
             parted = parted.sortWithinPartitions(*sort_cols)
             sdf = parted.mapInPandas(
                 _ewm_stream_kernel(
-                    [specs[i][0] for i in idxs], key_names, srcs, outs
+                    [specs[i][0] for i in idxs], key_names, srcs, outs, nans
                 ),
                 schema,
             )
@@ -1489,15 +1528,20 @@ class LazyFrame:
         if self._order:
             # range-partition by the order keys so numbering stays per-partition
             # (partition i holds a contiguous, ordered slice of the frame).
-            # PERSIST pins a single evaluation: rangepartitioning samples its
-            # bounds NONDETERMINISTICALLY, and the per-partition-counts branch
-            # and the numbering branch below would otherwise each re-evaluate
-            # it with different bounds — mismatched __pid__s silently drop
-            # rows in the offsets join (found round 6 on a 10⁶-row frame).
+            # A LAZY LOCAL CHECKPOINT pins a single evaluation:
+            # rangepartitioning samples its bounds NONDETERMINISTICALLY, and
+            # the per-partition-counts branch and the numbering branch below
+            # would otherwise each re-evaluate it with different bounds —
+            # mismatched __pid__s silently drop rows in the offsets join
+            # (found round 6 on a 10⁶-row frame).  vs plain persist():
+            # lineage truncation means lost blocks can never re-sample new
+            # bounds (loud failure instead of silent row loss), and the
+            # blocks are ContextCleaner-reclaimed when the frame is GC'd
+            # instead of leaking in the cacheManager until unpersist.
             from pyspark import StorageLevel
 
-            base = self._df.repartitionByRange(*_order_cols(self._order)).persist(
-                StorageLevel.MEMORY_AND_DISK
+            base = self._df.repartitionByRange(*_order_cols(self._order)).localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
             within = Window.partitionBy("__pid__").orderBy(*_order_cols(self._order))
         else:
@@ -4532,25 +4576,46 @@ def _concat_order_deferred(path_lists):
     usual (file, block-offset, read-position) key.  Plan-only, elided when
     no order-sensitive op consumes it — same rules as the scan thunk."""
     import os as _os
+    import re as _re
+
+    def _strip_scheme(s):
+        m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", s)
+        return "/" + s[m.end():] if m else s
 
     def _key(p):
+        """(boundary_prefix, is_glob_stem): glob stems match on startswith of
+        the stem itself (within-dir pattern prefix); concrete paths match on
+        exact-file-or-directory URI boundaries — raw substring containment
+        mis-ranked /data/ab under a sibling /data/a key (ADVICE r6)."""
         p = str(p)
-        if "://" in p:
-            return p.split("*")[0].split("?")[0]
         if not any(ch in p for ch in "*?["):
-            return _os.path.abspath(p)
+            k = _strip_scheme(p if "://" in p else _os.path.abspath(p)).rstrip("/") or "/"
+            return k, False
         head = p
         for ch in "*?[":
             if ch in head:
                 head = head.split(ch)[0]
-        return _os.path.abspath(_os.path.dirname(head + "x")) + "/" + _os.path.basename(head)
+        if "://" in p:
+            return _strip_scheme(head), True
+        return (
+            _strip_scheme(
+                _os.path.abspath(_os.path.dirname(head + "x")) + "/" + _os.path.basename(head)
+            ),
+            True,
+        )
 
     def mat(df):
         fname = F.input_file_name()
+        norm = F.regexp_replace(fname, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
         branches = []
         for i, paths in enumerate(path_lists):
             for q in paths:
-                branches.append(F.when(fname.contains(F.lit(_key(q))), F.lit(i)))
+                k, is_glob = _key(q)
+                if is_glob:
+                    cond = norm.startswith(F.lit(k))
+                else:
+                    cond = (norm == F.lit(k)) | norm.startswith(F.lit(k + "/"))
+                branches.append(F.when(cond, F.lit(i)))
         rank = F.coalesce(*branches, F.lit(builtins_len(path_lists))).cast("int")
         ordc = F.struct(
             rank.alias("g"),

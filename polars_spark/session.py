@@ -23,38 +23,69 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark", "ensure_time_type"]
+__all__ = ["get_spark", "stop_spark", "ensure_time_type", "ensure_engine_confs"]
 
 # sessions already verified/flipped — weak-valued so a stopped session's id
 # can be reused by a new object without being mistaken for a verified one
 import weakref
 
-_TIME_READY: "weakref.WeakValueDictionary[int, SparkSession]" = weakref.WeakValueDictionary()
+_CONF_READY: "weakref.WeakValueDictionary[int, SparkSession]" = weakref.WeakValueDictionary()
+
+# Runtime-settable SQL confs the engine's SEMANTICS depend on.  get_spark
+# sets them at build time, but the engine must not assume its consumer's
+# session was built here (the driver calls registry queries on a vanilla
+# SparkSession.builder.getOrCreate()).  Each is verified runtime-settable:
+# - timeType.enabled: the Time dtype lowers to native TIME(6); without it
+#   every Time operation dies with [UNSUPPORTED_TIME_TYPE] (r6 driver red).
+# - session.timeZone=UTC: polars Datetime is naive/UTC (SURVEY §1.2); a
+#   non-UTC consumer session would SILENTLY shift every timestamp read,
+#   literal, and extraction — wrong answers, not errors.
+# - caseSensitive: polars columns are case-sensitive ("name"/"NAME"
+#   coexist); Spark's default case-insensitive resolution silently
+#   replaces one with the other in withColumns.
+# - parquet rebase modes: pre-1582 date/INT96 reads must not rebase.
+_ENGINE_CONFS = (
+    ("spark.sql.timeType.enabled", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.caseSensitive", "true"),
+    ("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED"),
+    ("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED"),
+    # perf-only (Arrow exchange for toPandas/pandas-UDFs) but the engine's
+    # hot paths are designed around Arrow batches — set them too
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ("spark.sql.execution.pythonUDF.arrow.enabled", "true"),
+)
 
 
-def ensure_time_type(spark: "SparkSession | None" = None) -> None:
-    """Runtime-enable Spark's native TIME type on the CONSUMING session.
+def ensure_engine_confs(spark: "SparkSession | None" = None) -> None:
+    """Runtime-align a CONSUMING session's SQL conf with engine semantics.
 
-    The polars Time dtype lowers to Spark 4's TIME(6), which is gated by
-    ``spark.sql.timeType.enabled``.  ``get_spark`` sets it at build time,
-    but the engine must not assume its consumer's session was built here —
-    a vanilla ``SparkSession.builder.getOrCreate()`` would otherwise fail
-    every Time operation with [UNSUPPORTED_TIME_TYPE].  The conf is
-    runtime-settable, so every Time lowering site calls this (cached per
-    live session: one py4j round-trip ever per session)."""
+    Called at every frame-creation entry point (scan_*, from_pandas,
+    registry table loaders) and Time lowering site.  Cached per live
+    session — one py4j round-trip ever per session; weak-valued so a
+    stopped session's recycled id can't be mistaken for a verified one."""
     s = spark if spark is not None else SparkSession.getActiveSession()
     if s is None:
         return
-    if _TIME_READY.get(id(s)) is s:
+    if _CONF_READY.get(id(s)) is s:
         return
-    try:
-        if (s.conf.get("spark.sql.timeType.enabled", "false") or "").lower() != "true":
-            s.conf.set("spark.sql.timeType.enabled", "true")
-        _TIME_READY[id(s)] = s
-    except Exception:
-        # conf API unavailable (stopped session mid-teardown): the later
-        # analysis error is clearer than failing here
-        pass
+    ok = True
+    for k, v in _ENGINE_CONFS:
+        # NOTE: conf.get(k, "") THROWS for boolean confs (the default string
+        # must parse as the conf's type) — set unconditionally, per-key try,
+        # so one failure can't mask the rest
+        try:
+            s.conf.set(k, v)
+        except Exception:
+            # conf API unavailable (stopped session mid-teardown): the later
+            # analysis error is clearer than failing here
+            ok = False
+    if ok:
+        _CONF_READY[id(s)] = s
+
+
+# narrow alias kept for the Time lowering sites (same cache, same work)
+ensure_time_type = ensure_engine_confs
 
 
 def _cpus() -> int:

@@ -35,12 +35,18 @@ __all__ = [
 ]
 
 
-def _spark() -> SparkSession:
-    s = SparkSession.getActiveSession()
+def _spark(spark: SparkSession | None = None) -> SparkSession:
+    """Resolve the session for a frame-creation entry point and align its
+    runtime SQL conf with engine semantics (session-portability: the
+    consumer's session may be a vanilla builder.getOrCreate())."""
+    from polars_spark.session import ensure_engine_confs
+
+    s = spark if spark is not None else SparkSession.getActiveSession()
     if s is None:
         from polars_spark.session import get_spark
 
         s = get_spark()
+    ensure_engine_confs(s)
     return s
 
 
@@ -62,16 +68,42 @@ def _file_order_deferred(paths: Sequence[str]):
 
     paths = [str(p) for p in paths]
 
+    import re as _re
+
+    def _strip_scheme(s: str) -> str:
+        # "file:///d/x" / "file:/d/x" / "s3://b/k" -> "/d/x" / "/d/x" / "/b/k"
+        m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", s)
+        return "/" + s[m.end():] if m else s
+
     def mat(df):
         fname = F.input_file_name()
+        # scheme-stripped scan URI so driver-side keys compare on PATH
+        # boundaries (raw substring containment mis-ranked /data/ab under a
+        # sibling /data/a key — ADVICE r6)
+        norm = F.regexp_replace(fname, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
         if builtins.len(paths) > 1:
             # explicit list: the GIVEN order, not lexicographic — rank by
-            # first path the scanned file's URI contains (paths are made
-            # absolute so relative spellings still match file:// URIs)
+            # the first path whose BOUNDARY-delimited prefix (exact file, or
+            # directory + '/') covers the scanned file; glob entries expand
+            # driver-side to their sorted matches (polars sorts glob hits)
             branches = []
             for i, p in enumerate(paths):
-                key = p if "://" in p else _os.path.abspath(p)
-                branches.append(F.when(fname.contains(F.lit(key)), F.lit(i)))
+                key = _strip_scheme(p if "://" in p else _os.path.abspath(p)).rstrip("/") or "/"
+                if any(ch in key for ch in "*?["):
+                    import glob as _glob
+
+                    hits = [
+                        _strip_scheme(_os.path.abspath(h)) for h in sorted(_glob.glob(key))
+                    ]
+                    cond = None
+                    for h in hits:
+                        c = norm == F.lit(h)
+                        cond = c if cond is None else (cond | c)
+                    if cond is None:
+                        continue
+                else:
+                    cond = (norm == F.lit(key)) | norm.startswith(F.lit(key + "/"))
+                branches.append(F.when(cond, F.lit(i)))
             fkey = F.coalesce(*branches, F.lit(builtins.len(paths))).cast("int")
             ordc = F.struct(
                 fkey.alias("f"),
@@ -147,7 +179,7 @@ def scan_parquet(
     low_memory, cache, parallel, storage_options hints handled at the
     session level, ...) are accepted and inert — Spark has no equivalent
     memory-layout knobs to honor."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
     ns_cols = _nanos_ts_cols(paths[0])
     if ns_cols and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
@@ -215,7 +247,7 @@ def scan_csv(
     file's own row sequence); ``new_columns`` renames positionally;
     ``columns`` projects after read (the projection prunes at the scan —
     Catalyst pushes it down)."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     if infer_schema_length == 0:
         infer_schema = False
     r = (
@@ -309,7 +341,7 @@ def scan_ndjson(
     """NDJSON scan.  ``batch_size``/``low_memory``/``rechunk`` are polars
     buffer knobs with no Spark analogue (executors stream splits) —
     accepted and inert."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
@@ -352,7 +384,7 @@ def read_json(source, *, schema=None, schema_overrides=None, spark: SparkSession
     import os
     import tempfile
 
-    spark = spark or _spark()
+    spark = _spark(spark)
     if hasattr(source, "read"):
         source = source.read()
     if isinstance(source, (bytes, bytearray)) or (
@@ -421,7 +453,7 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> LazyFrame:
         from polars_spark.series import Series as _S
 
         return _S(pdf.name or "", [None if v != v else v for v in pdf.tolist()])
-    spark = spark or _spark()
+    spark = _spark(spark)
     if len(pdf) == 0:
         # empty frames cannot schema-infer; build the schema from the
         # pandas dtypes (object -> string, the polars empty-frame default)
@@ -636,7 +668,7 @@ def DataFrame(
 def scan_orc(source, *, spark: SparkSession | None = None) -> LazyFrame:
     """ORC scan — native Spark datasource (columnar, predicate pushdown);
     not in polars, free capability here."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
     return LazyFrame(spark.read.orc(*paths), deferred=_file_order_deferred(paths))
 
@@ -644,7 +676,7 @@ def scan_orc(source, *, spark: SparkSession | None = None) -> LazyFrame:
 def read_avro(source, spark: SparkSession | None = None) -> LazyFrame:
     """Avro via Spark's external avro module; raises with the fix when the
     connector jar is absent (as in this container)."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     try:
         return LazyFrame(spark.read.format("avro").load(source))
     except Exception as exc:  # AnalysisException: Failed to find data source
@@ -660,7 +692,7 @@ def scan_delta(source, *, version: int | str | None = None, spark: SparkSession 
     travel.  Lights up when io.delta:delta-spark is on the classpath (set
     SPARK_GRAFT_PACKAGES, see session.get_spark); raises with the exact fix
     otherwise."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     try:
         r = spark.read.format("delta")
         if version is not None:
@@ -679,7 +711,7 @@ def scan_iceberg(source, *, snapshot_id: int | None = None, spark: SparkSession 
     """Iceberg scan (polars scan_iceberg): native Spark datasource (hidden
     partitioning, pushdown, snapshot time travel).  Needs
     org.apache.iceberg:iceberg-spark-runtime on the classpath."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     try:
         r = spark.read.format("iceberg")
         if snapshot_id is not None:
@@ -703,7 +735,7 @@ def read_database(
     """polars read_database over Spark's JDBC source.  ``partition_on`` +
     ``num_partitions`` turn the single-connection read into a parallel
     range-partitioned one (the 100 TB-relevant knob)."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     try:
         r = (
             spark.read.format("jdbc")
@@ -730,7 +762,7 @@ def scan_pyarrow_dataset(ds, *, spark: SparkSession | None = None) -> LazyFrame:
     each executor opens its own fragment with pyarrow and yields Arrow
     batches; nothing flows through the driver.  Non-file datasets (in-memory
     tables) fall back to a driver-side Arrow bridge."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     try:
         files = list(ds.files)  # FileSystemDataset
     except AttributeError:
@@ -848,7 +880,7 @@ def from_arrow(data, schema=None, *, schema_overrides=None, spark: SparkSession 
     (Arrow -> Spark via createDataFrame's Arrow path)."""
     import pyarrow as pa
 
-    spark = spark or _spark()
+    spark = _spark(spark)
     if isinstance(data, (pa.Array, pa.ChunkedArray)):
         # a bare arrow array is a SERIES in the reference
         from polars_spark.series import Series as _S
@@ -1081,7 +1113,7 @@ def int_range(
         return Expr(fn, "int")
     if end is None:
         start, end = 0, start
-    spark = spark or _spark()
+    spark = _spark(spark)
     lf = LazyFrame(spark.range(start, end, step).select(F.col("id").alias("literal")))
     if dtype is not None:
         lf = lf.cast({"literal": dtype})
@@ -1136,7 +1168,7 @@ def linear_space(start, end, num_samples, *, closed: str = "both", eager: bool =
         temporal = "date"
         epoch = _dt.date(1970, 1, 1)
         start, end = (start - epoch).days, (end - epoch).days
-    spark = spark or _spark()
+    spark = _spark(spark)
     n = num_samples
     if temporal is not None:
         out = linear_space(float(start), float(end), n, closed=closed, eager=False, spark=spark)
@@ -1190,7 +1222,7 @@ def date_range(start, end, interval: str = "1d", *, closed: str = "both", time_u
             )
 
         return _Expr(fn, "date", is_agg=se._is_agg or ee._is_agg)
-    spark = spark or _spark()
+    spark = _spark(spark)
     seq = F.sequence(
         F.lit(str(start)).cast("date"),
         F.lit(str(end)).cast("date"),
@@ -1227,7 +1259,7 @@ def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", ti
             return seq
 
         return _Expr(fn, "datetime", is_agg=se._is_agg or ee._is_agg)
-    spark = spark or _spark()
+    spark = _spark(spark)
     seq = F.sequence(
         F.lit(str(start)).cast("timestamp"),
         F.lit(str(end)).cast("timestamp"),
@@ -1243,7 +1275,7 @@ def datetime_range(start, end, interval: str = "1h", *, closed: str = "both", ti
 
 
 def _fill_frame(n: int, value: float, name: str, dtype, eager: bool, spark):
-    spark = spark or _spark()
+    spark = _spark(spark)
     c = F.lit(value)
     if dtype is not None:
         from polars_spark.plans.expr import _dtype_to_spark
@@ -1269,7 +1301,7 @@ def select(*exprs, spark: SparkSession | None = None, **named) -> LazyFrame:
     columns (the reference builds the frame from them)."""
     from polars_spark.series import Series as _S
 
-    spark = spark or _spark()
+    spark = _spark(spark)
     ser = {
         **{(e.name or f"column_{i}"): e for i, e in enumerate(exprs) if isinstance(e, _S)},
         **{k: v for k, v in named.items() if isinstance(v, _S)},
@@ -1369,7 +1401,7 @@ def scan_lines(path, *, name: str = "line", n_rows: int | None = None, row_index
     spark.read.text — splittable, one string column, filter/limit push
     down.  Bytes / file-like sources split driver-side (in-memory payloads
     are driver data by definition)."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     if hasattr(path, "read"):
         path = path.read()
     if isinstance(path, (bytes, bytearray)) or (isinstance(path, str) and "\n" in path):
@@ -1516,7 +1548,7 @@ def collect_all_async(lazy_frames):
 
 def thread_pool_size(spark: SparkSession | None = None) -> int:
     """Executor-core count (the Spark analogue of polars' thread pool)."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     return spark.sparkContext.defaultParallelism
 
 
@@ -1633,7 +1665,7 @@ def scan_table(name: str, *, spark: SparkSession | None = None) -> LazyFrame:
     """Catalog table scan (pairs with LazyFrame.sink_bucketed_table): reads
     a managed/bucketed table; bucketing metadata lets Catalyst drop the
     shuffle on joins/aggs keyed by the bucket columns."""
-    spark = spark or _spark()
+    spark = _spark(spark)
     return LazyFrame(spark.table(name))
 
 
@@ -1648,7 +1680,7 @@ def time_range(
     from polars_spark.plans.frame import _duration_us
     from polars_spark.session import ensure_time_type
 
-    spark = spark or _spark()
+    spark = _spark(spark)
     ensure_time_type(spark)
     s = _time_to_ns(start) if start is not None else 0
     e = _time_to_ns(end) if end is not None else _TIME_END_NS
@@ -1766,7 +1798,7 @@ class Catalog:
     API is the abstraction layer the reference client talks to anyway)."""
 
     def __init__(self, workspace_url: str | None = None, *, spark: SparkSession | None = None):
-        self._spark = spark or _spark()
+        self._spark = _spark(spark)
         self.workspace_url = workspace_url
 
     def list_namespaces(self) -> list[str]:
