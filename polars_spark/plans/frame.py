@@ -4911,6 +4911,16 @@ _JOURNALED_METHODS = [
     "sql", "unnest", "update", "merge_sorted", "upsample", "pivot", "unstack",
     "extend", "vstack", "hstack", "insert_column", "to_dummies",
     "with_context", "match_to_schema", "select_seq",
+    # round 7: 100% of the public frame-returning surface journals —
+    # reflection test pins it (test_round7_journal_coverage).  Function
+    # args (map_batches/map_rows/map_columns/pipe_with_schema) ride
+    # cloudpickle; unpicklable closures fall back to the snapshot payload
+    # at serialize time, exactly like the reference's pickled UDF plans.
+    "approx_n_unique", "cache", "checkpoint", "clear", "clone",
+    "coalesce_partitions", "hint", "inspect", "lazy", "map_batches",
+    "map_columns", "map_rows", "persist", "pipe_with_schema", "rechunk",
+    "repartition", "replace_column", "sample", "shrink_to_fit", "shuffle",
+    "transpose", "unpersist", "with_row_count",
 ]
 for _m in _JOURNALED_METHODS:
     setattr(LazyFrame, _m, _journal_step(getattr(LazyFrame, _m), _m))
