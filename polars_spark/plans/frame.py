@@ -3428,17 +3428,37 @@ class LazyFrame:
         renamed = df.withColumnRenamed(name, ROW_IDX)
         return LazyFrame(renamed, [(ROW_IDX, False)])
 
-    def plot(self, *args, **kwargs):  # pragma: no cover - env
-        """reference frame.py plot (altair bridge) — altair isn't in this
-        image; the data side is ``.collect()`` (a pandas frame every plotting
-        lib accepts)."""
-        try:
-            import altair  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError("plot needs the 'altair' package") from exc
-        import altair as alt
+    @property
+    def plot(self):
+        """Altair plot namespace — ``df.plot.bar/line/point/scatter`` plus
+        any ``mark_*`` via attribute access (reference dataframe/
+        plotting.py:32).  Data side is the collected pandas frame: plotting
+        is driver-side and human-scale by construction — aggregate or
+        sample on the cluster FIRST, then plot the small result.  Raises
+        the env-gated error when altair is absent (not in this image)."""
+        from polars_spark.plotting import DataFramePlot
 
-        return alt.Chart(self.collect())
+        return DataFramePlot(self.collect())
+
+    def __dataframe__(self, nan_as_null: bool = False, allow_copy: bool = True):
+        """DataFrame interchange protocol object (reference frame.py:1039
+        __dataframe__) — delegates to the collected pandas frame's
+        interchange implementation, so any protocol consumer
+        (pandas.api.interchange.from_dataframe, plotly, vega) can ingest
+        this frame without knowing about Spark."""
+        if nan_as_null:
+            msg = (
+                "functionality for `nan_as_null` has not been implemented and the"
+                " parameter will be removed in a future version"
+                "\n\nUse the default `nan_as_null=False`."
+            )
+            raise NotImplementedError(msg)
+        import pandas as _pd
+
+        pdf = self.collect()
+        if not isinstance(pdf, _pd.DataFrame):
+            pdf = _pd.DataFrame(pdf)
+        return pdf.__dataframe__(allow_copy=allow_copy)
 
     def style(self):  # pragma: no cover - env
         """reference frame.py style (great-tables bridge) — not in image."""

@@ -1,0 +1,144 @@
+"""Altair plot namespaces (reference py-polars/src/polars/dataframe/
+plotting.py and series/plotting.py).
+
+Like the reference, no plotting logic lives here — ``df.plot.bar(**kw)``
+is shorthand for ``alt.Chart(data).mark_bar(tooltip=True).encode(**kw)
+.interactive()``.  The data side is the collected pandas frame (driver
+memory: plotting is an inherently driver-side, human-scale operation —
+aggregate/sample FIRST on the cluster, then plot the small result).
+
+altair isn't in this image; the namespaces import it lazily and raise
+the documented env-gated error on access when absent.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+
+def _altair():
+    try:
+        import altair as alt
+    except ImportError as exc:  # pragma: no cover - env
+        raise NotImplementedError("plot needs the 'altair' package") from exc
+    return alt
+
+
+def _encodings(x=None, y=None, color=None, order=None):
+    enc = {}
+    if x is not None:
+        enc["x"] = x
+    if y is not None:
+        enc["y"] = y
+    if color is not None:
+        enc["color"] = color
+    if order is not None:
+        enc["order"] = order
+    return enc
+
+
+class DataFramePlot:
+    """DataFrame.plot namespace (reference dataframe/plotting.py:32)."""
+
+    def __init__(self, pdf) -> None:
+        self._chart = _altair().Chart(pdf)
+
+    def bar(self, x=None, y=None, color=None, /, **kwargs):
+        """``alt.Chart(df).mark_bar(tooltip=True).encode(...).interactive()``
+        (reference dataframe/plotting.py bar)."""
+        return (
+            self._chart.mark_bar(tooltip=True)
+            .encode(**_encodings(x, y, color), **kwargs)
+            .interactive()
+        )
+
+    def line(self, x=None, y=None, color=None, order=None, /, **kwargs):
+        """``mark_line`` shorthand (reference dataframe/plotting.py line)."""
+        return (
+            self._chart.mark_line(tooltip=True)
+            .encode(**_encodings(x, y, color, order), **kwargs)
+            .interactive()
+        )
+
+    def point(self, x=None, y=None, color=None, /, **kwargs):
+        """``mark_point`` shorthand (reference dataframe/plotting.py point)."""
+        return (
+            self._chart.mark_point(tooltip=True)
+            .encode(**_encodings(x, y, color), **kwargs)
+            .interactive()
+        )
+
+    # reference aliases scatter -> point
+    scatter = point
+
+    def __getattr__(self, attr: str):
+        # any other altair mark: df.plot.area(...) -> mark_area
+        # (reference dataframe/plotting.py:237)
+        method = getattr(self._chart, f"mark_{attr}", None)
+        if method is None:
+            msg = f"Altair has no method 'mark_{attr}'"
+            raise AttributeError(msg)
+        accepts_tooltip = "tooltip" in {
+            p.name for p in inspect.signature(method).parameters.values()
+        }
+
+        def func(**kwargs):
+            m = method(tooltip=True) if accepts_tooltip else method()
+            return m.encode(**kwargs).interactive()
+
+        return func
+
+
+class SeriesPlot:
+    """Series.plot namespace (reference series/plotting.py:24)."""
+
+    def __init__(self, name: str, pdf) -> None:
+        self._series_name = name
+        self._chart = _altair().Chart(pdf)
+
+    def hist(self, /, **kwargs):
+        """Binned bar of value counts (reference series/plotting.py hist)."""
+        alt = _altair()
+        if self._series_name == "count()":
+            msg = "cannot use `plot.hist` when Series name is `'count()'`"
+            raise ValueError(msg)
+        enc = {"x": alt.X(f"{self._series_name}:Q", bin=True), "y": "count()"}
+        return self._chart.mark_bar(tooltip=True).encode(**enc, **kwargs).interactive()
+
+    def kde(self, /, **kwargs):
+        """Kernel density estimate (reference series/plotting.py kde)."""
+        if self._series_name == "density":
+            msg = "cannot use `plot.kde` when Series name is `'density'`"
+            raise ValueError(msg)
+        enc = {"x": self._series_name, "y": "density:Q"}
+        return (
+            self._chart.transform_density(
+                self._series_name, as_=[self._series_name, "density"]
+            )
+            .mark_area(tooltip=True)
+            .encode(**enc, **kwargs)
+            .interactive()
+        )
+
+    def line(self, /, **kwargs):
+        """Value-vs-index line (reference series/plotting.py line)."""
+        if self._series_name == "index":
+            msg = "cannot call `plot.line` when Series name is 'index'"
+            raise ValueError(msg)
+        enc = {"x": "index", "y": self._series_name}
+        return (
+            self._chart.mark_line(tooltip=True).encode(**enc, **kwargs).interactive()
+        )
+
+    def __getattr__(self, attr: str):
+        if attr == "index":
+            raise AttributeError
+        method = getattr(self._chart, f"mark_{attr}", None)
+        if method is None:
+            msg = f"Altair has no method 'mark_{attr}'"
+            raise AttributeError(msg)
+
+        def func(**kwargs):
+            return method(tooltip=True).encode(x="index", y=self._series_name, **kwargs).interactive()
+
+        return func

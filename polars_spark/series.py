@@ -596,11 +596,16 @@ class Series:
 
     @property
     def plot(self):
-        try:
-            import altair  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError("plot needs the 'altair' package") from exc
-        raise NotImplementedError("Series.plot: altair chart surface not wired")
+        """Altair plot namespace — ``s.plot.hist/kde/line`` plus any
+        ``mark_*`` via attribute access (reference series/plotting.py:24).
+        Env-gated: raises when altair is absent (not in this image)."""
+        import pandas as _pd
+
+        from polars_spark.plotting import SeriesPlot
+
+        name = self.name or ""
+        pdf = _pd.DataFrame({"index": range(len(self)), name: self.to_list()})
+        return SeriesPlot(name, pdf)
 
     @property
     def ext(self):
