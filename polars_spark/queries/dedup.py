@@ -363,7 +363,10 @@ def dedup_incremental_index(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    path = tempfile.gettempdir() + "/polars_spark_mh_index"
+    # per-application path: two concurrent sessions running this query
+    # (e.g. parallel CI sweeps) must not clobber each other's index commit
+    app = spark.sparkContext.applicationId
+    path = tempfile.gettempdir() + f"/polars_spark_mh_index_{app}"
     build_minhash_index(existing, path, id_col="doc_id", text_col="text")
     out = dedup_against_index(new, path, id_col="doc_id", text_col="text", threshold=0.8)
     return out.select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
