@@ -475,6 +475,16 @@ class LazyFrame:
             )
             return
         self._df = df
+        # session-portability catch-all: wrapping a USER-supplied Spark
+        # DataFrame is a frame-creation entry point too — align the owning
+        # session's runtime conf with engine semantics (cached: a dict
+        # lookup after the first call per session)
+        try:
+            from polars_spark.session import ensure_engine_confs
+
+            ensure_engine_confs(df.sparkSession)
+        except Exception:
+            pass  # exotic wrappers without .sparkSession: later ops align
         # order survives only through columns still present in the plan —
         # operators that project the hidden index away (asof union-tag,
         # groupBy, ...) drop the contract instead of failing at collect

@@ -95,6 +95,10 @@ def _rewrite_table_functions(spark: SparkSession, query: str) -> str:
 class SQLContext:
     def __init__(self, frames: dict[str, LazyFrame] | None = None, *, eager: bool = False, register_globals: bool = False, **named):
         self._spark = SparkSession.getActiveSession()
+        if self._spark is not None:
+            from polars_spark.session import ensure_engine_confs
+
+            ensure_engine_confs(self._spark)
         if self._spark is None:
             from polars_spark.session import get_spark
 

@@ -56,6 +56,9 @@ def scan_stream_parquet(
     oldest-modification-first), which also makes multi-batch watermark
     semantics testable with a static fixture set."""
     spark = spark or SparkSession.getActiveSession()
+    from polars_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     r = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -64,6 +67,9 @@ def scan_stream_parquet(
 
 def scan_stream_rate(rows_per_second: int = 100, *, spark: SparkSession | None = None) -> DataFrame:
     spark = spark or SparkSession.getActiveSession()
+    from polars_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     return (
         spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     )
