@@ -315,6 +315,54 @@ def win_ewm_mean(spark, sf_dir):
 
 
 @query(
+    "win_ewm_dual_keys",
+    # Round-7 fidelity gate (ADVICE r6): two ewm exprs whose .over() keys
+    # SHARE a root column but differ structurally (user_id vs user_id % 100)
+    # must take separate shuffle passes — the old pass-sharing signature
+    # (root column name) silently partitioned the second by the first's
+    # keys.  Bit-exact recursive-CTE oracles, one per key, joined.
+    oracle=f"""
+    WITH RECURSIVE basef AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER ({_W}) AS rn
+      FROM events
+    ), recf AS (
+      SELECT event_id, user_id, rn, value AS num, CAST(1.0 AS DOUBLE) AS den
+      FROM basef WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.rn,
+             r.num * CAST(0.8181818181818181 AS DOUBLE) + b.value,
+             r.den * CAST(0.8181818181818181 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+      FROM recf r JOIN basef b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    ), basec AS (
+      SELECT event_id, user_id % 100 AS g, value,
+             row_number() OVER (PARTITION BY user_id % 100 ORDER BY ts, event_id) AS rn
+      FROM events
+    ), recc AS (
+      SELECT event_id, g, rn, value AS num, CAST(1.0 AS DOUBLE) AS den
+      FROM basec WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.g, b.rn,
+             r.num * CAST(0.8181818181818181 AS DOUBLE) + b.value,
+             r.den * CAST(0.8181818181818181 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+      FROM recc r JOIN basec b ON b.g = r.g AND b.rn = r.rn + 1
+    )
+    SELECT f.event_id, f.num / f.den AS ewm_fine, c.num / c.den AS ewm_coarse
+    FROM recf f JOIN recc c USING (event_id)
+    """,
+)
+def win_ewm_dual_keys(spark, sf_dir):
+    """Two ewm_mean(span=10) over DISTINCT keys sharing a root column in one
+    projection — pins the round-7 structural pass-sharing fix."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        pl.col("value").ewm_mean(span=10).over(pl.col("user_id")).alias("ewm_fine"),
+        pl.col("value").ewm_mean(span=10).over(pl.col("user_id") % 100).alias("ewm_coarse"),
+    ).to_spark()
+
+
+@query(
     "win_rolling_moments",
     oracle=f"""
     WITH pw AS (
