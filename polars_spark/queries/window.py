@@ -363,6 +363,58 @@ def win_ewm_dual_keys(spark, sf_dir):
 
 
 @query(
+    "win_ewm_nan_poison",
+    # Round-7 fidelity gate: NULL inputs are SKIPPED (no state advance, null
+    # output) while a real NaN steps through the recurrence and poisons every
+    # later output of the key — IEEE-identical in DuckDB's recursion, so the
+    # poisoning is verified through the SUBSEQUENT non-null rows.
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 17 = 0 THEN CAST('nan' AS DOUBLE)
+                  WHEN event_id % 11 = 0 THEN NULL
+                  ELSE value END AS v
+      FROM events
+    ), nn AS (
+      SELECT event_id, user_id, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM src WHERE v IS NOT NULL
+    ), rec AS (
+      SELECT event_id, user_id, rn, v AS num, CAST(1.0 AS DOUBLE) AS den
+      FROM nn WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.rn,
+             r.num * CAST(0.8181818181818181 AS DOUBLE) + b.v,
+             r.den * CAST(0.8181818181818181 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+      FROM rec r JOIN nn b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT s.event_id, rec.num / rec.den AS ewm
+    FROM src s LEFT JOIN rec ON rec.event_id = s.event_id
+    """,
+)
+def win_ewm_nan_poison(spark, sf_dir):
+    """ewm_mean over a column mixing NULLs (every 11th id: skipped) and real
+    NaNs (every 17th id: poisons the key's recurrence) — pins the round-7
+    kernel NaN/null distinction against an independent engine."""
+    ev = _ev(spark, sf_dir)
+    v = (
+        pl.when(pl.col("event_id") % 17 == 0)
+        .then(float("nan"))
+        .when(pl.col("event_id") % 11 == 0)
+        .then(None)
+        .otherwise(pl.col("value"))
+    )
+    return (
+        ev.with_columns(v2=v)
+        .select(
+            "event_id",
+            pl.col("v2").ewm_mean(span=10).over("user_id").alias("ewm"),
+        )
+        .to_spark()
+    )
+
+
+@query(
     "win_rolling_moments",
     oracle=f"""
     WITH pw AS (
