@@ -17,7 +17,11 @@ from polars_spark.queries import ltable, query, table
 
 import polars_spark as pl
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "polars_spark_io")
+# per-process scratch: concurrent sweeps running the same IO query must not
+# clobber each other's sink commit (same race class as the r7
+# dedup_incremental_index fix — FileFormatWriter aborts when a parallel
+# overwrite removes _temporary mid-commit)
+_SCRATCH = os.path.join(tempfile.gettempdir(), f"polars_spark_io_{os.getpid()}")
 
 
 def _dir(name: str) -> str:

@@ -41,8 +41,12 @@ def _events_stream_dir(sf_dir: str) -> str:
     d = f"/tmp/polars_spark_stream/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/events"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    # tolerate the create race: two concurrent processes staging the same
+    # sf_dir both point the link at the same target, so losing is fine
+    try:
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
     return d
 
 
