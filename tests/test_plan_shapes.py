@@ -43,9 +43,13 @@ PINS = {
 def plans(spark):
     from polars_spark.queries import QUERIES
 
+    # fresh SQLConf: other tests in a shared-session run may have toggled
+    # planner confs (broadcast thresholds, AQE knobs) — the pins measure
+    # THE ENGINE's plans, not leftover test state
+    s = spark.newSession()
     out = {}
     for name in PINS:
-        df = QUERIES[name](spark, SF_DIR)
+        df = QUERIES[name](s, SF_DIR)
         out[name] = df._jdf.queryExecution().executedPlan().toString()
     return out
 
