@@ -45,8 +45,12 @@ def plans(spark):
 
     # fresh SQLConf: other tests in a shared-session run may have toggled
     # planner confs (broadcast thresholds, AQE knobs) — the pins measure
-    # THE ENGINE's plans, not leftover test state
+    # THE ENGINE's plans, not leftover test state.  The cacheManager is
+    # SHARED state even across newSession: an earlier test's leftover
+    # .cache() substitutes InMemoryRelation into matching subplans and
+    # shifts exchange counts — measure the cold plan.
     s = spark.newSession()
+    s.catalog.clearCache()
     out = {}
     for name in PINS:
         df = QUERIES[name](s, SF_DIR)
