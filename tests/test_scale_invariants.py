@@ -143,3 +143,61 @@ def test_minhash_dedup_conservation(spark, pl):
     # exact duplicates MUST all collide in at least one band
     assert got[0] >= n // 2, got
     assert got[1] is True
+
+
+def test_asof_join_conserves_left_rows(spark, pl):
+    """Backward as-of at 10⁷ left x 10⁵ right: a left/backward asof join
+    must return EXACTLY one row per left row (polars semantics), and every
+    matched right timestamp must be <= the left's."""
+    from pyspark.sql import functions as F
+
+    n_l, n_r = 10_000_000, 100_000
+    left = pl.LazyFrame(
+        spark.range(n_l, numPartitions=64).select(
+            (F.col("id") * 7 % 100_000_000).alias("t"), F.col("id").alias("lid")
+        )
+    ).sort("t")
+    right = pl.LazyFrame(
+        spark.range(n_r).select(
+            (F.col("id") * 997 % 100_000_000).alias("t"), F.col("id").alias("rid")
+        )
+    ).sort("t")
+    j = left.join_asof(right, on="t", strategy="backward", suffix="_r")
+    agg = j.select(
+        pl.len().alias("n"),
+        pl.col("lid").n_unique().alias("d"),
+    ).rows()[0]
+    assert agg == (n_l, n_l), agg
+
+
+def test_group_by_dynamic_conserves_rows(spark, pl):
+    """Tumbling 1h windows over 10⁷ timestamped rows: the per-window counts
+    must sum back to the input row count (no row lost or double-counted
+    with closed='left')."""
+    from pyspark.sql import functions as F
+
+    n = 10_000_000
+    df = spark.range(n, numPartitions=64).select(
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("id") * 3_600_000  # 3.6s apart
+        ).alias("ts"),
+        (F.col("id") % 97).alias("v"),
+    )
+    lf = pl.LazyFrame(df).sort("ts")
+    out = lf.group_by_dynamic("ts", every="1h").agg(pl.len().alias("n"))
+    total = out.select(pl.col("n").sum().alias("s")).rows()[0][0]
+    assert total == n, total
+
+
+def test_distinct_at_scale_matches_construction(spark, pl):
+    """unique() over 10⁷ rows with a known duplication factor: exactly
+    1,000,003 distinct hashed keys were constructed (modulus), so distinct
+    must return exactly that many rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000_000, numPartitions=64).select(
+        ((F.col("id") * 2654435761) % 1000003).alias("v")
+    )
+    got = pl.LazyFrame(df).unique().select(pl.len().alias("n")).rows()[0][0]
+    want = df.select("v").distinct().count()
+    assert got == want, (got, want)
