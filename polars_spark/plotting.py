@@ -43,30 +43,22 @@ class DataFramePlot:
     def __init__(self, pdf) -> None:
         self._chart = _altair().Chart(pdf)
 
+    def _mk(self, mark, enc, kwargs):
+        marked = getattr(self._chart, "mark_" + mark)(tooltip=True)
+        return marked.encode(**enc, **kwargs).interactive()
+
     def bar(self, x=None, y=None, color=None, /, **kwargs):
         """``alt.Chart(df).mark_bar(tooltip=True).encode(...).interactive()``
         (reference dataframe/plotting.py bar)."""
-        return (
-            self._chart.mark_bar(tooltip=True)
-            .encode(**_encodings(x, y, color), **kwargs)
-            .interactive()
-        )
+        return self._mk("bar", _encodings(x, y, color), kwargs)
 
     def line(self, x=None, y=None, color=None, order=None, /, **kwargs):
         """``mark_line`` shorthand (reference dataframe/plotting.py line)."""
-        return (
-            self._chart.mark_line(tooltip=True)
-            .encode(**_encodings(x, y, color, order), **kwargs)
-            .interactive()
-        )
+        return self._mk("line", _encodings(x, y, color, order), kwargs)
 
     def point(self, x=None, y=None, color=None, /, **kwargs):
         """``mark_point`` shorthand (reference dataframe/plotting.py point)."""
-        return (
-            self._chart.mark_point(tooltip=True)
-            .encode(**_encodings(x, y, color), **kwargs)
-            .interactive()
-        )
+        return self._mk("point", _encodings(x, y, color), kwargs)
 
     # reference aliases scatter -> point
     scatter = point
@@ -74,16 +66,13 @@ class DataFramePlot:
     def __getattr__(self, attr: str):
         # any other altair mark: df.plot.area(...) -> mark_area
         # (reference dataframe/plotting.py:237)
-        method = getattr(self._chart, f"mark_{attr}", None)
+        method = getattr(self._chart, "mark_" + attr, None)
         if method is None:
-            msg = f"Altair has no method 'mark_{attr}'"
-            raise AttributeError(msg)
-        accepts_tooltip = "tooltip" in {
-            p.name for p in inspect.signature(method).parameters.values()
-        }
+            raise AttributeError(f"altair defines no mark_{attr} to back plot.{attr}")
+        takes_tooltip = "tooltip" in inspect.signature(method).parameters
 
         def func(**kwargs):
-            m = method(tooltip=True) if accepts_tooltip else method()
+            m = method(tooltip=True) if takes_tooltip else method()
             return m.encode(**kwargs).interactive()
 
         return func
@@ -100,16 +89,14 @@ class SeriesPlot:
         """Binned bar of value counts (reference series/plotting.py hist)."""
         alt = _altair()
         if self._series_name == "count()":
-            msg = "cannot use `plot.hist` when Series name is `'count()'`"
-            raise ValueError(msg)
+            raise ValueError("plot.hist needs a Series not named 'count()' (encoding clash)")
         enc = {"x": alt.X(f"{self._series_name}:Q", bin=True), "y": "count()"}
         return self._chart.mark_bar(tooltip=True).encode(**enc, **kwargs).interactive()
 
     def kde(self, /, **kwargs):
         """Kernel density estimate (reference series/plotting.py kde)."""
         if self._series_name == "density":
-            msg = "cannot use `plot.kde` when Series name is `'density'`"
-            raise ValueError(msg)
+            raise ValueError("plot.kde needs a Series not named 'density' (encoding clash)")
         enc = {"x": self._series_name, "y": "density:Q"}
         return (
             self._chart.transform_density(
@@ -123,8 +110,7 @@ class SeriesPlot:
     def line(self, /, **kwargs):
         """Value-vs-index line (reference series/plotting.py line)."""
         if self._series_name == "index":
-            msg = "cannot call `plot.line` when Series name is 'index'"
-            raise ValueError(msg)
+            raise ValueError("plot.line needs a Series not named 'index' (encoding clash)")
         enc = {"x": "index", "y": self._series_name}
         return (
             self._chart.mark_line(tooltip=True).encode(**enc, **kwargs).interactive()
@@ -133,10 +119,9 @@ class SeriesPlot:
     def __getattr__(self, attr: str):
         if attr == "index":
             raise AttributeError
-        method = getattr(self._chart, f"mark_{attr}", None)
+        method = getattr(self._chart, "mark_" + attr, None)
         if method is None:
-            msg = f"Altair has no method 'mark_{attr}'"
-            raise AttributeError(msg)
+            raise AttributeError(f"altair defines no mark_{attr} to back plot.{attr}")
 
         def func(**kwargs):
             return method(tooltip=True).encode(x="index", y=self._series_name, **kwargs).interactive()
