@@ -638,7 +638,9 @@ class Expr:
             out._enum = dtype  # cat.get_categories support
             return out
         spark_type = _dtype_to_spark(dtype)
-        if spark_type.startswith("time"):
+        # exact TIME match: startswith("time") also matched "timestamp"/
+        # "timestamp_ntz" and mis-routed Datetime casts (r6 trap, ADVICE r7)
+        if spark_type.split("(")[0] == "time":
             # polars cast to Time (polars-time/src/chunkedarray/time.rs):
             # Datetime -> wall-clock time of day; integers are ns since
             # midnight (the pre-round-6 physical mapping); strings parse
@@ -3932,7 +3934,7 @@ def lit(v, dtype=None) -> Expr:
 
     def fn(ctx: ExprContext) -> Column:
         spark_ddl = _dtype_to_spark(dtype) if dtype is not None else None
-        if is_time or (spark_ddl is not None and spark_ddl.startswith("time")):
+        if is_time or (spark_ddl is not None and spark_ddl.split("(")[0] == "time"):
             # Time literal -> native TIME(6): make the conf session-portable
             from polars_spark.session import ensure_time_type
 
@@ -4158,19 +4160,130 @@ class ExprMetaNamespace:
         txt = self._node().normalized().toString()
         return txt if return_as_string else print(txt)  # noqa: T201
 
-    def serialize(self, *, format: str = "binary"):
+    def serialize(self, file=None, *, format: str = "binary"):
         """Serialize the expression (reference expr/meta.py serialize).
 
         ``binary`` (the reference default) pickles the Expr closure with
         cloudpickle — fully round-trippable through Expr.deserialize, like
         polars' binary DSL dump.  ``json`` emits the unresolved Catalyst
         node's display text (diagnostic only, like polars' versioned JSON:
-        readable, not guaranteed parseable)."""
+        readable, not guaranteed parseable).  ``file`` (path or file-like)
+        writes instead of returning, like the reference."""
         if format == "binary":
             from pyspark import cloudpickle
 
-            return cloudpickle.dumps(self._e)
-        return self._node().sql()
+            payload = cloudpickle.dumps(self._e)
+        else:
+            payload = self._node().sql()
+        if file is None:
+            return payload
+        if hasattr(file, "write"):
+            file.write(payload)
+            return None
+        mode = "wb" if isinstance(payload, bytes) else "w"
+        with open(file, mode) as fh:
+            fh.write(payload)
+        return None
+
+    def as_expression(self) -> "Expr":
+        """The original expression (reference meta.py:284 as_expression —
+        identity: selectors already ride the Expr surface here)."""
+        return self._e
+
+    def as_selector(self):
+        """Turn this expression into a selector (reference meta.py:288);
+        raises if it is not a column or selector, like the reference."""
+        from polars_spark import selectors as cs
+
+        if isinstance(self._e, cs.Selector):
+            return self._e
+        if self.is_column():
+            return cs.by_name(self.root_names()[0])
+        raise ValueError(
+            "expression is not a column or selector; cannot convert to selector"
+        )
+
+    def write_json(self, file=None):
+        """Deprecated alias of serialize(format='json') (reference
+        meta.py:374 — renamed in polars 0.20.11, kept for drop-ins)."""
+        import warnings
+
+        warnings.warn(
+            "`meta.write_json` was renamed; use `meta.serialize` instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.serialize(file, format="json")
+
+    def _dot(self) -> str:
+        """Graphviz dot of the unresolved ColumnNode tree (driver-side
+        introspection only — nothing here touches data)."""
+        lines = ["digraph expr {", '  node [shape=box, fontname="monospace"];']
+        counter = [0]
+
+        def label(n) -> str:
+            kind = n.getClass().getSimpleName()
+            try:
+                txt = n.sql()
+            except Exception:
+                txt = ""
+            txt = (txt[:40] + "…") if builtins.len(txt) > 40 else txt
+            return f"{kind}\\n{txt}" if txt else kind
+
+        def walk(n) -> int:
+            me = counter[0]
+            counter[0] += 1
+            lines.append(f'  n{me} [label="{label(n)}"];')
+            try:
+                ch = n.children()
+                it = ch.iterator()
+                while it.hasNext():
+                    cid = walk(it.next())
+                    lines.append(f"  n{me} -> n{cid};")
+            except Exception:
+                pass
+            return me
+
+        walk(self._node().normalized())
+        lines.append("}")
+        return "\n".join(lines)
+
+    def show_graph(
+        self,
+        *,
+        show: bool = True,
+        output_path=None,
+        raw_output: bool = False,
+        figsize=(16.0, 12.0),
+        schema=None,
+    ):
+        """Format the expression as a Graphviz graph (reference meta.py:423).
+
+        ``raw_output=True`` returns dot syntax (no external deps);
+        ``output_path`` writes the dot text; ``show=True`` needs graphviz +
+        matplotlib to render, which this image doesn't carry — env-gated."""
+        dot = self._dot()
+        if raw_output:
+            return dot
+        if output_path is not None:
+            with open(output_path, "w") as fh:
+                fh.write(dot)
+            if not show:
+                return None
+        if show:
+            try:
+                import graphviz  # noqa: F401
+                import matplotlib  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - env
+                raise NotImplementedError(
+                    "meta.show_graph(show=True) needs the 'graphviz' and "
+                    "'matplotlib' packages; use raw_output=True or "
+                    "output_path=... for the dot text"
+                ) from exc
+            from polars_spark.plotting import _display_dot  # pragma: no cover
+
+            return _display_dot(dot, figsize)  # pragma: no cover
+        return None
 
 
 # Enum / Categorical are defined after the DataType base below (they

@@ -546,6 +546,14 @@ class LazyFrame:
         return f"<LazyFrame {self.columns} order={self._order}>"
 
     def _ctx(self) -> ExprContext:
+        # realign BEFORE expression resolution: Spark bakes the session
+        # timezone into tz-aware expressions at ANALYSIS time (ResolveTimeZone),
+        # so a consumer who re-set session.timeZone between frame creation
+        # and this op would otherwise get it frozen into the plan even
+        # though collect realigns later (ADVICE r7)
+        from polars_spark.session import ensure_engine_confs
+
+        ensure_engine_confs(self._df.sparkSession)
         return ExprContext(
             self._df, list(self._order), deferred=self._deferred_order is not None
         )
@@ -616,7 +624,9 @@ class LazyFrame:
         Catalyst always optimizes and picks the physical engine, so they
         don't alter the plan (documented in QueryOptFlags)."""
         from polars_spark.exceptions import translate_runtime_errors
+        from polars_spark.session import ensure_engine_confs
 
+        ensure_engine_confs(self._df.sparkSession)
         df = self._df
         if self._order:
             df = df.orderBy(*_order_cols(self._order))
@@ -635,7 +645,9 @@ class LazyFrame:
         Decimal, datetime, and nested lists/structs — matching the
         reference's ``rows()``/``to_dicts()`` value fidelity."""
         from polars_spark.exceptions import translate_runtime_errors
+        from polars_spark.session import ensure_engine_confs
 
+        ensure_engine_confs(self._df.sparkSession)
         df = self._df
         if self._order:
             df = df.orderBy(*_order_cols(self._order))
@@ -832,12 +844,20 @@ class LazyFrame:
         # .over(col('g').str.slice(0,1)) and silently partition the second
         # by the wrong key).  Unresolvable exprs get a unique sig -> own pass.
         pre_ctx = self._ctx()
+        # sig = the NORMALIZED ColumnNode tree: origins (stack traces) are
+        # stripped so two separate resolutions of the same structural expr
+        # compare equal, while Python-UDF nodes keep their per-instantiation
+        # result id — two DIFFERENT lambdas both pretty-print `<lambda>(g)`
+        # (the str(Column) sig falsely merged their shuffles, ADVICE r7)
+        # but never normalize equal, so UDF-backed keys always take their
+        # own pass.  Any resolve/introspection failure -> unique sig.
         part_sigs: list[tuple] = []
         for i, (_s, parts, _nm) in enumerate(specs):
             sig_items: list = []
             for p in parts:
                 try:
-                    sig_items.append(str(p._resolve(pre_ctx)))
+                    col = p._resolve(pre_ctx)
+                    sig_items.append(col._jc.node().normalized().toString())
                 except Exception:
                     sig_items.append(f"__unique_{i}_{builtins_len(sig_items)}__")
             part_sigs.append(tuple(sig_items))
@@ -3446,8 +3466,10 @@ class LazyFrame:
         is driver-side and human-scale by construction — aggregate or
         sample on the cluster FIRST, then plot the small result.  Raises
         the env-gated error when altair is absent (not in this image)."""
-        from polars_spark.plotting import DataFramePlot
+        from polars_spark.plotting import DataFramePlot, _altair
 
+        _altair()  # gate BEFORE the collect: altair-less systems must not
+        # pay a full materialization just to receive the import error
         return DataFramePlot(self.collect())
 
     def __dataframe__(self, nan_as_null: bool = False, allow_copy: bool = True):

@@ -127,3 +127,21 @@ class SeriesPlot:
             return method(tooltip=True).encode(x="index", y=self._series_name, **kwargs).interactive()
 
         return func
+
+
+def _display_dot(dot: str, figsize=(16.0, 12.0)):
+    """Render graphviz dot via matplotlib (reference _utils/various.py
+    display_dot_graph) — only reachable when both packages are installed."""
+    import io
+
+    import graphviz
+    import matplotlib.image as mpimg
+    import matplotlib.pyplot as plt
+
+    png = graphviz.Source(dot).pipe(format="png")
+    img = mpimg.imread(io.BytesIO(png))
+    _, ax = plt.subplots(figsize=figsize)
+    ax.axis("off")
+    ax.imshow(img)
+    plt.show()
+    return None

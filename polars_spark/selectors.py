@@ -563,6 +563,10 @@ class _ChainNS:
 
     def __getattr__(self, meth: str):
         owner, ns = self._owner, self._ns
+        if ns == "meta" and meth in ("as_selector", "as_expression"):
+            # plan-level introspection, not a per-column chain: the selector
+            # IS the selector/expression (reference meta.py:284-299)
+            return lambda: owner if meth == "as_selector" else owner.as_expr()
         base = getattr(owner, "_chain_fn", None) or (lambda e: e)
 
         def call(*a, **k):

@@ -61,14 +61,30 @@ def ensure_engine_confs(spark: "SparkSession | None" = None) -> None:
     """Runtime-align a CONSUMING session's SQL conf with engine semantics.
 
     Called at every frame-creation entry point (scan_*, from_pandas,
-    registry table loaders) and Time lowering site.  Cached per live
-    session — one py4j round-trip ever per session; weak-valued so a
-    stopped session's recycled id can't be mistaken for a verified one."""
+    registry table loaders), Time lowering site, and collect.  Cached per
+    live session, but the cached path still re-verifies the cheapest
+    silent-wrong-answer conf (session.timeZone — one conf.get round-trip):
+    a consumer that re-sets the timezone AFTER the engine aligned it would
+    otherwise silently shift every timestamp (ADVICE r7).  Weak-valued so
+    a stopped session's recycled id can't be mistaken for a verified one.
+
+    NOTE (public API contract, also documented in README): the engine
+    mutates the consuming session's runtime SQL confs — session.timeZone
+    -> UTC, caseSensitive -> true, timeType.enabled -> true, parquet
+    rebase modes -> CORRECTED.  Polars semantics require them; embedders
+    who need different session confs for their own spark.sql should hand
+    the engine a child ``spark.newSession()`` (confs are per-session)."""
     s = spark if spark is not None else SparkSession.getActiveSession()
     if s is None:
         return
     if _CONF_READY.get(id(s)) is s:
-        return
+        try:
+            if s.conf.get("spark.sql.session.timeZone") == "UTC":
+                return
+        except Exception:
+            return
+        # consumer re-set the timezone since we aligned: realign everything
+        del _CONF_READY[id(s)]
     ok = True
     for k, v in _ENGINE_CONFS:
         # NOTE: conf.get(k, "") THROWS for boolean confs (the default string

@@ -92,15 +92,32 @@ def _file_order_deferred(paths: Sequence[str]):
                 if any(ch in key for ch in "*?["):
                     import glob as _glob
 
-                    hits = [
-                        _strip_scheme(_os.path.abspath(h)) for h in sorted(_glob.glob(key))
-                    ]
+                    # glob.glob runs on the LOCAL FS only: remote-scheme
+                    # globs return nothing, and a hit may itself be a
+                    # DIRECTORY (a Spark-written parquet dataset) — both
+                    # previously fell to the fallback rank, silently
+                    # violating the given-list order (ADVICE r7).  Hits
+                    # match on file-or-directory boundaries; no hits ->
+                    # static stem-prefix match (same rule as
+                    # _concat_order_deferred._key).
+                    hits = (
+                        []
+                        if "://" in p
+                        else [
+                            _strip_scheme(_os.path.abspath(h))
+                            for h in sorted(_glob.glob(key))
+                        ]
+                    )
                     cond = None
                     for h in hits:
-                        c = norm == F.lit(h)
+                        c = (norm == F.lit(h)) | norm.startswith(F.lit(h + "/"))
                         cond = c if cond is None else (cond | c)
                     if cond is None:
-                        continue
+                        head = key
+                        for ch in "*?[":
+                            if ch in head:
+                                head = head.split(ch)[0]
+                        cond = norm.startswith(F.lit(head))
                 else:
                     cond = (norm == F.lit(key)) | norm.startswith(F.lit(key + "/"))
                 branches.append(F.when(cond, F.lit(i)))

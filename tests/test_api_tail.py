@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -298,3 +299,47 @@ class TestRound7SeriesFidelity:
         assert pl.Series("x", [1, 3, 5]).search_sorted(4) == 2
         assert pl.Series("x", [1, 3, 5]).search_sorted([0, 4]).to_list() == [0, 2]
         assert pl.Series("x", [1, 3, 3, 5]).search_sorted(3, side="right") == 3
+
+
+class TestMetaTail:
+    """round 8: the last four meta methods (reference expr/meta.py:284-466)."""
+
+    def test_as_expression_identity(self, pl):
+        e = (pl.col("a") + 1).alias("b")
+        assert e.meta.as_expression() is e
+
+    def test_as_selector(self, pl):
+        from polars_spark import selectors as cs
+
+        s = pl.col("a").meta.as_selector()
+        assert cs.is_selector(s)
+        lf = pl.from_pandas(pd.DataFrame({"a": [1], "b": [2]}))
+        assert lf.select(s).collect().columns.tolist() == ["a"]
+        with pytest.raises(ValueError):
+            (pl.col("a") + 1).meta.as_selector()
+        sel = cs.numeric()
+        assert sel.meta.as_selector() is sel
+
+    def test_write_json_deprecated_alias(self, pl):
+        e = pl.col("a") + 1
+        with pytest.warns(DeprecationWarning):
+            j = e.meta.write_json()
+        assert isinstance(j, str) and j
+
+    def test_show_graph_raw_and_file(self, pl, tmp_path):
+        e = (pl.col("foo") * pl.col("bar")).sum()
+        dot = e.meta.show_graph(raw_output=True)
+        assert dot.startswith("digraph expr {") and "->" in dot
+        assert "UnresolvedAttribute" in dot
+        p = tmp_path / "e.dot"
+        e.meta.show_graph(output_path=str(p), show=False)
+        assert p.read_text() == dot
+
+    def test_serialize_file_roundtrip(self, pl, tmp_path):
+        e = (pl.col("a") * 2).alias("z")
+        p = tmp_path / "e.bin"
+        e.meta.serialize(str(p))
+        e2 = pl.Expr.deserialize(str(p))
+        assert e2.meta.output_name() == "z"
+        lf = pl.from_pandas(pd.DataFrame({"a": [3]}))
+        assert lf.select(e2).collect()["z"].tolist() == [6]

@@ -6,7 +6,10 @@ row count, column-name set, and order-insensitive values (rows sorted by
 all columns, columns sorted by name).  Floats compare exactly AND with
 rtol=1e-9 so we can see whether a mismatch is real or float noise.
 
-Usage: python tools/check.py [--strict] [--sample N] [sf_dir] [query ...]
+Usage: python tools/check.py [--strict] [--empty] [--sample N] [sf_dir] [query ...]
+
+``--empty`` runs every query against ZERO-ROW copies of the tables
+(schemas taken from sf_dir) — the aggregate-identity divergence sweep.
 
 ``--strict`` additionally flags int-vs-float dtype mismatches between the
 Spark and DuckDB results even when the VALUES are identical — the driver's
@@ -90,12 +93,31 @@ def main() -> int:
     strict = "--strict" in argv
     if strict:
         argv.remove("--strict")
+    empty = "--empty" in argv
+    if empty:
+        argv.remove("--empty")
     sample_n = None
     if "--sample" in argv:
         i = argv.index("--sample")
         sample_n = int(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if empty:
+        # zero-row copies of every table, same schema: targets the aggregate
+        # identity class (polars-core fold identities sum->0 / product->1)
+        # where SQL engines and dataframe engines habitually diverge
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        edir = os.path.join(tempfile.gettempdir(), f"sparkgraft_empty_{os.getpid()}")
+        os.makedirs(edir, exist_ok=True)
+        for t in TABLES:
+            schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+            pq.write_table(schema.empty_table(), f"{edir}/{t}.parquet")
+        print(f"empty-table sweep: schemas from {sf_dir}, tables in {edir}")
+        sf_dir = edir
     only = set(argv[1:])
 
     sys.path.insert(0, ".")
