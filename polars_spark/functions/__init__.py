@@ -1258,7 +1258,14 @@ def heavy_hitters(frame, column: str, *, k: int = 10, capacity: int | None = Non
                 # drop non-positive — keeps the n_p/(m+1) error bound
                 thresh = cnt.nlargest(m + 1).iloc[-1]
                 cnt = cnt[cnt > thresh] - thresh
-        yield pd.DataFrame({"item": cnt.index, "mg_count": cnt.values})
+        # dtype=object: an EMPTY partition's RangeIndex is int64, which
+        # Arrow refuses to cast to a string item column (r8 empty sweep)
+        yield pd.DataFrame(
+            {
+                "item": pd.Series(cnt.index.tolist(), dtype=object),
+                "mg_count": cnt.values,
+            }
+        )
 
     summaries = sdf.select(column).mapInPandas(mg_partition, out_schema)
     cand = (

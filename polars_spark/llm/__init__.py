@@ -729,7 +729,11 @@ def _spherical_kmeans(
     corpus = corpus.cache()
     init = corpus.orderBy("nid").limit(n_clusters).select("nv").collect()
     cents = [[_fround_py(float(x), 10) for x in r.nv] for r in init]
-    dim = len(cents[0]) if cents else 0
+    if not cents:
+        # empty corpus: one degenerate centroid keeps every downstream
+        # expression analyzable; no rows ever reach it
+        cents = [[0.0]]
+    dim = len(cents[0])
     for _ in range(iters):
         assigned = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
         # per-dimension columnar avg: one groupBy(cid) with dim avg
@@ -745,7 +749,9 @@ def _spherical_kmeans(
             raw = [float(r[f"m{d}"]) for d in range(dim)]
             nrm = math.sqrt(sum(x * x for x in raw))
             new[r.cid] = [_fround_py(x / nrm, 10) for x in raw]
-        cents = [new.get(i, cents[i]) for i in range(n_clusters)]
+        # a corpus smaller than n_clusters seeds fewer centroids — iterate
+        # over what EXISTS (range(n_clusters) raised IndexError, r8 sweep)
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
     lists = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
     return lists, cents
 
@@ -1388,10 +1394,12 @@ def pr_curve(
     for i, t in enumerate(thresholds):
         pred = F.col(score_col) >= F.lit(float(t))
         pos = F.col(label_col).cast("boolean")
+        # coalesce: an EMPTY corpus still reports tp=fp=fn=0 per threshold
+        # (a bare SUM over zero rows is null)
         aggs += [
-            F.sum((pred & pos).cast("bigint")).alias(f"tp_{i}"),
-            F.sum((pred & ~pos).cast("bigint")).alias(f"fp_{i}"),
-            F.sum((~pred & pos).cast("bigint")).alias(f"fn_{i}"),
+            F.coalesce(F.sum((pred & pos).cast("bigint")), F.lit(0)).alias(f"tp_{i}"),
+            F.coalesce(F.sum((pred & ~pos).cast("bigint")), F.lit(0)).alias(f"fp_{i}"),
+            F.coalesce(F.sum((~pred & pos).cast("bigint")), F.lit(0)).alias(f"fn_{i}"),
         ]
     row = scored.agg(*aggs)
     parts = []

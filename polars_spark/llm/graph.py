@@ -58,6 +58,9 @@ def pagerank(
     out_e = e.join(deg, "u")  # (u, v, deg) — static over iterations
     out_e = out_e.cache()
 
+    if n == 0:
+        # empty edge list: a valid (empty) rank frame, not ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
         contribs = (

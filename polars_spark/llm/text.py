@@ -628,9 +628,12 @@ def corpus_report(df, *, id_col: str = "doc_id", text_col: str = "text", lang_co
         F.avg(n_tok).alias("mean_tokens"),
         F.expr(f"percentile(size(split(trim({text_col}), '\\\\s+')), 0.5)").alias("median_tokens"),
         (
+            # try_divide: NULL dup-rate on an empty corpus (ANSI `/` would
+            # raise on the 0/0; DuckDB division by zero is NULL too)
             1
-            - F.countDistinct(fingerprint(t)).cast("double")
-            / F.count("*")
+            - F.try_divide(
+                F.countDistinct(fingerprint(t)).cast("double"), F.count("*")
+            )
         ).alias("exact_dup_rate"),
     )
     metrics = g.selectExpr(

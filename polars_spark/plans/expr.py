@@ -211,6 +211,67 @@ def _col_of(v: Any, ctx: ExprContext) -> Column:
     return _to_expr(v)._resolve(ctx)
 
 
+_NUMERIC_DIV = {"tinyint", "smallint", "int", "bigint", "float", "double", "boolean"}
+
+
+def _ieee_div(a: Column, b: Column, ctx) -> Column:
+    """polars true division (Operator::TrueDivide): numeric `/` is IEEE
+    Float64 — x/0 -> ±inf, 0/0 -> NaN, null/0 -> null — NEVER the ANSI
+    DIVIDE_BY_ZERO error Spark 4 raises by default (surfaced by the
+    empty-table sweep: any 100 TB pipeline hits a zero divisor eventually).
+
+    The operand types are probed once at lowering (analysis only, no job):
+    non-numeric operands (duration/interval, decimal) keep Spark's native
+    `/` so their result TYPE is preserved — their zero-divisor behavior is
+    the engine's (polars decimal div by zero errors too)."""
+    df = getattr(ctx, "df", None)
+    if df is None:
+        return a / b
+    try:
+        # probe-free fast path: if the FRAME has no decimal/temporal/interval
+        # column, no derived operand can be non-numeric (df.schema is cached
+        # on the pyspark DataFrame — no analysis round-trip here)
+        risky = any(
+            f.dataType.simpleString().split("(")[0]
+            in ("decimal", "interval", "date", "timestamp", "timestamp_ntz", "time")
+            or not f.dataType.simpleString().split("(")[0].isalnum()  # nested
+            for f in df.schema.fields
+        )
+    except Exception:
+        risky = True
+    if not risky:
+        try:
+            # literal intervals/decimals don't come from the frame schema
+            # (pl.duration(...) / 2): catch them in the pretty-printed sql
+            txt = f"{a} {b}".upper()
+            risky = "INTERVAL" in txt or "DECIMAL" in txt
+        except Exception:
+            risky = True
+    kinds = ("double", "double")
+    if risky:
+        try:
+            sch = df.select(a.alias("__div_a__"), b.alias("__div_b__")).schema
+            kinds = tuple(f.dataType.simpleString() for f in sch.fields[-2:])
+        except Exception:
+            kinds = None
+    if kinds is None or not all(k in _NUMERIC_DIV for k in kinds):
+        return a / b
+    d, e = a.cast("double"), b.cast("double")
+    q = d / F.nullif(e, F.lit(0.0))  # divisor never 0 -> ANSI-safe
+    # IEEE sign of a ZERO divisor: -0.0 renders as "-0.0" (cast to string)
+    neg_zero = e.cast("string").startswith("-")
+    sgn = F.when(neg_zero, F.lit(-1.0)).otherwise(F.lit(1.0))
+    zero_case = (
+        F.when(d.isNull(), F.lit(None).cast("double"))
+        .when(F.isnan(d) | (d == 0), F.lit(float("nan")))
+        .otherwise(F.signum(d) * sgn * F.lit(float("inf")))
+    )
+    return F.when(e == 0, zero_case).otherwise(q)
+
+
+_ieee_div._wants_ctx = True
+
+
 class Expr:
     def __init__(
         self,
@@ -247,6 +308,11 @@ class Expr:
 
             def chain_fn(e, _b=base, _f=f):
                 ce = _b(e)
+                if getattr(_f, "_wants_ctx", False):
+                    return Expr(
+                        lambda ctx: _f(self._resolve(ctx), ce._resolve(ctx), ctx),
+                        ce._name,
+                    )
                 return Expr(
                     lambda ctx: _f(self._resolve(ctx), ce._resolve(ctx)), ce._name
                 )
@@ -256,6 +322,12 @@ class Expr:
                 expand=getattr(other, "_schema_expand", None),
             )
         o = _to_expr(other)
+        if getattr(f, "_wants_ctx", False):
+            return Expr(
+                lambda ctx: f(self._resolve(ctx), o._resolve(ctx), ctx),
+                name if name is not None else self._name,
+                self._is_agg or o._is_agg,
+            )
         return Expr(
             lambda ctx: f(self._resolve(ctx), o._resolve(ctx)),
             name if name is not None else self._name,
@@ -386,17 +458,31 @@ class Expr:
         return _to_expr(o)._zip(self, lambda a, b: a * b, self._name)
 
     def __truediv__(self, o):
-        return self._zip(o, lambda a, b: a / b)
+        return self._zip(o, _ieee_div)
 
     def __rtruediv__(self, o):
-        return _to_expr(o)._zip(self, lambda a, b: a / b, self._name)
+        return _to_expr(o)._zip(self, _ieee_div, self._name)
 
     def __floordiv__(self, o):
-        # polars FloorDivide (Operator::FloorDivide, dsl/expr/mod.rs:683)
-        return self._zip(o, lambda a, b: F.floor(a / b))
+        # polars FloorDivide (Operator::FloorDivide, dsl/expr/mod.rs:683);
+        # zero divisor -> null (polars checked int floordiv), never the
+        # ANSI DIVIDE_BY_ZERO error
+        return self._zip(
+            o,
+            lambda a, b: F.when(b == 0, F.lit(None)).otherwise(
+                F.floor(a / F.nullif(b, F.lit(0)))
+            ),
+        )
 
     def __mod__(self, o):
-        return self._zip(o, lambda a, b: a % b)
+        # zero divisor -> null (polars checked int remainder) instead of
+        # the ANSI DIVIDE_BY_ZERO error; NaN divisors pass through (-> NaN)
+        return self._zip(
+            o,
+            lambda a, b: F.when(b == 0, F.lit(None)).otherwise(
+                a % F.nullif(b, F.lit(0))
+            ),
+        )
 
     def __pow__(self, o):
         return self._zip(o, lambda a, b: F.pow(a, b))
@@ -624,7 +710,7 @@ class Expr:
                 s = c.cast("string")
                 ok = s.isin(cats) | c.isNull()
                 if strict:
-                    return F.when(ok, s).otherwise(
+                    out_c = F.when(ok, s).otherwise(
                         F.raise_error(
                             F.concat(
                                 F.lit("conversion to enum failed for value: "),
@@ -632,7 +718,14 @@ class Expr:
                             )
                         )
                     )
-                return F.when(ok, s)
+                else:
+                    out_c = F.when(ok, s)
+                # FROZEN categories ride in the field metadata: Spark keeps
+                # the innermost Alias metadata through outer re-aliases and
+                # projections, so enum ORDER (category index, dtype.rs
+                # FrozenCategories) survives with_columns round-trips and
+                # min/max/sort can honor it later
+                return out_c.alias("__enum__", metadata={"pls_enum": list(cats)})
 
             out = self._map(fn_enum)
             out._enum = dtype  # cat.get_categories support
@@ -940,11 +1033,72 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
+    def _enum_cats(self, ctx) -> "list | None":
+        """The frozen Enum categories governing this expr's ORDER, if any:
+        either set directly by a cast(Enum) on this expr chain, or carried
+        in the source column's schema metadata (written by the enum cast's
+        alias and propagated by Spark through projections)."""
+        e = self
+        while e is not None:
+            if getattr(e, "_enum", None) is not None:
+                return list(e._enum.categories)
+            e = getattr(e, "_alias_of", None)
+        df = getattr(ctx, "df", None)
+        if df is None:
+            return None
+        try:
+            # fast path first: schemas without any enum metadata (the
+            # overwhelming majority) exit before any introspection work
+            enum_fields = {
+                f.name: list(f.metadata["pls_enum"])
+                for f in df.schema.fields
+                if f.metadata and f.metadata.get("pls_enum")
+            }
+            if not enum_fields:
+                return None
+            from polars_spark.selectors import is_selector
+
+            if is_selector(self):
+                return None
+            m = ExprMetaNamespace(self)
+            if not m.is_column():
+                return None
+            return enum_fields.get(m.root_names()[0])
+        except Exception:
+            return None
+
     def min(self):
-        return self._agg(F.min, _elem_kind="min")
+        # Enum columns order by CATEGORY INDEX, not lexically (reference
+        # dtype.rs FrozenCategories ordering): min = the earliest category
+        # present, computed as min over array_position then mapped back
+        def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, "min")
+            cats = self._enum_cats(ctx)
+            c = self._resolve(ctx)
+            if cats:
+                arr = F.array(*[F.lit(x) for x in cats])
+                return F.element_at(
+                    arr, _wover(ctx, F.min(F.array_position(arr, c))).cast("int")
+                )
+            return _wover(ctx, F.min(c))
+
+        return Expr(fn, self._name, is_agg=True)
 
     def max(self):
-        return self._agg(F.max, _elem_kind="max")
+        def fn(ctx: ExprContext) -> Column:
+            if getattr(ctx, "element_agg", False):
+                return _element_agg(ctx, self, "max")
+            cats = self._enum_cats(ctx)
+            c = self._resolve(ctx)
+            if cats:
+                arr = F.array(*[F.lit(x) for x in cats])
+                return F.element_at(
+                    arr, _wover(ctx, F.max(F.array_position(arr, c))).cast("int")
+                )
+            return _wover(ctx, F.max(c))
+
+        return Expr(fn, self._name, is_agg=True)
 
     def median(self):
         return self._agg(F.median, _elem_kind="median")
@@ -1300,7 +1454,12 @@ class Expr:
                 .otherwise(F.lit(False)),
                 _elem_kind="any",
             )
-        return self._agg(lambda c: F.max(F.coalesce(c, F.lit(False))), _elem_kind="any")
+        # fold identity: empty/all-null group -> False (polars any over the
+        # OR-monoid; a bare MAX over zero rows gives null — fuzz finding r8)
+        return self._agg(
+            lambda c: F.coalesce(F.max(F.coalesce(c, F.lit(False))), F.lit(False)),
+            _elem_kind="any",
+        )
 
     def all(self, *, ignore_nulls: bool = True):
         if not ignore_nulls:
@@ -1311,7 +1470,12 @@ class Expr:
                 .otherwise(F.lit(True)),
                 _elem_kind="all",
             )
-        return self._agg(lambda c: F.min(F.coalesce(c, F.lit(True))), _elem_kind="all")
+        # fold identity: empty/all-null group -> True (polars all over the
+        # AND-monoid; bare MIN over zero rows gives null — fuzz finding r8)
+        return self._agg(
+            lambda c: F.coalesce(F.min(F.coalesce(c, F.lit(True))), F.lit(True)),
+            _elem_kind="all",
+        )
 
     def skew(self, bias: bool = True):
         # Spark skewness() is the biased (population) estimator == polars bias=True

@@ -650,3 +650,70 @@ def sf_list_agg(spark, sf_dir):
         words.list.agg((el.str.len_chars() > 5).any()).alias("has_long"),
         words.list.agg(el.str.len_chars().max()).cast(pl.Int64).alias("longest"),
     ).to_spark()
+
+
+@query(
+    "sf_enum_order",
+    # Enum ordering is CATEGORY INDEX, not lexical (reference polars-dtype
+    # dtype.rs FrozenCategories): with categories ['R','N','A'] the min of a
+    # group is the EARLIEST category present — the oracle replays the rank
+    # mapping by hand
+    oracle="""
+    SELECT l_linestatus AS status,
+           CASE min(CASE l_returnflag WHEN 'R' THEN 1 WHEN 'N' THEN 2 WHEN 'A' THEN 3 END)
+                WHEN 1 THEN 'R' WHEN 2 THEN 'N' WHEN 3 THEN 'A' END AS first_flag,
+           CASE max(CASE l_returnflag WHEN 'R' THEN 1 WHEN 'N' THEN 2 WHEN 'A' THEN 3 END)
+                WHEN 1 THEN 'R' WHEN 2 THEN 'N' WHEN 3 THEN 'A' END AS last_flag,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sf_enum_order(spark, sf_dir):
+    """Enum min/max honor the frozen category ORDER (['R','N','A'] is the
+    reverse of lexical, so a lexical regression flips every row red); the
+    categories ride in Spark field metadata through the with_columns."""
+    li = ltable(spark, sf_dir, "lineitem")
+    return (
+        li.with_columns(flag=pl.col("l_returnflag").cast(pl.Enum(["R", "N", "A"])))
+        .group_by(pl.col("l_linestatus").alias("status"))
+        .agg(
+            pl.col("flag").min().alias("first_flag"),
+            pl.col("flag").max().alias("last_flag"),
+            pl.len().alias("n"),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "sf_cat_lexical",
+    # Categorical with lexical ordering: sort/rank/min/max behave exactly as
+    # the underlying strings (the engine's documented categorical mapping —
+    # strings stay strings, Tungsten/parquet dictionary-encode physically)
+    oracle="""
+    WITH m AS (SELECT p_brand, p_retailprice FROM part)
+    SELECT p_brand AS container,
+           count(*) AS n,
+           min(p_brand) OVER () AS first_cat,
+           floor(avg(p_retailprice) * 1e4 + 0.5) / 1e4 AS avg_price
+    FROM m GROUP BY p_brand
+    """,
+)
+def sf_cat_lexical(spark, sf_dir):
+    """cat lexical-ordering corner: group stats over a Categorical column
+    plus a global lexical min across the categories."""
+    part = ltable(spark, sf_dir, "part")
+    from polars_spark.queries import fround
+    import pyspark.sql.functions as F
+
+    out = (
+        part.with_columns(cat=pl.col("p_brand").cast(pl.Categorical("lexical")))
+        .group_by(pl.col("cat").alias("container"))
+        .agg(
+            pl.len().alias("n"),
+            pl.col("p_retailprice").mean().alias("avg_price"),
+        )
+        .with_columns(first_cat=pl.col("container").min())
+        .to_spark()
+    )
+    return out.select("container", "n", "first_cat", fround(F.col("avg_price"), 4).alias("avg_price"))

@@ -199,3 +199,58 @@ def stream_interval_join_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         fround(F.sum("value_b"), 4).alias("total_b"),
     )
+
+
+@query(
+    "stream_session_windows",
+    # identical gaps-and-islands replay as the batch twin tmp_session_windows
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           floor(sum(value) * 1e4 + 0.5) / 1e4 AS total
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """STREAMING sessionization (F.session_window on an unbounded source):
+    gap-merged variable-length windows per user, state bounded by the
+    watermark horizon; availableNow + complete mode makes the result equal
+    the batch twin (tmp_session_windows), which is the gate's contract.
+    At 100 TB/day the same plan runs on a directory/Kafka source with the
+    session state store keyed (user_id, session) and evicted by watermark."""
+    from polars_spark.queries import fround
+    from polars_spark.streaming import scan_stream_parquet
+
+    src = scan_stream_parquet(
+        _events_stream_dir(sf_dir), schema=_EVENTS_SCHEMA, spark=spark
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+    return _run_to_batch(spark, agg, output_mode="complete")

@@ -286,8 +286,10 @@ def evt_funnel(spark, sf_dir):
 
     from polars_spark.queries import fround
 
+    # try_divide: NULL on a zero funnel head (ANSI `/` would raise; DuckDB
+    # division by zero is NULL, so the oracle agrees on empty input)
     return out.to_spark().withColumn(
-        "conversion", fround(F.col("n_purchase") / F.col("n_view"), 9)
+        "conversion", fround(F.try_divide(F.col("n_purchase"), F.col("n_view")), 9)
     )
 
 

@@ -1101,7 +1101,7 @@ def txt_snapshot_diff(spark, sf_dir):
            floor(CASE WHEN sum(CASE WHEN label THEN 1 ELSE 0 END) > 0 THEN
              sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END)
              / CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) END * 1e9 + 0.5) / 1e9 AS recall
-    FROM scored, t
+    FROM t LEFT JOIN scored ON TRUE
     GROUP BY t.threshold
     """,
 )

@@ -161,7 +161,7 @@ def q5_local_supplier_volume(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(coalesce(sum(l_extendedprice * l_discount), 0.0), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

@@ -424,7 +424,7 @@ def q16_parts_supplier_relationship(spark, sf_dir):
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(coalesce(sum(l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1' AND p_size <= 5
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -454,7 +454,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)

@@ -911,7 +911,10 @@ def from_arrow(data, schema=None, *, schema_overrides=None, spark: SparkSession 
         data = pa.table(data)  # consumes __arrow_c_stream__ / __arrow_c_array__
     if isinstance(data, pa.RecordBatch):
         data = pa.Table.from_batches([data])
-    lf = LazyFrame(spark.createDataFrame(data.to_pandas()))
+    # hand Spark the ARROW table, not a pandas detour: the arrow schema is
+    # authoritative (empty tables don't re-infer; int64-with-null stays
+    # int64; null and NaN stay distinct values)
+    lf = LazyFrame(spark.createDataFrame(data))
     lf = _apply_schema_arg(lf, schema)
     if schema_overrides:
         lf = lf.cast(dict(schema_overrides))

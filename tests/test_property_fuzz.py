@@ -1,0 +1,375 @@
+"""Property-based fuzz of the Expr lowering vs DuckDB.
+
+Port of the reference's parametric test strategy (py-polars
+``polars/testing/parametric/strategies`` — random frames through random
+expression pipelines) as a DETERMINISTIC seeded sweep: every case is
+reproducible from its seed, so a red case is a regression test, not a
+flake.  Each case is rendered BOTH as a polars_spark expression and as
+DuckDB SQL carrying polars semantics (sum -> 0 on empty/all-null,
+n_unique counts null as a distinct value, clip propagates null), then
+value-compared with rtol=1e-9.
+
+Batching: per random frame, all elementwise cases evaluate in ONE select
+(each case an aliased output column) and all grouped cases in ONE
+group_by — 600+ cases cost ~90 Spark jobs, not 600.
+
+Frames deliberately include the shapes where engines diverge: empty
+frames, single rows, all-null columns, int64 extremes, NaN/±inf floats,
+unicode/empty strings, null group keys.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+N_FRAMES = 32  # x (12 elementwise + 6 grouped + 2 whole-frame) >= 600 cases
+
+# ---------------------------------------------------------------- frames
+
+INT_EDGE = [0, 1, -1, 7, -13, 2**31, -(2**31), None]
+BIG_EDGE = [0, 2**62, -(2**62), 2**63 - 1, -(2**63), 1, None]
+FLT_EDGE = [0.0, -0.0, 1.5, -2.25, float("nan"), float("inf"), float("-inf"), 1e308, -1e-308, None]
+STR_EDGE = ["", "a", "Ab", "ÄÖü", "😀x", "null", " spaced ", "longer string value", None]
+KEY_EDGE = ["a", "b", "c", None]
+
+
+def mk_frame(rng: random.Random):
+    n = rng.choice([0, 1, 2, 3, 17, 40])
+    cols = {
+        "rid": pa.array(range(n), pa.int64()),
+        "g": pa.array([rng.choice(KEY_EDGE) for _ in range(n)], pa.string()),
+        "i": pa.array([rng.choice(INT_EDGE) for _ in range(n)], pa.int64()),
+        "k": pa.array([rng.choice(INT_EDGE) for _ in range(n)], pa.int64()),
+        "j": pa.array([rng.choice(BIG_EDGE) for _ in range(n)], pa.int64()),
+        "f": pa.array([rng.choice(FLT_EDGE) for _ in range(n)], pa.float64()),
+        "h": pa.array([rng.choice(FLT_EDGE) for _ in range(n)], pa.float64()),
+        # finite floats (nulls allowed): DuckDB's VARSAMP/STDDEV error on
+        # ±inf inputs, so the moment templates use this column
+        "ff": pa.array(
+            [rng.choice([0.0, 1.5, -2.25, 1e6, -13.5, None]) for _ in range(n)],
+            pa.float64(),
+        ),
+        "s": pa.array([rng.choice(STR_EDGE) for _ in range(n)], pa.string()),
+        "b": pa.array([rng.choice([True, False, None]) for _ in range(n)], pa.bool_()),
+    }
+    # occasionally make a column ALL null (the fold-identity shape)
+    if n and rng.random() < 0.3:
+        victim = rng.choice(["i", "f", "s", "b"])
+        cols[victim] = pa.array([None] * n, cols[victim].type)
+    return pa.table(cols)
+
+
+# ------------------------------------------------- elementwise templates
+# each: name, builder(pl, rng) -> (expr, sql) — SQL carries polars semantics
+
+
+def t_int_add(pl, rng):
+    return pl.col("i") + pl.col("k"), "(i + k)"
+
+
+def t_int_sub(pl, rng):
+    return pl.col("i") - pl.col("k"), "(i - k)"
+
+
+def t_int_mul_small(pl, rng):
+    m = rng.choice([-3, -1, 0, 2, 3])
+    return pl.col("i") * m, f"(i * {m})"
+
+
+def t_neg_float(pl, rng):
+    return -pl.col("f"), "(-f)"
+
+
+def t_float_add(pl, rng):
+    return pl.col("f") + pl.col("h"), "(f + h)"
+
+
+def t_float_mul(pl, rng):
+    return pl.col("f") * 2.5, "(f * 2.5)"
+
+
+def t_float_div_safe(pl, rng):
+    return pl.col("f") / (pl.col("h").abs() + 1.0), "(f / (abs(h) + 1.0))"
+
+
+def t_abs(pl, rng):
+    c = rng.choice(["i", "f"])
+    return pl.col(c).abs(), f"abs({c})"
+
+
+def t_sqrt(pl, rng):
+    return pl.col("f").abs().sqrt(), "sqrt(abs(f))"
+
+
+def t_ln1p(pl, rng):
+    return (pl.col("f").abs() + 1.0).log(), "ln(abs(f) + 1.0)"
+
+
+def t_cmp_int(pl, rng):
+    k = rng.choice([0, 1, -13, 2**31])
+    op = rng.choice([(">", "gt"), ("<=", "le"), ("==", "eq")])
+    e = {"gt": pl.col("i") > k, "le": pl.col("i") <= k, "eq": pl.col("i") == k}[op[1]]
+    return e, f"(i {'=' if op[0] == '==' else op[0]} {k})"
+
+
+def t_str_eq(pl, rng):
+    v = rng.choice(["a", "", "null", "😀x"])
+    return pl.col("s") == v, f"(s = '{v}')"
+
+
+def t_bool_and(pl, rng):
+    return pl.col("b") & (pl.col("i") > 0), "(b AND (i > 0))"
+
+
+def t_bool_or(pl, rng):
+    return pl.col("b") | (pl.col("f") > 0.0), "(b OR (f > 0.0))"
+
+
+def t_len_chars(pl, rng):
+    return pl.col("s").str.len_chars().cast(pl.Int64), "CAST(length(s) AS BIGINT)"
+
+
+def t_upper(pl, rng):
+    return pl.col("s").str.to_uppercase(), "upper(s)"
+
+
+def t_lower(pl, rng):
+    return pl.col("s").str.to_lowercase(), "lower(s)"
+
+
+def t_starts_with(pl, rng):
+    v = rng.choice(["a", "A", "", "😀"])
+    return pl.col("s").str.starts_with(v), f"starts_with(s, '{v}')"
+
+
+def t_contains_lit(pl, rng):
+    v = rng.choice(["a", " ", "ng"])
+    return pl.col("s").str.contains(v, literal=True), f"contains(s, '{v}')"
+
+
+def t_slice(pl, rng):
+    off, ln = rng.choice([(0, 2), (1, 3), (2, 1)])
+    return pl.col("s").str.slice(off, ln), f"substr(s, {off + 1}, {ln})"
+
+
+def t_fill_null_int(pl, rng):
+    v = rng.choice([0, -1, 99])
+    return pl.col("i").fill_null(v), f"coalesce(i, {v})"
+
+
+def t_is_null(pl, rng):
+    c = rng.choice(["i", "f", "s", "b", "g"])
+    return pl.col(c).is_null(), f"({c} IS NULL)"
+
+
+def t_when_then(pl, rng):
+    cond_sql = "coalesce(i, 0) > 0"
+    cond = pl.col("i").fill_null(0) > 0
+    return (
+        pl.when(cond).then(pl.col("f")).otherwise(-pl.col("f")),
+        f"CASE WHEN {cond_sql} THEN f ELSE (-f) END",
+    )
+
+
+def t_cast_int_float(pl, rng):
+    c = rng.choice(["i", "j"])
+    return pl.col(c).cast(pl.Float64), f"CAST({c} AS DOUBLE)"
+
+
+def t_cast_bool_int(pl, rng):
+    return pl.col("b").cast(pl.Int64), "CAST(b AS BIGINT)"
+
+
+def t_clip(pl, rng):
+    lo, hi = sorted(rng.sample([-10, -1, 0, 5, 100], 2))
+    # polars clip propagates null; DuckDB least/greatest SKIP nulls
+    return (
+        pl.col("i").clip(lo, hi),
+        f"CASE WHEN i IS NULL THEN NULL ELSE least(greatest(i, {lo}), {hi}) END",
+    )
+
+
+ELEMENTWISE = [
+    t_int_add, t_int_sub, t_int_mul_small, t_neg_float, t_float_add,
+    t_float_mul, t_float_div_safe, t_abs, t_sqrt, t_ln1p, t_cmp_int,
+    t_str_eq, t_bool_and, t_bool_or, t_len_chars, t_upper, t_lower,
+    t_starts_with, t_contains_lit, t_slice, t_fill_null_int, t_is_null,
+    t_when_then, t_cast_int_float, t_cast_bool_int, t_clip,
+]
+
+
+# --------------------------------------------------- aggregate templates
+# polars fold identities and null rules encoded on the SQL side
+
+
+def a_sum_int(pl, rng):
+    return pl.col("i").sum(), "coalesce(sum(i), 0)"
+
+
+def a_sum_float(pl, rng):
+    return pl.col("f").sum(), "coalesce(sum(f), 0.0)"
+
+
+def a_min(pl, rng):
+    c = rng.choice(["i", "j", "f", "s"])
+    return pl.col(c).min(), f"min({c})"
+
+
+def a_max(pl, rng):
+    c = rng.choice(["i", "j", "f", "s"])
+    return pl.col(c).max(), f"max({c})"
+
+
+def a_mean(pl, rng):
+    return pl.col("f").mean(), "avg(f)"
+
+
+def a_count(pl, rng):
+    c = rng.choice(["i", "f", "s"])
+    return pl.col(c).count().cast(pl.Int64), f"count({c})"
+
+
+def a_len(pl, rng):
+    return pl.len().cast(pl.Int64), "count(*)"
+
+
+def a_n_unique(pl, rng):
+    c = rng.choice(["i", "s", "g"])
+    # polars n_unique counts null as one distinct value
+    return (
+        pl.col(c).n_unique().cast(pl.Int64),
+        f"count(DISTINCT {c}) + CASE WHEN count(*) > count({c}) THEN 1 ELSE 0 END",
+    )
+
+
+def a_std(pl, rng):
+    return pl.col("ff").std(ddof=1), "stddev_samp(ff)"
+
+
+def a_var(pl, rng):
+    return pl.col("ff").var(ddof=1), "var_samp(ff)"
+
+
+def a_any(pl, rng):
+    # polars any(ignore_nulls=True): empty/all-null -> false
+    return pl.col("b").any(), "coalesce(bool_or(b), false)"
+
+
+def a_all(pl, rng):
+    return pl.col("b").all(), "coalesce(bool_and(b), true)"
+
+
+AGGS = [
+    a_sum_int, a_sum_float, a_min, a_max, a_mean, a_count, a_len,
+    a_n_unique, a_std, a_var, a_any, a_all,
+]
+
+
+# ---------------------------------------------------------------- compare
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, label: str):
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{label}: rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{label}: columns {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    s, o = _norm(spark_pdf), _norm(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv2 = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            ov2 = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)
+            ok = np.isclose(sv2, ov2, rtol=1e-9, atol=1e-12) | (
+                np.isnan(sv2) & np.isnan(ov2)
+            )
+            assert ok.all(), (
+                f"{label} col={c}: first diffs "
+                f"{[(sv2[i], ov2[i]) for i in np.nonzero(~ok)[0][:3]]}"
+            )
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            assert eq.all(), (
+                f"{label} col={c} row{int(np.nonzero(~eq.to_numpy())[0][0])}: "
+                f"spark={sv[~eq].iloc[0]!r} oracle={ov[~eq].iloc[0]!r}"
+            )
+
+
+# ------------------------------------------------------------------ sweep
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_elementwise(pl, spark, ddb, seed):
+    rng = random.Random(1000 + seed)
+    tbl = mk_frame(rng)
+    lf = pl.from_arrow(tbl)
+    ddb.register("t_fz", tbl)
+    picks = [rng.choice(ELEMENTWISE) for _ in range(12)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"c{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS c{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_fz").df()
+    assert_frames_match(got, want, f"seed={seed} elementwise {[t.__name__ for t in picks]}")
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_grouped_agg(pl, spark, ddb, seed):
+    rng = random.Random(2000 + seed)
+    tbl = mk_frame(rng)
+    lf = pl.from_arrow(tbl)
+    ddb.register("t_fzg", tbl)
+    picks = [rng.choice(AGGS) for _ in range(6)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"a{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS a{idx}_{tmpl.__name__}")
+    got = lf.group_by("g").agg(**exprs).collect()
+    want = ddb.execute(f"SELECT g, {', '.join(sqls)} FROM t_fzg GROUP BY g").df()
+    assert_frames_match(got, want, f"seed={seed} grouped {[t.__name__ for t in picks]}")
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_whole_frame_agg(pl, spark, ddb, seed):
+    """The fold-identity shape: select(aggs) on possibly-EMPTY frames —
+    polars yields exactly one row (sum->0, mean->null, any->false)."""
+    rng = random.Random(3000 + seed)
+    tbl = mk_frame(rng)
+    lf = pl.from_arrow(tbl)
+    ddb.register("t_fzw", tbl)
+    picks = [rng.choice(AGGS) for _ in range(2)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"w{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS w{idx}_{tmpl.__name__}")
+    got = lf.select(**exprs).collect()
+    want = ddb.execute(f"SELECT {', '.join(sqls)} FROM t_fzw").df()
+    assert_frames_match(got, want, f"seed={seed} whole-frame {[t.__name__ for t in picks]}")

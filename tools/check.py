@@ -34,6 +34,21 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# --empty mode: documented engine-vs-oracle divergences that only exist at
+# zero rows, where the ORACLE cannot express the engine/polars semantics.
+EMPTY_PINNED = {
+    # polars pivot discovers value columns FROM THE DATA (none on an empty
+    # frame); the static oracle SQL must hardcode them
+    "rel_pivot": "pivot value columns are data-driven; zero rows -> index col only (matches polars)",
+    "rel_unstack": "unstack value columns are data-driven; zero rows -> first col only (matches polars)",
+    # Spark GROUP BY CUBE emits NO grand-total row over empty input;
+    # DuckDB (SQL standard) emits one — engine is Spark-native here
+    "agg_cube": "Spark cube yields 0 rows on empty input; DuckDB emits the grand-total grouping set",
+    # a hive-partitioned write of zero rows produces no data files, so the
+    # round-trip scan has no schema to read (polars' hive write ditto)
+    "io_parquet_partitioned": "partitioned write of 0 rows leaves no files; schema cannot round-trip",
+}
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -135,6 +150,10 @@ def main() -> int:
     n_ok = n_bad = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if empty and name in EMPTY_PINNED:
+            print(f"pin   {name}: {EMPTY_PINNED[name]}")
+            n_weak += 1
             continue
         t0 = time.time()
         try:
