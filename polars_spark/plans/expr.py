@@ -228,25 +228,30 @@ def _ieee_div(a: Column, b: Column, ctx) -> Column:
     if df is None:
         return a / b
     try:
-        # probe-free fast path: if the FRAME has no decimal/temporal/interval
-        # column, no derived operand can be non-numeric (df.schema is cached
-        # on the pyspark DataFrame — no analysis round-trip here)
-        risky = any(
-            f.dataType.simpleString().split("(")[0]
-            in ("decimal", "interval", "date", "timestamp", "timestamp_ntz", "time")
-            or not f.dataType.simpleString().split("(")[0].isalnum()  # nested
-            for f in df.schema.fields
+        # probe-free fast path (the analysis probe below re-analyzes the
+        # whole plan — measurably slow in deep pipelines): an operand can
+        # only be non-numeric if it references a temporal/decimal/interval
+        # COLUMN of the frame or embeds a temporal/decimal LITERAL, both
+        # visible in the operands' pretty-printed sql + the cached schema
+        txt = f"{a} {b}"
+        up = txt.upper()
+        risky = (
+            "INTERVAL" in up or "TIMESTAMP" in up or "DECIMAL" in up or "DATE" in up
         )
+        if not risky:
+            risky_cols = {
+                f.name
+                for f in df.schema.fields
+                if any(
+                    t in f.dataType.simpleString()
+                    for t in ("decimal", "interval", "date", "timestamp", "time")
+                )
+            }
+            if risky_cols:
+                idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", txt))
+                risky = bool(idents & risky_cols)
     except Exception:
         risky = True
-    if not risky:
-        try:
-            # literal intervals/decimals don't come from the frame schema
-            # (pl.duration(...) / 2): catch them in the pretty-printed sql
-            txt = f"{a} {b}".upper()
-            risky = "INTERVAL" in txt or "DECIMAL" in txt
-        except Exception:
-            risky = True
     kinds = ("double", "double")
     if risky:
         try:
