@@ -67,6 +67,9 @@ HEADLINE = [
     # rank fusion
     "txt_bm25_topk",
     "sim_rrf_fusion",
+    # round 8: linear-cost star-link near-dup clustering (the scale path
+    # where all-pairs LSH candidates go quadratic in duplicate multiplicity)
+    "dedup_minhash_star",
 ]
 
 

@@ -251,6 +251,61 @@ def minhash_lsh_pairs(
     return out.select("d1", "d2", "jaccard")
 
 
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Keep-one near-duplicate CLUSTERING at LINEAR candidate cost — the
+    100 TB scale path for minhash dedup.  Returns (doc, cluster) with
+    cluster = min doc id of the verified component.
+
+    ``minhash_lsh_pairs`` emits ALL intra-bucket pairs, so a duplicate
+    cluster of multiplicity m costs O(m²) candidates — measured 39x wall
+    at a 10x scale-up whose duplicate multiplicity also grew 10x
+    (PERFORMANCE.md).  Real web corpora have exactly that shape
+    (boilerplate mega-clusters).  Here every doc links only to its band
+    bucket's MIN doc id (star edges: one groupBy(band).min + one join the
+    AQE skew-join can split — O(m) candidates per bucket), the star edges
+    are exact-jaccard verified on shingle sets, and min-label CC restores
+    transitivity.  The recall trade (same as the standard web-dedup
+    recipes): a doc joins a cluster only through its bucket representative,
+    so a doc similar to the cluster but not to the representative can split
+    off; with 8 bands each doc gets 8 chances, making that rare."""
+    rows = k // bands
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    banded = base.select(
+        "doc",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows)
+        ).alias("band"),
+    )
+    rep = banded.groupBy("band").agg(F.min("doc").alias("d1"))
+    star = (
+        banded.join(rep, "band")
+        .filter(F.col("doc") != F.col("d1"))
+        .select("d1", F.col("doc").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    pairs = star.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    verified = pairs.filter((inter / union) >= threshold).select("d1", "d2")
+    return connected_components(verified)
+
+
 def contamination_check(
     corpus: DataFrame,
     probes: DataFrame,

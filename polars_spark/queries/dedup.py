@@ -413,3 +413,52 @@ def dedup_tfidf_cosine(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = tfidf_cosine_pairs(docs, threshold=0.5)
     return pairs.select("d1", "d2", fround(F.col("cosine"), 6).alias("cosine"))
+
+
+@query(
+    "dedup_minhash_star",
+    # same transitive-closure-over-exact-pairs oracle as dedup_clusters:
+    # star edges are a SUBSET of the all-pairs candidates, so components can
+    # only ever split, never merge — on this corpus (clusters are mutually
+    # similar, 8 bands) the star components equal the exact components, and
+    # any recall regression shows as a row mismatch
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    p0 AS (
+      SELECT s1.doc_id d1, s2.doc_id d2, count(*) shared
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM p0 JOIN sizes a ON a.doc_id = d1 JOIN sizes b ON b.doc_id = d2
+      WHERE shared::DOUBLE / (a.n + b.n - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 u, d2 v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT u AS doc, u AS node FROM edges
+      UNION
+      SELECT r.doc, e.v FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT doc, min(node) AS cluster FROM reach GROUP BY doc
+    """,
+)
+def dedup_minhash_star(spark, sf_dir):
+    """LINEAR-cost near-dup clustering (llm.minhash_lsh_dedup): band-bucket
+    star edges (doc -> bucket-min) instead of all intra-bucket pairs, exact
+    verification on the star edges only, min-label CC.  The scale path for
+    boilerplate-heavy corpora where all-pairs candidates are quadratic in
+    duplicate multiplicity."""
+    docs = table(spark, sf_dir, "documents")
+    from polars_spark.llm import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.8)

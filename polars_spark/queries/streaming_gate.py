@@ -40,13 +40,31 @@ def _events_stream_dir(sf_dir: str) -> str:
 
     d = f"/tmp/polars_spark_stream/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/events"
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    # tolerate the create race: two concurrent processes staging the same
-    # sf_dir both point the link at the same target, so losing is fine
-    try:
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    except FileExistsError:
-        pass
+    src = os.path.join(sf_dir, "events.parquet")
+    # a Spark-written fixture is a DIRECTORY of part files: symlink each
+    # part file (a directory symlink hides the data from the file stream
+    # source, which lists *files* — silently zero rows, r8 sf1 bench)
+    targets = (
+        sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    legacy = os.path.join(d, "events.parquet")  # pre-r8 single-link layout
+    if os.path.islink(legacy):
+        try:
+            os.unlink(legacy)
+        except OSError:
+            pass
+    for i, t in enumerate(targets):
+        link = os.path.join(d, f"events_{i}.parquet")
+        # tolerate the create race: two concurrent processes staging the
+        # same sf_dir both point the link at the same target, losing is fine
+        try:
+            os.symlink(t, link)
+        except FileExistsError:
+            pass
     return d
 
 
