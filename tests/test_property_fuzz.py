@@ -373,3 +373,235 @@ def test_fuzz_whole_frame_agg(pl, spark, ddb, seed):
     got = lf.select(**exprs).collect()
     want = ddb.execute(f"SELECT {', '.join(sqls)} FROM t_fzw").df()
     assert_frames_match(got, want, f"seed={seed} whole-frame {[t.__name__ for t in picks]}")
+
+
+# ------------------------------------------------ round-8b: wider families
+# temporal columns, string extras, list ops, sort/limit, filter+agg, joins
+
+import datetime as _dt
+
+DATE_EDGE = [
+    _dt.date(1970, 1, 1),
+    _dt.date(1969, 12, 31),
+    _dt.date(2024, 6, 15),
+    _dt.date(1111, 11, 11),
+    _dt.date(2262, 4, 11),
+    None,
+]
+TS_EDGE = [
+    _dt.datetime(1970, 1, 1, 0, 0, 0),
+    _dt.datetime(2024, 6, 15, 12, 34, 56, 789000),
+    _dt.datetime(1969, 12, 31, 23, 59, 59),
+    _dt.datetime(1999, 12, 31, 23, 0, 0),
+    _dt.datetime(2100, 2, 28, 6, 7, 8),
+    None,
+]
+
+
+def mk_frame_temporal(rng: random.Random):
+    n = rng.choice([0, 1, 3, 17, 40])
+    return pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "g": pa.array([rng.choice(KEY_EDGE) for _ in range(n)], pa.string()),
+            "d": pa.array([rng.choice(DATE_EDGE) for _ in range(n)], pa.date32()),
+            "t": pa.array([rng.choice(TS_EDGE) for _ in range(n)], pa.timestamp("us")),
+            "s": pa.array([rng.choice(STR_EDGE) for _ in range(n)], pa.string()),
+            "ff": pa.array(
+                [rng.choice([0.0, 1.5, -2.25, 1e6, -13.5, None]) for _ in range(n)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def t_dt_part(pl, rng):
+    part = rng.choice(["year", "month", "day", "hour", "minute", "second"])
+    e = getattr(pl.col("t").dt, part)().cast(pl.Int64)
+    return e, f"CAST({part}(t) AS BIGINT)"
+
+
+def t_date_part(pl, rng):
+    part = rng.choice(["year", "month", "day"])
+    e = getattr(pl.col("d").dt, part)().cast(pl.Int64)
+    return e, f"CAST({part}(d) AS BIGINT)"
+
+
+def t_dt_truncate(pl, rng):
+    unit, sql_u = rng.choice([("1h", "hour"), ("1d", "day"), ("1mo", "month")])
+    return pl.col("t").dt.truncate(unit), f"date_trunc('{sql_u}', t)"
+
+
+def t_dt_date(pl, rng):
+    return pl.col("t").dt.date(), "CAST(t AS DATE)"
+
+
+def t_dt_cmp(pl, rng):
+    return (
+        pl.col("t") >= pl.lit(_dt.datetime(2000, 1, 1)),
+        "(t >= TIMESTAMP '2000-01-01 00:00:00')",
+    )
+
+
+def t_epoch_s(pl, rng):
+    return pl.col("t").dt.epoch("s").cast(pl.Int64), "CAST(epoch(t) AS BIGINT)"
+
+
+def t_str_replace_all(pl, rng):
+    return (
+        pl.col("s").str.replace_all("a", "_", literal=True),
+        "replace(s, 'a', '_')",
+    )
+
+
+def t_str_strip(pl, rng):
+    return pl.col("s").str.strip_chars(), "trim(s)"
+
+
+def t_str_reverse(pl, rng):
+    return pl.col("s").str.reverse(), "reverse(s)"
+
+
+def t_str_pad(pl, rng):
+    return pl.col("s").str.zfill(6), "CASE WHEN s IS NULL THEN NULL ELSE lpad(s, CAST(greatest(6, length(s)) AS INT), '0') END"
+
+
+def t_split_len(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.len().cast(pl.Int64),
+        "CAST(len(string_split(s, ' ')) AS BIGINT)",
+    )
+
+
+def t_list_get(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.get(0, null_on_oob=True),
+        "string_split(s, ' ')[1]",
+    )
+
+
+def t_list_contains(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.contains(pl.lit("a")),
+        "list_contains(string_split(s, ' '), 'a')",
+    )
+
+
+def t_max_horizontal(pl, rng):
+    # polars and DuckDB greatest both SKIP nulls
+    return pl.max_horizontal("ff", pl.lit(0.0)), "greatest(ff, 0.0)"
+
+
+def t_cast_float_int_trunc(pl, rng):
+    # polars float->int cast TRUNCATES; DuckDB CAST rounds -> trunc() first
+    return pl.col("ff").cast(pl.Int64), "CAST(trunc(ff) AS BIGINT)"
+
+
+TEMPORAL_EW = [
+    t_dt_part, t_date_part, t_dt_truncate, t_dt_date, t_dt_cmp, t_epoch_s,
+    t_str_replace_all, t_str_strip, t_str_reverse, t_str_pad, t_split_len,
+    t_list_get, t_list_contains, t_max_horizontal, t_cast_float_int_trunc,
+]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_temporal_string_list(pl, spark, ddb, seed):
+    rng = random.Random(4000 + seed)
+    tbl = mk_frame_temporal(rng)
+    lf = pl.from_arrow(tbl)
+    ddb.register("t_fzt", tbl)
+    picks = [rng.choice(TEMPORAL_EW) for _ in range(10)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"c{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS c{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_fzt").df()
+    assert_frames_match(got, want, f"seed={seed} temporal {[t.__name__ for t in picks]}")
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_sort_limit_filter(pl, spark, ddb, seed):
+    """Frame-level ops: filter -> sort (rid tiebreak = deterministic) -> head."""
+    rng = random.Random(5000 + seed)
+    tbl = mk_frame(rng)
+    lf = pl.from_arrow(tbl)
+    ddb.register("t_fzs", tbl)
+    k = rng.choice([0, 1, 5, 100])
+    key = rng.choice(["i", "f", "s"])
+    desc = rng.choice([True, False])
+    nl = rng.choice([True, False])
+    cond_e = pl.col("i").fill_null(0) >= 0
+    cond_q = "coalesce(i, 0) >= 0"
+    got = (
+        lf.filter(cond_e)
+        .sort([key, "rid"], descending=[desc, False], nulls_last=[nl, False])
+        .head(k)
+        .select("rid", "i", "f", "s")
+        .collect()
+    )
+    # polars null rule: null is the SMALLEST value (asc -> first,
+    # desc -> last); nulls_last=True forces last either way
+    sql_nulls = "LAST" if (nl or desc) else "FIRST"
+    want = ddb.execute(
+        f"SELECT rid, i, f, s FROM t_fzs WHERE {cond_q} "
+        f"ORDER BY {key} {'DESC' if desc else 'ASC'} NULLS {sql_nulls}, rid "
+        f"LIMIT {k}"
+    ).df()
+    # ORDER is part of the contract here: compare row-by-row, not sorted
+    assert len(got) == len(want), f"seed={seed}: {len(got)} vs {len(want)}"
+    for c in ["rid", "i", "f", "s"]:
+        sv = got[c].reset_index(drop=True)
+        ov = want[c].reset_index(drop=True)
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            svn = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            ovn = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)
+            ok = np.isclose(svn, ovn, rtol=1e-9, equal_nan=True) | (
+                np.isnan(svn) & np.isnan(ovn)
+            )
+            assert ok.all(), f"seed={seed} col={c} order mismatch"
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            assert eq.all(), f"seed={seed} col={c} order mismatch: {sv.tolist()[:5]} vs {ov.tolist()[:5]}"
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_join_agg(pl, spark, ddb, seed):
+    """Join fuzz: two random frames joined on the group key, aggregated
+    (order-free compare), polars coalesced-key join semantics."""
+    rng = random.Random(6000 + seed)
+    t1, t2 = mk_frame(rng), mk_frame(rng)
+    ddb.register("t_fja", t1)
+    ddb.register("t_fjb", t2)
+    lfa = pl.from_arrow(t1).select("g", "i", "f")
+    lfb = pl.from_arrow(t2).select("g", k2=pl.col("k"))
+    how = rng.choice(["inner", "left", "semi", "anti"])
+    j = lfa.join(lfb, on="g", how=how)
+    got = j.group_by("g").agg(
+        n=pl.len().cast(pl.Int64),
+        si=pl.col("i").sum(),
+    ).collect()
+    # polars joins on null keys match nothing (join_nulls=False default)
+    if how in ("inner", "left"):
+        sql = f"""
+        SELECT a.g, CAST(count(*) AS BIGINT) AS n, coalesce(sum(a.i), 0) AS si
+        FROM t_fja a {'LEFT ' if how == 'left' else ''}JOIN t_fjb b
+          ON a.g = b.g
+        GROUP BY a.g"""
+        if how == "left":
+            # DuckDB LEFT JOIN keeps null-key left rows too (ON null = null
+            # is false -> unmatched -> kept): matches polars left join
+            pass
+    elif how == "semi":
+        sql = """
+        SELECT g, CAST(count(*) AS BIGINT) AS n, coalesce(sum(i), 0) AS si
+        FROM t_fja a WHERE EXISTS (SELECT 1 FROM t_fjb b WHERE b.g = a.g)
+        GROUP BY g"""
+    else:
+        sql = """
+        SELECT g, CAST(count(*) AS BIGINT) AS n, coalesce(sum(i), 0) AS si
+        FROM t_fja a WHERE NOT EXISTS (SELECT 1 FROM t_fjb b WHERE b.g = a.g)
+        GROUP BY g"""
+    want = ddb.execute(sql).df()
+    assert_frames_match(got, want, f"seed={seed} join how={how}")
