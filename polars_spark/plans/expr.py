@@ -213,6 +213,48 @@ def _col_of(v: Any, ctx: ExprContext) -> Column:
 
 _NUMERIC_DIV = {"tinyint", "smallint", "int", "bigint", "float", "double", "boolean"}
 
+# substrings whose PRESENCE in an operand's pretty-printed sql means it may
+# be boolean- or interval-typed (comparisons, predicates, literals); their
+# ABSENCE plus no boolean/interval column reference proves plain-numeric
+_BOOLY_MARKERS = (
+    "<", ">", "=", "!", " NOT ", " AND ", " OR ", " XOR ", " IN ", " IS ",
+    " LIKE ", " BETWEEN ", "TRUE", "FALSE", "INTERVAL", "ISNAN", "ISNULL",
+    "ISNOTNULL", "CONTAINS", "STARTSWITH", "ENDSWITH", "RLIKE", "REGEXP",
+    "ARRAY_CONTAINS", "EXISTS", "FORALL", "ILIKE", "CASE",
+)
+
+
+def _agg_operand_kind(ctx, c: Column) -> "str | None":
+    """Operand dtype for aggregate lowering, probe-free on the numeric hot
+    path: the full ``df.select(c).schema`` probe re-analyzes the plan (sum
+    and mean are in EVERY relational query — measurably slow in deep
+    pipelines, same hazard class as _ieee_div's probe).  Returns
+    ``"numericish"`` when the pretty sql contains no boolean/interval
+    marker and references no boolean/interval column; otherwise the probed
+    simpleString dtype (or None when unknowable — callers keep their
+    conservative fallback, and any mis-detection is a LOUD analysis error,
+    never a silent value change)."""
+    df = getattr(ctx, "df", None)
+    if df is None:
+        return None
+    try:
+        txt = str(c)
+        up = txt.upper()
+        if not any(m in up for m in _BOOLY_MARKERS):
+            risky = {
+                f.name
+                for f in df.schema.fields
+                if "boolean" in f.dataType.simpleString()
+                or "interval" in f.dataType.simpleString()
+            }
+            if not risky or not (
+                set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", txt)) & risky
+            ):
+                return "numericish"
+        return df.select(c.alias("__p__")).schema[0].dataType.simpleString()
+    except Exception:
+        return None
+
 
 def _ieee_div(a: Column, b: Column, ctx) -> Column:
     """polars true division (Operator::TrueDivide): numeric `/` is IEEE
@@ -994,18 +1036,13 @@ class Expr:
         group sums to 0 (not SQL's NULL — reference docs 'missing data').
         The zero-coalesce is skipped for interval dtypes (no untyped zero
         literal) and for frameless meta contexts; the dtype check is plan
-        analysis only, no job."""
+        analysis only, no job (and probe-free on the numeric hot path)."""
 
         def fn(ctx: ExprContext) -> Column:
             if getattr(ctx, "element_agg", False):
                 return _element_agg(ctx, self, "sum")
             c = self._resolve(ctx)
-            dt = None
-            if ctx.df is not None:
-                try:
-                    dt = ctx.df.select(c.alias("__p__")).schema[0].dataType.simpleString()
-                except Exception:
-                    dt = None
+            dt = _agg_operand_kind(ctx, c)
             if dt == "boolean":
                 # polars: boolean sum counts the Trues
                 c = c.cast("bigint")
@@ -1018,22 +1055,12 @@ class Expr:
 
     def mean(self):
         # polars: boolean mean = fraction of Trues (Spark mean rejects bool)
-        def agg(c):
-            return F.mean(c)
-
         def fn(ctx: ExprContext) -> Column:
             if getattr(ctx, "element_agg", False):
                 return _element_agg(ctx, self, "mean")
             c = self._resolve(ctx)
-            if ctx.df is not None:
-                try:
-                    dt = ctx.df.select(c.alias("__p__")).schema[0].dataType.simpleString()
-                    if dt == "boolean":
-                        c = c.cast("double")
-                except Exception:
-                    pass
-            from polars_spark.plans.expr import _wover
-
+            if _agg_operand_kind(ctx, c) == "boolean":
+                c = c.cast("double")
             return _wover(ctx, F.mean(c))
 
         return Expr(fn, self._name, is_agg=True)

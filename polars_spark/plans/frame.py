@@ -1309,8 +1309,24 @@ class LazyFrame:
         ctx = self._ctx()
         cols: list[Column] = []
         order: list[tuple[str, bool, bool]] = []
+        # Enum columns sort by CATEGORY INDEX, not lexically (reference
+        # dtype.rs FrozenCategories): categories ride the field metadata
+        try:
+            enum_fields = {
+                f.name: list(f.metadata["pls_enum"])
+                for f in self._df.schema.fields
+                if f.metadata and f.metadata.get("pls_enum")
+            }
+        except Exception:
+            enum_fields = {}
+        used_enum = False
         for k, d, nl in zip(keys, desc, nlast):
-            c = F.col(k) if isinstance(k, str) else k._resolve(ctx)
+            if isinstance(k, str) and k in enum_fields:
+                arr = F.array(*[F.lit(x) for x in enum_fields[k]])
+                c = F.array_position(arr, F.col(k))
+                used_enum = True
+            else:
+                c = F.col(k) if isinstance(k, str) else k._resolve(ctx)
             # polars: null sorts as the SMALLEST value (first asc, last desc);
             # nulls_last=True forces nulls to the end either way
             last = nl or d
@@ -1324,6 +1340,15 @@ class LazyFrame:
             # stable sort: prior row order breaks ties
             cols.extend(_order_cols(self._order))
             order.extend(self._order)
+        if used_enum:
+            # the stored BY-NAME order spec would lexically re-sort the enum
+            # key at collect — seal the category order into the hidden row
+            # index instead (monotonically_increasing_id is globally
+            # ascending right after a range-partitioned orderBy)
+            sdf = self._df.orderBy(*cols).withColumn(
+                ROW_IDX, F.monotonically_increasing_id()
+            )
+            return LazyFrame(sdf, [(ROW_IDX, False, False)])
         return LazyFrame(self._df.orderBy(*cols), order)
 
     def limit(self, n: int = 5) -> "LazyFrame":

@@ -605,3 +605,64 @@ def test_fuzz_join_agg(pl, spark, ddb, seed):
         GROUP BY g"""
     want = ddb.execute(sql).df()
     assert_frames_match(got, want, f"seed={seed} join how={how}")
+
+
+# ---------------------------------------------- round-8c: division corners
+
+
+def t_div_ieee_float(pl, rng):
+    """UNGUARDED float division: engine must produce IEEE (±inf/NaN) where
+    DuckDB raw `/` gives NULL — the oracle replays IEEE explicitly,
+    including the -0.0 divisor sign (signbit)."""
+    return (
+        pl.col("f") / pl.col("h"),
+        "CASE WHEN h = 0 THEN"
+        " CASE WHEN f IS NULL THEN NULL"
+        "      WHEN isnan(f) OR f = 0 THEN 'NaN'::DOUBLE"
+        "      ELSE sign(f) * (CASE WHEN signbit(h) THEN -1 ELSE 1 END) * 'inf'::DOUBLE END"
+        " ELSE f / h END",
+    )
+
+
+def t_div_ieee_int(pl, rng):
+    return (
+        pl.col("i") / pl.col("k"),
+        "CASE WHEN k = 0 THEN"
+        " CASE WHEN i IS NULL THEN NULL"
+        "      WHEN i = 0 THEN 'NaN'::DOUBLE"
+        "      ELSE sign(i) * 'inf'::DOUBLE END"
+        " ELSE CAST(i AS DOUBLE) / k END",
+    )
+
+
+def t_floordiv_zero(pl, rng):
+    # polars FLOOR division (-7 // 2 = -4, python-style); zero divisor -> null
+    return (
+        (pl.col("i") // pl.col("k")).cast(pl.Int64),
+        "CAST(floor(CAST(i AS DOUBLE) / k) AS BIGINT)",
+    )
+
+
+def t_mod_zero(pl, rng):
+    # dividend-sign remainder in all three engines; x % 0 -> null
+    return pl.col("i") % pl.col("k"), "(i % k)"
+
+
+ELEMENTWISE.extend([t_div_ieee_float, t_div_ieee_int, t_floordiv_zero, t_mod_zero])
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_division_corners(pl, spark, ddb, seed):
+    rng = random.Random(7000 + seed)
+    tbl = mk_frame(rng)
+    lf = pl.from_arrow(tbl)
+    ddb.register("t_fzd", tbl)
+    picks = [t_div_ieee_float, t_div_ieee_int, t_floordiv_zero, t_mod_zero]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"c{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS c{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_fzd").df()
+    assert_frames_match(got, want, f"seed={seed} division corners")

@@ -67,3 +67,16 @@ def test_categorical_is_lexical_string(pl):
     ).collect()
     assert out["lo"].tolist() == ["a"]
     assert out["hi"].tolist() == ["c"]
+
+
+def test_enum_sort_category_order(pl):
+    lf = pl.from_pandas(pd.DataFrame({"s": ["A", "R", "N", "A", None]}))
+    lf2 = lf.with_columns(flag=pl.col("s").cast(pl.Enum(["R", "N", "A"]), strict=False))
+    up = lf2.sort("flag").collect()["flag"].tolist()
+    # null smallest -> first ascending; then category order R < N < A
+    assert up == [None, "R", "N", "A", "A"]
+    down = lf2.sort("flag", descending=True).collect()["flag"].tolist()
+    assert down == ["A", "A", "N", "R", None]
+    # order survives a post-sort projection + head
+    top = lf2.sort("flag", descending=True).head(2).collect()["flag"].tolist()
+    assert top == ["A", "A"]

@@ -46,7 +46,13 @@ def single_partition_hazards(plan: str) -> list[str]:
         if "Exchange SinglePartition" not in ln:
             continue
         nxt = lines[i + 1] if i + 1 < len(lines) else ""
-        if any(a in nxt for a in _AGG_NODES) and "keys=[]" in nxt and "partial_" in nxt:
+        # HashAggregate prints "keys=[]", SortAggregate prints "key=[]"
+        # (string min/max take the sort-based aggregate)
+        if (
+            any(a in nxt for a in _AGG_NODES)
+            and ("keys=[]" in nxt or "key=[]" in nxt)
+            and "partial_" in nxt
+        ):
             continue
         # with_row_index offsets: aggregate keyed by the spark partition id —
         # one row per input partition flows through, never the data
