@@ -3336,6 +3336,13 @@ class Expr:
             def fn_join(ctx: ExprContext) -> Column:
                 pcols = [p._resolve(ctx) for p in parts]
                 w = Window.partitionBy(*pcols)
+                if ctx.order_cols:
+                    # same determinism rule as group_to_rows below: the
+                    # joined value LIST follows frame order, never the
+                    # accidental partition layout
+                    w = w.orderBy(*ctx.order_by_cols()).rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
                 if self._is_agg:
                     # list-valued aggregates (head/sort/...) already give the
                     # group's value list — window them directly
@@ -3364,6 +3371,18 @@ class Expr:
                 w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
             elif self._is_agg:
                 sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps, deferred=ctx.deferred)
+                if ctx.order_cols:
+                    # a BARE partition window leaves within-partition row
+                    # order unspecified: order-dependent aggregates (first/
+                    # last/implode) were only accidentally correct — a
+                    # SIBLING window with a different orderBy re-sorts the
+                    # partition and flips their result (caught by the r8
+                    # window fuzz).  Attaching the frame order costs no new
+                    # exchange (WindowExec sorts partitions anyway) and the
+                    # full-frame bounds keep group_to_rows semantics.
+                    w = w.orderBy(*ctx.order_by_cols()).rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
             else:
                 sub = ctx
 

@@ -666,3 +666,92 @@ def test_fuzz_division_corners(pl, spark, ddb, seed):
     got = lf.select(rid=pl.col("rid"), **exprs).collect()
     want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_fzd").df()
     assert_frames_match(got, want, f"seed={seed} division corners")
+
+
+# -------------------------------------------- round-8d: window fuzz family
+# order-dependent exprs .over(g) on a rid-sorted frame vs SQL windows
+
+
+def w_cum_sum(pl, rng):
+    # polars cum_sum PRESERVES null positions (running total skips them)
+    return (
+        pl.col("ff").cum_sum().over("g"),
+        "CASE WHEN ff IS NULL THEN NULL ELSE"
+        " sum(ff) OVER (PARTITION BY g ORDER BY rid ROWS UNBOUNDED PRECEDING) END",
+    )
+
+
+def w_cum_max(pl, rng):
+    return (
+        pl.col("i").cum_max().over("g"),
+        "CASE WHEN i IS NULL THEN NULL ELSE"
+        " max(i) OVER (PARTITION BY g ORDER BY rid ROWS UNBOUNDED PRECEDING) END",
+    )
+
+
+def w_shift(pl, rng):
+    k = rng.choice([1, 2, -1])
+    return (
+        pl.col("i").shift(k).over("g"),
+        f"{'lag' if k > 0 else 'lead'}(i, {abs(k)}) OVER (PARTITION BY g ORDER BY rid)",
+    )
+
+
+def w_diff(pl, rng):
+    return (
+        pl.col("ff").diff().over("g"),
+        "ff - lag(ff, 1) OVER (PARTITION BY g ORDER BY rid)",
+    )
+
+
+def w_rank_min(pl, rng):
+    # null-free variant (the polars null-rank rule has its own oracle gate)
+    return (
+        pl.col("i").fill_null(0).rank("min").over("g").cast(pl.Int64),
+        "CAST(rank() OVER (PARTITION BY g ORDER BY coalesce(i, 0)) AS BIGINT)",
+    )
+
+
+def w_row_number(pl, rng):
+    return (
+        pl.col("rid").cum_count().over("g").cast(pl.Int64),
+        "CAST(row_number() OVER (PARTITION BY g ORDER BY rid) AS BIGINT)",
+    )
+
+
+def w_group_sum_over(pl, rng):
+    return (
+        pl.col("ff").sum().over("g"),
+        "coalesce(sum(ff) OVER (PARTITION BY g), 0.0)",
+    )
+
+
+def w_first_over(pl, rng):
+    return (
+        pl.col("s").first().over("g"),
+        "first_value(s) OVER (PARTITION BY g ORDER BY rid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    )
+
+
+WINDOWS = [
+    w_cum_sum, w_cum_max, w_shift, w_diff, w_rank_min, w_row_number,
+    w_group_sum_over, w_first_over,
+]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_window_over(pl, spark, ddb, seed):
+    rng = random.Random(8000 + seed)
+    tbl = mk_frame(rng)
+    lf = pl.from_arrow(tbl).sort("rid")
+    ddb.register("t_fzw2", tbl)
+    picks = [rng.choice(WINDOWS) for _ in range(6)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"w{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS w{idx}_{tmpl.__name__}")
+    got = lf.with_columns(**exprs).select("rid", *exprs.keys()).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_fzw2").df()
+    assert_frames_match(got, want, f"seed={seed} window {[t.__name__ for t in picks]}")

@@ -129,3 +129,25 @@ def test_newsession_isolation(pl, spark):
     assert out["s"].tolist() == [3]
     assert child.conf.get("spark.sql.session.timeZone") == "America/New_York"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_sibling_window_cannot_flip_first_over(pl):
+    """r8 window-fuzz finding: agg.over(g) built a BARE partition window, so
+    first()/last() were only accidentally frame-ordered — a sibling window
+    with a different orderBy re-sorted the partition and flipped them."""
+    pdf = pd.DataFrame(
+        {
+            "rid": range(6),
+            "g": ["a", "a", "b", "b", "a", "b"],
+            "i": [30, 20, 10, 40, 5, 1],
+            "s": list("uvwxyz"),
+        }
+    )
+    lf = pl.from_pandas(pdf).sort("rid")
+    out = lf.with_columns(
+        r=pl.col("i").rank("min").over("g"),  # re-sorts partitions by i
+        f=pl.col("s").first().over("g"),
+        l=pl.col("s").last().over("g"),
+    ).sort("rid").collect()
+    assert out["f"].tolist() == ["u", "u", "w", "w", "u", "w"]
+    assert out["l"].tolist() == ["y", "y", "z", "z", "y", "z"]
