@@ -1199,7 +1199,12 @@ class Expr:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
-                # window frames are already row-ordered -> plain first/last
+                if ctx.deferred and not ctx.order_cols:
+                    # a bare window over a DEFERRED-order frame would pick a
+                    # nondeterministic "first" — materialize the scan order
+                    # and retry (over() then attaches it to the window)
+                    raise OrderNeeded()
+                # window frames carry the frame order (over() attaches it)
                 return F.first(c, ignorenulls=masked).over(w)
             if ctx.order_cols:
                 # frame order defined: first by row order (asc keys assumed,
@@ -1225,6 +1230,8 @@ class Expr:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
+                if ctx.deferred and not ctx.order_cols:
+                    raise OrderNeeded()
                 return F.last(c, ignorenulls=masked).over(w)
             if ctx.order_cols:
                 key = F.struct(*ctx.order_plain_cols())
@@ -1242,6 +1249,8 @@ class Expr:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
+                if ctx.deferred and not ctx.order_cols:
+                    raise OrderNeeded()
                 return F.first(c, ignorenulls=True).over(w)
             if ctx.order_cols:
                 return F.min_by(c, F.when(c.isNotNull(), F.struct(*ctx.order_plain_cols())))
@@ -1406,7 +1415,9 @@ class Expr:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
             if w is not None:
-                return F.collect_list(c).over(w)  # window frame is row-ordered
+                if ctx.deferred and not ctx.order_cols:
+                    raise OrderNeeded()  # list order = scan order (polars)
+                return F.collect_list(c).over(w)  # over() attached the order
             if ctx.order_cols:
                 pairs = F.collect_list(F.struct(*ctx.order_plain_cols(), c.alias("__v")))
                 return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))

@@ -111,3 +111,36 @@ def tmp_time_of_day(spark, sf_dir):
         .limit(500)
         .to_spark()
     )
+
+
+@query(
+    "io_scan_order_first_over",
+    # DuckDB's first()/last() aggregates follow the single-file scan order,
+    # the same file-order contract the engine defers on scans
+    oracle="""
+    SELECT l_returnflag AS flag,
+           first(l_extendedprice) AS f_first,
+           last(l_extendedprice) AS f_last,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def io_scan_order_first_over(spark, sf_dir):
+    """first()/last() THROUGH THE WINDOW PATH (.over on a raw scan) follow
+    FILE ORDER: the deferred scan-order contract must reach the window's
+    orderBy (r8 fix: a bare partition window was only accidentally ordered
+    — OrderNeeded now materializes the scan order and over() attaches it)."""
+    li = ltable(spark, sf_dir, "lineitem")
+    return (
+        li.with_columns(
+            f_first=pl.col("l_extendedprice").first().over("l_returnflag"),
+            f_last=pl.col("l_extendedprice").last().over("l_returnflag"),
+        )
+        .group_by(pl.col("l_returnflag").alias("flag"))
+        .agg(
+            pl.col("f_first").first().alias("f_first"),
+            pl.col("f_last").first().alias("f_last"),
+            pl.len().alias("n"),
+        )
+        .to_spark()
+    )
