@@ -1160,10 +1160,14 @@ class Expr:
             has_null = F.max(F.when(c.isNull(), F.lit(1)).otherwise(F.lit(0)))
             w = getattr(ctx, "_window", None)
             if w is not None:
+                # windows always see >= 1 row, so the bare MAX is never null
                 base = F.size(F.collect_set(c).over(w))
                 return (base + has_null.over(w) if count_null else base).cast("bigint")
             base = F.countDistinct(c)
-            return _wover(ctx, (base + has_null if count_null else base).cast("bigint"))
+            # coalesce: MAX over ZERO rows is null, poisoning the sum and
+            # turning n_unique(empty frame) into null instead of polars' 0
+            out = base + F.coalesce(has_null, F.lit(0)) if count_null else base
+            return _wover(ctx, out.cast("bigint"))
 
         return Expr(fn, self._name, is_agg=True)
 

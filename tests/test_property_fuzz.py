@@ -57,6 +57,10 @@ def mk_frame(rng: random.Random):
         ),
         "s": pa.array([rng.choice(STR_EDGE) for _ in range(n)], pa.string()),
         "b": pa.array([rng.choice([True, False, None]) for _ in range(n)], pa.bool_()),
+        "f2": pa.array(
+            [rng.choice([0.5, 2.0, -1.0, 7.25, 100.0, None]) for _ in range(n)],
+            pa.float64(),
+        ),
     }
     # occasionally make a column ALL null (the fold-identity shape)
     if n and rng.random() < 0.3:
@@ -265,9 +269,33 @@ def a_all(pl, rng):
     return pl.col("b").all(), "coalesce(bool_and(b), true)"
 
 
+def a_median(pl, rng):
+    # polars median = linear interpolation at 0.5 == DuckDB median()
+    return pl.col("ff").median(), "median(ff)"
+
+
+def a_quantile_linear(pl, rng):
+    q = rng.choice([0.25, 0.5, 0.9])
+    return (
+        pl.col("ff").quantile(q, interpolation="linear"),
+        f"quantile_cont(ff, {q})",
+    )
+
+
+def a_corr(pl, rng):
+    # constant/short groups: Spark NaN vs DuckDB NULL — both land as NaN in
+    # the float comparison, so the divergence class is absorbed by design
+    return pl.corr("ff", "f2"), "corr(ff, f2)"
+
+
+def a_cov(pl, rng):
+    return pl.cov("ff", "f2", ddof=1), "covar_samp(ff, f2)"
+
+
 AGGS = [
     a_sum_int, a_sum_float, a_min, a_max, a_mean, a_count, a_len,
-    a_n_unique, a_std, a_var, a_any, a_all,
+    a_n_unique, a_std, a_var, a_any, a_all, a_median, a_quantile_linear,
+    a_corr, a_cov,
 ]
 
 
