@@ -218,7 +218,9 @@ def mean_horizontal(*exprs, ignore_nulls: bool = True) -> Expr:
     def combine(cs):
         vals = _reduce(lambda a, b: a + b, [F.coalesce(c, F.lit(0)) for c in cs])
         cnt = _reduce(lambda a, b: a + b, [F.when(c.isNotNull(), 1).otherwise(0) for c in cs])
-        return vals / cnt
+        # all-null row: polars mean_horizontal -> null, NEVER Spark 4's
+        # ANSI DIVIDE_BY_ZERO error (cnt = 0; fuzz family test_fuzz_horizontal)
+        return F.try_divide(vals, cnt)
 
     return _horizontal(exprs, combine, "mean")
 

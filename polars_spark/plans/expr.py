@@ -256,6 +256,32 @@ def _agg_operand_kind(ctx, c: Column) -> "str | None":
         return None
 
 
+def _str_grammar_cast(c: Column, spark_type: str, unsigned: bool, strict: bool) -> Column:
+    """polars str->numeric parse grammar (reference polars-compute/src/cast/
+    binary_to.rs: ``atoi_simd`` for ints, ``fast_float2`` for floats — NO
+    whitespace trimming, full-string match; unsigned rejects '-').  Spark's
+    CAST trims and accepts more (' 7' -> 7), so string operands are gated on
+    the polars grammar.  ``typeof()`` keeps this probe-free: no plan
+    re-analysis, the branch stays inside whole-stage codegen, and non-string
+    operands take the plain cast unchanged."""
+    if spark_type in ("float", "double"):
+        pat = r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|(?i:inf|infinity|nan))$"
+    else:
+        pat = (r"^\+?\d+$" if unsigned else r"^[+-]?\d+$")
+    is_str = F.typeof(c) == F.lit("string")
+    ok = F.when(is_str, c.cast("string").rlike(pat)).otherwise(F.lit(True))
+    if strict:
+        return F.when(ok | c.isNull(), c.cast(spark_type)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"conversion from `str` to `{spark_type}` failed for value: "),
+                    c.cast("string"),
+                )
+            )
+        )
+    return F.when(ok, c.try_cast(spark_type))
+
+
 def _ieee_div(a: Column, b: Column, ctx) -> Column:
     """polars true division (Operator::TrueDivide): numeric `/` is IEEE
     Float64 — x/0 -> ±inf, 0/0 -> NaN, null/0 -> null — NEVER the ANSI
@@ -807,12 +833,14 @@ class Expr:
             # Time -> Int64 yields ns since midnight (polars physical cast).
             # The probe analyzes a subplan, so gate it on the frame actually
             # containing a TIME column (df.dtypes is already-analyzed, free)
+            unsigned_big = (dtype.__name__ if isinstance(dtype, type) else type(dtype).__name__).startswith("UInt")
+
             def fn_big(ctx: ExprContext) -> Column:
                 c = self._resolve(ctx)
                 if ctx.df is None or not any(
                     t.split("(")[0] == "time" for _n, t in ctx.df.dtypes
                 ):
-                    return c.cast(spark_type) if strict else c.try_cast(spark_type)
+                    return _str_grammar_cast(c, spark_type, unsigned_big, strict)
                 t = ctx.df.select(c.alias("__t__")).schema["__t__"].dataType.simpleString()
                 if t.split("(")[0] == "time":
                     sec = F.split(c.cast("string"), ":")[2]  # "ss[.ffffff]"
@@ -821,9 +849,14 @@ class Expr:
                         + F.minute(c).cast("bigint") * F.lit(60_000_000_000)
                         + (sec.cast("decimal(16,9)") * F.lit(1_000_000_000)).cast("bigint")
                     )
-                return c.cast(spark_type) if strict else c.try_cast(spark_type)
+                return _str_grammar_cast(c, spark_type, unsigned_big, strict)
 
             return Expr(fn_big, self._name, self._is_agg)
+        if spark_type in ("tinyint", "smallint", "int", "float", "double"):
+            # string operands follow the polars parse grammar, not Spark's
+            # trim-and-coerce CAST (see _str_grammar_cast)
+            unsigned = (dtype.__name__ if isinstance(dtype, type) else type(dtype).__name__).startswith("UInt")
+            return self._map(lambda c: _str_grammar_cast(c, spark_type, unsigned, strict))
         if strict:
             return self._map(lambda c: c.cast(spark_type))
         return self._map(lambda c: c.try_cast(spark_type))
@@ -1193,9 +1226,12 @@ class Expr:
             # (mode().first(), sum().first() — avoids nested aggregates)
             return self
         if getattr(self, "_listwise", False):
-            # parent is a list-shaped group projection (sort_by): polars
-            # composes element-wise — first = head of the sorted group
-            return self._map(lambda c: F.get(c, 0), is_agg=True)
+            # parent is a list-shaped group projection (sort/sort_by/head/
+            # top_k/...): polars composes element-wise — first = head of
+            # the group series.  _agg_form lets dual select/agg exprs
+            # (reverse, explode) hand over their agg lowering here.
+            src = getattr(self, "_agg_form", self)
+            return src._map(lambda c: F.get(c, 0), is_agg=True)
 
         def fn(ctx: ExprContext) -> Column:
             if getattr(ctx, "element_agg", False):
@@ -1226,7 +1262,10 @@ class Expr:
         if self._is_agg and not getattr(self, "_listwise", False):
             return self
         if getattr(self, "_listwise", False):
-            return self._map(lambda c: F.element_at(c, -1), is_agg=True)
+            src = getattr(self, "_agg_form", self)
+            # get(size-1), not element_at(-1): null on EMPTY series instead
+            # of the ANSI INVALID_ARRAY_INDEX error
+            return src._map(lambda c: F.get(c, F.size(c) - 1), is_agg=True)
 
         def fn(ctx: ExprContext) -> Column:
             if getattr(ctx, "element_agg", False):
@@ -1415,6 +1454,20 @@ class Expr:
         return Expr(fn, self._name, is_agg=True)
 
     def implode(self):
+        if self._is_agg:
+            # composing on an aggregate: polars implode wraps the group
+            # SERIES in one list element.  For a series-shaped agg (head,
+            # tail, sort, ... — _listwise) the materialized value is that
+            # same list, so implode is identity; for a scalar agg (sum) or
+            # an already-imploded list (1-length series) it nests one level
+            # (sum().implode() -> [sum], implode().implode() -> [[..]]).
+            # Without this branch the lowering nested collect_list inside
+            # collect_list -> Spark NESTED_AGGREGATE_FUNCTION (fuzz find).
+            src = getattr(self, "_agg_form", self)
+            if getattr(self, "_listwise", False):
+                return Expr(lambda ctx: src._resolve(ctx), self._name, is_agg=True)
+            return Expr(lambda ctx: F.array(src._resolve(ctx)), self._name, is_agg=True)
+
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
@@ -1439,7 +1492,9 @@ class Expr:
         def fn(ctx: ExprContext) -> Column:
             return F.slice(imploded._resolve(ctx), 1, n)
 
-        return Expr(fn, self._name, is_agg=True)
+        e = Expr(fn, self._name, is_agg=True)
+        e._listwise = True  # value = the truncated group SERIES as a list
+        return e
 
     def tail(self, n: int = 5):
         imploded = self.implode()
@@ -1448,7 +1503,9 @@ class Expr:
             arr = imploded._resolve(ctx)
             return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
 
-        return Expr(fn, self._name, is_agg=True)
+        e = Expr(fn, self._name, is_agg=True)
+        e._listwise = True
+        return e
 
     def mode(self):
         e = self._agg(F.mode)
@@ -2811,9 +2868,15 @@ class Expr:
     # Spark's collect_list world — all lowered over the order-preserving
     # implode and documented as agg-context operators) -----------------------
 
-    def _implode_map(self, f, name=None):
+    def _implode_map(self, f, name=None, *, listwise: bool = True):
+        """Agg form over the imploded group.  ``listwise`` (the default)
+        marks results whose value is the group SERIES as a list — first/
+        last/implode compose element-wise on those; scalar-valued maps
+        (get/item) opt out."""
         im = self.implode()
-        return Expr(lambda ctx: f(im._resolve(ctx)), name or self._name, is_agg=True)
+        e = Expr(lambda ctx: f(im._resolve(ctx)), name or self._name, is_agg=True)
+        e._listwise = listwise
+        return e
 
     def sort(self, *, descending: bool = False, nulls_last: bool = False):
         """Sorted values (agg context -> sorted list; polars null-smallest
@@ -2899,7 +2962,10 @@ class Expr:
             rn = F.row_number().over(Window.orderBy(*order))
             return F.element_at(arr, (F.size(arr) - rn + 1)).getField("__v")
 
-        return Expr(fn, self._name, is_agg=True)
+        e = Expr(fn, self._name, is_agg=True)
+        e._listwise = True
+        e._agg_form = agg_form  # first/last/implode compose on the agg form
+        return e
 
     def _k_extreme(self, k: int, *, desc: bool):
         def shape(c):
@@ -2945,7 +3011,9 @@ class Expr:
             pairs = _wover(ctx, F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v"))))
             return F.transform(F.slice(F.reverse(F.array_sort(pairs)), 1, k), lambda s: s.getField("__v"))
 
-        return Expr(fn, self._name, is_agg=True)
+        e = Expr(fn, self._name, is_agg=True)
+        e._listwise = True
+        return e
 
     def bottom_k_by(self, by, k: int = 5, *, reverse: bool = False):
         b = col(by) if isinstance(by, str) else _to_expr(by)
@@ -2954,7 +3022,9 @@ class Expr:
             pairs = _wover(ctx, F.collect_list(F.struct(b._resolve(ctx).alias("__k"), self._resolve(ctx).alias("__v"))))
             return F.transform(F.slice(F.array_sort(pairs), 1, k), lambda s: s.getField("__v"))
 
-        return Expr(fn, self._name, is_agg=True)
+        e = Expr(fn, self._name, is_agg=True)
+        e._listwise = True
+        return e
 
     def limit(self, n: int = 10):
         return self._implode_map(lambda c: F.slice(c, 1, n))
@@ -2976,7 +3046,9 @@ class Expr:
                 ln = le._resolve(ctx).cast("int") if le is not None else F.size(c)
                 return F.slice(c, start, ln)
 
-            return Expr(fn_e, self._name, is_agg=True)
+            e = Expr(fn_e, self._name, is_agg=True)
+            e._listwise = True
+            return e
 
         def f(c):
             if offset >= 0:
@@ -3008,7 +3080,9 @@ class Expr:
                 )
                 return F.transform(iarr, lambda i: F.get(varr, i.cast("int")))
 
-            return Expr(fn2, self._name, is_agg=True)
+            e = Expr(fn2, self._name, is_agg=True)
+            e._listwise = True
+            return e
 
         def f(c):
             return F.array(*[F.get(c, int(i)) for i in idx])
@@ -3018,7 +3092,7 @@ class Expr:
     def get(self, index: int):
         """Value at position `index` of the (order-preserving) imploded
         group — agg context."""
-        return self._implode_map(lambda c: F.get(c, index))
+        return self._implode_map(lambda c: F.get(c, index), listwise=False)
 
     def index_of(self, value):
         """0-based position of the first occurrence (null when absent)."""
@@ -3132,7 +3206,10 @@ class Expr:
 
         # is_agg: inside group_by().agg() this IS the aggregate (flatten of
         # the captured lists) — never re-imploded by the implicit-implode rule
-        return Expr(fn, self._name, is_agg=True)
+        e = Expr(fn, self._name, is_agg=True)
+        e._listwise = True
+        e._agg_form = imploded
+        return e
 
     def flatten(self):
         return self.explode()

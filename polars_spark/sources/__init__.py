@@ -913,8 +913,14 @@ def from_arrow(data, schema=None, *, schema_overrides=None, spark: SparkSession 
         data = pa.Table.from_batches([data])
     # hand Spark the ARROW table, not a pandas detour: the arrow schema is
     # authoritative (empty tables don't re-infer; int64-with-null stays
-    # int64; null and NaN stay distinct values)
-    lf = LazyFrame(spark.createDataFrame(data))
+    # int64; null and NaN stay distinct values).  Like every constructed
+    # frame, it carries the INSERTION-ORDER contract via the hidden row
+    # index so order-dependent ops (unique keep=first, cum_*, head) work.
+    from polars_spark.plans.frame import ROW_IDX
+
+    if ROW_IDX not in data.column_names:
+        data = data.append_column(ROW_IDX, pa.array(range(data.num_rows), pa.int64()))
+    lf = LazyFrame(spark.createDataFrame(data), [(ROW_IDX, False)])
     lf = _apply_schema_arg(lf, schema)
     if schema_overrides:
         lf = lf.cast(dict(schema_overrides))

@@ -1,0 +1,554 @@
+"""Round-8 fuzz widening: PIPELINE CHAINS and the families the first
+harness didn't reach (rolling windows, cast/parse corners, explode,
+vertical/diagonal concat, full joins, horizontal folds).
+
+Same protocol as test_property_fuzz.py (reference test-strategy port,
+py-polars ``polars/testing/parametric``): deterministic seeds, each
+case dual-rendered as a polars_spark pipeline AND DuckDB SQL carrying
+the reference's semantics, value-compared.
+
+The pipeline-chain family is the step up from single-op templates: a
+random sequence of filter / with_columns / select / sort+limit /
+unique(keep=first) / group_by composes through the plan builder, so
+projection pruning, predicate placement and the order contract are
+fuzzed *in composition*, where single-op templates can't see breakage.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.test_property_fuzz import (
+    KEY_EDGE,
+    STR_EDGE,
+    assert_frames_match,
+    mk_frame,
+)
+
+N_FRAMES = 32
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+# ------------------------------------------------------- pipeline chains
+# Each step mutates (lf, sql, order_sql).  order_sql is the SQL ORDER BY
+# fragment describing the frame's CURRENT row order — polars frames keep
+# a deterministic order through filter/with_columns/select, and sort
+# replaces it; limit and unique(keep='first') consume it.
+
+
+def _step_filter(state, pl, rng):
+    cond_e, cond_q = rng.choice(
+        [
+            (pl.col("i").fill_null(0) > 0, "coalesce(i, 0) > 0"),
+            (pl.col("s").is_not_null(), "s IS NOT NULL"),
+            (pl.col("ff").fill_null(0.0) <= 1.0, "coalesce(ff, 0.0) <= 1.0"),
+            (pl.col("g").fill_null("z") != "b", "coalesce(g, 'z') != 'b'"),
+        ]
+    )
+    state["lf"] = state["lf"].filter(cond_e)
+    state["sql"] = f"SELECT * FROM ({state['sql']}) WHERE {cond_q}"
+    return "filter"
+
+
+def _step_with_columns(state, pl, rng):
+    which = rng.randrange(4)
+    if which == 0:
+        e = (pl.col("i").fill_null(0) * 2).alias("d_dbl")
+        q = "coalesce(i, 0) * 2 AS d_dbl"
+    elif which == 1:
+        e = pl.col("s").str.len_chars().cast(pl.Int64).alias("d_len")
+        q = "CAST(length(s) AS BIGINT) AS d_len"
+    elif which == 2:
+        # polars when(null cond) takes the otherwise branch == SQL CASE
+        e = pl.when(pl.col("b")).then(pl.col("i")).otherwise(pl.col("k")).alias("d_whn")
+        q = "CASE WHEN b THEN i ELSE k END AS d_whn"
+    else:
+        # sum_horizontal ignore_nulls: null counts as 0, all-null row -> 0
+        e = pl.sum_horizontal("i", "k").alias("d_sh")
+        q = "coalesce(i, 0) + coalesce(k, 0) AS d_sh"
+    state["lf"] = state["lf"].with_columns(e)
+    state["sql"] = f"SELECT *, {q} FROM ({state['sql']})"
+    state["derived"].append(q.rsplit(" AS ", 1)[1])
+    return f"wc{which}"
+
+
+CORE = ["rid", "g", "i", "k", "ff", "s", "b"]
+
+
+def _step_select(state, pl, rng):
+    keep = CORE + state["derived"]
+    state["lf"] = state["lf"].select(keep)
+    state["sql"] = f"SELECT {', '.join(keep)} FROM ({state['sql']})"
+    return "select"
+
+
+def _step_sort(state, pl, rng):
+    key = rng.choice(["i", "ff", "s"])
+    desc = rng.choice([True, False])
+    nl = rng.choice([True, False])
+    state["lf"] = state["lf"].sort(
+        [key, "rid"], descending=[desc, False], nulls_last=[nl, False]
+    )
+    # polars null rule: null is SMALLEST (asc -> first, desc -> last);
+    # nulls_last=True forces last either way
+    sql_nulls = "LAST" if (nl or desc) else "FIRST"
+    state["order"] = (
+        f"{key} {'DESC' if desc else 'ASC'} NULLS {sql_nulls}, rid ASC"
+    )
+    return f"sort:{key}"
+
+
+def _step_head(state, pl, rng):
+    k = rng.choice([0, 1, 5, 25])
+    state["lf"] = state["lf"].head(k)
+    state["sql"] = (
+        f"SELECT * FROM ({state['sql']}) ORDER BY {state['order']} LIMIT {k}"
+    )
+    return f"head:{k}"
+
+
+def _step_unique_first(state, pl, rng):
+    # keep='first' means first row in CURRENT frame order for each key;
+    # polars counts a null key as a key value, as does PARTITION BY
+    state["lf"] = state["lf"].unique(subset=["g"], keep="first", maintain_order=True)
+    state["sql"] = (
+        f"SELECT * FROM ({state['sql']}) "
+        f"QUALIFY row_number() OVER (PARTITION BY g ORDER BY {state['order']}) = 1"
+    )
+    return "uniq_first"
+
+
+STEPS = [
+    _step_filter,
+    _step_with_columns,
+    _step_select,
+    _step_sort,
+    _step_head,
+    _step_unique_first,
+]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_pipeline_chain(pl, spark, ddb, seed):
+    rng = random.Random(9000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_pc", tbl)
+    state = {
+        "lf": pl.from_arrow(tbl),
+        "sql": "SELECT * FROM t_pc",
+        "order": "rid ASC",
+        "derived": [],
+    }
+    trace = []
+    for _ in range(rng.randrange(2, 5)):
+        trace.append(rng.choice(STEPS)(state, pl, rng))
+    if rng.random() < 0.5:
+        got = (
+            state["lf"]
+            .group_by("g")
+            .agg(
+                n=pl.len().cast(pl.Int64),
+                si=pl.col("i").sum(),
+                mf=pl.col("ff").mean(),
+            )
+            .collect()
+        )
+        want = ddb.execute(
+            f"SELECT g, CAST(count(*) AS BIGINT) AS n, coalesce(sum(i), 0) AS si,"
+            f" avg(ff) AS mf FROM ({state['sql']}) GROUP BY g"
+        ).df()
+        trace.append("group_agg")
+    else:
+        got = state["lf"].collect()
+        want = ddb.execute(state["sql"]).df()
+    assert_frames_match(got, want, f"seed={seed} pipeline {trace}")
+
+
+# ------------------------------------------------------- rolling windows
+
+
+def mk_frame_rolling(rng: random.Random):
+    n = rng.choice([0, 1, 2, 7, 30])
+    return pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "g": pa.array([rng.choice(["a", "b", None]) for _ in range(n)], pa.string()),
+            # null-free values: the null-skip rule has its own oracle gates,
+            # here we fuzz the WINDOW MECHANICS (bounds, center, min_samples)
+            "x": pa.array(
+                [rng.choice([0.0, 1.5, -2.25, 10.0, 7.5]) for _ in range(n)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _rolling_case(pl, rng):
+    agg = rng.choice(["mean", "sum", "min", "max"])
+    k = rng.choice([1, 2, 3, 5])
+    center = rng.choice([True, False])
+    # min_samples None -> window_size (reference expr.py rolling_* default)
+    ms = rng.choice([None, 1])
+    e = getattr(pl.col("x"), f"rolling_{agg}")(k, min_samples=ms, center=center)
+    eff_ms = k if ms is None else ms
+    if center:
+        prec, foll = k // 2, k - 1 - k // 2
+        frame = f"ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING"
+    else:
+        frame = f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW"
+    sql_agg = {"mean": "avg", "sum": "sum", "min": "min", "max": "max"}[agg]
+    w = f"(PARTITION BY g ORDER BY rid {frame})"
+    q = (
+        f"CASE WHEN count(x) OVER {w} >= {eff_ms} "
+        f"THEN {sql_agg}(x) OVER {w} END"
+    )
+    return e, q, f"rolling_{agg}(k={k},c={center},ms={ms})"
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_rolling(pl, spark, ddb, seed):
+    rng = random.Random(10000 + seed)
+    tbl = mk_frame_rolling(rng)
+    ddb.register("t_roll", tbl)
+    lf = pl.from_arrow(tbl).sort("rid")
+    exprs, sqls, names = {}, [], []
+    for idx in range(5):
+        e, q, nm = _rolling_case(pl, rng)
+        exprs[f"r{idx}"] = e.over("g")
+        sqls.append(f"{q} AS r{idx}")
+        names.append(nm)
+    got = lf.with_columns(**exprs).select("rid", *exprs.keys()).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_roll").df()
+    assert_frames_match(got, want, f"seed={seed} rolling {names}")
+
+
+# ------------------------------------------------------ cast/parse corners
+
+
+NUMSTR_EDGE = [
+    "12", "-3", "+7", "0012", "1.5", "", " 7", "7 ", "abc", "1e3",
+    "9223372036854775807", "99999999999999999999", "-9223372036854775808",
+    None,
+]
+
+
+def mk_frame_cast(rng: random.Random):
+    n = rng.choice([0, 1, 3, 20])
+    return pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "sn": pa.array([rng.choice(NUMSTR_EDGE) for _ in range(n)], pa.string()),
+            "i": pa.array(
+                [rng.choice([0, 1, -1, 2**31, -(2**31) - 1, 2**62, None]) for _ in range(n)],
+                pa.int64(),
+            ),
+            "b": pa.array([rng.choice([True, False, None]) for _ in range(n)], pa.bool_()),
+            "s": pa.array([rng.choice(STR_EDGE) for _ in range(n)], pa.string()),
+        }
+    )
+
+
+def c_str_to_int(pl, rng):
+    # polars non-strict str->int: exact integer grammar only (no trim, no
+    # float strings, overflow -> null); DuckDB TRY_CAST trims and rounds,
+    # so the oracle gates on the grammar first
+    return (
+        pl.col("sn").cast(pl.Int64, strict=False),
+        "CASE WHEN regexp_matches(sn, '^[+-]?[0-9]+$')"
+        " THEN TRY_CAST(sn AS BIGINT) END",
+    )
+
+
+def c_str_to_float(pl, rng):
+    return (
+        pl.col("sn").cast(pl.Float64, strict=False),
+        "CASE WHEN regexp_matches(sn, '^[+-]?([0-9]*\\.)?[0-9]+([eE][+-]?[0-9]+)?$')"
+        " THEN TRY_CAST(sn AS DOUBLE) END",
+    )
+
+
+def c_int_to_str(pl, rng):
+    return pl.col("i").cast(pl.String), "CAST(i AS VARCHAR)"
+
+
+def c_int_downcast(pl, rng):
+    # polars non-strict overflowing downcast -> null (never wraps)
+    return (
+        pl.col("i").cast(pl.Int32, strict=False).cast(pl.Int64),
+        "CASE WHEN i BETWEEN -2147483648 AND 2147483647"
+        " THEN CAST(i AS BIGINT) END",
+    )
+
+
+def c_bool_to_str(pl, rng):
+    return pl.col("b").cast(pl.String), "CAST(b AS VARCHAR)"
+
+
+def c_bool_roundtrip(pl, rng):
+    return (
+        pl.col("b").cast(pl.Int64).cast(pl.Boolean),
+        "CAST(CAST(b AS BIGINT) AS BOOLEAN)",
+    )
+
+
+CASTS = [c_str_to_int, c_str_to_float, c_int_to_str, c_int_downcast,
+         c_bool_to_str, c_bool_roundtrip]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_cast_parse(pl, spark, ddb, seed):
+    rng = random.Random(11000 + seed)
+    tbl = mk_frame_cast(rng)
+    ddb.register("t_cst", tbl)
+    lf = pl.from_arrow(tbl)
+    picks = [rng.choice(CASTS) for _ in range(6)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"c{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS c{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_cst").df()
+    assert_frames_match(got, want, f"seed={seed} cast {[t.__name__ for t in picks]}")
+
+
+# ------------------------------------------------------------- explode
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_explode(pl, spark, ddb, seed):
+    """polars explode: empty list AND null list both yield ONE null row
+    (DuckDB unnest drops them — the oracle re-adds the placeholder)."""
+    rng = random.Random(12000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_xpl", tbl)
+    got = (
+        pl.from_arrow(tbl)
+        .select("rid", tok=pl.col("s").str.split(" "))
+        .explode("tok")
+        .collect()
+    )
+    want = ddb.execute(
+        """
+        SELECT rid, unnest(
+            CASE WHEN l IS NULL OR len(l) = 0 THEN [NULL] ELSE l END) AS tok
+        FROM (SELECT rid, string_split(s, ' ') AS l FROM t_xpl)
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} explode")
+
+
+# ------------------------------------------------------ concat families
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_concat(pl, spark, ddb, seed):
+    rng = random.Random(13000 + seed)
+    t1, t2 = mk_frame(rng), mk_frame(rng)
+    ddb.register("t_cca", t1)
+    ddb.register("t_ccb", t2)
+    how = rng.choice(["vertical", "diagonal"])
+    if how == "vertical":
+        lf = pl.concat(
+            [pl.from_arrow(t1).select("g", "i", "ff"),
+             pl.from_arrow(t2).select("g", "i", "ff")]
+        )
+        sql = (
+            "SELECT g, i, ff FROM t_cca UNION ALL SELECT g, i, ff FROM t_ccb"
+        )
+    else:
+        # diagonal: union of columns, missing filled with null
+        lf = pl.concat(
+            [pl.from_arrow(t1).select("g", "i"),
+             pl.from_arrow(t2).select("g", "ff")],
+            how="diagonal",
+        )
+        sql = (
+            "SELECT g, i, NULL::DOUBLE AS ff FROM t_cca "
+            "UNION ALL SELECT g, NULL::BIGINT AS i, ff FROM t_ccb"
+        )
+    got = lf.group_by("g").agg(
+        n=pl.len().cast(pl.Int64),
+        si=pl.col("i").sum(),
+        mf=pl.col("ff").mean(),
+    ).collect()
+    want = ddb.execute(
+        f"SELECT g, CAST(count(*) AS BIGINT) AS n, coalesce(sum(i), 0) AS si,"
+        f" avg(ff) AS mf FROM ({sql}) GROUP BY g"
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} concat {how}")
+
+
+# ------------------------------------------------------------ full joins
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_full_join(pl, spark, ddb, seed):
+    """Full join with coalesced key; polars null keys match NOTHING
+    (join_nulls=False default) == SQL ON-equality semantics."""
+    rng = random.Random(14000 + seed)
+    t1, t2 = mk_frame(rng), mk_frame(rng)
+    ddb.register("t_fja2", t1)
+    ddb.register("t_fjb2", t2)
+    lfa = pl.from_arrow(t1).select("g", "i")
+    lfb = pl.from_arrow(t2).select("g", x2=pl.col("ff"))
+    got = (
+        lfa.join(lfb, on="g", how="full", coalesce=True)
+        .group_by("g")
+        .agg(
+            n=pl.len().cast(pl.Int64),
+            si=pl.col("i").sum(),
+            sx=pl.col("x2").sum(),
+        )
+        .collect()
+    )
+    want = ddb.execute(
+        """
+        SELECT coalesce(a.g, b.g) AS g, CAST(count(*) AS BIGINT) AS n,
+               coalesce(sum(a.i), 0) AS si, coalesce(sum(b.ff), 0.0) AS sx
+        FROM t_fja2 a FULL OUTER JOIN (SELECT g, ff FROM t_fjb2) b
+          ON a.g = b.g
+        GROUP BY coalesce(a.g, b.g)
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} full join")
+
+
+# ----------------------------------------------------- horizontal folds
+
+
+def h_sum(pl, rng):
+    return pl.sum_horizontal("i", "k"), "coalesce(i, 0) + coalesce(k, 0)"
+
+
+def h_mean(pl, rng):
+    # ignore_nulls mean: sum of non-null / count of non-null; all-null -> null
+    return (
+        pl.mean_horizontal("f", "ff"),
+        "CASE WHEN f IS NOT NULL OR ff IS NOT NULL THEN"
+        " (coalesce(f, 0) + coalesce(ff, 0))"
+        " / (CASE WHEN f IS NULL THEN 0 ELSE 1 END"
+        "    + CASE WHEN ff IS NULL THEN 0 ELSE 1 END) END",
+    )
+
+
+def h_min(pl, rng):
+    return pl.min_horizontal("i", "k"), "least(i, k)"
+
+
+def h_max(pl, rng):
+    return pl.max_horizontal("i", "k"), "greatest(i, k)"
+
+
+def h_any(pl, rng):
+    # null-free inputs: Kleene corners have their own pinned tests
+    return (
+        pl.any_horizontal(pl.col("b").fill_null(False), pl.col("i").fill_null(0) > 0),
+        "coalesce(b, false) OR coalesce(i, 0) > 0",
+    )
+
+
+def h_all(pl, rng):
+    return (
+        pl.all_horizontal(pl.col("b").fill_null(True), pl.col("i").fill_null(1) != 0),
+        "coalesce(b, true) AND coalesce(i, 1) != 0",
+    )
+
+
+HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
+
+
+# ------------------------------------- grouped order-dependent aggregates
+
+
+def ga_first(pl, rng):
+    c = rng.choice(["i", "s", "ff"])
+    return (
+        pl.col(c).first(),
+        f"first({c} ORDER BY rid)",
+    )
+
+
+def ga_last(pl, rng):
+    c = rng.choice(["i", "s", "ff"])
+    return pl.col(c).last(), f"last({c} ORDER BY rid)"
+
+
+def ga_implode(pl, rng):
+    # group rows in frame order; polars implode keeps nulls in place
+    return pl.col("i").implode(), "list(i ORDER BY rid)"
+
+
+def ga_head_list(pl, rng):
+    return (
+        pl.col("i").head(2).implode(),
+        "(list(i ORDER BY rid))[1:2]",
+    )
+
+
+GROUP_ORDER = [ga_first, ga_last, ga_implode, ga_head_list]
+
+
+def _cell(v):
+    """Normalize a result cell for comparison: list-ish -> tuple with
+    masked/NaN elements as None (Spark hands back numpy masked constants
+    inside nullable int lists; DuckDB hands back NaN)."""
+    if v is np.ma.masked or v is None:
+        return None  # np.ma.masked IS a 0-d ndarray: check before list-ish
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_cell(x) for x in v)
+    if isinstance(v, float) and np.isnan(v):
+        return None
+    return v
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_grouped_order_aggs(pl, spark, ddb, seed):
+    """first/last/implode inside group_by follow FRAME ORDER within each
+    group (the scan-order contract reaching the agg path)."""
+    rng = random.Random(16000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_goa", tbl)
+    lf = pl.from_arrow(tbl)
+    picks = [rng.choice(GROUP_ORDER) for _ in range(4)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"o{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS o{idx}_{tmpl.__name__}")
+    got = lf.group_by("g").agg(**exprs).collect()
+    want = ddb.execute(f"SELECT g, {', '.join(sqls)} FROM t_goa GROUP BY g").df()
+    label = f"seed={seed} grouped-order {[t.__name__ for t in picks]}"
+    assert len(got) == len(want), label
+    key = lambda rows: sorted(rows, key=lambda r: repr(r))  # noqa: E731
+    g_rows = key([tuple(_cell(v) for v in r) for r in got[sorted(got.columns)].itertuples(index=False)])
+    w_rows = key([tuple(_cell(v) for v in r) for r in want[sorted(want.columns)].itertuples(index=False)])
+    assert g_rows == w_rows, f"{label}\n{g_rows[:3]}\nvs\n{w_rows[:3]}"
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_horizontal(pl, spark, ddb, seed):
+    rng = random.Random(15000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_hz", tbl)
+    lf = pl.from_arrow(tbl)
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(HORIZ):
+        e, q = tmpl(pl, rng)
+        exprs[f"h{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS h{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_hz").df()
+    assert_frames_match(got, want, f"seed={seed} horizontal")
