@@ -470,6 +470,160 @@ def h_all(pl, rng):
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
 
 
+# ------------------------------------------- temporal arithmetic + struct
+
+import datetime as _dt
+
+TS_POOL = [
+    _dt.datetime(1970, 1, 1, 0, 0, 0),
+    _dt.datetime(2024, 2, 29, 12, 34, 56, 789000),  # leap day
+    _dt.datetime(1999, 12, 31, 23, 59, 59),
+    _dt.datetime(2001, 3, 31, 6, 7, 8),  # month-end offset corner
+    _dt.datetime(1969, 7, 20, 20, 17, 0),
+    None,
+]
+
+
+def mk_frame_ts(rng: random.Random):
+    n = rng.choice([0, 1, 3, 20])
+    return pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "t": pa.array([rng.choice(TS_POOL) for _ in range(n)], pa.timestamp("us")),
+            "u": pa.array([rng.choice(TS_POOL) for _ in range(n)], pa.timestamp("us")),
+            "i": pa.array([rng.choice([0, 1, -3, 25, None]) for _ in range(n)], pa.int64()),
+            "s": pa.array([rng.choice(STR_EDGE) for _ in range(n)], pa.string()),
+            "f": pa.array([rng.choice([0.0, 1.5, -2.25, None]) for _ in range(n)], pa.float64()),
+        }
+    )
+
+
+def ts_offset_days(pl, rng):
+    # day pool must not hit a value whose INTERVAL compares equal to a
+    # month-pool value (DuckDB folds duplicate constants by interval
+    # EQUALITY, and 30 DAYS == 1 MONTH there — to_months(1) in the same
+    # query would silently reuse the to_days(30) constant)
+    k = rng.choice([1, -7, 29])
+    return (
+        pl.col("t").dt.offset_by(f"{k}d"),
+        f"t + to_days({k})",
+    )
+
+
+def ts_offset_hours(pl, rng):
+    k = rng.choice([1, -25, 6])
+    return pl.col("t").dt.offset_by(f"{k}h"), f"t + to_hours({k})"
+
+
+def ts_offset_months(pl, rng):
+    # calendar months saturate at month end (Mar 31 + 1mo -> Apr 30) in
+    # both polars offset_by and SQL month intervals
+    k = rng.choice([1, -2, 14])
+    return pl.col("t").dt.offset_by(f"{k}mo"), f"t + to_months({k})"
+
+
+def ts_diff_seconds(pl, rng):
+    return (
+        (pl.col("t") - pl.col("u")).dt.total_seconds().cast(pl.Int64),
+        "CAST(trunc(date_diff('millisecond', u, t) / 1000.0) AS BIGINT)",
+    )
+
+
+def ts_add_duration(pl, rng):
+    k = rng.choice([1, -3, 11])
+    return (
+        pl.col("t") + pl.duration(minutes=k),
+        f"t + to_minutes({k})",
+    )
+
+
+def ts_weekday(pl, rng):
+    # polars weekday: Monday=1..Sunday=7 == DuckDB isodow
+    return pl.col("t").dt.weekday().cast(pl.Int64), "CAST(isodow(t) AS BIGINT)"
+
+
+def ts_ordinal_day(pl, rng):
+    return pl.col("t").dt.ordinal_day().cast(pl.Int64), "CAST(dayofyear(t) AS BIGINT)"
+
+
+def ts_month_start(pl, rng):
+    # polars month_start PRESERVES the time-of-day component
+    return (
+        pl.col("t").dt.month_start(),
+        "date_trunc('month', t) + (t - date_trunc('day', t))",
+    )
+
+
+def ts_strftime(pl, rng):
+    return (
+        pl.col("t").dt.strftime("%Y-%m-%d %H:%M:%S"),
+        "strftime(t, '%Y-%m-%d %H:%M:%S')",
+    )
+
+
+def ts_parse(pl, rng):
+    # round-trip: format then strptime back
+    return (
+        pl.col("t").dt.strftime("%Y-%m-%dT%H:%M:%S").str.strptime(
+            pl.Datetime, "%Y-%m-%dT%H:%M:%S", strict=False
+        ),
+        "strptime(strftime(t, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')",
+    )
+
+
+TS_OPS = [
+    ts_offset_days, ts_offset_hours, ts_offset_months, ts_diff_seconds,
+    ts_add_duration, ts_weekday, ts_ordinal_day, ts_month_start,
+    ts_strftime, ts_parse,
+]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_temporal_arithmetic(pl, spark, ddb, seed):
+    rng = random.Random(17000 + seed)
+    tbl = mk_frame_ts(rng)
+    ddb.register("t_tsa", tbl)
+    lf = pl.from_arrow(tbl)
+    picks = [rng.choice(TS_OPS) for _ in range(8)]
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(picks):
+        e, q = tmpl(pl, rng)
+        exprs[f"t{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS t{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_tsa").df()
+    assert_frames_match(got, want, f"seed={seed} ts {[t.__name__ for t in picks]}")
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_struct_roundtrip(pl, spark, ddb, seed):
+    """struct pack -> field access / rename / unnest vs DuckDB."""
+    rng = random.Random(18000 + seed)
+    tbl = mk_frame_ts(rng)
+    ddb.register("t_str", tbl)
+    lf = pl.from_arrow(tbl)
+    got = (
+        lf.select(
+            rid=pl.col("rid"),
+            st=pl.struct(a=pl.col("i"), b=pl.col("s")),
+        )
+        .select(
+            rid=pl.col("rid"),
+            a2=pl.col("st").struct.field("a"),
+            b2=pl.col("st").struct.field("b"),
+            renamed=pl.col("st").struct.rename_fields(["x", "y"]).struct.field("x"),
+        )
+        .collect()
+    )
+    want = ddb.execute(
+        """
+        SELECT rid, st.a AS a2, st.b AS b2, st.a AS renamed
+        FROM (SELECT rid, {'a': i, 'b': s} AS st FROM t_str)
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} struct")
+
+
 # ------------------------------------- grouped order-dependent aggregates
 
 
