@@ -470,6 +470,221 @@ def h_all(pl, rng):
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
 
 
+# -------------------------------------------------------- rank variants
+
+
+def rk_min(pl, rng):
+    return (
+        pl.col("i").rank("min").over("g").cast(pl.Int64),
+        "CASE WHEN i IS NULL THEN NULL ELSE CAST(rank() OVER"
+        " (PARTITION BY g, (i IS NULL) ORDER BY i) AS BIGINT) END",
+    )
+
+
+def rk_dense(pl, rng):
+    return (
+        pl.col("i").rank("dense").over("g").cast(pl.Int64),
+        "CASE WHEN i IS NULL THEN NULL ELSE CAST(dense_rank() OVER"
+        " (PARTITION BY g, (i IS NULL) ORDER BY i) AS BIGINT) END",
+    )
+
+
+def rk_average(pl, rng):
+    # average of min..max rank among ties = rank() + (n_ties - 1)/2
+    return (
+        pl.col("i").rank("average").over("g"),
+        "CASE WHEN i IS NULL THEN NULL ELSE rank() OVER"
+        " (PARTITION BY g, (i IS NULL) ORDER BY i)"
+        " + (count(*) OVER (PARTITION BY g, i) - 1) / 2.0 END",
+    )
+
+
+def rk_ordinal(pl, rng):
+    # ties broken by order of appearance (frame order)
+    return (
+        pl.col("i").rank("ordinal").over("g").cast(pl.Int64),
+        "CASE WHEN i IS NULL THEN NULL ELSE CAST(row_number() OVER"
+        " (PARTITION BY g, (i IS NULL) ORDER BY i, rid) AS BIGINT) END",
+    )
+
+
+def rk_max(pl, rng):
+    return (
+        pl.col("i").rank("max").over("g").cast(pl.Int64),
+        "CASE WHEN i IS NULL THEN NULL ELSE CAST(rank() OVER"
+        " (PARTITION BY g, (i IS NULL) ORDER BY i)"
+        " + count(*) OVER (PARTITION BY g, i) - 1 AS BIGINT) END",
+    )
+
+
+RANKS = [rk_min, rk_dense, rk_average, rk_ordinal, rk_max]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_rank_variants(pl, spark, ddb, seed):
+    """All five rank methods under the polars null rule (nulls rank as
+    null and do not consume ranks), grouped via .over."""
+    rng = random.Random(19000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_rnk", tbl)
+    lf = pl.from_arrow(tbl).sort("rid")
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(RANKS):
+        e, q = tmpl(pl, rng)
+        exprs[f"r{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS r{idx}_{tmpl.__name__}")
+    got = lf.with_columns(**exprs).select("rid", *exprs.keys()).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_rnk").df()
+    assert_frames_match(got, want, f"seed={seed} rank")
+
+
+# ---------------------------------------------------------- string regex
+
+
+def sr_contains(pl, rng):
+    pat = rng.choice(["[0-9]+", "^a", "b$", "a.c", "\\s"])
+    return (
+        pl.col("s").str.contains(pat),
+        f"regexp_matches(s, '{pat}')",
+    )
+
+
+def sr_count_matches(pl, rng):
+    pat = rng.choice(["a", "[aeiou]", "\\d"])
+    return (
+        pl.col("s").str.count_matches(pat).cast(pl.Int64),
+        f"CAST(len(regexp_extract_all(s, '{pat}')) AS BIGINT)",
+    )
+
+
+def sr_replace_first(pl, rng):
+    return (
+        pl.col("s").str.replace("[aeiou]", "_"),
+        "regexp_replace(s, '[aeiou]', '_')",
+    )
+
+
+def sr_replace_all_re(pl, rng):
+    return (
+        pl.col("s").str.replace_all("[aeiou]", "_"),
+        "regexp_replace(s, '[aeiou]', '_', 'g')",
+    )
+
+
+def sr_extract(pl, rng):
+    # group 1 extraction; polars returns null when no match
+    return (
+        pl.col("s").str.extract("([a-z]+)", 1),
+        "CASE WHEN regexp_matches(s, '([a-z]+)')"
+        " THEN regexp_extract(s, '([a-z]+)', 1) END",
+    )
+
+
+def sr_strip_prefix(pl, rng):
+    return (
+        pl.col("s").str.strip_prefix("a"),
+        "CASE WHEN s LIKE 'a%' THEN substr(s, 2) ELSE s END",
+    )
+
+
+STR_RE = [sr_contains, sr_count_matches, sr_replace_first,
+          sr_replace_all_re, sr_extract, sr_strip_prefix]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_str_regex(pl, spark, ddb, seed):
+    rng = random.Random(20000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_sre", tbl)
+    lf = pl.from_arrow(tbl)
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(STR_RE):
+        e, q = tmpl(pl, rng)
+        exprs[f"s{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS s{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_sre").df()
+    assert_frames_match(got, want, f"seed={seed} str-regex")
+
+
+# ------------------------------------------------------------ list ops
+
+
+def lo_sort(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.sort(),
+        "list_sort(string_split(s, ' '))",
+    )
+
+
+def lo_reverse(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.reverse(),
+        "list_reverse(string_split(s, ' '))",
+    )
+
+
+def lo_len(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.len().cast(pl.Int64),
+        "CAST(len(string_split(s, ' ')) AS BIGINT)",
+    )
+
+
+def lo_slice(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.slice(1, 2),
+        "string_split(s, ' ')[2:3]",
+    )
+
+
+def lo_join(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.join("-"),
+        "array_to_string(string_split(s, ' '), '-')",
+    )
+
+
+def lo_contains(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.contains(pl.lit("a")),
+        "list_contains(string_split(s, ' '), 'a')",
+    )
+
+
+def lo_first_last(pl, rng):
+    return (
+        pl.col("s").str.split(" ").list.last(),
+        "string_split(s, ' ')[-1]",
+    )
+
+
+LIST_OPS = [lo_sort, lo_reverse, lo_len, lo_slice, lo_join, lo_contains,
+            lo_first_last]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_list_ops(pl, spark, ddb, seed):
+    rng = random.Random(21000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_lop", tbl)
+    lf = pl.from_arrow(tbl)
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(LIST_OPS):
+        e, q = tmpl(pl, rng)
+        exprs[f"l{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS l{idx}_{tmpl.__name__}")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_lop").df()
+    label = f"seed={seed} list-ops"
+    assert len(got) == len(want), label
+    gs = got[sorted(got.columns)]
+    ws = want[sorted(want.columns)]
+    g_rows = sorted((tuple(_cell(v) for v in r) for r in gs.itertuples(index=False)), key=repr)
+    w_rows = sorted((tuple(_cell(v) for v in r) for r in ws.itertuples(index=False)), key=repr)
+    assert g_rows == w_rows, f"{label}\n{g_rows[:3]}\nvs\n{w_rows[:3]}"
+
+
 # ------------------------------------------- temporal arithmetic + struct
 
 import datetime as _dt
