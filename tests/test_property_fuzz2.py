@@ -470,6 +470,90 @@ def h_all(pl, rng):
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
 
 
+# --------------------------------------------------------- as-of joins
+
+
+def mk_asof_frames(rng: random.Random):
+    """Left keys are ≡1/3 (mod 10), right keys are multiples of 10 and
+    UNIQUE per group: no equidistant-nearest ties, no duplicate-key
+    ambiguity — the oracle stays deterministic."""
+    nl = rng.choice([0, 1, 5, 30])
+    nr = rng.choice([0, 1, 4, 15])
+    left = pa.table(
+        {
+            "rid": pa.array(range(nl), pa.int64()),
+            "g": pa.array([rng.choice(["a", "b"]) for _ in range(nl)], pa.string()),
+            "t": pa.array(
+                sorted(rng.randrange(0, 40) * 10 + rng.choice([1, 3]) for _ in range(nl)),
+                pa.int64(),
+            ),
+            "lv": pa.array([rng.choice([1.5, -2.0, None]) for _ in range(nl)], pa.float64()),
+        }
+    )
+    rts = {}
+    for _ in range(nr):
+        grp = rng.choice(["a", "b"])
+        rts.setdefault(grp, set()).add(rng.randrange(0, 44) * 10)
+    rows = sorted((t, grp) for grp, ts in rts.items() for t in ts)
+    right = pa.table(
+        {
+            "g": pa.array([grp for _t, grp in rows], pa.string()),
+            "t": pa.array([t for t, _grp in rows], pa.int64()),
+            "rv": pa.array([float(t % 7) for t, _grp in rows], pa.float64()),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_join_asof(pl, spark, ddb, seed):
+    """join_asof backward/forward/nearest (± tolerance, ± by-group) vs a
+    correlated-subquery oracle carrying the polars match rules."""
+    rng = random.Random(22000 + seed)
+    left, right = mk_asof_frames(rng)
+    ddb.register("t_asl", left)
+    ddb.register("t_asr", right)
+    strategy = rng.choice(["backward", "forward", "nearest"])
+    use_by = rng.choice([True, False])
+    tol = rng.choice([None, 35])
+    lf = pl.from_arrow(left)
+    rf = pl.from_arrow(right)
+    if not use_by:
+        rf = rf.unique(subset=["t"], keep="first", maintain_order=True)
+    kwargs = dict(on="t", strategy=strategy)
+    if use_by:
+        kwargs["by"] = "g"
+    if tol is not None:
+        kwargs["tolerance"] = tol
+    got = (
+        lf.join_asof(rf.select("g", "t", "rv") if use_by else rf.select("t", "rv"), **kwargs)
+        .select("rid", "lv", "rv")
+        .collect()
+    )
+    by_cond = "r.g = l.g AND " if use_by else ""
+    # no-by path dedupes right keys; rv is functional on t (t % 7), so
+    # DISTINCT matches unique(keep='first') exactly
+    src = "t_asr" if use_by else "(SELECT DISTINCT t, rv FROM t_asr)"
+    if strategy == "backward":
+        cond = "r.t <= l.t" + (f" AND r.t >= l.t - {tol}" if tol else "")
+        order = "r.t DESC"
+    elif strategy == "forward":
+        cond = "r.t >= l.t" + (f" AND r.t <= l.t + {tol}" if tol else "")
+        order = "r.t ASC"
+    else:
+        cond = f"abs(r.t - l.t) <= {tol}" if tol else "TRUE"
+        order = "abs(r.t - l.t) ASC"
+    want = ddb.execute(
+        f"""
+        SELECT l.rid, l.lv,
+               (SELECT r.rv FROM {src} r WHERE {by_cond}{cond}
+                ORDER BY {order} LIMIT 1) AS rv
+        FROM t_asl l
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} asof {strategy} by={use_by} tol={tol}")
+
+
 # -------------------------------------------------------- rank variants
 
 
