@@ -130,6 +130,17 @@ def _step_unique_first(state, pl, rng):
     return "uniq_first"
 
 
+def _step_unique_last(state, pl, rng):
+    state["lf"] = state["lf"].unique(subset=["g"], keep="last", maintain_order=True)
+    rev = state["order"].replace(" ASC", " __A").replace(" DESC", " ASC").replace(" __A", " DESC")
+    rev = rev.replace("NULLS FIRST", "__NF").replace("NULLS LAST", "NULLS FIRST").replace("__NF", "NULLS LAST")
+    state["sql"] = (
+        f"SELECT * FROM ({state['sql']}) "
+        f"QUALIFY row_number() OVER (PARTITION BY g ORDER BY {rev}) = 1"
+    )
+    return "uniq_last"
+
+
 STEPS = [
     _step_filter,
     _step_with_columns,
@@ -137,6 +148,7 @@ STEPS = [
     _step_sort,
     _step_head,
     _step_unique_first,
+    _step_unique_last,
 ]
 
 
@@ -468,6 +480,98 @@ def h_all(pl, rng):
 
 
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
+
+
+# ---------------------------------------- fill strategies / is_in / when
+
+
+def fl_forward(pl, rng):
+    return (
+        pl.col("ff").fill_null(strategy="forward").over("g"),
+        "last_value(ff IGNORE NULLS) OVER"
+        " (PARTITION BY g ORDER BY rid ROWS UNBOUNDED PRECEDING)",
+    )
+
+
+def fl_backward(pl, rng):
+    return (
+        pl.col("ff").fill_null(strategy="backward").over("g"),
+        "first_value(ff IGNORE NULLS) OVER (PARTITION BY g ORDER BY rid"
+        " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
+    )
+
+
+def fl_min(pl, rng):
+    return (
+        pl.col("ff").fill_null(strategy="min").over("g"),
+        "coalesce(ff, min(ff) OVER (PARTITION BY g))",
+    )
+
+
+def fl_max(pl, rng):
+    return (
+        pl.col("ff").fill_null(strategy="max").over("g"),
+        "coalesce(ff, max(ff) OVER (PARTITION BY g))",
+    )
+
+
+def fl_mean(pl, rng):
+    return (
+        pl.col("ff").fill_null(strategy="mean").over("g"),
+        "coalesce(ff, avg(ff) OVER (PARTITION BY g))",
+    )
+
+
+def fl_zero(pl, rng):
+    return pl.col("ff").fill_null(strategy="zero"), "coalesce(ff, 0.0)"
+
+
+def ii_str(pl, rng):
+    # polars is_in: null input -> null
+    return (
+        pl.col("s").is_in(["a", "Ab", ""]),
+        "s IN ('a', 'Ab', '')",
+    )
+
+
+def ii_int(pl, rng):
+    return pl.col("i").is_in([0, 1, -13]), "i IN (0, 1, -13)"
+
+
+def wc_chain(pl, rng):
+    # multi-branch when-chain == SQL CASE (first match wins, null conds
+    # fall through)
+    return (
+        pl.when(pl.col("i") > 0)
+        .then(pl.lit("pos"))
+        .when(pl.col("i") < 0)
+        .then(pl.lit("neg"))
+        .when(pl.col("i") == 0)
+        .then(pl.lit("zero"))
+        .otherwise(pl.lit("null")),
+        "CASE WHEN i > 0 THEN 'pos' WHEN i < 0 THEN 'neg'"
+        " WHEN i = 0 THEN 'zero' ELSE 'null' END",
+    )
+
+
+FILLS = [fl_forward, fl_backward, fl_min, fl_max, fl_mean, fl_zero,
+         ii_str, ii_int, wc_chain]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_fill_isin_when(pl, spark, ddb, seed):
+    rng = random.Random(23000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_fil", tbl)
+    lf = pl.from_arrow(tbl).sort("rid")
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(FILLS):
+        e, q = tmpl(pl, rng)
+        exprs[f"f{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS f{idx}_{tmpl.__name__}")
+    got = lf.with_columns(**exprs).select("rid", *exprs.keys()).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_fil").df()
+    assert_frames_match(got, want, f"seed={seed} fill/is_in/when")
 
 
 # --------------------------------------------------------- as-of joins
