@@ -482,6 +482,68 @@ def h_all(pl, rng):
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
 
 
+# ----------------------------------------------------- group_by_dynamic
+
+
+def mk_frame_gbd(rng: random.Random):
+    n = rng.choice([0, 1, 7, 40])
+    base = _dt.datetime(2021, 6, 1)
+    return pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "g": pa.array([rng.choice(["a", "b"]) for _ in range(n)], pa.string()),
+            "t": pa.array(
+                sorted(
+                    base + _dt.timedelta(minutes=rng.randrange(0, 3000))
+                    for _ in range(n)
+                ),
+                pa.timestamp("us"),
+            ),
+            "v": pa.array([rng.choice([1.0, 2.5, -3.0]) for _ in range(n)], pa.float64()),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_group_by_dynamic(pl, spark, ddb, seed):
+    """Dynamic windows on the epoch-aligned grid: every x closed x label
+    x optional group key, vs integer bucket math in DuckDB (window
+    [s, s+every) for closed=left, (s, s+every] for closed=right; label
+    left=s, right=s+every; empty windows skipped by construction)."""
+    rng = random.Random(24000 + seed)
+    tbl = mk_frame_gbd(rng)
+    ddb.register("t_gbd", tbl)
+    every_s = rng.choice([900, 3600, 86400])
+    closed = rng.choice(["left", "right"])
+    label = rng.choice(["left", "right"])
+    use_by = rng.choice([True, False])
+    lf = pl.from_arrow(tbl)
+    kwargs = dict(every=f"{every_s}s", closed=closed, label=label)
+    if use_by:
+        kwargs["group_by"] = "g"
+    got = (
+        lf.sort("t")
+        .group_by_dynamic("t", **kwargs)
+        .agg(sv=pl.col("v").sum(), n=pl.len().cast(pl.Int64))
+        .collect()
+    )
+    eu = every_s * 1_000_000
+    if closed == "left":
+        ws = f"CAST(floor(epoch_ms(t) * 1000.0 / {eu}) AS BIGINT) * {eu}"
+    else:
+        ws = f"CAST(floor((epoch_ms(t) * 1000.0 - 1) / {eu}) AS BIGINT) * {eu}"
+    lab = ws if label == "left" else f"({ws} + {eu})"
+    gcols = "g, " if use_by else ""
+    want = ddb.execute(
+        f"""
+        SELECT {gcols}make_timestamp({lab}) AS t,
+               coalesce(sum(v), 0.0) AS sv, CAST(count(*) AS BIGINT) AS n
+        FROM t_gbd GROUP BY {gcols}{ws}
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} gbd every={every_s}s {closed}/{label} by={use_by}")
+
+
 # ---------------------------------------- fill strategies / is_in / when
 
 
