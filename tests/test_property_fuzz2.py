@@ -141,6 +141,38 @@ def _step_unique_last(state, pl, rng):
     return "uniq_last"
 
 
+DIM = pa.table({"gk": pa.array(["a", "b"]), "w": pa.array([10, 20], pa.int64())})
+
+
+def _step_join_dim(state, pl, rng):
+    """Left-row-preserving joins against a unique-key dim mid-pipeline:
+    row order and multiplicity are unchanged, so the order contract the
+    later head/unique steps rely on must survive the join."""
+    if state.get("joined"):
+        return "join:skip"
+    state["joined"] = True
+    how = rng.choice(["left", "semi", "anti"])
+    dim = state["pl_mod"].from_arrow(DIM).rename({"gk": "g"})
+    state["lf"] = state["lf"].join(dim, on="g", how=how)
+    if how == "left":
+        state["sql"] = (
+            f"SELECT p.*, d.w FROM ({state['sql']}) p "
+            f"LEFT JOIN t_dim d ON p.g = d.gk"
+        )
+        state["derived"].append("w")
+    elif how == "semi":
+        state["sql"] = (
+            f"SELECT * FROM ({state['sql']}) p WHERE EXISTS"
+            f" (SELECT 1 FROM t_dim d WHERE d.gk = p.g)"
+        )
+    else:
+        state["sql"] = (
+            f"SELECT * FROM ({state['sql']}) p WHERE NOT EXISTS"
+            f" (SELECT 1 FROM t_dim d WHERE d.gk = p.g)"
+        )
+    return f"join:{how}"
+
+
 STEPS = [
     _step_filter,
     _step_with_columns,
@@ -149,6 +181,7 @@ STEPS = [
     _step_head,
     _step_unique_first,
     _step_unique_last,
+    _step_join_dim,
 ]
 
 
@@ -157,11 +190,13 @@ def test_fuzz_pipeline_chain(pl, spark, ddb, seed):
     rng = random.Random(9000 + seed)
     tbl = mk_frame(rng)
     ddb.register("t_pc", tbl)
+    ddb.register("t_dim", DIM)
     state = {
         "lf": pl.from_arrow(tbl),
         "sql": "SELECT * FROM t_pc",
         "order": "rid ASC",
         "derived": [],
+        "pl_mod": pl,
     }
     trace = []
     for _ in range(rng.randrange(2, 5)):
