@@ -517,6 +517,57 @@ def h_all(pl, rng):
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
 
 
+# ------------------------------------------------------------- reshape
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_unpivot(pl, spark, ddb, seed):
+    """unpivot keeps one (variable, value) row per on-column; the oracle
+    is the UNION ALL expansion."""
+    rng = random.Random(25000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_up", tbl)
+    got = (
+        pl.from_arrow(tbl)
+        .unpivot(on=["i", "k"], index=["rid", "g"])
+        .collect()
+    )
+    want = ddb.execute(
+        """
+        SELECT rid, g, 'i' AS variable, i AS value FROM t_up
+        UNION ALL SELECT rid, g, 'k', k FROM t_up
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} unpivot")
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_row_index_gather_every(pl, spark, ddb, seed):
+    """with_row_index follows frame order; gather_every(n, offset) keeps
+    rows whose position ≡ offset (mod n)."""
+    rng = random.Random(26000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_ge", tbl)
+    n = rng.choice([1, 2, 3])
+    off = rng.choice([0, 1])
+    got = (
+        pl.from_arrow(tbl)
+        .with_row_index("pos")
+        .gather_every(n, off)
+        .select(pos=pl.col("pos").cast(pl.Int64), rid=pl.col("rid"))
+        .collect()
+    )
+    want = ddb.execute(
+        f"""
+        SELECT pos, rid FROM (
+            SELECT rid, CAST(row_number() OVER (ORDER BY rid) - 1 AS BIGINT) AS pos
+            FROM t_ge)
+        WHERE pos >= {off} AND (pos - {off}) % {n} = 0
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} row_index/gather_every n={n} off={off}")
+
+
 # ----------------------------------------------------- group_by_dynamic
 
 
