@@ -517,6 +517,84 @@ def h_all(pl, rng):
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
 
 
+# ------------------------------------------------------------ math unary
+
+
+def m_round_even(pl, rng):
+    d = rng.choice([0, 1, 2])
+    # polars default round mode is banker's (half_to_even)
+    return pl.col("ff").round(d), f"round_even(ff, {d})"
+
+
+def m_round_away(pl, rng):
+    d = rng.choice([0, 1])
+    return (
+        pl.col("ff").round(d, mode="half_away_from_zero"),
+        f"round(ff, {d})",
+    )
+
+
+def m_floor(pl, rng):
+    return pl.col("ff").floor(), "floor(ff)"
+
+
+def m_ceil(pl, rng):
+    return pl.col("ff").ceil(), "ceil(ff)"
+
+
+def m_sign(pl, rng):
+    return pl.col("ff").sign(), "CAST(sign(ff) AS DOUBLE)"
+
+
+def m_exp(pl, rng):
+    return (pl.col("ff") / 1e5).exp(), "exp(ff / 1e5)"
+
+
+def m_ln_pos(pl, rng):
+    return (pl.col("ff").abs() + 0.25).log(), "ln(abs(ff) + 0.25)"
+
+
+def m_log10_pos(pl, rng):
+    return (pl.col("ff").abs() + 0.25).log10(), "log10(abs(ff) + 0.25)"
+
+
+def m_pow(pl, rng):
+    k = rng.choice([2, 3])
+    return (pl.col("ff") / 100.0) ** k, f"pow(ff / 100.0, {k})"
+
+
+def m_cbrt(pl, rng):
+    return pl.col("ff").cbrt(), "cbrt(ff)"
+
+
+def m_degrees(pl, rng):
+    return pl.col("ff").degrees(), "degrees(ff)"
+
+
+MATH_OPS = [m_round_even, m_round_away, m_floor, m_ceil, m_sign, m_exp,
+            m_ln_pos, m_log10_pos, m_pow, m_cbrt, m_degrees]
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_math_unary(pl, spark, ddb, seed):
+    """Unary math incl. the two round modes (polars default = banker's,
+    DuckDB round = half away from zero — round_even is the oracle)."""
+    rng = random.Random(27000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_mth", tbl)
+    lf = pl.from_arrow(tbl)
+    exprs, sqls = {}, []
+    for idx, tmpl in enumerate(MATH_OPS):
+        e, q = tmpl(pl, rng)
+        exprs[f"m{idx}_{tmpl.__name__}"] = e
+        sqls.append(f"{q} AS m{idx}_{tmpl.__name__}")
+    exprs["m_at2"] = pl.arctan2(pl.col("ff"), pl.col("f2"))
+    sqls.append("atan2(ff, f2) AS m_at2")
+    got = lf.select(rid=pl.col("rid"), **exprs).collect()
+    want = ddb.execute(f"SELECT rid, {', '.join(sqls)} FROM t_mth").df()
+    assert_frames_match(got, want, f"seed={seed} math")
+
+
 # ------------------------------------------------------------- reshape
 
 
