@@ -395,6 +395,25 @@ def exclude(*names):
     return ~sel
 
 
+def _safe_corr(ca: Column, cb: Column, w=None):
+    """Pearson correlation without Spark's ANSI DIVIDE_BY_ZERO: F.corr
+    raises on zero-variance groups under Spark 4's default ANSI mode
+    (96-seed fuzz find); polars yields NaN there.  covar_samp/(std*std)
+    is the same estimator; den==0 -> NaN (polars), n<2 -> null (matches
+    Spark corr and the DuckDB oracle)."""
+    def over(c: Column) -> Column:
+        return c if w is None else c.over(w)
+
+    # PAIRWISE deletion like F.corr/polars: a row where either side is
+    # null must not contribute to the other side's stddev either
+    both = ca.isNotNull() & cb.isNotNull()
+    cax, cbx = F.when(both, ca), F.when(both, cb)
+    den = over(F.stddev_samp(cax)) * over(F.stddev_samp(cbx))
+    return F.when(den == 0, F.lit(float("nan"))).otherwise(
+        F.try_divide(over(F.covar_samp(cax, cbx)), den)
+    )
+
+
 def rolling_corr(a, b, *, window_size: int, min_samples: int | None = None) -> Expr:
     """Rolling Pearson correlation of two columns over the frame order."""
     ea = _to_expr(a if not isinstance(a, str) else col(a))
@@ -404,7 +423,7 @@ def rolling_corr(a, b, *, window_size: int, min_samples: int | None = None) -> E
     def fn(ctx: ExprContext) -> Column:
         w = ctx.order_window().rowsBetween(-(window_size - 1), 0)
         ca, cb = ea._resolve(ctx), eb._resolve(ctx)
-        val = F.corr(ca, cb).over(w)
+        val = _safe_corr(ca, cb, w)
         return F.when(F.count(ca).over(w) >= need, val)
 
     return Expr(fn, "rolling_corr")
@@ -497,7 +516,11 @@ def corr(a, b, *, method: str = "pearson", eager: bool = False, ddof=None):
     def fn(ctx: ExprContext) -> Column:
         from polars_spark.plans.expr import _wover
 
-        return _wover(ctx, F.corr(ea._resolve(ctx), eb._resolve(ctx)))
+        ca, cb = ea._resolve(ctx), eb._resolve(ctx)
+        w = getattr(ctx, "_window", None)
+        if w is not None:
+            return _safe_corr(ca, cb, w)
+        return _wover(ctx, _safe_corr(ca, cb))
 
     return Expr(fn, "corr", is_agg=True)
 

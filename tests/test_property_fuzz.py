@@ -28,7 +28,10 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-N_FRAMES = 32  # x (12 elementwise + 6 grouped + 2 whole-frame) >= 600 cases
+import os as _os
+
+# soak-overridable: SPARK_GRAFT_FUZZ_FRAMES=96 for a deep sweep
+N_FRAMES = int(_os.environ.get("SPARK_GRAFT_FUZZ_FRAMES", "32"))
 
 # ---------------------------------------------------------------- frames
 
@@ -472,7 +475,9 @@ def t_dt_cmp(pl, rng):
 
 
 def t_epoch_s(pl, rng):
-    return pl.col("t").dt.epoch("s").cast(pl.Int64), "CAST(epoch(t) AS BIGINT)"
+    # polars epoch('s') TRUNCATES the fractional second (Rust integer
+    # division); DuckDB CAST(double AS BIGINT) rounds -> trunc() first
+    return pl.col("t").dt.epoch("s").cast(pl.Int64), "CAST(trunc(epoch(t)) AS BIGINT)"
 
 
 def t_str_replace_all(pl, rng):

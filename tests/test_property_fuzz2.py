@@ -31,7 +31,9 @@ from tests.test_property_fuzz import (
     mk_frame,
 )
 
-N_FRAMES = 32
+import os as _os
+
+N_FRAMES = int(_os.environ.get("SPARK_GRAFT_FUZZ_FRAMES", "32"))
 
 
 @pytest.fixture(scope="module")

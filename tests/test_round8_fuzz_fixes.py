@@ -122,6 +122,26 @@ def test_agg_composition_series_shaped(pl, spark):
     assert list(lf.select(o=pl.col("i").reverse().first()).collect()["o"]) == [9]
 
 
+def test_corr_zero_variance_and_pairwise(pl, spark):
+    """corr on a zero-variance group is NaN (Spark's F.corr raises ANSI
+    DIVIDE_BY_ZERO there — 96-seed soak find); null rows are deleted
+    PAIRWISE, so one side's nulls don't shift the other side's stddev."""
+    import math
+
+    lf = pl.DataFrame({
+        "g": ["a", "a", "b", "b", "b"],
+        "x": [1.0, 1.0, 1.0, 2.0, 3.0],
+        "y": [2.0, 3.0, 2.0, 4.0, None],
+    })
+    out = lf.group_by("g").agg(c=pl.corr("x", "y")).sort("g").collect()
+    assert math.isnan(out["c"][0])  # zero variance in x -> NaN, not error
+    assert abs(out["c"][1] - 1.0) < 1e-9  # pairwise: (1,2),(2,4) only
+    # whole-frame select on a constant column
+    one = pl.DataFrame({"x": [5.0, 5.0], "y": [1.0, 2.0]})
+    v = one.select(c=pl.corr("x", "y")).collect()["c"][0]
+    assert math.isnan(v)
+
+
 def test_cast_unsigned_rejects_negative_strings(pl, spark):
     lf = pl.DataFrame({"s": ["-3", "3"]})
     out = lf.select(u=pl.col("s").cast(pl.UInt32, strict=False)).collect()
