@@ -3215,8 +3215,12 @@ class LazyFrame:
             if t in ("tinyint", "smallint", "int", "bigint", "float", "double")
             or t.startswith("decimal")
         ]
+        from polars_spark.functions import _safe_corr
+
+        # _safe_corr, not F.corr: a zero-variance column would raise
+        # Spark 4's ANSI DIVIDE_BY_ZERO (diagonal entries still yield 1.0)
         aggs = [
-            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}\x00{b}")
+            _safe_corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}\x00{b}")
             for a in num
             for b in num
         ]
