@@ -1690,12 +1690,12 @@ class Expr:
 
     def pct_change(self, n: int = 1):
         def fn(ctx: ExprContext) -> Column:
-            c = self._resolve(ctx)
+            # reference (polars-ops pct_change.rs): cast to f64, then
+            # diff / shift under IEEE float division — a zero previous
+            # value yields ±inf (0/0 -> NaN), matching _ieee_div exactly
+            c = self._resolve(ctx).cast("double")
             prev = F.lag(c, n).over(ctx.order_window())
-            # try_divide: a zero previous value is null (polars gives inf,
-            # but ANSI mode would ERROR the whole query — null is the
-            # documented Spark-side divide-by-zero relaxation)
-            return F.try_divide(c - prev, prev)
+            return _ieee_div(c - prev, prev, ctx)
 
         return Expr(fn, self._name)
 

@@ -767,9 +767,50 @@ def w_first_over(pl, rng):
     )
 
 
+def w_cum_min(pl, rng):
+    return (
+        pl.col("i").cum_min().over("g"),
+        "CASE WHEN i IS NULL THEN NULL ELSE"
+        " min(i) OVER (PARTITION BY g ORDER BY rid ROWS UNBOUNDED PRECEDING) END",
+    )
+
+
+def w_cum_count(pl, rng):
+    # running count of NON-NULL values seen so far (nulls keep prior count)
+    return (
+        pl.col("ff").cum_count().over("g").cast(pl.Int64),
+        "CAST(count(ff) OVER (PARTITION BY g ORDER BY rid"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT)",
+    )
+
+
+def w_filtered_sum_over(pl, rng):
+    # conditional aggregate broadcast over the group (polars
+    # col.filter(cond).sum().over(g) == SQL sum(CASE WHEN ...) OVER)
+    return (
+        pl.col("ff").filter(pl.col("b")).sum().over("g"),
+        "coalesce(sum(CASE WHEN b THEN ff END) OVER (PARTITION BY g), 0.0)",
+    )
+
+
+def w_pct_change(pl, rng):
+    # polars pct_change = diff/shift under IEEE division: zero previous
+    # -> ±inf (sign of the diff), 0/0 -> NaN, null -> null
+    w = "OVER (PARTITION BY g ORDER BY rid)"
+    return (
+        pl.col("ff").pct_change().over("g"),
+        f"CASE WHEN ff IS NULL OR lag(ff) {w} IS NULL THEN NULL"
+        f" WHEN lag(ff) {w} = 0 THEN"
+        f"  CASE WHEN ff = 0 THEN 'NaN'::DOUBLE"
+        f"       ELSE sign(ff) * 'inf'::DOUBLE END"
+        f" ELSE ff / lag(ff) {w} - 1 END",
+    )
+
+
 WINDOWS = [
     w_cum_sum, w_cum_max, w_shift, w_diff, w_rank_min, w_row_number,
-    w_group_sum_over, w_first_over,
+    w_group_sum_over, w_first_over, w_cum_min, w_cum_count,
+    w_filtered_sum_over, w_pct_change,
 ]
 
 
