@@ -519,6 +519,35 @@ def h_all(pl, rng):
 HORIZ = [h_sum, h_mean, h_min, h_max, h_any, h_all]
 
 
+# -------------------------------------------------------- binary encode
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_bin_encode(pl, spark, ddb, seed):
+    """bin.encode/decode hex+base64 round-trips vs DuckDB (hex lowercase
+    in both polars and DuckDB's lower(hex()))."""
+    rng = random.Random(28000 + seed)
+    tbl = mk_frame(rng)
+    ddb.register("t_bin", tbl)
+    lf = pl.from_arrow(tbl)
+    got = lf.select(
+        rid=pl.col("rid"),
+        h=pl.col("s").cast(pl.Binary).bin.encode("hex"),
+        b64=pl.col("s").cast(pl.Binary).bin.encode("base64"),
+        rt=pl.col("s").cast(pl.Binary).bin.encode("hex").cast(pl.Binary)
+        .bin.decode("hex").cast(pl.String),
+        sz=pl.col("s").cast(pl.Binary).bin.size().cast(pl.Int64),
+    ).collect()
+    want = ddb.execute(
+        """
+        SELECT rid, lower(hex(encode(s))) AS h, to_base64(encode(s)) AS b64,
+               s AS rt, CAST(octet_length(encode(s)) AS BIGINT) AS sz
+        FROM t_bin
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} bin encode")
+
+
 # ------------------------------------------------------------ math unary
 
 
