@@ -256,30 +256,94 @@ def _agg_operand_kind(ctx, c: Column) -> "str | None":
         return None
 
 
-def _str_grammar_cast(c: Column, spark_type: str, unsigned: bool, strict: bool) -> Column:
+# unsigned dtypes map to the next-wider SIGNED Spark type (UInt8->smallint…),
+# so the Spark cast alone cannot enforce the polars value range; the grammar
+# gate checks it explicitly.  UInt128's max exceeds decimal(38,0) so only the
+# non-negative half is checkable (the decimal cast nulls >38-digit overflow).
+_UINT_MAX = {
+    "UInt8": 255,
+    "UInt16": 65535,
+    "UInt32": 4294967295,
+    "UInt64": 18446744073709551615,
+}
+
+
+def _dtype_key(dtype) -> str:
+    """Resolve a dtype spec (class, instance, or string name) to its polars
+    name — the same resolution _dtype_to_spark uses, so 'UInt32'-as-string
+    is detected as unsigned just like pl.UInt32 (round-8 ADVICE)."""
+    if isinstance(dtype, str):
+        return dtype
+    if hasattr(dtype, "__name__"):
+        return dtype.__name__
+    return type(dtype).__name__
+
+
+def _str_grammar_cast(
+    c: Column, spark_type: str, unsigned: bool, strict: bool, umax: int | None = None
+) -> Column:
     """polars str->numeric parse grammar (reference polars-compute/src/cast/
     binary_to.rs: ``atoi_simd`` for ints, ``fast_float2`` for floats — NO
     whitespace trimming, full-string match; unsigned rejects '-').  Spark's
     CAST trims and accepts more (' 7' -> 7), so string operands are gated on
     the polars grammar.  ``typeof()`` keeps this probe-free: no plan
     re-analysis, the branch stays inside whole-stage codegen, and non-string
-    operands take the plain cast unchanged."""
+    operands take the plain cast unchanged.  ``unsigned``/``umax`` add the
+    polars VALUE range for unsigned targets (Spark's signed carrier type is
+    wider, so '300' -> UInt8 must yield null/raise, not 300)."""
+    is_str = F.typeof(c) == F.lit("string")
     if spark_type in ("float", "double"):
         pat = r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|(?i:inf|infinity|nan))$"
+        # fast_float2 parses SIGNED specials ('-nan' -> NaN) but Spark's
+        # special-literal table has unsigned 'nan' only -> canonicalize
+        src = F.when(
+            is_str & c.cast("string").rlike(r"^[+-](?i:nan)$"), F.lit("nan")
+        ).otherwise(c)
     else:
         pat = (r"^\+?\d+$" if unsigned else r"^[+-]?\d+$")
-    is_str = F.typeof(c) == F.lit("string")
+        src = c
+
+    def _range_ok(r: Column) -> Column | None:
+        conds = []
+        if unsigned:
+            conds.append(r >= F.lit(0))
+        if umax is not None:
+            conds.append(r <= F.lit(str(umax)).cast(spark_type))
+        if not conds:
+            return None
+        cond = conds[0]
+        for x in conds[1:]:
+            cond = cond & x
+        return cond
+
     ok = F.when(is_str, c.cast("string").rlike(pat)).otherwise(F.lit(True))
     if strict:
-        return F.when(ok | c.isNull(), c.cast(spark_type)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"conversion from `str` to `{spark_type}` failed for value: "),
-                    c.cast("string"),
-                )
+        err = F.raise_error(
+            F.concat(
+                F.lit(f"conversion from `str` to `{spark_type}` failed for value: "),
+                c.cast("string"),
             )
         )
-    return F.when(ok, c.try_cast(spark_type))
+        res = F.when(ok | c.isNull(), src.cast(spark_type)).otherwise(err)
+        rng = _range_ok(res)
+        if rng is not None:
+            res = F.when(res.isNull() | rng, res).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"conversion to unsigned `{spark_type}` failed:"
+                            " out-of-range value "
+                        ),
+                        c.cast("string"),
+                    )
+                )
+            )
+        return res
+    res = F.when(ok, src.try_cast(spark_type))
+    rng = _range_ok(res)
+    if rng is not None:
+        res = F.when(res.isNull() | rng, res)
+    return res
 
 
 def _ieee_div(a: Column, b: Column, ctx) -> Column:
@@ -829,18 +893,20 @@ class Expr:
                 return c.cast(spark_type) if strict else c.try_cast(spark_type)
 
             return Expr(fn_time, self._name, self._is_agg)
+        dkey = _dtype_key(dtype)
         if spark_type == "bigint":
             # Time -> Int64 yields ns since midnight (polars physical cast).
             # The probe analyzes a subplan, so gate it on the frame actually
             # containing a TIME column (df.dtypes is already-analyzed, free)
-            unsigned_big = (dtype.__name__ if isinstance(dtype, type) else type(dtype).__name__).startswith("UInt")
+            unsigned_big = dkey.startswith("UInt")
+            umax_big = _UINT_MAX.get(dkey)
 
             def fn_big(ctx: ExprContext) -> Column:
                 c = self._resolve(ctx)
                 if ctx.df is None or not any(
                     t.split("(")[0] == "time" for _n, t in ctx.df.dtypes
                 ):
-                    return _str_grammar_cast(c, spark_type, unsigned_big, strict)
+                    return _str_grammar_cast(c, spark_type, unsigned_big, strict, umax=umax_big)
                 t = ctx.df.select(c.alias("__t__")).schema["__t__"].dataType.simpleString()
                 if t.split("(")[0] == "time":
                     sec = F.split(c.cast("string"), ":")[2]  # "ss[.ffffff]"
@@ -849,14 +915,30 @@ class Expr:
                         + F.minute(c).cast("bigint") * F.lit(60_000_000_000)
                         + (sec.cast("decimal(16,9)") * F.lit(1_000_000_000)).cast("bigint")
                     )
-                return _str_grammar_cast(c, spark_type, unsigned_big, strict)
+                return _str_grammar_cast(c, spark_type, unsigned_big, strict, umax=umax_big)
 
             return Expr(fn_big, self._name, self._is_agg)
         if spark_type in ("tinyint", "smallint", "int", "float", "double"):
             # string operands follow the polars parse grammar, not Spark's
             # trim-and-coerce CAST (see _str_grammar_cast)
-            unsigned = (dtype.__name__ if isinstance(dtype, type) else type(dtype).__name__).startswith("UInt")
-            return self._map(lambda c: _str_grammar_cast(c, spark_type, unsigned, strict))
+            unsigned = dkey.startswith("UInt")
+            umax = _UINT_MAX.get(dkey)
+            return self._map(
+                lambda c: _str_grammar_cast(c, spark_type, unsigned, strict, umax=umax)
+            )
+        if spark_type in ("decimal(20,0)", "decimal(38,0)") and dkey in (
+            "UInt64",
+            "UInt128",
+            "Int128",
+        ):
+            # big-int dtypes ride decimal carriers; the parse grammar and the
+            # unsigned range gate apply exactly as for the native int carriers
+            # (round-8 ADVICE: UInt64 previously bypassed the gate entirely)
+            unsigned = dkey.startswith("UInt")
+            umax = _UINT_MAX.get(dkey)
+            return self._map(
+                lambda c: _str_grammar_cast(c, spark_type, unsigned, strict, umax=umax)
+            )
         if strict:
             return self._map(lambda c: c.cast(spark_type))
         return self._map(lambda c: c.try_cast(spark_type))

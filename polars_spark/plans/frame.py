@@ -3218,9 +3218,24 @@ class LazyFrame:
         from polars_spark.functions import _safe_corr
 
         # _safe_corr, not F.corr: a zero-variance column would raise
-        # Spark 4's ANSI DIVIDE_BY_ZERO (diagonal entries still yield 1.0)
+        # Spark 4's ANSI DIVIDE_BY_ZERO.  Diagonal (a==a) entries are pinned
+        # to exactly 1.0 — covar_samp(a,a)/std^2 can land 1.0±1ulp because
+        # sqrt(var)^2 != var in floating point (round-8 ADVICE); semantics
+        # match _safe_corr: n<2 -> null, zero variance -> NaN.
+        def _diag(a: str):
+            c = F.col(a).cast("double")
+            cx = F.when(c.isNotNull(), c)
+            sd = F.stddev_samp(cx)
+            return F.when(sd == 0, F.lit(float("nan"))).otherwise(
+                F.when(sd.isNotNull(), F.lit(1.0))
+            )
+
         aggs = [
-            _safe_corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}\x00{b}")
+            (
+                _diag(a)
+                if a == b
+                else _safe_corr(F.col(a).cast("double"), F.col(b).cast("double"))
+            ).alias(f"{a}\x00{b}")
             for a in num
             for b in num
         ]
