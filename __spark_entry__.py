@@ -11,7 +11,10 @@ always re-verified), and the next 28 slots cycle through never-yet-sampled
 registry entries (full local strict + hostile vanilla sweeps stay 238/238
 every round, so rotation converts local-only green into driver green).
 Round 8 window: win_ewm_*/win_* order-dependent tail, tmp_*, stream_*,
-udf_*, dedup_*.
+udf_*, dedup_* (all 28 driver-green, CORRECTNESS_r08).  Round 9 window:
+the scalar/dtype sf_* gates, agg_* tail, rel_* relational tail, io_*
+round-trips, h2o_* group-by suite — the families with the most
+never-driver-sampled semantic surface (VERDICT r8 next-round #1).
 """
 
 from __future__ import annotations
@@ -26,36 +29,36 @@ _FLAGSHIP_PREFIX = [
     f"q{i}_" for i in (1, 3, 5, 6, 10, 14, 18, 7, 8, 2, 4, 9, 11, 12, 13, 15, 16, 17, 19, 20, 21, 22)
 ]
 
-# round-8 rotation window (28 names, all first-time driver exposure)
+# round-9 rotation window (28 names, all first-time driver exposure)
 _ROTATION = [
-    "win_ewm_dual_keys",
-    "win_ewm_nan_poison",
-    "win_ewm_std",
-    "win_rank_nulls",
-    "win_interpolate_by",
-    "win_rolling_map",
-    "win_rolling_rank",
-    "win_cumulative_eval",
-    "win_rolling_weighted",
-    "tmp_upsample_1h",
-    "tmp_session_windows",
-    "tmp_closed_both",
-    "tmp_closed_none",
-    "tmp_int_dynamic",
-    "stream_tumbling_1h",
-    "stream_dedup_keys",
-    "stream_running_totals",
-    "stream_interval_join_agg",
-    "udf_map_groups",
-    "udf_map_rows",
-    "udf_map_batches",
-    "udf_map_multi",
-    "udf_map_elements",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
+    "sf_decimal_exact",
+    "sf_enum_order",
+    "sf_cat_lexical",
+    "sf_bin_reinterpret",
+    "sf_hist",
+    "sf_value_counts",
+    "sf_str_ops",
+    "sf_dt_ops",
+    "sf_list_ops",
+    "sf_struct_ops",
+    "agg_cube",
+    "agg_spearman",
+    "agg_nan_minmax",
+    "agg_stats",
+    "agg_moments",
+    "agg_any_all_mode",
+    "agg_linreg",
+    "agg_bitwise",
+    "rel_match_schema",
+    "rel_hconcat",
+    "rel_merge_sorted",
+    "rel_unnest",
+    "io_csv_roundtrip",
+    "io_ndjson_roundtrip",
+    "io_multifile_scan",
+    "h2o_q1",
+    "h2o_q7",
+    "h2o_q10",
 ]
 
 
