@@ -144,7 +144,9 @@ def sf_list_ops(spark, sf_dir):
            round(var_samp(l_extendedprice), 0)                AS var_price,
            round(quantile_cont(l_quantity, 0.25), 4)          AS q25_qty,
            round(quantile_cont(l_quantity, 0.9), 4)           AS q90_qty,
-           count(DISTINCT l_partkey)                          AS nu_parts,
+           count(DISTINCT l_partkey)
+             + CASE WHEN count(*) > count(l_partkey) THEN 1 ELSE 0 END
+                                                              AS nu_parts,
            min(l_shipdate)                                    AS first_ship,
            max(l_shipdate)                                    AS last_ship
     FROM lineitem GROUP BY l_returnflag

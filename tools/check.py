@@ -6,10 +6,15 @@ row count, column-name set, and order-insensitive values (rows sorted by
 all columns, columns sorted by name).  Floats compare exactly AND with
 rtol=1e-9 so we can see whether a mismatch is real or float noise.
 
-Usage: python tools/check.py [--strict] [--empty] [--sample N] [sf_dir] [query ...]
+Usage: python tools/check.py [--strict] [--empty|--single|--allnull]
+       [--sample N] [sf_dir] [query ...]
 
 ``--empty`` runs every query against ZERO-ROW copies of the tables
 (schemas taken from sf_dir) — the aggregate-identity divergence sweep.
+``--single`` uses ONE-ROW copies (first row of each table): targets the
+ddof / single-point-interpolation / size-1-window identity class.
+``--allnull`` uses 3-row ALL-NULL copies of every column: targets the
+null-propagation identity class (null-only aggregates, null keys).
 
 ``--strict`` additionally flags int-vs-float dtype mismatches between the
 Spark and DuckDB results even when the VALUES are identical — the driver's
@@ -48,6 +53,12 @@ EMPTY_PINNED = {
     # round-trip scan has no schema to read (polars' hive write ditto)
     "io_parquet_partitioned": "partitioned write of 0 rows leaves no files; schema cannot round-trip",
 }
+
+# --single mode pins (1-row tables) — discovered by the round-9 sweep
+SINGLE_PINNED: dict[str, str] = {}
+
+# --allnull mode pins (3 rows, every column null) — round-9 sweep
+ALLNULL_PINNED: dict[str, str] = {}
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -111,27 +122,47 @@ def main() -> int:
     empty = "--empty" in argv
     if empty:
         argv.remove("--empty")
+    single = "--single" in argv
+    if single:
+        argv.remove("--single")
+    allnull = "--allnull" in argv
+    if allnull:
+        argv.remove("--allnull")
     sample_n = None
     if "--sample" in argv:
         i = argv.index("--sample")
         sample_n = int(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    if empty:
-        # zero-row copies of every table, same schema: targets the aggregate
-        # identity class (polars-core fold identities sum->0 / product->1)
-        # where SQL engines and dataframe engines habitually diverge
+    mode = "empty" if empty else "single" if single else "allnull" if allnull else None
+    pinned = {"empty": EMPTY_PINNED, "single": SINGLE_PINNED, "allnull": ALLNULL_PINNED}.get(
+        mode, {}
+    )
+    if mode:
+        # degenerate-table sweeps: zero-row (aggregate fold identities),
+        # one-row (ddof / single-point interpolation / size-1 windows),
+        # all-null (null-propagation identities).  SQL engines and dataframe
+        # engines habitually diverge exactly on these shapes.
         import os
         import tempfile
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        edir = os.path.join(tempfile.gettempdir(), f"sparkgraft_empty_{os.getpid()}")
+        edir = os.path.join(tempfile.gettempdir(), f"sparkgraft_{mode}_{os.getpid()}")
         os.makedirs(edir, exist_ok=True)
         for t in TABLES:
-            schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
-            pq.write_table(schema.empty_table(), f"{edir}/{t}.parquet")
-        print(f"empty-table sweep: schemas from {sf_dir}, tables in {edir}")
+            if empty:
+                out = pq.read_schema(f"{sf_dir}/{t}.parquet").empty_table()
+            elif single:
+                out = pq.read_table(f"{sf_dir}/{t}.parquet").slice(0, 1)
+            else:
+                sch = pq.read_schema(f"{sf_dir}/{t}.parquet")
+                out = pa.table(
+                    {f.name: pa.nulls(3, type=f.type) for f in sch}, schema=sch
+                )
+            pq.write_table(out, f"{edir}/{t}.parquet")
+        print(f"{mode}-table sweep: schemas from {sf_dir}, tables in {edir}")
         sf_dir = edir
     only = set(argv[1:])
 
@@ -151,8 +182,8 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if empty and name in EMPTY_PINNED:
-            print(f"pin   {name}: {EMPTY_PINNED[name]}")
+        if name in pinned:
+            print(f"pin   {name}: {pinned[name]}")
             n_weak += 1
             continue
         t0 = time.time()
