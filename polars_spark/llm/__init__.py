@@ -421,7 +421,9 @@ def simhash(
         for pdf in it:
             out_docs, out_sig = [], []
             for doc, hs in zip(pdf["doc"], pdf["hs"]):
-                h = np.asarray(hs, dtype=np.uint64)
+                # null text -> null token-hash array -> empty token set
+                # (signature 0, same as an empty document)
+                h = np.asarray(hs if hs is not None else [], dtype=np.uint64)
                 bits = ((h[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1).astype(np.int64)
                 acc = (bits * 2 - 1).sum(axis=0)
                 sig = np.uint64(0)
@@ -781,6 +783,9 @@ def _spherical_kmeans(
         F.col(id_col).alias("nid"),
         _l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
+    # null embeddings normalize to null and carry no geometry — drop them
+    # before seeding/assignment (an all-null corpus degenerates cleanly)
+    corpus = corpus.where(F.col("nv").isNotNull())
     corpus = corpus.cache()
     init = corpus.orderBy("nid").limit(n_clusters).select("nv").collect()
     cents = [[_fround_py(float(x), 10) for x in r.nv] for r in init]
@@ -1297,7 +1302,8 @@ def mix_to_budget(
     wsum = float(sum(weights.values()))
     wnorm = {k: float(v) / wsum for k, v in weights.items()}
     avail = {
-        r[by]: int(r["avail"])
+        # sum over an all-null token column is null -> 0 tokens available
+        r[by]: int(r["avail"] or 0)
         for r in df.groupBy(by).agg(F.sum(token_col).alias("avail")).collect()
     }
     plan_rows = []

@@ -137,6 +137,16 @@ class ExprContext:
 
 
 
+def _collect_keep_nulls(c: Column, w=None) -> Column:
+    """collect_list DROPS nulls; polars group/imploded lists keep them
+    (all-null sweep find: implode of an all-null group is [null, ...], not
+    []).  Struct-wrap the value — structs are never null — and unwrap."""
+    coll = F.collect_list(F.struct(c.alias("__v")))
+    if w is not None:
+        coll = coll.over(w)
+    return F.transform(coll, lambda s: s.getField("__v"))
+
+
 def _grouped_ordered_array(ctx: "ExprContext", c: Column) -> Column:
     """The group's values as an ORDERED array (agg context): row-order
     sorted when the frame has an order, OrderNeeded when it is deferred —
@@ -146,7 +156,7 @@ def _grouped_ordered_array(ctx: "ExprContext", c: Column) -> Column:
         return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))
     if ctx.deferred:
         raise OrderNeeded()
-    return F.collect_list(c)
+    return _collect_keep_nulls(c)
 
 
 def _element_agg(ctx, parent: "Expr", kind: str, *a, **k) -> Column:
@@ -346,6 +356,65 @@ def _str_grammar_cast(
     return res
 
 
+def _decimal_scales(a: Column, b: Column, ctx) -> tuple | None:
+    """(s1, s2) when the operands are decimal/integer with AT LEAST one
+    decimal — the shape where the polars result-scale rule applies
+    (polars-core/src/chunked_array/arithmetic/decimal.rs: result scale =
+    max(s1, s2), precision = DEC128_MAX_PREC, dropped digits rounded
+    half-to-even; supertype.rs:467 folds integers in at scale 0).  Returns
+    None otherwise.  Same cheap text pre-check as _ieee_div: the schema
+    probe (analysis only, no job) runs only when a decimal column or
+    literal is actually in play, so the numeric hot path is untouched."""
+    df = getattr(ctx, "df", None)
+    if df is None:
+        return None
+    try:
+        txt = f"{a} {b}"
+        risky = "DECIMAL" in txt.upper()
+        if not risky:
+            dec_cols = {
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString().startswith("decimal")
+            }
+            if not dec_cols:
+                return None
+            idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", txt))
+            risky = bool(idents & dec_cols)
+        if not risky:
+            return None
+        sch = df.select(a.alias("__dec_a__"), b.alias("__dec_b__")).schema
+        ts = [f.dataType.simpleString() for f in sch.fields[-2:]]
+        ints = ("tinyint", "smallint", "int", "bigint")
+        scales = []
+        for t in ts:
+            if t.startswith("decimal"):
+                scales.append(int(t[:-1].split(",")[1]))
+            elif t in ints:
+                scales.append(0)
+            else:
+                return None
+        if not any(t.startswith("decimal") for t in ts):
+            return None
+        return tuple(scales)
+    except Exception:
+        return None
+
+
+def _decimal_mul(a: Column, b: Column, ctx) -> Column:
+    """polars decimal multiplication: Spark's native product carries scale
+    s1+s2; polars rounds back to max(s1, s2) half-to-even (dec128_mul).
+    bround IS half-even, so the bridge is one rounding + cast."""
+    sc = _decimal_scales(a, b, ctx)
+    if sc is None:
+        return a * b
+    s = max(sc)
+    return F.bround(a * b, s).cast(f"decimal(38,{s})")
+
+
+_decimal_mul._wants_ctx = True
+
+
 def _ieee_div(a: Column, b: Column, ctx) -> Column:
     """polars true division (Operator::TrueDivide): numeric `/` is IEEE
     Float64 — x/0 -> ±inf, 0/0 -> NaN, null/0 -> null — NEVER the ANSI
@@ -391,6 +460,22 @@ def _ieee_div(a: Column, b: Column, ctx) -> Column:
             kinds = tuple(f.dataType.simpleString() for f in sch.fields[-2:])
         except Exception:
             kinds = None
+    if kinds is not None and any(k.startswith("decimal") for k in kinds):
+        # polars decimal division: result scale = max(s1, s2) (integers at
+        # scale 0), dropped digits rounded half-to-even (dec128_div); the
+        # zero-divisor ERROR is shared polars/Spark-ANSI behavior.  Spark's
+        # native quotient carries >= 6 guard digits past any polars scale,
+        # so the bround sees the exact leading digits in practice.
+        ints = ("tinyint", "smallint", "int", "bigint")
+        scales = [
+            int(k[:-1].split(",")[1]) if k.startswith("decimal") else 0
+            for k in kinds
+            if k.startswith("decimal") or k in ints
+        ]
+        if len(scales) == 2:
+            s = max(scales)
+            return F.bround(a / b, s).cast(f"decimal(38,{s})")
+        return a / b
     if kinds is None or not all(k in _NUMERIC_DIV for k in kinds):
         return a / b
     d, e = a.cast("double"), b.cast("double")
@@ -589,10 +674,10 @@ class Expr:
         return _to_expr(o)._zip(self, lambda a, b: a - b, self._name)
 
     def __mul__(self, o):
-        return self._zip(o, lambda a, b: a * b)
+        return self._zip(o, _decimal_mul)
 
     def __rmul__(self, o):
-        return _to_expr(o)._zip(self, lambda a, b: a * b, self._name)
+        return _to_expr(o)._zip(self, _decimal_mul, self._name)
 
     def __truediv__(self, o):
         return self._zip(o, _ieee_div)
@@ -1224,9 +1309,13 @@ class Expr:
             cats = self._enum_cats(ctx)
             c = self._resolve(ctx)
             if cats:
+                # F.get, not element_at: Spark codegen's element_at with a
+                # RUNTIME-null index returns the last element instead of
+                # null (all-null sweep find — min over no non-null values)
                 arr = F.array(*[F.lit(x) for x in cats])
-                return F.element_at(
-                    arr, _wover(ctx, F.min(F.array_position(arr, c))).cast("int")
+                return F.get(
+                    arr,
+                    _wover(ctx, F.min(F.array_position(arr, c))).cast("int") - 1,
                 )
             return _wover(ctx, F.min(c))
 
@@ -1240,8 +1329,9 @@ class Expr:
             c = self._resolve(ctx)
             if cats:
                 arr = F.array(*[F.lit(x) for x in cats])
-                return F.element_at(
-                    arr, _wover(ctx, F.max(F.array_position(arr, c))).cast("int")
+                return F.get(
+                    arr,
+                    _wover(ctx, F.max(F.array_position(arr, c))).cast("int") - 1,
                 )
             return _wover(ctx, F.max(c))
 
@@ -1513,7 +1603,10 @@ class Expr:
         # exact percentile; interpolation="linear" matches SQL percentile_cont
         if interpolation == "linear":
             return self._agg(lambda c: F.percentile(c, F.lit(q)))
-        # nearest/lower/higher/midpoint: implement via sorted-array indexing
+        # nearest/lower/higher/midpoint/equiprobable: sorted-array indexing
+        # (reference polars-core/src/chunked_array/ops/aggregate/quantile.rs
+        # quantile_idx; results are f64 — Scalar::to_f64 — so the element
+        # reads are cast to double, matching polars' Float64 output on ints)
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
@@ -1524,14 +1617,25 @@ class Expr:
             lo = F.floor(pos).cast("int")
             hi = F.ceil(pos).cast("int")
             if interpolation == "lower":
-                return F.get(arr, lo)
+                return F.get(arr, lo).cast("double")
             if interpolation == "higher":
-                return F.get(arr, hi)
+                return F.get(arr, hi).cast("double")
             if interpolation == "midpoint":
-                return (F.get(arr, lo) + F.get(arr, hi)) / 2
-            # nearest (polars default)
+                # cast BEFORE the add: polars midpoint_interpol works in f64
+                # (and a bigint add of two near-max elements would overflow)
+                return (
+                    F.get(arr, lo).cast("double") + F.get(arr, hi).cast("double")
+                ) / 2
+            if interpolation == "equiprobable":
+                # idx = max(ceil(n*q) - 1, 0)
+                eidx = F.greatest(
+                    F.ceil(n * F.lit(q)).cast("int") - F.lit(1), F.lit(0)
+                )
+                return F.get(arr, eidx).cast("double")
+            # nearest (polars default): f64::round = half away from zero,
+            # which Spark's round on a non-negative double also is
             idx = F.round(pos).cast("int")
-            return F.get(arr, idx)
+            return F.get(arr, idx).cast("double")
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -1556,13 +1660,13 @@ class Expr:
             if w is not None:
                 if ctx.deferred and not ctx.order_cols:
                     raise OrderNeeded()  # list order = scan order (polars)
-                return F.collect_list(c).over(w)  # over() attached the order
+                return _collect_keep_nulls(c, w)  # over() attached the order
             if ctx.order_cols:
                 pairs = F.collect_list(F.struct(*ctx.order_plain_cols(), c.alias("__v")))
                 return F.transform(F.array_sort(pairs), lambda s: s.getField("__v"))
             if ctx.deferred:
                 raise OrderNeeded()  # imploded lists follow scan order (polars)
-            return F.collect_list(c)
+            return _collect_keep_nulls(c)
 
         return Expr(fn, self._name, is_agg=True)
 
@@ -2896,7 +3000,8 @@ class Expr:
         v = _to_expr(value)
 
         def fn(ctx: ExprContext) -> Column:
-            arr = _wover(ctx, F.collect_list(self._resolve(ctx)))
+            w = getattr(ctx, "_window", None)
+            arr = _collect_keep_nulls(self._resolve(ctx), w)
             return F.concat(arr, F.array_repeat(v._resolve(ctx), n))
 
         return Expr(fn, self._name, is_agg=True)
@@ -3523,7 +3628,7 @@ class Expr:
                     sub = ExprContext(ctx.df, ctx.order_cols, preps=ctx.preps, deferred=ctx.deferred)
                     sub._window = w
                     return self._resolve(sub)
-                return F.collect_list(self._resolve(ctx)).over(w)
+                return _collect_keep_nulls(self._resolve(ctx), w)
 
             return Expr(fn_join, self._name)
         if mapping_strategy not in ("group_to_rows", "explode"):
@@ -3583,7 +3688,10 @@ class Expr:
     # -- misc ---------------------------------------------------------------
     def unique(self, maintain_order: bool = False):
         def fn(ctx: ExprContext) -> Column:
-            return F.array_distinct(_wover(ctx, F.collect_list(self._resolve(ctx))))
+            # keep-nulls collect: polars unique() retains a null entry when
+            # the group contains nulls (array_distinct dedupes it to one)
+            w = getattr(ctx, "_window", None)
+            return F.array_distinct(_collect_keep_nulls(self._resolve(ctx), w))
 
         return Expr(fn, self._name, is_agg=True)
 

@@ -2054,8 +2054,15 @@ class BinaryNamespace(_NS):
             return u.cast(_dtype_to_spark(name))
 
         return self._map(
-            lambda c: F.when(F.octet_length(c) == nbytes, fn(c)).otherwise(
-                F.raise_error(F.lit(f"bin.reinterpret: binary is not {nbytes} bytes"))
+            # null passthrough FIRST: octet_length(NULL) == n is null, which
+            # would fall into the raise branch (all-null sweep find); polars
+            # reinterprets null to null
+            lambda c: F.when(c.isNull(), F.lit(None).cast(_dtype_to_spark(name))).otherwise(
+                F.when(F.octet_length(c) == nbytes, fn(c)).otherwise(
+                    F.raise_error(
+                        F.lit(f"bin.reinterpret: binary is not {nbytes} bytes")
+                    )
+                )
             )
         )
     def get(self, index: int, *, null_on_oob: bool = True) -> Expr:

@@ -337,7 +337,7 @@ def scale_zorder_events(spark, sf_dir):
     "udf_map_multi",
     oracle="""
     SELECT l_orderkey,
-           CAST(sum(CAST(floor(l_quantity * l_extendedprice) AS BIGINT)) AS BIGINT) AS qty_price,
+           CAST(coalesce(sum(CAST(floor(l_quantity * l_extendedprice) AS BIGINT)), 0) AS BIGINT) AS qty_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_orderkey
     """,
@@ -354,7 +354,7 @@ def udf_map_multi(spark, sf_dir):
     )
     prod = pl.map_batches(
         ["l_quantity", "l_extendedprice"],
-        lambda s: __import__("numpy").floor(s[0] * s[1]).astype("int64"),
+        lambda s: __import__("numpy").floor(s[0] * s[1]).astype("Int64"),
         "Int64",
     ).alias("qp")
     return (

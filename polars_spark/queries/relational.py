@@ -22,13 +22,13 @@ import polars_spark as pl
     # hazard, unlike round(sum(double), 2).
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)      AS disc_total_c,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l_discount) * 100) AS BIGINT)), 0) AS BIGINT)  AS disc_total_c,
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * CAST(round((1 - l_discount) * 100) AS BIGINT)
-                    * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS BIGINT)           AS charge_total_c,
+                    * CAST(round((1 + l_tax) * 100) AS BIGINT)), 0) AS BIGINT)       AS charge_total_c,
            CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)          AS n_bulk,
-           CAST(sum(CAST(round(greatest(l_discount, l_tax) * 100) AS BIGINT)) AS BIGINT) AS max_rate_sum_c
+           CAST(coalesce(sum(CAST(round(greatest(l_discount, l_tax) * 100) AS BIGINT)), 0) AS BIGINT) AS max_rate_sum_c
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -71,7 +71,8 @@ def rel_with_columns(spark, sf_dir):
              quantile_cont(l_extendedprice, 0.75) AS b3
       FROM lineitem
     )
-    SELECT CASE WHEN l_extendedprice <= b1 THEN 'q0'
+    SELECT CASE WHEN l_extendedprice IS NULL THEN NULL
+                WHEN l_extendedprice <= b1 THEN 'q0'
                 WHEN l_extendedprice <= b2 THEN 'q1'
                 WHEN l_extendedprice <= b3 THEN 'q2'
                 ELSE 'q3' END AS band,
@@ -96,7 +97,7 @@ def rel_qcut_bands(spark, sf_dir):
                 WHEN c_acctbal < 5000 THEN 'low'
                 WHEN c_acctbal < 8000 THEN 'mid'
                 ELSE 'high' END AS band,
-           count(*) AS n, round(sum(c_acctbal), 2) AS total
+           count(*) AS n, round(coalesce(sum(c_acctbal), 0), 2) AS total
     FROM customer GROUP BY 1
     """,
 )
@@ -236,7 +237,7 @@ def rel_concat_vertical(spark, sf_dir):
     "rel_explode_tokens",
     oracle="""
     SELECT token, count(*) AS n
-    FROM (SELECT unnest(regexp_split_to_array(p_type, ' ')) AS token FROM part)
+    FROM (SELECT unnest(coalesce(regexp_split_to_array(p_type, ' '), [NULL])) AS token FROM part)
     GROUP BY token
     """,
 )
@@ -254,7 +255,7 @@ def rel_explode_tokens(spark, sf_dir):
 @query(
     "rel_unpivot",
     oracle="""
-    SELECT variable, round(sum(value), 2) AS total, count(*) AS n FROM (
+    SELECT variable, round(coalesce(sum(value), 0), 2) AS total, count(*) AS n FROM (
       SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
       UNION ALL SELECT 'l_discount', l_discount FROM lineitem
       UNION ALL SELECT 'l_tax', l_tax FROM lineitem
@@ -296,9 +297,10 @@ def rel_pivot(spark, sf_dir):
     "rel_horizontal_fold",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_quantity + l_discount + l_tax), 4)        AS hsum,
-           round(sum(greatest(l_quantity, l_discount, l_tax)), 2) AS hmax,
-           round(sum(least(l_quantity, l_discount, l_tax)), 2)    AS hmin
+           round(sum(coalesce(l_quantity, 0) + coalesce(l_discount, 0)
+                     + coalesce(l_tax, 0)), 4)                    AS hsum,
+           round(coalesce(sum(greatest(l_quantity, l_discount, l_tax)), 0), 2) AS hmax,
+           round(coalesce(sum(least(l_quantity, l_discount, l_tax)), 0), 2)    AS hmin
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -424,10 +426,12 @@ def rel_unstack(spark, sf_dir):
     # single-partition window; the oracle replays it with a scalar subquery
     oracle="""
     SELECT l_returnflag AS flag,
-           CAST(sum(l_extendedprice) AS DOUBLE)                       AS flag_rev,
-           floor(sum(l_extendedprice)
-                 / (SELECT sum(l_extendedprice) FROM lineitem)
-                 * 1e9 + 0.5) / 1e9                                   AS share,
+           CAST(coalesce(sum(l_extendedprice), 0) AS DOUBLE)          AS flag_rev,
+           CASE WHEN (SELECT coalesce(sum(l_extendedprice), 0) FROM lineitem) = 0
+                THEN 'NaN'::DOUBLE
+                ELSE floor(coalesce(sum(l_extendedprice), 0)
+                     / (SELECT sum(l_extendedprice) FROM lineitem)
+                     * 1e9 + 0.5) / 1e9 END                           AS share,
            CAST((SELECT count(*) FROM lineitem) AS BIGINT)            AS n_total
     FROM lineitem
     GROUP BY 1
@@ -451,7 +455,14 @@ def rel_broadcast_agg(spark, sf_dir):
     # broadcast-agg projection (len over the scan)
     li2 = total.select(pl.len().alias("n_total"))
     sdf = out.to_spark().crossJoin(li2.to_spark())
-    sdf = sdf.withColumn("share", F.floor(F.col("share") * 1e9 + 0.5) / 1e9)
+    # keep NaN a NaN: F.floor lands in LONG, which would swallow the IEEE
+    # 0/0 identity on an all-null column (degenerate-sweep find)
+    sdf = sdf.withColumn(
+        "share",
+        F.when(F.isnan("share"), F.col("share")).otherwise(
+            F.floor(F.col("share") * 1e9 + 0.5) / 1e9
+        ),
+    )
     sdf = sdf.withColumn("flag_rev", F.col("flag_rev").cast("double"))
     return sdf
 

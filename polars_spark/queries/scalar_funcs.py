@@ -381,7 +381,8 @@ def sf_ranges_business(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-           count(DISTINCT o_custkey) AS nu_cust
+           count(DISTINCT o_custkey)
+             + CASE WHEN count(*) > count(o_custkey) THEN 1 ELSE 0 END AS nu_cust
     FROM orders GROUP BY o_orderpriority
     """,
 )

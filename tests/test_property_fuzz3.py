@@ -167,6 +167,165 @@ def test_fuzz_sql_group_having_setop(pl, spark, ddb, seed):
     _run_both(pl, ddb, tbl, stmt, f"seed={seed} sql_group [{stmt}]")
 
 
+# ------------------------------------------------- decimal arithmetic
+# polars decimal rule (polars-core/src/chunked_array/arithmetic/decimal.rs
+# + polars-compute/src/decimal.rs): result scale = max(s1, s2) for all of
+# + - * /, precision DEC128_MAX_PREC, dropped digits rounded HALF-TO-EVEN
+# (dec128_mul / dec128_div), integers fold in at scale 0, zero-divisor
+# ERRORS.  The oracle here is exact Python decimal arithmetic quantized
+# with ROUND_HALF_EVEN — stronger than any SQL engine's own (divergent)
+# decimal rules, which is exactly why DuckDB isn't the oracle for this
+# family.
+
+import decimal as _dec
+
+_D = _dec.Decimal
+
+
+def _mk_dec(rng, scale, allow_zero=True):
+    if rng.random() < 0.12:
+        return None
+    # bias toward round-tie-prone trailing digits
+    digits = rng.randrange(1, 7)
+    mag = rng.randrange(0, 10**digits)
+    if rng.random() < 0.4:
+        mag = mag - mag % 10 + rng.choice([5, 25 % 10, 75 % 10])
+    v = _D(mag).scaleb(-scale)
+    if rng.random() < 0.5:
+        v = -v
+    if not allow_zero and v == 0:
+        v = _D(1).scaleb(-scale)
+    return v
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_decimal_arith(pl, spark, seed):
+    import pyarrow as pa
+
+    rng = random.Random(14000 + seed)
+    s1, s2 = rng.randrange(0, 4), rng.randrange(0, 5)
+    n = rng.choice([0, 1, 3, 17])
+    d1 = [_mk_dec(rng, s1) for _ in range(n)]
+    d2 = [_mk_dec(rng, s2, allow_zero=False) for _ in range(n)]
+    d2 = [v if v is not None else _D(3).scaleb(-s2) for v in d2]
+    iv = [rng.choice([1, -2, 3, 7, 50]) for _ in range(n)]
+    tbl = pa.table(
+        {
+            "d1": pa.array(d1, pa.decimal128(14, s1)),
+            "d2": pa.array(d2, pa.decimal128(14, s2)),
+            "i": pa.array(iv, pa.int64()),
+        }
+    )
+    lf = pl.from_arrow(tbl)
+    got = lf.select(
+        (pl.col("d1") + pl.col("d2")).alias("add"),
+        (pl.col("d1") - pl.col("d2")).alias("sub"),
+        (pl.col("d1") * pl.col("d2")).alias("mul"),
+        (pl.col("d1") / pl.col("d2")).alias("div"),
+        (pl.col("d1") * pl.col("i")).alias("muli"),
+        (pl.col("d1") / pl.col("i")).alias("divi"),
+    ).collect()
+
+    s = max(s1, s2)
+    q = _D(1).scaleb(-s)
+    q1 = _D(1).scaleb(-s1)
+    ctx = _dec.Context(prec=60, rounding=_dec.ROUND_HALF_EVEN)
+
+    def exp(op, a, b, qq):
+        if a is None or b is None:
+            return None
+        with _dec.localcontext(ctx):
+            if op == "+":
+                r = a + b
+            elif op == "-":
+                r = a - b
+            elif op == "*":
+                r = a * b
+            else:
+                r = _D(a) / _D(b)
+            return r.quantize(qq, rounding=_dec.ROUND_HALF_EVEN)
+
+    for row, (a, b, i) in enumerate(zip(d1, d2, iv)):
+        for colname, op, bb, qq in [
+            ("add", "+", b, q),
+            ("sub", "-", b, q),
+            ("mul", "*", b, q),
+            ("div", "/", b, q),
+            ("muli", "*", _D(i), q1),
+            ("divi", "/", _D(i), q1),
+        ]:
+            want = exp(op, a, bb, qq)
+            got_v = got[colname].iloc[row]
+            label = f"seed={seed} row={row} {colname}: {a} {op} {bb}"
+            if want is None:
+                assert got_v is None or (isinstance(got_v, float) and pd.isna(got_v)), label
+            else:
+                assert got_v is not None and _D(str(got_v)) == want, (
+                    f"{label} -> spark={got_v} oracle={want}"
+                )
+
+
+# ---------------------------------------- quantile interpolation modes
+# reference quantile_idx (polars-core/.../aggregate/quantile.rs): 6 modes;
+# the oracle is DuckDB list-indexing over the sorted non-null values — an
+# independent formulation of the same index rules.
+
+_Q_MODES = ["linear", "lower", "higher", "midpoint", "nearest", "equiprobable"]
+
+
+def _q_oracle_sql(mode, q, col="ff"):
+    h = f"(n - 1) * {q}"
+    lo = f"arr[1 + CAST(floor({h}) AS INT)]"
+    hi = f"arr[1 + CAST(ceil({h}) AS INT)]"
+    if mode == "lower":
+        e = lo
+    elif mode == "higher":
+        e = hi
+    elif mode == "midpoint":
+        e = f"CASE WHEN {h} = floor({h}) THEN {lo} ELSE ({lo} + {hi}) / 2.0 END"
+    elif mode == "nearest":
+        e = f"arr[1 + CAST(round({h}) AS INT)]"
+    elif mode == "equiprobable":
+        e = f"arr[1 + GREATEST(CAST(ceil(n * {q}) AS INT) - 1, 0)]"
+    else:  # linear
+        e = (
+            f"CASE WHEN {h} = floor({h}) THEN {lo} "
+            f"ELSE {lo} + ({h} - floor({h})) * ({hi} - {lo}) END"
+        )
+    return f"CASE WHEN n = 0 THEN NULL ELSE {e} END"
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_quantile_modes(pl, spark, ddb, seed):
+    rng = random.Random(15000 + seed)
+    tbl = mk_frame(rng)
+    combos = [
+        (rng.choice(_Q_MODES), rng.choice([0.0, 0.25, 0.5, 0.77, 0.9, 1.0]))
+        for _ in range(3)
+    ]
+    got = (
+        pl.from_arrow(tbl)
+        .group_by("g")
+        .agg(
+            *[
+                pl.col("ff").quantile(q, m).alias(f"q{i}_{m}")
+                for i, (m, q) in enumerate(combos)
+            ]
+        )
+        .collect()
+    )
+    ddb.register("t_qm", tbl)
+    inner = (
+        "SELECT g, list_sort(list(ff) FILTER (WHERE ff IS NOT NULL)) AS arr, "
+        "CAST(count(ff) AS BIGINT) AS n FROM t_qm GROUP BY g"
+    )
+    sels = ", ".join(
+        f"{_q_oracle_sql(m, q)} AS q{i}_{m}" for i, (m, q) in enumerate(combos)
+    )
+    want = ddb.execute(f"SELECT g, {sels} FROM ({inner})").df()
+    assert_frames_match(got, want, f"seed={seed} quantile {combos}")
+
+
 @pytest.mark.parametrize("seed", range(N_FRAMES))
 def test_fuzz_sql_cte_window_subquery(pl, spark, ddb, seed):
     rng = random.Random(13000 + seed)

@@ -61,12 +61,22 @@ SINGLE_PINNED: dict[str, str] = {}
 ALLNULL_PINNED: dict[str, str] = {}
 
 
+def _fix_obj(v):
+    # DuckDB .df() renders nulls inside/as arrays with numpy masked values
+    if v is np.ma.masked:
+        return None
+    if isinstance(v, np.ma.MaskedArray):
+        return tuple(v.tolist())  # masked entries -> None
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(v)  # lists/arrays -> tuples so they sort & compare
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if df[c].dtype == object:
-            # lists/arrays -> tuples so they sort & compare
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            df[c] = df[c].map(_fix_obj)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns), ignore_index=True)
