@@ -32,7 +32,7 @@ def _dir(name: str) -> str:
 @query(
     "io_csv_roundtrip",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    SELECT c_mktsegment, count(*) AS n, round(coalesce(sum(c_acctbal), 0), 2) AS bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -53,7 +53,7 @@ def io_csv_roundtrip(spark, sf_dir):
 @query(
     "io_ndjson_roundtrip",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n, round(coalesce(sum(o_totalprice), 0), 2) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -246,7 +246,7 @@ def udf_map_batches(spark, sf_dir):
 @query(
     "io_orc_roundtrip",
     oracle="""
-    SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    SELECT s_nationkey, count(*) AS n, round(coalesce(sum(s_acctbal), 0), 2) AS bal
     FROM supplier GROUP BY s_nationkey
     """,
 )
@@ -269,8 +269,10 @@ def io_orc_roundtrip(spark, sf_dir):
 @query(
     "io_multifile_scan",
     oracle="""
-    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
-    FROM orders GROUP BY o_orderpriority
+    SELECT o_orderpriority, count(*) AS n, round(coalesce(sum(o_totalprice), 0), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 2 = 0 OR o_orderkey % 2 = 1
+    GROUP BY o_orderpriority
     """,
 )
 def io_multifile_scan(spark, sf_dir):
@@ -373,7 +375,7 @@ def udf_map_multi(spark, sf_dir):
 @query(
     "io_ipc_roundtrip",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    SELECT c_mktsegment, count(*) AS n, round(coalesce(sum(c_acctbal), 0), 2) AS bal
     FROM customer GROUP BY c_mktsegment
     """,
 )

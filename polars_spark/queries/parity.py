@@ -350,7 +350,7 @@ def io_python_datasource(spark, sf_dir):
     # pyarrow read); oracle reads the source parquet directly.
     oracle="""
     SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(n_nationkey) AS BIGINT) AS keysum
+           CAST(coalesce(sum(n_nationkey), 0) AS BIGINT) AS keysum
     FROM nation GROUP BY 1
     """,
 )

@@ -233,8 +233,8 @@ def agg_product_entropy(spark, sf_dir):
     "agg_any_all_mode",
     oracle="""
     SELECT o_orderpriority,
-           max(o_totalprice > 500000)               AS any_big,
-           min(o_totalprice > 1000)                 AS all_over_1k,
+           coalesce(max(o_totalprice > 500000), false) AS any_big,
+           coalesce(min(o_totalprice > 1000), true)     AS all_over_1k,
            mode(o_orderstatus)                      AS status_mode,
            first(o_orderkey ORDER BY o_orderkey)    AS first_key,
            last(o_orderkey ORDER BY o_orderkey)     AS last_key
@@ -259,11 +259,12 @@ def agg_any_all_mode(spark, sf_dir):
 @query(
     "agg_cut_bands",
     oracle="""
-    SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+    SELECT CASE WHEN l_quantity IS NULL THEN NULL
+                WHEN l_quantity <= 10 THEN 'small'
                 WHEN l_quantity <= 30 THEN 'medium'
                 ELSE 'large' END AS band,
-           count(*) AS n, round(sum(l_extendedprice), 2) AS price_sum
-    FROM lineitem WHERE l_quantity IS NOT NULL
+           count(*) AS n, round(coalesce(sum(l_extendedprice), 0), 2) AS price_sum
+    FROM lineitem
     GROUP BY 1
     """,
 )
@@ -312,7 +313,8 @@ def agg_non_null_first(spark, sf_dir):
 @query(
     "agg_cube",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -560,14 +562,14 @@ def sf_find_many(spark, sf_dir):
     # float rounding discipline needed.
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2))
+           CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DECIMAL(22,2))
              AS dec_sum,
            CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
              AS dec_min,
            CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
              AS dec_max,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))), 0) AS DECIMAL(38,6))
              AS dec_rev
     FROM lineitem
     GROUP BY l_returnflag

@@ -23,7 +23,7 @@ import polars_spark as pl
     oracle="""
     SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ts,
            round(sum(value), 4) AS total, count(*) AS n
-    FROM events GROUP BY event_type, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type, 2
     """,
 )
 def tmp_tumbling_1h(spark, sf_dir):
@@ -41,7 +41,7 @@ def tmp_tumbling_1h(spark, sf_dir):
     SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts,
            round(sum(value), 4) AS total,
            round(min(value), 2) AS lo, round(max(value), 2) AS hi, count(*) AS n
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def tmp_tumbling_15m(spark, sf_dir):
@@ -62,7 +62,7 @@ def tmp_tumbling_15m(spark, sf_dir):
     "tmp_sliding_30m_1h",
     oracle="""
     SELECT s AS ts, round(sum(value), 4) AS total, count(*) AS n
-    FROM events,
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events,
          unnest([time_bucket(INTERVAL '30 minutes', ts),
                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS t(s)
     GROUP BY s
@@ -86,6 +86,7 @@ def tmp_sliding_30m_1h(spark, sf_dir):
            count(value) OVER w AS n_30m,
            round(sum(value) OVER w, 4) AS sum_30m
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL '1799999999 microseconds' PRECEDING
                            AND CURRENT ROW)
@@ -147,7 +148,7 @@ def tmp_upsample_1h(spark, sf_dir):
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), g AS (
       SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
@@ -178,7 +179,8 @@ def tmp_session_windows(spark, sf_dir):
 @query(
     "tmp_closed_both",
     oracle="""
-    WITH t AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts, value FROM events),
+    WITH t AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts, value
+               FROM events WHERE ts IS NOT NULL),
     a AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value FROM t),
     b AS (SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR AS w, value FROM t
           WHERE epoch_us(ts) % 3600000000 = 0),
@@ -376,7 +378,7 @@ def evt_transitions(spark, sf_dir):
     "evt_json_props",
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS k_sum,
            count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 END) AS k_hi,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events GROUP BY event_type

@@ -34,7 +34,7 @@ _W = "PARTITION BY user_id ORDER BY ts, event_id"
            round(sum(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 4)          AS cum_value,
            round(max(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 2)          AS cum_max,
            round(value - lag(value) OVER ({_W}), 4)                           AS chg,
-           count(*) OVER ({_W} ROWS UNBOUNDED PRECEDING)                      AS seq_no
+           count(value) OVER ({_W} ROWS UNBOUNDED PRECEDING)                  AS seq_no
     FROM events
     """,
 )
@@ -55,11 +55,15 @@ def win_shift_cum(spark, sf_dir):
     "win_rank_family",
     oracle=f"""
     SELECT event_id,
-           rank()       OVER (PARTITION BY user_id ORDER BY value)            AS rnk_min,
-           dense_rank() OVER (PARTITION BY user_id ORDER BY value)            AS rnk_dense,
-           row_number() OVER ({_W.replace('ts, event_id', 'value, ts, event_id')}) AS rnk_ordinal,
-           rank() OVER (PARTITION BY user_id ORDER BY value)
-             + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0        AS rnk_avg
+           CASE WHEN value IS NOT NULL THEN
+             rank()       OVER (PARTITION BY user_id ORDER BY value) END      AS rnk_min,
+           CASE WHEN value IS NOT NULL THEN
+             dense_rank() OVER (PARTITION BY user_id ORDER BY value) END      AS rnk_dense,
+           CASE WHEN value IS NOT NULL THEN
+             row_number() OVER ({_W.replace('ts, event_id', 'value, ts, event_id')}) END AS rnk_ordinal,
+           CASE WHEN value IS NOT NULL THEN
+             rank() OVER (PARTITION BY user_id ORDER BY value)
+             + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 END    AS rnk_avg
     FROM events
     """,
 )
@@ -121,7 +125,7 @@ def win_fill_strategies(spark, sf_dir):
     "win_agg_over",
     oracle="""
     SELECT event_id,
-           round(sum(value) OVER (PARTITION BY user_id), 4)                   AS user_total,
+           round(coalesce(sum(value) OVER (PARTITION BY user_id), 0), 4)      AS user_total,
            round(value / sum(value) OVER (PARTITION BY user_id), 6)           AS share,
            round(avg(value) OVER (PARTITION BY user_id, event_type)
                  * count(value) OVER (PARTITION BY user_id, event_type), 2)   AS type_mean_x_n,
@@ -186,13 +190,14 @@ def win_row_index(spark, sf_dir):
       SELECT event_id, user_id, ts, value, event_type,
              lag(value)  OVER ({_W}) AS pv,
              lead(value) OVER ({_W}) AS nv,
-             lag(event_type) OVER ({_W}) AS pt
+             lag(event_type) OVER ({_W}) AS pt,
+             row_number() OVER ({_W}) AS rn
       FROM events
     )
     SELECT event_id,
            coalesce((pv IS NULL OR value > pv) AND (nv IS NULL OR value > nv),
                     false)                                                    AS is_peak,
-           CAST(sum(CASE WHEN pt IS NULL OR event_type IS DISTINCT FROM pt
+           CAST(sum(CASE WHEN rn = 1 OR event_type IS DISTINCT FROM pt
                          THEN 1 ELSE 0 END)
                   OVER ({_W} ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)         AS type_run
     FROM lagged
@@ -447,7 +452,7 @@ def win_rolling_moments(spark, sf_dir):
     SELECT user_id, event_id, value FROM (
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ) WHERE rn <= 2
     """,
 )
@@ -564,7 +569,7 @@ def win_ewm_std(spark, sf_dir):
     # form of the same composition.
     oracle=f"""
     SELECT event_id,
-           round(sum(value)  OVER ({_W} ROWS UNBOUNDED PRECEDING), 4) AS run_sum,
+           round(coalesce(sum(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 0), 4) AS run_sum,
            round(first_value(value) OVER ({_W} ROWS UNBOUNDED PRECEDING)
                  - last_value(value) OVER ({_W} ROWS UNBOUNDED PRECEDING)
                    * last_value(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 4)
