@@ -447,7 +447,9 @@ def script_profile(df, *, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(
         F.col(id_col),
         *[c.alias(f"frac_{name}") for name, c in fracs.items()],
-        ranked[0]["s"].alias("dominant_script"),
+        # null text has no script: the sort_array tie-break would otherwise
+        # elect a deterministic-but-meaningless winner (all-null sweep find)
+        F.when(t.isNotNull(), ranked[0]["s"]).alias("dominant_script"),
     )
 
 

@@ -210,7 +210,8 @@ def _embed_neardup_oracle(n_tables: int = 3, n_planes: int = 4, threshold: float
         parts.append(f"SELECT vec_id AS id, {t * (1 << n_planes)} + {bits} AS tb FROM e")
     union = " UNION ALL ".join(parts)
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
     bk AS ({union}),
     cand AS (
       SELECT DISTINCT a.id AS d1, b.id AS d2
@@ -306,7 +307,9 @@ def dedup_span_ngrams(spark, sf_dir):
       WHERE cov.p IS NULL
       GROUP BY tok_tbl.doc_id
     )
-    SELECT t.doc_id, coalesce(kept_text, '') AS kept_text,
+    SELECT t.doc_id,
+           CASE WHEN t.otoks IS NULL THEN NULL
+                ELSE coalesce(kept_text, '') END AS kept_text,
            len(t.otoks)::BIGINT AS n_tokens,
            (len(t.otoks) - coalesce(n_kept, 0))::BIGINT AS n_removed
     FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id

@@ -55,7 +55,8 @@ def _ann_oracle() -> str:
     probe_list = ", ".join(["b0"] + [f"xor(b0, {1 << i})" for i in range(6)])
     return f"""
     WITH c AS (
-      SELECT vec_id AS nid, embedding AS nv, {bit_terms} AS bkt FROM embeddings
+      SELECT vec_id AS nid, embedding AS nv, {bit_terms} AS bkt
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q0 AS (SELECT nid AS qid, nv AS qv, bkt AS b0 FROM c WHERE nid < 20),
     probes AS (SELECT qid, qv, unnest([{probe_list}]) AS bkt FROM q0),
@@ -89,7 +90,8 @@ def sim_ann_lsh(spark, sf_dir):
     WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
     flat AS (
       SELECT label, d, avg(embedding[d]::DOUBLE) AS m
-      FROM embeddings, dims GROUP BY label, d
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings,
+           dims GROUP BY label, d
     )
     SELECT label, round(sum(m * m), 6) AS centroid_norm2, count(*) AS dim
     FROM flat GROUP BY label
@@ -129,9 +131,13 @@ def sim_label_centroid(spark, sf_dir):
       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
       LEFT JOIN h ON h.doc_id = t.doc_id AND h.bin = b.b
     )
-    SELECT doc_id,
-           list(CAST(CAST(cnt AS DOUBLE) / total AS FLOAT) ORDER BY b) AS features
-    FROM grid GROUP BY 1
+    , feats AS (
+      SELECT doc_id,
+             list(CAST(CAST(cnt AS DOUBLE) / total AS FLOAT) ORDER BY b) AS features
+      FROM grid GROUP BY 1
+    )
+    SELECT d.doc_id, f.features
+    FROM documents d LEFT JOIN feats f ON d.doc_id = f.doc_id
     """,
 )
 def mm_extract_features(spark, sf_dir):
@@ -153,7 +159,7 @@ def _kmeans_ctes(k_clusters: int, iters: int):
     Returns (ctes, argmax_window_sql)."""
     norm = "list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
     ctes = [
-        f"e AS (SELECT vec_id, {norm} AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, {norm} AS v FROM embeddings WHERE embedding IS NOT NULL)",
         f"""cent0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                  list_transform(v, x -> floor(x * 1e10 + 0.5) / 1e10) AS cv
@@ -278,8 +284,12 @@ def mm_sample_frames(spark, sf_dir):
              (SELECT unnest(generate_series(0, 3)) AS c) c
       ) rc
     )
-    SELECT doc_id, side, list(p ORDER BY r, c) AS pixels
-    FROM px GROUP BY doc_id, side
+    , res AS (
+      SELECT doc_id, side, list(p ORDER BY r, c) AS pixels
+      FROM px WHERE side IS NOT NULL GROUP BY doc_id, side
+    )
+    SELECT d.doc_id, res.side, res.pixels
+    FROM documents d LEFT JOIN res ON d.doc_id = res.doc_id
     """,
 )
 def mm_resize(spark, sf_dir):

@@ -271,7 +271,7 @@ def txt_pack_sequences(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
              regexp_split_to_array(text, '\n') AS lines
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), s AS (
       SELECT doc_id,
         len(toks)::BIGINT AS n_words,
@@ -291,6 +291,7 @@ def txt_pack_sequences(spark, sf_dir):
             / greatest(len(toks) - 2, 1) AS dup_3gram_frac
       FROM t
     )
+    , g AS (
     SELECT doc_id, n_words,
            floor(mean_word_len * 1000000 + 0.5) / 1000000 AS mean_word_len,
            n_stopword_hits,
@@ -302,7 +303,10 @@ def txt_pack_sequences(spark, sf_dir):
            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
            AND n_stopword_hits >= 1 AND dup_line_frac <= 0.3
            AND dup_word_frac <= 0.5 AND dup_2gram_frac <= 0.05 AS passes_gopher
-    FROM s
+    FROM s)
+    SELECT d.doc_id, g.n_words, g.mean_word_len, g.n_stopword_hits,
+           g.dup_word_frac, g.dup_2gram_frac, g.dup_3gram_frac, g.passes_gopher
+    FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
     """,
 )
 def txt_gopher_quality(spark, sf_dir):
@@ -381,7 +385,9 @@ def txt_top_ngram(spark, sf_dir):
       FROM t
     )
     SELECT doc_id, n_lines_total, len(kept)::BIGINT AS n_lines_kept,
-           coalesce(length(array_to_string(kept, chr(10))), 0)::BIGINT AS cleaned_len,
+           CASE WHEN kept IS NULL THEN NULL
+                ELSE coalesce(length(array_to_string(kept, chr(10))), 0) END::BIGINT
+             AS cleaned_len,
            len(kept) >= 1 AS doc_kept
     FROM k
     """,
@@ -662,7 +668,7 @@ def txt_bigram_logprob(spark, sf_dir):
       FROM t
     )
     SELECT source, bin_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
-           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text
+           coalesce(string_agg(text, chr(10) || chr(10) ORDER BY doc_id), '') AS packed_text
     FROM binned GROUP BY source, bin_id
     """,
 )
@@ -716,7 +722,7 @@ def _script_oracle() -> str:
         SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
                          ORDER BY fval DESC, s DESC) AS rn FROM u) WHERE rn = 1)
     SELECT d.doc_id, {cols}, dom.dominant_script
-    FROM documents d JOIN dom ON d.doc_id = dom.doc_id
+    FROM documents d LEFT JOIN dom ON d.doc_id = dom.doc_id
     """
 
 
@@ -1206,7 +1212,8 @@ def txt_eval_em_f1(spark, sf_dir):
     WITH g AS (
       SELECT event_id % 40 AS task_id,
              count(*) AS n,
-             CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS c
+             CAST(sum(CASE WHEN value IS NULL THEN NULL
+                           WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS c
       FROM events GROUP BY event_id % 40
     )
     SELECT task_id, n, c,

@@ -55,10 +55,19 @@ EMPTY_PINNED = {
 }
 
 # --single mode pins (1-row tables) — discovered by the round-9 sweep
-SINGLE_PINNED: dict[str, str] = {}
+SINGLE_PINNED: dict[str, str] = {
+    "rel_pivot": "pivot value columns are data-driven; 1 row exposes only its own status (oracle hardcodes F/O/P)",
+    "rel_unstack": "unstack column count is data-driven; 1 source row -> 1 column (oracle hardcodes 5)",
+    "scale_zorder_events": "z-order bucket normalization is degenerate at min==max (0/0 range); engine maps the single point to bucket 0, the oracle's closed-form to 255 — both are arbitrary placements of one point",
+}
 
 # --allnull mode pins (3 rows, every column null) — round-9 sweep
-ALLNULL_PINNED: dict[str, str] = {}
+ALLNULL_PINNED: dict[str, str] = {
+    "rel_pivot": "pivot value columns are data-driven; all-null status yields a 'null' column the static oracle cannot name",
+    "rel_unstack": "unstack column count is data-driven on distinct values; all-null input yields 1 column vs the oracle's 5",
+    "win_ewm_dual_keys": "the recursive-CTE oracle re-associates rows by event_id; all-null ids make the join degenerate (null never equals null) — the engine's null-key group is not SQL-addressable",
+    "win_ewm_std": "same event_id re-association limit as win_ewm_dual_keys",
+}
 
 
 def _fix_obj(v):
