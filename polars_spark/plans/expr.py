@@ -2920,17 +2920,38 @@ class Expr:
         return self
 
     def to_physical(self):
-        """Physical representation: Date -> days since epoch, Datetime ->
-        µs since epoch, Categorical/Enum -> the string itself (documented
-        passthrough), everything else unchanged."""
+        """Physical representation (reference dtype.rs:135 to_physical):
+        Date -> days since epoch (Int32), Datetime -> µs since epoch
+        (Int64), Time -> ns since midnight (Int64), Enum -> the UInt32
+        category INDEX into the frozen categories (function_expr/cat.rs),
+        plain Categorical -> the string itself (the engine's documented
+        §1.2 passthrough: there is no global interning cache to index
+        into), everything else unchanged."""
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
-            t = dict(zip(ctx.df.columns, [f.dataType.simpleString() for f in ctx.df.schema])).get(self._name)
+            cats = self._enum_cats(ctx)
+            if cats:
+                arr = F.array(*[F.lit(x) for x in cats])
+                return (F.array_position(arr, c) - 1).cast("bigint")
+            try:
+                # resolve the EXPRESSION's dtype (analysis only, no job): a
+                # name-based schema lookup misses chained casts like
+                # cast(Time).to_physical()
+                t = ctx.df.select(c.alias("__tp__")).schema["__tp__"].dataType.simpleString()
+            except Exception:
+                t = dict(zip(ctx.df.columns, [f.dataType.simpleString() for f in ctx.df.schema])).get(self._name)
             if t == "date":
                 return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("int")
             if t in ("timestamp", "timestamp_ntz"):
                 return F.unix_micros(c.cast("timestamp"))
+            if t is not None and t.split("(")[0] == "time":
+                sec = F.split(c.cast("string"), ":")[2]
+                return (
+                    F.hour(c).cast("bigint") * F.lit(3_600_000_000_000)
+                    + F.minute(c).cast("bigint") * F.lit(60_000_000_000)
+                    + (sec.cast("decimal(16,9)") * F.lit(1_000_000_000)).cast("bigint")
+                )
             return c
 
         return Expr(fn, self._name)
@@ -3156,8 +3177,16 @@ class Expr:
 
     def _k_extreme(self, k: int, *, desc: bool):
         def shape(c):
+            # reference top_k_num_impl: out_len = min(k, len) INCLUDING
+            # nulls, reconstructed "with nulls at the end" — so the non-null
+            # extremes are padded with trailing nulls up to that length
             arr = F.array_sort(F.filter(c, lambda v: v.isNotNull()))
-            return F.slice(F.reverse(arr) if desc else arr, 1, k)
+            picked = F.slice(F.reverse(arr) if desc else arr, 1, k)
+            pad = F.greatest(
+                F.least(F.lit(k), F.size(c)) - F.size(picked), F.lit(0)
+            )
+            nulls = F.transform(F.slice(c, 1, pad), lambda v: F.when(F.lit(False), v))
+            return F.concat(picked, nulls)
 
         out = self._implode_map(shape)
         parent = self

@@ -722,3 +722,47 @@ def sf_cat_lexical(spark, sf_dir):
         .to_spark()
     )
     return out.select("container", "n", "first_cat", fround(F.col("avg_price"), 4).alias("avg_price"))
+
+
+@query(
+    "sf_cat_physical",
+    # Enum.to_physical is the UInt32 index into the FROZEN categories
+    # (reference dtype.rs:135 / function_expr/cat.rs) — with ['R','N','A']
+    # the physical codes are 0/1/2, and a round-trip gather restores the
+    # original strings.  The oracle replays the index table by hand.
+    oracle="""
+    SELECT l_linestatus AS status,
+           CAST(sum(CASE l_returnflag WHEN 'R' THEN 0 WHEN 'N' THEN 1 WHEN 'A' THEN 2 END) AS BIGINT)
+             AS phys_sum,
+           CAST(min(CASE l_returnflag WHEN 'R' THEN 0 WHEN 'N' THEN 1 WHEN 'A' THEN 2 END) AS BIGINT)
+             AS phys_min,
+           CAST(max(CASE l_returnflag WHEN 'R' THEN 0 WHEN 'N' THEN 1 WHEN 'A' THEN 2 END) AS BIGINT)
+             AS phys_max,
+           CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_roundtrip_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sf_cat_physical(spark, sf_dir):
+    """Enum physical codes + round-trip: to_physical yields the frozen
+    category index; gathering the categories by that index must restore
+    every original value (n_roundtrip_ok counts exact matches)."""
+    li = ltable(spark, sf_dir, "lineitem")
+    flag = pl.col("l_returnflag").cast(pl.Enum(["R", "N", "A"]))
+    import pyspark.sql.functions as F
+
+    base = li.with_columns(phys=flag.to_physical()).to_spark()
+    cats_arr = F.array(F.lit("R"), F.lit("N"), F.lit("A"))
+    base = base.withColumn("rt", F.get(cats_arr, F.col("phys").cast("int")))
+    return (
+        base.groupBy(F.col("l_linestatus").alias("status"))
+        .agg(
+            F.sum("phys").cast("bigint").alias("phys_sum"),
+            F.min("phys").cast("bigint").alias("phys_min"),
+            F.max("phys").cast("bigint").alias("phys_max"),
+            F.sum(
+                F.when(F.col("rt") == F.col("l_returnflag"), 1).otherwise(0)
+            ).cast("bigint").alias("n_roundtrip_ok"),
+        )
+    )
+

@@ -191,7 +191,8 @@ def web_domain_cap(spark, sf_dir):
     ), dom AS (
       SELECT doc_id, {_DOMAIN_SQL} AS domain FROM hosted
     ), kept AS (
-      SELECT * FROM dom WHERE domain NOT IN ('src0.example.com', 'news.co.uk')
+      SELECT * FROM dom
+      WHERE domain IS NULL OR domain NOT IN ('src0.example.com', 'news.co.uk')
     )
     SELECT domain, count(*) AS n_docs,
            floor(count(*) / (SELECT count(*) FROM kept) * 1000000 + 0.5) / 1000000 AS share

@@ -70,14 +70,24 @@ ALLNULL_PINNED: dict[str, str] = {
 }
 
 
+def _fix_el(x):
+    # inside lists: Spark renders null doubles as nan, DuckDB as None —
+    # normalize both to None so list compares are representation-blind
+    if x is None or x is np.ma.masked:
+        return None
+    if isinstance(x, (float, np.floating)) and np.isnan(x):
+        return None
+    return x
+
+
 def _fix_obj(v):
     # DuckDB .df() renders nulls inside/as arrays with numpy masked values
     if v is np.ma.masked:
         return None
     if isinstance(v, np.ma.MaskedArray):
-        return tuple(v.tolist())  # masked entries -> None
+        return tuple(_fix_el(x) for x in v.tolist())  # masked entries -> None
     if isinstance(v, (list, np.ndarray)):
-        return tuple(v)  # lists/arrays -> tuples so they sort & compare
+        return tuple(_fix_el(x) for x in v)  # lists/arrays -> tuples
     return v
 
 
