@@ -6,6 +6,15 @@ logical plan its DataFrame API builds — exactly what ``spark.sql`` does over
 Catalyst, so the entire §2.9 surface (SELECT/joins/CTEs/UNION/INTERSECT/
 EXCEPT/subqueries/window fns) is inherited; this class only provides the
 frame-registration API.
+
+Documented dialect divergence (pinned in tests/test_round9_sql_dialect.py):
+polars-sql lowers ``/`` to true_div (sql_expr.rs:660 — IEEE Float64, x/0 ->
+±inf), while raw SQL here keeps Spark's ANSI division (zero divisor ERRORS).
+Bridging would require re-parsing every statement's expression tree; the
+engine's DataFrame API (`pl.col(...) / ...`) carries the polars IEEE rule,
+so polars-faithful division is one `.select()` away — in SQL text, write
+``try_divide`` / ``nullif`` explicitly.  The fuzz families (§ test_property
+_fuzz3) stay inside the agreeing ANSI subset.
 """
 
 from __future__ import annotations
