@@ -459,6 +459,49 @@ def scale_key_skew_profile(spark, sf_dir):
 
 
 @query(
+    "scale_salted_join",
+    # salted equi-join must be RESULT-identical to the plain join: salting
+    # only changes the shuffle layout (key, salt), never the row set
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def scale_salted_join(spark, sf_dir):
+    """pl.salted_join (explicit hot-key salting — the control for EXTREME
+    single-key skew beyond AQE's split): fact side salted by row hash, dim
+    side replicated across the salt space, joined on (key, salt).  The
+    oracle is the unsalted join, so any row loss/duplication from the salt
+    plumbing goes red."""
+    from polars_spark.functions import salted_join
+    from polars_spark.queries import ltable
+
+    li = ltable(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = ltable(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li,
+        orders.rename({"o_orderkey": "l_orderkey"}),
+        "l_orderkey",
+        salt=8,
+    )
+    return (
+        joined.group_by("o_orderpriority")
+        .agg(
+            pl.len().alias("n"),
+            (pl.col("l_extendedprice") * 100)
+            .round(0)
+            .cast("bigint")
+            .sum()
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+        .to_spark()
+    )
+
+
+@query(
     "io_bucketed_join",
     oracle="""
     SELECT a.event_type, count(*) AS n,
