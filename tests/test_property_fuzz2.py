@@ -352,8 +352,30 @@ def c_bool_roundtrip(pl, rng):
     )
 
 
+def c_str_to_uint(pl, rng):
+    # round-9: unsigned targets ride wider SIGNED Spark types, so the value
+    # range is gated explicitly — '300' -> UInt8 is null, '-1' rejected by
+    # the grammar ('+' allowed), u8/u16/u32 umax enforced
+    name, umax = rng.choice([("UInt8", 255), ("UInt16", 65535), ("UInt32", 4294967295)])
+    return (
+        pl.col("sn").cast(getattr(pl, name), strict=False).cast(pl.Int64),
+        f"CASE WHEN regexp_matches(sn, '^\\+?[0-9]+$')"
+        f" AND TRY_CAST(sn AS HUGEINT) BETWEEN 0 AND {umax}"
+        f" THEN TRY_CAST(sn AS BIGINT) END",
+    )
+
+
+def c_int_to_uint(pl, rng):
+    # numeric sources out of the unsigned range null out too
+    name, umax = rng.choice([("UInt8", 255), ("UInt16", 65535), ("UInt32", 4294967295)])
+    return (
+        pl.col("i").cast(getattr(pl, name), strict=False).cast(pl.Int64),
+        f"CASE WHEN i BETWEEN 0 AND {umax} THEN CAST(i AS BIGINT) END",
+    )
+
+
 CASTS = [c_str_to_int, c_str_to_float, c_int_to_str, c_int_downcast,
-         c_bool_to_str, c_bool_roundtrip]
+         c_bool_to_str, c_bool_roundtrip, c_str_to_uint, c_int_to_uint]
 
 
 @pytest.mark.parametrize("seed", range(N_FRAMES))
