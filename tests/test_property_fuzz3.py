@@ -61,10 +61,15 @@ _SCALARS = [
 ]
 
 # dialect-shim forms: polars-sql accepts these; our shim rewrites them
-# for Spark, DuckDB parses them natively
+# for Spark, DuckDB parses them natively.  `//` is the polars integer
+# division — the shim maps it to Spark DIV, which agrees with DuckDB's
+# floor `//` on NON-NEGATIVE operands (the documented dialect contract),
+# so the fuzz keeps the dividend non-negative.
 _DIALECT = [
     ('"i" + 1', "coalesce_free"),  # double-quoted identifier -> backtick
     ("k::int8", "pg_cast"),  # Postgres type alias after ::
+    ("abs(coalesce(i, 0)) // 7", "int_div"),  # polars `//` -> Spark DIV
+    ("abs(coalesce(k, 1)) // 3 + 1", "int_div2"),
 ]
 
 _PREDS = [

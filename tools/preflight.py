@@ -15,11 +15,12 @@ one summary block to paste into COVERAGE.md:
 Each stage is a subprocess so one Spark session's state can't leak into
 the next; a stage failing does not stop the rest.  Usage:
 
-  python tools/preflight.py [--quick] [--soak] [sf_dir]
+  python tools/preflight.py [--quick] [--soak] [--full] [sf_dir]
 
 --quick skips pytest (stages 1-6 only, ~25 min); --soak adds the 96-seed
-fuzz soak (stage 8, ~40 min extra).  Exit 0 only if every ran stage
-passed.
+fuzz soak (stage 8, ~40 min extra); --full adds the partition-invariance
+and AQE-invariance sweeps (each re-runs the registry twice).  Exit 0
+only if every ran stage passed.
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ def main() -> int:
     args = sys.argv[1:]
     quick = "--quick" in args
     soak = "--soak" in args
+    full = "--full" in args
     args = [a for a in args if not a.startswith("--")]
     sf = args[0] if args else "/root/testdata/sf0.01"
     py = sys.executable
@@ -66,6 +68,9 @@ def main() -> int:
         ("determinism", [py, "tools/determinism.py", sf], None),
         ("plan audit", [py, "tools/audit_plans.py", sf], None),
     ]
+    if full:
+        stages.append(("partition invariance", [py, "tools/partition_invariance.py", sf], None))
+        stages.append(("AQE invariance", [py, "tools/engine_invariance.py", sf], None))
     if not quick:
         stages.append(("pytest", [py, "-m", "pytest", "tests/", "-q", "--tb=line"], None))
     if soak:
