@@ -8,8 +8,9 @@ The driver verifies ``list(queries())[:50]``, so the dict's ORDER is the
 sampling policy.  Rounds 1-7 exposed 77 distinct names; from round 8 the
 order rotates: the 22 TPC-H flagships stay as the prefix (plan-pinned,
 always re-verified), and the next 28 slots cycle through never-yet-sampled
-registry entries (full local strict + hostile vanilla sweeps stay 238/238
-every round, so rotation converts local-only green into driver green).
+registry entries (the full local strict sweep covers the whole registry —
+245 queries at round 9 — every round, so rotation converts local-only
+green into driver green at zero risk).
 Round 8 window: win_ewm_*/win_* order-dependent tail, tmp_*, stream_*,
 udf_*, dedup_* (all 28 driver-green, CORRECTNESS_r08).  Round 9 window:
 the scalar/dtype sf_* gates, agg_* tail, rel_* relational tail, io_*

@@ -38,9 +38,18 @@ def _events_stream_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
-    d = f"/tmp/polars_spark_stream/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/events"
-    os.makedirs(d, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
+    # key the staging dir on the SOURCE CONTENT fingerprint, not the path
+    # alone: degenerate-sweep scratch dirs embed pids, and a recycled pid
+    # (or any stale /tmp state) must never serve another run's symlinks —
+    # round-9 preflight saw exactly one such cross-mode read
+    try:
+        st = os.stat(src)
+        fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fp = sf_dir
+    d = f"/tmp/polars_spark_stream/{hashlib.md5(fp.encode()).hexdigest()[:12]}/events"
+    os.makedirs(d, exist_ok=True)
     # a Spark-written fixture is a DIRECTORY of part files: symlink each
     # part file (a directory symlink hides the data from the file stream
     # source, which lists *files* — silently zero rows, r8 sf1 bench)
@@ -229,7 +238,7 @@ def stream_interval_join_agg(spark, sf_dir):
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), g AS (
       SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid

@@ -36,6 +36,11 @@ _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
 ALLOW_CARTESIAN = {"join_cross", "join_where_theta", "join_where_strict",
                    "join_where_nonstrict", "join_where_single"}
 
+# queries whose single-partition exchange IS the requested polars semantics
+# (global running folds over the scan order are inherently sequential —
+# documented in PERFORMANCE.md since round 6; reviewed every round)
+DOCUMENTED_SEQUENTIAL = {"io_scan_order_cumsum", "io_scan_order_shift_first"}
+
 
 def single_partition_hazards(plan: str) -> list[str]:
     """Lines with a SinglePartition exchange whose input is NOT a partial
@@ -90,9 +95,14 @@ def main() -> int:
         if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
             hazards.append("CartesianProduct outside an explicit cross-join query")
         n_single = plan.count("SinglePartition")
-        flag = f"  !! {len(hazards)} HAZARDS" if hazards else ""
-        if hazards:
-            bad += 1
+        if hazards and name in DOCUMENTED_SEQUENTIAL and not any(
+            "BatchEvalPython" in h or "CartesianProduct" in h for h in hazards
+        ):
+            flag = "  (documented sequential fold — PERFORMANCE.md)"
+        else:
+            flag = f"  !! {len(hazards)} HAZARDS" if hazards else ""
+            if hazards:
+                bad += 1
         print(
             f"{name}: joins={joins or '-'} exchanges={plan.count('Exchange ')} "
             f"single_partition={n_single} scalar_ok={n_single - len(sp_hazards)}"

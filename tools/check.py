@@ -178,8 +178,9 @@ def main() -> int:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        edir = os.path.join(tempfile.gettempdir(), f"sparkgraft_{mode}_{os.getpid()}")
-        os.makedirs(edir, exist_ok=True)
+        # mkdtemp, not a pid-derived name: a recycled pid (or any stale /tmp
+        # state) must never let one mode's staged tables serve another run
+        edir = tempfile.mkdtemp(prefix=f"sparkgraft_{mode}_")
         for t in TABLES:
             if empty:
                 out = pq.read_schema(f"{sf_dir}/{t}.parquet").empty_table()
