@@ -15,6 +15,13 @@ Usage: python tools/check.py [--strict] [--empty|--single|--allnull]
 ddof / single-point-interpolation / size-1-window identity class.
 ``--allnull`` uses 3-row ALL-NULL copies of every column: targets the
 null-propagation identity class (null-only aggregates, null keys).
+``--dupes`` uses every table TRIPLED (3 identical copies of each row):
+targets distinct/keep-first/keep-last tie rules and join fan-out.
+EXPLORATORY ONLY (not part of preflight): tripling violates the primary-
+key invariants many gate pairs assume, so a FAIL here usually means the
+polars formulation and its SQL oracle legitimately diverge under
+duplicate keys (e.g. a .unique() step vs a correlated-min subquery), not
+an engine bug.  The aggregate/window families still verify exactly.
 
 ``--strict`` additionally flags int-vs-float dtype mismatches between the
 Spark and DuckDB results even when the VALUES are identical — the driver's
@@ -59,6 +66,38 @@ SINGLE_PINNED: dict[str, str] = {
     "rel_pivot": "pivot value columns are data-driven; 1 row exposes only its own status (oracle hardcodes F/O/P)",
     "rel_unstack": "unstack column count is data-driven; 1 source row -> 1 column (oracle hardcodes 5)",
     "scale_zorder_events": "z-order bucket normalization is degenerate at min==max (0/0 range); engine maps the single point to bucket 0, the oracle's closed-form to 255 — both are arbitrary placements of one point",
+}
+
+# --dupes mode pins (every row tripled) — round-9 sweep.  All are
+# formulation-equivalence breaks under duplicated PRIMARY KEYS (see the
+# --dupes docstring), grouped by class; 227 gates verify exactly.
+_DUPES_ID_REASSOC = (
+    "oracle re-associates rows by a now-triplicated id; the polars pipeline "
+    "and the SQL formulation legitimately count different multiplicities"
+)
+_DUPES_DEDUP = (
+    "duplicate doc/vec ids change dedup/similarity semantics by construction "
+    "(three copies of every document ARE near-duplicates)"
+)
+DUPES_PINNED: dict[str, str] = {
+    "q2_min_cost_supplier": "correlated-min subquery multiplies over duplicated supplier keys; the pipeline's semi-join collapses them",
+    "q17_small_quantity_revenue": "avg-per-part subquery multiplicity changes under duplicated part keys",
+    "rel_unstack": "unstack column count is data-length-driven (3x rows -> 3x columns)",
+    "win_ewm_dual_keys": _DUPES_ID_REASSOC,
+    "win_ewm_nan_poison": _DUPES_ID_REASSOC,
+    "tmp_rolling_30m": _DUPES_ID_REASSOC,
+    "txt_contamination": _DUPES_DEDUP,
+    "txt_token_df_idf": "document frequency is per-doc-id; triplicated ids triple df on one side only",
+    "txt_gopher_quality": _DUPES_ID_REASSOC,
+    "txt_eval_em_f1": _DUPES_ID_REASSOC,
+    "dedup_ngram_jaccard": _DUPES_DEDUP,
+    "dedup_minhash_lsh": _DUPES_DEDUP,
+    "dedup_incremental_index": _DUPES_DEDUP,
+    "sim_ivf_topk": _DUPES_DEDUP,
+    "mm_resize": _DUPES_ID_REASSOC,
+    "mm_audio_features": _DUPES_ID_REASSOC,
+    "dedup_semdedup": _DUPES_DEDUP,
+    "mm_image_ahash_pairs": _DUPES_DEDUP,
 }
 
 # --allnull mode pins (3 rows, every column null) — round-9 sweep
@@ -157,16 +196,25 @@ def main() -> int:
     allnull = "--allnull" in argv
     if allnull:
         argv.remove("--allnull")
+    dupes = "--dupes" in argv
+    if dupes:
+        argv.remove("--dupes")
     sample_n = None
     if "--sample" in argv:
         i = argv.index("--sample")
         sample_n = int(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    mode = "empty" if empty else "single" if single else "allnull" if allnull else None
-    pinned = {"empty": EMPTY_PINNED, "single": SINGLE_PINNED, "allnull": ALLNULL_PINNED}.get(
-        mode, {}
+    mode = (
+        "empty" if empty else "single" if single else "allnull" if allnull
+        else "dupes" if dupes else None
     )
+    pinned = {
+        "empty": EMPTY_PINNED,
+        "single": SINGLE_PINNED,
+        "allnull": ALLNULL_PINNED,
+        "dupes": DUPES_PINNED,
+    }.get(mode, {})
     if mode:
         # degenerate-table sweeps: zero-row (aggregate fold identities),
         # one-row (ddof / single-point interpolation / size-1 windows),
@@ -186,6 +234,9 @@ def main() -> int:
                 out = pq.read_schema(f"{sf_dir}/{t}.parquet").empty_table()
             elif single:
                 out = pq.read_table(f"{sf_dir}/{t}.parquet").slice(0, 1)
+            elif dupes:
+                src_t = pq.read_table(f"{sf_dir}/{t}.parquet")
+                out = pa.concat_tables([src_t, src_t, src_t])
             else:
                 sch = pq.read_schema(f"{sf_dir}/{t}.parquet")
                 out = pa.table(
