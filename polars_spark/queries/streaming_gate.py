@@ -98,7 +98,7 @@ def _run_to_batch(spark, stream_df, *, output_mode: str) -> "object":
     oracle="""
     SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ts,
            floor(sum(value) * 1e4 + 0.5) / 1e4 AS total, count(*) AS n
-    FROM events GROUP BY event_type, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type, 2
     """,
 )
 def stream_tumbling_1h(spark, sf_dir):
@@ -152,7 +152,7 @@ def stream_dedup_keys(spark, sf_dir):
     "stream_running_totals",
     oracle="""
     SELECT user_id, count(*) AS n,
-           floor(sum(value) * 1e4 + 0.5) / 1e4 AS total
+           floor(coalesce(sum(value), 0) * 1e4 + 0.5) / 1e4 AS total
     FROM events GROUP BY user_id
     """,
 )

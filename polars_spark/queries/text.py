@@ -1179,7 +1179,8 @@ _PASSK_PROD = " * ".join(
       FROM norm LEFT JOIN inter ON norm.doc_id = inter.doc_id
     )
     SELECT doc_id, em,
-      floor(CASE WHEN np = 0 AND nr = 0 THEN 1.0
+      floor(CASE WHEN np IS NULL OR nr IS NULL THEN NULL
+           WHEN np = 0 AND nr = 0 THEN 1.0
            WHEN np = 0 OR nr = 0 OR common = 0 THEN 0.0
            ELSE 2.0 * (common/CAST(np AS DOUBLE)) * (common/CAST(nr AS DOUBLE))
                 / (common/CAST(np AS DOUBLE) + common/CAST(nr AS DOUBLE)) END * 1e9 + 0.5) / 1e9 AS f1

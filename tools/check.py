@@ -106,6 +106,7 @@ ALLNULL_PINNED: dict[str, str] = {
     "rel_unstack": "unstack column count is data-driven on distinct values; all-null input yields 1 column vs the oracle's 5",
     "win_ewm_dual_keys": "the recursive-CTE oracle re-associates rows by event_id; all-null ids make the join degenerate (null never equals null) — the engine's null-key group is not SQL-addressable",
     "win_ewm_std": "same event_id re-association limit as win_ewm_dual_keys",
+    "win_ewm_mean": "same event_id re-association limit as win_ewm_dual_keys",
 }
 
 
