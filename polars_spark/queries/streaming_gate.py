@@ -30,7 +30,7 @@ _EVENTS_SCHEMA = (
 )
 
 
-def _events_stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """Spark's file streaming source reads a DIRECTORY (it tails new files
     as they arrive).  The fixtures are single parquet files, so stage a
     stable per-sf temp directory holding a symlink to the file — in
@@ -38,7 +38,7 @@ def _events_stream_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     # key the staging dir on the SOURCE CONTENT fingerprint, not the path
     # alone: degenerate-sweep scratch dirs embed pids, and a recycled pid
     # (or any stale /tmp state) must never serve another run's symlinks —
@@ -48,7 +48,7 @@ def _events_stream_dir(sf_dir: str) -> str:
         fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         fp = sf_dir
-    d = f"/tmp/polars_spark_stream/{hashlib.md5(fp.encode()).hexdigest()[:12]}/events"
+    d = f"/tmp/polars_spark_stream/{hashlib.md5(fp.encode()).hexdigest()[:12]}/{table}"
     os.makedirs(d, exist_ok=True)
     # a Spark-written fixture is a DIRECTORY of part files: symlink each
     # part file (a directory symlink hides the data from the file stream
@@ -60,14 +60,14 @@ def _events_stream_dir(sf_dir: str) -> str:
         if os.path.isdir(src)
         else [src]
     )
-    legacy = os.path.join(d, "events.parquet")  # pre-r8 single-link layout
+    legacy = os.path.join(d, f"{table}.parquet")  # pre-r8 single-link layout
     if os.path.islink(legacy):
         try:
             os.unlink(legacy)
         except OSError:
             pass
     for i, t in enumerate(targets):
-        link = os.path.join(d, f"events_{i}.parquet")
+        link = os.path.join(d, f"{table}_{i}.parquet")
         # tolerate the create race: two concurrent processes staging the
         # same sf_dir both point the link at the same target, losing is fine
         try:
@@ -75,6 +75,10 @@ def _events_stream_dir(sf_dir: str) -> str:
         except FileExistsError:
             pass
     return d
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _stream_dir(sf_dir, "events")
 
 
 def _run_to_batch(spark, stream_df, *, output_mode: str) -> "object":
@@ -281,3 +285,64 @@ def stream_session_windows(spark, sf_dir):
         )
     )
     return _run_to_batch(spark, agg, output_mode="complete")
+
+
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@query(
+    "stream_minhash_suppress",
+    # exact-jaccard oracle (dedup_minhash_lsh rationale: in-stream
+    # verification makes precision 1.0, and the deterministic hashes give
+    # 100% recall on this corpus's clique-shaped clusters): a doc is
+    # suppressed iff a SMALLER doc is >= 0.8-similar, and its representative
+    # is the smallest such doc — exactly the star-link construction the
+    # stateful operator reproduces under an availableNow catch-up run.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    jac AS (
+      SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+             count(*)::DOUBLE / (a.n + b.n - count(*)) AS j
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      JOIN sizes a ON a.doc_id = s1.doc_id
+      JOIN sizes b ON b.doc_id = s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id, a.n, b.n
+      HAVING count(*)::DOUBLE / (a.n + b.n - count(*)) >= 0.8
+    ),
+    reps AS (SELECT d2 AS doc, min(d1) AS rep FROM jac GROUP BY d2)
+    SELECT r.doc, r.rep, floor(j.j * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM reps r JOIN jac j ON j.d2 = r.doc AND j.d1 = r.rep
+    """,
+)
+def stream_minhash_suppress(spark, sf_dir):
+    """Streaming near-duplicate suppression at ingest
+    (streaming.streaming_minhash_suppress): per-band bucket representatives
+    in the state store, exact-verified matches emitted continuously.  A doc
+    can match its representative in several bands — the final projection
+    keeps the (min-rep, jaccard) match per doc, which under availableNow
+    equals the batch star-link edge set."""
+    from polars_spark.streaming import scan_stream_parquet, streaming_minhash_suppress
+
+    src = scan_stream_parquet(
+        _stream_dir(sf_dir, "documents"), schema=_DOCS_SCHEMA, spark=spark
+    )
+    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    matches = streaming_minhash_suppress(
+        src, static_docs, id_col="doc_id", text_col="text"
+    )
+    batch = _run_to_batch(spark, matches, output_mode="update")
+    return (
+        batch.groupBy("doc")
+        .agg(F.min(F.struct("rep", "jaccard")).alias("m"))
+        .select("doc", F.col("m.rep").alias("rep"), F.col("m.jaccard").alias("jaccard"))
+    )

