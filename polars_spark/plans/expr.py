@@ -1609,6 +1609,22 @@ class Expr:
         # reads are cast to double, matching polars' Float64 output on ints)
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            # polars quantile output is f64 for NUMERIC inputs
+            # (Scalar::to_f64); temporal inputs keep their type (element
+            # pick), and date->double is not even a legal Spark cast — so
+            # the f64 cast is gated on one analysis-time type probe
+            to_f64 = True
+            try:
+                t = ctx.df.select(c.alias("__q__")).schema["__q__"].dataType.simpleString()
+                to_f64 = t in (
+                    "tinyint", "smallint", "int", "bigint", "float", "double",
+                ) or t.startswith("decimal")
+            except Exception:
+                pass
+
+            def out(col: Column) -> Column:
+                return col.cast("double") if to_f64 else col
+
             w = getattr(ctx, "_window", None)
             coll = F.collect_list(c).over(w) if w is not None else F.collect_list(c)
             arr = F.array_sort(coll)
@@ -1617,10 +1633,12 @@ class Expr:
             lo = F.floor(pos).cast("int")
             hi = F.ceil(pos).cast("int")
             if interpolation == "lower":
-                return F.get(arr, lo).cast("double")
+                return out(F.get(arr, lo))
             if interpolation == "higher":
-                return F.get(arr, hi).cast("double")
+                return out(F.get(arr, hi))
             if interpolation == "midpoint":
+                if not to_f64:
+                    return F.get(arr, lo)  # polars temporal midpoint: lower
                 # cast BEFORE the add: polars midpoint_interpol works in f64
                 # (and a bigint add of two near-max elements would overflow)
                 return (
@@ -1631,11 +1649,11 @@ class Expr:
                 eidx = F.greatest(
                     F.ceil(n * F.lit(q)).cast("int") - F.lit(1), F.lit(0)
                 )
-                return F.get(arr, eidx).cast("double")
+                return out(F.get(arr, eidx))
             # nearest (polars default): f64::round = half away from zero,
             # which Spark's round on a non-negative double also is
             idx = F.round(pos).cast("int")
-            return F.get(arr, idx).cast("double")
+            return out(F.get(arr, idx))
 
         return Expr(fn, self._name, is_agg=True)
 
