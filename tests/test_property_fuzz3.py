@@ -331,6 +331,58 @@ def test_fuzz_quantile_modes(pl, spark, ddb, seed):
     assert_frames_match(got, want, f"seed={seed} quantile {combos}")
 
 
+# ------------------------------------------------------ enum category order
+# Frozen Enum categories order by CATEGORY INDEX (dtype.rs FrozenCategories):
+# min/max/to_physical follow the randomized category order, never lexical.
+# The oracle replays the index table with CASE chains.
+
+
+@pytest.mark.parametrize("seed", range(N_FRAMES))
+def test_fuzz_enum_order(pl, spark, ddb, seed):
+    import pyarrow as pa
+
+    rng = random.Random(16000 + seed)
+    pool = ["zz", "mid", "aa", "q1", "B", "näh"]
+    cats = rng.sample(pool, rng.randrange(3, 6))
+    n = rng.choice([0, 1, 3, 17, 40])
+    vals = [rng.choice(cats + [None]) for _ in range(n)]
+    keys = [rng.choice(["g1", "g2", None]) for _ in range(n)]
+    tbl = pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "g": pa.array(keys, pa.string()),
+            "v": pa.array(vals, pa.string()),
+        }
+    )
+    ddb.register("t_enum", tbl)
+    e = pl.col("v").cast(pl.Enum(cats), strict=False)
+    got = (
+        pl.from_arrow(tbl)
+        .with_columns(ev=e)
+        .group_by("g")
+        .agg(
+            pl.col("ev").min().alias("emin"),
+            pl.col("ev").max().alias("emax"),
+            pl.col("ev").to_physical().sum().alias("psum"),
+            pl.len().alias("n"),
+        )
+        .collect()
+    )
+    idx = " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate(cats))
+    back = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(cats))
+    want = ddb.execute(
+        f"""
+        SELECT g,
+               CASE min(CASE v {idx} END) {back} END AS emin,
+               CASE max(CASE v {idx} END) {back} END AS emax,
+               CAST(coalesce(sum(CASE v {idx} END), 0) AS BIGINT) AS psum,
+               count(*) AS n
+        FROM t_enum GROUP BY g
+        """
+    ).df()
+    assert_frames_match(got, want, f"seed={seed} enum cats={cats}")
+
+
 @pytest.mark.parametrize("seed", range(N_FRAMES))
 def test_fuzz_sql_cte_window_subquery(pl, spark, ddb, seed):
     rng = random.Random(13000 + seed)
