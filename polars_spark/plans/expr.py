@@ -3211,17 +3211,20 @@ class Expr:
 
         def rewrite(lf):
             # sole expr in a SELECT: the real TakeOrderedAndProject plan
-            # (sort + limit k), k rows out — polars' length-changing top_k
+            # (sort + limit k), k rows out — polars' length-changing top_k.
+            # Nulls sort LAST instead of being filtered: top_k_num_impl
+            # reconstructs "with nulls at the end" up to min(k, len), so a
+            # series with fewer than k non-nulls pads with nulls.
             from polars_spark.plans.frame import LazyFrame
 
             ctx = lf._ctx()
             c = parent._resolve(ctx)
             nm = out._name
+            order = F.col(nm).desc_nulls_last() if desc else F.col(nm).asc_nulls_last()
             df = (
                 lf._with_scalar_preps(ctx)
                 .select(c.alias(nm))
-                .filter(F.col(nm).isNotNull())
-                .orderBy(F.col(nm).desc() if desc else F.col(nm).asc())
+                .orderBy(order)
                 .limit(k)
             )
             return LazyFrame(df, [])
