@@ -444,8 +444,13 @@ def agg_bitwise(spark, sf_dir):
 
 @query(
     "rel_match_schema",
+    # the final DECIMAL column is rendered as VARCHAR on BOTH sides: the
+    # driver's value hash is representation-sensitive and Spark toPandas
+    # yields decimal.Decimal objects while DuckDB .df() widens DECIMAL to
+    # float64 (round-9 driver red).  The cast-to-decimal semantics under
+    # test are unchanged — only the final rendering is stabilized.
     oracle="""
-    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+    SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS c_acctbal,
            CAST(NULL AS VARCHAR) AS c_phone
     FROM customer
     """,
@@ -457,7 +462,7 @@ def rel_match_schema(spark, sf_dir):
         {"c_custkey": "Int64", "c_acctbal": "decimal(12,2)", "c_phone": "String"},
         missing_columns="insert",
     )
-    return out.to_spark()
+    return out.with_columns(pl.col("c_acctbal").cast("String")).to_spark()
 
 
 @query(
@@ -560,17 +565,21 @@ def sf_find_many(spark, sf_dir):
     # DECIMAL(12,2)/(18,4) arithmetic is EXACT on both engines (SURVEY §1.2:
     # both 128-bit, max precision 38) — sums compare as exact decimals, no
     # float rounding discipline needed.
+    # final DECIMAL columns render as VARCHAR on BOTH sides — exactness is
+    # preserved (fixed scale -> fixed digit count) while the representation
+    # survives the toPandas/duckdb-df boundary identically (round-9 driver
+    # red: Decimal objects vs float64 hash-diverge even on equal values).
     oracle="""
     SELECT l_returnflag,
-           CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DECIMAL(22,2))
-             AS dec_sum,
-           CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
-             AS dec_min,
-           CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
-             AS dec_max,
-           CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DECIMAL(22,2))
+             AS VARCHAR) AS dec_sum,
+           CAST(CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+             AS VARCHAR) AS dec_min,
+           CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+             AS VARCHAR) AS dec_max,
+           CAST(CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                     * CAST(1 - l_discount AS DECIMAL(18,4))), 0) AS DECIMAL(38,6))
-             AS dec_rev
+             AS VARCHAR) AS dec_rev
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -588,10 +597,10 @@ def sf_decimal_exact(spark, sf_dir):
     return (
         li.group_by("l_returnflag")
         .agg(
-            price2.sum().cast("decimal(22,2)").alias("dec_sum"),
-            price2.min().cast("decimal(12,2)").alias("dec_min"),
-            price2.max().cast("decimal(12,2)").alias("dec_max"),
-            (price4 * disc4).sum().cast("decimal(38,6)").alias("dec_rev"),
+            price2.sum().cast("decimal(22,2)").cast("String").alias("dec_sum"),
+            price2.min().cast("decimal(12,2)").cast("String").alias("dec_min"),
+            price2.max().cast("decimal(12,2)").cast("String").alias("dec_max"),
+            (price4 * disc4).sum().cast("decimal(38,6)").cast("String").alias("dec_rev"),
         )
         .sort("l_returnflag")
         .to_spark()

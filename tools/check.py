@@ -141,8 +141,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def _has_decimal_objects(col: pd.Series) -> bool:
+    import decimal
+
+    if col.dtype != object:
+        return False
+    nn = col.dropna()
+    return len(nn) > 0 and isinstance(nn.iloc[0], decimal.Decimal)
+
+
 def dtype_problems(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
-    """int-vs-float representation mismatches that trip the driver's value hash."""
+    """Representation mismatches that trip the driver's value hash even when
+    values compare equal: int-vs-float (q12, round 5) and Decimal-object-vs-
+    float64 (sf_decimal_exact / rel_match_schema, round 9 — Spark toPandas
+    keeps DecimalType as decimal.Decimal objects, DuckDB .df() widens
+    DECIMAL to float64).  A gate must not emit DecimalType in its FINAL
+    schema; render as VARCHAR on both sides instead."""
     out = []
     for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
         sk = spark_pdf[c].dtype.kind
@@ -151,6 +165,13 @@ def dtype_problems(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         # the unambiguous numeric-representation split.
         if {sk, ok} == {"i", "f"} or {sk, ok} == {"u", "f"}:
             out.append(f"DTYPE col={c} spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}")
+        sd, od = _has_decimal_objects(spark_pdf[c]), _has_decimal_objects(oracle_pdf[c])
+        if sd != od:
+            out.append(
+                f"DTYPE col={c} Decimal objects on "
+                f"{'spark' if sd else 'oracle'} side only (driver hash-diverges; "
+                "render final decimals as VARCHAR on both sides)"
+            )
     return out
 
 
