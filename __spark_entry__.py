@@ -14,8 +14,17 @@ green into driver green at zero risk).
 Round 8 window: win_ewm_*/win_* order-dependent tail, tmp_*, stream_*,
 udf_*, dedup_* (all 28 driver-green, CORRECTNESS_r08).  Round 9 window:
 the scalar/dtype sf_* gates, agg_* tail, rel_* relational tail, io_*
-round-trips, h2o_* group-by suite — the families with the most
-never-driver-sampled semantic surface (VERDICT r8 next-round #1).
+round-trips, h2o_* group-by suite (26/28 green; the 2 reds were the
+decimal-final hash-representation gates, fixed round 10).
+
+Round 10 (VERDICT r9 next-round #2/#6): the pinned flagship prefix
+shrinks from 22 to 6 (q1/q3/q6/q9/q18/q21 — the plan-audit sentinels),
+widening the rotation window to 44 slots so full driver coverage of the
+246-gate registry lands in ~2.5 rounds instead of 4.  Window #3 leads
+with the LLM scale-path flagships that had zero driver evidence
+(dedup_minhash_star, sim_ivf_topk, txt_bm25_topk, web_pagerank,
+stream_minhash_suppress), then closes out dedup/sim/emb/mm/web/stream
+entirely plus the first third of txt_*.
 """
 
 from __future__ import annotations
@@ -26,40 +35,64 @@ from pyspark.sql import DataFrame, SparkSession
 
 from polars_spark.queries import QUERIES, ORACLE_SQL
 
-_FLAGSHIP_PREFIX = [
-    f"q{i}_" for i in (1, 3, 5, 6, 10, 14, 18, 7, 8, 2, 4, 9, 11, 12, 13, 15, 16, 17, 19, 20, 21, 22)
-]
+_FLAGSHIP_PREFIX = [f"q{i}_" for i in (1, 3, 6, 9, 18, 21)]
 
-# round-9 rotation window (28 names, all first-time driver exposure)
+# round-10 rotation window (44 names, all first-time driver exposure) plus
+# the two round-9 hash reds re-exposed with their round-10 VARCHAR-rendered
+# finals (they must convert red -> green under the driver's own hash).
 _ROTATION = [
     "sf_decimal_exact",
-    "sf_enum_order",
-    "sf_cat_lexical",
-    "sf_bin_reinterpret",
-    "sf_hist",
-    "sf_value_counts",
-    "sf_str_ops",
-    "sf_dt_ops",
-    "sf_list_ops",
-    "sf_struct_ops",
-    "agg_cube",
-    "agg_spearman",
-    "agg_nan_minmax",
-    "agg_stats",
-    "agg_moments",
-    "agg_any_all_mode",
-    "agg_linreg",
-    "agg_bitwise",
     "rel_match_schema",
-    "rel_hconcat",
-    "rel_merge_sorted",
-    "rel_unnest",
-    "io_csv_roundtrip",
-    "io_ndjson_roundtrip",
-    "io_multifile_scan",
-    "h2o_q1",
-    "h2o_q7",
-    "h2o_q10",
+    # LLM scale-path flagships (VERDICT r9 #6: zero driver evidence so far)
+    "dedup_minhash_star",
+    "sim_ivf_topk",
+    "txt_bm25_topk",
+    "web_pagerank",
+    "stream_minhash_suppress",
+    # dedup family tail
+    "dedup_clusters",
+    "dedup_semdedup",
+    "dedup_tfidf_cosine",
+    "dedup_incremental_index",
+    "dedup_span_ngrams",
+    "dedup_span_removal",
+    # similarity / embeddings
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_int8_topk",
+    "sim_rrf_fusion",
+    "sim_label_centroid",
+    "emb_quantize_error",
+    "emb_contrastive_triplets",
+    # multimodal plumbing
+    "mm_extract_features",
+    "mm_sample_frames",
+    "mm_resize",
+    "mm_audio_features",
+    "mm_image_ahash_pairs",
+    # web curation
+    "web_url_normalize",
+    "web_domain_cap",
+    "web_blocklist_stats",
+    "web_url_dedup",
+    "web_html_to_text",
+    # streaming tail
+    "stream_session_windows",
+    # text-pipeline first third
+    "txt_tokenize_wordpiece",
+    "txt_token_stats",
+    "txt_quality",
+    "txt_lang_id",
+    "txt_fingerprint",
+    "txt_contamination",
+    "txt_token_df_idf",
+    "txt_chunk_documents",
+    "txt_deterministic_sample",
+    "txt_pack_sequences",
+    "txt_gopher_quality",
+    "txt_dedup_lines",
+    "pipeline_curation",
+    "evt_funnel",
 ]
 
 
