@@ -436,13 +436,19 @@ def streaming_minhash_suppress(
 
     def update(key_tuple, pdfs, state: GroupState):
         rep = state.get[0] if state.exists else None
+        # buffer EVERY Arrow chunk before sorting: a band bucket larger than
+        # arrow maxRecordsPerBatch arrives as several pdfs, and a per-chunk
+        # sort could elect a non-minimal representative, breaking the
+        # "min-id doc of the micro-batch is the bucket representative"
+        # contract that makes availableNow replay equal the batch star-link
+        # construction.  State is one long either way.
+        docs = sorted(int(d) for pdf in pdfs for d in pdf["doc"])
         out = []
-        for pdf in pdfs:
-            for doc in sorted(pdf["doc"]):
-                if rep is None:
-                    rep = int(doc)
-                    continue
-                out.append((int(doc), rep))
+        for doc in docs:
+            if rep is None:
+                rep = doc
+                continue
+            out.append((doc, rep))
         if rep is not None:
             state.update((rep,))
         yield pd.DataFrame(out, columns=["doc", "rep"])

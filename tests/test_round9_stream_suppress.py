@@ -89,3 +89,44 @@ def test_verification_joins_are_broadcast(pl, spark, tmp_path):
     assert "BroadcastHashJoin" in jplan, jplan[:1500]
     assert "SortMergeJoin" not in jplan, jplan[:1500]
     assert "FlatMapGroupsInPandasWithState" in jplan
+
+
+def test_group_spanning_arrow_chunks_elects_min_representative(pl, spark, tmp_path):
+    """Round-10 (ADVICE r9): a band bucket larger than arrow
+    maxRecordsPerBatch arrives at the state handler as SEVERAL pandas
+    chunks in one micro-batch.  The representative must be the min id of
+    the WHOLE group (batch star-link contract), not of whichever chunk
+    came first — force 1-row chunks and descending-id arrival so a
+    per-chunk election would pick 9, and assert every edge points at 7."""
+    from polars_spark.streaming import streaming_minhash_suppress
+
+    land = str(tmp_path / "landing3")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text, "en", "src", len(text)) for i in (9, 8, 7)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("append").parquet(land)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        src = spark.readStream.schema(schema).parquet(land)
+        static_docs = spark.read.parquet(land)
+        matches = streaming_minhash_suppress(src, static_docs, id_col="doc_id", text_col="text")
+        q = (
+            matches.writeStream.format("memory")
+            .queryName("sup_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    out = spark.table("sup_chunks").select("doc", "rep").distinct().collect()
+    pairs = {(r.doc, r.rep) for r in out}
+    assert pairs == {(8, 7), (9, 7)}, pairs
