@@ -636,17 +636,52 @@ def cosine_topk_lsh(
     )
 
 
+def _auto_lsh_params(
+    n_rows: int,
+    threshold: float,
+    target_bucket_size: int = 1024,
+    recall_target: float = 0.95,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) for RHP-LSH from the corpus size.
+
+    n_planes = ceil(log2(N / target_bucket_size)) keeps the EXPECTED bucket
+    size at ``target_bucket_size`` regardless of N — a fixed plane count
+    (the old n_planes=4 default) pins bucket size at N/16, which makes the
+    within-bucket pair join quadratic again at 100 TB.  Raising planes
+    lowers per-table collision probability p = (1 - acos(sim)/pi)^planes,
+    so n_tables rises to keep overall recall 1-(1-p)^tables >= the target:
+    n_tables = ceil(log(1-recall) / log(1-p)).  Both honest and cheap —
+    tables multiply only the slim (id, bucket) rows, never the vectors.
+    """
+    import math
+
+    n_planes = max(1, math.ceil(math.log2(max(n_rows, 2) / max(target_bucket_size, 1))))
+    n_planes = min(n_planes, 30)
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = p_plane**n_planes
+    if p_table >= 1.0:
+        n_tables = 1
+    elif p_table <= 0.0:
+        n_tables = 64
+    else:
+        n_tables = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_table))
+    return n_planes, max(1, min(n_tables, 64))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_tables: int = 3,
-    n_planes: int = 4,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 100,
     scorer: str = "arrow",
+    target_bucket_size: int = 1024,
+    recall_target: float = 0.95,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
     LSH candidate generation + exact cosine verify >= threshold.
@@ -657,9 +692,15 @@ def embedding_near_dup_pairs(
     the sign pattern of ``n_planes`` seeded hyperplanes (expected bucket
     N/2^planes), candidates are within-bucket pairs in ANY table, distinct,
     then one exact-cosine pass over candidates only. Collision prob per
-    table is (1 - theta/pi)^planes, so recall at sim>=0.9 with 6x4 tables
-    is ~0.99; tune (n_tables, n_planes) to the target threshold. All joins
-    shuffle on bucket keys; no driver collect.
+    table is (1 - theta/pi)^planes, overall recall 1-(1-p^planes)^tables.
+    All joins shuffle on bucket keys; no driver collect.
+
+    When ``n_planes``/``n_tables`` are None (the default) they are derived
+    from the corpus size by :func:`_auto_lsh_params`, holding the expected
+    bucket at ``target_bucket_size`` rows and overall recall at
+    ``recall_target`` — the scale-safe configuration: a fixed plane count
+    re-quadratizes the bucket join as N grows.  ``corpus_size`` skips the
+    count job when the caller already knows N.
 
     ``scorer='arrow'`` (default) verifies candidates with a vectorized
     Arrow-batched pandas_udf (numpy einsum over the whole batch) — the
@@ -669,6 +710,13 @@ def embedding_near_dup_pairs(
     both: ~200-term expressions exceed the JIT'able method size and fall
     back to per-node interpretation.
     """
+    if n_planes is None or n_tables is None:
+        n = corpus_size if corpus_size is not None else emb.count()
+        auto_planes, auto_tables = _auto_lsh_params(
+            n, threshold, target_bucket_size, recall_target
+        )
+        n_planes = auto_planes if n_planes is None else n_planes
+        n_tables = auto_tables if n_tables is None else n_tables
     c = _spread(emb).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
