@@ -70,6 +70,10 @@ HEADLINE = [
     # round 8: linear-cost star-link near-dup clustering (the scale path
     # where all-pairs LSH candidates go quadratic in duplicate multiplicity)
     "dedup_minhash_star",
+    # round 10: one 600k-row single-key ewm recurrence through the streaming
+    # mapInPandas kernel — the linear-scaling evidence (the JVM prefix fold
+    # would be ~3.6e11 steps at this length)
+    "win_ewm_long_series",
 ]
 
 

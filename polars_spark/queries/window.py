@@ -755,3 +755,29 @@ def win_rolling_weighted(spark, sf_dir):
         pl.col("value").rolling_sum(3, weights=[0.2, 0.3, 0.5]).over("user_id").round(4).alias("wsum3"),
         pl.col("value").rolling_mean(3, weights=[0.2, 0.3, 0.5]).over("user_id").round(4).alias("wmean3"),
     ).to_spark()
+
+
+@query("win_ewm_long_series")  # no oracle: a 600k-step single-key recurrence
+# is not SQL-replayable in gate time (a recursive CTE iterates once per row);
+# kernel correctness is pinned bit-exact against the recursive-CTE oracles
+# (win_ewm_mean/std/dual_keys, ~67-step series) and against the JVM prefix
+# fold (tests/test_round6_ewm_scale.py) — this entry exists as the LINEAR-
+# SCALING evidence: one maximal-length series through the streaming
+# mapInPandas kernel (plans/frame.py _hoist_ewm), O(n) where the fold is
+# O(n²).  At sf0.1 this is a 600k-row single sequence; quadratic would be
+# ~3.6e11 fold steps (hours), linear is ~1s.
+def win_ewm_long_series(spark, sf_dir):
+    """ewm_mean+ewm_std over ONE maximal-length series (the whole lineitem
+    table in (l_orderkey, l_linenumber) order), digested to one row so the
+    bench times the recurrence, not the output write."""
+    li = ltable(spark, sf_dir, "lineitem")
+    out = li.sort("l_orderkey", "l_linenumber").with_columns(
+        pl.col("l_extendedprice").ewm_mean(span=10).alias("ewm_m"),
+        pl.col("l_extendedprice").ewm_std(span=10).alias("ewm_s"),
+    )
+    return out.select(
+        pl.len().alias("n"),
+        pl.col("ewm_m").last().round(4).alias("ewm_m_last"),
+        pl.col("ewm_m").mean().round(4).alias("ewm_m_avg"),
+        pl.col("ewm_s").last().round(4).alias("ewm_s_last"),
+    ).to_spark()
