@@ -305,13 +305,21 @@ def _str_grammar_cast(
     if spark_type in ("float", "double"):
         pat = r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|(?i:inf|infinity|nan))$"
         # fast_float2 parses SIGNED specials ('-nan' -> NaN) but Spark's
-        # special-literal table has unsigned 'nan' only -> canonicalize
-        src = F.when(
-            is_str & c.cast("string").rlike(r"^[+-](?i:nan)$"), F.lit("nan")
-        ).otherwise(c)
+        # special-literal table has unsigned 'nan' only -> canonicalize.
+        # Both CASE branches are built AT the target type (a typed NaN
+        # literal vs the operand's own cast) so the expression's result
+        # type never rides Spark's string-promotion rules for non-string
+        # operands (ADVICE r9) — and the branch stays probe-free.
+        signed_nan = is_str & c.cast("string").rlike(r"^[+-](?i:nan)$")
+        nan_lit = F.lit(float("nan")).cast(spark_type)
+
+        def _typed(cast_fn):
+            return F.when(signed_nan, nan_lit).otherwise(cast_fn(c))
     else:
         pat = (r"^\+?\d+$" if unsigned else r"^[+-]?\d+$")
-        src = c
+
+        def _typed(cast_fn):
+            return cast_fn(c)
 
     def _range_ok(r: Column) -> Column | None:
         conds = []
@@ -334,7 +342,7 @@ def _str_grammar_cast(
                 c.cast("string"),
             )
         )
-        res = F.when(ok | c.isNull(), src.cast(spark_type)).otherwise(err)
+        res = F.when(ok | c.isNull(), _typed(lambda x: x.cast(spark_type))).otherwise(err)
         rng = _range_ok(res)
         if rng is not None:
             res = F.when(res.isNull() | rng, res).otherwise(
@@ -349,11 +357,19 @@ def _str_grammar_cast(
                 )
             )
         return res
-    res = F.when(ok, src.try_cast(spark_type))
+    res = F.when(ok, _typed(lambda x: x.try_cast(spark_type)))
     rng = _range_ok(res)
     if rng is not None:
         res = F.when(res.isNull() | rng, res)
     return res
+
+
+class DecimalScaleFallbackWarning(UserWarning):
+    """A decimal multiplication could not be bridged to the polars scale
+    rule (max(s1,s2), half-even) because no schema context was available —
+    the result carries Spark's native product scale s1+s2 instead.  Raised
+    so the miss is DETECTABLE (ADVICE r9): silent Spark-scaling inside an
+    agg context would otherwise look like a wrong answer with no trail."""
 
 
 def _decimal_scales(a: Column, b: Column, ctx) -> tuple | None:
@@ -362,11 +378,32 @@ def _decimal_scales(a: Column, b: Column, ctx) -> tuple | None:
     (polars-core/src/chunked_array/arithmetic/decimal.rs: result scale =
     max(s1, s2), precision = DEC128_MAX_PREC, dropped digits rounded
     half-to-even; supertype.rs:467 folds integers in at scale 0).  Returns
-    None otherwise.  Same cheap text pre-check as _ieee_div: the schema
-    probe (analysis only, no job) runs only when a decimal column or
-    literal is actually in play, so the numeric hot path is untouched."""
+    None when the operands are definitively non-decimal, and warns with
+    DecimalScaleFallbackWarning when decimals MIGHT be in play but the
+    schema context is missing or the probe failed (ctx.df None in agg
+    contexts) — the fallback is then Spark's native scale, which must be
+    detectable rather than silent.  Same cheap text pre-check as _ieee_div:
+    the schema probe (analysis only, no job) runs only when a decimal
+    column or literal is actually in play, so the numeric hot path is
+    untouched."""
+    import warnings
+
+    def _maybe_decimal_text() -> bool:
+        try:
+            return "DECIMAL" in f"{a} {b}".upper()
+        except Exception:
+            return True
+
     df = getattr(ctx, "df", None)
     if df is None:
+        if _maybe_decimal_text():
+            warnings.warn(
+                "decimal multiplication without schema context: result keeps "
+                "Spark's native scale s1+s2, not polars' max(s1,s2); cast the "
+                "result explicitly if the polars scale is required",
+                DecimalScaleFallbackWarning,
+                stacklevel=3,
+            )
         return None
     try:
         txt = f"{a} {b}"
@@ -398,13 +435,25 @@ def _decimal_scales(a: Column, b: Column, ctx) -> tuple | None:
             return None
         return tuple(scales)
     except Exception:
+        # the operands LOOKED decimal (we only get here past the risky
+        # pre-check) but the analysis probe failed — flag the miss
+        warnings.warn(
+            "decimal scale probe failed; multiplication keeps Spark's native "
+            "scale s1+s2, not polars' max(s1,s2)",
+            DecimalScaleFallbackWarning,
+            stacklevel=3,
+        )
         return None
 
 
 def _decimal_mul(a: Column, b: Column, ctx) -> Column:
     """polars decimal multiplication: Spark's native product carries scale
     s1+s2; polars rounds back to max(s1, s2) half-to-even (dec128_mul).
-    bround IS half-even, so the bridge is one rounding + cast."""
+    bround IS half-even, so the bridge is one rounding + cast.  NOTE when
+    the native product would overflow precision 38, Spark applies its own
+    precision-loss rounding BEFORE our bround — half-even then operates on
+    an already-rounded value; keep operand precision <= 19 apiece where
+    exactness through the bridge matters (the fuzz family pins 18)."""
     sc = _decimal_scales(a, b, ctx)
     if sc is None:
         return a * b

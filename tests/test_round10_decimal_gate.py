@@ -125,3 +125,25 @@ def test_strict_mode_flags_decimal_final(pl, spark):
     # all-null object columns must not crash or flag
     s3 = pd.DataFrame({"x": [None]})
     assert not dtype_problems(s3, o)
+
+
+def test_decimal_fallback_warns_without_schema_context(pl, spark):
+    """ADVICE r9: a decimal multiplication that misses the scale bridge
+    (no schema context) must be detectable, not silently Spark-scaled."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from polars_spark.plans.expr import DecimalScaleFallbackWarning, _decimal_scales
+
+    class _NoDfCtx:
+        df = None
+
+    a = F.col("x").cast("decimal(10,2)")
+    b = F.col("y").cast("decimal(10,4)")
+    with pytest.warns(DecimalScaleFallbackWarning):
+        assert _decimal_scales(a, b, _NoDfCtx()) is None
+    # non-decimal operands with no context stay silent (hot path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _decimal_scales(F.col("x"), F.col("y"), _NoDfCtx()) is None

@@ -110,13 +110,20 @@ ALLNULL_PINNED: dict[str, str] = {
 }
 
 
+_NAN = "__nan__"  # sentinel: a REAL NaN inside a list (distinct from null)
+
+
 def _fix_el(x):
-    # inside lists: Spark renders null doubles as nan, DuckDB as None —
-    # normalize both to None so list compares are representation-blind
+    # inside lists: null -> None, real NaN -> the _NAN sentinel.  The two
+    # must NOT collapse (ADVICE r9): an engine regression producing null
+    # where polars yields NaN has to fail the sweep.  Fidelity sources:
+    # DuckDB .df() masks nulls (np.ma.masked) and keeps NaN as nan; the
+    # Spark side swaps in toArrow()-sourced values for float-list columns
+    # (toPandas renders BOTH as nan — see main loop).
     if x is None or x is np.ma.masked:
         return None
     if isinstance(x, (float, np.floating)) and np.isnan(x):
-        return None
+        return _NAN
     return x
 
 
@@ -291,7 +298,23 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_raw = fn(spark, sf_dir)
+            sdf = sdf_raw.toPandas()
+            # toPandas flattens BOTH null and NaN inside float lists to nan;
+            # re-source those columns from Arrow (None vs nan preserved) so
+            # _fix_el can keep null and NaN distinct in the compare
+            from pyspark.sql import types as _T
+
+            flc = [
+                f.name
+                for f in sdf_raw.schema.fields
+                if isinstance(f.dataType, _T.ArrayType)
+                and isinstance(f.dataType.elementType, (_T.FloatType, _T.DoubleType))
+            ]
+            if flc:
+                at = sdf_raw.toArrow()
+                for c in flc:
+                    sdf[c] = pd.Series(at.column(c).to_pylist(), dtype=object)
         except Exception:
             print(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
             n_bad += 1
