@@ -1145,6 +1145,40 @@ def hash_split(
     return df.withColumn(out_col, expr.otherwise(F.lit(fracs[-1][0])))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a near-duplicate
+    component lands in the SAME split, so eval sets can never contain a
+    near-copy of a training document (the classic benchmark-contamination
+    leak that a plain per-doc hash_split cannot prevent).
+
+    ``pairs`` is any near-dup pair list (minhash_lsh_pairs, simhash,
+    embedding_near_dup_pairs...).  Components come from
+    :func:`connected_components` (min-label propagation); the split key is
+    the component label, with SINGLETON docs falling back to their own id
+    (coalesce) — no row rides a shuffle for being unique.  The component
+    table is linear in documents-with-a-duplicate, so the label join is
+    broadcast-able at any corpus scale where dedup itself is feasible, and
+    the hash assignment stays the deterministic md5-bucket rule of
+    :func:`hash_split` (stable as the corpus grows).
+    """
+    cc = connected_components(pairs).withColumnRenamed("doc", "__ls_doc")
+    keyed = df.join(cc, F.col(id_col) == F.col("__ls_doc"), "left").withColumn(
+        "group_key", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    out = hash_split(
+        keyed, key_col="group_key", fractions=fractions, seed=seed, out_col=out_col
+    )
+    return out.drop("__ls_doc", "cluster")
+
+
 def global_shuffle(
     df: DataFrame, *, key_col: str, seed: int = 0, key_out: str = "shuffle_key"
 ) -> DataFrame:

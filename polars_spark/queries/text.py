@@ -476,6 +476,70 @@ def txt_pii_redact(spark, sf_dir):
 
 
 @query(
+    "txt_leakage_split",
+    # clusters: the dedup_clusters transitive-closure CTE (valid on this
+    # corpus: verified LSH pairs == exact-jaccard pairs); split: the
+    # txt_hash_split md5 thresholds, keyed on the COMPONENT label with
+    # singleton fallback to doc_id.
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    p0 AS (
+      SELECT s1.doc_id d1, s2.doc_id d2, count(*) shared
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM p0 JOIN sizes a ON a.doc_id = d1 JOIN sizes b ON b.doc_id = d2
+      WHERE shared::DOUBLE / (a.n + b.n - shared) >= 0.8
+    ),
+    edges AS (SELECT d1 u, d2 v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT u AS doc, u AS node FROM edges
+      UNION
+      SELECT r.doc, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT doc, min(node) AS cluster FROM reach GROUP BY doc),
+    g AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN h < 3435973836 THEN 'train'
+                WHEN h < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, group_key,
+                 ('0x' || substring(md5(group_key::VARCHAR || ':11'), 1, 8))::UBIGINT::BIGINT AS h
+          FROM g)
+    """,
+)
+def txt_leakage_split(spark, sf_dir):
+    """Leakage-safe 80/10/10 split: near-duplicate components (minhash-LSH
+    pairs -> connected components) share one split, so no eval document has
+    a near-copy in train — the contamination mode a per-doc hash split
+    cannot prevent.  Singletons key on their own id; the split rule is the
+    same stable md5 bucket as txt_hash_split."""
+    from polars_spark.llm import leakage_safe_split, minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.8)
+    out = leakage_safe_split(
+        docs, pairs, id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1}, seed=11,
+    )
+    return out.select("doc_id", "group_key", "split")
+
+
+@query(
     "txt_hash_split",
     # cumulative md5-bucket thresholds: int(0.8*2^32)=3435973836,
     # int((0.8+0.1)*2^32)=3865470566 (same float accumulation as the op).
