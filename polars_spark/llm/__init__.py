@@ -45,6 +45,8 @@ __all__ = [
     "snapshot_diff",
     "pr_curve",
     "tfidf_cosine_pairs",
+    "leakage_safe_split",
+    "fuzzy_string_pairs",
 ]
 
 
@@ -1108,6 +1110,128 @@ def remove_duplicated_spans(
         F.size("__toks").cast("bigint").alias("n_tokens"),
         (F.size("__toks") - F.size("__kept")).cast("bigint").alias("n_removed"),
     )
+
+
+def _passjoin_scheme(length_col: Column, k: int) -> Column:
+    """Array of ``struct(i, start, len)`` — the PassJoin segment scheme for
+    a string of the given length at edit-distance budget ``k``: k+1
+    contiguous segments, the first ``k+1 - L%(k+1)`` of length ``L//(k+1)``
+    and the rest one longer (Li/Deng/Feng, PVLDB 2011 §3 — public).  start
+    is 1-based (Spark substr convention).  Pure integer column algebra, so
+    the whole key generation stays inside whole-stage codegen."""
+    k1 = k + 1
+    base = F.floor(length_col / k1).cast("int")
+    rem = (length_col % k1).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k)),
+        lambda i: F.struct(
+            i.alias("i"),
+            (i * base + F.greatest(F.lit(0), i - (F.lit(k1) - rem)) + 1).alias("start"),
+            (base + F.when(i >= F.lit(k1) - rem, 1).otherwise(0)).alias("len"),
+        ),
+    )
+
+
+def fuzzy_string_pairs(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Fuzzy string join: all DISTINCT value pairs within Levenshtein
+    distance ``max_distance`` — entity-resolution's core primitive
+    (matching user names, product titles, source URLs across datasets).
+
+    Scale shape — never all-pairs:
+
+    1. **Distinct values only** (the vocabulary-dedup move from
+       tokenize_documents): the quadratic machinery runs on the distinct
+       string sets, and callers join the pair list back to rows.
+    2. **Segment-pigeonhole blocking with GUARANTEED recall** (PassJoin):
+       if dist(s,t) <= k, then splitting s into k+1 segments leaves at
+       least one segment untouched by any edit script, and it appears in t
+       within +-k of its source position.  The index side emits k+1 keys
+       per string; the probe side emits one key per (candidate source
+       length in [|t|-k, |t|+k]) x (segment) x (+-k window position) —
+       O(k^3) keys per string, independent of corpus size.
+    3. Candidates join on (source_length, segment_index, substring) — an
+       equi-join Catalyst shuffles/broadcasts like any other — then ONE
+       exact JVM ``levenshtein`` pass verifies; no candidate is scored
+       twice (distinct before verify).
+
+    Self-join mode (``right=None``) keeps ``s < t`` pairs only.  Returns
+    ``(left_on, right_on, edit_distance)`` over distinct value pairs.
+    """
+    k = int(max_distance)
+    if k < 0:
+        raise ValueError("max_distance must be >= 0")
+    right_on = right_on or left_on
+    self_mode = right is None
+    rdf = left if self_mode else right
+    out_l = left_on
+    out_r = right_on if (right_on != left_on or not self_mode) else f"{right_on}_2"
+    if self_mode and right_on == left_on:
+        out_r = f"{right_on}_right"
+
+    a = (
+        left.select(F.col(left_on).cast("string").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    b = (
+        rdf.select(F.col(right_on).cast("string").alias("t"))
+        .filter(F.col("t").isNotNull())
+        .distinct()
+    )
+    if k == 0:
+        cand = a.join(b, a["s"] == b["t"])
+    else:
+        seg = _passjoin_scheme(F.length("s"), k)
+        idx = (
+            a.withColumn("__L", F.length("s"))
+            .withColumn("__seg", F.explode(seg))
+            .select(
+                "s",
+                "__L",
+                F.col("__seg.i").alias("__i"),
+                F.col("s").substr(F.col("__seg.start"), F.col("__seg.len")).alias("__key"),
+            )
+        )
+        lo_len = F.greatest(F.lit(0), F.length("t") - k)
+        probe_lens = F.sequence(lo_len, F.length("t") + k)
+        pseg = _passjoin_scheme(F.col("__cand"), k)
+        lo = F.greatest(F.lit(1), F.col("__seg.start") - k)
+        hi = F.least(
+            F.length("t") - F.col("__seg.len") + 1, F.col("__seg.start") + k
+        )
+        positions = F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+        probe = (
+            b.withColumn("__cand", F.explode(probe_lens))
+            .withColumn("__seg", F.explode(pseg))
+            .withColumn("__p", F.explode(positions))
+            .select(
+                "t",
+                F.col("__cand").alias("__L"),
+                F.col("__seg.i").alias("__i"),
+                F.col("t").substr(F.col("__p"), F.col("__seg.len")).alias("__key"),
+            )
+        )
+        cand = idx.join(probe, ["__L", "__i", "__key"]).select("s", "t").distinct()
+    out = (
+        cand.filter(F.col("s") < F.col("t") if self_mode else F.lit(True))
+        .withColumn("edit_distance", F.levenshtein("s", "t"))
+        .filter(F.col("edit_distance") <= k)
+        .select(
+            F.col("s").alias(out_l),
+            F.col("t").alias(out_r),
+            "edit_distance",
+        )
+    )
+    return out
 
 
 def hash_split(

@@ -465,3 +465,28 @@ def dedup_minhash_star(spark, sf_dir):
     from polars_spark.llm import minhash_lsh_dedup
 
     return minhash_lsh_dedup(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.8)
+
+
+@query(
+    "dedup_fuzzy_names",
+    # all-pairs levenshtein with a length-band prefilter — DuckDB can afford
+    # it at sf0.01 (1500^2); the ENGINE side must get the same answer from
+    # segment-pigeonhole blocking (recall-guaranteed) + verify-on-candidates
+    oracle="""
+    SELECT a.c_name AS c_name, b.c_name AS c_name_right,
+           levenshtein(a.c_name, b.c_name) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_name < b.c_name
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(spark, sf_dir):
+    """Entity-resolution fuzzy self-join (llm.fuzzy_string_pairs): every
+    distinct customer-name pair within edit distance 1, via PassJoin
+    segment-pigeonhole blocking + one exact JVM levenshtein verify pass —
+    never all-pairs on the engine side."""
+    from polars_spark.llm import fuzzy_string_pairs
+
+    cust = table(spark, sf_dir, "customer")
+    return fuzzy_string_pairs(cust, left_on="c_name", max_distance=1)

@@ -1,0 +1,108 @@
+"""Round-10: fuzzy_string_pairs — PassJoin blocking recall guarantee.
+
+The blocking must find EVERY pair within the distance budget (pigeonhole:
+one of k+1 segments survives any k-edit script and appears within +-k of
+its source position).  Fuzzed against brute-force Levenshtein over random
+words with planted typos (substitutions, insertions, deletions, swaps) at
+k=1 and k=2, plus the length/empty edge shapes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _typo(rng: random.Random, w: str) -> str:
+    if not w:
+        return "x"
+    op = rng.randrange(3)
+    i = rng.randrange(len(w))
+    c = rng.choice("abcdefgh")
+    if op == 0:
+        return w[:i] + c + w[i + 1 :]  # substitute
+    if op == 1:
+        return w[:i] + c + w[i:]  # insert
+    return w[:i] + w[i + 1 :]  # delete
+
+
+@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_recall_matches_bruteforce(spark, k, seed):
+    from polars_spark.llm import fuzzy_string_pairs
+
+    rng = random.Random(5000 + 97 * seed + k)
+    base = [
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randrange(1, 12)))
+        for _ in range(40)
+    ]
+    words = set(base)
+    for w in base[:20]:  # plant typo chains (distance 1..2 from base)
+        t = _typo(rng, w)
+        words.add(t)
+        words.add(_typo(rng, t))
+    words = sorted(words)
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r.w, r.w_right, r.edit_distance)
+        for r in fuzzy_string_pairs(df, left_on="w", max_distance=k).collect()
+    }
+    want = {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+        if _lev(a, b) <= k
+    }
+    assert got == want, (
+        f"k={k} seed={seed}: missing={sorted(want - got)[:5]} "
+        f"extra={sorted(got - want)[:5]}"
+    )
+
+
+def test_two_frame_mode_and_nulls(spark):
+    from polars_spark.llm import fuzzy_string_pairs
+
+    l = spark.createDataFrame([("cat",), ("dog",), (None,)], "a string")
+    r = spark.createDataFrame([("cut",), ("dig",), ("horse",), (None,)], "b string")
+    got = {
+        (x.a, x.b, x.edit_distance)
+        for x in fuzzy_string_pairs(l, r, left_on="a", right_on="b", max_distance=1).collect()
+    }
+    assert got == {("cat", "cut", 1), ("dog", "dig", 1)}
+
+
+def test_distance_zero_is_exact_join(spark):
+    from polars_spark.llm import fuzzy_string_pairs
+
+    l = spark.createDataFrame([("aa",), ("bb",)], "a string")
+    r = spark.createDataFrame([("aa",), ("ab",)], "b string")
+    got = {
+        (x.a, x.b)
+        for x in fuzzy_string_pairs(l, r, left_on="a", right_on="b", max_distance=0).collect()
+    }
+    assert got == {("aa", "aa")}
+
+
+def test_empty_string_participates(spark):
+    from polars_spark.llm import fuzzy_string_pairs
+
+    df = spark.createDataFrame([("",), ("a",), ("ab",)], "w string")
+    got = {
+        (r.w, r.w_right, r.edit_distance)
+        for r in fuzzy_string_pairs(df, left_on="w", max_distance=1).collect()
+    }
+    assert got == {("", "a", 1), ("a", "ab", 1)}

@@ -98,6 +98,7 @@ DUPES_PINNED: dict[str, str] = {
     "mm_audio_features": _DUPES_ID_REASSOC,
     "dedup_semdedup": _DUPES_DEDUP,
     "mm_image_ahash_pairs": _DUPES_DEDUP,
+    "dedup_fuzzy_names": "engine pairs DISTINCT string values (vocabulary dedup); the row-level oracle multiplies every pair 9x under tripled rows",
 }
 
 # --allnull mode pins (3 rows, every column null) — round-9 sweep
