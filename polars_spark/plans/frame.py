@@ -1986,24 +1986,38 @@ class LazyFrame:
         # fields inside a matched row are preserved (last(ignorenulls) on a
         # per-column basis would skip to an older row for that column).
         lt = ldf.withColumn("__side", F.lit(1))
-        rt = rdf.select(
-            *[F.col(b).alias(bl[i]) for i, b in enumerate(br)],
-            F.col(ron).alias(lon),
-            F.struct(
-                F.col(ron).alias("__on"),
-                *[F.col(c).alias(rmap[c]) for c in rval],
-            ).alias("__rs"),
-        ).withColumn("__side", F.lit(0))
+        # null asof keys on the right can never match (polars skips them in
+        # the sorted-merge); left them in, they'd sort FIRST (nulls-first
+        # asc) and last(ignorenulls) would hand their values to every left
+        # row before the first real right key.  __ridx pins the polars
+        # duplicate-key tie rule (frame row order: backward takes the LAST
+        # occurrence of the matched key, forward the FIRST) — without it the
+        # window order among equal (key, side) rows is partition-dependent.
+        # monotonically_increasing_id is frame-order-monotonic and free (no
+        # shuffle); the window sort that follows pays the same either way.
+        rt = (
+            rdf.filter(F.col(ron).isNotNull())
+            .select(
+                *[F.col(b).alias(bl[i]) for i, b in enumerate(br)],
+                F.col(ron).alias(lon),
+                F.struct(
+                    F.col(ron).alias("__on"),
+                    *[F.col(c).alias(rmap[c]) for c in rval],
+                ).alias("__rs"),
+            )
+            .withColumn("__side", F.lit(0))
+            .withColumn("__ridx", F.monotonically_increasing_id())
+        )
         allrows = lt.unionByName(rt, allowMissingColumns=True)
 
         # backward: right row at the same key matches -> right (side 0) first
-        wb = Window.partitionBy(*bl).orderBy(F.col(lon).asc(), F.col("__side").asc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
+        wb = Window.partitionBy(*bl).orderBy(
+            F.col(lon).asc(), F.col("__side").asc(), F.col("__ridx").asc_nulls_last()
+        ).rowsBetween(Window.unboundedPreceding, 0)
         # forward: left row first at ties so an equal right key is still ahead
-        wf = Window.partitionBy(*bl).orderBy(F.col(lon).asc(), F.col("__side").desc()).rowsBetween(
-            0, Window.unboundedFollowing
-        )
+        wf = Window.partitionBy(*bl).orderBy(
+            F.col(lon).asc(), F.col("__side").desc(), F.col("__ridx").asc_nulls_last()
+        ).rowsBetween(0, Window.unboundedFollowing)
 
         is_ts = dict(ldf.dtypes)[lon].startswith("timestamp")
 

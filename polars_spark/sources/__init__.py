@@ -1061,7 +1061,11 @@ def from_records(data, schema=None, *, schema_overrides=None, orient: str | None
     orient='col' (or an unambiguous schema-length match) is column-major."""
     import pandas as pd
 
-    names = list(schema) if schema is not None and not isinstance(schema, dict) else None
+    # a dict schema contributes its KEYS as the positional column names
+    # (polars: {"a": Int64, ...} names row-orient tuples) — dropping them
+    # left pandas integer column labels that matched no schema key, so
+    # _apply_schema_arg nulled every column (round-10 asof-fuzz find)
+    names = list(schema) if schema is not None else None
     if orient is None and names is not None and isinstance(data, (list, tuple)) and data:
         # polars orientation inference: schema length matching the OUTER
         # length (and not the inner) means the outer lists are columns
