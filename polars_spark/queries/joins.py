@@ -208,6 +208,35 @@ def join_asof_tolerance(spark, sf_dir):
     ).to_spark()
 
 
+@query(
+    "join_asof_nearest",
+    # DuckDB has no NEAREST strategy; replay it as backward + forward ASOF
+    # joins and the polars tie rule (<= prefers backward, AsofStrategy
+    # mod.rs:262 Nearest)
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT l.event_id, r.ts AS bts, r.value AS bval
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+    f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+    SELECT l.event_id, l.user_id, l.ts,
+           round(CASE WHEN fts IS NULL THEN bval
+                      WHEN bts IS NULL THEN fval
+                      WHEN epoch_us(l.ts) - epoch_us(bts)
+                           <= epoch_us(fts) - epoch_us(l.ts) THEN bval
+                      ELSE fval END, 2) AS purchase_value
+    FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    clicks, buys = _click_purchase(spark, sf_dir)
+    out = clicks.join_asof(buys, on="ts", by="user_id", strategy="nearest")
+    return out.select(
+        "event_id", "user_id", "ts", pl.col("purchase_value").round(2).alias("purchase_value")
+    ).to_spark()
+
+
 # -- reference inequality-join benchmark family (east_west fixture shape:
 #    py-polars/tests/benchmark/test_join_where.py:15,29,43) ----------------
 # Pure inequality joins (no equality conjunct) — Spark's plan is a
