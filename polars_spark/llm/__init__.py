@@ -370,20 +370,22 @@ def connected_components(pairs: DataFrame, *, a: str = "d1", b: str = "d2", max_
             .agg(F.min("vlbl").alias("nlbl"))
         )
         # localCheckpoint truncates the per-round lineage (otherwise each
-        # round's plan re-embeds all previous rounds and planning time grows)
-        new_labels = (
+        # round's plan re-embeds all previous rounds and planning time grows).
+        # The convergence flag rides the SAME pass (nlbl < lbl is exactly
+        # "this round improved a label"), so detecting a fixed point is one
+        # scan of the checkpointed result — the old formulation re-joined
+        # new labels against old, paying a join + shuffle per round for it.
+        staged = (
             labels.join(neigh, "u", "left")
-            .select("u", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        old = labels.select(F.col("u").alias("ou"), F.col("lbl").alias("olbl"))
-        changed = (
-            new_labels.join(old, new_labels["u"] == old["ou"])
-            .filter(F.col("lbl") != F.col("olbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = staged.filter(F.col("__chg")).limit(1).count()
+        labels = staged.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("cluster"))
