@@ -377,18 +377,42 @@ class FrameSchema(dict):
         return len(self)
 
 
+_INT_SPARK_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 class _CollectedFrame(_pd.DataFrame):
     """The collect() result: a plain pandas DataFrame that ALSO answers the
     polars eager accessors users chain onto collect() (to_dict(as_series=),
-    rows(), to_dicts()).  Everything pandas stays untouched."""
+    rows(), to_dicts()).  Everything pandas stays untouched.
+
+    ``_spark_dtypes`` (stamped by collect()) lets the row accessors undo
+    pandas' nullable-int widening: an Int64 column with a null arrives as
+    float64 (3 -> 3.0, null -> nan), but polars rows()/to_dicts() return
+    ints and None — restore both from the Spark schema."""
+
+    _metadata = ["_spark_dtypes"]
 
     @property
     def _constructor(self):
         return _CollectedFrame
 
+    def _col_values(self, c) -> list:
+        vals = [_py_value(v) for v in self[c].tolist()]
+        dt = getattr(self, "_spark_dtypes", None) or {}
+        if dt.get(c) in _INT_SPARK_TYPES:
+            vals = [
+                None
+                if v is None or (isinstance(v, float) and v != v)
+                else int(v)
+                if isinstance(v, float)
+                else v
+                for v in vals
+            ]
+        return vals
+
     def to_dict(self, orient="dict", *args, as_series=None, **kwargs):
         if as_series is not None:
-            cols = {c: [_py_value(v) for v in self[c].tolist()] for c in self.columns}
+            cols = {c: self._col_values(c) for c in self.columns}
             if as_series:
                 from polars_spark.series import Series
 
@@ -397,7 +421,8 @@ class _CollectedFrame(_pd.DataFrame):
         return super().to_dict(orient, *args, **kwargs)
 
     def rows(self, *, named: bool = False):
-        recs = [tuple(_py_value(v) for v in row) for row in self.itertuples(index=False, name=None)]
+        cols = [self._col_values(c) for c in self.columns]
+        recs = [tuple(r) for r in zip(*cols)] if cols else []
         if named:
             return [dict(zip(self.columns, r)) for r in recs]
         return recs
@@ -635,6 +660,7 @@ class LazyFrame:
         with translate_runtime_errors():
             pdf = df.toPandas()
         pdf.__class__ = _CollectedFrame  # in-place view: no data copy
+        pdf._spark_dtypes = dict(df.dtypes)  # row accessors undo int widening
         return pdf
 
     def _collect_rows(self) -> list:
