@@ -47,6 +47,7 @@ __all__ = [
     "tfidf_cosine_pairs",
     "leakage_safe_split",
     "fuzzy_string_pairs",
+    "weighted_sample",
 ]
 
 
@@ -1018,6 +1019,50 @@ def deterministic_sample(
             F.element_at(F.create_map(*pairs), F.col(by).cast("string")), F.lit(0)
         )
     return df.filter(h < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, probability
+    proportional to weight — Efraimidis & Spirakis A-ES (Inf. Process.
+    Lett. 2006, public): each row draws u ~ U(0,1) and races with key
+    e = -ln(u)/w; the k SMALLEST keys are a weighted sample without
+    replacement.  The quality-weighted corpus-sampling primitive (sample
+    training docs proportional to a quality score).
+
+    Scale + reproducibility shape: u is the DETERMINISTIC md5 uniform of
+    deterministic_sample ((h + 0.5) / 2^32 — never 0, engine-independent,
+    partition-independent), the race key is a map-side projection, and the
+    top-k is orderBy(key).limit(k) — Spark's TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows, never a global sort
+    materialization).  Rows with null or non-positive weight cannot be
+    sampled and are filtered.  Rerunning on any engine, any partitioning,
+    any corpus ordering selects the identical set.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    out = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn(key_out, key)
+        .orderBy(key_out)
+        .limit(k)
+    )
+    return out
 
 
 def duplicated_spans(

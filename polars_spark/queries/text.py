@@ -1524,3 +1524,34 @@ def pipeline_curation(spark, sf_dir):
     return capped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
     )
+
+
+@query(
+    "txt_weighted_sample",
+    # same md5 uniform, same exponential race key (Efraimidis-Spirakis),
+    # same top-k — engine-independent by construction, so the SELECTED SET
+    # matches exactly; the key itself compares at 6dp
+    oracle="""
+    SELECT doc_id, floor(key * 1000000 + 0.5) / 1000000 AS sample_key
+    FROM (
+      SELECT doc_id,
+             -ln((('0x' || substring(md5(doc_id::VARCHAR || ':13'), 1, 8))::UBIGINT
+                  + 0.5) / 4294967296.0) / length(text) AS key
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    ORDER BY key
+    LIMIT 25
+    """,
+)
+def txt_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus sampling (llm.weighted_sample): 25 docs
+    without replacement, probability proportional to text length, via the
+    A-ES exponential race over deterministic md5 uniforms — reproducible
+    on any engine/partitioning, top-k never materializes a global sort."""
+    from polars_spark.llm import weighted_sample
+    import pyspark.sql.functions as F
+
+    docs = table(spark, sf_dir, "documents").withColumn("w", F.length("text"))
+    out = weighted_sample(docs, key_col="doc_id", weight_col="w", k=25, seed=13)
+    return out.select("doc_id", (F.floor(F.col("sample_key") * 1e6 + F.lit(0.5)) / 1e6).alias("sample_key"))
