@@ -301,16 +301,16 @@ def main() -> int:
         try:
             sdf_raw = fn(spark, sf_dir)
             sdf = sdf_raw.toPandas()
-            # toPandas flattens BOTH null and NaN inside float lists to nan;
-            # re-source those columns from Arrow (None vs nan preserved) so
-            # _fix_el can keep null and NaN distinct in the compare
+            # toPandas flattens null elements inside lists to nan (and, for
+            # float lists, conflates them with real NaN); re-source EVERY
+            # array column from Arrow (None vs nan preserved, ints stay
+            # ints) so _fix_el can keep null and NaN distinct in the compare
             from pyspark.sql import types as _T
 
             flc = [
                 f.name
                 for f in sdf_raw.schema.fields
                 if isinstance(f.dataType, _T.ArrayType)
-                and isinstance(f.dataType.elementType, (_T.FloatType, _T.DoubleType))
             ]
             if flc:
                 at = sdf_raw.toArrow()
