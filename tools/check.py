@@ -99,6 +99,14 @@ DUPES_PINNED: dict[str, str] = {
     "dedup_semdedup": _DUPES_DEDUP,
     "mm_image_ahash_pairs": _DUPES_DEDUP,
     "dedup_fuzzy_names": "engine pairs DISTINCT string values (vocabulary dedup); the row-level oracle multiplies every pair 9x under tripled rows",
+    # round-10 sweep additions — all reproduce identically at the round-9
+    # commit (verified via git worktree), i.e. pre-existing formulation
+    # divergences surfaced by the full re-run, not engine regressions:
+    "q21_suppliers_kept_waiting": "EXISTS/NOT-EXISTS subqueries re-associate by triplicated l_orderkey (oracle 9x per original pair); the pipeline's semi/anti joins collapse them",
+    "q11_important_stock": "correlated total-value scalar multiplies 9x under triplicated partsupp keys on the oracle side",
+    "q20_potential_promotion": "IN/EXISTS subquery multiplicity under triplicated supplier keys",
+    "join_asof_nearest": "oracle joins backward+forward candidate tables USING(event_id); a triplicated event_id cross-multiplies 3x3x3=27 per original row — pure oracle-formulation artifact",
+    "stream_minhash_suppress": _DUPES_DEDUP,
 }
 
 # --allnull mode pins (3 rows, every column null) — round-9 sweep
