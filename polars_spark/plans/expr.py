@@ -897,12 +897,32 @@ class Expr:
             return self._zip(v, lambda a, b: F.coalesce(a, b))
         if strategy in ("forward", "backward"):
             def fn(ctx: ExprContext) -> Column:
+                c = self._resolve(ctx)
                 w = ctx.order_window()
                 if strategy == "forward":
                     w2 = w.rowsBetween(Window.unboundedPreceding, 0)
-                    return F.last(self._resolve(ctx), ignorenulls=True).over(w2)
-                w2 = w.rowsBetween(0, Window.unboundedFollowing)
-                return F.first(self._resolve(ctx), ignorenulls=True).over(w2)
+                    filled = F.last(c, ignorenulls=True).over(w2)
+                else:
+                    w2 = w.rowsBetween(0, Window.unboundedFollowing)
+                    filled = F.first(c, ignorenulls=True).over(w2)
+                if limit is None:
+                    return filled
+                # polars limit: fill at most `limit` CONSECUTIVE nulls per
+                # run — a null row qualifies iff its distance to the nearest
+                # non-null row (in the fill direction) is <= limit.  Same
+                # window pass: the non-null row number rides last()/first()
+                # exactly like the value does.
+                rn = F.row_number().over(w)
+                marker = F.when(c.isNotNull(), rn)
+                if strategy == "forward":
+                    nn_rn = F.last(marker, ignorenulls=True).over(w2)
+                    near = rn - nn_rn
+                else:
+                    nn_rn = F.first(marker, ignorenulls=True).over(w2)
+                    near = nn_rn - rn
+                return F.when(c.isNotNull(), c).when(
+                    near <= F.lit(int(limit)), filled
+                )
 
             return Expr(fn, self._name)
         if strategy in ("min", "max", "mean"):
@@ -924,10 +944,10 @@ class Expr:
         raise ValueError(f"unknown fill_null strategy {strategy!r}")
 
     def forward_fill(self, limit=None):
-        return self.fill_null(strategy="forward")
+        return self.fill_null(strategy="forward", limit=limit)
 
     def backward_fill(self, limit=None):
-        return self.fill_null(strategy="backward")
+        return self.fill_null(strategy="backward", limit=limit)
 
     def fill_nan(self, value):
         v = _to_expr(value)
