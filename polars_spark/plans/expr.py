@@ -147,6 +147,86 @@ def _collect_keep_nulls(c: Column, w=None) -> Column:
     return F.transform(coll, lambda s: s.getField("__v"))
 
 
+def _ewm_var_moment_fold(d, min_samples, fin_of, *, from_struct):
+    """adjust=True EW-variance fold over a prefix that may carry NULL
+    elements (ignore_nulls=False): non-null steps keep the historical
+    (s1·d + x, ...) op order bit-identical, null steps decay every weight
+    (reference cov.rs `weight *= 1-alpha` on null rows)."""
+    acc0 = F.struct(
+        F.lit(0.0).alias("s1"), F.lit(0.0).alias("s0"),
+        F.lit(0.0).alias("s2"), F.lit(0.0).alias("sx2"),
+        F.lit(0).alias("nn"),
+    )
+
+    def step(acc, s):
+        x = s["x"] if from_struct else s
+        isnull = x.isNull()
+        return F.struct(
+            F.when(isnull, acc["s1"] * d).otherwise(acc["s1"] * d + x).alias("s1"),
+            F.when(isnull, acc["s0"] * d).otherwise(acc["s0"] * d + 1.0).alias("s0"),
+            F.when(isnull, acc["s2"] * d * d).otherwise(acc["s2"] * d * d + 1.0).alias("s2"),
+            F.when(isnull, acc["sx2"] * d).otherwise(acc["sx2"] * d + x * x).alias("sx2"),
+            (acc["nn"] + F.when(isnull, 0).otherwise(1)).alias("nn"),
+        )
+
+    def fin(acc):
+        return F.when(acc["nn"] >= min_samples, fin_of(acc))
+
+    return acc0, step, fin
+
+
+def _ewm_var_rec_fold(d, alpha, bias, std, min_samples, *, from_struct):
+    """adjust=False EW-variance fold: the EXACT reference recursion
+    (polars-compute/src/ewm/cov.rs with x==y) — per-step ws/wss/weight
+    normalization makes the accumulated past count as weight exactly 1,
+    which a raw weighted-moment fold cannot reproduce after a null gap."""
+    acc0 = F.struct(
+        F.lit(0.0).alias("mean"), F.lit(0.0).alias("cov"), F.lit(1.0).alias("w"),
+        F.lit(0.0).alias("ws"), F.lit(0.0).alias("wss"), F.lit(0).alias("nn"),
+    )
+
+    def step(acc, s):
+        x = s["x"] if from_struct else s
+        isnull = x.isNull()
+        first = acc["nn"] == 0
+        wd = acc["w"] * d
+        nw = wd + alpha
+        nm = acc["mean"] + (x - acc["mean"]) * (alpha / nw)
+        ncov = (
+            wd * (acc["cov"] + (acc["mean"] - nm) * (acc["mean"] - nm))
+            + alpha * (x - nm) * (x - nm)
+        ) / nw
+        nws = (acc["ws"] * d + alpha) / nw
+        nwss = (acc["wss"] * d * d + alpha * alpha) / (nw * nw)
+        return F.struct(
+            F.when(isnull, acc["mean"]).when(first, x).otherwise(nm).alias("mean"),
+            F.when(isnull, acc["cov"]).when(first, F.lit(0.0)).otherwise(ncov).alias("cov"),
+            F.when(isnull, F.when(first, acc["w"]).otherwise(wd))
+            .otherwise(F.lit(1.0))
+            .alias("w"),
+            F.when(isnull, F.when(first, acc["ws"]).otherwise(acc["ws"] * d))
+            .when(first, F.lit(1.0))
+            .otherwise(nws)
+            .alias("ws"),
+            F.when(isnull, F.when(first, acc["wss"]).otherwise(acc["wss"] * d * d))
+            .when(first, F.lit(1.0))
+            .otherwise(nwss)
+            .alias("wss"),
+            (acc["nn"] + F.when(isnull, 0).otherwise(1)).alias("nn"),
+        )
+
+    def fin(acc):
+        varb = acc["cov"]
+        if not bias:
+            denom = acc["ws"] * acc["ws"] - acc["wss"]
+            varb = F.when(denom > 0, varb * acc["ws"] * acc["ws"] / denom)
+        varb = F.greatest(varb, F.lit(0.0))
+        r = F.sqrt(varb) if std else varb
+        return F.when(acc["nn"] >= min_samples, r)
+
+    return acc0, step, fin
+
+
 def _grouped_ordered_array(ctx: "ExprContext", c: Column) -> Column:
     """The group's values as an ORDERED array (agg context): row-order
     sorted when the frame has an order, OrderNeeded when it is deferred —
@@ -2205,14 +2285,17 @@ class Expr:
         com: float | None = None,
         half_life: float | None = None,
         adjust: bool = True,
-        ignore_nulls: bool = True,
+        ignore_nulls: bool = False,
         min_samples: int = 1,
     ):
-        """Exponentially-weighted mean, polars/pandas adjust=True semantics
-        (polars-compute/src/ewm/).  Lowering: collect the observed prefix per
-        row (window) and fold it with a (num, den) accumulator — exact, but
-        O(n²) per partition, so use it under .over(keys) with bounded series
-        length; for very long series prefer a grouped applyInPandas.
+        """Exponentially-weighted mean, polars/pandas semantics
+        (polars-compute/src/ewm/mean.rs).  ``ignore_nulls=False`` (the
+        reference default) decays the weights on null rows (absolute
+        positions); ``True`` weights by relative position among non-nulls.
+        Lowering: collect the observed prefix per row (window) and fold it
+        with a (num, den) accumulator — exact, but O(n²) per partition, so
+        use it under .over(keys) with bounded series length; top-level calls
+        hoist into the O(n) mapInPandas kernel (LazyFrame._hoist_ewm).
         """
         if alpha is None:
             if span is not None:
@@ -2232,6 +2315,64 @@ class Expr:
                 # mean over the group IN ROW ORDER as a list (polars implicit
                 # implode of a length-preserving expr) — prefix folds over the
                 # imploded array, O(k²) per group, bounded by group size
+                if not ignore_nulls:
+                    raw = _grouped_ordered_array(ctx, c)
+                    idx = F.sequence(F.lit(1), F.size(raw))
+                    if adjust:
+                        a0 = F.struct(
+                            F.lit(0.0).alias("num"),
+                            F.lit(0.0).alias("den"),
+                            F.lit(0).alias("nn"),
+                        )
+
+                        def _stepg(acc, x):
+                            return F.struct(
+                                (acc["num"] * decay + F.coalesce(x, F.lit(0.0))).alias("num"),
+                                (
+                                    acc["den"] * decay
+                                    + F.when(x.isNull(), 0.0).otherwise(1.0)
+                                ).alias("den"),
+                                (acc["nn"] + F.when(x.isNull(), 0).otherwise(1)).alias("nn"),
+                            )
+
+                        def _fing(acc):
+                            return F.when(acc["nn"] >= min_samples, acc["num"] / acc["den"])
+
+                    else:
+                        a0 = F.struct(
+                            F.lit(0.0).alias("y"),
+                            F.lit(1.0).alias("w"),
+                            F.lit(0).alias("nn"),
+                        )
+
+                        def _stepg(acc, x):
+                            w2 = acc["w"] * decay
+                            nw = w2 + alpha
+                            return F.struct(
+                                F.when(x.isNull(), acc["y"])
+                                .when(acc["nn"] == 0, x)
+                                .when(acc["w"] == 1.0, acc["y"] * decay + alpha * x)
+                                .otherwise(acc["y"] + (x - acc["y"]) * (alpha / nw))
+                                .alias("y"),
+                                F.when(
+                                    x.isNull(),
+                                    F.when(acc["nn"] > 0, w2).otherwise(acc["w"]),
+                                )
+                                .otherwise(F.lit(1.0))
+                                .alias("w"),
+                                (acc["nn"] + F.when(x.isNull(), 0).otherwise(1)).alias("nn"),
+                            )
+
+                        def _fing(acc):
+                            return F.when(acc["nn"] >= min_samples, acc["y"])
+
+                    return F.transform(
+                        idx,
+                        lambda i: F.when(
+                            F.get(raw, i - 1).isNotNull(),
+                            F.aggregate(F.slice(raw, 1, i), a0, _stepg, _fing),
+                        ),
+                    )
                 garr = F.filter(_grouped_ordered_array(ctx, c), lambda x: x.isNotNull())
                 idx = F.sequence(F.lit(1), F.size(garr))
                 if adjust:
@@ -2270,33 +2411,87 @@ class Expr:
                     ),
                 )
             w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
-            arr = F.collect_list(c).over(w)  # collect_list drops nulls == ignore_nulls
+            if ignore_nulls:
+                arr = F.collect_list(c).over(w)  # drops nulls == ignore_nulls
+                if adjust:
+                    acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+                    folded = F.aggregate(
+                        arr,
+                        acc0,
+                        lambda acc, x: F.struct(
+                            (acc["num"] * decay + x).alias("num"),
+                            (acc["den"] * decay + 1.0).alias("den"),
+                        ),
+                        lambda acc: acc["num"] / acc["den"],
+                    )
+                else:
+                    # recursive form: y_0 = x_0; y_t = (1-a)·y_{t-1} + a·x_t
+                    acc0 = F.struct(F.lit(0.0).alias("y"), F.lit(0).alias("started"))
+                    folded = F.aggregate(
+                        arr,
+                        acc0,
+                        lambda acc, x: F.struct(
+                            F.when(acc["started"] == 1, acc["y"] * decay + alpha * x)
+                            .otherwise(x)
+                            .alias("y"),
+                            F.lit(1).alias("started"),
+                        ),
+                        lambda acc: F.when(acc["started"] == 1, acc["y"]),
+                    )
+                out = F.when(F.size(arr) >= min_samples, folded)
+                return F.when(self._resolve(ctx).isNotNull(), out)
+            # ignore_nulls=False (reference default): nulls stay in the
+            # prefix as struct elements and decay the weights (mean.rs:
+            # weight *= 1-alpha on every row); bit-identical to the branch
+            # above on null-free data (0.0-adds preserve the op sequence)
+            arrn = F.collect_list(F.struct(c.alias("x"))).over(w)
+            nn = F.size(F.filter(arrn, lambda s: s["x"].isNotNull()))
             if adjust:
                 acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
                 folded = F.aggregate(
-                    arr,
+                    arrn,
                     acc0,
-                    lambda acc, x: F.struct(
-                        (acc["num"] * decay + x).alias("num"),
-                        (acc["den"] * decay + 1.0).alias("den"),
+                    lambda acc, s: F.struct(
+                        (acc["num"] * decay + F.coalesce(s["x"], F.lit(0.0))).alias("num"),
+                        (
+                            acc["den"] * decay
+                            + F.when(s["x"].isNull(), 0.0).otherwise(1.0)
+                        ).alias("den"),
                     ),
                     lambda acc: acc["num"] / acc["den"],
                 )
             else:
-                # recursive form: y_0 = x_0; y_t = (1-a)·y_{t-1} + a·x_t
-                acc0 = F.struct(F.lit(0.0).alias("y"), F.lit(0).alias("started"))
-                folded = F.aggregate(
-                    arr,
-                    acc0,
-                    lambda acc, x: F.struct(
-                        F.when(acc["started"] == 1, acc["y"] * decay + alpha * x)
-                        .otherwise(x)
-                        .alias("y"),
-                        F.lit(1).alias("started"),
-                    ),
-                    lambda acc: F.when(acc["started"] == 1, acc["y"]),
+                # reference recursion with per-row weight decay: state
+                # (y, w, cnt); w < 1 only right after null rows
+                acc0 = F.struct(
+                    F.lit(0.0).alias("y"), F.lit(1.0).alias("w"), F.lit(0).alias("cnt")
                 )
-            out = F.when(F.size(arr) >= min_samples, folded)
+
+                def _step(acc, s):
+                    xv = s["x"]
+                    w2 = acc["w"] * decay
+                    nw = w2 + alpha
+                    y_gen = acc["y"] + (xv - acc["y"]) * (alpha / nw)
+                    y_classic = acc["y"] * decay + alpha * xv
+                    return F.struct(
+                        F.when(xv.isNull(), acc["y"])
+                        .when(acc["cnt"] == 0, xv)
+                        .when(acc["w"] == 1.0, y_classic)
+                        .otherwise(y_gen)
+                        .alias("y"),
+                        F.when(
+                            xv.isNull(),
+                            F.when(acc["cnt"] > 0, w2).otherwise(acc["w"]),
+                        )
+                        .otherwise(F.lit(1.0))
+                        .alias("w"),
+                        (acc["cnt"] + F.when(xv.isNull(), 0).otherwise(1)).alias("cnt"),
+                    )
+
+                folded = F.aggregate(
+                    arrn, acc0, _step, lambda acc: F.when(acc["cnt"] > 0, acc["y"])
+                )
+            out = F.when(nn >= min_samples, folded)
             return F.when(self._resolve(ctx).isNotNull(), out)
 
         e = Expr(fn, self._name)
@@ -2312,6 +2507,7 @@ class Expr:
             "decay": decay,
             "alpha": alpha,
             "adjust": adjust,
+            "ignore_nulls": ignore_nulls,
             "min_samples": min_samples,
         }
         return e
@@ -2401,19 +2597,31 @@ class Expr:
             import math
 
             alpha = 1 - math.exp(-math.log(2) / half_life)
-        return self._ewm_var_std(alpha, span, com, bias, min_samples, std=True)
+        return self._ewm_var_std(
+            alpha, span, com, bias, min_samples, std=True,
+            adjust=adjust, ignore_nulls=ignore_nulls,
+        )
 
     def ewm_var(self, *, alpha: float | None = None, span: float | None = None, com: float | None = None, half_life: float | None = None, adjust: bool = True, bias: bool = False, min_samples: int = 1, ignore_nulls: bool = False):
         if half_life is not None and alpha is None:
             import math
 
             alpha = 1 - math.exp(-math.log(2) / half_life)
-        return self._ewm_var_std(alpha, span, com, bias, min_samples, std=False)
+        return self._ewm_var_std(
+            alpha, span, com, bias, min_samples, std=False,
+            adjust=adjust, ignore_nulls=ignore_nulls,
+        )
 
-    def _ewm_var_std(self, alpha, span, com, bias, min_samples, *, std: bool):
-        """EW variance/std (pandas/polars adjust=True): one fold accumulates
-        (Σw·x, Σw, Σw², Σw·x²); var = (Σwx²/Σw − m²) with the (Σw)²/((Σw)²−Σw²)
-        bias correction when bias=False."""
+    def _ewm_var_std(
+        self, alpha, span, com, bias, min_samples, *, std: bool,
+        adjust: bool = True, ignore_nulls: bool = False,
+    ):
+        """EW variance/std (polars-compute/src/ewm/cov.rs): one fold
+        accumulates (Σw·x, Σw, Σw², Σw·x²); var = (Σwx²/Σw − m²) with the
+        (Σw)²/((Σw)²−Σw²) bias correction when bias=False.  adjust=False
+        weights new values by alpha (first by 1 — scale cancels in every
+        ratio, so no normalization pass is needed); ignore_nulls=False (the
+        reference default) decays all weights on null rows."""
         if alpha is None:
             if span is not None:
                 alpha = 2.0 / (span + 1.0)
@@ -2423,62 +2631,94 @@ class Expr:
                 raise ValueError("ewm needs alpha/span/com")
         d = 1.0 - alpha
 
+        def fin_of(acc):
+            m = acc["s1"] / acc["s0"]
+            varb = acc["sx2"] / acc["s0"] - m * m
+            if not bias:
+                denom = acc["s0"] * acc["s0"] - acc["s2"]
+                varb = F.when(denom > 0, varb * acc["s0"] * acc["s0"] / denom)
+            varb = F.greatest(varb, F.lit(0.0))
+            return F.sqrt(varb) if std else varb
+
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
+            exact = adjust and ignore_nulls  # historical bit-exact fold
             if ctx.grouped and getattr(ctx, "_window", None) is None:
                 # agg context: running EW var/std over the group in row
                 # order, as a list (prefix folds over the imploded array)
-                garr = F.filter(_grouped_ordered_array(ctx, c), lambda x: x.isNotNull())
-                idx = F.sequence(F.lit(1), F.size(garr))
-                a0 = F.struct(
+                if exact:
+                    garr = F.filter(_grouped_ordered_array(ctx, c), lambda x: x.isNotNull())
+                    idx = F.sequence(F.lit(1), F.size(garr))
+                    a0 = F.struct(
+                        F.lit(0.0).alias("s1"), F.lit(0.0).alias("s0"),
+                        F.lit(0.0).alias("s2"), F.lit(0.0).alias("sx2"),
+                    )
+
+                    def _prefix(i):
+                        def stepg(acc, x):
+                            return F.struct(
+                                (acc["s1"] * d + x).alias("s1"),
+                                (acc["s0"] * d + 1.0).alias("s0"),
+                                (acc["s2"] * d * d + 1.0).alias("s2"),
+                                (acc["sx2"] * d + x * x).alias("sx2"),
+                            )
+
+                        return F.aggregate(F.slice(garr, 1, i), a0, stepg, fin_of)
+
+                    return F.transform(idx, lambda i: F.when(i >= min_samples, _prefix(i)))
+                raw = (
+                    _grouped_ordered_array(ctx, c)
+                    if not ignore_nulls
+                    else F.filter(_grouped_ordered_array(ctx, c), lambda x: x.isNotNull())
+                )
+                idx = F.sequence(F.lit(1), F.size(raw))
+                if adjust:
+                    a0g, _stepgen, _fingen = _ewm_var_moment_fold(
+                        d, min_samples, fin_of, from_struct=False
+                    )
+                else:
+                    a0g, _stepgen, _fingen = _ewm_var_rec_fold(
+                        d, alpha, bias, std, min_samples, from_struct=False
+                    )
+                return F.transform(
+                    idx,
+                    lambda i: F.when(
+                        F.get(raw, i - 1).isNotNull(),
+                        F.aggregate(F.slice(raw, 1, i), a0g, _stepgen, _fingen),
+                    ),
+                )
+            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
+            if exact:
+                arr = F.collect_list(c).over(w)
+                acc0 = F.struct(
                     F.lit(0.0).alias("s1"), F.lit(0.0).alias("s0"),
                     F.lit(0.0).alias("s2"), F.lit(0.0).alias("sx2"),
                 )
-
-                def _prefix(i):
-                    def stepg(acc, x):
-                        return F.struct(
-                            (acc["s1"] * d + x).alias("s1"),
-                            (acc["s0"] * d + 1.0).alias("s0"),
-                            (acc["s2"] * d * d + 1.0).alias("s2"),
-                            (acc["sx2"] * d + x * x).alias("sx2"),
-                        )
-
-                    def fing(acc):
-                        m = acc["s1"] / acc["s0"]
-                        varb = acc["sx2"] / acc["s0"] - m * m
-                        if not bias:
-                            denom = acc["s0"] * acc["s0"] - acc["s2"]
-                            varb = F.when(denom > 0, varb * acc["s0"] * acc["s0"] / denom)
-                        varb = F.greatest(varb, F.lit(0.0))
-                        return F.sqrt(varb) if std else varb
-
-                    return F.aggregate(F.slice(garr, 1, i), a0, stepg, fing)
-
-                return F.transform(idx, lambda i: F.when(i >= min_samples, _prefix(i)))
-            w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
-            arr = F.collect_list(c).over(w)
-            acc0 = F.struct(
-                F.lit(0.0).alias("s1"), F.lit(0.0).alias("s0"),
-                F.lit(0.0).alias("s2"), F.lit(0.0).alias("sx2"),
+                def step(acc, x):
+                    return F.struct(
+                        (acc["s1"] * d + x).alias("s1"),
+                        (acc["s0"] * d + 1.0).alias("s0"),
+                        (acc["s2"] * d * d + 1.0).alias("s2"),
+                        (acc["sx2"] * d + x * x).alias("sx2"),
+                    )
+                out = F.aggregate(arr, acc0, step, fin_of)
+                out = F.when(F.size(arr) >= min_samples, out)
+                return F.when(self._resolve(ctx).isNotNull(), out)
+            src = F.struct(c.alias("x"))
+            arrn = (
+                F.collect_list(src).over(w)
+                if not ignore_nulls
+                else F.collect_list(F.when(c.isNotNull(), src)).over(w)
             )
-            def step(acc, x):
-                return F.struct(
-                    (acc["s1"] * d + x).alias("s1"),
-                    (acc["s0"] * d + 1.0).alias("s0"),
-                    (acc["s2"] * d * d + 1.0).alias("s2"),
-                    (acc["sx2"] * d + x * x).alias("sx2"),
+            if adjust:
+                acc0, stepn, finn = _ewm_var_moment_fold(
+                    d, min_samples, fin_of, from_struct=True
                 )
-            def fin(acc):
-                m = acc["s1"] / acc["s0"]
-                varb = acc["sx2"] / acc["s0"] - m * m
-                if not bias:
-                    denom = acc["s0"] * acc["s0"] - acc["s2"]
-                    varb = F.when(denom > 0, varb * acc["s0"] * acc["s0"] / denom)
-                varb = F.greatest(varb, F.lit(0.0))
-                return F.sqrt(varb) if std else varb
-            out = F.aggregate(arr, acc0, step, fin)
-            out = F.when(F.size(arr) >= min_samples, out)
+            else:
+                acc0, stepn, finn = _ewm_var_rec_fold(
+                    d, alpha, bias, std, min_samples, from_struct=True
+                )
+            out = F.aggregate(arrn, acc0, stepn, finn)
             return F.when(self._resolve(ctx).isNotNull(), out)
 
         e = Expr(fn, self._name)
@@ -2489,6 +2729,8 @@ class Expr:
             "decay": d,
             "alpha": alpha,
             "bias": bias,
+            "adjust": adjust,
+            "ignore_nulls": ignore_nulls,
             "min_samples": min_samples,
         }
         return e
@@ -3114,9 +3356,22 @@ class Expr:
 
         return Expr(fn, self._name, is_agg=True)
 
-    def ewm_sum(self, *, alpha: float | None = None, half_life: float | None = None, span: float | None = None, adjust: bool = True):
-        """Exponentially weighted rolling sum: sum_i (1-a)^(n-1-i) x_i —
-        same prefix-scan lowering as ewm_mean without the normalization."""
+    def ewm_sum(
+        self,
+        *,
+        com: float | None = None,
+        span: float | None = None,
+        half_life: float | None = None,
+        alpha: float | None = None,
+        min_samples: int = 1,
+        ignore_nulls: bool = False,
+    ):
+        """Exponentially weighted moving sum (polars-compute/src/ewm/sum.rs):
+        the recursion s_t = (1-a)·s_{t-1} + x_t; under ignore_nulls=False
+        (the reference default) null rows decay the sum, under True they are
+        skipped.  Lowering: the same prefix fold as ewm_mean — the previous
+        closed-form (1-a)^(-pos) window scaling overflowed IEEE range past
+        ~1000 rows and is gone."""
         import math as _math
 
         if alpha is None:
@@ -3124,23 +3379,49 @@ class Expr:
                 alpha = 1 - _math.exp(-_math.log(2) / half_life)
             elif span is not None:
                 alpha = 2.0 / (span + 1)
+            elif com is not None:
+                alpha = 1.0 / (1.0 + com)
             else:
-                raise ValueError("ewm_sum needs alpha, half_life, or span")
+                raise ValueError("ewm_sum needs alpha, com, half_life, or span")
         a = float(alpha)
+        q = 1.0 - a
 
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx).cast("double")
             w = ctx.order_window().rowsBetween(Window.unboundedPreceding, 0)
-            n = F.count(c).over(w)
-            # sum over window of x_i * (1-a)^(n-1-i): use position index
-            pos = F.row_number().over(ctx.order_window())
-            # weight depends on both row and current n -> express as
-            # (1-a)^(n-1) * sum((1-a)^(-(i-1)) x_i); guard overflow with logs
-            scaled = c * F.pow(F.lit(1 - a), -(pos.cast("double") - 1))
-            s = F.sum(scaled).over(w)
-            return s * F.pow(F.lit(1 - a), n.cast("double") - 1)
+            if ignore_nulls:
+                arr = F.collect_list(c).over(w)
+                acc0 = F.struct(F.lit(0.0).alias("s"))
+                folded = F.aggregate(
+                    arr, acc0,
+                    lambda acc, x: F.struct((acc["s"] * q + x).alias("s")),
+                    lambda acc: acc["s"],
+                )
+                out = F.when(F.size(arr) >= min_samples, folded)
+                return F.when(c.isNotNull(), out)
+            arrn = F.collect_list(F.struct(c.alias("x"))).over(w)
+            nn = F.size(F.filter(arrn, lambda s: s["x"].isNotNull()))
+            acc0 = F.struct(F.lit(0.0).alias("s"))
+            folded = F.aggregate(
+                arrn, acc0,
+                lambda acc, s: F.struct(
+                    (acc["s"] * q + F.coalesce(s["x"], F.lit(0.0))).alias("s")
+                ),
+                lambda acc: acc["s"],
+            )
+            out = F.when(nn >= min_samples, folded)
+            return F.when(c.isNotNull(), out)
 
-        return Expr(fn, self._name)
+        e = Expr(fn, self._name)
+        e._ewm_spec = {
+            "kind": "sum",
+            "parent": self,
+            "decay": q,
+            "alpha": a,
+            "ignore_nulls": ignore_nulls,
+            "min_samples": min_samples,
+        }
+        return e
 
     def rolling_std_by(self, by, window_size: str, *, min_samples: int = 1, ddof: int = 1, closed: str = "right"):
         f = F.stddev_samp if ddof == 1 else F.stddev_pop

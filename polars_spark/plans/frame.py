@@ -83,15 +83,94 @@ def _ewm_step_mean_adjust(st, x, decay, alpha, minp):
 
 
 def _ewm_step_mean_rec(st, x, decay, alpha, minp):
-    y, started, cnt = st
-    y = y * decay + alpha * x if started else x
+    # state (y, w, cnt): w < 1 only after a null-row decay under
+    # ignore_nulls=False (reference mean.rs: weight *= 1-alpha on nulls,
+    # reset to 1 after each observation).  The w == 1 branch keeps the
+    # classic y·q + a·x op order bit-identical to the historical fold.
+    y, w, cnt = st
+    if cnt == 0:
+        y, w = x, 1.0
+    elif w == 1.0:
+        y = y * decay + alpha * x
+    else:
+        w2 = w * decay
+        y = y + (x - y) * (alpha / (w2 + alpha))
+        w = 1.0
     cnt += 1
-    return (y if cnt >= minp else None), (y, True, cnt)
+    return (y if cnt >= minp else None), (y, w, cnt)
 
 
-def _ewm_step_var(st, x, d, alpha, minp, *, bias, std):
+def _ewm_step_sum(st, x, decay, alpha, minp):
+    s, cnt = st
+    s = s * decay + x
+    cnt += 1
+    return (s if cnt >= minp else None), (s, cnt)
+
+
+def _ewm_null_decay(sp, st):
+    """ignore_nulls=False: a null row decays every weight by 1-alpha
+    (reference polars-compute/src/ewm/: `if opt_v.is_some() ||
+    !ignore_nulls { weight *= 1-alpha }`); values and outputs unchanged."""
+    d = sp["decay"]
+    kind = sp["kind"]
+    if kind == "mean":
+        if sp.get("adjust", True):
+            num, den, cnt = st
+            return (num * d, den * d, cnt)
+        y, w, cnt = st
+        return (y, w * d if cnt else w, cnt)
+    if kind == "sum":
+        s, cnt = st
+        return (s * d, cnt)
+    if not sp.get("adjust", True):
+        mean, cov, w, ws, wss, cnt = st
+        if cnt == 0:
+            return st
+        return (mean, cov, w * d, ws * d, wss * d * d, cnt)
+    s1, s0, s2, sx2, cnt = st
+    if cnt == 0:
+        return st
+    return (s1 * d, s0 * d, s2 * d * d, sx2 * d, cnt)
+
+
+def _ewm_step_var_rec(st, x, d, alpha, minp, *, bias, std):
+    """adjust=False EW variance: the EXACT reference recursion
+    (polars-compute/src/ewm/cov.rs, x==y) — the per-step ws/wss/weight
+    normalization makes the accumulated past count as weight exactly 1,
+    which a raw weighted-moment fold cannot reproduce once a null gap has
+    decayed the weights."""
     import math
 
+    mean, cov, w, ws, wss, cnt = st
+    if cnt == 0:
+        st = (x, 0.0, 1.0, 1.0, 1.0, 1)
+    else:
+        wd = w * d
+        nw = wd + alpha
+        nm = mean + (x - mean) * (alpha / nw)
+        cov = (wd * (cov + (mean - nm) * (mean - nm)) + alpha * (x - nm) * (x - nm)) / nw
+        ws = (ws * d + alpha) / nw
+        wss = (wss * d * d + alpha * alpha) / (nw * nw)
+        st = (nm, cov, 1.0, ws, wss, cnt + 1)
+    mean, cov, w, ws, wss, cnt = st
+    if cnt < minp:
+        return None, st
+    varb = cov
+    if not bias:
+        denom = ws * ws - wss
+        varb = varb * ws * ws / denom if (denom > 0 or denom != denom) else None
+    if varb is None:
+        varb = 0.0
+    elif varb == varb and varb < 0.0:
+        varb = 0.0
+    return (math.sqrt(varb) if std else varb), st
+
+
+def _ewm_step_var(st, x, d, alpha, minp, *, bias, std, adjust=True):
+    import math
+
+    if not adjust:
+        return _ewm_step_var_rec(st, x, d, alpha, minp, bias=bias, std=std)
     s1, s0, s2, sx2, cnt = st
     s1 = s1 * d + x
     s0 = s0 * d + 1.0
@@ -125,20 +204,29 @@ def _ewm_stream_kernel(specs, key_names, srcs, outs, nan_flags=None):
     IEEE op sequence of the expression-level prefix fold (bit-exact vs the
     recursive-CTE oracles) in O(n) per key instead of the fold's O(n²):
     a 10⁶-row single-key series finishes in seconds.  Nulls arrive as NaN
-    through Arrow and are skipped exactly like collect_list drops them."""
+    through Arrow (JVM-computed flags mark REAL NaNs); under
+    ignore_nulls=True they are skipped like collect_list drops them, under
+    the reference default ignore_nulls=False they decay the weights."""
 
     def init(sp):
         if sp["kind"] == "mean":
-            return (0.0, 0.0, 0) if sp.get("adjust", True) else (0.0, False, 0)
+            return (0.0, 0.0, 0) if sp.get("adjust", True) else (0.0, 1.0, 0)
+        if sp["kind"] == "sum":
+            return (0.0, 0)
+        if not sp.get("adjust", True):
+            return (0.0, 0.0, 1.0, 0.0, 0.0, 0)  # (mean, cov, w, ws, wss, cnt)
         return (0.0, 0.0, 0.0, 0.0, 0)
 
     def step(sp, st, x):
         if sp["kind"] == "mean":
             f = _ewm_step_mean_adjust if sp.get("adjust", True) else _ewm_step_mean_rec
             return f(st, x, sp["decay"], sp.get("alpha"), sp.get("min_samples", 1))
+        if sp["kind"] == "sum":
+            return _ewm_step_sum(st, x, sp["decay"], sp.get("alpha"), sp.get("min_samples", 1))
         return _ewm_step_var(
             st, x, sp["decay"], sp.get("alpha"), sp.get("min_samples", 1),
             bias=sp.get("bias", False), std=sp["kind"] == "std",
+            adjust=sp.get("adjust", True),
         )
 
     def run(batches):
@@ -173,7 +261,11 @@ def _ewm_stream_kernel(specs, key_names, srcs, outs, nan_flags=None):
                 for j, sp in enumerate(specs):
                     x = xss[j][i]
                     if x != x and (nanss is None or not nanss[j][i]):
-                        continue  # true null: null output, state unchanged
+                        # true null: null output; under ignore_nulls=False
+                        # (the reference default) the weights still decay
+                        if not sp.get("ignore_nulls", True):
+                            states[j] = _ewm_null_decay(sp, states[j])
+                        continue
                     v, states[j] = step(sp, states[j], x)
                     outcols[j][i] = v
             for o, vals in zip(outs, outcols):

@@ -398,9 +398,12 @@ def win_ewm_dual_keys(spark, sf_dir):
     """,
 )
 def win_ewm_nan_poison(spark, sf_dir):
-    """ewm_mean over a column mixing NULLs (every 11th id: skipped) and real
-    NaNs (every 17th id: poisons the key's recurrence) — pins the round-7
-    kernel NaN/null distinction against an independent engine."""
+    """ewm_mean(ignore_nulls=True) over a column mixing NULLs (every 11th
+    id: skipped, no state advance) and real NaNs (every 17th id: poisons
+    the key's recurrence) — pins the round-7 kernel NaN/null distinction
+    against an independent engine.  ignore_nulls is EXPLICIT since round
+    10: the default is False (reference parity — nulls decay the weights),
+    which win_ewm_null_decay gates separately."""
     ev = _ev(spark, sf_dir)
     v = (
         pl.when(pl.col("event_id") % 17 == 0)
@@ -413,7 +416,7 @@ def win_ewm_nan_poison(spark, sf_dir):
         ev.with_columns(v2=v)
         .select(
             "event_id",
-            pl.col("v2").ewm_mean(span=10).over("user_id").alias("ewm"),
+            pl.col("v2").ewm_mean(span=10, ignore_nulls=True).over("user_id").alias("ewm"),
         )
         .to_spark()
     )
@@ -781,3 +784,49 @@ def win_ewm_long_series(spark, sf_dir):
         pl.col("ewm_m").mean().round(4).alias("ewm_m_avg"),
         pl.col("ewm_s").last().round(4).alias("ewm_s_last"),
     ).to_spark()
+
+
+@query(
+    "win_ewm_null_decay",
+    # Round-10: the reference DEFAULT ignore_nulls=False (mean.rs: a null
+    # row decays num and den by q, adds nothing, outputs null).  The
+    # recursive CTE replays the identical fold over ALL rows: num' = num·q
+    # + coalesce(v,0), den' = den·q + (v null ? 0 : 1) — bit-exact vs the
+    # engine's prefix fold / kernel.
+    oracle=f"""
+    WITH RECURSIVE src AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v,
+             row_number() OVER ({_W}) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, rn, v,
+             coalesce(v, CAST(0.0 AS DOUBLE)) AS num,
+             CASE WHEN v IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS den
+      FROM src WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.rn, b.v,
+             r.num * CAST(0.8181818181818181 AS DOUBLE) + coalesce(b.v, CAST(0.0 AS DOUBLE)),
+             r.den * CAST(0.8181818181818181 AS DOUBLE)
+               + CASE WHEN b.v IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END
+      FROM rec r JOIN src b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT event_id, CASE WHEN v IS NULL THEN NULL ELSE num / den END AS ewm
+    FROM rec
+    """,
+)
+def win_ewm_null_decay(spark, sf_dir):
+    """ewm_mean DEFAULT semantics (ignore_nulls=False, reference
+    mean.rs): null rows decay the weights by absolute position and output
+    null; non-null rows see a mean whose older observations faded through
+    the gap."""
+    ev = _ev(spark, sf_dir)
+    v = pl.when(pl.col("event_id") % 11 == 0).then(None).otherwise(pl.col("value"))
+    return (
+        ev.with_columns(v2=v)
+        .select(
+            "event_id",
+            pl.col("v2").ewm_mean(span=10).over("user_id").alias("ewm"),
+        )
+        .to_spark()
+    )

@@ -116,6 +116,7 @@ ALLNULL_PINNED: dict[str, str] = {
     "win_ewm_dual_keys": "the recursive-CTE oracle re-associates rows by event_id; all-null ids make the join degenerate (null never equals null) — the engine's null-key group is not SQL-addressable",
     "win_ewm_std": "same event_id re-association limit as win_ewm_dual_keys",
     "win_ewm_mean": "same event_id re-association limit as win_ewm_dual_keys",
+    "win_ewm_null_decay": "recursive-CTE chain joins on user_id; all-null keys break the rn chain after row 1 (same re-association limit as win_ewm_dual_keys)",
 }
 
 
