@@ -220,7 +220,12 @@ def mean_horizontal(*exprs, ignore_nulls: bool = True) -> Expr:
         cnt = _reduce(lambda a, b: a + b, [F.when(c.isNotNull(), 1).otherwise(0) for c in cs])
         # all-null row: polars mean_horizontal -> null, NEVER Spark 4's
         # ANSI DIVIDE_BY_ZERO error (cnt = 0; fuzz family test_fuzz_horizontal)
-        return F.try_divide(vals, cnt)
+        out = F.try_divide(vals, cnt)
+        if not ignore_nulls:
+            # reference: any null operand -> null row result
+            anynull = _reduce(lambda a, b: a | b, [c.isNull() for c in cs])
+            out = F.when(~anynull, out)
+        return out
 
     return _horizontal(exprs, combine, "mean")
 
@@ -909,11 +914,11 @@ def field(name):
     return Expr(fn, name)
 
 
-def arg_sort_by(*exprs, descending=False) -> Expr:
+def arg_sort_by(*exprs, descending=False, nulls_last=False) -> Expr:
     """The row indices that would sort by the given keys (the true argsort
     permutation, reference functions/lazy.py arg_sort_by: element i is the
     SOURCE position of the i-th row in sort order; nulls first like the
-    polars sort default).
+    polars sort default, last per-key under ``nulls_last``).
 
     Lowering: positions paired with keys are collected once over the frame
     order and array_sort'd with a multi-key comparator — inherently a
@@ -925,6 +930,7 @@ def arg_sort_by(*exprs, descending=False) -> Expr:
         flat.extend(e) if isinstance(e, (list, tuple)) else flat.append(e)
     flat = _cols(flat)
     descs = descending if isinstance(descending, (list, tuple)) else [descending] * flat.__len__()
+    nlasts = nulls_last if isinstance(nulls_last, (list, tuple)) else [nulls_last] * flat.__len__()
 
     def fn(ctx: ExprContext) -> Column:
         from pyspark.sql import Window
@@ -949,14 +955,15 @@ def arg_sort_by(*exprs, descending=False) -> Expr:
 
         def cmp(left, right):
             res = F.lit(0)
-            for i, d in reversed(list(enumerate(descs))):
+            for i, (d, nl) in reversed(list(enumerate(zip(descs, nlasts)))):
                 lf_, rf = left[f"__k{i}"], right[f"__k{i}"]
                 lt, gt = (F.lit(1), F.lit(-1)) if d else (F.lit(-1), F.lit(1))
+                # nulls first unless nulls_last — direction-independent
+                n_l, n_r = (F.lit(1), F.lit(-1)) if nl else (F.lit(-1), F.lit(1))
                 res = (
-                    # polars null-smallest rule: null sorts first ascending
                     F.when(lf_.isNull() & rf.isNull(), res)
-                    .when(lf_.isNull(), lt)
-                    .when(rf.isNull(), gt)
+                    .when(lf_.isNull(), n_l)
+                    .when(rf.isNull(), n_r)
                     .when(lf_ < rf, lt)
                     .when(lf_ > rf, gt)
                     .otherwise(res)

@@ -147,6 +147,20 @@ def _collect_keep_nulls(c: Column, w=None) -> Column:
     return F.transform(coll, lambda s: s.getField("__v"))
 
 
+def _gather_oob_guard(arr: Column, idx: Column, val: Column) -> Column:
+    """polars null_on_oob=False contract: an out-of-bounds gather/get index
+    RAISES (ComputeError 'gather indices are out of bounds'), it does not
+    yield null.  Null list or null index stays null (not an OOB)."""
+    oob = (
+        arr.isNotNull()
+        & idx.isNotNull()
+        & F.when(idx >= 0, idx >= F.size(arr)).otherwise(-idx > F.size(arr))
+    )
+    return F.when(
+        oob, F.raise_error(F.lit("gather indices are out of bounds"))
+    ).otherwise(val)
+
+
 def _ewm_var_moment_fold(d, min_samples, fin_of, *, from_struct):
     """adjust=True EW-variance fold over a prefix that may carry NULL
     elements (ignore_nulls=False): non-null steps keep the historical
@@ -3339,7 +3353,7 @@ class Expr:
         arg_sort_by lowering)."""
         from polars_spark.functions import arg_sort_by
 
-        out = arg_sort_by(self, descending=descending)
+        out = arg_sort_by(self, descending=descending, nulls_last=nulls_last)
         e = Expr(out._fn, self._name)
         e._arg_sort_spec = ([self], [descending])  # gather() shortcut
         return e
@@ -3455,18 +3469,31 @@ class Expr:
         return e
 
     def sort(self, *, descending: bool = False, nulls_last: bool = False):
-        """Sorted values (agg context -> sorted list; polars null-smallest
-        rule: asc puts nulls first, desc puts them last)."""
+        """Sorted values (agg context -> sorted list).  Reference rule
+        (Expr.sort docstring): nulls placed FIRST by default in BOTH
+        directions, LAST with nulls_last=True.  Spark mapping:
+        sort_array(asc) is nulls-first, array_sort is nulls-last."""
+        if not descending and not nulls_last:
+            return self._implode_map(lambda c: F.sort_array(c))
         if not descending:
             return self._implode_map(F.array_sort)
+        if nulls_last:
+            return self._implode_map(lambda c: F.sort_array(c, asc=False))
         return self._implode_map(lambda c: F.reverse(F.array_sort(c)))
 
     def sort_by(self, by, *more_by, descending=False, nulls_last=False):
-        """Values sorted by other expression(s) (agg context)."""
+        """Values sorted by other expression(s) (agg context).  Null keys
+        follow the reference rule: FIRST by default (both directions),
+        LAST under nulls_last — per key when lists are given."""
         bys = [by, *more_by]
         bys = [b for one in bys for b in (one if isinstance(one, (builtins.list, tuple)) else [one])]
         bes = [col(b) if isinstance(b, str) else _to_expr(b) for b in bys]
         descs = descending if isinstance(descending, (builtins.list, tuple)) else [descending] * builtins.len(bes)
+        nlasts = (
+            nulls_last
+            if isinstance(nulls_last, (builtins.list, tuple))
+            else [nulls_last] * builtins.len(bes)
+        )
 
         def fn(ctx: ExprContext) -> Column:
             keys = []
@@ -3490,13 +3517,18 @@ class Expr:
                     .when(lv > rv, 1)
                     .otherwise(F.lit(0))
                 )
-                for i, d in reversed(builtins.list(enumerate(descs))):
+                for i, (d, nl) in reversed(
+                    builtins.list(enumerate(zip(descs, nlasts)))
+                ):
                     lf_, rf = left[f"__k{i}"], right[f"__k{i}"]
                     lt, gt = (F.lit(1), F.lit(-1)) if d else (F.lit(-1), F.lit(1))
+                    # null placement is direction-independent: first unless
+                    # nulls_last (reference sort_by rule)
+                    n_l, n_r = (F.lit(1), F.lit(-1)) if nl else (F.lit(-1), F.lit(1))
                     res = (
                         F.when(lf_.isNull() & rf.isNull(), res)
-                        .when(lf_.isNull(), lt)
-                        .when(rf.isNull(), gt)
+                        .when(lf_.isNull(), n_l)
+                        .when(rf.isNull(), n_r)
                         .when(lf_ < rf, lt)
                         .when(lf_ > rf, gt)
                         .otherwise(res)
@@ -3665,14 +3697,28 @@ class Expr:
                 iarr = (
                     ie._resolve(ctx) if ie._is_agg else ie.implode()._resolve(ctx)
                 )
-                return F.transform(iarr, lambda i: F.get(varr, i.cast("int")))
+                if null_on_oob:
+                    return F.transform(iarr, lambda i: F.get(varr, i.cast("int")))
+                return F.transform(
+                    iarr,
+                    lambda i: _gather_oob_guard(
+                        varr, i.cast("int"), F.get(varr, i.cast("int"))
+                    ),
+                )
 
             e = Expr(fn2, self._name, is_agg=True)
             e._listwise = True
             return e
 
         def f(c):
-            return F.array(*[F.get(c, int(i)) for i in idx])
+            if null_on_oob:
+                return F.array(*[F.get(c, int(i)) for i in idx])
+            return F.array(
+                *[
+                    _gather_oob_guard(c, F.lit(int(i)), F.get(c, int(i)))
+                    for i in idx
+                ]
+            )
 
         return self._implode_map(f)
 
@@ -3839,49 +3885,63 @@ class Expr:
             flat.extend(n) if isinstance(n, (list, tuple)) else flat.append(n)
         return ~cs.by_name(*flat)
 
-    def hist(self, bins=None, *, bin_count: int | None = None, include_breakpoint: bool = True, include_category: bool = False):
-        """Histogram of the group (agg context): list of {breakpoint, count}
-        structs over right-closed bins (polars semantics: (lo, hi], first
-        bin closed on the left).  Either explicit literal bin edges or
-        bin_count uniform bins between group min and max.  Divergence:
-        always emits the breakpoint field."""
+    def hist(self, bins=None, *, bin_count: int | None = None, include_breakpoint: bool = False, include_category: bool = False):
+        """Histogram of the group (agg context) over right-closed bins
+        (polars semantics: (lo, hi], first bin closed on the left), either
+        from explicit literal bin edges or bin_count uniform bins between
+        group min and max.  Output shape follows the reference flags:
+        plain counts by default, {breakpoint,...}/{category,...} structs
+        when requested (category is the "(lo, hi]" interval label)."""
         if bins is None and bin_count is None:
             bin_count = 10
+
+        def mk_bin(hi_col, cat_col, cnt_col):
+            if not include_breakpoint and not include_category:
+                return cnt_col
+            fields = []
+            if include_breakpoint:
+                fields.append(hi_col.alias("breakpoint"))
+            if include_category:
+                fields.append(cat_col.alias("category"))
+            fields.append(cnt_col.alias("count"))
+            return F.struct(*fields)
 
         def f(arr):
             a = F.filter(arr.cast("array<double>"), lambda v: v.isNotNull())
             if bins is not None:
                 edges = [float(b) for b in bins]
-                structs = []
+                out = []
                 for i in range(len(edges) - 1):
                     lo, hi = edges[i], edges[i + 1]
                     pred = (lambda lo=lo, hi=hi, first=(i == 0): (
                         lambda v: ((v >= lo) if first else (v > lo)) & (v <= hi)
                     ))()
-                    structs.append(
-                        F.struct(
-                            F.lit(hi).alias("breakpoint"),
-                            F.size(F.filter(a, pred)).cast("bigint").alias("count"),
+                    out.append(
+                        mk_bin(
+                            F.lit(hi),
+                            F.lit(f"({lo}, {hi}]"),
+                            F.size(F.filter(a, pred)).cast("bigint"),
                         )
                     )
-                return F.array(*structs)
+                return F.array(*out)
             lo = F.array_min(a).cast("double")
             hi = F.array_max(a).cast("double")
             width = (hi - lo) / bin_count
-            structs = []
+            out = []
             for i in range(bin_count):
                 b_lo = lo + width * i
                 b_hi = hi if i == bin_count - 1 else lo + width * (i + 1)
                 pred = (lambda b_lo=b_lo, b_hi=b_hi, first=(i == 0): (
                     lambda v: ((v >= b_lo) if first else (v > b_lo)) & (v <= b_hi)
                 ))()
-                structs.append(
-                    F.struct(
-                        b_hi.alias("breakpoint"),
-                        F.size(F.filter(a, pred)).cast("bigint").alias("count"),
+                out.append(
+                    mk_bin(
+                        b_hi,
+                        F.format_string("(%s, %s]", b_lo, b_hi),
+                        F.size(F.filter(a, pred)).cast("bigint"),
                     )
                 )
-            return F.array(*structs)
+            return F.array(*out)
 
         return self._implode_map(f)
 

@@ -2528,8 +2528,19 @@ class LazyFrame:
         f = F.var_samp if ddof == 1 else F.var_pop
         return self._frame_agg(f, numeric_only=True)
 
-    def quantile(self, q: float, interpolation: str = "linear") -> "LazyFrame":
-        return self._frame_agg(lambda c: F.percentile(c, q), numeric_only=True)
+    def quantile(self, q: float, interpolation: str = "nearest") -> "LazyFrame":
+        """Frame-level quantile per numeric column.  Routes through
+        Expr.quantile so all six reference interpolation modes apply
+        (default 'nearest' — the reference frame default, NOT 'linear');
+        the old lowering ignored the parameter entirely."""
+        from polars_spark.plans.expr import col as _col
+
+        exprs = [
+            _col(c).quantile(q, interpolation).alias(c)
+            for c, t in self.schema.items()
+            if t in self._NUMERIC_T
+        ]
+        return self.select(*exprs)
 
     def null_count(self) -> "LazyFrame":
         return self._frame_agg(lambda c: F.sum(F.col(c).isNull().cast("bigint")))
@@ -4395,8 +4406,26 @@ class LazyGroupBy:
     def last(self, *, ignore_nulls: bool = False) -> LazyFrame:
         return self._all_agg(lambda c: F.last(c, ignorenulls=ignore_nulls))
 
-    def quantile(self, q: float, interpolation: str = "linear") -> LazyFrame:
-        return self._all_agg(lambda c: F.percentile(c, q), numeric_only=True)
+    def quantile(self, q: float, interpolation: str = "nearest") -> LazyFrame:
+        """Per-group quantile of every non-key column, all six reference
+        interpolation modes (default 'nearest' like the reference —
+        group_by.py:875 lowers to agg(all().quantile()), so non-numeric
+        columns come back as null columns, not dropped; the old lowering
+        ignored the interpolation parameter)."""
+        from polars_spark.plans.expr import col as _col, lit as _lit
+
+        names = [k for k in self._keys if isinstance(k, str)] + list(self._named)
+        exprs = []
+        for c, t in self._lf.schema.items():
+            if c in names:
+                continue
+            if t in LazyFrame._NUMERIC_T:
+                exprs.append(_col(c).quantile(q, interpolation).alias(c))
+            else:
+                # aggregate-valued null scalar (a bare lit would implode
+                # into a per-group list in agg context)
+                exprs.append(_lit(None).min().alias(c))
+        return self.agg(*exprs)
 
     def all(self) -> LazyFrame:
         """Implode every non-key column (order-preserving collect_list)."""

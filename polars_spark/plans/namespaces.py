@@ -1376,7 +1376,13 @@ class ListNamespace(_NS):
     def len(self) -> Expr:
         return self._map(lambda c: F.when(c.isNotNull(), F.size(c)))
 
-    def get(self, index, *, null_on_oob: bool = True) -> Expr:
+    def get(self, index, *, null_on_oob: bool = False) -> Expr:
+        """Element at ``index`` (0-based, python-style negatives).  The
+        reference DEFAULT null_on_oob=False RAISES on out-of-bounds
+        (ComputeError); pass True for the null-padding form (first/last
+        use it — reference list.py first: get(0, null_on_oob=True))."""
+        from polars_spark.plans.expr import _gather_oob_guard
+
         ie = _num_arg(index)
         if ie is not None:
             e = self._e
@@ -1385,18 +1391,23 @@ class ListNamespace(_NS):
                 c, i = e._resolve(ctx), ie._resolve(ctx).cast("int")
                 # 0-based positive, python-style negative: element_at is
                 # 1-based and rejects 0
-                return F.try_element_at(c, F.when(i >= 0, i + 1).otherwise(i))
+                val = F.try_element_at(c, F.when(i >= 0, i + 1).otherwise(i))
+                return val if null_on_oob else _gather_oob_guard(c, i, val)
 
             return Expr(fn, e._name)
-        if index >= 0:
-            return self._map(lambda c: F.get(c, index))
-        return self._map(lambda c: F.try_element_at(c, F.lit(index)))
+        idx = int(index)
+
+        def m(c):
+            val = F.get(c, idx) if idx >= 0 else F.try_element_at(c, F.lit(idx))
+            return val if null_on_oob else _gather_oob_guard(c, F.lit(idx), val)
+
+        return self._map(m)
 
     def first(self) -> Expr:
-        return self.get(0)
+        return self.get(0, null_on_oob=True)
 
     def last(self) -> Expr:
-        return self.get(-1)
+        return self.get(-1, null_on_oob=True)
 
     def contains(self, item) -> Expr:
         it = _to_expr(item)
@@ -1524,8 +1535,14 @@ class ListNamespace(_NS):
         return self._map(fn)
 
     def sort(self, *, descending: bool = False, nulls_last: bool = False) -> Expr:
+        # reference rule (same list_sort kernel as Expr.sort): nulls FIRST
+        # by default in both directions, LAST with nulls_last=True
+        if not descending and not nulls_last:
+            return self._map(lambda c: F.sort_array(c))
         if not descending:
             return self._map(F.array_sort)
+        if nulls_last:
+            return self._map(lambda c: F.sort_array(c, asc=False))
         return self._map(lambda c: F.reverse(F.array_sort(c)))
 
     def reverse(self) -> Expr:
@@ -1555,16 +1572,25 @@ class ListNamespace(_NS):
         return self._map(fn)
 
     def join(self, separator, *, ignore_nulls: bool = True) -> Expr:
+        # reference: ignore_nulls=True skips null elements (array_join's
+        # native behavior); False nulls the WHOLE result when any element
+        # is null
+        def guard(c, joined):
+            if ignore_nulls:
+                return joined
+            return F.when(~F.exists(c, lambda x: x.isNull()), joined)
+
         if isinstance(separator, Expr) or not isinstance(separator, str):
             sep = _to_expr(separator)
             e = self._e
             return Expr(
-                lambda ctx: F.call_function(
-                    "array_join", e._resolve(ctx), sep._resolve(ctx)
+                lambda ctx: guard(
+                    e._resolve(ctx),
+                    F.call_function("array_join", e._resolve(ctx), sep._resolve(ctx)),
                 ),
                 e._name,
             )
-        return self._map(lambda c: F.array_join(c, separator))
+        return self._map(lambda c: guard(c, F.array_join(c, separator)))
 
     def arg_min(self) -> Expr:
         return self._map(lambda c: F.array_position(c, F.array_min(c)).cast("bigint") - 1)

@@ -628,7 +628,7 @@ def sf_hist(spark, sf_dir):
     compares one row per bin."""
     li = ltable(spark, sf_dir, "lineitem")
     out = li.select(
-        pl.col("l_extendedprice").hist(bins=[0.0, 2000.0, 20000.0, 80000.0]).alias("h")
+        pl.col("l_extendedprice").hist(bins=[0.0, 2000.0, 20000.0, 80000.0], include_breakpoint=True).alias("h")
     )
     import pyspark.sql.functions as F
 

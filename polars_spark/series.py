@@ -121,6 +121,27 @@ class Series:
         col = name or self.name or "column_0"
         return from_pandas(pd.DataFrame({col: self._s}), spark=self._spark)
 
+    def hist(self, bins=None, *, bin_count=None, include_category: bool = True, include_breakpoint: bool = True):
+        """Reference Series.hist: a DATAFRAME of bins — its defaults include
+        BOTH the breakpoint and the category label (Expr.hist defaults to
+        neither; series.py:2792)."""
+        from pyspark.sql import functions as F
+
+        from polars_spark.plans.expr import col as _col
+        from polars_spark.plans.frame import LazyFrame
+
+        name = self.name or "column_0"
+        e = _col(name).hist(
+            bins, bin_count=bin_count,
+            include_breakpoint=include_breakpoint, include_category=include_category,
+        ).alias("h")
+        sdf = self.to_frame(name).select(e).to_spark().select(F.explode("h").alias("b"))
+        if include_breakpoint or include_category:
+            sdf = sdf.select("b.*")
+        else:
+            sdf = sdf.select(F.col("b").alias("count"))
+        return LazyFrame(sdf).collect()
+
     def __repr__(self) -> str:
         return f"Series({self.name!r}, {self._s.tolist()!r})"
 

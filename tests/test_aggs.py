@@ -142,7 +142,11 @@ def test_head_tail_in_agg(pl, lf):
 def test_groupby_quantile_all_head_tail_having(pl, lf):
     f = lf(g=["a", "a", "a", "b", "b"], i=[1, 2, 3, 4, 5], x=[1.0, 2.0, 9.0, 4.0, 6.0]).set_sorted("i")
     q = f.group_by("g").quantile(0.5).sort("g").collect()
-    assert q["x"].tolist() == [2.0, 5.0]
+    # reference default interpolation is NEAREST (group_by.py:875): idx
+    # round(0.5*(n-1)) half-away-from-zero -> [1,2,9] picks 2, [4,6] picks 6
+    assert q["x"].tolist() == [2.0, 6.0]
+    ql = f.group_by("g").quantile(0.5, "linear").sort("g").collect()
+    assert ql["x"].tolist() == [2.0, 5.0]
     al = f.group_by("g").all().sort("g").collect()
     assert list(al["x"][0]) == [1.0, 2.0, 9.0]
     hd = f.group_by("g").head(2).sort("i").collect()
@@ -250,7 +254,8 @@ def test_groupby_convenience_numeric_only(pl, lf):
     """sum/mean/median/quantile null out non-numeric columns (polars rule)
     instead of raising a cast error; min/max keep strings."""
     f = lf(g=["a", "a", "b"], x=[1, 2, 3], t=["p", "q", "r"])
-    assert f.group_by("g").quantile(0.5).sort("g").rows() == [("a", 1.5, None), ("b", 3.0, None)]
+    assert f.group_by("g").quantile(0.5).sort("g").rows() == [("a", 2.0, None), ("b", 3.0, None)]
+    assert f.group_by("g").quantile(0.5, "linear").sort("g").rows() == [("a", 1.5, None), ("b", 3.0, None)]
     assert f.group_by("g").mean().sort("g").rows() == [("a", 1.5, None), ("b", 3.0, None)]
     assert f.group_by("g").sum().sort("g").rows() == [("a", 3, None), ("b", 3, None)]
     assert f.group_by("g").min().sort("g").rows() == [("a", 1, "p"), ("b", 3, "r")]

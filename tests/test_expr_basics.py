@@ -333,7 +333,7 @@ def test_arg_true_unique_item_from_json_exclude(pl, lf):
 
 def test_expr_hist(pl, lf):
     f = lf(g=["a"] * 6, x=[1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
-    out = f.group_by("g").agg(pl.col("x").hist(bins=[0, 2, 4, 6]).alias("h")).collect()
+    out = f.group_by("g").agg(pl.col("x").hist(bins=[0, 2, 4, 6], include_breakpoint=True).alias("h")).collect()
     assert [(r["breakpoint"], r["count"]) for r in out["h"][0]] == [(2.0, 2), (4.0, 2), (6.0, 2)]
-    out2 = f.group_by("g").agg(pl.col("x").hist(bin_count=2).alias("h")).collect()
+    out2 = f.group_by("g").agg(pl.col("x").hist(bin_count=2, include_breakpoint=True).alias("h")).collect()
     assert [(r["breakpoint"], r["count"]) for r in out2["h"][0]] == [(3.5, 3), (6.0, 3)]

@@ -256,12 +256,21 @@ def test_dt_is_leap_year_date(pl, lf):
 # ---------------------------------------------------------------- .list
 
 
+def test_list_get_oob_raises_by_default(pl, lf):
+    # reference list.get default null_on_oob=False RAISES on an empty list
+    import pytest as _pytest
+
+    f = lf(a=[[3, 1, 2], []])
+    with _pytest.raises(Exception, match="out of bounds"):
+        f.select(pl.col("a").list.get(0)).collect()
+
+
 def test_list_basics(pl, lf):
     f = lf(a=[[3, 1, 2], [5], []])
     r = rows(
         f.select(
             pl.col("a").list.len().alias("n"),
-            pl.col("a").list.get(0).alias("g0"),
+            pl.col("a").list.get(0, null_on_oob=True).alias("g0"),
             pl.col("a").list.first().alias("fst"),
             pl.col("a").list.last().alias("lst"),
             pl.col("a").list.contains(2).alias("has2"),
