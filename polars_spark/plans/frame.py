@@ -1223,6 +1223,14 @@ class LazyFrame:
                 names.extend(expand_names(c, self.schema))
             else:
                 names.append(c)
+        if strict:
+            # reference drop(strict=True) raises on unknown columns
+            # (Spark's drop silently ignores them)
+            missing = [n for n in names if isinstance(n, str) and n not in self.columns]
+            if missing:
+                from polars_spark.exceptions import ColumnNotFoundError
+
+                raise ColumnNotFoundError(f"unable to drop column(s) {missing}: not found")
         return LazyFrame(self._df.drop(*names), [o for o in self._order if o[0] not in names], deferred=self._deferred_order)
 
     def rename(self, mapping: Mapping[str, str] | None = None, *, strict: bool = True, **kw) -> "LazyFrame":
@@ -2167,8 +2175,15 @@ class LazyFrame:
             tol = _duration_to_value(tolerance, is_ts)
             ok = dist(F.col(lon), F.col("__m")["__on"]) <= F.lit(tol)
             out = out.withColumn("__m", F.when(ok, F.col("__m")))
+        # coalesce=False (reference args.rs JoinArgs): the matched right
+        # asof key survives as its own suffixed column instead of merging
+        # into the left key
+        right_key = (
+            [F.col("__m")["__on"].alias(f"{ron}{suffix}")] if coalesce is False else []
+        )
         out = out.select(
             *[F.col(c) for c in ldf.columns],
+            *right_key,
             *[F.col("__m")[rmap[c]].alias(rmap[c]) for c in rval],
         )
         return LazyFrame(out, self._order)

@@ -114,3 +114,20 @@ def test_gather_oob_raises_by_default(pl, spark):
     assert padded[0]["t"] == [10, None]
     with pytest.raises(Exception, match="out of bounds"):
         df.group_by("g").agg(pl.col("x").gather([0, 5]).alias("t")).collect()
+
+
+def test_asof_coalesce_false_keeps_right_key(pl, spark):
+    l = pl.from_records([[1, 10]], schema={"lid": "Int64", "k": "Int64"}, orient="row")
+    r = pl.from_records([[100, 7]], schema={"rid": "Int64", "k": "Int64"}, orient="row")
+    out = l.join_asof(r, on="k", strategy="backward", coalesce=False).to_dicts()
+    assert out[0]["k"] == 10 and out[0]["k_right"] == 7 and out[0]["rid"] == 100
+    # default (coalesce) keeps only the left key
+    d = l.join_asof(r, on="k", strategy="backward").to_dicts()
+    assert "k_right" not in d[0]
+
+
+def test_drop_strict(pl, spark):
+    df = pl.from_records([[1]], schema={"a": "Int64"}, orient="row")
+    with pytest.raises(Exception, match="not found"):
+        df.drop("nope")
+    assert df.drop("nope", strict=False).columns == ["a"]
