@@ -131,3 +131,15 @@ def test_drop_strict(pl, spark):
     with pytest.raises(Exception, match="not found"):
         df.drop("nope")
     assert df.drop("nope", strict=False).columns == ["a"]
+
+
+def test_param_audit_is_clean():
+    """Ratchet: every accepted-but-unwired parameter must either be WIRED
+    or classified in tools/param_audit.py KNOWN_NOOPS with a justification.
+    A new row here means a parameter was added without being either."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from param_audit import audit
+
+    assert audit() == []
