@@ -25,6 +25,12 @@ with the LLM scale-path flagships that had zero driver evidence
 (dedup_minhash_star, sim_ivf_topk, txt_bm25_topk, web_pagerank,
 stream_minhash_suppress), then closes out dedup/sim/emb/mm/web/stream
 entirely plus the first third of txt_*.
+
+Round-11 backlog (77 never-sampled after window #3, incl. round-10
+additions): txt_* 26, h2o_* 9, io_* 8, sf_* 7, agg_* 7, join_* 5
+(incl. join_asof_nearest), evt_* 4, sql_* 4, scale_* 3, win_ewm
+null-decay + long-series, dedup_fuzzy_names, rel_with_context —
+window #4 takes 44 (lead with txt_* + h2o_*), window #5 the last 33.
 """
 
 from __future__ import annotations
