@@ -26,11 +26,20 @@ with the LLM scale-path flagships that had zero driver evidence
 stream_minhash_suppress), then closes out dedup/sim/emb/mm/web/stream
 entirely plus the first third of txt_*.
 
-Round-11 backlog (77 never-sampled after window #3, incl. round-10
-additions): txt_* 26, h2o_* 9, io_* 8, sf_* 7, agg_* 7, join_* 5
-(incl. join_asof_nearest), evt_* 4, sql_* 4, scale_* 3, win_ewm
-null-decay + long-series, dedup_fuzzy_names, rel_with_context —
-window #4 takes 44 (lead with txt_* + h2o_*), window #5 the last 33.
+Round 11 (VERDICT r10 next-round #1/#2/#5): window #4 leads with the 3
+round-10 driver reds re-exposed with scalar-rendered finals (the array
+columns now render as CSV strings on BOTH sides — the driver's hash
+canon cannot sort ndarray cells), then the 5 round-10-new operators
+(txt_weighted_sample, dedup_fuzzy_names, txt_leakage_split,
+win_ewm_null_decay, join_asof_nearest), the 4 backlog array-final gates
+re-rendered BEFORE their driver debut (agg_implode_counts, sf_find_many,
+agg_groups_positions, agg_list_family), evt_funnel (fell off the end of
+window #3), and closes with the txt_* tail (24) + h2o_* (7 of 9).
+
+Round-12 backlog (36 never-sampled after window #4): io_* 8, sql_* 4,
+evt_* 3, scale_* 3, join_* 4, sf_* 5, agg_* 4, h2o_f1/f2, win_ewm
+long-series (weak by design), rel_with_context, dedup/win leftovers —
+window #5 takes all 36.
 """
 
 from __future__ import annotations
@@ -43,62 +52,61 @@ from polars_spark.queries import QUERIES, ORACLE_SQL
 
 _FLAGSHIP_PREFIX = [f"q{i}_" for i in (1, 3, 6, 9, 18, 21)]
 
-# round-10 rotation window (44 names, all first-time driver exposure) plus
-# the two round-9 hash reds re-exposed with their round-10 VARCHAR-rendered
-# finals (they must convert red -> green under the driver's own hash).
+# round-11 rotation window #4 (44 slots): the 3 round-10 driver reds
+# re-exposed with scalar-rendered finals, the 5 round-10-new operators,
+# the 4 re-rendered array-final backlog gates, evt_funnel (fell off
+# window #3's end), then the txt_* tail + h2o_* lead per the backlog.
 _ROTATION = [
-    "sf_decimal_exact",
-    "rel_match_schema",
-    # LLM scale-path flagships (VERDICT r9 #6: zero driver evidence so far)
-    "dedup_minhash_star",
-    "sim_ivf_topk",
-    "txt_bm25_topk",
-    "web_pagerank",
-    "stream_minhash_suppress",
-    # dedup family tail
-    "dedup_clusters",
-    "dedup_semdedup",
-    "dedup_tfidf_cosine",
-    "dedup_incremental_index",
-    "dedup_span_ngrams",
-    "dedup_span_removal",
-    # similarity / embeddings
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_int8_topk",
-    "sim_rrf_fusion",
-    "sim_label_centroid",
-    "emb_quantize_error",
-    "emb_contrastive_triplets",
-    # multimodal plumbing
+    # round-10 reds: array finals now render as CSV strings on both sides
     "mm_extract_features",
-    "mm_sample_frames",
     "mm_resize",
-    "mm_audio_features",
-    "mm_image_ahash_pairs",
-    # web curation
-    "web_url_normalize",
-    "web_domain_cap",
-    "web_blocklist_stats",
-    "web_url_dedup",
-    "web_html_to_text",
-    # streaming tail
-    "stream_session_windows",
-    # text-pipeline first third
     "txt_tokenize_wordpiece",
-    "txt_token_stats",
-    "txt_quality",
-    "txt_lang_id",
-    "txt_fingerprint",
-    "txt_contamination",
-    "txt_token_df_idf",
-    "txt_chunk_documents",
-    "txt_deterministic_sample",
-    "txt_pack_sequences",
-    "txt_gopher_quality",
-    "txt_dedup_lines",
-    "pipeline_curation",
+    # round-10-new operators (driver evidence should not wait two rounds)
+    "txt_weighted_sample",
+    "dedup_fuzzy_names",
+    "txt_leakage_split",
+    "win_ewm_null_decay",
+    "join_asof_nearest",
+    # backlog array-final gates, re-rendered BEFORE their driver debut
+    "agg_implode_counts",
+    "sf_find_many",
+    "agg_groups_positions",
+    "agg_list_family",
+    # fell off the end of window #3 (50-name cap)
     "evt_funnel",
+    # text-pipeline tail (24)
+    "txt_normalize",
+    "txt_top_ngram",
+    "txt_c4_clean",
+    "txt_pii_redact",
+    "txt_hash_split",
+    "txt_global_shuffle",
+    "txt_heavy_hitters",
+    "txt_unigram_logprob",
+    "txt_filter_funnel",
+    "txt_bigram_logprob",
+    "txt_materialize_packed",
+    "txt_script_profile",
+    "txt_winnow_fingerprints",
+    "txt_dsir_weights",
+    "txt_boilerplate_lines",
+    "txt_mix_to_budget",
+    "txt_perplexity_buckets",
+    "txt_corpus_report",
+    "txt_snapshot_diff",
+    "txt_pr_curve",
+    "txt_eval_em_f1",
+    "txt_pass_at_k",
+    "txt_distinct_sketch",
+    "txt_stratified_sample",
+    # h2o group-by suite lead (7 of 9; f1/f2 in window #5)
+    "h2o_q2",
+    "h2o_q3",
+    "h2o_q4",
+    "h2o_q5",
+    "h2o_q6",
+    "h2o_q8",
+    "h2o_q9",
 ]
 
 

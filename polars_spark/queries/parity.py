@@ -291,14 +291,18 @@ def udf_map_elements(spark, sf_dir):
       FROM customer
     )
     SELECT c_nationkey,
-           list(rn ORDER BY rn)                                        AS members,
+           array_to_string(list_transform(list(rn ORDER BY rn),
+                                          x -> CAST(x AS VARCHAR)), ',') AS members_csv,
            CAST(sum(CASE WHEN c_acctbal < 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS ins_5k
     FROM pos GROUP BY 1
     """,
 )
 def agg_groups_positions(spark, sf_dir):
+    """FINAL member-position list renders as a CSV string — the driver's
+    hash canon is scalar-only (r10 rule); agg_groups itself still yields
+    the real list."""
     cust = ltable(spark, sf_dir, "customer").sort("c_custkey").with_row_index("rn")
-    return (
+    out = (
         cust.group_by("c_nationkey")
         .agg(
             pl.col("c_acctbal").agg_groups().alias("members"),
@@ -306,6 +310,10 @@ def agg_groups_positions(spark, sf_dir):
         )
         .to_spark()
     )
+    return out.withColumn(
+        "members_csv",
+        F.array_join(F.transform("members", lambda x: x.cast("string")), ","),
+    ).drop("members")
 
 
 @query(
@@ -388,24 +396,29 @@ def io_pyarrow_dataset(spark, sf_dir):
       FROM customer
     )
     SELECT c_nationkey,
-           list_sort(list(balc))                                   AS sorted_bals,
-           list_sort(list(balc), 'DESC')[1:2]                      AS top2,
-           list_sort(list(balc))[1:2]                              AS bottom2,
+           array_to_string(list_transform(list_sort(list(balc)),
+                           x -> CAST(x AS VARCHAR)), ',')           AS sorted_bals,
+           array_to_string(list_transform(list_sort(list(balc), 'DESC')[1:2],
+                           x -> CAST(x AS VARCHAR)), ',')           AS top2,
+           array_to_string(list_transform(list_sort(list(balc))[1:2],
+                           x -> CAST(x AS VARCHAR)), ',')           AS bottom2,
            (list(balc ORDER BY c_custkey))[1]                      AS first_bal,
-           (list(balc ORDER BY c_custkey))[-2:]                    AS last2_in_order
+           array_to_string(list_transform((list(balc ORDER BY c_custkey))[-2:],
+                           x -> CAST(x AS VARCHAR)), ',')           AS last2_in_order
     FROM t GROUP BY c_nationkey
     """,
 )
 def agg_list_family(spark, sf_dir):
     """Agg-context list family (sort/top_k/bottom_k/get/slice over the
     order-preserving implode) — reference length-changing exprs inside
-    group_by().agg()."""
+    group_by().agg().  FINAL lists render as CSV strings (driver hash
+    canon is scalar-only, r10 rule); the Expr API still yields lists."""
     cust = (
         ltable(spark, sf_dir, "customer")
         .sort("c_custkey")
         .with_columns((pl.col("c_acctbal") * 100).round(0).cast("bigint").alias("balc"))
     )
-    return (
+    out = (
         cust.group_by("c_nationkey")
         .agg(
             pl.col("balc").sort().alias("sorted_bals"),
@@ -415,4 +428,13 @@ def agg_list_family(spark, sf_dir):
             pl.col("balc").slice(-2, 2).alias("last2_in_order"),
         )
         .to_spark()
+    )
+    csv = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",", "null")
+    return out.select(
+        "c_nationkey",
+        csv("sorted_bals").alias("sorted_bals"),
+        csv("top2").alias("top2"),
+        csv("bottom2").alias("bottom2"),
+        "first_bal",
+        csv("last2_in_order").alias("last2_in_order"),
     )

@@ -8,6 +8,8 @@ Every lowering stays in pyspark.sql.functions (whole-stage codegen).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from polars_spark.queries import ltable, query
 
 import polars_spark as pl
@@ -382,7 +384,8 @@ def sf_ranges_business(spark, sf_dir):
     "agg_implode_counts",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_transform(list_sort(list(DISTINCT o_orderstatus)),
+                                          x -> coalesce(x, 'null')), ',') AS statuses,
            count(DISTINCT o_custkey)
              + CASE WHEN count(*) > count(o_custkey) THEN 1 ELSE 0 END AS nu_cust
     FROM orders GROUP BY o_orderpriority
@@ -390,15 +393,15 @@ def sf_ranges_business(spark, sf_dir):
 )
 def agg_implode_counts(spark, sf_dir):
     """implode (group -> list, AggExpr::Implode) + n_unique; the list is
-    sorted on both sides so the array hash is order-independent."""
+    sorted on both sides so the rendering is order-independent, and FINALLY
+    joined to a CSV string — driver hash canon is scalar-only (r10 rule)."""
     orders = ltable(spark, sf_dir, "orders")
-    return (
-        orders.group_by("o_orderpriority")
-        .agg(
-            pl.col("o_orderstatus").unique().list.sort().alias("statuses"),
-            pl.col("o_custkey").n_unique().alias("nu_cust"),
-        )
-        .to_spark()
+    out = orders.group_by("o_orderpriority").agg(
+        pl.col("o_orderstatus").unique().list.sort().alias("statuses"),
+        pl.col("o_custkey").n_unique().alias("nu_cust"),
+    )
+    return out.to_spark().withColumn(
+        "statuses", F.array_join(F.col("statuses"), ",", "null")
     )
 
 
@@ -542,22 +545,36 @@ def sf_bin_reinterpret(spark, sf_dir):
     # the all-positions filter DuckDB can express with list lambdas.
     oracle="""
     SELECT doc_id,
-           list_transform(
-             list_filter(range(1, length(text)+1),
-                         i -> substring(text, i, 3) = 'the'
-                           OR substring(text, i, 5) = 'table'),
-             i -> i - 1) AS hits
+           CASE WHEN text IS NULL THEN NULL ELSE coalesce(
+             array_to_string(list_transform(
+               list_transform(
+                 list_filter(range(1, length(text)+1),
+                             i -> substring(text, i, 3) = 'the'
+                               OR substring(text, i, 5) = 'table'),
+                 i -> i - 1),
+               x -> CAST(x AS VARCHAR)), ','), '') END AS hits_csv,
+           len(list_filter(range(1, length(text)+1),
+                           i -> substring(text, i, 3) = 'the'
+                             OR substring(text, i, 5) = 'table')) AS n_hits
     FROM documents
     """,
 )
 def sf_find_many(spark, sf_dir):
     """str.find_many (reference aho-corasick find): start offsets of every
-    literal-pattern match, via a JVM-side aggregate fold (no UDF)."""
+    literal-pattern match, via a JVM-side aggregate fold (no UDF).  FINAL
+    offsets render as a CSV string (driver hash canon is scalar-only)."""
     docs = ltable(spark, sf_dir, "documents")
-    return docs.select(
+    hits = docs.select(
         "doc_id",
         pl.col("text").str.find_many(["the", "table"]).alias("hits"),
     ).to_spark()
+    return hits.select(
+        "doc_id",
+        F.array_join(F.transform("hits", lambda x: x.cast("string")), ",").alias(
+            "hits_csv"
+        ),
+        F.size("hits").cast("long").alias("n_hits"),
+    )
 
 
 @query(

@@ -136,20 +136,41 @@ def sim_label_centroid(spark, sf_dir):
              list(CAST(CAST(cnt AS DOUBLE) / total AS FLOAT) ORDER BY b) AS features
       FROM grid GROUP BY 1
     )
-    SELECT d.doc_id, f.features
+    SELECT d.doc_id,
+           array_to_string(list_transform(f.features,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS VARCHAR)),
+             ',') AS features_q6,
+           len(f.features) AS n_dims
     FROM documents d LEFT JOIN feats f ON d.doc_id = f.doc_id
     """,
 )
 def mm_extract_features(spark, sf_dir):
     """Multimodal plumbing: text bytes as a stand-in binary payload ->
     Arrow-batched mapInPandas featurizer (byte histogram, FAKE decode step —
-    see polars_spark.multimodal) -> per-document feature vector."""
+    see polars_spark.multimodal) -> per-document feature vector.
+
+    The FINAL float vector renders as a scaled-int CSV (floor(x*1e6+0.5),
+    identical IEEE on both engines) plus its length: the driver's hash
+    canon cannot sort ndarray cells (round-10 red), so gate finals must be
+    scalar-only — extract_features itself still returns array<float>."""
     from polars_spark.multimodal import attach_fake_image_bytes, extract_features
 
     docs = table(spark, sf_dir, "documents")
     media = attach_fake_image_bytes(docs, "text")
     feats = extract_features(media, "image")
-    return feats.select("doc_id", "features")
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features_q6"),
+        F.size("features").cast("long").alias("n_dims"),
+    )
 
 
 def _kmeans_ctes(k_clusters: int, iters: int):
@@ -288,19 +309,31 @@ def mm_sample_frames(spark, sf_dir):
       SELECT doc_id, side, list(p ORDER BY r, c) AS pixels
       FROM px WHERE side IS NOT NULL GROUP BY doc_id, side
     )
-    SELECT d.doc_id, res.side, res.pixels
+    SELECT d.doc_id, res.side,
+           array_to_string(list_transform(res.pixels, p -> CAST(p AS VARCHAR)), ',')
+             AS pixels_csv
     FROM documents d LEFT JOIN res ON d.doc_id = res.doc_id
     """,
 )
 def mm_resize(spark, sf_dir):
     """Image resize plumbing: binary payload -> mapInPandas numpy
     nearest-neighbor resize to 4x4 (FAKE square-grayscale decode, real
-    vectorized resize) -> row-major pixel grid."""
+    vectorized resize) -> row-major pixel grid.
+
+    The FINAL pixel grid renders as a CSV string on both sides (driver
+    hash canon is scalar-only, round-10 red); resize_images itself still
+    returns the real array<int>."""
     from polars_spark.multimodal import attach_fake_image_bytes, resize_images
 
     docs = table(spark, sf_dir, "documents")
     media = attach_fake_image_bytes(docs, "text")
-    return resize_images(media, "image", out_side=4).select("doc_id", "side", "pixels")
+    return resize_images(media, "image", out_side=4).select(
+        "doc_id",
+        "side",
+        F.array_join(F.transform("pixels", lambda p: p.cast("string")), ",").alias(
+            "pixels_csv"
+        ),
+    )
 
 
 @query(

@@ -1097,7 +1097,8 @@ TOKENIZER_VOCAB = ['ta', 'ble', 'val', 'ue', 'scan', 'fast', 'win', 'dow', 'a', 
     ),
     mapping AS (SELECT word, ids FROM step WHERE pos > len(word))
     SELECT w2.doc_id,
-           flatten(list(m.ids ORDER BY w2.pos)) AS token_ids,
+           array_to_string(list_transform(flatten(list(m.ids ORDER BY w2.pos)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS token_ids_csv,
            len(flatten(list(m.ids ORDER BY w2.pos))) AS n_tokens
     FROM w2 JOIN mapping m USING (word)
     GROUP BY w2.doc_id
@@ -1108,11 +1109,23 @@ def txt_tokenize_wordpiece(spark, sf_dir):
     tokenization — Python runs only on DISTINCT words (Zipf dedup), the
     mapping joins back and one doc-keyed shuffle reassembles order.  The
     oracle replays the greedy matcher as a recursive CTE over the same
-    distinct-word set."""
+    distinct-word set.
+
+    The FINAL token_ids column renders as a CSV string on both sides: the
+    driver's hash canon cannot sort/hash ndarray cells (round-10 red), so
+    gate finals must be scalar-only — the library API (tokenize_documents)
+    still returns the real array<int>."""
     from polars_spark.llm.tokenizer import tokenize_documents
 
     docs = table(spark, sf_dir, "documents")
-    return tokenize_documents(docs, TOKENIZER_VOCAB)
+    toks = tokenize_documents(docs, TOKENIZER_VOCAB)
+    return toks.select(
+        "doc_id",
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",").alias(
+            "token_ids_csv"
+        ),
+        "n_tokens",
+    )
 
 
 @query(

@@ -342,6 +342,13 @@ def main() -> int:
         problems = compare(name, sdf, opdf)
         if strict:
             problems += dtype_problems(sdf, opdf)
+            # round-11 ratchet: replay the DRIVER's canon (sort+hash over
+            # scalar cells).  The local gate must never be more permissive
+            # than the driver's — Decimal (r9) and ndarray (r10) finals
+            # both shipped green locally and red at the driver.
+            from driver_canon import canon_problems
+
+            problems += canon_problems(sdf_raw.schema, sdf, opdf)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_bad += 1

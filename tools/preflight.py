@@ -3,7 +3,12 @@
 Runs, in order, every check the builder previously ran ad hoc, and prints
 one summary block to paste into COVERAGE.md:
 
-  1. strict oracle sweep            (tools/check.py --strict)
+  1. strict oracle sweep            (tools/check.py --strict; since r11 the
+     strict pass also replays the DRIVER's result canon via
+     tools/driver_canon.py — any gate whose FINAL result contains
+     ndarray/list/Decimal cells, or whose Spark schema contains
+     Array/Map/Struct/Decimal types, fails locally the way it would fail
+     or hash-diverge at the driver)
   2. empty-table sweep              (tools/check.py --empty)
   3. single-row sweep               (tools/check.py --single)
   4. all-null sweep                 (tools/check.py --allnull)
