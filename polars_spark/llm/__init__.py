@@ -1168,6 +1168,49 @@ def remove_duplicated_spans(
     )
 
 
+# complement-length cutoff for the deletion-neighborhood hot route: variant
+# count is ~C(Lc,2) at k=2, so cap the combinatorics at a few hundred per
+# string (26+k chars -> <= 1 + 26 + 325 variants)
+_DEL_BOUND = 24
+
+
+def _deletion_variants(col: Column, k: int) -> Column:
+    """array<string>: every string reachable from ``col`` by deleting up to
+    ``k`` characters (k <= 2), deduplicated.  FastSS signature set — two
+    strings within edit distance k always share one (delete the mismatched
+    character of each aligned substitution from both sides; an insertion is
+    one deletion on the longer side).  Pure column algebra (substr/concat
+    under transform), whole-stage-codegen friendly."""
+    if k > 2:
+        raise ValueError("_deletion_variants supports k <= 2")
+    L = F.length(col)
+    parts = [F.array(col)]
+    if k >= 1:
+        d1 = F.transform(
+            F.sequence(F.lit(1), L),
+            lambda d: F.concat(
+                col.substr(F.lit(1), d - 1), col.substr(d + 1, L)
+            ),
+        )
+        parts.append(F.when(L >= 1, d1).otherwise(F.array().cast("array<string>")))
+    if k >= 2:
+        d2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L - 1),
+                lambda a: F.transform(
+                    F.sequence(a + 1, L),
+                    lambda b: F.concat(
+                        col.substr(F.lit(1), a - 1),
+                        col.substr(a + 1, b - a - 1),
+                        col.substr(b + 1, L),
+                    ),
+                ),
+            )
+        )
+        parts.append(F.when(L >= 2, d2).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(F.concat(*parts))
+
+
 def _passjoin_scheme(length_col: Column, k: int) -> Column:
     """Array of ``struct(i, start, len)`` — the PassJoin segment scheme for
     a string of the given length at edit-distance budget ``k``: k+1
@@ -1195,6 +1238,7 @@ def fuzzy_string_pairs(
     left_on: str,
     right_on: str | None = None,
     max_distance: int = 1,
+    hot_pair_cap: int = 1 << 22,
 ) -> DataFrame:
     """Fuzzy string join: all DISTINCT value pairs within Levenshtein
     distance ``max_distance`` — entity-resolution's core primitive
@@ -1216,6 +1260,20 @@ def fuzzy_string_pairs(
        equi-join Catalyst shuffles/broadcasts like any other — then ONE
        exact JVM ``levenshtein`` pass verifies; no candidate is scored
        twice (distinct before verify).
+    4. **Skew-adaptive second blocking level** (round 11): key counts alone
+       don't bound the JOIN OUTPUT — a low-entropy segment shared across
+       the corpus (zero-padded ids, URL prefixes: TPC-H c_name's
+       'Customer#' block is the WHOLE table) makes one block quadratic.
+       Blocks whose index x probe product exceeds ``hot_pair_cap`` are
+       re-blocked by a second PassJoin over the REVERSED complement: if
+       dist(s,t) <= k with segment i untouched, the complements (s and t
+       minus the matched window) carry all <= k edits, so pigeonholing the
+       complement into k+1 segments leaves one untouched there too —
+       recall survives both levels.  Reversal (edit-distance-invariant)
+       samples the opposite end of the string, where shared-prefix corpora
+       keep their entropy.  Hot-block detection is two slim groupBy-counts
+       plus a broadcast of the (rare) hot keys; cold blocks take the
+       original single-level join untouched.
 
     Self-join mode (``right=None``) keeps ``s < t`` pairs only.  Returns
     ``(left_on, right_on, edit_distance)`` over distinct value pairs.
@@ -1252,6 +1310,8 @@ def fuzzy_string_pairs(
                 "s",
                 "__L",
                 F.col("__seg.i").alias("__i"),
+                F.col("__seg.start").alias("__st"),
+                F.col("__seg.len").alias("__ln"),
                 F.col("s").substr(F.col("__seg.start"), F.col("__seg.len")).alias("__key"),
             )
         )
@@ -1273,10 +1333,117 @@ def fuzzy_string_pairs(
                 "t",
                 F.col("__cand").alias("__L"),
                 F.col("__seg.i").alias("__i"),
+                F.col("__seg.len").alias("__ln"),
+                F.col("__p"),
                 F.col("t").substr(F.col("__p"), F.col("__seg.len")).alias("__key"),
             )
         )
-        cand = idx.join(probe, ["__L", "__i", "__key"]).select("s", "t").distinct()
+        keys = ["__L", "__i", "__key"]
+        # skew guard: a block's JOIN OUTPUT is idx_count x probe_count —
+        # low-entropy segments (shared prefixes) make single blocks
+        # quadratic even though per-string key counts are O(k^3).  Detect
+        # hot blocks with two slim counts; the hot-key set is tiny by
+        # construction (each hot key covers > sqrt(cap) strings).
+        ic = idx.groupBy(*keys).agg(F.count(F.lit(1)).alias("__ni"))
+        pc = probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__np"))
+        hot = (
+            ic.join(pc, keys)
+            .filter(F.col("__ni") * F.col("__np") > F.lit(int(hot_pair_cap)))
+            .select(*keys)
+        )
+        idx_cold = idx.join(F.broadcast(hot), keys, "left_anti")
+        probe_cold = probe.join(F.broadcast(hot), keys, "left_anti")
+        cand_cold = idx_cold.join(probe_cold, keys).select("s", "t")
+
+        # hot route.  If dist(s,t)<=k and segment i is untouched (matched
+        # at probe position __p), the complements (s and t minus the
+        # matched window) carry all <= k edits.  Two recall-preserving
+        # re-blockings, branched on the SOURCE complement length Lc
+        # (= __L - __ln, computable identically on both sides):
+        #  * Lc <= _DEL_BOUND and k <= 2: DELETION-NEIGHBORHOOD signatures
+        #    (FastSS, Bocek et al. 2007 — public): dist(u,v) <= k implies a
+        #    common subsequence reachable by <= k deletions from EACH side,
+        #    so joining on the variant string itself is position-free and
+        #    immune to low-entropy regions (zero-padded ids defeat any
+        #    contiguous-segment scheme: 'Customer#' level 1, '0000' level
+        #    2).  <= C(Lc+k, k) + Lc + 1 variants per string — bounded by
+        #    the length cutoff.
+        #  * otherwise: contiguous PassJoin over the REVERSED complement
+        #    (reversal is edit-distance-invariant; shared-prefix corpora
+        #    keep entropy at the tail).
+        idx_hot0 = idx.join(F.broadcast(hot), keys, "left_semi").withColumn(
+            "__c",
+            F.concat(
+                F.col("s").substr(F.lit(1), F.col("__st") - 1),
+                F.col("s").substr(F.col("__st") + F.col("__ln"), F.col("__L")),
+            ),
+        )
+        probe_hot0 = probe.join(F.broadcast(hot), keys, "left_semi").withColumn(
+            "__c",
+            F.concat(
+                F.col("t").substr(F.lit(1), F.col("__p") - 1),
+                F.col("t").substr(F.col("__p") + F.col("__ln"), F.length("t")),
+            ),
+        )
+        lc = F.col("__L") - F.col("__ln")
+        hot_routes = []
+        del_side = lc <= _DEL_BOUND if k <= 2 else F.lit(False)
+        if k <= 2:
+            vkeys = keys + ["__var"]
+            idx_del = (
+                idx_hot0.filter(del_side)
+                .withColumn("__var", F.explode(_deletion_variants(F.col("__c"), k)))
+                .select("s", *vkeys)
+            )
+            probe_del = (
+                probe_hot0.filter(del_side)
+                .withColumn("__var", F.explode(_deletion_variants(F.col("__c"), k)))
+                .select("t", *vkeys)
+            )
+            hot_routes.append(idx_del.join(probe_del, vkeys).select("s", "t"))
+        seg2 = _passjoin_scheme(F.col("__Lc2"), k)
+        idx_rc = (
+            idx_hot0.filter(~del_side)
+            .withColumn("__c", F.reverse("__c"))
+            .withColumn("__Lc2", F.length("__c"))
+            .withColumn("__seg2", F.explode(seg2))
+            .select(
+                "s",
+                *keys,
+                F.col("__seg2.i").alias("__j"),
+                F.col("__c")
+                .substr(F.col("__seg2.start"), F.col("__seg2.len"))
+                .alias("__key2"),
+            )
+        )
+        lo2 = F.greatest(F.lit(1), F.col("__seg2.start") - k)
+        hi2 = F.least(
+            F.length("__c") - F.col("__seg2.len") + 1, F.col("__seg2.start") + k
+        )
+        pos2 = F.when(hi2 >= lo2, F.sequence(lo2, hi2)).otherwise(
+            F.array().cast("array<int>")
+        )
+        probe_rc = (
+            probe_hot0.filter(~del_side)
+            .withColumn("__c", F.reverse("__c"))
+            # the SOURCE complement length drives the second-level scheme
+            .withColumn("__Lc2", lc)
+            .withColumn("__seg2", F.explode(seg2))
+            .withColumn("__p2", F.explode(pos2))
+            .select(
+                "t",
+                *keys,
+                F.col("__seg2.i").alias("__j"),
+                F.col("__c").substr(F.col("__p2"), F.col("__seg2.len")).alias("__key2"),
+            )
+        )
+        hot_routes.append(
+            idx_rc.join(probe_rc, keys + ["__j", "__key2"]).select("s", "t")
+        )
+        cand = cand_cold
+        for r in hot_routes:
+            cand = cand.unionByName(r)
+        cand = cand.distinct()
     out = (
         cand.filter(F.col("s") < F.col("t") if self_mode else F.lit(True))
         .withColumn("edit_distance", F.levenshtein("s", "t"))
