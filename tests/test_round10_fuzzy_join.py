@@ -106,3 +106,54 @@ def test_empty_string_participates(spark):
         for r in fuzzy_string_pairs(df, left_on="w", max_distance=1).collect()
     }
     assert got == {("", "a", 1), ("a", "ab", 1)}
+
+
+def test_hot_block_skew_zero_padded_ids(spark):
+    """Round-11 skew guard: zero-padded sequential ids share every
+    contiguous low-entropy region ('Customer#', leading zeros) — the
+    single-level PassJoin block is the whole corpus.  With the hot-block
+    deletion-variant route the answer must stay EXACT (brute-force
+    oracle) and the candidate join must not go quadratic (tiny cap
+    forces the hot route even at test size)."""
+    from polars_spark.llm import fuzzy_string_pairs
+
+    n = 400
+    names = [f"Customer#{i:09d}" for i in range(1, n + 1)]
+    df = spark.createDataFrame([(s,) for s in names], "c_name string")
+    got = fuzzy_string_pairs(
+        df, left_on="c_name", max_distance=1, hot_pair_cap=64
+    ).collect()
+    got_pairs = {(r[0], r[1]) for r in got}
+
+    # brute-force oracle over the same names
+    def lev1(a: str, b: str) -> bool:
+        if a == b:
+            return False
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return diff <= 1  # same length here, so distance == hamming
+
+    want = {
+        (a, b) for ai, a in enumerate(names) for b in names[ai + 1 :] if lev1(a, b)
+    }
+    assert got_pairs == want
+    assert all(r.edit_distance == 1 for r in got)
+
+
+def test_hot_block_long_strings_reversed_route(spark):
+    """Complements longer than the deletion bound take the reversed-
+    contiguous route; shared-prefix long strings must still verify
+    exactly."""
+    from polars_spark.llm import fuzzy_string_pairs
+
+    prefix = "http://example.com/a/very/long/shared/prefix/path/" + "x" * 30
+    names = [prefix + f"{i:04d}" for i in range(120)]
+    df = spark.createDataFrame([(s,) for s in names], "u string")
+    got = fuzzy_string_pairs(df, left_on="u", max_distance=1, hot_pair_cap=64)
+    got_pairs = {(r[0], r[1]) for r in got.collect()}
+    want = {
+        (a, b)
+        for ai, a in enumerate(names)
+        for b in names[ai + 1 :]
+        if sum(1 for x, y in zip(a, b) if x != y) <= 1
+    }
+    assert got_pairs == want
