@@ -353,6 +353,7 @@ def connected_components(
     b: str = "d2",
     max_iter: int = 64,
     checkpoint_dir: str | None = None,
+    spill_after: int = 8,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list -> (doc, cluster)
     with cluster = min doc id in the component.
@@ -386,7 +387,15 @@ def connected_components(
     ``checkpoint_dir``, the SparkContext checkpoint dir, or a local temp
     dir, in that order — point it at shared storage on a real cluster).
     The returned labels are localCheckpoint-materialized once at the end
-    (no chain, no compounding) so the spill dir can be deleted."""
+    (no chain, no compounding) so the spill dir can be deleted.
+
+    The spill is ADAPTIVE (``spill_after``): the first rounds use plain
+    localCheckpoint — the stats BigInt at round r has ~20*2^r digits, so
+    multiplies are microseconds until r ~ 10 — and the parquet spill only
+    kicks in from round ``spill_after``.  Tiny near-dup components (the
+    overwhelmingly common case: LSH clusters converge in 2-4 rounds) pay
+    ZERO spill I/O; only genuinely deep components reach the spill regime,
+    exactly where it is essential."""
     import shutil
     import tempfile
     import uuid
@@ -399,11 +408,8 @@ def connected_components(
         .cache()
     )
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
-    base = checkpoint_dir or spark.sparkContext.getCheckpointDir()
-    own_dir = base is None
-    if own_dir:
-        base = tempfile.mkdtemp(prefix="polars_spark_cc_")
-    spill = f"{base.rstrip('/')}/cc_{uuid.uuid4().hex[:12]}"
+    base = spill = None
+    own_dir = False
     converged = False
     try:
         for rnd in range(max_iter):
@@ -415,12 +421,17 @@ def connected_components(
                 .agg(F.min("vlbl").alias("nlbl"))
             )
             # pointer jumping: my label's current label (labels is slim, and
-            # lbl is always a node id of the same component, hence present)
-            jump = labels.join(
-                labels.select(F.col("u").alias("ju"), F.col("lbl").alias("jlbl")),
-                F.col("lbl") == F.col("ju"),
-                "left",
-            ).select("u", F.coalesce("jlbl", "lbl").alias("plbl"))
+            # lbl is always a node id of the same component, hence present).
+            # Round 0 skips it — labels are still self-labels, so
+            # label-of-label is the identity and the join is a pure no-op.
+            if rnd == 0:
+                jump = labels.select("u", F.col("lbl").alias("plbl"))
+            else:
+                jump = labels.join(
+                    labels.select(F.col("u").alias("ju"), F.col("lbl").alias("jlbl")),
+                    F.col("lbl") == F.col("ju"),
+                    "left",
+                ).select("u", F.coalesce("jlbl", "lbl").alias("plbl"))
             # the convergence flag rides the SAME pass (new < lbl is exactly
             # "this round improved a label"), so detecting a fixed point is
             # one scan of the spilled result
@@ -444,10 +455,21 @@ def connected_components(
                 )
                 .withColumnRenamed("new", "lbl")
             )
-            # alternate two spill paths: round r only reads round r-1
-            path = f"{spill}/r{rnd % 2}"
-            staged.write.mode("overwrite").parquet(path)
-            staged = spark.read.parquet(path)
+            if rnd < spill_after:
+                # early rounds: the stats BigInt is still small — a plain
+                # eager localCheckpoint is cheaper than file I/O
+                staged = staged.localCheckpoint(eager=True)
+            else:
+                if spill is None:
+                    base = checkpoint_dir or spark.sparkContext.getCheckpointDir()
+                    own_dir = base is None
+                    if own_dir:
+                        base = tempfile.mkdtemp(prefix="polars_spark_cc_")
+                    spill = f"{base.rstrip('/')}/cc_{uuid.uuid4().hex[:12]}"
+                # alternate two spill paths: round r only reads round r-1
+                path = f"{spill}/r{rnd % 2}"
+                staged.write.mode("overwrite").parquet(path)
+                staged = spark.read.parquet(path)
             changed = staged.filter(F.col("__chg")).limit(1).count()
             labels = staged.drop("__chg")
             if changed == 0:
@@ -458,16 +480,18 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} rounds — "
                 "component diameter exceeds 2^(max_iter); raise max_iter"
             )
-        # materialize off the spill files so the dir can be removed; one
-        # terminal checkpoint has nothing to compound with
-        labels = labels.localCheckpoint(eager=True)
+        if spill is not None:
+            # materialize off the spill files so the dir can be removed;
+            # one terminal checkpoint has nothing to compound with
+            labels = labels.localCheckpoint(eager=True)
     finally:
-        target = base if own_dir else spill
-        local = target.split("://", 1)
-        if len(local) == 1 or local[0] == "file":
-            shutil.rmtree(local[-1], ignore_errors=True)
-        # remote checkpoint dirs (hdfs://, s3://...) are left to the
-        # cluster's temp-dir hygiene — cheap slim files, two paths
+        if spill is not None:
+            target = base if own_dir else spill
+            local = target.split("://", 1)
+            if len(local) == 1 or local[0] == "file":
+                shutil.rmtree(local[-1], ignore_errors=True)
+            # remote checkpoint dirs (hdfs://, s3://...) are left to the
+            # cluster's temp-dir hygiene — cheap slim files, two paths
     return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("cluster"))
 
 
