@@ -1451,7 +1451,11 @@ def fuzzy_string_pairs(
         pc = probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__np"))
         hot = (
             ic.join(pc, keys)
-            .filter(F.col("__ni") * F.col("__np") > F.lit(int(hot_pair_cap)))
+            # double product: two ~1e9 counts would overflow a long
+            .filter(
+                F.col("__ni").cast("double") * F.col("__np").cast("double")
+                > F.lit(float(hot_pair_cap))
+            )
             .select(*keys)
         )
         idx_cold = idx.join(F.broadcast(hot), keys, "left_anti")

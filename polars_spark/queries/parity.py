@@ -397,14 +397,14 @@ def io_pyarrow_dataset(spark, sf_dir):
     )
     SELECT c_nationkey,
            array_to_string(list_transform(list_sort(list(balc)),
-                           x -> CAST(x AS VARCHAR)), ',')           AS sorted_bals,
+                           x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') AS sorted_bals,
            array_to_string(list_transform(list_sort(list(balc), 'DESC')[1:2],
-                           x -> CAST(x AS VARCHAR)), ',')           AS top2,
+                           x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') AS top2,
            array_to_string(list_transform(list_sort(list(balc))[1:2],
-                           x -> CAST(x AS VARCHAR)), ',')           AS bottom2,
+                           x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') AS bottom2,
            (list(balc ORDER BY c_custkey))[1]                      AS first_bal,
            array_to_string(list_transform((list(balc ORDER BY c_custkey))[-2:],
-                           x -> CAST(x AS VARCHAR)), ',')           AS last2_in_order
+                           x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') AS last2_in_order
     FROM t GROUP BY c_nationkey
     """,
 )
