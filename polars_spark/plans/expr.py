@@ -5293,6 +5293,10 @@ class DataTypeClass(type):
         # lets pa.schema(pl.Schema({...})) consume bare dtype CLASSES
         return _dt_to_arrow(cls).__arrow_c_schema__()
 
+    def __repr__(cls) -> str:
+        # reference classes.py:62 — bare dtype classes print as their name
+        return cls.__name__
+
     def __ne__(cls, other) -> bool:
         r = cls.__eq__(other)
         return NotImplemented if r is NotImplemented else not r
@@ -5442,8 +5446,9 @@ class DataType(metaclass=DataTypeClass):
         return hash(type(self).__name__)
 
     def __repr__(self) -> str:
-        ps = ", ".join(f"{k}={v!r}" for k, v in self.__dict__.items())
-        return f"{type(self).__name__}({ps})"
+        # reference classes.py:156 — simple dtype instances print as the
+        # class name; parametric dtypes override with their params
+        return type(self).__name__
 
 
 class Int8(DataType): ...
@@ -5477,6 +5482,9 @@ class Datetime(DataType):
         self.time_unit = time_unit
         self.time_zone = str(time_zone) if time_zone is not None else None
 
+    def __repr__(self) -> str:
+        return f"Datetime(time_unit={self.time_unit!r}, time_zone={self.time_zone!r})"
+
     def __str__(self):
         return "timestamp"
 
@@ -5492,6 +5500,9 @@ class Duration(DataType):
             msg = f"invalid time_unit {time_unit!r}; expected one of ms/us/ns"
             raise ValueError(msg)
         self.time_unit = time_unit
+
+    def __repr__(self) -> str:
+        return f"Duration(time_unit={self.time_unit!r})"
 
     def __str__(self):
         return "interval day to second"
@@ -5515,7 +5526,7 @@ class Enum(DataType):
         self.categories = list(categories)
 
     def __repr__(self) -> str:
-        return f"Enum({self.categories!r})"
+        return f"Enum(categories={self.categories!r})"
 
     def __str__(self):
         return "string"
@@ -5558,6 +5569,9 @@ class List(DataType):
     def __init__(self, inner):
         self.inner = inner
 
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.inner!r})"
+
     def __str__(self):
         return f"array<{_dtype_to_spark(self.inner)}>"
 
@@ -5571,6 +5585,14 @@ class Array(List):
         super().__init__(inner)
         self.size = size if size is not None else shape
 
+    def __repr__(self) -> str:
+        dims, leaf = [], self
+        while isinstance(leaf, Array):
+            sz = leaf.size
+            dims.extend(sz if isinstance(sz, (tuple, __import__("builtins").list)) else [sz])
+            leaf = leaf.inner
+        return f"Array({leaf!r}, shape={tuple(dims)!r})"
+
 
 class Struct(DataType):
     """pl.Struct({name: dtype, ...} | [Field, ...])."""
@@ -5583,6 +5605,10 @@ class Struct(DataType):
                 f if isinstance(f, Field) else Field(f[0], f[1]) for f in fields
             ]
 
+    def __repr__(self) -> str:
+        inner = ", ".join(f"{f.name!r}: {f.dtype!r}" for f in self.fields)
+        return f"Struct({{{inner}}})"
+
     def __str__(self):
         inner = ",".join(f"`{f.name}`:{_dtype_to_spark(f.dtype)}" for f in self.fields)
         return f"struct<{inner}>"
@@ -5594,6 +5620,9 @@ class Decimal(DataType):
     def __init__(self, precision: int | None = 38, scale: int = 0):
         self.precision = 38 if precision is None else precision
         self.scale = scale
+
+    def __repr__(self) -> str:
+        return f"Decimal(precision={self.precision}, scale={self.scale})"
 
     def __str__(self):
         return f"decimal({self.precision},{self.scale})"
@@ -5621,6 +5650,17 @@ class Schema(dict):
             }
         for k, v in {**(dict(mapping) if mapping else {}), **named}.items():
             self[k] = v
+
+    def __setitem__(self, key, value):
+        # reference Schema instantiates bare dtype classes on insert
+        # (schema.py __init__ / __setitem__): Schema({'x': pl.Int32})
+        # stores Int32(), so values always repr/compare as instances
+        if isinstance(value, DataTypeClass):
+            value = value()
+        super().__setitem__(key, value)
+
+    def __repr__(self) -> str:
+        return f"Schema({dict.__repr__(self)})"
 
     def names(self):
         return list(self.keys())
