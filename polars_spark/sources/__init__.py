@@ -341,6 +341,45 @@ def read_csv(source, **kw) -> LazyFrame:
     return scan_csv(source, **kw)
 
 
+def _ndjson_first_key_order(paths) -> list | None:
+    """Key order of the first JSON object in the first matching file —
+    polars' column order for ndjson scans (Spark infers alphabetically).
+    Driver-side read of ONE line; globs expanded with the local fs only
+    (remote URIs return None and keep Spark's order)."""
+    import glob as _glob
+    import json as _json
+
+    import os as _os
+
+    def _files(path):
+        # Spark-written "files" are directories of part-*; descend one level
+        if _os.path.isdir(path):
+            return sorted(
+                _os.path.join(path, f)
+                for f in _os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        return [path]
+
+    for pat in paths:
+        if "://" in str(pat):
+            return None
+        for hit in sorted(_glob.glob(str(pat))) or [str(pat)]:
+            for p in _files(hit):
+                try:
+                    with open(p, "r", encoding="utf-8") as fh:
+                        for line in fh:
+                            line = line.strip()
+                            if line:
+                                obj = _json.loads(line)
+                                if isinstance(obj, dict):
+                                    return list(obj.keys())
+                                return None
+                except OSError:
+                    continue
+    return None
+
+
 def scan_ndjson(
     source: str | Sequence[str],
     *,
@@ -363,7 +402,18 @@ def scan_ndjson(
     if schema is not None:
         r = r.schema(schema)
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
-    lf = LazyFrame(r.json(paths), deferred=_file_order_deferred(paths))
+    sdf = r.json(paths)
+    if schema is None:
+        # Spark's JSON schema inference sorts keys ALPHABETICALLY; polars
+        # preserves first-row key order.  Sniff the first object's key
+        # order from the first file (driver-side, one line) and reorder.
+        first_keys = _ndjson_first_key_order(paths)
+        if first_keys and set(first_keys) == set(sdf.columns):
+            # backtick-escape: names may contain dots/backticks
+            sdf = sdf.select(
+                *[f"`{k.replace(chr(96), chr(96) * 2)}`" for k in first_keys]
+            )
+    lf = LazyFrame(sdf, deferred=_file_order_deferred(paths))
     if n_rows is not None:
         lf = lf.limit(n_rows)
     if row_index_name:

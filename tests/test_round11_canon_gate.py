@@ -126,3 +126,20 @@ def test_refixed_gates_are_scalar_only(spark):
         assert spark_schema_problems(df.schema) == [], name
         pdf = df.limit(50).toPandas()
         assert canon_problems(df.schema, pdf, None) == [], name
+
+
+def test_scan_ndjson_preserves_first_row_key_order(spark, pl):
+    """polars scan_ndjson column order = first object's key order; Spark's
+    JSON inference sorts alphabetically — the scan reorders (round 11),
+    including names with dots/backticks/unicode."""
+    import json
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "hand.ndjson")
+    with open(p, "w") as f:
+        f.write(json.dumps({"zeta": 1, "alpha": 2, "a.b`c": 3, "日本語": 4}) + "\n")
+        f.write(json.dumps({"alpha": 5, "zeta": 6, "a.b`c": 7, "日本語": 8}) + "\n")
+    out = pl.scan_ndjson(p).collect()
+    assert list(out.columns) == ["zeta", "alpha", "a.b`c", "日本語"]
