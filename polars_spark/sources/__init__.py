@@ -252,6 +252,7 @@ def scan_csv(
     columns: Sequence[str] | str | None = None,
     infer_schema_length: int | None = None,
     schema_overrides=None,
+    multiline: bool = True,
     spark: SparkSession | None = None,
     **_compat,
 ) -> LazyFrame:
@@ -263,13 +264,22 @@ def scan_csv(
     ``skip_rows_after_header`` drops the first N DATA rows (ordered by the
     file's own row sequence); ``new_columns`` renames positionally;
     ``columns`` projects after read (the projection prunes at the scan —
-    Catalyst pushes it down)."""
+    Catalyst pushes it down).
+
+    ``multiline=True`` (default) parses RFC-4180 quoted newlines like the
+    reference does unconditionally — Spark's line-split default silently
+    CORRUPTS such rows (round-11 probe: a quoted two-line field became two
+    rows).  The cost is intra-file split parallelism on huge single CSV
+    files (multi-file datasets keep full parallelism); pass
+    ``multiline=False`` to restore splittable scans when the data is known
+    newline-free."""
     spark = _spark(spark)
     if infer_schema_length == 0:
         infer_schema = False
     r = (
         spark.read.option("header", has_header)
         .option("sep", separator)
+        .option("multiLine", bool(multiline))
         .option("encoding", {"utf8": "UTF-8", "utf8-lossy": "UTF-8"}.get(encoding, encoding))
     )
     if schema is not None:

@@ -143,3 +143,20 @@ def test_scan_ndjson_preserves_first_row_key_order(spark, pl):
         f.write(json.dumps({"alpha": 5, "zeta": 6, "a.b`c": 7, "日本語": 8}) + "\n")
     out = pl.scan_ndjson(p).collect()
     assert list(out.columns) == ["zeta", "alpha", "a.b`c", "日本語"]
+
+
+def test_scan_csv_parses_quoted_newlines(spark, pl):
+    """RFC-4180 quoted newlines: polars parses them unconditionally;
+    Spark's line-split default silently corrupted them into extra rows.
+    scan_csv now defaults multiline=True (round 11)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "quoted.csv")
+    with open(p, "w") as f:
+        f.write('a,b\n"x,y","line1\nline2"\n7,z\n')
+    out = pl.scan_csv(p).collect()
+    assert len(out) == 2
+    assert out["a"].iloc[0] == "x,y"
+    assert out["b"].iloc[0] == "line1\nline2"
