@@ -253,6 +253,8 @@ def scan_csv(
     infer_schema_length: int | None = None,
     schema_overrides=None,
     multiline: bool = True,
+    truncate_ragged_lines: bool = False,
+    ignore_errors: bool = False,
     spark: SparkSession | None = None,
     **_compat,
 ) -> LazyFrame:
@@ -272,14 +274,23 @@ def scan_csv(
     rows).  The cost is intra-file split parallelism on huge single CSV
     files (multi-file datasets keep full parallelism); pass
     ``multiline=False`` to restore splittable scans when the data is known
-    newline-free."""
+    newline-free.
+
+    Ragged rows raise by default, like the reference
+    (``truncate_ragged_lines=False``, ``ignore_errors=False`` — Spark mode
+    FAILFAST; the error surfaces at collect time, Spark being lazy).
+    ``truncate_ragged_lines=True`` / ``ignore_errors=True`` map to
+    PERMISSIVE, which truncates long rows AND null-pads short ones (a
+    superset of polars' truncation)."""
     spark = _spark(spark)
     if infer_schema_length == 0:
         infer_schema = False
+    mode = "PERMISSIVE" if (truncate_ragged_lines or ignore_errors) else "FAILFAST"
     r = (
         spark.read.option("header", has_header)
         .option("sep", separator)
         .option("multiLine", bool(multiline))
+        .option("mode", mode)
         .option("encoding", {"utf8": "UTF-8", "utf8-lossy": "UTF-8"}.get(encoding, encoding))
     )
     if schema is not None:

@@ -160,3 +160,22 @@ def test_scan_csv_parses_quoted_newlines(spark, pl):
     assert len(out) == 2
     assert out["a"].iloc[0] == "x,y"
     assert out["b"].iloc[0] == "line1\nline2"
+
+
+def test_scan_csv_ragged_lines_raise_by_default(spark, pl):
+    """polars raises on ragged rows (truncate_ragged_lines=False default);
+    Spark's permissive default silently truncated/padded.  FAILFAST now
+    maps the contract; truncate_ragged_lines=True restores permissive."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "ragged.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,2\n3,4,5\n6\n")
+    with _pytest.raises(Exception):
+        pl.scan_csv(p).collect()
+    out = pl.scan_csv(p, truncate_ragged_lines=True).collect()
+    assert len(out) == 3
