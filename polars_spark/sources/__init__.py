@@ -306,9 +306,16 @@ def scan_csv(
         r = r.option("inferSchema", True).option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     if comment_prefix:
         r = r.option("comment", comment_prefix)
-    if skip_rows:
-        r = r.option("skipRows", skip_rows)
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
+    if skip_rows:
+        # polars skip_rows drops the first N LINES of each file before the
+        # header.  OSS Spark has no such reader option (`skipRows` is a
+        # Databricks extension and is SILENTLY IGNORED here — round-11
+        # probe), and the preamble lines would trip FAILFAST as ragged
+        # rows.  Preamble'd CSVs are a small-file affordance, so the
+        # driver streams each local file once into a trimmed temp copy;
+        # remote URIs raise with the workaround.
+        paths = _skip_rows_trim(paths, skip_rows)
     from polars_spark.exceptions import translate_errors
 
     with translate_errors():
@@ -360,6 +367,43 @@ def read_csv(source, **kw) -> LazyFrame:
         # a CSV payload string, not a path (polars accepts both)
         return read_csv(source.encode(), **kw)
     return scan_csv(source, **kw)
+
+
+def _skip_rows_trim(paths: Sequence[str], n: int) -> list:
+    """Trimmed temp copies of local CSV files with the first ``n`` lines
+    removed (polars scan_csv skip_rows semantics; see call site).  Copies
+    live in a process-lifetime temp dir so the lazy scan stays valid."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    out_dir = _tempfile.mkdtemp(prefix="polars_spark_skiprows_")
+    out = []
+    for pat in paths:
+        if "://" in str(pat) and not str(pat).startswith("file:"):
+            msg = (
+                "scan_csv(skip_rows=...) on a remote URI is not supported: "
+                "OSS Spark cannot skip leading lines.  Strip the preamble "
+                "upstream, or read with skip_rows=0 and a comment_prefix."
+            )
+            raise NotImplementedError(msg)
+        p0 = str(pat).removeprefix("file://")
+        hits = sorted(_glob.glob(p0)) or [p0]
+        for i, h in enumerate(hits):
+            if _os.path.isdir(h):
+                msg = "scan_csv(skip_rows=...) expects files, not directories"
+                raise NotImplementedError(msg)
+            dst = _os.path.join(out_dir, f"{i:05d}_{_os.path.basename(h)}")
+            with open(h, "rb") as src, open(dst, "wb") as sink:
+                skipped = 0
+                while skipped < n:
+                    if not src.readline():
+                        break
+                    skipped += 1
+                _shutil.copyfileobj(src, sink)
+            out.append(dst)
+    return out
 
 
 def _ndjson_first_key_order(paths) -> list | None:

@@ -179,3 +179,19 @@ def test_scan_csv_ragged_lines_raise_by_default(spark, pl):
         pl.scan_csv(p).collect()
     out = pl.scan_csv(p, truncate_ragged_lines=True).collect()
     assert len(out) == 3
+
+
+def test_scan_csv_skip_rows_drops_preamble(spark, pl):
+    """skip_rows drops the first N lines BEFORE the header (polars
+    semantics).  The old skipRows reader option is a Databricks extension
+    OSS Spark silently ignores (round-11 probe)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "s.csv")
+    with open(p, "w") as f:
+        f.write("garbage line\nanother garbage\na,b\n1,2\n3,4\n")
+    out = pl.scan_csv(p, skip_rows=2).collect()
+    assert list(out.columns) == ["a", "b"]
+    assert list(out["a"]) == [1, 3]
