@@ -40,6 +40,19 @@ Round-12 backlog (36 never-sampled after window #4): io_* 8, sql_* 4,
 evt_* 3, scale_* 3, join_* 4, sf_* 5, agg_* 4, h2o_f1/f2, win_ewm
 long-series (weak by design), rel_with_context, dedup/win leftovers —
 window #5 takes all 36.
+
+Round 12 (VERDICT r11 next-round #1): window #5 IS that backlog — all 36
+never-sampled gates, after the one predicted red was resolved
+(win_ewm_long_series now carries a truncated-banded-sum DuckDB oracle;
+251/252 oracles became 252/252).  The remaining 8 slots re-expose the
+operators this round's code touches (connected-components adaptive
+pointer jump -> dedup_minhash_star + txt_leakage_split; fuzzy max_pairs
+valve -> dedup_fuzzy_names; distributed scan_csv skip_rows ->
+io_csv_roundtrip) plus the round-12 probe subjects (txt_contamination,
+dedup_ngram_jaccard) and the two LSH-family anchors (dedup_minhash_lsh,
+dedup_embedding_cosine) so any regression from this round's changes
+surfaces as a driver row, not just locally.  After this window every
+registry gate has driver evidence: never-sampled hits 0.
 """
 
 from __future__ import annotations
@@ -52,61 +65,65 @@ from polars_spark.queries import QUERIES, ORACLE_SQL
 
 _FLAGSHIP_PREFIX = [f"q{i}_" for i in (1, 3, 6, 9, 18, 21)]
 
-# round-11 rotation window #4 (44 slots): the 3 round-10 driver reds
-# re-exposed with scalar-rendered finals, the 5 round-10-new operators,
-# the 4 re-rendered array-final backlog gates, evt_funnel (fell off
-# window #3's end), then the txt_* tail + h2o_* lead per the backlog.
+# round-12 rotation window #5 (44 slots): the complete never-sampled
+# backlog (36 gates — after this window, every registry entry has driver
+# evidence), then 8 re-exposures covering this round's code changes and
+# probe subjects.
 _ROTATION = [
-    # round-10 reds: array finals now render as CSV strings on both sides
-    "mm_extract_features",
-    "mm_resize",
-    "txt_tokenize_wordpiece",
-    # round-10-new operators (driver evidence should not wait two rounds)
-    "txt_weighted_sample",
-    "dedup_fuzzy_names",
-    "txt_leakage_split",
-    "win_ewm_null_decay",
-    "join_asof_nearest",
-    # backlog array-final gates, re-rendered BEFORE their driver debut
-    "agg_implode_counts",
-    "sf_find_many",
-    "agg_groups_positions",
-    "agg_list_family",
-    # fell off the end of window #3 (50-name cap)
-    "evt_funnel",
-    # text-pipeline tail (24)
-    "txt_normalize",
-    "txt_top_ngram",
-    "txt_c4_clean",
-    "txt_pii_redact",
-    "txt_hash_split",
-    "txt_global_shuffle",
-    "txt_heavy_hitters",
-    "txt_unigram_logprob",
-    "txt_filter_funnel",
-    "txt_bigram_logprob",
-    "txt_materialize_packed",
-    "txt_script_profile",
-    "txt_winnow_fingerprints",
-    "txt_dsir_weights",
-    "txt_boilerplate_lines",
-    "txt_mix_to_budget",
-    "txt_perplexity_buckets",
-    "txt_corpus_report",
-    "txt_snapshot_diff",
-    "txt_pr_curve",
-    "txt_eval_em_f1",
-    "txt_pass_at_k",
-    "txt_distinct_sketch",
-    "txt_stratified_sample",
-    # h2o group-by suite lead (7 of 9; f1/f2 in window #5)
-    "h2o_q2",
-    "h2o_q3",
-    "h2o_q4",
-    "h2o_q5",
-    "h2o_q6",
-    "h2o_q8",
-    "h2o_q9",
+    # --- the 36 never-sampled gates (driver-coverage close-out) ---
+    # io_* (8)
+    "io_frame_scan",
+    "io_python_datasource",
+    "io_pyarrow_dataset",
+    "io_parquet_partitioned",
+    "io_orc_roundtrip",
+    "io_ipc_roundtrip",
+    "io_bucketed_join",
+    "io_scan_order_first_over",
+    # sql_* (4)
+    "sql_cte_window",
+    "sql_set_ops",
+    "sql_window_rank",
+    "sql_table_functions",
+    # join_* (4)
+    "join_band_agg",
+    "join_interval_agg",
+    "join_where_strict_pair",
+    "join_where_nonstrict_pair",
+    # evt_* (3)
+    "evt_retention",
+    "evt_transitions",
+    "evt_json_props",
+    # scale_* (3)
+    "scale_zorder_events",
+    "scale_key_skew_profile",
+    "scale_salted_join",
+    # sf_* (6)
+    "sf_enum_cast",
+    "sf_bitwise",
+    "sf_ranges_business",
+    "sf_list_agg",
+    "sf_cat_physical",
+    "sf_bin_ops",
+    # agg_* (4)
+    "agg_product_entropy",
+    "agg_cut_bands",
+    "agg_non_null_first",
+    "agg_arg_minmax",
+    # the rest
+    "h2o_f1_selective",
+    "h2o_f2_negated",
+    "rel_with_context",
+    "win_ewm_long_series",  # now oracle-backed (round-12 digest oracle)
+    # --- re-exposures: this round's touched operators + probe subjects ---
+    "dedup_minhash_star",  # CC adaptive pointer jump (round-12 perf reclaim)
+    "txt_leakage_split",  # depends on connected_components
+    "dedup_fuzzy_names",  # fuzzy_string_pairs max_pairs valve
+    "io_csv_roundtrip",  # distributed skip_rows lowering touches scan_csv
+    "txt_contamination",  # round-12 adversarial-probe subject
+    "dedup_ngram_jaccard",  # round-12 adversarial-probe subject (df cap)
+    "dedup_minhash_lsh",  # LSH-family anchor
+    "dedup_embedding_cosine",  # LSH-family anchor (r11 auto-params floor)
 ]
 
 

@@ -354,6 +354,7 @@ def connected_components(
     max_iter: int = 64,
     checkpoint_dir: str | None = None,
     spill_after: int = 8,
+    jump_after: int = 3,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list -> (doc, cluster)
     with cluster = min doc id in the component.
@@ -395,7 +396,20 @@ def connected_components(
     kicks in from round ``spill_after``.  Tiny near-dup components (the
     overwhelmingly common case: LSH clusters converge in 2-4 rounds) pay
     ZERO spill I/O; only genuinely deep components reach the spill regime,
-    exactly where it is essential."""
+    exactly where it is essential.
+
+    The pointer jump is adaptive too (``jump_after``, round 12): the
+    label-of-label self-join is skipped while rounds are young.  This is
+    safe, not just fast: a fixed point of plain neighbor-min propagation
+    IS full convergence (at a fixed point, any node adjacent to the
+    min-labelled set would still change — so by connectivity every node
+    already carries the component min; the jump only ACCELERATES deep
+    components, it never changes the fixed point), and the convergence
+    test + max_iter raise are unchanged.  Shallow components — the
+    overwhelmingly common case; LSH star clusters converge in 2-3 rounds
+    — therefore never pay the self-join at all, while a deep component
+    engages jumping from round ``jump_after`` and still converges in
+    ~jump_after + log2(diameter) rounds."""
     import shutil
     import tempfile
     import uuid
@@ -422,9 +436,10 @@ def connected_components(
             )
             # pointer jumping: my label's current label (labels is slim, and
             # lbl is always a node id of the same component, hence present).
-            # Round 0 skips it — labels are still self-labels, so
-            # label-of-label is the identity and the join is a pure no-op.
-            if rnd == 0:
+            # Young rounds skip it (see docstring: a neighbor-only fixed
+            # point is already correct; the jump only accelerates deep
+            # components, so shallow ones never pay the self-join).
+            if rnd < jump_after:
                 jump = labels.select("u", F.col("lbl").alias("plbl"))
             else:
                 jump = labels.join(

@@ -29,10 +29,15 @@ def test_long_series_digest_matches_pandas(pl, spark):
     m = df["l_extendedprice"].ewm(span=10, adjust=True).mean()
     s = df["l_extendedprice"].ewm(span=10, adjust=True).std()
 
+    import math
+
+    def fr2(x):  # the gate's tie-stable digest: floor(x*100+0.5)/100
+        return math.floor(x * 100.0 + 0.5) / 100.0
+
     assert row.n == len(df)
-    assert row.ewm_m_last == round(m.iloc[-1], 4)
-    assert row.ewm_m_avg == round(m.mean(), 4)
-    assert row.ewm_s_last == round(s.iloc[-1], 4)
+    assert row.ewm_m_last == fr2(m.iloc[-1])
+    assert row.ewm_m_avg == fr2(m.mean())
+    assert row.ewm_s_last == fr2(s.iloc[-1])
 
 
 def test_long_series_takes_kernel_not_fold(pl, spark):
