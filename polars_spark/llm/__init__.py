@@ -1357,6 +1357,7 @@ def fuzzy_string_pairs(
     right_on: str | None = None,
     max_distance: int = 1,
     hot_pair_cap: int = 1 << 22,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Fuzzy string join: all DISTINCT value pairs within Levenshtein
     distance ``max_distance`` — entity-resolution's core primitive
@@ -1395,6 +1396,19 @@ def fuzzy_string_pairs(
 
     Self-join mode (``right=None``) keeps ``s < t`` pairs only.  Returns
     ``(left_on, right_on, edit_distance)`` over distinct value pairs.
+
+    ``max_pairs`` (round 12): answer-size safety valve.  The operator is
+    ANSWER-size-bound — the plan is skew-safe, but an adversarial corpus
+    can make the true answer itself quadratic (sequential ids at k=2: 50k
+    names -> ~18M genuine pairs, ~18 min at the measured verify rate), and
+    nothing in a lazy plan warns the caller.  With a cap set, the verified
+    output is counted through an incremental ``limit(cap+1).count()``
+    (Spark's CollectLimit scans partitions in escalating batches, so a
+    blown cap surfaces after a bounded prefix of the join, not the full
+    answer) and a RuntimeError reports the measured pair rate — mirroring
+    ``hot_pair_cap``'s fail-loudly style one level up.  ``None`` (default)
+    keeps the unguarded behavior; on the success path the count costs one
+    extra evaluation of the verify join, the price of the guarantee.
     """
     k = int(max_distance)
     if k < 0:
@@ -1576,6 +1590,21 @@ def fuzzy_string_pairs(
             "edit_distance",
         )
     )
+    if max_pairs is not None:
+        import time as _time
+
+        cap = int(max_pairs)
+        t0 = _time.perf_counter()
+        n = out.limit(cap + 1).count()
+        dt = max(_time.perf_counter() - t0, 1e-9)
+        if n > cap:
+            raise RuntimeError(
+                f"fuzzy_string_pairs: verified pair count exceeds max_pairs={cap} "
+                f"(hit {n} pairs in {dt:.1f}s, ~{n / dt:.0f} pairs/s) — the answer "
+                "itself is quadratic on this corpus, not the plan; raise max_pairs, "
+                "tighten max_distance, or pre-block the inputs (e.g. by a coarse "
+                "key) before the fuzzy join"
+            )
     return out
 
 

@@ -157,3 +157,36 @@ def test_hot_block_long_strings_reversed_route(spark):
         if sum(1 for x, y in zip(a, b) if x != y) <= 1
     }
     assert got_pairs == want
+
+
+def test_max_pairs_cap_raises_informatively(spark):
+    """Round-12 safety valve: the operator is ANSWER-size-bound (k=2 on
+    sequential ids -> ~quadratic true answer), so a cap must fail loudly
+    with the measured rate instead of running for hours."""
+    import pytest
+
+    from polars_spark.llm import fuzzy_string_pairs
+
+    names = [f"id{i:05d}" for i in range(300)]  # dense lev-1/2 neighborhood
+    df = spark.createDataFrame([(s,) for s in names], "name string")
+    with pytest.raises(RuntimeError, match="max_pairs=50 .*pairs/s"):
+        fuzzy_string_pairs(df, left_on="name", max_distance=2, max_pairs=50)
+
+
+def test_max_pairs_under_cap_keeps_output(spark):
+    """cap not exceeded -> identical output to the unguarded call."""
+    from polars_spark.llm import fuzzy_string_pairs
+
+    names = ["alpha", "alphb", "beta", "betb", "gamma"]
+    df = spark.createDataFrame([(s,) for s in names], "name string")
+    base = {
+        tuple(r)
+        for r in fuzzy_string_pairs(df, left_on="name", max_distance=1).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in fuzzy_string_pairs(
+            df, left_on="name", max_distance=1, max_pairs=10_000
+        ).collect()
+    }
+    assert capped == base and len(base) == 2
