@@ -62,82 +62,90 @@ def _file_order_deferred(paths: Sequence[str]):
     on the scan, no Spark job, no shuffle — and queries that never consume
     order never call it, so their plans stay scan-order-free (the elision
     rule of SURVEY §4 item 1)."""
-    import os as _os
-
     from polars_spark.plans.frame import ROW_IDX
 
     paths = [str(p) for p in paths]
 
+    def mat(df):
+        ordc = _order_struct(paths, F.input_file_name(), F.input_file_block_start(), F.monotonically_increasing_id())
+        return df.withColumn(ROW_IDX, ordc), [(ROW_IDX, False, False)]
+
+    mat.paths = paths  # concat() composes scan contracts from these
+    return mat
+
+
+def _order_struct(paths: Sequence[str], fname, block, pos):
+    """The scan-order struct used by ``_file_order_deferred`` — factored
+    out so plans that cannot re-derive ``input_file_name()`` at
+    materialization time (e.g. the skip_rows text lowering, whose plan
+    contains a join) can build the identical struct from columns captured
+    at the scan and carry it through (round 12)."""
+    import os as _os
     import re as _re
+
+    paths = [str(p) for p in paths]
 
     def _strip_scheme(s: str) -> str:
         # "file:///d/x" / "file:/d/x" / "s3://b/k" -> "/d/x" / "/d/x" / "/b/k"
         m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", s)
         return "/" + s[m.end():] if m else s
 
-    def mat(df):
-        fname = F.input_file_name()
-        # scheme-stripped scan URI so driver-side keys compare on PATH
-        # boundaries (raw substring containment mis-ranked /data/ab under a
-        # sibling /data/a key — ADVICE r6)
-        norm = F.regexp_replace(fname, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
-        if builtins.len(paths) > 1:
-            # explicit list: the GIVEN order, not lexicographic — rank by
-            # the first path whose BOUNDARY-delimited prefix (exact file, or
-            # directory + '/') covers the scanned file; glob entries expand
-            # driver-side to their sorted matches (polars sorts glob hits)
-            branches = []
-            for i, p in enumerate(paths):
-                key = _strip_scheme(p if "://" in p else _os.path.abspath(p)).rstrip("/") or "/"
-                if any(ch in key for ch in "*?["):
-                    import glob as _glob
+    # scheme-stripped scan URI so driver-side keys compare on PATH
+    # boundaries (raw substring containment mis-ranked /data/ab under a
+    # sibling /data/a key — ADVICE r6)
+    norm = F.regexp_replace(fname, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+    if builtins.len(paths) > 1:
+        # explicit list: the GIVEN order, not lexicographic — rank by
+        # the first path whose BOUNDARY-delimited prefix (exact file, or
+        # directory + '/') covers the scanned file; glob entries expand
+        # driver-side to their sorted matches (polars sorts glob hits)
+        branches = []
+        for i, p in enumerate(paths):
+            key = _strip_scheme(p if "://" in p else _os.path.abspath(p)).rstrip("/") or "/"
+            if any(ch in key for ch in "*?["):
+                import glob as _glob
 
-                    # glob.glob runs on the LOCAL FS only: remote-scheme
-                    # globs return nothing, and a hit may itself be a
-                    # DIRECTORY (a Spark-written parquet dataset) — both
-                    # previously fell to the fallback rank, silently
-                    # violating the given-list order (ADVICE r7).  Hits
-                    # match on file-or-directory boundaries; no hits ->
-                    # static stem-prefix match (same rule as
-                    # _concat_order_deferred._key).
-                    hits = (
-                        []
-                        if "://" in p
-                        else [
-                            _strip_scheme(_os.path.abspath(h))
-                            for h in sorted(_glob.glob(key))
-                        ]
-                    )
-                    cond = None
-                    for h in hits:
-                        c = (norm == F.lit(h)) | norm.startswith(F.lit(h + "/"))
-                        cond = c if cond is None else (cond | c)
-                    if cond is None:
-                        head = key
-                        for ch in "*?[":
-                            if ch in head:
-                                head = head.split(ch)[0]
-                        cond = norm.startswith(F.lit(head))
-                else:
-                    cond = (norm == F.lit(key)) | norm.startswith(F.lit(key + "/"))
-                branches.append(F.when(cond, F.lit(i)))
-            fkey = F.coalesce(*branches, F.lit(builtins.len(paths))).cast("int")
-            ordc = F.struct(
-                fkey.alias("f"),
-                fname.alias("n"),
-                F.input_file_block_start().alias("b"),
-                F.monotonically_increasing_id().alias("p"),
-            )
-        else:
-            ordc = F.struct(
-                fname.alias("n"),
-                F.input_file_block_start().alias("b"),
-                F.monotonically_increasing_id().alias("p"),
-            )
-        return df.withColumn(ROW_IDX, ordc), [(ROW_IDX, False, False)]
-
-    mat.paths = paths  # concat() composes scan contracts from these
-    return mat
+                # glob.glob runs on the LOCAL FS only: remote-scheme
+                # globs return nothing, and a hit may itself be a
+                # DIRECTORY (a Spark-written parquet dataset) — both
+                # previously fell to the fallback rank, silently
+                # violating the given-list order (ADVICE r7).  Hits
+                # match on file-or-directory boundaries; no hits ->
+                # static stem-prefix match (same rule as
+                # _concat_order_deferred._key).
+                hits = (
+                    []
+                    if "://" in p
+                    else [
+                        _strip_scheme(_os.path.abspath(h))
+                        for h in sorted(_glob.glob(key))
+                    ]
+                )
+                cond = None
+                for h in hits:
+                    c = (norm == F.lit(h)) | norm.startswith(F.lit(h + "/"))
+                    cond = c if cond is None else (cond | c)
+                if cond is None:
+                    head = key
+                    for ch in "*?[":
+                        if ch in head:
+                            head = head.split(ch)[0]
+                    cond = norm.startswith(F.lit(head))
+            else:
+                cond = (norm == F.lit(key)) | norm.startswith(F.lit(key + "/"))
+            branches.append(F.when(cond, F.lit(i)))
+        fkey = F.coalesce(*branches, F.lit(builtins.len(paths))).cast("int")
+        return F.struct(
+            fkey.alias("f"),
+            fname.alias("n"),
+            block.alias("b"),
+            pos.alias("p"),
+        )
+    return F.struct(
+        fname.alias("n"),
+        block.alias("b"),
+        pos.alias("p"),
+    )
 
 
 def _nanos_ts_cols(path: str) -> list[str]:
@@ -285,6 +293,17 @@ def scan_csv(
     spark = _spark(spark)
     if infer_schema_length == 0:
         infer_schema = False
+    dict_schema = None
+    if schema is not None and isinstance(schema, dict):
+        # polars dict schema: provides BOTH names and dtypes; the header
+        # row (if any) is consumed but ignored.  Lower to an all-string
+        # read + positional rename + strict cast through the engine's
+        # dtype machinery (same path as schema_overrides).
+        dict_schema = dict(schema)
+        schema = None
+        infer_schema = False
+        if new_columns is None:
+            new_columns = list(dict_schema.keys())
     mode = "PERMISSIVE" if (truncate_ragged_lines or ignore_errors) else "FAILFAST"
     r = (
         spark.read.option("header", has_header)
@@ -307,27 +326,61 @@ def scan_csv(
     if comment_prefix:
         r = r.option("comment", comment_prefix)
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
+    from polars_spark.exceptions import translate_errors
+
     if skip_rows:
         # polars skip_rows drops the first N LINES of each file before the
         # header.  OSS Spark has no such reader option (`skipRows` is a
         # Databricks extension and is SILENTLY IGNORED here — round-11
         # probe), and the preamble lines would trip FAILFAST as ragged
-        # rows.  Preamble'd CSVs are a small-file affordance, so the
-        # driver streams each local file once into a trimmed temp copy;
-        # remote URIs raise with the workaround.
-        paths = _skip_rows_trim(paths, skip_rows)
-    from polars_spark.exceptions import translate_errors
+        # rows.  Round 12 (VERDICT r11 #5): the lowering is DISTRIBUTED —
+        # read as `text`, drop the first N lines per file engine-side,
+        # parse with from_csv — so multi-GB preamble'd files and remote
+        # URIs work with no driver I/O.  Non-UTF-8 encodings keep the old
+        # driver-side trimmed-copy fallback (Spark's text source decodes
+        # UTF-8 only).
+        if {"utf8": "UTF-8", "utf8-lossy": "UTF-8"}.get(encoding, encoding).upper() not in ("UTF-8", "UTF8"):
+            paths = _skip_rows_trim(paths, skip_rows)
+            with translate_errors():
+                df = r.csv(paths)
+        else:
+            with translate_errors():
+                df = _skip_rows_scan(
+                    spark,
+                    paths,
+                    skip_rows,
+                    has_header=has_header,
+                    separator=separator,
+                    quote_char=quote_char,
+                    null_values=null_values,
+                    comment_prefix=comment_prefix,
+                    mode=mode,
+                    schema=schema,
+                    infer_schema=infer_schema,
+                    try_parse_dates=try_parse_dates,
+                )
+    else:
+        with translate_errors():
+            df = r.csv(paths)
+    from polars_spark.plans.frame import ROW_IDX as _RIDX
 
-    with translate_errors():
-        df = r.csv(paths)
+    data_cols = [c for c in df.columns if not c.startswith("__")]
     if new_columns:
-        renames = dict(zip(df.columns, new_columns))
+        renames = dict(zip(data_cols, new_columns))
         df = df.withColumnsRenamed(renames)
     elif not has_header:
         # polars unnamed-column convention (column_1..N; Spark gives _c0..)
-        renames = {c: f"column_{i + 1}" for i, c in enumerate(df.columns)}
+        renames = {c: f"column_{i + 1}" for i, c in enumerate(data_cols)}
         df = df.withColumnsRenamed(renames)
-    lf = LazyFrame(df, deferred=_file_order_deferred(paths))
+    lf = LazyFrame(
+        df,
+        deferred=(
+            # the skip_rows lowering already carries the order struct
+            _attached_order_deferred(paths)
+            if _RIDX in df.columns
+            else _file_order_deferred(paths)
+        ),
+    )
     if skip_rows_after_header:
         idx = lf.with_row_index("__skip__")._df
         lf = LazyFrame(
@@ -338,6 +391,8 @@ def scan_csv(
     if columns is not None:
         cols = [columns] if isinstance(columns, str) else list(columns)
         lf = LazyFrame(lf._df.select(*cols, *[c for c in lf._df.columns if c.startswith("__") and c not in cols]), lf._order)
+    if dict_schema:
+        lf = lf.cast(dict_schema)
     if schema_overrides:
         if isinstance(schema_overrides, (list, tuple)):
             # positional form (reference scan_csv): dtypes in column order
@@ -369,32 +424,229 @@ def read_csv(source, **kw) -> LazyFrame:
     return scan_csv(source, **kw)
 
 
+def _skip_rows_scan(
+    spark: SparkSession,
+    paths: Sequence[str],
+    n: int,
+    *,
+    has_header: bool,
+    separator: str,
+    quote_char: str | None,
+    null_values,
+    comment_prefix: str | None,
+    mode: str,
+    schema,
+    infer_schema: bool,
+    try_parse_dates: bool,
+):
+    """Distributed scan_csv(skip_rows=N) lowering (round 12, VERDICT r11
+    #5): read the files as ``text`` lines, drop the first N lines (plus the
+    header line) PER FILE engine-side, then parse with ``from_csv`` — no
+    driver I/O, works on remote URIs, and multi-GB preamble'd files stay
+    distributed.
+
+    Per-file line numbering without a data shuffle: a file's
+    block-0 rows (``input_file_block_start() == 0``) are read by ONE task
+    in file order, so ``monotonically_increasing_id()`` is increasing
+    there and ``min(id)`` per file is the first line.  The agg reduces
+    map-side to one row per FILE (never per row) and broadcast-joins back;
+    rows in later blocks are beyond any sane preamble by construction — a
+    preamble+header larger than the first scan block (>=128 MB of
+    garbage) raises via an in-plan assert rather than mis-trimming.
+
+    Parsing is per-LINE (from_csv), so a data field containing a QUOTED
+    NEWLINE cannot be reassembled on this path — such rows split and
+    surface as malformed records (an error under the default FAILFAST
+    mode, not silent corruption).  Preamble'd CSVs with embedded newlines
+    need the preamble stripped upstream.
+
+    Column identity: explicit ``schema`` wins; otherwise the header line
+    is fetched engine-side (one 1-row collect) and Spark's own inference
+    runs over the trimmed line set via the JVM ``Dataset[String]`` reader
+    — the same inference pass the native path runs, on exactly the rows
+    that survive the trim.
+
+    Scan-order contract: ``input_file_name()`` cannot be re-derived at
+    materialization time here (the plan contains a join -> multi-source),
+    so the order struct is built from the columns captured at the text
+    scan and CARRIED through the parse; the LazyFrame gets the
+    already-attached deferred."""
+    import csv as _csv
+    import io as _io
+
+    from polars_spark.plans.frame import ROW_IDX
+
+    txt = spark.read.text(list(paths))
+    t = txt.select(
+        "value",
+        F.input_file_name().alias("__f"),
+        F.input_file_block_start().alias("__b"),
+        F.monotonically_increasing_id().alias("__m"),
+    )
+    drop_n = int(n) + (1 if has_header else 0)
+    m0 = (
+        t.filter(F.col("__b") == 0)
+        .groupBy("__f")
+        .agg(F.min("__m").alias("__m0"), F.count(F.lit(1)).alias("__c0"))
+    )
+    j = t.join(F.broadcast(m0), "__f", "left")
+    rn = F.col("__m") - F.col("__m0") + 1
+    guard = F.assert_true(
+        (F.col("__b") == 0) | (F.col("__c0") >= drop_n),
+        F.lit(
+            "scan_csv(skip_rows=...): the preamble+header does not fit in "
+            "the first scan block of a file — trim it upstream"
+        ),
+    )
+    # preamble dropped; comment/empty lines removed BEFORE header
+    # detection (both the reference and Spark's native reader treat the
+    # header as the first surviving line, not a fixed line number)
+    k = j.filter(((F.col("__b") > 0) | (rn > int(n))) & guard.isNull())
+    if comment_prefix:
+        k = k.filter(~F.col("value").startswith(comment_prefix))
+    # the native CSV reader skips completely empty lines; so do we
+    k = k.filter(F.length("value") > 0)
+    hdr_line = None
+    if has_header:
+        h0 = (
+            k.filter(F.col("__b") == 0)
+            .groupBy("__f")
+            .agg(F.min("__m").alias("__hm"))
+        )
+        hdr_line = (
+            k.join(F.broadcast(h0), "__f")
+            .filter(F.col("__m") == F.col("__hm"))
+            .select("value")
+        )
+        k = k.join(F.broadcast(h0), "__f", "left").filter(
+            (F.col("__b") > 0) | (F.col("__m") != F.col("__hm"))
+        )
+    ordc = _order_struct(paths, F.col("__f"), F.col("__b"), F.col("__m"))
+    lines = k.select("value", ordc.alias(ROW_IDX))
+
+    quote = quote_char if quote_char else '"'
+    opts: dict[str, str] = {"sep": separator, "mode": mode, "quote": quote}
+    if null_values is not None:
+        nv = [null_values] if isinstance(null_values, str) else list(null_values)
+        opts["nullValue"] = nv[0]
+    if try_parse_dates:
+        opts["timestampFormat"] = "yyyy-MM-dd HH:mm:ss"
+
+    if schema is not None:
+        st = schema
+        if isinstance(st, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = _parse_datatype_string(st)
+    else:
+        # Spark's own inference over the trimmed lines, JVM-side: a
+        # Dataset[String] fed to the csv reader — identical inference
+        # semantics to the native path, zero Python per-row cost.
+        jvm = spark._jvm
+        # "as" is a Python keyword — reach the JVM Dataset.as(Encoder) via getattr
+        jds = getattr(lines.select("value")._jdf, "as")(
+            jvm.org.apache.spark.sql.Encoders.STRING()
+        )
+        jreader = spark._jsparkSession.read()
+        infer_opts = dict(opts)
+        infer_opts["header"] = "false"
+        infer_opts["inferSchema"] = "true" if (infer_schema or try_parse_dates) else "false"
+        # inference itself tolerates ragged rows; FAILFAST still applies
+        # to the real parse below
+        infer_opts["mode"] = "PERMISSIVE"
+        for k, v in infer_opts.items():
+            jreader = jreader.option(k, v)
+        from pyspark.sql import DataFrame as _SDF
+
+        inferred = _SDF(jreader.csv(jds), spark)
+        st = inferred.schema
+        if has_header:
+            hrow = hdr_line.limit(1).collect()
+            if not hrow:
+                raise ValueError(
+                    "scan_csv(skip_rows=...): no header line found after the "
+                    "skipped preamble (file shorter than skip_rows?)"
+                )
+            names = next(
+                _csv.reader(
+                    _io.StringIO(hrow[0][0]), delimiter=separator, quotechar=quote
+                )
+            )
+            from pyspark.sql.types import StructField, StructType
+
+            if builtins.len(names) != builtins.len(st.fields):
+                # ragged header vs data: mirror the reader's own arity
+                # behavior — pad/truncate names positionally
+                names = (names + [f"_c{i}" for i in range(builtins.len(st.fields))])[
+                    : builtins.len(st.fields)
+                ]
+            st = StructType(
+                [
+                    StructField(nm, f.dataType, f.nullable)
+                    for nm, f in zip(names, st.fields)
+                ]
+            )
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields)
+    return lines.select(F.from_csv("value", ddl, opts).alias("__r"), ROW_IDX).select(
+        "__r.*", ROW_IDX
+    )
+
+
+def _attached_order_deferred(paths: Sequence[str]):
+    """Deferred scan-order contract for plans that already CARRY the order
+    struct (the skip_rows text lowering): the column exists, so
+    materialization is the identity."""
+    from polars_spark.plans.frame import ROW_IDX
+
+    def mat(df):
+        return df, [(ROW_IDX, False, False)]
+
+    mat.paths = [str(p) for p in paths]
+    return mat
+
+
+# process-lifetime temp dirs from the non-UTF-8 fallback below; removed at
+# interpreter exit (the docstring scopes scan validity to process lifetime)
+_SKIPROWS_TMPDIRS: list[str] = []
+
+
 def _skip_rows_trim(paths: Sequence[str], n: int) -> list:
     """Trimmed temp copies of local CSV files with the first ``n`` lines
-    removed (polars scan_csv skip_rows semantics; see call site).  Copies
-    live in a process-lifetime temp dir so the lazy scan stays valid."""
+    removed — the NON-UTF-8 fallback for scan_csv(skip_rows=...) (the
+    distributed text lowering above covers UTF-8, which Spark's text
+    source requires).  Copies live in a process-lifetime temp dir
+    (atexit-cleaned) so the lazy scan stays valid."""
+    import atexit as _atexit
     import glob as _glob
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
     out_dir = _tempfile.mkdtemp(prefix="polars_spark_skiprows_")
+    if not _SKIPROWS_TMPDIRS:
+        _atexit.register(
+            lambda: [_shutil.rmtree(d, ignore_errors=True) for d in _SKIPROWS_TMPDIRS]
+        )
+    _SKIPROWS_TMPDIRS.append(out_dir)
     out = []
+    seq = 0  # spans ALL patterns: two files sharing a basename must not collide
     for pat in paths:
         if "://" in str(pat) and not str(pat).startswith("file:"):
             msg = (
-                "scan_csv(skip_rows=...) on a remote URI is not supported: "
-                "OSS Spark cannot skip leading lines.  Strip the preamble "
+                "scan_csv(skip_rows=...) on a remote URI requires UTF-8 "
+                "encoding (the distributed text lowering); the non-UTF-8 "
+                "fallback trims local copies only.  Strip the preamble "
                 "upstream, or read with skip_rows=0 and a comment_prefix."
             )
             raise NotImplementedError(msg)
         p0 = str(pat).removeprefix("file://")
         hits = sorted(_glob.glob(p0)) or [p0]
-        for i, h in enumerate(hits):
+        for h in hits:
             if _os.path.isdir(h):
                 msg = "scan_csv(skip_rows=...) expects files, not directories"
                 raise NotImplementedError(msg)
-            dst = _os.path.join(out_dir, f"{i:05d}_{_os.path.basename(h)}")
+            dst = _os.path.join(out_dir, f"{seq:05d}_{_os.path.basename(h)}")
+            seq += 1
             with open(h, "rb") as src, open(dst, "wb") as sink:
                 skipped = 0
                 while skipped < n:
@@ -440,7 +692,11 @@ def _ndjson_first_key_order(paths) -> list | None:
                                 if isinstance(obj, dict):
                                     return list(obj.keys())
                                 return None
-                except OSError:
+                except (OSError, ValueError):
+                    # best-effort sniff: a malformed first line (or
+                    # unreadable file) degrades to Spark's own column
+                    # order instead of failing the scan — Spark's reader
+                    # itself would route the bad line to _corrupt_record
                     continue
     return None
 
