@@ -554,8 +554,8 @@ def _skip_rows_scan(
         # inference itself tolerates ragged rows; FAILFAST still applies
         # to the real parse below
         infer_opts["mode"] = "PERMISSIVE"
-        for k, v in infer_opts.items():
-            jreader = jreader.option(k, v)
+        for ok_, ov_ in infer_opts.items():
+            jreader = jreader.option(ok_, ov_)
         from pyspark.sql import DataFrame as _SDF
 
         inferred = _SDF(jreader.csv(jds), spark)
@@ -586,6 +586,11 @@ def _skip_rows_scan(
                     for nm, f in zip(names, st.fields)
                 ]
             )
+    if not st.fields:
+        raise ValueError(
+            "scan_csv(skip_rows=...): no data lines survive the preamble "
+            "trim — file empty or shorter than skip_rows"
+        )
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields)
     return lines.select(F.from_csv("value", ddl, opts).alias("__r"), ROW_IDX).select(
         "__r.*", ROW_IDX
