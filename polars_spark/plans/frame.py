@@ -4931,7 +4931,14 @@ def _concat_impl(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: 
         defs = [getattr(f, "_deferred_order", None) for f in frames]
         if (
             frames
-            and all(d is not None and hasattr(d, "paths") for d in defs)
+            and all(
+                d is not None
+                and hasattr(d, "paths")
+                # attached-order scans (skip_rows lowering) cannot have
+                # their order re-derived over the union plan
+                and not getattr(d, "attached", False)
+                for d in defs
+            )
             and not any(f._order for f in frames)
         ):
             # all inputs are unmaterialized deferred scans: the union keeps
@@ -4947,7 +4954,14 @@ def _concat_impl(items: Sequence[LazyFrame], *, how: str = "vertical", rechunk: 
         defs = [getattr(f, "_deferred_order", None) for f in frames]
         if (
             frames
-            and all(d is not None and hasattr(d, "paths") for d in defs)
+            and all(
+                d is not None
+                and hasattr(d, "paths")
+                # attached-order scans (skip_rows lowering) cannot have
+                # their order re-derived over the union plan
+                and not getattr(d, "attached", False)
+                for d in defs
+            )
             and not any(f._order for f in frames)
         ):
             return LazyFrame(

@@ -305,12 +305,13 @@ def scan_csv(
         if new_columns is None:
             new_columns = list(dict_schema.keys())
     mode = "PERMISSIVE" if (truncate_ragged_lines or ignore_errors) else "FAILFAST"
+    enc = {"utf8": "UTF-8", "utf8-lossy": "UTF-8"}.get(encoding, encoding)
     r = (
         spark.read.option("header", has_header)
         .option("sep", separator)
         .option("multiLine", bool(multiline))
         .option("mode", mode)
-        .option("encoding", {"utf8": "UTF-8", "utf8-lossy": "UTF-8"}.get(encoding, encoding))
+        .option("encoding", enc)
     )
     if schema is not None:
         r = r.schema(schema)
@@ -328,6 +329,7 @@ def scan_csv(
     paths = [str(source)] if isinstance(source, str) or hasattr(source, '__fspath__') else [str(s) for s in source]
     from polars_spark.exceptions import translate_errors
 
+    skip_scan_used = False
     if skip_rows:
         # polars skip_rows drops the first N LINES of each file before the
         # header.  OSS Spark has no such reader option (`skipRows` is a
@@ -339,11 +341,12 @@ def scan_csv(
         # URIs work with no driver I/O.  Non-UTF-8 encodings keep the old
         # driver-side trimmed-copy fallback (Spark's text source decodes
         # UTF-8 only).
-        if {"utf8": "UTF-8", "utf8-lossy": "UTF-8"}.get(encoding, encoding).upper() not in ("UTF-8", "UTF8"):
+        if enc.upper() not in ("UTF-8", "UTF8"):
             paths = _skip_rows_trim(paths, skip_rows)
             with translate_errors():
                 df = r.csv(paths)
         else:
+            skip_scan_used = True
             with translate_errors():
                 df = _skip_rows_scan(
                     spark,
@@ -364,7 +367,10 @@ def scan_csv(
             df = r.csv(paths)
     from polars_spark.plans.frame import ROW_IDX as _RIDX
 
-    data_cols = [c for c in df.columns if not c.startswith("__")]
+    # only the skip_rows lowering carries a hidden order column; exclude
+    # exactly it so user columns that happen to start with "__" still
+    # rename positionally
+    data_cols = [c for c in df.columns if not (skip_scan_used and c == _RIDX)]
     if new_columns:
         renames = dict(zip(data_cols, new_columns))
         df = df.withColumnsRenamed(renames)
@@ -377,7 +383,7 @@ def scan_csv(
         deferred=(
             # the skip_rows lowering already carries the order struct
             _attached_order_deferred(paths)
-            if _RIDX in df.columns
+            if skip_scan_used
             else _file_order_deferred(paths)
         ),
     )
@@ -392,7 +398,8 @@ def scan_csv(
         cols = [columns] if isinstance(columns, str) else list(columns)
         lf = LazyFrame(lf._df.select(*cols, *[c for c in lf._df.columns if c.startswith("__") and c not in cols]), lf._order)
     if dict_schema:
-        lf = lf.cast(dict_schema)
+        # a columns= projection may keep only a subset of the dict schema
+        lf = lf.cast({c: t for c, t in dict_schema.items() if c in lf.columns})
     if schema_overrides:
         if isinstance(schema_overrides, (list, tuple)):
             # positional form (reference scan_csv): dtypes in column order
@@ -455,10 +462,13 @@ def _skip_rows_scan(
     garbage) raises via an in-plan assert rather than mis-trimming.
 
     Parsing is per-LINE (from_csv), so a data field containing a QUOTED
-    NEWLINE cannot be reassembled on this path — such rows split and
-    surface as malformed records (an error under the default FAILFAST
-    mode, not silent corruption).  Preamble'd CSVs with embedded newlines
-    need the preamble stripped upstream.
+    NEWLINE cannot be reassembled on this path.  An in-plan quote-parity
+    assert makes this LOUD in every mode (round-12 review): a line with
+    an odd number of unescaped quote characters is a fragment of a
+    multi-line record (RFC-4180 doubling keeps parity even), and the
+    scan raises with remediation instead of FAILFAST-erroring obscurely
+    or PERMISSIVE-corrupting silently.  Preamble'd CSVs with embedded
+    newlines need the preamble stripped upstream.
 
     Column identity: explicit ``schema`` wins; otherwise the header line
     is fetched engine-side (one 1-row collect) and Spark's own inference
@@ -506,6 +516,30 @@ def _skip_rows_scan(
         k = k.filter(~F.col("value").startswith(comment_prefix))
     # the native CSV reader skips completely empty lines; so do we
     k = k.filter(F.length("value") > 0)
+    # quote-parity assert (see docstring): a surviving line with an odd
+    # count of unescaped quote chars is a fragment of a quoted-newline
+    # record — raise loudly in every mode rather than mis-parse.  (A
+    # stray literal quote in an UNQUOTED field also trips this; such
+    # files should scan with quote_char=None, which disables quoting and
+    # skips the check.)
+    if quote_char:
+        unescaped = F.replace(F.col("value"), F.lit("\\" + quote_char), F.lit(""))
+        qcount = F.length(unescaped) - F.length(
+            F.replace(unescaped, F.lit(quote_char), F.lit(""))
+        )
+        k = k.filter(
+            F.assert_true(
+                qcount % 2 == 0,
+                F.lit(
+                    "scan_csv(skip_rows=...): a line has an unterminated "
+                    "quote — either a data field contains a quoted newline "
+                    "(the per-line skip_rows lowering cannot reassemble it; "
+                    "strip the preamble upstream and scan with skip_rows=0) "
+                    "or an unquoted field contains a stray quote char (scan "
+                    "with quote_char=None)"
+                ),
+            ).isNull()
+        )
     hdr_line = None
     if has_header:
         h0 = (
@@ -558,8 +592,14 @@ def _skip_rows_scan(
             jreader = jreader.option(ok_, ov_)
         from pyspark.sql import DataFrame as _SDF
 
-        inferred = _SDF(jreader.csv(jds), spark)
-        st = inferred.schema
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        try:
+            inferred = _SDF(jreader.csv(jds), spark)
+            st = inferred.schema
+        except Exception:
+            # zero data lines (e.g. header-only file): no schema to infer
+            st = StructType([])
         if has_header:
             hrow = hdr_line.limit(1).collect()
             if not hrow:
@@ -572,20 +612,23 @@ def _skip_rows_scan(
                     _io.StringIO(hrow[0][0]), delimiter=separator, quotechar=quote
                 )
             )
-            from pyspark.sql.types import StructField, StructType
-
-            if builtins.len(names) != builtins.len(st.fields):
-                # ragged header vs data: mirror the reader's own arity
-                # behavior — pad/truncate names positionally
-                names = (names + [f"_c{i}" for i in range(builtins.len(st.fields))])[
-                    : builtins.len(st.fields)
-                ]
-            st = StructType(
-                [
-                    StructField(nm, f.dataType, f.nullable)
-                    for nm, f in zip(names, st.fields)
-                ]
-            )
+            if not st.fields:
+                # header but no data rows: an empty typed frame (string
+                # columns, like the reference's inference over no data)
+                st = StructType([StructField(nm, StringType(), True) for nm in names])
+            else:
+                if builtins.len(names) != builtins.len(st.fields):
+                    # ragged header vs data: mirror the reader's own arity
+                    # behavior — pad/truncate names positionally
+                    names = (
+                        names + [f"_c{i}" for i in range(builtins.len(st.fields))]
+                    )[: builtins.len(st.fields)]
+                st = StructType(
+                    [
+                        StructField(nm, f.dataType, f.nullable)
+                        for nm, f in zip(names, st.fields)
+                    ]
+                )
     if not st.fields:
         raise ValueError(
             "scan_csv(skip_rows=...): no data lines survive the preamble "
@@ -607,6 +650,12 @@ def _attached_order_deferred(paths: Sequence[str]):
         return df, [(ROW_IDX, False, False)]
 
     mat.paths = [str(p) for p in paths]
+    # concat()'s deferred-scan composition re-derives order from
+    # input_file_name() over the UNION plan — impossible above this
+    # plan's joins (multi-source).  The marker sends concat down its
+    # generic union path instead (same degradation as any non-scan
+    # input).
+    mat.attached = True
     return mat
 
 

@@ -114,3 +114,61 @@ def test_skip_rows_combines_with_after_header_and_n_rows(pl, tmp_path):
         p, skip_rows=1, skip_rows_after_header=1, n_rows=2
     ).collect()
     assert out.to_dicts() == [{"a": 2, "b": 2}, {"a": 3, "b": 3}]
+
+
+def test_quoted_newline_raises_loudly_both_modes(pl, tmp_path):
+    """Round-12 review: the per-line lowering can't reassemble quoted
+    embedded newlines — the quote-parity assert raises with remediation
+    in FAILFAST AND PERMISSIVE (no silent fragment rows)."""
+    import pytest as _pytest
+
+    p = _write(tmp_path, "q.csv", 'junk\nh1,h2\n"line1\nline2",b\n')
+    for kw in ({}, {"ignore_errors": True}):
+        with _pytest.raises(Exception, match="unterminated quote"):
+            pl.scan_csv(p, skip_rows=1, **kw).collect()
+
+
+def test_stray_quote_unquoted_mode_ok(pl, tmp_path):
+    """quote_char=None disables quoting AND the parity check — the escape
+    hatch for files with stray literal quotes in unquoted fields."""
+    p = _write(tmp_path, "st.csv", 'junk\nsize,desc\n5,5" nail\n')
+    out = pl.scan_csv(p, skip_rows=1, quote_char=None).collect()
+    assert out.to_dicts() == [{"size": 5, "desc": '5" nail'}]
+
+
+def test_concat_skip_scan_with_normal_scan(pl, tmp_path):
+    """Round-12 review: concat's deferred-scan order composition re-derives
+    input_file_name() over the union — impossible above the skip plan's
+    joins (multi-source AnalysisException before the fix).  The attached
+    marker routes concat down its generic union path."""
+    p1 = _write(tmp_path, "c1.csv", "junk\na,b\n1,2\n")
+    p2 = _write(tmp_path, "c2.csv", "a,b\n3,4\n")
+    out = pl.concat(
+        [pl.scan_csv(p1, skip_rows=1), pl.scan_csv(p2)]
+    ).with_row_index("i").collect()
+    assert sorted((r["a"], r["b"]) for r in out.to_dicts()) == [(1, 2), (3, 4)]
+
+
+def test_header_only_file_empty_typed_frame(pl, tmp_path):
+    p = _write(tmp_path, "h.csv", "junk\na,b\n")
+    out = pl.scan_csv(p, skip_rows=1).collect()
+    assert list(out.columns) == ["a", "b"] and len(out) == 0
+
+
+def test_dict_schema_with_columns_projection(pl, tmp_path):
+    p = _write(tmp_path, "s2.csv", "junk\na,b\n1,x\n")
+    out = pl.scan_csv(
+        p, skip_rows=1, schema={"a": pl.Int64, "b": pl.Utf8}, columns=["a"]
+    ).collect()
+    assert out.to_dicts() == [{"a": 1}]
+
+
+def test_dict_schema_bad_value_raises(pl, tmp_path):
+    """The dict-schema lowering goes through the engine's STRICT cast —
+    unparseable values raise (polars ComputeError parity), never silent
+    NULLs."""
+    import pytest as _pytest
+
+    p = _write(tmp_path, "bad.csv", "a\nxyz\n")
+    with _pytest.raises(Exception, match="cannot be cast|CAST_INVALID"):
+        pl.scan_csv(p, schema={"a": pl.Int64}).collect()
