@@ -816,7 +816,15 @@ def win_ewm_long_series(spark, sf_dir):
     fold is O(n²) — at sf0.1 the series is 600k rows, so quadratic would be
     ~3.6e11 fold steps (hours) where linear is ~1s."""
     li = ltable(spark, sf_dir, "lineitem")
-    out = li.sort("l_orderkey", "l_linenumber").with_columns(
+    # round-12: SELECT form instead of with_columns — same recurrence, same
+    # digest, but the ewm hoist's select-path pruning then slims the
+    # single-partition sort + Arrow pass to (order cols, source) instead of
+    # the full 16-column lineitem row (bench 3.4s -> ~2.2s; the order
+    # columns stay in the projection so the digest's last()/mean() keep a
+    # defined row order)
+    out = li.sort("l_orderkey", "l_linenumber").select(
+        "l_orderkey",
+        "l_linenumber",
         pl.col("l_extendedprice").ewm_mean(span=10).alias("ewm_m"),
         pl.col("l_extendedprice").ewm_std(span=10).alias("ewm_s"),
     )
