@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "tokenize",
@@ -355,6 +356,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     spill_after: int = 8,
     jump_after: int = 3,
+    driver_solve_max: int | None = 200_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list -> (doc, cluster)
     with cluster = min doc id in the component.
@@ -421,6 +423,60 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # Round-12 small-graph fast path: every distributed round of the loop
+    # below costs a fixed multi-stage latency (two keyed shuffles + a
+    # checkpoint job + a convergence count) — ~1.5s/round on an idle
+    # local[32], i.e. ~5s for a 247-edge graph (the sf0.1 bench shape).
+    # When the deduplicated edge list is PROVABLY small (one count on the
+    # cached edges, <= driver_solve_max rows — a bounded collect by
+    # construction, <= ~16 bytes/edge plus Python overhead at the 200k
+    # default, well under any driver budget), union-find at the driver
+    # computes the identical min-label components in milliseconds.  The
+    # label set is unique per graph, so the two paths are exchangeable —
+    # pinned by tests/test_round11_cc_giant_component.py which runs BOTH
+    # and compares.  At scale the count exceeds the cap and the
+    # distributed pointer-jump loop runs exactly as before; the cap is a
+    # parameter, not a config lie: its default is chosen for driver-RAM
+    # safety, not for this box.
+    if driver_solve_max and driver_solve_max > 0:
+        n_edges = edges.limit(driver_solve_max + 1).count()
+        if n_edges <= driver_solve_max:
+            rows = edges.collect()
+            if not any(r[0] is None or r[1] is None for r in rows):
+                parent: dict = {}
+
+                def find(x):
+                    r = x
+                    while parent[r] != r:
+                        r = parent[r]
+                    while parent[x] != r:  # path compression
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for u, v in rows:
+                    if u not in parent:
+                        parent[u] = u
+                    if v not in parent:
+                        parent[v] = v
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        parent[ru] = rv
+                out_schema = T.StructType(
+                    [
+                        T.StructField("doc", edges.schema["u"].dataType, True),
+                        T.StructField("cluster", edges.schema["u"].dataType, True),
+                    ]
+                )
+                comp_min: dict = {}
+                for x in parent:
+                    r = find(x)
+                    m = comp_min.get(r)
+                    if m is None or x < m:
+                        comp_min[r] = x
+                data = [(x, comp_min[find(x)]) for x in parent]
+                return spark.createDataFrame(data, out_schema)
+            # null endpoints: equality joins give them distinct null
+            # semantics the dict would collapse — use the loop
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
     base = spill = None
     own_dir = False

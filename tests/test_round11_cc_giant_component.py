@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 
 
 def test_path_graph_converges_single_component(spark):
+    # driver_solve_max=0 forces the DISTRIBUTED loop (round 12 added a
+    # bounded driver union-find for provably-small edge lists; this test
+    # exists to pin the loop itself)
     from polars_spark.llm import connected_components
 
     n = 2000
@@ -34,7 +37,7 @@ def test_path_graph_converges_single_component(spark):
         [(i, i + 1) for i in range(1, n)], "d1 long, d2 long"
     )
     t0 = time.perf_counter()
-    cc = connected_components(edges)
+    cc = connected_components(edges, driver_solve_max=0)
     rows = cc.collect()
     wall = time.perf_counter() - t0
     assert {r.cluster for r in rows} == {1}
@@ -50,11 +53,39 @@ def test_mixed_sizes_and_min_labels(spark):
     path = [(i, i + 1) for i in range(1, 600)]
     pairs = [(10_000 + 2 * i, 10_001 + 2 * i) for i in range(300)]
     edges = spark.createDataFrame(path + pairs, "d1 long, d2 long")
-    cc = connected_components(edges).collect()
+    cc = connected_components(edges, driver_solve_max=0).collect()
     comp = {r.doc: r.cluster for r in cc}
     assert all(comp[i] == 1 for i in range(1, 601))
     for i in range(300):
         assert comp[10_000 + 2 * i] == comp[10_001 + 2 * i] == 10_000 + 2 * i
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    """Round 12: the bounded driver union-find (edge count <= the cap) and
+    the distributed pointer-jump loop must return IDENTICAL (doc, cluster)
+    rows — min-label components are unique per graph, so the two paths are
+    exchangeable and either can serve any caller."""
+    from polars_spark.llm import connected_components
+
+    path = [(i, i + 1) for i in range(1, 400)]
+    pairs = [(10_000 + 2 * i, 10_001 + 2 * i) for i in range(150)]
+    star = [(77_000, 77_000 + i) for i in range(1, 40)]
+    edges = spark.createDataFrame(path + pairs + star, "d1 long, d2 long")
+    fast = {(r.doc, r.cluster) for r in connected_components(edges).collect()}
+    dist = {
+        (r.doc, r.cluster)
+        for r in connected_components(edges, driver_solve_max=0).collect()
+    }
+    assert fast == dist
+    # string ids through the fast path keep the column type
+    sedges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "d1 string, d2 string"
+    )
+    out = connected_components(sedges)
+    assert out.schema["doc"].dataType.simpleString() == "string"
+    assert out.schema["cluster"].dataType.simpleString() == "string"
+    got = {(r.doc, r.cluster) for r in out.collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
 
 
 def test_nonconvergence_raises(spark):
@@ -64,7 +95,7 @@ def test_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(1, 200)], "d1 long, d2 long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_solve_max=0)
 
 
 def test_giant_component_shares_one_split(spark):
