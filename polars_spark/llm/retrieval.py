@@ -64,16 +64,20 @@ def bm25_topk(
     dft = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dft = dft.filter(F.col("df") <= max_df)
-    n_docs = corpus.count()
-    # 1-row corpus stat, broadcast — never a global window
-    stats = dl.agg(F.avg("dl").alias("avgdl"))
+    # 1-row corpus stats, broadcast — never a global window.  n_docs rides
+    # the same broadcast row instead of a blocking corpus.count() at plan
+    # construction (round 12): one fewer full pass over the corpus per
+    # call, same exact value (count cast to double == float(count)).
+    stats = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        F.broadcast(corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs")))
+    )
 
     qterms = queries.select(
         F.col(id_col).alias("qid"),
         F.explode(F.array_distinct(tokenize(F.lower(F.col(text_col))))).alias("token"),
     )
 
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
@@ -115,11 +119,13 @@ def tf_idf_vectors(
     dft = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dft = dft.filter(F.col("df") <= max_df)
-    n_docs = corpus.count()
-    return postings.join(dft, "token").select(
+    # n_docs as a broadcast 1-row aggregate instead of a blocking count at
+    # construction (round 12) — same float64 value in the weight
+    n = F.broadcast(corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs")))
+    return postings.join(dft, "token").crossJoin(n).select(
         "doc",
         "token",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("weight"),
+        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("weight"),
     )
 
 
