@@ -235,7 +235,12 @@ def minhash_lsh_pairs(
         ).alias("band"),
     )
     # the band shuffle carries ONLY (doc, band) — shingle arrays stay out of
-    # the 8x-exploded join and are re-attached just for the few candidates
+    # the 8x-exploded join and are re-attached just for the few candidates.
+    # Do NOT repartition by band to share one exchange here (measured 1.8s ->
+    # 7s): a hash shuffle on band CONCENTRATES each mega-duplicate cluster's
+    # band into one task, serializing its quadratic pair generation; the
+    # broadcast self-join keeps the streamed side on its uniform input
+    # partitioning, so hot-band pair generation stays parallel.
     a = banded.select(F.col("doc").alias("d1"), "band")
     b = banded.select(F.col("doc").alias("d2"), "band")
     cand = (
@@ -294,6 +299,9 @@ def minhash_lsh_dedup(
             lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows)
         ).alias("band"),
     )
+    # (see minhash_lsh_pairs: a repartition("band") to share one exchange
+    # measured 2.8s -> 37.8s here — it serializes hot-band star-edge
+    # generation into single tasks; the broadcast join path keeps it spread)
     rep = banded.groupBy("band").agg(F.min("doc").alias("d1"))
     star = (
         banded.join(rep, "band")
@@ -915,15 +923,18 @@ def embedding_near_dup_pairs(
         + rhp_bucket(F.col("_v"), _rhp_planes(dim, n_planes, seed=seed + t))
         for t in range(n_tables)
     ]
-    keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb"))
     # pin the bucket-join partitioning: AQE sizes partitions by the SLIM
     # (id, bucket) inputs and coalesces the join to 1-2 tasks — but the
     # join OUTPUT explodes quadratically per bucket, so those 2 tasks do
     # all the pair-generation work.  An explicit repartition survives AQE
-    # and keeps pair generation spread across the cluster.
+    # and keeps pair generation spread across the cluster.  Repartition
+    # BEFORE aliasing the two sides: both then share one Exchange subtree
+    # (ReusedExchange), so the explode+hyperplane pass and its shuffle run
+    # once, not twice.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    a = keyed.select(F.col("_id").alias("d1"), "tb").repartition(par, "tb")
-    b = keyed.select(F.col("_id").alias("d2"), "tb").repartition(par, "tb")
+    keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb")).repartition(par, "tb")
+    a = keyed.select(F.col("_id").alias("d1"), "tb")
+    b = keyed.select(F.col("_id").alias("d2"), "tb")
     cand = (
         a.join(b, "tb")
         .filter(F.col("d1") < F.col("d2"))

@@ -27,12 +27,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 # query -> (max exchanges, allowed join strategies)
 # BNLJ in txt_bm25_topk is the single-row corpus-stats broadcast (scalar,
 # not a data-sized nested loop).
+# r12 re-pin: txt_bm25_topk 18 -> 20.  n_docs moved from a construction-time
+# corpus.count() (a full corpus pass INVISIBLE to this plan) into the 1-row
+# broadcast stats aggregate — the two new exchanges are that scalar agg's
+# SinglePartition exchange + its BroadcastExchange, both 1-row, in trade for
+# one fewer full corpus scan per call.
 PINS = {
     "dedup_minhash_lsh": (8, {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}),
     "dedup_embedding_cosine": (11, {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}),
     "sim_ivf_topk": (4, {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}),
     "txt_bm25_topk": (
-        18,
+        20,
         {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin"},
     ),
     "web_pagerank": (65, {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}),
