@@ -100,11 +100,16 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(nation, left_on="s_nationkey", right_on="n_nationkey")
         .join(region, left_on="n_regionkey", right_on="r_regionkey", how="semi")
     )
-    min_cost = eur.group_by("ps_partkey").agg(
-        pl.col("ps_supplycost").min().alias("__min_cost")
-    )
+    # r12: per-partkey MIN as a window over eur instead of a groupBy joined
+    # back — the join-back shape computed the whole eur subtree (including
+    # the lineitem-wide partsupp aggregation) TWICE, once under the
+    # aggregate and once as the probe side; the window computes it once and
+    # adds only the ps_partkey shuffle the aggregate needed anyway
+    # (identical result: min-per-key equality filter either way)
     return (
-        eur.join(min_cost, on="ps_partkey")
+        eur.with_columns(
+            pl.col("ps_supplycost").min().over("ps_partkey").alias("__min_cost")
+        )
         .filter(pl.col("ps_supplycost") == pl.col("__min_cost"))
         .select(
             pl.col("s_acctbal").round(2).alias("s_acctbal"),
@@ -564,6 +569,12 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     replaces two correlated scans."""
     li = ltable(spark, sf_dir, "lineitem")
     orders_f = ltable(spark, sf_dir, "orders").filter(pl.col("o_orderstatus") == "F")
+    # r12: ONE per-order aggregate carries everything the old two-branch
+    # shape needed — when __n_late == 1 every late (R) row of the order has
+    # THE SAME l_suppkey, so min(late suppkey) identifies the waiting
+    # supplier and count(late rows) is that supplier's row count; the old
+    # second lineitem scan + per_order semi join are gone (lineitem is read
+    # once, one orderkey shuffle instead of two + a semi join).
     per_order = (
         li.join(orders_f, left_on="l_orderkey", right_on="o_orderkey", how="semi")
         .group_by("l_orderkey")
@@ -573,21 +584,26 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
             .filter(pl.col("l_returnflag") == "R")
             .n_unique()
             .alias("__n_late"),
+            pl.col("l_suppkey")
+            .filter(pl.col("l_returnflag") == "R")
+            .min()
+            .alias("__late_supp"),
+            pl.col("l_suppkey")
+            .filter(pl.col("l_returnflag") == "R")
+            .count()
+            .alias("__n_r"),
         )
         .filter((pl.col("__n_supp") > 1) & (pl.col("__n_late") == 1))
-        .select("l_orderkey")
+        .select("__late_supp", "__n_r")
     )
     nation = ltable(spark, sf_dir, "nation").filter(pl.col("n_name") == "NATION_1")
     supp = ltable(spark, sf_dir, "supplier").join(
         nation, left_on="s_nationkey", right_on="n_nationkey", how="semi"
     )
     return (
-        li.filter(pl.col("l_returnflag") == "R")
-        .join(orders_f, left_on="l_orderkey", right_on="o_orderkey", how="semi")
-        .join(per_order, on="l_orderkey", how="semi")
-        .join(supp, left_on="l_suppkey", right_on="s_suppkey")
+        per_order.join(supp, left_on="__late_supp", right_on="s_suppkey")
         .group_by("s_name")
-        .agg(pl.len().alias("numwait"))
+        .agg(pl.col("__n_r").sum().alias("numwait"))
         .sort(["numwait", "s_name"], descending=[True, False])
         .limit(100)
         .to_spark()
