@@ -726,21 +726,69 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     scorer: str = "arrow",
+    max_broadcast_queries: int = 4096,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors: queries x corpus join + per-query top-k.
-    The correctness baseline — O(Q*N); at scale Q is a small probe set or
-    the LSH variant below takes over.  ``scorer``: 'arrow' (vectorized
-    pandas_udf batch scoring, the measured fast path) or 'fold' (JVM-side)."""
+    """Exact top-k cosine neighbors: O(Q*N) scoring + per-query top-k.
+    The correctness baseline; at scale Q is a small probe set or the LSH
+    variant below takes over.
+
+    ``scorer='arrow'`` (default): the probe set is collected once (bounded:
+    falls back to the join path past ``max_broadcast_queries`` rows) and
+    every corpus batch is scored against the whole query matrix inside ONE
+    mapInPandas pass — corpus vectors cross the Arrow boundary once instead
+    of once per query, and no Q*N join row ever materializes a duplicated
+    vector pair JVM-side (the 100 TB shape: heavy bytes move once, guide-§8
+    style).  Per-pair float ops are bit-identical to the old pair-batched
+    einsum scorer (same row-wise einsum over a materialized tile), and the
+    half-up rounding stays JVM-side.  ``scorer='fold'`` keeps per-pair
+    scoring in JVM expressions (zip_with/aggregate fold)."""
     from pyspark.sql import Window
 
-    score = cosine_similarity_arrow() if scorer == "arrow" else cosine_similarity
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     c = _spread(emb).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn("sim", F.round(score(F.col("qv"), F.col("nv")), 6))
-    )
+    qrows = None
+    if scorer == "arrow":
+        qrows = (
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+            .limit(max_broadcast_queries + 1)
+            .collect()
+        )
+        if len(qrows) > max_broadcast_queries:
+            qrows = None  # too many probes to broadcast — join path below
+    if qrows is not None:
+        import numpy as np
+
+        qids = [r["qid"] for r in qrows]
+        qmat = [np.asarray(r["qv"], dtype=np.float64) for r in qrows]
+        id_field = c.schema["nid"].dataType.simpleString()
+
+        def _score_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                B = np.stack(pdf["nv"].values).astype(np.float64)
+                nids = pdf["nid"].values
+                for qi, qv in zip(qids, qmat):
+                    A = np.tile(qv, (len(B), 1))
+                    num = np.einsum("ij,ij->i", A, B)
+                    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+                    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+                    yield pd.DataFrame(
+                        {"qid": qi, "nid": nids, "sim": num / (na * nb)}
+                    )
+
+        scored = (
+            c.mapInPandas(_score_batches, f"qid {id_field}, nid {id_field}, sim double")
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn("sim", F.round(F.col("sim"), 6))
+        )
+    else:
+        score = cosine_similarity_arrow() if scorer == "arrow" else cosine_similarity
+        q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        scored = (
+            q.crossJoin(c)
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn("sim", F.round(score(F.col("qv"), F.col("nv")), 6))
+        )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
