@@ -74,15 +74,22 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_queries: int = 4096,
 ) -> DataFrame:
     """Brute-force top-k cosine over int8-quantized vectors.
 
-    The corpus is scanned once with the small probe set broadcast
-    (BroadcastNestedLoopJoin — the right plan for few probes; for many
-    probes compose with the LSH/IVF bucketing in polars_spark.llm).  The
-    candidate score is (integer dot) * scale_a * scale_b over L2-normalized
-    inputs — approximate cosine whose only inexactness is the quantization
-    itself, measured by the emb_quantize_error gate query.
+    The corpus is scanned once; the small probe set is collected and
+    broadcast as an int64 matrix, and each quantized corpus batch is scored
+    against every probe in ONE mapInPandas pass (integer einsum dots —
+    EXACT, so bit-identical to the JVM fold; the scale multiply keeps the
+    JVM path's association order).  Corpus vectors cross the Arrow boundary
+    once instead of once per probe and no Q*N join row materializes
+    JVM-side.  Past ``max_broadcast_queries`` probes it falls back to the
+    broadcast-join + interpreted-fold path (for many probes compose with
+    the LSH/IVF bucketing in polars_spark.llm).  The candidate score is
+    (integer dot) * scale_a * scale_b over L2-normalized inputs —
+    approximate cosine whose only inexactness is the quantization itself,
+    measured by the emb_quantize_error gate query.
     """
     def prep(df, prefix):
         v = F.col(vec_col).cast("array<double>")
@@ -104,18 +111,47 @@ def quantized_topk(
 
     corpus = prep(emb, "n")
     probes = prep(queries, "q")
-    scored = (
-        corpus.join(F.broadcast(probes), F.col("qid") != F.col("nid"))
-        .withColumn(
-            "sim",
-            F.floor(
-                (int8_dot(F.col("qq"), F.col("nq")) * F.col("qscale")) * F.col("nscale")
-                * 1e6
-                + F.lit(0.5),
+    qrows = probes.limit(max_broadcast_queries + 1).collect()
+    if len(qrows) <= max_broadcast_queries:
+        import numpy as np
+        import pandas as pd
+
+        qids = [r["qid"] for r in qrows]
+        qscales = [float(r["qscale"]) for r in qrows]
+        qmat = [np.asarray(r["qq"], dtype=np.int64) for r in qrows]
+        id_field = corpus.schema["nid"].dataType.simpleString()
+
+        def _score_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                B = np.stack(pdf["nq"].values).astype(np.int64)
+                nscale = pdf["nscale"].values.astype(np.float64)
+                nids = pdf["nid"].values
+                for qi, qs_, qv in zip(qids, qscales, qmat):
+                    dots = np.einsum("ij,ij->i", np.tile(qv, (len(B), 1)), B)
+                    # same association as the JVM path: ((dot * qscale) * nscale)
+                    sim = np.floor(
+                        ((dots.astype(np.float64) * qs_) * nscale) * 1e6 + 0.5
+                    ) / 1e6
+                    yield pd.DataFrame({"qid": qi, "nid": nids, "sim": sim})
+
+        scored = corpus.mapInPandas(
+            _score_batches, f"qid {id_field}, nid {id_field}, sim double"
+        ).filter(F.col("qid") != F.col("nid"))
+    else:
+        scored = (
+            corpus.join(F.broadcast(probes), F.col("qid") != F.col("nid"))
+            .withColumn(
+                "sim",
+                F.floor(
+                    (int8_dot(F.col("qq"), F.col("nq")) * F.col("qscale")) * F.col("nscale")
+                    * 1e6
+                    + F.lit(0.5),
+                )
+                / 1e6,
             )
-            / 1e6,
         )
-    )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
