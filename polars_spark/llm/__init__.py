@@ -298,7 +298,16 @@ def minhash_lsh_dedup(
         F.explode(
             lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows)
         ).alias("band"),
-    )
+    ).cache()
+    # banded is CACHED: the k-permutation signature pass (interpreted HOF,
+    # the operator's dominant per-row cost) has two consumers — the per-band
+    # representative aggregate and the star-join probe side — and without
+    # the cache AQE materializes each consumer's stages independently,
+    # re-running the signatures per stage (r12 event-log probe: the same
+    # 32-hash pass appeared in 4+ concurrent stage materializations).  The
+    # cached rows are slim (doc id, band long) = bands x corpus rows, the
+    # same bytes the band shuffle itself moves; MEMORY_AND_DISK semantics
+    # spill it at scale exactly like a shuffle file would.
     # (see minhash_lsh_pairs: a repartition("band") to share one exchange
     # measured 2.8s -> 37.8s here — it serializes hot-band star-edge
     # generation into single tasks; the broadcast join path keeps it spread)
@@ -425,9 +434,22 @@ def connected_components(
     import uuid
 
     spark = pairs.sparkSession
+    # Bidirectional edges via ONE explode, not a 2-branch union: the union
+    # form plans the (potentially expensive) pairs subtree twice and AQE
+    # materializes both branches' stages concurrently with no reuse (their
+    # map-side projections canonicalize differently), doubling upstream
+    # compute — the r12 event-log probe showed 8 racing materialization
+    # jobs on the minhash-star shape.  explode keeps one subtree.
     edges = (
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                    F.struct(F.col(b).alias("u"), F.col(a).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .distinct()
         .cache()
     )
