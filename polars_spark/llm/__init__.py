@@ -997,14 +997,20 @@ def embedding_near_dup_pairs(
     # (id, bucket) inputs and coalesces the join to 1-2 tasks — but the
     # join OUTPUT explodes quadratically per bucket, so those 2 tasks do
     # all the pair-generation work.  An explicit repartition survives AQE
-    # and keeps pair generation spread across the cluster.  Repartition
-    # BEFORE aliasing the two sides: both then share one Exchange subtree
-    # (ReusedExchange), so the explode+hyperplane pass and its shuffle run
-    # once, not twice.
+    # and keeps pair generation spread across the cluster.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb")).repartition(par, "tb")
-    a = keyed.select(F.col("_id").alias("d1"), "tb")
-    b = keyed.select(F.col("_id").alias("d2"), "tb")
+    # Alias each side and repartition AFTER the alias: the two sides then
+    # carry IDENTICAL hash exchanges over identical subtrees, which the
+    # ReuseExchange rule / AQE stage cache dedupes at runtime, so the
+    # hyperplane pass runs once.  The r12 session re-tested the
+    # repartition-before-alias "structural sharing" variant plus a
+    # shuffle_hash-hinted one and a cached one: all three planned the
+    # bucket subtree twice in the FINAL adaptive plan (AQE broadcasts one
+    # side, and a BroadcastExchange can never reuse the probe side's hash
+    # Exchange) and measured 4.6-6.1s vs 3.5s for this shape at sf0.1.
+    keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb"))
+    a = keyed.select(F.col("_id").alias("d1"), "tb").repartition(par, "tb")
+    b = keyed.select(F.col("_id").alias("d2"), "tb").repartition(par, "tb")
     cand = (
         a.join(b, "tb")
         .filter(F.col("d1") < F.col("d2"))
@@ -1017,9 +1023,25 @@ def embedding_near_dup_pairs(
         # spark.sql.shuffle.partitions, i.e. scales with the cluster)
         .repartition(F.col("d1"))
     )
-    ea = c.select(F.col("_id").alias("d1"), F.col("_v").alias("_v1"))
-    eb = c.select(F.col("_id").alias("d2"), F.col("_v").alias("_v2"))
+    # vector-attach sides come straight off the scan, NOT from the _spread
+    # projection: they feed broadcast (or at scale, shuffle) exchanges, and
+    # the _spread round-robin repartition in front of a BroadcastExchange is
+    # a full extra shuffle of the corpus vectors that buys nothing (the r12
+    # plan probe showed Exchange RoundRobin under BOTH BroadcastExchanges).
+    cs = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    ea = cs.select(F.col("_id").alias("d1"), F.col("_v").alias("_v1"))
+    eb = cs.select(F.col("_id").alias("d2"), F.col("_v").alias("_v2"))
     score = cosine_similarity_arrow() if scorer == "arrow" else cosine_similarity
+    if scorer == "arrow":
+        # the threshold filter otherwise gets pushed below the scoring
+        # projection and Catalyst extracts the pandas_udf TWICE (one
+        # ArrowEvalPython for the filter, one for the output — the r12 plan
+        # probe showed both).  The function is pure; marking this instance
+        # nondeterministic only pins its evaluation point so every
+        # candidate pair crosses the Arrow boundary once.
+        score = score.asNondeterministic()
     return (
         cand.join(ea, "d1")
         .join(eb, "d2")
