@@ -353,15 +353,22 @@ def contamination_check(
 
 def token_doc_frequency(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Vocabulary table with document frequency and IDF — the TF-IDF /
-    vocab-building pre-pass.  One explode + one groupBy shuffle."""
+    vocab-building pre-pass.  One explode + one groupBy shuffle; n_docs
+    rides a 1-row broadcast aggregate instead of a blocking corpus count
+    at plan construction (round 12, same fold as bm25 — count cast to
+    double == float(count), so idf is bit-identical)."""
     toks = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokenize(F.lower(F.col(text_col))))).alias("token"),
     )
-    n_docs = df.count()
-    return toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-    ).withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    stats = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.round(F.log(F.col("__n_docs") / F.col("df")), 6))
+        .drop("__n_docs")
+    )
 
 
 def connected_components(
@@ -2255,15 +2262,22 @@ def tfidf_cosine_pairs(
     )
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
     doclen = tf.groupBy("doc").agg(F.sum("tf").alias("len"))
-    n_docs = df.count()
+    # n_docs rides a 1-row broadcast aggregate instead of a blocking
+    # corpus count at plan construction (round 12, same fold as bm25).
+    # Bit-identical: count cast to double == float(count); the df-cap
+    # compare uses the same IEEE product truncated toward zero
+    # (cast("long") == python int()) for the non-negative operands here.
+    stats = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    dfreq = dfreq.filter(F.col("df") <= int(max_df_ratio * n_docs))
+    dfreq = dfreq.crossJoin(F.broadcast(stats)).filter(
+        F.col("df") <= (F.lit(max_df_ratio) * F.col("__n_docs")).cast("long")
+    )
     w = (
         tf.join(dfreq, "token")
         .join(doclen, "doc")
         .withColumn(
             "w",
-            (F.col("tf") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+            (F.col("tf") / F.col("len")) * F.log(F.col("__n_docs") / F.col("df")),
         )
     )
     norm = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))

@@ -962,9 +962,18 @@ def test_tfidf_cosine_pairs(spark):
     pairs = {(r["d1"], r["d2"]): r["cosine"] for r in tfidf_cosine_pairs(df, threshold=0.3).collect()}
     assert (1, 2) in pairs and abs(pairs[(1, 2)] - 1.0) < 1e-9
     assert all(d in (1, 2) for p in pairs for d in p)  # no cross-topic pairs
-    # plan: posting join is an equi join on token, never a cartesian
+    # plan: posting join is an equi join on token, never a cartesian.
+    # BroadcastNestedLoopJoin appears ONLY as the unconditioned Cross
+    # attach of the 1-row n_docs stats aggregate (round 12 — the blocking
+    # construction-time corpus count folded into a broadcast scalar, like
+    # bm25's); any conditioned/non-Cross BNLJ would be a real hazard.
     plan = tfidf_cosine_pairs(df)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            # ", Cross" (optionally with the pushed df-cap residual) is the
+            # scalar attach; an Inner/Left theta BNLJ would not say Cross
+            assert ", Cross" in line, line
 
 
 def test_bm25_topk_hand_computed(spark):
