@@ -2280,10 +2280,16 @@ def tfidf_cosine_pairs(
             (F.col("tf") / F.col("len")) * F.log(F.col("__n_docs") / F.col("df")),
         )
     )
-    norm = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    unit = w.join(norm, "doc").select(
-        "token", "doc", (F.col("w") / F.col("nrm")).alias("u")
-    )
+    # L2 norm as a WINDOW over doc, not groupBy + join-back: the join-back
+    # planned the whole weighted-postings subtree (tf + dfreq + doclen
+    # joins over the corpus) TWICE — once for the aggregate, once for the
+    # probe side (round 12, same lesson as the q2 min-window rewrite).
+    # Same unordered float sum either way (both engines accumulate in
+    # arbitrary order already).
+    from pyspark.sql import Window as _W
+
+    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(_W.partitionBy("doc")))
+    unit = w.select("token", "doc", (F.col("w") / nrm).alias("u"))
     a = unit.select(F.col("token"), F.col("doc").alias("d1"), F.col("u").alias("u1"))
     b = unit.select(F.col("token"), F.col("doc").alias("d2"), F.col("u").alias("u2"))
     pairs = (
