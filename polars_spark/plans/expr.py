@@ -1198,9 +1198,35 @@ class Expr:
     def round(self, decimals: int = 0, mode: str = "half_to_even"):
         """Reference round modes (expr/expr.py round): the default is
         banker's rounding (HALF_EVEN -> Spark bround); 'half_away_from_zero'
-        is Spark's plain round."""
+        is the multiply/round/divide both polars-Rust (f64::round) and DuckDB
+        (std::round(x*10^d)/10^d) use.
+
+        Spark's F.round on DOUBLE rounds the SHORTEST-DECIMAL repr
+        (BigDecimal.valueOf) HALF_UP, which disagrees with that pipeline
+        exactly at .xxxxx5 knife-edges (driver-red agg_product_entropy, r12):
+        a true 8-digit decimal ending in ...50 prints as its own shortest
+        repr (Spark rounds up) while x*10^d in doubles can land a hair below
+        the .5 (DuckDB/polars round down).  So for float columns we mirror
+        the multiply form op-for-op; Series.round already does (series.py).
+        floor(|y|+0.5) == std::round(|y|) for |y| < 2^52 (the +0.5 is exact
+        at these magnitudes); past 2^52 y is already integral."""
         if mode == "half_away_from_zero":
-            return self._map(lambda c: F.round(c, decimals))
+            def fn(ctx: ExprContext) -> Column:
+                c = self._resolve(ctx)
+                try:
+                    t = ctx.df.select(c.alias("__tp__")).schema["__tp__"].dataType.simpleString()
+                except Exception:
+                    t = None
+                if t in ("double", "float") and decimals >= 0:
+                    m = F.lit(float(10 ** decimals))
+                    y = c.cast("double") * m
+                    mag = F.when(
+                        F.abs(y) >= F.lit(2.0 ** 52), F.abs(y)
+                    ).otherwise(F.floor(F.abs(y) + F.lit(0.5)).cast("double"))
+                    return (F.signum(y) * mag / m).cast(t)
+                return F.round(c, decimals)
+
+            return Expr(fn, self._name, self._is_agg)
         return self._map(lambda c: F.bround(c, decimals))
 
     def floor(self):
@@ -1901,18 +1927,19 @@ class Expr:
         return e
 
     def product(self):
-        # no F.product aggregate; exp(sum(log)) breaks on <=0 -> use sign tracking
+        # F.product (Spark 3.2+) multiplies the actual values, so the
+        # accumulation matches DuckDB's product() at rounding knife-edges;
+        # the old exp(sum(log(abs)))+sign-tracking shape carried a ~1e-15
+        # relative error that could flip a 6th-decimal half-away round
+        # (driver-red agg_product_entropy, r12) and cost 3 aggregates + exp/log
         def fn(ctx: ExprContext) -> Column:
             c = self._resolve(ctx)
             w = getattr(ctx, "_window", None)
-            over = (lambda a: a.over(w)) if w is not None else (lambda a: a)
-            zero = over(F.max(F.when(c == 0, F.lit(1)).otherwise(F.lit(0))))
-            neg = over(F.sum(F.when(c < 0, 1).otherwise(0)))
-            mag = F.exp(over(F.sum(F.log(F.abs(F.nullif(c, F.lit(0)))))))
-            signed = F.when(neg % 2 == 1, -mag).otherwise(mag)
-            out = F.when(zero == 1, F.lit(0.0)).otherwise(signed)
+            agg = F.product(c)
+            if w is not None:
+                agg = agg.over(w)
             # polars: product of an empty/all-null group is 1 (fold identity)
-            return F.coalesce(out, F.lit(1.0))
+            return F.coalesce(agg, F.lit(1.0))
 
         return Expr(fn, self._name, is_agg=True)
 
