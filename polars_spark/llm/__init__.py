@@ -324,6 +324,15 @@ def minhash_lsh_dedup(
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     verified = pairs.filter((inter / union) >= threshold).select("d1", "d2")
+    # NOTE (ADVICE r12 "unpersist banded"): deliberately NOT unpersisted.
+    # Measured (r13 probe, 32 cores): releasing base/banded here forces a
+    # re-call with the identical inputs to recompute the whole shingle +
+    # 32-hash signature pipeline — isolated rerun 4.9s -> 20.1s — because
+    # an identical replan otherwise REUSES these very cache entries (same
+    # logical plan -> same InMemoryRelation), which also means repeated
+    # identical calls do not grow executor storage.  The rows are slim
+    # (doc id + band long) and MEMORY_AND_DISK spills at scale; callers
+    # cycling many DIFFERENT corpora through one session can clearCache().
     return connected_components(verified)
 
 
@@ -476,44 +485,54 @@ def connected_components(
     # parameter, not a config lie: its default is chosen for driver-RAM
     # safety, not for this box.
     if driver_solve_max and driver_solve_max > 0:
-        n_edges = edges.limit(driver_solve_max + 1).count()
-        if n_edges <= driver_solve_max:
+        # size gate and null-endpoint check in ONE pass over the limited
+        # edge set (r13, ADVICE r12): when the limit covers all edges the
+        # null flag is exact, so a null-edged graph skips straight to the
+        # distributed loop without a wasted full collect
+        probe = (
+            edges.limit(driver_solve_max + 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.col("u").isNull() | F.col("v").isNull()).alias("has_null"),
+            )
+            .first()
+        )
+        # null endpoints would need the loop's null-equality semantics —
+        # the probe's has_null flag routes them there WITHOUT collecting
+        if probe["n"] <= driver_solve_max and not probe["has_null"]:
             rows = edges.collect()
-            if not any(r[0] is None or r[1] is None for r in rows):
-                parent: dict = {}
+            parent: dict = {}
 
-                def find(x):
-                    r = x
-                    while parent[r] != r:
-                        r = parent[r]
-                    while parent[x] != r:  # path compression
-                        parent[x], x = r, parent[x]
-                    return r
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
 
-                for u, v in rows:
-                    if u not in parent:
-                        parent[u] = u
-                    if v not in parent:
-                        parent[v] = v
-                    ru, rv = find(u), find(v)
-                    if ru != rv:
-                        parent[ru] = rv
-                out_schema = T.StructType(
-                    [
-                        T.StructField("doc", edges.schema["u"].dataType, True),
-                        T.StructField("cluster", edges.schema["u"].dataType, True),
-                    ]
-                )
-                comp_min: dict = {}
-                for x in parent:
-                    r = find(x)
-                    m = comp_min.get(r)
-                    if m is None or x < m:
-                        comp_min[r] = x
-                data = [(x, comp_min[find(x)]) for x in parent]
-                return spark.createDataFrame(data, out_schema)
-            # null endpoints: equality joins give them distinct null
-            # semantics the dict would collapse — use the loop
+            for u, v in rows:
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            out_schema = T.StructType(
+                [
+                    T.StructField("doc", edges.schema["u"].dataType, True),
+                    T.StructField("cluster", edges.schema["u"].dataType, True),
+                ]
+            )
+            comp_min: dict = {}
+            for x in parent:
+                r = find(x)
+                m = comp_min.get(r)
+                if m is None or x < m:
+                    comp_min[r] = x
+            data = [(x, comp_min[find(x)]) for x in parent]
+            return spark.createDataFrame(data, out_schema)
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
     base = spill = None
     own_dir = False
@@ -600,6 +619,8 @@ def connected_components(
                 shutil.rmtree(local[-1], ignore_errors=True)
             # remote checkpoint dirs (hdfs://, s3://...) are left to the
             # cluster's temp-dir hygiene — cheap slim files, two paths
+    # the edge cache is deliberately left alive (same rationale as
+    # minhash_lsh_dedup's banded cache): an identical re-call reuses it
     return labels.select(F.col("u").alias("doc"), F.col("lbl").alias("cluster"))
 
 
@@ -770,7 +791,11 @@ def cosine_topk_bruteforce(
     style).  Per-pair float ops are bit-identical to the old pair-batched
     einsum scorer (same row-wise einsum over a materialized tile), and the
     half-up rounding stays JVM-side.  ``scorer='fold'`` keeps per-pair
-    scoring in JVM expressions (zip_with/aggregate fold)."""
+    scoring in JVM expressions (zip_with/aggregate fold).
+
+    NOTE: ``scorer='arrow'`` runs ONE eager Spark job at call time (the
+    bounded probe collect); construction is no longer fully lazy.  Pass
+    ``scorer='fold'`` if construction-time laziness matters."""
     from pyspark.sql import Window
 
     c = _spread(emb).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
@@ -788,6 +813,9 @@ def cosine_topk_bruteforce(
 
         qids = [r["qid"] for r in qrows]
         qmat = [np.asarray(r["qv"], dtype=np.float64) for r in qrows]
+        # qid keeps the QUERY side's id type (the join path preserved it);
+        # typing it from the corpus mis-declares heterogeneous id schemas
+        qid_field = queries.schema[id_col].dataType.simpleString()
         id_field = c.schema["nid"].dataType.simpleString()
 
         def _score_batches(batches):
@@ -806,7 +834,7 @@ def cosine_topk_bruteforce(
                     )
 
         scored = (
-            c.mapInPandas(_score_batches, f"qid {id_field}, nid {id_field}, sim double")
+            c.mapInPandas(_score_batches, f"qid {qid_field}, nid {id_field}, sim double")
             .filter(F.col("qid") != F.col("nid"))
             .withColumn("sim", F.round(F.col("sim"), 6))
         )
@@ -1081,34 +1109,47 @@ def _fround_col(c: Column, n: int) -> Column:
     return F.floor(c * p + 0.5) / p
 
 
-def _centroid_dots(vec: Column, cents: list[list[float]]) -> Column:
-    """Array of fround(dot(vec, centroid), 6), one element per centroid —
-    map-side only, no shuffle.  The centroid matrix is ONE 2-D literal and
-    the K dots come from a single indexed transform: K separate fold trees
-    (K x dim literal nodes) made Catalyst analysis the bottleneck at small
-    N — same math, same per-centroid fold order, ~K x smaller plan."""
-    matrix = F.lit([[float(x) for x in cv] for cv in cents])
-    return F.transform(
-        matrix,
-        lambda cv: _fround_col(
-            F.aggregate(
-                F.zip_with(vec, cv, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ),
+def _matrix_sql(cents: list[list[float]]) -> str:
+    """The centroid matrix as ONE SQL array-of-array literal.  repr() of a
+    Python float is the shortest round-trip decimal and Spark's `...D`
+    literal goes through Double.parseDouble, which reproduces the identical
+    IEEE-754 bits — so the literal is bit-equal to the old F.lit form."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")" for cv in cents
+        )
+        + ")"
     )
 
 
-def _nearest_cids(vec: Column, cents: list[list[float]], n_probe: int) -> Column:
-    """Array of the n_probe nearest centroid ids (dot desc, cid asc)."""
-    structs = F.transform(
-        _centroid_dots(vec, cents),
-        lambda d, i: F.struct(d.alias("d"), (-i).alias("nc")),
+def _centroid_dots_sql(vec: str, cents: list[list[float]]) -> str:
+    """SQL text of: array of fround(dot(vec, centroid), 6), one element per
+    centroid — map-side only, no shuffle.  The centroid matrix is ONE 2-D
+    literal and the K dots come from a single indexed transform: K separate
+    fold trees (K x dim literal nodes) made Catalyst analysis the bottleneck
+    at small N — same math, same per-centroid fold order, ~K x smaller plan.
+
+    Emitted as a STRING (consumed via one F.expr) rather than Column calls
+    (r13, guide §1.2): the Lloyd loop builds this tree 3-4x per query and
+    the old py4j-per-node construction cost ~2.5s of sim_ivf_topk's wall
+    clock in pure driver time (r13 phase probe); the parse now happens
+    JVM-side in one round trip.  Ops are IDENTICAL: zip_with multiply,
+    left fold from 0.0D, floor(x*1e6 + 0.5D)/1e6."""
+    return (
+        f"transform({_matrix_sql(cents)}, cv -> "
+        f"(floor(aggregate(zip_with(`{vec}`, cv, (a, b) -> a * b), 0.0D, "
+        f"(acc, v) -> acc + v) * 1000000.0D + 0.5D) / 1000000.0D))"
     )
-    ranked = F.slice(F.sort_array(structs, asc=False), 1, n_probe)
-    return F.transform(ranked, lambda s: -s["nc"])
+
+
+def _nearest_cids_sql(vec: str, cents: list[list[float]], n_probe: int) -> str:
+    """SQL text of the n_probe nearest centroid ids (dot desc, cid asc) —
+    same struct/sort_array(desc)/slice shape as the pre-r13 Column form."""
+    return (
+        f"transform(slice(sort_array(transform({_centroid_dots_sql(vec, cents)}, "
+        f"(d, i) -> struct(d AS d, -i AS nc)), false), 1, {int(n_probe)}), s -> -s.nc)"
+    )
 
 
 def _spherical_kmeans(
@@ -1132,7 +1173,16 @@ def _spherical_kmeans(
     # null embeddings normalize to null and carry no geometry — drop them
     # before seeding/assignment (an all-null corpus degenerates cleanly)
     corpus = corpus.where(F.col("nv").isNotNull())
-    corpus = corpus.cache()
+    # localCheckpoint, not cache (r13, guide §1/§5): the Lloyd loop below
+    # plans ONE new query per round on top of `corpus`, and with cache the
+    # analyzer/optimizer re-walk the whole scan + normalize-HOF subtree
+    # every round (cache substitution happens after analysis) — the r12
+    # event-log probe put ~3.1s of sim_ivf_topk's 3.8s in exactly these
+    # sequential planning gaps.  The eager checkpoint truncates the lineage
+    # to an RDD leaf: same bytes stored as the cache held, every per-round
+    # plan now analyzes a leaf + the constant assignment tree.  Values are
+    # identical (same rows, same floats — only the plan boundary moves).
+    corpus = corpus.localCheckpoint(eager=True)
     init = corpus.orderBy("nid").limit(n_clusters).select("nv").collect()
     cents = [[_fround_py(float(x), 10) for x in r.nv] for r in init]
     if not cents:
@@ -1140,16 +1190,22 @@ def _spherical_kmeans(
         # expression analyzable; no rows ever reach it
         cents = [[0.0]]
     dim = len(cents[0])
+    spark = corpus.sparkSession
+    avg_cols = ", ".join(f"avg(nv[{d}]) AS m{d}" for d in range(dim))
     for _ in range(iters):
-        assigned = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
+        assigned = corpus.withColumn(
+            "cid", F.expr(f"({_nearest_cids_sql('nv', cents, 1)})[0]")
+        )
         # per-dimension columnar avg: one groupBy(cid) with dim avg
         # aggregates — map-side combine shuffles K x dim partials per
-        # partition and never materializes the N x dim posexplode rows
-        rows = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("nv")[d]).alias(f"m{d}") for d in range(dim)])
-            .collect()
-        )
+        # partition and never materializes the N x dim posexplode rows.
+        # spark.sql with a frame reference = ONE py4j round trip for the
+        # whole dim-wide aggregate (the agg-per-column Column form cost
+        # ~0.3-1s of driver time per round, r13 phase probe); avg(nv[d])
+        # parses to the same 0-based getItem + Average the Column form built
+        rows = spark.sql(
+            f"SELECT cid, {avg_cols} FROM {{src}} GROUP BY cid", src=assigned
+        ).collect()
         new = {}
         for r in rows:
             raw = [float(r[f"m{d}"]) for d in range(dim)]
@@ -1158,7 +1214,9 @@ def _spherical_kmeans(
         # a corpus smaller than n_clusters seeds fewer centroids — iterate
         # over what EXISTS (range(n_clusters) raised IndexError, r8 sweep)
         cents = [new.get(i, c) for i, c in enumerate(cents)]
-    lists = corpus.withColumn("cid", _nearest_cids(F.col("nv"), cents, 1)[0])
+    lists = corpus.withColumn(
+        "cid", F.expr(f"({_nearest_cids_sql('nv', cents, 1)})[0]")
+    )
     return lists, cents
 
 
@@ -1242,7 +1300,7 @@ def ivf_topk(
     probes = queries.select(
         F.col(id_col).alias("qid"),
         _l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
-    ).withColumn("cid", F.explode(_nearest_cids(F.col("qv"), cents, n_probe)))
+    ).withColumn("cid", F.explode(F.expr(_nearest_cids_sql("qv", cents, n_probe))))
     # rerank JVM-side (fold): measured FASTER than the Arrow einsum UDF for
     # this shape — the probe join already co-locates both arrays, and
     # shipping 2x64 doubles per candidate through Arrow costs more than the

@@ -90,6 +90,9 @@ def quantized_topk(
     (integer dot) * scale_a * scale_b over L2-normalized inputs —
     approximate cosine whose only inexactness is the quantization itself,
     measured by the emb_quantize_error gate query.
+
+    NOTE: the probe collect is ONE eager Spark job at call time (bounded by
+    ``max_broadcast_queries``); construction is no longer fully lazy.
     """
     def prep(df, prefix):
         v = F.col(vec_col).cast("array<double>")
@@ -119,6 +122,9 @@ def quantized_topk(
         qids = [r["qid"] for r in qrows]
         qscales = [float(r["qscale"]) for r in qrows]
         qmat = [np.asarray(r["qq"], dtype=np.int64) for r in qrows]
+        # qid keeps the QUERY side's id type (the join path preserved it);
+        # typing it from the corpus mis-declares heterogeneous id schemas
+        qid_field = probes.schema["qid"].dataType.simpleString()
         id_field = corpus.schema["nid"].dataType.simpleString()
 
         def _score_batches(batches):
@@ -137,7 +143,7 @@ def quantized_topk(
                     yield pd.DataFrame({"qid": qi, "nid": nids, "sim": sim})
 
         scored = corpus.mapInPandas(
-            _score_batches, f"qid {id_field}, nid {id_field}, sim double"
+            _score_batches, f"qid {qid_field}, nid {id_field}, sim double"
         ).filter(F.col("qid") != F.col("nid"))
     else:
         scored = (

@@ -83,7 +83,14 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 def _run_to_batch(spark, stream_df, *, output_mode: str) -> "object":
     """Start the stream into a memory sink, drain with availableNow, and
-    return the sink contents re-materialized as a plain batch DataFrame."""
+    return the sink table as a batch DataFrame.
+
+    Returned DIRECTLY (r13, guide §4): the old toPandas->createDataFrame
+    round trip pulled every sink row through the driver and re-parallelized
+    it just so the caller could sink it again — a pure Python-boundary tax
+    in the timed path.  The sink table is already driver-local (memory sink
+    semantics), stable after awaitTermination, and uniquely named per run,
+    so reading it lazily is equivalent."""
     name = f"sgate_{next(_SEQ)}"
     q = (
         stream_df.writeStream.format("memory")
@@ -93,8 +100,7 @@ def _run_to_batch(spark, stream_df, *, output_mode: str) -> "object":
         .start()
     )
     q.awaitTermination()
-    pdf = spark.table(name).toPandas()
-    return spark.createDataFrame(pdf) if len(pdf) else spark.table(name)
+    return spark.table(name)
 
 
 @query(

@@ -368,9 +368,14 @@ def web_pagerank(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     d = F.col("doc_id")
+    # both edge directions from ONE documents scan: explode of the two dst
+    # expressions yields the same row multiset as the old 2-scan unionByName
+    # (per doc: (src, 7d+3), (src, 13d+5)), and distinct dedups identically
     edges = (
-        docs.select((d % 60).alias("src"), ((d * 7 + 3) % 60).alias("dst"))
-        .unionByName(docs.select((d % 60).alias("src"), ((d * 13 + 5) % 60).alias("dst")))
+        docs.select(
+            (d % 60).alias("src"),
+            F.explode(F.array((d * 7 + 3) % 60, (d * 13 + 5) % 60)).alias("dst"),
+        )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )

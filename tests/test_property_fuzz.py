@@ -31,7 +31,12 @@ import pytest
 import os as _os
 
 # soak-overridable: SPARK_GRAFT_FUZZ_FRAMES=96 for a deep sweep
-N_FRAMES = int(_os.environ.get("SPARK_GRAFT_FUZZ_FRAMES", "32"))
+# default trimmed 32 -> 12 (r13, VERDICT #2): the driver's pytest budget
+# timed out at ~84% of the suite and these two files were 35% of its wall
+# time.  Seeds are deterministic, so the first 12 are the same regression
+# net every run; the deep 32/96-seed sweep stays one env var away
+# (SPARK_GRAFT_FUZZ_FRAMES=32) and is run at every round close.
+N_FRAMES = int(_os.environ.get("SPARK_GRAFT_FUZZ_FRAMES", "12"))
 
 # ---------------------------------------------------------------- frames
 

@@ -1,8 +1,8 @@
-"""Dump ``explain("formatted")`` for bench queries to plans/<tag>/.
+"""Dump ``explain("formatted")`` for bench queries to plans/<round>/.
 
-Usage: python tools/dump_plans.py <suffix> [sf_dir] [query ...]
+Usage: PLANS_ROUND=r13 python tools/dump_plans.py <suffix> [sf_dir] [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt for every bench HEADLINE query (or
+Writes plans/<round>/<query>_<suffix>.txt for every bench HEADLINE query (or
 the explicit list given).  The judge reads these files to verify plan
 claims (Exchange counts, join strategies, PushedFilters) against the code,
 so the dump is the raw formatted explain, unedited.
@@ -23,7 +23,7 @@ def main() -> int:
     from polars_spark.session import get_spark
 
     names = sys.argv[3:] or [n for n in HEADLINE if n in QUERIES]
-    out_dir = os.path.join("plans", "r12")
+    out_dir = os.path.join("plans", os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
     for name in names:
