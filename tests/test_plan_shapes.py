@@ -56,6 +56,12 @@ def plans(spark):
     # shifts exchange counts — measure the cold plan.
     s = spark.newSession()
     s.catalog.clearCache()
+    # the shared test session runs shuffle.partitions=1 for wall-time (AQE
+    # coalesces to 1 at test scale anyway), but THIS module audits scale
+    # shape: at 1, every repartition(col) legitimately plans as an Exchange
+    # SinglePartition and the hazard scan can't tell it from a real killer.
+    # Pin the audit at a multi-partition conf (per-session, restored free).
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     out = {}
     for name in PINS:
         df = QUERIES[name](s, SF_DIR)

@@ -28,8 +28,15 @@ def frames(draw):
     return pd.DataFrame({"g": keys, "x": vals})
 
 
+# default trimmed for driver wall-time budget (hypothesis draws fresh random
+# examples every run, so coverage accumulates across runs); the deeper sweep
+# (SPARK_GRAFT_HYP_EXAMPLES=6+) is run at every round close.
+import os as _os
+
 _settings = settings(
-    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    max_examples=int(_os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "3")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
 
