@@ -20,7 +20,19 @@ def spark():
     # (measured 27% suite-wall cut, identical results — scans still produce
     # multiple input partitions, so multi-partition map/merge paths stay
     # exercised; the skew test pins its own 64-partition conf).
-    s = get_spark("tests", **{"spark.sql.shuffle.partitions": "1"})
+    # adaptive.enabled=false: with 1 shuffle partition AQE has nothing to
+    # re-plan, it only adds a per-exchange re-optimization pass (measured
+    # 8-9% file wall, interleaved A/B, identical results).  AQE-on result
+    # correctness stays covered where it matters: tools/check.py sweeps all
+    # 253 oracle gates on engine-default confs (AQE on), and the skew and
+    # plan-shape suites pin their own sessions.
+    s = get_spark(
+        "tests",
+        **{
+            "spark.sql.shuffle.partitions": "1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
     yield s
 
 
