@@ -1034,16 +1034,24 @@ def embedding_near_dup_pairs(
     # all the pair-generation work.  An explicit repartition survives AQE
     # and keeps pair generation spread across the cluster.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    # Alias each side and repartition AFTER the alias: the two sides then
-    # carry IDENTICAL hash exchanges over identical subtrees, which the
-    # ReuseExchange rule / AQE stage cache dedupes at runtime, so the
-    # hyperplane pass runs once.  The r12 session re-tested the
-    # repartition-before-alias "structural sharing" variant plus a
-    # shuffle_hash-hinted one and a cached one: all three planned the
-    # bucket subtree twice in the FINAL adaptive plan (AQE broadcasts one
-    # side, and a BroadcastExchange can never reuse the probe side's hash
-    # Exchange) and measured 4.6-6.1s vs 3.5s for this shape at sf0.1.
-    keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb"))
+    # The (id, bucket) frame is localCheckpointed (r13, guide §3.3/§5): the
+    # self-join needs it TWICE, and no plan shape makes Catalyst compute it
+    # once — the r12 session measured alias-order/shuffle_hash/cache
+    # variants and every FINAL adaptive plan held two copies of the
+    # hyperplane subtree (AQE broadcasts one side, and a BroadcastExchange
+    # can never reuse the probe side's hash Exchange; the variants measured
+    # 4.6-6.1s vs 3.5s for the alias-then-repartition shape at sf0.1).  The
+    # eager checkpoint materializes the bucket pass ONCE into an RDD leaf
+    # that both sides (and both their exchanges) read — the scan, the
+    # normalize/hyperplane HOF evaluation, and their analysis cost drop out
+    # of the join subtrees entirely.  The stored rows are slim (id, bucket
+    # long) = n_tables x corpus rows, the same bytes the band shuffle
+    # itself moves, so the block-manager footprint scales exactly like the
+    # shuffle this join already pays.  Values are identical: only the plan
+    # boundary moves, not any row or float.
+    keyed = c.select("_id", F.explode(F.array(*tbs)).alias("tb")).localCheckpoint(
+        eager=True
+    )
     a = keyed.select(F.col("_id").alias("d1"), "tb").repartition(par, "tb")
     b = keyed.select(F.col("_id").alias("d2"), "tb").repartition(par, "tb")
     cand = (
