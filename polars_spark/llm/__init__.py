@@ -228,19 +228,27 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .cache()
     )
+    # The banded frame is localCheckpointed (r13, same transform as
+    # embedding_near_dup_pairs): the self-join consumes it twice and the
+    # k-permutation signature pass — the operator's dominant per-row cost —
+    # was otherwise evaluated once per side (AQE broadcasts one side, whose
+    # BroadcastExchange can never reuse the probe side's stages).  The
+    # eager checkpoint runs shingle+signature ONCE (through base's cache)
+    # into an RDD leaf both sides read.  Crucially it PRESERVES the
+    # uniform _spread partitioning: the r12-measured 1.8s -> 7s trap was a
+    # hash repartition on band CONCENTRATING each mega-duplicate cluster's
+    # quadratic pair generation into one task — a checkpoint does no
+    # shuffle, so hot-band pair generation stays spread exactly as before.
+    # The stored rows are slim (doc id, band long) = bands x corpus rows,
+    # the same bytes the band join already broadcasts.
     banded = base.select(
         "doc",
         F.explode(
             lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows)
         ).alias("band"),
-    )
+    ).localCheckpoint(eager=True)
     # the band shuffle carries ONLY (doc, band) — shingle arrays stay out of
     # the 8x-exploded join and are re-attached just for the few candidates.
-    # Do NOT repartition by band to share one exchange here (measured 1.8s ->
-    # 7s): a hash shuffle on band CONCENTRATES each mega-duplicate cluster's
-    # band into one task, serializing its quadratic pair generation; the
-    # broadcast self-join keeps the streamed side on its uniform input
-    # partitioning, so hot-band pair generation stays parallel.
     a = banded.select(F.col("doc").alias("d1"), "band")
     b = banded.select(F.col("doc").alias("d2"), "band")
     cand = (
