@@ -306,16 +306,21 @@ def minhash_lsh_dedup(
         F.explode(
             lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows)
         ).alias("band"),
-    ).cache()
-    # banded is CACHED: the k-permutation signature pass (interpreted HOF,
-    # the operator's dominant per-row cost) has two consumers — the per-band
+    ).localCheckpoint(eager=True)
+    # banded is eagerly localCheckpointed (r13; was cache() in r12): the
+    # k-permutation signature pass (interpreted HOF, the operator's
+    # dominant per-row cost) has two consumers — the per-band
     # representative aggregate and the star-join probe side — and without
-    # the cache AQE materializes each consumer's stages independently,
-    # re-running the signatures per stage (r12 event-log probe: the same
-    # 32-hash pass appeared in 4+ concurrent stage materializations).  The
-    # cached rows are slim (doc id, band long) = bands x corpus rows, the
-    # same bytes the band shuffle itself moves; MEMORY_AND_DISK semantics
-    # spill it at scale exactly like a shuffle file would.
+    # materialization AQE materializes each consumer's stages
+    # independently, re-running the signatures per stage (r12 event-log
+    # probe: the same 32-hash pass appeared in 4+ concurrent stage
+    # materializations).  The checkpoint beats the cache on both of the
+    # cache's residual costs: every downstream query re-ANALYZED the whole
+    # scan+shingle+signature subtree (cache substitution happens after
+    # analysis), and concurrent stage materializations could still race to
+    # compute the same cached partitions.  The stored rows are slim
+    # (doc id, band long) = bands x corpus rows, the same bytes the band
+    # shuffle itself moves, spilled to disk at scale like a shuffle file.
     # (see minhash_lsh_pairs: a repartition("band") to share one exchange
     # measured 2.8s -> 37.8s here — it serializes hot-band star-edge
     # generation into single tasks; the broadcast join path keeps it spread)
