@@ -996,6 +996,7 @@ def embedding_near_dup_pairs(
     target_bucket_size: int = 1024,
     recall_target: float = 0.95,
     corpus_size: int | None = None,
+    max_broadcast_corpus: int = 65536,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
     LSH candidate generation + exact cosine verify >= threshold.
@@ -1017,10 +1018,15 @@ def embedding_near_dup_pairs(
     count job when the caller already knows N.
 
     ``scorer='arrow'`` (default) verifies candidates with a vectorized
-    Arrow-batched pandas_udf (numpy einsum over the whole batch) — the
-    fast path when the candidate set is large.  ``scorer='fold'`` keeps
-    scoring JVM-side (aggregate/zip_with), useful where Python workers are
-    at a premium.  An unrolled codegen expression was measured SLOWER than
+    numpy einsum pass.  When the corpus fits ``max_broadcast_corpus`` rows
+    the corpus matrix is collected ONCE (one bounded eager Spark job at
+    call time, like quantized_topk's probe collect) and broadcast, so each
+    candidate crosses the Arrow boundary as two ids instead of two
+    dim-length vectors; above the bound (or with ``max_broadcast_corpus=0``)
+    it falls back to the vector-attach join + pandas_udf path — identical
+    scores either way (same float64 rows, same einsum).  ``scorer='fold'``
+    keeps scoring JVM-side (aggregate/zip_with), useful where Python
+    workers are at a premium.  An unrolled codegen expression was measured SLOWER than
     both: ~200-term expressions exceed the JIT'able method size and fall
     back to per-node interpretation.
     """
@@ -1087,6 +1093,58 @@ def embedding_near_dup_pairs(
     cs = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    if scorer == "arrow" and max_broadcast_corpus > 0:
+        # Bounded broadcast-matrix verify (r13, guide §2.3/§8): the join
+        # path fattens every candidate pair with BOTH vectors, so 2 x dim
+        # doubles per pair cross the Arrow boundary (sf0.1: 365k pairs x
+        # 128 doubles ~ 374 MB for a 1 MB corpus).  Shuffle keys, not
+        # payloads: collect the corpus matrix ONCE (bounded — above the
+        # bound we fall back to the join path, same results), broadcast it,
+        # and let each candidate batch cross Arrow as two ids.  The einsum
+        # rows looked up from the matrix are the identical float64 vectors
+        # the join would have attached, stacked the same way, so the scores
+        # are bit-identical (same ids -> same rows -> same einsum).
+        # NOTE: this makes construction run one bounded eager Spark job
+        # (like quantized_topk's probe collect); corpus ids are assumed
+        # unique (both engines' oracles already assume a key).
+        crows = (
+            cs.where(F.col("_v").isNotNull())
+            .limit(max_broadcast_corpus + 1)
+            .collect()
+        )
+        if 0 < len(crows) <= max_broadcast_corpus:
+            import numpy as np
+
+            ids = np.array([r["_id"] for r in crows])
+            order = np.argsort(ids, kind="stable")
+            ids_sorted = ids[order]
+            mat = np.stack(
+                [np.asarray(crows[i]["_v"], dtype=np.float64) for i in order]
+            )
+            bc = emb.sparkSession.sparkContext.broadcast((ids_sorted, mat))
+            d1_t = cand.schema["d1"].dataType.simpleString()
+            d2_t = cand.schema["d2"].dataType.simpleString()
+
+            def _verify(batches):
+                ids_s, m = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    a = m[np.searchsorted(ids_s, pdf["d1"].values)]
+                    b = m[np.searchsorted(ids_s, pdf["d2"].values)]
+                    num = np.einsum("ij,ij->i", a, b)
+                    na = np.sqrt(np.einsum("ij,ij->i", a, a))
+                    nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+                    pdf = pdf[["d1", "d2"]].copy()
+                    pdf["sim"] = num / (na * nb)
+                    yield pdf
+
+            return (
+                cand.mapInPandas(_verify, f"d1 {d1_t}, d2 {d2_t}, sim double")
+                .withColumn("sim", F.round(F.col("sim"), 6))
+                .filter(F.col("sim") >= F.lit(threshold))
+                .select("d1", "d2", "sim")
+            )
     ea = cs.select(F.col("_id").alias("d1"), F.col("_v").alias("_v1"))
     eb = cs.select(F.col("_id").alias("d2"), F.col("_v").alias("_v2"))
     score = cosine_similarity_arrow() if scorer == "arrow" else cosine_similarity
