@@ -2426,7 +2426,17 @@ def tfidf_cosine_pairs(
     from pyspark.sql import Window as _W
 
     nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(_W.partitionBy("doc")))
-    unit = w.select("token", "doc", (F.col("w") / nrm).alias("u"))
+    # The normalized postings feed both sides of the token self-join, and
+    # as in minhash_lsh_pairs/embedding_near_dup_pairs no Catalyst shape
+    # computes the subtree once (AQE broadcasts one side, whose
+    # BroadcastExchange cannot reuse the probe side's stages) — the whole
+    # tf/dfreq/doclen/window pipeline otherwise runs per side.  The eager
+    # localCheckpoint materializes the slim (token, doc, u) postings ONCE
+    # into an RDD leaf both sides read (r13; the r12 window-norm rewrite
+    # already halved the subtree this checkpoint now de-duplicates).
+    unit = w.select("token", "doc", (F.col("w") / nrm).alias("u")).localCheckpoint(
+        eager=True
+    )
     a = unit.select(F.col("token"), F.col("doc").alias("d1"), F.col("u").alias("u1"))
     b = unit.select(F.col("token"), F.col("doc").alias("d2"), F.col("u").alias("u2"))
     pairs = (
