@@ -148,6 +148,13 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(dfreq.filter(F.col("df") <= max_df), "sh")
+    # Three consumers read the exploded postings (both self-join sides and
+    # the per-doc size aggregate), and AQE materializes each one's stages
+    # independently — the shingle explode otherwise runs three times.  The
+    # eager localCheckpoint runs it once into an RDD leaf (r13, same
+    # transform as the minhash/embedding/tfidf dedups); the stored rows
+    # are the same (doc, shingle) postings the self-join shuffles anyway.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("d1"), "sh")
     b = sh.select(F.col("doc").alias("d2"), "sh")
@@ -710,7 +717,15 @@ def simhash_near_pairs(
             for i in range(4)
         ]
     )
-    e = sig.select("doc", "simhash", F.posexplode(chunks).alias("ci", "cv"))
+    # Both self-join sides read the chunked signatures, and the signature
+    # pass is a PYTHON (mapInPandas) per-doc hashing stage — without
+    # materialization it runs once per side (AQE broadcasts one side, which
+    # can never reuse the probe side's stages).  The eager localCheckpoint
+    # runs the Python pass once into an RDD leaf (r13); the stored rows are
+    # four slim (doc, simhash, ci, cv) longs per doc.
+    e = sig.select(
+        "doc", "simhash", F.posexplode(chunks).alias("ci", "cv")
+    ).localCheckpoint(eager=True)
     a = e.select(F.col("doc").alias("d1"), F.col("simhash").alias("s1"), "ci", "cv")
     b = e.select(F.col("doc").alias("d2"), F.col("simhash").alias("s2"), "ci", "cv")
     cand = a.join(b, ["ci", "cv"]).filter(F.col("d1") < F.col("d2")).dropDuplicates(["d1", "d2"])
