@@ -1788,6 +1788,22 @@ def fuzzy_string_pairs(
                 F.col("t").substr(F.col("__p"), F.col("__seg.len")).alias("__key"),
             )
         )
+        # idx and probe each have THREE consumers (the hot-block count, the
+        # cold route's anti join, the hot route's semi join), and probe is
+        # the expensive one — a triple explode emitting O(k^3) keys per
+        # string.  Without materialization AQE plans and runs each
+        # consumer's copy of the subtree independently (same pattern as
+        # the minhash/embedding/tfidf dedups).  The eager localCheckpoints
+        # run each expansion ONCE into an RDD leaf; the stored rows are
+        # the same slim key postings the blocking join shuffles anyway.
+        # The round-robin respread matters: AQE coalesces the upstream
+        # distinct to 1-2 partitions (the inputs are slim), but every
+        # DOWNSTREAM stage — including the quadratic pair-generation joins
+        # — inherits the leaf's partitioning (the event-log probe showed
+        # the verify stage running as 2 tasks, one a 3.7s straggler).
+        par = left.sparkSession.sparkContext.defaultParallelism
+        idx = idx.repartition(par).localCheckpoint(eager=True)
+        probe = probe.repartition(par).localCheckpoint(eager=True)
         keys = ["__L", "__i", "__key"]
         # skew guard: a block's JOIN OUTPUT is idx_count x probe_count —
         # low-entropy segments (shared prefixes) make single blocks
@@ -1804,6 +1820,10 @@ def fuzzy_string_pairs(
                 > F.lit(float(hot_pair_cap))
             )
             .select(*keys)
+            # four joins broadcast this tiny hot-key set (two anti, two
+            # semi) and each broadcast build otherwise re-runs the
+            # count-count join; the eager checkpoint computes it once
+            .localCheckpoint(eager=True)
         )
         idx_cold = idx.join(F.broadcast(hot), keys, "left_anti")
         probe_cold = probe.join(F.broadcast(hot), keys, "left_anti")
