@@ -228,11 +228,16 @@ def minhash_lsh_pairs(
     rows = k // bands
     # shingle sets are cached: they feed the signature pass AND both sides of
     # the verification join — without the cache the corpus is re-shingled
-    # three times
+    # three times.
+    # The short-doc filter runs on the RAW token count, not size(sh) > 0:
+    # the two are equivalent (shingles are non-empty iff the doc has >= n
+    # tokens; NULL text fails both), but Catalyst pushes the filter below
+    # the _spread exchange, and the size(sh) form made the scan partition
+    # evaluate the whole shingle expression single-task (r13 event-log
+    # probe: the pushed filter was a multi-second one-core stage).
     base = (
-        _spread(df)
+        _spread(df.filter(F.size(tokenize(F.lower(F.col(text_col)))) >= n))
         .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
         .cache()
     )
     # The banded frame is localCheckpointed (r13, same transform as
@@ -302,10 +307,11 @@ def minhash_lsh_dedup(
     so a doc similar to the cluster but not to the representative can split
     off; with 8 bands each doc gets 8 chances, making that rare."""
     rows = k // bands
+    # raw-token-count filter: equivalent to size(sh) > 0 but cheap when
+    # Catalyst pushes it below the _spread exchange (see minhash_lsh_pairs)
     base = (
-        _spread(df)
+        _spread(df.filter(F.size(tokenize(F.lower(F.col(text_col)))) >= n))
         .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
         .cache()
     )
     banded = base.select(
@@ -2258,15 +2264,35 @@ def build_minhash_index(
     snapshot; every future crawl batch dedups against it WITHOUT
     re-shingling the existing corpus (the economics of incremental
     ingestion at 100 TB — the index is ~bands x 16 bytes/doc).  Shingle
-    sets are stored alongside for the exact-verify step."""
+    sets are stored alongside for the exact-verify step — ONCE per doc, on
+    the band_idx 0 row (r13: carrying the full shingle array on every one
+    of the ``bands`` rows multiplied the index write volume ~bands-fold
+    for bytes the verify step only needs once)."""
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = base.select(
-        "doc", "sh", lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows).alias("bands")
+    # _spread: a small corpus arriving as one input split would otherwise
+    # run the whole shingle+signature pass — and the index write — on ONE
+    # core (the r13 event-log probe showed a single 9s task).  The raw-
+    # token-count filter is equivalent to size(sh) > 0 but stays cheap
+    # when Catalyst pushes it below the exchange (see minhash_lsh_pairs).
+    base = _spread(
+        df.filter(F.size(tokenize(F.lower(F.col(text_col)))) >= n)
+    ).select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+    # posexplode the band-key expression INLINE (not a named `bands`
+    # column): with an attribute child, InferFiltersFromGenerate adds
+    # size(bands) > 0, and filter pushdown inlines the whole 32-hash
+    # signature tree into the scan-side filter — the r13 event-log probe
+    # showed it evaluated per row, single-task, BELOW the _spread exchange
+    # (8.9s of the build's 13.9s), then recomputed above.  An inline
+    # CreateArray child skips the inference (same shape minhash_lsh_pairs
+    # uses); the array is fixed-size bands anyway, so the filter is vacuous.
+    out = base.select(
+        "doc",
+        "sh",
+        F.posexplode(
+            lsh_band_keys(minhash_signature(F.col("sh"), k=k), bands=bands, rows=rows)
+        ).alias("band_idx", "band"),
     )
-    out = sig.select("doc", "sh", F.posexplode("bands").alias("band_idx", "band"))
+    out = out.withColumn("sh", F.when(F.col("band_idx") == 0, F.col("sh")))
     out.write.mode(mode).parquet(path)
 
 
@@ -2291,10 +2317,16 @@ def dedup_against_index(
     partitions."""
     rows = k // bands
     spark = new_df.sparkSession
-    idx = spark.read.parquet(index_path)
-    base = new_df.select(
+    # _spread the index read too: a small index packs into ONE scan split,
+    # and the band join + exact verify inherit that single partition (the
+    # r13 event-log probe showed them as one 7.8s task); at real scale the
+    # read has many splits and this is a no-op
+    idx = _spread(spark.read.parquet(index_path))
+    base = _spread(
+        new_df.filter(F.size(tokenize(F.lower(F.col(text_col)))) >= n)
+    ).select(
         F.col(id_col).alias("nid"), shingles(F.col(text_col), n).alias("nsh")
-    ).filter(F.size("nsh") > 0).cache()
+    ).cache()
     banded = base.select(
         "nid",
         F.explode(
@@ -2306,9 +2338,18 @@ def dedup_against_index(
         .select("nid", "xid")
         .dropDuplicates(["nid", "xid"])
     )
+    # one shingle set per indexed doc: the band_idx 0 row carries it (see
+    # build_minhash_index) — a plain pushed-down filter, where the old
+    # dropDuplicates(xid) SHUFFLED bands copies of every doc's full
+    # shingle array just to throw bands-1 of them away
     pairs = (
         cand.join(base, "nid")
-        .join(idx.select(F.col("doc").alias("xid"), F.col("sh").alias("xsh")).dropDuplicates(["xid"]), "xid")
+        .join(
+            idx.filter(F.col("band_idx") == 0).select(
+                F.col("doc").alias("xid"), F.col("sh").alias("xsh")
+            ),
+            "xid",
+        )
     )
     inter = F.size(F.array_intersect("nsh", "xsh"))
     union = F.size("nsh") + F.size("xsh") - inter
