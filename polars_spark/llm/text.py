@@ -356,8 +356,17 @@ def chunk_documents(
     n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
     starts = F.sequence(F.lit(0), n_chunks - 1)
     return (
-        df.select(F.col(id_col), toks.alias("__toks"), n.alias("n_tokens"), starts.alias("__ks"))
-        .select(F.col(id_col), "n_tokens", "__toks", F.posexplode("__ks").alias("chunk_id", "__k"))
+        # posexplode the starts expression INLINE: naming it first makes
+        # InferFiltersFromGenerate add size(__ks) > 0, and pushdown inlines
+        # the whole split/ceil pipeline into a per-row scan filter (r13 —
+        # the same trap as build_minhash_index's posexplode("bands"); the
+        # sequence is never empty, so the inferred filter was pure waste)
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n.alias("n_tokens"),
+            F.posexplode(starts).alias("chunk_id", "__k"),
+        )
         .select(
             id_col,
             "chunk_id",
