@@ -3933,24 +3933,38 @@ class Expr:
             fields.append(cnt_col.alias("count"))
             return F.struct(*fields)
 
-        def f(arr):
-            a = F.filter(arr.cast("array<double>"), lambda v: v.isNotNull())
-            if bins is not None:
-                edges = [float(b) for b in bins]
+        if bins is not None:
+            # Literal bin edges: per-bin CONDITIONAL COUNT aggregates
+            # (count(when(pred, 1)) — map-side partial aggregation, never
+            # an implode.  The old collect_list-the-whole-group form built
+            # one giant array per group and ran an interpreted HOF filter
+            # over it once per bin — a single 7.2s one-core task for the
+            # 600k-row global hist at sf0.1 (r13 event-log probe).  Counts
+            # are identical: a null value fails every bin predicate, which
+            # is exactly the old explicit isNotNull pre-filter.
+            edges = [float(b) for b in bins]
+
+            def g(ctx):
+                v = self._resolve(ctx).cast("double")
                 out = []
                 for i in range(len(edges) - 1):
                     lo, hi = edges[i], edges[i + 1]
-                    pred = (lambda lo=lo, hi=hi, first=(i == 0): (
-                        lambda v: ((v >= lo) if first else (v > lo)) & (v <= hi)
-                    ))()
+                    pred = ((v >= lo) if i == 0 else (v > lo)) & (v <= hi)
                     out.append(
                         mk_bin(
                             F.lit(hi),
                             F.lit(f"({lo}, {hi}]"),
-                            F.size(F.filter(a, pred)).cast("bigint"),
+                            F.count(F.when(pred, F.lit(1))).cast("bigint"),
                         )
                     )
                 return F.array(*out)
+
+            e = Expr(g, self._name, is_agg=True)
+            e._listwise = True
+            return e
+
+        def f(arr):
+            a = F.filter(arr.cast("array<double>"), lambda v: v.isNotNull())
             lo = F.array_min(a).cast("double")
             hi = F.array_max(a).cast("double")
             width = (hi - lo) / bin_count
