@@ -451,7 +451,13 @@ def streaming_minhash_suppress(
             out.append((doc, rep))
         if rep is not None:
             state.update((rep,))
-        yield pd.DataFrame(out, columns=["doc", "rep"])
+        # most band buckets are singletons (they only elect a
+        # representative and emit nothing) — yielding NO frame for them
+        # skips a per-key pandas DataFrame construction, which dominated
+        # the micro-batch at ~40k buckets (r13 driver thread dump: every
+        # task blocked on the Python worker; same rows either way)
+        if out:
+            yield pd.DataFrame(out, columns=["doc", "rep"])
 
     # NO dropDuplicates here: shuffling applyInPandasWithState output hits
     # a Spark serializer bug (its Arrow ColumnarBatchRow reaches
