@@ -256,26 +256,42 @@ class StringNamespace(_NS):
                     )
                 )
                 return hits.cast("array<bigint>")
-            # non-overlapping: fold positions, skipping past matches
-            init = F.named_struct(
-                F.lit("nxt"), F.lit(1), F.lit("acc"), F.array().cast("array<bigint>")
+            # non-overlapping: leftmost match, first-listed pattern wins,
+            # then skip past the match — EXACTLY Java regex alternation
+            # semantics (ordered alternatives, scan resumes after each
+            # match).  Offsets are rebuilt from the split segments and the
+            # matched strings with an O(matches) fold; the previous
+            # per-character fold ran an interpreted filter-over-patterns
+            # step at EVERY position (~10M steps for the sf0.1 document
+            # corpus, 6.7s single pass — r13 probe).  Null text: split and
+            # extract_all are null, so the fold and the result stay null,
+            # matching the old sequence(1, length(null)) behavior.
+            import re as _re
+
+            alt = "|".join(_re.escape(p) for p in patterns)
+            hits = F.regexp_extract_all(c, F.lit(f"({alt})"), 1)
+            segs = F.split(c, alt, -1)
+            pairs = F.arrays_zip(
+                F.transform(F.slice(segs, 1, F.size(hits)), F.length).alias("s"),
+                F.transform(hits, F.length).alias("h"),
             )
-            def step(acc, i):
-                first = F.get(
-                    F.filter(pats, lambda p: F.substring(c, i, F.length(p)) == p), 0
-                )
-                matched = acc["nxt"] <= i
-                hit = first.isNotNull() & matched
+            init = F.named_struct(
+                F.lit("pos"),
+                F.lit(0).cast("bigint"),
+                F.lit("acc"),
+                F.array().cast("array<bigint>"),
+            )
+
+            def step(acc, x):
+                off = acc["pos"] + x["s"].cast("bigint")
                 return F.named_struct(
-                    F.lit("nxt"),
-                    F.when(hit, i + F.length(first)).otherwise(acc["nxt"]),
+                    F.lit("pos"),
+                    off + x["h"].cast("bigint"),
                     F.lit("acc"),
-                    F.when(
-                        hit, F.concat(acc["acc"], F.array((i - 1).cast("bigint")))
-                    ).otherwise(acc["acc"]),
+                    F.concat(acc["acc"], F.array(off)),
                 )
 
-            return F.aggregate(idx, init, step, lambda acc: acc["acc"])
+            return F.aggregate(pairs, init, step, lambda acc: acc["acc"])
 
         return self._map(fn)
 
