@@ -1540,10 +1540,20 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    occ = df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos0", "gram"),
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    # _spread: a single-split corpus would run the positioned-gram explode
+    # on one core; the eager checkpoint then runs it ONCE for its two
+    # consumers (the gram counts and the coverage back-join) — the same
+    # shared-subtree materialization as the other dedup operators (r13;
+    # the probe showed two parallel single-task 1.3s explode stages).
+    occ = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+        .localCheckpoint(eager=True)
+    )
     dup = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ")).where(F.col("n_occ") >= 2)
     covered = (
         occ.join(dup.select("gram"), "gram")
@@ -1579,6 +1589,9 @@ def remove_duplicated_spans(
     Returns (id, kept_text, n_tokens, n_removed)."""
     from pyspark.sql import Window
 
+    # _spread: both the positioned-gram explode and the token-rebuild side
+    # of the final join otherwise run on a single input split (r13)
+    df = _spread(df)
     lowered = word_ngrams(F.col(text_col), n)
     occ = df.select(F.col(id_col), F.posexplode(lowered).alias("pos0", "gram")).select(
         F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram"
